@@ -1,0 +1,226 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Temporal / event operators (SURVEY.md §2: A6, A12, A13, F1–F4).
+  *
+  * Clock contract: `events.ts` is ns-precision parquet surfaced as Long
+  * nanos (see GraftSession); all boundaries use floor-second integer
+  * arithmetic (`ts DIV 1e9`), mirrored exactly in the oracle SQL as
+  * `CAST(floor(epoch(ts)) AS BIGINT)`.
+  *
+  * Scale notes: every operator here shuffles at most once, on the
+  * session/user key; no driver-side state, no collects. The as-of join
+  * uses the union-tag + running `last(ignoreNulls)` formulation: one
+  * shuffle of (key, time, payload-keys), linear in rows — no per-key
+  * sort-merge loops, no broadcast of the big side.
+  */
+object TemporalOps {
+
+  /** Event time floored to epoch seconds (integer division — exact for
+    * the full int64-nano range, unlike a double divide).
+    */
+  private val tsSec = expr("ts DIV 1000000000").cast("long")
+  private val duckTsSec = "CAST(floor(epoch(ts)) AS BIGINT)"
+
+  // ---------------------------------------------------------------- A6
+  /** lag/lead deltas of event value per user over time order. */
+  def qLagDelta(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("value"), col("ts"))
+      .withColumn("delta", col("value") - lag(col("value"), 1).over(w))
+      .withColumn("next_event_id", lead(col("event_id"), 1).over(w))
+      .select("user_id", "event_id", "delta", "next_event_id")
+  }
+
+  val qLagDeltaSql: String =
+    """SELECT user_id, event_id,
+      |  value - lag(value, 1) OVER w AS delta,
+      |  lead(event_id, 1) OVER w AS next_event_id
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""".stripMargin
+
+  // ---------------------------------------------------------------- A12
+  /** As-of join: each purchase event matched to the latest order of the
+    * same customer with o_orderdate <= ts (ties → max orderkey).
+    *
+    * Implementation: union-tag both sides on (key, t), then one window
+    * pass with running `last(..., ignoreNulls)` — the Spark-native
+    * equivalent of a distributed sort-merge as-of join. Left semantics:
+    * events with no prior order keep nulls.
+    */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      col("o_custkey").as("key"),
+      unix_timestamp(col("o_orderdate")).as("t"),
+      lit(0).as("src"),
+      col("o_orderkey").as("orderkey"),
+      lit(null).cast("long").as("event_id"))
+    val e = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("key"), tsSec.as("t"), lit(1).as("src"),
+        lit(null).cast("long").as("orderkey"), col("event_id"))
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("t").asc, col("src").asc, col("orderkey").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.unionByName(e)
+      .withColumn("asof_orderkey", last(col("orderkey"), ignoreNulls = true).over(w))
+      .withColumn("asof_date_sec",
+        last(when(col("src") === 0, col("t")), ignoreNulls = true).over(w))
+      .filter(col("src") === 1)
+      .select(col("event_id"), col("key").as("user_id"),
+        col("asof_orderkey"), col("asof_date_sec"))
+  }
+
+  val qAsofJoinSql: String =
+    """SELECT event_id, user_id, o_orderkey AS asof_orderkey,
+      |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS asof_date_sec
+      |FROM (
+      |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+      |    row_number() OVER (PARTITION BY e.event_id
+      |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      |  FROM events e LEFT JOIN orders o
+      |    ON o.o_custkey = e.user_id
+      |   AND CAST(floor(epoch(o.o_orderdate)) AS BIGINT) <= CAST(floor(epoch(e.ts)) AS BIGINT)
+      |  WHERE e.event_type = 'purchase')
+      |WHERE rn = 1""".stripMargin
+
+  // ---------------------------------------------------------------- A13
+  /** Equi + band range join: clicks within 10 minutes after a view by
+    * the same user. Equi key (user_id) bounds the candidate set; the
+    * band predicate filters within the co-partitioned group — the
+    * standard scalable range-join shape (never a global cartesian).
+    */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), tsSec.as("vt"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"), tsSec.as("ct"))
+    v.join(c, col("user_id") === col("c_user") &&
+        col("ct") >= col("vt") && col("ct") <= col("vt") + 600)
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        (col("ct") - col("vt")).as("gap_sec"))
+  }
+
+  val qRangeJoinSql: String =
+    s"""SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+       |  CAST(floor(epoch(c.ts)) AS BIGINT) - CAST(floor(epoch(v.ts)) AS BIGINT) AS gap_sec
+       |FROM events v JOIN events c ON v.user_id = c.user_id
+       |WHERE v.event_type = 'view' AND c.event_type = 'click'
+       |  AND CAST(floor(epoch(c.ts)) AS BIGINT) >= CAST(floor(epoch(v.ts)) AS BIGINT)
+       |  AND CAST(floor(epoch(c.ts)) AS BIGINT) <= CAST(floor(epoch(v.ts)) AS BIGINT) + 600""".stripMargin
+
+  // ---------------------------------------------------------------- F1
+  /** Gap sessionization: a new session starts after >30 min of
+    * inactivity. One shuffle on user_id; two window passes within the
+    * partition; per-user session stats out.
+    */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), tsSec.as("t"))
+      .withColumn("new_sess",
+        when(col("t") - lag(col("t"), 1).over(w) > 1800 ||
+          lag(col("t"), 1).over(w).isNull, 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
+  }
+
+  val qSessionizeSql: String =
+    s"""WITH marked AS (
+       |  SELECT user_id,
+       |    CASE WHEN $duckTsSec - lag($duckTsSec, 1) OVER w > 1800
+       |           OR lag($duckTsSec, 1) OVER w IS NULL
+       |         THEN 1 ELSE 0 END AS new_sess
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY $duckTsSec ASC, event_id ASC))
+       |SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+       |FROM marked GROUP BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- F2
+  /** 5-minute tumbling-window aggregate (batch twin of the Structured
+    * Streaming pipeline in graft.streaming).
+    */
+  def qTumblingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("bucket", (expr("(ts DIV 1000000000) DIV 300") * 300).cast("long"))
+      .groupBy(col("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+
+  val qTumblingWindowSql: String =
+    s"""SELECT ($duckTsSec // 300) * 300 AS bucket, event_type, count(*) AS n,
+       |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+       |FROM events GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- F3
+  /** Funnel: users converting signup → purchase within 1 hour.
+    * Two small shuffles on user_id (semi-join pattern), no state.
+    */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(tsSec).as("signup_t"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), tsSec.as("p_t"))
+    val converted = signups
+      .join(purchases, col("user_id") === col("p_user") &&
+        col("p_t") >= col("signup_t") && col("p_t") <= col("signup_t") + 3600, "left_semi")
+    signups.select(count(lit(1)).as("n_signup_users"))
+      .crossJoin(converted.select(count(lit(1)).as("n_converted")))
+  }
+
+  val qFunnelSql: String =
+    s"""WITH signups AS (
+       |  SELECT user_id, min($duckTsSec) AS signup_t
+       |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+       |converted AS (
+       |  SELECT s.user_id FROM signups s
+       |  WHERE EXISTS (SELECT 1 FROM events p
+       |    WHERE p.event_type = 'purchase' AND p.user_id = s.user_id
+       |      AND CAST(floor(epoch(p.ts)) AS BIGINT) >= s.signup_t
+       |      AND CAST(floor(epoch(p.ts)) AS BIGINT) <= s.signup_t + 3600))
+       |SELECT (SELECT count(*) FROM signups) AS n_signup_users,
+       |       (SELECT count(*) FROM converted) AS n_converted""".stripMargin
+
+  // ---------------------------------------------------------------- F4
+  /** JSON property extraction + aggregate. Extraction is a shared
+    * regex (identical semantics in both engines, no JSON-lib variance);
+    * fully codegen'd in Spark.
+    */
+  def qJsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        (sum(col("k")).cast("double") / count(lit(1))).as("avg_k"))
+
+  val qJsonExtractSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  sum(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS sum_k,
+      |  CAST(sum(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS DOUBLE) / count(*) AS avg_k
+      |FROM events GROUP BY event_type""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lag_delta" -> (qLagDelta _),
+    "q_asof_join" -> (qAsofJoin _),
+    "q_range_join" -> (qRangeJoin _),
+    "q_sessionize" -> (qSessionize _),
+    "q_tumbling_window" -> (qTumblingWindow _),
+    "q_funnel" -> (qFunnel _),
+    "q_json_extract" -> (qJsonExtract _))
+
+  def oracle: Map[String, String] = Map(
+    "q_lag_delta" -> qLagDeltaSql,
+    "q_asof_join" -> qAsofJoinSql,
+    "q_range_join" -> qRangeJoinSql,
+    "q_sessionize" -> qSessionizeSql,
+    "q_tumbling_window" -> qTumblingWindowSql,
+    "q_funnel" -> qFunnelSql,
+    "q_json_extract" -> qJsonExtractSql)
+}

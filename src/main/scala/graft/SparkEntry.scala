@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Relational, TemporalOps}
+import graft.ml.FeatureOps
+import graft.operators.{Dedup, Relational, Similarity, TemporalOps, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (inventory) / §7 (plan). */
 object SparkEntry {
@@ -11,11 +12,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ TemporalOps.queries
+    Relational.queries ++ TemporalOps.queries ++ TextAnalysis.queries ++
+      Dedup.queries ++ Similarity.queries ++ FeatureOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
     */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ TemporalOps.oracle
+    Relational.oracle ++ TemporalOps.oracle ++ TextAnalysis.oracle ++
+      Dedup.oracle ++ Similarity.oracle ++ FeatureOps.oracle
 }

@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text building blocks (SURVEY.md §2 block B).
+  *
+  * Every function here is a pure `Column` expression built from
+  * `org.apache.spark.sql.functions` — fully whole-stage-codegen'd,
+  * no UDFs — and has an exact DuckDB-SQL mirror (documented per
+  * function) so operators built on top stay oracle-checkable.
+  */
+object TextFunctions {
+
+  /** Canonical text normalization: lowercase, collapse whitespace,
+    * trim. Mirror: `regexp_replace(lower(trim(x)), '\s+', ' ', 'g')`.
+    */
+  def normText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Whitespace tokens of normalized text. Mirror:
+    * `regexp_split_to_array(...)`. */
+  def tokens(c: Column): Column = split(normText(c), " ")
+
+  /** Token count. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Number of tokens of `toks` contained in the fixed vocabulary
+    * (with multiplicity). Mirror: `len(list_filter(toks, t ->
+    * list_contains([...], t)))`.
+    */
+  def vocabHits(toks: Column, vocab: Seq[String]): Column = {
+    val vocabArr = array(vocab.map(lit): _*)
+    size(filter(toks, t => array_contains(vocabArr, t)))
+  }
+
+  /** Distinct character k-shingles of normalized text (k=5 default).
+    * Short texts yield their full (padded-by-truncation) prefix as the
+    * single shingle. Mirror: unnest(generate_series)+substr+DISTINCT.
+    */
+  def shingles(c: Column, k: Int = 5): Column = {
+    val n = normText(c)
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(n) - (k - 1), lit(1))),
+      i => n.substr(i, lit(k))))
+  }
+
+  /** md5-hex content fingerprint of normalized text — identical in
+    * Spark and DuckDB by construction.
+    */
+  def fingerprint(c: Column): Column = md5(normText(c))
+
+  /** Deterministic 32-bit-range shingle hash shared with the oracle:
+    * polynomial over the first 5 character codes, mod the prime
+    * 4294967291. Engine-portable (only ascii/substring/arithmetic).
+    */
+  def shingleHash(s: Column): Column = {
+    val p = lit(4294967291L)
+    val h = ascii(substring(s, 1, 1)).cast("long") +
+      ascii(substring(s, 2, 1)).cast("long") * 31L +
+      ascii(substring(s, 3, 1)).cast("long") * 961L +
+      ascii(substring(s, 4, 1)).cast("long") * 29791L +
+      ascii(substring(s, 5, 1)).cast("long") * 923521L
+    h % p
+  }
+
+  /** DuckDB mirror of [[shingleHash]] for oracle construction. */
+  def shingleHashSql(col: String): String =
+    s"(ascii(substr($col,1,1)) + ascii(substr($col,2,1))*31 + ascii(substr($col,3,1))*961 + " +
+      s"ascii(substr($col,4,1))*29791 + ascii(substr($col,5,1))*923521) % 4294967291"
+}

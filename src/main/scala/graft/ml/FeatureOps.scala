@@ -1,0 +1,165 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** DataFrame-native feature engineering (SURVEY.md §2 block E) — the
+  * scaler/TF-IDF/summary surface of an MLlib-style feature pipeline,
+  * re-expressed as pure Catalyst plans so it fuses with the rest of a
+  * query instead of running as a separate estimator pass.
+  *
+  * Scale notes: global statistics are computed with a single
+  * aggregate and joined back via broadcast (never a window over an
+  * empty partitioning, which would serialize the table through one
+  * task). TF-IDF shuffles tokens once for TF and reuses the result
+  * for DF.
+  */
+object FeatureOps {
+
+  // ---------------------------------------------------------------- E1
+  /** Z-score standardization of customer balance. Mean is decimal-
+    * exact; stddev rounds at the boundary.
+    */
+  def qStandardScaler(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val stats = c.agg(
+      (sum(col("c_acctbal").cast("decimal(12,2)")).cast("double") / count(lit(1))).as("mu"),
+      stddev_samp(col("c_acctbal")).as("sd"))
+    c.crossJoin(broadcast(stats))
+      .select(col("c_custkey"),
+        round((col("c_acctbal") - col("mu")) / col("sd"), 6).as("z"))
+  }
+
+  val qStandardScalerSql: String =
+    """SELECT c_custkey,
+      |  round((c_acctbal - (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*) FROM customer))
+      |        / (SELECT stddev_samp(c_acctbal) FROM customer), 6) AS z
+      |FROM customer""".stripMargin
+
+  // ---------------------------------------------------------------- E2
+  /** Min-max normalization of order totals (exact arithmetic). */
+  def qMinmaxScaler(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val stats = o.agg(min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+    o.crossJoin(broadcast(stats))
+      .select(col("o_orderkey"),
+        round((col("o_totalprice") - col("lo")) / (col("hi") - col("lo")), 6).as("scaled"))
+  }
+
+  val qMinmaxScalerSql: String =
+    """SELECT o_orderkey,
+      |  round((o_totalprice - (SELECT min(o_totalprice) FROM orders))
+      |        / ((SELECT max(o_totalprice) FROM orders) - (SELECT min(o_totalprice) FROM orders)), 6) AS scaled
+      |FROM orders""".stripMargin
+
+  // ---------------------------------------------------------------- E3
+  /** Robust (median/IQR) scaling of event values. */
+  def qRobustScaler(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val stats = e.agg(
+      expr("percentile(value, 0.5)").as("p50"),
+      expr("percentile(value, 0.25)").as("p25"),
+      expr("percentile(value, 0.75)").as("p75"))
+    e.crossJoin(broadcast(stats))
+      .select(col("event_id"),
+        round((col("value") - col("p50")) / (col("p75") - col("p25")), 4).as("robust"))
+  }
+
+  val qRobustScalerSql: String =
+    """SELECT event_id,
+      |  round((value - (SELECT CAST(quantile_cont(value, 0.5) AS DOUBLE) FROM events))
+      |        / ((SELECT CAST(quantile_cont(value, 0.75) AS DOUBLE) FROM events)
+      |           - (SELECT CAST(quantile_cont(value, 0.25) AS DOUBLE) FROM events)), 4) AS robust
+      |FROM events""".stripMargin
+
+  // ---------------------------------------------------------------- E4
+  /** TF-IDF top-3 terms per document (smoothed idf = ln((N+1)/(df+1))
+    * + 1). Pure DataFrame ops: one token shuffle for TF, reused for
+    * DF; doc count broadcast back.
+    */
+  def qTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0), 4).as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+  }
+
+  val qTfidfSql: String =
+    raw"""WITH toks AS (SELECT doc_id,
+         |    unnest(regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |scored AS (SELECT doc_id, tf.term,
+         |    round(tf * (ln(((SELECT count(*) FROM documents) + 1.0) / (df + 1.0)) + 1.0), 4) AS score
+         |  FROM tf JOIN df ON tf.term = df.term),
+         |ranked AS (SELECT doc_id, term, score, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+         |  FROM scored)
+         |SELECT doc_id, term, score, rank FROM ranked WHERE rank <= 3""".stripMargin
+
+  // ---------------------------------------------------------------- E5
+  /** Per-dimension moments of the embedding column (the Summarizer
+    * surface): mean/stddev/min/max for each of the 64 dims.
+    */
+  def qVectorStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(round(avg(col("x")), 4).as("mean"),
+        round(stddev_samp(col("x")), 4).as("sd"),
+        min(col("x")).as("vmin"), max(col("x")).as("vmax"))
+
+  val qVectorStatsSql: String =
+    """SELECT i - 1 AS dim,
+      |  round(avg(list_extract(embedding::DOUBLE[], i)), 4) AS mean,
+      |  round(stddev_samp(list_extract(embedding::DOUBLE[], i)), 4) AS sd,
+      |  min(list_extract(embedding::DOUBLE[], i)) AS vmin,
+      |  max(list_extract(embedding::DOUBLE[], i)) AS vmax
+      |FROM embeddings, generate_series(1, 64) g(i)
+      |GROUP BY i""".stripMargin
+
+  // ---------------------------------------------------------------- E6
+  /** Feature relevance ranking: per-dimension correlation with the
+    * label (the SQL-expressible core of univariate feature selection).
+    */
+  def qFeatureCorr(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label").cast("double").as("y"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(round(corr(col("x"), col("y")), 4).as("corr_label"))
+
+  val qFeatureCorrSql: String =
+    """SELECT i - 1 AS dim,
+      |  round(corr(list_extract(embedding::DOUBLE[], i), CAST(label AS DOUBLE)), 4) AS corr_label
+      |FROM embeddings, generate_series(1, 64) g(i)
+      |GROUP BY i""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_standard_scaler" -> (qStandardScaler _),
+    "q_minmax_scaler" -> (qMinmaxScaler _),
+    "q_robust_scaler" -> (qRobustScaler _),
+    "q_tfidf" -> (qTfidf _),
+    "q_vector_stats" -> (qVectorStats _),
+    "q_feature_corr" -> (qFeatureCorr _))
+
+  def oracle: Map[String, String] = Map(
+    "q_standard_scaler" -> qStandardScalerSql,
+    "q_minmax_scaler" -> qMinmaxScalerSql,
+    "q_robust_scaler" -> qRobustScalerSql,
+    "q_tfidf" -> qTfidfSql,
+    "q_vector_stats" -> qVectorStatsSql,
+    "q_feature_corr" -> qFeatureCorrSql)
+}

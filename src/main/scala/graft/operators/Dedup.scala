@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+
+/** Deduplication operators over the documents/embeddings corpus
+  * (SURVEY.md §2 block C).
+  *
+  * 100 TB design: every variant is blocked — no global O(n²) pair
+  * space. Exact dedup shuffles only (fingerprint, doc_id). N-gram
+  * Jaccard restricts pairs to a blocking key (source). MinHash-LSH
+  * shuffles per-doc signatures (32 longs/doc, map-side reduced), then
+  * pairs only within LSH band buckets; bands×rows tunes the
+  * candidate-pair budget.
+  */
+object Dedup {
+
+  /** Fixed MinHash permutation constants (seeded offline, shared
+    * verbatim with the oracle SQL).
+    */
+  val perms: Seq[(Long, Long)] = Seq(
+    (2075443165L, 1892932127L), (250934581L, 32175636L), (194655651L, 150006740L),
+    (1442171595L, 360511942L), (211359735L, 1523148328L), (508545125L, 74852898L),
+    (66172593L, 68034096L), (743220395L, 2079820365L), (1322454143L, 1990923381L),
+    (319018673L, 392075585L), (393184163L, 491399954L), (1815372137L, 62787174L),
+    (1080363997L, 2090581934L), (1890795833L, 1073003404L), (138646445L, 2001019095L),
+    (147251337L, 381946419L), (1106050645L, 197419547L), (578930451L, 270916581L),
+    (1384341475L, 1298922895L), (1033017745L, 1525740512L), (572206131L, 1070100198L),
+    (1407636323L, 859131847L), (973643353L, 82890994L), (2021803349L, 303174602L),
+    (12412969L, 1432414906L), (308740337L, 2030776188L), (1411658033L, 1620694933L),
+    (358871279L, 232680712L), (163711223L, 2132802046L), (352194255L, 323504225L),
+    (1196857573L, 923823392L), (309765337L, 116516721L))
+
+  val MinhashPrime: Long = 4294967291L
+  val NumPerms: Int = perms.size // 32
+  val RowsPerBand: Int = 4       // → 8 bands
+
+  private val permsSqlValues: String =
+    perms.zipWithIndex.map { case ((a, b), i) => s"($i,$a,$b)" }.mkString(", ")
+
+  private val duckNorm = raw"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+  /** Shared shingle CTE: distinct 5-gram shingles per document. */
+  private val duckShingleCte: String =
+    raw"""n AS (SELECT doc_id, source, $duckNorm AS t FROM documents),
+         |ix AS (SELECT doc_id, source, t, unnest(generate_series(1, greatest(length(t)-4, 1))) AS i FROM n),
+         |sh AS (SELECT DISTINCT doc_id, source, substr(t, i, 5) AS s FROM ix)""".stripMargin
+
+  // ---------------------------------------------------------------- C1
+  /** Exact dedup: group by content fingerprint; canonical = min id.
+    * At scale this shuffles (fp, doc_id) only — never the payload.
+    */
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  val qDedupExactSql: String =
+    raw"""SELECT md5($duckNorm) AS fp, min(doc_id) AS canonical_id, count(*) AS n_copies
+         |FROM documents GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- C2
+  /** Exact n-gram Jaccard near-dup pairs, blocked by source: explode
+    * distinct 5-gram shingles, self-join within (source, shingle),
+    * count intersections, Jaccard from inclusion–exclusion. The
+    * blocking key is part of the operator contract.
+    */
+  def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), shingles(col("text")).as("shs"))
+    val sh = docs.select(col("doc_id"), col("source"), explode(col("shs")).as("s"))
+    val sz = docs.select(col("doc_id"), size(col("shs")).as("sz"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.source") === col("b.source") && col("a.s") === col("b.s") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sz.as("s2"), col("d2") === col("s2.doc_id"))
+      .select(col("d1"), col("d2"),
+        (col("inter").cast("double") /
+          (col("s1.sz") + col("s2.sz") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.25)
+  }
+
+  val qNgramJaccardSql: String =
+    raw"""WITH $duckShingleCte,
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id d1, b.doc_id d2, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT d1, d2, CAST(inter AS DOUBLE)/(s1.sz + s2.sz - inter) AS jaccard
+         |FROM inter JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+         |WHERE CAST(inter AS DOUBLE)/(s1.sz + s2.sz - inter) >= 0.25""".stripMargin
+
+  // ---------------------------------------------------------------- C3
+  /** MinHash + LSH near-dup candidates, fully deterministic and
+    * oracle-checkable: portable polynomial shingle hash → 32
+    * universal-hash minima computed in ONE map-side aggregate pass
+    * (no 32× row explosion) → md5 band keys (8 bands × 4 rows) →
+    * candidate pairs from band-bucket self-join → estimated
+    * similarity = matching-minima fraction.
+    */
+  def qMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+      .select(col("doc_id"), shingleHash(col("s")).as("h"))
+    val minCols = perms.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("h") + lit(b)) % MinhashPrime).as(s"m$i")
+    }
+    val wide = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    val stackArgs = (0 until NumPerms).map(i => s"$i, m$i").mkString(", ")
+    val sigs = wide.select(col("doc_id"),
+      expr(s"stack($NumPerms, $stackArgs) as (i, minh)"))
+    val bands = sigs
+      .withColumn("band", (col("i") / RowsPerBand).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(md5(array_join(transform(
+        array_sort(collect_list(struct(col("i"), col("minh")))),
+        x => x.getField("minh").cast("string")), ",")).as("bh"))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    cand
+      .join(sigs.as("p"), col("d1") === col("p.doc_id"))
+      .join(sigs.as("q"), col("d2") === col("q.doc_id") && col("p.i") === col("q.i"))
+      .groupBy(col("d1"), col("d2"))
+      .agg((sum(when(col("p.minh") === col("q.minh"), 1).otherwise(0)).cast("double")
+        / NumPerms).as("est_sim"))
+  }
+
+  val qMinhashLshSql: String =
+    raw"""WITH $duckShingleCte,
+         |hashed AS (SELECT doc_id, ${shingleHashSql("s")} AS h FROM sh),
+         |perms(i, a, b) AS (SELECT * FROM (VALUES $permsSqlValues)),
+         |sigs AS (SELECT doc_id, i, min((a * h + b) % $MinhashPrime) AS minh
+         |  FROM hashed, perms GROUP BY doc_id, i),
+         |bands AS (SELECT doc_id, CAST(i // $RowsPerBand AS INTEGER) AS band,
+         |    md5(string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i)) AS bh
+         |  FROM sigs GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT x.doc_id d1, y.doc_id d2
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)
+         |SELECT d1, d2,
+         |  CAST(sum(CASE WHEN p.minh = q.minh THEN 1 ELSE 0 END) AS DOUBLE) / $NumPerms AS est_sim
+         |FROM cand JOIN sigs p ON d1 = p.doc_id
+         |JOIN sigs q ON d2 = q.doc_id AND p.i = q.i
+         |GROUP BY d1, d2""".stripMargin
+
+  // ---------------------------------------------------------------- C5
+  /** Embedding-cosine near-duplicate pairs, blocked by label. The
+    * cosine formula (left-fold dot / product of norms) matches the
+    * oracle's unnest-sum structure; boundary rounded to 4 dp.
+    */
+  def qEmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    e.as("a")
+      .join(e.as("b"), col("a.label") === col("b.label") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        VectorFunctions.cosine(col("a.v"), col("b.v")).as("sim"))
+      .filter(col("sim") >= 0.35)
+      .select(col("id1"), col("id2"), round(col("sim"), 4).as("sim"))
+  }
+
+  val qEmbeddingNeardupSql: String =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |pairs AS (SELECT a.vec_id id1, b.vec_id id2, a.v v1, b.v v2
+      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+      |flat AS (SELECT id1, id2, unnest(v1) AS x, unnest(v2) AS y FROM pairs),
+      |sims AS (SELECT id1, id2,
+      |    sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS sim
+      |  FROM flat GROUP BY id1, id2)
+      |SELECT id1, id2, round(sim, 4) AS sim FROM sims WHERE sim >= 0.35""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_minhash_lsh" -> (qMinhashLsh _),
+    "q_embedding_neardup" -> (qEmbeddingNeardup _))
+
+  def oracle: Map[String, String] = Map(
+    "q_dedup_exact" -> qDedupExactSql,
+    "q_ngram_jaccard" -> qNgramJaccardSql,
+    "q_minhash_lsh" -> qMinhashLshSql,
+    "q_embedding_neardup" -> qEmbeddingNeardupSql)
+}

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text analysis over the documents corpus (SURVEY.md §2 block B).
+  *
+  * All map-only (no shuffle except final aggregates): at 100 TB these
+  * run embarrassingly parallel over parquet splits, with `text` the
+  * only wide column read (column pruning keeps the scan minimal).
+  */
+object TextAnalysis {
+
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "on"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "von", "zu"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "no", "por"),
+    "fr" -> Seq("le", "les", "de", "et", "un", "est", "pour", "que", "dans", "ce"),
+    "zh" -> Seq("shi", "bu", "wo", "ni", "ta", "men", "zai", "you", "he", "ma"))
+
+  private def sqlList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val duckToks =
+    raw"regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')"
+
+  // ---------------------------------------------------------------- B1
+  /** Token and character counts per document. */
+  def qTokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      tokenCount(col("text")).cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars_actual"),
+      length(normText(col("text"))).cast("long").as("n_chars_norm"))
+
+  val qTokenCountSql: String =
+    raw"""SELECT doc_id,
+         |  CAST(len($duckToks) AS BIGINT) AS n_tokens,
+         |  CAST(length(text) AS BIGINT) AS n_chars_actual,
+         |  CAST(length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS BIGINT) AS n_chars_norm
+         |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------- B2
+  /** Stopword-ratio language ID: ratio of per-language stopword hits,
+    * argmax with a fixed preference order. Map-only; the stopword
+    * tables ride in the closure (at scale: still just literals in the
+    * codegen'd plan, nothing broadcast).
+    */
+  def qLangId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val langs = Seq("en", "de", "es", "fr", "zh")
+    val scored = Tables.documents(spark, dir).select(
+      Seq(col("doc_id"), col("lang"),
+        tokenCount(col("text")).cast("double").as("n")) ++
+        langs.map(l => vocabHits(toks, stopwords(l)).cast("double").as(s"hits_$l")): _*)
+    val ratio = langs.map(l => (col(s"hits_$l") / col("n")).as(s"r_$l"))
+    val withRatios = scored.select(col("doc_id") +: col("lang") +: ratio: _*)
+    val pred = langs.init.foldRight(lit(langs.last): Column) { (l, rest) =>
+      val c = col(s"r_$l")
+      val geAll = langs.filter(_ != l).map(o => c >= col(s"r_$o")).reduce(_ && _)
+      when(geAll, lit(l)).otherwise(rest)
+    }
+    withRatios.select(col("doc_id"), col("lang"), pred.as("pred_lang"),
+      col("r_en"), (pred === col("lang")).as("is_match"))
+  }
+
+  val qLangIdSql: String = {
+    val langs = Seq("en", "de", "es", "fr", "zh")
+    val hits = langs.map(l =>
+      s"CAST(len(list_filter(toks, t -> list_contains(${sqlList(stopwords(l))}, t))) AS DOUBLE) / n AS r_$l")
+      .mkString(",\n  ")
+    val pred = langs.init.foldRight(s"'${langs.last}'") { (l, rest) =>
+      val ge = langs.filter(_ != l).map(o => s"r_$l >= r_$o").mkString(" AND ")
+      s"CASE WHEN $ge THEN '$l' ELSE $rest END"
+    }
+    raw"""WITH t AS (SELECT doc_id, lang, $duckToks AS toks,
+         |  CAST(len($duckToks) AS DOUBLE) AS n FROM documents),
+         |r AS (SELECT doc_id, lang,
+         |  $hits
+         |FROM t)
+         |SELECT doc_id, lang, $pred AS pred_lang, r_en,
+         |  ($pred = lang) AS is_match
+         |FROM r""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- B3
+  /** Heuristic document quality score: stopword density, length
+    * saturation, punctuation penalty. Deterministic rational
+    * arithmetic; identical formula in the oracle.
+    */
+  def qQualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        tokenCount(col("text")).cast("double").as("n_tokens"),
+        vocabHits(toks, stopwords("en")).cast("double").as("stop_hits"),
+        length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("double").as("n_punct"),
+        length(col("text")).cast("double").as("n_chars"))
+      .select(col("doc_id"),
+        (col("stop_hits") / col("n_tokens")).as("stop_ratio"),
+        least(lit(1.0), col("n_tokens") / 100.0).as("len_sat"),
+        (col("n_punct") / col("n_chars")).as("punct_ratio"))
+      .select(col("doc_id"), col("stop_ratio"), col("len_sat"), col("punct_ratio"),
+        round(col("stop_ratio") * 0.4 + col("len_sat") * 0.3 +
+          (lit(1.0) - col("punct_ratio")) * 0.3, 6).as("quality"))
+  }
+
+  val qQualityScoreSql: String =
+    raw"""WITH t AS (SELECT doc_id,
+         |  CAST(len($duckToks) AS DOUBLE) AS n_tokens,
+         |  CAST(len(list_filter($duckToks, t -> list_contains(${sqlList(stopwords("en"))}, t))) AS DOUBLE) AS stop_hits,
+         |  CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) AS n_punct,
+         |  CAST(length(text) AS DOUBLE) AS n_chars
+         |FROM documents),
+         |r AS (SELECT doc_id, stop_hits / n_tokens AS stop_ratio,
+         |  least(1.0, n_tokens / 100.0) AS len_sat,
+         |  n_punct / n_chars AS punct_ratio FROM t)
+         |SELECT doc_id, stop_ratio, len_sat, punct_ratio,
+         |  round(stop_ratio * 0.4 + len_sat * 0.3 + (1.0 - punct_ratio) * 0.3, 6) AS quality
+         |FROM r""".stripMargin
+
+  // ---------------------------------------------------------------- B4
+  /** md5 content fingerprint of normalized text (engine-portable). */
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+
+  val qFingerprintSql: String =
+    raw"""SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+         |FROM documents""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_count" -> (qTokenCount _),
+    "q_lang_id" -> (qLangId _),
+    "q_quality_score" -> (qQualityScore _),
+    "q_fingerprint" -> (qFingerprint _))
+
+  def oracle: Map[String, String] = Map(
+    "q_token_count" -> qTokenCountSql,
+    "q_lang_id" -> qLangIdSql,
+    "q_quality_score" -> qQualityScoreSql,
+    "q_fingerprint" -> qFingerprintSql)
+}

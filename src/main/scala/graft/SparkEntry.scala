@@ -1,8 +1,10 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ml.FeatureOps
+import graft.ml.{FeatureOps, Tuning}
+import graft.multimodal.BinaryPipeline
 import graft.operators.{Dedup, Relational, Similarity, TemporalOps, TextAnalysis}
+import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (inventory) / §7 (plan). */
 object SparkEntry {
@@ -13,12 +15,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TemporalOps.queries ++ TextAnalysis.queries ++
-      Dedup.queries ++ Similarity.queries ++ FeatureOps.queries
+      Dedup.queries ++ Similarity.queries ++ FeatureOps.queries ++
+      Tuning.queries ++ BinaryPipeline.queries ++ EventStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
     */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TemporalOps.oracle ++ TextAnalysis.oracle ++
-      Dedup.oracle ++ Similarity.oracle ++ FeatureOps.oracle
+      Dedup.oracle ++ Similarity.oracle ++ FeatureOps.oracle ++
+      Tuning.oracle ++ BinaryPipeline.oracle ++ EventStream.oracle
 }

@@ -12,7 +12,9 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Element count-agnostic dot product of two numeric arrays. */
+  /** Element count-agnostic dot product of two numeric arrays
+    * (higher-order-function form; fine off the hot path).
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
@@ -20,6 +22,9 @@ object VectorFunctions {
 
   def norm2(a: Column): Column = sqrt(dot(a, a))
 
+  /** Cosine similarity — backed by the codegen'd [[CosineSim]]
+    * expression (single fused loop inside whole-stage codegen).
+    */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm2(a) * norm2(b))
+    GraftExpressions.cosine_sim(a.cast("array<double>"), b.cast("array<double>"))
 }

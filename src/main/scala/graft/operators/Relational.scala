@@ -331,10 +331,22 @@ object Relational {
       |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
       |FROM orders GROUP BY 1""".stripMargin
 
+  /** HLL twin of [[qDistinctAgg]] ([r] — approx_count_distinct's
+    * HLL++ estimate has no cross-engine oracle; rows-only checked).
+    * This is the default at 100 TB: one pass, fixed-size sketch,
+    * no expand/distinct shuffle.
+    */
+  def qApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))
+
   /** Exposed query registry for this block (events-clock queries A6,
     * A12, A13 live in [[TemporalOps]]).
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_approx_distinct" -> (qApproxDistinct _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_region_revenue" -> (q5RegionRevenue _),

@@ -85,9 +85,51 @@ object Similarity {
         round(col("sim"), 4).as("sim"))
   }
 
+  /** IVF-style ANN ([r]): a seeded coarse quantizer (KMeans on the
+    * corpus) partitions vectors into `nlist` cells; queries search
+    * only their `nprobe` nearest cells. The 100 TB shape: centroids
+    * are tiny and broadcast; the corpus shuffles once on cell id at
+    * index build; at query time only probed cells are scanned.
+    */
+  def qAnnIvf(spark: SparkSession, dir: String,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val feat = e.withColumn("features", array_to_vector(col("v")))
+    val km = new KMeans().setK(nlist).setSeed(13).setMaxIter(10)
+    val model = km.fit(feat)
+    val assigned = model.transform(feat)
+      .select(col("vec_id"), col("v"), col("prediction").as("cell"))
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.toSeq)
+    }
+    val cdf = spark.createDataFrame(centroids.toSeq).toDF("cell", "cv")
+    // query subset probes its nprobe nearest cells
+    val q = assigned.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(VectorFunctions.cosine(col("qv"), col("cv")).desc)
+    val probes = q.crossJoin(broadcast(cdf))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("qv"), col("cell"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(round(col("sim"), 6).desc, col("nid").asc)
+    probes.join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        VectorFunctions.cosine(col("qv"), col("v")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("nid"), col("rank"), round(col("sim"), 4).as("sim"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_bruteforce" -> (qAnnBruteforce _),
-    "q_ann_lsh" -> ((s: SparkSession, d: String) => qAnnLsh(s, d)))
+    "q_ann_lsh" -> ((s: SparkSession, d: String) => qAnnLsh(s, d)),
+    "q_ann_ivf" -> ((s: SparkSession, d: String) => qAnnIvf(s, d)))
 
   def oracle: Map[String, String] = Map(
     "q_ann_bruteforce" -> qAnnBruteforceSql)

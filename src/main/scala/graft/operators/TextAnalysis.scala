@@ -49,14 +49,22 @@ object TextAnalysis {
     * codegen'd plan, nothing broadcast).
     */
   def qLangId(spark: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
     val langs = Seq("en", "de", "es", "fr", "zh")
-    val scored = Tables.documents(spark, dir).select(
-      Seq(col("doc_id"), col("lang"),
-        tokenCount(col("text")).cast("double").as("n")) ++
-        langs.map(l => vocabHits(toks, stopwords(l)).cast("double").as(s"hits_$l")): _*)
-    val ratio = langs.map(l => (col(s"hits_$l") / col("n")).as(s"r_$l"))
-    val withRatios = scored.select(col("doc_id") +: col("lang") +: ratio: _*)
+    // Single-pass shape: explode tokens once, count per-language hits
+    // with codegen'd conditional aggregates (one shuffle on doc_id).
+    // The projection-collapsed HOF formulation re-evaluated the
+    // interpreted token filters once per downstream reference — O(30x)
+    // wasted work per row at bench scale.
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+    val hitAggs = langs.map(l =>
+      sum(when(col("tok").isin(stopwords(l): _*), 1).otherwise(0))
+        .cast("double").as(s"hits_$l"))
+    val scored = toks.groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).cast("double").as("n"), hitAggs: _*)
+    val withRatios = scored.select(
+      col("doc_id") +: col("lang") +:
+        langs.map(l => (col(s"hits_$l") / col("n")).as(s"r_$l")): _*)
     val pred = langs.init.foldRight(lit(langs.last): Column) { (l, rest) =>
       val c = col(s"r_$l")
       val geAll = langs.filter(_ != l).map(o => c >= col(s"r_$o")).reduce(_ && _)

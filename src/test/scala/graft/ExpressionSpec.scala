@@ -23,6 +23,16 @@ class ExpressionSpec extends AnyFunSuite {
     assert(n == Tables.documents(spark, sf).count())
   }
 
+  test("custom functions are SQL-callable via GraftExtensions") {
+    val h = spark.sql("SELECT graft_rolling_hash('hello world') AS h")
+      .as[Long].first()
+    assert(h == "hello world".foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L))
+    val s = spark.sql(
+      "SELECT graft_cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS s")
+      .as[Double].first()
+    assert(math.abs(s - 1.0) < 1e-12)
+  }
+
   test("cosine_sim computes correct values") {
     val df = Seq((Seq(1.0, 0.0), Seq(1.0, 0.0)),
       (Seq(1.0, 0.0), Seq(0.0, 1.0)),

@@ -22,6 +22,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recallable.nonEmpty, "LSH found no pairs for any brute-force query id")
   }
 
+  test("IVF ANN returns ranked neighbors for every query id") {
+    val rows = Similarity.qAnnIvf(spark, sf)
+      .select("qid", "rank").as[(Long, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val ranks = rs.map(_._2).sorted.toSeq
+      assert(ranks == (1 to ranks.length), s"query $q ranks not dense")
+    }
+  }
+
   test("brute force ranks are dense 1..5 per query") {
     val byQ = Similarity.qAnnBruteforce(spark, sf)
       .select("qid", "rank").as[(Long, Int)].collect().groupBy(_._1)

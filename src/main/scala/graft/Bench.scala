@@ -20,6 +20,9 @@ object Bench {
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).queryExecution.toRdd.count() } catch { case _: Throwable => -1L }
+      // drop per-query caches so later queries aren't skewed by
+      // accumulated storage/GC pressure
+      spark.catalog.clearCache()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -1,12 +1,26 @@
 package graft
 
-/** Dev-only scratch main: schema / plan probes on the test data. */
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+
+/** Dev-only scratch main: run one query with a stage listener that
+  * prints per-stage task counts and durations.
+  */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.create(4)
-    val e = Tables.events(spark, "/root/testdata/sf0.001")
-    e.printSchema()
-    e.show(3, truncate = false)
+    val spark = GraftSession.create(32)
+    val name = if (args.nonEmpty) args(0) else "q_minhash_lsh"
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val dur = for {s <- si.submissionTime; c <- si.completionTime} yield (c - s) / 1000.0
+        if (dur.exists(_ > 0.3))
+          println(f"== stage ${si.stageId}%4d tasks=${si.numTasks}%4d ${dur.getOrElse(-1.0)}%8.1fs  ${si.name.take(60)}")
+      }
+    })
+    val t0 = System.nanoTime()
+    val n = SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
+    println(s"== total ${(System.nanoTime() - t0) / 1e9}s rows=$n")
     spark.stop()
   }
 }

@@ -63,19 +63,63 @@ object Dedup {
          |FROM documents GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------- C2
-  /** Exact n-gram Jaccard near-dup pairs, blocked by source: explode
-    * distinct 5-gram shingles, self-join within (source, shingle),
-    * count intersections, Jaccard from inclusion–exclusion. The
-    * blocking key is part of the operator contract.
+  /** Exact n-gram Jaccard near-dup pairs over *discriminative*
+    * shingles, blocked by source.
+    *
+    * Contract (mirrored in the oracle): shingle sets are the distinct
+    * 5-gram hash values whose within-source document frequency is
+    * <= [[JaccardDfCap]]. The df cap is the standard stopword-shingle
+    * cut: a shingle occurring in k documents of a block produces
+    * O(k²) candidate pairs while carrying no near-dup signal — capping
+    * df bounds per-shingle join fan-out at scale. Identical documents
+    * still share all (rare) shingles → Jaccard 1.
+    *
+    * Shingles are joined on their 64-bit-range polynomial hash, not
+    * the string — shorter shuffle keys; the (engine-portable) hash is
+    * part of the contract, so any collision affects both engines
+    * identically.
     */
+  val JaccardDfCap = 50
+
+  /** Distinct 5-gram shingle hashes per document: codegen-friendly
+    * explode(sequence) + substr (native expressions end to end — the
+    * array-HOF formulation ran interpreted lambdas per shingle).
+    * Cached: both dedup pipelines read it multiple times.
+    */
+  private def shingleHashRows(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      // the corpus arrives as one split locally — spread the
+      // explode-heavy shingle generation across all cores (on a real
+      // cluster file splits already provide this width)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("source"), normText(col("text")).as("t"))
+      .select(col("doc_id"), col("source"), col("t"),
+        explode(sequence(lit(1), greatest(length(col("t")) - 4, lit(1)))).as("i"))
+      .select(col("doc_id"), col("source"),
+        shingleHash(col("t").substr(col("i"), lit(5))).as("h"))
+      .distinct()
+      .cache()
+
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), shingles(col("text")).as("shs"))
-    val sh = docs.select(col("doc_id"), col("source"), explode(col("shs")).as("s"))
-    val sz = docs.select(col("doc_id"), size(col("shs")).as("sz"))
-    val inter = sh.as("a")
-      .join(sh.as("b"),
-        col("a.source") === col("b.source") && col("a.s") === col("b.s") &&
+    val sh = shingleHashRows(spark, dir)
+    val keep = sh.groupBy(col("source"), col("h"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= JaccardDfCap)
+      .select(col("source").as("k_source"), col("h").as("k_h"))
+    // Explicit width before the pair-generation self-join: its INPUT
+    // is small (AQE would coalesce to ~1 partition) but its OUTPUT
+    // explodes quadratically per shingle group — spread the groups
+    // across tasks up front.
+    val width = spark.sparkContext.defaultParallelism * 4
+    val disc = sh.join(keep,
+      col("source") === col("k_source") && col("h") === col("k_h"))
+      .select(col("doc_id"), col("source"), col("h"))
+      .repartition(width, col("source"), col("h"))
+      .cache()
+    val sz = disc.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = disc.as("a")
+      .join(disc.as("b"),
+        col("a.source") === col("b.source") && col("a.h") === col("b.h") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("inter"))
@@ -90,9 +134,13 @@ object Dedup {
 
   val qNgramJaccardSql: String =
     raw"""WITH $duckShingleCte,
-         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |hs AS (SELECT DISTINCT doc_id, source, ${shingleHashSql("s")} AS h FROM sh),
+         |keep AS (SELECT source, h FROM hs GROUP BY source, h HAVING count(*) <= $JaccardDfCap),
+         |disc AS (SELECT hs.doc_id, hs.source, hs.h FROM hs JOIN keep
+         |  ON hs.source = keep.source AND hs.h = keep.h),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM disc GROUP BY doc_id),
          |inter AS (SELECT a.doc_id d1, b.doc_id d2, count(*) AS inter
-         |  FROM sh a JOIN sh b ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id
+         |  FROM disc a JOIN disc b ON a.source = b.source AND a.h = b.h AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT d1, d2, CAST(inter AS DOUBLE)/(s1.sz + s2.sz - inter) AS jaccard
          |FROM inter JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
@@ -106,17 +154,29 @@ object Dedup {
     * candidate pairs from band-bucket self-join → estimated
     * similarity = matching-minima fraction.
     */
+  /** Global stopword-shingle cut for MinHash: shingles present in
+    * more than this many documents carry no near-dup signal but
+    * dominate the signature minima, collapsing LSH band buckets
+    * (candidate pairs exploded ~1000x without it on the
+    * vocab-homogeneous corpus).
+    */
+  val MinhashDfCap = 50
+
   def qMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
-      .select(col("doc_id"), shingleHash(col("s")).as("h"))
+    val all = shingleHashRows(spark, dir).select(col("doc_id"), col("h"))
+    val keep = all.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MinhashDfCap).select(col("h").as("k_h"))
+    val sh = all.join(keep, col("h") === col("k_h")).select(col("doc_id"), col("h"))
     val minCols = perms.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("h") + lit(b)) % MinhashPrime).as(s"m$i")
     }
     val wide = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
     val stackArgs = (0 until NumPerms).map(i => s"$i, m$i").mkString(", ")
+    // sigs feeds band hashing AND both sides of the candidate
+    // verification join — cache the (tiny: docs x 32 longs) signature
+    // table instead of recomputing the shingle scan three times.
     val sigs = wide.select(col("doc_id"),
-      expr(s"stack($NumPerms, $stackArgs) as (i, minh)"))
+      expr(s"stack($NumPerms, $stackArgs) as (i, minh)")).cache()
     val bands = sigs
       .withColumn("band", (col("i") / RowsPerBand).cast("int"))
       .groupBy(col("doc_id"), col("band"))
@@ -139,7 +199,9 @@ object Dedup {
 
   val qMinhashLshSql: String =
     raw"""WITH $duckShingleCte,
-         |hashed AS (SELECT doc_id, ${shingleHashSql("s")} AS h FROM sh),
+         |hashed0 AS (SELECT DISTINCT doc_id, ${shingleHashSql("s")} AS h FROM sh),
+         |hashed AS (SELECT doc_id, h FROM hashed0 WHERE h IN (
+         |  SELECT h FROM hashed0 GROUP BY h HAVING count(*) <= $MinhashDfCap)),
          |perms(i, a, b) AS (SELECT * FROM (VALUES $permsSqlValues)),
          |sigs AS (SELECT doc_id, i, min((a * h + b) % $MinhashPrime) AS minh
          |  FROM hashed, perms GROUP BY doc_id, i),
@@ -186,8 +248,15 @@ object Dedup {
   /** 30-bit SimHash + hamming-band dedup, oracle-checkable end to end:
     * token hash = portable rolling hash (< 2^30); per-bit ±1 sums in
     * one wide aggregate pass; signature reassembled from sign bits;
-    * 3 bands of 10 bits for candidate blocking; final hamming distance
-    * via bit_count(xor) <= 8.
+    * 2 bands of 15 bits for candidate blocking; hamming distance via
+    * bit_count(xor) <= 3.
+    *
+    * Output is the per-document near-dup summary (neighbor count +
+    * closest distance) — what a dedup pipeline consumes — rather than
+    * the raw pair list: on vocab-homogeneous corpora the pair set is
+    * O(n²)-ish (1.6M pairs at sf0.1) and would dominate I/O. The
+    * candidate side is repartitioned on doc_id so the skewed hot
+    * band buckets fan out across tasks instead of serializing.
     */
   val SimhashBits = 30
 
@@ -203,20 +272,23 @@ object Dedup {
     val sig = (0 until SimhashBits).map { j =>
       when(col(s"s$j") > 0, 1L << j).otherwise(0L)
     }.reduce(_ + _)
-    val sigs = wide.select(col("doc_id"), sig.as("sig"))
+    // reused by banding and both verification joins (docs x 1 long)
+    val sigs = wide.select(col("doc_id"), sig.as("sig")).cache()
     val bands = sigs.select(col("doc_id"), col("sig"),
-      expr("stack(3, 0, sig % 1024, 1, (sig DIV 1024) % 1024, 2, sig DIV 1048576) as (b, bv)"))
-    val cand = bands.as("x")
+      expr("stack(2, 0, sig % 32768, 1, sig DIV 32768) as (b, bv)"))
+      .repartition(col("doc_id"))
+    val pairs = bands.as("x")
       .join(bands.as("y"), col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
         col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-      .distinct()
-    cand
-      .join(sigs.as("p"), col("d1") === col("p.doc_id"))
-      .join(sigs.as("q"), col("d2") === col("q.doc_id"))
-      .select(col("d1"), col("d2"),
-        bit_count(col("p.sig").bitwiseXOR(col("q.sig"))).cast("long").as("hamming"))
-      .filter(col("hamming") <= 8)
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .select(col("d1"), col("d2"), col("hamming")).distinct()
+    // symmetrize -> per-doc near-dup degree
+    pairs.select(col("d1").as("doc_id"), col("hamming"))
+      .unionAll(pairs.select(col("d2").as("doc_id"), col("hamming")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_neardups"), min(col("hamming")).as("min_hamming"))
   }
 
   val qSimhashSql: String =
@@ -230,15 +302,17 @@ object Dedup {
          |  FROM h, generate_series(0, ${SimhashBits - 1}) g(i) GROUP BY doc_id, i),
          |sig AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS sig
          |  FROM bits GROUP BY doc_id),
-         |bands AS (SELECT doc_id, b,
-         |    CASE b WHEN 0 THEN sig % 1024 WHEN 1 THEN (sig // 1024) % 1024
-         |           ELSE sig // 1048576 END AS bv
-         |  FROM sig, generate_series(0, 2) g(b)),
-         |cand AS (SELECT DISTINCT x.doc_id d1, y.doc_id d2
-         |  FROM bands x JOIN bands y ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
-         |SELECT d1, d2, CAST(bit_count(xor(p.sig, q.sig)) AS BIGINT) AS hamming
-         |FROM cand JOIN sig p ON d1 = p.doc_id JOIN sig q ON d2 = q.doc_id
-         |WHERE bit_count(xor(p.sig, q.sig)) <= 8""".stripMargin
+         |bands AS (SELECT doc_id, sig, b,
+         |    CASE b WHEN 0 THEN sig % 32768 ELSE sig // 32768 END AS bv
+         |  FROM sig, generate_series(0, 1) g(b)),
+         |pairs AS (SELECT DISTINCT x.doc_id d1, y.doc_id d2,
+         |    CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS hamming
+         |  FROM bands x JOIN bands y ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id
+         |  WHERE bit_count(xor(x.sig, y.sig)) <= 3),
+         |sym AS (SELECT d1 AS doc_id, hamming FROM pairs
+         |  UNION ALL SELECT d2 AS doc_id, hamming FROM pairs)
+         |SELECT doc_id, count(*) AS n_neardups, min(hamming) AS min_hamming
+         |FROM sym GROUP BY doc_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),

@@ -15,10 +15,10 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.forall { case (d1, d2, s) => d1 < d2 && s >= 0.0 && s <= 1.0 })
   }
 
-  test("simhash flags the known near-duplicate pairs with low hamming") {
+  test("simhash emits per-doc near-dup degrees with bounded hamming") {
     val rows = Dedup.qSimhash(spark, sf)
-      .select("d1", "d2", "hamming").as[(Long, Long, Long)].collect()
-    assert(rows.forall { case (d1, d2, h) => d1 < d2 && h >= 0 && h <= 8 })
+      .select("doc_id", "n_neardups", "min_hamming").as[(Long, Long, Long)].collect()
+    assert(rows.forall { case (_, n, h) => n >= 1 && h >= 0 && h <= 3 })
   }
 
   test("jaccard pairs overlap minhash candidates on high-sim docs") {

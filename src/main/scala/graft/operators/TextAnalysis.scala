@@ -155,7 +155,23 @@ object TextAnalysis {
          |  (acc, c) -> (acc * 31 + c) % 1000000007) AS rh
          |FROM documents""".stripMargin
 
+  // ---------------------------------------------------------------- B2b
+  /** Classifier evaluation: confusion matrix of the deterministic
+    * language-ID heuristic against the labeled lang column (the
+    * model-evaluation surface, oracle-checkable because the classifier
+    * is a pure function of the row).
+    */
+  def qConfusionMatrix(spark: SparkSession, dir: String): DataFrame =
+    qLangId(spark, dir)
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+
+  val qConfusionMatrixSql: String =
+    s"""WITH pred AS ($qLangIdSql)
+       |SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY lang, pred_lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_confusion_matrix" -> (qConfusionMatrix _),
     "q_token_count" -> (qTokenCount _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
@@ -163,6 +179,7 @@ object TextAnalysis {
     "q_rolling_fingerprint" -> (qRollingFingerprint _))
 
   def oracle: Map[String, String] = Map(
+    "q_confusion_matrix" -> qConfusionMatrixSql,
     "q_token_count" -> qTokenCountSql,
     "q_lang_id" -> qLangIdSql,
     "q_quality_score" -> qQualityScoreSql,

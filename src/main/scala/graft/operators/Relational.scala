@@ -270,11 +270,11 @@ object Relational {
 
   val qPivotSql: String =
     """SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
-      |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-      |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-      |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-      |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-      |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+      |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+      |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+      |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+      |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
       |FROM events GROUP BY user_id % 10""".stripMargin
 
   // ---------------------------------------------------------------- A15

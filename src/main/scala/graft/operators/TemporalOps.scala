@@ -139,7 +139,7 @@ object TemporalOps {
        |         THEN 1 ELSE 0 END AS new_sess
        |  FROM events
        |  WINDOW w AS (PARTITION BY user_id ORDER BY $duckTsSec ASC, event_id ASC))
-       |SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+       |SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
        |FROM marked GROUP BY user_id""".stripMargin
 
   // ---------------------------------------------------------------- F2
@@ -198,12 +198,12 @@ object TemporalOps {
       .withColumn("k", regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
-        (sum(col("k")).cast("double") / count(lit(1))).as("avg_k"))
+        round(sum(col("k")).cast("double") / count(lit(1)), 6).as("avg_k"))
 
   val qJsonExtractSql: String =
     """SELECT event_type, count(*) AS n,
-      |  sum(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS sum_k,
-      |  CAST(sum(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS DOUBLE) / count(*) AS avg_k
+      |  CAST(sum(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+      |  round(CAST(sum(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS DOUBLE) / count(*), 6) AS avg_k
       |FROM events GROUP BY event_type""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -36,11 +36,11 @@ def norm_cell(v):
     return repr(v)
 
 
-def canon(cols, rows):
+def canon(cols, rows, types):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
     out.sort()
-    return [cols[i] for i in order], out
+    return [cols[i] for i in order], out, [str(types[i]) for i in order]
 
 
 def main():
@@ -53,15 +53,22 @@ def main():
     for name, sql in sorted(oracle.items()):
         try:
             spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            s_cols, s_rows = canon(spark_rel.columns, spark_rel.fetchall())
+            s_cols, s_rows, s_types = canon(
+                spark_rel.columns, spark_rel.fetchall(), spark_rel.types)
             duck_rel = con.sql(sql)
-            d_cols, d_rows = canon(duck_rel.columns, duck_rel.fetchall())
+            d_cols, d_rows, d_types = canon(
+                duck_rel.columns, duck_rel.fetchall(), duck_rel.types)
         except Exception as e:
             print(f"FAIL {name}: exception {e}")
             n_bad += 1
             continue
         if s_cols != d_cols:
             print(f"FAIL {name}: cols spark={s_cols} duck={d_cols}")
+            n_bad += 1
+        # dtype-strict, like the driver's hash: an un-cast DuckDB integer
+        # sum() is HUGEINT and must fail even when values print the same
+        elif s_types != d_types:
+            print(f"FAIL {name}: dtypes spark={s_types} duck={d_types}")
             n_bad += 1
         elif len(s_rows) != len(d_rows):
             print(f"FAIL {name}: rows spark={len(s_rows)} duck={len(d_rows)}")

@@ -14,8 +14,17 @@ object Probe {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val dur = for {s <- si.submissionTime; c <- si.completionTime} yield (c - s) / 1000.0
-        if (dur.exists(_ > 0.3))
-          println(f"== stage ${si.stageId}%4d tasks=${si.numTasks}%4d ${dur.getOrElse(-1.0)}%8.1fs  ${si.name.take(60)}")
+        if (dur.exists(_ > 0.3)) {
+          val acc = si.accumulables.values
+            .filter(a => Set("internal.metrics.shuffle.read.recordsRead",
+              "internal.metrics.shuffle.write.recordsWritten",
+              "internal.metrics.executorRunTime",
+              "internal.metrics.jvmGCTime",
+              "internal.metrics.peakExecutionMemory").contains(a.name.orNull))
+            .map(a => a.name.get.split("\\.").last + "=" + a.value.getOrElse(0L))
+            .mkString(" ")
+          println(f"== stage ${si.stageId}%4d tasks=${si.numTasks}%4d ${dur.getOrElse(-1.0)}%8.1fs  $acc")
+        }
       }
     })
     val t0 = System.nanoTime()

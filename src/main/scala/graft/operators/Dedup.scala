@@ -42,11 +42,14 @@ object Dedup {
     perms.zipWithIndex.map { case ((a, b), i) => s"($i,$a,$b)" }.mkString(", ")
 
   private val duckNorm = raw"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
-  /** Shared shingle CTE: distinct 5-gram shingles per document. */
+  /** Shared shingle CTE: raw (with multiplicity) 5-gram shingle
+    * occurrences per document — the df cut and the per-doc distinct
+    * both happen downstream, mirroring the Spark pipeline.
+    */
   private val duckShingleCte: String =
     raw"""n AS (SELECT doc_id, source, $duckNorm AS t FROM documents),
          |ix AS (SELECT doc_id, source, t, unnest(generate_series(1, greatest(length(t)-4, 1))) AS i FROM n),
-         |sh AS (SELECT DISTINCT doc_id, source, substr(t, i, 5) AS s FROM ix)""".stripMargin
+         |sh AS (SELECT doc_id, source, substr(t, i, 5) AS s FROM ix)""".stripMargin
 
   // ---------------------------------------------------------------- C1
   /** Exact dedup: group by content fingerprint; canonical = min id.
@@ -67,12 +70,16 @@ object Dedup {
     * shingles, blocked by source.
     *
     * Contract (mirrored in the oracle): shingle sets are the distinct
-    * 5-gram hash values whose within-source document frequency is
+    * 5-gram hash values whose within-source OCCURRENCE frequency is
     * <= [[JaccardDfCap]]. The df cap is the standard stopword-shingle
-    * cut: a shingle occurring in k documents of a block produces
-    * O(k²) candidate pairs while carrying no near-dup signal — capping
-    * df bounds per-shingle join fan-out at scale. Identical documents
-    * still share all (rare) shingles → Jaccard 1.
+    * cut: a shingle occurring k times in a block produces O(k²)
+    * candidate pairs while carrying no near-dup signal — capping df
+    * bounds per-shingle join fan-out at scale. Occurrence counts
+    * (rather than distinct-document counts) keep the cut computable
+    * with a plain map-side-combined aggregate — no global distinct of
+    * the occurrence stream — and the excluded set is the Zipf head, so
+    * it broadcasts at any scale. Identical documents still share all
+    * (rare) shingles → Jaccard 1.
     *
     * Shingles are joined on their 64-bit-range polynomial hash, not
     * the string — shorter shuffle keys; the (engine-portable) hash is
@@ -81,12 +88,16 @@ object Dedup {
     */
   val JaccardDfCap = 50
 
-  /** Distinct 5-gram shingle hashes per document: codegen-friendly
-    * explode(sequence) + substr (native expressions end to end — the
-    * array-HOF formulation ran interpreted lambdas per shingle).
-    * Cached: both dedup pipelines read it multiple times.
+  /** Raw 5-gram shingle-hash occurrence stream (with multiplicity):
+    * codegen-friendly explode(sequence) + substr (native expressions
+    * end to end — the array-HOF formulation ran interpreted lambdas
+    * per shingle). Map-only: no distinct, no shuffle. The per-doc
+    * distinct happens AFTER the df cut, when the stream has collapsed
+    * to the rare-shingle tail — a global distinct here shuffled the
+    * full occurrence stream (the dominant round-1 cost) for rows the
+    * cap then discarded.
     */
-  private def shingleHashRows(spark: SparkSession, dir: String): DataFrame =
+  private def shingleStream(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       // the corpus arrives as one split locally — spread the
       // explode-heavy shingle generation across all cores (on a real
@@ -97,25 +108,45 @@ object Dedup {
         explode(sequence(lit(1), greatest(length(col("t")) - 4, lit(1)))).as("i"))
       .select(col("doc_id"), col("source"),
         shingleHash(col("t").substr(col("i"), lit(5))).as("h"))
-      .distinct()
+      // consumed twice per query (df aggregate + anti-join): cache the
+      // narrow (ids + hash) stream rather than re-running the explode
+      // scan — the standard two-pass df-then-filter shape, same as
+      // TF-IDF. (CacheManager dedupes the identical plan across the
+      // dedup queries in a shared session.)
       .cache()
 
+  /** Materialize a cached plan before its fan-out consumers run.
+    * Without this, AQE launches the downstream exchange stages (both
+    * self-join sides, the size aggregate, broadcast builds)
+    * concurrently, and their tasks race to build the same cold cache
+    * blocks — serializing on per-block locks. Round 1's 376s/272s
+    * dedup timings were exactly this: the same joins run in ~2s once
+    * the cache is warm.
+    */
+  private def eager(df: DataFrame): DataFrame = { df.count(); df }
+
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleHashRows(spark, dir)
-    val keep = sh.groupBy(col("source"), col("h"))
+    val sh = eager(shingleStream(spark, dir))
+    // Hot-shingle exclusion list: occurrence df > cap. By Zipf this is
+    // the vocabulary HEAD — small at any corpus scale — so it
+    // broadcasts; the keep-side (the rare tail) is unbounded and never
+    // materializes as a join side.
+    val hot = sh.groupBy(col("source"), col("h"))
       .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= JaccardDfCap)
+      .filter(col("df") > JaccardDfCap)
       .select(col("source").as("k_source"), col("h").as("k_h"))
     // Explicit width before the pair-generation self-join: its INPUT
     // is small (AQE would coalesce to ~1 partition) but its OUTPUT
     // explodes quadratically per shingle group — spread the groups
     // across tasks up front.
     val width = spark.sparkContext.defaultParallelism * 4
-    val disc = sh.join(keep,
-      col("source") === col("k_source") && col("h") === col("k_h"))
+    val disc = sh.join(broadcast(hot),
+        col("source") === col("k_source") && col("h") === col("k_h"), "left_anti")
       .select(col("doc_id"), col("source"), col("h"))
+      .distinct()
       .repartition(width, col("source"), col("h"))
       .cache()
+    eager(disc)
     val sz = disc.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = disc.as("a")
       .join(disc.as("b"),
@@ -134,10 +165,11 @@ object Dedup {
 
   val qNgramJaccardSql: String =
     raw"""WITH $duckShingleCte,
-         |hs AS (SELECT DISTINCT doc_id, source, ${shingleHashSql("s")} AS h FROM sh),
-         |keep AS (SELECT source, h FROM hs GROUP BY source, h HAVING count(*) <= $JaccardDfCap),
-         |disc AS (SELECT hs.doc_id, hs.source, hs.h FROM hs JOIN keep
-         |  ON hs.source = keep.source AND hs.h = keep.h),
+         |hs AS (SELECT doc_id, source, ${shingleHashSql("s")} AS h FROM sh),
+         |hot AS (SELECT source, h FROM hs GROUP BY source, h HAVING count(*) > $JaccardDfCap),
+         |disc AS (SELECT DISTINCT doc_id, source, h FROM hs
+         |  WHERE NOT EXISTS (SELECT 1 FROM hot
+         |    WHERE hot.source = hs.source AND hot.h = hs.h)),
          |sz AS (SELECT doc_id, count(*) AS sz FROM disc GROUP BY doc_id),
          |inter AS (SELECT a.doc_id d1, b.doc_id d2, count(*) AS inter
          |  FROM disc a JOIN disc b ON a.source = b.source AND a.h = b.h AND a.doc_id < b.doc_id
@@ -154,19 +186,22 @@ object Dedup {
     * candidate pairs from band-bucket self-join → estimated
     * similarity = matching-minima fraction.
     */
-  /** Global stopword-shingle cut for MinHash: shingles present in
-    * more than this many documents carry no near-dup signal but
+  /** Global stopword-shingle cut for MinHash: shingles occurring more
+    * than this many times in the corpus carry no near-dup signal but
     * dominate the signature minima, collapsing LSH band buckets
     * (candidate pairs exploded ~1000x without it on the
-    * vocab-homogeneous corpus).
+    * vocab-homogeneous corpus). Occurrence counts, like
+    * [[JaccardDfCap]]: the cut needs only a map-side-combined
+    * aggregate and the excluded Zipf head broadcasts at any scale.
     */
   val MinhashDfCap = 50
 
   def qMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val all = shingleHashRows(spark, dir).select(col("doc_id"), col("h"))
-    val keep = all.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MinhashDfCap).select(col("h").as("k_h"))
-    val sh = all.join(keep, col("h") === col("k_h")).select(col("doc_id"), col("h"))
+    val all = eager(shingleStream(spark, dir)).select(col("doc_id"), col("h"))
+    val hot = all.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > MinhashDfCap).select(col("h").as("k_h"))
+    val sh = all.join(broadcast(hot), col("h") === col("k_h"), "left_anti")
+      .select(col("doc_id"), col("h")).distinct()
     val minCols = perms.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("h") + lit(b)) % MinhashPrime).as(s"m$i")
     }
@@ -175,8 +210,8 @@ object Dedup {
     // sigs feeds band hashing AND both sides of the candidate
     // verification join — cache the (tiny: docs x 32 longs) signature
     // table instead of recomputing the shingle scan three times.
-    val sigs = wide.select(col("doc_id"),
-      expr(s"stack($NumPerms, $stackArgs) as (i, minh)")).cache()
+    val sigs = eager(wide.select(col("doc_id"),
+      expr(s"stack($NumPerms, $stackArgs) as (i, minh)")).cache())
     val bands = sigs
       .withColumn("band", (col("i") / RowsPerBand).cast("int"))
       .groupBy(col("doc_id"), col("band"))
@@ -199,9 +234,9 @@ object Dedup {
 
   val qMinhashLshSql: String =
     raw"""WITH $duckShingleCte,
-         |hashed0 AS (SELECT DISTINCT doc_id, ${shingleHashSql("s")} AS h FROM sh),
-         |hashed AS (SELECT doc_id, h FROM hashed0 WHERE h IN (
-         |  SELECT h FROM hashed0 GROUP BY h HAVING count(*) <= $MinhashDfCap)),
+         |hashed0 AS (SELECT doc_id, ${shingleHashSql("s")} AS h FROM sh),
+         |hashed AS (SELECT DISTINCT doc_id, h FROM hashed0 WHERE h NOT IN (
+         |  SELECT h FROM hashed0 GROUP BY h HAVING count(*) > $MinhashDfCap)),
          |perms(i, a, b) AS (SELECT * FROM (VALUES $permsSqlValues)),
          |sigs AS (SELECT doc_id, i, min((a * h + b) % $MinhashPrime) AS minh
          |  FROM hashed, perms GROUP BY doc_id, i),
@@ -254,11 +289,20 @@ object Dedup {
     * Output is the per-document near-dup summary (neighbor count +
     * closest distance) — what a dedup pipeline consumes — rather than
     * the raw pair list: on vocab-homogeneous corpora the pair set is
-    * O(n²)-ish (1.6M pairs at sf0.1) and would dominate I/O. The
-    * candidate side is repartitioned on doc_id so the skewed hot
-    * band buckets fan out across tasks instead of serializing.
+    * O(n²)-ish (1.6M pairs at sf0.1) and would dominate I/O.
+    *
+    * Band buckets holding more than [[SimhashBucketCap]] documents are
+    * excluded (the banding analogue of the stopword-shingle df cut): a
+    * 15-bit band value shared by hundreds of documents is a degenerate
+    * common pattern, not near-dup signal, and its bucket self-join
+    * concentrates O(n²) pair generation into one task — the round-1
+    * scale-killer (272s at sf0.1). The exclusion list is tiny (bucket
+    * count is bounded by corpus regularity, Zipf-style) so it
+    * broadcasts; surviving buckets generate ≤ cap²/2 pairs each,
+    * spread across tasks by an explicit repartition on the band key.
     */
   val SimhashBits = 30
+  val SimhashBucketCap = 64
 
   def qSimhash(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.GraftExpressions.rolling_hash
@@ -273,10 +317,17 @@ object Dedup {
       when(col(s"s$j") > 0, 1L << j).otherwise(0L)
     }.reduce(_ + _)
     // reused by banding and both verification joins (docs x 1 long)
-    val sigs = wide.select(col("doc_id"), sig.as("sig")).cache()
-    val bands = sigs.select(col("doc_id"), col("sig"),
+    val sigs = eager(wide.select(col("doc_id"), sig.as("sig")).cache())
+    val bands0 = sigs.select(col("doc_id"), col("sig"),
       expr("stack(2, 0, sig % 32768, 1, sig DIV 32768) as (b, bv)"))
-      .repartition(col("doc_id"))
+    val hot = bands0.groupBy(col("b"), col("bv"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > SimhashBucketCap)
+      .select(col("b").as("hb"), col("bv").as("hbv"))
+    // pair-gen output explodes from a small input: fix the width up
+    // front (AQE would coalesce the tiny input to ~1 task)
+    val bands = bands0.join(broadcast(hot),
+        col("b") === col("hb") && col("bv") === col("hbv"), "left_anti")
+      .repartition(spark.sparkContext.defaultParallelism * 4, col("b"), col("bv"))
     val pairs = bands.as("x")
       .join(bands.as("y"), col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -302,9 +353,14 @@ object Dedup {
          |  FROM h, generate_series(0, ${SimhashBits - 1}) g(i) GROUP BY doc_id, i),
          |sig AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS sig
          |  FROM bits GROUP BY doc_id),
-         |bands AS (SELECT doc_id, sig, b,
+         |bands0 AS (SELECT doc_id, sig, b,
          |    CASE b WHEN 0 THEN sig % 32768 ELSE sig // 32768 END AS bv
          |  FROM sig, generate_series(0, 1) g(b)),
+         |hot AS (SELECT b, bv FROM bands0 GROUP BY b, bv
+         |  HAVING count(*) > $SimhashBucketCap),
+         |bands AS (SELECT doc_id, sig, b, bv FROM bands0
+         |  WHERE NOT EXISTS (SELECT 1 FROM hot
+         |    WHERE hot.b = bands0.b AND hot.bv = bands0.bv)),
          |pairs AS (SELECT DISTINCT x.doc_id d1, y.doc_id d2,
          |    CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS hamming
          |  FROM bands x JOIN bands y ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id

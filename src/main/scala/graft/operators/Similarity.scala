@@ -49,6 +49,29 @@ object Similarity {
       |  FROM scored)
       |SELECT qid, nid, rank, round(sim, 4) AS sim FROM ranked WHERE rank <= 5""".stripMargin
 
+  /** Exact top-5 id pairs for the sampled query panel (vec_id % 50 == 0)
+    * — the ground truth both approximate variants measure themselves
+    * against. Small by construction (2% of vectors × 5 rows).
+    */
+  private def bruteforceTop5(spark: SparkSession, dir: String): DataFrame =
+    qAnnBruteforce(spark, dir).select(col("qid"), col("nid"))
+
+  /** Join a per-query `recall_at_5` column (fraction of the exact top-5
+    * recovered) onto an approximate top-5 result. Recall is measured on
+    * the sampled query panel; other query ids carry null. This makes
+    * the rows-only driver check carry a real quality number instead of
+    * an unverifiable row count.
+    */
+  private def withRecall(approx: DataFrame, truth: DataFrame): DataFrame = {
+    val rec = approx.join(truth, Seq("qid", "nid"), "left_semi")
+      .groupBy(col("qid"))
+      .agg((count(lit(1)) / 5.0).as("recall_at_5"))
+    val sampled = truth.select(col("qid")).distinct()
+      .join(rec, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("recall_at_5"), lit(0.0)).as("recall_at_5"))
+    approx.join(broadcast(sampled), Seq("qid"), "left")
+  }
+
   /** Random-hyperplane LSH bucketed ANN ([r] — approximate, checked by
     * recall spec against the brute-force baseline, not by oracle).
     *
@@ -79,33 +102,70 @@ object Similarity {
         VectorFunctions.cosine(col("a.v"), col("b.v")).as("sim"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(round(col("sim"), 6).desc, col("nid").asc)
-    scored.withColumn("rank", row_number().over(w))
+    val top = scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("qid"), col("nid"), col("rank"), col("bucket"),
         round(col("sim"), 4).as("sim"))
+    withRecall(top, bruteforceTop5(spark, dir))
   }
 
-  /** IVF-style ANN ([r]): a seeded coarse quantizer (KMeans on the
-    * corpus) partitions vectors into `nlist` cells; queries search
-    * only their `nprobe` nearest cells. The 100 TB shape: centroids
-    * are tiny and broadcast; the corpus shuffles once on cell id at
-    * index build; at query time only probed cells are scanned.
+  /** Session-scoped IVF index: a seeded KMeans coarse quantizer fit
+    * ONCE per (corpus, nlist) per JVM and memoized — index build is an
+    * offline, amortized step, never part of the query path (round 1
+    * refit on every invocation: 45.6s/query at sf0.1). At 100 TB the
+    * fit runs on a sample, the centroid set is tiny and broadcast, and
+    * the assignment (corpus × cell id) is a write-once table; here the
+    * assignment is a cached DataFrame rebuilt from the memoized model
+    * (a map-only transform) if the cache was dropped.
+    */
+  object IvfIndex {
+    import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
+    import org.apache.spark.ml.functions.array_to_vector
+    import scala.collection.concurrent.TrieMap
+    private val models = TrieMap.empty[(String, Int), KMeansModel]
+
+    /** (assigned corpus: vec_id, v, cell; centroids: cell, cv) */
+    def get(spark: SparkSession, dir: String, nlist: Int): (DataFrame, DataFrame) = {
+      import org.apache.spark.ml.feature.Normalizer
+      val e = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      // spherical k-means: fit/assign on L2-normalized vectors so the
+      // euclidean cell geometry matches the cosine ground truth
+      // (cosine(a,b) = 1 - ||â-b̂||²/2); probing by cosine against the
+      // normalized-space centroids is then consistent with assignment
+      val feat = new Normalizer().setInputCol("features0")
+        .setOutputCol("features").setP(2.0)
+        .transform(e.withColumn("features0", array_to_vector(col("v"))))
+      val model = models.getOrElseUpdate((dir, nlist),
+        new KMeans().setK(nlist).setSeed(13).setMaxIter(10).fit(feat))
+      val assigned = model.transform(feat)
+        .select(col("vec_id"), col("v"), col("prediction").as("cell"))
+        .cache()
+      assigned.count() // materialize before fan-out (probe + scan sides)
+      val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+        (i, c.toArray.toSeq)
+      }
+      (assigned, spark.createDataFrame(centroids.toSeq).toDF("cell", "cv"))
+    }
+  }
+
+  /** IVF-style ANN ([r]): the [[IvfIndex]] coarse quantizer partitions
+    * vectors into `nlist` cells; queries search only their `nprobe`
+    * nearest cells. The 100 TB shape: centroids are tiny and
+    * broadcast; the corpus shuffles once on cell id at index build; at
+    * query time only probed cells are scanned. Output carries a
+    * measured `recall_at_5` vs the exact baseline on the query panel.
+    *
+    * nprobe default is tuned for recall ≥ 0.8 on the synthetic corpus,
+    * whose embeddings are near-isotropic on the sphere (measured mean
+    * exact-top-5 cosine ≈ 0.33, no label structure) — the worst case
+    * for any cell-based index, forcing a high probe fraction. Real
+    * embedding corpora cluster, and the same index holds recall with
+    * nprobe ≪ nlist; the knob is per-call.
     */
   def qAnnIvf(spark: SparkSession, dir: String,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val feat = e.withColumn("features", array_to_vector(col("v")))
-    val km = new KMeans().setK(nlist).setSeed(13).setMaxIter(10)
-    val model = km.fit(feat)
-    val assigned = model.transform(feat)
-      .select(col("vec_id"), col("v"), col("prediction").as("cell"))
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray.toSeq)
-    }
-    val cdf = spark.createDataFrame(centroids.toSeq).toDF("cell", "cv")
+      nlist: Int = 16, nprobe: Int = 10): DataFrame = {
+    val (assigned, cdf) = IvfIndex.get(spark, dir, nlist)
     // query subset probes its nprobe nearest cells
     val q = assigned.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
@@ -117,13 +177,14 @@ object Similarity {
       .select(col("qid"), col("qv"), col("cell"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(round(col("sim"), 6).desc, col("nid").asc)
-    probes.join(assigned, Seq("cell"))
+    val top = probes.join(assigned, Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
         VectorFunctions.cosine(col("qv"), col("v")).as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("qid"), col("nid"), col("rank"), round(col("sim"), 4).as("sim"))
+    withRecall(top, bruteforceTop5(spark, dir))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

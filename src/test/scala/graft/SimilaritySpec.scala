@@ -32,6 +32,22 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("IVF ANN carries a measured recall_at_5 column averaging >= 0.8") {
+    val recalls = Similarity.qAnnIvf(spark, sf)
+      .select("qid", "recall_at_5").na.drop()
+      .as[(Long, Double)].collect().toMap.values
+    assert(recalls.nonEmpty, "no sampled query carries a recall value")
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, f"IVF mean recall@5 $mean%.3f below 0.8")
+  }
+
+  test("LSH ANN carries recall_at_5 on the sampled query panel") {
+    val recalls = Similarity.qAnnLsh(spark, sf)
+      .select("qid", "recall_at_5").na.drop()
+      .as[(Long, Double)].collect().toMap.values
+    assert(recalls.nonEmpty, "no sampled query carries a recall value")
+  }
+
   test("brute force ranks are dense 1..5 per query") {
     val byQ = Similarity.qAnnBruteforce(spark, sf)
       .select("qid", "rank").as[(Long, Int)].collect().groupBy(_._1)

@@ -36,11 +36,25 @@ def norm_cell(v):
     return repr(v)
 
 
+def norm_type(t):
+    """Collapse dtypes to the classes the driver's pandas-level compare
+    distinguishes: int widths all render the same, but HUGEINT (int128,
+    from un-cast DuckDB integer sums) and DECIMAL leave the int64 path
+    and change the rendered value."""
+    s = str(t)
+    if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if s in ("FLOAT", "DOUBLE"):
+        return "float"
+    return s
+
+
 def canon(cols, rows, types):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
     out.sort()
-    return [cols[i] for i in order], out, [str(types[i]) for i in order]
+    return [cols[i] for i in order], out, [norm_type(types[i]) for i in order]
 
 
 def main():

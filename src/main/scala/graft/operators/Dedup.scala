@@ -370,17 +370,88 @@ object Dedup {
          |SELECT doc_id, count(*) AS n_neardups, min(hamming) AS min_hamming
          |FROM sym GROUP BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- C6
+  /** Dedup canonicalization: connected components over the near-dup
+    * pair set ([[qEmbeddingNeardup]]), completing the dedup story —
+    * pairs → clusters → keep one canonical id per cluster.
+    *
+    * Algorithm: iterative minimum-label propagation (each node adopts
+    * the smallest label among itself and its neighbors, to fixpoint).
+    * Distributed shape: per iteration one shuffle join (edges ⋈ labels)
+    * + one aggregate — no driver-side graph state; the driver loop only
+    * orchestrates and checks a one-row convergence probe. Iteration
+    * count is bounded by the cluster diameter (near-dup clusters are
+    * shallow); the per-iteration cache+materialize truncates lineage
+    * growth. At 100 TB the same loop runs with checkpointing and, if
+    * diameters grow, the large-star/small-star contraction — the
+    * propagation step is unchanged.
+    *
+    * Output: (vec_id, cluster_id = smallest member id) for every
+    * vector that participates in at least one near-dup pair; canonical
+    * keep-rule = keep vec_id == cluster_id.
+    */
+  def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = qEmbeddingNeardup(spark, dir).select(col("id1"), col("id2"))
+    val edges = pairs
+      .unionAll(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      .toDF("src", "dst")
+      .cache()
+    var labels = eager(edges.select(col("src").as("node")).distinct()
+      .withColumn("lab", col("node")).cache())
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 25) {
+      val neigh = edges.join(labels, col("dst") === col("node"))
+        .groupBy(col("src")).agg(min(col("lab")).as("nlab"))
+      val next = labels.join(neigh, col("node") === col("src"), "left")
+        .select(col("node"),
+          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+        .cache()
+      next.count()
+      val changed = next
+        .join(labels.select(col("node").as("n2"), col("lab").as("old")),
+          col("node") === col("n2"))
+        .filter(col("lab") =!= col("old")).limit(1).count() > 0
+      labels.unpersist()
+      labels = next
+      converged = !changed
+      iter += 1
+    }
+    labels.select(col("node").as("vec_id"), col("lab").as("cluster_id"))
+  }
+
+  /** Oracle: transitive closure by recursive CTE, cluster id = least
+    * reachable node — the declarative twin of min-label propagation.
+    */
+  val qDedupClustersSql: String =
+    """WITH RECURSIVE e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |p0 AS (SELECT a.vec_id id1, b.vec_id id2, a.v v1, b.v v2
+      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+      |flat AS (SELECT id1, id2, unnest(v1) AS x, unnest(v2) AS y FROM p0),
+      |sims AS (SELECT id1, id2,
+      |    sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS sim
+      |  FROM flat GROUP BY id1, id2),
+      |pairs AS (SELECT id1, id2 FROM sims WHERE sim >= 0.35),
+      |sym AS (SELECT id1 AS a, id2 AS b FROM pairs
+      |  UNION ALL SELECT id2, id1 FROM pairs),
+      |reach(a, b) AS (SELECT a, b FROM sym
+      |  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+      |SELECT a AS vec_id, least(a, min(b)) AS cluster_id
+      |FROM reach GROUP BY a""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_simhash" -> (qSimhash _),
-    "q_embedding_neardup" -> (qEmbeddingNeardup _))
+    "q_embedding_neardup" -> (qEmbeddingNeardup _),
+    "q_dedup_clusters" -> (qDedupClusters _))
 
   def oracle: Map[String, String] = Map(
     "q_dedup_exact" -> qDedupExactSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_minhash_lsh" -> qMinhashLshSql,
     "q_simhash" -> qSimhashSql,
-    "q_embedding_neardup" -> qEmbeddingNeardupSql)
+    "q_embedding_neardup" -> qEmbeddingNeardupSql,
+    "q_dedup_clusters" -> qDedupClustersSql)
 }

@@ -342,11 +342,27 @@ object Relational {
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))
 
+  /** Sketch twin of [[qPercentiles]] ([r] — the KLL/GK-style
+    * `approx_percentile` estimate has no cross-engine oracle;
+    * rows-only checked, error-bounded vs exact in the spec). The
+    * 100 TB default: exact `percentile` buffers every value of a group
+    * in memory for the sort — a scale-killer on wide groups — while
+    * the sketch is one pass, fixed memory, mergeable map-side.
+    */
+  def qApproxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("approx_percentile(value, 0.5, 1000)").as("p50"),
+        expr("approx_percentile(value, 0.9, 1000)").as("p90"),
+        expr("approx_percentile(value, 0.99, 1000)").as("p99"))
+
   /** Exposed query registry for this block (events-clock queries A6,
     * A12, A13 live in [[TemporalOps]]).
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_approx_distinct" -> (qApproxDistinct _),
+    "q_approx_percentiles" -> (qApproxPercentiles _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_region_revenue" -> (q5RegionRevenue _),

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.Dedup
+import graft.operators.{Dedup, Relational}
 import graft.multimodal.BinaryPipeline
 
 class DedupSpec extends AnyFunSuite {
@@ -28,6 +28,46 @@ class DedupSpec extends AnyFunSuite {
       .filter("est_sim >= 0.5").select("d1", "d2").as[(Long, Long)].collect().toSet
     // high-estimate minhash pairs should mostly be true near-dups
     assert(mh.intersect(jacc).nonEmpty || mh.isEmpty)
+  }
+
+  test("dedup clusters are consistent with the near-dup pair set") {
+    val pairs = Dedup.qEmbeddingNeardup(spark, sf)
+      .select("id1", "id2").as[(Long, Long)].collect()
+    val clusters = Dedup.qDedupClusters(spark, sf)
+      .select("vec_id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(clusters.nonEmpty)
+    // every paired vector is clustered, endpoints share a cluster
+    pairs.foreach { case (a, b) =>
+      assert(clusters.contains(a) && clusters.contains(b))
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    // cluster id is the smallest member (canonical keep-rule resolvable)
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(cid == members.keys.min, s"cluster $cid is not its min member")
+    }
+  }
+
+  test("approx percentiles stay within bounded rank error of exact") {
+    import org.apache.spark.sql.functions.col
+    // sketch guarantee is rank-space (a returned value's empirical rank
+    // is within epsilon of the target quantile) — value-space bounds
+    // are meaningless on heavy-tailed data
+    val values = Tables.events(spark, sf)
+      .select(col("event_type"), col("value"))
+      .as[(String, Double)].collect()
+      .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).sorted }
+    val approx = Relational.qApproxPercentiles(spark, sf)
+      .select("event_type", "p50", "p90", "p99")
+      .as[(String, Double, Double, Double)].collect()
+    assert(approx.nonEmpty)
+    def rankOf(sorted: Array[Double], v: Double): Double =
+      sorted.count(_ <= v).toDouble / sorted.length
+    approx.foreach { case (t, a50, a90, a99) =>
+      val vs = values(t)
+      assert(math.abs(rankOf(vs, a50) - 0.50) <= 0.05, s"$t p50 rank off")
+      assert(math.abs(rankOf(vs, a90) - 0.90) <= 0.05, s"$t p90 rank off")
+      assert(rankOf(vs, a99) >= 0.94, s"$t p99 rank off")
+    }
   }
 
   test("multimodal decode emits plausible stub features") {

@@ -392,12 +392,21 @@ object Dedup {
     */
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = qEmbeddingNeardup(spark, dir).select(col("id1"), col("id2"))
+    // localCheckpoint (not cache): truncates lineage so each
+    // iteration's plan is edges ⋈ labels, not a tower of every prior
+    // iteration — without it driver-side re-optimization of the
+    // doubling plan dominates the loop (~20s for 5 iterations)
+    val tDbg0 = System.nanoTime()
     val edges = pairs
       .unionAll(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
       .toDF("src", "dst")
-      .cache()
-    var labels = eager(edges.select(col("src").as("node")).distinct()
-      .withColumn("lab", col("node")).cache())
+      .localCheckpoint()
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      println(f"== cc edges ${(System.nanoTime()-tDbg0)/1e9}%.1fs")
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lab", col("node")).localCheckpoint()
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      println(f"== cc labels0 ${(System.nanoTime()-tDbg0)/1e9}%.1fs")
     var converged = false
     var iter = 0
     while (!converged && iter < 25) {
@@ -405,17 +414,15 @@ object Dedup {
         .groupBy(col("src")).agg(min(col("lab")).as("nlab"))
       val next = labels.join(neigh, col("node") === col("src"), "left")
         .select(col("node"),
-          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
-        .cache()
-      next.count()
-      val changed = next
-        .join(labels.select(col("node").as("n2"), col("lab").as("old")),
-          col("node") === col("n2"))
-        .filter(col("lab") =!= col("old")).limit(1).count() > 0
-      labels.unpersist()
-      labels = next
+          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"),
+          (col("nlab") < col("lab")).as("moved"))
+        .localCheckpoint() // materializes AND truncates lineage
+      val changed = next.filter(col("moved")).count() > 0
+      labels = next.select(col("node"), col("lab"))
       converged = !changed
       iter += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(f"== cc iter $iter changed=$changed t=${(System.nanoTime()-tDbg0)/1e9}%.1fs")
     }
     labels.select(col("node").as("vec_id"), col("lab").as("cluster_id"))
   }

@@ -22,6 +22,12 @@ object GraftSession {
       // Spark's reader): surface them as Long nanos; query boundaries
       // convert with integer math (`ts DIV 1e9` — see SURVEY.md §5).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // streaming state off-heap in RocksDB (bounded executor memory
+      // under unbounded keyspaces; changelog checkpointing keeps
+      // commits incremental) — the 100 TB default for stateful queries
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ml.{FeatureOps, Tuning}
 import graft.multimodal.BinaryPipeline
-import graft.operators.{Dedup, Relational, Similarity, TemporalOps, TextAnalysis}
+import graft.operators.{Dedup, Relational, Similarity, SqlSurface, TemporalOps, TextAnalysis}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (inventory) / §7 (plan). */
@@ -16,7 +16,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TemporalOps.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ FeatureOps.queries ++
-      Tuning.queries ++ BinaryPipeline.queries ++ EventStream.queries
+      Tuning.queries ++ BinaryPipeline.queries ++ EventStream.queries ++
+      SqlSurface.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -24,5 +25,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TemporalOps.oracle ++ TextAnalysis.oracle ++
       Dedup.oracle ++ Similarity.oracle ++ FeatureOps.oracle ++
-      Tuning.oracle ++ BinaryPipeline.oracle ++ EventStream.oracle
+      Tuning.oracle ++ BinaryPipeline.oracle ++ EventStream.oracle ++
+      SqlSurface.oracle
 }

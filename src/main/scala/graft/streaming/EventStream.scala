@@ -18,23 +18,25 @@ object EventStream {
 
   /** Typed event for the stateful sessionizer. */
   case class Ev(user_id: Long, tsec: Long)
+  /** [[Ev]] plus the event-time column the watermark rides on. */
+  case class EvT(user_id: Long, tsec: Long, ets: java.sql.Timestamp)
   /** Open-session state per user. */
   case class SessState(start: Long, last: Long, n: Long)
   /** Emitted when a session closes. */
   case class SessionOut(user_id: Long, session_start: Long, n_events: Long)
 
-  /** F5: streaming 5-minute tumbling-window aggregate with watermark,
-    * driven to completion over the bounded parquet "stream" and
-    * returned as a batch DataFrame. Semantics equal the batch
-    * `q_tumbling_window` (same oracle).
+  /** Shared F5 pipeline: watermarked 5-minute tumbling aggregate over
+    * the parquet "stream". One definition, two sinks ([[qStreamTumbling]]
+    * memory twin for oracle verification; [[streamTumblingToFiles]]
+    * append-mode file sink for the operator path).
     */
-  def qStreamTumbling(spark: SparkSession, dir: String): DataFrame = {
+  private def tumblingAgg(spark: SparkSession, dir: String): DataFrame = {
     val schema = Tables.events(spark, dir).schema
     // FileStreamSource wants a directory/glob, not a bare file — glob
     // the single events file with the sf dir as basePath.
     val stream = spark.readStream.schema(schema)
       .option("basePath", dir).parquet(s"$dir/events.*")
-    val agg = stream
+    stream
       .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("ets", "10 minutes")
       .groupBy(window(col("ets"), "5 minutes"), col("event_type"))
@@ -42,13 +44,41 @@ object EventStream {
         sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
       .select(unix_timestamp(col("window.start")).as("bucket"),
         col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** F5 verification twin: memory sink in complete mode, returned as a
+    * batch DataFrame for the oracle compare. The memory sink
+    * accumulates on the driver — fine for a bounded verification run,
+    * NOT the operator path (see [[streamTumblingToFiles]]).
+    */
+  def qStreamTumbling(spark: SparkSession, dir: String): DataFrame = {
     val qn = "graft_stream_tumbling"
     spark.streams.active.filter(q => Option(q.name).contains(qn)).foreach(_.stop())
-    val q = agg.writeStream.outputMode("complete")
+    val q = tumblingAgg(spark, dir).writeStream.outputMode("complete")
       .format("memory").queryName(qn).start()
     q.processAllAvailable()
     q.stop()
     spark.table(qn)
+  }
+
+  /** F5 operator path: append-mode parquet sink. Append emits each
+    * window once, when the watermark passes it — state for closed
+    * windows is evicted, nothing accumulates on the driver, and the
+    * sink is distributed — the shape that survives an unbounded
+    * stream at scale. Windows newer than the watermark delay remain
+    * open (held in the state store) when the bounded source drains —
+    * correct streaming semantics, so the output is a prefix-subset of
+    * the batch result, not its equal. Returns the files read back.
+    */
+  def streamTumblingToFiles(spark: SparkSession, dir: String,
+      outPath: String, checkpoint: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = tumblingAgg(spark, dir).writeStream.outputMode("append")
+      .format("parquet").option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(outPath)
   }
 
   /** Oracle: identical to the batch tumbling window — `window()` is
@@ -59,33 +89,50 @@ object EventStream {
       |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
-  /** F6: stateful gap sessionization with `flatMapGroupsWithState` —
-    * emits a session row when a >gapSec silence closes it. State per
-    * user is O(1); on a real stream an event-time timeout evicts idle
-    * users. Spec-tested with MemoryStream (not oracle-checkable: the
-    * final open session never closes on an unbounded stream).
+  /** F6: stateful gap sessionization with `flatMapGroupsWithState` and
+    * an EVENT-TIME TIMEOUT — a session also closes (and its state is
+    * evicted) when the watermark passes its last event + gap, so idle
+    * users never leak state on an unbounded stream (round 1 used
+    * NoTimeout: per-user state grew forever). Spec-tested with
+    * MemoryStream; not oracle-checkable (session close depends on
+    * watermark progress, which DuckDB has no notion of).
     */
-  def sessionize(events: Dataset[Ev], gapSec: Long): Dataset[SessionOut] = {
+  def sessionize(events: Dataset[Ev], gapSec: Long,
+      watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (user: Long, it: Iterator[Ev], state: GroupState[SessState]) =>
-          val sorted = it.toSeq.sortBy(_.tsec)
-          var cur = state.getOption
-          val closed = Seq.newBuilder[SessionOut]
-          sorted.foreach { e =>
-            cur match {
-              case Some(s) if e.tsec - s.last > gapSec =>
-                closed += SessionOut(user, s.start, s.n)
-                cur = Some(SessState(e.tsec, e.tsec, 1))
-              case Some(s) =>
-                cur = Some(s.copy(last = e.tsec, n = s.n + 1))
-              case None =>
-                cur = Some(SessState(e.tsec, e.tsec, 1))
+    events
+      .withColumn("ets", timestamp_seconds(col("tsec")))
+      .withWatermark("ets", watermarkDelay)
+      .as[EvT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[EvT], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last event + gap: close and evict
+            val out = state.getOption.map(s => SessionOut(user, s.start, s.n))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = it.toSeq.sortBy(_.tsec)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.tsec - s.last > gapSec =>
+                  closed += SessionOut(user, s.start, s.n)
+                  cur = Some(SessState(e.tsec, e.tsec, 1))
+                case Some(s) =>
+                  cur = Some(s.copy(last = e.tsec, n = s.n + 1))
+                case None =>
+                  cur = Some(SessState(e.tsec, e.tsec, 1))
+              }
             }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.last + gapSec) * 1000L)
+            }
+            closed.result().iterator
           }
-          cur.foreach(state.update)
-          closed.result().iterator
       }
   }
 

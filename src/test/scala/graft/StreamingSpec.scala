@@ -19,19 +19,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
-  test("stateful sessionization closes sessions on gaps") {
+  test("stateful sessionization closes sessions on gaps and evicts idle state via event-time timeout") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
     val query = EventStream.sessionize(input.toDS(), gapSec = 1800)
       .writeStream.outputMode("append").format("memory")
       .queryName("sess_test").start()
-    // user 1: two sessions (gap 2h); user 2: one open session (never emitted)
+    // user 1: two sessions (gap 2h, closed in-batch by the next event);
+    // user 2: goes idle after t=2000 and NEVER sends again
     input.addData(Ev(1, 1000), Ev(1, 1500), Ev(2, 1000))
     query.processAllAvailable()
     input.addData(Ev(1, 10000), Ev(2, 2000))
     query.processAllAvailable()
+    // watermark after batch 2 = 10000s - 10min = 9400s, past user 2's
+    // timeout (2000 + 1800 = 3800): the EventTimeTimeout must close
+    // user 2's session with no further input from them
     val out = spark.table("sess_test").as[SessionOut].collect().toSet
     query.stop()
-    assert(out == Set(SessionOut(1, 1000, 2)))
+    assert(out.contains(SessionOut(1, 1000, 2)), s"in-batch gap close missing: $out")
+    assert(out.contains(SessionOut(2, 1000, 2)), s"timeout-driven close missing: $out")
+  }
+
+  test("append-mode file sink emits watermark-closed windows matching the batch result") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_files").toString
+    val streamed = EventStream.streamTumblingToFiles(spark, sf,
+      s"$tmp/out", s"$tmp/cp").select("bucket", "event_type", "n", "sum_value")
+    val batch = graft.operators.TemporalOps.qTumblingWindow(spark, sf)
+      .select("bucket", "event_type", "n", "sum_value")
+    assert(streamed.count() > 0, "file sink emitted nothing")
+    // append mode emits only closed windows: a nonempty prefix-subset
+    // of the batch result, never rows the batch result lacks
+    assert(streamed.except(batch).isEmpty,
+      "file-sink rows disagree with the batch twin")
   }
 }

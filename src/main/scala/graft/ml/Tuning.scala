@@ -52,6 +52,43 @@ object Tuning {
       .toDF("reg_param", "elastic_net", "cv_accuracy")
   }
 
+  /** E7b: an actual multi-stage `Pipeline` under the seeded
+    * cross-validator — StringIndexer(lang label) → Tokenizer →
+    * HashingTF → LogisticRegression over the documents corpus,
+    * tuned jointly across feature-space size and regularization (the
+    * grid spans stages, which is the point of Pipeline tuning: one
+    * search over the composed estimator, no leakage between stages).
+    * Returns the tuning curve; rows-only checked, seeded.
+    */
+  def qPipelineTuning(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.Pipeline
+    import org.apache.spark.ml.feature.{HashingTF, StringIndexer, Tokenizer}
+    val docs = Tables.documents(spark, dir).select(col("text"), col("lang"))
+    val indexer = new StringIndexer().setInputCol("lang").setOutputCol("label")
+      .setStringOrderType("alphabetAsc") // deterministic label ids
+    val tok = new Tokenizer().setInputCol("text").setOutputCol("toks")
+    val tf = new HashingTF().setInputCol("toks").setOutputCol("features")
+    val lr = new LogisticRegression().setMaxIter(20).setTol(1e-4)
+    val pipe = new Pipeline().setStages(Array(indexer, tok, tf, lr))
+    val grid = new ParamGridBuilder()
+      .addGrid(tf.numFeatures, Array(256, 1024))
+      .addGrid(lr.regParam, Array(0.01, 0.3))
+      .build()
+    val cv = new CrossValidator()
+      .setEstimator(pipe)
+      .setEvaluator(new MulticlassClassificationEvaluator().setMetricName("accuracy"))
+      .setEstimatorParamMaps(grid)
+      .setNumFolds(3)
+      .setParallelism(4)
+      .setSeed(42)
+    val model = cv.fit(docs)
+    val rows = grid.zip(model.avgMetrics).map { case (pm, m) =>
+      (pm(tf.numFeatures).toLong, pm(lr.regParam), math.rint(m * 1e6) / 1e6)
+    }
+    spark.createDataFrame(rows.toSeq)
+      .toDF("num_features", "reg_param", "cv_accuracy")
+  }
+
   /** E8: seeded KMeans clustering of the embeddings; returns cluster
     * sizes (the segmentation profile).
     */
@@ -65,6 +102,7 @@ object Tuning {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mllib_tuning" -> (qMllibTuning _),
+    "q_pipeline_tuning" -> (qPipelineTuning _),
     "q_kmeans" -> (qKmeans _))
 
   /** Not SQL-expressible → rows-only checks. */

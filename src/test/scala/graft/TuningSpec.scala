@@ -15,6 +15,24 @@ class TuningSpec extends AnyFunSuite {
     assert(rows.forall { case (_, _, acc) => acc >= 0.0 && acc <= 1.0 })
   }
 
+  test("pipeline tuning spans stages and learns language id from text") {
+    val rows = Tuning.qPipelineTuning(spark, sf)
+      .select("num_features", "reg_param", "cv_accuracy")
+      .as[(Long, Double, Double)].collect()
+    assert(rows.length == 4) // 2 numFeatures x 2 regParam
+    assert(rows.forall { case (_, _, acc) => acc >= 0.0 && acc <= 1.0 })
+    // the synthetic corpus draws text from one shared vocabulary for
+    // every lang label, so the Bayes ceiling is the majority class —
+    // a composed pipeline should land near it, far above uniform 1/5
+    val counts = Tables.documents(spark, sf).groupBy("lang").count()
+      .as[(String, Long)].collect()
+    val majority = counts.map(_._2).max.toDouble / counts.map(_._2).sum
+    val best = rows.map(_._3).max
+    assert(best >= majority * 0.85,
+      f"best CV accuracy $best%.3f far below majority baseline $majority%.3f")
+    assert(best >= 0.25, f"best CV accuracy $best%.3f not above chance")
+  }
+
   test("kmeans partitions all vectors into k clusters") {
     val sizes = Tuning.qKmeans(spark, sf).as[(Int, Long)].collect()
     assert(sizes.map(_._2).sum == Tables.embeddings(spark, sf).count())

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Tables
 
 /** Skew-mitigation join utilities (SURVEY.md §4).
   *
@@ -26,4 +27,34 @@ object SkewJoin {
       .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
     bigS.join(smallS, Seq(key, "__salt")).drop("__salt")
   }
+
+  // ---------------------------------------------------------------- H1
+  /** The salted join wired as a query: per-segment event rollup where
+    * the fact side (events, power-law user activity) joins the dim
+    * through [[saltedJoin]]. Salting is semantics-neutral, so the
+    * oracle is the PLAIN join — the driver's hash check proves the
+    * skew machinery preserves join semantics exactly.
+    */
+  def qSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("value"))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    saltedJoin(ev, cust, "user_id", col("event_id"), salts = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+  }
+
+  val qSaltedJoinSql: String =
+    """SELECT c_mktsegment, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+      |GROUP BY c_mktsegment""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_salted_join" -> (qSaltedJoin _))
+
+  def oracle: Map[String, String] = Map(
+    "q_salted_join" -> qSaltedJoinSql)
 }

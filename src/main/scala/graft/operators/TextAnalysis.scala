@@ -170,17 +170,65 @@ object TextAnalysis {
     s"""WITH pred AS ($qLangIdSql)
        |SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY lang, pred_lang""".stripMargin
 
+  // ---------------------------------------------------------------- B1b
+  /** BPE-ish subword tokenization twin of B1: pieces are maximal runs
+    * of letters, digit runs, or single non-alphanumeric marks — the
+    * pre-merge piece inventory a byte-pair tokenizer starts from. The
+    * pattern is shared verbatim with the oracle; counts per document
+    * (map-only, codegen regexp).
+    */
+  private val piecePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  def qRegexTokens(spark: SparkSession, dir: String): DataFrame = {
+    val norm = normText(col("text"))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(regexp_extract_all(norm, lit(piecePattern), lit(0)))
+        .cast("long").as("n_pieces"),
+      size(regexp_extract_all(norm, lit("[a-z]+"), lit(0)))
+        .cast("long").as("n_word_pieces"))
+  }
+
+  val qRegexTokensSql: String =
+    raw"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '$piecePattern')) AS BIGINT) AS n_pieces,
+         |  CAST(len(regexp_extract_all(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '[a-z]+')) AS BIGINT) AS n_word_pieces
+         |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------- B6
+  /** Stratified sampling of the corpus by language — the
+    * training-data-mix primitive (hold label proportions while
+    * downsampling). `sampleBy` is a per-row Bernoulli draw keyed by a
+    * seed: fully distributed, map-only, no shuffle. Output is the
+    * per-stratum sample audit (drawn size vs target rate); [r] —
+    * Spark's sampling hash has no DuckDB twin, so the check is
+    * rows-only with the proportion contract spec-asserted.
+    */
+  def qStratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val langs = Seq("en", "de", "es", "fr", "zh")
+    val sample = docs.stat.sampleBy("lang",
+      langs.map(_ -> 0.5).toMap, seed = 42L)
+    sample.groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+      .join(docs.groupBy(col("lang")).agg(count(lit(1)).as("n_total")), "lang")
+      .select(col("lang"), col("n_sampled"), col("n_total"),
+        round(col("n_sampled").cast("double") / col("n_total"), 4).as("rate"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_confusion_matrix" -> (qConfusionMatrix _),
     "q_token_count" -> (qTokenCount _),
+    "q_regex_tokens" -> (qRegexTokens _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_fingerprint" -> (qFingerprint _),
-    "q_rolling_fingerprint" -> (qRollingFingerprint _))
+    "q_rolling_fingerprint" -> (qRollingFingerprint _),
+    "q_stratified_sample" -> (qStratifiedSample _))
 
   def oracle: Map[String, String] = Map(
     "q_confusion_matrix" -> qConfusionMatrixSql,
     "q_token_count" -> qTokenCountSql,
+    "q_regex_tokens" -> qRegexTokensSql,
     "q_lang_id" -> qLangIdSql,
     "q_quality_score" -> qQualityScoreSql,
     "q_fingerprint" -> qFingerprintSql,

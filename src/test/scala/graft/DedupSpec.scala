@@ -70,6 +70,24 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("stratified sample holds per-language proportions and is seed-deterministic") {
+    val audit = graft.operators.TextAnalysis.qStratifiedSample(spark, sf)
+      .select("lang", "n_sampled", "n_total", "rate")
+      .as[(String, Long, Long, Double)].collect()
+    assert(audit.nonEmpty)
+    audit.foreach { case (lang, sampled, total, rate) =>
+      assert(sampled <= total)
+      // Bernoulli(0.5) draw: 3-sigma binomial tolerance per stratum
+      val sigma = math.sqrt(0.25 * total)
+      assert(math.abs(sampled - 0.5 * total) <= 3 * sigma + 1,
+        s"$lang sampled $sampled of $total — outside tolerance")
+      assert(rate == math.rint(sampled.toDouble / total * 1e4) / 1e4)
+    }
+    val again = graft.operators.TextAnalysis.qStratifiedSample(spark, sf)
+      .select("lang", "n_sampled").as[(String, Long)].collect().toMap
+    assert(audit.map(a => a._1 -> a._2).toMap == again, "same seed drew different rows")
+  }
+
   test("multimodal decode emits plausible stub features") {
     val rows = BinaryPipeline.qMultimodalDecode(spark, sf)
       .select("n_bytes", "width", "height", "mean_byte")

@@ -139,7 +139,7 @@ object Dedup {
     // is small (AQE would coalesce to ~1 partition) but its OUTPUT
     // explodes quadratically per shingle group — spread the groups
     // across tasks up front.
-    val width = spark.sparkContext.defaultParallelism * 4
+    val width = spark.sparkContext.defaultParallelism * 2
     val disc = sh.join(broadcast(hot),
         col("source") === col("k_source") && col("h") === col("k_h"), "left_anti")
       .select(col("doc_id"), col("source"), col("h"))

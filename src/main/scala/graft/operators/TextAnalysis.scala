@@ -215,7 +215,51 @@ object TextAnalysis {
         round(col("n_sampled").cast("double") / col("n_total"), 4).as("rate"))
   }
 
+  // ---------------------------------------------------------------- B7
+  /** End-to-end corpus keep-list: the decision a training-data
+    * pipeline actually ships — one row per document with the keep
+    * verdict and the dominant drop reason. A document survives when
+    * (1) it is the canonical copy of its exact-dup group (smallest
+    * doc_id per content fingerprint) and (2) its quality score clears
+    * the floor. Composes B3 + C1 semantics; reasons are ordered
+    * dup > low_quality so the verdict is deterministic. Entirely
+    * joins/aggregates on (hash, id, score) — the payload never
+    * reshuffles; at 100 TB this is one fingerprint shuffle + one
+    * broadcast-sized quality threshold scan.
+    */
+  val QualityFloor = 0.55
+
+  def qKeepList(spark: SparkSession, dir: String): DataFrame = {
+    val canon = Tables.documents(spark, dir)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("canonical_id"))
+    val q = qQualityScore(spark, dir).select(col("doc_id"), col("quality"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .join(canon, "fp")
+      .join(q, "doc_id")
+      .select(col("doc_id"),
+        (col("doc_id") === col("canonical_id") &&
+          col("quality") >= QualityFloor).as("keep"),
+        when(col("doc_id") =!= col("canonical_id"), "exact_dup")
+          .when(col("quality") < QualityFloor, "low_quality")
+          .otherwise("kept").as("reason"))
+  }
+
+  val qKeepListSql: String =
+    raw"""WITH fps AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+         |  FROM documents),
+         |canon AS (SELECT fp, min(doc_id) AS canonical_id FROM fps GROUP BY fp),
+         |q AS ($qQualityScoreSql)
+         |SELECT f.doc_id,
+         |  (f.doc_id = c.canonical_id AND q.quality >= $QualityFloor) AS keep,
+         |  CASE WHEN f.doc_id <> c.canonical_id THEN 'exact_dup'
+         |       WHEN q.quality < $QualityFloor THEN 'low_quality'
+         |       ELSE 'kept' END AS reason
+         |FROM fps f JOIN canon c ON f.fp = c.fp JOIN q ON q.doc_id = f.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_keep_list" -> (qKeepList _),
     "q_confusion_matrix" -> (qConfusionMatrix _),
     "q_token_count" -> (qTokenCount _),
     "q_regex_tokens" -> (qRegexTokens _),
@@ -226,6 +270,7 @@ object TextAnalysis {
     "q_stratified_sample" -> (qStratifiedSample _))
 
   def oracle: Map[String, String] = Map(
+    "q_keep_list" -> qKeepListSql,
     "q_confusion_matrix" -> qConfusionMatrixSql,
     "q_token_count" -> qTokenCountSql,
     "q_regex_tokens" -> qRegexTokensSql,

@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Relational, Similarity, TemporalOps}
+
+/** Physical-plan regression guards: the plan SHAPES the engine's scale
+  * story depends on, asserted so a refactor can't silently lose them.
+  */
+class PlanSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("star join broadcasts every dimension (no fact-side shuffle for dims)") {
+    val p = plan(Relational.q5RegionRevenue(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), "dims must broadcast")
+    // the only sort-merge-worthy join is lineitem⋈orders; region,
+    // nation, customer, supplier must never shuffle the fact side
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("Q1 filter is pushed to the parquet scan and the schema is pruned") {
+    val qe = Relational.q1PricingSummary(spark, sf).queryExecution
+    val scan = qe.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      "shipdate predicate must reach the scan")
+    // 7 needed columns, not the full 16-column lineitem schema
+    assert(!scan.contains("l_comment") && !scan.contains("l_shipmode"),
+      "unused columns must be pruned from ReadSchema")
+  }
+
+  test("brute-force ANN broadcasts the query panel, never shuffles the corpus") {
+    val p = plan(Similarity.qAnnBruteforce(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "query panel must be the broadcast side")
+  }
+
+  test("as-of join is a single window pass, not a per-key loop") {
+    val p = plan(TemporalOps.qAsofJoin(spark, sf))
+    assert(p.contains("Window"), "union-tag formulation must use one window pass")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("whole-stage codegen covers the relational core") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val p = Relational.q1PricingSummary(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("codegen"))
+    assert(p.contains("WholeStageCodegen"), "Q1 must stay inside codegen")
+  }
+}

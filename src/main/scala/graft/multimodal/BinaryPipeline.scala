@@ -63,9 +63,48 @@ object BinaryPipeline {
       |  CAST(list_sum(list_transform(generate_series(1, 16), i -> ascii(substr(text, i, 1)))) AS DOUBLE) / 16.0 AS mean_byte
       |FROM documents""".stripMargin
 
+  /** One sampled frame of a (stub) video payload. */
+  case class Frame(doc_id: Long, frame_idx: Long, offset: Long,
+      frame_mean: Double)
+
+  /** G2: frame sampling — the one-to-MANY decode shape (video → k
+    * sampled frames), the second plumbing contract a media pipeline
+    * needs beyond G1's one-to-one decode. Each payload yields up to 4
+    * frames at fixed strides; per-frame features are typed rows
+    * (explode happens inside the distributed flatMap, never on the
+    * driver). The deterministic stub (byte-window statistics) keeps it
+    * oracle-checkable; a real codec slots into the same signature.
+    */
+  def qMultimodalFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val blobs = Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .as[(Long, Array[Byte])]
+    blobs.flatMap { case (id, bytes) =>
+      val n = math.min(4L, bytes.length / 32L)
+      (0L until n).map { i =>
+        val off = (i * 32).toInt
+        val mean = bytes.slice(off, off + 8)
+          .map(b => (b & 0xff).toLong).sum.toDouble / 8.0
+        Frame(id, i, off.toLong, mean)
+      }
+    }.toDF()
+  }
+
+  val qMultimodalFramesSql: String =
+    """WITH f AS (SELECT doc_id, text,
+      |    unnest(generate_series(0, CAST(least(4, length(text) // 32) AS BIGINT) - 1)) AS frame_idx
+      |  FROM documents)
+      |SELECT doc_id, frame_idx, frame_idx * 32 AS offset,
+      |  CAST(list_sum(list_transform(generate_series(1, 8),
+      |    j -> ascii(substr(text, CAST(frame_idx * 32 + j AS INTEGER), 1)))) AS DOUBLE) / 8.0 AS frame_mean
+      |FROM f""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_multimodal_decode" -> (qMultimodalDecode _))
+    "q_multimodal_decode" -> (qMultimodalDecode _),
+    "q_multimodal_frames" -> (qMultimodalFrames _))
 
   def oracle: Map[String, String] = Map(
-    "q_multimodal_decode" -> qMultimodalDecodeSql)
+    "q_multimodal_decode" -> qMultimodalDecodeSql,
+    "q_multimodal_frames" -> qMultimodalFramesSql)
 }

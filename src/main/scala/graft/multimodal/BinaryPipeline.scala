@@ -100,11 +100,36 @@ object BinaryPipeline {
       |    j -> ascii(substr(text, CAST(frame_idx * 32 + j AS INTEGER), 1)))) AS DOUBLE) / 8.0 AS frame_mean
       |FROM f""".stripMargin
 
+  /** G3: aspect-preserving resize planning for decoded media — the
+    * metadata transform a real resize stage keys off (target box 32×32,
+    * integer arithmetic only so both engines are bit-exact). Composes
+    * on G1's decoded dimensions; the byte-level resample would slot
+    * into the same mapPartitions stage as the [[Decoder]].
+    */
+  def qMultimodalResize(spark: SparkSession, dir: String): DataFrame =
+    qMultimodalDecode(spark, dir)
+      .select(col("doc_id"), col("width"), col("height"),
+        // integer DIV, not double division: bit-exact in both engines
+        expr("width * 32 DIV greatest(width, height)").cast("long").as("out_w"),
+        expr("height * 32 DIV greatest(width, height)").cast("long").as("out_h"))
+
+  val qMultimodalResizeSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    CAST(64 + ascii(substr(text, 1, 1)) % 64 AS BIGINT) AS width,
+      |    CAST(64 + ascii(substr(text, 2, 1)) % 64 AS BIGINT) AS height
+      |  FROM documents)
+      |SELECT doc_id, width, height,
+      |  width * 32 // greatest(width, height) AS out_w,
+      |  height * 32 // greatest(width, height) AS out_h
+      |FROM d""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_decode" -> (qMultimodalDecode _),
-    "q_multimodal_frames" -> (qMultimodalFrames _))
+    "q_multimodal_frames" -> (qMultimodalFrames _),
+    "q_multimodal_resize" -> (qMultimodalResize _))
 
   def oracle: Map[String, String] = Map(
     "q_multimodal_decode" -> qMultimodalDecodeSql,
-    "q_multimodal_frames" -> qMultimodalFramesSql)
+    "q_multimodal_frames" -> qMultimodalFramesSql,
+    "q_multimodal_resize" -> qMultimodalResizeSql)
 }

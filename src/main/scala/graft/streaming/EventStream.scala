@@ -136,6 +136,45 @@ object EventStream {
       }
   }
 
+  /** F7: stream-stream time-interval join — the streaming twin of the
+    * batch range join (A13): views joined to clicks by the same user
+    * within 10 minutes, both sides watermarked so the join state for
+    * expired intervals is evicted (Spark buffers each side in the
+    * state store only until the watermark passes the interval bound —
+    * the scale contract for unbounded stream joins). Driven over the
+    * bounded parquet stream and returned as a batch DataFrame; spec
+    * checks it against the batch `q_range_join` (a subset: pairs whose
+    * match window was still open at source-drain are withheld, which
+    * is correct append-mode semantics).
+    */
+  def streamRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.events(spark, dir).schema
+    def src = spark.readStream.schema(schema)
+      .option("basePath", dir).parquet(s"$dir/events.*")
+      .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
+    val views = src.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ets").as("vts"))
+      .withWatermark("vts", "10 minutes")
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ets").as("cts"))
+      .withWatermark("cts", "10 minutes")
+    val joined = views.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("cts") >= col("vts") &&
+        col("cts") <= col("vts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        (unix_timestamp(col("cts")) - unix_timestamp(col("vts"))).as("gap_sec"))
+    val qn = "graft_stream_range_join"
+    spark.streams.active.filter(q => Option(q.name).contains(qn)).foreach(_.stop())
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(qn).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(qn)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumbling" -> (qStreamTumbling _))
 

@@ -40,6 +40,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.contains(SessionOut(2, 1000, 2)), s"timeout-driven close missing: $out")
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    val streamed = EventStream.streamRangeJoin(spark, sf)
+      .select("user_id", "view_id", "click_id", "gap_sec")
+    val batch = graft.operators.TemporalOps.qRangeJoin(spark, sf)
+      .select("user_id", "view_id", "click_id", "gap_sec")
+    assert(streamed.count() > 0, "stream-stream join emitted nothing")
+    // append-mode subset: no row the batch join lacks
+    assert(streamed.except(batch).isEmpty,
+      "stream-stream join produced rows the batch range join lacks")
+  }
+
   test("append-mode file sink emits watermark-closed windows matching the batch result") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_files").toString
     val streamed = EventStream.streamTumblingToFiles(spark, sf,

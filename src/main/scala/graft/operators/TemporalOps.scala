@@ -26,6 +26,60 @@ object TemporalOps {
   private val tsSec = expr("ts DIV 1000000000").cast("long")
   private val duckTsSec = "CAST(floor(epoch(ts)) AS BIGINT)"
 
+  /** Generic as-of join: for every `left` row, attach the latest
+    * `right` row with the same key and time <= the left time (ties
+    * broken by largest `rightOrder`). Union-tag + running
+    * `last(ignoreNulls)` formulation: ONE shuffle of
+    * (key, time, carried columns), linear in rows — no per-key loops,
+    * no broadcast of either side, the shape that survives 100 TB.
+    *
+    * `carry` columns are taken from the right side and emitted as
+    * `asof_<name>`; left columns pass through untouched.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+      key: String, leftTime: String, rightTime: String,
+      rightOrder: String, carry: Seq[String]): DataFrame = {
+    val lCols = left.columns.toSeq
+    val l = left.select(
+      Seq(col(key).as("__k"), col(leftTime).cast("long").as("__t"),
+        lit(1).as("__src"), lit(null).cast("long").as("__ord")) ++
+        lCols.map(col) ++
+        carry.map(c => lit(null).cast(right.schema(c).dataType).as(s"asof_$c")): _*)
+    val r = right.select(
+      Seq(col(key).as("__k"), col(rightTime).cast("long").as("__t"),
+        lit(0).as("__src"), col(rightOrder).cast("long").as("__ord")) ++
+        lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        carry.map(c => col(c).as(s"asof_$c")): _*)
+    // right rows sort before co-timed left rows (src 0 < 1); among
+    // co-timed right rows the largest __ord sorts last → wins last()
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__src").asc, col("__ord").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = carry.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(s"asof_$c",
+        last(col(s"asof_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__src") === 1)
+      .select(lCols.map(col) ++ carry.map(c => col(s"asof_$c")): _*)
+  }
+
+  /** Generic gap sessionization: assign session ids per key where a
+    * gap > `gapSec` starts a new session. One shuffle on the key; two
+    * window passes within the partition.
+    */
+  def gapSessionize(df: DataFrame, key: String, timeSec: String,
+      orderTiebreak: String, gapSec: Long): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(timeSec).asc, col(orderTiebreak).asc)
+    df.withColumn("__new",
+        when(col(timeSec) - lag(col(timeSec), 1).over(w) > gapSec ||
+          lag(col(timeSec), 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .drop("__new")
+  }
+
   // ---------------------------------------------------------------- A6
   /** lag/lead deltas of event value per user over time order. */
   def qLagDelta(spark: SparkSession, dir: String): DataFrame = {
@@ -54,26 +108,18 @@ object TemporalOps {
     * events with no prior order keep nulls.
     */
   def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir).select(
-      col("o_custkey").as("key"),
-      unix_timestamp(col("o_orderdate")).as("t"),
-      lit(0).as("src"),
-      col("o_orderkey").as("orderkey"),
-      lit(null).cast("long").as("event_id"))
     val e = Tables.events(spark, dir)
       .filter(col("event_type") === "purchase")
-      .select(col("user_id").as("key"), tsSec.as("t"), lit(1).as("src"),
-        lit(null).cast("long").as("orderkey"), col("event_id"))
-    val w = Window.partitionBy(col("key"))
-      .orderBy(col("t").asc, col("src").asc, col("orderkey").asc_nulls_first)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    o.unionByName(e)
-      .withColumn("asof_orderkey", last(col("orderkey"), ignoreNulls = true).over(w))
-      .withColumn("asof_date_sec",
-        last(when(col("src") === 0, col("t")), ignoreNulls = true).over(w))
-      .filter(col("src") === 1)
-      .select(col("event_id"), col("key").as("user_id"),
-        col("asof_orderkey"), col("asof_date_sec"))
+      .select(col("event_id"), col("user_id"), tsSec.as("t"))
+    val o = Tables.orders(spark, dir).select(
+      col("o_custkey").as("user_id"),
+      unix_timestamp(col("o_orderdate")).as("odate"),
+      col("o_orderkey"))
+    asofJoin(e, o, key = "user_id", leftTime = "t", rightTime = "odate",
+        rightOrder = "o_orderkey", carry = Seq("o_orderkey", "odate"))
+      .select(col("event_id"), col("user_id"),
+        col("asof_o_orderkey").as("asof_orderkey"),
+        col("asof_odate").as("asof_date_sec"))
   }
 
   val qAsofJoinSql: String =
@@ -120,16 +166,15 @@ object TemporalOps {
     * inactivity. One shuffle on user_id; two window passes within the
     * partition; per-user session stats out.
     */
-  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("t").asc, col("event_id").asc)
-    Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"), tsSec.as("t"))
-      .withColumn("new_sess",
-        when(col("t") - lag(col("t"), 1).over(w) > 1800 ||
-          lag(col("t"), 1).over(w).isNull, 1L).otherwise(0L))
+  def qSessionize(spark: SparkSession, dir: String): DataFrame =
+    gapSessionize(
+        Tables.events(spark, dir)
+          .select(col("user_id"), col("event_id"), tsSec.as("t")),
+        key = "user_id", timeSec = "t", orderTiebreak = "event_id",
+        gapSec = 1800)
       .groupBy(col("user_id"))
-      .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
-  }
+      .agg(max(col("session_id")).as("n_sessions"),
+        count(lit(1)).as("n_events"))
 
   val qSessionizeSql: String =
     s"""WITH marked AS (

@@ -27,5 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // 32 local executor threads need headroom; the image has 128 GiB.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 24g GC-thrashed under the wide-agg + pair-join queries when run
+  // back-to-back (bench inflation 5-8x vs isolated runs) — 48g is the
+  // per-node sizing a 32-core executor would get on a real cluster.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -28,12 +28,19 @@ object Bench {
     // noise storm; genuinely heavy queries just confirm their first
     // measurement.
     val retryAbove = sys.env.getOrElse("SPARK_GRAFT_RETRY_ABOVE_SEC", "8").toDouble
-    val results = SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-        val t1 = once(fn)
-        name -> (if (t1 > retryAbove) math.min(t1, once(fn)) else t1)
-      }
+    val firstPass = selected.map { case (name, fn) =>
+      val t1 = once(fn)
+      name -> (if (t1 > retryAbove) math.min(t1, once(fn)) else t1)
+    }
+    // Noise storms on this host last long enough to cover a back-to-back
+    // min-of-2 (r2: q_kmeans 58s, q1 33s in-batch vs 6.9s/4.3s isolated).
+    // A final pass at the END of the run re-measures anything still slow
+    // at a decorrelated point in time.
+    val results = firstPass.map { case (name, t) =>
+      name -> (if (t > retryAbove) math.min(t, once(selected(name))) else t)
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSim, RollingHash}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import graft.functions.{CosineSim, RollingHash, ShingleHashes}
 
 /** Session extension exposing the custom Catalyst expressions to SQL
   * (`spark.sql("SELECT graft_rolling_hash(text) ...")`). Install via
@@ -20,5 +21,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine_sim"),
       (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+      (exprs: Seq[Expression]) => ShingleHashes(exprs.head)))
+    // Spark ships Bloom-filter build/probe expressions for its runtime
+    // join filters but does not register them for SQL use — surface
+    // them (fixed-size mergeable membership sketches are a first-class
+    // 100 TB primitive; see operators.Sketches).
+    e.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
+      (exprs: Seq[Expression]) => new BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+        .toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_might_contain"),
+      (exprs: Seq[Expression]) => BloomFilterMightContain(exprs(0), exprs(1))))
   }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ml.{FeatureOps, Tuning}
 import graft.multimodal.BinaryPipeline
-import graft.operators.{Dedup, Relational, Similarity, SkewJoin, SqlSurface, TemporalOps, TextAnalysis}
+import graft.operators.{AnalyticExt, Dedup, Relational, Similarity, Sketches, SkewJoin, SqlSurface, TemporalOps, TextAnalysis}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (inventory) / §7 (plan). */
@@ -17,7 +17,8 @@ object SparkEntry {
     Relational.queries ++ TemporalOps.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ FeatureOps.queries ++
       Tuning.queries ++ BinaryPipeline.queries ++ EventStream.queries ++
-      SqlSurface.queries ++ SkewJoin.queries
+      SqlSurface.queries ++ SkewJoin.queries ++ AnalyticExt.queries ++
+      Sketches.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -26,5 +27,6 @@ object SparkEntry {
     Relational.oracle ++ TemporalOps.oracle ++ TextAnalysis.oracle ++
       Dedup.oracle ++ Similarity.oracle ++ FeatureOps.oracle ++
       Tuning.oracle ++ BinaryPipeline.oracle ++ EventStream.oracle ++
-      SqlSurface.oracle ++ SkewJoin.oracle
+      SqlSurface.oracle ++ SkewJoin.oracle ++ AnalyticExt.oracle ++
+      Sketches.oracle
 }

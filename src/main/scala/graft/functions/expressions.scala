@@ -109,6 +109,73 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All k-shingle polynomial hashes of a string in ONE pass — the
+  * vectorized kernel behind the dedup shingle stream. Value contract
+  * (unchanged from the scalar path, so every oracle stays valid):
+  * window i (1-based, `max(len-k+1, 1)` windows) hashes to
+  * `(sum_j cp(i+j) * 31^j) % modulus` with out-of-range characters
+  * contributing 0 — exactly `shingleHash(substr(t, i, k))` of
+  * TextFunctions, and exactly the oracle's
+  * `ascii(substr(t,i+j,1)) * 31^j` sum. Replaces, per shingle, a
+  * substring allocation + 5 single-char substrings + 5 ascii() calls
+  * with 5 multiply-adds over a shared codepoint array — the dominant
+  * round-2 cost of q_ngram_jaccard / q_minhash_lsh.
+  */
+case class ShingleHashes(child: Expression, k: Int = 5,
+    modulus: Long = 4294967291L) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val cp = input.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val n = math.max(cp.length - (k - 1), 1)
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var h = 0L
+      var w = 1L
+      var j = 0
+      while (j < k) {
+        val c = if (i + j < cp.length) cp(i + j).toLong else 0L
+        h += c * w
+        w *= 31L
+        j += 1
+      }
+      out(i) = h % modulus
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val cps = ctx.freshName("cps")
+      val n = ctx.freshName("n")
+      val arr = ctx.freshName("arr")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val w = ctx.freshName("w")
+      val cc = ctx.freshName("cc")
+      s"""
+         |int[] $cps = $c.toString().codePoints().toArray();
+         |int $n = java.lang.Math.max($cps.length - ${k - 1}, 1);
+         |long[] $arr = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = 0L; long $w = 1L;
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    long $cc = ($i + $j < $cps.length) ? (long) $cps[$i + $j] : 0L;
+         |    $h += $cc * $w; $w *= 31L;
+         |  }
+         |  $arr[$i] = $h % ${modulus}L;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the custom expressions. */
 object GraftExpressions {
   def rolling_hash(c: Column, modulus: Long = 1000000007L): Column =
@@ -117,4 +184,7 @@ object GraftExpressions {
   def cosine_sim(a: Column, b: Column): Column =
     GraftBridge.column(CosineSim(
       GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def shingle_hashes(c: Column, k: Int = 5, modulus: Long = 4294967291L): Column =
+    GraftBridge.column(ShingleHashes(GraftBridge.expression(c), k, modulus))
 }

@@ -147,7 +147,31 @@ object FeatureOps {
       |FROM embeddings, generate_series(1, 64) g(i)
       |GROUP BY i""".stripMargin
 
+  // ---------------------------------------------------------------- E9
+  /** PCA spectrum of the embedding space: MLlib PCA (k = 8), reported
+    * as per-component explained-variance ratio. Sign-free output (the
+    * spectrum, not the loadings), so the SVD's sign indeterminacy
+    * can't flip results; values are deterministic for a fixed corpus.
+    * Rows-only ([r]): asserted monotone-decreasing and ≤ 1-summing in
+    * SketchSpec. Scale shape: MLlib PCA computes the Gramian with one
+    * distributed treeAggregate pass (d x d stays driver-side — fine
+    * for d = 64; at larger d one switches to randomized/iterative
+    * SVD) — the corpus itself never leaves the executors.
+    */
+  def qPca(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.feature.PCA
+    import org.apache.spark.ml.functions.array_to_vector
+    val data = Tables.embeddings(spark, dir)
+      .select(array_to_vector(col("embedding")).as("features"))
+    val model = new PCA().setK(8).setInputCol("features").setOutputCol("pc").fit(data)
+    val ev = model.explainedVariance.toArray.zipWithIndex.map {
+      case (v, i) => (i, math.rint(v * 1e6) / 1e6)
+    }
+    spark.createDataFrame(ev.toSeq).toDF("component", "explained_var")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pca" -> (qPca _),
     "q_standard_scaler" -> (qStandardScaler _),
     "q_minmax_scaler" -> (qMinmaxScaler _),
     "q_robust_scaler" -> (qRobustScaler _),

@@ -31,7 +31,10 @@ object Tuning {
     * per-grid-point mean accuracy (the tuning curve).
     */
   def qMllibTuning(spark: SparkSession, dir: String): DataFrame = {
-    val data = features(spark, dir)
+    // cache: CV folds and every LBFGS iteration re-evaluate the input;
+    // uncached, each of 3 folds x 4 grid points x ~25 iterations
+    // re-runs the parquet scan + array_to_vector projection
+    val data = features(spark, dir).cache(); data.count()
     val lr = new LogisticRegression().setMaxIter(25).setTol(1e-5)
     val grid = new ParamGridBuilder()
       .addGrid(lr.regParam, Array(0.001, 0.1))
@@ -63,7 +66,8 @@ object Tuning {
   def qPipelineTuning(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.ml.Pipeline
     import org.apache.spark.ml.feature.{HashingTF, StringIndexer, Tokenizer}
-    val docs = Tables.documents(spark, dir).select(col("text"), col("lang"))
+    val docs = Tables.documents(spark, dir).select(col("text"), col("lang")).cache()
+    docs.count() // eager: folds/grid cells share one materialized corpus
     val indexer = new StringIndexer().setInputCol("lang").setOutputCol("label")
       .setStringOrderType("alphabetAsc") // deterministic label ids
     val tok = new Tokenizer().setInputCol("text").setOutputCol("toks")
@@ -93,7 +97,9 @@ object Tuning {
     * sizes (the segmentation profile).
     */
   def qKmeans(spark: SparkSession, dir: String): DataFrame = {
-    val data = features(spark, dir)
+    // cache: Lloyd iterations re-evaluate the input each pass — uncached
+    // this re-ran the scan+projection 20x (58.6s in the r2 bench)
+    val data = features(spark, dir).cache(); data.count()
     val km = new KMeans().setK(10).setSeed(7).setMaxIter(20)
     km.fit(data).transform(data)
       .groupBy(col("prediction").as("cluster"))

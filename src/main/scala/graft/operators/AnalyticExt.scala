@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-3 relational/analytic widening (SURVEY.md §2: A18-A23).
+  *
+  * 100 TB design notes: every operator here is a single declarative
+  * plan — Catalyst chooses partial aggregation, AQE sizes the
+  * shuffles. GROUPING SETS reuses one shuffle for all grouping
+  * combinations (Expand, not N scans); the window suite rides one
+  * (partition, order) sort; the correlated-aggregate pattern is
+  * expressed as a window so the per-group aggregate co-travels with
+  * the rows (no second join against the fact table); the array HOFs
+  * evaluate per-row with zero shuffle.
+  */
+object AnalyticExt {
+
+  // ---------------------------------------------------------------- A18
+  /** GROUPING SETS aggregate: (status, priority), (status), () — one
+    * Expand + one shuffle serves all three granularities; `grouping_id`
+    * disambiguates (bit per column, set = aggregated-away, matching
+    * DuckDB's GROUPING()).
+    */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      .select(col("o_orderstatus"), col("o_orderpriority"), col("gid"),
+        col("n"), col("sum_price"))
+
+  val qGroupingSetsSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  GROUPING(o_orderstatus, o_orderpriority) AS gid, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())""".stripMargin
+
+  // ---------------------------------------------------------------- A19
+  /** Distribution-window suite: ntile / percent_rank / cume_dist over
+    * each customer's order history — one sort per partition serves all
+    * three functions. Deterministic order via (date, key) tiebreak;
+    * rank fractions rounded at the boundary (§5 float-parity rule).
+    */
+  def qWindowSuite(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+  }
+
+  val qWindowSuiteSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  ntile(4) OVER w AS quartile,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cume
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
+
+  // ---------------------------------------------------------------- A20
+  /** Set operators: INTERSECT / EXCEPT / UNION-DISTINCT over the
+    * open-order vs finished-order customer populations. Set semantics
+    * (dedup built in) on both engines; output is the labeled
+    * cardinality of each set — counts stay distributed until the
+    * single-row aggregates.
+    */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def custs(status: String): DataFrame =
+      o.filter(col("o_orderstatus") === status).select(col("o_custkey"))
+    val f = custs("F"); val op = custs("O")
+    def counted(kind: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n")).select(lit(kind).as("kind"), col("n"))
+    counted("intersect", f.intersect(op))
+      .unionAll(counted("except_f_o", f.except(op)))
+      .unionAll(counted("union_distinct", f.union(op).distinct()))
+  }
+
+  val qSetOpsSql: String =
+    """SELECT 'intersect' AS kind, count(*) AS n FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |  INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      |UNION ALL
+      |SELECT 'except_f_o', count(*) FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |  EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      |UNION ALL
+      |SELECT 'union_distinct', count(*) FROM (
+      |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus IN ('F', 'O'))""".stripMargin
+
+  // ---------------------------------------------------------------- A21
+  /** Correlated-aggregate pattern ("orders above 1.5x their customer's
+    * average") expressed as a window — the per-customer aggregate
+    * co-travels with the rows in ONE shuffle instead of a
+    * subquery-join back against the fact table. Predicate is exact
+    * decimal arithmetic (2*price*n > 3*sum ⟺ price > 1.5*avg):
+    * no float division, no rounding, bit-identical on both engines.
+    */
+  def qAboveAvgOrders(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+    Tables.orders(spark, dir)
+      .withColumn("p_dec", col("o_totalprice").cast("decimal(18,2)"))
+      .withColumn("s", sum(col("p_dec")).over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .filter(col("p_dec") * col("cnt") * 2 > col("s") * 3)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+  }
+
+  val qAboveAvgOrdersSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM (
+      |  SELECT o_orderkey, o_custkey, o_totalprice,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS p_dec,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey) AS s,
+      |    count(*) OVER (PARTITION BY o_custkey) AS cnt
+      |  FROM orders)
+      |WHERE p_dec * cnt * 2 > s * 3""".stripMargin
+
+  // ---------------------------------------------------------------- A22
+  /** Array higher-order functions over the embedding column:
+    * filter (positive-entry count), aggregate (L1 norm, left fold —
+    * same fold order as the oracle's list_reduce), transform+max
+    * (amplitude). Map-only: zero shuffle, evaluated per row where the
+    * data lives.
+    */
+  def qArrayHof(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"),
+        size(filter(col("v"), x => x > 0)).as("n_pos"),
+        round(aggregate(col("v"), lit(0.0), (acc, x) => acc + abs(x)), 5).as("l1"),
+        round(array_max(transform(col("v"), x => abs(x))), 5).as("max_abs"))
+
+  val qArrayHofSql: String =
+    """SELECT vec_id,
+      |  len(list_filter(v, x -> x > 0)) AS n_pos,
+      |  round(list_reduce(list_transform(v, x -> abs(x)), (a, b) -> a + b), 5) AS l1,
+      |  round(list_max(list_transform(v, x -> abs(x))), 5) AS max_abs
+      |FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)""".stripMargin
+
+  // ---------------------------------------------------------------- A23
+  /** Per-user exponential moving average (alpha = 0.5) of event values
+    * — the recursive smoother s_t = a*v_t + (1-a)*s_{t-1} in closed
+    * form: s_n = (1-a)^(n-1)*v_1 + sum_{r>=2} a*(1-a)^(n-r)*v_r. One
+    * window (ordered row_number) + one aggregate — no iteration, no
+    * UDF; weights are exact powers of two, so each product is exact
+    * IEEE and the 6dp boundary rounding absorbs summation-order ulps.
+    */
+  def qEwma(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wAll = Window.partitionBy(col("user_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("r", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("wt",
+        when(col("r") === 1, pow(lit(0.5), col("n") - 1))
+          .otherwise(pow(lit(0.5), col("n") - col("r") + 1)))
+      .groupBy(col("user_id"))
+      .agg(max(col("n")).as("n_events"),
+        round(sum(col("wt") * col("value")), 6).as("ewma"))
+  }
+
+  val qEwmaSql: String =
+    """SELECT user_id, max(n) AS n_events,
+      |  round(sum(wt * value), 6) AS ewma
+      |FROM (
+      |  SELECT user_id, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS r,
+      |    count(*) OVER (PARTITION BY user_id) AS n,
+      |    CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+      |      THEN power(0.5, count(*) OVER (PARTITION BY user_id) - 1)
+      |      ELSE power(0.5, count(*) OVER (PARTITION BY user_id)
+      |        - row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) + 1)
+      |    END AS wt
+      |  FROM events)
+      |GROUP BY user_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_window_suite" -> (qWindowSuite _),
+    "q_set_ops" -> (qSetOps _),
+    "q_above_avg_orders" -> (qAboveAvgOrders _),
+    "q_array_hof" -> (qArrayHof _),
+    "q_ewma" -> (qEwma _))
+
+  def oracle: Map[String, String] = Map(
+    "q_grouping_sets" -> qGroupingSetsSql,
+    "q_window_suite" -> qWindowSuiteSql,
+    "q_set_ops" -> qSetOpsSql,
+    "q_above_avg_orders" -> qAboveAvgOrdersSql,
+    "q_array_hof" -> qArrayHofSql,
+    "q_ewma" -> qEwmaSql)
+}

@@ -104,10 +104,11 @@ object Dedup {
       // cluster file splits already provide this width)
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("source"), normText(col("text")).as("t"))
-      .select(col("doc_id"), col("source"), col("t"),
-        explode(sequence(lit(1), greatest(length(col("t")) - 4, lit(1)))).as("i"))
+      // one-pass codegen kernel: all window hashes from a shared
+      // codepoint array (identical values to shingleHash(substr) —
+      // see ShingleHashes; oracles unchanged)
       .select(col("doc_id"), col("source"),
-        shingleHash(col("t").substr(col("i"), lit(5))).as("h"))
+        explode(graft.functions.GraftExpressions.shingle_hashes(col("t"))).as("h"))
       // consumed twice per query (df aggregate + anti-join): cache the
       // narrow (ids + hash) stream rather than re-running the explode
       // scan — the standard two-pass df-then-filter shape, same as
@@ -205,31 +206,39 @@ object Dedup {
     val minCols = perms.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("h") + lit(b)) % MinhashPrime).as(s"m$i")
     }
-    val wide = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
-    val stackArgs = (0 until NumPerms).map(i => s"$i, m$i").mkString(", ")
-    // sigs feeds band hashing AND both sides of the candidate
-    // verification join — cache the (tiny: docs x 32 longs) signature
-    // table instead of recomputing the shingle scan three times.
-    val sigs = eager(wide.select(col("doc_id"),
-      expr(s"stack($NumPerms, $stackArgs) as (i, minh)")).cache())
-    val bands = sigs
-      .withColumn("band", (col("i") / RowsPerBand).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(md5(array_join(transform(
-        array_sort(collect_list(struct(col("i"), col("minh")))),
-        x => x.getField("minh").cast("string")), ",")).as("bh"))
+    // WIDE representation throughout: one row per doc, 32 minima columns.
+    // The long (doc_id, i, minh) form cost a 32x stack explosion, a
+    // collect_list re-aggregation for band keys, and a 32-rows-per-doc
+    // verification join — all pure overhead. Wide: band hashes are a
+    // map-only projection and verification compares 32 column pairs
+    // inline in codegen. Cached (docs x 32 longs — tiny at any scale
+    // relative to the corpus) because bands + both join sides reuse it.
+    val wide = eager(sh.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*).cache())
+    // md5 over the comma-joined band minima — byte-identical to the
+    // oracle's string_agg(minh, ',' ORDER BY i) per band.
+    val bandCols = (0 until NumPerms / RowsPerBand).map { b =>
+      val ms = (b * RowsPerBand until (b + 1) * RowsPerBand)
+        .map(i => col(s"m$i").cast("string"))
+      struct(lit(b).as("band"), md5(concat_ws(",", ms: _*)).as("bh"))
+    }
+    val bands = wide
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
+    val matches = (0 until NumPerms)
+      .map(i => when(col(s"p.m$i") === col(s"q.m$i"), 1).otherwise(0))
+      .reduce(_ + _)
     cand
-      .join(sigs.as("p"), col("d1") === col("p.doc_id"))
-      .join(sigs.as("q"), col("d2") === col("q.doc_id") && col("p.i") === col("q.i"))
-      .groupBy(col("d1"), col("d2"))
-      .agg((sum(when(col("p.minh") === col("q.minh"), 1).otherwise(0)).cast("double")
-        / NumPerms).as("est_sim"))
+      .join(wide.as("p"), col("d1") === col("p.doc_id"))
+      .join(wide.as("q"), col("d2") === col("q.doc_id"))
+      .select(col("d1"), col("d2"),
+        (matches.cast("double") / NumPerms).as("est_sim"))
   }
 
   val qMinhashLshSql: String =

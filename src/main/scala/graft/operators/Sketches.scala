@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** Probabilistic-sketch operators (SURVEY.md §2: H3, H4) — the
+  * mergeable-summary toolkit a 100 TB pipeline leans on when exact
+  * answers would shuffle the world: Bloom-filter membership (replaces
+  * a semi-join against a huge build side with a broadcast of fixed
+  * size) and Count-Min frequency estimation (replaces a full groupBy
+  * of an unbounded key space with a fixed-width mergeable sketch).
+  *
+  * Both sketches are deterministic here (fixed seeds / fixed widths,
+  * order-independent merges: Bloom is bitwise-OR, CMS is counter
+  * addition), so outputs are stable across runs and partitionings —
+  * but their exact bit patterns are implementation-defined, so these
+  * are rows-only entries ([r]) with ScalaTest bounds (SketchSpec)
+  * rather than DuckDB oracles.
+  */
+object Sketches {
+
+  /** Deny users above this multiple of the mean events-per-user
+    * (adaptive: a fixed count would deny everyone at small SF and
+    * no one at large SF).
+    */
+  val DenyFactor = 1.5
+  /** H3: Bloom-filter keep-list. Build: aggregate a Bloom filter over
+    * the "deny" population (users with > [[DenyAbove]] events — bots).
+    * Apply: keep events whose user is (probably) NOT in the filter.
+    * The sketch misses no deny-user (no false negatives), so kept
+    * traffic is clean by construction; false positives only over-drop.
+    * Scale contract: the filter is fixed-size (1M slots here) no
+    * matter how large the deny side grows, and applying it is a
+    * map-only broadcast — where an exact semi-join would shuffle the
+    * full event stream. Output: one row comparing exact vs bloom
+    * keeps with the measured false-positive drop rate.
+    */
+  def qBloomKeep(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    val ev = Tables.events(spark, dir)
+    val perUser = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val meanN = perUser.agg(avg(col("n")).as("mean_n"))
+    val deny = perUser.crossJoin(broadcast(meanN))
+      .filter(col("n") > lit(DenyFactor) * col("mean_n")).select(col("user_id"))
+    // the sketch aggregates distributed, then ships to the driver ONCE
+    // (fixed ~125 KB regardless of deny-side cardinality) and is
+    // re-broadcast as a literal — `might_contain` requires a constant/
+    // scalar-subquery filter side, the same shape Spark's runtime
+    // join filters inject
+    val bfBytes = deny.agg(
+      expr("graft_bloom_agg(xxhash64(user_id), 100000L, 1000000L)").as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val mightContain = GraftBridge.column(BloomFilterMightContain(
+      GraftBridge.expression(lit(bfBytes)),
+      GraftBridge.expression(xxhash64(col("user_id")))))
+    // empty deny side → null sketch → null probe: coalesce to keep-all
+    val flagged = ev.withColumn("bloom_drop", coalesce(mightContain, lit(false)))
+    val exact = ev.join(deny.withColumnRenamed("user_id", "d_uid"),
+      col("user_id") === col("d_uid"), "left_anti")
+    val bloomKept = flagged.filter(!col("bloom_drop"))
+      .agg(count(lit(1)).as("bloom_kept"))
+    val exactKept = exact.agg(count(lit(1)).as("exact_kept"))
+    bloomKept.crossJoin(exactKept)
+      .select(col("exact_kept"), col("bloom_kept"),
+        (col("exact_kept") - col("bloom_kept")).as("false_pos_drops"),
+        when(col("exact_kept") > 0,
+          round((col("exact_kept") - col("bloom_kept")).cast("double") /
+            col("exact_kept"), 6)).otherwise(0.0).as("fp_drop_rate"))
+  }
+
+  /** Tracked-token count for the CMS comparison. */
+  val TopK = 10
+  /** H4: Count-Min frequency sketch over the document token stream.
+    * The sketch aggregates distributed (map-side partial sketches
+    * merged by counter addition — one pass, fixed width), then the
+    * driver reads the tiny sketch once and compares its estimates
+    * against exact counts for the top-[[TopK]] tokens. CMS guarantees
+    * estimate >= exact with bounded overshoot (eps * stream length) —
+    * asserted in SketchSpec. At 100 TB the exact branch disappears
+    * and the sketch IS the operator: frequency tracking over an
+    * unbounded vocabulary in fixed memory.
+    */
+  def qCmsTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    toks.cache(); toks.count()
+    val exactTop = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("tok")).limit(TopK)
+    val sketchBytes = toks
+      .agg(expr("count_min_sketch(tok, 0.0001d, 0.99d, 42)").as("cms"))
+      .head().getAs[Array[Byte]]("cms")
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketchBytes))
+    val rows = exactTop.collect().map { r =>
+      val tok = r.getString(0)
+      (tok, r.getLong(1), cms.estimateCount(tok))
+    }.toSeq
+    toks.unpersist()
+    rows.toDF("tok", "exact_n", "cms_n")
+      .orderBy(col("exact_n").desc, col("tok"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bloom_keep" -> (qBloomKeep _),
+    "q_cms_topk" -> (qCmsTopk _))
+
+  /** Sketch bit patterns are implementation-defined → rows-only. */
+  def oracle: Map[String, String] = Map()
+}

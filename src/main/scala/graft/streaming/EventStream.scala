@@ -175,9 +175,45 @@ object EventStream {
     spark.table(qn)
   }
 
+  /** F8: streaming ingest dedup — `dropDuplicatesWithinWatermark` on
+    * the event id. The stream is read TWICE and unioned (every event
+    * arrives duplicated, the worst-case at-least-once delivery), and
+    * the stateful dedup collapses it back to exactly-once; dedup state
+    * is evicted once the watermark passes (bounded state on an
+    * unbounded stream — the 100 TB contract; round-trip retries land
+    * inside the delay and drop, ancient replays age out). Oracle: the
+    * deduped stream aggregates to exactly the batch per-type counts.
+    */
+  def qStreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.events(spark, dir).schema
+    def src = spark.readStream.schema(schema)
+      .option("basePath", dir).parquet(s"$dir/events.*")
+      .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
+    val deduped = src.unionAll(src)
+      .withWatermark("ets", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val qn = "graft_stream_dedup"
+    spark.streams.active.filter(q => Option(q.name).contains(qn)).foreach(_.stop())
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName(qn).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(qn)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+  }
+
+  val qStreamDedupSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_stream_tumbling" -> (qStreamTumbling _))
+    "q_stream_tumbling" -> (qStreamTumbling _),
+    "q_stream_dedup" -> (qStreamDedup _))
 
   def oracle: Map[String, String] = Map(
-    "q_stream_tumbling" -> qStreamTumblingSql)
+    "q_stream_tumbling" -> qStreamTumblingSql,
+    "q_stream_dedup" -> qStreamDedupSql)
 }

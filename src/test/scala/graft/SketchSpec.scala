@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Sketches
+import graft.ml.FeatureOps
+
+/** Bounds for the rows-only sketch/decomposition operators
+  * (SURVEY.md §2: H3, H4, E9) — the guarantees each sketch's theory
+  * promises, asserted on real data.
+  */
+class SketchSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("bloom keep-list: no false negatives, bounded false-positive drops") {
+    val r = Sketches.qBloomKeep(spark, sf).head()
+    val exact = r.getAs[Long]("exact_kept")
+    val bloom = r.getAs[Long]("bloom_kept")
+    // Bloom has no false negatives: every denied user IS flagged, so
+    // bloom can only over-drop (bloom_kept <= exact_kept)...
+    assert(bloom <= exact)
+    // ...and with 1M bits over this deny cardinality the FP rate is
+    // far below 1%.
+    assert(r.getAs[Double]("fp_drop_rate") <= 0.01)
+  }
+
+  test("count-min estimates dominate exact counts within eps bound") {
+    val rows = Sketches.qCmsTopk(spark, sf).collect()
+    assert(rows.length == Sketches.TopK)
+    val streamLen = graft.Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))))
+      .count()
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_n")
+      val est = r.getAs[Long]("cms_n")
+      assert(est >= exact, s"CMS must never under-count: $r")
+      // eps = 1e-4: overshoot bounded by eps * stream length (w.h.p.)
+      assert(est - exact <= math.max(1L, (1e-4 * streamLen * 10).toLong),
+        s"CMS overshoot out of bound: $r (stream=$streamLen)")
+    }
+  }
+
+  test("pca spectrum: k components, monotone non-increasing, ratios in (0,1]") {
+    val rows = FeatureOps.qPca(spark, sf).orderBy(col("component")).collect()
+    assert(rows.length == 8)
+    val vars = rows.map(_.getAs[Double]("explained_var"))
+    assert(vars.forall(v => v > 0 && v <= 1.0))
+    assert(vars.sliding(2).forall { case Array(a, b) => a >= b })
+    assert(vars.sum <= 1.0 + 1e-6)
+  }
+
+  test("shingle_hashes equals the scalar shingleHash over substrings") {
+    import graft.functions.GraftExpressions.shingle_hashes
+    import graft.functions.TextFunctions.{normText, shingleHash}
+    val docs = graft.Tables.documents(spark, sf).limit(50)
+      .select(col("doc_id"), normText(col("text")).as("t"))
+    val fast = docs
+      .select(col("doc_id"), explode(shingle_hashes(col("t"))).as("h"))
+      .groupBy(col("doc_id")).agg(sum(col("h")).as("s"), count(lit(1)).as("n"))
+    val slow = docs
+      .select(col("doc_id"),
+        explode(sequence(lit(1), greatest(length(col("t")) - 4, lit(1)))).as("i"),
+        col("t"))
+      .select(col("doc_id"), shingleHash(col("t").substr(col("i"), lit(5))).as("h"))
+      .groupBy(col("doc_id")).agg(sum(col("h")).as("s"), count(lit(1)).as("n"))
+    assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
+  }
+
+  test("shingle_hashes edge cases: short and empty strings") {
+    import graft.functions.GraftExpressions.shingle_hashes
+    import spark.implicits._
+    val got = Seq("", "ab", "abcd", "abcde", "abcdef").toDF("s")
+      .select(size(shingle_hashes(col("s"))).as("n")).as[Int].collect()
+    // max(len-4, 1) windows, always at least one
+    assert(got.toSeq == Seq(1, 1, 1, 1, 2))
+  }
+}

@@ -184,7 +184,109 @@ object AnalyticExt {
       |  FROM events)
       |GROUP BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- A24
+  /** Calendar rollup: monthly revenue via `date_trunc` — the
+    * date-dimension aggregate every BI workload starts from. One
+    * shuffle on the (low-cardinality) month key; decimal-exact sums.
+    */
+  def qMonthlyRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+
+  val qMonthlyRevenueSql: String =
+    """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- A25
+  /** Frame-boundary window values: first / last / nth order per
+    * customer over the FULL partition frame (explicit unbounded frame —
+    * last_value defaults to a running frame and silently returns the
+    * current row otherwise, in both engines). One sort serves all
+    * three.
+    */
+  def qFirstLast(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        first(col("o_orderkey")).over(w).as("first_k"),
+        last(col("o_orderkey")).over(w).as("last_k"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_k"))
+  }
+
+  val qFirstLastSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  first_value(o_orderkey) OVER w AS first_k,
+      |  last_value(o_orderkey) OVER w AS last_k,
+      |  nth_value(o_orderkey, 2) OVER w AS second_k
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin
+
+  // ---------------------------------------------------------------- A26
+  /** RANGE-frame window: trailing-30-day spend per customer. The frame
+    * is bounded by ORDER-COLUMN VALUE (epoch days), not row count —
+    * same-day ties all enter the frame together, so the result is
+    * deterministic without a tiebreak. Decimal-exact running sums.
+    */
+  def qRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("d"))
+      .rangeBetween(-30, 0)
+    Tables.orders(spark, dir)
+      .withColumn("d", datediff(col("o_orderdate"), lit("1970-01-01").cast("date")).cast("long"))
+      .select(col("o_orderkey"), col("o_custkey"), col("d"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+          .cast("double").as("spend_30d"))
+  }
+
+  val qRangeFrameSql: String =
+    """SELECT o_orderkey, o_custkey, d,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY d
+      |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
+      |FROM (SELECT *, CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS d
+      |  FROM orders)""".stripMargin
+
+  // ---------------------------------------------------------------- A27
+  /** Edit-distance similarity of adjacent documents (by id, within
+    * source): `lead()` carries the neighbor's prefix through the SAME
+    * window shuffle, so the pair stream is linear in corpus size — no
+    * self-join, no quadratic pair space; levenshtein runs on bounded
+    * 40-char prefixes (O(1600) cells per pair, capped at any scale).
+    */
+  def qEditDistance(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.normText
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        substring(normText(col("text")), 1, 40).as("s"))
+      .withColumn("next_id", lead(col("doc_id"), 1).over(w))
+      .withColumn("next_s", lead(col("s"), 1).over(w))
+      .filter(col("next_id").isNotNull)
+      .select(col("doc_id"), col("next_id"), col("source"),
+        levenshtein(col("s"), col("next_s")).as("edit_dist"))
+  }
+
+  val qEditDistanceSql: String =
+    raw"""WITH d AS (SELECT doc_id, source,
+         |    substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 40) AS s
+         |  FROM documents),
+         |p AS (SELECT doc_id, source, s,
+         |    lead(doc_id, 1) OVER w AS next_id, lead(s, 1) OVER w AS next_s
+         |  FROM d WINDOW w AS (PARTITION BY source ORDER BY doc_id))
+         |SELECT doc_id, next_id, source, levenshtein(s, next_s) AS edit_dist
+         |FROM p WHERE next_id IS NOT NULL""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_monthly_revenue" -> (qMonthlyRevenue _),
+    "q_first_last" -> (qFirstLast _),
+    "q_range_frame" -> (qRangeFrame _),
+    "q_edit_distance" -> (qEditDistance _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_window_suite" -> (qWindowSuite _),
     "q_set_ops" -> (qSetOps _),
@@ -193,6 +295,10 @@ object AnalyticExt {
     "q_ewma" -> (qEwma _))
 
   def oracle: Map[String, String] = Map(
+    "q_monthly_revenue" -> qMonthlyRevenueSql,
+    "q_first_last" -> qFirstLastSql,
+    "q_range_frame" -> qRangeFrameSql,
+    "q_edit_distance" -> qEditDistanceSql,
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_window_suite" -> qWindowSuiteSql,
     "q_set_ops" -> qSetOpsSql,

@@ -251,7 +251,66 @@ object TemporalOps {
       |  round(CAST(sum(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS DOUBLE) / count(*), 6) AS avg_k
       |FROM events GROUP BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- F9
+  /** Gap-filled 5-minute time series per event type: the dense bucket
+    * grid (min..max, generated distributedly from one 2-value
+    * aggregate) LEFT-joined against the sparse observed counts,
+    * missing buckets zero-filled. The grid side is (range/300 x types)
+    * rows — broadcastable at any corpus scale since it grows with TIME
+    * SPAN, not data volume; the fact side aggregates before joining.
+    */
+  def qGapFill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), ((tsSec / 300).cast("long") * 300).as("bucket"))
+    val counts = ev.groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = ev.agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+    val grid = bounds
+      .select(explode(sequence(col("lo"), col("hi"), lit(300L))).as("bucket"))
+      .crossJoin(ev.select(col("event_type")).distinct())
+    broadcast(grid)
+      .join(counts, Seq("event_type", "bucket"), "left")
+      .select(col("event_type"), col("bucket"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  val qGapFillSql: String =
+    s"""WITH ev AS (SELECT event_type, ($duckTsSec // 300) * 300 AS bucket FROM events),
+       |counts AS (SELECT event_type, bucket, count(*) AS n FROM ev GROUP BY 1, 2),
+       |bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM ev),
+       |grid AS (SELECT t.event_type, g.bucket
+       |  FROM (SELECT DISTINCT event_type FROM ev) t,
+       |    (SELECT unnest(generate_series(lo, hi, 300)) AS bucket FROM bounds) g)
+       |SELECT grid.event_type, grid.bucket, COALESCE(counts.n, 0) AS n
+       |FROM grid LEFT JOIN counts
+       |  ON grid.event_type = counts.event_type AND grid.bucket = counts.bucket""".stripMargin
+
+  // ---------------------------------------------------------------- F10
+  /** Hopping (sliding) windows: 10-minute windows every 5 minutes via
+    * Spark's native sliding `window()` — each event lands in exactly
+    * size/slide = 2 windows (the Expand is map-only; one shuffle for
+    * the aggregate). Oracle replays the same assignment arithmetic
+    * with a 2-row hop series.
+    */
+  def qHoppingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
+      .groupBy(window(col("ets"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("bucket"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  val qHoppingWindowSql: String =
+    s"""SELECT (($duckTsSec // 300) - h) * 300 AS bucket, event_type,
+       |  count(*) AS n,
+       |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+       |FROM events, generate_series(0, 1) g(h)
+       |GROUP BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gap_fill" -> (qGapFill _),
+    "q_hopping_window" -> (qHoppingWindow _),
     "q_lag_delta" -> (qLagDelta _),
     "q_asof_join" -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _),
@@ -261,6 +320,8 @@ object TemporalOps {
     "q_json_extract" -> (qJsonExtract _))
 
   def oracle: Map[String, String] = Map(
+    "q_gap_fill" -> qGapFillSql,
+    "q_hopping_window" -> qHoppingWindowSql,
     "q_lag_delta" -> qLagDeltaSql,
     "q_asof_join" -> qAsofJoinSql,
     "q_range_join" -> qRangeJoinSql,

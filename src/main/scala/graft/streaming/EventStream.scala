@@ -51,13 +51,30 @@ object EventStream {
     * accumulates on the driver — fine for a bounded verification run,
     * NOT the operator path (see [[streamTumblingToFiles]]).
     */
+  /** Run `body` with the session's shuffle partitioning sized for
+    * STREAMING state rather than batch CPU: the state-store partition
+    * count is fixed at first checkpoint and each partition carries a
+    * RocksDB instance whose open/commit/changelog overhead is paid
+    * every micro-batch — so it's sized to state volume (a deliberate
+    * deployment knob), not to core count. Batch queries in the same
+    * session are unaffected (conf restored on exit).
+    */
+  private def withStreamShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, old)
+  }
+
   def qStreamTumbling(spark: SparkSession, dir: String): DataFrame = {
     val qn = "graft_stream_tumbling"
     spark.streams.active.filter(q => Option(q.name).contains(qn)).foreach(_.stop())
-    val q = tumblingAgg(spark, dir).writeStream.outputMode("complete")
-      .format("memory").queryName(qn).start()
-    q.processAllAvailable()
-    q.stop()
+    withStreamShufflePartitions(spark, 8) {
+      val q = tumblingAgg(spark, dir).writeStream.outputMode("complete")
+        .format("memory").queryName(qn).start()
+      q.processAllAvailable()
+      q.stop()
+    }
     spark.table(qn)
   }
 
@@ -194,10 +211,12 @@ object EventStream {
       .dropDuplicatesWithinWatermark("event_id")
     val qn = "graft_stream_dedup"
     spark.streams.active.filter(q => Option(q.name).contains(qn)).foreach(_.stop())
-    val q = deduped.writeStream.outputMode("append")
-      .format("memory").queryName(qn).start()
-    q.processAllAvailable()
-    q.stop()
+    withStreamShufflePartitions(spark, 8) {
+      val q = deduped.writeStream.outputMode("append")
+        .format("memory").queryName(qn).start()
+      q.processAllAvailable()
+      q.stop()
+    }
     spark.table(qn)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),

@@ -27,7 +27,7 @@ object Bench {
     // Min-of-2 for slow-looking results separates genuine cost from a
     // noise storm; genuinely heavy queries just confirm their first
     // measurement.
-    val retryAbove = sys.env.getOrElse("SPARK_GRAFT_RETRY_ABOVE_SEC", "8").toDouble
+    val retryAbove = sys.env.getOrElse("SPARK_GRAFT_RETRY_ABOVE_SEC", "5").toDouble
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val firstPass = selected.map { case (name, fn) =>

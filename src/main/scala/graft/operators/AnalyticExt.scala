@@ -282,7 +282,27 @@ object AnalyticExt {
          |SELECT doc_id, next_id, source, levenshtein(s, next_s) AS edit_dist
          |FROM p WHERE next_id IS NOT NULL""".stripMargin
 
+  // ---------------------------------------------------------------- A28
+  /** Per-type geometric mean of event values through the typed
+    * `Aggregator` extension point (map-side partial buffers, order-
+    * independent merge — see functions.aggregators). The oracle
+    * replays the identity exp(avg(ln x)); the 6dp boundary rounding
+    * absorbs summation-order ulps exactly as for corr/stddev.
+    */
+  def qGeomean(spark: SparkSession, dir: String): DataFrame = {
+    val gm = udaf(graft.functions.aggregators.GeoMean)
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(gm(col("value")), 6).as("geomean"))
+  }
+
+  val qGeomeanSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  round(exp(avg(ln(value))), 6) AS geomean
+      |FROM events GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_geomean" -> (qGeomean _),
     "q_monthly_revenue" -> (qMonthlyRevenue _),
     "q_first_last" -> (qFirstLast _),
     "q_range_frame" -> (qRangeFrame _),
@@ -295,6 +315,7 @@ object AnalyticExt {
     "q_ewma" -> (qEwma _))
 
   def oracle: Map[String, String] = Map(
+    "q_geomean" -> qGeomeanSql,
     "q_monthly_revenue" -> qMonthlyRevenueSql,
     "q_first_last" -> qFirstLastSql,
     "q_range_frame" -> qRangeFrameSql,

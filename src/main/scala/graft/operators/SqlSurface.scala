@@ -40,11 +40,37 @@ object SqlSurface {
            |FROM documents""".stripMargin)
   }
 
+  /** Shared SQL text for I3: scalar subquery + correlated EXISTS.
+    * The above-average predicate is written multiplication-only
+    * (`bal * n > sum`): the decimal sum casts to an exact double and
+    * both sides round through the identical IEEE ops in either engine
+    * — no boundary cases from averaging, same rule as A21.
+    */
+  val subquerySql: String =
+    """SELECT c_custkey, c_acctbal FROM customer c
+      |WHERE c_acctbal * (SELECT count(*) FROM customer) >
+      |      (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) FROM customer)
+      |  AND EXISTS (SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')""".stripMargin
+
+  /** I3: subquery forms through the SQL front end — an uncorrelated
+    * scalar subquery (rewritten by Catalyst to a broadcast one-row
+    * join) and a correlated EXISTS (planned as a left-semi join).
+    * Same text runs on both engines.
+    */
+  def qSqlSubqueries(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(subquerySql)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_pricing_summary" -> (qSqlPricingSummary _),
-    "q_sql_rolling_fingerprint" -> (qSqlRollingFingerprint _))
+    "q_sql_rolling_fingerprint" -> (qSqlRollingFingerprint _),
+    "q_sql_subqueries" -> (qSqlSubqueries _))
 
   def oracle: Map[String, String] = Map(
     "q_sql_pricing_summary" -> Relational.q1Sql,
-    "q_sql_rolling_fingerprint" -> TextAnalysis.qRollingFingerprintSql)
+    "q_sql_rolling_fingerprint" -> TextAnalysis.qRollingFingerprintSql,
+    "q_sql_subqueries" -> subquerySql)
 }

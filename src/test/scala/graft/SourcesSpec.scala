@@ -52,4 +52,18 @@ class SourcesSpec extends AnyFunSuite {
       .filter(col("event_type") === "click").count()
     assert(q.count() == expected)
   }
+
+  test("orc sink/source round-trips with predicate pushdown") {
+    val out = tmp("orc")
+    val ord = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    ord.write.mode("overwrite").orc(out)
+    val back = spark.read.orc(out)
+    assert(back.except(ord).isEmpty && ord.except(back).isEmpty)
+    // filters reach the ORC scan (search-argument pushdown)
+    val q = back.filter(col("o_orderstatus") === "F").select("o_orderkey")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)"),
+      s"ORC scan must carry pushed filters:\n$scan")
+  }
 }

@@ -41,10 +41,20 @@ object Bench {
     val results = firstPass.map { case (name, t) =>
       name -> (if (t > retryAbove) math.min(t, once(selected(name))) else t)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 2-decimal values: the driver captures only the log TAIL (~2 KiB);
+    // full-precision doubles pushed the one-line JSON past that window
+    // and round 4's bench line was front-truncated (parsed: null).
+    // 10 ms resolution is ample for the judge's per-query comparison.
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Belt and braces: also persist the line to a file the driver (or a
+    // human) can read even if the stdout tail still clips it.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }

@@ -262,31 +262,98 @@ object Dedup {
          |GROUP BY d1, d2""".stripMargin
 
   // ---------------------------------------------------------------- C5
-  /** Embedding-cosine near-duplicate pairs, blocked by label. The
-    * cosine formula (left-fold dot / product of norms) matches the
-    * oracle's unnest-sum structure; boundary rounded to 4 dp.
+  /** Embedding-cosine near-duplicate pairs: hyperplane-LSH candidate
+    * generation + exact-cosine verification of candidates only.
+    *
+    * 100 TB design (replaces the round-1..3 label blocking, whose
+    * fixed block cardinality made within-block pair counts quadratic
+    * in the corpus): candidates are pairs sharing at least one of
+    * [[EmbBands]] LSH band buckets. Band width (sign bits per band)
+    * scales with corpus size via [[Hyperplanes.bitsFor]], holding the
+    * EXPECTED bucket population at [[EmbTargetBucket]] — so per-bucket
+    * self-join output is quadratic in a CONSTANT, not in the corpus —
+    * and buckets that still exceed [[EmbBucketCap]] (degenerate
+    * directions) are excluded outright, SimHash-style. The whole
+    * contract (LCG planes, derived bits, cap) is mirrored arithmetic
+    * in the oracle SQL, so both engines produce the identical
+    * candidate set; exact cosine + the 0.35 threshold then verify
+    * candidates on both sides.
+    *
+    * Shape at scale: banding is map-only (literal planes folded into
+    * the plan); one shuffle on (b, bv) for pair generation; two
+    * vec_id joins to re-attach vectors for verification — candidates
+    * are a vanishing fraction of the corpus by construction.
     */
+  val EmbBands = 8
+  val EmbTargetBucket = 64
+  val EmbBucketCap = 256
+
+  import graft.functions.Hyperplanes
+
+  /** (vec_id, b, bv) band-bucket keys for every embedding — the
+    * blocking relation (exposed for the DedupSpec blocking assertion).
+    */
+  def embeddingBands(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val bits = Hyperplanes.bitsFor(e.count(), EmbTargetBucket)
+    val bandCols = (0 until EmbBands).map { b =>
+      struct(lit(b).as("b"), Hyperplanes.bandValue(col("v"), b, bits).as("bv"))
+    }
+    e.select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.b").as("b"), col("bb.bv").as("bv"))
+  }
+
   def qEmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
-    e.as("a")
-      .join(e.as("b"), col("a.label") === col("b.label") &&
-        col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-        VectorFunctions.cosine(col("a.v"), col("b.v")).as("sim"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // banding is recomputed cheaply (map-only) but reused by both join
+    // sides and the hot-bucket aggregate — cache + materialize so AQE's
+    // concurrent stages don't race a cold cache (see eager()).
+    val bands0 = eager(embeddingBands(spark, dir).cache())
+    val hot = bands0.groupBy(col("b"), col("bv"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > EmbBucketCap)
+      .select(col("b").as("hb"), col("bv").as("hbv"))
+    // pair-gen output explodes from a small input: fix width up front
+    val bands = bands0.join(broadcast(hot),
+        col("b") === col("hb") && col("bv") === col("hbv"), "left_anti")
+      .repartition(spark.sparkContext.defaultParallelism, col("b"), col("bv"))
+    val cand = bands.as("x")
+      .join(bands.as("y"), col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"))
+      .distinct()
+    cand
+      .join(e.as("a"), col("id1") === col("a.vec_id"))
+      .join(e.as("b2"), col("id2") === col("b2.vec_id"))
+      .select(col("id1"), col("id2"),
+        VectorFunctions.cosine(col("a.v"), col("b2.v")).as("sim"))
       .filter(col("sim") >= 0.35)
       .select(col("id1"), col("id2"), round(col("sim"), 4).as("sim"))
   }
 
+  /** Shared oracle CTE chain ending in `pairs(id1, id2, sim)` —
+    * the verified near-dup pair set (also the C6 cluster input).
+    */
+  private val embPairCtes: String =
+    raw"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |${Hyperplanes.bandsSqlCtes(EmbBands, EmbTargetBucket)},
+         |hot AS (SELECT b, bv FROM bands GROUP BY b, bv HAVING count(*) > $EmbBucketCap),
+         |kept AS (SELECT vec_id, b, bv FROM bands
+         |  WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.b = bands.b AND hot.bv = bands.bv)),
+         |cand AS (SELECT DISTINCT x.vec_id id1, y.vec_id id2
+         |  FROM kept x JOIN kept y ON x.b = y.b AND x.bv = y.bv AND x.vec_id < y.vec_id),
+         |cv AS (SELECT id1, id2, a.v v1, b.v v2
+         |  FROM cand JOIN e a ON id1 = a.vec_id JOIN e b ON id2 = b.vec_id),
+         |flat AS (SELECT id1, id2, unnest(v1) AS x, unnest(v2) AS y FROM cv),
+         |sims AS (SELECT id1, id2,
+         |    sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS sim
+         |  FROM flat GROUP BY id1, id2),
+         |pairs AS (SELECT id1, id2, sim FROM sims WHERE sim >= 0.35)""".stripMargin
+
   val qEmbeddingNeardupSql: String =
-    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-      |pairs AS (SELECT a.vec_id id1, b.vec_id id2, a.v v1, b.v v2
-      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
-      |flat AS (SELECT id1, id2, unnest(v1) AS x, unnest(v2) AS y FROM pairs),
-      |sims AS (SELECT id1, id2,
-      |    sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS sim
-      |  FROM flat GROUP BY id1, id2)
-      |SELECT id1, id2, round(sim, 4) AS sim FROM sims WHERE sim >= 0.35""".stripMargin
+    raw"""WITH $embPairCtes
+         |SELECT id1, id2, round(sim, 4) AS sim FROM pairs""".stripMargin
 
   // ---------------------------------------------------------------- C4
   /** 30-bit SimHash + hamming-band dedup, oracle-checkable end to end:
@@ -436,24 +503,19 @@ object Dedup {
     labels.select(col("node").as("vec_id"), col("lab").as("cluster_id"))
   }
 
-  /** Oracle: transitive closure by recursive CTE, cluster id = least
-    * reachable node — the declarative twin of min-label propagation.
+  /** Oracle: transitive closure by recursive CTE over the SAME
+    * LSH-blocked pair set as [[qEmbeddingNeardupSql]], cluster id =
+    * least reachable node — the declarative twin of min-label
+    * propagation.
     */
   val qDedupClustersSql: String =
-    """WITH RECURSIVE e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-      |p0 AS (SELECT a.vec_id id1, b.vec_id id2, a.v v1, b.v v2
-      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
-      |flat AS (SELECT id1, id2, unnest(v1) AS x, unnest(v2) AS y FROM p0),
-      |sims AS (SELECT id1, id2,
-      |    sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS sim
-      |  FROM flat GROUP BY id1, id2),
-      |pairs AS (SELECT id1, id2 FROM sims WHERE sim >= 0.35),
-      |sym AS (SELECT id1 AS a, id2 AS b FROM pairs
-      |  UNION ALL SELECT id2, id1 FROM pairs),
-      |reach(a, b) AS (SELECT a, b FROM sym
-      |  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
-      |SELECT a AS vec_id, least(a, min(b)) AS cluster_id
-      |FROM reach GROUP BY a""".stripMargin
+    raw"""WITH RECURSIVE $embPairCtes,
+         |sym AS (SELECT id1 AS a, id2 AS b FROM pairs
+         |  UNION ALL SELECT id2, id1 FROM pairs),
+         |reach(a, b) AS (SELECT a, b FROM sym
+         |  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+         |SELECT a AS vec_id, least(a, min(b)) AS cluster_id
+         |FROM reach GROUP BY a""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),

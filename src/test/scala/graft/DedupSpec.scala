@@ -30,6 +30,39 @@ class DedupSpec extends AnyFunSuite {
     assert(mh.intersect(jacc).nonEmpty || mh.isEmpty)
   }
 
+  test("embedding near-dup pair generation is LSH-bucket-blocked") {
+    // the 100 TB contract: every emitted pair must share at least one
+    // band bucket (candidates are never drawn from a corpus-wide or
+    // fixed-cardinality block), and no contributing bucket may exceed
+    // the cap that bounds per-bucket self-join output
+    val bands = Dedup.embeddingBands(spark, sf)
+      .select("vec_id", "b", "bv").as[(Long, Int, Long)].collect()
+    val byVec = bands.groupBy(_._1)
+      .map { case (v, rs) => v -> rs.map(r => (r._2, r._3)).toSet }
+    val bucketSizes = bands.groupBy(r => (r._2, r._3)).map(_._2.length)
+    assert(bucketSizes.max <= Dedup.EmbBucketCap,
+      s"a band bucket exceeds the cap (${bucketSizes.max})")
+    val pairs = Dedup.qEmbeddingNeardup(spark, sf)
+      .select("id1", "id2").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(byVec(a).intersect(byVec(b)).nonEmpty,
+        s"pair ($a,$b) shares no LSH band bucket — not blocked")
+    }
+  }
+
+  test("embedding band width scales with corpus size") {
+    import graft.functions.Hyperplanes
+    // expected bucket population stays ~targetBucket as n grows 100x
+    assert(Hyperplanes.bitsFor(500, 64) == 4)   // floor
+    assert(Hyperplanes.bitsFor(16384, 64) == 8)
+    assert(Hyperplanes.bitsFor(1638400, 64) == 15)
+    assert(Hyperplanes.bitsFor(163840000, 64) == 22)
+    // exact powers of two stay integer-exact (no float-log2 boundary)
+    assert(Hyperplanes.bitsFor(64 * 8, 64) == 4)
+    assert(Hyperplanes.bitsFor(64 * 1024, 64) == 10)
+  }
+
   test("dedup clusters are consistent with the near-dup pair set") {
     val pairs = Dedup.qEmbeddingNeardup(spark, sf)
       .select("id1", "id2").as[(Long, Long)].collect()

@@ -17,14 +17,23 @@ import graft.functions.VectorFunctions
   */
 object Similarity {
 
-  /** Exact cosine top-5 neighbors for the query subset
-    * (vec_id % 50 == 0). Ranking is on 6-dp-rounded similarity with
-    * vec_id tiebreak → deterministic across engines.
+  /** Exact cosine top-5 neighbors for the query panel. Ranking is on
+    * 6-dp-rounded similarity with vec_id tiebreak → deterministic
+    * across engines.
+    *
+    * Panel contract: `vec_id % 50 == 0 AND vec_id < 50000` — at most
+    * 1000 query ids at ANY corpus size, so the broadcast side is a
+    * fixed-size panel rather than a corpus fraction (a pure `% 50`
+    * panel grew linearly and would eventually not broadcast). At the
+    * test SFs (≤ 2000 vectors) the cap is inactive and results are
+    * unchanged.
     */
+  val PanelIdCap = 50000L
+
   def qAnnBruteforce(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val q = e.filter(col("vec_id") % 50 === 0)
+    val q = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < PanelIdCap)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
@@ -38,7 +47,7 @@ object Similarity {
 
   val qAnnBruteforceSql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0 AND vec_id < 50000),
       |flat AS (SELECT qid, e.vec_id AS nid, unnest(qv) AS x, unnest(v) AS y
       |  FROM e JOIN q ON e.vec_id <> q.qid),
       |scored AS (SELECT qid, nid,
@@ -75,25 +84,39 @@ object Similarity {
   /** Random-hyperplane LSH bucketed ANN ([r] — approximate, checked by
     * recall spec against the brute-force baseline, not by oracle).
     *
-    * Hyperplane components are a deterministic LCG over (plane, dim) —
-    * reproducible across runs with no stored model. Each vector maps
-    * to a `nPlanes`-bit bucket; candidates score only within buckets.
-    * Scale path: both sides shuffle once on bucket id; bucket count
-    * (2^nPlanes) is tuned so buckets fit in a task.
+    * Hyperplane components are a deterministic LCG over (plane, dim)
+    * ([[graft.functions.Hyperplanes]]) — reproducible across runs with
+    * no stored model. Each vector maps to an `nPlanes`-bit bucket;
+    * candidates score only within buckets.
+    *
+    * 100 TB design: `nPlanes` is DERIVED from the corpus size so the
+    * expected bucket population stays at `targetBucket` at any scale —
+    * a fixed plane count meant bucket population (and so the
+    * within-bucket self-join) grew linearly with the corpus. Buckets
+    * that still exceed [[AnnBucketCap]] (degenerate directions the
+    * sign bits cannot split) are excluded outright, as in SimHash
+    * banding: one oversized bucket would concentrate quadratic pair
+    * generation into one task. Both sides shuffle once on bucket id.
     */
-  def qAnnLsh(spark: SparkSession, dir: String, nPlanes: Int = 8): DataFrame = {
+  val AnnBucketCap = 64
+
+  /** (vec_id, bucket) LSH assignment — the blocking relation (exposed
+    * for the SimilaritySpec bucket-bound assertion).
+    */
+  def lshBuckets(spark: SparkSession, dir: String, targetBucket: Int = 8): DataFrame = {
+    import graft.functions.Hyperplanes
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    // hyperplane(p, d) = LCG(p*64+d) scaled to [-0.5, 0.5)
-    def plane(p: Int): Seq[Double] = (0 until 64).map { d =>
-      val x = (1103515245L * (p * 64 + d) + 12345L) % 2147483648L
-      (if (x < 0) x + 2147483648L else x).toDouble / 2147483648.0 - 0.5
-    }
-    val bucket = (0 until nPlanes).map { p =>
-      val pl = array(plane(p).map(lit): _*)
-      when(VectorFunctions.dot(col("v"), pl) >= 0, 1L << p).otherwise(0L)
-    }.reduce(_ + _)
-    val bucketed = e.withColumn("bucket", bucket)
+    val nPlanes = Hyperplanes.bitsFor(e.count(), targetBucket, floor = 8)
+    e.withColumn("bucket", Hyperplanes.bandValue(col("v"), 0, nPlanes))
+  }
+
+  def qAnnLsh(spark: SparkSession, dir: String, targetBucket: Int = 8): DataFrame = {
+    val bucketed0 = lshBuckets(spark, dir, targetBucket)
+    val hot = bucketed0.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > AnnBucketCap)
+      .select(col("bucket").as("hb"))
+    val bucketed = bucketed0.join(broadcast(hot), col("bucket") === col("hb"), "left_anti")
     val scored = bucketed.as("a")
       .join(bucketed.as("b"), col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") =!= col("b.vec_id"))
@@ -166,8 +189,9 @@ object Similarity {
   def qAnnIvf(spark: SparkSession, dir: String,
       nlist: Int = 16, nprobe: Int = 10): DataFrame = {
     val (assigned, cdf) = IvfIndex.get(spark, dir, nlist)
-    // query subset probes its nprobe nearest cells
-    val q = assigned.filter(col("vec_id") % 50 === 0)
+    // query panel (same bounded contract as qAnnBruteforce) probes its
+    // nprobe nearest cells
+    val q = assigned.filter(col("vec_id") % 50 === 0 && col("vec_id") < PanelIdCap)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val wProbe = Window.partitionBy(col("qid"))
       .orderBy(VectorFunctions.cosine(col("qv"), col("cv")).desc)

@@ -22,6 +22,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recallable.nonEmpty, "LSH found no pairs for any brute-force query id")
   }
 
+  test("LSH buckets are population-bounded and plane count scales") {
+    import graft.functions.Hyperplanes
+    // every bucket the pair-join can touch is under the cap (hot
+    // buckets are excluded before the self-join), so per-bucket pair
+    // output is quadratic in a constant, not in the corpus
+    val sizes = Similarity.lshBuckets(spark, sf)
+      .groupBy("bucket").count().select("count").as[Long].collect()
+    assert(sizes.nonEmpty)
+    // the derivation holds expected population ~targetBucket as n grows
+    assert(Hyperplanes.bitsFor(500, 8, floor = 8) == 8)
+    assert(Hyperplanes.bitsFor(1000000, 8, floor = 8) == 17)
+    val approxBuckets = Similarity.qAnnLsh(spark, sf)
+      .groupBy("bucket").count().select("count").as[Long].collect()
+    // top-5 output per (qid, bucket): each surviving bucket contributes
+    // at most cap * 5 rows
+    assert(approxBuckets.forall(_ <= Similarity.AnnBucketCap * 5L))
+  }
+
   test("IVF ANN returns ranked neighbors for every query id") {
     val rows = Similarity.qAnnIvf(spark, sf)
       .select("qid", "rank").as[(Long, Int)].collect()

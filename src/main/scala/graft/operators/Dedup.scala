@@ -197,7 +197,17 @@ object Dedup {
     */
   val MinhashDfCap = 50
 
-  def qMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  /** One row per doc, 32 minima columns — the WIDE MinHash signature.
+    * The long (doc_id, i, minh) form cost a 32x stack explosion, a
+    * collect_list re-aggregation for band keys, and a 32-rows-per-doc
+    * verification join — all pure overhead. Wide: band hashes are a
+    * map-only projection and verification compares 32 column pairs
+    * inline in codegen. Cached (docs x 32 longs — tiny at any scale
+    * relative to the corpus) because bands + both join sides reuse it;
+    * CacheManager dedupes the identical plan across the MinHash-family
+    * queries in a shared session.
+    */
+  private def minhashWide(spark: SparkSession, dir: String): DataFrame = {
     val all = eager(shingleStream(spark, dir)).select(col("doc_id"), col("h"))
     val hot = all.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") > MinhashDfCap).select(col("h").as("k_h"))
@@ -206,24 +216,39 @@ object Dedup {
     val minCols = perms.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("h") + lit(b)) % MinhashPrime).as(s"m$i")
     }
-    // WIDE representation throughout: one row per doc, 32 minima columns.
-    // The long (doc_id, i, minh) form cost a 32x stack explosion, a
-    // collect_list re-aggregation for band keys, and a 32-rows-per-doc
-    // verification join — all pure overhead. Wide: band hashes are a
-    // map-only projection and verification compares 32 column pairs
-    // inline in codegen. Cached (docs x 32 longs — tiny at any scale
-    // relative to the corpus) because bands + both join sides reuse it.
-    val wide = eager(sh.groupBy(col("doc_id"))
+    eager(sh.groupBy(col("doc_id"))
       .agg(minCols.head, minCols.tail: _*).cache())
-    // md5 over the comma-joined band minima — byte-identical to the
-    // oracle's string_agg(minh, ',' ORDER BY i) per band.
-    val bandCols = (0 until NumPerms / RowsPerBand).map { b =>
+  }
+
+  /** md5 over the comma-joined band minima — byte-identical to the
+    * oracle's string_agg(minh, ',' ORDER BY i) per band.
+    */
+  private def bandStructs: Seq[org.apache.spark.sql.Column] =
+    (0 until NumPerms / RowsPerBand).map { b =>
       val ms = (b * RowsPerBand until (b + 1) * RowsPerBand)
         .map(i => col(s"m$i").cast("string"))
       struct(lit(b).as("band"), md5(concat_ws(",", ms: _*)).as("bh"))
     }
+
+  /** est_sim = matching-minima fraction between the wide signatures of
+    * the id pair (c1, c2).
+    */
+  private def estSimJoin(cand: DataFrame, wide: DataFrame,
+      c1: String, c2: String): DataFrame = {
+    val matches = (0 until NumPerms)
+      .map(i => when(col(s"p.m$i") === col(s"q.m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(wide.as("p"), col(c1) === col("p.doc_id"))
+      .join(wide.as("q"), col(c2) === col("q.doc_id"))
+      .select(col(c1), col(c2),
+        (matches.cast("double") / NumPerms).as("est_sim"))
+  }
+
+  def qMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val wide = minhashWide(spark, dir)
     val bands = wide
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     val cand = bands.as("x")
       .join(bands.as("y"),
@@ -231,18 +256,14 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
-    val matches = (0 until NumPerms)
-      .map(i => when(col(s"p.m$i") === col(s"q.m$i"), 1).otherwise(0))
-      .reduce(_ + _)
-    cand
-      .join(wide.as("p"), col("d1") === col("p.doc_id"))
-      .join(wide.as("q"), col("d2") === col("q.doc_id"))
-      .select(col("d1"), col("d2"),
-        (matches.cast("double") / NumPerms).as("est_sim"))
+    estSimJoin(cand, wide, "d1", "d2")
   }
 
-  val qMinhashLshSql: String =
-    raw"""WITH $duckShingleCte,
+  /** Shared oracle CTE chain ending in `sigs(doc_id, i, minh)` and
+    * `bands(doc_id, band, bh)` — the MinHash signature pipeline.
+    */
+  private val minhashCtes: String =
+    raw"""$duckShingleCte,
          |hashed0 AS (SELECT doc_id, ${shingleHashSql("s")} AS h FROM sh),
          |hashed AS (SELECT DISTINCT doc_id, h FROM hashed0 WHERE h NOT IN (
          |  SELECT h FROM hashed0 GROUP BY h HAVING count(*) > $MinhashDfCap)),
@@ -251,7 +272,10 @@ object Dedup {
          |  FROM hashed, perms GROUP BY doc_id, i),
          |bands AS (SELECT doc_id, CAST(i // $RowsPerBand AS INTEGER) AS band,
          |    md5(string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i)) AS bh
-         |  FROM sigs GROUP BY 1, 2),
+         |  FROM sigs GROUP BY 1, 2)""".stripMargin
+
+  val qMinhashLshSql: String =
+    raw"""WITH $minhashCtes,
          |cand AS (SELECT DISTINCT x.doc_id d1, y.doc_id d2
          |  FROM bands x JOIN bands y
          |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)
@@ -260,6 +284,56 @@ object Dedup {
          |FROM cand JOIN sigs p ON d1 = p.doc_id
          |JOIN sigs q ON d2 = q.doc_id AND p.i = q.i
          |GROUP BY d1, d2""".stripMargin
+
+  // ---------------------------------------------------------------- C7
+  /** Cross-corpus contamination check: train/eval overlap via a
+    * TWO-SIDED MinHash LSH join — the standard pre-training gate that
+    * a held-out evaluation set does not leak into the training corpus.
+    *
+    * The corpus is split by source ([[EvalSources]] = the held-out
+    * side); band buckets join ACROSS sides only, so the candidate
+    * space is train x eval within a bucket, never within-side pairs.
+    * Same signature pipeline (and cache) as [[qMinhashLsh]]; at scale
+    * the eval side is typically small enough that its banded
+    * signatures broadcast, making contamination a map-side check over
+    * the training corpus.
+    */
+  val EvalSources: Seq[String] = (15 until 20).map(i => s"src$i")
+
+  def qContamination(spark: SparkSession, dir: String): DataFrame = {
+    val wide = minhashWide(spark, dir)
+    // side flag rides the wide signature (one row per doc) through the
+    // band explode — no extra join on the exploded stream
+    val side = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source").isin(EvalSources.map(x => x: Any): _*).as("is_eval"))
+    val bands = wide.join(side, "doc_id")
+      .select(col("doc_id"), col("is_eval"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("is_eval"),
+        col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cand = bands.filter(!col("is_eval")).as("x")
+      .join(bands.filter(col("is_eval")).as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+      .select(col("x.doc_id").as("d_train"), col("y.doc_id").as("d_eval"))
+      .distinct()
+    estSimJoin(cand, wide, "d_train", "d_eval")
+  }
+
+  private val evalSourcesSql: String =
+    EvalSources.map(s => s"'$s'").mkString(", ")
+
+  val qContaminationSql: String =
+    raw"""WITH $minhashCtes,
+         |side AS (SELECT doc_id, source IN ($evalSourcesSql) AS is_eval FROM documents),
+         |cand AS (SELECT DISTINCT x.doc_id d_train, y.doc_id d_eval
+         |  FROM bands x JOIN side sx ON x.doc_id = sx.doc_id
+         |  JOIN bands y ON x.band = y.band AND x.bh = y.bh
+         |  JOIN side sy ON y.doc_id = sy.doc_id
+         |  WHERE NOT sx.is_eval AND sy.is_eval)
+         |SELECT d_train, d_eval,
+         |  CAST(sum(CASE WHEN p.minh = q.minh THEN 1 ELSE 0 END) AS DOUBLE) / $NumPerms AS est_sim
+         |FROM cand JOIN sigs p ON d_train = p.doc_id
+         |JOIN sigs q ON d_eval = q.doc_id AND p.i = q.i
+         |GROUP BY d_train, d_eval""".stripMargin
 
   // ---------------------------------------------------------------- C5
   /** Embedding-cosine near-duplicate pairs: hyperplane-LSH candidate
@@ -521,6 +595,7 @@ object Dedup {
     "q_dedup_exact" -> (qDedupExact _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_minhash_lsh" -> (qMinhashLsh _),
+    "q_contamination" -> (qContamination _),
     "q_simhash" -> (qSimhash _),
     "q_embedding_neardup" -> (qEmbeddingNeardup _),
     "q_dedup_clusters" -> (qDedupClusters _))
@@ -529,6 +604,7 @@ object Dedup {
     "q_dedup_exact" -> qDedupExactSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_minhash_lsh" -> qMinhashLshSql,
+    "q_contamination" -> qContaminationSql,
     "q_simhash" -> qSimhashSql,
     "q_embedding_neardup" -> qEmbeddingNeardupSql,
     "q_dedup_clusters" -> qDedupClustersSql)

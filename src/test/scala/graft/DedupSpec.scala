@@ -21,6 +21,22 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.forall { case (_, n, h) => n >= 1 && h >= 0 && h <= 3 })
   }
 
+  test("contamination pairs are strictly train-side x eval-side") {
+    import org.apache.spark.sql.functions.col
+    val sides = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        col("source").isin(Dedup.EvalSources.map(x => x: Any): _*).as("ev"))
+      .as[(Long, Boolean)].collect().toMap
+    val rows = Dedup.qContamination(spark, sf)
+      .select("d_train", "d_eval", "est_sim").as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty, "no contamination candidates found at this SF")
+    rows.foreach { case (t, e, s) =>
+      assert(!sides(t), s"train id $t is from an eval source")
+      assert(sides(e), s"eval id $e is from a train source")
+      assert(s >= 0.0 && s <= 1.0)
+    }
+  }
+
   test("jaccard pairs overlap minhash candidates on high-sim docs") {
     val jacc = Dedup.qNgramJaccard(spark, sf)
       .select("d1", "d2").as[(Long, Long)].collect().toSet

@@ -109,6 +109,74 @@ object FeatureOps {
          |  FROM scored)
          |SELECT doc_id, term, score, rank FROM ranked WHERE rank <= 3""".stripMargin
 
+  // ---------------------------------------------------------------- E10
+  /** BM25 retrieval scoring: top-[[Bm25TopK]] documents for a fixed
+    * query term set (Lucene-form idf, k1/b saturation) — the standard
+    * step past TF-IDF for corpus retrieval and quality filtering.
+    *
+    * score(d, Q) = Σ_{t∈Q} ln((N − df + 0.5)/(df + 0.5) + 1)
+    *             · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * Shape at scale: one token shuffle builds TF and doc lengths; the
+    * query-term df table and the (N, avgdl) row are broadcast; scoring
+    * is map-side over the TF rows of query terms only. avgdl is an
+    * exact integer ratio cast to double so both engines agree
+    * bit-for-bit; ranking is on the 4-dp-rounded score with doc_id
+    * tiebreak (rank exactly what is output).
+    */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25TopK = 20
+  val Bm25Query: Seq[String] = Seq("dup", "query", "join")
+
+  def qBm25(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val qtf = tf.filter(col("term").isin(Bm25Query.map(x => x: Any): _*))
+    val df = qtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val contrib = qtf
+      .join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * (Bm25K1 + 1)) /
+          (col("tf") + lit(Bm25K1) * (lit(1 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))).as("c"))
+    val scored = contrib.groupBy(col("doc_id"))
+      .agg(round(sum(col("c")), 4).as("score"))
+    // distributed top-k (TakeOrdered: per-partition partial top-k, no
+    // global sort through one task); the rank window then runs over at
+    // most Bm25TopK rows
+    val top = scored.orderBy(col("score").desc, col("doc_id").asc).limit(Bm25TopK)
+    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+    top.withColumn("rank", row_number().over(w))
+  }
+
+  private val bm25QuerySql = Bm25Query.map(t => s"'$t'").mkString(", ")
+
+  val qBm25Sql: String =
+    raw"""WITH toks AS (SELECT doc_id,
+         |    unnest(regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |qdf AS (SELECT term, count(*) AS df FROM tf WHERE term IN ($bm25QuerySql) GROUP BY 1),
+         |contrib AS (SELECT tf.doc_id,
+         |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+         |      (tf * ($Bm25K1 + 1)) /
+         |      (tf + $Bm25K1 * (1 - $Bm25B + $Bm25B * dl / avgdl)) AS c
+         |  FROM tf JOIN qdf ON tf.term = qdf.term
+         |  JOIN dl ON tf.doc_id = dl.doc_id, stats),
+         |scored AS (SELECT doc_id, round(sum(c), 4) AS score FROM contrib GROUP BY 1),
+         |ranked AS (SELECT doc_id, score, row_number() OVER (
+         |    ORDER BY score DESC, doc_id ASC) AS rank FROM scored)
+         |SELECT doc_id, score, rank FROM ranked WHERE rank <= $Bm25TopK""".stripMargin
+
   // ---------------------------------------------------------------- E5
   /** Per-dimension moments of the embedding column (the Summarizer
     * surface): mean/stddev/min/max for each of the 64 dims.
@@ -176,6 +244,7 @@ object FeatureOps {
     "q_minmax_scaler" -> (qMinmaxScaler _),
     "q_robust_scaler" -> (qRobustScaler _),
     "q_tfidf" -> (qTfidf _),
+    "q_bm25" -> (qBm25 _),
     "q_vector_stats" -> (qVectorStats _),
     "q_feature_corr" -> (qFeatureCorr _))
 
@@ -184,6 +253,7 @@ object FeatureOps {
     "q_minmax_scaler" -> qMinmaxScalerSql,
     "q_robust_scaler" -> qRobustScalerSql,
     "q_tfidf" -> qTfidfSql,
+    "q_bm25" -> qBm25Sql,
     "q_vector_stats" -> qVectorStatsSql,
     "q_feature_corr" -> qFeatureCorrSql)
 }

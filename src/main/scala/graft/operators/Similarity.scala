@@ -132,43 +132,112 @@ object Similarity {
     withRecall(top, bruteforceTop5(spark, dir))
   }
 
-  /** Session-scoped IVF index: a seeded KMeans coarse quantizer fit
-    * ONCE per (corpus, nlist) per JVM and memoized — index build is an
-    * offline, amortized step, never part of the query path (round 1
-    * refit on every invocation: 45.6s/query at sf0.1). At 100 TB the
-    * fit runs on a sample, the centroid set is tiny and broadcast, and
-    * the assignment (corpus × cell id) is a write-once table; here the
-    * assignment is a cached DataFrame rebuilt from the memoized model
-    * (a map-only transform) if the cache was dropped.
+  /** Persistent IVF index: a seeded KMeans coarse quantizer whose
+    * OUTPUT — the (vec_id, v, cell) assignment and the centroid set —
+    * is written once as an EXTERNAL bucketed table (bucketed by cell)
+    * plus a small centroids table, then read back on every query.
+    * Index build is an offline, amortized step, never part of the
+    * query path (round 1 refit on every invocation: 45.6s/query at
+    * sf0.1; rounds 2-3 memoized the model but still rebuilt the
+    * assignment per JVM).
+    *
+    * Durability with the in-memory catalog: table METADATA dies with
+    * the session, but the external-table files survive — a cold
+    * session re-registers the identical DDL over the existing location
+    * (no fit, no transform, no scan of the corpus). Bucketing by cell
+    * means the probe→cell join reads only matching buckets'
+    * partitions and the corpus side arrives pre-shuffled — at 100 TB
+    * the assignment is exactly the write-once bucketed table a vector
+    * warehouse ships.
     */
   object IvfIndex {
-    import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
+    import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    import scala.collection.concurrent.TrieMap
-    private val models = TrieMap.empty[(String, Int), KMeansModel]
+    import java.util.concurrent.atomic.AtomicInteger
+
+    val IvfBuckets = 8
+
+    /** KMeans fits performed by this JVM (spec observability: a warm
+      * query path must not increment it).
+      */
+    val fitCount = new AtomicInteger(0)
+
+    private def tableName(dir: String, nlist: Int): String =
+      "graft_ivf_" + dir.replaceAll("[^a-zA-Z0-9]+", "_")
+        .stripPrefix("_").stripSuffix("_") + "_" + nlist
+
+    private def warehousePath(spark: SparkSession, table: String): java.nio.file.Path = {
+      val w = spark.conf.get("spark.sql.warehouse.dir")
+      java.nio.file.Paths.get(new java.net.URI(w).getPath).resolve(table)
+    }
+
+    /** Register-or-build: prefer catalog, then on-disk files, then a
+      * fresh fit + external bucketed write.
+      */
+    private def ensure(spark: SparkSession, dir: String, nlist: Int): (String, String) = {
+      val t = tableName(dir, nlist)
+      val tc = t + "_cent"
+      val loc = warehousePath(spark, t)
+      val locC = warehousePath(spark, tc)
+      def registered(n: String) = spark.catalog.tableExists(n)
+      if (!registered(t) || !registered(tc)) {
+        if (java.nio.file.Files.isDirectory(loc) && java.nio.file.Files.isDirectory(locC)) {
+          // cold session over a built index: metadata-only re-registration
+          spark.sql(s"DROP TABLE IF EXISTS $t")
+          spark.sql(s"DROP TABLE IF EXISTS $tc")
+          spark.sql(
+            s"""CREATE TABLE $t (vec_id BIGINT, v ARRAY<DOUBLE>, cell INT)
+               |USING PARQUET CLUSTERED BY (cell) INTO $IvfBuckets BUCKETS
+               |LOCATION '$loc'""".stripMargin)
+          spark.sql(
+            s"""CREATE TABLE $tc (cell INT, cv ARRAY<DOUBLE>)
+               |USING PARQUET LOCATION '$locC'""".stripMargin)
+        } else {
+          import org.apache.spark.ml.feature.Normalizer
+          val e = Tables.embeddings(spark, dir)
+            .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          // spherical k-means: fit/assign on L2-normalized vectors so
+          // the euclidean cell geometry matches the cosine ground truth
+          // (cosine(a,b) = 1 - ||â-b̂||²/2); probing by cosine against
+          // normalized-space centroids is consistent with assignment
+          val feat = new Normalizer().setInputCol("features0")
+            .setOutputCol("features").setP(2.0)
+            .transform(e.withColumn("features0", array_to_vector(col("v"))))
+          fitCount.incrementAndGet()
+          val model = new KMeans().setK(nlist).setSeed(13).setMaxIter(10).fit(feat)
+          model.transform(feat)
+            .select(col("vec_id").cast("long").as("vec_id"), col("v"),
+              col("prediction").cast("int").as("cell"))
+            .write.bucketBy(IvfBuckets, "cell")
+            .option("path", loc.toString).mode("overwrite").saveAsTable(t)
+          val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+            (i, c.toArray.toSeq)
+          }
+          spark.createDataFrame(centroids.toSeq).toDF("cell", "cv")
+            .coalesce(1).write.option("path", locC.toString)
+            .mode("overwrite").saveAsTable(tc)
+        }
+      }
+      (t, tc)
+    }
 
     /** (assigned corpus: vec_id, v, cell; centroids: cell, cv) */
     def get(spark: SparkSession, dir: String, nlist: Int): (DataFrame, DataFrame) = {
-      import org.apache.spark.ml.feature.Normalizer
-      val e = Tables.embeddings(spark, dir)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      // spherical k-means: fit/assign on L2-normalized vectors so the
-      // euclidean cell geometry matches the cosine ground truth
-      // (cosine(a,b) = 1 - ||â-b̂||²/2); probing by cosine against the
-      // normalized-space centroids is then consistent with assignment
-      val feat = new Normalizer().setInputCol("features0")
-        .setOutputCol("features").setP(2.0)
-        .transform(e.withColumn("features0", array_to_vector(col("v"))))
-      val model = models.getOrElseUpdate((dir, nlist),
-        new KMeans().setK(nlist).setSeed(13).setMaxIter(10).fit(feat))
-      val assigned = model.transform(feat)
-        .select(col("vec_id"), col("v"), col("prediction").as("cell"))
-        .cache()
-      assigned.count() // materialize before fan-out (probe + scan sides)
-      val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-        (i, c.toArray.toSeq)
-      }
-      (assigned, spark.createDataFrame(centroids.toSeq).toDF("cell", "cv"))
+      val (t, tc) = ensure(spark, dir, nlist)
+      // cache the (small relative to the corpus) assignment for the
+      // repeated probe/scan consumers within a session; materialize
+      // before fan-out so AQE stages don't race a cold cache
+      val assigned = spark.table(t).cache()
+      assigned.count()
+      (assigned, spark.table(tc))
+    }
+
+    /** Drop the catalog entries but keep the on-disk index (external
+      * tables) — simulates a cold session for specs.
+      */
+    def deregister(spark: SparkSession, dir: String, nlist: Int): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS ${tableName(dir, nlist)}")
+      spark.sql(s"DROP TABLE IF EXISTS ${tableName(dir, nlist)}_cent")
     }
   }
 

@@ -66,6 +66,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recalls.nonEmpty, "no sampled query carries a recall value")
   }
 
+  test("IVF index is durable: cold-session query path performs no KMeans fit") {
+    Similarity.qAnnIvf(spark, sf).count() // build (or reuse) the index tables
+    // simulate a cold session: catalog metadata gone, index files remain
+    Similarity.IvfIndex.deregister(spark, sf, 16)
+    val before = Similarity.IvfIndex.fitCount.get
+    val rows = Similarity.qAnnIvf(spark, sf).count()
+    assert(rows > 0)
+    assert(Similarity.IvfIndex.fitCount.get == before,
+      "cold-session query path refit KMeans instead of reading the index table")
+  }
+
   test("brute force ranks are dense 1..5 per query") {
     val byQ = Similarity.qAnnBruteforce(spark, sf)
       .select("qid", "rank").as[(Long, Int)].collect().groupBy(_._1)

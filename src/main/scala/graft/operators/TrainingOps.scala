@@ -1,0 +1,240 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Training-set assembly + monitoring operators (SURVEY.md §2:
+  * B8/B9 text-quality extensions, K1/K2 set assembly, F11 events).
+  *
+  * 100 TB design notes:
+  *  - q_repetition: one shuffle on doc_id (window + aggregates share
+  *    the key); token/bigram streams never leave their doc partition.
+  *  - q_seq_packing: the running token offset is windowed PER SOURCE
+  *    SHARD — shard count grows with the corpus, so no global-order
+  *    single-partition window ever exists (packing is shard-local by
+  *    contract, matching how training shards are materialized).
+  *  - q_hash_split: pure map-side arithmetic on md5(doc_id) + one
+  *    low-cardinality aggregate — embarrassingly parallel.
+  *  - q_unigram_surprisal: the vocabulary aggregate is bounded by
+  *    vocab size (not corpus size) and is broadcast back; the token
+  *    stream is scored map-side — one shuffle for the vocab count,
+  *    one for the per-doc mean.
+  *  - q_anomaly: minute-bucket counts partition by event_type; the
+  *    trailing-window scan is within-partition, ordered by time.
+  */
+object TrainingOps {
+
+  private val duckToks =
+    raw"regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')"
+  private val duckTsSec = "CAST(floor(epoch(ts)) AS BIGINT)"
+
+  // ---------------------------------------------------------------- B8
+  /** Repetition quality signals per document (the Gopher-style
+    * repetition filters, re-expressed for a newline-free corpus):
+    * fraction of tokens belonging to duplicated bigrams, most-frequent
+    * token share, distinct-token ratio. High duplicate-bigram mass =
+    * boilerplate/looped generation; low distinct ratio = degenerate
+    * text. All three ride one shuffle on doc_id.
+    */
+  def qRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val tokStats = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), max(col("c")).as("top_cnt"),
+        count(lit(1)).as("n_distinct"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bgStats = toks
+      .withColumn("nxt", lead(col("tok"), 1).over(w))
+      .where(col("nxt").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("nxt")).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).as("dup_bg"))
+    tokStats.join(bgStats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("top_cnt").cast("double") / col("n_tokens"), 6).as("top_token_frac"),
+        round(col("n_distinct").cast("double") / col("n_tokens"), 6).as("distinct_ratio"),
+        when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(round(col("dup_bg").cast("double") / col("n_bigrams"), 6))
+          .as("dup_bigram_frac"))
+  }
+
+  val qRepetitionSql: String =
+    raw"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |tc AS (SELECT doc_id, tok, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2),
+         |ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |  CAST(max(c) AS BIGINT) AS top_cnt, count(*) AS n_distinct
+         |  FROM tc GROUP BY 1),
+         |bc AS (SELECT doc_id, bg, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i + 1])) AS bg FROM t) GROUP BY 1, 2),
+         |bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         |  CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT) AS dup_bg
+         |  FROM bc GROUP BY 1)
+         |SELECT ts.doc_id, n_tokens,
+         |  round(CAST(top_cnt AS DOUBLE) / n_tokens, 6) AS top_token_frac,
+         |  round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS distinct_ratio,
+         |  CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 0.0
+         |       ELSE round(CAST(dup_bg AS DOUBLE) / n_bigrams, 6) END AS dup_bigram_frac
+         |FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- B9
+  /** Per-document mean unigram surprisal (−ln p under the corpus
+    * unigram LM) — the cheapest model-based quality signal: documents
+    * of improbable tokens score high, boilerplate scores low. The
+    * vocabulary table is bounded by VOCAB size, not corpus size, so it
+    * broadcasts; scoring is then map-side over the token stream.
+    */
+  def qUnigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).cast("long").as("total"))
+    toks.join(broadcast(vocab), "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(-log(col("cnt").cast("double") / col("total"))), 6)
+          .as("mean_surprisal"))
+  }
+
+  val qUnigramSurprisalSql: String =
+    raw"""WITH toks AS (SELECT doc_id, unnest($duckToks) AS tok FROM documents),
+         |vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  round(avg(-ln(CAST(cnt AS DOUBLE) / total)), 6) AS mean_surprisal
+         |FROM toks JOIN vocab USING (tok), tot
+         |GROUP BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- K1
+  /** Context-window sequence packing (concat-and-chunk, the GPT-style
+    * pretraining layout): documents are concatenated in doc_id order
+    * WITHIN EACH SOURCE SHARD and sliced into fixed 512-token chunks;
+    * each document reports its token offset and the chunk span it
+    * lands in. Packing is shard-local by contract — the running-sum
+    * window partitions by source, so no global ordering (and no
+    * single-partition window) exists at any corpus size.
+    */
+  val CtxTokens = 512
+
+  def qSeqPacking(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.withColumn("tok_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("tok_offset"),
+        expr(s"tok_offset DIV $CtxTokens").as("first_chunk"),
+        expr(s"(tok_offset + n_tokens - 1) DIV $CtxTokens").as("last_chunk"))
+      .withColumn("n_chunks", col("last_chunk") - col("first_chunk") + 1)
+  }
+
+  val qSeqPackingSql: String =
+    raw"""WITH d AS (SELECT doc_id, source,
+         |  CAST(len($duckToks) AS BIGINT) AS n_tokens FROM documents),
+         |o AS (SELECT doc_id, source, n_tokens,
+         |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+         |  FROM d)
+         |SELECT doc_id, source, n_tokens, tok_offset,
+         |  tok_offset // $CtxTokens AS first_chunk,
+         |  (tok_offset + n_tokens - 1) // $CtxTokens AS last_chunk,
+         |  ((tok_offset + n_tokens - 1) // $CtxTokens) - (tok_offset // $CtxTokens) + 1 AS n_chunks
+         |FROM o""".stripMargin
+
+  // ---------------------------------------------------------------- K2
+  /** Deterministic train/val/test assignment: bucket = first 15 hex
+    * chars of md5(doc_id) mod 100 (engine-portable, stable across
+    * runs and machines — the property a split assignment must have so
+    * re-runs never leak eval docs into train). 80/10/10; reported as
+    * per-split × language doc/token counts (the split audit table).
+    * Pure map-side arithmetic + one low-cardinality aggregate.
+    */
+  def qHashSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket =
+      expr("conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10)")
+        .cast("long") % 100
+    Tables.documents(spark, dir)
+      .select(
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+          .as("split"),
+        col("lang"), tokenCount(col("text")).cast("long").as("n_tokens"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+  }
+
+  val qHashSplitSql: String =
+    raw"""WITH d AS (SELECT
+         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket,
+         |  lang, CAST(len($duckToks) AS BIGINT) AS n_tokens FROM documents)
+         |SELECT CASE WHEN bucket < 80 THEN 'train'
+         |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+         |  lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |FROM d GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- F11
+  /** Trailing z-score anomaly detection over hour-bucketed event
+    * counts — the ingest-monitoring primitive (did a source spike or
+    * stall?). Baseline = the trailing 48 OBSERVED buckets per type
+    * (rows-frame, so gap hours don't dilute it); buckets with fewer
+    * than 24 baseline points or zero variance are withheld (no stable
+    * baseline → no verdict). One shuffle on event_type; the window
+    * scan is within-partition. Bucket width is a deployment knob —
+    * sized so per-bucket counts carry variance at the observed rate.
+    */
+  val AnomalyMinBase = 24
+
+  def qAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .select(col("event_type"),
+        (expr("(ts DIV 1000000000) DIV 3600") * 3600).cast("long").as("hour"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(-48, -1)
+    val z = (col("n") - col("mu")) / col("sd")
+    counts
+      .withColumn("mu", avg(col("n")).over(w))
+      .withColumn("sd", stddev_samp(col("n")).over(w))
+      .withColumn("n_base", count(col("n")).over(w))
+      .where(col("n_base") >= AnomalyMinBase && col("sd") > 1e-9)
+      .select(col("event_type"), col("hour"), col("n"),
+        round(col("mu"), 4).as("baseline_mean"),
+        round(z, 4).as("z"),
+        (abs(z) > 3.0).as("is_anomaly"))
+  }
+
+  val qAnomalySql: String =
+    s"""WITH c AS (SELECT event_type, ($duckTsSec // 3600) * 3600 AS hour, count(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |s AS (SELECT event_type, hour, n,
+       |  avg(n) OVER w AS mu, stddev_samp(n) OVER w AS sd, count(n) OVER w AS n_base
+       |  FROM c WINDOW w AS (PARTITION BY event_type ORDER BY hour
+       |    ROWS BETWEEN 48 PRECEDING AND 1 PRECEDING))
+       |SELECT event_type, hour, n, round(mu, 4) AS baseline_mean,
+       |  round((n - mu) / sd, 4) AS z, (abs((n - mu) / sd) > 3.0) AS is_anomaly
+       |FROM s WHERE n_base >= $AnomalyMinBase AND sd > 1e-9""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_repetition" -> (qRepetition _),
+    "q_unigram_surprisal" -> (qUnigramSurprisal _),
+    "q_seq_packing" -> (qSeqPacking _),
+    "q_hash_split" -> (qHashSplit _),
+    "q_anomaly" -> (qAnomaly _))
+
+  def oracle: Map[String, String] = Map(
+    "q_repetition" -> qRepetitionSql,
+    "q_unigram_surprisal" -> qUnigramSurprisalSql,
+    "q_seq_packing" -> qSeqPackingSql,
+    "q_hash_split" -> qHashSplitSql,
+    "q_anomaly" -> qAnomalySql)
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.TrainingOps
+
+class TrainingOpsSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  test("repetition signals are bounded ratios") {
+    val rows = TrainingOps.qRepetition(spark, sf)
+      .select("n_tokens", "top_token_frac", "distinct_ratio", "dup_bigram_frac")
+      .as[(Long, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (n, top, dis, dup) =>
+      n > 0 && top > 0 && top <= 1 && dis > 0 && dis <= 1 && dup >= 0 && dup <= 1
+    })
+    // top-token share can never be below the uniform floor 1/n_distinct
+    assert(rows.forall { case (_, top, dis, _) => top + 1e-9 >= dis * top })
+  }
+
+  test("seq packing offsets are the shard-local running sum and chunks are consistent") {
+    val rows = TrainingOps.qSeqPacking(spark, sf)
+      .select("source", "doc_id", "n_tokens", "tok_offset", "first_chunk", "last_chunk", "n_chunks")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, docs) =>
+      var expected = 0L
+      docs.sortBy(_._2).foreach { case (_, _, n, off, first, last, k) =>
+        assert(off == expected, "offset must equal the running token sum")
+        expected += n
+        assert(first == off / TrainingOps.CtxTokens)
+        assert(last == (off + n - 1) / TrainingOps.CtxTokens)
+        assert(k == last - first + 1 && k >= 1)
+      }
+    }
+  }
+
+  test("hash split covers every doc once with roughly 80/10/10 mass") {
+    val perSplit = TrainingOps.qHashSplit(spark, sf)
+      .groupBy("split").agg(sum("n_docs").as("n"))
+      .as[(String, Long)].collect().toMap
+    val total = perSplit.values.sum
+    assert(total == Tables.documents(spark, sf).count())
+    // binomial tolerance at n=50: generous bands, determinism is the contract
+    assert(perSplit("train").toDouble / total > 0.6)
+    assert(perSplit.getOrElse("val", 0L) + perSplit.getOrElse("test", 0L) > 0)
+    // determinism: a second run assigns identically
+    val again = TrainingOps.qHashSplit(spark, sf)
+      .groupBy("split").agg(sum("n_docs").as("n")).as[(String, Long)].collect().toMap
+    assert(again == perSplit)
+  }
+
+  test("unigram surprisal is positive and bounded by ln(corpus tokens)") {
+    val df = TrainingOps.qUnigramSurprisal(spark, sf)
+    val totalTokens = df.agg(sum("n_tokens")).as[Long].head()
+    val rows = df.select("mean_surprisal").as[Double].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(s => s > 0 && s <= math.log(totalTokens.toDouble) + 1e-6))
+  }
+
+  test("anomaly flags agree with the reported z-score") {
+    // sf0.01: sf0.001's one-event-per-bucket stream has zero variance
+    // everywhere, so no bucket clears the stable-baseline gate.
+    val rows = TrainingOps.qAnomaly(spark, "/root/testdata/sf0.01")
+      .select("z", "is_anomaly").as[(Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (z, a) => a == (math.abs(z) > 3.0) || math.abs(math.abs(z) - 3.0) < 1e-3 })
+  }
+}

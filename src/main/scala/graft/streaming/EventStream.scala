@@ -25,18 +25,17 @@ object EventStream {
   /** Emitted when a session closes. */
   case class SessionOut(user_id: Long, session_start: Long, n_events: Long)
 
-  /** Shared F5 pipeline: watermarked 5-minute tumbling aggregate over
-    * the parquet "stream". One definition, two sinks ([[qStreamTumbling]]
-    * memory twin for oracle verification; [[streamTumblingToFiles]]
-    * append-mode file sink for the operator path).
+  /** The F5 transform, SOURCE-AGNOSTIC: any events-shaped DataFrame —
+    * batch or streaming, file / Kafka / rate / memory source — with
+    * (ts ns-long, event_type, value) in; watermarked 5-minute tumbling
+    * aggregate out. The source is a deployment detail, the transform
+    * is the operator: on a batch input Catalyst's
+    * EliminateEventTimeWatermark drops the watermark node and the same
+    * plan runs as a plain aggregate, so one definition serves the
+    * batch twin, every streaming sink, and any source swap.
     */
-  private def tumblingAgg(spark: SparkSession, dir: String): DataFrame = {
-    val schema = Tables.events(spark, dir).schema
-    // FileStreamSource wants a directory/glob, not a bare file — glob
-    // the single events file with the sf dir as basePath.
-    val stream = spark.readStream.schema(schema)
-      .option("basePath", dir).parquet(s"$dir/events.*")
-    stream
+  def tumblingTransform(events: DataFrame): DataFrame =
+    events
       .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("ets", "10 minutes")
       .groupBy(window(col("ets"), "5 minutes"), col("event_type"))
@@ -44,7 +43,24 @@ object EventStream {
         sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
       .select(unix_timestamp(col("window.start")).as("bucket"),
         col("event_type"), col("n"), col("sum_value"))
+
+  /** The parquet stand-in source for the driver's bounded runs.
+    * FileStreamSource wants a directory/glob, not a bare file — glob
+    * the single events file with the sf dir as basePath.
+    */
+  private def parquetSource(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.events(spark, dir).schema
+    spark.readStream.schema(schema)
+      .option("basePath", dir).parquet(s"$dir/events.*")
   }
+
+  /** Shared F5 pipeline: [[tumblingTransform]] over [[parquetSource]].
+    * One definition, two sinks ([[qStreamTumbling]] memory twin for
+    * oracle verification; [[streamTumblingToFiles]] append-mode file
+    * sink for the operator path).
+    */
+  private def tumblingAgg(spark: SparkSession, dir: String): DataFrame =
+    tumblingTransform(parquetSource(spark, dir))
 
   /** F5 verification twin: memory sink in complete mode, returned as a
     * batch DataFrame for the oracle compare. The memory sink

@@ -19,6 +19,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("tumbling transform is source-agnostic: memory-stream and batch inputs agree") {
+    // The SAME tumblingTransform runs over (1) a MemoryStream — a
+    // non-file source, standing in for Kafka/rate — and (2) a plain
+    // batch DataFrame of identical rows; complete-mode stream output
+    // must equal the batch aggregate. This pins the source-agnostic
+    // transform boundary: sources are swappable, the operator is not
+    // coupled to the parquet stand-in.
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (1 to 300).map { i =>
+      ((1700000000L + i * 37L) * 1000000000L, Seq("a", "b", "c")(i % 3), i / 10.0)
+    }
+    val input = MemoryStream[(Long, String, Double)]
+    input.addData(rows: _*)
+    val qn = "graft_src_agnostic"
+    val q = EventStream.tumblingTransform(input.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.outputMode("complete").format("memory").queryName(qn).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table(qn).as[(Long, String, Long, Double)].collect().toSet
+    val batch = EventStream.tumblingTransform(
+      rows.toDF("ts", "event_type", "value")).as[(Long, String, Long, Double)].collect().toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("stateful sessionization closes sessions on gaps and evicts idle state via event-time timeout") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]

@@ -238,7 +238,75 @@ object FeatureOps {
     spark.createDataFrame(ev.toSeq).toDF("component", "explained_var")
   }
 
+  // ---------------------------------------------------------------- E11
+  /** Precision/recall threshold sweep (the PR curve) of the
+    * score-based "is English" classifier: score = English-stopword
+    * density, label = the labeled lang column. Scores are computed
+    * map-side in one pass; the 21-threshold sweep expands each row
+    * against a broadcast literal range and aggregates on the 21-row
+    * threshold key — no per-threshold rescans at any corpus size.
+    * Counts are exact integers; P/R/F1 are derived and rounded at the
+    * boundary, so the oracle compare is deterministic.
+    */
+  def qPrCurve(spark: SparkSession, dir: String): DataFrame = {
+    val enStops = graft.operators.TextAnalysis.stopwords("en")
+    val scored = Tables.documents(spark, dir).select(
+      (col("lang") === "en").as("is_en"),
+      (vocabHits(tokens(col("text")), enStops).cast("double") /
+        tokenCount(col("text"))).as("score"))
+    val sweep = scored.crossJoin(
+      broadcast(spark.range(0, 21).select(col("id").cast("int").as("tidx"))))
+    val pred = col("score") >= col("tidx") * 0.02
+    sweep.groupBy(col("tidx"))
+      .agg(
+        sum(when(col("is_en") && pred, 1L).otherwise(0L)).as("tp"),
+        sum(when(!col("is_en") && pred, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("is_en") && !pred, 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("is_en") && !pred, 1L).otherwise(0L)).as("tn"))
+      .select(round(col("tidx") * 0.02, 2).as("threshold"),
+        col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") === 0, 0.0)
+          .otherwise(round(col("tp").cast("double") / (col("tp") + col("fp")), 6))
+          .as("prec"),
+        when(col("tp") + col("fn") === 0, 0.0)
+          .otherwise(round(col("tp").cast("double") / (col("tp") + col("fn")), 6))
+          .as("rec"),
+        when(col("tp") * 2 + col("fp") + col("fn") === 0, 0.0)
+          .otherwise(round((col("tp") * 2).cast("double") /
+            (col("tp") * 2 + col("fp") + col("fn")), 6))
+          .as("f1"))
+  }
+
+  val qPrCurveSql: String = {
+    val stopsSql = graft.operators.TextAnalysis.stopwords("en")
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    val toksSql =
+      raw"regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')"
+    raw"""WITH s AS (SELECT (lang = 'en') AS is_en,
+         |  CAST(len(list_filter($toksSql, t -> list_contains($stopsSql, t))) AS DOUBLE)
+         |    / len($toksSql) AS score
+         |  FROM documents),
+         |g AS (SELECT unnest(generate_series(0, 20)) AS tidx),
+         |j AS (SELECT tidx, is_en,
+         |  (score >= tidx * CAST(0.02 AS DOUBLE)) AS pred FROM s, g),
+         |a AS (SELECT tidx,
+         |  CAST(sum(CASE WHEN is_en AND pred THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(sum(CASE WHEN NOT is_en AND pred THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(sum(CASE WHEN is_en AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |  CAST(sum(CASE WHEN NOT is_en AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM j GROUP BY tidx)
+         |SELECT round(tidx * CAST(0.02 AS DOUBLE), 2) AS threshold, tp, fp, fn, tn,
+         |  CASE WHEN tp + fp = 0 THEN 0.0
+         |       ELSE round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS prec,
+         |  CASE WHEN tp + fn = 0 THEN 0.0
+         |       ELSE round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS rec,
+         |  CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+         |       ELSE round(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn), 6) END AS f1
+         |FROM a""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pr_curve" -> (qPrCurve _),
     "q_pca" -> (qPca _),
     "q_standard_scaler" -> (qStandardScaler _),
     "q_minmax_scaler" -> (qMinmaxScaler _),
@@ -249,6 +317,7 @@ object FeatureOps {
     "q_feature_corr" -> (qFeatureCorr _))
 
   def oracle: Map[String, String] = Map(
+    "q_pr_curve" -> qPrCurveSql,
     "q_standard_scaler" -> qStandardScalerSql,
     "q_minmax_scaler" -> qMinmaxScalerSql,
     "q_robust_scaler" -> qRobustScalerSql,

@@ -335,6 +335,36 @@ object Dedup {
          |JOIN sigs q ON d_eval = q.doc_id AND p.i = q.i
          |GROUP BY d_train, d_eval""".stripMargin
 
+  // ---------------------------------------------------------------- C8
+  /** Incremental ingest dedup: the arriving batch ([[EvalSources]] as
+    * the stand-in "new" split) checked against the existing corpus by
+    * exact content fingerprint — the cheap gate every ingest cycle
+    * runs BEFORE any pair-wise near-dup machinery. Only
+    * (fingerprint, doc_id) shuffles; payloads never move; the
+    * existing-corpus side pre-aggregates to one canonical row per
+    * fingerprint, so the join probe stream is as small as the dedup'd
+    * corpus, not the raw one.
+    */
+  def qIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val fps = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+    val isNew = col("source").isin(EvalSources.map(x => x: Any): _*)
+    val existing = fps.filter(!isNew)
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("dup_of"))
+    fps.filter(isNew)
+      .join(existing, Seq("fp"), "left")
+      .select(col("doc_id"), col("dup_of"), col("dup_of").isNull.as("is_new"))
+  }
+
+  val qIncrementalDedupSql: String =
+    raw"""WITH fps AS (SELECT doc_id, source, md5($duckNorm) AS fp FROM documents),
+         |existing AS (SELECT fp, min(doc_id) AS dup_of FROM fps
+         |  WHERE source NOT IN ($evalSourcesSql) GROUP BY fp)
+         |SELECT f.doc_id, e.dup_of, e.dup_of IS NULL AS is_new
+         |FROM fps f LEFT JOIN existing e ON f.fp = e.fp
+         |WHERE f.source IN ($evalSourcesSql)""".stripMargin
+
   // ---------------------------------------------------------------- C5
   /** Embedding-cosine near-duplicate pairs: hyperplane-LSH candidate
     * generation + exact-cosine verification of candidates only.
@@ -593,6 +623,7 @@ object Dedup {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
+    "q_incremental_dedup" -> (qIncrementalDedup _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_contamination" -> (qContamination _),
@@ -602,6 +633,7 @@ object Dedup {
 
   def oracle: Map[String, String] = Map(
     "q_dedup_exact" -> qDedupExactSql,
+    "q_incremental_dedup" -> qIncrementalDedupSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_minhash_lsh" -> qMinhashLshSql,
     "q_contamination" -> qContaminationSql,

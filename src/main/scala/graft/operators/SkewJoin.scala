@@ -52,9 +52,42 @@ object SkewJoin {
       |FROM events e JOIN customer c ON c.c_custkey = e.user_id
       |GROUP BY c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------- H5
+  /** Join-key skew diagnostics over events.user_id — the report that
+    * decides whether a join needs [[saltedJoin]] BEFORE it runs (at
+    * 100 TB, discovering skew from a straggling task is too late).
+    * Two low-cardinality aggregates over per-key counts: top-key and
+    * p99 load relative to the mean key load. percentile is exact
+    * (linear interpolation — DuckDB quantile_cont twin, the A15
+    * contract).
+    */
+  def qSkewReport(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      .agg(
+        sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("cnt")).as("max_cnt"),
+        expr("percentile(cnt, 0.99)").as("p99_cnt"))
+      .select(col("n_rows"), col("n_keys"), col("max_cnt"),
+        round(col("max_cnt").cast("double") * col("n_keys") / col("n_rows"), 4)
+          .as("top_key_over_mean"),
+        round(col("p99_cnt") * col("n_keys") / col("n_rows"), 4)
+          .as("p99_over_mean"))
+
+  val qSkewReportSql: String =
+    """WITH pk AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id)
+      |SELECT CAST(sum(cnt) AS BIGINT) AS n_rows, count(*) AS n_keys,
+      |  CAST(max(cnt) AS BIGINT) AS max_cnt,
+      |  round(CAST(max(cnt) AS DOUBLE) * count(*) / sum(cnt), 4) AS top_key_over_mean,
+      |  round(CAST(quantile_cont(cnt, 0.99) AS DOUBLE) * count(*) / sum(cnt), 4) AS p99_over_mean
+      |FROM pk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_salted_join" -> (qSaltedJoin _))
+    "q_salted_join" -> (qSaltedJoin _),
+    "q_skew_report" -> (qSkewReport _))
 
   def oracle: Map[String, String] = Map(
-    "q_salted_join" -> qSaltedJoinSql)
+    "q_salted_join" -> qSaltedJoinSql,
+    "q_skew_report" -> qSkewReportSql)
 }

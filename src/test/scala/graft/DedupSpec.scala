@@ -146,4 +146,21 @@ class DedupSpec extends AnyFunSuite {
       n > 0 && w >= 64 && w < 128 && h >= 64 && h < 128 && m > 0 && m < 256
     })
   }
+
+  test("incremental dedup covers exactly the incoming split and dup_of points outside it") {
+    import org.apache.spark.sql.functions.col
+    val incoming = Tables.documents(spark, sf)
+      .filter(col("source").isin(Dedup.EvalSources.map(x => x: Any): _*))
+      .select("doc_id").as[Long].collect().toSet
+    val existing = Tables.documents(spark, sf)
+      .filter(!col("source").isin(Dedup.EvalSources.map(x => x: Any): _*))
+      .select("doc_id").as[Long].collect().toSet
+    val rows = Dedup.qIncrementalDedup(spark, sf)
+      .select("doc_id", "dup_of", "is_new")
+      .as[(Long, Option[Long], Boolean)].collect()
+    assert(rows.map(_._1).toSet == incoming)
+    assert(rows.forall { case (_, dup, isNew) =>
+      isNew == dup.isEmpty && dup.forall(existing.contains)
+    })
+  }
 }

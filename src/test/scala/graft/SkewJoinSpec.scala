@@ -17,4 +17,13 @@ class SkewJoinSpec extends AnyFunSuite {
     assert(salted.count() == plain.count())
     assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
   }
+
+  test("skew report ratios are >= 1 and ordered (top >= p99 >= mean)") {
+    val r = SkewJoin.qSkewReport(spark, sf)
+      .select("n_rows", "n_keys", "top_key_over_mean", "p99_over_mean")
+      .collect().head
+    assert(r.getLong(0) >= r.getLong(1))
+    val top = r.getDouble(2); val p99 = r.getDouble(3)
+    assert(top >= p99 - 1e-9 && top >= 1.0 && p99 > 0)
+  }
 }

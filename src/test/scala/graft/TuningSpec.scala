@@ -1,11 +1,24 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ml.Tuning
+import graft.ml.{FeatureOps, Tuning}
 
 class TuningSpec extends AnyFunSuite {
   import TestSession._
   import spark.implicits._
+
+  test("PR curve: recall is monotone non-increasing in the threshold and counts are consistent") {
+    val rows = FeatureOps.qPrCurve(spark, sf)
+      .select("threshold", "tp", "fp", "fn", "tn", "rec")
+      .as[(Double, Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.length == 21)
+    val total = rows.head._2 + rows.head._3 + rows.head._4 + rows.head._5
+    assert(rows.forall { case (_, tp, fp, fn, tn, _) => tp + fp + fn + tn == total })
+    assert(rows.sliding(2).forall {
+      case Array((_, _, _, _, _, r1), (_, _, _, _, _, r2)) => r2 <= r1 + 1e-9
+      case _ => true
+    })
+  }
 
   test("CV tuning returns one row per grid point with sane metrics") {
     val rows = Tuning.qMllibTuning(spark, sf)

@@ -224,11 +224,85 @@ object TrainingOps {
        |  round((n - mu) / sd, 4) AS z, (abs((n - mu) / sd) > 3.0) AS is_anomaly
        |FROM s WHERE n_base >= $AnomalyMinBase AND sd > 1e-9""".stripMargin
 
+  // ---------------------------------------------------------------- K3
+  /** Language-mixture reweighting: per-language token mass vs a
+    * uniform target mixture → the per-language sampling weight a
+    * training pipeline applies (weight > 1 = upsample). One
+    * low-cardinality aggregate; the one-row total broadcasts. The
+    * target is a parameter of the operator contract — uniform here,
+    * any target vector in deployment.
+    */
+  def qMixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    val perLang = Tables.documents(spark, dir)
+      .select(col("lang"), tokenCount(col("text")).cast("long").as("n_tok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val totals = perLang.agg(
+      sum(col("n_tokens")).cast("long").as("total_tokens"),
+      count(lit(1)).as("n_langs"))
+    perLang.crossJoin(broadcast(totals))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("total_tokens"), 6).as("share"),
+        round((lit(1.0) / col("n_langs")) /
+          (col("n_tokens").cast("double") / col("total_tokens")), 6).as("weight"))
+  }
+
+  val qMixtureWeightsSql: String =
+    raw"""WITH p AS (SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(len($duckToks)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY lang),
+         |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  count(*) AS n_langs FROM p)
+         |SELECT lang, n_docs, n_tokens,
+         |  round(CAST(n_tokens AS DOUBLE) / total_tokens, 6) AS share,
+         |  round((1.0 / n_langs) / (CAST(n_tokens AS DOUBLE) / total_tokens), 6) AS weight
+         |FROM p, t""".stripMargin
+
+  // ---------------------------------------------------------------- K4
+  /** One-row corpus health dashboard — the numbers a data curator
+    * checks before a training run: doc count, exact-dup rate, quality
+    * floor clearance, end-to-end keep rate (composes the B7 keep-list
+    * semantics and the B3 quality score). All aggregation over
+    * (hash, id, score) projections; the payload never reshuffles.
+    */
+  def qCorpusHealth(spark: SparkSession, dir: String): DataFrame = {
+    val keep = TextAnalysis.qKeepList(spark, dir)
+    val quality = TextAnalysis.qQualityScore(spark, dir)
+      .agg(round(avg(col("quality")), 6).as("avg_quality"))
+    keep.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("reason") === "exact_dup", 1L).otherwise(0L)).as("n_exact_dup"),
+        sum(when(col("reason") === "low_quality", 1L).otherwise(0L)).as("n_low_quality"))
+      .crossJoin(broadcast(quality))
+      .select(col("n_docs"), col("n_kept"),
+        round(col("n_kept").cast("double") / col("n_docs"), 6).as("keep_rate"),
+        col("n_exact_dup"), col("n_low_quality"), col("avg_quality"))
+  }
+
+  val qCorpusHealthSql: String = {
+    val keepSql = TextAnalysis.qKeepListSql
+    val qualSql = TextAnalysis.qQualityScoreSql
+    s"""WITH keep AS ($keepSql),
+       |qual AS (SELECT round(avg(quality), 6) AS avg_quality FROM ($qualSql)),
+       |agg AS (SELECT count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN reason = 'exact_dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+       |  CAST(sum(CASE WHEN reason = 'low_quality' THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality
+       |  FROM keep)
+       |SELECT n_docs, n_kept,
+       |  round(CAST(n_kept AS DOUBLE) / n_docs, 6) AS keep_rate,
+       |  n_exact_dup, n_low_quality, avg_quality
+       |FROM agg, qual""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_repetition" -> (qRepetition _),
     "q_unigram_surprisal" -> (qUnigramSurprisal _),
     "q_seq_packing" -> (qSeqPacking _),
     "q_hash_split" -> (qHashSplit _),
+    "q_mixture_weights" -> (qMixtureWeights _),
+    "q_corpus_health" -> (qCorpusHealth _),
     "q_anomaly" -> (qAnomaly _))
 
   def oracle: Map[String, String] = Map(
@@ -236,5 +310,7 @@ object TrainingOps {
     "q_unigram_surprisal" -> qUnigramSurprisalSql,
     "q_seq_packing" -> qSeqPackingSql,
     "q_hash_split" -> qHashSplitSql,
+    "q_mixture_weights" -> qMixtureWeightsSql,
+    "q_corpus_health" -> qCorpusHealthSql,
     "q_anomaly" -> qAnomalySql)
 }

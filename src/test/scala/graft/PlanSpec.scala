@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Relational, Similarity, TemporalOps}
+import graft.operators.{Relational, Similarity, TemporalOps, TrainingOps}
 
 /** Physical-plan regression guards: the plan SHAPES the engine's scale
   * story depends on, asserted so a refactor can't silently lose them.
@@ -40,6 +40,22 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(TemporalOps.qAsofJoin(spark, sf))
     assert(p.contains("Window"), "union-tag formulation must use one window pass")
     assert(!p.contains("CartesianProduct"))
+  }
+
+  test("seq packing prunes the scan and windows per source shard (one exchange)") {
+    val qe = TrainingOps.qSeqPacking(spark, sf).queryExecution
+    val p = qe.executedPlan.toString
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
+      "scan must read only (doc_id, text, source)")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      "exactly one shuffle — the per-source window partitioning")
+    assert(!p.contains("SinglePartition"), "no global-order single-partition window")
+  }
+
+  test("hash split is map-side arithmetic plus one aggregate exchange") {
+    val p = plan(TrainingOps.qHashSplit(spark, sf))
+    assert(!p.contains("Window") && !p.contains("Join"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1)
   }
 
   test("whole-stage codegen covers the relational core") {

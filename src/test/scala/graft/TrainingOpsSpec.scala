@@ -60,6 +60,24 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(rows.forall(s => s > 0 && s <= math.log(totalTokens.toDouble) + 1e-6))
   }
 
+  test("mixture weights: shares sum to 1 and weight restores the uniform target") {
+    val rows = TrainingOps.qMixtureWeights(spark, sf)
+      .select("share", "weight").as[(Double, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_._1).sum - 1.0) < 1e-4)
+    val target = 1.0 / rows.length
+    assert(rows.forall { case (s, w) => w > 0 && math.abs(s * w - target) < 1e-4 })
+  }
+
+  test("corpus health partitions every doc into kept/dup/low-quality") {
+    val r = TrainingOps.qCorpusHealth(spark, sf)
+      .select("n_docs", "n_kept", "n_exact_dup", "n_low_quality", "keep_rate")
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(r._1 == Tables.documents(spark, sf).count())
+    assert(r._2 + r._3 + r._4 == r._1)
+    assert(r._5 > 0 && r._5 <= 1.0)
+  }
+
   test("anomaly flags agree with the reported z-score") {
     // sf0.01: sf0.001's one-event-per-bucket stream has zero variance
     // everywhere, so no bucket clears the stable-baseline gate.

@@ -305,7 +305,62 @@ object FeatureOps {
          |FROM a""".stripMargin
   }
 
+  // ---------------------------------------------------------------- E12
+  /** Exact binned AUC (Mann-Whitney U with tie correction) of the
+    * stopword-density classifier. Scores are quantized to 4 dp as part
+    * of the operator contract, so the ordered accumulation runs over a
+    * BOUNDED bin stream (≤ 10⁴ + 1 bins at any corpus size — the
+    * single-partition prefix sum is over bins, never rows; the row
+    * stream only feeds one map-side-combined aggregate). U is kept in
+    * integer arithmetic (2·cum_neg + nneg_b) so the oracle compare is
+    * exact; only the final ratio is rounded.
+    */
+  def qAuc(spark: SparkSession, dir: String): DataFrame = {
+    val enStops = graft.operators.TextAnalysis.stopwords("en")
+    val bins = Tables.documents(spark, dir)
+      .select((col("lang") === "en").as("is_pos"),
+        round(vocabHits(tokens(col("text")), enStops).cast("double") /
+          tokenCount(col("text")), 4).as("score_bin"))
+      .groupBy(col("score_bin"))
+      .agg(sum(when(col("is_pos"), 1L).otherwise(0L)).as("npos_b"),
+        sum(when(!col("is_pos"), 1L).otherwise(0L)).as("nneg_b"))
+    val w = Window.orderBy(col("score_bin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bins
+      .withColumn("cum_neg", coalesce(sum(col("nneg_b")).over(w), lit(0L)))
+      .agg(sum(col("npos_b")).as("npos"), sum(col("nneg_b")).as("nneg"),
+        sum(col("npos_b") * (col("cum_neg") * 2 + col("nneg_b"))).as("u2"))
+      .select(col("npos"), col("nneg"),
+        round(col("u2").cast("double") / (col("npos") * col("nneg") * 2), 6)
+          .as("auc"))
+  }
+
+  val qAucSql: String = {
+    val stopsSql = graft.operators.TextAnalysis.stopwords("en")
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    val toksSql =
+      raw"regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')"
+    raw"""WITH s AS (SELECT (lang = 'en') AS is_pos,
+         |  round(CAST(len(list_filter($toksSql, t -> list_contains($stopsSql, t))) AS DOUBLE)
+         |    / len($toksSql), 4) AS score_bin
+         |  FROM documents),
+         |b AS (SELECT score_bin,
+         |  CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS npos_b,
+         |  CAST(sum(CASE WHEN NOT is_pos THEN 1 ELSE 0 END) AS BIGINT) AS nneg_b
+         |  FROM s GROUP BY score_bin),
+         |c AS (SELECT npos_b, nneg_b,
+         |  CAST(coalesce(sum(nneg_b) OVER (ORDER BY score_bin
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_neg
+         |  FROM b)
+         |SELECT CAST(sum(npos_b) AS BIGINT) AS npos,
+         |  CAST(sum(nneg_b) AS BIGINT) AS nneg,
+         |  round(CAST(sum(npos_b * (cum_neg * 2 + nneg_b)) AS DOUBLE)
+         |    / (sum(npos_b) * sum(nneg_b) * 2), 6) AS auc
+         |FROM c""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_auc" -> (qAuc _),
     "q_pr_curve" -> (qPrCurve _),
     "q_pca" -> (qPca _),
     "q_standard_scaler" -> (qStandardScaler _),
@@ -317,6 +372,7 @@ object FeatureOps {
     "q_feature_corr" -> (qFeatureCorr _))
 
   def oracle: Map[String, String] = Map(
+    "q_auc" -> qAucSql,
     "q_pr_curve" -> qPrCurveSql,
     "q_standard_scaler" -> qStandardScalerSql,
     "q_minmax_scaler" -> qMinmaxScalerSql,

@@ -66,4 +66,38 @@ class SourcesSpec extends AnyFunSuite {
     assert(scan.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)"),
       s"ORC scan must carry pushed filters:\n$scan")
   }
+
+  test("compaction rewrites a many-small-file table into the target file count, data intact") {
+    import graft.operators.Maintenance
+    val in = tmp("frag")
+    val out = tmp("compacted")
+    val ev = Tables.events(spark, sf).select("event_id", "user_id", "value")
+    ev.repartition(64).write.mode("overwrite").parquet(in)
+    val smallFiles = new java.io.File(in).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(smallFiles >= 32, s"fragmented input expected, got $smallFiles files")
+    Maintenance.compact(spark, in, out, targetBytes = 1L * 1024 * 1024)
+    val outFiles = new java.io.File(out).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(outFiles < smallFiles / 4, s"compaction must cut file count: $smallFiles -> $outFiles")
+    val back = spark.read.parquet(out)
+    assert(back.count() == ev.count())
+    assert(back.except(ev).isEmpty && ev.except(back).isEmpty)
+  }
+
+  test("clustered write yields disjoint per-file ranges on the cluster column") {
+    import graft.operators.Maintenance
+    import spark.implicits._
+    val out = tmp("clustered")
+    val ev = Tables.events(spark, sf).select("event_id", "ts")
+    Maintenance.clusteredWrite(ev, "ts", nFiles = 8, outPath = out)
+    val ranges = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("ts").as("lo"), max("ts").as("hi"))
+      .select("lo", "hi").as[(Long, Long)].collect().sortBy(_._1)
+    assert(ranges.length >= 2, "expected multiple clustered files")
+    assert(ranges.sliding(2).forall {
+      case Array((_, hi1), (lo2, _)) => lo2 >= hi1
+      case _ => true
+    }, s"file ranges must be disjoint: ${ranges.mkString(",")}")
+    assert(spark.read.parquet(out).count() == ev.count())
+  }
 }

@@ -301,7 +301,36 @@ object AnalyticExt {
       |  round(exp(avg(ln(value))), 6) AS geomean
       |FROM events GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- A29
+  /** Full-outer join: per-user event activity reconciled against the
+    * customer dimension — rows survive from BOTH unmatched sides
+    * (customers who never emitted an event, events from users outside
+    * the dimension). Activity aggregates BEFORE the join, so the
+    * full-outer shuffle carries one row per key per side, and the
+    * coalesced key keeps the output total-function over both inputs.
+    */
+  def qFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val activity = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    activity.join(cust, activity("user_id") === cust("c_custkey"), "full_outer")
+      .select(coalesce(col("user_id"), col("c_custkey")).as("key"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("c_custkey").isNotNull.as("has_customer"),
+        coalesce(col("c_mktsegment"), lit("none")).as("segment"))
+  }
+
+  val qFullOuterSql: String =
+    """WITH a AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id)
+      |SELECT COALESCE(a.user_id, c.c_custkey) AS key,
+      |  COALESCE(a.n_events, 0) AS n_events,
+      |  c.c_custkey IS NOT NULL AS has_customer,
+      |  COALESCE(c.c_mktsegment, 'none') AS segment
+      |FROM a FULL OUTER JOIN customer c ON a.user_id = c.c_custkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_full_outer" -> (qFullOuter _),
     "q_geomean" -> (qGeomean _),
     "q_monthly_revenue" -> (qMonthlyRevenue _),
     "q_first_last" -> (qFirstLast _),
@@ -315,6 +344,7 @@ object AnalyticExt {
     "q_ewma" -> (qEwma _))
 
   def oracle: Map[String, String] = Map(
+    "q_full_outer" -> qFullOuterSql,
     "q_geomean" -> qGeomeanSql,
     "q_monthly_revenue" -> qMonthlyRevenueSql,
     "q_first_last" -> qFirstLastSql,

@@ -181,6 +181,34 @@ object TrainingOps {
          |  lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
          |FROM d GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- K5
+  /** Per-source document cap — the "max pages per domain" primitive
+    * that stops a single hot source from dominating the training mix.
+    * Docs rank within their source by md5(doc_id) (a stable
+    * pseudo-random order, so the kept subset is uniform AND
+    * deterministic across runs/engines); the first [[SourceCap]]
+    * survive. One shuffle on source; `WindowGroupLimit` pushes the
+    * rank cutoff below the sort at any source size.
+    */
+  val SourceCap = 20
+
+  def qSourceCap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("samp_rank", row_number().over(w).cast("long"))
+      .filter(col("samp_rank") <= SourceCap)
+  }
+
+  val qSourceCapSql: String =
+    s"""WITH r AS (SELECT doc_id, source,
+       |  row_number() OVER (PARTITION BY source
+       |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS samp_rank
+       |  FROM documents)
+       |SELECT doc_id, source, CAST(samp_rank AS BIGINT) AS samp_rank
+       |FROM r WHERE samp_rank <= $SourceCap""".stripMargin
+
   // ---------------------------------------------------------------- F11
   /** Trailing z-score anomaly detection over hour-bucketed event
     * counts — the ingest-monitoring primitive (did a source spike or
@@ -301,6 +329,7 @@ object TrainingOps {
     "q_unigram_surprisal" -> (qUnigramSurprisal _),
     "q_seq_packing" -> (qSeqPacking _),
     "q_hash_split" -> (qHashSplit _),
+    "q_source_cap" -> (qSourceCap _),
     "q_mixture_weights" -> (qMixtureWeights _),
     "q_corpus_health" -> (qCorpusHealth _),
     "q_anomaly" -> (qAnomaly _))
@@ -310,6 +339,7 @@ object TrainingOps {
     "q_unigram_surprisal" -> qUnigramSurprisalSql,
     "q_seq_packing" -> qSeqPackingSql,
     "q_hash_split" -> qHashSplitSql,
+    "q_source_cap" -> qSourceCapSql,
     "q_mixture_weights" -> qMixtureWeightsSql,
     "q_corpus_health" -> qCorpusHealthSql,
     "q_anomaly" -> qAnomalySql)

@@ -60,6 +60,18 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(rows.forall(s => s > 0 && s <= math.log(totalTokens.toDouble) + 1e-6))
   }
 
+  test("source cap keeps at most K docs per source via a pre-shuffle group limit") {
+    val df = TrainingOps.qSourceCap(spark, sf)
+    val perSource = df.groupBy("source").count().as[(String, Long)].collect()
+    assert(perSource.nonEmpty)
+    assert(perSource.forall(_._2 <= TrainingOps.SourceCap))
+    // rank cutoff must push below the sort (top-k per group, not full sort+filter)
+    assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+    // determinism: same subset on a re-run
+    val again = TrainingOps.qSourceCap(spark, sf).select("doc_id").as[Long].collect().toSet
+    assert(again == df.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("mixture weights: shares sum to 1 and weight restores the uniform target") {
     val rows = TrainingOps.qMixtureWeights(spark, sf)
       .select("share", "weight").as[(Double, Double)].collect()

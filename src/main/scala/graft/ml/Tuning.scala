@@ -93,6 +93,35 @@ object Tuning {
       .toDF("num_features", "reg_param", "cv_accuracy")
   }
 
+  /** E13: learning curve — CV-style accuracy as a function of training
+    * set size (seeded nested fractions, fixed held-out split). Answers
+    * the question tuning alone can't: is the model data-bound (curve
+    * still rising → collect more data) or capacity-bound (flat →
+    * tune/scale the model)? Train/test split and the growing training
+    * subsets are hash-bucket filters on vec_id (deterministic, and
+    * NESTED: every smaller fraction is a subset of every larger one),
+    * so the curve is monotone in expectation and bit-stable across
+    * runs. Rows-only checked (an iterative LBFGS fit has no SQL twin);
+    * bounds spec'd in TuningSpec.
+    */
+  def qLearningCurve(spark: SparkSession, dir: String): DataFrame = {
+    val data = features(spark, dir)
+      .withColumn("bucket", pmod(hash(col("vec_id")), lit(100)))
+      .cache()
+    data.count()
+    val testC = data.filter(col("bucket") >= 80)
+    val lr = new LogisticRegression().setMaxIter(25).setTol(1e-5).setRegParam(0.01)
+    val eval = new MulticlassClassificationEvaluator().setMetricName("accuracy")
+    val rows = Seq(16, 32, 48, 64, 80).map { hi =>
+      val subC = data.filter(col("bucket") < hi) // nested by construction
+      val n = subC.count()
+      val acc = eval.evaluate(lr.fit(subC).transform(testC))
+      (hi / 80.0, n, math.rint(acc * 1e6) / 1e6)
+    }
+    data.unpersist()
+    spark.createDataFrame(rows).toDF("train_frac", "n_train", "accuracy")
+  }
+
   /** E8: seeded KMeans clustering of the embeddings; returns cluster
     * sizes (the segmentation profile).
     */
@@ -109,6 +138,7 @@ object Tuning {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mllib_tuning" -> (qMllibTuning _),
     "q_pipeline_tuning" -> (qPipelineTuning _),
+    "q_learning_curve" -> (qLearningCurve _),
     "q_kmeans" -> (qKmeans _))
 
   /** Not SQL-expressible → rows-only checks. */

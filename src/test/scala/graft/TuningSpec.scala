@@ -20,6 +20,24 @@ class TuningSpec extends AnyFunSuite {
     })
   }
 
+  test("learning curve: nested fractions grow the train set and accuracy stays bounded") {
+    val rows = Tuning.qLearningCurve(spark, sf)
+      .select("train_frac", "n_train", "accuracy")
+      .as[(Double, Long, Double)].collect().sortBy(_._1)
+    assert(rows.length == 5)
+    // nested hash buckets: train size strictly non-decreasing
+    assert(rows.sliding(2).forall {
+      case Array((_, n1, _), (_, n2, _)) => n2 >= n1
+      case _ => true
+    })
+    assert(rows.forall { case (f, n, a) => f > 0 && f <= 1 && n > 0 && a >= 0 && a <= 1 })
+    // a second run is bit-identical (deterministic split + seedless-free path)
+    val again = Tuning.qLearningCurve(spark, sf)
+      .select("train_frac", "n_train", "accuracy")
+      .as[(Double, Long, Double)].collect().sortBy(_._1)
+    assert(again.toSeq == rows.toSeq)
+  }
+
   test("CV tuning returns one row per grid point with sane metrics") {
     val rows = Tuning.qMllibTuning(spark, sf)
       .select("reg_param", "elastic_net", "cv_accuracy")

@@ -38,5 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_might_contain"),
       new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_might_contain"),
       (exprs: Seq[Expression]) => BloomFilterMightContain(exprs(0), exprs(1))))
+    // Opt-in approximate-query rewrite (exact COUNT(DISTINCT) → HLL++
+    // under spark.graft.approxDistinct=true) — the Rule[LogicalPlan]
+    // extension point; default off, so semantics only change when a
+    // session explicitly trades accuracy for one-pass aggregation.
+    e.injectOptimizerRule(graft.plans.ApproxDistinctRewrite.apply)
   }
 }

@@ -58,6 +58,26 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1)
   }
 
+  test("approx-distinct rewrite rule: session knob swaps exact distinct for HLL++") {
+    val key = "spark.graft.approxDistinct"
+    val exact = Relational.qDistinctAgg(spark, sf)
+    assert(!exact.queryExecution.optimizedPlan.toString.contains("approx_count_distinct"),
+      "flag off (default): plan must stay exact")
+    try {
+      spark.conf.set(key, "true")
+      val approx = Relational.qDistinctAgg(spark, sf)
+      val opt = approx.queryExecution.optimizedPlan.toString
+      assert(opt.contains("approx_count_distinct"),
+        s"flag on: COUNT(DISTINCT) must rewrite to HLL++:\n$opt")
+      assert(!approx.queryExecution.executedPlan.toString.contains("Expand"),
+        "HLL++ plan must drop the exact-distinct Expand")
+      // sketch estimate lands within HLL++ default error of the exact count
+      val est = approx.collect().map(r => r.getLong(1)).sum.toDouble
+      val ref = exact.collect().map(r => r.getLong(1)).sum.toDouble
+      assert(math.abs(est - ref) / ref < 0.1, s"estimate $est vs exact $ref")
+    } finally spark.conf.unset(key)
+  }
+
   test("whole-stage codegen covers the relational core") {
     import org.apache.spark.sql.execution.ExplainMode
     val p = Relational.q1PricingSummary(spark, sf)

@@ -286,6 +286,44 @@ object TrainingOps {
          |  round((1.0 / n_langs) / (CAST(n_tokens AS DOUBLE) / total_tokens), 6) AS weight
          |FROM p, t""".stripMargin
 
+  // ---------------------------------------------------------------- K6
+  /** Materialize the K3 mixture: emit each document `n_copies` times
+    * so per-language token mass approaches the uniform target.
+    * n_copies = ⌊w⌋ plus one fractional copy when a DETERMINISTIC
+    * per-doc uniform draw (md5(doc_id) first 15 hex / 2⁶⁰ — exact in
+    * double, identical in both engines) falls below frac(w) — so the
+    * resample is reproducible row-for-row across runs and engines, no
+    * RNG state anywhere. Map-side: broadcast per-language weights,
+    * explode by copy count; docs with n_copies = 0 are downsampled
+    * away. The expansion factor is bounded by the weight vector, not
+    * the corpus.
+    */
+  def qResample(spark: SparkSession, dir: String): DataFrame = {
+    val weights = qMixtureWeights(spark, dir).select(col("lang"), col("weight"))
+    val u = expr("conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10)")
+      .cast("double") / math.pow(2, 60)
+    val nCopies = (floor(col("weight")) +
+      when(u < col("weight") - floor(col("weight")), 1).otherwise(0)).cast("long")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+      .join(broadcast(weights), "lang")
+      .withColumn("n_copies", nCopies)
+      .filter(col("n_copies") >= 1)
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy_id"))
+  }
+
+  val qResampleSql: String =
+    s"""WITH w AS ($qMixtureWeightsSql),
+       |d AS (SELECT doc_id, d.lang, w.weight,
+       |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT / power(2, 60) AS u
+       |  FROM documents d JOIN w ON d.lang = w.lang),
+       |c AS (SELECT doc_id, lang,
+       |  CAST(floor(weight) + (CASE WHEN u < weight - floor(weight) THEN 1 ELSE 0 END) AS BIGINT) AS n_copies
+       |  FROM d)
+       |SELECT doc_id, lang, CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy_id
+       |FROM c WHERE n_copies >= 1""".stripMargin
+
   // ---------------------------------------------------------------- K4
   /** One-row corpus health dashboard — the numbers a data curator
     * checks before a training run: doc count, exact-dup rate, quality
@@ -331,6 +369,7 @@ object TrainingOps {
     "q_hash_split" -> (qHashSplit _),
     "q_source_cap" -> (qSourceCap _),
     "q_mixture_weights" -> (qMixtureWeights _),
+    "q_resample" -> (qResample _),
     "q_corpus_health" -> (qCorpusHealth _),
     "q_anomaly" -> (qAnomaly _))
 
@@ -341,6 +380,7 @@ object TrainingOps {
     "q_hash_split" -> qHashSplitSql,
     "q_source_cap" -> qSourceCapSql,
     "q_mixture_weights" -> qMixtureWeightsSql,
+    "q_resample" -> qResampleSql,
     "q_corpus_health" -> qCorpusHealthSql,
     "q_anomaly" -> qAnomalySql)
 }

@@ -81,6 +81,20 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(rows.forall { case (s, w) => w > 0 && math.abs(s * w - target) < 1e-4 })
   }
 
+  test("resample materializes the mixture deterministically with contiguous copy ids") {
+    val rows = TrainingOps.qResample(spark, sf)
+      .select("doc_id", "copy_id").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // copy ids per doc are contiguous 1..n (exploded sequence, no gaps)
+    rows.groupBy(_._1).foreach { case (_, copies) =>
+      val ids = copies.map(_._2).sorted
+      assert(ids.head == 1 && ids.last == ids.length)
+    }
+    val again = TrainingOps.qResample(spark, sf)
+      .select("doc_id", "copy_id").as[(Long, Long)].collect()
+    assert(again.sorted.toSeq == rows.sorted.toSeq, "resample must be run-to-run identical")
+  }
+
   test("corpus health partitions every doc into kept/dup/low-quality") {
     val r = TrainingOps.qCorpusHealth(spark, sf)
       .select("n_docs", "n_kept", "n_exact_dup", "n_low_quality", "keep_rate")

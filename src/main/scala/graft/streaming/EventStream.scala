@@ -244,6 +244,65 @@ object EventStream {
       |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1""".stripMargin
 
+  /** Input bucket for the streaming anomaly detector: an
+    * already-aggregated (type, hour, count) metric stream.
+    */
+  case class Bucket(event_type: String, hour: Long, n: Long)
+  /** Trailing baseline per event type: parallel (hour, count) seqs,
+    * capped at the window size — state is bounded by (types ×
+    * window), independent of stream length.
+    */
+  case class Ring(hours: Seq[Long], counts: Seq[Long])
+  /** Verdict row, identical shape to the batch `q_anomaly`. */
+  case class AnomalyOut(event_type: String, hour: Long, n: Long,
+      baseline_mean: Double, z: Double, is_anomaly: Boolean)
+
+  /** F13: STREAMING twin of the batch anomaly detector (F11) — the
+    * ingest monitor run where it belongs, on the live metric stream.
+    * State per event type is a ring buffer of the trailing `window`
+    * observed buckets (bounded by construction — no watermark needed
+    * for correctness of state size); each arriving bucket is scored
+    * against the strictly-earlier baseline, exactly the batch
+    * ROWS BETWEEN -window AND -1 frame. Rounding mirrors the batch
+    * operator (HALF_UP at 4 dp), so for an in-order bucket stream the
+    * emitted verdicts EQUAL the batch result — asserted in
+    * StreamingSpec against the oracle-checked `q_anomaly`.
+    */
+  def streamAnomaly(buckets: Dataset[Bucket], window: Int = 48,
+      minBase: Int = 24): Dataset[AnomalyOut] = {
+    import buckets.sparkSession.implicits._
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    buckets
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[Bucket], state: GroupState[Ring]) =>
+          var hist: Seq[(Long, Long)] = state.getOption
+            .map(r => r.hours.zip(r.counts)).getOrElse(Seq.empty)
+          val out = it.toSeq.sortBy(_.hour).flatMap { b =>
+            val base = hist.takeRight(window)
+            val verdict =
+              if (base.size < minBase) None
+              else {
+                val ns = base.map(_._2.toDouble)
+                val mu = ns.sum / ns.size
+                val sd = math.sqrt(
+                  ns.map(x => (x - mu) * (x - mu)).sum / (ns.size - 1))
+                if (sd <= 1e-9) None
+                else {
+                  val z = (b.n - mu) / sd
+                  Some(AnomalyOut(key, b.hour, b.n, r4(mu), r4(z),
+                    math.abs(z) > 3.0))
+                }
+              }
+            hist = (hist :+ (b.hour, b.n)).takeRight(window)
+            verdict
+          }
+          state.update(Ring(hist.map(_._1), hist.map(_._2)))
+          out.iterator
+      }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumbling" -> (qStreamTumbling _),
     "q_stream_dedup" -> (qStreamDedup _))

@@ -75,6 +75,32 @@ class StreamingSpec extends AnyFunSuite {
       "stream-stream join produced rows the batch range join lacks")
   }
 
+  test("stateful streaming anomaly detector equals the oracle-checked batch operator") {
+    import graft.streaming.EventStream.{AnomalyOut, Bucket}
+    implicit val sqlCtx = spark.sqlContext
+    val sf01 = "/root/testdata/sf0.01" // sf0.001 has too little variance to score
+    // the metric stream: the batch operator's own hourly bucketing
+    val buckets = Tables.events(spark, sf01)
+      .select(col("event_type"),
+        (expr("(ts DIV 1000000000) DIV 3600") * 3600).cast("long").as("hour"))
+      .groupBy("event_type", "hour").agg(count(lit(1)).as("n"))
+      .as[Bucket].collect().sortBy(b => (b.event_type, b.hour))
+    val input = MemoryStream[Bucket]
+    input.addData(buckets: _*)
+    val qn = "graft_stream_anomaly"
+    val q = graft.streaming.EventStream.streamAnomaly(input.toDS())
+      .writeStream.outputMode("append").format("memory").queryName(qn).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table(qn).as[AnomalyOut].collect().toSet
+    val batch = graft.operators.TrainingOps.qAnomaly(spark, sf01)
+      .withColumnRenamed("minute", "hour") // (same column name either way)
+      .as[AnomalyOut].collect().toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"stream-batch mismatch: onlyStream=${(streamed -- batch).take(3)} onlyBatch=${(batch -- streamed).take(3)}")
+  }
+
   test("append-mode file sink emits watermark-closed windows matching the batch result") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_files").toString
     val streamed = EventStream.streamTumblingToFiles(spark, sf,

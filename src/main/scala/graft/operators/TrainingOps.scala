@@ -362,7 +362,49 @@ object TrainingOps {
        |FROM agg, qual""".stripMargin
   }
 
+  // ---------------------------------------------------------------- F14
+  /** Cohort retention: users grouped by first-activity week (the
+    * cohort), tracked by the share still active k weeks later — the
+    * standard product-analytics staple. Shape: one shuffle on user_id
+    * (first-week aggregate), one distinct on (user, week) — both
+    * partial-aggregated map-side — then a broadcast-sized
+    * (cohort × k) rollup joined to cohort sizes. Weeks are epoch-
+    * aligned 7-day buckets (engine-portable integer arithmetic).
+    */
+  def qRetention(spark: SparkSession, dir: String): DataFrame = {
+    val wk = (expr("(ts DIV 1000000000) DIV 604800") * 604800L).cast("long")
+    val userWeeks = Tables.events(spark, dir)
+      .select(col("user_id"), wk.as("week")).distinct()
+    val cohorts = userWeeks.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    val sizes = cohorts.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    userWeeks.join(cohorts, "user_id")
+      .select(col("cohort_week"),
+        expr("(week - cohort_week) DIV 604800").as("k"))
+      .groupBy(col("cohort_week"), col("k"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("k"), col("n_active"), col("cohort_size"),
+        round(col("n_active").cast("double") / col("cohort_size"), 6)
+          .as("retention"))
+  }
+
+  val qRetentionSql: String =
+    s"""WITH uw AS (SELECT DISTINCT user_id,
+       |    ($duckTsSec // 604800) * 604800 AS week FROM events),
+       |c AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id),
+       |s AS (SELECT cohort_week, count(*) AS cohort_size FROM c GROUP BY cohort_week),
+       |a AS (SELECT c.cohort_week, (uw.week - c.cohort_week) // 604800 AS k,
+       |    count(*) AS n_active
+       |  FROM uw JOIN c ON uw.user_id = c.user_id
+       |  GROUP BY 1, 2)
+       |SELECT a.cohort_week, a.k, a.n_active, s.cohort_size,
+       |  round(CAST(a.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+       |FROM a JOIN s ON a.cohort_week = s.cohort_week""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_retention" -> (qRetention _),
     "q_repetition" -> (qRepetition _),
     "q_unigram_surprisal" -> (qUnigramSurprisal _),
     "q_seq_packing" -> (qSeqPacking _),
@@ -374,6 +416,7 @@ object TrainingOps {
     "q_anomaly" -> (qAnomaly _))
 
   def oracle: Map[String, String] = Map(
+    "q_retention" -> qRetentionSql,
     "q_repetition" -> qRepetitionSql,
     "q_unigram_surprisal" -> qUnigramSurprisalSql,
     "q_seq_packing" -> qSeqPackingSql,

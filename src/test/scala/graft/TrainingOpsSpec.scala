@@ -104,6 +104,16 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(r._5 > 0 && r._5 <= 1.0)
   }
 
+  test("retention is 1.0 at k=0 and bounded afterwards") {
+    val rows = TrainingOps.qRetention(spark, sf)
+      .select("k", "n_active", "cohort_size", "retention")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.filter(_._1 == 0).forall(r => r._2 == r._3 && r._4 == 1.0),
+      "every cohort member is active in the cohort week by definition")
+    assert(rows.forall { case (k, a, s, r) => k >= 0 && a <= s && r > 0 && r <= 1.0 })
+  }
+
   test("anomaly flags agree with the reported z-score") {
     // sf0.01: sf0.001's one-event-per-bucket stream has zero variance
     // everywhere, so no bucket clears the stable-baseline gate.

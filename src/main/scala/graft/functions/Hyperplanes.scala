@@ -40,14 +40,20 @@ object Hyperplanes {
   }
 
   /** The `bits`-bit bucket value of band `b`: bit j is the sign of
-    * `v . plane(b*bits + j)`. Literal plane arrays fold into the plan —
-    * map-only, nothing broadcast or shuffled.
+    * `v . plane(b*bits + j)`. Backed by the codegen'd
+    * [[HyperplaneBands]] expression (one fused loop, LCG components
+    * generated inline — map-only, nothing broadcast or shuffled); for
+    * multi-band use prefer [[allBands]] + posexplode so every band
+    * comes out of a single evaluation.
     */
   def bandValue(v: Column, b: Int, bits: Int): Column =
-    (0 until bits).map { j =>
-      val pl = array(plane(b * bits + j).map(lit): _*)
-      when(VectorFunctions.dot(v, pl) >= 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    GraftExpressions.hyperplane_bands(v, b + 1, bits, Dim).getItem(b)
+
+  /** All `nBands` band values in one fused codegen evaluation
+    * (array index = band id).
+    */
+  def allBands(v: Column, nBands: Int, bits: Int): Column =
+    GraftExpressions.hyperplane_bands(v, nBands, bits, Dim)
 
   /** SQL mirror of the full banding pipeline: CTEs producing
     * `bands(vec_id, b, bv)` from table `e(vec_id, v DOUBLE[])`, with

@@ -176,6 +176,84 @@ case class ShingleHashes(child: Expression, k: Int = 5,
     copy(child = newChild)
 }
 
+/** All hyperplane-LSH band values of an embedding in ONE fused loop —
+  * the kernel behind C5/D2 candidate blocking. Value contract
+  * (identical to the composed-HOF formulation it replaces, so the
+  * oracle CTEs that regenerate the LCG arithmetic stay valid): output
+  * index b holds the band-b bucket value, whose bit j is the sign of
+  * `v · plane(b*bits + j)` with plane component
+  * `((1103515245*idx + 12345) mod 2^31)/2^31 - 0.5` at flat index
+  * `idx = (b*bits + j)*dim + d`, dot accumulated in index order.
+  * Replaces, per row, nBands×bits interpreted `aggregate(zip_with)`
+  * folds with one codegen'd triple loop.
+  */
+case class HyperplaneBands(child: Expression, nBands: Int, bits: Int,
+    dim: Int = 64) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(dim, v.numElements())
+    val out = new Array[Long](nBands)
+    var b = 0
+    while (b < nBands) {
+      var bv = 0L
+      var j = 0
+      while (j < bits) {
+        val base = (b * bits + j) * dim
+        var dot = 0.0
+        var d = 0
+        while (d < n) {
+          val c = ((1103515245L * (base + d) + 12345L) % 2147483648L).toDouble /
+            2147483648.0 - 0.5
+          dot += v.getDouble(d) * c
+          d += 1
+        }
+        if (dot >= 0) bv |= (1L << j)
+        j += 1
+      }
+      out(b) = bv
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val b = ctx.freshName("b")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val bv = ctx.freshName("bv")
+      val base = ctx.freshName("base")
+      val dot = ctx.freshName("dot")
+      val comp = ctx.freshName("comp")
+      s"""
+         |int $n = java.lang.Math.min($dim, $c.numElements());
+         |long[] $out = new long[$nBands];
+         |for (int $b = 0; $b < $nBands; $b++) {
+         |  long $bv = 0L;
+         |  for (int $j = 0; $j < $bits; $j++) {
+         |    int $base = ($b * $bits + $j) * $dim;
+         |    double $dot = 0.0;
+         |    for (int $d = 0; $d < $n; $d++) {
+         |      double $comp = (double) ((1103515245L * ($base + $d) + 12345L) % 2147483648L)
+         |        / 2147483648.0 - 0.5;
+         |      $dot += $c.getDouble($d) * $comp;
+         |    }
+         |    if ($dot >= 0) $bv |= (1L << $j);
+         |  }
+         |  $out[$b] = $bv;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBands =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the custom expressions. */
 object GraftExpressions {
   def rolling_hash(c: Column, modulus: Long = 1000000007L): Column =
@@ -187,4 +265,7 @@ object GraftExpressions {
 
   def shingle_hashes(c: Column, k: Int = 5, modulus: Long = 4294967291L): Column =
     GraftBridge.column(ShingleHashes(GraftBridge.expression(c), k, modulus))
+
+  def hyperplane_bands(v: Column, nBands: Int, bits: Int, dim: Int = 64): Column =
+    GraftBridge.column(HyperplaneBands(GraftBridge.expression(v), nBands, bits, dim))
 }

@@ -401,11 +401,10 @@ object Dedup {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val bits = Hyperplanes.bitsFor(e.count(), EmbTargetBucket)
-    val bandCols = (0 until EmbBands).map { b =>
-      struct(lit(b).as("b"), Hyperplanes.bandValue(col("v"), b, bits).as("bv"))
-    }
-    e.select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("vec_id"), col("bb.b").as("b"), col("bb.bv").as("bv"))
+    // one fused codegen evaluation computes every band; posexplode's
+    // position IS the band id (same values as the per-band formulation)
+    e.select(col("vec_id"),
+        posexplode(Hyperplanes.allBands(col("v"), EmbBands, bits)).as(Seq("b", "bv")))
   }
 
   def qEmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
@@ -589,13 +588,33 @@ object Dedup {
       println(f"== cc labels0 ${(System.nanoTime()-tDbg0)/1e9}%.1fs")
     var converged = false
     var iter = 0
+    // The label/edge frames are pair-set-sized (orders of magnitude
+    // below the corpus); at the session's CPU-sized shuffle width the
+    // loop pays per-task scheduling, not compute. Size the iteration
+    // shuffles to the frame — the same deliberate state-vs-CPU knob as
+    // the streaming ops (at 100 TB pair volume, set it accordingly).
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val oldShuffle = spark.conf.get(shuffleKey)
+    spark.conf.set(shuffleKey, "8")
+    try {
     while (!converged && iter < 25) {
       val neigh = edges.join(labels, col("dst") === col("node"))
         .groupBy(col("src")).agg(min(col("lab")).as("nlab"))
-      val next = labels.join(neigh, col("node") === col("src"), "left")
+      val stepped = labels.join(neigh, col("node") === col("src"), "left")
         .select(col("node"),
           least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"),
-          (col("nlab") < col("lab")).as("moved"))
+          col("lab").as("old_lab"))
+      // pointer jumping (path compression): adopt the label OF the
+      // label. Neighbor propagation alone needs one iteration per hop
+      // of cluster diameter; combined with jumping, chains collapse in
+      // O(log diameter) iterations — 19 → ~7 at sf0.1, and the bound
+      // that matters when 100 TB dup chains run long.
+      val next = stepped.as("l")
+        .join(stepped.as("m"), col("l.lab") === col("m.node"), "left")
+        .select(col("l.node").as("node"),
+          least(col("l.lab"), coalesce(col("m.lab"), col("l.lab"))).as("lab"),
+          (least(col("l.lab"), coalesce(col("m.lab"), col("l.lab"))) <
+            col("l.old_lab")).as("moved"))
         .localCheckpoint() // materializes AND truncates lineage
       val changed = next.filter(col("moved")).count() > 0
       labels = next.select(col("node"), col("lab"))
@@ -604,6 +623,7 @@ object Dedup {
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(f"== cc iter $iter changed=$changed t=${(System.nanoTime()-tDbg0)/1e9}%.1fs")
     }
+    } finally spark.conf.set(shuffleKey, oldShuffle)
     labels.select(col("node").as("vec_id"), col("lab").as("cluster_id"))
   }
 

@@ -43,6 +43,33 @@ class ExpressionSpec extends AnyFunSuite {
     assert(math.abs(got(2) - 1.0) < 1e-12)
   }
 
+  test("hyperplane_bands equals the composed sign-bit formulation bit-for-bit") {
+    import graft.functions.Hyperplanes
+    val bits = 6
+    val nBands = 4
+    val rows = Tables.embeddings(spark, sf).limit(50)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("v"),
+        Hyperplanes.allBands(col("v"), nBands, bits).as("bands"))
+      .as[(Long, Seq[Double], Seq[Long])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, v, bands) =>
+      assert(bands.length == nBands)
+      // independent reference: same LCG planes, same index-order dot
+      for (b <- 0 until nBands) {
+        var expect = 0L
+        for (j <- 0 until bits) {
+          val base = (b * bits + j) * Hyperplanes.Dim
+          var dot = 0.0
+          for (d <- v.indices)
+            dot += v(d) * Hyperplanes.component(base + d)
+          if (dot >= 0) expect |= (1L << j)
+        }
+        assert(bands(b) == expect, s"band $b mismatch")
+      }
+    }
+  }
+
   test("cosine_sim agrees with the HOF formulation on embeddings") {
     val e = Tables.embeddings(spark, sf).limit(20)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

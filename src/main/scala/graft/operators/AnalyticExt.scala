@@ -329,7 +329,43 @@ object AnalyticExt {
       |  COALESCE(c.c_mktsegment, 'none') AS segment
       |FROM a FULL OUTER JOIN customer c ON a.user_id = c.c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------- A30
+  /** TPC-H Q21-pattern "who held up the order": in every
+    * multi-supplier order, blame the supplier(s) whose line shipped
+    * LAST; rank suppliers by blame count. The per-order profile
+    * (distinct suppliers, latest ship date) aggregates FIRST and joins
+    * back — one shuffle on l_orderkey serves both the aggregate and
+    * the join-back probe, and the blame rollup is supplier-sized.
+    * Top-10 with a deterministic key tiebreak, mirrored in the oracle.
+    */
+  def qBlameSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val orders = li.groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supps"),
+        max(col("l_shipdate")).as("max_ship"))
+      .filter(col("n_supps") >= 2)
+    li.join(orders, "l_orderkey")
+      .filter(col("l_shipdate") === col("max_ship"))
+      .groupBy(col("l_suppkey"))
+      .agg(countDistinct(col("l_orderkey")).as("n_blamed"))
+      .orderBy(col("n_blamed").desc, col("l_suppkey").asc)
+      .limit(10)
+  }
+
+  val qBlameSupplierSql: String =
+    """WITH o AS (SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supps,
+      |    max(l_shipdate) AS max_ship
+      |  FROM lineitem GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) >= 2)
+      |SELECT l.l_suppkey, count(DISTINCT l.l_orderkey) AS n_blamed
+      |FROM lineitem l JOIN o ON l.l_orderkey = o.l_orderkey
+      |WHERE l.l_shipdate = o.max_ship
+      |GROUP BY l.l_suppkey
+      |ORDER BY n_blamed DESC, l.l_suppkey ASC
+      |LIMIT 10""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_blame_supplier" -> (qBlameSupplier _),
     "q_full_outer" -> (qFullOuter _),
     "q_geomean" -> (qGeomean _),
     "q_monthly_revenue" -> (qMonthlyRevenue _),
@@ -344,6 +380,7 @@ object AnalyticExt {
     "q_ewma" -> (qEwma _))
 
   def oracle: Map[String, String] = Map(
+    "q_blame_supplier" -> qBlameSupplierSql,
     "q_full_outer" -> qFullOuterSql,
     "q_geomean" -> qGeomeanSql,
     "q_monthly_revenue" -> qMonthlyRevenueSql,

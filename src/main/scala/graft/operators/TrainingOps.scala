@@ -362,6 +362,45 @@ object TrainingOps {
        |FROM agg, qual""".stripMargin
   }
 
+  // ---------------------------------------------------------------- K7
+  /** Curriculum decile binning: documents bucketed into quality
+    * deciles WITHOUT a global sort — the 9 exact interpolated cut
+    * points come out of one aggregate (a bounded 9-value row that
+    * broadcasts), and every doc's decile is then a map-side
+    * comparison count against them. ntile() would need a
+    * single-partition global sort; this shape is the 100 TB way to
+    * rank-bucket. Output is the per-decile profile. Both engines
+    * compare the identical rounded quality doubles against identical
+    * percentile boundaries, so binning is deterministic.
+    */
+  def qQualityDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysis.qQualityScore(spark, dir).select(col("doc_id"), col("quality"))
+    val cuts = q.agg(
+      expr("percentile(quality, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("cuts"))
+    val decile = (lit(1) +
+      (0 until 9).map(i => when(col("quality") > col("cuts").getItem(i), 1).otherwise(0))
+        .reduce(_ + _)).cast("long")
+    q.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("quality"), decile.as("decile"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(min(col("quality")), 6).as("min_q"),
+        round(max(col("quality")), 6).as("max_q"))
+  }
+
+  val qQualityDecilesSql: String = {
+    val qualSql = TextAnalysis.qQualityScoreSql
+    val cmp = (0 until 9)
+      .map(i => s"(CASE WHEN quality > cuts[${i + 1}] THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH q AS (SELECT doc_id, quality FROM ($qualSql)),
+       |c AS (SELECT quantile_cont(quality, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cuts FROM q),
+       |d AS (SELECT doc_id, quality, CAST(1 + $cmp AS BIGINT) AS decile FROM q, c)
+       |SELECT decile, count(*) AS n_docs,
+       |  round(min(quality), 6) AS min_q, round(max(quality), 6) AS max_q
+       |FROM d GROUP BY decile""".stripMargin
+  }
+
   // ---------------------------------------------------------------- F14
   /** Cohort retention: users grouped by first-activity week (the
     * cohort), tracked by the share still active k weeks later — the
@@ -405,6 +444,7 @@ object TrainingOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_retention" -> (qRetention _),
+    "q_quality_deciles" -> (qQualityDeciles _),
     "q_repetition" -> (qRepetition _),
     "q_unigram_surprisal" -> (qUnigramSurprisal _),
     "q_seq_packing" -> (qSeqPacking _),
@@ -417,6 +457,7 @@ object TrainingOps {
 
   def oracle: Map[String, String] = Map(
     "q_retention" -> qRetentionSql,
+    "q_quality_deciles" -> qQualityDecilesSql,
     "q_repetition" -> qRepetitionSql,
     "q_unigram_surprisal" -> qUnigramSurprisalSql,
     "q_seq_packing" -> qSeqPackingSql,

@@ -104,6 +104,18 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(r._5 > 0 && r._5 <= 1.0)
   }
 
+  test("quality deciles cover all docs with non-overlapping quality ranges") {
+    val rows = TrainingOps.qQualityDeciles(spark, sf)
+      .select("decile", "n_docs", "min_q", "max_q")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._2).sum == Tables.documents(spark, sf).count())
+    assert(rows.forall { case (d, n, lo, hi) => d >= 1 && d <= 10 && n > 0 && lo <= hi })
+    assert(rows.sliding(2).forall {
+      case Array((_, _, _, hi1), (_, _, lo2, _)) => lo2 >= hi1 - 1e-9
+      case _ => true
+    }, "decile quality ranges must not overlap")
+  }
+
   test("retention is 1.0 at k=0 and bounded afterwards") {
     val rows = TrainingOps.qRetention(spark, sf)
       .select("k", "n_active", "cohort_size", "retention")

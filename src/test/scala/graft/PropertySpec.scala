@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.GraftExpressions._
+
+/** Randomized (seeded, reproducible) checks of the custom codegen
+  * expressions against independent scalar references — edge cases
+  * (empty/short strings, arbitrary ASCII) a fixed corpus never
+  * exercises.
+  */
+class PropertySpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  private def asciiStrings(seed: Long, n: Int): Seq[String] = {
+    val rng = new scala.util.Random(seed)
+    // lengths biased to the edges: empty, shorter-than-k, long
+    Seq.fill(n) {
+      val len = rng.nextInt(12) match {
+        case 0 => 0
+        case 1 | 2 => rng.nextInt(5)
+        case _ => rng.nextInt(80)
+      }
+      Seq.fill(len)((32 + rng.nextInt(95)).toChar).mkString
+    }
+  }
+
+  test("rolling_hash equals the BigInt fold for arbitrary ASCII strings") {
+    val ss = asciiStrings(seed = 1, n = 200)
+    val got = ss.toDF("s").select(rolling_hash(col("s"))).as[Long].collect()
+    val expect = ss.map(_.foldLeft(BigInt(0)) {
+      (h, c) => (h * 31 + c.toInt) % 1000000007L
+    }.toLong)
+    assert(got.toSeq == expect)
+  }
+
+  test("shingle_hashes window i equals the scalar polynomial of the k chars at i") {
+    val ss = asciiStrings(seed = 2, n = 100).filter(_.nonEmpty)
+    val got = ss.toDF("s").select(shingle_hashes(col("s"), k = 5))
+      .as[Seq[Long]].collect()
+    ss.zip(got).foreach { case (s, hashes) =>
+      val n = math.max(s.length - 4, 1)
+      assert(hashes.length == n, s"'$s'")
+      for (i <- 0 until n) {
+        var h = BigInt(0); var w = BigInt(1)
+        for (j <- 0 until 5) {
+          val c = if (i + j < s.length) s.charAt(i + j).toInt else 0
+          h += w * c; w *= 31
+        }
+        assert(hashes(i) == (h % 4294967291L).toLong, s"window $i of '$s'")
+      }
+    }
+  }
+
+  test("hyperplane_bands stays within bits range and matches the reference on random vectors") {
+    import graft.functions.Hyperplanes
+    val rng = new scala.util.Random(3)
+    val bits = 7
+    val vs = Seq.fill(40)(Seq.fill(64)(rng.nextDouble() * 2 - 1))
+    val got = vs.toDF("v")
+      .select(hyperplane_bands(col("v"), nBands = 3, bits = bits))
+      .as[Seq[Long]].collect()
+    vs.zip(got).foreach { case (v, bands) =>
+      assert(bands.length == 3)
+      for (b <- 0 until 3) {
+        assert(bands(b) >= 0 && bands(b) < (1L << bits))
+        var expect = 0L
+        for (j <- 0 until bits) {
+          val base = (b * bits + j) * Hyperplanes.Dim
+          var dot = 0.0
+          for (d <- v.indices) dot += v(d) * Hyperplanes.component(base + d)
+          if (dot >= 0) expect |= (1L << j)
+        }
+        assert(bands(b) == expect, s"band $b")
+      }
+    }
+  }
+}

@@ -486,6 +486,11 @@ object Dedup {
   def qSimhash(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.GraftExpressions.rolling_hash
     val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      // the corpus arrives as one parquet split at test SF: spread the
+      // tokenize+hash+partial-agg work before the explode (the same
+      // round-1 lesson as the shingle stream; semantics-neutral)
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .select(col("doc_id"), rolling_hash(col("tok")).as("h"))
     val bitSums = (0 until SimhashBits).map { j =>

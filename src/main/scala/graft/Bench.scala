@@ -41,20 +41,23 @@ object Bench {
     val results = firstPass.map { case (name, t) =>
       name -> (if (t > retryAbove) math.min(t, once(selected(name))) else t)
     }
-    // 2-decimal values: the driver captures only the log TAIL (~2 KiB);
-    // full-precision doubles pushed the one-line JSON past that window
-    // and round 4's bench line was front-truncated (parsed: null).
-    // 10 ms resolution is ample for the judge's per-query comparison.
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }
-      .mkString("{", ",", "}")
+    // The driver captures only the log TAIL (~2 KiB): a 95-query map
+    // overflows it from the FRONT and the line arrives truncated
+    // (BENCH r4/r5/r6 all "parsed": null). So stdout gets a SHORT line —
+    // total plus the 10 slowest queries — guaranteed to fit the tail
+    // window; the full per-query map is persisted to bench_out.json.
+    def fmt(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // Belt and braces: also persist the line to a file the driver (or a
-    // human) can read even if the stdout tail still clips it.
+    val fullLine =
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":${fmt(results)},"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), fullLine + "\n")
     catch { case _: Throwable => () }
-    println(line)
+    val slowest = results.toSeq.sortBy(-_._2).take(10)
+    val shortLine =
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n":${results.size},"queries":${fmt(slowest)},"sf":"$sfDir"}"""
+    println(shortLine)
     spark.stop()
   }
 }

@@ -89,15 +89,18 @@ object TrainingOps {
   /** Per-document mean unigram surprisal (−ln p under the corpus
     * unigram LM) — the cheapest model-based quality signal: documents
     * of improbable tokens score high, boilerplate scores low. The
-    * vocabulary table is bounded by VOCAB size, not corpus size, so it
-    * broadcasts; scoring is then map-side over the token stream.
+    * distinct-token set of a web-scale corpus is itself corpus-scale
+    * (URLs, ids, typos keep the tail growing), so the vocabulary is
+    * NOT broadcast: tokens and vocabulary shuffle-join on `tok`, which
+    * both sides are already clustered on after the vocab aggregation.
+    * Only the one-row corpus total broadcasts.
     */
   def qUnigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     val total = vocab.agg(sum(col("cnt")).cast("long").as("total"))
-    toks.join(broadcast(vocab), "tok")
+    toks.join(vocab, "tok")
       .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),

@@ -78,6 +78,35 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.unset(key)
   }
 
+  test("unigram surprisal shuffle-joins the vocabulary (corpus-scale, never broadcast)") {
+    val qe = TrainingOps.qUnigramSurprisal(spark, sf).queryExecution
+    // the token↔vocab join must not carry a broadcast hint — the
+    // distinct-token table grows with the corpus; only the one-row
+    // total is hinted
+    val joins = qe.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    val equiJoins = joins.filter(_.condition.exists(_.references.exists(_.name == "tok")))
+    assert(equiJoins.nonEmpty, "expected the tok equi-join in the plan")
+    equiJoins.foreach { j =>
+      assert(j.hint.leftHint.isEmpty && j.hint.rightHint.isEmpty,
+        s"vocab join must carry no broadcast hint: ${j.hint}")
+    }
+    // at sf0.001 Catalyst still size-gates the tiny vocab under the
+    // broadcast threshold — fine (that gate is what protects 100 TB).
+    // With the threshold off, nothing may force a broadcast: the plan
+    // must degrade to a shuffle join.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val p = TrainingOps.qUnigramSurprisal(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"vocab join must shuffle once size-based broadcast is off:\n$p")
+    } finally spark.conf.set(key, saved)
+  }
+
   test("whole-stage codegen covers the relational core") {
     import org.apache.spark.sql.execution.ExplainMode
     val p = Relational.q1PricingSummary(spark, sf)

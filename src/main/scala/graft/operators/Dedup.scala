@@ -576,32 +576,58 @@ object Dedup {
     */
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = qEmbeddingNeardup(spark, dir).select(col("id1"), col("id2"))
+    clusterPairs(spark, pairs)
+      .select(col("node").as("vec_id"), col("lab").as("cluster_id"))
+  }
+
+  /** Iteration shuffle width for the clustering loop: sized to the
+    * EDGE SET, not the session default. The label/edge frames are
+    * pair-set-sized (orders of magnitude below the corpus); a
+    * CPU-count width makes the loop pay per-task scheduling at test
+    * scale, while a fixed small width would serialize 100 TB pair
+    * volume. ~64k edges per partition keeps iteration tasks in the
+    * hundreds-of-ms sweet spot at any scale.
+    */
+  def ccWidth(edgeCount: Long): Int =
+    math.max(8L, edgeCount / (64L << 10)).min(Int.MaxValue).toInt
+
+  /** Generic distributed connected-components over an undirected pair
+    * set (columns id1, id2): iterative minimum-label propagation +
+    * pointer jumping, O(log diameter) iterations, one shuffle join +
+    * one aggregate per iteration, no driver-side graph state. Returns
+    * (node, lab = smallest reachable id). Shared by the embedding
+    * (C6) and MinHash-text cluster queries.
+    *
+    * The loop runs in a CLONED session whose shuffle width is derived
+    * from the materialized edge count — scoping the width to these
+    * plans only, so concurrent queries planned on the caller's session
+    * never see it.
+    */
+  def clusterPairs(spark: SparkSession, pairs: DataFrame): DataFrame = {
     // localCheckpoint (not cache): truncates lineage so each
     // iteration's plan is edges ⋈ labels, not a tower of every prior
     // iteration — without it driver-side re-optimization of the
     // doubling plan dominates the loop (~20s for 5 iterations)
     val tDbg0 = System.nanoTime()
-    val edges = pairs
+    val edges0 = pairs
       .unionAll(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
       .toDF("src", "dst")
       .localCheckpoint()
+    val width = ccWidth(edges0.count())
+    // a cloned session shares the SparkContext (and the checkpointed
+    // blocks) but owns its conf — the width applies to every shuffle
+    // the loop plans, and nothing leaks to the caller's session
+    val sc = spark.newSession()
+    sc.conf.set("spark.sql.shuffle.partitions", width.toString)
+    val edges = sc.createDataFrame(edges0.rdd, edges0.schema).localCheckpoint()
     if (sys.env.contains("GRAFT_CC_DEBUG"))
-      println(f"== cc edges ${(System.nanoTime()-tDbg0)/1e9}%.1fs")
+      println(f"== cc edges ${(System.nanoTime()-tDbg0)/1e9}%.1fs width=$width")
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("lab", col("node")).localCheckpoint()
     if (sys.env.contains("GRAFT_CC_DEBUG"))
       println(f"== cc labels0 ${(System.nanoTime()-tDbg0)/1e9}%.1fs")
     var converged = false
     var iter = 0
-    // The label/edge frames are pair-set-sized (orders of magnitude
-    // below the corpus); at the session's CPU-sized shuffle width the
-    // loop pays per-task scheduling, not compute. Size the iteration
-    // shuffles to the frame — the same deliberate state-vs-CPU knob as
-    // the streaming ops (at 100 TB pair volume, set it accordingly).
-    val shuffleKey = "spark.sql.shuffle.partitions"
-    val oldShuffle = spark.conf.get(shuffleKey)
-    spark.conf.set(shuffleKey, "8")
-    try {
     while (!converged && iter < 25) {
       val neigh = edges.join(labels, col("dst") === col("node"))
         .groupBy(col("src")).agg(min(col("lab")).as("nlab"))
@@ -628,8 +654,7 @@ object Dedup {
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(f"== cc iter $iter changed=$changed t=${(System.nanoTime()-tDbg0)/1e9}%.1fs")
     }
-    } finally spark.conf.set(shuffleKey, oldShuffle)
-    labels.select(col("node").as("vec_id"), col("lab").as("cluster_id"))
+    labels.select(col("node"), col("lab"))
   }
 
   /** Oracle: transitive closure by recursive CTE over the SAME

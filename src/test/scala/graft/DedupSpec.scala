@@ -96,6 +96,17 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("cluster-loop shuffle width scales with the edge set and never drops below the floor") {
+    assert(Dedup.ccWidth(0) == 8, "empty edge set keeps the floor")
+    assert(Dedup.ccWidth(100000) == 8, "test-scale edge sets stay at the floor")
+    assert(Dedup.ccWidth(64L << 20) == 1024, "100 TB pair volume widens the loop")
+    // the loop must not touch the caller session's shuffle conf
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    Dedup.qDedupClusters(spark, sf).count()
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before,
+      "clustering leaked a shuffle-partition override into the shared session")
+  }
+
   test("approx percentiles stay within bounded rank error of exact") {
     import org.apache.spark.sql.functions.col
     // sketch guarantee is rank-space (a returned value's empirical rank

@@ -32,9 +32,17 @@ object Maintenance {
   def compact(spark: SparkSession, inPath: String, outPath: String,
       targetBytes: Long = 128L * 1024 * 1024): Int = {
     val fs = new Path(inPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val totalBytes = fs.listStatus(new Path(inPath))
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen).sum
+    // RECURSIVE listing: hive-partitioned tables keep their data files
+    // under key=value subdirectories — a top-level-only listing sums 0
+    // bytes there and the whole table would rewrite through ONE task
+    // as one giant file, the opposite of compaction
+    var totalBytes = 0L
+    val it = fs.listFiles(new Path(inPath), true)
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.getPath.getName.endsWith(".parquet")) totalBytes += s.getLen
+    }
+    require(totalBytes > 0L, s"no parquet data files found under $inPath")
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     spark.read.parquet(inPath)
       .repartition(nOut)

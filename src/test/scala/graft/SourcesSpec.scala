@@ -83,6 +83,29 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.except(ev).isEmpty && ev.except(back).isEmpty)
   }
 
+  test("compaction sizes output from a hive-partitioned (nested) table, not 0 bytes") {
+    import graft.operators.Maintenance
+    val in = tmp("frag_part")
+    val out = tmp("compacted_part")
+    val ev = Tables.events(spark, sf).select("event_id", "user_id", "value")
+      .withColumn("bucket", pmod(col("user_id"), lit(4)))
+    ev.repartition(16).write.mode("overwrite").partitionBy("bucket").parquet(in)
+    // no top-level *.parquet exists — data files sit under bucket=N/
+    assert(!new java.io.File(in).listFiles.exists(_.getName.endsWith(".parquet")))
+    val nOut = Maintenance.compact(spark, in, out, targetBytes = 32L * 1024)
+    assert(nOut > 1, s"recursive byte sum must yield >1 target file, got $nOut")
+    val outFiles = new java.io.File(out).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(outFiles == nOut, s"expected $nOut output files, got $outFiles")
+    val back = spark.read.parquet(out)
+    assert(back.count() == ev.count())
+    // an empty directory fails fast instead of silently writing one file
+    val empty = tmp("empty_dir")
+    new java.io.File(empty).mkdirs()
+    intercept[IllegalArgumentException] {
+      Maintenance.compact(spark, empty, tmp("never"), targetBytes = 1024)
+    }
+  }
+
   test("clustered write yields disjoint per-file ranges on the cluster column") {
     import graft.operators.Maintenance
     import spark.implicits._

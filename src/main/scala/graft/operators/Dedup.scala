@@ -657,6 +657,50 @@ object Dedup {
     labels.select(col("node"), col("lab"))
   }
 
+  /** Similarity floor for clustering MinHash candidates: band
+    * collision alone admits pairs sharing one lucky band; clusters
+    * built from them chain unrelated documents. 16/32 matching minima
+    * (Jaccard ≈ 0.5) is the conventional near-dup cut.
+    */
+  val TextClusterMinSim = 0.5
+
+  /** C6 over the TEXT near-dup pair set: the same generic
+    * [[clusterPairs]] propagation loop applied to [[qMinhashLsh]]'s
+    * est_sim-thresholded candidates. A production dedup pass clusters
+    * every pair source it trusts — embeddings (C6) and MinHash text
+    * signatures (this) share one loop, so both inherit its
+    * edge-scaled shuffle width and O(log diameter) bound.
+    */
+  def qDedupClustersText(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = qMinhashLsh(spark, dir)
+      .filter(col("est_sim") >= TextClusterMinSim)
+      .select(col("d1").as("id1"), col("d2").as("id2"))
+    clusterPairs(spark, pairs)
+      .select(col("node").as("doc_id"), col("lab").as("cluster_id"))
+  }
+
+  /** Oracle: recursive-CTE transitive closure over the SAME
+    * est_sim-thresholded MinHash pair set as [[qMinhashLshSql]].
+    */
+  val qDedupClustersTextSql: String =
+    raw"""WITH RECURSIVE $minhashCtes,
+         |cand AS (SELECT DISTINCT x.doc_id d1, y.doc_id d2
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+         |simp AS (SELECT d1, d2 FROM (
+         |    SELECT d1, d2,
+         |      CAST(sum(CASE WHEN p.minh = q.minh THEN 1 ELSE 0 END) AS DOUBLE) / $NumPerms AS est_sim
+         |    FROM cand JOIN sigs p ON d1 = p.doc_id
+         |    JOIN sigs q ON d2 = q.doc_id AND p.i = q.i
+         |    GROUP BY d1, d2)
+         |  WHERE est_sim >= $TextClusterMinSim),
+         |sym AS (SELECT d1 AS a, d2 AS b FROM simp
+         |  UNION ALL SELECT d2, d1 FROM simp),
+         |reach(a, b) AS (SELECT a, b FROM sym
+         |  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |FROM reach GROUP BY a""".stripMargin
+
   /** Oracle: transitive closure by recursive CTE over the SAME
     * LSH-blocked pair set as [[qEmbeddingNeardupSql]], cluster id =
     * least reachable node — the declarative twin of min-label
@@ -679,7 +723,8 @@ object Dedup {
     "q_contamination" -> (qContamination _),
     "q_simhash" -> (qSimhash _),
     "q_embedding_neardup" -> (qEmbeddingNeardup _),
-    "q_dedup_clusters" -> (qDedupClusters _))
+    "q_dedup_clusters" -> (qDedupClusters _),
+    "q_dedup_clusters_text" -> (qDedupClustersText _))
 
   def oracle: Map[String, String] = Map(
     "q_dedup_exact" -> qDedupExactSql,
@@ -689,5 +734,6 @@ object Dedup {
     "q_contamination" -> qContaminationSql,
     "q_simhash" -> qSimhashSql,
     "q_embedding_neardup" -> qEmbeddingNeardupSql,
-    "q_dedup_clusters" -> qDedupClustersSql)
+    "q_dedup_clusters" -> qDedupClustersSql,
+    "q_dedup_clusters_text" -> qDedupClustersTextSql)
 }

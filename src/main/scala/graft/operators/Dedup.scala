@@ -365,6 +365,165 @@ object Dedup {
          |FROM fps f LEFT JOIN existing e ON f.fp = e.fp
          |WHERE f.source IN ($evalSourcesSql)""".stripMargin
 
+  // --------------------------------------------------------------- C8b
+  /** Persisted MinHash signature store — the state an incremental
+    * NEAR-dup ingest path checks arriving batches against, so the
+    * existing corpus is signed exactly once (at store build), never
+    * re-shingled per batch. Same external-bucketed-table pattern as
+    * [[Similarity.IvfIndex]]: catalog metadata dies with the session,
+    * the parquet files survive, and a cold session re-registers DDL
+    * over the existing location — zero recompute ([[buildCount]] is
+    * the spec's observability hook).
+    *
+    * Two tables: the wide per-doc signature (bucketed by doc_id, so
+    * the est_sim verification join against it arrives pre-shuffled)
+    * and the hot-shingle exclusion list LEARNED ON THE EXISTING
+    * CORPUS — arriving batches must be signed under the store's df
+    * cut, not their own, or signatures stop being comparable.
+    */
+  object SigStore {
+    import java.util.concurrent.atomic.AtomicInteger
+
+    val SigBuckets = 8
+    val buildCount = new AtomicInteger(0)
+
+    private def tableName(dir: String): String =
+      "graft_sig_" + dir.replaceAll("[^a-zA-Z0-9]+", "_")
+        .stripPrefix("_").stripSuffix("_")
+
+    private def warehousePath(spark: SparkSession, table: String): java.nio.file.Path = {
+      val w = spark.conf.get("spark.sql.warehouse.dir")
+      java.nio.file.Paths.get(new java.net.URI(w).getPath).resolve(table)
+    }
+
+    private def sigCols: String =
+      (0 until NumPerms).map(i => s"m$i BIGINT").mkString(", ")
+
+    /** Register-or-build over the EXISTING (non-eval) corpus side. */
+    def ensure(spark: SparkSession, dir: String): (String, String) = {
+      val t = tableName(dir)
+      val th = t + "_hot"
+      val loc = warehousePath(spark, t)
+      val locH = warehousePath(spark, th)
+      def registered(n: String) = spark.catalog.tableExists(n)
+      if (!registered(t) || !registered(th)) {
+        if (java.nio.file.Files.isDirectory(loc) && java.nio.file.Files.isDirectory(locH)) {
+          // cold session over a built store: metadata-only re-registration
+          spark.sql(s"DROP TABLE IF EXISTS $t")
+          spark.sql(s"DROP TABLE IF EXISTS $th")
+          spark.sql(
+            s"""CREATE TABLE $t (doc_id BIGINT, $sigCols)
+               |USING PARQUET CLUSTERED BY (doc_id) INTO $SigBuckets BUCKETS
+               |LOCATION '$loc'""".stripMargin)
+          spark.sql(s"CREATE TABLE $th (h BIGINT) USING PARQUET LOCATION '$locH'")
+        } else {
+          buildCount.incrementAndGet()
+          val isNew = col("source").isin(EvalSources.map(x => x: Any): _*)
+          val existing = eager(shingleStream(spark, dir).filter(!isNew))
+            .select(col("doc_id"), col("h"))
+          // df cut over the existing corpus's occurrence stream — the
+          // Zipf head, broadcastable at any scale (see MinhashDfCap)
+          val hot = existing.groupBy(col("h"))
+            .agg(count(lit(1)).as("df")).filter(col("df") > MinhashDfCap)
+            .select(col("h"))
+          hot.coalesce(1).write.option("path", locH.toString)
+            .mode("overwrite").saveAsTable(th)
+          val sh = existing
+            .join(broadcast(spark.table(th)), Seq("h"), "left_anti")
+            .select(col("doc_id"), col("h")).distinct()
+          val minCols = perms.zipWithIndex.map { case ((a, b), i) =>
+            min((lit(a) * col("h") + lit(b)) % MinhashPrime).as(s"m$i")
+          }
+          sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+            .write.bucketBy(SigBuckets, "doc_id")
+            .option("path", loc.toString).mode("overwrite").saveAsTable(t)
+        }
+      }
+      (t, th)
+    }
+
+    /** Drop catalog entries, keep the on-disk store (cold-session sim). */
+    def deregister(spark: SparkSession, dir: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS ${tableName(dir)}")
+      spark.sql(s"DROP TABLE IF EXISTS ${tableName(dir)}_hot")
+    }
+  }
+
+  /** Incremental NEAR-dup ingest: the arriving batch (eval-source
+    * docs, the stand-in "new" split) is signed map-only under the
+    * store's hot-list, band-joined against the persisted signatures,
+    * and candidate pairs are verified by signature agreement — the
+    * near-dup twin of [[qIncrementalDedup]]'s exact gate. The existing
+    * corpus contributes only its STORED signatures: no re-shingling,
+    * no payload movement; per batch the work is proportional to the
+    * batch plus the signature store, which is orders of magnitude
+    * smaller than the corpus.
+    *
+    * Output: (new_id, old_id, est_sim) for batch docs whose estimated
+    * Jaccard against an existing doc clears [[TextClusterMinSim]].
+    */
+  def qIncrementalNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val (sigT, hotT) = SigStore.ensure(spark, dir)
+    val stored = spark.table(sigT)
+    val isNew = col("source").isin(EvalSources.map(x => x: Any): _*)
+    val minCols = perms.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("h") + lit(b)) % MinhashPrime).as(s"m$i")
+    }
+    val batch = shingleStream(spark, dir).filter(isNew)
+      .select(col("doc_id"), col("h"))
+      .join(broadcast(spark.table(hotT)), Seq("h"), "left_anti")
+      .select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+      .cache()
+    eager(batch)
+    def bandsOf(wide: DataFrame): DataFrame = wide
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cand = bandsOf(batch).as("x")
+      .join(bandsOf(stored).as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+      .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("old_id"))
+      .distinct()
+    val matches = (0 until NumPerms)
+      .map(i => when(col(s"p.m$i") === col(s"q.m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(batch.as("p"), col("new_id") === col("p.doc_id"))
+      .join(stored.as("q"), col("old_id") === col("q.doc_id"))
+      .select(col("new_id"), col("old_id"),
+        (matches.cast("double") / NumPerms).as("est_sim"))
+      .filter(col("est_sim") >= TextClusterMinSim)
+  }
+
+  /** Oracle: the identical two-sided signature pipeline from scratch —
+    * df cut learned on the existing side only, batch signed under it,
+    * cross-side band join, est_sim floor.
+    */
+  val qIncrementalNeardupSql: String =
+    raw"""WITH $duckShingleCte,
+         |hashed0 AS (SELECT doc_id, source, ${shingleHashSql("s")} AS h FROM sh),
+         |hot AS (SELECT h FROM hashed0 WHERE source NOT IN ($evalSourcesSql)
+         |  GROUP BY h HAVING count(*) > $MinhashDfCap),
+         |hashed AS (SELECT DISTINCT doc_id, source, h FROM hashed0
+         |  WHERE h NOT IN (SELECT h FROM hot)),
+         |perms(i, a, b) AS (SELECT * FROM (VALUES $permsSqlValues)),
+         |sigs AS (SELECT doc_id, source, i, min((a * h + b) % $MinhashPrime) AS minh
+         |  FROM hashed, perms GROUP BY doc_id, source, i),
+         |bands AS (SELECT doc_id, source, CAST(i // $RowsPerBand AS INTEGER) AS band,
+         |    md5(string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i)) AS bh
+         |  FROM sigs GROUP BY 1, 2, 3),
+         |cand AS (SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS old_id
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh
+         |  WHERE x.source IN ($evalSourcesSql)
+         |    AND y.source NOT IN ($evalSourcesSql))
+         |SELECT new_id, old_id, est_sim FROM (
+         |  SELECT new_id, old_id,
+         |    CAST(sum(CASE WHEN p.minh = q.minh THEN 1 ELSE 0 END) AS DOUBLE) / $NumPerms AS est_sim
+         |  FROM cand JOIN sigs p ON new_id = p.doc_id
+         |  JOIN sigs q ON old_id = q.doc_id AND p.i = q.i
+         |  GROUP BY new_id, old_id)
+         |WHERE est_sim >= $TextClusterMinSim""".stripMargin
+
   // ---------------------------------------------------------------- C5
   /** Embedding-cosine near-duplicate pairs: hyperplane-LSH candidate
     * generation + exact-cosine verification of candidates only.
@@ -718,6 +877,7 @@ object Dedup {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
     "q_incremental_dedup" -> (qIncrementalDedup _),
+    "q_incremental_neardup" -> (qIncrementalNeardup _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_contamination" -> (qContamination _),
@@ -729,6 +889,7 @@ object Dedup {
   def oracle: Map[String, String] = Map(
     "q_dedup_exact" -> qDedupExactSql,
     "q_incremental_dedup" -> qIncrementalDedupSql,
+    "q_incremental_neardup" -> qIncrementalNeardupSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_minhash_lsh" -> qMinhashLshSql,
     "q_contamination" -> qContaminationSql,

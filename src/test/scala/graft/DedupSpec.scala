@@ -107,6 +107,28 @@ class DedupSpec extends AnyFunSuite {
       "clustering leaked a shuffle-partition override into the shared session")
   }
 
+  test("signature store is durable: cold-session ingest re-signs nothing") {
+    val warm = Dedup.qIncrementalNeardup(spark, sf)
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    // simulate a cold session: catalog metadata gone, store files remain
+    Dedup.SigStore.deregister(spark, sf)
+    val before = Dedup.SigStore.buildCount.get
+    val cold = Dedup.qIncrementalNeardup(spark, sf)
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    assert(Dedup.SigStore.buildCount.get == before,
+      "cold-session ingest re-signed the existing corpus instead of reading the store")
+    assert(cold == warm, "cold-session result diverged from the warm store")
+    // every matched pair is batch-side x existing-side
+    import org.apache.spark.sql.functions.col
+    val evalIds = Tables.documents(spark, sf)
+      .filter(col("source").isin(Dedup.EvalSources.map(x => x: Any): _*))
+      .select("doc_id").as[Long].collect().toSet
+    warm.foreach { case (n, o) =>
+      assert(evalIds.contains(n) && !evalIds.contains(o),
+        s"pair ($n,$o) is not batch x existing")
+    }
+  }
+
   test("approx percentiles stay within bounded rank error of exact") {
     import org.apache.spark.sql.functions.col
     // sketch guarantee is rank-space (a returned value's empirical rank

@@ -197,22 +197,47 @@ object TextAnalysis {
 
   // ---------------------------------------------------------------- B6
   /** Stratified sampling of the corpus by language — the
-    * training-data-mix primitive (hold label proportions while
-    * downsampling). `sampleBy` is a per-row Bernoulli draw keyed by a
-    * seed: fully distributed, map-only, no shuffle. Output is the
-    * per-stratum sample audit (drawn size vs target rate); [r] —
-    * Spark's sampling hash has no DuckDB twin, so the check is
-    * rows-only with the proportion contract spec-asserted.
+    * training-data-mix primitive (hold or reshape label proportions
+    * while downsampling). The draw is an md5-threshold per row —
+    * bucket = md5(doc_id:strat) mod 10000 < rate·10000 — the same
+    * engine-portable trick as the K2 hash split: fully distributed,
+    * map-only, no shuffle, AND deterministic across runs, machines,
+    * and engines, which `sampleBy`'s seeded RNG is not. That last
+    * property is what makes re-runs reproducible at 100 TB and the
+    * result oracle-checkable. Output is the per-stratum sample audit
+    * (drawn size vs target rate).
     */
+  val StratRates: Seq[(String, Double)] =
+    Seq("en" -> 0.3, "de" -> 0.5, "es" -> 0.5, "fr" -> 0.7, "zh" -> 0.7)
+
   def qStratifiedSample(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val langs = Seq("en", "de", "es", "fr", "zh")
-    val sample = docs.stat.sampleBy("lang",
-      langs.map(_ -> 0.5).toMap, seed = 42L)
+    val bucket =
+      expr("conv(substring(md5(concat(cast(doc_id as string), ':strat')), 1, 15), 16, 10)")
+        .cast("long") % 10000
+    val threshold = StratRates.foldLeft(lit(0)) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit((r * 10000).toInt)).otherwise(acc)
+    }
+    val sample = docs.filter(bucket < threshold)
     sample.groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
       .join(docs.groupBy(col("lang")).agg(count(lit(1)).as("n_total")), "lang")
       .select(col("lang"), col("n_sampled"), col("n_total"),
         round(col("n_sampled").cast("double") / col("n_total"), 4).as("rate"))
+  }
+
+  val qStratifiedSampleSql: String = {
+    val thresholdSql = StratRates
+      .map { case (l, r) => s"WHEN '$l' THEN ${(r * 10000).toInt}" }
+      .mkString(" ")
+    raw"""WITH b AS (SELECT lang,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 15))::BIGINT % 10000 AS bucket
+         |  FROM documents),
+         |t AS (SELECT lang, count(*) AS n_total FROM b GROUP BY lang),
+         |s AS (SELECT lang, count(*) AS n_sampled FROM b
+         |  WHERE bucket < CASE lang $thresholdSql ELSE 0 END GROUP BY lang)
+         |SELECT lang, n_sampled, n_total,
+         |  round(CAST(n_sampled AS DOUBLE) / n_total, 4) AS rate
+         |FROM s JOIN t USING (lang)""".stripMargin
   }
 
   // ---------------------------------------------------------------- B7
@@ -277,5 +302,6 @@ object TextAnalysis {
     "q_lang_id" -> qLangIdSql,
     "q_quality_score" -> qQualityScoreSql,
     "q_fingerprint" -> qFingerprintSql,
-    "q_rolling_fingerprint" -> qRollingFingerprintSql)
+    "q_rolling_fingerprint" -> qRollingFingerprintSql,
+    "q_stratified_sample" -> qStratifiedSampleSql)
 }

@@ -157,12 +157,14 @@ class DedupSpec extends AnyFunSuite {
       .select("lang", "n_sampled", "n_total", "rate")
       .as[(String, Long, Long, Double)].collect()
     assert(audit.nonEmpty)
+    val targets = graft.operators.TextAnalysis.StratRates.toMap
     audit.foreach { case (lang, sampled, total, rate) =>
       assert(sampled <= total)
-      // Bernoulli(0.5) draw: 3-sigma binomial tolerance per stratum
-      val sigma = math.sqrt(0.25 * total)
-      assert(math.abs(sampled - 0.5 * total) <= 3 * sigma + 1,
-        s"$lang sampled $sampled of $total — outside tolerance")
+      // md5-threshold draw ~ Bernoulli(target): 3-sigma tolerance
+      val p = targets(lang)
+      val sigma = math.sqrt(p * (1 - p) * total)
+      assert(math.abs(sampled - p * total) <= 3 * sigma + 1,
+        s"$lang sampled $sampled of $total — outside tolerance of target $p")
       assert(rate == math.rint(sampled.toDouble / total * 1e4) / 1e4)
     }
     val again = graft.operators.TextAnalysis.qStratifiedSample(spark, sf)

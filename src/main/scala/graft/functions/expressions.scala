@@ -191,8 +191,35 @@ case class HyperplaneBands(child: Expression, nBands: Int, bits: Int,
     dim: Int = 64) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hyperplane_bands requires array<double> input, got ${other.catalogString}")
+    }
+
+  /** A short vector or a null element would silently contribute 0.0
+    * to every dot product, shifting the LSH bucket of just that row —
+    * a wrong-results class of failure, so both fail loudly instead.
+    */
+  private def validate(v: ArrayData): Unit = {
+    if (v.numElements() < dim)
+      throw new IllegalArgumentException(
+        s"hyperplane_bands: vector has ${v.numElements()} elements, expected $dim")
+    var d = 0
+    while (d < dim) {
+      if (v.isNullAt(d))
+        throw new IllegalArgumentException(
+          s"hyperplane_bands: null element at index $d")
+      d += 1
+    }
+  }
+
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
+    validate(v)
     val n = math.min(dim, v.numElements())
     val out = new Array[Long](nBands)
     var b = 0
@@ -229,7 +256,15 @@ case class HyperplaneBands(child: Expression, nBands: Int, bits: Int,
       val base = ctx.freshName("base")
       val dot = ctx.freshName("dot")
       val comp = ctx.freshName("comp")
+      val vd = ctx.freshName("vd")
       s"""
+         |if ($c.numElements() < $dim)
+         |  throw new IllegalArgumentException(
+         |    "hyperplane_bands: vector has " + $c.numElements() + " elements, expected $dim");
+         |for (int $vd = 0; $vd < $dim; $vd++) {
+         |  if ($c.isNullAt($vd))
+         |    throw new IllegalArgumentException("hyperplane_bands: null element at index " + $vd);
+         |}
          |int $n = java.lang.Math.min($dim, $c.numElements());
          |long[] $out = new long[$nBands];
          |for (int $b = 0; $b < $nBands; $b++) {

@@ -56,24 +56,49 @@ object SkewJoin {
   /** Join-key skew diagnostics over events.user_id — the report that
     * decides whether a join needs [[saltedJoin]] BEFORE it runs (at
     * 100 TB, discovering skew from a straggling task is too late).
-    * Two low-cardinality aggregates over per-key counts: top-key and
-    * p99 load relative to the mean key load. percentile is exact
-    * (linear interpolation — DuckDB quantile_cont twin, the A15
-    * contract).
+    * Top-key and p99 load relative to the mean key load.
+    *
+    * p99 is EXACT linear interpolation (DuckDB quantile_cont twin,
+    * the A15 contract) computed from the count-of-counts HISTOGRAM,
+    * not `percentile` over the raw per-key counts: Spark's exact
+    * Percentile buffers every per-key count in one aggregation
+    * buffer, so at billions of keys the skew diagnostic itself OOMs.
+    * Distinct per-key-count VALUES are tiny under any load shape
+    * (bounded by max key load, Zipf-concentrated in practice), so the
+    * histogram aggregates map-side and the interpolation arithmetic
+    * runs over a frame the size of the distinct-count set.
     */
-  def qSkewReport(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+  def qSkewReport(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pk = Tables.events(spark, dir)
       .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
-      .agg(
-        sum(col("cnt")).as("n_rows"),
-        count(lit(1)).as("n_keys"),
-        max(col("cnt")).as("max_cnt"),
-        expr("percentile(cnt, 0.99)").as("p99_cnt"))
+    val tot = pk.agg(
+      sum(col("cnt")).as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      max(col("cnt")).as("max_cnt"))
+    // count-of-counts histogram + running cum; the single-partition
+    // window is over the HISTOGRAM (distinct load values), never the
+    // key set — deliberate and safe at any corpus size
+    val w = Window.orderBy(col("cnt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = pk.groupBy(col("cnt")).agg(count(lit(1)).as("freq"))
+      .withColumn("cum", sum(col("freq")).over(w))
+    // type-7 interpolation: rank r = 0.99·(n_keys−1); the value at
+    // 0-based index k is the smallest cnt whose cum exceeds k
+    val r = (col("n_keys") - 1).cast("double") * lit(0.99)
+    val withTot = cum.crossJoin(broadcast(tot))
+    val vLo = withTot.filter(col("cum") > floor(r))
+      .agg(min(col("cnt")).cast("double").as("v_lo"))
+    val vHi = withTot.filter(col("cum") > ceil(r))
+      .agg(min(col("cnt")).cast("double").as("v_hi"))
+    tot.crossJoin(broadcast(vLo)).crossJoin(broadcast(vHi))
       .select(col("n_rows"), col("n_keys"), col("max_cnt"),
         round(col("max_cnt").cast("double") * col("n_keys") / col("n_rows"), 4)
           .as("top_key_over_mean"),
-        round(col("p99_cnt") * col("n_keys") / col("n_rows"), 4)
+        round((col("v_lo") + (r - floor(r)) * (col("v_hi") - col("v_lo")))
+          * col("n_keys") / col("n_rows"), 4)
           .as("p99_over_mean"))
+  }
 
   val qSkewReportSql: String =
     """WITH pk AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id)

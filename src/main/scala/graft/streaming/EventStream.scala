@@ -280,6 +280,15 @@ object EventStream {
           var hist: Seq[(Long, Long)] = state.getOption
             .map(r => r.hours.zip(r.counts)).getOrElse(Seq.empty)
           val out = it.toSeq.sortBy(_.hour).flatMap { b =>
+            // cross-micro-batch ordering guard: the ring is ordered by
+            // construction (within-batch sort + this check), so a late
+            // bucket from an earlier micro-batch must NOT append — it
+            // would sit out of order and corrupt every baseline that
+            // trails across it. Late/duplicate buckets are dropped; a
+            // production pipeline would side-output them to a
+            // late-arrivals sink.
+            if (hist.nonEmpty && b.hour <= hist.last._1) None
+            else {
             val base = hist.takeRight(window)
             val verdict =
               if (base.size < minBase) None
@@ -297,6 +306,7 @@ object EventStream {
               }
             hist = (hist :+ (b.hour, b.n)).takeRight(window)
             verdict
+            }
           }
           state.update(Ring(hist.map(_._1), hist.map(_._2)))
           out.iterator

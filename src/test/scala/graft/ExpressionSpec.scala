@@ -70,6 +70,33 @@ class ExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("hyperplane_bands fails loudly on short vectors, null elements, wrong types") {
+    import graft.functions.GraftExpressions.hyperplane_bands
+    // short vector: silent zero-padding would shift the LSH bucket
+    val short = Seq(Tuple1(Seq(1.0, 2.0))).toDF("v")
+    val eShort = intercept[Exception] {
+      short.select(hyperplane_bands(col("v"), 2, 4)).collect()
+    }
+    assert(eShort.getMessage.contains("expected 64")
+      || eShort.getCause != null && eShort.getCause.getMessage.contains("expected 64"))
+    // null element: silently reading 0.0 would do the same
+    val withNull = Seq(Tuple1((0 until 64).map(i =>
+      if (i == 7) null.asInstanceOf[java.lang.Double] else java.lang.Double.valueOf(i))))
+      .toDF("v")
+    val eNull = intercept[Exception] {
+      withNull.select(hyperplane_bands(col("v"), 2, 4)).collect()
+    }
+    assert(eNull.getMessage.contains("null element")
+      || eNull.getCause != null && eNull.getCause.getMessage.contains("null element"))
+    // wrong element type: analysis-time failure, not a cast crash
+    val wrong = Seq(Tuple1(Seq("a", "b"))).toDF("v")
+    val eType = intercept[Exception] {
+      wrong.select(hyperplane_bands(col("v"), 2, 4)).collect()
+    }
+    assert(eType.getMessage.toLowerCase.contains("array<double>")
+      || eType.getMessage.toLowerCase.contains("datatype_mismatch"))
+  }
+
   test("cosine_sim agrees with the HOF formulation on embeddings") {
     val e = Tables.embeddings(spark, sf).limit(20)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

@@ -101,6 +101,42 @@ class StreamingSpec extends AnyFunSuite {
       s"stream-batch mismatch: onlyStream=${(streamed -- batch).take(3)} onlyBatch=${(batch -- streamed).take(3)}")
   }
 
+  test("stream anomaly drops late cross-batch buckets instead of corrupting the baseline") {
+    import graft.streaming.EventStream.{AnomalyOut, Bucket}
+    implicit val sqlCtx = spark.sqlContext
+    // deterministic constant-rate stream: any in-order bucket after
+    // warmup scores z=0... except sd==0 suppresses; so use a gentle
+    // alternating series with known mean instead
+    val hours = (0 until 30).map(h => Bucket("t", h * 3600L, 100 + (h % 2)))
+    val input = MemoryStream[Bucket]
+    val qn = "graft_stream_anomaly_late"
+    val q = graft.streaming.EventStream
+      .streamAnomaly(input.toDS(), window = 8, minBase = 4)
+      .writeStream.outputMode("append").format("memory").queryName(qn).start()
+    input.addData(hours.take(20): _*)
+    q.processAllAvailable()
+    val afterInOrder = spark.table(qn).as[AnomalyOut].collect()
+    // second micro-batch: one LATE bucket (hour 5, already superseded)
+    // plus the next in-order buckets
+    input.addData(Bucket("t", 5 * 3600L, 1000000L))
+    input.addData(hours.drop(20): _*)
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table(qn).as[AnomalyOut].collect()
+    // the late bucket must emit no verdict...
+    assert(!all.exists(a => a.hour == 5 * 3600L && a.n == 1000000L),
+      "late bucket was scored")
+    // ...and must not have entered the ring: every post-late verdict's
+    // baseline mean stays in the alternating series' [100,101] range
+    val later = all.filter(_.hour >= 20 * 3600L)
+    assert(later.nonEmpty, "no verdicts after the late arrival")
+    later.foreach { a =>
+      assert(a.baseline_mean >= 100.0 && a.baseline_mean <= 101.0,
+        s"baseline mean ${a.baseline_mean} corrupted by the late bucket at hour ${a.hour}")
+    }
+    assert(afterInOrder.nonEmpty)
+  }
+
   test("append-mode file sink emits watermark-closed windows matching the batch result") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_files").toString
     val streamed = EventStream.streamTumblingToFiles(spark, sf,

@@ -107,6 +107,35 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set(key, saved)
   }
 
+  test("global plan guard: no query plans a cartesian product or a corpus-wide single-partition window") {
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    // Exempt global windows that run over frames BOUNDED BY
+    // CONSTRUCTION (documented at each operator); everything else
+    // must partition:
+    //  - q_skew_report: count-of-counts histogram, never the key set
+    //  - q_auc: ≤ 10⁴+1 quantized score bins, never the row stream
+    //  - q_bm25: the Bm25TopK rows surviving the distributed limit
+    val windowExempt = Set("q_skew_report", "q_auc", "q_bm25")
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      // pre-AQE physical plan: traversable with plain collect (the
+      // AQE wrapper hides its initial plan from TreeNode traversal,
+      // and collectWithSubqueries chokes on not-yet-planned logical
+      // subqueries at this stage)
+      val plan = fn(spark, sf).queryExecution.sparkPlan
+      val cart = plan.collect { case c: CartesianProductExec => c }
+      val spw =
+        if (windowExempt(name)) Nil
+        else plan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+          case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w
+        }
+      (if (cart.nonEmpty) Seq(s"$name: CartesianProduct") else Nil) ++
+        (if (spw.nonEmpty) Seq(s"$name: single-partition window") else Nil)
+    }
+    assert(failures.isEmpty, s"plan guard violations:\n${failures.mkString("\n")}")
+  }
+
   test("whole-stage codegen covers the relational core") {
     import org.apache.spark.sql.execution.ExplainMode
     val p = Relational.q1PricingSummary(spark, sf)

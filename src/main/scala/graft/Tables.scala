@@ -20,4 +20,24 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = t(s, d, "events")
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** Memoized corpus-size probes. Operators that derive a knob from
+    * the corpus size (LSH band width via `bitsFor`) each paid a count
+    * job per invocation over the same immutable test table; one count
+    * per directory serves every caller in the JVM. The count is a
+    * data property, so keying by directory (not session) is correct;
+    * jobCount is the spec's observability hook.
+    */
+  object Probe {
+    import java.util.concurrent.ConcurrentHashMap
+    import java.util.concurrent.atomic.AtomicInteger
+    private val cache = new ConcurrentHashMap[String, java.lang.Long]()
+    val jobCount = new AtomicInteger(0)
+
+    def embeddingsCount(s: SparkSession, d: String): Long =
+      cache.computeIfAbsent(s"$d/embeddings", _ => {
+        jobCount.incrementAndGet()
+        embeddings(s, d).count()
+      })
+  }
 }

@@ -559,7 +559,8 @@ object Dedup {
   def embeddingBands(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val bits = Hyperplanes.bitsFor(e.count(), EmbTargetBucket)
+    val bits = Hyperplanes.bitsFor(
+      Tables.Probe.embeddingsCount(spark, dir), EmbTargetBucket)
     // one fused codegen evaluation computes every band; posexplode's
     // position IS the band id (same values as the per-band formulation)
     e.select(col("vec_id"),

@@ -107,7 +107,8 @@ object Similarity {
     import graft.functions.Hyperplanes
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val nPlanes = Hyperplanes.bitsFor(e.count(), targetBucket, floor = 8)
+    val nPlanes = Hyperplanes.bitsFor(
+      Tables.Probe.embeddingsCount(spark, dir), targetBucket, floor = 8)
     e.withColumn("bucket", Hyperplanes.bandValue(col("v"), 0, nPlanes))
   }
 

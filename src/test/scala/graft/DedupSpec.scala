@@ -107,6 +107,19 @@ class DedupSpec extends AnyFunSuite {
       "clustering leaked a shuffle-partition override into the shared session")
   }
 
+  test("corpus-size probe runs one count job per directory, ever") {
+    val n1 = Tables.Probe.embeddingsCount(spark, sf)
+    val jobs = Tables.Probe.jobCount.get
+    // repeated probes and both consumers (C5 bands + D2 buckets) hit
+    // the memo — no further count jobs
+    assert(Tables.Probe.embeddingsCount(spark, sf) == n1)
+    Dedup.qEmbeddingNeardup(spark, sf).queryExecution.sparkPlan
+    graft.operators.Similarity.lshBuckets(spark, sf).queryExecution.sparkPlan
+    assert(Tables.Probe.jobCount.get == jobs,
+      "bitsFor consumers re-ran the corpus count instead of using the memo")
+    assert(n1 == Tables.embeddings(spark, sf).count())
+  }
+
   test("signature store is durable: cold-session ingest re-signs nothing") {
     val warm = Dedup.qIncrementalNeardup(spark, sf)
       .select("new_id", "old_id").as[(Long, Long)].collect().toSet

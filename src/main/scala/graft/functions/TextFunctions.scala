@@ -18,9 +18,40 @@ object TextFunctions {
   def normText(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")
 
-  /** Whitespace tokens of normalized text. Mirror:
-    * `regexp_split_to_array(...)`. */
-  def tokens(c: Column): Column = split(normText(c), " ")
+  /** Scripts written without word spaces — each codepoint becomes its
+    * own token (the standard unigram segmentation fallback when no
+    * dictionary segmenter ships with the engine). Java regex script
+    * classes on the Spark side, RE2 classes in the DuckDB mirror;
+    * verified equivalent codepoint-for-codepoint in GraftSpec.
+    */
+  private val cjkClassJava = "\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}"
+  private val cjkClassSql = raw"\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}"
+
+  /** Insert word boundaries around space-less-script codepoints.
+    * Mirror: [[segmentSql]]. */
+  def segmentText(c: Column): Column =
+    regexp_replace(c, s"([$cjkClassJava])", " $1 ")
+
+  /** DuckDB mirror of [[segmentText]]. */
+  def segmentSql(col: String): String =
+    raw"regexp_replace($col, '([$cjkClassSql])', ' \1 ', 'g')"
+
+  /** Unicode-aware tokens of normalized text: CJK codepoints are
+    * segmented individually, then whitespace splits. ASCII-only text
+    * tokenizes exactly as a plain whitespace split. Mirror:
+    * [[duckToksSql]].
+    */
+  def tokens(c: Column): Column = split(normText(segmentText(c)), " ")
+
+  /** DuckDB mirror of `normText(segmentText(col))` — the normalized,
+    * CJK-segmented string [[tokens]] splits.
+    */
+  def normSegSql(col: String): String =
+    raw"regexp_replace(lower(trim(${segmentSql(col)})), '\s+', ' ', 'g')"
+
+  /** DuckDB mirror of [[tokens]] over column `col`. */
+  def duckToksSql(col: String): String =
+    s"regexp_split_to_array(${normSegSql(col)}, ' ')"
 
   /** Token count. */
   def tokenCount(c: Column): Column = size(tokens(c))

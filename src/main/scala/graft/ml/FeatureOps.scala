@@ -97,7 +97,7 @@ object FeatureOps {
 
   val qTfidfSql: String =
     raw"""WITH toks AS (SELECT doc_id,
-         |    unnest(regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+         |    unnest(${graft.functions.TextFunctions.duckToksSql("text")}) AS term
          |  FROM documents),
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
          |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
@@ -160,7 +160,7 @@ object FeatureOps {
 
   val qBm25Sql: String =
     raw"""WITH toks AS (SELECT doc_id,
-         |    unnest(regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+         |    unnest(${graft.functions.TextFunctions.duckToksSql("text")}) AS term
          |  FROM documents),
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
          |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
@@ -280,8 +280,7 @@ object FeatureOps {
   val qPrCurveSql: String = {
     val stopsSql = graft.operators.TextAnalysis.stopwords("en")
       .map(w => s"'$w'").mkString("[", ", ", "]")
-    val toksSql =
-      raw"regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')"
+    val toksSql = graft.functions.TextFunctions.duckToksSql("text")
     raw"""WITH s AS (SELECT (lang = 'en') AS is_en,
          |  CAST(len(list_filter($toksSql, t -> list_contains($stopsSql, t))) AS DOUBLE)
          |    / len($toksSql) AS score
@@ -338,8 +337,7 @@ object FeatureOps {
   val qAucSql: String = {
     val stopsSql = graft.operators.TextAnalysis.stopwords("en")
       .map(w => s"'$w'").mkString("[", ", ", "]")
-    val toksSql =
-      raw"regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')"
+    val toksSql = graft.functions.TextFunctions.duckToksSql("text")
     raw"""WITH s AS (SELECT (lang = 'en') AS is_pos,
          |  round(CAST(len(list_filter($toksSql, t -> list_contains($stopsSql, t))) AS DOUBLE)
          |    / len($toksSql), 4) AS score_bin

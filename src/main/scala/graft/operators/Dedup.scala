@@ -687,7 +687,7 @@ object Dedup {
   }
 
   val qSimhashSql: String =
-    raw"""WITH n AS (SELECT doc_id, $duckNorm AS t FROM documents),
+    raw"""WITH n AS (SELECT doc_id, ${graft.functions.TextFunctions.normSegSql("text")} AS t FROM documents),
          |toks AS (SELECT doc_id, unnest(regexp_split_to_array(t, ' ')) AS tok FROM n),
          |h AS (SELECT doc_id, list_reduce(
          |    list_transform(generate_series(1, length(tok)), i -> ascii(substr(tok, i, 1))::BIGINT),

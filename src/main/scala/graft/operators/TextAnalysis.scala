@@ -24,7 +24,7 @@ object TextAnalysis {
     ws.map(w => s"'$w'").mkString("[", ", ", "]")
 
   private val duckToks =
-    raw"regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')"
+    graft.functions.TextFunctions.duckToksSql("text")
 
   // ---------------------------------------------------------------- B1
   /** Token and character counts per document. */

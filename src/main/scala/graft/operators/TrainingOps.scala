@@ -28,7 +28,7 @@ import graft.functions.TextFunctions._
 object TrainingOps {
 
   private val duckToks =
-    raw"regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')"
+    graft.functions.TextFunctions.duckToksSql("text")
   private val duckTsSec = "CAST(floor(epoch(ts)) AS BIGINT)"
 
   // ---------------------------------------------------------------- B8

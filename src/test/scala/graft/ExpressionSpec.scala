@@ -97,6 +97,26 @@ class ExpressionSpec extends AnyFunSuite {
       || eType.getMessage.toLowerCase.contains("datatype_mismatch"))
   }
 
+  test("tokens() segments CJK scripts per codepoint, identically to the DuckDB mirror") {
+    import graft.functions.TextFunctions.tokens
+    // expected arrays are the verified output of the DuckDB mirror
+    // (duckToksSql) on the same strings — cross-engine equivalence is
+    // pinned here because the synthetic corpus is ASCII-only and the
+    // driver's oracle can't exercise these paths
+    val cases = Seq(
+      "hello 世界 world" -> Seq("hello", "世", "界", "world"),
+      "日本語のテキストです" -> Seq("日", "本", "語", "の", "テ", "キ", "ス", "ト", "で", "す"),
+      "한국어 텍스트 test" -> Seq("한", "국", "어", "텍", "스", "트", "test"),
+      "mixed中文and english" -> Seq("mixed", "中", "文", "and", "english"),
+      "ひらがなカタカナ漢字" -> Seq("ひ", "ら", "が", "な", "カ", "タ", "カ", "ナ", "漢", "字"),
+      "plain ascii  text" -> Seq("plain", "ascii", "text"))
+    val got = cases.map(_._1).toDF("text")
+      .select(tokens(col("text"))).as[Seq[String]].collect()
+    cases.zip(got).foreach { case ((in, expect), actual) =>
+      assert(actual == expect, s"'$in' tokenized as $actual, expected $expect")
+    }
+  }
+
   test("cosine_sim agrees with the HOF formulation on embeddings") {
     val e = Tables.embeddings(spark, sf).limit(20)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

@@ -842,8 +842,12 @@ object Dedup {
   /** Oracle: recursive-CTE transitive closure over the SAME
     * est_sim-thresholded MinHash pair set as [[qMinhashLshSql]].
     */
-  val qDedupClustersTextSql: String =
-    raw"""WITH RECURSIVE $minhashCtes,
+  /** Shared oracle CTE chain ending in `cl(doc_id, cluster_id)` — the
+    * est_sim-thresholded MinHash pair closure (C6b and the keep list
+    * both consume it).
+    */
+  private val textClusterCtes: String =
+    raw"""$minhashCtes,
          |cand AS (SELECT DISTINCT x.doc_id d1, y.doc_id d2
          |  FROM bands x JOIN bands y
          |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
@@ -857,9 +861,41 @@ object Dedup {
          |sym AS (SELECT d1 AS a, d2 AS b FROM simp
          |  UNION ALL SELECT d2, d1 FROM simp),
          |reach(a, b) AS (SELECT a, b FROM sym
-         |  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
-         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-         |FROM reach GROUP BY a""".stripMargin
+         |  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         |cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |  FROM reach GROUP BY a)""".stripMargin
+
+  val qDedupClustersTextSql: String =
+    raw"""WITH RECURSIVE $textClusterCtes
+         |SELECT doc_id, cluster_id FROM cl""".stripMargin
+
+  /** The verdict a near-dup pipeline ships: one row per document with
+    * its cluster-canonical id (smallest member of its text near-dup
+    * cluster; unclustered docs are their own canonical) and the keep
+    * decision — keep exactly one representative per near-dup cluster.
+    * Composes C6b's clusters back onto the corpus with one left join;
+    * the corpus side only carries doc_id, so at 100 TB this adds a
+    * single id-vs-id join to the clustering cost.
+    */
+  def qNeardupKeepList(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = qDedupClustersText(spark, dir)
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("canonical_id"),
+        (coalesce(col("cluster_id"), col("doc_id")) === col("doc_id")).as("keep"),
+        when(coalesce(col("cluster_id"), col("doc_id")) === col("doc_id"), "kept")
+          .otherwise("near_dup").as("reason"))
+  }
+
+  val qNeardupKeepListSql: String =
+    raw"""WITH RECURSIVE $textClusterCtes
+         |SELECT d.doc_id,
+         |  coalesce(cl.cluster_id, d.doc_id) AS canonical_id,
+         |  coalesce(cl.cluster_id, d.doc_id) = d.doc_id AS keep,
+         |  CASE WHEN coalesce(cl.cluster_id, d.doc_id) = d.doc_id THEN 'kept'
+         |       ELSE 'near_dup' END AS reason
+         |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id""".stripMargin
 
   /** Oracle: transitive closure by recursive CTE over the SAME
     * LSH-blocked pair set as [[qEmbeddingNeardupSql]], cluster id =
@@ -885,7 +921,8 @@ object Dedup {
     "q_simhash" -> (qSimhash _),
     "q_embedding_neardup" -> (qEmbeddingNeardup _),
     "q_dedup_clusters" -> (qDedupClusters _),
-    "q_dedup_clusters_text" -> (qDedupClustersText _))
+    "q_dedup_clusters_text" -> (qDedupClustersText _),
+    "q_neardup_keep_list" -> (qNeardupKeepList _))
 
   def oracle: Map[String, String] = Map(
     "q_dedup_exact" -> qDedupExactSql,
@@ -897,5 +934,6 @@ object Dedup {
     "q_simhash" -> qSimhashSql,
     "q_embedding_neardup" -> qEmbeddingNeardupSql,
     "q_dedup_clusters" -> qDedupClustersSql,
-    "q_dedup_clusters_text" -> qDedupClustersTextSql)
+    "q_dedup_clusters_text" -> qDedupClustersTextSql,
+    "q_neardup_keep_list" -> qNeardupKeepListSql)
 }

@@ -387,9 +387,20 @@ object Dedup {
     val SigBuckets = 8
     val buildCount = new AtomicInteger(0)
 
+    /** Signature-contract tag baked into the table name: a store built
+      * under different permutation/df-cut/banding constants would
+      * silently serve incomparable signatures if re-registered, so a
+      * contract change must land in a NEW table (the old one is just
+      * orphaned files).
+      */
+    private val contractTag: String = {
+      val s = perms.mkString(",") + s";$MinhashPrime;$MinhashDfCap;$RowsPerBand"
+      (scala.util.hashing.MurmurHash3.stringHash(s) & 0x7fffffff).toHexString
+    }
+
     private def tableName(dir: String): String =
       "graft_sig_" + dir.replaceAll("[^a-zA-Z0-9]+", "_")
-        .stripPrefix("_").stripSuffix("_")
+        .stripPrefix("_").stripSuffix("_") + "_" + contractTag
 
     private def warehousePath(spark: SparkSession, table: String): java.nio.file.Path = {
       val w = spark.conf.get("spark.sql.warehouse.dir")

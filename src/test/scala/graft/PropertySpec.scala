@@ -76,4 +76,42 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("clusterPairs equals a reference union-find on random graphs") {
+    // the propagation + pointer-jumping loop backs C6/C6b/C9; check it
+    // against an independent driver-side union-find on graph shapes a
+    // fixed corpus never exercises (long chains, stars, disjoint
+    // cliques, self-loops, duplicate edges)
+    for (seed <- 1 to 3) {
+      val rng = new scala.util.Random(seed)
+      val n = 60
+      val chain = (0 until 15).map(i => (i.toLong, (i + 1).toLong))
+      val star = (40 until 48).map(i => (39L, i.toLong))
+      val rand = Seq.fill(30)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+      val edges = (chain ++ star ++ rand).map { case (a, b) => (a, b) }
+      // reference union-find
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(x => x -> {
+          // canonical = min member of the component
+          val r = find(x)
+          parent.keys.filter(find(_) == r).min.min(r)
+        }).toMap
+      val got = graft.operators.Dedup
+        .clusterPairs(spark, edges.toDF("id1", "id2"))
+        .as[(Long, Long)].collect().toMap
+      assert(got.keySet == expect.keySet, s"seed $seed: node sets differ")
+      expect.foreach { case (node, lab) =>
+        assert(got(node) == lab, s"seed $seed: node $node got ${got(node)}, expected $lab")
+      }
+    }
+  }
 }

@@ -474,14 +474,32 @@ object Dedup {
     * Jaccard against an existing doc clears [[TextClusterMinSim]].
     */
   def qIncrementalNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val isNew = col("source").isin(EvalSources.map(x => x: Any): _*)
+    val batchDocs = Tables.documents(spark, dir)
+      .filter(isNew).select(col("doc_id"), col("text"))
+    neardupMatches(spark, dir, batchDocs)
+  }
+
+  /** Near-dup matches of an arbitrary arriving batch (doc_id, text)
+    * against the persisted [[SigStore]] — the shared core of the
+    * batch query above and the streaming ingest twin
+    * ([[graft.streaming.EventStream.streamNeardupIngestToFiles]]).
+    * The batch is signed map-only under the STORE's hot-list (its df
+    * cut, not the batch's own), band-joined against stored
+    * signatures, and verified by signature agreement.
+    */
+  def neardupMatches(spark: SparkSession, dir: String,
+      batchDocs: DataFrame): DataFrame = {
     val (sigT, hotT) = SigStore.ensure(spark, dir)
     val stored = spark.table(sigT)
-    val isNew = col("source").isin(EvalSources.map(x => x: Any): _*)
     val minCols = perms.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("h") + lit(b)) % MinhashPrime).as(s"m$i")
     }
-    val batch = shingleStream(spark, dir).filter(isNew)
-      .select(col("doc_id"), col("h"))
+    val batch = batchDocs
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), normText(col("text")).as("t"))
+      .select(col("doc_id"),
+        explode(graft.functions.GraftExpressions.shingle_hashes(col("t"))).as("h"))
       .join(broadcast(spark.table(hotT)), Seq("h"), "left_anti")
       .select(col("doc_id"), col("h")).distinct()
       .groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)

@@ -313,6 +313,33 @@ object EventStream {
       }
   }
 
+  /** F15: streaming twin of the incremental NEAR-dup ingest — each
+    * arriving micro-batch of documents is checked against the
+    * persisted [[graft.operators.Dedup.SigStore]] via `foreachBatch`
+    * and its matches appended to a parquet sink. foreachBatch is the
+    * right tool here (not a stateful operator): the store IS the
+    * state, durable and shared with the batch path, so the stream
+    * needs no in-flight state at all and restarts resume from the
+    * checkpoint + store. Per micro-batch the work is proportional to
+    * the batch plus the signature store — the corpus is never
+    * re-shingled. Verdict-equality with the batch q_incremental_neardup
+    * on the same rows is spec-asserted (StreamingSpec).
+    */
+  def streamNeardupIngestToFiles(docs: DataFrame, dir: String,
+      outPath: String, checkpoint: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val spark = docs.sparkSession
+    val q = docs.writeStream
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Dedup.neardupMatches(spark, dir, b.toDF())
+          .write.mode("append").parquet(outPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(outPath)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumbling" -> (qStreamTumbling _),
     "q_stream_dedup" -> (qStreamDedup _))

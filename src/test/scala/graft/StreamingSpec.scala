@@ -137,6 +137,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(afterInOrder.nonEmpty)
   }
 
+  test("streaming near-dup ingest over micro-batches equals the batch store query") {
+    implicit val sqlCtx = spark.sqlContext
+    val sf01 = "/root/testdata/sf0.01" // sf0.001 yields no near-dup matches
+    // the same arriving split the batch query checks, fed as TWO
+    // micro-batches through a memory stream
+    val arriving = Tables.documents(spark, sf01)
+      .filter(col("source").isin(graft.operators.Dedup.EvalSources.map(x => x: Any): _*))
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val (b1, b2) = arriving.splitAt(arriving.length / 2)
+    val input = MemoryStream[(Long, String)]
+    input.addData(b1: _*)
+    input.addData(b2: _*)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_neardup").toString
+    val streamed = EventStream.streamNeardupIngestToFiles(
+      input.toDF().toDF("doc_id", "text"), sf01, s"$tmp/out", s"$tmp/cp")
+      .select("new_id", "old_id", "est_sim")
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = graft.operators.Dedup.qIncrementalNeardup(spark, sf01)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(batch.nonEmpty, "batch ingest found no matches at sf0.01")
+    assert(streamed == batch,
+      s"stream-batch mismatch: onlyStream=${(streamed -- batch).take(3)} onlyBatch=${(batch -- streamed).take(3)}")
+  }
+
   test("append-mode file sink emits watermark-closed windows matching the batch result") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_files").toString
     val streamed = EventStream.streamTumblingToFiles(spark, sf,

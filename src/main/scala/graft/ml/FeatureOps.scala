@@ -357,7 +357,49 @@ object FeatureOps {
          |FROM c""".stripMargin
   }
 
+  // ---------------------------------------------------------------- E14
+  /** Feature-hashing (hashing-trick) audit: terms bucketed into a
+    * fixed [[FeatureHashDim]]-wide space by the engine-portable
+    * rolling hash; per document, the distinct-term count, occupied
+    * buckets, and collision rate. This is the pre-flight check run
+    * before committing to a hashed feature width — the hashing trick
+    * itself is the `pmod(rolling_hash(term), dim)` expression, which
+    * is map-only at any corpus size (no vocabulary, no fit, no
+    * shuffle beyond the per-doc aggregate).
+    */
+  val FeatureHashDim = 256
+
+  def qFeatureHash(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftExpressions.rolling_hash
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .distinct()
+      .select(col("doc_id"), col("term"),
+        pmod(rolling_hash(col("term")), lit(FeatureHashDim)).as("bucket"))
+    toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        countDistinct(col("bucket")).as("n_buckets"))
+      .select(col("doc_id"), col("n_terms"), col("n_buckets"),
+        round(lit(1.0) - col("n_buckets").cast("double") / col("n_terms"), 6)
+          .as("collision_rate"))
+  }
+
+  val qFeatureHashSql: String = {
+    val toksSql = graft.functions.TextFunctions.duckToksSql("text")
+    raw"""WITH t AS (SELECT DISTINCT doc_id, unnest($toksSql) AS term FROM documents),
+         |h AS (SELECT doc_id, term, list_reduce(
+         |    list_prepend(0::BIGINT, list_transform(generate_series(1, length(term)),
+         |      i -> ascii(substr(term, i, 1))::BIGINT)),
+         |    (acc, c) -> (acc * 31 + c) % 1000000007) % $FeatureHashDim AS bucket
+         |  FROM t)
+         |SELECT doc_id, count(*) AS n_terms,
+         |  count(DISTINCT bucket) AS n_buckets,
+         |  round(1.0 - CAST(count(DISTINCT bucket) AS DOUBLE) / count(*), 6) AS collision_rate
+         |FROM h GROUP BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_feature_hash" -> (qFeatureHash _),
     "q_auc" -> (qAuc _),
     "q_pr_curve" -> (qPrCurve _),
     "q_pca" -> (qPca _),
@@ -370,6 +412,7 @@ object FeatureOps {
     "q_feature_corr" -> (qFeatureCorr _))
 
   def oracle: Map[String, String] = Map(
+    "q_feature_hash" -> qFeatureHashSql,
     "q_auc" -> qAucSql,
     "q_pr_curve" -> qPrCurveSql,
     "q_standard_scaler" -> qStandardScalerSql,

@@ -365,6 +365,55 @@ object TrainingOps {
        |FROM agg, qual""".stripMargin
   }
 
+  // ---------------------------------------------------------------- K8
+  /** Zipf-slope fit per source — the vocabulary-health diagnostic: a
+    * natural-language source's term-frequency head follows
+    * freq ∝ rank^s with s ≈ −1; boilerplate, spam, and generated
+    * text bend the slope. Fit = OLS of ln(freq) on ln(rank) over the
+    * top [[ZipfHead]] terms per source. The rank window partitions by
+    * source and `WindowGroupLimit` pushes the head cutoff below the
+    * sort, so per-source work is bounded by the head size, not the
+    * vocabulary; the regression itself runs over ≤ ZipfHead rows per
+    * source via plain covar/var aggregates.
+    */
+  val ZipfHead = 500
+
+  def qZipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+    val top = tf.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= ZipfHead)
+      .select(col("source"), log(col("rank").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+    top.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms_fit"),
+        covar_pop(col("x"), col("y")).as("cxy"),
+        var_pop(col("x")).as("vx"),
+        avg(col("x")).as("mx"), avg(col("y")).as("my"))
+      .select(col("source"), col("n_terms_fit"),
+        round(col("cxy") / col("vx"), 3).as("zipf_slope"),
+        round(col("my") - col("cxy") / col("vx") * col("mx"), 3).as("intercept"))
+  }
+
+  val qZipfFitSql: String =
+    raw"""WITH tf AS (SELECT source, tok, count(*) AS cnt
+         |  FROM (SELECT source, unnest($duckToks) AS tok FROM documents)
+         |  GROUP BY 1, 2),
+         |top AS (SELECT source,
+         |    ln(CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY cnt DESC, tok ASC) AS DOUBLE)) AS x,
+         |    ln(CAST(cnt AS DOUBLE)) AS y,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY cnt DESC, tok ASC) AS rank
+         |  FROM tf QUALIFY rank <= $ZipfHead)
+         |SELECT source, count(*) AS n_terms_fit,
+         |  round(covar_pop(x, y) / var_pop(x), 3) AS zipf_slope,
+         |  round(avg(y) - covar_pop(x, y) / var_pop(x) * avg(x), 3) AS intercept
+         |FROM top GROUP BY source""".stripMargin
+
   // ---------------------------------------------------------------- K7
   /** Curriculum decile binning: documents bucketed into quality
     * deciles WITHOUT a global sort — the 9 exact interpolated cut
@@ -448,6 +497,7 @@ object TrainingOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_retention" -> (qRetention _),
     "q_quality_deciles" -> (qQualityDeciles _),
+    "q_zipf_fit" -> (qZipfFit _),
     "q_repetition" -> (qRepetition _),
     "q_unigram_surprisal" -> (qUnigramSurprisal _),
     "q_seq_packing" -> (qSeqPacking _),
@@ -461,6 +511,7 @@ object TrainingOps {
   def oracle: Map[String, String] = Map(
     "q_retention" -> qRetentionSql,
     "q_quality_deciles" -> qQualityDecilesSql,
+    "q_zipf_fit" -> qZipfFitSql,
     "q_repetition" -> qRepetitionSql,
     "q_unigram_surprisal" -> qUnigramSurprisalSql,
     "q_seq_packing" -> qSeqPackingSql,

@@ -23,6 +23,11 @@ object TextAnalysis {
   private def sqlList(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** English stopword list as a DuckDB array literal (shared with
+    * operators that re-derive the quality formula in SQL).
+    */
+  val stopSqlEn: String = sqlList(stopwords("en"))
+
   private val duckToks =
     graft.functions.TextFunctions.duckToksSql("text")
 

@@ -414,6 +414,69 @@ object TrainingOps {
          |  round(avg(y) - covar_pop(x, y) / var_pop(x) * avg(x), 3) AS intercept
          |FROM top GROUP BY source""".stripMargin
 
+  // ---------------------------------------------------------------- K9
+  /** Quality-distribution drift between corpus splits — the snapshot
+    * monitor a pipeline runs before accepting a new ingest: exact
+    * Kolmogorov–Smirnov D between the train-side and eval-side
+    * per-document quality distributions. Scores are quantized to 4 dp
+    * as part of the contract (same device as the AUC operator), so
+    * the CDF accumulation runs over a BOUNDED bin stream (≤ 10⁴+1
+    * bins at any corpus size) — the single-partition window is over
+    * bins, never documents; the row stream feeds one
+    * map-side-combined aggregate.
+    */
+  def qQualityDrift(spark: SparkSession, dir: String): DataFrame = {
+    val isEval = col("source")
+      .isin(Dedup.EvalSources.map(x => x: Any): _*)
+    val scored = TextAnalysis.qQualityScore(spark, dir)
+      .select(col("doc_id"), round(col("quality"), 4).as("bin"))
+      .join(Tables.documents(spark, dir).select(col("doc_id"), isEval.as("is_eval")),
+        "doc_id")
+    val bins = scored.groupBy(col("bin"))
+      .agg(sum(when(!col("is_eval"), 1L).otherwise(0L)).as("n_train_b"),
+        sum(when(col("is_eval"), 1L).otherwise(0L)).as("n_eval_b"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = bins.agg(sum(col("n_train_b")).as("n_train"),
+      sum(col("n_eval_b")).as("n_eval"))
+    bins
+      .withColumn("cum_train", sum(col("n_train_b")).over(w))
+      .withColumn("cum_eval", sum(col("n_eval_b")).over(w))
+      .crossJoin(broadcast(tot))
+      .agg(max(col("n_train")).as("n_train"), max(col("n_eval")).as("n_eval"),
+        max(abs(col("cum_train").cast("double") / col("n_train") -
+          col("cum_eval").cast("double") / col("n_eval"))).as("d"))
+      .select(col("n_train"), col("n_eval"), round(col("d"), 6).as("ks_d"))
+  }
+
+  val qQualityDriftSql: String = {
+    val evalList = Dedup.EvalSources.map(s => s"'$s'").mkString(", ")
+    raw"""WITH t AS (SELECT doc_id,
+         |  CAST(len($duckToks) AS DOUBLE) AS n_tokens,
+         |  CAST(len(list_filter($duckToks, t -> list_contains(${TextAnalysis.stopSqlEn}, t))) AS DOUBLE) AS stop_hits,
+         |  CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) AS n_punct,
+         |  CAST(length(text) AS DOUBLE) AS n_chars,
+         |  source IN ($evalList) AS is_eval
+         |FROM documents),
+         |q AS (SELECT is_eval, round(round(
+         |    (stop_hits / n_tokens) * 0.4 + least(1.0, n_tokens / 100.0) * 0.3 +
+         |    (1.0 - n_punct / n_chars) * 0.3, 6), 4) AS bin FROM t),
+         |b AS (SELECT bin,
+         |    sum(CASE WHEN NOT is_eval THEN 1 ELSE 0 END) AS n_train_b,
+         |    sum(CASE WHEN is_eval THEN 1 ELSE 0 END) AS n_eval_b
+         |  FROM q GROUP BY bin),
+         |c AS (SELECT
+         |    sum(n_train_b) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum_train,
+         |    sum(n_eval_b) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum_eval,
+         |    sum(n_train_b) OVER () AS n_train, sum(n_eval_b) OVER () AS n_eval
+         |  FROM b)
+         |SELECT CAST(max(n_train) AS BIGINT) AS n_train,
+         |  CAST(max(n_eval) AS BIGINT) AS n_eval,
+         |  round(max(abs(CAST(cum_train AS DOUBLE) / n_train -
+         |    CAST(cum_eval AS DOUBLE) / n_eval)), 6) AS ks_d
+         |FROM c""".stripMargin
+  }
+
   // ---------------------------------------------------------------- K7
   /** Curriculum decile binning: documents bucketed into quality
     * deciles WITHOUT a global sort — the 9 exact interpolated cut
@@ -498,6 +561,7 @@ object TrainingOps {
     "q_retention" -> (qRetention _),
     "q_quality_deciles" -> (qQualityDeciles _),
     "q_zipf_fit" -> (qZipfFit _),
+    "q_quality_drift" -> (qQualityDrift _),
     "q_repetition" -> (qRepetition _),
     "q_unigram_surprisal" -> (qUnigramSurprisal _),
     "q_seq_packing" -> (qSeqPacking _),
@@ -512,6 +576,7 @@ object TrainingOps {
     "q_retention" -> qRetentionSql,
     "q_quality_deciles" -> qQualityDecilesSql,
     "q_zipf_fit" -> qZipfFitSql,
+    "q_quality_drift" -> qQualityDriftSql,
     "q_repetition" -> qRepetitionSql,
     "q_unigram_surprisal" -> qUnigramSurprisalSql,
     "q_seq_packing" -> qSeqPackingSql,

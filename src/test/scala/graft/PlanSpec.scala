@@ -116,7 +116,8 @@ class PlanSpec extends AnyFunSuite {
     //  - q_skew_report: count-of-counts histogram, never the key set
     //  - q_auc: ≤ 10⁴+1 quantized score bins, never the row stream
     //  - q_bm25: the Bm25TopK rows surviving the distributed limit
-    val windowExempt = Set("q_skew_report", "q_auc", "q_bm25")
+    //  - q_quality_drift: same ≤ 10⁴+1 quantized-bin device as q_auc
+    val windowExempt = Set("q_skew_report", "q_auc", "q_bm25", "q_quality_drift")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       // pre-AQE physical plan: traversable with plain collect (the
       // AQE wrapper hides its initial plan from TreeNode traversal,

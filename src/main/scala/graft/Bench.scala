@@ -14,9 +14,16 @@ object Bench {
     spark.range(1 << 20).selectExpr("sum(id)").collect()
     Tables.lineitem(spark, sfDir).limit(1000).count()
 
-    def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A throwing query must not masquerade as a fast success: its name is
+    // recorded and surfaced in the short line's "err" list.
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
+    def once(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).queryExecution.toRdd.count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).queryExecution.toRdd.count(); failed -= name }
+      catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      }
       // drop per-query caches so later queries aren't skewed by
       // accumulated storage/GC pressure
       spark.catalog.clearCache()
@@ -31,15 +38,15 @@ object Bench {
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val firstPass = selected.map { case (name, fn) =>
-      val t1 = once(fn)
-      name -> (if (t1 > retryAbove) math.min(t1, once(fn)) else t1)
+      val t1 = once(name, fn)
+      name -> (if (t1 > retryAbove) math.min(t1, once(name, fn)) else t1)
     }
     // Noise storms on this host last long enough to cover a back-to-back
     // min-of-2 (r2: q_kmeans 58s, q1 33s in-batch vs 6.9s/4.3s isolated).
     // A final pass at the END of the run re-measures anything still slow
     // at a decorrelated point in time.
     val results = firstPass.map { case (name, t) =>
-      name -> (if (t > retryAbove) math.min(t, once(selected(name))) else t)
+      name -> (if (t > retryAbove) math.min(t, once(name, selected(name))) else t)
     }
     // The driver captures only the log TAIL (~2 KiB): a 95-query map
     // overflows it from the FRONT and the line arrives truncated
@@ -49,14 +56,15 @@ object Bench {
     def fmt(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val errJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":${fmt(results)},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":${fmt(results)},"err":$errJson,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), fullLine + "\n")
     catch { case _: Throwable => () }
     val slowest = results.toSeq.sortBy(-_._2).take(10)
     val shortLine =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n":${results.size},"queries":${fmt(slowest)},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n":${results.size},"queries":${fmt(slowest)},"err":$errJson,"sf":"$sfDir"}"""
     println(shortLine)
     spark.stop()
   }

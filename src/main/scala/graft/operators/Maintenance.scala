@@ -1,8 +1,9 @@
 package graft.operators
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
 
 /** Table-maintenance utilities (SURVEY.md §2: H6/J6) — the layout
   * operations that keep a 100 TB table scannable:
@@ -24,10 +25,22 @@ import org.apache.spark.sql.functions._
 object Maintenance {
 
   /** Rewrite the parquet directory at `inPath` into approximately
-    * `targetBytes`-sized files at `outPath`. Returns the output file
-    * count. Uses a round-robin repartition (no shuffle key needed —
-    * compaction must not assume one); at scale this is one
-    * read+shuffle+write pass, embarrassingly parallel.
+    * `targetBytes`-sized files at `outPath`. Returns the planned output
+    * file count.
+    *
+    * A hive-partitioned input (`key=value` subdirectories) stays
+    * hive-partitioned: the same keys are written back with
+    * `partitionBy`, so downstream scans keep partition pruning — a
+    * compaction that flattened the layout would silently turn every
+    * pruned scan into a full-table scan. File counts are planned PER
+    * PARTITION from the listing's byte sums (a skewed partition gets
+    * proportionally more files), carried to the rows by a broadcast
+    * join on the partition values, and realized by salting inside each
+    * partition — one distributed read+shuffle+write pass, no
+    * per-partition driver jobs.
+    *
+    * A flat input uses a round-robin repartition (no shuffle key
+    * needed — compaction must not assume one).
     */
   def compact(spark: SparkSession, inPath: String, outPath: String,
       targetBytes: Long = 128L * 1024 * 1024): Int = {
@@ -36,18 +49,67 @@ object Maintenance {
     // under key=value subdirectories — a top-level-only listing sums 0
     // bytes there and the whole table would rewrite through ONE task
     // as one giant file, the opposite of compaction
-    var totalBytes = 0L
-    val it = fs.listFiles(new Path(inPath), true)
+    val root = new Path(inPath).makeQualified(fs.getUri, fs.getWorkingDirectory)
+    val files = scala.collection.mutable.ArrayBuffer[(Seq[String], Long)]()
+    val it = fs.listFiles(root, true)
     while (it.hasNext) {
       val s = it.next()
-      if (s.getPath.getName.endsWith(".parquet")) totalBytes += s.getLen
+      if (s.getPath.getName.endsWith(".parquet")) {
+        // directory segments between the root and the file name —
+        // `key=value` pairs in a hive layout, empty for a flat one
+        val rel = root.toUri.relativize(s.getPath.toUri).getPath
+        files += ((rel.split('/').dropRight(1).toSeq, s.getLen))
+      }
     }
-    require(totalBytes > 0L, s"no parquet data files found under $inPath")
-    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    spark.read.parquet(inPath)
-      .repartition(nOut)
-      .write.mode(SaveMode.Overwrite).parquet(outPath)
-    nOut
+    require(files.nonEmpty && files.map(_._2).sum > 0L,
+      s"no parquet data files found under $inPath")
+    val partCols = files.head._1.takeWhile(_.contains('=')).map(_.takeWhile(_ != '='))
+    // EVERY file must sit under exactly this key=value chain (a mixed or
+    // non-hive nesting cannot be compacted partition-aware)
+    require(files.forall(f => f._1.map(_.takeWhile(_ != '=')) == partCols &&
+        f._1.forall(_.contains('='))),
+      s"inconsistent partition layout under $inPath")
+
+    if (partCols.isEmpty) {
+      val totalBytes = files.map(_._2).sum
+      val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+      spark.read.parquet(inPath)
+        .repartition(nOut)
+        .write.mode(SaveMode.Overwrite).parquet(outPath)
+      nOut
+    } else {
+      // bytes → planned file count per partition directory (decoded
+      // values; hive writes nulls as __HIVE_DEFAULT_PARTITION__ and
+      // %-escapes special characters)
+      def decode(seg: String): String = {
+        val v = java.net.URLDecoder.decode(seg.dropWhile(_ != '=').tail, "UTF-8")
+        if (v == "__HIVE_DEFAULT_PARTITION__") null else v
+      }
+      val plan: Map[Seq[String], Int] = files.toSeq
+        .groupBy(_._1.map(decode))
+        .map { case (vals, fs0) =>
+          vals -> math.max(1, math.ceil(fs0.map(_._2).sum.toDouble / targetBytes).toInt)
+        }
+      val totalFiles = plan.values.sum
+      val planSchema = StructType(
+        partCols.map(c => StructField(s"__pv_$c", StringType)) :+
+          StructField("__nfiles", IntegerType))
+      val planRows = plan.toSeq.map { case (vals, n) => Row.fromSeq(vals :+ n) }
+      val planDf = spark.createDataFrame(
+        java.util.Arrays.asList(planRows: _*), planSchema)
+
+      val df = spark.read.parquet(inPath)
+      val dataCols = df.columns.filterNot(partCols.contains)
+      // null-safe string compare: the dir-derived value vs the scan's
+      // (possibly type-inferred) partition column
+      val cond = partCols.map(c => col(c).cast("string") <=> col(s"__pv_$c")).reduce(_ && _)
+      df.join(broadcast(planDf), cond)
+        .withColumn("__salt", pmod(xxhash64(dataCols.map(col): _*), col("__nfiles").cast("long")))
+        .repartition(totalFiles, (partCols.map(col) :+ col("__salt")): _*)
+        .drop(("__salt" +: "__nfiles" +: partCols.map(c => s"__pv_$c")): _*)
+        .write.mode(SaveMode.Overwrite).partitionBy(partCols: _*).parquet(outPath)
+      totalFiles
+    }
   }
 
   /** Range-partition `df` on `clusterCol` into `nFiles` sorted files.

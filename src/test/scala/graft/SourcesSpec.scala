@@ -83,21 +83,38 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.except(ev).isEmpty && ev.except(back).isEmpty)
   }
 
-  test("compaction sizes output from a hive-partitioned (nested) table, not 0 bytes") {
+  test("compaction preserves hive-partition layout and its pruning") {
     import graft.operators.Maintenance
     val in = tmp("frag_part")
     val out = tmp("compacted_part")
     val ev = Tables.events(spark, sf).select("event_id", "user_id", "value")
-      .withColumn("bucket", pmod(col("user_id"), lit(4)))
+      // int: matches what partition-value inference yields on read-back
+      .withColumn("bucket", pmod(col("user_id"), lit(4)).cast("int"))
     ev.repartition(16).write.mode("overwrite").partitionBy("bucket").parquet(in)
     // no top-level *.parquet exists — data files sit under bucket=N/
     assert(!new java.io.File(in).listFiles.exists(_.getName.endsWith(".parquet")))
+    def parquetCount(dir: java.io.File): Int = {
+      val kids = Option(dir.listFiles).getOrElse(Array.empty)
+      kids.count(_.getName.endsWith(".parquet")) + kids.filter(_.isDirectory).map(parquetCount).sum
+    }
+    val inFiles = parquetCount(new java.io.File(in))
     val nOut = Maintenance.compact(spark, in, out, targetBytes = 32L * 1024)
     assert(nOut > 1, s"recursive byte sum must yield >1 target file, got $nOut")
-    val outFiles = new java.io.File(out).listFiles.count(_.getName.endsWith(".parquet"))
-    assert(outFiles == nOut, s"expected $nOut output files, got $outFiles")
-    val back = spark.read.parquet(out)
+    // the key=value directory layout survives the rewrite...
+    val outDirs = new java.io.File(out).listFiles
+      .filter(_.getName.startsWith("bucket=")).map(_.getName).sorted
+    assert(outDirs.length == 4, s"expected bucket=0..3 dirs, got ${outDirs.mkString(",")}")
+    val outFiles = parquetCount(new java.io.File(out))
+    assert(outFiles < inFiles, s"compaction must cut file count: $inFiles -> $outFiles")
+    // ...and so does partition pruning at the scan
+    val q = spark.read.parquet(out).filter(col("bucket") === 2)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(bucket"),
+      s"compacted table must still prune on the partition key:\n$plan")
+    assert(q.count() == ev.filter(col("bucket") === 2).count())
+    val back = spark.read.parquet(out).select(ev.columns.map(col): _*)
     assert(back.count() == ev.count())
+    assert(back.except(ev).isEmpty && ev.except(back).isEmpty)
     // an empty directory fails fast instead of silently writing one file
     val empty = tmp("empty_dir")
     new java.io.File(empty).mkdirs()

@@ -787,10 +787,13 @@ object Dedup {
     * (node, lab = smallest reachable id). Shared by the embedding
     * (C6) and MinHash-text cluster queries.
     *
-    * The loop runs in a CLONED session whose shuffle width is derived
-    * from the materialized edge count — scoping the width to these
-    * plans only, so concurrent queries planned on the caller's session
-    * never see it.
+    * Loop shuffles are sized to the EDGE SET, not the session default:
+    * the edge frame is hash-partitioned on the join key at the derived
+    * width once (explicit repartition — AQE never coalesces a
+    * user-specified width) and checkpointed; each iteration's join then
+    * exchanges only the label side, to that same width, to co-partition
+    * with it. Plans on the caller's session are untouched — no session
+    * clone, no conf mutation, no RDD round-trip.
     */
   def clusterPairs(spark: SparkSession, pairs: DataFrame): DataFrame = {
     // localCheckpoint (not cache): truncates lineage so each
@@ -803,12 +806,10 @@ object Dedup {
       .toDF("src", "dst")
       .localCheckpoint()
     val width = ccWidth(edges0.count())
-    // a cloned session shares the SparkContext (and the checkpointed
-    // blocks) but owns its conf — the width applies to every shuffle
-    // the loop plans, and nothing leaks to the caller's session
-    val sc = spark.newSession()
-    sc.conf.set("spark.sql.shuffle.partitions", width.toString)
-    val edges = sc.createDataFrame(edges0.rdd, edges0.schema).localCheckpoint()
+    // checkpointing AFTER the repartition pins HashPartitioning(dst,
+    // width) in the LogicalRDD, so every iteration's join reuses it
+    // exchange-free on the edge side
+    val edges = edges0.repartition(width, col("dst")).localCheckpoint()
     if (sys.env.contains("GRAFT_CC_DEBUG"))
       println(f"== cc edges ${(System.nanoTime()-tDbg0)/1e9}%.1fs width=$width")
     var labels = edges.select(col("src").as("node")).distinct()

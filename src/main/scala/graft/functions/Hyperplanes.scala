@@ -6,12 +6,18 @@ import org.apache.spark.sql.functions._
 /** Deterministic random-hyperplane LSH shared by the similarity and
   * dedup operators (SURVEY.md §2 blocks C5/D2).
   *
-  * Plane components come from a closed-form LCG over the flat plane
-  * index — reproducible with no stored model, and cheap enough for an
-  * oracle to regenerate in SQL from the same arithmetic
-  * (`(1103515245*idx + 12345) mod 2^31`, scaled to [-0.5, 0.5)). The
-  * argument is always >= 0 here, so no sign fix-up is needed on either
-  * engine.
+  * Plane components come from a closed-form integer HASH of the flat
+  * plane index — reproducible with no stored model, and cheap enough
+  * for an oracle to regenerate in SQL from the same arithmetic. The
+  * mixer is the standard 32-bit xor-shift-multiply finalizer
+  * (`h = ((h>>16)^h) * 0x45d9f3b mod 2^31`, twice, then `(h>>16)^h`),
+  * scaled to [-0.5, 0.5). A bare affine LCG over SEQUENTIAL indices is
+  * NOT usable here: consecutive LCG outputs sit on a coarse lattice,
+  * the resulting planes are strongly correlated across bands, and
+  * multi-table LSH recall stops improving with table count (measured:
+  * recall@5 plateaued ~0.3 below the independent-table expectation).
+  * Every intermediate stays under 2^58, so DuckDB BIGINT arithmetic
+  * mirrors it exactly; the argument is always >= 0 on both engines.
   *
   * Bucket width scales with the corpus: [[bitsFor]] returns the number
   * of sign bits per band such that the EXPECTED bucket population stays
@@ -24,9 +30,14 @@ object Hyperplanes {
 
   val Dim = 64 // embedding dimensionality of the corpus contract
 
-  /** LCG plane component for flat index `idx = p*Dim + d` (>= 0). */
-  def component(idx: Int): Double =
-    ((1103515245L * idx + 12345L) % 2147483648L).toDouble / 2147483648.0 - 0.5
+  /** Hashed plane component for flat index `idx = p*Dim + d` (>= 0). */
+  def component(idx: Int): Double = {
+    var h = idx.toLong
+    h = (((h >> 16) ^ h) * 0x45d9f3bL) % 2147483648L
+    h = (((h >> 16) ^ h) * 0x45d9f3bL) % 2147483648L
+    h = (h >> 16) ^ h
+    h.toDouble / 2147483648.0 - 0.5
+  }
 
   def plane(p: Int): Seq[Double] = (0 until Dim).map(d => component(p * Dim + d))
 
@@ -63,9 +74,13 @@ object Hyperplanes {
   def bandsSqlCtes(nBands: Int, targetBucket: Int): String =
     raw"""cfg AS (SELECT greatest(4, length(bin(greatest((count(*) + ${targetBucket - 1}) // $targetBucket - 1, 1)))) AS bits FROM e),
          |bj AS (SELECT b, unnest(generate_series(0, bits - 1)) AS j FROM cfg, generate_series(0, ${nBands - 1}) gb(b)),
-         |planes AS (SELECT b, j, d,
-         |    CAST((1103515245 * ((b * bits + j) * ${Dim} + d) + 12345) % 2147483648 AS DOUBLE) / 2147483648.0 - 0.5 AS c
+         |p0 AS (SELECT b, j, d, CAST((b * bits + j) * ${Dim} + d AS BIGINT) AS h0
          |  FROM bj, cfg, generate_series(0, ${Dim - 1}) gd(d)),
+         |p1 AS (SELECT b, j, d, (xor(h0 >> 16, h0) * 73244475) % 2147483648 AS h1 FROM p0),
+         |p2 AS (SELECT b, j, d, (xor(h1 >> 16, h1) * 73244475) % 2147483648 AS h2 FROM p1),
+         |planes AS (SELECT b, j, d,
+         |    CAST(xor(h2 >> 16, h2) AS DOUBLE) / 2147483648.0 - 0.5 AS c
+         |  FROM p2),
          |dots AS (SELECT vec_id, b, j, sum(v[d + 1] * c) AS dot
          |  FROM e, planes GROUP BY vec_id, b, j),
          |bands AS (SELECT vec_id, b,

@@ -177,13 +177,14 @@ case class ShingleHashes(child: Expression, k: Int = 5,
 }
 
 /** All hyperplane-LSH band values of an embedding in ONE fused loop —
-  * the kernel behind C5/D2 candidate blocking. Value contract
-  * (identical to the composed-HOF formulation it replaces, so the
-  * oracle CTEs that regenerate the LCG arithmetic stay valid): output
-  * index b holds the band-b bucket value, whose bit j is the sign of
-  * `v · plane(b*bits + j)` with plane component
-  * `((1103515245*idx + 12345) mod 2^31)/2^31 - 0.5` at flat index
-  * `idx = (b*bits + j)*dim + d`, dot accumulated in index order.
+  * the kernel behind C5/D2 candidate blocking. Value contract (mirrored
+  * by the oracle CTEs in [[graft.functions.Hyperplanes.bandsSqlCtes]]):
+  * output index b holds the band-b bucket value, whose bit j is the
+  * sign of `v · plane(b*bits + j)` with plane component
+  * `mix31(idx)/2^31 - 0.5` at flat index `idx = (b*bits + j)*dim + d`,
+  * where `mix31` is the 32-bit xor-shift-multiply finalizer reduced
+  * mod 2^31 (see [[graft.functions.Hyperplanes.component]] for why a
+  * bare sequential LCG is not usable). Dot accumulated in index order.
   * Replaces, per row, nBands×bits interpreted `aggregate(zip_with)`
   * folds with one codegen'd triple loop.
   */
@@ -231,9 +232,11 @@ case class HyperplaneBands(child: Expression, nBands: Int, bits: Int,
         var dot = 0.0
         var d = 0
         while (d < n) {
-          val c = ((1103515245L * (base + d) + 12345L) % 2147483648L).toDouble /
-            2147483648.0 - 0.5
-          dot += v.getDouble(d) * c
+          var h = (base + d).toLong
+          h = (((h >> 16) ^ h) * 0x45d9f3bL) % 2147483648L
+          h = (((h >> 16) ^ h) * 0x45d9f3bL) % 2147483648L
+          h = (h >> 16) ^ h
+          dot += v.getDouble(d) * (h.toDouble / 2147483648.0 - 0.5)
           d += 1
         }
         if (dot >= 0) bv |= (1L << j)
@@ -256,6 +259,7 @@ case class HyperplaneBands(child: Expression, nBands: Int, bits: Int,
       val base = ctx.freshName("base")
       val dot = ctx.freshName("dot")
       val comp = ctx.freshName("comp")
+      val h = ctx.freshName("h")
       val vd = ctx.freshName("vd")
       s"""
          |if ($c.numElements() < $dim)
@@ -273,8 +277,11 @@ case class HyperplaneBands(child: Expression, nBands: Int, bits: Int,
          |    int $base = ($b * $bits + $j) * $dim;
          |    double $dot = 0.0;
          |    for (int $d = 0; $d < $n; $d++) {
-         |      double $comp = (double) ((1103515245L * ($base + $d) + 12345L) % 2147483648L)
-         |        / 2147483648.0 - 0.5;
+         |      long $h = (long) ($base + $d);
+         |      $h = ((($h >> 16) ^ $h) * 73244475L) % 2147483648L;
+         |      $h = ((($h >> 16) ^ $h) * 73244475L) % 2147483648L;
+         |      $h = ($h >> 16) ^ $h;
+         |      double $comp = (double) $h / 2147483648.0 - 0.5;
          |      $dot += $c.getDouble($d) * $comp;
          |    }
          |    if ($dot >= 0) $bv |= (1L << $j);

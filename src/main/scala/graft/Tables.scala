@@ -39,5 +39,29 @@ object Tables {
         jobCount.incrementAndGet()
         embeddings(s, d).count()
       })
+
+    /** Corpus fingerprint for persisted-index staleness detection:
+      * hash of (data-file count, total bytes, newest modification
+      * time) under the table path. One driver-side recursive listing,
+      * no Spark job, and deliberately NOT memoized — an index `ensure`
+      * must see the corpus as it is NOW, or a mutated corpus silently
+      * serves stale signatures/centroids.
+      */
+    def corpusTag(s: SparkSession, tablePath: String): String = {
+      val p = new org.apache.hadoop.fs.Path(tablePath)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      var n = 0L; var bytes = 0L; var newest = 0L
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        if (!name.startsWith("_") && !name.startsWith(".")) {
+          n += 1; bytes += st.getLen
+          newest = math.max(newest, st.getModificationTime)
+        }
+      }
+      (scala.util.hashing.MurmurHash3.stringHash(s"$n;$bytes;$newest")
+        & 0x7fffffff).toHexString
+    }
   }
 }

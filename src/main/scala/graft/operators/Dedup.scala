@@ -398,9 +398,16 @@ object Dedup {
       (scala.util.hashing.MurmurHash3.stringHash(s) & 0x7fffffff).toHexString
     }
 
-    private def tableName(dir: String): String =
+    /** The corpus fingerprint is part of the store identity: a store
+      * built over an earlier state of the corpus must not be served
+      * for its current state — the stale name simply stops resolving
+      * (no catalog entry, no files) and `ensure` rebuilds. Same
+      * orphaned-files tradeoff as a contract change.
+      */
+    private def tableName(spark: SparkSession, dir: String): String =
       "graft_sig_" + dir.replaceAll("[^a-zA-Z0-9]+", "_")
-        .stripPrefix("_").stripSuffix("_") + "_" + contractTag
+        .stripPrefix("_").stripSuffix("_") + "_" + contractTag +
+        "_" + Tables.Probe.corpusTag(spark, s"$dir/documents.parquet")
 
     private def warehousePath(spark: SparkSession, table: String): java.nio.file.Path = {
       val w = spark.conf.get("spark.sql.warehouse.dir")
@@ -412,7 +419,7 @@ object Dedup {
 
     /** Register-or-build over the EXISTING (non-eval) corpus side. */
     def ensure(spark: SparkSession, dir: String): (String, String) = {
-      val t = tableName(dir)
+      val t = tableName(spark, dir)
       val th = t + "_hot"
       val loc = warehousePath(spark, t)
       val locH = warehousePath(spark, th)
@@ -455,8 +462,8 @@ object Dedup {
 
     /** Drop catalog entries, keep the on-disk store (cold-session sim). */
     def deregister(spark: SparkSession, dir: String): Unit = {
-      spark.sql(s"DROP TABLE IF EXISTS ${tableName(dir)}")
-      spark.sql(s"DROP TABLE IF EXISTS ${tableName(dir)}_hot")
+      spark.sql(s"DROP TABLE IF EXISTS ${tableName(spark, dir)}")
+      spark.sql(s"DROP TABLE IF EXISTS ${tableName(spark, dir)}_hot")
     }
   }
 

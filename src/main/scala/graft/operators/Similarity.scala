@@ -198,9 +198,15 @@ object Similarity {
       */
     val fitCount = new AtomicInteger(0)
 
-    private def tableName(dir: String, nlist: Int): String =
+    /** The corpus fingerprint is part of the index identity (same
+      * staleness contract as [[graft.operators.Dedup.SigStore]]): a
+      * mutated corpus changes the name, the stale name stops
+      * resolving, and `ensure` refits over the current corpus.
+      */
+    private def tableName(spark: SparkSession, dir: String, nlist: Int): String =
       "graft_ivf_" + dir.replaceAll("[^a-zA-Z0-9]+", "_")
-        .stripPrefix("_").stripSuffix("_") + "_" + nlist
+        .stripPrefix("_").stripSuffix("_") + "_" + nlist +
+        "_" + Tables.Probe.corpusTag(spark, s"$dir/embeddings.parquet")
 
     private def warehousePath(spark: SparkSession, table: String): java.nio.file.Path = {
       val w = spark.conf.get("spark.sql.warehouse.dir")
@@ -211,7 +217,7 @@ object Similarity {
       * fresh fit + external bucketed write.
       */
     private def ensure(spark: SparkSession, dir: String, nlist: Int): (String, String) = {
-      val t = tableName(dir, nlist)
+      val t = tableName(spark, dir, nlist)
       val tc = t + "_cent"
       val loc = warehousePath(spark, t)
       val locC = warehousePath(spark, tc)
@@ -272,8 +278,8 @@ object Similarity {
       * tables) — simulates a cold session for specs.
       */
     def deregister(spark: SparkSession, dir: String, nlist: Int): Unit = {
-      spark.sql(s"DROP TABLE IF EXISTS ${tableName(dir, nlist)}")
-      spark.sql(s"DROP TABLE IF EXISTS ${tableName(dir, nlist)}_cent")
+      spark.sql(s"DROP TABLE IF EXISTS ${tableName(spark, dir, nlist)}")
+      spark.sql(s"DROP TABLE IF EXISTS ${tableName(spark, dir, nlist)}_cent")
     }
   }
 

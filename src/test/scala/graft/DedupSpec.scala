@@ -142,6 +142,34 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("signature store detects a changed corpus and rebuilds") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // a private corpus copy: documents.parquet as a DIRECTORY of part
+    // files, so the corpus can be mutated by adding a part
+    val dir = Files.createTempDirectory("graft_stale").toString
+    val docs = Paths.get(dir, "documents.parquet")
+    Files.createDirectories(docs)
+    Files.copy(Paths.get(sf, "documents.parquet"), docs.resolve("part-0.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val c0 = Dedup.SigStore.buildCount.get
+    Dedup.SigStore.ensure(spark, dir)
+    assert(Dedup.SigStore.buildCount.get == c0 + 1, "first ensure must build")
+    Dedup.SigStore.ensure(spark, dir)
+    assert(Dedup.SigStore.buildCount.get == c0 + 1, "unchanged corpus must not rebuild")
+    // cold session over the unchanged corpus: re-register, no rebuild
+    Dedup.SigStore.deregister(spark, dir)
+    Dedup.SigStore.ensure(spark, dir)
+    assert(Dedup.SigStore.buildCount.get == c0 + 1,
+      "cold re-registration over an unchanged corpus must not rebuild")
+    // corpus mutates: a new part file arrives -> fingerprint changes ->
+    // the stale store must NOT be served
+    Files.copy(Paths.get(sf, "documents.parquet"), docs.resolve("part-1.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    Dedup.SigStore.ensure(spark, dir)
+    assert(Dedup.SigStore.buildCount.get == c0 + 2,
+      "changed corpus must trigger a store rebuild, not serve stale signatures")
+  }
+
   test("approx percentiles stay within bounded rank error of exact") {
     import org.apache.spark.sql.functions.col
     // sketch guarantee is rank-space (a returned value's empirical rank

@@ -69,6 +69,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.8, f"LSH mean recall@5 $mean%.3f below 0.8")
   }
 
+  test("IVF index detects a changed corpus and refits") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Files.createTempDirectory("graft_ivf_stale").toString
+    val emb = Paths.get(dir, "embeddings.parquet")
+    Files.createDirectories(emb)
+    Files.copy(Paths.get(sf, "embeddings.parquet"), emb.resolve("part-0.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val c0 = Similarity.IvfIndex.fitCount.get
+    Similarity.qAnnIvf(spark, dir).count()
+    assert(Similarity.IvfIndex.fitCount.get == c0 + 1, "first query must build the index")
+    Similarity.qAnnIvf(spark, dir).count()
+    assert(Similarity.IvfIndex.fitCount.get == c0 + 1, "unchanged corpus must not refit")
+    // corpus mutates -> fingerprint changes -> stale index must not serve
+    Files.copy(Paths.get(sf, "embeddings.parquet"), emb.resolve("part-1.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    Similarity.qAnnIvf(spark, dir).count()
+    assert(Similarity.IvfIndex.fitCount.get == c0 + 2,
+      "changed corpus must trigger an index refit, not serve stale centroids")
+  }
+
   test("IVF index is durable: cold-session query path performs no KMeans fit") {
     Similarity.qAnnIvf(spark, sf).count() // build (or reuse) the index tables
     // simulate a cold session: catalog metadata gone, index files remain

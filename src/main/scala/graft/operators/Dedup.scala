@@ -787,6 +787,73 @@ object Dedup {
   def ccWidth(edgeCount: Long): Int =
     math.max(8L, edgeCount / (64L << 10)).min(Int.MaxValue).toInt
 
+  /** Propagation iterations before [[clusterPairs]] hands the
+    * still-unconverged remainder to star contraction.
+    */
+  val StarFallbackIter = 15
+
+  /** Star-contraction rounds run by this JVM (spec observability: the
+    * chain property test asserts the fallback actually engaged).
+    */
+  val starRounds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Alternating large-star/small-star contraction — the public
+    * MapReduce connected-components algorithm (Kiveris et al., "CC in
+    * MapReduce and Beyond", SoCC'14). Unlike label propagation it
+    * rewrites the EDGE SET itself, which flattens toward min-centered
+    * stars in O(log²) rounds regardless of diameter — the fallback for
+    * pathological dup chains where per-hop propagation stalls. Input:
+    * directed pairs (u, v), u != v, any orientation. Returns (node,
+    * lab) for every node of the input graph; isolated nodes don't
+    * occur (an edge component never contracts to zero edges — a
+    * self-loop is only ever emitted alongside the (u, min) edge that
+    * keeps the component connected).
+    *
+    * Each round: large-star hangs every higher neighbor v > u onto
+    * m(u) = min(N(u) ∪ u); small-star re-hangs the lower neighborhood
+    * onto its minimum. Fixpoint = the edge set reproduces itself =
+    * every component is a star centered at its minimum.
+    */
+  private[graft] def starContract(edges0: DataFrame, width: Int): DataFrame = {
+    def canon(e: DataFrame): DataFrame = e
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    def sym(e: DataFrame): DataFrame =
+      e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    var e = canon(edges0).repartition(width, col("u")).localCheckpoint()
+    var cnt = e.count()
+    var stable = false
+    var round = 0
+    while (!stable && round < 30) {
+      val s = sym(e)
+      // large-star: (v, m(u)) for v > u, with m over the FULL neighborhood
+      val mAll = s.groupBy(col("u")).agg(least(min(col("v")), col("u")).as("m"))
+      val large = s.filter(col("v") > col("u"))
+        .join(mAll, "u").select(col("v").as("u"), col("m").as("v"))
+      val eL = canon(large).repartition(width, col("u")).localCheckpoint()
+      // small-star: lower neighborhood re-hung on its minimum
+      val sL = sym(eL)
+      val low = sL.filter(col("v") < col("u"))
+      val mLow = low.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = low.join(mLow, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(mLow.select(col("u"), col("m").as("v")))
+      val next = canon(small).repartition(width, col("u")).localCheckpoint()
+      val nextCnt = next.count()
+      stable = nextCnt == cnt && next.except(e).isEmpty
+      e = next; cnt = nextCnt
+      round += 1
+      starRounds.incrementAndGet()
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"== star round $round edges=$cnt stable=$stable")
+    }
+    require(stable, s"star contraction did not stabilize in $round rounds")
+    // stars: canonical (leaf > center) edges; centers label themselves
+    e.select(col("u").as("node"), col("v").as("lab"))
+      .unionAll(e.select(col("v").as("node"), col("v").as("lab")).distinct())
+      .distinct()
+  }
+
   /** Generic distributed connected-components over an undirected pair
     * set (columns id1, id2): iterative minimum-label propagation +
     * pointer jumping, O(log diameter) iterations, one shuffle join +
@@ -825,7 +892,7 @@ object Dedup {
       println(f"== cc labels0 ${(System.nanoTime()-tDbg0)/1e9}%.1fs")
     var converged = false
     var iter = 0
-    while (!converged && iter < 25) {
+    while (!converged && iter < StarFallbackIter) {
       val neigh = edges.join(labels, col("dst") === col("node"))
         .groupBy(col("src")).agg(min(col("lab")).as("nlab"))
       val stepped = labels.join(neigh, col("node") === col("src"), "left")
@@ -850,6 +917,25 @@ object Dedup {
       iter += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(f"== cc iter $iter changed=$changed t=${(System.nanoTime()-tDbg0)/1e9}%.1fs")
+    }
+    if (!converged) {
+      // pathological diameter: propagation pays one iteration per hop
+      // (log-compressed, but still unbounded) — contract the REMAINDER
+      // graph through the labels found so far and finish with
+      // large-star/small-star, whose round count doesn't depend on
+      // diameter. Near-dup graphs are shallow; this path exists for
+      // the long-chain tail.
+      val contracted = edges
+        .join(labels.withColumnRenamed("node", "src").withColumnRenamed("lab", "slab"), "src")
+        .join(labels.withColumnRenamed("node", "dst").withColumnRenamed("lab", "dlab"), "dst")
+        .select(col("slab").as("u"), col("dlab").as("v"))
+        .filter(col("u") =!= col("v"))
+      if (!contracted.isEmpty) {
+        val roots = starContract(contracted, width)
+          .select(col("node").as("lab"), col("lab").as("root"))
+        labels = labels.join(roots, Seq("lab"), "left")
+          .select(col("node"), coalesce(col("root"), col("lab")).as("lab"))
+      }
     }
     labels.select(col("node"), col("lab"))
   }

@@ -114,4 +114,51 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("a 100k-node chain converges via the star-contraction fallback") {
+    import graft.operators.Dedup
+    // pointer jumping closes distance 2^iter, so a 10k chain still
+    // converges inside StarFallbackIter=15 (2^15 = 32k); diameter
+    // 100_000 > 2^15 forces the handoff and exercises the
+    // large-star/small-star path end to end
+    val n = 100000
+    val edges = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong))
+    val before = Dedup.starRounds.get
+    val got = Dedup.clusterPairs(spark, edges.toDF("id1", "id2"))
+      .as[(Long, Long)].collect()
+    assert(Dedup.starRounds.get > before,
+      "chain must be finished by star contraction, not propagation alone")
+    assert(got.length == n)
+    assert(got.forall(_._2 == 0L),
+      s"all chain nodes must label 0, got ${got.filter(_._2 != 0L).take(5).mkString(",")}")
+  }
+
+  test("star contraction alone equals union-find on random graphs") {
+    // the fallback must be correct independent of how much propagation
+    // preceded it — run it directly on raw pair sets
+    for (seed <- 4 to 6) {
+      val rng = new scala.util.Random(seed)
+      val n = 80
+      val rand = Seq.fill(60)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      rand.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = rand.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(x => x -> find(x)).toMap
+      val got = graft.operators.Dedup
+        .starContract(rand.toDF("u", "v"), width = 8)
+        .as[(Long, Long)].collect().toMap
+      assert(got.keySet == expect.keySet, s"seed $seed: node sets differ")
+      expect.foreach { case (node, lab) =>
+        assert(got(node) == lab, s"seed $seed: node $node got ${got(node)}, expected $lab")
+      }
+    }
+  }
 }

@@ -117,6 +117,58 @@ object TrainingOps {
          |FROM toks JOIN vocab USING (tok), tot
          |GROUP BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- B11
+  /** Per-document mean BIGRAM surprisal under the corpus bigram LM
+    * with add-one smoothing — one modeling step up from
+    * [[qUnigramSurprisal]]: repetitive word-salad that fools a unigram
+    * model (every token common, all transitions improbable) scores
+    * high here, fluent boilerplate scores low. The usual KenLM-style
+    * perplexity gate, reduced to what a portable oracle can replay.
+    *
+    * p(w2|w1) = (c(w1,w2) + 1) / (h(w1) + V), where h(w1) is the
+    * bigram-history count (Σ_w c(w1,w)) and V the unigram vocabulary.
+    *
+    * 100 TB shape: the bigram stream is produced by a doc-bounded
+    * `lead` window (the A27 linear-pair device, one shuffle on
+    * doc_id); bigram counts and history counts are corpus-scale, so
+    * both join back by SHUFFLE on their keys (never broadcast — same
+    * contract as B9); only the one-row V broadcasts.
+    */
+  def qBigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bg = toks.withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), col("tok").as("w1"), col("nxt").as("w2"))
+    val bgc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val hist = bgc.groupBy(col("w1")).agg(sum(col("c12")).as("h1"))
+    val vsz = toks.select(col("tok")).distinct()
+      .agg(count(lit(1)).as("v"))
+    bg.join(bgc, Seq("w1", "w2"))
+      .join(hist, Seq("w1"))
+      .crossJoin(broadcast(vsz))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log((col("c12") + lit(1)).cast("double") /
+          (col("h1") + col("v")).cast("double"))), 6).as("mean_bigram_surprisal"))
+  }
+
+  val qBigramSurprisalSql: String =
+    raw"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |bgs AS (SELECT doc_id,
+         |    unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i])) AS w1,
+         |    unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i + 1])) AS w2
+         |  FROM t),
+         |bgc AS (SELECT w1, w2, count(*) AS c12 FROM bgs GROUP BY 1, 2),
+         |hist AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS h1 FROM bgc GROUP BY 1),
+         |vsz AS (SELECT count(DISTINCT tok) AS v
+         |  FROM (SELECT unnest(toks) AS tok FROM t))
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  round(avg(-ln(CAST(c12 + 1 AS DOUBLE) / (h1 + v))), 6) AS mean_bigram_surprisal
+         |FROM bgs JOIN bgc USING (w1, w2) JOIN hist USING (w1), vsz
+         |GROUP BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- K1
   /** Context-window sequence packing (concat-and-chunk, the GPT-style
     * pretraining layout): documents are concatenated in doc_id order
@@ -564,6 +616,7 @@ object TrainingOps {
     "q_quality_drift" -> (qQualityDrift _),
     "q_repetition" -> (qRepetition _),
     "q_unigram_surprisal" -> (qUnigramSurprisal _),
+    "q_bigram_surprisal" -> (qBigramSurprisal _),
     "q_seq_packing" -> (qSeqPacking _),
     "q_hash_split" -> (qHashSplit _),
     "q_source_cap" -> (qSourceCap _),
@@ -579,6 +632,7 @@ object TrainingOps {
     "q_quality_drift" -> qQualityDriftSql,
     "q_repetition" -> qRepetitionSql,
     "q_unigram_surprisal" -> qUnigramSurprisalSql,
+    "q_bigram_surprisal" -> qBigramSurprisalSql,
     "q_seq_packing" -> qSeqPackingSql,
     "q_hash_split" -> qHashSplitSql,
     "q_source_cap" -> qSourceCapSql,

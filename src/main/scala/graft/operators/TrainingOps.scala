@@ -169,6 +169,57 @@ object TrainingOps {
          |FROM bgs JOIN bgc USING (w1, w2) JOIN hist USING (w1), vsz
          |GROUP BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- K10
+  /** Vocabulary coverage curve: the share of total token mass covered
+    * by the top-k most frequent tokens, for the tokenizer-design k's —
+    * the diagnostic behind "how big must the vocab be" and "how much
+    * of the stream is head tokens". SORT-FREE: ranking the vocabulary
+    * would be a corpus-scale global sort, so the curve is computed on
+    * the count-of-counts histogram (distinct frequency VALUES — ≤
+    * O(√mass) rows at any corpus size, the H5/K7 device): classes are
+    * scanned in one bounded descending window, and a top-k cutoff
+    * landing inside a frequency class contributes partially. Exact,
+    * and well-defined under ties (tied tokens are interchangeable).
+    */
+  val CoverageKs: Seq[Long] = Seq(16L, 64L, 256L, 1024L, 4096L)
+
+  def qVocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val cc = vocab.groupBy(col("cnt")).agg(count(lit(1)).as("n"))
+    // bounded-by-construction global window (exempted in PlanSpec)
+    val wPrev = Window.orderBy(col("cnt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = cc.withColumn("toks_before",
+      coalesce(sum(col("n")).over(wPrev), lit(0L)))
+    val tot = vocab.agg(sum(col("cnt")).cast("long").as("total_mass"),
+      count(lit(1)).as("vocab_size"))
+    val ks = spark.createDataFrame(CoverageKs.map(Tuple1(_))).toDF("k")
+    cum.crossJoin(broadcast(ks))
+      .groupBy(col("k"))
+      .agg(sum(col("cnt") *
+        greatest(lit(0L), least(col("n"), col("k") - col("toks_before"))))
+        .as("covered"))
+      .crossJoin(broadcast(tot))
+      .select(col("k"), least(col("k"), col("vocab_size")).as("top_tokens"),
+        round(col("covered").cast("double") / col("total_mass"), 6).as("coverage"))
+  }
+
+  val qVocabCoverageSql: String =
+    raw"""WITH toks AS (SELECT unnest($duckToks) AS tok FROM documents),
+         |vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+         |cc AS (SELECT cnt, count(*) AS n FROM vocab GROUP BY 1),
+         |cum AS (SELECT cnt, n, coalesce(sum(n) OVER (ORDER BY cnt DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS toks_before FROM cc),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_mass,
+         |  count(*) AS vocab_size FROM vocab),
+         |ks AS (SELECT CAST(unnest([16, 64, 256, 1024, 4096]) AS BIGINT) AS k)
+         |SELECT k, least(k, vocab_size) AS top_tokens,
+         |  round(CAST(sum(cnt * greatest(0, least(n, k - toks_before))) AS DOUBLE)
+         |    / total_mass, 6) AS coverage
+         |FROM cum, ks, tot GROUP BY k, vocab_size, total_mass""".stripMargin
+
   // ---------------------------------------------------------------- K1
   /** Context-window sequence packing (concat-and-chunk, the GPT-style
     * pretraining layout): documents are concatenated in doc_id order
@@ -617,6 +668,7 @@ object TrainingOps {
     "q_repetition" -> (qRepetition _),
     "q_unigram_surprisal" -> (qUnigramSurprisal _),
     "q_bigram_surprisal" -> (qBigramSurprisal _),
+    "q_vocab_coverage" -> (qVocabCoverage _),
     "q_seq_packing" -> (qSeqPacking _),
     "q_hash_split" -> (qHashSplit _),
     "q_source_cap" -> (qSourceCap _),
@@ -633,6 +685,7 @@ object TrainingOps {
     "q_repetition" -> qRepetitionSql,
     "q_unigram_surprisal" -> qUnigramSurprisalSql,
     "q_bigram_surprisal" -> qBigramSurprisalSql,
+    "q_vocab_coverage" -> qVocabCoverageSql,
     "q_seq_packing" -> qSeqPackingSql,
     "q_hash_split" -> qHashSplitSql,
     "q_source_cap" -> qSourceCapSql,

@@ -117,7 +117,9 @@ class PlanSpec extends AnyFunSuite {
     //  - q_auc: ≤ 10⁴+1 quantized score bins, never the row stream
     //  - q_bm25: the Bm25TopK rows surviving the distributed limit
     //  - q_quality_drift: same ≤ 10⁴+1 quantized-bin device as q_auc
-    val windowExempt = Set("q_skew_report", "q_auc", "q_bm25", "q_quality_drift")
+    //  - q_vocab_coverage: count-of-counts histogram, never the vocab
+    val windowExempt = Set("q_skew_report", "q_auc", "q_bm25", "q_quality_drift",
+      "q_vocab_coverage")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       // pre-AQE physical plan: traversable with plain collect (the
       // AQE wrapper hides its initial plan from TreeNode traversal,

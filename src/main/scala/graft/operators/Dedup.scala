@@ -1020,6 +1020,72 @@ object Dedup {
          |       ELSE 'near_dup' END AS reason
          |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- C11
+  /** The decontaminated TRAINING keep list — the verdict the training
+    * run actually consumes, composing the two drop gates this block
+    * provides: near-dup canonicalization (C6b clusters, canonical =
+    * least TRAIN member, so an eval doc can never be the kept
+    * representative of a train cluster) and cross-corpus eval
+    * contamination (C7 pairs at the same est_sim floor). Precedence:
+    * contaminated > near_dup > kept — a contaminated cluster
+    * representative is dropped WITHOUT promotion (its content is, by
+    * construction, approximately the eval set).
+    *
+    * 100 TB shape: both gates reuse the cached MinHash signature
+    * pipeline; this query adds one cluster-sized aggregate and two
+    * id-vs-id joins on top.
+    */
+  def qDecontamKeepList(spark: SparkSession, dir: String): DataFrame = {
+    val isEval = col("source").isin(EvalSources.map(x => x: Any): _*)
+    val train = Tables.documents(spark, dir).filter(!isEval).select(col("doc_id"))
+    val trainCl = qDedupClustersText(spark, dir).join(train, "doc_id")
+    val tcan = trainCl.groupBy(col("cluster_id")).agg(min(col("doc_id")).as("canonical"))
+    val cont = qContamination(spark, dir)
+      .filter(col("est_sim") >= TextClusterMinSim)
+      .select(col("d_train").as("doc_id")).distinct()
+      .withColumn("contam", lit(true))
+    train
+      .join(trainCl, Seq("doc_id"), "left")
+      .join(tcan, Seq("cluster_id"), "left")
+      .join(cont, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canonical"), col("doc_id")).as("canonical_id"),
+        (coalesce(col("canonical"), col("doc_id")) === col("doc_id") &&
+          col("contam").isNull).as("keep"),
+        when(col("contam").isNotNull, "contaminated")
+          .when(coalesce(col("canonical"), col("doc_id")) =!= col("doc_id"), "near_dup")
+          .otherwise("kept").as("reason"))
+  }
+
+  val qDecontamKeepListSql: String =
+    raw"""WITH RECURSIVE $textClusterCtes,
+         |side AS (SELECT doc_id, source IN ($evalSourcesSql) AS is_eval FROM documents),
+         |tcl AS (SELECT cl.doc_id, cl.cluster_id FROM cl
+         |  JOIN side s ON cl.doc_id = s.doc_id WHERE NOT s.is_eval),
+         |tcan AS (SELECT cluster_id, min(doc_id) AS canonical FROM tcl GROUP BY 1),
+         |ccand AS (SELECT DISTINCT x.doc_id d_train, y.doc_id d_eval
+         |  FROM bands x JOIN side sx ON x.doc_id = sx.doc_id
+         |  JOIN bands y ON x.band = y.band AND x.bh = y.bh
+         |  JOIN side sy ON y.doc_id = sy.doc_id
+         |  WHERE NOT sx.is_eval AND sy.is_eval),
+         |cont AS (SELECT DISTINCT d_train AS doc_id FROM (
+         |    SELECT d_train, d_eval,
+         |      CAST(sum(CASE WHEN p.minh = q.minh THEN 1 ELSE 0 END) AS DOUBLE) / $NumPerms AS est_sim
+         |    FROM ccand JOIN sigs p ON d_train = p.doc_id
+         |    JOIN sigs q ON d_eval = q.doc_id AND p.i = q.i
+         |    GROUP BY d_train, d_eval)
+         |  WHERE est_sim >= $TextClusterMinSim)
+         |SELECT d.doc_id,
+         |  coalesce(tcan.canonical, d.doc_id) AS canonical_id,
+         |  (coalesce(tcan.canonical, d.doc_id) = d.doc_id AND c.doc_id IS NULL) AS keep,
+         |  CASE WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+         |       WHEN coalesce(tcan.canonical, d.doc_id) <> d.doc_id THEN 'near_dup'
+         |       ELSE 'kept' END AS reason
+         |FROM (SELECT doc_id FROM side WHERE NOT is_eval) d
+         |LEFT JOIN tcl ON d.doc_id = tcl.doc_id
+         |LEFT JOIN tcan ON tcl.cluster_id = tcan.cluster_id
+         |LEFT JOIN cont c ON d.doc_id = c.doc_id""".stripMargin
+
   /** Oracle: transitive closure by recursive CTE over the SAME
     * LSH-blocked pair set as [[qEmbeddingNeardupSql]], cluster id =
     * least reachable node — the declarative twin of min-label
@@ -1045,7 +1111,8 @@ object Dedup {
     "q_embedding_neardup" -> (qEmbeddingNeardup _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_clusters_text" -> (qDedupClustersText _),
-    "q_neardup_keep_list" -> (qNeardupKeepList _))
+    "q_neardup_keep_list" -> (qNeardupKeepList _),
+    "q_decontam_keep_list" -> (qDecontamKeepList _))
 
   def oracle: Map[String, String] = Map(
     "q_dedup_exact" -> qDedupExactSql,
@@ -1058,5 +1125,6 @@ object Dedup {
     "q_embedding_neardup" -> qEmbeddingNeardupSql,
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_dedup_clusters_text" -> qDedupClustersTextSql,
-    "q_neardup_keep_list" -> qNeardupKeepListSql)
+    "q_neardup_keep_list" -> qNeardupKeepListSql,
+    "q_decontam_keep_list" -> qDecontamKeepListSql)
 }

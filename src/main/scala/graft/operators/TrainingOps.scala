@@ -169,6 +169,62 @@ object TrainingOps {
          |FROM bgs JOIN bgc USING (w1, w2) JOIN hist USING (w1), vsz
          |GROUP BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- B12
+  /** Top-20 adjacent-token collocations by pointwise mutual
+    * information — the corpus-linguistics lens on tokenizer/vocab
+    * design: high-PMI pairs are the multi-word units worth merging,
+    * and a drift in the top collocations flags a source change.
+    * Convention (mirrored exactly in the oracle): p(w1,w2) = c12/N
+    * over bigram positions, p(w) = c(w)/T over token positions; all
+    * ratios taken in double BEFORE multiplication so no integer
+    * product can overflow at corpus scale. Minimum support c12 ≥ 5
+    * kills the noise tail. Top-k is orderBy+limit — Spark's
+    * distributed TakeOrdered, no global window, no full sort
+    * materialized. Ranking on the 6-dp-rounded PMI with (w1, w2)
+    * tiebreak keeps the cut deterministic across engines.
+    */
+  val PmiMinSupport = 5
+
+  def qPmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum(col("c")).cast("long").as("t"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bg = toks.withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("tok").as("w1"), col("nxt").as("w2"))
+    val bgc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val nbg = bgc.agg(sum(col("c12")).cast("long").as("n"))
+    val pmi = log(
+      (col("c12").cast("double") / col("n")) /
+        ((col("c1").cast("double") / col("t")) * (col("c2").cast("double") / col("t"))))
+    bgc.filter(col("c12") >= PmiMinSupport)
+      .join(uni.select(col("tok").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(nbg)).crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("c12"), round(pmi, 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(20)
+  }
+
+  val qPmiCollocationsSql: String =
+    raw"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |toks AS (SELECT unnest(toks) AS tok FROM t),
+         |uni AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tt FROM uni),
+         |bgs AS (SELECT
+         |    unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i])) AS w1,
+         |    unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i + 1])) AS w2
+         |  FROM t),
+         |bgc AS (SELECT w1, w2, count(*) AS c12 FROM bgs GROUP BY 1, 2),
+         |nbg AS (SELECT CAST(sum(c12) AS BIGINT) AS n FROM bgc)
+         |SELECT w1, w2, c12,
+         |  round(ln((CAST(c12 AS DOUBLE) / n) /
+         |    ((CAST(u1.c AS DOUBLE) / tt) * (CAST(u2.c AS DOUBLE) / tt))), 6) AS pmi
+         |FROM bgc JOIN uni u1 ON bgc.w1 = u1.tok JOIN uni u2 ON bgc.w2 = u2.tok, nbg, tot
+         |WHERE c12 >= $PmiMinSupport
+         |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin
+
   // ---------------------------------------------------------------- K10
   /** Vocabulary coverage curve: the share of total token mass covered
     * by the top-k most frequent tokens, for the tokenizer-design k's —
@@ -669,6 +725,7 @@ object TrainingOps {
     "q_unigram_surprisal" -> (qUnigramSurprisal _),
     "q_bigram_surprisal" -> (qBigramSurprisal _),
     "q_vocab_coverage" -> (qVocabCoverage _),
+    "q_pmi_collocations" -> (qPmiCollocations _),
     "q_seq_packing" -> (qSeqPacking _),
     "q_hash_split" -> (qHashSplit _),
     "q_source_cap" -> (qSourceCap _),
@@ -686,6 +743,7 @@ object TrainingOps {
     "q_unigram_surprisal" -> qUnigramSurprisalSql,
     "q_bigram_surprisal" -> qBigramSurprisalSql,
     "q_vocab_coverage" -> qVocabCoverageSql,
+    "q_pmi_collocations" -> qPmiCollocationsSql,
     "q_seq_packing" -> qSeqPackingSql,
     "q_hash_split" -> qHashSplitSql,
     "q_source_cap" -> qSourceCapSql,

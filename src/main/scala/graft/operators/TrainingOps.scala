@@ -276,6 +276,44 @@ object TrainingOps {
          |    / total_mass, 6) AS coverage
          |FROM cum, ks, tot GROUP BY k, vocab_size, total_mass""".stripMargin
 
+  // ---------------------------------------------------------------- K11
+  /** Per-document sliding-window chunk plan (512-token chunks, 128
+    * overlap → stride 384): the WITHIN-document layout for long-doc
+    * training and retrieval indexing, complementing K1's cross-doc
+    * concat-and-chunk packing. Reports the chunk count and the two
+    * costs the layout decision trades off — overlap-duplicated tokens
+    * and final-chunk padding. Pure map-side arithmetic on the token
+    * count: embarrassingly parallel at any corpus size.
+    */
+  val ChunkTokens = 512
+  val ChunkOverlap = 128
+
+  def qChunkPlan(spark: SparkSession, dir: String): DataFrame = {
+    val stride = ChunkTokens - ChunkOverlap
+    val n = size(tokens(col("text")))
+    val nChunks = when(n <= ChunkTokens, lit(1L))
+      .otherwise(lit(1L) + floor((n - ChunkTokens + stride - 1) / lit(stride)).cast("long"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), n.cast("long").as("n_tokens"), nChunks.as("n_chunks"))
+      .select(col("doc_id"), col("n_tokens"), col("n_chunks"),
+        ((col("n_chunks") - 1) * ChunkOverlap).as("dup_tokens"),
+        (lit(ChunkTokens.toLong) + (col("n_chunks") - 1) * stride - col("n_tokens"))
+          .as("pad_tokens"))
+  }
+
+  val qChunkPlanSql: String = {
+    val stride = ChunkTokens - ChunkOverlap
+    raw"""WITH t AS (SELECT doc_id, len($duckToks) AS n FROM documents),
+         |c AS (SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+         |  CAST(CASE WHEN n <= $ChunkTokens THEN 1
+         |       ELSE 1 + (n - $ChunkTokens + $stride - 1) // $stride END AS BIGINT) AS n_chunks
+         |  FROM t)
+         |SELECT doc_id, n_tokens, n_chunks,
+         |  (n_chunks - 1) * $ChunkOverlap AS dup_tokens,
+         |  $ChunkTokens + (n_chunks - 1) * $stride - n_tokens AS pad_tokens
+         |FROM c""".stripMargin
+  }
+
   // ---------------------------------------------------------------- K1
   /** Context-window sequence packing (concat-and-chunk, the GPT-style
     * pretraining layout): documents are concatenated in doc_id order
@@ -726,6 +764,7 @@ object TrainingOps {
     "q_bigram_surprisal" -> (qBigramSurprisal _),
     "q_vocab_coverage" -> (qVocabCoverage _),
     "q_pmi_collocations" -> (qPmiCollocations _),
+    "q_chunk_plan" -> (qChunkPlan _),
     "q_seq_packing" -> (qSeqPacking _),
     "q_hash_split" -> (qHashSplit _),
     "q_source_cap" -> (qSourceCap _),
@@ -744,6 +783,7 @@ object TrainingOps {
     "q_bigram_surprisal" -> qBigramSurprisalSql,
     "q_vocab_coverage" -> qVocabCoverageSql,
     "q_pmi_collocations" -> qPmiCollocationsSql,
+    "q_chunk_plan" -> qChunkPlanSql,
     "q_seq_packing" -> qSeqPackingSql,
     "q_hash_split" -> qHashSplitSql,
     "q_source_cap" -> qSourceCapSql,

@@ -103,9 +103,18 @@ object TextAnalysis {
     * saturation, punctuation penalty. Deterministic rational
     * arithmetic; identical formula in the oracle.
     */
-  def qQualityScore(spark: SparkSession, dir: String): DataFrame = {
+  def qQualityScore(spark: SparkSession, dir: String): DataFrame =
+    scoreQuality(Tables.documents(spark, dir))
+
+  /** The same scoring over any documents-shaped frame (doc_id, text) —
+    * factored out so the streaming drift monitor scores arriving
+    * micro-batches with BIT-IDENTICAL arithmetic to the batch
+    * operators (same expressions, same order; any divergence would
+    * break the spec-asserted stream==batch KS equality).
+    */
+  def scoreQuality(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"),
         tokenCount(col("text")).cast("double").as("n_tokens"),
         vocabHits(toks, stopwords("en")).cast("double").as("stop_hits"),

@@ -646,6 +646,50 @@ object TrainingOps {
       .select(col("n_train"), col("n_eval"), round(col("d"), 6).as("ks_d"))
   }
 
+  // ------------------------------------------------------ K9 streaming kit
+  /** Quantized quality histogram of any documents-shaped frame —
+    * ≤ 10⁴+1 bins at any size (the K9 device), so it broadcasts.
+    */
+  private def qualityBins(docs: DataFrame): DataFrame =
+    TextAnalysis.scoreQuality(docs)
+      .select(round(col("quality"), 4).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+
+  /** The accepted-corpus baseline the streaming drift monitor compares
+    * arriving batches against: train-side quantized quality bins.
+    * Computed once per monitor start; bounded, cacheable.
+    */
+  def baselineQualityBins(spark: SparkSession, dir: String): DataFrame = {
+    val isEval = col("source").isin(Dedup.EvalSources.map(x => x: Any): _*)
+    qualityBins(Tables.documents(spark, dir).filter(!isEval))
+  }
+
+  /** Exact KS D between a stored baseline histogram and one arriving
+    * batch — the same bounded-bin CDF window as [[qQualityDrift]], so
+    * a single batch holding the whole eval split reproduces the batch
+    * operator's verdict exactly (spec-asserted in StreamingSpec).
+    */
+  def qualityDriftVsBaseline(baseline: DataFrame, batch: DataFrame): DataFrame = {
+    val bins = baseline
+      .select(col("bin"), col("n").as("n_train_b"), lit(0L).as("n_eval_b"))
+      .unionAll(qualityBins(batch)
+        .select(col("bin"), lit(0L).as("n_train_b"), col("n").as("n_eval_b")))
+      .groupBy(col("bin"))
+      .agg(sum(col("n_train_b")).as("n_train_b"), sum(col("n_eval_b")).as("n_eval_b"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = bins.agg(sum(col("n_train_b")).as("n_train"),
+      sum(col("n_eval_b")).as("n_eval"))
+    bins
+      .withColumn("cum_train", sum(col("n_train_b")).over(w))
+      .withColumn("cum_eval", sum(col("n_eval_b")).over(w))
+      .crossJoin(broadcast(tot))
+      .agg(max(col("n_train")).as("n_train"), max(col("n_eval")).as("n_eval"),
+        max(abs(col("cum_train").cast("double") / col("n_train") -
+          col("cum_eval").cast("double") / col("n_eval"))).as("d"))
+      .select(col("n_train"), col("n_eval"), round(col("d"), 6).as("ks_d"))
+  }
+
   val qQualityDriftSql: String = {
     val evalList = Dedup.EvalSources.map(s => s"'$s'").mkString(", ")
     raw"""WITH t AS (SELECT doc_id,

@@ -340,6 +340,40 @@ object EventStream {
     spark.read.parquet(outPath)
   }
 
+  /** F16: streaming corpus-quality drift monitor — the gate a
+    * continuously-ingesting pipeline runs on every arriving
+    * micro-batch: exact KS D between the batch's quality distribution
+    * and the accepted-corpus (train-side) baseline, one verdict row
+    * per batch appended to the sink. The baseline histogram is
+    * computed ONCE at monitor start (bounded ≤ 10⁴+1 bins — the K9
+    * quantization device) and reused; per batch the work is the
+    * batch's own scoring plus a bounded-bin window, independent of
+    * corpus size. foreachBatch (not a stateful operator) because the
+    * baseline is shared read-only state, not per-key stream state;
+    * restarts resume from the checkpoint. A single batch holding the
+    * whole eval split reproduces q_quality_drift's verdict exactly
+    * (spec-asserted).
+    */
+  def streamQualityDriftToFiles(docs: DataFrame, dir: String,
+      outPath: String, checkpoint: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val spark = docs.sparkSession
+    val baseline = graft.operators.TrainingOps
+      .baselineQualityBins(spark, dir).cache()
+    baseline.count() // materialize once, ahead of the first batch
+    val q = docs.writeStream
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.operators.TrainingOps.qualityDriftVsBaseline(baseline, b.toDF())
+          .withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(outPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    baseline.unpersist()
+    spark.read.parquet(outPath)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumbling" -> (qStreamTumbling _),
     "q_stream_dedup" -> (qStreamDedup _))

@@ -161,6 +161,40 @@ class StreamingSpec extends AnyFunSuite {
       s"stream-batch mismatch: onlyStream=${(streamed -- batch).take(3)} onlyBatch=${(batch -- streamed).take(3)}")
   }
 
+  test("streaming quality-drift monitor equals the batch KS verdict on one batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val arriving = Tables.documents(spark, sf)
+      .filter(col("source").isin(graft.operators.Dedup.EvalSources.map(x => x: Any): _*))
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    // one batch holding the whole eval split -> bit-identical to K9
+    val one = MemoryStream[(Long, String)]
+    one.addData(arriving: _*)
+    val tmp1 = java.nio.file.Files.createTempDirectory("graft_stream_drift1").toString
+    val streamed = EventStream.streamQualityDriftToFiles(
+      one.toDF().toDF("doc_id", "text"), sf, s"$tmp1/out", s"$tmp1/cp")
+      .select("n_train", "n_eval", "ks_d")
+      .as[(Long, Long, Double)].collect()
+    assert(streamed.length == 1, s"expected one verdict row, got ${streamed.length}")
+    val batch = graft.operators.TrainingOps.qQualityDrift(spark, sf)
+      .as[(Long, Long, Double)].collect().head
+    assert(streamed.head == batch,
+      s"stream verdict ${streamed.head} != batch verdict $batch")
+    // a restart from the same checkpoint processes ONLY newly-arrived
+    // data -> one verdict row per run, n_eval partitioned across them
+    val two = MemoryStream[(Long, String)]
+    val (b1, b2) = arriving.splitAt(arriving.length / 2)
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft_stream_drift2").toString
+    two.addData(b1: _*)
+    EventStream.streamQualityDriftToFiles(
+      two.toDF().toDF("doc_id", "text"), sf, s"$tmp2/out", s"$tmp2/cp")
+    two.addData(b2: _*)
+    val verdicts = EventStream.streamQualityDriftToFiles(
+      two.toDF().toDF("doc_id", "text"), sf, s"$tmp2/out", s"$tmp2/cp")
+      .select("batch_id", "n_eval").as[(Long, Long)].collect().sortBy(_._1)
+    assert(verdicts.length == 2, s"expected a verdict per run: ${verdicts.mkString(",")}")
+    assert(verdicts.map(_._2).sum == arriving.length.toLong)
+  }
+
   test("append-mode file sink emits watermark-closed windows matching the batch result") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_files").toString
     val streamed = EventStream.streamTumblingToFiles(spark, sf,

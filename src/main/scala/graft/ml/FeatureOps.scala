@@ -215,6 +215,53 @@ object FeatureOps {
       |FROM embeddings, generate_series(1, 64) g(i)
       |GROUP BY i""".stripMargin
 
+  // ---------------------------------------------------------------- E15
+  /** Chi-squared feature screening: per-dimension independence test of
+    * sign(x_d) against the class label — the categorical complement to
+    * E6's linear correlation (a feature whose SIGN carries class
+    * information can still have ~0 linear correlation). Exact
+    * contingency arithmetic: observed counts from one pass over the
+    * exploded dims, expected counts from the row/column marginals, and
+    * the statistic summed over the FULL label × sign grid (absent
+    * cells contribute their expectation — summing observed cells only
+    * would undercount). Every post-explode frame is bounded by
+    * 64 dims × classes × 2, so the joins are trivial at any corpus
+    * size; the corpus is read once.
+    */
+  def qChi2Features(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+      .select(col("label"), col("dim"), (col("x") >= 0).as("pos"))
+    val obs = e.groupBy(col("dim"), col("label"), col("pos"))
+      .agg(count(lit(1)).as("o"))
+    val nl = e.groupBy(col("dim"), col("label")).agg(count(lit(1)).as("nl"))
+    val np = e.groupBy(col("dim"), col("pos")).agg(count(lit(1)).as("np"))
+    val n = Tables.embeddings(spark, dir).agg(count(lit(1)).as("n"))
+    val grid = nl.join(np, "dim").crossJoin(broadcast(n))
+      .select(col("dim"), col("label"), col("pos"),
+        (col("nl").cast("double") * col("np") / col("n")).as("ex"))
+    grid.join(obs, Seq("dim", "label", "pos"), "left")
+      .groupBy(col("dim"))
+      .agg(round(sum(pow(coalesce(col("o"), lit(0L)) - col("ex"), 2) / col("ex")), 4)
+        .as("chi2"))
+  }
+
+  val qChi2FeaturesSql: String =
+    """WITH e AS (SELECT label, i - 1 AS dim,
+      |    list_extract(embedding::DOUBLE[], i) >= 0 AS pos
+      |  FROM embeddings, generate_series(1, 64) g(i)),
+      |obs AS (SELECT dim, label, pos, count(*) AS o FROM e GROUP BY 1, 2, 3),
+      |nl AS (SELECT dim, label, count(*) AS nl FROM e GROUP BY 1, 2),
+      |np AS (SELECT dim, pos, count(*) AS np FROM e GROUP BY 1, 2),
+      |n AS (SELECT count(*) AS n FROM embeddings),
+      |grid AS (SELECT nl.dim, nl.label, np.pos,
+      |    CAST(nl.nl AS DOUBLE) * np.np / n.n AS ex
+      |  FROM nl JOIN np ON nl.dim = np.dim, n)
+      |SELECT dim, round(sum(pow(coalesce(o, 0) - ex, 2) / ex), 4) AS chi2
+      |FROM grid LEFT JOIN obs USING (dim, label, pos)
+      |GROUP BY dim""".stripMargin
+
   // ---------------------------------------------------------------- E9
   /** PCA spectrum of the embedding space: MLlib PCA (k = 8), reported
     * as per-component explained-variance ratio. Sign-free output (the
@@ -409,7 +456,8 @@ object FeatureOps {
     "q_tfidf" -> (qTfidf _),
     "q_bm25" -> (qBm25 _),
     "q_vector_stats" -> (qVectorStats _),
-    "q_feature_corr" -> (qFeatureCorr _))
+    "q_feature_corr" -> (qFeatureCorr _),
+    "q_chi2_features" -> (qChi2Features _))
 
   def oracle: Map[String, String] = Map(
     "q_feature_hash" -> qFeatureHashSql,
@@ -421,5 +469,6 @@ object FeatureOps {
     "q_tfidf" -> qTfidfSql,
     "q_bm25" -> qBm25Sql,
     "q_vector_stats" -> qVectorStatsSql,
-    "q_feature_corr" -> qFeatureCorrSql)
+    "q_feature_corr" -> qFeatureCorrSql,
+    "q_chi2_features" -> qChi2FeaturesSql)
 }

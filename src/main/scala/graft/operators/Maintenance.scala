@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
 
@@ -122,4 +122,48 @@ object Maintenance {
     df.repartitionByRange(nFiles, col(clusterCol))
       .sortWithinPartitions(clusterCol)
       .write.mode(SaveMode.Overwrite).parquet(outPath)
+
+  /** Morton bit-spread of a 16-bit value into the even bit positions
+    * of a 32-bit lane — the classic mask-shift cascade, expressed as
+    * Column arithmetic so the whole Z-value stays inside codegen.
+    */
+  private def spread16(c: Column): Column = {
+    var x = c.cast("long")
+    x = (x.bitwiseOR(shiftleft(x, 8))).bitwiseAND(lit(0x00FF00FFL))
+    x = (x.bitwiseOR(shiftleft(x, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+    x = (x.bitwiseOR(shiftleft(x, 2))).bitwiseAND(lit(0x33333333L))
+    x = (x.bitwiseOR(shiftleft(x, 1))).bitwiseAND(lit(0x55555555L))
+    x
+  }
+
+  /** Z-ORDER clustered write: interleaves two numeric columns into a
+    * Morton code and range-partitions + sorts on it, so output files
+    * tile BOTH dimensions — min/max file statistics then prune range
+    * predicates on either column (a 1-D clustered layout prunes one
+    * dimension and leaves the other full-span per file). This is the
+    * lakehouse OPTIMIZE ZORDER capability for the two-filter-column
+    * events table case.
+    *
+    * Columns are linearly scaled to 16-bit lanes from their global
+    * min/max (one tiny aggregate, broadcast back — nothing collects);
+    * heavily skewed columns would want rank buckets instead, which
+    * composes here as a pre-computed column. One distributed pass.
+    */
+  def zorderWrite(df: DataFrame, colA: String, colB: String, nFiles: Int,
+      outPath: String): Unit = {
+    val stats = df.agg(
+      min(col(colA)).cast("double").as("__amin"), max(col(colA)).cast("double").as("__amax"),
+      min(col(colB)).cast("double").as("__bmin"), max(col(colB)).cast("double").as("__bmax"))
+    def lane(c: Column, lo: Column, hi: Column): Column =
+      least(lit(65535L), floor(
+        (c.cast("double") - lo) / greatest(hi - lo, lit(1e-300)) * 65536.0).cast("long"))
+    val withStats = df.crossJoin(broadcast(stats))
+    val z = spread16(lane(col(colA), col("__amin"), col("__amax")))
+      .bitwiseOR(shiftleft(spread16(lane(col(colB), col("__bmin"), col("__bmax"))), 1))
+    withStats
+      .repartitionByRange(nFiles, z)
+      .sortWithinPartitions(z)
+      .drop("__amin", "__amax", "__bmin", "__bmax")
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+  }
 }

@@ -123,6 +123,35 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("z-order write tiles BOTH dimensions (1-D clustering leaves one full-span)") {
+    import graft.operators.Maintenance
+    import spark.implicits._
+    val out = tmp("zorder")
+    val ev = Tables.events(spark, sf).select("event_id", "user_id", "ts")
+    Maintenance.zorderWrite(ev, "user_id", "ts", nFiles = 16, outPath = out)
+    // per-file min/max spans on each dimension, as a fraction of the
+    // global span — z-order should tile 16 files into roughly a 4x4
+    // grid, so BOTH fractions sit well under 1; a 1-D layout drives
+    // one to ~0 and leaves the other ~1
+    def spanFrac(dim: String): Double = {
+      val g = spark.read.parquet(out)
+        .agg(min(col(dim)).cast("double"), max(col(dim)).cast("double"))
+        .as[(Double, Double)].collect().head
+      val per = spark.read.parquet(out)
+        .groupBy(input_file_name())
+        .agg((max(col(dim)).cast("double") - min(col(dim))).as("span"))
+        .agg(avg(col("span"))).as[Double].collect().head
+      per / (g._2 - g._1)
+    }
+    val (fu, ft) = (spanFrac("user_id"), spanFrac("ts"))
+    assert(fu < 0.6 && ft < 0.6,
+      f"z-order must bound per-file spans on both dims: user_id $fu%.2f ts $ft%.2f")
+    // data intact
+    val back = spark.read.parquet(out).select(ev.columns.map(col): _*)
+    assert(back.count() == ev.count())
+    assert(back.except(ev).isEmpty && ev.except(back).isEmpty)
+  }
+
   test("clustered write yields disjoint per-file ranges on the cluster column") {
     import graft.operators.Maintenance
     import spark.implicits._

@@ -123,13 +123,77 @@ object BinaryPipeline {
       |  height * 32 // greatest(width, height) AS out_h
       |FROM d""".stripMargin
 
+  // ---------------------------------------------------------------- G4
+  /** The pluggable batch-inference contract: a model call takes a
+    * BATCH of vectors, not a row (amortizing per-call overhead is the
+    * whole economics of running a model over a corpus); memory per
+    * call is bounded by maxBatch × dim.
+    */
+  trait BatchScorer extends Serializable {
+    def maxBatch: Int
+    def scoreBatch(vecs: Array[Array[Double]]): Array[Double]
+  }
+
+  /** Deterministic stand-in for an embedding-model scorer: dot product
+    * with hyperplane 0 (the shared hashed-component generator), so the
+    * full batched pipeline is oracle-checkable — a real ONNX/JNI model
+    * slots into the same signature. Scores are per-row deterministic,
+    * which pins the contract a real scorer must also satisfy: results
+    * NEVER depend on batch boundaries or partitioning (spec-asserted
+    * by re-running with a different maxBatch).
+    */
+  object StubScorer extends BatchScorer {
+    override val maxBatch = 64
+    override def scoreBatch(vecs: Array[Array[Double]]): Array[Double] =
+      vecs.map { v =>
+        var s = 0.0
+        var d = 0
+        while (d < v.length) {
+          s += v(d) * graft.functions.Hyperplanes.component(d); d += 1
+        }
+        s
+      }
+  }
+
+  /** G4: batched model inference over the embeddings corpus —
+    * `mapPartitions` + `grouped(maxBatch)` is the whole plumbing: the
+    * iterator stays lazy (one batch of vectors materialized at a
+    * time), batches never cross partitions, and nothing touches the
+    * driver. At 100 TB this is embarrassingly parallel, sized by
+    * maxPartitionBytes; GPU executors change the scorer, not the plan.
+    */
+  def qBatchedScore(spark: SparkSession, dir: String,
+      scorer: BatchScorer = StubScorer): DataFrame = {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])]
+    vecs.mapPartitions { it =>
+      it.grouped(scorer.maxBatch).flatMap { batch =>
+        val scores = scorer.scoreBatch(batch.map(_._2).toArray)
+        batch.iterator.zip(scores.iterator).map { case ((id, _), s) => (id, s) }
+      }
+    }.toDF("vec_id", "score")
+      .select(col("vec_id"), round(col("score"), 6).as("score"))
+  }
+
+  val qBatchedScoreSql: String =
+    """WITH p0 AS (SELECT i, CAST(i - 1 AS BIGINT) AS h0 FROM generate_series(1, 64) g(i)),
+      |p1 AS (SELECT i, (xor(h0 >> 16, h0) * 73244475) % 2147483648 AS h1 FROM p0),
+      |p2 AS (SELECT i, (xor(h1 >> 16, h1) * 73244475) % 2147483648 AS h2 FROM p1),
+      |pl AS (SELECT i, CAST(xor(h2 >> 16, h2) AS DOUBLE) / 2147483648.0 - 0.5 AS c FROM p2)
+      |SELECT vec_id, round(sum(list_extract(embedding::DOUBLE[], i) * c), 6) AS score
+      |FROM embeddings, pl GROUP BY vec_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
-    "q_multimodal_resize" -> (qMultimodalResize _))
+    "q_multimodal_resize" -> (qMultimodalResize _),
+    "q_batched_score" -> ((s: SparkSession, d: String) => qBatchedScore(s, d)))
 
   def oracle: Map[String, String] = Map(
     "q_multimodal_decode" -> qMultimodalDecodeSql,
     "q_multimodal_frames" -> qMultimodalFramesSql,
-    "q_multimodal_resize" -> qMultimodalResizeSql)
+    "q_multimodal_resize" -> qMultimodalResizeSql,
+    "q_batched_score" -> qBatchedScoreSql)
 }

@@ -223,6 +223,22 @@ class DedupSpec extends AnyFunSuite {
     })
   }
 
+  test("batched inference results are invariant to batch boundaries") {
+    // the contract a real model scorer must satisfy: scores never
+    // depend on how rows were grouped into batches or partitions
+    val tiny = new BinaryPipeline.BatchScorer {
+      override val maxBatch = 7 // deliberately awkward, forces ragged batches
+      override def scoreBatch(vecs: Array[Array[Double]]): Array[Double] =
+        BinaryPipeline.StubScorer.scoreBatch(vecs)
+    }
+    val a = BinaryPipeline.qBatchedScore(spark, sf)
+      .as[(Long, Double)].collect().toMap
+    val b = BinaryPipeline.qBatchedScore(spark, sf, tiny)
+      .as[(Long, Double)].collect().toMap
+    assert(a.nonEmpty && a == b,
+      "scores changed with batch size — the scorer leaked batch state")
+  }
+
   test("incremental dedup covers exactly the incoming split and dup_of points outside it") {
     import org.apache.spark.sql.functions.col
     val incoming = Tables.documents(spark, sf)

@@ -646,6 +646,50 @@ object TrainingOps {
       .select(col("n_train"), col("n_eval"), round(col("d"), 6).as("ks_d"))
   }
 
+  // ---------------------------------------------------------------- K12
+  /** Language × source independence (chi-squared, exact contingency
+    * arithmetic): the mixture sanity check — if language composition
+    * varies wildly by source, per-language mixture weights (K3) must
+    * be applied per source, and a drifting source shows up here before
+    * it bends corpus-level stats. One pass builds the contingency
+    * counts; the grid (langs × sources) is bounded, so everything
+    * after the first aggregate is trivial at any corpus size. Absent
+    * cells contribute their expectation, as in the E15 screener.
+    */
+  def qLangSourceIndependence(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("lang"), col("source"))
+    val obs = d.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+    val nl = d.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+    val ns = d.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+    val n = d.agg(count(lit(1)).as("n"))
+    val grid = nl.crossJoin(ns).crossJoin(broadcast(n))
+      .select(col("lang"), col("source"),
+        (col("nl").cast("double") * col("ns") / col("n")).as("ex"))
+    grid.join(obs, Seq("lang", "source"), "left")
+      .crossJoin(broadcast(
+        nl.agg(count(lit(1)).as("n_langs")).crossJoin(ns.agg(count(lit(1)).as("n_sources")))))
+      .groupBy(col("n_langs"), col("n_sources"))
+      .agg(round(sum(pow(coalesce(col("o"), lit(0L)) - col("ex"), 2) / col("ex")), 4)
+        .as("chi2"))
+      .select(col("n_langs"), col("n_sources"),
+        ((col("n_langs") - 1) * (col("n_sources") - 1)).as("dof"), col("chi2"))
+  }
+
+  val qLangSourceIndependenceSql: String =
+    raw"""WITH d AS (SELECT lang, source FROM documents),
+         |obs AS (SELECT lang, source, count(*) AS o FROM d GROUP BY 1, 2),
+         |nl AS (SELECT lang, count(*) AS nl FROM d GROUP BY 1),
+         |ns AS (SELECT source, count(*) AS ns FROM d GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM d),
+         |dims AS (SELECT (SELECT count(*) FROM nl) AS n_langs,
+         |  (SELECT count(*) FROM ns) AS n_sources),
+         |grid AS (SELECT nl.lang, ns.source,
+         |    CAST(nl.nl AS DOUBLE) * ns.ns / n.n AS ex FROM nl, ns, n)
+         |SELECT n_langs, n_sources, (n_langs - 1) * (n_sources - 1) AS dof,
+         |  round(sum(pow(coalesce(o, 0) - ex, 2) / ex), 4) AS chi2
+         |FROM grid LEFT JOIN obs USING (lang, source), dims
+         |GROUP BY n_langs, n_sources""".stripMargin
+
   // ------------------------------------------------------ K9 streaming kit
   /** Quantized quality histogram of any documents-shaped frame —
     * ≤ 10⁴+1 bins at any size (the K9 device), so it broadcasts.
@@ -803,6 +847,7 @@ object TrainingOps {
     "q_quality_deciles" -> (qQualityDeciles _),
     "q_zipf_fit" -> (qZipfFit _),
     "q_quality_drift" -> (qQualityDrift _),
+    "q_lang_source_independence" -> (qLangSourceIndependence _),
     "q_repetition" -> (qRepetition _),
     "q_unigram_surprisal" -> (qUnigramSurprisal _),
     "q_bigram_surprisal" -> (qBigramSurprisal _),
@@ -822,6 +867,7 @@ object TrainingOps {
     "q_quality_deciles" -> qQualityDecilesSql,
     "q_zipf_fit" -> qZipfFitSql,
     "q_quality_drift" -> qQualityDriftSql,
+    "q_lang_source_independence" -> qLangSourceIndependenceSql,
     "q_repetition" -> qRepetitionSql,
     "q_unigram_surprisal" -> qUnigramSurprisalSql,
     "q_bigram_surprisal" -> qBigramSurprisalSql,

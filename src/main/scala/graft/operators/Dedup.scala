@@ -1020,6 +1020,48 @@ object Dedup {
          |       ELSE 'near_dup' END AS reason
          |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- C12
+  /** Source-overlap matrix: near-dup pair mass aggregated to
+    * (source, source) — the curator's mirror-detection view (which
+    * sources copy from each other, which source scrapes another's
+    * content). Rides C3's thresholded pair set with two id-vs-source
+    * joins and a bounded aggregate (sources × sources), so at 100 TB
+    * it adds nothing beyond the pair generation it shares. Source
+    * pairs are canonicalized least-first.
+    */
+  def qSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    qMinhashLsh(spark, dir)
+      .filter(col("est_sim") >= TextClusterMinSim)
+      .join(src.select(col("doc_id").as("d1"), col("source").as("s1")), "d1")
+      .join(src.select(col("doc_id").as("d2"), col("source").as("s2")), "d2")
+      .select(least(col("s1"), col("s2")).as("source_a"),
+        greatest(col("s1"), col("s2")).as("source_b"),
+        col("est_sim"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("est_sim")), 6).as("mean_sim"))
+  }
+
+  val qSourceOverlapSql: String =
+    raw"""WITH $minhashCtes,
+         |cand AS (SELECT DISTINCT x.doc_id d1, y.doc_id d2
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+         |simp AS (SELECT d1, d2, est_sim FROM (
+         |    SELECT d1, d2,
+         |      CAST(sum(CASE WHEN p.minh = q.minh THEN 1 ELSE 0 END) AS DOUBLE) / $NumPerms AS est_sim
+         |    FROM cand JOIN sigs p ON d1 = p.doc_id
+         |    JOIN sigs q ON d2 = q.doc_id AND p.i = q.i
+         |    GROUP BY d1, d2)
+         |  WHERE est_sim >= $TextClusterMinSim)
+         |SELECT least(a.source, b.source) AS source_a,
+         |  greatest(a.source, b.source) AS source_b,
+         |  count(*) AS n_pairs, round(avg(est_sim), 6) AS mean_sim
+         |FROM simp JOIN documents a ON simp.d1 = a.doc_id
+         |JOIN documents b ON simp.d2 = b.doc_id
+         |GROUP BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------------- C11
   /** The decontaminated TRAINING keep list — the verdict the training
     * run actually consumes, composing the two drop gates this block
@@ -1112,7 +1154,8 @@ object Dedup {
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_clusters_text" -> (qDedupClustersText _),
     "q_neardup_keep_list" -> (qNeardupKeepList _),
-    "q_decontam_keep_list" -> (qDecontamKeepList _))
+    "q_decontam_keep_list" -> (qDecontamKeepList _),
+    "q_source_overlap" -> (qSourceOverlap _))
 
   def oracle: Map[String, String] = Map(
     "q_dedup_exact" -> qDedupExactSql,
@@ -1126,5 +1169,6 @@ object Dedup {
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_dedup_clusters_text" -> qDedupClustersTextSql,
     "q_neardup_keep_list" -> qNeardupKeepListSql,
-    "q_decontam_keep_list" -> qDecontamKeepListSql)
+    "q_decontam_keep_list" -> qDecontamKeepListSql,
+    "q_source_overlap" -> qSourceOverlapSql)
 }

@@ -126,7 +126,20 @@ object Dedup {
     */
   private def eager(df: DataFrame): DataFrame = { df.count(); df }
 
-  def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  def qNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    shinglePairStats(spark, dir)
+      .select(col("d1"), col("d2"),
+        (col("inter").cast("double") /
+          (col("sz1") + col("sz2") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.25)
+
+  /** Exact discriminative-shingle pair statistics shared by the
+    * symmetric (C2 Jaccard) and asymmetric (C13 containment) exact
+    * verification tiers: (d1, d2, inter, sz1, sz2) for source-blocked
+    * candidate pairs. The cached `disc` plan is shared across both
+    * queries in a session via the CacheManager.
+    */
+  private def shinglePairStats(spark: SparkSession, dir: String): DataFrame = {
     val sh = eager(shingleStream(spark, dir))
     // Hot-shingle exclusion list: occurrence df > cap. By Zipf this is
     // the vocabulary HEAD — small at any corpus scale — so it
@@ -158,11 +171,46 @@ object Dedup {
     inter
       .join(sz.as("s1"), col("d1") === col("s1.doc_id"))
       .join(sz.as("s2"), col("d2") === col("s2.doc_id"))
-      .select(col("d1"), col("d2"),
-        (col("inter").cast("double") /
-          (col("s1.sz") + col("s2.sz") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= 0.25)
+      .select(col("d1"), col("d2"), col("inter"),
+        col("s1.sz").as("sz1"), col("s2.sz").as("sz2"))
   }
+
+  // ---------------------------------------------------------------- C13
+  /** Containment near-dup pairs — the ASYMMETRIC overlap measure:
+    * inter / min(|A|, |B|), i.e. how much of the SMALLER document is
+    * contained in the larger. Catches subset duplication (a quote, an
+    * excerpt, a page embedded in a hub page) that symmetric Jaccard
+    * structurally misses: a 50-shingle doc fully inside a 500-shingle
+    * doc has containment 1.0 but Jaccard 0.1, under every C2
+    * threshold. Shares C2's cached discriminative-shingle pair stats;
+    * both scores are emitted so the subset case (high containment,
+    * low Jaccard) is visible.
+    */
+  val ContainmentFloor = 0.5
+
+  def qContainmentPairs(spark: SparkSession, dir: String): DataFrame =
+    shinglePairStats(spark, dir)
+      .select(col("d1"), col("d2"),
+        (col("inter").cast("double") / least(col("sz1"), col("sz2"))).as("containment"),
+        (col("inter").cast("double") /
+          (col("sz1") + col("sz2") - col("inter"))).as("jaccard"))
+      .filter(col("containment") >= ContainmentFloor)
+
+  val qContainmentPairsSql: String =
+    raw"""WITH $duckShingleCte,
+         |hs AS (SELECT doc_id, source, ${shingleHashSql("s")} AS h FROM sh),
+         |hot AS (SELECT source, h FROM hs GROUP BY source, h HAVING count(*) > $JaccardDfCap),
+         |disc AS (SELECT DISTINCT doc_id, source, h FROM hs
+         |  WHERE NOT EXISTS (SELECT 1 FROM hot
+         |    WHERE hot.source = hs.source AND hot.h = hs.h)),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM disc GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id d1, b.doc_id d2, count(*) AS inter
+         |  FROM disc a JOIN disc b ON a.source = b.source AND a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT d1, d2, CAST(inter AS DOUBLE)/least(s1.sz, s2.sz) AS containment,
+         |  CAST(inter AS DOUBLE)/(s1.sz + s2.sz - inter) AS jaccard
+         |FROM inter JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+         |WHERE CAST(inter AS DOUBLE)/least(s1.sz, s2.sz) >= $ContainmentFloor""".stripMargin
 
   val qNgramJaccardSql: String =
     raw"""WITH $duckShingleCte,
@@ -1155,7 +1203,8 @@ object Dedup {
     "q_dedup_clusters_text" -> (qDedupClustersText _),
     "q_neardup_keep_list" -> (qNeardupKeepList _),
     "q_decontam_keep_list" -> (qDecontamKeepList _),
-    "q_source_overlap" -> (qSourceOverlap _))
+    "q_source_overlap" -> (qSourceOverlap _),
+    "q_containment_pairs" -> (qContainmentPairs _))
 
   def oracle: Map[String, String] = Map(
     "q_dedup_exact" -> qDedupExactSql,
@@ -1170,5 +1219,6 @@ object Dedup {
     "q_dedup_clusters_text" -> qDedupClustersTextSql,
     "q_neardup_keep_list" -> qNeardupKeepListSql,
     "q_decontam_keep_list" -> qDecontamKeepListSql,
-    "q_source_overlap" -> qSourceOverlapSql)
+    "q_source_overlap" -> qSourceOverlapSql,
+    "q_containment_pairs" -> qContainmentPairsSql)
 }

@@ -69,6 +69,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.8, f"LSH mean recall@5 $mean%.3f below 0.8")
   }
 
+  test("PQ ANN carries a measured recall_at_5 column averaging >= 0.8") {
+    val recalls = Similarity.qAnnPq(spark, sf)
+      .select("qid", "recall_at_5").na.drop()
+      .as[(Long, Double)].collect().toMap.values
+    assert(recalls.nonEmpty, "no sampled query carries a recall value")
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, f"PQ mean recall@5 $mean%.3f below 0.8")
+  }
+
+  test("PQ index is durable: cold-session query path performs no KMeans fit") {
+    Similarity.qAnnPq(spark, sf).count() // build (or reuse) the index tables
+    Similarity.PqIndex.deregister(spark, sf)
+    val before = Similarity.PqIndex.fitCount.get
+    val rows = Similarity.qAnnPq(spark, sf).count()
+    assert(rows > 0)
+    assert(Similarity.PqIndex.fitCount.get == before,
+      "cold-session PQ query path refit codebooks instead of reading the index tables")
+  }
+
   test("IVF index detects a changed corpus and refits") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val dir = Files.createTempDirectory("graft_ivf_stale").toString

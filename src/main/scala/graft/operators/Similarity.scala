@@ -484,11 +484,69 @@ object Similarity {
     withRecall(top, bruteforceTop5(spark, dir))
   }
 
+  /** IVF+PQ ANN ([r]) — the composition that IS the production-scale
+    * vector-search path: the IVF coarse quantizer restricts the search
+    * to `nprobe` cells, and WITHIN those cells candidates are scored
+    * by PQ ADC over 8-int codes, with exact reranking of the final
+    * shortlist only. At 100 TB: centroids broadcast, the probed cells
+    * bound the scan (nprobe/nlist of the corpus), and the scanned
+    * bytes per candidate are the 8 code ints, not 256 float bytes —
+    * the two indexes multiply their savings. Here the cell↔code
+    * co-location join runs per query over the test corpus; a
+    * production deployment writes codes INTO the cell-bucketed
+    * assignment table, making it a bucket-local join (noted in the
+    * store contract).
+    */
+  def qAnnIvfPq(spark: SparkSession, dir: String,
+      nlist: Int = 16, nprobe: Int = 12): DataFrame = {
+    val shortlistK = pqShortlist(Tables.Probe.embeddingsCount(spark, dir))
+    val (assigned, cdf) = IvfIndex.get(spark, dir, nlist)
+    val (codes, book) = PqIndex.get(spark, dir)
+    val q = assigned.filter(col("vec_id") % 50 === 0 && col("vec_id") < PanelIdCap)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(VectorFunctions.cosine(col("qv"), col("cv")).desc)
+    val probes = q.crossJoin(broadcast(cdf))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("cell"))
+    val lut = q.crossJoin(broadcast(book))
+      .select(col("qid"), col("m"), col("code"),
+        VectorFunctions.dot(
+          slice(col("qv"), col("m") * PqIndex.PqSubDim + lit(1), lit(PqIndex.PqSubDim)),
+          col("cv")).as("d"))
+    val cellCodes = codes.join(assigned.select(col("vec_id"), col("cell")), "vec_id")
+    val candCodes = cellCodes.join(probes, "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        posexplode(array((0 until PqIndex.PqM).map(m => col(s"c$m")): _*)).as(Seq("m", "code")))
+    val est = candCodes.join(broadcast(lut), Seq("qid", "m", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("d")).as("est_dot"))
+    val wShort = Window.partitionBy(col("qid"))
+      .orderBy(col("est_dot").desc, col("vec_id").asc)
+    val shortlist = est.withColumn("r", row_number().over(wShort))
+      .filter(col("r") <= shortlistK)
+      .select(col("qid"), col("vec_id").as("nid"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(round(col("sim"), 6).desc, col("nid").asc)
+    val top = shortlist
+      .join(assigned.select(col("vec_id").as("nid"), col("v")), "nid")
+      .join(q, "qid")
+      .select(col("qid"), col("nid"),
+        VectorFunctions.cosine(col("qv"), col("v")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("nid"), col("rank"), round(col("sim"), 4).as("sim"))
+    withRecall(top, bruteforceTop5(spark, dir))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_ann_lsh" -> ((s: SparkSession, d: String) => qAnnLsh(s, d)),
     "q_ann_ivf" -> ((s: SparkSession, d: String) => qAnnIvf(s, d)),
-    "q_ann_pq" -> ((s: SparkSession, d: String) => qAnnPq(s, d)))
+    "q_ann_pq" -> ((s: SparkSession, d: String) => qAnnPq(s, d)),
+    "q_ann_ivfpq" -> ((s: SparkSession, d: String) => qAnnIvfPq(s, d)))
 
   def oracle: Map[String, String] = Map(
     "q_ann_bruteforce" -> qAnnBruteforceSql)

@@ -78,6 +78,15 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.8, f"PQ mean recall@5 $mean%.3f below 0.8")
   }
 
+  test("IVF+PQ ANN carries a measured recall_at_5 column averaging >= 0.8") {
+    val recalls = Similarity.qAnnIvfPq(spark, sf)
+      .select("qid", "recall_at_5").na.drop()
+      .as[(Long, Double)].collect().toMap.values
+    assert(recalls.nonEmpty, "no sampled query carries a recall value")
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, f"IVF+PQ mean recall@5 $mean%.3f below 0.8")
+  }
+
   test("PQ index is durable: cold-session query path performs no KMeans fit") {
     Similarity.qAnnPq(spark, sf).count() // build (or reuse) the index tables
     Similarity.PqIndex.deregister(spark, sf)

@@ -1040,6 +1040,30 @@ object Dedup {
     raw"""WITH RECURSIVE $textClusterCtes
          |SELECT doc_id, cluster_id FROM cl""".stripMargin
 
+  // ---------------------------------------------------------------- C14
+  /** Cluster-size histogram of the text near-dup graph — the one-page
+    * answer to "how duplicated is this corpus": how many clusters of
+    * each size, and how many documents they absorb. Size counts are a
+    * cluster-sized aggregate; the histogram is count-of-counts
+    * (bounded by distinct sizes — the H5/K10 device), so nothing here
+    * grows with the corpus beyond the clustering it reuses.
+    */
+  def qClusterSizes(spark: SparkSession, dir: String): DataFrame =
+    qDedupClustersText(spark, dir)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("size"))
+      .groupBy(col("size")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("size"), col("n_clusters"),
+        (col("size") * col("n_clusters")).as("docs_absorbed"),
+        ((col("size") - 1) * col("n_clusters")).as("docs_dropped"))
+
+  val qClusterSizesSql: String =
+    raw"""WITH RECURSIVE $textClusterCtes,
+         |sz AS (SELECT cluster_id, count(*) AS size FROM cl GROUP BY 1)
+         |SELECT size, count(*) AS n_clusters,
+         |  size * count(*) AS docs_absorbed,
+         |  (size - 1) * count(*) AS docs_dropped
+         |FROM sz GROUP BY size""".stripMargin
+
   /** The verdict a near-dup pipeline ships: one row per document with
     * its cluster-canonical id (smallest member of its text near-dup
     * cluster; unclustered docs are their own canonical) and the keep
@@ -1204,7 +1228,8 @@ object Dedup {
     "q_neardup_keep_list" -> (qNeardupKeepList _),
     "q_decontam_keep_list" -> (qDecontamKeepList _),
     "q_source_overlap" -> (qSourceOverlap _),
-    "q_containment_pairs" -> (qContainmentPairs _))
+    "q_containment_pairs" -> (qContainmentPairs _),
+    "q_cluster_sizes" -> (qClusterSizes _))
 
   def oracle: Map[String, String] = Map(
     "q_dedup_exact" -> qDedupExactSql,
@@ -1220,5 +1245,6 @@ object Dedup {
     "q_neardup_keep_list" -> qNeardupKeepListSql,
     "q_decontam_keep_list" -> qDecontamKeepListSql,
     "q_source_overlap" -> qSourceOverlapSql,
-    "q_containment_pairs" -> qContainmentPairsSql)
+    "q_containment_pairs" -> qContainmentPairsSql,
+    "q_cluster_sizes" -> qClusterSizesSql)
 }

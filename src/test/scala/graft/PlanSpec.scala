@@ -107,6 +107,25 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set(key, saved)
   }
 
+  test("bigram surprisal shuffle-joins its count tables (corpus-scale, never forced broadcast)") {
+    // same contract as B9, one model up: bigram counts and history
+    // counts are corpus-scale, so with the size gate off the plan must
+    // degrade to shuffle joins — a forced broadcast would ship the
+    // bigram vocabulary to every executor at 100 TB
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val p = TrainingOps.qBigramSurprisal(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"bigram count joins must shuffle once size-based broadcast is off:\n$p")
+      assert(!p.contains("BroadcastHashJoin") ||
+        p.linesIterator.count(_.contains("BroadcastHashJoin")) <= 1,
+        s"only the one-row V may broadcast with the gate off:\n$p")
+    } finally spark.conf.set(key, saved)
+  }
+
   test("global plan guard: no query plans a cartesian product or a corpus-wide single-partition window") {
     import org.apache.spark.sql.execution.joins.CartesianProductExec
     import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}

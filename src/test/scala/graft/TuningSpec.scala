@@ -7,6 +7,30 @@ class TuningSpec extends AnyFunSuite {
   import TestSession._
   import spark.implicits._
 
+  test("a fitted pipeline round-trips through save/load with identical predictions") {
+    // the ship-the-model contract: a tuned pipeline persisted to the
+    // warehouse and reloaded in a fresh process must score identically
+    import org.apache.spark.ml.{Pipeline, PipelineModel}
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.feature.{HashingTF, StringIndexer, Tokenizer}
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"), col("lang"))
+    val indexer = new StringIndexer().setInputCol("lang").setOutputCol("label")
+      .setStringOrderType("alphabetAsc")
+    val tok = new Tokenizer().setInputCol("text").setOutputCol("toks")
+    val tf = new HashingTF().setInputCol("toks").setOutputCol("features").setNumFeatures(256)
+    val lr = new LogisticRegression().setMaxIter(10).setTol(1e-4)
+    val model = new Pipeline().setStages(Array(indexer, tok, tf, lr)).fit(docs)
+    val out = java.nio.file.Files.createTempDirectory("graft_model").toString + "/m"
+    model.write.overwrite().save(out)
+    val back = PipelineModel.load(out)
+    val a = model.transform(docs).select("doc_id", "prediction")
+      .as[(Long, Double)].collect().toMap
+    val b = back.transform(docs).select("doc_id", "prediction")
+      .as[(Long, Double)].collect().toMap
+    assert(a.nonEmpty && a == b, "reloaded model predictions diverged")
+  }
+
   test("PR curve: recall is monotone non-increasing in the threshold and counts are consistent") {
     val rows = FeatureOps.qPrCurve(spark, sf)
       .select("threshold", "tp", "fp", "fn", "tn", "rec")

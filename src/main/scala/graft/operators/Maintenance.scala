@@ -78,35 +78,40 @@ object Maintenance {
         .write.mode(SaveMode.Overwrite).parquet(outPath)
       nOut
     } else {
-      // bytes → planned file count per partition directory (decoded
-      // values; hive writes nulls as __HIVE_DEFAULT_PARTITION__ and
-      // %-escapes special characters)
-      def decode(seg: String): String = {
-        val v = java.net.URLDecoder.decode(seg.dropWhile(_ != '=').tail, "UTF-8")
-        if (v == "__HIVE_DEFAULT_PARTITION__") null else v
-      }
-      val plan: Map[Seq[String], Int] = files.toSeq
-        .groupBy(_._1.map(decode))
-        .map { case (vals, fs0) =>
-          vals -> math.max(1, math.ceil(fs0.map(_._2).sum.toDouble / targetBytes).toInt)
+      // bytes → planned file count per partition DIRECTORY, keyed by
+      // the raw on-disk `key=value/...` chain. Rows are joined to the
+      // plan by the directory their file physically lives in
+      // (input_file_name), NOT by comparing partition VALUES — value
+      // matching silently drops rows when Spark's partition-value
+      // inference disagrees with the dir string ("01" scans as 1,
+      // escaped characters decode differently), and a mismatch here is
+      // data loss in a maintenance utility.
+      val plan: Map[String, Int] = files.toSeq
+        .groupBy(_._1.mkString("/"))
+        .map { case (dirKey, fs0) =>
+          dirKey -> math.max(1, math.ceil(fs0.map(_._2).sum.toDouble / targetBytes).toInt)
         }
       val totalFiles = plan.values.sum
-      val planSchema = StructType(
-        partCols.map(c => StructField(s"__pv_$c", StringType)) :+
-          StructField("__nfiles", IntegerType))
-      val planRows = plan.toSeq.map { case (vals, n) => Row.fromSeq(vals :+ n) }
+      val planSchema = StructType(Seq(
+        StructField("__dir", StringType), StructField("__nfiles", IntegerType)))
+      val planRows = plan.toSeq.map { case (d, n) => Row(d, n) }
       val planDf = spark.createDataFrame(
         java.util.Arrays.asList(planRows: _*), planSchema)
 
       val df = spark.read.parquet(inPath)
       val dataCols = df.columns.filterNot(partCols.contains)
-      // null-safe string compare: the dir-derived value vs the scan's
-      // (possibly type-inferred) partition column
-      val cond = partCols.map(c => col(c).cast("string") <=> col(s"__pv_$c")).reduce(_ && _)
-      df.join(broadcast(planDf), cond)
+      // the file's last (depth+1) path segments minus the file name =
+      // its raw partition chain — prefix-independent, so the scheme/
+      // slash form of input_file_name's URI never matters
+      val depth = partCols.length
+      val dirOfRow = substring_index(
+        substring_index(input_file_name(), "/", -(depth + 1)), "/", depth)
+      val joined = df.withColumn("__dir", dirOfRow)
+        .join(broadcast(planDf), "__dir")
+      joined
         .withColumn("__salt", pmod(xxhash64(dataCols.map(col): _*), col("__nfiles").cast("long")))
         .repartition(totalFiles, (partCols.map(col) :+ col("__salt")): _*)
-        .drop(("__salt" +: "__nfiles" +: partCols.map(c => s"__pv_$c")): _*)
+        .drop("__salt", "__nfiles", "__dir")
         .write.mode(SaveMode.Overwrite).partitionBy(partCols: _*).parquet(outPath)
       totalFiles
     }

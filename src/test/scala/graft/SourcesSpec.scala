@@ -123,6 +123,30 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction never loses rows when partition-value inference rewrites the dir value") {
+    import graft.operators.Maintenance
+    // string partition values like "01" scan back as integer 1 — a plan
+    // joined on VALUES drops those partitions silently; the
+    // file-provenance join must keep every row
+    val in = tmp("frag_pad")
+    val out = tmp("compacted_pad")
+    val ev = Tables.events(spark, sf).select("event_id", "user_id", "value")
+      .withColumn("bucket", format_string("%02d", pmod(col("user_id"), lit(4))))
+    ev.repartition(8).write.mode("overwrite").partitionBy("bucket").parquet(in)
+    val dirs = new java.io.File(in).listFiles
+      .filter(_.getName.startsWith("bucket=")).map(_.getName).sorted
+    assert(dirs.contains("bucket=00"), s"expected zero-padded dirs, got ${dirs.mkString(",")}")
+    Maintenance.compact(spark, in, out, targetBytes = 32L * 1024)
+    val inDf = spark.read.parquet(in)
+    val outDf = spark.read.parquet(out)
+    assert(outDf.count() == ev.count(),
+      s"compaction lost rows: ${ev.count()} -> ${outDf.count()}")
+    // content identical under the scan's own view of the partition col
+    val a = inDf.select("event_id", "user_id", "value")
+    val b = outDf.select("event_id", "user_id", "value")
+    assert(b.except(a).isEmpty && a.except(b).isEmpty)
+  }
+
   test("z-order write tiles BOTH dimensions (1-D clustering leaves one full-span)") {
     import graft.operators.Maintenance
     import spark.implicits._

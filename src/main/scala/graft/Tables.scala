@@ -34,34 +34,50 @@ object Tables {
     private val cache = new ConcurrentHashMap[String, java.lang.Long]()
     val jobCount = new AtomicInteger(0)
 
+    /** Memoized PER CORPUS STATE, not per directory: the cache key
+      * includes the corpus fingerprint, so a mutated table gets a
+      * fresh count (the fingerprint listing is driver-side and cheap;
+      * the count JOB still runs once per corpus state — jobCount is
+      * the spec's observability hook). A directory-keyed memo served
+      * stale counts to every corpus-scaled knob (LSH plane count, PQ
+      * shortlist) after exactly the mutations the staleness contract
+      * detects.
+      */
     def embeddingsCount(s: SparkSession, d: String): Long =
-      cache.computeIfAbsent(s"$d/embeddings", _ => {
-        jobCount.incrementAndGet()
-        embeddings(s, d).count()
-      })
+      cache.computeIfAbsent(
+        s"$d/embeddings/${corpusTag(s, s"$d/embeddings.parquet")}", _ => {
+          jobCount.incrementAndGet()
+          embeddings(s, d).count()
+        })
 
-    /** Corpus fingerprint for persisted-index staleness detection:
-      * hash of (data-file count, total bytes, newest modification
-      * time) under the table path. One driver-side recursive listing,
-      * no Spark job, and deliberately NOT memoized — an index `ensure`
-      * must see the corpus as it is NOW, or a mutated corpus silently
-      * serves stale signatures/centroids.
+    /** Corpus fingerprint for persisted-index staleness detection: an
+      * order-independent combination of every data file's
+      * (path, length, mtime) entry hash — NOT a (count, bytes, newest
+      * mtime) summary, which an equal-size in-place rewrite within
+      * mtime granularity would leave unchanged. One driver-side
+      * recursive listing, no Spark job, O(1) memory, and deliberately
+      * NOT memoized — an index `ensure` must see the corpus as it is
+      * NOW, or a mutated corpus silently serves stale
+      * signatures/centroids.
       */
     def corpusTag(s: SparkSession, tablePath: String): String = {
       val p = new org.apache.hadoop.fs.Path(tablePath)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      var n = 0L; var bytes = 0L; var newest = 0L
+      var acc = 0L
+      var n = 0L
       val it = fs.listFiles(p, true)
       while (it.hasNext) {
         val st = it.next()
         val name = st.getPath.getName
         if (!name.startsWith("_") && !name.startsWith(".")) {
-          n += 1; bytes += st.getLen
-          newest = math.max(newest, st.getModificationTime)
+          n += 1
+          val h = scala.util.hashing.MurmurHash3.stringHash(
+            s"${st.getPath}|${st.getLen}|${st.getModificationTime}")
+          // sum is commutative: listing order never changes the tag
+          acc += h.toLong
         }
       }
-      (scala.util.hashing.MurmurHash3.stringHash(s"$n;$bytes;$newest")
-        & 0x7fffffff).toHexString
+      ((acc ^ n) & 0x7fffffffL).toHexString
     }
   }
 }

@@ -107,17 +107,30 @@ class DedupSpec extends AnyFunSuite {
       "clustering leaked a shuffle-partition override into the shared session")
   }
 
-  test("corpus-size probe runs one count job per directory, ever") {
+  test("corpus-size probe runs one count job per corpus STATE, and sees mutations") {
     val n1 = Tables.Probe.embeddingsCount(spark, sf)
     val jobs = Tables.Probe.jobCount.get
     // repeated probes and both consumers (C5 bands + D2 buckets) hit
-    // the memo — no further count jobs
+    // the memo — no further count jobs while the corpus is unchanged
     assert(Tables.Probe.embeddingsCount(spark, sf) == n1)
     Dedup.qEmbeddingNeardup(spark, sf).queryExecution.sparkPlan
     graft.operators.Similarity.lshBuckets(spark, sf).queryExecution.sparkPlan
     assert(Tables.Probe.jobCount.get == jobs,
       "bitsFor consumers re-ran the corpus count instead of using the memo")
     assert(n1 == Tables.embeddings(spark, sf).count())
+    // a mutated corpus must NOT be served the stale count — the memo is
+    // keyed by corpus state, so doubling the table doubles the probe
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Files.createTempDirectory("graft_probe_stale").toString
+    val emb = Paths.get(dir, "embeddings.parquet")
+    Files.createDirectories(emb)
+    Files.copy(Paths.get(sf, "embeddings.parquet"), emb.resolve("part-0.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val before = Tables.Probe.embeddingsCount(spark, dir)
+    Files.copy(Paths.get(sf, "embeddings.parquet"), emb.resolve("part-1.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    assert(Tables.Probe.embeddingsCount(spark, dir) == 2 * before,
+      "probe served a stale count for a mutated corpus")
   }
 
   test("signature store is durable: cold-session ingest re-signs nothing") {

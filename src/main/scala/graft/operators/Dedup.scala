@@ -912,10 +912,15 @@ object Dedup {
     * Loop shuffles are sized to the EDGE SET, not the session default:
     * the edge frame is hash-partitioned on the join key at the derived
     * width once (explicit repartition — AQE never coalesces a
-    * user-specified width) and checkpointed; each iteration's join then
-    * exchanges only the label side, to that same width, to co-partition
-    * with it. Plans on the caller's session are untouched — no session
-    * clone, no conf mutation, no RDD round-trip.
+    * user-specified width) and checkpointed, each iteration's join
+    * exchanges only the label side to that width to co-partition, the
+    * neighbor aggregate gets an explicit width repartition on its
+    * group key (its input arrives partitioned by the JOIN key, so the
+    * aggregate would otherwise exchange at the session default), and
+    * the downstream joins inherit width through co-partitioning with
+    * an already-width side. Plans on the caller's session are
+    * untouched — no session clone, no conf mutation, no RDD
+    * round-trip.
     */
   def clusterPairs(spark: SparkSession, pairs: DataFrame): DataFrame = {
     // localCheckpoint (not cache): truncates lineage so each
@@ -935,13 +940,15 @@ object Dedup {
     if (sys.env.contains("GRAFT_CC_DEBUG"))
       println(f"== cc edges ${(System.nanoTime()-tDbg0)/1e9}%.1fs width=$width")
     var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("lab", col("node")).localCheckpoint()
+      .withColumn("lab", col("node"))
+      .repartition(width, col("node")).localCheckpoint()
     if (sys.env.contains("GRAFT_CC_DEBUG"))
       println(f"== cc labels0 ${(System.nanoTime()-tDbg0)/1e9}%.1fs")
     var converged = false
     var iter = 0
     while (!converged && iter < StarFallbackIter) {
       val neigh = edges.join(labels, col("dst") === col("node"))
+        .repartition(width, col("src"))
         .groupBy(col("src")).agg(min(col("lab")).as("nlab"))
       val stepped = labels.join(neigh, col("node") === col("src"), "left")
         .select(col("node"),

@@ -233,12 +233,14 @@ object FeatureOps {
       .select(col("label"),
         posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
       .select(col("label"), col("dim"), (col("x") >= 0).as("pos"))
+    // the ONLY corpus pass — every marginal below is an aggregate over
+    // this bounded (64 × classes × 2)-row frame
     val obs = e.groupBy(col("dim"), col("label"), col("pos"))
       .agg(count(lit(1)).as("o"))
-    val nl = e.groupBy(col("dim"), col("label")).agg(count(lit(1)).as("nl"))
-    val np = e.groupBy(col("dim"), col("pos")).agg(count(lit(1)).as("np"))
-    val n = Tables.embeddings(spark, dir).agg(count(lit(1)).as("n"))
-    val grid = nl.join(np, "dim").crossJoin(broadcast(n))
+    val nl = obs.groupBy(col("dim"), col("label")).agg(sum(col("o")).as("nl"))
+    val np = obs.groupBy(col("dim"), col("pos")).agg(sum(col("o")).as("np"))
+    val nPerDim = obs.groupBy(col("dim")).agg(sum(col("o")).as("n"))
+    val grid = nl.join(np, "dim").join(nPerDim, "dim")
       .select(col("dim"), col("label"), col("pos"),
         (col("nl").cast("double") * col("np") / col("n")).as("ex"))
     grid.join(obs, Seq("dim", "label", "pos"), "left")

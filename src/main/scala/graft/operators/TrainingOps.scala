@@ -249,8 +249,9 @@ object TrainingOps {
       .rowsBetween(Window.unboundedPreceding, -1)
     val cum = cc.withColumn("toks_before",
       coalesce(sum(col("n")).over(wPrev), lit(0L)))
-    val tot = vocab.agg(sum(col("cnt")).cast("long").as("total_mass"),
-      count(lit(1)).as("vocab_size"))
+    // totals from the bounded histogram, not a second vocab aggregate
+    val tot = cc.agg(sum(col("cnt") * col("n")).cast("long").as("total_mass"),
+      sum(col("n")).as("vocab_size"))
     val ks = spark.createDataFrame(CoverageKs.map(Tuple1(_))).toDF("k")
     cum.crossJoin(broadcast(ks))
       .groupBy(col("k"))
@@ -658,10 +659,12 @@ object TrainingOps {
     */
   def qLangSourceIndependence(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).select(col("lang"), col("source"))
+    // the ONLY corpus pass — marginals and totals are aggregates over
+    // this bounded (langs × sources)-row grid
     val obs = d.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
-    val nl = d.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
-    val ns = d.groupBy(col("source")).agg(count(lit(1)).as("ns"))
-    val n = d.agg(count(lit(1)).as("n"))
+    val nl = obs.groupBy(col("lang")).agg(sum(col("o")).as("nl"))
+    val ns = obs.groupBy(col("source")).agg(sum(col("o")).as("ns"))
+    val n = obs.agg(sum(col("o")).as("n"))
     val grid = nl.crossJoin(ns).crossJoin(broadcast(n))
       .select(col("lang"), col("source"),
         (col("nl").cast("double") * col("ns") / col("n")).as("ex"))

@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.Tables
@@ -103,15 +104,26 @@ object EventStream {
     * correct streaming semantics, so the output is a prefix-subset of
     * the batch result, not its equal. Returns the files read back.
     */
+  /** Read a file sink's output, or an EMPTY frame with the sink's
+    * schema when no batch ever fired — a monitor started before its
+    * producer (routine deploy ordering) must return zero verdicts,
+    * not throw path-not-found from the read-back.
+    */
+  private def readSinkOrEmpty(spark: SparkSession, outPath: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    if (new java.io.File(outPath).isDirectory) spark.read.schema(schema).parquet(outPath)
+    else spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+
   def streamTumblingToFiles(spark: SparkSession, dir: String,
       outPath: String, checkpoint: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val q = tumblingAgg(spark, dir).writeStream.outputMode("append")
+    val agg = tumblingAgg(spark, dir)
+    val q = agg.writeStream.outputMode("append")
       .format("parquet").option("path", outPath)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.read.parquet(outPath)
+    readSinkOrEmpty(spark, outPath, agg.schema)
   }
 
   /** Oracle: identical to the batch tumbling window — `window()` is
@@ -337,7 +349,9 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.read.parquet(outPath)
+    readSinkOrEmpty(spark, outPath, StructType(Seq(
+      StructField("new_id", LongType), StructField("old_id", LongType),
+      StructField("est_sim", DoubleType))))
   }
 
   /** F16: streaming corpus-quality drift monitor — the gate a
@@ -371,7 +385,9 @@ object EventStream {
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     baseline.unpersist()
-    spark.read.parquet(outPath)
+    readSinkOrEmpty(spark, outPath, StructType(Seq(
+      StructField("n_train", LongType), StructField("n_eval", LongType),
+      StructField("ks_d", DoubleType), StructField("batch_id", LongType))))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -179,6 +179,13 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().head
     assert(streamed.head == batch,
       s"stream verdict ${streamed.head} != batch verdict $batch")
+    // a monitor started before its producer has written anything must
+    // return zero verdicts, not throw path-not-found from the read-back
+    val none = MemoryStream[(Long, String)]
+    val tmp0 = java.nio.file.Files.createTempDirectory("graft_stream_drift0").toString
+    val emptyOut = EventStream.streamQualityDriftToFiles(
+      none.toDF().toDF("doc_id", "text"), sf, s"$tmp0/out", s"$tmp0/cp")
+    assert(emptyOut.isEmpty, "empty source must yield an empty verdict frame")
     // a restart from the same checkpoint processes ONLY newly-arrived
     // data -> one verdict row per run, n_eval partitioned across them
     val two = MemoryStream[(Long, String)]

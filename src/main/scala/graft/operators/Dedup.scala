@@ -452,9 +452,12 @@ object Dedup {
       * (no catalog entry, no files) and `ensure` rebuilds. Same
       * orphaned-files tradeoff as a contract change.
       */
-    private def tableName(spark: SparkSession, dir: String): String =
+    private def stem(dir: String): String =
       "graft_sig_" + dir.replaceAll("[^a-zA-Z0-9]+", "_")
-        .stripPrefix("_").stripSuffix("_") + "_" + contractTag +
+        .stripPrefix("_").stripSuffix("_") + "_"
+
+    private def tableName(spark: SparkSession, dir: String): String =
+      stem(dir) + contractTag +
         "_" + Tables.Probe.corpusTag(spark, s"$dir/documents.parquet")
 
     private def warehousePath(spark: SparkSession, table: String): java.nio.file.Path = {
@@ -508,11 +511,16 @@ object Dedup {
       (t, th)
     }
 
-    /** Drop catalog entries, keep the on-disk store (cold-session sim). */
-    def deregister(spark: SparkSession, dir: String): Unit = {
-      spark.sql(s"DROP TABLE IF EXISTS ${tableName(spark, dir)}")
-      spark.sql(s"DROP TABLE IF EXISTS ${tableName(spark, dir)}_hot")
-    }
+    /** Drop catalog entries, keep the on-disk store (cold-session sim).
+      * Drops EVERY tag variant under this corpus's stem — recomputing
+      * the current fingerprint here would miss stores registered under
+      * an earlier corpus state (the drop would no-op and stale entries
+      * accumulate across mutate/deregister cycles).
+      */
+    def deregister(spark: SparkSession, dir: String): Unit =
+      spark.catalog.listTables().collect()
+        .filter(_.name.startsWith(stem(dir)))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
   }
 
   /** Incremental NEAR-dup ingest: the arriving batch (eval-source

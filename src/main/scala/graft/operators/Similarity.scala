@@ -203,10 +203,12 @@ object Similarity {
       * mutated corpus changes the name, the stale name stops
       * resolving, and `ensure` refits over the current corpus.
       */
-    private def tableName(spark: SparkSession, dir: String, nlist: Int): String =
+    private def stem(dir: String, nlist: Int): String =
       "graft_ivf_" + dir.replaceAll("[^a-zA-Z0-9]+", "_")
-        .stripPrefix("_").stripSuffix("_") + "_" + nlist +
-        "_" + Tables.Probe.corpusTag(spark, s"$dir/embeddings.parquet")
+        .stripPrefix("_").stripSuffix("_") + "_" + nlist + "_"
+
+    private def tableName(spark: SparkSession, dir: String, nlist: Int): String =
+      stem(dir, nlist) + Tables.Probe.corpusTag(spark, s"$dir/embeddings.parquet")
 
     private def warehousePath(spark: SparkSession, table: String): java.nio.file.Path = {
       val w = spark.conf.get("spark.sql.warehouse.dir")
@@ -277,10 +279,11 @@ object Similarity {
     /** Drop the catalog entries but keep the on-disk index (external
       * tables) — simulates a cold session for specs.
       */
-    def deregister(spark: SparkSession, dir: String, nlist: Int): Unit = {
-      spark.sql(s"DROP TABLE IF EXISTS ${tableName(spark, dir, nlist)}")
-      spark.sql(s"DROP TABLE IF EXISTS ${tableName(spark, dir, nlist)}_cent")
-    }
+    def deregister(spark: SparkSession, dir: String, nlist: Int): Unit =
+      // every tag variant under the stem — see SigStore.deregister
+      spark.catalog.listTables().collect()
+        .filter(_.name.startsWith(stem(dir, nlist)))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
   }
 
   /** Persistent product-quantization index: the 64-dim space is split
@@ -306,10 +309,12 @@ object Similarity {
     /** KMeans fits performed by this JVM (M fits per index build). */
     val fitCount = new AtomicInteger(0)
 
-    private def tableName(spark: SparkSession, dir: String): String =
+    private def stem(dir: String): String =
       "graft_pq_" + dir.replaceAll("[^a-zA-Z0-9]+", "_")
-        .stripPrefix("_").stripSuffix("_") + s"_${PqM}x$PqK" +
-        "_" + Tables.Probe.corpusTag(spark, s"$dir/embeddings.parquet")
+        .stripPrefix("_").stripSuffix("_") + s"_${PqM}x${PqK}_"
+
+    private def tableName(spark: SparkSession, dir: String): String =
+      stem(dir) + Tables.Probe.corpusTag(spark, s"$dir/embeddings.parquet")
 
     private def warehousePath(spark: SparkSession, table: String): java.nio.file.Path = {
       val w = spark.conf.get("spark.sql.warehouse.dir")
@@ -376,10 +381,11 @@ object Similarity {
       (spark.table(t), spark.table(tb))
     }
 
-    def deregister(spark: SparkSession, dir: String): Unit = {
-      spark.sql(s"DROP TABLE IF EXISTS ${tableName(spark, dir)}")
-      spark.sql(s"DROP TABLE IF EXISTS ${tableName(spark, dir)}_book")
-    }
+    def deregister(spark: SparkSession, dir: String): Unit =
+      // every tag variant under the stem — see SigStore.deregister
+      spark.catalog.listTables().collect()
+        .filter(_.name.startsWith(stem(dir)))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
   }
 
   /** PQ ANN ([r]): asymmetric-distance (ADC) search over the

@@ -21,6 +21,20 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
+  /** Drop every catalog table whose LOWERCASED name fully matches
+    * `re` — the shared deregister path for the persisted stores
+    * (SigStore / IvfIndex / PqIndex). Lowercased because the session
+    * catalog stores identifiers case-insensitively, so a
+    * case-sensitive prefix match against a mixed-case stem silently
+    * drops nothing; full-match regexes (stem + hex tag + known
+    * suffix) so one corpus's stem can never swallow another corpus
+    * whose sanitized dir merely extends it.
+    */
+  def dropTablesMatching(s: SparkSession, re: scala.util.matching.Regex): Unit =
+    s.catalog.listTables().collect()
+      .filter(t => re.pattern.matcher(t.name.toLowerCase).matches())
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS `${t.name}`"))
+
   /** Memoized corpus-size probes. Operators that derive a knob from
     * the corpus size (LSH band width via `bitsFor`) each paid a count
     * job per invocation over the same immutable test table; one count

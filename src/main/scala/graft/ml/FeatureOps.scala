@@ -256,10 +256,10 @@ object FeatureOps {
       |obs AS (SELECT dim, label, pos, count(*) AS o FROM e GROUP BY 1, 2, 3),
       |nl AS (SELECT dim, label, count(*) AS nl FROM e GROUP BY 1, 2),
       |np AS (SELECT dim, pos, count(*) AS np FROM e GROUP BY 1, 2),
-      |n AS (SELECT count(*) AS n FROM embeddings),
+      |nd AS (SELECT dim, count(*) AS n FROM e GROUP BY 1),
       |grid AS (SELECT nl.dim, nl.label, np.pos,
-      |    CAST(nl.nl AS DOUBLE) * np.np / n.n AS ex
-      |  FROM nl JOIN np ON nl.dim = np.dim, n)
+      |    CAST(nl.nl AS DOUBLE) * np.np / nd.n AS ex
+      |  FROM nl JOIN np ON nl.dim = np.dim JOIN nd ON nl.dim = nd.dim)
       |SELECT dim, round(sum(pow(coalesce(o, 0) - ex, 2) / ex), 4) AS chi2
       |FROM grid LEFT JOIN obs USING (dim, label, pos)
       |GROUP BY dim""".stripMargin

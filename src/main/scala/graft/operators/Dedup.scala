@@ -512,15 +512,16 @@ object Dedup {
     }
 
     /** Drop catalog entries, keep the on-disk store (cold-session sim).
-      * Drops EVERY tag variant under this corpus's stem — recomputing
-      * the current fingerprint here would miss stores registered under
-      * an earlier corpus state (the drop would no-op and stale entries
-      * accumulate across mutate/deregister cycles).
+      * Drops EVERY corpus-fingerprint variant under this corpus's stem
+      * and the current contract — recomputing the current fingerprint
+      * here would miss stores registered under an earlier corpus state
+      * (the drop would no-op and stale entries accumulate across
+      * mutate/deregister cycles).
       */
     def deregister(spark: SparkSession, dir: String): Unit =
-      spark.catalog.listTables().collect()
-        .filter(_.name.startsWith(stem(dir)))
-        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
+      Tables.dropTablesMatching(spark,
+        (java.util.regex.Pattern.quote(stem(dir).toLowerCase) +
+          contractTag + "_[0-9a-f]+(_hot)?").r)
   }
 
   /** Incremental NEAR-dup ingest: the arriving batch (eval-source

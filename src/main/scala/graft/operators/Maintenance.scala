@@ -56,8 +56,11 @@ object Maintenance {
       val s = it.next()
       if (s.getPath.getName.endsWith(".parquet")) {
         // directory segments between the root and the file name —
-        // `key=value` pairs in a hive layout, empty for a flat one
-        val rel = root.toUri.relativize(s.getPath.toUri).getPath
+        // `key=value` pairs in a hive layout, empty for a flat one.
+        // RAW (URI-encoded) segment form: the same encoding family
+        // input_file_name() reports, so the provenance join below
+        // compares like with like even for escaped characters
+        val rel = root.toUri.relativize(s.getPath.toUri).getRawPath
         files += ((rel.split('/').dropRight(1).toSeq, s.getLen))
       }
     }
@@ -106,10 +109,18 @@ object Maintenance {
       val depth = partCols.length
       val dirOfRow = substring_index(
         substring_index(input_file_name(), "/", -(depth + 1)), "/", depth)
-      val joined = df.withColumn("__dir", dirOfRow)
-        .join(broadcast(planDf), "__dir")
-      joined
-        .withColumn("__salt", pmod(xxhash64(dataCols.map(col): _*), col("__nfiles").cast("long")))
+      // LEFT join + per-row guard fused into the (live) salt column:
+      // if an encoding corner ever made a row's directory miss the
+      // plan, compaction must FAIL LOUDLY — an inner join would
+      // silently drop the partition, and a standalone guard column
+      // would be pruned as unused. assert_true yields null on success,
+      // so coalesce keeps the real salt.
+      df.withColumn("__dir", dirOfRow)
+        .join(broadcast(planDf), Seq("__dir"), "left")
+        .withColumn("__salt", coalesce(
+          assert_true(col("__nfiles").isNotNull,
+            concat(lit("compact: no plan entry for partition dir "), col("__dir"))).cast("long"),
+          pmod(xxhash64(dataCols.map(col): _*), col("__nfiles").cast("long"))))
         .repartition(totalFiles, (partCols.map(col) :+ col("__salt")): _*)
         .drop("__salt", "__nfiles", "__dir")
         .write.mode(SaveMode.Overwrite).partitionBy(partCols: _*).parquet(outPath)

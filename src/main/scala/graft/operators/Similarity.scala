@@ -280,10 +280,10 @@ object Similarity {
       * tables) — simulates a cold session for specs.
       */
     def deregister(spark: SparkSession, dir: String, nlist: Int): Unit =
-      // every tag variant under the stem — see SigStore.deregister
-      spark.catalog.listTables().collect()
-        .filter(_.name.startsWith(stem(dir, nlist)))
-        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
+      // every fingerprint variant under the stem — see SigStore.deregister
+      Tables.dropTablesMatching(spark,
+        (java.util.regex.Pattern.quote(stem(dir, nlist).toLowerCase) +
+          "[0-9a-f]+(_cent)?").r)
   }
 
   /** Persistent product-quantization index: the 64-dim space is split
@@ -382,10 +382,10 @@ object Similarity {
     }
 
     def deregister(spark: SparkSession, dir: String): Unit =
-      // every tag variant under the stem — see SigStore.deregister
-      spark.catalog.listTables().collect()
-        .filter(_.name.startsWith(stem(dir)))
-        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
+      // every fingerprint variant under the stem — see SigStore.deregister
+      Tables.dropTablesMatching(spark,
+        (java.util.regex.Pattern.quote(stem(dir).toLowerCase) +
+          "[0-9a-f]+(_book)?").r)
   }
 
   /** PQ ANN ([r]): asymmetric-distance (ADC) search over the

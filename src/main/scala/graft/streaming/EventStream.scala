@@ -110,9 +110,16 @@ object EventStream {
     * not throw path-not-found from the read-back.
     */
   private def readSinkOrEmpty(spark: SparkSession, outPath: String,
-      schema: org.apache.spark.sql.types.StructType): DataFrame =
-    if (new java.io.File(outPath).isDirectory) spark.read.schema(schema).parquet(outPath)
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    // Hadoop FS existence check, not java.io.File: sink paths may be
+    // URIs (file:/, hdfs://, s3a://) that the local-File probe would
+    // call absent — returning empty WITH data on disk is the silent
+    // twin of the crash this helper exists to prevent
+    val p = new org.apache.hadoop.fs.Path(outPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.schema(schema).parquet(outPath)
     else spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+  }
 
   def streamTumblingToFiles(spark: SparkSession, dir: String,
       outPath: String, checkpoint: String): DataFrame = {

@@ -97,6 +97,27 @@ class SimilaritySpec extends AnyFunSuite {
       "cold-session PQ query path refit codebooks instead of reading the index tables")
   }
 
+  test("PQ index detects a changed corpus and refits") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Files.createTempDirectory("graft_pq_stale").toString
+    val emb = Paths.get(dir, "embeddings.parquet")
+    Files.createDirectories(emb)
+    Files.copy(Paths.get(sf, "embeddings.parquet"), emb.resolve("part-0.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val c0 = Similarity.PqIndex.fitCount.get
+    Similarity.qAnnPq(spark, dir).count()
+    assert(Similarity.PqIndex.fitCount.get == c0 + Similarity.PqIndex.PqM,
+      "first query must fit one codebook per subspace")
+    Similarity.qAnnPq(spark, dir).count()
+    assert(Similarity.PqIndex.fitCount.get == c0 + Similarity.PqIndex.PqM,
+      "unchanged corpus must not refit")
+    Files.copy(Paths.get(sf, "embeddings.parquet"), emb.resolve("part-1.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    Similarity.qAnnPq(spark, dir).count()
+    assert(Similarity.PqIndex.fitCount.get == c0 + 2 * Similarity.PqIndex.PqM,
+      "changed corpus must trigger a codebook refit, not serve stale codes")
+  }
+
   test("IVF index detects a changed corpus and refits") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val dir = Files.createTempDirectory("graft_ivf_stale").toString

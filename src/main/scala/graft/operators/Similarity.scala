@@ -198,6 +198,13 @@ object Similarity {
       */
     val fitCount = new AtomicInteger(0)
 
+    /** (assignment dir, centroids dir) of the most recently ensured
+      * index — the oracle builder inlines these absolute paths so
+      * DuckDB replays the fit-free query path over the same persisted
+      * index data (see [[Similarity.oracle]]).
+      */
+    val lastLoc = new java.util.concurrent.atomic.AtomicReference[(String, String)](null)
+
     /** The corpus fingerprint is part of the index identity (same
       * staleness contract as [[graft.operators.Dedup.SigStore]]): a
       * mutated corpus changes the name, the stale name stops
@@ -262,6 +269,7 @@ object Similarity {
             .mode("overwrite").saveAsTable(tc)
         }
       }
+      lastLoc.set((loc.toString, locC.toString))
       (t, tc)
     }
 
@@ -308,6 +316,11 @@ object Similarity {
 
     /** KMeans fits performed by this JVM (M fits per index build). */
     val fitCount = new AtomicInteger(0)
+
+    /** (codes dir, codebooks dir) of the most recently ensured index —
+      * inlined into the oracle SQL (see [[Similarity.oracle]]).
+      */
+    val lastLoc = new java.util.concurrent.atomic.AtomicReference[(String, String)](null)
 
     private def stem(dir: String): String =
       "graft_pq_" + dir.replaceAll("[^a-zA-Z0-9]+", "_")
@@ -372,6 +385,7 @@ object Similarity {
           base.unpersist()
         }
       }
+      lastLoc.set((loc.toString, locB.toString))
       (t, tb)
     }
 
@@ -414,6 +428,7 @@ object Similarity {
 
   def qAnnPq(spark: SparkSession, dir: String): DataFrame = {
     val shortlistK = pqShortlist(Tables.Probe.embeddingsCount(spark, dir))
+    lastShortlistK.set(shortlistK)
     val (codes, book) = PqIndex.get(spark, dir)
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -432,8 +447,11 @@ object Similarity {
       .filter(col("vec_id") =!= col("qid"))
       .groupBy(col("qid"), col("vec_id"))
       .agg(sum(col("d")).as("est_dot"))
+    // round the ADC estimate before ranking: the grouped sum's addition
+    // order is engine- (and run-) dependent in its low bits, and the
+    // shortlist cut must not hinge on them (oracle-parity convention)
     val wShort = Window.partitionBy(col("qid"))
-      .orderBy(col("est_dot").desc, col("vec_id").asc)
+      .orderBy(round(col("est_dot"), 6).desc, col("vec_id").asc)
     val shortlist = est.withColumn("r", row_number().over(wShort))
       .filter(col("r") <= shortlistK)
       .select(col("qid"), col("vec_id").as("nid"))
@@ -472,8 +490,12 @@ object Similarity {
     // nprobe nearest cells
     val q = assigned.filter(col("vec_id") % 50 === 0 && col("vec_id") < PanelIdCap)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
+    // 6-dp-rounded probe ranking + cell tiebreak: deterministic across
+    // engines (oracle-parity convention; exact ties otherwise leave
+    // row_number free to disagree)
     val wProbe = Window.partitionBy(col("qid"))
-      .orderBy(VectorFunctions.cosine(col("qv"), col("cv")).desc)
+      .orderBy(round(VectorFunctions.cosine(col("qv"), col("cv")), 6).desc,
+        col("cell").asc)
     val probes = q.crossJoin(broadcast(cdf))
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nprobe)
@@ -506,12 +528,14 @@ object Similarity {
   def qAnnIvfPq(spark: SparkSession, dir: String,
       nlist: Int = 16, nprobe: Int = 12): DataFrame = {
     val shortlistK = pqShortlist(Tables.Probe.embeddingsCount(spark, dir))
+    lastShortlistK.set(shortlistK)
     val (assigned, cdf) = IvfIndex.get(spark, dir, nlist)
     val (codes, book) = PqIndex.get(spark, dir)
     val q = assigned.filter(col("vec_id") % 50 === 0 && col("vec_id") < PanelIdCap)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val wProbe = Window.partitionBy(col("qid"))
-      .orderBy(VectorFunctions.cosine(col("qv"), col("cv")).desc)
+      .orderBy(round(VectorFunctions.cosine(col("qv"), col("cv")), 6).desc,
+        col("cell").asc)
     val probes = q.crossJoin(broadcast(cdf))
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nprobe)
@@ -530,7 +554,7 @@ object Similarity {
       .groupBy(col("qid"), col("vec_id"))
       .agg(sum(col("d")).as("est_dot"))
     val wShort = Window.partitionBy(col("qid"))
-      .orderBy(col("est_dot").desc, col("vec_id").asc)
+      .orderBy(round(col("est_dot"), 6).desc, col("vec_id").asc)
     val shortlist = est.withColumn("r", row_number().over(wShort))
       .filter(col("r") <= shortlistK)
       .select(col("qid"), col("vec_id").as("nid"))
@@ -547,6 +571,162 @@ object Similarity {
     withRecall(top, bruteforceTop5(spark, dir))
   }
 
+  /** Shortlist size used by the most recent PQ/IVFPQ query — inlined
+    * into the oracle SQL so both engines cut the identical shortlist.
+    */
+  private[graft] val lastShortlistK = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Shared recall-verdict oracle tail: given a CTE `appx(qid, nid,
+    * rank, ..., sim)` (the approximate top-5) and the corpus CTE
+    * `e(vec_id, v DOUBLE[])`, replay the exact brute-force top-5 on
+    * the query panel and the recall@5 arithmetic of [[withRecall]].
+    */
+  private val recallCtes: String =
+    raw"""tq AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0 AND vec_id < $PanelIdCap),
+         |tflat AS (SELECT qid, e.vec_id AS nid, unnest(qv) AS x, unnest(v) AS y
+         |  FROM e JOIN tq ON e.vec_id <> tq.qid),
+         |tsc AS (SELECT qid, nid, sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS sim
+         |  FROM tflat GROUP BY qid, nid),
+         |truth AS (SELECT qid, nid FROM (SELECT qid, nid, row_number() OVER (
+         |    PARTITION BY qid ORDER BY round(sim, 6) DESC, nid ASC) AS r FROM tsc) WHERE r <= 5),
+         |rec AS (SELECT appx.qid, count(*) / 5.0 AS recall_at_5
+         |  FROM appx JOIN truth USING (qid, nid) GROUP BY appx.qid),
+         |sampled AS (SELECT tqid.qid, coalesce(rec.recall_at_5, 0.0) AS recall_at_5
+         |  FROM (SELECT DISTINCT qid FROM truth) tqid LEFT JOIN rec USING (qid))""".stripMargin
+
+  /** Full arithmetic replay of [[qAnnLsh]]: the hashed-plane banding
+    * pipeline ([[Hyperplanes.bandsSqlCtes]]), the hot-bucket cap, the
+    * cross-table candidate dedup, exact cosine of candidates, the
+    * 6-dp-ranked top-5 cut, and the recall verdict.
+    */
+  val qAnnLshSql: String =
+    raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |${graft.functions.Hyperplanes.bandsSqlCtes(AnnNBands, AnnTargetBucket)},
+         |hot AS (SELECT b, bv FROM bands GROUP BY b, bv HAVING count(*) > $AnnBucketCap),
+         |kept AS (SELECT vec_id, b, bv FROM bands
+         |  WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.b = bands.b AND hot.bv = bands.bv)),
+         |cand AS (SELECT x.vec_id AS qid, y.vec_id AS nid, min(x.bv) AS bucket
+         |  FROM kept x JOIN kept y ON x.b = y.b AND x.bv = y.bv AND x.vec_id <> y.vec_id
+         |  GROUP BY x.vec_id, y.vec_id),
+         |cpair AS (SELECT qid, nid, bucket, a.v AS v1, b2.v AS v2
+         |  FROM cand JOIN e a ON qid = a.vec_id JOIN e b2 ON nid = b2.vec_id),
+         |cflat AS (SELECT qid, nid, bucket, unnest(v1) AS x, unnest(v2) AS y FROM cpair),
+         |csim AS (SELECT qid, nid, bucket, sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS sim
+         |  FROM cflat GROUP BY qid, nid, bucket),
+         |appx AS (SELECT qid, nid, rank, bucket, round(sim, 4) AS sim FROM (
+         |    SELECT qid, nid, bucket, sim, row_number() OVER (
+         |      PARTITION BY qid ORDER BY round(sim, 6) DESC, nid ASC) AS rank FROM csim)
+         |  WHERE rank <= 5),
+         |$recallCtes
+         |SELECT appx.qid, appx.nid, appx.rank, appx.bucket, appx.sim, sampled.recall_at_5
+         |FROM appx LEFT JOIN sampled USING (qid)""".stripMargin
+
+  /** Replay of [[qAnnIvf]]'s fit-free query path over the PERSISTED
+    * index (the seeded-KMeans assignment/centroid tables are data, read
+    * back by absolute path): probe ranking, probed-cell scan, exact
+    * rerank, recall verdict.
+    */
+  private def annIvfSql(asgDir: String, centDir: String, nprobe: Int): String =
+    raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |asg AS (SELECT vec_id, v, cell FROM read_parquet('$asgDir/*.parquet')),
+         |cent AS (SELECT cell, cv FROM read_parquet('$centDir/*.parquet')),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM asg WHERE vec_id % 50 = 0 AND vec_id < $PanelIdCap),
+         |pflat AS (SELECT qid, cell, unnest(qv) AS x, unnest(cv) AS y FROM q, cent),
+         |psc AS (SELECT qid, cell, sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS sim
+         |  FROM pflat GROUP BY qid, cell),
+         |probes AS (SELECT qid, cell FROM (SELECT qid, cell, row_number() OVER (
+         |    PARTITION BY qid ORDER BY round(sim, 6) DESC, cell ASC) AS pr FROM psc)
+         |  WHERE pr <= $nprobe),
+         |scan AS (SELECT qid, asg.vec_id AS nid, qv, asg.v AS nv
+         |  FROM probes JOIN q USING (qid) JOIN asg ON asg.cell = probes.cell
+         |  WHERE asg.vec_id <> qid),
+         |sflat AS (SELECT qid, nid, unnest(qv) AS x, unnest(nv) AS y FROM scan),
+         |ssim AS (SELECT qid, nid, sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS sim
+         |  FROM sflat GROUP BY qid, nid),
+         |appx AS (SELECT qid, nid, rank, round(sim, 4) AS sim FROM (
+         |    SELECT qid, nid, sim, row_number() OVER (
+         |      PARTITION BY qid ORDER BY round(sim, 6) DESC, nid ASC) AS rank FROM ssim)
+         |  WHERE rank <= 5),
+         |$recallCtes
+         |SELECT appx.qid, appx.nid, appx.rank, appx.sim, sampled.recall_at_5
+         |FROM appx LEFT JOIN sampled USING (qid)""".stripMargin
+
+  /** Replay of [[qAnnPq]]'s query path over the persisted codes +
+    * codebooks: per-query ADC lookup tables, one pass over the 8-int
+    * codes, the 6-dp-ranked shortlist cut, exact rerank, recall.
+    */
+  private def annPqSql(codesDir: String, bookDir: String, k: Int): String =
+    raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0 AND vec_id < $PanelIdCap),
+         |book AS (SELECT m, code, cv FROM read_parquet('$bookDir/*.parquet')),
+         |codes AS (SELECT * FROM read_parquet('$codesDir/*.parquet')),
+         |lflat AS (SELECT qid, m, code,
+         |    unnest(qv[m*${PqIndex.PqSubDim}+1 : m*${PqIndex.PqSubDim}+${PqIndex.PqSubDim}]) AS x,
+         |    unnest(cv) AS y
+         |  FROM q, book),
+         |lut AS (SELECT qid, m, code, sum(x*y) AS d FROM lflat GROUP BY qid, m, code),
+         |cl AS (SELECT vec_id, m, [c0,c1,c2,c3,c4,c5,c6,c7][m+1] AS code
+         |  FROM codes, generate_series(0, ${PqIndex.PqM - 1}) g(m)),
+         |est AS (SELECT qid, vec_id, sum(d) AS est_dot FROM cl JOIN lut USING (m, code)
+         |  WHERE vec_id <> qid GROUP BY qid, vec_id),
+         |short AS (SELECT qid, vec_id AS nid FROM (SELECT qid, vec_id, row_number() OVER (
+         |    PARTITION BY qid ORDER BY round(est_dot, 6) DESC, vec_id ASC) AS r FROM est)
+         |  WHERE r <= $k),
+         |rflat AS (SELECT qid, nid, unnest(qv) AS x, unnest(v) AS y
+         |  FROM short JOIN e ON short.nid = e.vec_id JOIN q USING (qid)),
+         |rsim AS (SELECT qid, nid, sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS sim
+         |  FROM rflat GROUP BY qid, nid),
+         |appx AS (SELECT qid, nid, rank, round(sim, 4) AS sim FROM (
+         |    SELECT qid, nid, sim, row_number() OVER (
+         |      PARTITION BY qid ORDER BY round(sim, 6) DESC, nid ASC) AS rank FROM rsim)
+         |  WHERE rank <= 5),
+         |$recallCtes
+         |SELECT appx.qid, appx.nid, appx.rank, appx.sim, sampled.recall_at_5
+         |FROM appx LEFT JOIN sampled USING (qid)""".stripMargin
+
+  /** Replay of [[qAnnIvfPq]]: probes bound the scan, ADC scores within
+    * probed cells, shortlist rerank, recall.
+    */
+  private def annIvfPqSql(asgDir: String, centDir: String, codesDir: String,
+      bookDir: String, nprobe: Int, k: Int): String =
+    raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |asg AS (SELECT vec_id, v, cell FROM read_parquet('$asgDir/*.parquet')),
+         |cent AS (SELECT cell, cv FROM read_parquet('$centDir/*.parquet')),
+         |codes AS (SELECT * FROM read_parquet('$codesDir/*.parquet')),
+         |book AS (SELECT m, code, cv FROM read_parquet('$bookDir/*.parquet')),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM asg WHERE vec_id % 50 = 0 AND vec_id < $PanelIdCap),
+         |pflat AS (SELECT qid, cent.cell, unnest(qv) AS x, unnest(cent.cv) AS y FROM q, cent),
+         |psc AS (SELECT qid, cell, sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS sim
+         |  FROM pflat GROUP BY qid, cell),
+         |probes AS (SELECT qid, cell FROM (SELECT qid, cell, row_number() OVER (
+         |    PARTITION BY qid ORDER BY round(sim, 6) DESC, cell ASC) AS pr FROM psc)
+         |  WHERE pr <= $nprobe),
+         |lflat AS (SELECT qid, m, code,
+         |    unnest(qv[m*${PqIndex.PqSubDim}+1 : m*${PqIndex.PqSubDim}+${PqIndex.PqSubDim}]) AS x,
+         |    unnest(book.cv) AS y
+         |  FROM q, book),
+         |lut AS (SELECT qid, m, code, sum(x*y) AS d FROM lflat GROUP BY qid, m, code),
+         |cc AS (SELECT asg.cell, codes.* FROM codes JOIN asg ON codes.vec_id = asg.vec_id),
+         |cand AS (SELECT probes.qid, cc.vec_id, m, [c0,c1,c2,c3,c4,c5,c6,c7][m+1] AS code
+         |  FROM cc JOIN probes ON cc.cell = probes.cell, generate_series(0, ${PqIndex.PqM - 1}) g(m)
+         |  WHERE cc.vec_id <> probes.qid),
+         |est AS (SELECT qid, vec_id, sum(d) AS est_dot FROM cand JOIN lut USING (qid, m, code)
+         |  GROUP BY qid, vec_id),
+         |short AS (SELECT qid, vec_id AS nid FROM (SELECT qid, vec_id, row_number() OVER (
+         |    PARTITION BY qid ORDER BY round(est_dot, 6) DESC, vec_id ASC) AS r FROM est)
+         |  WHERE r <= $k),
+         |rflat AS (SELECT qid, nid, unnest(qv) AS x, unnest(asg.v) AS y
+         |  FROM short JOIN asg ON short.nid = asg.vec_id JOIN q USING (qid)),
+         |rsim AS (SELECT qid, nid, sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS sim
+         |  FROM rflat GROUP BY qid, nid),
+         |appx AS (SELECT qid, nid, rank, round(sim, 4) AS sim FROM (
+         |    SELECT qid, nid, sim, row_number() OVER (
+         |      PARTITION BY qid ORDER BY round(sim, 6) DESC, nid ASC) AS rank FROM rsim)
+         |  WHERE rank <= 5),
+         |$recallCtes
+         |SELECT appx.qid, appx.nid, appx.rank, appx.sim, sampled.recall_at_5
+         |FROM appx LEFT JOIN sampled USING (qid)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_ann_lsh" -> ((s: SparkSession, d: String) => qAnnLsh(s, d)),
@@ -554,6 +734,21 @@ object Similarity {
     "q_ann_pq" -> ((s: SparkSession, d: String) => qAnnPq(s, d)),
     "q_ann_ivfpq" -> ((s: SparkSession, d: String) => qAnnIvfPq(s, d)))
 
-  def oracle: Map[String, String] = Map(
-    "q_ann_bruteforce" -> qAnnBruteforceSql)
+  /** The index-backed oracles inline absolute paths of the persisted
+    * index tables, resolved when the corresponding query ran in this
+    * JVM (Verify runs queries before dumping oracle_sql.json). Until
+    * then those entries are omitted — the driver then records the
+    * rows-only check, same as before round 9.
+    */
+  def oracle: Map[String, String] = {
+    val k = lastShortlistK.get
+    Map("q_ann_bruteforce" -> qAnnBruteforceSql, "q_ann_lsh" -> qAnnLshSql) ++
+      Option(IvfIndex.lastLoc.get).map { case (a, c) =>
+        "q_ann_ivf" -> annIvfSql(a, c, nprobe = 10) }.toMap ++
+      (for ((co, b) <- Option(PqIndex.lastLoc.get) if k > 0)
+        yield "q_ann_pq" -> annPqSql(co, b, k)).toMap ++
+      (for ((a, c) <- Option(IvfIndex.lastLoc.get);
+            (co, b) <- Option(PqIndex.lastLoc.get) if k > 0)
+        yield "q_ann_ivfpq" -> annIvfPqSql(a, c, co, b, nprobe = 12, k)).toMap
+  }
 }

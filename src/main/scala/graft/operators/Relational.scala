@@ -331,23 +331,44 @@ object Relational {
       |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
       |FROM orders GROUP BY 1""".stripMargin
 
-  /** HLL twin of [[qDistinctAgg]] ([r] — approx_count_distinct's
-    * HLL++ estimate has no cross-engine oracle; rows-only checked).
-    * This is the default at 100 TB: one pass, fixed-size sketch,
-    * no expand/distinct shuffle.
+  /** HLL twin of [[qDistinctAgg]], emitted as an ORACLE-CHECKABLE
+    * verdict: the HLL++ estimate's bit pattern is engine-specific, so
+    * the output carries the exact counts plus a boolean asserting the
+    * estimate landed within 3x its configured relative standard
+    * deviation (rsd 0.02 → bound 0.06). The oracle recomputes the
+    * exact side and emits `true` — a sketch outside its bound flips
+    * the boolean and fails the hash. The production shape at 100 TB
+    * stays approx-only (one pass, fixed sketch, no expand/distinct
+    * shuffle — see the I4 `ApproxDistinctRewrite` knob); the exact
+    * branch here exists to prove the bound.
     */
   def qApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_suppkey")).as("exact_supps"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+        approx_count_distinct(col("l_suppkey"), 0.02).as("asup"))
+      .select(col("l_returnflag"), col("exact_parts"), col("exact_supps"),
+        (abs(col("ap") - col("exact_parts")).cast("double") <=
+          lit(0.06) * col("exact_parts").cast("double")).as("parts_ok"),
+        (abs(col("asup") - col("exact_supps")).cast("double") <=
+          lit(0.06) * col("exact_supps").cast("double")).as("supps_ok"))
 
-  /** Sketch twin of [[qPercentiles]] ([r] — the KLL/GK-style
-    * `approx_percentile` estimate has no cross-engine oracle;
-    * rows-only checked, error-bounded vs exact in the spec). The
-    * 100 TB default: exact `percentile` buffers every value of a group
-    * in memory for the sort — a scale-killer on wide groups — while
-    * the sketch is one pass, fixed memory, mergeable map-side.
+  val qApproxDistinctSql: String =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+      |  count(DISTINCT l_suppkey) AS exact_supps,
+      |  true AS parts_ok, true AS supps_ok
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  /** Sketch twin of [[qPercentiles]]. The GK-style estimate itself is
+    * engine-specific, but its guarantee is rank-space: a returned
+    * value's empirical rank sits within epsilon of the target
+    * quantile. [[qApproxPercentilesVerdict]] emits that verdict
+    * (oracle-checkable: DuckDB recomputes n and expects every bound to
+    * hold); this raw form stays the production operator — one pass,
+    * fixed memory, mergeable map-side, where exact `percentile`
+    * buffers every group value.
     */
   def qApproxPercentiles(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -357,12 +378,38 @@ object Relational {
         expr("approx_percentile(value, 0.9, 1000)").as("p90"),
         expr("approx_percentile(value, 0.99, 1000)").as("p99"))
 
+  /** Rank-error verdict over [[qApproxPercentiles]]: per event_type,
+    * the empirical rank of each estimate (share of values <= it) must
+    * sit within 0.05 of its target quantile (p99: >= 0.94 — the upper
+    * side saturates at 1.0). One extra pass computes ranks by
+    * conditional counts — no sort, no per-group buffering.
+    */
+  def qApproxPercentilesVerdict(spark: SparkSession, dir: String): DataFrame = {
+    val ap = qApproxPercentiles(spark, dir)
+    Tables.events(spark, dir)
+      .join(broadcast(ap), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") <= col("p50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("value") <= col("p90"), 1L).otherwise(0L)).as("le90"),
+        sum(when(col("value") <= col("p99"), 1L).otherwise(0L)).as("le99"))
+      .select(col("event_type"), col("n"),
+        (abs(col("le50").cast("double") / col("n") - 0.50) <= 0.05).as("p50_ok"),
+        (abs(col("le90").cast("double") / col("n") - 0.90) <= 0.05).as("p90_ok"),
+        (col("le99").cast("double") / col("n") >= 0.94).as("p99_ok"))
+  }
+
+  val qApproxPercentilesVerdictSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  true AS p50_ok, true AS p90_ok, true AS p99_ok
+      |FROM events GROUP BY event_type""".stripMargin
+
   /** Exposed query registry for this block (events-clock queries A6,
     * A12, A13 live in [[TemporalOps]]).
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_approx_distinct" -> (qApproxDistinct _),
-    "q_approx_percentiles" -> (qApproxPercentiles _),
+    "q_approx_percentiles" -> (qApproxPercentilesVerdict _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_region_revenue" -> (q5RegionRevenue _),
@@ -392,5 +439,7 @@ object Relational {
     "q_pivot" -> qPivotSql,
     "q_percentiles" -> qPercentilesSql,
     "q_corr_stats" -> qCorrStatsSql,
-    "q_histogram" -> qHistogramSql)
+    "q_histogram" -> qHistogramSql,
+    "q_approx_distinct" -> qApproxDistinctSql,
+    "q_approx_percentiles" -> qApproxPercentilesVerdictSql)
 }

@@ -34,8 +34,11 @@ object Sketches {
     * Scale contract: the filter is fixed-size (1M slots here) no
     * matter how large the deny side grows, and applying it is a
     * map-only broadcast — where an exact semi-join would shuffle the
-    * full event stream. Output: one row comparing exact vs bloom
-    * keeps with the measured false-positive drop rate.
+    * full event stream. Output: one ORACLE-CHECKABLE verdict row — the
+    * exact keep count (DuckDB recomputes it), the false-negative count
+    * (the Bloom guarantee says 0; any other value fails the hash), and
+    * a boolean holding the measured false-positive drop rate under 1%.
+    * The sketch bit pattern itself never reaches the output.
     */
   def qBloomKeep(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.GraftBridge
@@ -63,13 +66,27 @@ object Sketches {
     val bloomKept = flagged.filter(!col("bloom_drop"))
       .agg(count(lit(1)).as("bloom_kept"))
     val exactKept = exact.agg(count(lit(1)).as("exact_kept"))
-    bloomKept.crossJoin(exactKept)
-      .select(col("exact_kept"), col("bloom_kept"),
-        (col("exact_kept") - col("bloom_kept")).as("false_pos_drops"),
-        when(col("exact_kept") > 0,
-          round((col("exact_kept") - col("bloom_kept")).cast("double") /
-            col("exact_kept"), 6)).otherwise(0.0).as("fp_drop_rate"))
+    // deny-side events the filter failed to flag — the no-false-negative
+    // guarantee makes this identically 0
+    val falseNeg = flagged
+      .join(broadcast(deny.withColumnRenamed("user_id", "dn_uid")),
+        col("user_id") === col("dn_uid"), "left_semi")
+      .filter(!col("bloom_drop"))
+      .agg(count(lit(1)).as("false_negatives"))
+    bloomKept.crossJoin(exactKept).crossJoin(falseNeg)
+      .select(col("exact_kept"), col("false_negatives"),
+        (when(col("exact_kept") > 0,
+          (col("exact_kept") - col("bloom_kept")).cast("double") /
+            col("exact_kept")).otherwise(0.0) <= 0.01).as("fp_rate_ok"))
   }
+
+  val qBloomKeepSql: String =
+    s"""WITH pu AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+       |m AS (SELECT avg(n) AS mean_n FROM pu),
+       |deny AS (SELECT user_id FROM pu, m WHERE n > $DenyFactor * mean_n)
+       |SELECT count(*) AS exact_kept, CAST(0 AS BIGINT) AS false_negatives,
+       |  true AS fp_rate_ok
+       |FROM events WHERE user_id NOT IN (SELECT user_id FROM deny)""".stripMargin
 
   /** Tracked-token count for the CMS comparison. */
   val TopK = 10
@@ -79,16 +96,22 @@ object Sketches {
     * driver reads the tiny sketch once and compares its estimates
     * against exact counts for the top-[[TopK]] tokens. CMS guarantees
     * estimate >= exact with bounded overshoot (eps * stream length) —
-    * asserted in SketchSpec. At 100 TB the exact branch disappears
-    * and the sketch IS the operator: frequency tracking over an
-    * unbounded vocabulary in fixed memory.
+    * both guarantees emitted as ORACLE-CHECKABLE verdict booleans (the
+    * oracle recomputes the exact top-k and expects every bound to
+    * hold; a violating sketch fails the hash). At 100 TB the exact
+    * branch disappears and the sketch IS the operator: frequency
+    * tracking over an unbounded vocabulary in fixed memory.
     */
   def qCmsTopk(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val toks = Tables.documents(spark, dir)
       .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
       .filter(length(col("tok")) > 0)
-    toks.cache(); toks.count()
+    toks.cache()
+    val streamLen = toks.count()
+    // SketchSpec's historical bound: eps * 10 slack over the 1-delta
+    // tail, floored at 1 count
+    val overshootBound = math.max(1L, (1e-4 * streamLen * 10).toLong)
     val exactTop = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
       .orderBy(col("exact_n").desc, col("tok")).limit(TopK)
     val sketchBytes = toks
@@ -102,13 +125,29 @@ object Sketches {
     }.toSeq
     toks.unpersist()
     rows.toDF("tok", "exact_n", "cms_n")
-      .orderBy(col("exact_n").desc, col("tok"))
+      .select(col("tok"), col("exact_n"),
+        (col("cms_n") >= col("exact_n")).as("never_under"),
+        (col("cms_n") - col("exact_n") <= overshootBound).as("overshoot_ok"))
+  }
+
+  val qCmsTopkSql: String = {
+    val duckToks = TextFunctions.duckToksSql("text")
+    s"""WITH toks AS (SELECT unnest($duckToks) AS tok FROM documents),
+       |tf AS (SELECT tok FROM toks WHERE length(tok) > 0),
+       |topk AS (SELECT tok, count(*) AS exact_n FROM tf GROUP BY tok
+       |  ORDER BY exact_n DESC, tok LIMIT $TopK)
+       |SELECT tok, exact_n, true AS never_under, true AS overshoot_ok
+       |FROM topk""".stripMargin
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bloom_keep" -> (qBloomKeep _),
     "q_cms_topk" -> (qCmsTopk _))
 
-  /** Sketch bit patterns are implementation-defined → rows-only. */
-  def oracle: Map[String, String] = Map()
+  /** The sketch bit patterns stay out of the outputs; the emitted
+    * verdicts (exact side + guarantee booleans) are oracle-checked.
+    */
+  def oracle: Map[String, String] = Map(
+    "q_bloom_keep" -> qBloomKeepSql,
+    "q_cms_topk" -> qCmsTopkSql)
 }

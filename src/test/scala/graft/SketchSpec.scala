@@ -14,29 +14,22 @@ class SketchSpec extends AnyFunSuite {
 
   test("bloom keep-list: no false negatives, bounded false-positive drops") {
     val r = Sketches.qBloomKeep(spark, sf).head()
-    val exact = r.getAs[Long]("exact_kept")
-    val bloom = r.getAs[Long]("bloom_kept")
-    // Bloom has no false negatives: every denied user IS flagged, so
-    // bloom can only over-drop (bloom_kept <= exact_kept)...
-    assert(bloom <= exact)
-    // ...and with 1M bits over this deny cardinality the FP rate is
-    // far below 1%.
-    assert(r.getAs[Double]("fp_drop_rate") <= 0.01)
+    assert(r.getAs[Long]("exact_kept") > 0)
+    // Bloom has no false negatives: every denied user IS flagged...
+    assert(r.getAs[Long]("false_negatives") == 0L)
+    // ...and with 1M bits over this deny cardinality the FP drop rate
+    // is far below 1%.
+    assert(r.getAs[Boolean]("fp_rate_ok"))
   }
 
   test("count-min estimates dominate exact counts within eps bound") {
     val rows = Sketches.qCmsTopk(spark, sf).collect()
     assert(rows.length == Sketches.TopK)
-    val streamLen = graft.Tables.documents(spark, sf)
-      .select(explode(graft.functions.TextFunctions.tokens(col("text"))))
-      .count()
     rows.foreach { r =>
-      val exact = r.getAs[Long]("exact_n")
-      val est = r.getAs[Long]("cms_n")
-      assert(est >= exact, s"CMS must never under-count: $r")
+      assert(r.getAs[Long]("exact_n") > 0)
+      assert(r.getAs[Boolean]("never_under"), s"CMS must never under-count: $r")
       // eps = 1e-4: overshoot bounded by eps * stream length (w.h.p.)
-      assert(est - exact <= math.max(1L, (1e-4 * streamLen * 10).toLong),
-        s"CMS overshoot out of bound: $r (stream=$streamLen)")
+      assert(r.getAs[Boolean]("overshoot_ok"), s"CMS overshoot out of bound: $r")
     }
   }
 

@@ -418,16 +418,27 @@ object Similarity {
     * composes with IVF cells (probe then ADC-within-cell) — here ADC
     * runs corpus-wide to exercise the full path.
     */
-  /** ADC shortlist size: scaled to the corpus (10%, floor 50) — a
-    * FIXED shortlist covers a shrinking corpus fraction as n grows and
-    * recall decays with scale; a fixed FRACTION keeps the rerank cost
-    * proportional and recall stable (measured 0.86 → 0.90 at 2000
-    * vectors moving 50 → n/20). The fraction is the recall/cost dial.
+  /** ADC shortlist size: SUBLINEAR in the corpus — `max(50, 5·⌊√n⌋)`.
+    * A FIXED shortlist covers a shrinking corpus fraction as n grows
+    * and recall decays with scale; a fixed FRACTION (the r8 n/10)
+    * keeps recall stable but reranks a corpus-proportional set — at
+    * 10⁹ vectors that is 10⁸ exact reranks per query, the wrong
+    * asymptotic. The √n schedule splits the difference: rerank cost
+    * grows 632× slower than the corpus at 10⁹, and the measured
+    * recall@5 stays above the 0.8 spec floor with margin
+    * (RecallProbe, near-random synthetic embeddings — the hard case:
+    * n=500 k=110 → PQ 0.98 / IVFPQ 0.90; n=2000 k=223 → 0.915 /
+    * 0.88; n=8000 k=447 → 0.855 / 0.844; the 4√n schedule measured
+    * 0.823/0.81 at 8000 — too thin). The multiplier is the
+    * recall/cost dial; clustered real-world embeddings need less.
     */
-  def pqShortlist(n: Long): Int = math.max(50L, n / 10L).min(Int.MaxValue).toInt
+  def pqShortlist(n: Long): Int =
+    math.max(50L, 5L * math.floor(math.sqrt(n.toDouble)).toLong)
+      .min(Int.MaxValue).toInt
 
-  def qAnnPq(spark: SparkSession, dir: String): DataFrame = {
-    val shortlistK = pqShortlist(Tables.Probe.embeddingsCount(spark, dir))
+  def qAnnPq(spark: SparkSession, dir: String, shortlistOverride: Int = 0): DataFrame = {
+    val shortlistK = if (shortlistOverride > 0) shortlistOverride
+      else pqShortlist(Tables.Probe.embeddingsCount(spark, dir))
     lastShortlistK.set(shortlistK)
     val (codes, book) = PqIndex.get(spark, dir)
     val e = Tables.embeddings(spark, dir)
@@ -526,8 +537,9 @@ object Similarity {
     * store contract).
     */
   def qAnnIvfPq(spark: SparkSession, dir: String,
-      nlist: Int = 16, nprobe: Int = 12): DataFrame = {
-    val shortlistK = pqShortlist(Tables.Probe.embeddingsCount(spark, dir))
+      nlist: Int = 16, nprobe: Int = 12, shortlistOverride: Int = 0): DataFrame = {
+    val shortlistK = if (shortlistOverride > 0) shortlistOverride
+      else pqShortlist(Tables.Probe.embeddingsCount(spark, dir))
     lastShortlistK.set(shortlistK)
     val (assigned, cdf) = IvfIndex.get(spark, dir, nlist)
     val (codes, book) = PqIndex.get(spark, dir)

@@ -845,7 +845,92 @@ object TrainingOps {
        |  round(CAST(a.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
        |FROM a JOIN s ON a.cohort_week = s.cohort_week""".stripMargin
 
+  // ---------------------------------------------------------------- K13
+  /** The end-to-end training-corpus pipeline as ONE composed query —
+    * the product story the individual gates add up to: documents →
+    * quality/exact-dup gate (B7 semantics) → near-dup +
+    * decontamination keep list (C11) → deterministic train split
+    * (K2's md5 bucket) → per-source-shard sequence packing (K1).
+    * Output: the packed TRAIN manifest (one row per surviving train
+    * doc with its token offset and context-window chunk span).
+    *
+    * Composition contract (spec-asserted in PipelineSpec): every
+    * text-derived per-document fact the pipeline needs (fingerprint,
+    * quality, token count, split bucket) is computed in ONE cached
+    * projection over ONE scan of documents — the final plan re-reads
+    * no text. The C11 gate rides Dedup's cached MinHash signature
+    * pipeline (its own single text materialization, shared by the
+    * near-dup and contamination gates), so a cold session reads the
+    * corpus payload exactly twice (facts + signatures), warm sessions
+    * zero times — nothing re-shuffles an already-keyed frame.
+    *
+    * Eval-source documents are out of domain by construction (the C11
+    * keep list covers the TRAIN side only), and the bucket < 80 cut
+    * keeps the train split of K2's 80/10/10.
+    */
+  def qPipelineE2e(spark: SparkSession, dir: String): DataFrame = {
+    val bucket =
+      expr("conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10)")
+        .cast("long") % 100
+    val nTokD = tokenCount(col("text")).cast("double")
+    // identical arithmetic (same ops, same order) as TextAnalysis
+    // .scoreQuality — divergence would break oracle parity with B7
+    val quality = round(
+      (vocabHits(tokens(col("text")), TextAnalysis.stopwords("en")).cast("double") / nTokD) * 0.4 +
+        least(lit(1.0), nTokD / 100.0) * 0.3 +
+        (lit(1.0) - length(regexp_replace(col("text"), "[^.,!?;:]", ""))
+          .cast("double") / length(col("text")).cast("double")) * 0.3, 6)
+    val facts = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        fingerprint(col("text")).as("fp"),
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        quality.as("quality"),
+        bucket.as("bucket"))
+      .cache()
+    facts.count() // materialize before the two-consumer fan-out
+    val canon = facts.groupBy(col("fp")).agg(min(col("doc_id")).as("canonical_id"))
+    val b7 = facts.join(canon, "fp")
+      .filter(col("doc_id") === col("canonical_id") &&
+        col("quality") >= TextAnalysis.QualityFloor)
+    val c11 = Dedup.qDecontamKeepList(spark, dir)
+      .filter(col("keep")).select(col("doc_id"))
+    val surv = b7.join(c11, Seq("doc_id"), "left_semi")
+      .filter(col("bucket") < 80)
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    surv.withColumn("tok_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("tok_offset"),
+        expr(s"tok_offset DIV $CtxTokens").as("first_chunk"),
+        expr(s"(tok_offset + n_tokens - 1) DIV $CtxTokens").as("last_chunk"))
+  }
+
+  val qPipelineE2eSql: String =
+    raw"""WITH facts AS (SELECT doc_id, source,
+         |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+         |    CAST(len($duckToks) AS BIGINT) AS n_tokens,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+         |  FROM documents),
+         |q AS (SELECT doc_id, quality FROM (${graft.operators.TextAnalysis.qQualityScoreSql}) qq),
+         |c11 AS (SELECT doc_id FROM (${Dedup.qDecontamKeepListSql}) cc WHERE keep),
+         |canon AS (SELECT fp, min(doc_id) AS canonical_id FROM facts GROUP BY fp),
+         |surv AS (SELECT f.doc_id, f.source, f.n_tokens
+         |  FROM facts f JOIN canon c ON f.fp = c.fp
+         |  JOIN q ON q.doc_id = f.doc_id
+         |  JOIN c11 ON c11.doc_id = f.doc_id
+         |  WHERE f.doc_id = c.canonical_id
+         |    AND q.quality >= ${TextAnalysis.QualityFloor} AND f.bucket < 80),
+         |o AS (SELECT doc_id, source, n_tokens,
+         |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+         |  FROM surv)
+         |SELECT doc_id, source, n_tokens, tok_offset,
+         |  tok_offset // $CtxTokens AS first_chunk,
+         |  (tok_offset + n_tokens - 1) // $CtxTokens AS last_chunk
+         |FROM o""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pipeline_e2e" -> (qPipelineE2e _),
     "q_retention" -> (qRetention _),
     "q_quality_deciles" -> (qQualityDeciles _),
     "q_zipf_fit" -> (qZipfFit _),
@@ -866,6 +951,7 @@ object TrainingOps {
     "q_anomaly" -> (qAnomaly _))
 
   def oracle: Map[String, String] = Map(
+    "q_pipeline_e2e" -> qPipelineE2eSql,
     "q_retention" -> qRetentionSql,
     "q_quality_deciles" -> qQualityDecilesSql,
     "q_zipf_fit" -> qZipfFitSql,

@@ -42,28 +42,84 @@ object Maintenance {
     * A flat input uses a round-robin repartition (no shuffle key
     * needed — compaction must not assume one).
     */
+  /** First-level subdirectory count past which [[compact]]'s listing
+    * fans out as a Spark job instead of walking on the driver.
+    */
+  val ParallelListDirs = 32
+
+  /** Recursive (partition-dir segments, byte length) listing of the
+    * parquet data files under `root`. Small trees walk on the driver;
+    * past `parallelThreshold` first-level subdirectories the
+    * per-directory recursion runs as a distributed job over the
+    * subdirectory paths (the InMemoryFileIndex pattern) — at 100 TB a
+    * table holds millions of files across thousands of partitions and
+    * a driver-side walk serializes on per-entry metadata RPC latency.
+    *
+    * Segments come back in RAW (URI-encoded) form: the same encoding
+    * family `input_file_name()` reports, so the provenance join in
+    * [[compact]] compares like with like even for escaped characters.
+    */
+  private[graft] def listDataFiles(spark: SparkSession, root: Path,
+      fs: org.apache.hadoop.fs.FileSystem,
+      parallelThreshold: Int): Seq[(Seq[String], Long)] = {
+    def relEntries(f: org.apache.hadoop.fs.FileSystem, base: Path,
+        start: Path): Seq[(Seq[String], Long)] = {
+      val buf = scala.collection.mutable.ArrayBuffer[(Seq[String], Long)]()
+      val it = f.listFiles(start, true)
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.getPath.getName.endsWith(".parquet")) {
+          val rel = base.toUri.relativize(s.getPath.toUri).getRawPath
+          buf += ((rel.split('/').dropRight(1).toSeq, s.getLen))
+        }
+      }
+      buf.toSeq
+    }
+    val top = fs.listStatus(root)
+    val dirs = top.filter(_.isDirectory)
+    if (dirs.length < parallelThreshold) relEntries(fs, root, root)
+    else {
+      // top-level files (flat tables mixing in) still list driver-side;
+      // each subdirectory's recursion becomes one task. The hadoop conf
+      // ships as Writable bytes (Configuration is not Serializable).
+      val direct = top.filter(s => !s.isDirectory &&
+          s.getPath.getName.endsWith(".parquet"))
+        .map(s => (Seq.empty[String],
+          s.getLen)).toSeq
+      val confBytes = {
+        val baos = new java.io.ByteArrayOutputStream()
+        spark.sparkContext.hadoopConfiguration.write(
+          new java.io.DataOutputStream(baos))
+        baos.toByteArray
+      }
+      val rootStr = root.toString
+      val paths = dirs.map(_.getPath.toString).toSeq
+      val nested = spark.sparkContext
+        .parallelize(paths, math.min(paths.size, spark.sparkContext.defaultParallelism))
+        .mapPartitions { it =>
+          val conf = new org.apache.hadoop.conf.Configuration(false)
+          conf.readFields(new java.io.DataInputStream(
+            new java.io.ByteArrayInputStream(confBytes)))
+          val base = new Path(rootStr)
+          val f = base.getFileSystem(conf)
+          it.flatMap(p => relEntries(f, base, new Path(p)))
+        }.collect().toSeq
+      direct ++ nested
+    }
+  }
+
   def compact(spark: SparkSession, inPath: String, outPath: String,
-      targetBytes: Long = 128L * 1024 * 1024): Int = {
+      targetBytes: Long = 128L * 1024 * 1024,
+      parallelListThreshold: Int = ParallelListDirs): Int = {
     val fs = new Path(inPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     // RECURSIVE listing: hive-partitioned tables keep their data files
     // under key=value subdirectories — a top-level-only listing sums 0
     // bytes there and the whole table would rewrite through ONE task
-    // as one giant file, the opposite of compaction
+    // as one giant file, the opposite of compaction. Directory segments
+    // between root and file name = `key=value` pairs in a hive layout,
+    // empty for a flat one.
     val root = new Path(inPath).makeQualified(fs.getUri, fs.getWorkingDirectory)
-    val files = scala.collection.mutable.ArrayBuffer[(Seq[String], Long)]()
-    val it = fs.listFiles(root, true)
-    while (it.hasNext) {
-      val s = it.next()
-      if (s.getPath.getName.endsWith(".parquet")) {
-        // directory segments between the root and the file name —
-        // `key=value` pairs in a hive layout, empty for a flat one.
-        // RAW (URI-encoded) segment form: the same encoding family
-        // input_file_name() reports, so the provenance join below
-        // compares like with like even for escaped characters
-        val rel = root.toUri.relativize(s.getPath.toUri).getRawPath
-        files += ((rel.split('/').dropRight(1).toSeq, s.getLen))
-      }
-    }
+    val files = listDataFiles(spark, root, fs, parallelListThreshold)
     require(files.nonEmpty && files.map(_._2).sum > 0L,
       s"no parquet data files found under $inPath")
     val partCols = files.head._1.takeWhile(_.contains('=')).map(_.takeWhile(_ != '='))

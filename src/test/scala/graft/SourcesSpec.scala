@@ -123,6 +123,41 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed listing matches the driver walk and compaction through it is unchanged") {
+    import graft.operators.Maintenance
+    import org.apache.hadoop.fs.Path
+    val in = tmp("frag_many")
+    val out = tmp("compacted_many")
+    val ev = Tables.events(spark, sf).select("event_id", "user_id", "value")
+      .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
+    ev.repartition(4).write.mode("overwrite").partitionBy("bucket").parquet(in)
+    val fs = new Path(in).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new Path(in).makeQualified(fs.getUri, fs.getWorkingDirectory)
+    // white-box: the fan-out listing (threshold 2 << 8 dirs) returns the
+    // exact (partition-chain, bytes) set the driver walk returns
+    def canon(xs: Seq[(Seq[String], Long)]): Seq[(String, Long)] =
+      xs.map { case (segs, len) => (segs.mkString("/"), len) }.sorted
+    val driver = Maintenance.listDataFiles(spark, root, fs, parallelThreshold = Int.MaxValue)
+    val dist = Maintenance.listDataFiles(spark, root, fs, parallelThreshold = 2)
+    assert(driver.nonEmpty && canon(dist) == canon(driver),
+      s"distributed listing diverged: ${dist.size} vs ${driver.size} entries")
+    // and compaction driven through the distributed listing keeps the
+    // partition-preserving contract
+    val nOut = Maintenance.compact(spark, in, out, targetBytes = 32L * 1024,
+      parallelListThreshold = 2)
+    assert(nOut >= 8, "at least one planned file per partition")
+    val outDirs = new java.io.File(out).listFiles
+      .filter(_.getName.startsWith("bucket=")).map(_.getName).sorted
+    assert(outDirs.length == 8, s"expected bucket=0..7 dirs, got ${outDirs.mkString(",")}")
+    val plan = spark.read.parquet(out).filter(col("bucket") === 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(bucket"),
+      s"compacted table must still prune on the partition key:\n$plan")
+    val back = spark.read.parquet(out).select(ev.columns.map(col): _*)
+    assert(back.count() == ev.count())
+    assert(back.except(ev).isEmpty && ev.except(back).isEmpty)
+  }
+
   test("compaction never loses rows when partition-value inference rewrites the dir value") {
     import graft.operators.Maintenance
     // string partition values like "01" scan back as integer 1 — a plan

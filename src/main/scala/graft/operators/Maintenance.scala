@@ -32,7 +32,13 @@ object Maintenance {
     * hive-partitioned: the same keys are written back with
     * `partitionBy`, so downstream scans keep partition pruning — a
     * compaction that flattened the layout would silently turn every
-    * pruned scan into a full-table scan. File counts are planned PER
+    * pruned scan into a full-table scan. Partition VALUES are written
+    * back in their original on-disk string form (decoded from the raw
+    * dir segments, not the values partition inference normalizes them
+    * to), so directory names — and any reader filtering on the raw
+    * strings — survive byte-for-byte. (A null-partition
+    * `__HIVE_DEFAULT_PARTITION__` dir round-trips as that literal
+    * segment, which readers still interpret as null.) File counts are planned PER
     * PARTITION from the listing's byte sums (a skewed partition gets
     * proportionally more files), carried to the rows by a broadcast
     * join on the partition values, and realized by salting inside each
@@ -151,9 +157,23 @@ object Maintenance {
           dirKey -> math.max(1, math.ceil(fs0.map(_._2).sum.toDouble / targetBytes).toInt)
         }
       val totalFiles = plan.values.sum
-      val planSchema = StructType(Seq(
-        StructField("__dir", StringType), StructField("__nfiles", IntegerType)))
-      val planRows = plan.toSeq.map { case (d, n) => Row(d, n) }
+      // the plan also carries each partition column's ORIGINAL value,
+      // decoded driver-side from the raw dir segment: the rewrite must
+      // write back the on-disk key=value strings, not the values
+      // partition inference normalized them to (bucket=00 read back as
+      // int 1 would REWRITE the directory name and type — downstream
+      // readers filtering on the raw string then match nothing)
+      val pvCols = partCols.indices.map(i => s"__pv$i")
+      val planSchema = StructType(
+        StructField("__dir", StringType) +: StructField("__nfiles", IntegerType) +:
+          pvCols.map(StructField(_, StringType)))
+      val planRows = plan.toSeq.map { case (d, n) =>
+        val vals = d.split('/').map { seg =>
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(seg.substring(seg.indexOf('=') + 1))
+        }
+        Row.fromSeq(d +: n +: vals.toSeq)
+      }
       val planDf = spark.createDataFrame(
         java.util.Arrays.asList(planRows: _*), planSchema)
 
@@ -171,14 +191,20 @@ object Maintenance {
       // silently drop the partition, and a standalone guard column
       // would be pruned as unused. assert_true yields null on success,
       // so coalesce keeps the real salt.
-      df.withColumn("__dir", dirOfRow)
+      val replaced = df.withColumn("__dir", dirOfRow)
         .join(broadcast(planDf), Seq("__dir"), "left")
         .withColumn("__salt", coalesce(
           assert_true(col("__nfiles").isNotNull,
             concat(lit("compact: no plan entry for partition dir "), col("__dir"))).cast("long"),
           pmod(xxhash64(dataCols.map(col): _*), col("__nfiles").cast("long"))))
+      // swap each inferred partition column for the plan's original raw
+      // string, so partitionBy re-escapes to the identical dir names
+      val rawPart = partCols.zipWithIndex.foldLeft(replaced) {
+        case (acc, (pc, i)) => acc.withColumn(pc, col(s"__pv$i"))
+      }
+      rawPart
         .repartition(totalFiles, (partCols.map(col) :+ col("__salt")): _*)
-        .drop("__salt", "__nfiles", "__dir")
+        .drop(("__salt" +: "__nfiles" +: "__dir" +: pvCols): _*)
         .write.mode(SaveMode.Overwrite).partitionBy(partCols: _*).parquet(outPath)
       totalFiles
     }

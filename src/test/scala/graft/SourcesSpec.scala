@@ -172,6 +172,12 @@ class SourcesSpec extends AnyFunSuite {
       .filter(_.getName.startsWith("bucket=")).map(_.getName).sorted
     assert(dirs.contains("bucket=00"), s"expected zero-padded dirs, got ${dirs.mkString(",")}")
     Maintenance.compact(spark, in, out, targetBytes = 32L * 1024)
+    // the raw zero-padded dir values survive the rewrite byte-for-byte
+    // (inference would have normalized bucket=00 -> bucket=0)
+    val outDirs = new java.io.File(out).listFiles
+      .filter(_.getName.startsWith("bucket=")).map(_.getName).sorted
+    assert(outDirs.toSeq == dirs.toSeq,
+      s"partition dir values must be preserved: in=${dirs.mkString(",")} out=${outDirs.mkString(",")}")
     val inDf = spark.read.parquet(in)
     val outDf = spark.read.parquet(out)
     assert(outDf.count() == ev.count(),

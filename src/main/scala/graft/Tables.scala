@@ -50,12 +50,15 @@ object Tables {
 
     /** Memoized PER CORPUS STATE, not per directory: the cache key
       * includes the corpus fingerprint, so a mutated table gets a
-      * fresh count (the fingerprint listing is driver-side and cheap;
-      * the count JOB still runs once per corpus state — jobCount is
-      * the spec's observability hook). A directory-keyed memo served
-      * stale counts to every corpus-scaled knob (LSH plane count, PQ
-      * shortlist) after exactly the mutations the staleness contract
-      * detects.
+      * fresh count (the count JOB runs once per corpus state —
+      * jobCount is the spec's observability hook). A directory-keyed
+      * memo served stale counts to every corpus-scaled knob (LSH
+      * plane count, PQ shortlist) after exactly the mutations the
+      * staleness contract detects. The fingerprint itself rides the
+      * TTL'd [[corpusTag]] cache: a mutation is visible to these
+      * KNOB probes within one TTL window (or immediately after any
+      * index `ensure`, which always re-lists) — a bounded delay on a
+      * tuning dial, never on index identity.
       */
     def embeddingsCount(s: SparkSession, d: String): Long =
       cache.computeIfAbsent(
@@ -67,16 +70,38 @@ object Tables {
     /** Corpus fingerprint for persisted-index staleness detection: an
       * order-independent combination of every data file's
       * (path, length, mtime) entry hash — NOT a (count, bytes, newest
-      * mtime) summary, which an equal-size in-place rewrite within
-      * mtime granularity would leave unchanged. One driver-side
-      * recursive listing, no Spark job, O(1) memory, and deliberately
-      * NOT memoized — an index `ensure` must see the corpus as it is
-      * NOW, or a mutated corpus silently serves stale
-      * signatures/centroids.
+      * mtime) summary, which misses file REPLACEMENTS that keep the
+      * aggregate shape. Residual blind spots, stated plainly: an
+      * in-place rewrite of one file to the SAME length within the
+      * filesystem's mtime granularity leaves its entry hash — and so
+      * the tag — unchanged (only a content checksum would catch it,
+      * at a full-read cost this probe must not pay), and distinct
+      * corpus states collide with ~2^-63 probability (63-bit tag).
+      * One driver-side recursive listing, no Spark job, O(1) memory.
+      *
+      * The tag is MEMOIZED for [[TagTtlNanos]] (~2 s): a single query
+      * issues several probes (ensure, embeddingsCount, per-table
+      * names) and each paid a full recursive listing — O(files) per
+      * query at the million-file design point. Staleness-critical
+      * callers (index/store `ensure`) pass `fresh = true` and always
+      * re-list; TTL'd readers can be at most one window behind, which
+      * only delays a knob refresh, never serves a stale INDEX.
       */
-    def corpusTag(s: SparkSession, tablePath: String): String = {
+    @volatile private[graft] var TagTtlNanos: Long = 2L * 1000 * 1000 * 1000
+    private val tagCache = new ConcurrentHashMap[String, (Long, String)]()
+    /** Recursive listings actually performed (spec observability). */
+    val listCount = new AtomicInteger(0)
+
+    def corpusTag(s: SparkSession, tablePath: String,
+        fresh: Boolean = false): String = {
+      val now = System.nanoTime()
+      if (!fresh) {
+        val hit = tagCache.get(tablePath)
+        if (hit != null && now - hit._1 < TagTtlNanos) return hit._2
+      }
       val p = new org.apache.hadoop.fs.Path(tablePath)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      listCount.incrementAndGet()
       var acc = 0L
       var n = 0L
       val it = fs.listFiles(p, true)
@@ -91,7 +116,9 @@ object Tables {
           acc += h.toLong
         }
       }
-      ((acc ^ n) & 0x7fffffffL).toHexString
+      val tag = ((acc ^ n) & 0x7fffffffffffffffL).toHexString
+      tagCache.put(tablePath, (now, tag))
+      tag
     }
   }
 }

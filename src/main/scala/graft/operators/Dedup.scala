@@ -457,8 +457,9 @@ object Dedup {
         .stripPrefix("_").stripSuffix("_") + "_"
 
     private def tableName(spark: SparkSession, dir: String): String =
+      // fresh: the staleness contract hinges on seeing the corpus NOW
       stem(dir) + contractTag +
-        "_" + Tables.Probe.corpusTag(spark, s"$dir/documents.parquet")
+        "_" + Tables.Probe.corpusTag(spark, s"$dir/documents.parquet", fresh = true)
 
     private def warehousePath(spark: SparkSession, table: String): java.nio.file.Path = {
       val w = spark.conf.get("spark.sql.warehouse.dir")

@@ -215,7 +215,9 @@ object Similarity {
         .stripPrefix("_").stripSuffix("_") + "_" + nlist + "_"
 
     private def tableName(spark: SparkSession, dir: String, nlist: Int): String =
-      stem(dir, nlist) + Tables.Probe.corpusTag(spark, s"$dir/embeddings.parquet")
+      // fresh: the staleness contract hinges on seeing the corpus NOW
+      stem(dir, nlist) +
+        Tables.Probe.corpusTag(spark, s"$dir/embeddings.parquet", fresh = true)
 
     private def warehousePath(spark: SparkSession, table: String): java.nio.file.Path = {
       val w = spark.conf.get("spark.sql.warehouse.dir")
@@ -327,7 +329,9 @@ object Similarity {
         .stripPrefix("_").stripSuffix("_") + s"_${PqM}x${PqK}_"
 
     private def tableName(spark: SparkSession, dir: String): String =
-      stem(dir) + Tables.Probe.corpusTag(spark, s"$dir/embeddings.parquet")
+      // fresh: the staleness contract hinges on seeing the corpus NOW
+      stem(dir) +
+        Tables.Probe.corpusTag(spark, s"$dir/embeddings.parquet", fresh = true)
 
     private def warehousePath(spark: SparkSession, table: String): java.nio.file.Path = {
       val w = spark.conf.get("spark.sql.warehouse.dir")

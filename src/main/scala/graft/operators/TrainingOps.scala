@@ -734,7 +734,12 @@ object TrainingOps {
       .agg(max(col("n_train")).as("n_train"), max(col("n_eval")).as("n_eval"),
         max(abs(col("cum_train").cast("double") / col("n_train") -
           col("cum_eval").cast("double") / col("n_eval"))).as("d"))
-      .select(col("n_train"), col("n_eval"), round(col("d"), 6).as("ks_d"))
+      // an empty side has no CDF: emit a typed null instead of the NaN
+      // the 0-division would produce (streaming callers additionally
+      // skip writing empty batches — see streamQualityDriftToFiles)
+      .select(col("n_train"), col("n_eval"),
+        when(col("n_train") > 0 && col("n_eval") > 0, round(col("d"), 6))
+          .otherwise(lit(null).cast("double")).as("ks_d"))
   }
 
   val qQualityDriftSql: String = {

@@ -384,9 +384,14 @@ object EventStream {
     baseline.count() // materialize once, ahead of the first batch
     val q = docs.writeStream
       .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        graft.operators.TrainingOps.qualityDriftVsBaseline(baseline, b.toDF())
-          .withColumn("batch_id", lit(id))
-          .write.mode("append").parquet(outPath)
+        // an empty micro-batch (source drained, trigger fired anyway)
+        // carries no distribution to test — appending its n_eval=0 row
+        // would hand every downstream consumer a null-ks_d special case
+        if (!b.isEmpty) {
+          graft.operators.TrainingOps.qualityDriftVsBaseline(baseline, b.toDF())
+            .withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(outPath)
+        }
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow()).start()

@@ -129,8 +129,15 @@ class DedupSpec extends AnyFunSuite {
     val before = Tables.Probe.embeddingsCount(spark, dir)
     Files.copy(Paths.get(sf, "embeddings.parquet"), emb.resolve("part-1.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
-    assert(Tables.Probe.embeddingsCount(spark, dir) == 2 * before,
-      "probe served a stale count for a mutated corpus")
+    // knob probes ride the TTL'd tag cache (bounded staleness by
+    // contract); force the window closed to test mutation visibility
+    // deterministically
+    val ttl = Tables.Probe.TagTtlNanos
+    try {
+      Tables.Probe.TagTtlNanos = 0L
+      assert(Tables.Probe.embeddingsCount(spark, dir) == 2 * before,
+        "probe served a stale count for a mutated corpus past the TTL")
+    } finally Tables.Probe.TagTtlNanos = ttl
   }
 
   test("signature store is durable: cold-session ingest re-signs nothing") {

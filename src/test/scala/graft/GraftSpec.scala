@@ -26,6 +26,19 @@ class ContractSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracle entries without queries: $missing")
   }
 
+  test("corpusTag memoizes the listing within the TTL; fresh re-lists") {
+    val path = s"$sf/documents.parquet"
+    val c0 = Tables.Probe.listCount.get
+    val t1 = Tables.Probe.corpusTag(spark, path, fresh = true)
+    assert(Tables.Probe.listCount.get == c0 + 1)
+    val t2 = Tables.Probe.corpusTag(spark, path)
+    assert(t2 == t1 && Tables.Probe.listCount.get == c0 + 1,
+      "a TTL'd probe must reuse the cached listing")
+    val t3 = Tables.Probe.corpusTag(spark, path, fresh = true)
+    assert(t3 == t1 && Tables.Probe.listCount.get == c0 + 2,
+      "fresh must always re-list")
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
        if name != "q_mllib_tuning") // exercised in TuningSpec (slow)
     test(s"$name yields rows at sf0.001") {

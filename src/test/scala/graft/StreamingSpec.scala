@@ -202,6 +202,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(verdicts.map(_._2).sum == arriving.length.toLong)
   }
 
+  test("drift monitor: an empty micro-batch appends no verdict row") {
+    val t = java.nio.file.Files.createTempDirectory("graft_stream_driftempty").toString
+    // a 0-row source FILE still fires a micro-batch (the trigger sees
+    // the file) — that batch carries no distribution to test and must
+    // not append an n_eval=0 / null-ks_d row to the sink
+    spark.range(0).selectExpr("id as doc_id", "cast(null as string) as text")
+      .write.parquet(s"$t/src")
+    val src = spark.readStream.schema("doc_id LONG, text STRING")
+      .parquet(s"$t/src")
+    val out = EventStream.streamQualityDriftToFiles(src, sf, s"$t/out", s"$t/cp")
+    assert(out.isEmpty, s"empty batch must be skipped, got ${out.collect().toSeq}")
+  }
+
   test("append-mode file sink emits watermark-closed windows matching the batch result") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_files").toString
     val streamed = EventStream.streamTumblingToFiles(spark, sf,

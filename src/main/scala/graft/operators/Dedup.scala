@@ -912,6 +912,28 @@ object Dedup {
       .distinct()
   }
 
+  /** Per-iteration neighborhood minimum: labels ride the dst-keyed
+    * join, then reduce per src. DELIBERATELY no repartition between
+    * join and aggregate: the partial (map-side) aggregate runs on the
+    * join output — which is partitioned by dst, so a max-degree hub's
+    * neighborhood rows (src = hub, dst spread over every partition)
+    * partial-reduce to at most ONE row per partition before the
+    * exchange. An explicit pre-aggregate repartition on src (the r8
+    * form) shipped the hub's entire neighborhood to a single task
+    * first — the skew shape boilerplate hubs produce in real near-dup
+    * graphs (asserted in PropertySpec's 100k-leaf star case). The
+    * aggregate's own exchange carries only partial-reduced (src, min)
+    * rows; AQE right-sizes it.
+    */
+  private[graft] def neighborMin(edges: DataFrame, labels: DataFrame): DataFrame =
+    edges.join(labels, col("dst") === col("node"))
+      .groupBy(col("src")).agg(min(col("lab")).as("nlab"))
+
+  /** Propagation iterations the last [[clusterPairs]] run used before
+    * converging or handing off (spec observability).
+    */
+  val lastPropIters = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Generic distributed connected-components over an undirected pair
     * set (columns id1, id2): iterative minimum-label propagation +
     * pointer jumping, O(log diameter) iterations, one shuffle join +
@@ -924,13 +946,12 @@ object Dedup {
     * width once (explicit repartition — AQE never coalesces a
     * user-specified width) and checkpointed, each iteration's join
     * exchanges only the label side to that width to co-partition, the
-    * neighbor aggregate gets an explicit width repartition on its
-    * group key (its input arrives partitioned by the JOIN key, so the
-    * aggregate would otherwise exchange at the session default), and
-    * the downstream joins inherit width through co-partitioning with
-    * an already-width side. Plans on the caller's session are
-    * untouched — no session clone, no conf mutation, no RDD
-    * round-trip.
+    * neighbor aggregate partial-reduces on the join output BEFORE its
+    * exchange ([[neighborMin]] — hub skew never concentrates on one
+    * task), and the downstream joins inherit width through
+    * co-partitioning with an already-width side. Plans on the
+    * caller's session are untouched — no session clone, no conf
+    * mutation, no RDD round-trip.
     */
   def clusterPairs(spark: SparkSession, pairs: DataFrame): DataFrame = {
     // localCheckpoint (not cache): truncates lineage so each
@@ -957,9 +978,7 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < StarFallbackIter) {
-      val neigh = edges.join(labels, col("dst") === col("node"))
-        .repartition(width, col("src"))
-        .groupBy(col("src")).agg(min(col("lab")).as("nlab"))
+      val neigh = neighborMin(edges, labels)
       val stepped = labels.join(neigh, col("node") === col("src"), "left")
         .select(col("node"),
           least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"),
@@ -983,6 +1002,7 @@ object Dedup {
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(f"== cc iter $iter changed=$changed t=${(System.nanoTime()-tDbg0)/1e9}%.1fs")
     }
+    lastPropIters.set(iter)
     if (!converged) {
       // pathological diameter: propagation pays one iteration per hop
       // (log-compressed, but still unbounded) — contract the REMAINDER

@@ -133,6 +133,41 @@ class PropertySpec extends AnyFunSuite {
       s"all chain nodes must label 0, got ${got.filter(_._2 != 0L).take(5).mkString(",")}")
   }
 
+  test("a 100k-leaf star (max-degree hub) clusters in O(1) rounds without hub hot-spotting") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.{col, lit}
+    // the skew shape real near-dup graphs produce: one boilerplate hub
+    // near-duplicated by everything. Diameter 2 — propagation must
+    // converge in a handful of rounds with NO star-contraction handoff
+    val n = 100000
+    val edges = (1 until n).map(i => (0L, i.toLong))
+    val starBefore = Dedup.starRounds.get
+    val got = Dedup.clusterPairs(spark, edges.toDF("id1", "id2"))
+      .as[(Long, Long)].collect()
+    assert(got.length == n)
+    assert(got.forall(_._2 == 0L),
+      s"all star nodes must label 0, got ${got.filter(_._2 != 0L).take(5).mkString(",")}")
+    assert(Dedup.starRounds.get == starBefore,
+      "a diameter-2 star must converge by propagation, not the contraction fallback")
+    assert(Dedup.lastPropIters.get <= 3,
+      s"star must converge in O(1) propagation rounds, took ${Dedup.lastPropIters.get}")
+    // no hub hot-spot: the per-iteration neighborhood aggregate must
+    // partial-reduce BEFORE its exchange — on the dst-partitioned join
+    // output the hub's rows then collapse to <= 1 row per partition,
+    // instead of one task receiving the whole 100k-row neighborhood.
+    // Plan print is top-down, so the partial aggregate (executed
+    // first) must appear BELOW the exchange it feeds.
+    val e = edges.toDF("id1", "id2")
+      .unionAll(edges.toDF("id1", "id2").select(col("id2").as("id1"), col("id1").as("id2")))
+      .toDF("src", "dst").repartition(8, col("dst"))
+    val l = e.select(col("src").as("node")).distinct().withColumn("lab", col("node"))
+    val p = Dedup.neighborMin(e, l).queryExecution.executedPlan.toString
+    val iPartial = p.indexOf("partial_min")
+    val iExchange = p.indexOf("Exchange hashpartitioning(src")
+    assert(iPartial >= 0 && iExchange >= 0 && iPartial > iExchange,
+      s"neighbor aggregate must map-side combine before the src exchange:\n$p")
+  }
+
   test("star contraction alone equals union-find on random graphs") {
     // the fallback must be correct independent of how much propagation
     // preceded it — run it directly on raw pair sets

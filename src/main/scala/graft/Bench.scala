@@ -61,6 +61,31 @@ object Bench {
     }
     val failed = results0.collect { case (name, (_, false)) => name }.toSeq.sorted
     val results = results0.map { case (name, (t, _)) => name -> t }
+    // The per-query loop clears caches (cold numbers by design), which
+    // makes each dedup composite re-pay the shared MinHash/shingle
+    // chain it would share in a real session. Measure that real-session
+    // shape once: the composite family back-to-back in ONE cache
+    // session (cold chain paid once, then shared), reported as
+    // "composite_warm" next to the cold total.
+    val compositeFamily = Seq("q_neardup_keep_list", "q_decontam_keep_list",
+      "q_source_overlap", "q_containment_pairs", "q_cluster_sizes")
+      .filter(selected.contains)
+    val compositeWarm: Option[Double] =
+      if (compositeFamily.size == 5) {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val allOk = compositeFamily.forall { n =>
+          try { selected(n)(spark, sfDir).queryExecution.toRdd.count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] composite $n FAILED: ${e.getClass.getSimpleName}")
+            false
+          }
+        }
+        val t = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        if (allOk) Some(t) else None
+      } else None
+    val warmJson = compositeWarm.map(t => f""","composite_warm":$t%.2f""").getOrElse("")
     // The driver captures only the log TAIL (~2 KiB): a 95-query map
     // overflows it from the FRONT and the line arrives truncated
     // (BENCH r4/r5/r6 all "parsed": null). So stdout gets a SHORT line —
@@ -71,13 +96,13 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val errJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":${fmt(results)},"err":$errJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec"$warmJson,"queries":${fmt(results)},"err":$errJson,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), fullLine + "\n")
     catch { case _: Throwable => () }
     val slowest = results.toSeq.sortBy(-_._2).take(10)
     val shortLine =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n":${results.size},"queries":${fmt(slowest)},"err":$errJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n":${results.size}$warmJson,"queries":${fmt(slowest)},"err":$errJson,"sf":"$sfDir"}"""
     println(shortLine)
     spark.stop()
   }

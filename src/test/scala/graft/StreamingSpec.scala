@@ -19,6 +19,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("tumbling transform accepts a rate source (Kafka-shaped: non-file, non-memory)") {
+    // rate-micro-batch is a REAL streaming source with Kafka's shape
+    // (unbounded, micro-batch offsets, no files, no test harness) and
+    // a deterministic value sequence: batch b carries values
+    // [b*rowsPerBatch, (b+1)*rowsPerBatch). Event fields derive from
+    // `value` alone (never wall clock), so after K committed batches
+    // the complete-mode sink must equal the batch transform over
+    // range(K * rowsPerBatch) — exact equality against an unbounded
+    // source, no tolerance.
+    val qn = "graft_rate_tumbling"
+    spark.streams.active.filter(q => Option(q.name).contains(qn)).foreach(_.stop())
+    def shape(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.select((col("value") * 30L * 1000000000L).as("ts"),
+        concat(lit("t"), col("value") % 3).as("event_type"),
+        ((col("value") % 100) / 10.0).as("value"))
+    val src = spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", 500).option("startTimestamp", 0).load()
+      .drop("timestamp")
+    val q = EventStream.tumblingTransform(shape(src))
+      .writeStream.outputMode("complete").format("memory").queryName(qn).start()
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while (q.recentProgress.length < 3 && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    q.stop(); q.awaitTermination()
+    val got = spark.table(qn).select("bucket", "event_type", "n", "sum_value")
+    val consumed = got.agg(sum("n")).head().getLong(0)
+    assert(consumed >= 500, s"expected at least one committed rate batch, got $consumed rows")
+    assert(consumed % 500 == 0, "complete-mode sink must reflect whole committed batches")
+    val batch = EventStream.tumblingTransform(
+        shape(spark.range(consumed).toDF("value")))
+      .select("bucket", "event_type", "n", "sum_value")
+    assert(got.except(batch).isEmpty && batch.except(got).isEmpty,
+      "rate-source stream output diverged from the batch transform over the same rows")
+  }
+
   test("tumbling transform is source-agnostic: memory-stream and batch inputs agree") {
     // The SAME tumblingTransform runs over (1) a MemoryStream — a
     // non-file source, standing in for Kafka/rate — and (2) a plain

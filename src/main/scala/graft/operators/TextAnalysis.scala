@@ -209,6 +209,73 @@ object TextAnalysis {
          |  CAST(len(regexp_extract_all(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '[a-z]+')) AS BIGINT) AS n_word_pieces
          |FROM documents""".stripMargin
 
+  // ---------------------------------------------------------------- B13
+  /** Character-distribution entropy — the classic gibberish /
+    * encoding-junk gate a corpus pipeline runs before any model-based
+    * scoring: natural language has ~3.5-4.2 bits/char over
+    * [a-z ]; mojibake, base64 blobs, and single-char floods fall
+    * outside. Counts for the CLOSED 27-symbol alphabet (a-z + space)
+    * are taken as `length(n) - length(replace(n, c, ''))` — 27
+    * codegen'd scalar expressions, MAP-ONLY, zero shuffles, no
+    * explode: the per-row work is independent of corpus size, which
+    * is the whole design at 100 TB (a char-explode formulation would
+    * shuffle ~1000x the row count for the same answer). Both the
+    * Spark expression chain and the oracle SQL are generated from the
+    * same alphabet list in the same fold order, so the double-sum
+    * associates identically; the verdict booleans compare the
+    * 6-dp-rounded values on both sides.
+    */
+  private val entropyAlphabet: Seq[Char] = ('a' to 'z') :+ ' '
+
+  def qCharEntropy(spark: SparkSession, dir: String): DataFrame =
+    scoreCharEntropy(Tables.documents(spark, dir))
+
+  /** The same scoring over any (doc_id, text) frame — factored out so
+    * specs can assert the formula on crafted strings (uniform string
+    * → log2(k), single-char flood → 0 and gated).
+    */
+  def scoreCharEntropy(docs: DataFrame): DataFrame = {
+    val n = normText(col("text"))
+    val cnts = entropyAlphabet.map(c =>
+      (length(n) - length(translate(n, c.toString, ""))).cast("double"))
+    val nAlpha = cnts.reduceLeft(_ + _)
+    def term(cnt: Column): Column =
+      when(cnt > 0, -(cnt / nAlpha) * log2(cnt / nAlpha)).otherwise(lit(0.0))
+    val ent = when(nAlpha > 0, cnts.map(term).reduceLeft(_ + _)).otherwise(lit(0.0))
+    val maxRatio = when(nAlpha > 0, greatest(cnts: _*) / nAlpha).otherwise(lit(0.0))
+    docs.select(
+      col("doc_id"),
+      nAlpha.cast("long").as("n_alpha"),
+      round(ent, 6).as("char_entropy"),
+      round(maxRatio, 6).as("max_char_ratio"),
+      (round(ent, 6) >= 3.0 && round(maxRatio, 6) <= 0.5).as("passes_gibberish"))
+  }
+
+  val qCharEntropySql: String = {
+    val norm = raw"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+    def cntSql(c: Char): String = {
+      val lit = if (c == ' ') "' '" else s"'$c'"
+      s"CAST(length(n) - length(replace(n, $lit, '')) AS DOUBLE)"
+    }
+    val cnts = entropyAlphabet.map(cntSql)
+    val nAlpha = cnts.mkString("(", " + ", ")")
+    val terms = cnts.map(c =>
+      s"CASE WHEN $c > 0 THEN -($c / na) * log2($c / na) ELSE 0.0 END")
+      .mkString("(", " + ", ")")
+    val maxCnt = cnts.mkString("greatest(", ", ", ")")
+    raw"""WITH t AS (SELECT doc_id, $norm AS n FROM documents),
+         |w AS (SELECT doc_id, n, $nAlpha AS na FROM t),
+         |s AS (SELECT doc_id, na,
+         |    CASE WHEN na > 0 THEN $terms ELSE 0.0 END AS ent,
+         |    CASE WHEN na > 0 THEN $maxCnt / na ELSE 0.0 END AS mr
+         |  FROM w)
+         |SELECT doc_id, CAST(na AS BIGINT) AS n_alpha,
+         |  round(ent, 6) AS char_entropy,
+         |  round(mr, 6) AS max_char_ratio,
+         |  (round(ent, 6) >= 3.0 AND round(mr, 6) <= 0.5) AS passes_gibberish
+         |FROM s""".stripMargin
+  }
+
   // ---------------------------------------------------------------- B6
   /** Stratified sampling of the corpus by language — the
     * training-data-mix primitive (hold or reshape label proportions
@@ -304,6 +371,7 @@ object TextAnalysis {
     "q_regex_tokens" -> (qRegexTokens _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
+    "q_char_entropy" -> (qCharEntropy _),
     "q_fingerprint" -> (qFingerprint _),
     "q_rolling_fingerprint" -> (qRollingFingerprint _),
     "q_stratified_sample" -> (qStratifiedSample _))
@@ -315,6 +383,7 @@ object TextAnalysis {
     "q_regex_tokens" -> qRegexTokensSql,
     "q_lang_id" -> qLangIdSql,
     "q_quality_score" -> qQualityScoreSql,
+    "q_char_entropy" -> qCharEntropySql,
     "q_fingerprint" -> qFingerprintSql,
     "q_rolling_fingerprint" -> qRollingFingerprintSql,
     "q_stratified_sample" -> qStratifiedSampleSql)

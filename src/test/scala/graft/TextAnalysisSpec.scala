@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TextAnalysis
+
+/** Formula-level checks for the B13 character-entropy gate on crafted
+  * strings with hand-computable values.
+  */
+class TextAnalysisSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  private def score(texts: (Long, String)*): Map[Long, (Long, Double, Double, Boolean)] =
+    TextAnalysis.scoreCharEntropy(texts.toSeq.toDF("doc_id", "text"))
+      .as[(Long, Long, Double, Double, Boolean)].collect()
+      .map { case (id, n, e, m, p) => id -> ((n, e, m, p)) }.toMap
+
+  test("char entropy: flood is 0 and gated, uniform string is log2(k), natural text passes") {
+    val r = score(
+      1L -> "aaaaaaaaaaaaaaaa",
+      2L -> "abcdefgh",
+      3L -> "the quick brown fox jumps over the lazy dog")
+    val (n1, e1, m1, p1) = r(1L)
+    assert(n1 == 16 && e1 == 0.0 && m1 == 1.0 && !p1,
+      "single-char flood must score zero entropy and fail the gate")
+    val (_, e2, _, _) = r(2L)
+    assert(math.abs(e2 - 3.0) < 1e-6, "8 uniform chars = log2(8) = 3 bits")
+    val (_, e3, m3, p3) = r(3L)
+    assert(e3 > 3.5 && e3 < math.log(27.0) / math.log(2.0) && m3 < 0.3 && p3,
+      s"pangram should land in the natural-language band, got $e3")
+  }
+
+  test("char entropy: out-of-alphabet chars are excluded from the closed-alphabet count") {
+    val r = score(10L -> "ab12!?ab")
+    val (n, _, _, _) = r(10L)
+    assert(n == 4, s"only [a-z ] counts toward n_alpha, got $n")
+  }
+
+  test("char entropy: empty text yields zeros without dividing by zero") {
+    val r = score(20L -> "")
+    assert(r(20L) == ((0L, 0.0, 0.0, false)))
+  }
+}

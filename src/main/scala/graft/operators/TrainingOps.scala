@@ -693,6 +693,56 @@ object TrainingOps {
          |FROM grid LEFT JOIN obs USING (lang, source), dims
          |GROUP BY n_langs, n_sources""".stripMargin
 
+  // ---------------------------------------------------------------- K14
+  /** Curriculum plan: partition the corpus into 4 difficulty phases by
+    * bigram-LM surprisal (B11) and emit each phase's document count,
+    * token budget, and surprisal range — the easy→hard schedule a
+    * curriculum-learning run feeds its data loader.
+    *
+    * 100 TB shape: phase boundaries come from ONE bounded aggregate
+    * (three quartile cutpoints over the per-doc scores — at production
+    * scale `approx_percentile`, here exact `percentile` so the oracle
+    * replays bit-for-bit), broadcast back for a MAP-ONLY phase
+    * assignment — never a global sort/ntile, whose total order is the
+    * classic scale trap. Cutpoints and scores are both 6-dp-rounded
+    * before comparison, so the phase boundaries are engine-exact
+    * (Spark `percentile` ↔ DuckDB `quantile_cont`, the A15-proven
+    * pair). Token budget counts n_bigrams+1 per doc (= its token
+    * count for any doc with at least one bigram — B11's domain).
+    */
+  def qCurriculumPlan(spark: SparkSession, dir: String): DataFrame = {
+    val s = qBigramSurprisal(spark, dir)
+      .select(col("doc_id"), col("n_bigrams"),
+        col("mean_bigram_surprisal").as("s"))
+    val cuts = s.agg(
+      round(expr("percentile(s, 0.25)"), 6).as("c1"),
+      round(expr("percentile(s, 0.5)"), 6).as("c2"),
+      round(expr("percentile(s, 0.75)"), 6).as("c3"))
+    s.crossJoin(broadcast(cuts))
+      .withColumn("phase",
+        when(col("s") <= col("c1"), 1L).when(col("s") <= col("c2"), 2L)
+          .when(col("s") <= col("c3"), 3L).otherwise(4L))
+      .groupBy(col("phase"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams") + 1).cast("long").as("token_budget"),
+        round(min(col("s")), 6).as("surprisal_lo"),
+        round(max(col("s")), 6).as("surprisal_hi"))
+  }
+
+  val qCurriculumPlanSql: String =
+    raw"""WITH s0 AS ($qBigramSurprisalSql),
+         |s AS (SELECT doc_id, n_bigrams, mean_bigram_surprisal AS s FROM s0),
+         |cuts AS (SELECT round(CAST(quantile_cont(s, 0.25) AS DOUBLE), 6) AS c1,
+         |    round(CAST(quantile_cont(s, 0.5) AS DOUBLE), 6) AS c2,
+         |    round(CAST(quantile_cont(s, 0.75) AS DOUBLE), 6) AS c3 FROM s)
+         |SELECT CAST(CASE WHEN s <= c1 THEN 1 WHEN s <= c2 THEN 2
+         |    WHEN s <= c3 THEN 3 ELSE 4 END AS BIGINT) AS phase,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_bigrams + 1) AS BIGINT) AS token_budget,
+         |  round(min(s), 6) AS surprisal_lo,
+         |  round(max(s), 6) AS surprisal_hi
+         |FROM s, cuts GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------ K9 streaming kit
   /** Quantized quality histogram of any documents-shaped frame —
     * ≤ 10⁴+1 bins at any size (the K9 device), so it broadcasts.
@@ -944,6 +994,7 @@ object TrainingOps {
     "q_repetition" -> (qRepetition _),
     "q_unigram_surprisal" -> (qUnigramSurprisal _),
     "q_bigram_surprisal" -> (qBigramSurprisal _),
+    "q_curriculum_plan" -> (qCurriculumPlan _),
     "q_vocab_coverage" -> (qVocabCoverage _),
     "q_pmi_collocations" -> (qPmiCollocations _),
     "q_chunk_plan" -> (qChunkPlan _),
@@ -965,6 +1016,7 @@ object TrainingOps {
     "q_repetition" -> qRepetitionSql,
     "q_unigram_surprisal" -> qUnigramSurprisalSql,
     "q_bigram_surprisal" -> qBigramSurprisalSql,
+    "q_curriculum_plan" -> qCurriculumPlanSql,
     "q_vocab_coverage" -> qVocabCoverageSql,
     "q_pmi_collocations" -> qPmiCollocationsSql,
     "q_chunk_plan" -> qChunkPlanSql,

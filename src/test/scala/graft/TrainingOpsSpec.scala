@@ -20,6 +20,21 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(rows.forall { case (_, top, dis, _) => top + 1e-9 >= dis * top })
   }
 
+  test("curriculum plan: 4 phases partition the corpus into disjoint ascending surprisal bands") {
+    val phases = TrainingOps.qCurriculumPlan(spark, sf)
+      .select("phase", "n_docs", "token_budget", "surprisal_lo", "surprisal_hi")
+      .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(phases.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L), "all four phases populated")
+    val total = TrainingOps.qBigramSurprisal(spark, sf).count()
+    assert(phases.map(_._2).sum == total, "phases must partition the scored corpus")
+    assert(phases.forall { case (_, n, toks, lo, hi) => n > 0 && toks > n && lo <= hi })
+    phases.sliding(2).foreach { case Array(a, b) =>
+      assert(a._5 <= b._4, s"phase ${a._1} band must end before phase ${b._1} begins")
+    }
+    // quartile split: no phase can hold more than half the corpus
+    assert(phases.forall(_._2 <= (total + 1) / 2))
+  }
+
   test("seq packing offsets are the shard-local running sum and chunks are consistent") {
     val rows = TrainingOps.qSeqPacking(spark, sf)
       .select("source", "doc_id", "n_tokens", "tok_offset", "first_chunk", "last_chunk", "n_chunks")

@@ -333,6 +333,37 @@ object Dedup {
          |JOIN sigs q ON d2 = q.doc_id AND p.i = q.i
          |GROUP BY d1, d2""".stripMargin
 
+  // ---------------------------------------------------------------- C16
+  /** Cross-lingual near-duplicate pairs: the C3 MinHash pair stream
+    * re-keyed by language — pairs whose texts near-match ACROSS
+    * languages are translation clones / template boilerplate, the
+    * multilingual-corpus failure mode lang-blind dedup misses (they
+    * inflate one language's effective epoch count) and lang-split
+    * dedup can never see.
+    *
+    * Scale shape: the pair stream is already blocked and tiny relative
+    * to the corpus; attaching `lang` is two joins of that small pair
+    * set against the 2-column (doc_id, lang) projection — AQE
+    * broadcasts the pair side. Nothing here re-reads `text`: the
+    * signature cache (C3) is the only text consumer.
+    */
+  def qCrosslingualPairs(spark: SparkSession, dir: String): DataFrame = {
+    val langs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    qMinhashLsh(spark, dir)
+      .join(langs.as("la"), col("d1") === col("la.doc_id"))
+      .join(langs.as("lb"), col("d2") === col("lb.doc_id"))
+      .filter(col("la.lang") =!= col("lb.lang"))
+      .select(col("d1"), col("d2"), col("la.lang").as("lang_1"),
+        col("lb.lang").as("lang_2"), col("est_sim"))
+  }
+
+  val qCrosslingualPairsSql: String =
+    raw"""WITH p AS (SELECT * FROM ($qMinhashLshSql) t)
+         |SELECT d1, d2, a.lang AS lang_1, b.lang AS lang_2, est_sim
+         |FROM p JOIN documents a ON p.d1 = a.doc_id
+         |JOIN documents b ON p.d2 = b.doc_id
+         |WHERE a.lang <> b.lang""".stripMargin
+
   // ---------------------------------------------------------------- C7
   /** Cross-corpus contamination check: train/eval overlap via a
     * TWO-SIDED MinHash LSH join — the standard pre-training gate that
@@ -1257,6 +1288,7 @@ object Dedup {
     "q_incremental_neardup" -> (qIncrementalNeardup _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_minhash_lsh" -> (qMinhashLsh _),
+    "q_crosslingual_pairs" -> (qCrosslingualPairs _),
     "q_contamination" -> (qContamination _),
     "q_simhash" -> (qSimhash _),
     "q_embedding_neardup" -> (qEmbeddingNeardup _),
@@ -1274,6 +1306,7 @@ object Dedup {
     "q_incremental_neardup" -> qIncrementalNeardupSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_minhash_lsh" -> qMinhashLshSql,
+    "q_crosslingual_pairs" -> qCrosslingualPairsSql,
     "q_contamination" -> qContaminationSql,
     "q_simhash" -> qSimhashSql,
     "q_embedding_neardup" -> qEmbeddingNeardupSql,

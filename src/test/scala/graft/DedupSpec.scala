@@ -15,6 +15,22 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.forall { case (d1, d2, s) => d1 < d2 && s >= 0.0 && s <= 1.0 })
   }
 
+  test("cross-lingual pairs are the lang-mismatched subset of the minhash pair set") {
+    val all = Dedup.qMinhashLsh(spark, sf)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val langOf = graft.Tables.documents(spark, sf)
+      .select("doc_id", "lang").as[(Long, String)].collect().toMap
+    val xs = Dedup.qCrosslingualPairs(spark, sf)
+      .select("d1", "d2", "lang_1", "lang_2").as[(Long, Long, String, String)].collect()
+    assert(xs.nonEmpty)
+    xs.foreach { case (d1, d2, l1, l2) =>
+      assert(all((d1, d2)), "every cross-lingual pair must come from the C3 pair stream")
+      assert(l1 != l2 && langOf(d1) == l1 && langOf(d2) == l2)
+    }
+    val expected = all.count { case (d1, d2) => langOf(d1) != langOf(d2) }
+    assert(xs.length == expected, "exactly the lang-mismatched subset")
+  }
+
   test("simhash emits per-doc near-dup degrees with bounded hamming") {
     val rows = Dedup.qSimhash(spark, sf)
       .select("doc_id", "n_neardups", "min_hamming").as[(Long, Long, Long)].collect()

@@ -1282,6 +1282,69 @@ object Dedup {
          |SELECT a AS vec_id, least(a, min(b)) AS cluster_id
          |FROM reach GROUP BY a""".stripMargin
 
+  // ---------------------------------------------------------------- C15
+  /** Semantic deduplication (SemDeDup-shaped): k-means cells as
+    * semantic blocks, exact pairwise cosine WITHIN cells only, and one
+    * kept representative (least vec_id) per connected component of the
+    * ≥ [[SemDedupTau]] similarity graph. Catches paraphrase / re-encode
+    * duplicates that share no shingles — the complement of C3's
+    * lexical near-dup — and is the standard embedding-space pruning
+    * pass (Abbas et al., 2023) a web-scale corpus runs after lexical
+    * dedup.
+    *
+    * Scale shape: the D3 spherical-KMeans index is REUSED as the
+    * blocking structure (same persisted assignment table, no extra
+    * fit, corpus-fingerprint staleness contract) — at production
+    * scale nlist grows with the corpus to hold expected cell
+    * population constant, so the within-cell self-join is quadratic in
+    * a constant, never in the corpus; cross-cell duplicates are the
+    * documented recall trade every cell-blocked method makes.
+    * Components come from [[clusterPairs]] (log-diameter label
+    * propagation); edges never leave their cell, so components are
+    * cell-local by construction. The cosine threshold compares
+    * 6-dp-rounded values — engine-exact, and the oracle replays
+    * blocking, similarity, closure (recursive CTE), and keep verdicts
+    * over the same persisted index data.
+    */
+  val SemDedupTau = 0.35
+
+  def qSemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val (asg, _) = Similarity.IvfIndex.get(spark, dir, 16)
+    val a = asg.select(col("vec_id"), col("v"), col("cell"))
+    val pairs = a.as("x").join(a.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"),
+        VectorFunctions.cosine(col("x.v"), col("y.v")).as("sim"))
+      .filter(round(col("sim"), 6) >= SemDedupTau)
+      .select(col("id1"), col("id2"))
+    val labs = clusterPairs(spark, pairs)
+    a.select(col("vec_id"), col("cell"))
+      .join(labs, col("vec_id") === col("node"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("lab"), col("vec_id")).as("cluster_id"))
+      .withColumn("keep", col("cluster_id") === col("vec_id"))
+  }
+
+  private def semanticDedupSql(asgDir: String): String =
+    raw"""WITH RECURSIVE
+         |asg AS (SELECT vec_id, v, cell FROM read_parquet('$asgDir/*.parquet')),
+         |pflat AS (SELECT x.vec_id AS id1, y.vec_id AS id2,
+         |    unnest(x.v) AS a, unnest(y.v) AS b
+         |  FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+         |csim AS (SELECT id1, id2, sum(a*b) / (sqrt(sum(a*a)) * sqrt(sum(b*b))) AS sim
+         |  FROM pflat GROUP BY id1, id2),
+         |pairs AS (SELECT id1, id2 FROM csim WHERE round(sim, 6) >= $SemDedupTau),
+         |sym AS (SELECT id1 AS a, id2 AS b FROM pairs
+         |  UNION ALL SELECT id2, id1 FROM pairs),
+         |reach(a, b) AS (SELECT a, b FROM sym
+         |  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         |lab AS (SELECT a AS vec_id, least(a, min(b)) AS cluster_id
+         |  FROM reach GROUP BY a)
+         |SELECT asg.vec_id, asg.cell,
+         |  coalesce(lab.cluster_id, asg.vec_id) AS cluster_id,
+         |  (coalesce(lab.cluster_id, asg.vec_id) = asg.vec_id) AS keep
+         |FROM asg LEFT JOIN lab ON asg.vec_id = lab.vec_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
     "q_incremental_dedup" -> (qIncrementalDedup _),
@@ -1298,6 +1361,7 @@ object Dedup {
     "q_decontam_keep_list" -> (qDecontamKeepList _),
     "q_source_overlap" -> (qSourceOverlap _),
     "q_containment_pairs" -> (qContainmentPairs _),
+    "q_semantic_dedup" -> (qSemanticDedup _),
     "q_cluster_sizes" -> (qClusterSizes _))
 
   def oracle: Map[String, String] = Map(
@@ -1316,5 +1380,8 @@ object Dedup {
     "q_decontam_keep_list" -> qDecontamKeepListSql,
     "q_source_overlap" -> qSourceOverlapSql,
     "q_containment_pairs" -> qContainmentPairsSql,
-    "q_cluster_sizes" -> qClusterSizesSql)
+    "q_cluster_sizes" -> qClusterSizesSql) ++
+    Option(Similarity.IvfIndex.lastLoc.get).map { case (asgDir, _) =>
+      "q_semantic_dedup" -> semanticDedupSql(asgDir)
+    }.toMap
 }

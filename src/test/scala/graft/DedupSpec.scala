@@ -31,6 +31,27 @@ class DedupSpec extends AnyFunSuite {
     assert(xs.length == expected, "exactly the lang-mismatched subset")
   }
 
+  test("semantic dedup: clusters are cell-local with exactly one min-id keeper each") {
+    val rows = Dedup.qSemanticDedup(spark, sf)
+      .select("vec_id", "cell", "cluster_id", "keep")
+      .as[(Long, Int, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_._3)
+    byCluster.foreach { case (cid, ms) =>
+      assert(ms.map(_._1).min == cid, "cluster id must be the least member")
+      assert(ms.count(_._4) == 1 && ms.find(_._4).get._1 == cid,
+        "exactly the min-id member is kept")
+      assert(ms.map(_._2).distinct.length == 1,
+        "cell-blocked edges can never produce a cross-cell cluster")
+    }
+    assert(rows.count(_._4) == byCluster.size)
+    // warm second call must ride the persisted index, not refit
+    val fitsWarm = graft.operators.Similarity.IvfIndex.fitCount.get
+    Dedup.qSemanticDedup(spark, sf).count()
+    assert(graft.operators.Similarity.IvfIndex.fitCount.get == fitsWarm,
+      "warm call must not refit")
+  }
+
   test("simhash emits per-doc near-dup degrees with bounded hamming") {
     val rows = Dedup.qSimhash(spark, sf)
       .select("doc_id", "n_neardups", "min_hamming").as[(Long, Long, Long)].collect()

@@ -406,6 +406,52 @@ object FeatureOps {
          |FROM c""".stripMargin
   }
 
+  // ---------------------------------------------------------------- E16
+  /** Reliability diagram (calibration bins) for the stopword-density
+    * classifier the E11/E12 eval ops grade: 10 equal-width score bins,
+    * each with its population, mean predicted score, observed positive
+    * fraction, and |gap| — the standard check that a filtering model's
+    * scores can be read as probabilities before thresholding a corpus
+    * on them. Bins are 0.01 wide spanning the classifier's [0, 0.2)
+    * operating range (stopword density tops out well under 0.2; the
+    * last bin absorbs any overflow). MAP-ONLY scoring + one bounded
+    * (≤ 20 rows out) aggregate: nothing here grows with the corpus.
+    * Gap is computed from the two 6-dp-rounded aggregates, so the
+    * subtraction is engine-exact.
+    */
+  def qCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val enStops = graft.operators.TextAnalysis.stopwords("en")
+    Tables.documents(spark, dir)
+      .select((col("lang") === "en").as("is_pos"),
+        (vocabHits(tokens(col("text")), enStops).cast("double") /
+          tokenCount(col("text"))).as("score"))
+      .withColumn("bin", least(floor(col("score") * 100), lit(19)).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("score")), 6).as("mean_score"),
+        round(avg(when(col("is_pos"), 1.0).otherwise(0.0)), 6).as("frac_pos"))
+      .withColumn("gap", round(abs(col("mean_score") - col("frac_pos")), 6))
+  }
+
+  val qCalibrationSql: String = {
+    val stopsSql = graft.operators.TextAnalysis.stopwords("en")
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    val toksSql = graft.functions.TextFunctions.duckToksSql("text")
+    raw"""WITH s AS (SELECT (lang = 'en') AS is_pos,
+         |  CAST(len(list_filter($toksSql, t -> list_contains($stopsSql, t))) AS DOUBLE)
+         |    / len($toksSql) AS score
+         |  FROM documents),
+         |b AS (SELECT least(CAST(floor(score * 100) AS BIGINT), 19) AS bin,
+         |    is_pos, score FROM s),
+         |a AS (SELECT bin, count(*) AS n,
+         |    round(avg(score), 6) AS mean_score,
+         |    round(avg(CASE WHEN is_pos THEN 1.0 ELSE 0.0 END), 6) AS frac_pos
+         |  FROM b GROUP BY bin)
+         |SELECT bin, n, mean_score, frac_pos,
+         |  round(abs(mean_score - frac_pos), 6) AS gap
+         |FROM a""".stripMargin
+  }
+
   // ---------------------------------------------------------------- E14
   /** Feature-hashing (hashing-trick) audit: terms bucketed into a
     * fixed [[FeatureHashDim]]-wide space by the engine-portable
@@ -450,6 +496,7 @@ object FeatureOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_feature_hash" -> (qFeatureHash _),
     "q_auc" -> (qAuc _),
+    "q_calibration" -> (qCalibration _),
     "q_pr_curve" -> (qPrCurve _),
     "q_pca" -> (qPca _),
     "q_standard_scaler" -> (qStandardScaler _),
@@ -464,6 +511,7 @@ object FeatureOps {
   def oracle: Map[String, String] = Map(
     "q_feature_hash" -> qFeatureHashSql,
     "q_auc" -> qAucSql,
+    "q_calibration" -> qCalibrationSql,
     "q_pr_curve" -> qPrCurveSql,
     "q_standard_scaler" -> qStandardScalerSql,
     "q_minmax_scaler" -> qMinmaxScalerSql,

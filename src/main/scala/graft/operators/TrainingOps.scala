@@ -487,6 +487,53 @@ object TrainingOps {
          |  round((1.0 / n_langs) / (CAST(n_tokens AS DOUBLE) / total_tokens), 6) AS weight
          |FROM p, t""".stripMargin
 
+  // ---------------------------------------------------------------- K15
+  /** Multi-epoch sampling schedule per SOURCE (the K3 device on the
+    * other corpus axis, extended to repeats): under a token budget of
+    * [[EpochBudgetMult]]× the corpus with a uniform-source target,
+    * each source's epoch count is target/available — >1 means the
+    * source repeats across the run (the repeated-data regime whose
+    * diminishing returns motivate [[EpochCap]], after which budget is
+    * left unspent rather than over-repeated). One bounded aggregate +
+    * a broadcast totals row; epochs are 6-dp-rounded before the cap
+    * compare so every derived column is engine-exact.
+    */
+  val EpochBudgetMult = 2.0
+  val EpochCap = 4.0
+
+  def qEpochSchedule(spark: SparkSession, dir: String): DataFrame = {
+    val perSrc = Tables.documents(spark, dir)
+      .select(col("source"), tokenCount(col("text")).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast("long").as("n_tokens"))
+    val totals = perSrc.agg(
+      sum(col("n_tokens")).cast("long").as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    perSrc.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(lit(EpochBudgetMult) * col("total_tokens") /
+          col("n_sources") / col("n_tokens"), 6).as("epochs"))
+      .withColumn("capped_epochs", least(col("epochs"), lit(EpochCap)))
+      .withColumn("effective_tokens",
+        floor(col("capped_epochs") * col("n_tokens")).cast("long"))
+      .withColumn("repeats", col("epochs") > 1.0)
+  }
+
+  val qEpochScheduleSql: String =
+    raw"""WITH p AS (SELECT source, count(*) AS n_docs,
+         |  CAST(sum(len($duckToks)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  count(*) AS n_sources FROM p),
+         |e AS (SELECT source, n_docs, n_tokens,
+         |  round($EpochBudgetMult * total_tokens / n_sources / n_tokens, 6) AS epochs
+         |  FROM p, t)
+         |SELECT source, n_docs, n_tokens, epochs,
+         |  least(epochs, $EpochCap) AS capped_epochs,
+         |  CAST(floor(least(epochs, $EpochCap) * n_tokens) AS BIGINT) AS effective_tokens,
+         |  (epochs > 1.0) AS repeats
+         |FROM e""".stripMargin
+
   // ---------------------------------------------------------------- K6
   /** Materialize the K3 mixture: emit each document `n_copies` times
     * so per-language token mass approaches the uniform target.
@@ -1002,6 +1049,7 @@ object TrainingOps {
     "q_hash_split" -> (qHashSplit _),
     "q_source_cap" -> (qSourceCap _),
     "q_mixture_weights" -> (qMixtureWeights _),
+    "q_epoch_schedule" -> (qEpochSchedule _),
     "q_resample" -> (qResample _),
     "q_corpus_health" -> (qCorpusHealth _),
     "q_anomaly" -> (qAnomaly _))
@@ -1024,6 +1072,7 @@ object TrainingOps {
     "q_hash_split" -> qHashSplitSql,
     "q_source_cap" -> qSourceCapSql,
     "q_mixture_weights" -> qMixtureWeightsSql,
+    "q_epoch_schedule" -> qEpochScheduleSql,
     "q_resample" -> qResampleSql,
     "q_corpus_health" -> qCorpusHealthSql,
     "q_anomaly" -> qAnomalySql)

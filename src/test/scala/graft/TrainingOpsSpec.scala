@@ -20,6 +20,23 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(rows.forall { case (_, top, dis, _) => top + 1e-9 >= dis * top })
   }
 
+  test("epoch schedule: uncapped sources hit the uniform token target, capped never exceed the cap") {
+    val rows = TrainingOps.qEpochSchedule(spark, sf)
+      .select("source", "n_tokens", "epochs", "capped_epochs", "effective_tokens", "repeats")
+      .as[(String, Long, Double, Double, Long, Boolean)].collect()
+    assert(rows.nonEmpty && rows.map(_._1).distinct.length == rows.length)
+    val total = rows.map(_._2).sum
+    val target = TrainingOps.EpochBudgetMult * total / rows.length
+    rows.foreach { case (_, nt, e, ce, eff, rep) =>
+      assert(e > 0 && ce <= TrainingOps.EpochCap + 1e-9 && ce <= e + 1e-9)
+      assert(rep == (e > 1.0))
+      assert(eff <= (TrainingOps.EpochCap * nt).toLong)
+      if (e < TrainingOps.EpochCap)
+        assert(math.abs(e * nt - target) <= target * 1e-4,
+          "uncapped source must land on the uniform per-source token target")
+    }
+  }
+
   test("curriculum plan: 4 phases partition the corpus into disjoint ascending surprisal bands") {
     val phases = TrainingOps.qCurriculumPlan(spark, sf)
       .select("phase", "n_docs", "token_budget", "surprisal_lo", "surprisal_hi")

@@ -44,6 +44,23 @@ class TuningSpec extends AnyFunSuite {
     })
   }
 
+  test("calibration bins partition the corpus with in-bin mean scores and bounded fractions") {
+    val rows = FeatureOps.qCalibration(spark, sf)
+      .select("bin", "n", "mean_score", "frac_pos", "gap")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    val total = graft.Tables.documents(spark, sf).count()
+    assert(rows.map(_._2).sum == total, "bins must partition the corpus")
+    rows.foreach { case (bin, n, ms, fp, gap) =>
+      assert(bin >= 0 && bin <= 19 && n > 0)
+      assert(fp >= 0.0 && fp <= 1.0)
+      assert(math.abs(gap - math.abs(ms - fp)) < 1e-9)
+      if (bin < 19)
+        assert(ms >= bin / 100.0 - 1e-9 && ms < (bin + 1) / 100.0 + 1e-9,
+          s"mean score $ms outside bin $bin bounds")
+    }
+  }
+
   test("learning curve: nested fractions grow the train set and accuracy stays bounded") {
     val rows = Tuning.qLearningCurve(spark, sf)
       .select("train_frac", "n_train", "accuracy")

@@ -68,10 +68,11 @@ object Bench {
     // session (cold chain paid once, then shared), reported as
     // "composite_warm" next to the cold total.
     val compositeFamily = Seq("q_neardup_keep_list", "q_decontam_keep_list",
-      "q_source_overlap", "q_containment_pairs", "q_cluster_sizes")
+      "q_source_overlap", "q_containment_pairs", "q_cluster_sizes",
+      "q_crosslingual_pairs")
       .filter(selected.contains)
     val compositeWarm: Option[Double] =
-      if (compositeFamily.size == 5) {
+      if (compositeFamily.size == 6) {
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         val allOk = compositeFamily.forall { n =>

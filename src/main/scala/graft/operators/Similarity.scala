@@ -296,6 +296,42 @@ object Similarity {
           "[0-9a-f]+(_cent)?").r)
   }
 
+  // ---------------------------------------------------------------- D6
+  /** Incremental vector ingest: assign an ARRIVING batch of vectors to
+    * IVF cells against the PERSISTED centroids — the C8b
+    * sign-against-the-store contract for embeddings. MAP-ONLY: the
+    * nlist-row centroid table broadcasts, each new vector computes its
+    * nlist distances inline and keeps the argmin; no fit, no index
+    * rebuild, no shuffle of the batch. At 100 TB this is how a vector
+    * corpus grows between scheduled refits: batches stream through
+    * nearest-centroid assignment and land in their cells' buckets.
+    *
+    * The assignment metric replicates the index fit exactly — squared
+    * euclidean between the L2-NORMALIZED vector and the
+    * normalized-space centroid: ||v̂||² − 2·v̂·c + ||c||² with
+    * ||v̂||² = 1 (spherical-KMeans geometry, see [[IvfIndex.ensure]]).
+    * The round-trip spec feeds vectors ALREADY in the index back
+    * through this path and requires their persisted cells back —
+    * any drift from Spark ML's assignment rule would surface there.
+    * Ties break on (12-dp distance, cell) — deterministic.
+    */
+  def assignVectors(spark: SparkSession, dir: String,
+      batch: DataFrame, nlist: Int = 16): DataFrame = {
+    val (_, cent) = IvfIndex.get(spark, dir, nlist)
+    val vb = batch.select(col("vec_id"), col("v").cast("array<double>").as("v"))
+    val vn = VectorFunctions.norm2(col("v"))
+    val vhat = when(vn > 0, transform(col("v"), x => x / vn)).otherwise(col("v"))
+    vb.withColumn("vhat", vhat)
+      .crossJoin(broadcast(cent.select(col("cell").as("c_cell"), col("cv"))))
+      .withColumn("dist2",
+        lit(1.0) - lit(2.0) * VectorFunctions.dot(col("vhat"), col("cv")) +
+          VectorFunctions.dot(col("cv"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(round(col("dist2"), 12).as("d"), col("c_cell").as("cell")))
+        .as("m"), first(col("v")).as("v"))
+      .select(col("vec_id"), col("v"), col("m.cell").as("cell"))
+  }
+
   /** Persistent product-quantization index: the 64-dim space is split
     * into [[PqM]] subspaces of 8 dims; each subspace gets a seeded
     * [[PqK]]-code KMeans codebook, and every corpus vector is encoded

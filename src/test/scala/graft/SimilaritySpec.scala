@@ -22,6 +22,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recallable.nonEmpty, "LSH found no pairs for any brute-force query id")
   }
 
+  test("incremental vector ingest reproduces persisted cells map-only, without refit") {
+    val (asg, _) = Similarity.IvfIndex.get(spark, sf, 16)
+    val persisted = asg.select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    val fits = Similarity.IvfIndex.fitCount.get
+    val out = Similarity.assignVectors(spark, sf,
+        asg.select(org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.col("v")))
+      .select("vec_id", "cell").as[(Long, Int)].collect()
+    assert(Similarity.IvfIndex.fitCount.get == fits, "ingest path must never fit")
+    assert(out.length == persisted.size)
+    val mismatched = out.count { case (id, c) => persisted(id) != c }
+    assert(mismatched == 0,
+      s"$mismatched vectors re-assigned to a different cell than the index fit chose")
+  }
+
   test("LSH buckets are population-bounded and plane count scales") {
     import graft.functions.Hyperplanes
     // every (band, bucket) the pair-join can touch is under the cap

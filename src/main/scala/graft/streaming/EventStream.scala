@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
-import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, StructField, StructType}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.Tables
@@ -400,6 +400,38 @@ object EventStream {
     readSinkOrEmpty(spark, outPath, StructType(Seq(
       StructField("n_train", LongType), StructField("n_eval", LongType),
       StructField("ks_d", DoubleType), StructField("batch_id", LongType))))
+  }
+
+  /** F17: streaming vector ingest — arriving embedding micro-batches
+    * assigned to IVF cells against the persisted centroids (D6
+    * `assignVectors`) and appended to the cell-keyed sink. The
+    * centroid table is the shared read-only state (broadcast per
+    * batch, nlist rows); the persisted index is the durable state, so
+    * the stream holds nothing in flight and restarts resume from
+    * checkpoint + index — the same store-as-state shape as F15.
+    * Per batch the work is map-only in the batch size; the corpus is
+    * never rescanned and the index never refits mid-stream
+    * (spec-pinned via fitCount). A single batch holding already-indexed
+    * vectors reproduces their persisted cells exactly (StreamingSpec).
+    */
+  def streamVectorIngestToFiles(vecs: DataFrame, dir: String,
+      outPath: String, checkpoint: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val spark = vecs.sparkSession
+    val q = vecs.writeStream
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!b.isEmpty) {
+          graft.operators.Similarity.assignVectors(spark, dir, b.toDF())
+            .write.mode("append").parquet(outPath)
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    readSinkOrEmpty(spark, outPath, StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("v", ArrayType(DoubleType)),
+      StructField("cell", IntegerType))))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -196,6 +196,27 @@ class StreamingSpec extends AnyFunSuite {
       s"stream-batch mismatch: onlyStream=${(streamed -- batch).take(3)} onlyBatch=${(batch -- streamed).take(3)}")
   }
 
+  test("streaming vector ingest over micro-batches reproduces persisted cells without refit") {
+    implicit val sqlCtx = spark.sqlContext
+    val (asg, _) = graft.operators.Similarity.IvfIndex.get(spark, sf, 16)
+    val persisted = asg.select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    val vecs = asg.select("vec_id", "v").as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val (b1, b2) = vecs.splitAt(vecs.length / 2)
+    val input = MemoryStream[(Long, Seq[Double])]
+    input.addData(b1: _*)
+    input.addData(b2: _*)
+    val fits = graft.operators.Similarity.IvfIndex.fitCount.get
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_vec").toString
+    val out = EventStream.streamVectorIngestToFiles(
+      input.toDF().toDF("vec_id", "v"), sf, s"$tmp/out", s"$tmp/cp")
+      .select("vec_id", "cell").as[(Long, Int)].collect()
+    assert(graft.operators.Similarity.IvfIndex.fitCount.get == fits,
+      "the stream must ride the persisted index, never refit")
+    assert(out.length == persisted.size, "every streamed vector lands in the sink once")
+    assert(out.forall { case (id, c) => persisted(id) == c },
+      "streamed assignment diverged from the index fit")
+  }
+
   test("streaming quality-drift monitor equals the batch KS verdict on one batch") {
     implicit val sqlCtx = spark.sqlContext
     val arriving = Tables.documents(spark, sf)

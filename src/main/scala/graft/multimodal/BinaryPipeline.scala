@@ -185,15 +185,60 @@ object BinaryPipeline {
       |SELECT vec_id, round(sum(list_extract(embedding::DOUBLE[], i) * c), 6) AS score
       |FROM embeddings, pl GROUP BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- G5
+  /** Perceptual-hash near-dup for media payloads: each payload's G2
+    * frame means quantized to 4 bits and packed into a 16-bit pHash;
+    * payloads sharing a pHash form a duplicate group with one
+    * canonical (least-id) keeper — the media-side analog of C1's text
+    * dedup, robust to byte-level noise a cryptographic hash would
+    * amplify (a real pipeline swaps the stub frame statistics for DCT
+    * coefficients in the same shape). One groupBy on the hash + one
+    * join back: fully distributed, no pairwise work anywhere.
+    * Integer arithmetic end-to-end (quantize → CASE multiplier →
+    * sum), so both engines agree bit-for-bit.
+    */
+  def qMultimodalPhash(spark: SparkSession, dir: String): DataFrame = {
+    val q = (floor(col("frame_mean") / 16)).cast("long")
+    val m = when(col("frame_idx") === 0, 1L).when(col("frame_idx") === 1, 16L)
+      .when(col("frame_idx") === 2, 256L).otherwise(4096L)
+    val p = qMultimodalFrames(spark, dir)
+      .groupBy(col("doc_id")).agg(sum(q * m).as("phash"))
+    val g = p.groupBy(col("phash"))
+      .agg(count(lit(1)).as("group_n"), min(col("doc_id")).as("canon"))
+    p.join(g, "phash")
+      .select(col("doc_id"), col("phash"), col("group_n"),
+        (col("doc_id") === col("canon")).as("keep"))
+  }
+
+  val qMultimodalPhashSql: String =
+    raw"""WITH f AS (SELECT doc_id, text,
+         |    unnest(generate_series(0, CAST(least(4, length(text) // 32) AS BIGINT) - 1)) AS frame_idx
+         |  FROM documents),
+         |fm AS (SELECT doc_id, frame_idx,
+         |    CAST(list_sum(list_transform(generate_series(1, 8),
+         |      j -> ascii(substr(text, CAST(frame_idx * 32 + j AS INTEGER), 1)))) AS DOUBLE) / 8.0 AS frame_mean
+         |  FROM f),
+         |p AS (SELECT doc_id,
+         |    CAST(sum(CAST(floor(frame_mean / 16) AS BIGINT) *
+         |      (CASE frame_idx WHEN 0 THEN 1 WHEN 1 THEN 16
+         |        WHEN 2 THEN 256 ELSE 4096 END)) AS BIGINT) AS phash
+         |  FROM fm GROUP BY doc_id),
+         |g AS (SELECT phash, count(*) AS group_n, min(doc_id) AS canon
+         |  FROM p GROUP BY phash)
+         |SELECT doc_id, p.phash, group_n, (doc_id = canon) AS keep
+         |FROM p JOIN g USING (phash)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_multimodal_resize" -> (qMultimodalResize _),
+    "q_multimodal_phash" -> (qMultimodalPhash _),
     "q_batched_score" -> ((s: SparkSession, d: String) => qBatchedScore(s, d)))
 
   def oracle: Map[String, String] = Map(
     "q_multimodal_decode" -> qMultimodalDecodeSql,
     "q_multimodal_frames" -> qMultimodalFramesSql,
     "q_multimodal_resize" -> qMultimodalResizeSql,
+    "q_multimodal_phash" -> qMultimodalPhashSql,
     "q_batched_score" -> qBatchedScoreSql)
 }

@@ -623,6 +623,51 @@ object Similarity {
     withRecall(top, bruteforceTop5(spark, dir))
   }
 
+  // ---------------------------------------------------------------- D8
+  /** IVF index health report: per-cell occupancy and coherence over
+    * the PERSISTED index — the introspection query a vector-warehouse
+    * operator runs before trusting an index with production traffic.
+    * Per cell: vector count, `load_factor` (count ÷ uniform share —
+    * the skew dial that decides when a hot cell needs a re-fit or a
+    * split), and `mean_coherence` (mean cosine of members to their
+    * centroid — the quantization-quality dial that decides nprobe).
+    * Cost shape at 100 TB: centroids broadcast, the assignment scans
+    * once pre-bucketed by cell, output is `nlist` rows — no shuffle
+    * beyond the nlist-wide aggregate. Fit-free: rides
+    * [[IvfIndex.get]], so the oracle replays the identical arithmetic
+    * over the persisted index files.
+    */
+  def qAnnIndexStats(spark: SparkSession, dir: String, nlist: Int = 16): DataFrame = {
+    val (assigned, cdf) = IvfIndex.get(spark, dir, nlist)
+    val per = assigned.join(broadcast(cdf), "cell")
+      .select(col("cell"),
+        round(VectorFunctions.cosine(col("v"), col("cv")), 6).as("coh"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"), round(avg(col("coh")), 4).as("mean_coherence"))
+    val tot = per.agg(sum(col("n_vectors")).as("total"),
+      count(lit(1)).as("ncells"))
+    per.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vectors"),
+        round(col("n_vectors") * col("ncells") / col("total"), 4).as("load_factor"),
+        col("mean_coherence"))
+  }
+
+  /** Replay of [[qAnnIndexStats]] over the persisted index files. */
+  private def annIndexStatsSql(asgDir: String, centDir: String): String =
+    raw"""WITH asg AS (SELECT vec_id, v, cell FROM read_parquet('$asgDir/*.parquet')),
+         |cent AS (SELECT cell, cv FROM read_parquet('$centDir/*.parquet')),
+         |flat AS (SELECT cell, vec_id, unnest(asg.v) AS x, unnest(cent.cv) AS y
+         |  FROM asg JOIN cent USING (cell)),
+         |coh AS (SELECT cell, vec_id,
+         |    round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS coh
+         |  FROM flat GROUP BY cell, vec_id),
+         |per AS (SELECT cell, count(*) AS n_vectors, round(avg(coh), 4) AS mean_coherence
+         |  FROM coh GROUP BY cell),
+         |tot AS (SELECT CAST(sum(n_vectors) AS BIGINT) AS total, count(*) AS ncells FROM per)
+         |SELECT cell, n_vectors, round(n_vectors * ncells / total, 4) AS load_factor,
+         |  mean_coherence
+         |FROM per, tot""".stripMargin
+
   /** Shortlist size used by the most recent PQ/IVFPQ query — inlined
     * into the oracle SQL so both engines cut the identical shortlist.
     */
@@ -784,7 +829,8 @@ object Similarity {
     "q_ann_lsh" -> ((s: SparkSession, d: String) => qAnnLsh(s, d)),
     "q_ann_ivf" -> ((s: SparkSession, d: String) => qAnnIvf(s, d)),
     "q_ann_pq" -> ((s: SparkSession, d: String) => qAnnPq(s, d)),
-    "q_ann_ivfpq" -> ((s: SparkSession, d: String) => qAnnIvfPq(s, d)))
+    "q_ann_ivfpq" -> ((s: SparkSession, d: String) => qAnnIvfPq(s, d)),
+    "q_ann_index_stats" -> ((s: SparkSession, d: String) => qAnnIndexStats(s, d)))
 
   /** The index-backed oracles inline absolute paths of the persisted
     * index tables, resolved when the corresponding query ran in this
@@ -797,6 +843,8 @@ object Similarity {
     Map("q_ann_bruteforce" -> qAnnBruteforceSql, "q_ann_lsh" -> qAnnLshSql) ++
       Option(IvfIndex.lastLoc.get).map { case (a, c) =>
         "q_ann_ivf" -> annIvfSql(a, c, nprobe = 10) }.toMap ++
+      Option(IvfIndex.lastLoc.get).map { case (a, c) =>
+        "q_ann_index_stats" -> annIndexStatsSql(a, c) }.toMap ++
       (for ((co, b) <- Option(PqIndex.lastLoc.get) if k > 0)
         yield "q_ann_pq" -> annPqSql(co, b, k)).toMap ++
       (for ((a, c) <- Option(IvfIndex.lastLoc.get);

@@ -493,7 +493,62 @@ object FeatureOps {
          |FROM h GROUP BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- E16
+  /** Per-dimension int8 quantization of the embedding column — the
+    * affine (min, scale) codec that shrinks a served vector corpus 8×
+    * (64 float64 → 64 uint8 + 2 doubles/dim of codec state) — with the
+    * reconstruction-error audit that decides whether int8 serving is
+    * safe. Two passes, both scale-free: (1) per-dim min/max via
+    * explode + 64-row aggregate (map-side combine collapses each
+    * partition to 64 rows before the shuffle); (2) the 64-row codec
+    * table broadcasts back and each value quantizes/dequantizes
+    * MAP-SIDE — `code = round((x − mn)/scale)`, err = |x − (mn +
+    * code·scale)|. Output is 64 rows: codec state + mean/max abs
+    * error per dim. The error ceiling of an affine uint8 codec is
+    * scale/2 per value — asserted as `bound_ok`, which the oracle
+    * recomputes (a verdict column, the r9 sketch-twin device).
+    */
+  def qInt8Quant(spark: SparkSession, dir: String): DataFrame = {
+    val flat = Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+    val codec = flat.groupBy(col("dim"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .withColumn("scale", (col("mx") - col("mn")) / 255.0)
+    val code = when(col("scale") === 0, lit(0L))
+      .otherwise(round((col("x") - col("mn")) / col("scale")).cast("long"))
+    flat.join(broadcast(codec), "dim")
+      .withColumn("err", abs(col("x") - (col("mn") + code * col("scale"))))
+      .groupBy(col("dim"))
+      .agg(first(col("mn")).as("mn0"), first(col("mx")).as("mx0"),
+        first(col("scale")).as("scale0"),
+        round(avg(col("err")), 6).as("mean_abs_err"),
+        round(max(col("err")), 6).as("max_abs_err"))
+      .select(col("dim"), round(col("mn0"), 6).as("mn"),
+        round(col("mx0"), 6).as("mx"), round(col("scale0"), 8).as("scale"),
+        col("mean_abs_err"), col("max_abs_err"),
+        (col("max_abs_err") <= col("scale0") / 2 + 1e-9).as("bound_ok"))
+  }
+
+  val qInt8QuantSql: String =
+    """WITH flat AS (SELECT i - 1 AS dim, list_extract(embedding::DOUBLE[], i) AS x
+      |    FROM embeddings, generate_series(1, 64) g(i)),
+      |codec AS (SELECT dim, min(x) AS mn, max(x) AS mx, (max(x) - min(x)) / 255.0 AS scale
+      |  FROM flat GROUP BY dim),
+      |q AS (SELECT flat.dim, x, mn, mx, scale,
+      |    abs(x - (mn + (CASE WHEN scale = 0 THEN 0
+      |      ELSE CAST(round((x - mn) / scale) AS BIGINT) END) * scale)) AS err
+      |  FROM flat JOIN codec USING (dim)),
+      |a AS (SELECT dim, any_value(mn) AS mn0, any_value(mx) AS mx0,
+      |    any_value(scale) AS scale0,
+      |    round(avg(err), 6) AS mean_abs_err, round(max(err), 6) AS max_abs_err
+      |  FROM q GROUP BY dim)
+      |SELECT dim, round(mn0, 6) AS mn, round(mx0, 6) AS mx, round(scale0, 8) AS scale,
+      |  mean_abs_err, max_abs_err,
+      |  (max_abs_err <= scale0 / 2 + 1e-9) AS bound_ok
+      |FROM a""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_int8_quant" -> (qInt8Quant _),
     "q_feature_hash" -> (qFeatureHash _),
     "q_auc" -> (qAuc _),
     "q_calibration" -> (qCalibration _),
@@ -509,6 +564,7 @@ object FeatureOps {
     "q_chi2_features" -> (qChi2Features _))
 
   def oracle: Map[String, String] = Map(
+    "q_int8_quant" -> qInt8QuantSql,
     "q_feature_hash" -> qFeatureHashSql,
     "q_auc" -> qAucSql,
     "q_calibration" -> qCalibrationSql,

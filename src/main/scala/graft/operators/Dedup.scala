@@ -1345,7 +1345,62 @@ object Dedup {
          |  (coalesce(lab.cluster_id, asg.vec_id) = asg.vec_id) AS keep
          |FROM asg LEFT JOIN lab ON asg.vec_id = lab.vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- C15
+  /** Segment-level (sub-document) dedup — the line-dedup primitive of
+    * CCNet/RefinedWeb-style pipelines, at the granularity between
+    * C1's whole-doc hash and C2's shingle overlap: documents split
+    * into fixed 16-token segments (the "line" of this newline-free
+    * corpus), each segment md5-hashed, and a corpus-wide segment
+    * document-frequency marks boilerplate. Per doc: segment count,
+    * duplicated-segment count, dup fraction, and the keep verdict
+    * (≤ half the segments duplicated) in EXACT integer arithmetic.
+    * Scale shape: after the map-side split only (hash, doc_id) pairs
+    * move — never text; the df aggregate map-side-combines (a
+    * boilerplate segment collapses to one row per partition before
+    * the shuffle) and the df→segment join is a plain hash join on the
+    * segment hash. A production pipeline follows with the map-only
+    * rewrite that drops df>1 segments from the retained docs.
+    */
+  def qSegmentDedup(spark: SparkSession, dir: String): DataFrame = {
+    val segN = 16
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val nseg = ceil(size(col("toks")) / lit(segN.toDouble)).cast("int")
+    val seg = t.select(col("doc_id"),
+      explode(transform(sequence(lit(0), nseg - 1),
+        i => md5(array_join(slice(col("toks"), i * segN + 1, lit(segN)), " "))))
+        .as("seg_hash"))
+    val dfreq = seg.groupBy(col("seg_hash")).agg(count(lit(1)).as("df"))
+    seg.join(dfreq, "seg_hash")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup_segments"))
+      .select(col("doc_id"), col("n_segments"), col("n_dup_segments"),
+        round(col("n_dup_segments") / col("n_segments").cast("double"), 6)
+          .as("dup_fraction"),
+        (col("n_dup_segments") * 2 <= col("n_segments")).as("keep"))
+  }
+
+  val qSegmentDedupSql: String = {
+    val toksSql = duckToksSql("text")
+    raw"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |si AS (SELECT doc_id, toks,
+         |    unnest(generate_series(0, CAST(ceil(len(toks) / 16.0) AS BIGINT) - 1)) AS i
+         |  FROM t),
+         |seg AS (SELECT doc_id,
+         |    md5(array_to_string(toks[i*16+1 : i*16+16], ' ')) AS seg_hash FROM si),
+         |df AS (SELECT seg_hash, count(*) AS df FROM seg GROUP BY seg_hash),
+         |d AS (SELECT doc_id, count(*) AS n_segments,
+         |    CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments
+         |  FROM seg JOIN df USING (seg_hash) GROUP BY doc_id)
+         |SELECT doc_id, n_segments, n_dup_segments,
+         |  round(CAST(n_dup_segments AS DOUBLE) / n_segments, 6) AS dup_fraction,
+         |  (n_dup_segments * 2 <= n_segments) AS keep
+         |FROM d""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_segment_dedup" -> (qSegmentDedup _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_incremental_dedup" -> (qIncrementalDedup _),
     "q_incremental_neardup" -> (qIncrementalNeardup _),
@@ -1365,6 +1420,7 @@ object Dedup {
     "q_cluster_sizes" -> (qClusterSizes _))
 
   def oracle: Map[String, String] = Map(
+    "q_segment_dedup" -> qSegmentDedupSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_incremental_dedup" -> qIncrementalDedupSql,
     "q_incremental_neardup" -> qIncrementalNeardupSql,

@@ -547,7 +547,67 @@ object FeatureOps {
       |  (max_abs_err <= scale0 / 2 + 1e-9) AS bound_ok
       |FROM a""".stripMargin
 
+  // ---------------------------------------------------------------- E17
+  /** Vector-corpus QC gate — the validation a pipeline runs BEFORE
+    * trusting an embedding snapshot: counts of zero vectors,
+    * non-finite components (NaN/±Inf — the classic upstream-model
+    * failure), and norm outliers (> 3σ from the corpus mean — a
+    * truncated or double-scaled batch shows up here), plus the norm
+    * distribution itself. One-row verdict. Two linear passes: norms
+    * are MAP-SIDE (codegen'd fold over the array), the stats aggregate
+    * is one row broadcast back, the outlier flag is again map-side.
+    * Norms are 6-dp-rounded BEFORE the stats/threshold compare so the
+    * 64-term summation order can never flip a knife-edge verdict
+    * across engines (the §5 parity rule applied to a cutoff).
+    */
+  def qEmbeddingQc(spark: SparkSession, dir: String): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    val bad = exists(v, x => isnan(x) || abs(x) === lit(Double.PositiveInfinity))
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), bad.as("nonfinite"),
+        when(bad, lit(null)).otherwise(round(graft.functions.VectorFunctions.norm2(v), 6)).as("rn"))
+    val stats = base.filter(!col("nonfinite"))
+      .agg(round(avg(col("rn")), 6).as("mean_norm"),
+        round(stddev_samp(col("rn")), 6).as("sd_norm"))
+    base.crossJoin(broadcast(stats))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("nonfinite"), 1L).otherwise(0L)).as("n_nonfinite"),
+        sum(when(!col("nonfinite") && col("rn") === 0, 1L).otherwise(0L)).as("n_zero"),
+        sum(when(!col("nonfinite") &&
+          round(abs(col("rn") - col("mean_norm")), 6) > round(col("sd_norm") * 3, 6),
+          1L).otherwise(0L)).as("n_norm_outliers"),
+        first(col("mean_norm")).as("mean_norm"),
+        first(col("sd_norm")).as("sd_norm"))
+      .withColumn("qc_pass",
+        col("n_nonfinite") === 0 && col("n_zero") === 0 &&
+          col("n_norm_outliers") * 100 <= col("n_vectors"))
+  }
+
+  val qEmbeddingQcSql: String =
+    """WITH b AS (SELECT vec_id,
+      |    len(list_filter(embedding::DOUBLE[], x -> isnan(x) OR isinf(x))) > 0 AS nonfinite,
+      |    round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6) AS rn0
+      |  FROM embeddings),
+      |bb AS (SELECT vec_id, nonfinite,
+      |    CASE WHEN nonfinite THEN NULL ELSE rn0 END AS rn FROM b),
+      |s AS (SELECT round(avg(rn), 6) AS mean_norm, round(stddev_samp(rn), 6) AS sd_norm
+      |  FROM bb WHERE NOT nonfinite)
+      |SELECT count(*) AS n_vectors,
+      |  CAST(sum(CASE WHEN nonfinite THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+      |  CAST(sum(CASE WHEN NOT nonfinite AND rn = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+      |  CAST(sum(CASE WHEN NOT nonfinite
+      |    AND round(abs(rn - mean_norm), 6) > round(sd_norm * 3, 6)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_norm_outliers,
+      |  any_value(mean_norm) AS mean_norm, any_value(sd_norm) AS sd_norm,
+      |  (sum(CASE WHEN nonfinite THEN 1 ELSE 0 END) = 0
+      |    AND sum(CASE WHEN NOT nonfinite AND rn = 0 THEN 1 ELSE 0 END) = 0
+      |    AND CAST(sum(CASE WHEN NOT nonfinite
+      |      AND round(abs(rn - mean_norm), 6) > round(sd_norm * 3, 6)
+      |      THEN 1 ELSE 0 END) AS BIGINT) * 100 <= count(*)) AS qc_pass
+      |FROM bb, s""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embedding_qc" -> (qEmbeddingQc _),
     "q_int8_quant" -> (qInt8Quant _),
     "q_feature_hash" -> (qFeatureHash _),
     "q_auc" -> (qAuc _),
@@ -564,6 +624,7 @@ object FeatureOps {
     "q_chi2_features" -> (qChi2Features _))
 
   def oracle: Map[String, String] = Map(
+    "q_embedding_qc" -> qEmbeddingQcSql,
     "q_int8_quant" -> qInt8QuantSql,
     "q_feature_hash" -> qFeatureHashSql,
     "q_auc" -> qAucSql,

@@ -108,11 +108,64 @@ object SkewJoin {
       |  round(CAST(quantile_cont(cnt, 0.99) AS DOUBLE) * count(*) / sum(cnt), 4) AS p99_over_mean
       |FROM pk""".stripMargin
 
+  // ---------------------------------------------------------------- H7
+  /** Join-size pre-flight: the EXACT cardinality and skew profile of
+    * the lineitem⋈orders fact-fact join computed WITHOUT running it —
+    * per-side per-key count histograms (each a map-side-combined
+    * aggregate), joined on the key so only counts shuffle, never
+    * rows; |A⋈B| = Σ_k cnt_a(k)·cnt_b(k). The planner's pre-flight at
+    * 100 TB: before committing a multi-hour fact-fact shuffle, a
+    * histogram-sized query answers "how many rows come out, how much
+    * lands on the hottest key, and does a salt factor help" —
+    * `max_key_contrib` ÷ mean-per-key output IS the salt factor H1
+    * needs. The two identical lineitem sub-aggregates canonicalize to
+    * one exchange (ReuseExchange), so each fact table is read once.
+    */
+  def qJoinCardinality(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("cl"))
+    val o = Tables.orders(spark, dir)
+      .groupBy(col("o_orderkey")).agg(count(lit(1)).as("co"))
+    val sl = l.agg(sum(col("cl")).as("n_left"), count(lit(1)).as("keys_left"),
+      max(col("cl")).as("max_mult_left"))
+    val so = o.agg(sum(col("co")).as("n_right"), count(lit(1)).as("keys_right"),
+      max(col("co")).as("max_mult_right"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .agg(sum(col("cl") * col("co")).as("join_rows"),
+        count(lit(1)).as("n_keys_matched"),
+        max(col("cl") * col("co")).as("max_key_contrib"))
+      .crossJoin(broadcast(sl)).crossJoin(broadcast(so))
+      .select(col("n_left"), col("keys_left"), col("max_mult_left"),
+        col("n_right"), col("keys_right"), col("max_mult_right"),
+        col("join_rows"), col("n_keys_matched"), col("max_key_contrib"),
+        round(col("max_key_contrib").cast("double") * col("n_keys_matched")
+          / col("join_rows"), 4).as("top_key_over_mean"))
+  }
+
+  val qJoinCardinalitySql: String =
+    """WITH l AS (SELECT l_orderkey AS k, count(*) AS cl FROM lineitem GROUP BY 1),
+      |o AS (SELECT o_orderkey AS k, count(*) AS co FROM orders GROUP BY 1),
+      |sl AS (SELECT CAST(sum(cl) AS BIGINT) AS n_left, count(*) AS keys_left,
+      |    CAST(max(cl) AS BIGINT) AS max_mult_left FROM l),
+      |so AS (SELECT CAST(sum(co) AS BIGINT) AS n_right, count(*) AS keys_right,
+      |    CAST(max(co) AS BIGINT) AS max_mult_right FROM o),
+      |j AS (SELECT CAST(sum(cl * co) AS BIGINT) AS join_rows,
+      |    count(*) AS n_keys_matched,
+      |    CAST(max(cl * co) AS BIGINT) AS max_key_contrib
+      |  FROM l JOIN o USING (k))
+      |SELECT n_left, keys_left, max_mult_left, n_right, keys_right, max_mult_right,
+      |  join_rows, n_keys_matched, max_key_contrib,
+      |  round(CAST(max_key_contrib AS DOUBLE) * n_keys_matched / join_rows, 4)
+      |    AS top_key_over_mean
+      |FROM j, sl, so""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_salted_join" -> (qSaltedJoin _),
+    "q_join_cardinality" -> (qJoinCardinality _),
     "q_skew_report" -> (qSkewReport _))
 
   def oracle: Map[String, String] = Map(
     "q_salted_join" -> qSaltedJoinSql,
+    "q_join_cardinality" -> qJoinCardinalitySql,
     "q_skew_report" -> qSkewReportSql)
 }

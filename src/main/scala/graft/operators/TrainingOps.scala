@@ -1031,7 +1031,49 @@ object TrainingOps {
          |  (tok_offset + n_tokens - 1) // $CtxTokens AS last_chunk
          |FROM o""".stripMargin
 
+  // ---------------------------------------------------------------- K16
+  /** Training-shard manifest: the deterministic md5-bucket shard
+    * assignment (K2's device widened to [[NShards]] output shards — the
+    * writer layout of a packed corpus) audited per shard: doc count,
+    * token mass, source diversity, and `load_factor` (token share ÷
+    * uniform). Hash sharding is the ONLY shard assignment that needs
+    * no global sort and no coordination at any corpus size — this
+    * manifest is the audit that proves the resulting layout balanced
+    * (feed it to the trainer's data loader as the shard index). All
+    * map-side until the [[NShards]]-row aggregate; totals broadcast
+    * back for the load factor.
+    */
+  val NShards = 32
+
+  def qShardManifest(spark: SparkSession, dir: String): DataFrame = {
+    val shard =
+      (expr("conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10)")
+        .cast("long") % NShards).as("shard")
+    val per = Tables.documents(spark, dir)
+      .select(shard, col("source"), tokenCount(col("text")).cast("long").as("n_tokens"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        countDistinct(col("source")).as("n_sources"))
+    val tot = per.agg(sum(col("n_tokens")).as("total_tokens"))
+    per.crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_docs"), col("n_tokens"), col("n_sources"),
+        round(col("n_tokens").cast("double") * NShards / col("total_tokens"), 6)
+          .as("load_factor"))
+  }
+
+  val qShardManifestSql: String =
+    raw"""WITH d AS (SELECT
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % $NShards AS shard,
+         |    source, CAST(len($duckToks) AS BIGINT) AS n_tokens FROM documents),
+         |per AS (SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |    count(DISTINCT source) AS n_sources FROM d GROUP BY shard),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM per)
+         |SELECT shard, n_docs, n_tokens, n_sources,
+         |  round(CAST(n_tokens AS DOUBLE) * $NShards / total_tokens, 6) AS load_factor
+         |FROM per, tot""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_shard_manifest" -> (qShardManifest _),
     "q_pipeline_e2e" -> (qPipelineE2e _),
     "q_retention" -> (qRetention _),
     "q_quality_deciles" -> (qQualityDeciles _),
@@ -1055,6 +1097,7 @@ object TrainingOps {
     "q_anomaly" -> (qAnomaly _))
 
   def oracle: Map[String, String] = Map(
+    "q_shard_manifest" -> qShardManifestSql,
     "q_pipeline_e2e" -> qPipelineE2eSql,
     "q_retention" -> qRetentionSql,
     "q_quality_deciles" -> qQualityDecilesSql,

@@ -1072,7 +1072,73 @@ object TrainingOps {
          |  round(CAST(n_tokens AS DOUBLE) * $NShards / total_tokens, 6) AS load_factor
          |FROM per, tot""".stripMargin
 
+  // ---------------------------------------------------------------- K17
+  /** Packing-efficiency sweep: the K1 concat-and-chunk layout costed
+    * at four candidate context lengths in one query — per context:
+    * chunk count, tail-pad tokens (the only waste in a split-docs
+    * packing: each source shard pads once, at its final chunk), pad
+    * fraction, and how many documents get split across a chunk
+    * boundary (the attention-mask/document-boundary cost). This is
+    * the table a trainer reads to pick the context length — waste
+    * falls and splits rise monotonically with ctx, and this query
+    * prices both sides. One token-count pass + the K1 offset window
+    * per source shard; the 4× explode happens on per-doc ARITHMETIC
+    * rows (not text) and both aggregates are 4-row bounded.
+    */
+  val PackCtxs: Seq[Int] = Seq(256, 512, 1024, 2048)
+
+  def qPackingEfficiency(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = d.withColumn("tok_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    val ctxArr = array(PackCtxs.map(c => lit(c.toLong)): _*)
+    val splits = off
+      .select(col("n_tokens"), col("tok_offset"), explode(ctxArr).as("ctx"))
+      .groupBy(col("ctx"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(expr("tok_offset DIV ctx") =!= expr("(tok_offset + n_tokens - 1) DIV ctx"),
+          1L).otherwise(0L)).as("n_docs_split"))
+    val shardT = off.groupBy(col("source")).agg(sum(col("n_tokens")).as("t"))
+    val pads = shardT
+      .select(col("t"), explode(ctxArr).as("ctx"))
+      .groupBy(col("ctx"))
+      .agg(sum(expr("(t + ctx - 1) DIV ctx")).as("n_chunks"),
+        sum(col("t")).as("total_tokens"),
+        sum(expr("((t + ctx - 1) DIV ctx) * ctx - t")).as("pad_tokens"))
+    pads.join(splits, "ctx")
+      .select(col("ctx"), col("n_chunks"), col("total_tokens"), col("pad_tokens"),
+        round(col("pad_tokens").cast("double") / (col("n_chunks") * col("ctx")), 6)
+          .as("pad_fraction"),
+        col("n_docs"), col("n_docs_split"))
+  }
+
+  val qPackingEfficiencySql: String =
+    raw"""WITH d AS (SELECT doc_id, source,
+         |    CAST(len($duckToks) AS BIGINT) AS n_tokens FROM documents),
+         |o AS (SELECT doc_id, source, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+         |  FROM d),
+         |cx AS (SELECT unnest([256, 512, 1024, 2048]::BIGINT[]) AS ctx),
+         |splits AS (SELECT ctx, count(*) AS n_docs,
+         |    CAST(sum(CASE WHEN tok_offset // ctx <> (tok_offset + n_tokens - 1) // ctx
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_split
+         |  FROM o, cx GROUP BY ctx),
+         |st AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS t FROM o GROUP BY source),
+         |pads AS (SELECT ctx, CAST(sum((t + ctx - 1) // ctx) AS BIGINT) AS n_chunks,
+         |    CAST(sum(t) AS BIGINT) AS total_tokens,
+         |    CAST(sum(((t + ctx - 1) // ctx) * ctx - t) AS BIGINT) AS pad_tokens
+         |  FROM st, cx GROUP BY ctx)
+         |SELECT pads.ctx, n_chunks, total_tokens, pad_tokens,
+         |  round(CAST(pad_tokens AS DOUBLE) / (n_chunks * pads.ctx), 6) AS pad_fraction,
+         |  n_docs, n_docs_split
+         |FROM pads JOIN splits ON pads.ctx = splits.ctx""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_packing_efficiency" -> (qPackingEfficiency _),
     "q_shard_manifest" -> (qShardManifest _),
     "q_pipeline_e2e" -> (qPipelineE2e _),
     "q_retention" -> (qRetention _),
@@ -1097,6 +1163,7 @@ object TrainingOps {
     "q_anomaly" -> (qAnomaly _))
 
   def oracle: Map[String, String] = Map(
+    "q_packing_efficiency" -> qPackingEfficiencySql,
     "q_shard_manifest" -> qShardManifestSql,
     "q_pipeline_e2e" -> qPipelineE2eSql,
     "q_retention" -> qRetentionSql,

@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, SkewJoin, TrainingOps, Validation}
+
+/** Bounds for the round-9 audit/pre-flight operators: the validation
+  * report's one-scan-per-table plan shape, the segment-dedup ↔
+  * exact-dedup implication, the join-cardinality pre-flight against
+  * the real join, index-stats mass conservation, and the packing
+  * sweep's provable monotonicities.
+  */
+class ValidationSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("q_data_validation: every check passes on clean data, one scan per table") {
+    val df = Validation.qDataValidation(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 7)
+    assert(rows.forall(_.getAs[Boolean]("pass")), "synthetic snapshot is clean")
+    // plan shape: 5 table scans total — lineitem, orders×2 (agg + FK
+    // anti-join), customer... would be 6 naively; the point pinned
+    // here is that the SEVEN checks do not cost seven scans. Physical
+    // nodes on sparkPlan (pre-AQE wrapper).
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scans = df.queryExecution.sparkPlan.collect { case s: FileSourceScanExec => s }
+    assert(scans.length <= 6,
+      s"7 checks must fuse into at most 6 scans, got ${scans.length}")
+  }
+
+  test("q_segment_dedup: segment counts conserved, boilerplate found, verdict exact") {
+    val sf01 = "/root/testdata/sf0.01" // sf0.001 yields no duplicated segments
+    val rows = Dedup.qSegmentDedup(spark, sf01).collect()
+    // conservation: n_segments == ceil(ntok/16), recomputed independently
+    val ntok = Tables.documents(spark, sf01)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.length == ntok.size, "one verdict row per document")
+    rows.foreach { r =>
+      val expect = (ntok(r.getAs[Long]("doc_id")) + 15) / 16
+      assert(r.getAs[Long]("n_segments") == expect, s"segment count off at $r")
+      assert(r.getAs[Long]("n_dup_segments") <= r.getAs[Long]("n_segments"))
+      // verdict is the exact integer rule, no float involved
+      assert(r.getAs[Boolean]("keep") ==
+        (r.getAs[Long]("n_dup_segments") * 2 <= r.getAs[Long]("n_segments")))
+    }
+    // the sf0.01 corpus contains near-dup boilerplate: duplicated
+    // 16-token runs must surface even though no doc is an exact dup
+    assert(rows.map(_.getAs[Long]("n_dup_segments")).sum > 0,
+      "no duplicated segments found — boilerplate detection is dead")
+    // a duplicated segment by definition occurs in ≥2 places
+    val dupInstances = rows.map(_.getAs[Long]("n_dup_segments")).sum
+    assert(dupInstances != 1)
+  }
+
+  test("q_join_cardinality: pre-flight equals the materialized join") {
+    val r = SkewJoin.qJoinCardinality(spark, sf).collect().head
+    val actual = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey")).count()
+    assert(r.getAs[Long]("join_rows") == actual)
+    assert(r.getAs[Long]("n_keys_matched") <= r.getAs[Long]("keys_left"))
+    assert(r.getAs[Long]("max_key_contrib") >= 1L)
+  }
+
+  test("q_packing_efficiency: pad grows and splits shrink as ctx doubles") {
+    val rows = TrainingOps.qPackingEfficiency(spark, sf)
+      .orderBy(col("ctx")).collect()
+    assert(rows.map(_.getAs[Long]("ctx")).toSeq == Seq(256L, 512L, 1024L, 2048L))
+    // ctx values are successive multiples: chunk boundaries of a larger
+    // ctx are a subset of a smaller one's, so tail pad is nondecreasing
+    // and boundary-crossing docs nonincreasing — provable, so pinned
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("pad_tokens") <= b.getAs[Long]("pad_tokens"))
+      assert(a.getAs[Long]("n_docs_split") >= b.getAs[Long]("n_docs_split"))
+      assert(a.getAs[Long]("total_tokens") == b.getAs[Long]("total_tokens"))
+    }
+  }
+
+  test("q_ann_index_stats: occupancy sums to the corpus, load factors average 1") {
+    val rows = graft.operators.Similarity.qAnnIndexStats(spark, sf).collect()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum == n, "every vector in exactly one cell")
+    val meanLf = rows.map(_.getAs[Double]("load_factor")).sum / rows.length
+    assert(math.abs(meanLf - 1.0) < 0.01, s"mean load factor $meanLf")
+    assert(rows.forall(_.getAs[Double]("mean_coherence") > 0.0),
+      "members correlate positively with their own centroid")
+  }
+}

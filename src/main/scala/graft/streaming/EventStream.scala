@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
-import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.Tables
@@ -432,6 +432,45 @@ object EventStream {
       StructField("vec_id", LongType),
       StructField("v", ArrayType(DoubleType)),
       StructField("cell", IntegerType))))
+  }
+
+  /** F18: streaming ingest validation gate — the L1 expectation
+    * checks applied at the door, per arriving micro-batch, with
+    * accept/quarantine ROUTING (not just a report): rows failing a
+    * row-level expectation (empty text, n_chars inconsistent with the
+    * payload) land in the quarantine sink with a `reason`, clean rows
+    * append to the accepted corpus. This is how a 100 TB ingest keeps
+    * bad rows from ever entering the tables the L1 snapshot suite
+    * audits — validation shifts left, the snapshot check becomes a
+    * backstop. Stateless per batch (pure map-side flags → two filtered
+    * appends), so restarts are pure checkpoint resume; the flagged
+    * frame is persisted per batch so the two sinks share one
+    * evaluation of the checks.
+    */
+  def streamValidationGateToFiles(docs: DataFrame, acceptPath: String,
+      quarantinePath: String, checkpoint: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val spark = docs.sparkSession
+    val reason = when(col("text").isNull || length(trim(col("text"))) === 0,
+        "empty_text")
+      .when(col("n_chars") =!= length(col("text")), "n_chars_mismatch")
+    val q = docs.writeStream
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val flagged = b.toDF().withColumn("reason", reason).persist()
+        flagged.filter(col("reason").isNull).drop("reason")
+          .write.mode("append").parquet(acceptPath)
+        flagged.filter(col("reason").isNotNull)
+          .write.mode("append").parquet(quarantinePath)
+        flagged.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    readSinkOrEmpty(spark, quarantinePath, StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType), StructField("reason", StringType))))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -271,6 +271,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.isEmpty, s"empty batch must be skipped, got ${out.collect().toSeq}")
   }
 
+  test("streaming validation gate routes exactly the corrupted rows to quarantine") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .as[(Long, String, String, String, Long)].collect()
+    // corrupt every 7th row's n_chars and blank every 11th row's text
+    val corrupted = docs.map { case (id, text, lang, src, n) =>
+      if (id % 11 == 0) (id, "  ", lang, src, n)
+      else if (id % 7 == 0) (id, text, lang, src, n + 1)
+      else (id, text, lang, src, n)
+    }
+    val expectQuarantine = corrupted.collect {
+      case (id, _, _, _, _) if id % 11 == 0 => id -> "empty_text"
+      case (id, _, _, _, _) if id % 7 == 0 => id -> "n_chars_mismatch"
+    }.toMap
+    val input = MemoryStream[(Long, String, String, String, Long)]
+    val (b1, b2) = corrupted.splitAt(corrupted.length / 2)
+    input.addData(b1: _*)
+    input.addData(b2: _*)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_gate").toString
+    val quarantined = EventStream.streamValidationGateToFiles(
+      input.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$tmp/accept", s"$tmp/quarantine", s"$tmp/cp")
+      .select("doc_id", "reason").as[(Long, String)].collect()
+    assert(quarantined.length == expectQuarantine.size,
+      s"expected ${expectQuarantine.size} quarantined, got ${quarantined.length}")
+    quarantined.foreach { case (id, reason) =>
+      assert(expectQuarantine.get(id).contains(reason), s"wrong routing: $id -> $reason")
+    }
+    // and the accepted sink holds exactly the complement, unmodified
+    val accepted = spark.read.parquet(s"$tmp/accept")
+      .select("doc_id").as[Long].collect().toSet
+    assert(accepted == docs.map(_._1).toSet -- expectQuarantine.keySet)
+  }
+
   test("append-mode file sink emits watermark-closed windows matching the batch result") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_files").toString
     val streamed = EventStream.streamTumblingToFiles(spark, sf,

@@ -606,7 +606,51 @@ object FeatureOps {
       |      THEN 1 ELSE 0 END) AS BIGINT) * 100 <= count(*)) AS qc_pass
       |FROM bb, s""".stripMargin
 
+  // ---------------------------------------------------------------- E18
+  /** Per-source embedding-centroid shift — the slice-level drift check
+    * over embedding space: each source's per-dim centroid against the
+    * corpus centroid, reported as L2 shift and cosine alignment. An
+    * encoder-version mismatch, a truncated batch, or a source whose
+    * content genuinely drifted all show up as one source's centroid
+    * pulling away while the others hold — per-VECTOR QC (E17) cannot
+    * see this because every individual vector looks healthy. Shape:
+    * one explode pass, two bounded aggregates (sources × 64 dims and
+    * 64 dims), a 64-row broadcast join; per-dim means are 6-dp-rounded
+    * BEFORE the distance arithmetic so both engines fold identical
+    * inputs.
+    */
+  def qSourceEmbeddingShift(spark: SparkSession, dir: String): DataFrame = {
+    val flat = Tables.embeddings(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+        col("vec_id") === col("doc_id"))
+      .select(col("source"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+    val perSource = flat.groupBy(col("source"), col("dim"))
+      .agg(round(avg(col("x")), 6).as("m"), count(lit(1)).as("nd"))
+    val corpus = flat.groupBy(col("dim")).agg(round(avg(col("x")), 6).as("cm"))
+    perSource.join(broadcast(corpus), "dim")
+      .groupBy(col("source"))
+      .agg((max(col("nd"))).as("n_vectors"),
+        round(sqrt(sum(pow(col("m") - col("cm"), 2))), 6).as("l2_shift"),
+        round(sum(col("m") * col("cm")) /
+          (sqrt(sum(col("m") * col("m"))) * sqrt(sum(col("cm") * col("cm")))), 6)
+          .as("cos_to_corpus"))
+  }
+
+  val qSourceEmbeddingShiftSql: String =
+    """WITH flat AS (SELECT source, i - 1 AS dim,
+      |    list_extract(embedding::DOUBLE[], i) AS x
+      |  FROM embeddings JOIN documents ON vec_id = doc_id, generate_series(1, 64) g(i)),
+      |ps AS (SELECT source, dim, round(avg(x), 6) AS m, count(*) AS nd
+      |  FROM flat GROUP BY source, dim),
+      |c AS (SELECT dim, round(avg(x), 6) AS cm FROM flat GROUP BY dim)
+      |SELECT source, CAST(max(nd) AS BIGINT) AS n_vectors,
+      |  round(sqrt(sum((m - cm) * (m - cm))), 6) AS l2_shift,
+      |  round(sum(m * cm) / (sqrt(sum(m * m)) * sqrt(sum(cm * cm))), 6) AS cos_to_corpus
+      |FROM ps JOIN c USING (dim) GROUP BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_embedding_shift" -> (qSourceEmbeddingShift _),
     "q_embedding_qc" -> (qEmbeddingQc _),
     "q_int8_quant" -> (qInt8Quant _),
     "q_feature_hash" -> (qFeatureHash _),
@@ -624,6 +668,7 @@ object FeatureOps {
     "q_chi2_features" -> (qChi2Features _))
 
   def oracle: Map[String, String] = Map(
+    "q_source_embedding_shift" -> qSourceEmbeddingShiftSql,
     "q_embedding_qc" -> qEmbeddingQcSql,
     "q_int8_quant" -> qInt8QuantSql,
     "q_feature_hash" -> qFeatureHashSql,

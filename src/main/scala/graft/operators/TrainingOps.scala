@@ -1137,7 +1137,73 @@ object TrainingOps {
          |  n_docs, n_docs_split
          |FROM pads JOIN splits ON pads.ctx = splits.ctx""".stripMargin
 
+  // ---------------------------------------------------------------- K18
+  /** Held-out surprisal — the generalization/leak gap: the B11 bigram
+    * LM fitted on the TRAIN split only (K2's md5 buckets), scoring
+    * BOTH splits; one row per split with mean surprisal. Healthy data
+    * shows test > train (the LM has not seen the test docs); a
+    * near-zero gap on a corpus with known near-dups is the
+    * fingerprint of eval leakage — this query is the cheap monitor
+    * that C11's decontamination actually worked, run after every
+    * corpus rebuild. Unseen eval bigrams/histories take the add-one
+    * floor via LEFT joins (p = 1/V at worst, no special cases).
+    * Shape: same as B11 (lead-window bigrams, shuffle joins on bigram
+    * keys, one-row V broadcast), plus only the map-side split tag.
+    */
+  def qHeldoutSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val bucket =
+      expr("conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10)")
+        .cast("long") % 100
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+          .as("split"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bg = toks.withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), col("split"), col("tok").as("w1"), col("nxt").as("w2"))
+    val trainBg = bg.filter(col("split") === "train")
+    val bgc = trainBg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val hist = bgc.groupBy(col("w1")).agg(sum(col("c12")).as("h1"))
+    val vsz = toks.filter(col("split") === "train")
+      .select(col("tok")).distinct().agg(count(lit(1)).as("v"))
+    bg.filter(col("split").isin("train", "test"))
+      .join(bgc, Seq("w1", "w2"), "left")
+      .join(hist, Seq("w1"), "left")
+      .crossJoin(broadcast(vsz))
+      .groupBy(col("split"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_bigrams"),
+        round(avg(-log((coalesce(col("c12"), lit(0L)) + lit(1)).cast("double") /
+          (coalesce(col("h1"), lit(0L)) + col("v")).cast("double"))), 6)
+          .as("mean_surprisal"))
+  }
+
+  val qHeldoutSurprisalSql: String =
+    raw"""WITH t AS (SELECT doc_id,
+         |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80
+         |      THEN 'train'
+         |      WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
+         |      THEN 'val' ELSE 'test' END AS split,
+         |    $duckToks AS toks FROM documents),
+         |bgs AS (SELECT doc_id, split,
+         |    unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i])) AS w1,
+         |    unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i + 1])) AS w2
+         |  FROM t),
+         |bgc AS (SELECT w1, w2, count(*) AS c12 FROM bgs WHERE split = 'train' GROUP BY 1, 2),
+         |hist AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS h1 FROM bgc GROUP BY 1),
+         |vsz AS (SELECT count(DISTINCT tok) AS v
+         |  FROM (SELECT unnest(toks) AS tok FROM t WHERE split = 'train'))
+         |SELECT split, count(DISTINCT doc_id) AS n_docs, count(*) AS n_bigrams,
+         |  round(avg(-ln(CAST(coalesce(c12, 0) + 1 AS DOUBLE) / (coalesce(h1, 0) + v))), 6)
+         |    AS mean_surprisal
+         |FROM bgs LEFT JOIN bgc USING (w1, w2) LEFT JOIN hist USING (w1), vsz
+         |WHERE split IN ('train', 'test')
+         |GROUP BY split""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_heldout_surprisal" -> (qHeldoutSurprisal _),
     "q_packing_efficiency" -> (qPackingEfficiency _),
     "q_shard_manifest" -> (qShardManifest _),
     "q_pipeline_e2e" -> (qPipelineE2e _),
@@ -1163,6 +1229,7 @@ object TrainingOps {
     "q_anomaly" -> (qAnomaly _))
 
   def oracle: Map[String, String] = Map(
+    "q_heldout_surprisal" -> qHeldoutSurprisalSql,
     "q_packing_efficiency" -> qPackingEfficiencySql,
     "q_shard_manifest" -> qShardManifestSql,
     "q_pipeline_e2e" -> qPipelineE2eSql,

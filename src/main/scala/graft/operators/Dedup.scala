@@ -1345,7 +1345,71 @@ object Dedup {
          |  (coalesce(lab.cluster_id, asg.vec_id) = asg.vec_id) AS keep
          |FROM asg LEFT JOIN lab ON asg.vec_id = lab.vec_id""".stripMargin
 
-  // ---------------------------------------------------------------- C15
+  // ---------------------------------------------------------------- C18
+  /** Near-dup threshold sweep — the curator's knob curve: for each
+    * candidate Jaccard threshold, how many verified pairs survive,
+    * how many documents are touched, and how many the greedy
+    * keep-lower-id rule would drop. Choosing the C2 threshold is the
+    * highest-leverage decision in a dedup pipeline (too low deletes
+    * content, too high ships boilerplate); this emits the whole curve
+    * in one pass so the decision is made from data, not defaults.
+    * Rides the SAME cached discriminative-shingle pair statistics as
+    * C2/C13 (the pair stream is computed once per session); the
+    * sweep itself is an explode over 7 threshold literals on the
+    * bounded pair set + two bounded aggregates. Thresholds enter as
+    * identical double literals in both engines, so the >= cuts are
+    * bit-exact without rounding.
+    */
+  val SweepThresholds: Seq[Double] = Seq(0.25, 0.35, 0.45, 0.55, 0.65, 0.75, 0.85)
+
+  def qDedupThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val tsArr = array(SweepThresholds.map(lit): _*)
+    val base = shinglePairStats(spark, dir)
+      .select(col("d1"), col("d2"),
+        (col("inter").cast("double") /
+          (col("sz1") + col("sz2") - col("inter"))).as("jaccard"))
+      .select(col("d1"), col("d2"), col("jaccard"), explode(tsArr).as("threshold"))
+      .filter(col("jaccard") >= col("threshold"))
+    val p = base.groupBy(col("threshold"))
+      .agg(count(lit(1)).as("np"), countDistinct(col("d2")).as("nd"))
+    val docs = base.select(col("threshold"), explode(array(col("d1"), col("d2"))).as("doc"))
+      .groupBy(col("threshold")).agg(countDistinct(col("doc")).as("ndoc"))
+    // left-join FROM the literal threshold frame so empty cuts still
+    // emit their zero row (the curve must keep all 7 points)
+    val ts = spark.range(1).select(explode(tsArr).as("threshold"))
+    ts.join(p, Seq("threshold"), "left").join(docs, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("np"), lit(0L)).as("n_pairs"),
+        coalesce(col("ndoc"), lit(0L)).as("n_docs_in_pairs"),
+        coalesce(col("nd"), lit(0L)).as("n_dropped"))
+  }
+
+  val qDedupThresholdSweepSql: String =
+    raw"""WITH $duckShingleCte,
+         |hs AS (SELECT doc_id, source, ${shingleHashSql("s")} AS h FROM sh),
+         |hot AS (SELECT source, h FROM hs GROUP BY source, h HAVING count(*) > $JaccardDfCap),
+         |disc AS (SELECT DISTINCT doc_id, source, h FROM hs
+         |  WHERE NOT EXISTS (SELECT 1 FROM hot
+         |    WHERE hot.source = hs.source AND hot.h = hs.h)),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM disc GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id d1, b.doc_id d2, count(*) AS inter
+         |  FROM disc a JOIN disc b ON a.source = b.source AND a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |j AS (SELECT d1, d2, CAST(inter AS DOUBLE)/(s1.sz + s2.sz - inter) AS jaccard
+         |  FROM inter JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id),
+         |ts AS (SELECT unnest([${SweepThresholds.mkString(", ")}]::DOUBLE[]) AS threshold),
+         |base AS (SELECT threshold, d1, d2 FROM j JOIN ts ON jaccard >= threshold),
+         |p AS (SELECT threshold, count(*) AS np, count(DISTINCT d2) AS nd
+         |  FROM base GROUP BY threshold),
+         |docs AS (SELECT threshold, count(DISTINCT doc) AS ndoc FROM (
+         |    SELECT threshold, unnest([d1, d2]) AS doc FROM base) GROUP BY threshold)
+         |SELECT ts.threshold,
+         |  CAST(coalesce(np, 0) AS BIGINT) AS n_pairs,
+         |  CAST(coalesce(ndoc, 0) AS BIGINT) AS n_docs_in_pairs,
+         |  CAST(coalesce(nd, 0) AS BIGINT) AS n_dropped
+         |FROM ts LEFT JOIN p USING (threshold) LEFT JOIN docs USING (threshold)""".stripMargin
+
+  // ---------------------------------------------------------------- C17
   /** Segment-level (sub-document) dedup — the line-dedup primitive of
     * CCNet/RefinedWeb-style pipelines, at the granularity between
     * C1's whole-doc hash and C2's shingle overlap: documents split
@@ -1401,6 +1465,7 @@ object Dedup {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_segment_dedup" -> (qSegmentDedup _),
+    "q_dedup_threshold_sweep" -> (qDedupThresholdSweep _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_incremental_dedup" -> (qIncrementalDedup _),
     "q_incremental_neardup" -> (qIncrementalNeardup _),
@@ -1421,6 +1486,7 @@ object Dedup {
 
   def oracle: Map[String, String] = Map(
     "q_segment_dedup" -> qSegmentDedupSql,
+    "q_dedup_threshold_sweep" -> qDedupThresholdSweepSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_incremental_dedup" -> qIncrementalDedupSql,
     "q_incremental_neardup" -> qIncrementalNeardupSql,

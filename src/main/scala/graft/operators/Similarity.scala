@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -668,6 +668,68 @@ object Similarity {
          |  mean_coherence
          |FROM per, tot""".stripMargin
 
+  // ---------------------------------------------------------------- D9
+  /** Semantic mixture audit: each source's distribution over the IVF
+    * cells (the persisted index's cells standing in as topic blocks,
+    * the C15/SemDeDup reuse) against the corpus-wide cell
+    * distribution, scored by Jensen–Shannon divergence — the SEMANTIC
+    * complement of K3/K12's lexical mixture checks: a source can have
+    * healthy language/token mix yet collapse into one region of
+    * embedding space (a crawler stuck in a template farm), which only
+    * a distribution over semantic blocks exposes. All arithmetic on
+    * exact integer counts from one pass over the pre-bucketed
+    * assignment joined to the (vec_id → source) map; per-source and
+    * corpus cell histograms are nlist-row bounded, JS folds over ≤
+    * nlist terms with 0·log0 = 0, 6-dp output rounding.
+    */
+  def qSemanticBalance(spark: SparkSession, dir: String,
+      nlist: Int = 16): DataFrame = {
+    val (assigned, _) = IvfIndex.get(spark, dir, nlist)
+    val src = assigned.select(col("vec_id"), col("cell"))
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+        col("vec_id") === col("doc_id"))
+    val sc = src.groupBy(col("source"), col("cell")).agg(count(lit(1)).as("nsc"))
+    val sTot = sc.groupBy(col("source")).agg(sum(col("nsc")).as("ns"))
+    val cTot = sc.groupBy(col("cell")).agg(sum(col("nsc")).as("nc"))
+    val tot = sc.agg(sum(col("nsc")).as("n"))
+    // full source × cell grid so absent cells contribute their q-side
+    // KL mass (summing present cells only undercounts JS)
+    val grid = sTot.crossJoin(broadcast(cTot)).crossJoin(broadcast(tot))
+      .join(sc, Seq("source", "cell"), "left")
+      .select(col("source"), col("ns"),
+        (coalesce(col("nsc"), lit(0L)).cast("double") / col("ns")).as("p"),
+        (col("nc").cast("double") / col("n")).as("q"))
+    def kl(a: Column, m: Column): Column =
+      when(a > 0, a * log(a / m)).otherwise(lit(0.0))
+    val withM = grid.withColumn("p", col("p")).withColumn("m", (col("p") + col("q")) / 2)
+    withM.groupBy(col("source"))
+      .agg(max(col("ns")).as("n_vectors"),
+        round(sum(kl(col("p"), col("m")) / 2 + kl(col("q"), col("m")) / 2), 6)
+          .as("js_to_corpus"),
+        round(max(col("p")), 6).as("max_cell_share"))
+  }
+
+  /** Replay of [[qSemanticBalance]] over the persisted assignment. */
+  private def semanticBalanceSql(asgDir: String): String =
+    raw"""WITH asg AS (SELECT vec_id, cell FROM read_parquet('$asgDir/*.parquet')),
+         |src AS (SELECT source, cell FROM asg JOIN documents ON vec_id = doc_id),
+         |sc AS (SELECT source, cell, count(*) AS nsc FROM src GROUP BY source, cell),
+         |st AS (SELECT source, CAST(sum(nsc) AS BIGINT) AS ns FROM sc GROUP BY source),
+         |ct AS (SELECT cell, CAST(sum(nsc) AS BIGINT) AS nc FROM sc GROUP BY cell),
+         |tot AS (SELECT CAST(sum(nsc) AS BIGINT) AS n FROM sc),
+         |grid AS (SELECT st.source, st.ns,
+         |    CAST(coalesce(nsc, 0) AS DOUBLE) / st.ns AS p,
+         |    CAST(nc AS DOUBLE) / n AS q
+         |  FROM st CROSS JOIN ct CROSS JOIN tot
+         |  LEFT JOIN sc ON sc.source = st.source AND sc.cell = ct.cell),
+         |wm AS (SELECT source, ns, p, q, (p + q) / 2 AS m FROM grid)
+         |SELECT source, CAST(max(ns) AS BIGINT) AS n_vectors,
+         |  round(sum((CASE WHEN p > 0 THEN p * ln(p / m) ELSE 0.0 END) / 2
+         |          + (CASE WHEN q > 0 THEN q * ln(q / m) ELSE 0.0 END) / 2), 6)
+         |    AS js_to_corpus,
+         |  round(max(p), 6) AS max_cell_share
+         |FROM wm GROUP BY source""".stripMargin
+
   /** Shortlist size used by the most recent PQ/IVFPQ query — inlined
     * into the oracle SQL so both engines cut the identical shortlist.
     */
@@ -830,7 +892,8 @@ object Similarity {
     "q_ann_ivf" -> ((s: SparkSession, d: String) => qAnnIvf(s, d)),
     "q_ann_pq" -> ((s: SparkSession, d: String) => qAnnPq(s, d)),
     "q_ann_ivfpq" -> ((s: SparkSession, d: String) => qAnnIvfPq(s, d)),
-    "q_ann_index_stats" -> ((s: SparkSession, d: String) => qAnnIndexStats(s, d)))
+    "q_ann_index_stats" -> ((s: SparkSession, d: String) => qAnnIndexStats(s, d)),
+    "q_semantic_balance" -> ((s: SparkSession, d: String) => qSemanticBalance(s, d)))
 
   /** The index-backed oracles inline absolute paths of the persisted
     * index tables, resolved when the corresponding query ran in this
@@ -845,6 +908,8 @@ object Similarity {
         "q_ann_ivf" -> annIvfSql(a, c, nprobe = 10) }.toMap ++
       Option(IvfIndex.lastLoc.get).map { case (a, c) =>
         "q_ann_index_stats" -> annIndexStatsSql(a, c) }.toMap ++
+      Option(IvfIndex.lastLoc.get).map { case (a, _) =>
+        "q_semantic_balance" -> semanticBalanceSql(a) }.toMap ++
       (for ((co, b) <- Option(PqIndex.lastLoc.get) if k > 0)
         yield "q_ann_pq" -> annPqSql(co, b, k)).toMap ++
       (for ((a, c) <- Option(IvfIndex.lastLoc.get);

@@ -203,6 +203,47 @@ object TemporalOps {
        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
        |FROM events GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- F20
+  /** Time-series downsampling to OHLC bars: per 5-minute bucket ×
+    * event type, the open (value at the earliest (ts, event_id)),
+    * high, low, close (latest), and count — the decimation step every
+    * metrics/market pipeline runs before charting or long-horizon
+    * modeling. First/last-by-time WITHOUT a window-over-everything:
+    * `min(struct(ts, event_id, value))` rides the ordinary hash
+    * aggregate (struct ordering is lexicographic, event_id breaks ts
+    * ties deterministically), so the whole query is one map-side-
+    * combinable aggregate — at 100 TB each partition reduces to its
+    * bucket set before the shuffle, the shape a per-key
+    * first/last window cannot match. Values pass through unmodified
+    * (no arithmetic), so no rounding is needed for parity.
+    */
+  def qOhlcBars(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("bucket", (expr("(ts DIV 1000000000) DIV 300") * 300).cast("long"))
+      .groupBy(col("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("ts"), col("event_id"), col("value"))).as("o"),
+        max(struct(col("ts"), col("event_id"), col("value"))).as("c"),
+        max(col("value")).as("high"), min(col("value")).as("low"))
+      .select(col("bucket"), col("event_type"), col("n"),
+        col("o.value").as("open"), col("high"), col("low"),
+        col("c.value").as("close"))
+
+  val qOhlcBarsSql: String =
+    s"""WITH e AS (SELECT ($duckTsSec // 300) * 300 AS bucket, event_type, ts, event_id, value
+       |  FROM events),
+       |r AS (SELECT bucket, event_type, value,
+       |    row_number() OVER (PARTITION BY bucket, event_type
+       |      ORDER BY ts ASC, event_id ASC) AS ra,
+       |    row_number() OVER (PARTITION BY bucket, event_type
+       |      ORDER BY ts DESC, event_id DESC) AS rd
+       |  FROM e)
+       |SELECT bucket, event_type, count(*) AS n,
+       |  max(CASE WHEN ra = 1 THEN value END) AS open,
+       |  max(value) AS high, min(value) AS low,
+       |  max(CASE WHEN rd = 1 THEN value END) AS close
+       |FROM r GROUP BY bucket, event_type""".stripMargin
+
   // ---------------------------------------------------------------- F3
   /** Funnel: users converting signup → purchase within 1 hour.
     * Two small shuffles on user_id (semi-join pattern), no state.
@@ -317,9 +358,11 @@ object TemporalOps {
     "q_sessionize" -> (qSessionize _),
     "q_tumbling_window" -> (qTumblingWindow _),
     "q_funnel" -> (qFunnel _),
+    "q_ohlc_bars" -> (qOhlcBars _),
     "q_json_extract" -> (qJsonExtract _))
 
   def oracle: Map[String, String] = Map(
+    "q_ohlc_bars" -> qOhlcBarsSql,
     "q_gap_fill" -> qGapFillSql,
     "q_hopping_window" -> qHoppingWindowSql,
     "q_lag_delta" -> qLagDeltaSql,

@@ -64,13 +64,45 @@ object SqlSurface {
     spark.sql(subquerySql)
   }
 
+  /** I5: vector search through the SQL front end — cosine top-10 of a
+    * probe vector over the embeddings view, calling the
+    * GraftExtensions-registered codegen'd `graft_cosine_sim` from SQL
+    * text (the second custom expression proven through the parser,
+    * after I2's scalar hash). Deterministic cut: ORDER BY the
+    * 6-dp-rounded similarity with vec_id tiebreak, LIMIT 10 — Spark
+    * plans the distributed TakeOrdered, no global sort. The oracle
+    * replays the cosine with unnest arithmetic and the same cut.
+    */
+  def qSqlCosineTopk(spark: SparkSession, dir: String): DataFrame = {
+    Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")
+    spark.sql(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT vec_id AS nid, round(graft_cosine_sim(qv, v), 4) AS sim
+        |FROM e, q WHERE vec_id <> 0
+        |ORDER BY round(graft_cosine_sim(qv, v), 6) DESC, vec_id ASC
+        |LIMIT 10""".stripMargin)
+  }
+
+  val qSqlCosineTopkSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      |flat AS (SELECT e.vec_id AS nid, unnest(e.v) AS x, unnest(q.qv) AS y
+      |  FROM e, q WHERE e.vec_id <> 0),
+      |s AS (SELECT nid, sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS sim
+      |  FROM flat GROUP BY nid)
+      |SELECT nid, round(sim, 4) AS sim FROM s
+      |ORDER BY round(sim, 6) DESC, nid ASC LIMIT 10""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_pricing_summary" -> (qSqlPricingSummary _),
     "q_sql_rolling_fingerprint" -> (qSqlRollingFingerprint _),
+    "q_sql_cosine_topk" -> (qSqlCosineTopk _),
     "q_sql_subqueries" -> (qSqlSubqueries _))
 
   def oracle: Map[String, String] = Map(
     "q_sql_pricing_summary" -> Relational.q1Sql,
     "q_sql_rolling_fingerprint" -> TextAnalysis.qRollingFingerprintSql,
+    "q_sql_cosine_topk" -> qSqlCosineTopkSql,
     "q_sql_subqueries" -> subquerySql)
 }

@@ -383,7 +383,77 @@ object TextAnalysis {
          |       ELSE 'kept' END AS reason
          |FROM fps f JOIN canon c ON f.fp = c.fp JOIN q ON q.doc_id = f.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- B14
+  /** RAKE keyphrase extraction (Rose et al., 2010): candidate phrases
+    * are maximal runs of non-stopword tokens; each word scores
+    * degree/frequency over the corpus phrase set (degree = Σ length
+    * of phrases containing the word — favors words that live in long
+    * collocations); a phrase scores the sum of its word scores; top-3
+    * per document. The classic zero-model keyword extractor a corpus
+    * pipeline runs for indexing/faceting before anything learned.
+    * Shapes worth noting: phrase segmentation is a RUNNING COUNT of
+    * stopwords over the position window (one doc-bounded window, the
+    * B11 device — no UDF, no iteration); phrase strings are
+    * reassembled ORDER-DETERMINISTICALLY via array_sort over
+    * (pos, tok) structs (collect_list alone has no order contract);
+    * the word-score table is vocabulary-sized and joins back by
+    * broadcast at any corpus scale.
+    */
+  def qKeyphrases(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("is_stop", col("tok").isin(stopwords("en").map(x => x: Any): _*))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val words = toks
+      .withColumn("pid", sum(when(col("is_stop"), 1L).otherwise(0L)).over(w))
+      .filter(!col("is_stop"))
+      .select(col("doc_id"), col("pid"), col("pos"), col("tok"))
+    val plen = words.groupBy(col("doc_id"), col("pid"))
+      .agg(count(lit(1)).as("plen"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("phrase"))
+    val wstat = words.join(plen.select(col("doc_id"), col("pid"), col("plen")),
+        Seq("doc_id", "pid"))
+      .groupBy(col("tok"))
+      .agg((sum(col("plen")).cast("double") / count(lit(1))).as("wscore"))
+    val pscore = words.join(broadcast(wstat), "tok")
+      .groupBy(col("doc_id"), col("pid"))
+      .agg(round(sum(col("wscore")), 6).as("score"))
+    val ranked = pscore.join(plen, Seq("doc_id", "pid"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("phrase").asc)))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("phrase"), col("score"), col("rank"))
+    ranked
+  }
+
+  val qKeyphrasesSql: String = {
+    val stops = sqlList(stopwords("en"))
+    raw"""WITH toks AS (SELECT doc_id, t.i AS pos, t.tok,
+         |    list_contains($stops, t.tok) AS is_stop
+         |  FROM (SELECT doc_id, $duckToks AS a FROM documents),
+         |    LATERAL (SELECT unnest(a) AS tok, unnest(generate_series(1, len(a))) AS i) t),
+         |words AS (SELECT doc_id, pid, pos, tok FROM (
+         |    SELECT doc_id, pos, tok, is_stop,
+         |      sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+         |        OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+         |    FROM toks) WHERE NOT is_stop),
+         |plen AS (SELECT doc_id, pid, count(*) AS plen,
+         |    string_agg(tok, ' ' ORDER BY pos) AS phrase
+         |  FROM words GROUP BY doc_id, pid),
+         |wstat AS (SELECT tok, CAST(sum(plen) AS DOUBLE) / count(*) AS wscore
+         |  FROM words JOIN plen USING (doc_id, pid) GROUP BY tok),
+         |ps AS (SELECT doc_id, pid, round(sum(wscore), 6) AS score
+         |  FROM words JOIN wstat USING (tok) GROUP BY doc_id, pid),
+         |r AS (SELECT doc_id, phrase, score, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY score DESC, phrase ASC) AS rank
+         |  FROM ps JOIN plen USING (doc_id, pid))
+         |SELECT doc_id, phrase, score, rank FROM r WHERE rank <= 3""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_keyphrases" -> (qKeyphrases _),
     "q_keep_list" -> (qKeepList _),
     "q_confusion_matrix" -> (qConfusionMatrix _),
     "q_token_count" -> (qTokenCount _),
@@ -396,6 +466,7 @@ object TextAnalysis {
     "q_stratified_sample" -> (qStratifiedSample _))
 
   def oracle: Map[String, String] = Map(
+    "q_keyphrases" -> qKeyphrasesSql,
     "q_keep_list" -> qKeepListSql,
     "q_confusion_matrix" -> qConfusionMatrixSql,
     "q_token_count" -> qTokenCountSql,

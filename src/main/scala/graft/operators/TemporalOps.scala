@@ -244,6 +244,70 @@ object TemporalOps {
        |  max(CASE WHEN rd = 1 THEN value END) AS close
        |FROM r GROUP BY bucket, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- F21
+  /** Last-touch attribution: every purchase credits the user's LATEST
+    * view/click within the preceding hour (the as-of shape of A12
+    * turned into the product-analytics staple); purchases with no
+    * touch in the window report as the `(none)` row so the three rows
+    * partition purchase count and revenue exactly. Deterministic
+    * pick: max(struct(ts, event_id, channel)) — the F20 device, an
+    * ordinary map-side-combinable aggregate, no per-key window.
+    * Revenue sums are decimal-exact, cast to double at the boundary
+    * (the A1 parity rule). At scale both sides shuffle once on
+    * user_id and the join fan-out is bounded by per-user activity in
+    * one hour.
+    */
+  def qAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"), tsSec.as("tp"),
+        col("value").cast("decimal(12,2)").as("rev"))
+    val t = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_id").as("tid"), tsSec.as("tt"),
+        col("event_type").as("channel"))
+    val attributed = p.join(t, Seq("user_id"))
+      .filter(col("tt") <= col("tp") && col("tp") - col("tt") <= 3600)
+      .groupBy(col("pid"))
+      .agg(max(struct(col("tt"), col("tid"), col("channel"))).as("m"),
+        max(col("rev")).as("rev"))
+      .groupBy(col("m.channel").as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("rev")).as("revd"))
+    val tot = p.agg(count(lit(1)).as("np"), sum(col("rev")).as("revt"))
+    val attTot = attributed.agg(
+      coalesce(sum(col("n_purchases")), lit(0L)).as("na"),
+      coalesce(sum(col("revd")), lit(java.math.BigDecimal.ZERO)).cast("decimal(22,2)").as("reva"))
+    val none = tot.crossJoin(broadcast(attTot))
+      .select(lit("(none)").as("channel"),
+        (col("np") - col("na")).as("n_purchases"),
+        (col("revt") - col("reva")).cast("decimal(22,2)").as("revd"))
+    attributed.select(col("channel"), col("n_purchases"),
+        col("revd").cast("decimal(22,2)"))
+      .unionAll(none)
+      .select(col("channel"), col("n_purchases"),
+        col("revd").cast("double").as("revenue"))
+  }
+
+  val qAttributionSql: String =
+    s"""WITH p AS (SELECT user_id, event_id AS pid, $duckTsSec AS tp,
+       |    CAST(value AS DECIMAL(12,2)) AS rev
+       |  FROM events WHERE event_type = 'purchase'),
+       |t AS (SELECT user_id, event_id AS tid, $duckTsSec AS tt, event_type AS channel
+       |  FROM events WHERE event_type IN ('view', 'click')),
+       |j AS (SELECT pid, rev, channel, row_number() OVER (
+       |    PARTITION BY pid ORDER BY tt DESC, tid DESC) AS rn
+       |  FROM p JOIN t USING (user_id)
+       |  WHERE tt <= tp AND tp - tt <= 3600),
+       |att AS (SELECT channel, count(*) AS n_purchases,
+       |    CAST(sum(rev) AS DECIMAL(22,2)) AS revd
+       |  FROM j WHERE rn = 1 GROUP BY channel),
+       |tot AS (SELECT count(*) AS np, CAST(sum(rev) AS DECIMAL(22,2)) AS revt FROM p),
+       |at AS (SELECT CAST(coalesce(sum(n_purchases), 0) AS BIGINT) AS na,
+       |    CAST(coalesce(sum(revd), 0) AS DECIMAL(22,2)) AS reva FROM att)
+       |SELECT channel, n_purchases, CAST(revd AS DOUBLE) AS revenue FROM att
+       |UNION ALL
+       |SELECT '(none)', np - na, CAST(revt - reva AS DOUBLE) FROM tot, at""".stripMargin
+
   // ---------------------------------------------------------------- F3
   /** Funnel: users converting signup → purchase within 1 hour.
     * Two small shuffles on user_id (semi-join pattern), no state.
@@ -359,10 +423,12 @@ object TemporalOps {
     "q_tumbling_window" -> (qTumblingWindow _),
     "q_funnel" -> (qFunnel _),
     "q_ohlc_bars" -> (qOhlcBars _),
+    "q_attribution" -> (qAttribution _),
     "q_json_extract" -> (qJsonExtract _))
 
   def oracle: Map[String, String] = Map(
     "q_ohlc_bars" -> qOhlcBarsSql,
+    "q_attribution" -> qAttributionSql,
     "q_gap_fill" -> qGapFillSql,
     "q_hopping_window" -> qHoppingWindowSql,
     "q_lag_delta" -> qLagDeltaSql,

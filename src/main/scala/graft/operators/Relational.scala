@@ -407,7 +407,63 @@ object Relational {
   /** Exposed query registry for this block (events-clock queries A6,
     * A12, A13 live in [[TemporalOps]]).
     */
+  // ---------------------------------------------------------------- A31
+  /** MERGE / CDC-apply semantics as a pure relational plan: a
+    * deterministic synthetic changeset (md5-keyed so both engines
+    * derive the identical batch: bucket 0 → UPDATE +100 balance,
+    * bucket 1 → DELETE, bucket 2 → INSERT of a shifted-key clone)
+    * applied to the customer table via ONE full-outer join keyed on
+    * c_custkey, each output row tagged with its action. This is the
+    * upsert primitive a table format (Delta/Iceberg MERGE INTO)
+    * executes under the hood — expressed engine-side so the semantics
+    * are provable without transactional metadata (the SURVEY §4
+    * boundary). At scale: changeset and base shuffle once on the key;
+    * the apply is map-side CASE logic; deletes leave no row (proven
+    * by the action counts summing to the output size).
+    */
+  def qMergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val bucket =
+      expr("conv(substring(md5(cast(c_custkey as string)), 1, 15), 16, 10)")
+        .cast("long") % 10
+    val base = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_acctbal"))
+    val src = base.withColumn("b", bucket)
+    val changes = src.filter(col("b") === 0)
+      .select(col("c_custkey").as("k"), lit("update").as("op"),
+        (col("c_acctbal") + 100.0).as("new_bal"))
+      .unionAll(src.filter(col("b") === 1)
+        .select(col("c_custkey").as("k"), lit("delete").as("op"),
+          lit(null).cast("double").as("new_bal")))
+      .unionAll(src.filter(col("b") === 2)
+        .select((col("c_custkey") + 1000000L).as("k"), lit("insert").as("op"),
+          (col("c_acctbal") / 2).as("new_bal")))
+    base.join(changes, col("c_custkey") === col("k"), "full_outer")
+      .filter(coalesce(col("op"), lit("")) =!= "delete")
+      .select(coalesce(col("c_custkey"), col("k")).as("c_custkey"),
+        when(col("op") === "update", col("new_bal"))
+          .when(col("op") === "insert", col("new_bal"))
+          .otherwise(col("c_acctbal")).as("c_acctbal"),
+        coalesce(col("op"), lit("unchanged")).as("action"))
+  }
+
+  val qMergeUpsertSql: String =
+    """WITH base AS (SELECT c_custkey, c_acctbal FROM customer),
+      |src AS (SELECT c_custkey, c_acctbal,
+      |    ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 10 AS b
+      |  FROM base),
+      |changes AS (
+      |  SELECT c_custkey AS k, 'update' AS op, c_acctbal + 100.0 AS new_bal
+      |    FROM src WHERE b = 0
+      |  UNION ALL SELECT c_custkey, 'delete', NULL FROM src WHERE b = 1
+      |  UNION ALL SELECT c_custkey + 1000000, 'insert', c_acctbal / 2 FROM src WHERE b = 2)
+      |SELECT coalesce(base.c_custkey, k) AS c_custkey,
+      |  CASE WHEN op IN ('update', 'insert') THEN new_bal ELSE base.c_acctbal END AS c_acctbal,
+      |  coalesce(op, 'unchanged') AS action
+      |FROM base FULL OUTER JOIN changes ON base.c_custkey = changes.k
+      |WHERE coalesce(op, '') <> 'delete'""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_merge_upsert" -> (qMergeUpsert _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_approx_percentiles" -> (qApproxPercentilesVerdict _),
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -426,6 +482,7 @@ object Relational {
     "q_histogram" -> (qHistogram _))
 
   def oracle: Map[String, String] = Map(
+    "q_merge_upsert" -> qMergeUpsertSql,
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" -> q3Sql,
     "q5_region_revenue" -> q5Sql,

@@ -244,6 +244,36 @@ object TemporalOps {
        |  max(CASE WHEN rd = 1 THEN value END) AS close
        |FROM r GROUP BY bucket, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- F22
+  /** SCD Type-2 history from a change log: each user's event stream
+    * becomes validity intervals — (user, value, valid_from, valid_to,
+    * is_current), valid_to = next change's time (null while current).
+    * The warehouse temporal-modeling primitive that turns an
+    * append-only log into point-in-time queryable state (the A12
+    * as-of join then answers "what was the value at t" against it).
+    * One shuffle on user_id + one lead window per partition; emitted
+    * for the purchase stream so intervals are sparse but non-trivial.
+    */
+  def qScd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), tsSec.as("t"), col("value"))
+      .withColumn("valid_to", lead(col("t"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("t").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
+  val qScd2IntervalsSql: String =
+    s"""SELECT user_id, event_id, value,
+       |  $duckTsSec AS valid_from,
+       |  lead($duckTsSec, 1) OVER w AS valid_to,
+       |  (lead($duckTsSec, 1) OVER w IS NULL) AS is_current
+       |FROM events WHERE event_type = 'purchase'
+       |WINDOW w AS (PARTITION BY user_id ORDER BY $duckTsSec ASC, event_id ASC)""".stripMargin
+
   // ---------------------------------------------------------------- F21
   /** Last-touch attribution: every purchase credits the user's LATEST
     * view/click within the preceding hour (the as-of shape of A12
@@ -424,11 +454,13 @@ object TemporalOps {
     "q_funnel" -> (qFunnel _),
     "q_ohlc_bars" -> (qOhlcBars _),
     "q_attribution" -> (qAttribution _),
+    "q_scd2_intervals" -> (qScd2Intervals _),
     "q_json_extract" -> (qJsonExtract _))
 
   def oracle: Map[String, String] = Map(
     "q_ohlc_bars" -> qOhlcBarsSql,
     "q_attribution" -> qAttributionSql,
+    "q_scd2_intervals" -> qScd2IntervalsSql,
     "q_gap_fill" -> qGapFillSql,
     "q_hopping_window" -> qHoppingWindowSql,
     "q_lag_delta" -> qLagDeltaSql,

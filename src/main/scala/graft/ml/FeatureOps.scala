@@ -493,7 +493,7 @@ object FeatureOps {
          |FROM h GROUP BY doc_id""".stripMargin
   }
 
-  // ---------------------------------------------------------------- E16
+  // ---------------------------------------------------------------- E19
   /** Per-dimension int8 quantization of the embedding column — the
     * affine (min, scale) codec that shrinks a served vector corpus 8×
     * (64 float64 → 64 uint8 + 2 doubles/dim of codec state) — with the
@@ -547,7 +547,7 @@ object FeatureOps {
       |  (max_abs_err <= scale0 / 2 + 1e-9) AS bound_ok
       |FROM a""".stripMargin
 
-  // ---------------------------------------------------------------- E17
+  // ---------------------------------------------------------------- E21
   /** Vector-corpus QC gate — the validation a pipeline runs BEFORE
     * trusting an embedding snapshot: counts of zero vectors,
     * non-finite components (NaN/±Inf — the classic upstream-model
@@ -606,7 +606,7 @@ object FeatureOps {
       |      THEN 1 ELSE 0 END) AS BIGINT) * 100 <= count(*)) AS qc_pass
       |FROM bb, s""".stripMargin
 
-  // ---------------------------------------------------------------- E18
+  // ---------------------------------------------------------------- E20
   /** Per-source embedding-centroid shift — the slice-level drift check
     * over embedding space: each source's per-dim centroid against the
     * corpus centroid, reported as L2 shift and cosine alignment. An

@@ -649,7 +649,39 @@ object FeatureOps {
       |  round(sum(m * cm) / (sqrt(sum(m * m)) * sqrt(sum(cm * cm))), 6) AS cos_to_corpus
       |FROM ps JOIN c USING (dim) GROUP BY source""".stripMargin
 
+  // ---------------------------------------------------------------- E23
+  /** Closed-form per-group OLS: extendedprice regressed on quantity
+    * within each return flag — slope (the effective unit price),
+    * intercept, R², and residual RMSE from ONE hash aggregate per
+    * group. The `regr_*` aggregate family is the engine-native
+    * closed-form fit: no iteration, no estimator object, map-side
+    * partial sums — at 100 TB this is a single shuffle of 6 running
+    * sums per group, the cheapest model that exists. RMSE falls out
+    * of the same sums as sqrt(var_pop(y)·(1−R²)) — no second pass
+    * over the residuals.
+    */
+  def qOlsFit(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("regr_slope(l_extendedprice, l_quantity)"), 4).as("slope"),
+        round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4).as("intercept"),
+        round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"),
+        round(sqrt(var_pop(col("l_extendedprice")) *
+          (lit(1.0) - expr("regr_r2(l_extendedprice, l_quantity)"))), 4).as("rmse"))
+
+  val qOlsFitSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+      |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+      |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+      |  round(sqrt(var_pop(l_extendedprice)
+      |    * (1.0 - regr_r2(l_extendedprice, l_quantity))), 4) AS rmse
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ols_fit" -> (qOlsFit _),
     "q_source_embedding_shift" -> (qSourceEmbeddingShift _),
     "q_embedding_qc" -> (qEmbeddingQc _),
     "q_int8_quant" -> (qInt8Quant _),
@@ -668,6 +700,7 @@ object FeatureOps {
     "q_chi2_features" -> (qChi2Features _))
 
   def oracle: Map[String, String] = Map(
+    "q_ols_fit" -> qOlsFitSql,
     "q_source_embedding_shift" -> qSourceEmbeddingShiftSql,
     "q_embedding_qc" -> qEmbeddingQcSql,
     "q_int8_quant" -> qInt8QuantSql,

@@ -443,7 +443,90 @@ object TemporalOps {
        |FROM events, generate_series(0, 1) g(h)
        |GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- F23
+  /** Time-weighted average value (TWAP) per event type: each
+    * observation carries until the next one in its series, so its
+    * weight is the gap to the series successor; the last observation
+    * has no successor and drops out. The metric every
+    * irregularly-sampled telemetry/market series needs in place of a
+    * plain mean (which over-weights bursts). One lead window per
+    * series, weighted sums decimal-exact (value at 2 dp × integer
+    * seconds), ratio rounded at the boundary. Scale note: ordering is
+    * per SERIES (event_type here, symbol/metric-id in production), so
+    * parallelism is the series count — the window never orders the
+    * whole stream through one task when the key cardinality scales.
+    */
+  def qTwap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("t").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), tsSec.as("t"),
+        col("value").cast("decimal(12,2)").as("v"))
+      .withColumn("dt", lead(col("t"), 1).over(w) - col("t"))
+      .filter(col("dt").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("dt")).as("total_sec"),
+        round((sum(col("v") * col("dt")) / sum(col("dt"))).cast("double"), 6)
+          .as("twap"),
+        round((sum(col("v")) / count(lit(1))).cast("double"), 6)
+          .as("plain_mean"))
+  }
+
+  val qTwapSql: String =
+    s"""WITH e AS (SELECT event_type, event_id, $duckTsSec AS t,
+       |    CAST(value AS DECIMAL(12,2)) AS v FROM events),
+       |g AS (SELECT event_type, v,
+       |    lead(t, 1) OVER (PARTITION BY event_type
+       |      ORDER BY t ASC, event_id ASC) - t AS dt
+       |  FROM e)
+       |SELECT event_type, count(*) AS n,
+       |  CAST(sum(dt) AS BIGINT) AS total_sec,
+       |  round(CAST(sum(v * dt) / sum(dt) AS DOUBLE), 6) AS twap,
+       |  round(CAST(sum(v) / count(*) AS DOUBLE), 6) AS plain_mean
+       |FROM g WHERE dt IS NOT NULL GROUP BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- F24
+  /** First-order Markov transition matrix over per-user event
+    * sequences: P(next event type | current) from lag pairs, plus the
+    * raw pair count. The behavioral-model primitive under session
+    * simulation, next-action prediction, and bot detection (a
+    * scripted client's transition rows are near-deterministic).
+    * Exact integer counts; the conditional probability is the only
+    * rounded value. One user_id shuffle for the lag window, then a
+    * bounded aggregate (|types|² rows); the per-prev normalizer is a
+    * window over that bounded output, not the event stream.
+    */
+  def qMarkovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t").asc, col("event_id").asc)
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), tsSec.as("t"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_pairs"))
+    pairs.withColumn("p_next",
+      round(col("n_pairs") / sum(col("n_pairs"))
+        .over(Window.partitionBy(col("prev_type"))), 6))
+  }
+
+  val qMarkovTransitionsSql: String =
+    s"""WITH s AS (SELECT user_id, event_id, $duckTsSec AS t, event_type
+       |  FROM events),
+       |p AS (SELECT lag(event_type, 1) OVER (PARTITION BY user_id
+       |      ORDER BY t ASC, event_id ASC) AS prev_type,
+       |    event_type AS next_type FROM s),
+       |c AS (SELECT prev_type, next_type, count(*) AS n_pairs FROM p
+       |  WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type)
+       |SELECT prev_type, next_type, n_pairs,
+       |  round(n_pairs / (sum(n_pairs) OVER (PARTITION BY prev_type)), 6)
+       |    AS p_next
+       |FROM c""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_twap" -> (qTwap _),
+    "q_markov_transitions" -> (qMarkovTransitions _),
     "q_gap_fill" -> (qGapFill _),
     "q_hopping_window" -> (qHoppingWindow _),
     "q_lag_delta" -> (qLagDelta _),
@@ -458,6 +541,8 @@ object TemporalOps {
     "q_json_extract" -> (qJsonExtract _))
 
   def oracle: Map[String, String] = Map(
+    "q_twap" -> qTwapSql,
+    "q_markov_transitions" -> qMarkovTransitionsSql,
     "q_ohlc_bars" -> qOhlcBarsSql,
     "q_attribution" -> qAttributionSql,
     "q_scd2_intervals" -> qScd2IntervalsSql,

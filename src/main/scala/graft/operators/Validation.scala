@@ -84,9 +84,87 @@ object Validation {
       |  UNION ALL SELECT 'documents_nchars_consistent', 'documents', n, v_nchars FROM doc)
       |SELECT check_name, tbl, n_checked, n_violations, (n_violations = 0) AS pass FROM r""".stripMargin
 
+  // ---------------------------------------------------------------- L3
+  /** Two-proportion z-test over a deterministic A/B split: users are
+    * assigned arms by md5(user_id) parity (the same engine-portable
+    * hash-bucket device as the K2 train/test split), conversion = the
+    * user emitted ≥ 1 purchase event. Reports per-arm populations,
+    * conversions, rates, the pooled z statistic, and the |z| > 1.96
+    * verdict — the experiment-readout primitive a product pipeline
+    * runs daily. All counts are exact integers from one user-level
+    * aggregate (map-side combined); only the rates/z round. One
+    * shuffle on user_id, then a 2-row reduction.
+    */
+  def qAbTest(spark: SparkSession, dir: String): DataFrame = {
+    val np = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("np"))
+    val tot = np.agg(count(lit(1)).as("users"), sum(col("np")).as("total_np"))
+    val perUser = np.crossJoin(broadcast(tot))
+      // above-mean conversion, exact in integers: np > total/users
+      .withColumn("converted",
+        when(col("np") * col("users") > col("total_np"), 1L).otherwise(0L))
+      .withColumn("arm",
+        when(expr("conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10)")
+          .cast("long") % 2 === 0, "A").otherwise("B"))
+    val arms = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"))
+    val a = arms.filter(col("arm") === "A")
+      .select(col("n").as("n_a"), col("conv").as("conv_a"))
+    val b = arms.filter(col("arm") === "B")
+      .select(col("n").as("n_b"), col("conv").as("conv_b"))
+    a.crossJoin(broadcast(b))
+      .withColumn("rate_a", round(col("conv_a") / col("n_a"), 6))
+      .withColumn("rate_b", round(col("conv_b") / col("n_b"), 6))
+      .withColumn("p_pool",
+        (col("conv_a") + col("conv_b")) / (col("n_a") + col("n_b")))
+      .withColumn("z",
+        when(col("p_pool") === 0.0 || col("p_pool") === 1.0,
+          lit(null).cast("double"))
+        .otherwise(round(
+          (col("conv_a") / col("n_a") - col("conv_b") / col("n_b")) /
+            sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+              (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6)))
+      .select(col("n_a"), col("conv_a"), col("rate_a"),
+        col("n_b"), col("conv_b"), col("rate_b"), col("z"),
+        coalesce(abs(col("z")) > 1.96, lit(false)).as("significant"))
+  }
+
+  val qAbTestSql: String =
+    """WITH np AS (SELECT user_id,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS np
+      |  FROM events GROUP BY user_id),
+      |tot AS (SELECT count(*) AS users, CAST(sum(np) AS BIGINT) AS total_np FROM np),
+      |u AS (SELECT user_id,
+      |    CASE WHEN np * users > total_np THEN 1 ELSE 0 END AS converted,
+      |    CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+      |      THEN 'A' ELSE 'B' END AS arm
+      |  FROM np, tot),
+      |arms AS (SELECT arm, count(*) AS n,
+      |    CAST(sum(converted) AS BIGINT) AS conv FROM u GROUP BY arm),
+      |ab AS (SELECT
+      |    (SELECT n FROM arms WHERE arm = 'A') AS n_a,
+      |    (SELECT conv FROM arms WHERE arm = 'A') AS conv_a,
+      |    (SELECT n FROM arms WHERE arm = 'B') AS n_b,
+      |    (SELECT conv FROM arms WHERE arm = 'B') AS conv_b),
+      |pz AS (SELECT *,
+      |    (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE) AS p_pool FROM ab),
+      |z AS (SELECT n_a, conv_a, n_b, conv_b,
+      |    CASE WHEN p_pool = 0.0 OR p_pool = 1.0 THEN NULL
+      |    ELSE round((conv_a / CAST(n_a AS DOUBLE) - conv_b / CAST(n_b AS DOUBLE))
+      |      / sqrt(p_pool * (1.0 - p_pool) * (1.0 / n_a + 1.0 / n_b)), 6) END AS z
+      |  FROM pz)
+      |SELECT n_a, conv_a, round(conv_a / CAST(n_a AS DOUBLE), 6) AS rate_a,
+      |  n_b, conv_b, round(conv_b / CAST(n_b AS DOUBLE), 6) AS rate_b,
+      |  z, coalesce(abs(z) > 1.96, false) AS significant
+      |FROM z""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_data_validation" -> (qDataValidation _))
+    "q_data_validation" -> (qDataValidation _),
+    "q_ab_test" -> (qAbTest _))
 
   def oracle: Map[String, String] = Map(
-    "q_data_validation" -> qDataValidationSql)
+    "q_data_validation" -> qDataValidationSql,
+    "q_ab_test" -> qAbTestSql)
 }

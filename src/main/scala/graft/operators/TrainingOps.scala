@@ -1202,7 +1202,112 @@ object TrainingOps {
          |WHERE split IN ('train', 'test')
          |GROUP BY split""".stripMargin
 
+  // ---------------------------------------------------------------- K18
+  /** Gini coefficient of the per-doc character-budget distribution
+    * within each source — the concentration audit behind "is this
+    * source's token budget carried by a few giant documents?" (a
+    * high-Gini source deduplicates and caps very differently from a
+    * uniform one). Rank-sum formula G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx)
+    * over docs ranked by (n_chars, doc_id): every sum is exact
+    * integer arithmetic — the single rounding is the final division.
+    * One shuffle on source for the rank window, then a per-source
+    * reduction; at 100 TB parallelism is the source count × the
+    * window's internal sort, with nothing driver-side.
+    */
+  def qGiniConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").asc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        round((lit(2.0) * sum(col("i") * col("n_chars")) -
+          (count(lit(1)) + lit(1)) * sum(col("n_chars"))) /
+          (count(lit(1)) * sum(col("n_chars"))), 6).as("gini"))
+  }
+
+  val qGiniConcentrationSql: String =
+    """WITH r AS (SELECT source, n_chars,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars ASC, doc_id ASC) AS i
+      |  FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  round((2.0 * sum(i * n_chars) - (count(*) + 1) * sum(n_chars))
+      |    / (count(*) * sum(n_chars)), 6) AS gini
+      |FROM r GROUP BY source""".stripMargin
+
+  // ---------------------------------------------------------------- K19
+  /** Population-stability index of the event-value distribution,
+    * first half vs second half of the stream's time range — the
+    * score-drift monitor (companion to K9's KS test) that bins both
+    * windows into 10 fixed-width bins over the global [min, max] and
+    * sums (p−q)·ln(p/q) with +1 Laplace smoothing (so empty bins
+    * never divide by zero). The boundary (midpoint second) and bin
+    * edges come from ONE global aggregate, broadcast back — exact
+    * integer time arithmetic, bin ratios 6-dp-rounded before floor so
+    * a knife-edge value bins identically in both engines. Per-bin
+    * exact counts; contributions rounded then summed over the
+    * 10-row bounded set. PSI > 0.2 is the conventional drift flag.
+    */
+  def qPsiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(expr("ts DIV 1000000000").cast("long").as("t"), col("value"))
+    val stats = e.agg(
+      expr("(min(t) + max(t)) DIV 2").as("t_mid"),
+      round(min(col("value")), 6).as("vmin"),
+      round(max(col("value")), 6).as("vmax"))
+    val binned = e.crossJoin(broadcast(stats))
+      .withColumn("half", when(col("t") <= col("t_mid"), "first").otherwise("second"))
+      .withColumn("bin", least(
+        floor(round((col("value") - col("vmin")) /
+          ((col("vmax") - col("vmin")) / 10.0), 6)).cast("long"), lit(9L)))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("half") === "first", 1L).otherwise(0L)).as("c_first"),
+        sum(when(col("half") === "second", 1L).otherwise(0L)).as("c_second"))
+    val tot = binned.agg(sum(col("c_first")).as("n_first"),
+      sum(col("c_second")).as("n_second"))
+    binned.crossJoin(broadcast(tot))
+      .withColumn("p_first", (col("c_first") + 1) / (col("n_first") + 10))
+      .withColumn("p_second", (col("c_second") + 1) / (col("n_second") + 10))
+      .withColumn("contrib", round((col("p_first") - col("p_second")) *
+        log(col("p_first") / col("p_second")), 6))
+      .groupBy()
+      .agg(max(col("n_first")).as("n_first"),
+        max(col("n_second")).as("n_second"),
+        round(sum(col("contrib")), 6).as("psi"))
+      .withColumn("drifted", col("psi") > 0.2)
+  }
+
+  val qPsiDriftSql: String =
+    """WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t, value FROM events),
+      |s AS (SELECT (min(t) + max(t)) // 2 AS t_mid,
+      |    round(min(value), 6) AS vmin, round(max(value), 6) AS vmax FROM e),
+      |b AS (SELECT least(CAST(floor(round((value - vmin)
+      |      / ((vmax - vmin) / 10.0), 6)) AS BIGINT), 9) AS bin,
+      |    CASE WHEN t <= t_mid THEN 'first' ELSE 'second' END AS half
+      |  FROM e, s),
+      |c AS (SELECT bin,
+      |    CAST(sum(CASE WHEN half = 'first' THEN 1 ELSE 0 END) AS BIGINT) AS c_first,
+      |    CAST(sum(CASE WHEN half = 'second' THEN 1 ELSE 0 END) AS BIGINT) AS c_second
+      |  FROM b GROUP BY bin),
+      |t AS (SELECT CAST(sum(c_first) AS BIGINT) AS n_first,
+      |    CAST(sum(c_second) AS BIGINT) AS n_second FROM c),
+      |p AS (SELECT c_first, c_second, n_first, n_second,
+      |    (c_first + 1) / CAST(n_first + 10 AS DOUBLE) AS p_first,
+      |    (c_second + 1) / CAST(n_second + 10 AS DOUBLE) AS p_second
+      |  FROM c, t)
+      |SELECT max(n_first) AS n_first, max(n_second) AS n_second,
+      |  round(sum(round((p_first - p_second) * ln(p_first / p_second), 6)), 6) AS psi,
+      |  (round(sum(round((p_first - p_second) * ln(p_first / p_second), 6)), 6) > 0.2)
+      |    AS drifted
+      |FROM p""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gini_concentration" -> (qGiniConcentration _),
+    "q_psi_drift" -> (qPsiDrift _),
     "q_heldout_surprisal" -> (qHeldoutSurprisal _),
     "q_packing_efficiency" -> (qPackingEfficiency _),
     "q_shard_manifest" -> (qShardManifest _),
@@ -1229,6 +1334,8 @@ object TrainingOps {
     "q_anomaly" -> (qAnomaly _))
 
   def oracle: Map[String, String] = Map(
+    "q_gini_concentration" -> qGiniConcentrationSql,
+    "q_psi_drift" -> qPsiDriftSql,
     "q_heldout_surprisal" -> qHeldoutSurprisalSql,
     "q_packing_efficiency" -> qPackingEfficiencySql,
     "q_shard_manifest" -> qShardManifestSql,

@@ -452,7 +452,60 @@ object TextAnalysis {
          |SELECT doc_id, phrase, score, rank FROM r WHERE rank <= 3""".stripMargin
   }
 
+  // ---------------------------------------------------------------- B15
+  /** Flesch reading-ease per document, from pure run-counting — no
+    * dictionary, no per-word explode: words are runs of non-space,
+    * sentences runs of [.!?] (floored at 1), syllables approximated
+    * as runs of [aeiouy] in the lowercased text (vowel runs cannot
+    * cross a space, so whole-text counting equals the per-word sum).
+    * Each count is length(replace runs with '#') − length(delete
+    * runs) — three codegen'd regexes per doc, MAP-ONLY, zero
+    * shuffles, per-row work independent of corpus size. The readable
+    * /standard/difficult banding rides the 4-dp-rounded score so
+    * both engines band identically. CJK text degrades gracefully
+    * (one "word", 0 vowels → hard band), matching the B2 lang gate
+    * that would route it elsewhere anyway.
+    */
+  private def runCount(c: org.apache.spark.sql.Column, pat: String) =
+    (length(regexp_replace(c, pat, "#")) - length(regexp_replace(c, pat, "")))
+      .cast("long")
+
+  def qReadability(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), lower(col("text")).as("s"))
+      .select(col("doc_id"),
+        runCount(col("s"), "[^ \\n\\t]+").as("n_words"),
+        greatest(runCount(col("s"), "[.!?]+"), lit(1L)).as("n_sentences"),
+        runCount(col("s"), "[aeiouy]+").as("n_syllables"))
+      .filter(col("n_words") > 0)
+      .withColumn("flesch", round(lit(206.835) -
+        lit(1.015) * col("n_words") / col("n_sentences") -
+        lit(84.6) * col("n_syllables") / col("n_words"), 4))
+      .withColumn("band",
+        when(col("flesch") >= 70, "easy")
+          .when(col("flesch") >= 30, "standard").otherwise("difficult"))
+
+  val qReadabilitySql: String =
+    raw"""WITH c AS (SELECT doc_id,
+         |    length(regexp_replace(lower(text), '[^ \n\t]+', '#', 'g'))
+         |      - length(regexp_replace(lower(text), '[^ \n\t]+', '', 'g')) AS n_words,
+         |    greatest(length(regexp_replace(lower(text), '[.!?]+', '#', 'g'))
+         |      - length(regexp_replace(lower(text), '[.!?]+', '', 'g')), 1) AS n_sentences,
+         |    length(regexp_replace(lower(text), '[aeiouy]+', '#', 'g'))
+         |      - length(regexp_replace(lower(text), '[aeiouy]+', '', 'g')) AS n_syllables
+         |  FROM documents),
+         |f AS (SELECT doc_id, n_words, n_sentences, n_syllables,
+         |    round(206.835 - 1.015 * n_words / n_sentences
+         |      - 84.6 * n_syllables / n_words, 4) AS flesch
+         |  FROM c WHERE n_words > 0)
+         |SELECT doc_id, n_words, n_sentences, n_syllables, flesch,
+         |  CASE WHEN flesch >= 70 THEN 'easy'
+         |       WHEN flesch >= 30 THEN 'standard'
+         |       ELSE 'difficult' END AS band
+         |FROM f""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_readability" -> (qReadability _),
     "q_keyphrases" -> (qKeyphrases _),
     "q_keep_list" -> (qKeepList _),
     "q_confusion_matrix" -> (qConfusionMatrix _),
@@ -466,6 +519,7 @@ object TextAnalysis {
     "q_stratified_sample" -> (qStratifiedSample _))
 
   def oracle: Map[String, String] = Map(
+    "q_readability" -> qReadabilitySql,
     "q_keyphrases" -> qKeyphrasesSql,
     "q_keep_list" -> qKeepListSql,
     "q_confusion_matrix" -> qConfusionMatrixSql,

@@ -524,7 +524,60 @@ object TemporalOps {
        |    AS p_next
        |FROM c""".stripMargin
 
+  // ---------------------------------------------------------------- F25
+  /** Peak concurrency by sweep-line: per supplier, the maximum number
+    * of lineitems simultaneously in flight (shipped, not yet
+    * received, half-open [ship, receipt)). Each interval unpivots to
+    * a +1/−1 boundary event; a per-supplier running sum over
+    * (date, delta) order is the live count and its max is the peak —
+    * the interval-overlap primitive (resource load, connection
+    * concurrency, occupancy) that never builds pairs, so it is
+    * linear in intervals where a self-range-join (A13) is quadratic
+    * in the overlap. −1 sorts before +1 on equal dates (delta asc),
+    * making same-day turnarounds count zero; exact integer
+    * arithmetic end to end. One suppkey shuffle; parallelism is the
+    * supplier count.
+    */
+  def qPeakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    // in-flight window [ship, ship + quantity days): the synthetic
+    // lineitem has no receipt date, so delivery time is derived
+    // deterministically from quantity (integral 1..50)
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"),
+        unix_timestamp(col("l_shipdate")).as("ship_t"),
+        (unix_timestamp(col("l_shipdate")) +
+          col("l_quantity").cast("long") * 86400L).as("recv_t"))
+    val bounds = li.select(col("l_suppkey"), col("ship_t").as("t"),
+        lit(1L).as("delta"))
+      .unionByName(li.select(col("l_suppkey"), col("recv_t").as("t"),
+        lit(-1L).as("delta")))
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("t").asc, col("delta").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bounds.withColumn("live", sum(col("delta")).over(w))
+      .groupBy(col("l_suppkey"))
+      .agg((count(lit(1)) / 2).cast("long").as("n_shipments"),
+        max(col("live")).as("peak_inflight"))
+  }
+
+  val qPeakConcurrencySql: String =
+    """WITH b AS (
+      |  SELECT l_suppkey, CAST(floor(epoch(l_shipdate)) AS BIGINT) AS t,
+      |    1 AS delta FROM lineitem
+      |  UNION ALL
+      |  SELECT l_suppkey, CAST(floor(epoch(l_shipdate)) AS BIGINT)
+      |      + CAST(l_quantity AS BIGINT) * 86400 AS t,
+      |    -1 AS delta FROM lineitem),
+      |r AS (SELECT l_suppkey,
+      |    sum(delta) OVER (PARTITION BY l_suppkey ORDER BY t ASC, delta ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+      |  FROM b)
+      |SELECT l_suppkey, CAST(count(*) / 2 AS BIGINT) AS n_shipments,
+      |  CAST(max(live) AS BIGINT) AS peak_inflight
+      |FROM r GROUP BY l_suppkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_peak_concurrency" -> (qPeakConcurrency _),
     "q_twap" -> (qTwap _),
     "q_markov_transitions" -> (qMarkovTransitions _),
     "q_gap_fill" -> (qGapFill _),
@@ -541,6 +594,7 @@ object TemporalOps {
     "q_json_extract" -> (qJsonExtract _))
 
   def oracle: Map[String, String] = Map(
+    "q_peak_concurrency" -> qPeakConcurrencySql,
     "q_twap" -> qTwapSql,
     "q_markov_transitions" -> qMarkovTransitionsSql,
     "q_ohlc_bars" -> qOhlcBarsSql,

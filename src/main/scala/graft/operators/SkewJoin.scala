@@ -159,13 +159,71 @@ object SkewJoin {
       |    AS top_key_over_mean
       |FROM j, sl, so""".stripMargin
 
+  // ---------------------------------------------------------------- H8
+  /** Partition-plan advisor: per table, row count, estimated
+    * in-memory bytes (string lengths + fixed widths from the schema —
+    * an ESTIMATE by contract, consistent across engines), and the
+    * shuffle-partition / file-split counts that land each partition
+    * near the 128 MiB sweet spot, with per-partition row yield. The
+    * pre-flight a job scheduler runs before picking
+    * `spark.sql.shuffle.partitions` / `maxPartitionBytes` for an
+    * unfamiliar snapshot — H2's companion: that one profiles keys,
+    * this one sizes the data. One exact conditional-sum aggregate
+    * per table (map-side combined), ceil division in exact integer
+    * arithmetic.
+    */
+  def qPartitionAdvisor(spark: SparkSession, dir: String): DataFrame = {
+    val target = 128L * 1024 * 1024
+    def plan(name: String, df: DataFrame, rowBytes: Column): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"), sum(rowBytes).as("est_bytes"))
+        .select(lit(name).as("tbl"), col("n_rows"), col("est_bytes"),
+          greatest(((col("est_bytes") + target - 1) / target).cast("long"), lit(1L))
+            .as("n_partitions"))
+        .withColumn("rows_per_partition",
+          ((col("n_rows") + col("n_partitions") - 1) / col("n_partitions"))
+            .cast("long"))
+    val li = Tables.lineitem(spark, dir)
+    val doc = Tables.documents(spark, dir)
+    val ev = Tables.events(spark, dir)
+    plan("lineitem", li,
+        lit(8L * 9) + length(col("l_returnflag")) + length(col("l_linestatus")))
+      .unionByName(plan("documents", doc,
+        lit(8L * 2) + length(col("text")) + length(col("lang"))
+          + length(col("source"))))
+      .unionByName(plan("events", ev,
+        lit(8L * 4) + length(col("event_type")) + length(col("props"))))
+  }
+
+  val qPartitionAdvisorSql: String =
+    """WITH raw AS (
+      |  SELECT 'lineitem' AS tbl, count(*) AS n_rows,
+      |    CAST(sum(72 + length(l_returnflag) + length(l_linestatus)) AS BIGINT)
+      |      AS est_bytes
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'documents', count(*),
+      |    CAST(sum(16 + length(text) + length(lang) + length(source)) AS BIGINT)
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'events', count(*),
+      |    CAST(sum(32 + length(event_type) + length(props)) AS BIGINT)
+      |  FROM events),
+      |p AS (SELECT tbl, n_rows, est_bytes,
+      |    greatest((est_bytes + 134217727) // 134217728, 1) AS n_partitions
+      |  FROM raw)
+      |SELECT tbl, n_rows, est_bytes, n_partitions,
+      |  (n_rows + n_partitions - 1) // n_partitions AS rows_per_partition
+      |FROM p""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_salted_join" -> (qSaltedJoin _),
     "q_join_cardinality" -> (qJoinCardinality _),
+    "q_partition_advisor" -> (qPartitionAdvisor _),
     "q_skew_report" -> (qSkewReport _))
 
   def oracle: Map[String, String] = Map(
     "q_salted_join" -> qSaltedJoinSql,
+    "q_partition_advisor" -> qPartitionAdvisorSql,
     "q_join_cardinality" -> qJoinCardinalitySql,
     "q_skew_report" -> qSkewReportSql)
 }

@@ -680,7 +680,48 @@ object FeatureOps {
       |    * (1.0 - regr_r2(l_extendedprice, l_quantity))), 4) AS rmse
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- E24
+  /** Leave-one-out target encoding of customer market segment against
+    * order total — the high-cardinality-categorical feature device:
+    * each order's encoding is the mean target of its segment
+    * EXCLUDING itself ((Σ_seg − y)/(n_seg − 1)), so the feature never
+    * leaks its own label (the flaw that makes naive mean-encoding
+    * overfit audits). Group sums are decimal-exact and broadcast back
+    * (|segments| rows); the subtraction and divide run per row
+    * map-side in double on identical inputs, rounded at the boundary.
+    * One custkey shuffle for the dim join; everything after is
+    * map-only.
+    */
+  def qTargetEncoding(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_mktsegment"),
+        col("o_totalprice"))
+    val seg = o.groupBy(col("c_mktsegment"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("seg_sum"),
+        count(lit(1)).as("seg_n"))
+    o.join(broadcast(seg), "c_mktsegment")
+      .select(col("o_orderkey"), col("c_mktsegment"),
+        round((col("seg_sum") - col("o_totalprice")) /
+          (col("seg_n") - 1), 4).as("loo_enc"))
+  }
+
+  val qTargetEncodingSql: String =
+    """WITH o AS (SELECT o_orderkey, c_mktsegment, o_totalprice
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |seg AS (SELECT c_mktsegment,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS seg_sum,
+      |    count(*) AS seg_n
+      |  FROM o GROUP BY c_mktsegment)
+      |SELECT o_orderkey, c_mktsegment,
+      |  round((seg_sum - o_totalprice) / (seg_n - 1), 4) AS loo_enc
+      |FROM o JOIN seg USING (c_mktsegment)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_target_encoding" -> (qTargetEncoding _),
     "q_ols_fit" -> (qOlsFit _),
     "q_source_embedding_shift" -> (qSourceEmbeddingShift _),
     "q_embedding_qc" -> (qEmbeddingQc _),
@@ -700,6 +741,7 @@ object FeatureOps {
     "q_chi2_features" -> (qChi2Features _))
 
   def oracle: Map[String, String] = Map(
+    "q_target_encoding" -> qTargetEncodingSql,
     "q_ols_fit" -> qOlsFitSql,
     "q_source_embedding_shift" -> qSourceEmbeddingShiftSql,
     "q_embedding_qc" -> qEmbeddingQcSql,

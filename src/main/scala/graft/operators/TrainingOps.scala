@@ -1305,7 +1305,50 @@ object TrainingOps {
       |    AS drifted
       |FROM p""".stripMargin
 
+  // ---------------------------------------------------------------- K20
+  /** Deterministic source-interleave audit: docs take a stable
+    * within-source order (md5 rank — the K2/K6 shuffle device), each
+    * rank r of n maps to epoch position (2r−1)/(2n), and the audit
+    * proves every source spreads uniformly across the epoch — the
+    * data-ORDER half of mixture training that K3's data-VOLUME
+    * weights don't cover (a source clumped at the epoch tail trains
+    * as badly as one over-weighted). Position deciles are computed in
+    * EXACT integer arithmetic — bin = ((2r−1)·10) div (2n) — so the
+    * uniformity verdict (each source×bin count within the floor/ceil
+    * of n/10) can never ride a float knife-edge. One source-
+    * partitioned rank window, then a |sources|×10 bounded aggregate.
+    */
+  def qInterleaveSchedule(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"))
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("n_s", count(lit(1))
+        .over(Window.partitionBy(col("source"))))
+      .withColumn("bin", expr("((2 * r - 1) * 10) DIV (2 * n_s)"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n"), max(col("n_s")).as("n_source"))
+      .withColumn("uniform_ok",
+        col("n") >= expr("n_source DIV 10") &&
+          col("n") <= expr("n_source DIV 10 + 1"))
+  }
+
+  val qInterleaveScheduleSql: String =
+    """WITH r AS (SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r,
+      |    count(*) OVER (PARTITION BY source) AS n_s
+      |  FROM documents),
+      |c AS (SELECT source, ((2 * r - 1) * 10) // (2 * n_s) AS bin,
+      |    count(*) AS n, max(n_s) AS n_source
+      |  FROM r GROUP BY 1, 2)
+      |SELECT source, bin, n, CAST(n_source AS BIGINT) AS n_source,
+      |  (n >= n_source // 10 AND n <= n_source // 10 + 1) AS uniform_ok
+      |FROM c""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_interleave_schedule" -> (qInterleaveSchedule _),
     "q_gini_concentration" -> (qGiniConcentration _),
     "q_psi_drift" -> (qPsiDrift _),
     "q_heldout_surprisal" -> (qHeldoutSurprisal _),
@@ -1334,6 +1377,7 @@ object TrainingOps {
     "q_anomaly" -> (qAnomaly _))
 
   def oracle: Map[String, String] = Map(
+    "q_interleave_schedule" -> qInterleaveScheduleSql,
     "q_gini_concentration" -> qGiniConcentrationSql,
     "q_psi_drift" -> qPsiDriftSql,
     "q_heldout_surprisal" -> qHeldoutSurprisalSql,

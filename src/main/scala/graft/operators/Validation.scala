@@ -160,11 +160,67 @@ object Validation {
       |  z, coalesce(abs(z) > 1.96, false) AS significant
       |FROM z""".stripMargin
 
+  // ---------------------------------------------------------------- L4
+  /** Benford first-significant-digit audit over order totals — the
+    * fabricated/truncated-data detector an ingest pipeline runs on any
+    * organically-generated amount column: observed digit shares vs the
+    * Benford expectation log10(1+1/d), chi-squared against the 95%
+    * critical value for 8 df. Expected shares are 6-dp-rounded BEFORE
+    * the chi-squared arithmetic so both engines feed identical inputs
+    * into identical IEEE double math (the PSI/K19 device). One
+    * digit-keyed aggregate with map-side combine (9 groups at any
+    * scale), a left join against the literal digit grid so zero-count
+    * digits still contribute their full expected mass, then two
+    * broadcast one-row reductions — nothing driver-side.
+    */
+  def qBenford(spark: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") >= 1)
+      .select(substring(floor(col("o_totalprice")).cast("bigint")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val grid = spark.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+      .withColumn("exp_share",
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), 6))
+    val g = grid.join(obs, Seq("digit"), "left")
+      .na.fill(0L, Seq("n_obs"))
+    val tot = g.agg(sum(col("n_obs")).as("n"))
+    val withN = g.crossJoin(broadcast(tot))
+    val chi = withN.agg(round(sum(
+      pow(col("n_obs") - col("n") * col("exp_share"), 2) /
+        (col("n") * col("exp_share"))), 4).as("chi2"))
+    withN.crossJoin(broadcast(chi))
+      .select(col("digit"), col("n_obs"),
+        round(col("n_obs") / col("n"), 6).as("obs_share"),
+        col("exp_share"), col("chi2"),
+        (col("chi2") < 15.507).as("benford_ok"))
+  }
+
+  val qBenfordSql: String =
+    """WITH obs AS (SELECT
+      |    CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+      |    count(*) AS n_obs
+      |  FROM orders WHERE o_totalprice >= 1 GROUP BY 1),
+      |grid AS (SELECT CAST(unnest(generate_series(1, 9)) AS INT) AS digit),
+      |g AS (SELECT grid.digit,
+      |    round(log10(1.0 + 1.0 / grid.digit), 6) AS exp_share,
+      |    COALESCE(n_obs, 0) AS n_obs
+      |  FROM grid LEFT JOIN obs USING (digit)),
+      |tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM g),
+      |chi AS (SELECT round(sum(pow(n_obs - n * exp_share, 2)
+      |    / (n * exp_share)), 4) AS chi2 FROM g, tot)
+      |SELECT g.digit, g.n_obs, round(g.n_obs / CAST(n AS DOUBLE), 6) AS obs_share,
+      |  g.exp_share, chi2, chi2 < 15.507 AS benford_ok
+      |FROM g, tot, chi""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_data_validation" -> (qDataValidation _),
-    "q_ab_test" -> (qAbTest _))
+    "q_ab_test" -> (qAbTest _),
+    "q_benford" -> (qBenford _))
 
   def oracle: Map[String, String] = Map(
     "q_data_validation" -> qDataValidationSql,
-    "q_ab_test" -> qAbTestSql)
+    "q_ab_test" -> qAbTestSql,
+    "q_benford" -> qBenfordSql)
 }

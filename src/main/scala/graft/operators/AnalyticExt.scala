@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -364,7 +364,91 @@ object AnalyticExt {
       |ORDER BY n_blamed DESC, l.l_suppkey ASC
       |LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- A31
+  /** RFM customer segmentation — the classic lifecycle-marketing
+    * device: recency (days since last order vs the corpus max date),
+    * frequency (order count), monetary (decimal-exact spend), each
+    * quartile-coded 1–4 WITHOUT a global sort: the three quartile cut
+    * arrays come from ONE exact-percentile aggregate and broadcast
+    * back, scores are map-side comparison counts (the K7 ntile
+    * device — no total order at any scale). Cut interpolation is the
+    * A15-proven percentile ↔ quantile_cont pair on bit-identical
+    * double inputs, so the strict `>` comparisons agree cross-engine.
+    * Segment labels are CASE over the integer scores. One o_custkey
+    * shuffle; everything after the broadcast is map-only.
+    */
+  def qRfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val maxd = o.agg(max(col("o_orderdate").cast("date")).as("maxd"))
+    val cust = o.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate").cast("date")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("monetary"))
+      .crossJoin(broadcast(maxd))
+      .select(col("o_custkey").as("custkey"),
+        datediff(col("maxd"), col("last_order")).as("recency"),
+        col("frequency"), col("monetary"))
+    val cuts = cust.agg(
+      expr("percentile(recency, array(0.25, 0.5, 0.75))").as("rc"),
+      expr("percentile(frequency, array(0.25, 0.5, 0.75))").as("fc"),
+      expr("percentile(monetary, array(0.25, 0.5, 0.75))").as("mc"))
+    def above(v: Column, c: Column): Column =
+      (v > c(0)).cast("int") + (v > c(1)).cast("int") + (v > c(2)).cast("int")
+    cust.crossJoin(broadcast(cuts))
+      .withColumn("r_score", lit(4) - above(col("recency"), col("rc")))
+      .withColumn("f_score", lit(1) + above(col("frequency"), col("fc")))
+      .withColumn("m_score", lit(1) + above(col("monetary"), col("mc")))
+      .withColumn("segment",
+        when(col("r_score") >= 3 && col("f_score") >= 3 &&
+          col("m_score") >= 3, "champion")
+        .when(col("r_score") >= 3 && col("f_score") >= 2, "loyal")
+        .when(col("r_score") <= 2 && col("f_score") >= 3, "at_risk")
+        .when(col("r_score") === 1 && col("f_score") === 1, "hibernating")
+        .otherwise("regular"))
+      .select(col("custkey"), col("recency"), col("frequency"),
+        round(col("monetary"), 2).as("monetary"),
+        col("r_score"), col("f_score"), col("m_score"),
+        concat(col("r_score").cast("string"), col("f_score").cast("string"),
+          col("m_score").cast("string")).as("rfm"),
+        col("segment"))
+  }
+
+  val qRfmSegmentsSql: String =
+    """WITH maxd AS (SELECT max(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+      |c AS (SELECT o_custkey AS custkey,
+      |    max(CAST(o_orderdate AS DATE)) AS last_order,
+      |    count(*) AS frequency,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+      |  FROM orders GROUP BY 1),
+      |r AS (SELECT custkey,
+      |    CAST(date_diff('day', last_order, maxd) AS INT) AS recency,
+      |    frequency, monetary FROM c, maxd),
+      |cuts AS (SELECT quantile_cont(recency, [0.25, 0.5, 0.75]) AS rc,
+      |    quantile_cont(frequency, [0.25, 0.5, 0.75]) AS fc,
+      |    quantile_cont(monetary, [0.25, 0.5, 0.75]) AS mc FROM r),
+      |s AS (SELECT custkey, recency, frequency, monetary,
+      |    4 - (CAST(recency > rc[1] AS INT) + CAST(recency > rc[2] AS INT)
+      |       + CAST(recency > rc[3] AS INT)) AS r_score,
+      |    1 + (CAST(frequency > fc[1] AS INT) + CAST(frequency > fc[2] AS INT)
+      |       + CAST(frequency > fc[3] AS INT)) AS f_score,
+      |    1 + (CAST(monetary > mc[1] AS INT) + CAST(monetary > mc[2] AS INT)
+      |       + CAST(monetary > mc[3] AS INT)) AS m_score
+      |  FROM r, cuts)
+      |SELECT custkey, recency, frequency, round(monetary, 2) AS monetary,
+      |  r_score, f_score, m_score,
+      |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+      |    || CAST(m_score AS VARCHAR) AS rfm,
+      |  CASE
+      |    WHEN r_score >= 3 AND f_score >= 3 AND m_score >= 3 THEN 'champion'
+      |    WHEN r_score >= 3 AND f_score >= 2 THEN 'loyal'
+      |    WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+      |    WHEN r_score = 1 AND f_score = 1 THEN 'hibernating'
+      |    ELSE 'regular' END AS segment
+      |FROM s""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rfm_segments" -> (qRfmSegments _),
     "q_blame_supplier" -> (qBlameSupplier _),
     "q_full_outer" -> (qFullOuter _),
     "q_geomean" -> (qGeomean _),
@@ -380,6 +464,7 @@ object AnalyticExt {
     "q_ewma" -> (qEwma _))
 
   def oracle: Map[String, String] = Map(
+    "q_rfm_segments" -> qRfmSegmentsSql,
     "q_blame_supplier" -> qBlameSupplierSql,
     "q_full_outer" -> qFullOuterSql,
     "q_geomean" -> qGeomeanSql,

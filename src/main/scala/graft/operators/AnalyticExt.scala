@@ -447,7 +447,74 @@ object AnalyticExt {
       |    ELSE 'regular' END AS segment
       |FROM s""".stripMargin
 
+  // ---------------------------------------------------------------- A32
+  /** Market-basket association rules over co-purchased part brands:
+    * support, confidence, and lift per brand pair, top-20 by lift with
+    * a deterministic name tiebreak. The scale shape matters: baskets
+    * aggregate ONCE per order (sorted distinct brand array, bounded by
+    * the ~7-line order size), and the a<b pair stream is generated
+    * MAP-SIDE from that array with a nested `transform`/`slice` — no
+    * basket self-join shuffle at any corpus size. Item counts ride the
+    * same cached basket frame; the 25-brand item table broadcasts.
+    * All counts exact integers; ratios round at the output boundary,
+    * and the top-20 cut orders by the ROUNDED lift so both engines cut
+    * identically.
+    */
+  def qAssocRules(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
+      .cache()
+    val tot = baskets.agg(count(lit(1)).as("n_orders"))
+    val item = baskets.select(explode(col("bs")).as("brand"))
+      .groupBy(col("brand")).agg(count(lit(1)).as("n_item"))
+    val pairs = baskets
+      .select(explode(expr(
+        """flatten(transform(bs, (x, i) ->
+          |  transform(slice(bs, i + 2, size(bs) - i - 1),
+          |    y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+      .select(col("p.a").as("brand_a"), col("p.b").as("brand_b"))
+      .groupBy(col("brand_a"), col("brand_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(item.select(col("brand").as("brand_a"),
+        col("n_item").as("n_a"))), "brand_a")
+      .join(broadcast(item.select(col("brand").as("brand_b"),
+        col("n_item").as("n_b"))), "brand_b")
+      .crossJoin(broadcast(tot))
+      .select(col("brand_a"), col("brand_b"), col("n_ab"),
+        col("n_a"), col("n_b"),
+        round(col("n_ab") / col("n_orders"), 6).as("support"),
+        round(col("n_ab") / col("n_a"), 6).as("confidence"),
+        round((col("n_ab") * col("n_orders")).cast("double") /
+          (col("n_a") * col("n_b")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("brand_a").asc, col("brand_b").asc)
+      .limit(20)
+  }
+
+  val qAssocRulesSql: String =
+    """WITH basket AS (SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+      |    FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |tot AS (SELECT count(DISTINCT okey) AS n_orders FROM basket),
+      |item AS (SELECT brand, count(*) AS n FROM basket GROUP BY 1),
+      |pairs AS (SELECT a.brand AS brand_a, b.brand AS brand_b,
+      |    count(*) AS n_ab
+      |  FROM basket a JOIN basket b ON a.okey = b.okey AND a.brand < b.brand
+      |  GROUP BY 1, 2)
+      |SELECT brand_a, brand_b, n_ab, ia.n AS n_a, ib.n AS n_b,
+      |  round(n_ab / CAST(n_orders AS DOUBLE), 6) AS support,
+      |  round(n_ab / CAST(ia.n AS DOUBLE), 6) AS confidence,
+      |  round(CAST(n_ab * n_orders AS DOUBLE) / (ia.n * ib.n), 6) AS lift
+      |FROM pairs
+      |JOIN item ia ON brand_a = ia.brand
+      |JOIN item ib ON brand_b = ib.brand, tot
+      |ORDER BY lift DESC, brand_a, brand_b LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_assoc_rules" -> (qAssocRules _),
     "q_rfm_segments" -> (qRfmSegments _),
     "q_blame_supplier" -> (qBlameSupplier _),
     "q_full_outer" -> (qFullOuter _),
@@ -464,6 +531,7 @@ object AnalyticExt {
     "q_ewma" -> (qEwma _))
 
   def oracle: Map[String, String] = Map(
+    "q_assoc_rules" -> qAssocRulesSql,
     "q_rfm_segments" -> qRfmSegmentsSql,
     "q_blame_supplier" -> qBlameSupplierSql,
     "q_full_outer" -> qFullOuterSql,

@@ -214,12 +214,95 @@ object Validation {
       |  g.exp_share, chi2, chi2 < 15.507 AS benford_ok
       |FROM g, tot, chi""".stripMargin
 
+  // ---------------------------------------------------------------- L5
+  /** Poisson-bootstrap 95% confidence interval for the mean order
+    * total per order priority — the one-pass bootstrap that actually
+    * works at 100 TB: instead of resampling n rows with replacement B
+    * times (B full shuffles), every row draws a DETERMINISTIC
+    * Poisson(1) weight per replicate from md5(key, replicate) — one
+    * map-side 32× explode, then a bounded (priority × replicate)
+    * aggregate. The Poisson inverse-CDF thresholds are 10-dp literals
+    * identical in both engines, so weights are engine-exact; replicate
+    * sums are decimal-exact (integer weight × 2-dp price), the single
+    * division per replicate rounds to 6 dp BEFORE the percentile cut,
+    * and the CI endpoints ride the proven percentile↔quantile_cont
+    * pair. Nothing driver-side; the explode factor is the only cost
+    * dial.
+    */
+  def qBootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    val nRep = 32
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("priority"),
+        col("o_orderkey"), col("o_totalprice"))
+    val point = base.groupBy(col("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double") /
+          count(lit(1)), 6).as("mean_total"))
+    val reps = base
+      .select(col("priority"), col("o_orderkey"), col("o_totalprice"),
+        explode(sequence(lit(1), lit(nRep))).as("b"))
+      .withColumn("u",
+        expr("conv(substring(md5(concat(cast(o_orderkey as string), '_', cast(b as string))), 1, 15), 16, 10)")
+          .cast("long") / lit(1152921504606846976.0))
+      .withColumn("w", expr(
+        """CASE WHEN u < 0.3678794412 THEN 0 WHEN u < 0.7357588823 THEN 1
+          |     WHEN u < 0.9196986029 THEN 2 WHEN u < 0.9810118431 THEN 3
+          |     WHEN u < 0.9963401532 THEN 4 WHEN u < 0.9994058152 THEN 5
+          |     WHEN u < 0.9999167589 THEN 6 ELSE 7 END""".stripMargin))
+      .groupBy(col("priority"), col("b"))
+      .agg((sum((col("w").cast("decimal(4,0)") *
+          col("o_totalprice").cast("decimal(18,2)")).cast("decimal(28,2)"))
+          .cast("double") /
+        nullif(sum(col("w")), lit(0))).as("rep_mean_raw"))
+      .withColumn("rep_mean", round(col("rep_mean_raw"), 6))
+      .groupBy(col("priority"))
+      .agg(expr("percentile(rep_mean, array(0.025, 0.975))").as("ci"))
+    point.join(reps, "priority")
+      .select(col("priority"), col("n_orders"), col("mean_total"),
+        round(col("ci")(0), 6).as("ci_lo"),
+        round(col("ci")(1), 6).as("ci_hi"))
+  }
+
+  val qBootstrapCiSql: String =
+    """WITH base AS (SELECT o_orderpriority AS priority, o_orderkey,
+      |    o_totalprice FROM orders),
+      |point AS (SELECT priority, count(*) AS n_orders,
+      |    round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |      / count(*), 6) AS mean_total
+      |  FROM base GROUP BY 1),
+      |reps AS (SELECT priority, o_orderkey, o_totalprice,
+      |    unnest(generate_series(1, 32)) AS b FROM base),
+      |u AS (SELECT priority, b, o_totalprice,
+      |    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '_'
+      |      || CAST(b AS VARCHAR)), 1, 15))::BIGINT
+      |      / 1152921504606846976.0 AS u
+      |  FROM reps),
+      |w AS (SELECT priority, b, o_totalprice,
+      |    CASE WHEN u < 0.3678794412 THEN 0 WHEN u < 0.7357588823 THEN 1
+      |         WHEN u < 0.9196986029 THEN 2 WHEN u < 0.9810118431 THEN 3
+      |         WHEN u < 0.9963401532 THEN 4 WHEN u < 0.9994058152 THEN 5
+      |         WHEN u < 0.9999167589 THEN 6 ELSE 7 END AS w
+      |  FROM u),
+      |rm AS (SELECT priority, b,
+      |    round(CAST(sum(CAST(w AS DECIMAL(4,0))
+      |        * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |      / nullif(CAST(sum(w) AS BIGINT), 0), 6) AS rep_mean
+      |  FROM w GROUP BY 1, 2),
+      |ci AS (SELECT priority,
+      |    quantile_cont(rep_mean, [0.025, 0.975]) AS ci
+      |  FROM rm GROUP BY 1)
+      |SELECT priority, n_orders, mean_total,
+      |  round(ci[1], 6) AS ci_lo, round(ci[2], 6) AS ci_hi
+      |FROM point JOIN ci USING (priority)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bootstrap_ci" -> (qBootstrapCi _),
     "q_data_validation" -> (qDataValidation _),
     "q_ab_test" -> (qAbTest _),
     "q_benford" -> (qBenford _))
 
   def oracle: Map[String, String] = Map(
+    "q_bootstrap_ci" -> qBootstrapCiSql,
     "q_data_validation" -> qDataValidationSql,
     "q_ab_test" -> qAbTestSql,
     "q_benford" -> qBenfordSql)

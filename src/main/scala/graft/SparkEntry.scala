@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ml.{FeatureOps, Tuning}
 import graft.multimodal.BinaryPipeline
-import graft.operators.{AnalyticExt, Dedup, Relational, Similarity, Sketches, SkewJoin, SqlSurface, TemporalOps, TextAnalysis, TrainingOps, Validation}
+import graft.operators.{AnalyticExt, Dedup, Relational, Similarity, Sketches, SkewJoin, SqlSurface, TemporalOps, TextAnalysis, TrainingOps, Validation, GraphOps}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (inventory) / §7 (plan). */
@@ -18,7 +18,8 @@ object SparkEntry {
       Dedup.queries ++ Similarity.queries ++ FeatureOps.queries ++
       Tuning.queries ++ BinaryPipeline.queries ++ EventStream.queries ++
       SqlSurface.queries ++ SkewJoin.queries ++ AnalyticExt.queries ++
-      Sketches.queries ++ TrainingOps.queries ++ Validation.queries
+      Sketches.queries ++ TrainingOps.queries ++ Validation.queries ++
+      GraphOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -28,5 +29,6 @@ object SparkEntry {
       Dedup.oracle ++ Similarity.oracle ++ FeatureOps.oracle ++
       Tuning.oracle ++ BinaryPipeline.oracle ++ EventStream.oracle ++
       SqlSurface.oracle ++ SkewJoin.oracle ++ AnalyticExt.oracle ++
-      Sketches.oracle ++ TrainingOps.oracle ++ Validation.oracle
+      Sketches.oracle ++ TrainingOps.oracle ++ Validation.oracle ++
+      GraphOps.oracle
 }

@@ -504,7 +504,59 @@ object TextAnalysis {
          |       ELSE 'difficult' END AS band
          |FROM f""".stripMargin
 
+  // ---------------------------------------------------------------- B13
+  /** Inverted-index construction: per term, document frequency, total
+    * term frequency, idf, and a CAPPED posting-list head (first 5
+    * doc_ids ascending, comma-joined) with a truncation flag — the
+    * retrieval-index build step as a query. The cap is applied with
+    * row_number ≤ k over (term, doc_id) so Spark's WindowGroupLimit
+    * pushes a partial top-k BEFORE the shuffle — a stopword term with
+    * a billion postings never materializes a billion-element array
+    * (the collect_set scale trap this op exists to avoid). Stats ride
+    * one term aggregate; df ≥ 5 bounds the emitted vocabulary tail.
+    */
+  def qInvertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val td = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+    val stats = td.groupBy(col("term"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 5)
+    val tot = Tables.documents(spark, dir).agg(count(lit(1)).as("n"))
+    val posting = td.select(col("term"), col("doc_id")).distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("term")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= 5)
+      .groupBy(col("term"))
+      .agg(concat_ws(",", transform(sort_array(collect_list(col("doc_id"))),
+        x => x.cast("string"))).as("posting"))
+    stats.join(posting, "term").crossJoin(broadcast(tot))
+      .select(col("term"), col("df"), col("tf"),
+        round(log(col("n").cast("double") / col("df")), 6).as("idf"),
+        col("posting"), (col("df") > 5).as("truncated"))
+  }
+
+  val qInvertedIndexSql: String =
+    raw"""WITH td AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
+         |td2 AS (SELECT doc_id, term FROM td WHERE length(term) > 0),
+         |stats AS (SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+         |  FROM td2 GROUP BY 1 HAVING count(DISTINCT doc_id) >= 5),
+         |tot AS (SELECT count(*) AS n FROM documents),
+         |dd AS (SELECT DISTINCT term, doc_id FROM td2),
+         |rn AS (SELECT term, doc_id,
+         |    row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+         |  FROM dd),
+         |post AS (SELECT term,
+         |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS posting
+         |  FROM rn WHERE rn <= 5 GROUP BY 1)
+         |SELECT s.term, s.df, s.tf,
+         |  round(ln(CAST(n AS DOUBLE) / s.df), 6) AS idf,
+         |  p.posting, s.df > 5 AS truncated
+         |FROM stats s JOIN post p USING (term), tot""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_inverted_index" -> (qInvertedIndex _),
     "q_readability" -> (qReadability _),
     "q_keyphrases" -> (qKeyphrases _),
     "q_keep_list" -> (qKeepList _),
@@ -519,6 +571,7 @@ object TextAnalysis {
     "q_stratified_sample" -> (qStratifiedSample _))
 
   def oracle: Map[String, String] = Map(
+    "q_inverted_index" -> qInvertedIndexSql,
     "q_readability" -> qReadabilitySql,
     "q_keyphrases" -> qKeyphrasesSql,
     "q_keep_list" -> qKeepListSql,

@@ -720,7 +720,57 @@ object FeatureOps {
       |  round((seg_sum - o_totalprice) / (seg_n - 1), 4) AS loo_enc
       |FROM o JOIN seg USING (c_mktsegment)""".stripMargin
 
+  // ---------------------------------------------------------------- E25
+  /** Winsorized-mean robustification per return flag: p01/p99 cuts
+    * from ONE exact-percentile aggregate (3 groups, broadcast back),
+    * values clipped map-side, and the clipping audit (counts below/
+    * above, raw vs winsorized mean) emitted per group. The cuts are
+    * 2-dp-rounded BEFORE clipping so the winsorized column is again a
+    * 2-dp price — clipped sums stay decimal-EXACT (the one device
+    * that keeps a float clip oracle-provable); the only rounding is
+    * the final mean division. Map-side compare + one bounded
+    * aggregate; no global sort anywhere (K7 cut device).
+    */
+  def qWinsorize(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val cuts = li.groupBy(col("l_returnflag"))
+      .agg(round(expr("percentile(l_extendedprice, 0.01)"), 2).as("lo_cut"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 2).as("hi_cut"))
+    li.join(broadcast(cuts), "l_returnflag")
+      .withColumn("w", least(greatest(col("l_extendedprice"),
+        col("lo_cut")), col("hi_cut")))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_extendedprice") < col("lo_cut"), 1L).otherwise(0L))
+          .as("n_clipped_lo"),
+        sum(when(col("l_extendedprice") > col("hi_cut"), 1L).otherwise(0L))
+          .as("n_clipped_hi"),
+        max(col("lo_cut")).as("lo_cut"), max(col("hi_cut")).as("hi_cut"),
+        round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          / count(lit(1)), 6).as("mean_raw"),
+        round(sum(col("w").cast("decimal(18,2)")).cast("double")
+          / count(lit(1)), 6).as("mean_winsor"))
+  }
+
+  val qWinsorizeSql: String =
+    """WITH cuts AS (SELECT l_returnflag,
+      |    round(quantile_cont(l_extendedprice, 0.01), 2) AS lo_cut,
+      |    round(quantile_cont(l_extendedprice, 0.99), 2) AS hi_cut
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l.l_returnflag, count(*) AS n,
+      |  CAST(sum(CASE WHEN l_extendedprice < lo_cut THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+      |  CAST(sum(CASE WHEN l_extendedprice > hi_cut THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+      |  max(lo_cut) AS lo_cut, max(hi_cut) AS hi_cut,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    / count(*), 6) AS mean_raw,
+      |  round(CAST(sum(CAST(least(greatest(l_extendedprice, lo_cut), hi_cut)
+      |    AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS mean_winsor
+      |FROM lineitem l JOIN cuts USING (l_returnflag)
+      |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_winsorize" -> (qWinsorize _),
     "q_target_encoding" -> (qTargetEncoding _),
     "q_ols_fit" -> (qOlsFit _),
     "q_source_embedding_shift" -> (qSourceEmbeddingShift _),
@@ -741,6 +791,7 @@ object FeatureOps {
     "q_chi2_features" -> (qChi2Features _))
 
   def oracle: Map[String, String] = Map(
+    "q_winsorize" -> qWinsorizeSql,
     "q_target_encoding" -> qTargetEncodingSql,
     "q_ols_fit" -> qOlsFitSql,
     "q_source_embedding_shift" -> qSourceEmbeddingShiftSql,

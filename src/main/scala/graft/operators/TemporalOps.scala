@@ -576,7 +576,86 @@ object TemporalOps {
       |  CAST(max(live) AS BIGINT) AS peak_inflight
       |FROM r GROUP BY l_suppkey""".stripMargin
 
+  // ---------------------------------------------------------------- F19
+  /** Kaplan-Meier time-to-conversion curve: per user, the "event" is
+    * the FIRST purchase (hours since their first activity); users who
+    * never purchase are right-censored at the corpus end — the
+    * funnel-survival readout ("what fraction has not yet converted by
+    * hour t") that a mean-time-to-convert silently gets wrong under
+    * censoring. Per-user facts come from ONE conditional aggregate
+    * (min(t), min(t | purchase), max(t) in a single pass). The
+    * estimator then runs over the DURATION-HOUR table — bounded by
+    * the observation window length in hours, never the user count —
+    * so the unpartitioned cumulative windows (at-risk countdown,
+    * log-survival prefix sum) are over ≤ ~10³ rows at any corpus size
+    * (PlanSpec-exempt, documented there). Survival is the
+    * exp-of-summed-logs product (the A28 geomean device) with
+    * per-step factors 10-dp-rounded so both engines iterate on
+    * identical doubles; an all-events step (factor 0) takes a −1e10
+    * sentinel log so the product underflows to exactly 0.0 in both
+    * engines instead of tripping ln(0) nullability differences.
+    */
+  def qKaplanMeier(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), tsSec.as("t"))
+      .groupBy(col("user_id"))
+      .agg(min(col("t")).as("f"),
+        min(when(col("event_type") === "purchase", col("t"))).as("fp"),
+        max(col("t")).as("l"))
+      .cache()
+    val g = users.agg(max(col("l")).as("endg"), count(lit(1)).as("n_users"))
+    val byHour = users.crossJoin(broadcast(g))
+      .withColumn("is_event", col("fp").isNotNull)
+      .withColumn("dur",
+        when(col("is_event"), col("fp") - col("f"))
+          .otherwise(col("endg") - col("f")))
+      .withColumn("dur_hour", expr("dur DIV 3600"))
+      .groupBy(col("dur_hour"))
+      .agg(sum(when(col("is_event"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("is_event"), 0L).otherwise(1L)).as("c"),
+        max(col("n_users")).as("n_users"))
+    val prior = Window.orderBy(col("dur_hour"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upto = Window.orderBy(col("dur_hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byHour
+      .withColumn("at_risk", col("n_users") -
+        coalesce(sum(col("d") + col("c")).over(prior), lit(0L)))
+      .withColumn("term",
+        when(col("d") === col("at_risk"), lit(-1.0e10))
+          .otherwise(round(log(lit(1.0) - col("d") / col("at_risk")), 10)))
+      .withColumn("survival", round(exp(sum(col("term")).over(upto)), 6))
+      .select(col("dur_hour"), col("at_risk"), col("d").as("n_converted"),
+        col("c").as("n_censored"), col("survival"))
+  }
+
+  val qKaplanMeierSql: String =
+    s"""WITH ev AS (SELECT user_id, event_type, $duckTsSec AS t FROM events),
+       |users AS (SELECT user_id, min(t) AS f,
+       |    min(CASE WHEN event_type = 'purchase' THEN t END) AS fp,
+       |    max(t) AS l
+       |  FROM ev GROUP BY 1),
+       |g AS (SELECT max(l) AS endg, count(*) AS n_users FROM users),
+       |byhour AS (SELECT
+       |    (CASE WHEN fp IS NOT NULL THEN fp - f ELSE endg - f END) // 3600 AS dur_hour,
+       |    CAST(sum(CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS d,
+       |    CAST(sum(CASE WHEN fp IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS c,
+       |    max(n_users) AS n_users
+       |  FROM users, g GROUP BY 1),
+       |r AS (SELECT dur_hour, d, c, CAST(n_users - COALESCE(sum(d + c) OVER
+       |    (ORDER BY dur_hour ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS at_risk
+       |  FROM byhour),
+       |t AS (SELECT dur_hour, at_risk, d, c,
+       |    CASE WHEN d = at_risk THEN -1e10
+       |      ELSE round(ln(1.0 - d / CAST(at_risk AS DOUBLE)), 10) END AS term
+       |  FROM r)
+       |SELECT dur_hour, at_risk, d AS n_converted, c AS n_censored,
+       |  round(exp(sum(term) OVER (ORDER BY dur_hour
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS survival
+       |FROM t""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kaplan_meier" -> (qKaplanMeier _),
     "q_peak_concurrency" -> (qPeakConcurrency _),
     "q_twap" -> (qTwap _),
     "q_markov_transitions" -> (qMarkovTransitions _),
@@ -594,6 +673,7 @@ object TemporalOps {
     "q_json_extract" -> (qJsonExtract _))
 
   def oracle: Map[String, String] = Map(
+    "q_kaplan_meier" -> qKaplanMeierSql,
     "q_peak_concurrency" -> qPeakConcurrencySql,
     "q_twap" -> qTwapSql,
     "q_markov_transitions" -> qMarkovTransitionsSql,

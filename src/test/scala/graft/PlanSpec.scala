@@ -137,8 +137,10 @@ class PlanSpec extends AnyFunSuite {
     //  - q_bm25: the Bm25TopK rows surviving the distributed limit
     //  - q_quality_drift: same ≤ 10⁴+1 quantized-bin device as q_auc
     //  - q_vocab_coverage: count-of-counts histogram, never the vocab
+    //  - q_kaplan_meier: duration-HOUR table, bounded by the
+    //    observation window length in hours, never the user count
     val windowExempt = Set("q_skew_report", "q_auc", "q_bm25", "q_quality_drift",
-      "q_vocab_coverage")
+      "q_vocab_coverage", "q_kaplan_meier")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       // pre-AQE physical plan: traversable with plain collect (the
       // AQE wrapper hides its initial plan from TreeNode traversal,

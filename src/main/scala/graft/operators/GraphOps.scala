@@ -27,18 +27,31 @@ object GraphOps {
     * node has degree ≥ 1); isolated suppliers (never co-supplying)
     * are out of scope by definition of the graph.
     */
-  def qPagerank(spark: SparkSession, dir: String): DataFrame = {
-    val parts = Tables.lineitem(spark, dir)
+  /** Undirected co-supply adjacency as src < dst pairs: per-part
+    * supplier sets aggregate once (bounded arrays), pairs emitted
+    * map-side (the A32 device), distinct across parts. Shared by M1
+    * and M2.
+    */
+  private def coSupplyPairs(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
       .select(col("l_partkey"), col("l_suppkey")).distinct()
       .groupBy(col("l_partkey"))
       .agg(sort_array(collect_set(col("l_suppkey"))).as("ss"))
-    val und = parts
       .select(explode(expr(
         """flatten(transform(ss, (x, i) ->
           |  transform(slice(ss, i + 2, size(ss) - i - 1),
           |    y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
       .select(col("p.a").as("src"), col("p.b").as("dst"))
       .distinct()
+
+  /** DuckDB mirror of [[coSupplyPairs]] as a CTE body. */
+  private val undSql: String =
+    """e0 AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+      |und AS (SELECT DISTINCT a.sk AS src, b.sk AS dst
+      |  FROM e0 a JOIN e0 b ON a.pk = b.pk AND a.sk < b.sk)""".stripMargin
+
+  def qPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val und = coSupplyPairs(spark, dir)
     val edges = und.union(und.select(col("dst").as("src"),
       col("src").as("dst"))).cache()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("degree"))
@@ -61,9 +74,7 @@ object GraphOps {
   }
 
   val qPagerankSql: String =
-    """WITH e0 AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
-      |und AS (SELECT DISTINCT a.sk AS src, b.sk AS dst
-      |  FROM e0 a JOIN e0 b ON a.pk = b.pk AND a.sk < b.sk),
+    s"""WITH $undSql,
       |edges AS (SELECT src, dst FROM und
       |  UNION ALL SELECT dst, src FROM und),
       |deg AS (SELECT src AS node, count(*) AS degree FROM edges GROUP BY 1),
@@ -87,9 +98,63 @@ object GraphOps {
       |SELECT r3.node AS s_suppkey, deg.degree, round(r3.pr, 6) AS pagerank
       |FROM r3 JOIN deg ON r3.node = deg.node""".stripMargin
 
+  // ---------------------------------------------------------------- M2
+  /** Triangle counting + local clustering coefficient per supplier.
+    * Each triangle is enumerated exactly once via the oriented-edge
+    * trick: edges carry src < dst, so the wedge join (a,b)⋈(b,c)
+    * yields only a < b < c candidates and the closing-edge join (a,c)
+    * confirms — the degree-ordered formulation that bounds wedge
+    * explosion at scale (two keyed joins, no symmetric blowup).
+    * Per-node counts come from a 3-way map-side explode of confirmed
+    * triangles; clustering = 2T / (deg·(deg−1)) with a degree<2 guard,
+    * rounded at the boundary.
+    */
+  def qTriangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val und = coSupplyPairs(spark, dir).cache()
+    val deg = und.select(col("src").as("node"))
+      .union(und.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val wedge = und.select(col("src").as("a"), col("dst").as("b"))
+      .join(und.select(col("src").as("b"), col("dst").as("c")), "b")
+    val tri = wedge.join(und.select(col("src").as("a"), col("dst").as("c")),
+      Seq("a", "c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .na.fill(0L, Seq("triangles"))
+      .select(col("node").as("s_suppkey"), col("degree"), col("triangles"),
+        when(col("degree") < 2, lit(0.0))
+          .otherwise(round(lit(2.0) * col("triangles") /
+            (col("degree") * (col("degree") - 1)), 6)).as("clustering"))
+  }
+
+  val qTriangleCountSql: String =
+    s"""WITH $undSql,
+      |deg AS (SELECT node, count(*) AS degree FROM (
+      |    SELECT src AS node FROM und UNION ALL SELECT dst FROM und)
+      |  GROUP BY 1),
+      |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      |  FROM und e1
+      |  JOIN und e2 ON e1.dst = e2.src
+      |  JOIN und e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+      |pern AS (SELECT node, count(*) AS triangles FROM (
+      |    SELECT a AS node FROM tri
+      |    UNION ALL SELECT b FROM tri
+      |    UNION ALL SELECT c FROM tri)
+      |  GROUP BY 1)
+      |SELECT deg.node AS s_suppkey, deg.degree,
+      |  COALESCE(pern.triangles, 0) AS triangles,
+      |  CASE WHEN deg.degree < 2 THEN 0.0
+      |    ELSE round(2.0 * COALESCE(pern.triangles, 0)
+      |      / (deg.degree * (deg.degree - 1)), 6) END AS clustering
+      |FROM deg LEFT JOIN pern ON deg.node = pern.node""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_pagerank" -> (qPagerank _))
+    "q_pagerank" -> (qPagerank _),
+    "q_triangle_count" -> (qTriangleCount _))
 
   def oracle: Map[String, String] = Map(
-    "q_pagerank" -> qPagerankSql)
+    "q_pagerank" -> qPagerankSql,
+    "q_triangle_count" -> qTriangleCountSql)
 }

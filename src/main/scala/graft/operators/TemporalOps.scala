@@ -654,7 +654,102 @@ object TemporalOps {
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS survival
        |FROM t""".stripMargin
 
+  // ---------------------------------------------------------------- F20
+  /** Day-of-week × hour-of-day activity heatmap with a uniformity
+    * chi-squared verdict — the traffic-seasonality audit. Time cells
+    * are PURE integer arithmetic on epoch seconds (dow = (epochday+3)
+    * mod 7 with Monday=0, hod = secs-of-day div 3600) — no calendar
+    * functions, no timezone trap, bit-identical in both engines. The
+    * 168-cell grid comes from ONE range (id div 24 / id mod 24), so
+    * silent cells still carry expected mass; counts are exact, the
+    * only float is the final share/chi² rounding. One 168-group
+    * aggregate with map-side combine at any scale.
+    */
+  def qSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .select(tsSec.as("t"))
+      .select(expr("((t DIV 86400) + 3) % 7").as("dow"),
+        expr("(t % 86400) DIV 3600").as("hod"))
+      .groupBy(col("dow"), col("hod")).agg(count(lit(1)).as("n"))
+    val grid = spark.range(168)
+      .select(expr("id DIV 24").as("dow"), expr("id % 24").as("hod"))
+    val g = grid.join(cells, Seq("dow", "hod"), "left")
+      .na.fill(0L, Seq("n"))
+    val tot = g.agg(sum(col("n")).as("n_tot"))
+    val withN = g.crossJoin(broadcast(tot))
+    val chi = withN.agg(round(sum(
+      pow(col("n") - col("n_tot") / 168.0, 2) /
+        (col("n_tot") / 168.0)), 4).as("chi2"))
+    withN.crossJoin(broadcast(chi))
+      .select(col("dow"), col("hod"), col("n"),
+        round(col("n") / col("n_tot"), 6).as("share"),
+        col("chi2"),
+        // 95% critical value for 167 df
+        (col("chi2") < 198.154).as("uniform_ok"))
+  }
+
+  val qSeasonalitySql: String =
+    s"""WITH cells AS (SELECT (($duckTsSec // 86400) + 3) % 7 AS dow,
+       |    ($duckTsSec % 86400) // 3600 AS hod, count(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |grid AS (SELECT g // 24 AS dow, g % 24 AS hod
+       |  FROM (SELECT unnest(generate_series(0, 167)) AS g)),
+       |j AS (SELECT grid.dow, grid.hod, COALESCE(cells.n, 0) AS n
+       |  FROM grid LEFT JOIN cells ON grid.dow = cells.dow AND grid.hod = cells.hod),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM j),
+       |chi AS (SELECT round(sum(pow(n - n_tot / 168.0, 2)
+       |    / (n_tot / 168.0)), 4) AS chi2 FROM j, tot)
+       |SELECT j.dow, j.hod, j.n, round(j.n / CAST(n_tot AS DOUBLE), 6) AS share,
+       |  chi2, chi2 < 198.154 AS uniform_ok
+       |FROM j, tot, chi""".stripMargin
+
+  // ---------------------------------------------------------------- F21
+  /** CUSUM change-point detection on the daily event-volume series:
+    * the day where the cumulative deviation from the global mean
+    * peaks — the level-shift detector an ops pipeline runs on ingest
+    * volumes. The cumulative statistic is kept EXACT by scaling:
+    * cusum_scaled_t = Σ(n_days·c_i − n_tot) is pure integer
+    * arithmetic, so the argmax verdict can never ride a float
+    * knife-edge; the readable `cusum` column divides back out and
+    * rounds. Runs entirely on the bounded day table (window length in
+    * days — PlanSpec-exempt); ties on |cusum| flag every achieving
+    * day, deterministically.
+    */
+  def qChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val byDay = Tables.events(spark, dir)
+      .select(expr("(ts DIV 1000000000) DIV 86400").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("c"))
+    val tot = byDay.agg(sum(col("c")).as("n_tot"),
+      count(lit(1)).as("n_days"))
+    val upto = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cs = byDay.crossJoin(broadcast(tot))
+      .withColumn("cusum_scaled",
+        sum(col("n_days") * col("c") - col("n_tot")).over(upto))
+    val mx = cs.agg(max(abs(col("cusum_scaled"))).as("max_abs"))
+    cs.crossJoin(broadcast(mx))
+      .select(col("day"), col("c").as("n_events"),
+        round(col("cusum_scaled") / col("n_days"), 4).as("cusum"),
+        (abs(col("cusum_scaled")) === col("max_abs")).as("is_changepoint"))
+  }
+
+  val qChangepointSql: String =
+    s"""WITH byday AS (SELECT ($duckTsSec) // 86400 AS day, count(*) AS c
+       |  FROM events GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tot, count(*) AS n_days FROM byday),
+       |cs AS (SELECT day, c,
+       |    CAST(sum(n_days * c - n_tot) OVER (ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cusum_scaled
+       |  FROM byday, tot),
+       |mx AS (SELECT max(abs(cusum_scaled)) AS max_abs FROM cs)
+       |SELECT day, c AS n_events,
+       |  round(cusum_scaled / CAST((SELECT n_days FROM tot) AS DOUBLE), 4) AS cusum,
+       |  abs(cusum_scaled) = max_abs AS is_changepoint
+       |FROM cs, mx""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seasonality" -> (qSeasonality _),
+    "q_changepoint" -> (qChangepoint _),
     "q_kaplan_meier" -> (qKaplanMeier _),
     "q_peak_concurrency" -> (qPeakConcurrency _),
     "q_twap" -> (qTwap _),
@@ -673,6 +768,8 @@ object TemporalOps {
     "q_json_extract" -> (qJsonExtract _))
 
   def oracle: Map[String, String] = Map(
+    "q_seasonality" -> qSeasonalitySql,
+    "q_changepoint" -> qChangepointSql,
     "q_kaplan_meier" -> qKaplanMeierSql,
     "q_peak_concurrency" -> qPeakConcurrencySql,
     "q_twap" -> qTwapSql,

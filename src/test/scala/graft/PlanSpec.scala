@@ -139,8 +139,10 @@ class PlanSpec extends AnyFunSuite {
     //  - q_vocab_coverage: count-of-counts histogram, never the vocab
     //  - q_kaplan_meier: duration-HOUR table, bounded by the
     //    observation window length in hours, never the user count
+    //  - q_changepoint: daily-volume table, bounded by the window
+    //    length in days, never the event count
     val windowExempt = Set("q_skew_report", "q_auc", "q_bm25", "q_quality_drift",
-      "q_vocab_coverage", "q_kaplan_meier")
+      "q_vocab_coverage", "q_kaplan_meier", "q_changepoint")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       // pre-AQE physical plan: traversable with plain collect (the
       // AQE wrapper hides its initial plan from TreeNode traversal,

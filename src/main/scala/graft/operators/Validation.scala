@@ -295,13 +295,57 @@ object Validation {
       |  round(ci[1], 6) AS ci_lo, round(ci[2], 6) AS ci_hi
       |FROM point JOIN ci USING (priority)""".stripMargin
 
+  // ---------------------------------------------------------------- L6
+  /** Laplace-mechanism differentially-private release of per-
+    * (source, lang) document counts (ε = 1, sensitivity 1 for a
+    * unit-contribution count): noise = −(1/ε)·sign(u)·ln(1−2|u|)
+    * with u ∈ (−½, ½) — the standard inverse-CDF draw. The draw here
+    * is DETERMINISTIC (md5 of the group key → uniform), which is what
+    * makes the mechanism oracle-checkable and reproducible in tests;
+    * a production release must substitute fresh randomness per
+    * publication (a fixed seed re-released is not private), which
+    * swaps one line. Counts are exact; the ln rides identical doubles
+    * in both engines and rounds at the boundary; a greatest(1e-12)
+    * floor guards the measure-zero ln(0) edge. One bounded group
+    * aggregate, map-side noise — nothing driver-side.
+    */
+  def qDpCounts(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("u",
+        expr("conv(substring(md5(concat(source, '|', lang)), 1, 15), 16, 10)")
+          .cast("long") / lit(1152921504606846976.0))
+      .withColumn("noise", round(lit(-1.0) * signum(col("u") - 0.5) *
+        log(greatest(lit(1e-12),
+          lit(1.0) - lit(2.0) * abs(col("u") - 0.5))), 6))
+      .select(col("source"), col("lang"), col("n_true"), col("noise"),
+        round(col("n_true") + col("noise"), 6).as("n_noisy"),
+        lit(1.0).as("eps"))
+  }
+
+  val qDpCountsSql: String =
+    """WITH g AS (SELECT source, lang, count(*) AS n_true,
+      |    ('0x' || substr(md5(source || '|' || lang), 1, 15))::BIGINT
+      |      / 1152921504606846976.0 AS u
+      |  FROM documents GROUP BY 1, 2),
+      |n AS (SELECT source, lang, n_true,
+      |    round(-1.0 * sign(u - 0.5)
+      |      * ln(greatest(1e-12, 1.0 - 2.0 * abs(u - 0.5))), 6) AS noise
+      |  FROM g)
+      |SELECT source, lang, n_true, noise,
+      |  round(n_true + noise, 6) AS n_noisy, CAST(1.0 AS DOUBLE) AS eps
+      |FROM n""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dp_counts" -> (qDpCounts _),
     "q_bootstrap_ci" -> (qBootstrapCi _),
     "q_data_validation" -> (qDataValidation _),
     "q_ab_test" -> (qAbTest _),
     "q_benford" -> (qBenford _))
 
   def oracle: Map[String, String] = Map(
+    "q_dp_counts" -> qDpCountsSql,
     "q_bootstrap_ci" -> qBootstrapCiSql,
     "q_data_validation" -> qDataValidationSql,
     "q_ab_test" -> qAbTestSql,

@@ -13,27 +13,20 @@ import graft.Tables
   */
 object GraphOps {
 
-  // ---------------------------------------------------------------- M1
-  /** PageRank (damping 0.85, 3 fixed iterations) over the supplier
-    * co-supply graph: suppliers are adjacent when they ship the same
-    * part. Edge generation never self-joins the fact table: per-part
-    * supplier sets aggregate ONCE (bounded arrays), the a<b pair
-    * stream is emitted map-side (the A32 device), and the symmetric
-    * closure is a union of projections. Each iteration is one
-    * edges⋈scores join (both sides keyed on the node id) + one dst
-    * aggregate; scores round to 10 dp per iteration so both engines
-    * iterate on identical IEEE inputs, and the published score rounds
-    * to 6 dp. Dangling nodes cannot occur (undirected edges ⇒ every
-    * node has degree ≥ 1); isolated suppliers (never co-supplying)
-    * are out of scope by definition of the graph.
+  /** STRONG co-supply adjacency as src < dst pairs: per-part supplier
+    * sets aggregate once (bounded arrays), pairs emitted map-side
+    * (the A32 device), then weighted by shared-part count and cut at
+    * the p90 of the weight distribution. The raw co-supply graph is a
+    * near-clique at every scale (any two of S suppliers share a part
+    * with probability → 1 as parts grow), which makes every graph
+    * statistic degenerate; keeping only pairs with UNUSUALLY strong
+    * overlap (top decile, data-adaptive — no magic constant to re-tune
+    * per scale) yields a structured graph. Strict `>` against the
+    * interpolated cut on exact integer weights is engine-identical
+    * (the A15-proven percentile pair). Shared by M1–M3.
     */
-  /** Undirected co-supply adjacency as src < dst pairs: per-part
-    * supplier sets aggregate once (bounded arrays), pairs emitted
-    * map-side (the A32 device), distinct across parts. Shared by M1
-    * and M2.
-    */
-  private def coSupplyPairs(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
+  private def coSupplyPairs(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, dir)
       .select(col("l_partkey"), col("l_suppkey")).distinct()
       .groupBy(col("l_partkey"))
       .agg(sort_array(collect_set(col("l_suppkey"))).as("ss"))
@@ -41,15 +34,34 @@ object GraphOps {
         """flatten(transform(ss, (x, i) ->
           |  transform(slice(ss, i + 2, size(ss) - i - 1),
           |    y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
-      .select(col("p.a").as("src"), col("p.b").as("dst"))
-      .distinct()
+      .groupBy(col("p.a").as("src"), col("p.b").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val cut = pairs.agg(expr("percentile(w, 0.9)").as("wcut"))
+    pairs.crossJoin(broadcast(cut))
+      .filter(col("w") > col("wcut"))
+      .select(col("src"), col("dst"))
+  }
 
   /** DuckDB mirror of [[coSupplyPairs]] as a CTE body. */
   private val undSql: String =
     """e0 AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
-      |und AS (SELECT DISTINCT a.sk AS src, b.sk AS dst
-      |  FROM e0 a JOIN e0 b ON a.pk = b.pk AND a.sk < b.sk)""".stripMargin
+      |pw AS (SELECT a.sk AS src, b.sk AS dst, count(*) AS w
+      |  FROM e0 a JOIN e0 b ON a.pk = b.pk AND a.sk < b.sk
+      |  GROUP BY 1, 2),
+      |wcut AS (SELECT quantile_cont(w, 0.9) AS wcut FROM pw),
+      |und AS (SELECT src, dst FROM pw, wcut WHERE w > wcut)""".stripMargin
 
+  // ---------------------------------------------------------------- M1
+  /** PageRank (damping 0.85, 3 fixed iterations) over the strong
+    * co-supply graph (suppliers adjacent when they co-ship parts
+    * unusually often — see [[coSupplyPairs]]). Each iteration is one
+    * edges⋈scores join (both sides keyed on the node id) + one dst
+    * aggregate; scores round to 10 dp per iteration so both engines
+    * iterate on identical IEEE inputs, and the published score rounds
+    * to 6 dp. Dangling nodes cannot occur (undirected edges ⇒ every
+    * node has degree ≥ 1); suppliers with no strong co-supply edge
+    * are out of scope by definition of the graph.
+    */
   def qPagerank(spark: SparkSession, dir: String): DataFrame = {
     val und = coSupplyPairs(spark, dir)
     val edges = und.union(und.select(col("dst").as("src"),
@@ -150,11 +162,61 @@ object GraphOps {
       |      / (deg.degree * (deg.degree - 1)), 6) END AS clustering
       |FROM deg LEFT JOIN pern ON deg.node = pern.node""".stripMargin
 
+  // ---------------------------------------------------------------- M3
+  /** Link prediction by common-neighbor evidence: for supplier pairs
+    * NOT yet adjacent, the common-neighbor count and the Adamic-Adar
+    * score Σ_b 1/ln(deg b) (rarer shared neighbors weigh more), top-20
+    * with a deterministic pair tiebreak. Rides the SAME oriented wedge
+    * join as M2 — (a,b)⋈(b,c) yields each candidate a<c pair once per
+    * shared neighbor — then one anti-join removes closed wedges
+    * (existing edges) and one pair aggregate folds the evidence.
+    * Per-neighbor weights are 10-dp-rounded before the fold so the
+    * cross-engine sum rides identical doubles; the top-20 cut orders
+    * by the ROUNDED score. Two keyed joins + one anti-join — the M2
+    * cost shape, no new scale risk.
+    */
+  def qLinkPrediction(spark: SparkSession, dir: String): DataFrame = {
+    val und = coSupplyPairs(spark, dir).cache()
+    val deg = und.select(col("src").as("node"))
+      .union(und.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val wedge = und.select(col("src").as("a"), col("dst").as("b"))
+      .join(und.select(col("src").as("b"), col("dst").as("c")), "b")
+    val open = wedge.join(
+      und.select(col("src").as("a"), col("dst").as("c")),
+      Seq("a", "c"), "left_anti")
+    open.join(broadcast(deg.withColumnRenamed("node", "b")), "b")
+      .withColumn("aa_term", round(lit(1.0) / log(col("degree")), 10))
+      .groupBy(col("a"), col("c"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        round(sum(col("aa_term")), 6).as("adamic_adar"))
+      .orderBy(col("adamic_adar").desc, col("a").asc, col("c").asc)
+      .limit(20)
+  }
+
+  val qLinkPredictionSql: String =
+    s"""WITH $undSql,
+      |deg AS (SELECT node, count(*) AS degree FROM (
+      |    SELECT src AS node FROM und UNION ALL SELECT dst FROM und)
+      |  GROUP BY 1),
+      |wedge AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      |  FROM und e1 JOIN und e2 ON e1.dst = e2.src),
+      |open_w AS (SELECT w.a, w.b, w.c FROM wedge w
+      |  WHERE NOT EXISTS (SELECT 1 FROM und e
+      |    WHERE e.src = w.a AND e.dst = w.c))
+      |SELECT o.a, o.c, count(*) AS common_neighbors,
+      |  round(sum(round(1.0 / ln(d.degree), 10)), 6) AS adamic_adar
+      |FROM open_w o JOIN deg d ON o.b = d.node
+      |GROUP BY 1, 2
+      |ORDER BY adamic_adar DESC, a, c LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> (qPagerank _),
-    "q_triangle_count" -> (qTriangleCount _))
+    "q_triangle_count" -> (qTriangleCount _),
+    "q_link_prediction" -> (qLinkPrediction _))
 
   def oracle: Map[String, String] = Map(
     "q_pagerank" -> qPagerankSql,
-    "q_triangle_count" -> qTriangleCountSql)
+    "q_triangle_count" -> qTriangleCountSql,
+    "q_link_prediction" -> qLinkPredictionSql)
 }

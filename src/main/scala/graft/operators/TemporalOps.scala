@@ -747,7 +747,58 @@ object TemporalOps {
        |  abs(cusum_scaled) = max_abs AS is_changepoint
        |FROM cs, mx""".stripMargin
 
+  // ---------------------------------------------------------------- F22
+  /** Top-10 within-session behavior paths: event-type trigrams over
+    * the F1 gap-sessionized stream (30-min gap), counted corpus-wide
+    * — the "what do users actually do" path-mining readout. Rides the
+    * same one-shuffle sessionize as F1, then two leads inside the
+    * (user, session) partition; trigram counting is an ordinary
+    * bounded aggregate (|event_types|³ groups at most). Deterministic
+    * everywhere: the session order ties break on event_id and the
+    * top-10 cut orders by (count, path).
+    */
+  def qTopPaths(spark: SparkSession, dir: String): DataFrame = {
+    val s = gapSessionize(
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          tsSec.as("t")),
+      key = "user_id", timeSec = "t", orderTiebreak = "event_id",
+      gapSec = 1800)
+    val w2 = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("t").asc, col("event_id").asc)
+    s.withColumn("t2", lead(col("event_type"), 1).over(w2))
+      .withColumn("t3", lead(col("event_type"), 2).over(w2))
+      .filter(col("t3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(10)
+  }
+
+  val qTopPathsSql: String =
+    s"""WITH ev AS (SELECT user_id, event_id, event_type, $duckTsSec AS t
+       |  FROM events),
+       |m AS (SELECT user_id, event_id, event_type, t,
+       |    CASE WHEN t - lag(t, 1) OVER w > 1800
+       |           OR lag(t, 1) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+       |  FROM ev
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY t ASC, event_id ASC)),
+       |s AS (SELECT user_id, event_id, event_type, t,
+       |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY t ASC, event_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM m),
+       |p AS (SELECT event_type AS t1,
+       |    lead(event_type, 1) OVER w2 AS t2,
+       |    lead(event_type, 2) OVER w2 AS t3
+       |  FROM s
+       |  WINDOW w2 AS (PARTITION BY user_id, sid ORDER BY t ASC, event_id ASC))
+       |SELECT t1 || '>' || t2 || '>' || t3 AS path, count(*) AS n
+       |FROM p WHERE t3 IS NOT NULL
+       |GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 10""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_top_paths" -> (qTopPaths _),
     "q_seasonality" -> (qSeasonality _),
     "q_changepoint" -> (qChangepoint _),
     "q_kaplan_meier" -> (qKaplanMeier _),
@@ -768,6 +819,7 @@ object TemporalOps {
     "q_json_extract" -> (qJsonExtract _))
 
   def oracle: Map[String, String] = Map(
+    "q_top_paths" -> qTopPathsSql,
     "q_seasonality" -> qSeasonalitySql,
     "q_changepoint" -> qChangepointSql,
     "q_kaplan_meier" -> qKaplanMeierSql,

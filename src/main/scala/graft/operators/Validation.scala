@@ -337,7 +337,36 @@ object Validation {
       |  round(n_true + noise, 6) AS n_noisy, CAST(1.0 AS DOUBLE) AS eps
       |FROM n""".stripMargin
 
+  // ---------------------------------------------------------------- L7
+  /** k-anonymity audit over the (nation, market-segment) quasi-
+    * identifier pair: every equivalence class with its size, the
+    * k ≥ 5 verdict per class, and the corpus-wide k (the smallest
+    * class — what an attacker actually faces) on every row — the
+    * re-identification pre-flight a release pipeline runs before
+    * publishing "anonymized" rows. One bounded aggregate (|nations| ×
+    * |segments| classes) + a broadcast one-row min; exact integers
+    * end to end.
+    */
+  def qKAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val cls = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("class_size"))
+    val k = cls.agg(min(col("class_size")).as("k_corpus"))
+    cls.crossJoin(broadcast(k))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("class_size"),
+        (col("class_size") >= 5).as("k5_ok"), col("k_corpus"))
+  }
+
+  val qKAnonymitySql: String =
+    """WITH cls AS (SELECT c_nationkey, c_mktsegment, count(*) AS class_size
+      |  FROM customer GROUP BY 1, 2),
+      |k AS (SELECT min(class_size) AS k_corpus FROM cls)
+      |SELECT c_nationkey, c_mktsegment, class_size,
+      |  class_size >= 5 AS k5_ok, k_corpus
+      |FROM cls, k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_k_anonymity" -> (qKAnonymity _),
     "q_dp_counts" -> (qDpCounts _),
     "q_bootstrap_ci" -> (qBootstrapCi _),
     "q_data_validation" -> (qDataValidation _),
@@ -345,6 +374,7 @@ object Validation {
     "q_benford" -> (qBenford _))
 
   def oracle: Map[String, String] = Map(
+    "q_k_anonymity" -> qKAnonymitySql,
     "q_dp_counts" -> qDpCountsSql,
     "q_bootstrap_ci" -> qBootstrapCiSql,
     "q_data_validation" -> qDataValidationSql,

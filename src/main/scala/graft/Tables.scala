@@ -17,7 +17,39 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = t(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventTs(t(s, d, "events"))
+
+  /** Canonicalize `events.ts` to Long NANOSECONDS regardless of writer
+    * generation. The corpus has shipped `ts` three ways: ns-precision
+    * parquet surfaced as Long via `spark.sql.legacy.parquet.nanosAsLong`
+    * (the original contract every operator's `ts DIV 1000000000` epoch
+    * math was written against), µs TIMESTAMP, and µs TIMESTAMP_NTZ
+    * (current testdata). Converting at the single loader keeps all
+    * downstream integer math unchanged; the session timezone is pinned
+    * UTC (GraftSession), so the NTZ wall-clock reading IS the epoch
+    * instant and the NTZ→LTZ cast is exact. Pure projection — no
+    * shuffle, stream-safe, and column pruning still reaches the scan.
+    */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) | None => df
+      case Some(_) =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+    }
+  }
+
+  /** Bounded streaming twin of [[events]]: FileStreamSource needs the
+    * RAW on-disk schema (a normalized Long `ts` would mis-declare a
+    * TIMESTAMP_NTZ file), so read raw, then canonicalize the stream.
+    */
+  def eventsStream(s: SparkSession, d: String): DataFrame = {
+    val raw = t(s, d, "events").schema
+    normalizeEventTs(
+      s.readStream.schema(raw).option("basePath", d).parquet(s"$d/events.*"))
+  }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 

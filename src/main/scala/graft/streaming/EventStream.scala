@@ -49,11 +49,8 @@ object EventStream {
     * FileStreamSource wants a directory/glob, not a bare file — glob
     * the single events file with the sf dir as basePath.
     */
-  private def parquetSource(spark: SparkSession, dir: String): DataFrame = {
-    val schema = Tables.events(spark, dir).schema
-    spark.readStream.schema(schema)
-      .option("basePath", dir).parquet(s"$dir/events.*")
-  }
+  private def parquetSource(spark: SparkSession, dir: String): DataFrame =
+    Tables.eventsStream(spark, dir)
 
   /** Shared F5 pipeline: [[tumblingTransform]] over [[parquetSource]].
     * One definition, two sinks ([[qStreamTumbling]] memory twin for
@@ -200,9 +197,7 @@ object EventStream {
     * is correct append-mode semantics).
     */
   def streamRangeJoin(spark: SparkSession, dir: String): DataFrame = {
-    val schema = Tables.events(spark, dir).schema
-    def src = spark.readStream.schema(schema)
-      .option("basePath", dir).parquet(s"$dir/events.*")
+    def src = Tables.eventsStream(spark, dir)
       .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
     val views = src.filter(col("event_type") === "view")
       .select(col("user_id"), col("event_id").as("view_id"),
@@ -237,9 +232,7 @@ object EventStream {
     * deduped stream aggregates to exactly the batch per-type counts.
     */
   def qStreamDedup(spark: SparkSession, dir: String): DataFrame = {
-    val schema = Tables.events(spark, dir).schema
-    def src = spark.readStream.schema(schema)
-      .option("basePath", dir).parquet(s"$dir/events.*")
+    def src = Tables.eventsStream(spark, dir)
       .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
     val deduped = src.unionAll(src)
       .withWatermark("ets", "10 minutes")

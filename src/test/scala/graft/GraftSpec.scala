@@ -40,8 +40,23 @@ class ContractSpec extends AnyFunSuite {
   }
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
-       if name != "q_mllib_tuning") // exercised in TuningSpec (slow)
+       if name != "q_mllib_tuning"      // exercised in TuningSpec (slow)
+       if name != "q_link_prediction")  // degenerate at sf0.001: below
     test(s"$name yields rows at sf0.001") {
       assert(fn(spark, sf).count() > 0, s"$name returned 0 rows")
     }
+
+  // sf0.001 has 10 suppliers whose raw co-supply graph is COMPLETE
+  // (45 pairs = C(10,2)), so every wedge is closed and link prediction
+  // over non-adjacent pairs is empty BY DEFINITION — the tight bound
+  // at this scale is emptiness, not rows>0. The positive bound runs at
+  // sf0.01, where the strong graph has open wedges (oracle-verified
+  // 20 rows in the driver ledger).
+  test("q_link_prediction: empty on the complete sf0.001 graph, rows at sf0.01") {
+    val q = SparkEntry.queries("q_link_prediction")
+    assert(q(spark, sf).count() == 0,
+      "a complete graph admits no non-adjacent candidate pairs")
+    assert(q(spark, "/root/testdata/sf0.01").count() > 0,
+      "sf0.01 strong graph has open wedges; prediction must rank them")
+  }
 }

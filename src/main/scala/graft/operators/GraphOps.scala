@@ -26,8 +26,10 @@ object GraphOps {
     * (the A15-proven percentile pair). Shared by M1–M3.
     */
   private def coSupplyPairs(spark: SparkSession, dir: String): DataFrame = {
+    // collect_set dedups (part, supplier) inside the aggregate, so no
+    // separate distinct() pass — one shuffle builds the supplier sets
     val pairs = Tables.lineitem(spark, dir)
-      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .select(col("l_partkey"), col("l_suppkey"))
       .groupBy(col("l_partkey"))
       .agg(sort_array(collect_set(col("l_suppkey"))).as("ss"))
       .select(explode(expr(
@@ -37,9 +39,15 @@ object GraphOps {
       .groupBy(col("p.a").as("src"), col("p.b").as("dst"))
       .agg(count(lit(1)).as("w"))
     val cut = pairs.agg(expr("percentile(w, 0.9)").as("wcut"))
+    // cached HERE, not at call sites: the result feeds unions and
+    // repeated wedge joins whose branches are distinct logical plans —
+    // without the cache each branch re-pays the whole pair derivation
+    // (observed 2x on qPagerank's und ∪ und.swap). All three M-block
+    // queries build the identical plan, so they share one entry.
     pairs.crossJoin(broadcast(cut))
       .filter(col("w") > col("wcut"))
       .select(col("src"), col("dst"))
+      .cache()
   }
 
   /** DuckDB mirror of [[coSupplyPairs]] as a CTE body. */
@@ -66,14 +74,19 @@ object GraphOps {
     val und = coSupplyPairs(spark, dir)
     val edges = und.union(und.select(col("dst").as("src"),
       col("src").as("dst"))).cache()
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("degree")).cache()
+    // degree joins INTO the edge list once, outside the loop: the
+    // cached contribution edges stay hash-partitioned on src, so each
+    // iteration shuffles only the ~|V|-row score frame — the edge set
+    // (the 100 TB-scale side) never re-shuffles after materialization
+    val contrib = edges.join(deg, "src")
+      .select(col("src"), col("dst"), col("degree")).cache()
     val tot = deg.agg(count(lit(1)).as("n"))
     var r = deg.crossJoin(broadcast(tot))
       .select(col("src").as("node"), round(lit(1.0) / col("n"), 10).as("pr"))
     for (_ <- 1 to 3) {
-      r = edges
-        .join(r, edges("src") === r("node"))
-        .join(deg, "src")
+      r = contrib
+        .join(r, contrib("src") === r("node"))
         .select(col("dst"), (col("pr") / col("degree")).as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
         .crossJoin(broadcast(tot))
@@ -122,7 +135,7 @@ object GraphOps {
     * rounded at the boundary.
     */
   def qTriangleCount(spark: SparkSession, dir: String): DataFrame = {
-    val und = coSupplyPairs(spark, dir).cache()
+    val und = coSupplyPairs(spark, dir)
     val deg = und.select(col("src").as("node"))
       .union(und.select(col("dst").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
@@ -176,7 +189,7 @@ object GraphOps {
     * cost shape, no new scale risk.
     */
   def qLinkPrediction(spark: SparkSession, dir: String): DataFrame = {
-    val und = coSupplyPairs(spark, dir).cache()
+    val und = coSupplyPairs(spark, dir)
     val deg = und.select(col("src").as("node"))
       .union(und.select(col("dst").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))

@@ -91,8 +91,14 @@ object Bench {
     // contract; a real session computes the truth panel once
     val annWarm = warmFamily(Seq("q_ann_bruteforce", "q_ann_lsh",
       "q_ann_ivf", "q_ann_pq", "q_ann_ivfpq", "q_ann_index_stats"))
+    // the M-block queries all derive the same strong co-supply graph
+    // (one shared cache entry inside coSupplyPairs); cold-per-query
+    // re-pays that derivation three times, a session pays it once
+    val graphWarm = warmFamily(Seq("q_pagerank", "q_triangle_count",
+      "q_link_prediction"))
     val warmJson = compositeWarm.map(t => f""","composite_warm":$t%.2f""").getOrElse("") +
-      annWarm.map(t => f""","ann_warm":$t%.2f""").getOrElse("")
+      annWarm.map(t => f""","ann_warm":$t%.2f""").getOrElse("") +
+      graphWarm.map(t => f""","graph_warm":$t%.2f""").getOrElse("")
     // The driver captures only the log TAIL (~2 KiB): a 95-query map
     // overflows it from the FRONT and the line arrives truncated
     // (BENCH r4/r5/r6 all "parsed": null). So stdout gets a SHORT line —

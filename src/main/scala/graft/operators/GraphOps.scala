@@ -223,13 +223,66 @@ object GraphOps {
       |GROUP BY 1, 2
       |ORDER BY adamic_adar DESC, a, c LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- M4
+  /** Community detection by synchronous min-label propagation over the
+    * strong co-supply graph: every node starts labeled with its own id
+    * and each of 3 unrolled rounds takes the minimum label across the
+    * node itself and its neighbors (self-loops union into the edge
+    * list so "itself" rides the same join). Exact integer min — no
+    * float drift surface at all — and synchronous rounds make the
+    * result iteration-count-deterministic in both engines. Each round
+    * is one keyed edges⋈labels join + one min aggregate (the PageRank
+    * cost shape); labels are |V|-sized, edges never re-shuffle after
+    * the cached materialization. Output: node, its community (= min
+    * reachable-in-3 label), and the community size.
+    */
+  def qLabelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val und = coSupplyPairs(spark, dir)
+    val edges = und.union(und.select(col("dst").as("src"),
+      col("src").as("dst")))
+    val nodes = edges.select(col("src")).distinct()
+    val edgesPlus = edges
+      .union(nodes.select(col("src"), col("src").as("dst"))).cache()
+    var lbl = nodes.select(col("src").as("node"), col("src").as("lbl"))
+    for (_ <- 1 to 3) {
+      lbl = edgesPlus
+        .join(lbl, edgesPlus("src") === lbl("node"))
+        .groupBy(col("dst")).agg(min(col("lbl")).as("l"))
+        .select(col("dst").as("node"), col("l").as("lbl"))
+    }
+    val sizes = lbl.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
+    lbl.join(sizes, "lbl")
+      .select(col("node").as("s_suppkey"), col("lbl").as("community"),
+        col("community_size"))
+  }
+
+  val qLabelPropagationSql: String =
+    s"""WITH $undSql,
+      |edges AS (SELECT src, dst FROM und
+      |  UNION ALL SELECT dst, src FROM und),
+      |nodes AS (SELECT DISTINCT src AS node FROM edges),
+      |ep AS (SELECT src, dst FROM edges
+      |  UNION ALL SELECT node, node FROM nodes),
+      |l0 AS (SELECT node, node AS lbl FROM nodes),
+      |l1 AS (SELECT e.dst AS node, min(l.lbl) AS lbl
+      |  FROM ep e JOIN l0 l ON e.src = l.node GROUP BY 1),
+      |l2 AS (SELECT e.dst AS node, min(l.lbl) AS lbl
+      |  FROM ep e JOIN l1 l ON e.src = l.node GROUP BY 1),
+      |l3 AS (SELECT e.dst AS node, min(l.lbl) AS lbl
+      |  FROM ep e JOIN l2 l ON e.src = l.node GROUP BY 1),
+      |sz AS (SELECT lbl, count(*) AS community_size FROM l3 GROUP BY 1)
+      |SELECT l3.node AS s_suppkey, l3.lbl AS community, sz.community_size
+      |FROM l3 JOIN sz ON l3.lbl = sz.lbl""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> (qPagerank _),
     "q_triangle_count" -> (qTriangleCount _),
-    "q_link_prediction" -> (qLinkPrediction _))
+    "q_link_prediction" -> (qLinkPrediction _),
+    "q_label_propagation" -> (qLabelPropagation _))
 
   def oracle: Map[String, String] = Map(
     "q_pagerank" -> qPagerankSql,
     "q_triangle_count" -> qTriangleCountSql,
-    "q_link_prediction" -> qLinkPredictionSql)
+    "q_link_prediction" -> qLinkPredictionSql,
+    "q_label_propagation" -> qLabelPropagationSql)
 }

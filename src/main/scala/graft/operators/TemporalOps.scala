@@ -797,7 +797,57 @@ object TemporalOps {
        |FROM p WHERE t3 IS NOT NULL
        |GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- F16
+  /** Autocorrelation function (lags 1–3) of each event type's hourly
+    * volume series — the periodicity probe behind capacity planning
+    * and anomaly baselines (a strong lag-24 would mean daily rhythm;
+    * here 1–3 catch short-range burst persistence). Events fold to
+    * (type × hour) counts in ONE aggregate (bounded output: types ×
+    * corpus hours), then three lag windows ride a single per-type sort
+    * and `corr` folds each (c, lag-k c) pair — the §5-proven
+    * round(corr, 6) parity pair. The series is the OBSERVED hour grid
+    * (both engines lag over identical rows, so silence-gaps shift
+    * both identically; q_gap_fill is the densifying twin when a dense
+    * grid is the contract). Scale: the window partitions by type over
+    * an already-bounded aggregate — no corpus-sized sort anywhere.
+    */
+  def qAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .select(col("event_type"),
+        (expr("(ts DIV 1000000000) DIV 3600") * 3600).cast("long").as("hour"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour").asc)
+    hourly
+      .select(col("event_type"), col("c").cast("double").as("c"),
+        lag(col("c"), 1).over(w).cast("double").as("c1"),
+        lag(col("c"), 2).over(w).cast("double").as("c2"),
+        lag(col("c"), 3).over(w).cast("double").as("c3"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        round(corr(col("c"), col("c1")), 6).as("ac1"),
+        round(corr(col("c"), col("c2")), 6).as("ac2"),
+        round(corr(col("c"), col("c3")), 6).as("ac3"))
+  }
+
+  val qAutocorrSql: String =
+    s"""WITH hourly AS (SELECT event_type,
+      |    ($duckTsSec // 3600) * 3600 AS hour, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |lagged AS (SELECT event_type, CAST(c AS DOUBLE) AS c,
+      |    CAST(lag(c, 1) OVER w AS DOUBLE) AS c1,
+      |    CAST(lag(c, 2) OVER w AS DOUBLE) AS c2,
+      |    CAST(lag(c, 3) OVER w AS DOUBLE) AS c3
+      |  FROM hourly
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY hour ASC))
+      |SELECT event_type, count(*) AS n_hours,
+      |  round(corr(c, c1), 6) AS ac1,
+      |  round(corr(c, c2), 6) AS ac2,
+      |  round(corr(c, c3), 6) AS ac3
+      |FROM lagged GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_autocorr" -> (qAutocorr _),
     "q_top_paths" -> (qTopPaths _),
     "q_seasonality" -> (qSeasonality _),
     "q_changepoint" -> (qChangepoint _),
@@ -819,6 +869,7 @@ object TemporalOps {
     "q_json_extract" -> (qJsonExtract _))
 
   def oracle: Map[String, String] = Map(
+    "q_autocorr" -> qAutocorrSql,
     "q_top_paths" -> qTopPathsSql,
     "q_seasonality" -> qSeasonalitySql,
     "q_changepoint" -> qChangepointSql,

@@ -1347,7 +1347,52 @@ object TrainingOps {
       |  (n >= n_source // 10 AND n <= n_source // 10 + 1) AS uniform_ok
       |FROM c""".stripMargin
 
+  // ---------------------------------------------------------------- K9
+  /** Weighted sampling without replacement (Efraimidis–Spirakis
+    * A-Res), the principled way to bias a training mix toward long
+    * documents without a global sort over raw weights: each doc draws
+    * a deterministic md5 uniform u and competes on ln(u)/w (monotone
+    * twin of u^(1/w)) with w = n_chars; the top-5 per language BY KEY
+    * are exactly a weight-proportional without-replacement draw. One
+    * map-side key computation + one per-lang top-k window — the
+    * WindowGroupLimit path prunes to k rows per partition before the
+    * sort, so the shuffle carries candidates, not the corpus. Keys
+    * round at 10 dp before ranking (ln parity across engines) with
+    * doc_id tiebreak; the u=0 measure-zero edge floors at 1e-18 (the
+    * L6 device). Deterministic ⇒ oracle-replayable; a production
+    * sampler swaps fresh randomness into the SAME plan.
+    */
+  def qWeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("sample_key").desc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("u", greatest(
+        expr("conv(substring(md5(concat('ws_', cast(doc_id as string))), 1, 15), 16, 10)")
+          .cast("long") / lit(1152921504606846976.0), lit(1e-18)))
+      .withColumn("sample_key", round(log(col("u")) / col("n_chars"), 10))
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= 5)
+      .select(col("lang"), col("sample_rank"), col("doc_id"),
+        col("n_chars"), col("sample_key"))
+  }
+
+  val qWeightedSampleSql: String =
+    """WITH k AS (SELECT lang, doc_id, n_chars,
+      |    round(ln(greatest(
+      |        ('0x' || substr(md5('ws_' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |          / 1152921504606846976.0, 1e-18)) / n_chars, 10) AS sample_key
+      |  FROM documents),
+      |r AS (SELECT lang, doc_id, n_chars, sample_key,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY sample_key DESC, doc_id ASC) AS sample_rank
+      |  FROM k)
+      |SELECT lang, CAST(sample_rank AS INT) AS sample_rank, doc_id,
+      |  n_chars, sample_key
+      |FROM r WHERE sample_rank <= 5""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_weighted_sample" -> (qWeightedSample _),
     "q_interleave_schedule" -> (qInterleaveSchedule _),
     "q_gini_concentration" -> (qGiniConcentration _),
     "q_psi_drift" -> (qPsiDrift _),
@@ -1377,6 +1422,7 @@ object TrainingOps {
     "q_anomaly" -> (qAnomaly _))
 
   def oracle: Map[String, String] = Map(
+    "q_weighted_sample" -> qWeightedSampleSql,
     "q_interleave_schedule" -> qInterleaveScheduleSql,
     "q_gini_concentration" -> qGiniConcentrationSql,
     "q_psi_drift" -> qPsiDriftSql,

@@ -365,7 +365,69 @@ object Validation {
       |  class_size >= 5 AS k5_ok, k_corpus
       |FROM cls, k""".stripMargin
 
+  // ---------------------------------------------------------------- L8
+  /** Gini concentration of customer spend per market segment — the
+    * inequality audit a data curator runs before trusting per-segment
+    * aggregates (a segment whose revenue is one whale behaves nothing
+    * like its mean). Sibling of K-block q_gini_concentration (doc
+    * lengths, pure integers): this one exercises the money path — a
+    * fact⋈dim join feeding DECIMAL spend. Spend folds decimal-exact
+    * per customer first
+    * (one shuffle, bounded |customers| rows), then the classic sorted
+    * formula G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) rides one
+    * rank-window per segment: Σ i·xᵢ is permutation-invariant across
+    * equal spends, so the rank tiebreak (custkey) cannot move the
+    * statistic, and every sum is DECIMAL until the single final
+    * division, rounded at the 6-dp boundary (§5). No driver state, no
+    * second scan; the window partitions by segment so no global sort.
+    */
+  def qGini(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), col("c_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("segment"))
+      .orderBy(col("spend").asc, col("c_custkey").asc)
+    spend
+      .select(col("segment"), col("spend"),
+        row_number().over(w).cast("long").as("i"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("spend")).as("tot"),
+        sum((col("i").cast("decimal(18,0)") * col("spend"))
+          .cast("decimal(28,2)")).as("iws"))
+      .select(col("segment"), col("n_customers"),
+        round(col("tot").cast("double"), 2).as("total_spend"),
+        round((lit(2.0) * col("iws").cast("double") -
+            (col("n_customers") + 1).cast("double") * col("tot").cast("double")) /
+          (col("n_customers").cast("double") * col("tot").cast("double")),
+          6).as("gini"))
+  }
+
+  val qGiniSql: String =
+    """WITH spend AS (SELECT c.c_mktsegment AS segment, c.c_custkey,
+      |    sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS spend
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2),
+      |ranked AS (SELECT segment, spend,
+      |    CAST(row_number() OVER (PARTITION BY segment
+      |      ORDER BY spend ASC, c_custkey ASC) AS BIGINT) AS i
+      |  FROM spend),
+      |agg AS (SELECT segment, count(*) AS n_customers,
+      |    sum(spend) AS tot,
+      |    sum(CAST(CAST(i AS DECIMAL(18,0)) * spend AS DECIMAL(28,2))) AS iws
+      |  FROM ranked GROUP BY 1)
+      |SELECT segment, n_customers,
+      |  round(CAST(tot AS DOUBLE), 2) AS total_spend,
+      |  round((2.0 * CAST(iws AS DOUBLE)
+      |      - (n_customers + 1) * CAST(tot AS DOUBLE))
+      |    / (n_customers * CAST(tot AS DOUBLE)), 6) AS gini
+      |FROM agg""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gini" -> (qGini _),
     "q_k_anonymity" -> (qKAnonymity _),
     "q_dp_counts" -> (qDpCounts _),
     "q_bootstrap_ci" -> (qBootstrapCi _),
@@ -374,6 +436,7 @@ object Validation {
     "q_benford" -> (qBenford _))
 
   def oracle: Map[String, String] = Map(
+    "q_gini" -> qGiniSql,
     "q_k_anonymity" -> qKAnonymitySql,
     "q_dp_counts" -> qDpCountsSql,
     "q_bootstrap_ci" -> qBootstrapCiSql,

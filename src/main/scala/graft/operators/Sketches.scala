@@ -140,14 +140,60 @@ object Sketches {
        |FROM topk""".stripMargin
   }
 
+  // ---------------------------------------------------------------- H9
+  /** HLL sketch MERGE — the piece q_approx_distinct doesn't prove.
+    * Per event type, one `hll_sketch_agg` over user ids (Apache
+    * DataSketches HLL, deterministic for given data); the corpus-wide
+    * distinct-user estimate then comes from `hll_union_agg` over those
+    * FIVE per-type sketches — never rescanning events — which is
+    * exactly how a 100 TB deployment answers "distinct users this
+    * quarter": union the per-day/per-shard sketches kept as bytes.
+    * Output (verdict form, H3/H4 device): per-scope exact distinct
+    * count plus a within-5%-relative-error boolean per estimate (HLL
+    * lgK=12 ⇒ ~1.6% rse; 5% mirrors the A11b slack ratio); the
+    * union row's exact side is recomputed only for the verdict. The
+    * sketch bytes never reach the output, so the row set hash-matches
+    * a DuckDB oracle that replays the exact sides.
+    */
+  def qHllUnion(spark: SparkSession, dir: String): DataFrame = {
+    val perType = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .cache()
+    val typed = perType.select(col("event_type").as("scope"),
+      col("exact_users"),
+      (abs(hll_sketch_estimate(col("sk")) - col("exact_users"))
+        .cast("double") <=
+        lit(0.05) * col("exact_users").cast("double")).as("within_bound"))
+    val merged = perType
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val overallExact = Tables.events(spark, dir)
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    val unionRow = merged.crossJoin(broadcast(overallExact))
+      .select(lit("ALL_UNION").as("scope"), col("exact_users"),
+        (abs(col("est") - col("exact_users")).cast("double") <=
+          lit(0.05) * col("exact_users").cast("double")).as("within_bound"))
+    typed.union(unionRow)
+  }
+
+  val qHllUnionSql: String =
+    """SELECT event_type AS scope, count(DISTINCT user_id) AS exact_users,
+      |  true AS within_bound
+      |FROM events GROUP BY 1
+      |UNION ALL
+      |SELECT 'ALL_UNION', count(DISTINCT user_id), true FROM events""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bloom_keep" -> (qBloomKeep _),
-    "q_cms_topk" -> (qCmsTopk _))
+    "q_cms_topk" -> (qCmsTopk _),
+    "q_hll_union" -> (qHllUnion _))
 
   /** The sketch bit patterns stay out of the outputs; the emitted
     * verdicts (exact side + guarantee booleans) are oracle-checked.
     */
   def oracle: Map[String, String] = Map(
     "q_bloom_keep" -> qBloomKeepSql,
-    "q_cms_topk" -> qCmsTopkSql)
+    "q_cms_topk" -> qCmsTopkSql,
+    "q_hll_union" -> qHllUnionSql)
 }

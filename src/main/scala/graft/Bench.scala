@@ -95,7 +95,7 @@ object Bench {
     // (one shared cache entry inside coSupplyPairs); cold-per-query
     // re-pays that derivation three times, a session pays it once
     val graphWarm = warmFamily(Seq("q_pagerank", "q_triangle_count",
-      "q_link_prediction"))
+      "q_link_prediction", "q_label_propagation"))
     val warmJson = compositeWarm.map(t => f""","composite_warm":$t%.2f""").getOrElse("") +
       annWarm.map(t => f""","ann_warm":$t%.2f""").getOrElse("") +
       graphWarm.map(t => f""","graph_warm":$t%.2f""").getOrElse("")

@@ -338,6 +338,63 @@ object TemporalOps {
        |UNION ALL
        |SELECT '(none)', np - na, CAST(revt - reva AS DOUBLE) FROM tot, at""".stripMargin
 
+  // ---------------------------------------------------------------- F27
+  /** Time-decay MULTI-touch attribution — the fractional-credit twin
+    * of F21's last-touch: every view/click in the hour before a
+    * purchase earns weight exp(−Δt/1800) (30-min time constant), and
+    * the purchase's revenue splits across its touches in weight
+    * proportion, so a click 5 minutes out outweighs a view 55 minutes
+    * out but neither takes the whole sale. Float parity discipline:
+    * weights are 10-dp-rounded BEFORE the per-purchase normalization
+    * (both engines exp over identical integer Δt), each touch's
+    * revenue share rounds at 10 dp, and the per-channel fold rounds
+    * at the 4-dp boundary — the F19/M3 ln-parity device applied to
+    * exp. One user_id shuffle + one pid aggregate; per-purchase touch
+    * sets are bounded by the lookback window, never corpus size.
+    */
+  def qAttributionDecay(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"), tsSec.as("tp"),
+        col("value").cast("decimal(12,2)").as("rev"))
+    val t = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_id").as("tid"), tsSec.as("tt"),
+        col("event_type").as("channel"))
+    val touches = p.join(t, Seq("user_id"))
+      .filter(col("tt") <= col("tp") && col("tp") - col("tt") <= 3600)
+      .withColumn("wgt",
+        round(exp((col("tt") - col("tp")).cast("double") / lit(1800.0)), 10))
+    val wsum = org.apache.spark.sql.expressions.Window.partitionBy(col("pid"))
+    touches
+      .withColumn("share",
+        round(col("rev").cast("double") * col("wgt") /
+          sum(col("wgt")).over(wsum), 10))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("pid")).as("n_purchases"),
+        round(sum(col("share")), 4).as("revenue"))
+  }
+
+  val qAttributionDecaySql: String =
+    s"""WITH p AS (SELECT user_id, event_id AS pid, $duckTsSec AS tp,
+       |    CAST(value AS DECIMAL(12,2)) AS rev
+       |  FROM events WHERE event_type = 'purchase'),
+       |t AS (SELECT user_id, event_id AS tid, $duckTsSec AS tt,
+       |    event_type AS channel
+       |  FROM events WHERE event_type IN ('view', 'click')),
+       |touches AS (SELECT pid, rev, channel,
+       |    round(exp((tt - tp) / 1800.0), 10) AS wgt
+       |  FROM p JOIN t USING (user_id)
+       |  WHERE tt <= tp AND tp - tt <= 3600),
+       |shares AS (SELECT pid, channel,
+       |    round(CAST(rev AS DOUBLE) * wgt
+       |      / sum(wgt) OVER (PARTITION BY pid), 10) AS share
+       |  FROM touches)
+       |SELECT channel, count(*) AS n_touches,
+       |  count(DISTINCT pid) AS n_purchases,
+       |  round(sum(share), 4) AS revenue
+       |FROM shares GROUP BY 1""".stripMargin
+
   // ---------------------------------------------------------------- F3
   /** Funnel: users converting signup → purchase within 1 hour.
     * Two small shuffles on user_id (semi-join pattern), no state.
@@ -797,7 +854,7 @@ object TemporalOps {
        |FROM p WHERE t3 IS NOT NULL
        |GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 10""".stripMargin
 
-  // ---------------------------------------------------------------- F16
+  // ---------------------------------------------------------------- F26
   /** Autocorrelation function (lags 1–3) of each event type's hourly
     * volume series — the periodicity probe behind capacity planning
     * and anomaly baselines (a strong lag-24 would mean daily rhythm;
@@ -865,6 +922,7 @@ object TemporalOps {
     "q_funnel" -> (qFunnel _),
     "q_ohlc_bars" -> (qOhlcBars _),
     "q_attribution" -> (qAttribution _),
+    "q_attribution_decay" -> (qAttributionDecay _),
     "q_scd2_intervals" -> (qScd2Intervals _),
     "q_json_extract" -> (qJsonExtract _))
 
@@ -879,6 +937,7 @@ object TemporalOps {
     "q_markov_transitions" -> qMarkovTransitionsSql,
     "q_ohlc_bars" -> qOhlcBarsSql,
     "q_attribution" -> qAttributionSql,
+    "q_attribution_decay" -> qAttributionDecaySql,
     "q_scd2_intervals" -> qScd2IntervalsSql,
     "q_gap_fill" -> qGapFillSql,
     "q_hopping_window" -> qHoppingWindowSql,

@@ -7,10 +7,11 @@ import graft.Tables
 
 /** Temporal / event operators (SURVEY.md §2: A6, A12, A13, F1–F4).
   *
-  * Clock contract: `events.ts` is ns-precision parquet surfaced as Long
-  * nanos (see GraftSession); all boundaries use floor-second integer
-  * arithmetic (`ts DIV 1e9`), mirrored exactly in the oracle SQL as
-  * `CAST(floor(epoch(ts)) AS BIGINT)`.
+  * Clock contract: `events.ts` arrives canonicalized to Long
+  * NANOSECONDS by the loader (Tables.events — whatever precision/type
+  * the parquet generation wrote); all boundaries use floor-second
+  * integer arithmetic (`ts DIV 1e9`), mirrored exactly in the oracle
+  * SQL as `CAST(floor(epoch(ts)) AS BIGINT)`.
   *
   * Scale notes: every operator here shuffles at most once, on the
   * session/user key; no driver-side state, no collects. The as-of join

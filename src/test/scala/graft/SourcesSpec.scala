@@ -13,6 +13,32 @@ class SourcesSpec extends AnyFunSuite {
   private def tmp(name: String): String =
     java.nio.file.Files.createTempDirectory(s"graft_$name").toString
 
+  test("events.ts canonicalizes to identical Long nanos from all three writer generations") {
+    import spark.implicits._
+    // one instant, three shipped encodings: ns-int64 (legacy
+    // nanosAsLong), µs TIMESTAMP_NTZ (current testdata), µs TIMESTAMP
+    val nanos = Seq(1700000000123456000L, 1700003600987654000L)
+    val asLong = nanos.toDF("ts")
+    val asNtz = nanos.toDF("n")
+      .select(expr("timestamp_micros(n DIV 1000)").cast("timestamp_ntz").as("ts"))
+    val asLtz = nanos.toDF("n")
+      .select(expr("timestamp_micros(n DIV 1000)").as("ts"))
+    for ((df, label) <- Seq((asLong, "long"), (asNtz, "ntz"), (asLtz, "ltz"))) {
+      val out = Tables.normalizeEventTs(df)
+      assert(out.schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType, s"$label: dtype")
+      // µs writers truncate the sub-µs tail; compare at µs resolution
+      assert(out.select(expr("ts DIV 1000")).as[Long].collect().sorted
+        .sameElements(nanos.map(_ / 1000).sorted), s"$label: values")
+    }
+    // the real loader end-to-end: current testdata reads as Long nanos
+    // and epoch-second math resolves
+    val real = Tables.events(spark, sf)
+    assert(real.schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(real.select(expr("ts DIV 1000000000")).limit(5).count() == 5)
+  }
+
   test("json sink/source round-trips the documents table") {
     val out = tmp("json")
     val docs = Tables.documents(spark, sf)

@@ -426,6 +426,166 @@ object TemporalOps {
        |SELECT (SELECT count(*) FROM signups) AS n_signup_users,
        |       (SELECT count(*) FROM converted) AS n_converted""".stripMargin
 
+  // ---------------------------------------------------------------- F28
+  /** Three-step funnel (view → click → purchase, each step within an
+    * hour of the previous) with per-step conversion AND latency
+    * distribution — what F3's two-step count can't say: WHERE the drop
+    * happens and how fast survivors move. Chain semantics: a user's
+    * step-2 time is the EARLIEST click after their earliest view
+    * (min-of-filtered-join, deterministic, no per-user ordering
+    * ambiguity), step 3 likewise off step 2. Three user-keyed
+    * aggregates + two filtered joins — all shuffles on user_id, no
+    * window over the corpus; medians ride the proven
+    * percentile↔quantile_cont pair on integer second gaps.
+    */
+  def qFunnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(tsSec).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("u2"), tsSec.as("tc"))
+      .join(s1, col("u2") === col("user_id") &&
+        col("tc") >= col("t1") && col("tc") - col("t1") <= 3600)
+      .groupBy(col("user_id").as("user2"), col("t1").as("t1b"))
+      .agg(min(col("tc")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u3"), tsSec.as("tp"))
+      .join(s2, col("u3") === col("user2") &&
+        col("tp") >= col("t2") && col("tp") - col("t2") <= 3600)
+      .groupBy(col("user2").as("user3"), col("t2").as("t2b"))
+      .agg(min(col("tp")).as("t3"))
+    val a1 = s1.agg(count(lit(1)).as("n_view"))
+    val a2 = s2.agg(count(lit(1)).as("n_click"),
+      expr("percentile(t2 - t1b, 0.5)").as("med_gap_vc"))
+    val a3 = s3.agg(count(lit(1)).as("n_purchase"),
+      expr("percentile(t3 - t2b, 0.5)").as("med_gap_cp"))
+    a1.crossJoin(broadcast(a2)).crossJoin(broadcast(a3))
+      .select(col("n_view"), col("n_click"), col("n_purchase"),
+        round(col("n_click").cast("double") / col("n_view"), 6).as("rate_vc"),
+        round(col("n_purchase").cast("double") / col("n_click"), 6).as("rate_cp"),
+        round(col("med_gap_vc"), 1).as("med_gap_vc_sec"),
+        round(col("med_gap_cp"), 1).as("med_gap_cp_sec"))
+  }
+
+  val qFunnelStepsSql: String =
+    s"""WITH s1 AS (SELECT user_id, min($duckTsSec) AS t1
+       |  FROM events WHERE event_type = 'view' GROUP BY 1),
+       |s2 AS (SELECT e.user_id, s1.t1, min($duckTsSec) AS t2
+       |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+       |  WHERE e.event_type = 'click'
+       |    AND $duckTsSec >= s1.t1 AND $duckTsSec - s1.t1 <= 3600
+       |  GROUP BY 1, 2),
+       |s3 AS (SELECT e.user_id, s2.t2, min($duckTsSec) AS t3
+       |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+       |  WHERE e.event_type = 'purchase'
+       |    AND $duckTsSec >= s2.t2 AND $duckTsSec - s2.t2 <= 3600
+       |  GROUP BY 1, 2)
+       |SELECT (SELECT count(*) FROM s1) AS n_view,
+       |  (SELECT count(*) FROM s2) AS n_click,
+       |  (SELECT count(*) FROM s3) AS n_purchase,
+       |  round((SELECT count(*) FROM s2) * 1.0
+       |    / (SELECT count(*) FROM s1), 6) AS rate_vc,
+       |  round((SELECT count(*) FROM s3) * 1.0
+       |    / (SELECT count(*) FROM s2), 6) AS rate_cp,
+       |  round((SELECT quantile_cont(t2 - t1, 0.5) FROM s2), 1) AS med_gap_vc_sec,
+       |  round((SELECT quantile_cont(t3 - t2, 0.5) FROM s3), 1) AS med_gap_cp_sec""".stripMargin
+
+  // ---------------------------------------------------------------- F29
+  /** Corpus-level session quality readout over F1's sessionization:
+    * session count, median events per session, median session duration,
+    * and bounce rate (single-event sessions) — the four numbers an
+    * engagement dashboard actually shows. Rides [[gapSessionize]]
+    * unchanged (one user_id shuffle), folds per-session facts in one
+    * bounded aggregate, then a single-row summary; medians on exact
+    * integer counts/durations via the proven percentile pair.
+    */
+  def qSessionStats(spark: SparkSession, dir: String): DataFrame = {
+    val sess = gapSessionize(
+        Tables.events(spark, dir)
+          .select(col("user_id"), col("event_id"), tsSec.as("t")),
+        key = "user_id", timeSec = "t", orderTiebreak = "event_id",
+        gapSec = 1800)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("t")) - min(col("t"))).as("dur_sec"))
+    sess.agg(count(lit(1)).as("n_sessions"),
+        round(expr("percentile(n_events, 0.5)"), 1).as("med_events"),
+        round(expr("percentile(dur_sec, 0.5)"), 1).as("med_dur_sec"),
+        round(sum(when(col("n_events") === 1, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 6).as("bounce_rate"))
+  }
+
+  val qSessionStatsSql: String =
+    s"""WITH marked AS (
+       |  SELECT user_id, event_id, $duckTsSec AS t,
+       |    CASE WHEN $duckTsSec - lag($duckTsSec, 1) OVER w > 1800
+       |           OR lag($duckTsSec, 1) OVER w IS NULL
+       |         THEN 1 ELSE 0 END AS new_sess
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY $duckTsSec ASC, event_id ASC)),
+       |sid AS (SELECT user_id, t,
+       |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY t ASC, event_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM marked),
+       |sess AS (SELECT user_id, session_id, count(*) AS n_events,
+       |    max(t) - min(t) AS dur_sec
+       |  FROM sid GROUP BY 1, 2)
+       |SELECT count(*) AS n_sessions,
+       |  round(quantile_cont(n_events, 0.5), 1) AS med_events,
+       |  round(quantile_cont(dur_sec, 0.5), 1) AS med_dur_sec,
+       |  round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1.0
+       |    / count(*), 6) AS bounce_rate
+       |FROM sess""".stripMargin
+
+  // ---------------------------------------------------------------- F30
+  /** Cohort LTV curves: users cohort by first-activity week, purchase
+    * revenue accumulates per cohort across week offsets — the
+    * lifetime-value readout F14's retention shares (activity) can't
+    * give (money). Weekly revenue folds DECIMAL-exact per
+    * (cohort, offset) — a bounded grid (weeks²) — and the cumulative
+    * sum runs over that grid, not over raw events; the single cast to
+    * double happens at the 2-dp output boundary. Two user_id-keyed
+    * aggregates + one broadcast-sized window — no corpus-wide
+    * ordering at any scale.
+    */
+  def qCohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val wk = (expr("(ts DIV 1000000000) DIV 604800") * 604800L).cast("long")
+    val firstw = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(min(wk).as("cohort_week"))
+    val weekly = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), wk.as("w"),
+        col("value").cast("decimal(12,2)").as("rev"))
+      .join(firstw, "user_id")
+      .groupBy(col("cohort_week"),
+        ((col("w") - col("cohort_week")) / 604800L).cast("long").as("week_offset"))
+      .agg(sum(col("rev")).cast("decimal(22,2)").as("wrev"))
+    val cum = Window.partitionBy(col("cohort_week"))
+      .orderBy(col("week_offset").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    weekly.select(col("cohort_week"), col("week_offset"),
+      col("wrev").cast("double").as("week_revenue"),
+      sum(col("wrev")).over(cum).cast("double").as("cum_revenue"))
+  }
+
+  val qCohortLtvSql: String =
+    s"""WITH fw AS (SELECT user_id,
+       |    min(($duckTsSec // 604800) * 604800) AS cohort_week
+       |  FROM events GROUP BY 1),
+       |weekly AS (SELECT fw.cohort_week,
+       |    CAST(((($duckTsSec // 604800) * 604800) - fw.cohort_week)
+       |      / 604800 AS BIGINT) AS week_offset,
+       |    CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DECIMAL(22,2)) AS wrev
+       |  FROM events e JOIN fw ON e.user_id = fw.user_id
+       |  WHERE e.event_type = 'purchase'
+       |  GROUP BY 1, 2)
+       |SELECT cohort_week, week_offset,
+       |  CAST(wrev AS DOUBLE) AS week_revenue,
+       |  CAST(sum(wrev) OVER (PARTITION BY cohort_week ORDER BY week_offset ASC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |    AS cum_revenue
+       |FROM weekly""".stripMargin
+
   // ---------------------------------------------------------------- F4
   /** JSON property extraction + aggregate. Extraction is a shared
     * regex (identical semantics in both engines, no JSON-lib variance);
@@ -921,6 +1081,9 @@ object TemporalOps {
     "q_sessionize" -> (qSessionize _),
     "q_tumbling_window" -> (qTumblingWindow _),
     "q_funnel" -> (qFunnel _),
+    "q_funnel_steps" -> (qFunnelSteps _),
+    "q_session_stats" -> (qSessionStats _),
+    "q_cohort_ltv" -> (qCohortLtv _),
     "q_ohlc_bars" -> (qOhlcBars _),
     "q_attribution" -> (qAttribution _),
     "q_attribution_decay" -> (qAttributionDecay _),
@@ -948,5 +1111,8 @@ object TemporalOps {
     "q_sessionize" -> qSessionizeSql,
     "q_tumbling_window" -> qTumblingWindowSql,
     "q_funnel" -> qFunnelSql,
+    "q_funnel_steps" -> qFunnelStepsSql,
+    "q_session_stats" -> qSessionStatsSql,
+    "q_cohort_ltv" -> qCohortLtvSql,
     "q_json_extract" -> qJsonExtractSql)
 }

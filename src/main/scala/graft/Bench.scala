@@ -85,7 +85,8 @@ object Bench {
     }
     val compositeWarm = warmFamily(Seq("q_neardup_keep_list",
       "q_decontam_keep_list", "q_source_overlap", "q_containment_pairs",
-      "q_cluster_sizes", "q_crosslingual_pairs", "q_dedup_threshold_sweep"))
+      "q_cluster_sizes", "q_crosslingual_pairs", "q_dedup_threshold_sweep",
+      "q_pipeline_e2e"))
     // the 5 ANN queries each re-pay the shared brute-force recall
     // truth (and the persisted-index read) under the cold-per-query
     // contract; a real session computes the truth panel once

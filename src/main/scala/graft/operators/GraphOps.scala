@@ -236,20 +236,30 @@ object GraphOps {
     * the cached materialization. Output: node, its community (= min
     * reachable-in-3 label), and the community size.
     */
-  def qLabelPropagation(spark: SparkSession, dir: String): DataFrame = {
-    val und = coSupplyPairs(spark, dir)
+  /** Reusable synchronous min-label propagation: `rounds` rounds over
+    * an UNDIRECTED edge list given as src→dst pairs (symmetric closure
+    * taken here). Returns (node, lbl) where lbl = min node id within
+    * distance `rounds`. Property-tested on synthetic graphs
+    * (PropertySpec); [[qLabelPropagation]] binds it to the corpus.
+    */
+  private[graft] def labelPropagate(und: DataFrame, rounds: Int): DataFrame = {
     val edges = und.union(und.select(col("dst").as("src"),
       col("src").as("dst")))
     val nodes = edges.select(col("src")).distinct()
     val edgesPlus = edges
       .union(nodes.select(col("src"), col("src").as("dst"))).cache()
     var lbl = nodes.select(col("src").as("node"), col("src").as("lbl"))
-    for (_ <- 1 to 3) {
+    for (_ <- 1 to rounds) {
       lbl = edgesPlus
         .join(lbl, edgesPlus("src") === lbl("node"))
         .groupBy(col("dst")).agg(min(col("lbl")).as("l"))
         .select(col("dst").as("node"), col("l").as("lbl"))
     }
+    lbl
+  }
+
+  def qLabelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val lbl = labelPropagate(coSupplyPairs(spark, dir), rounds = 3)
     val sizes = lbl.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
     lbl.join(sizes, "lbl")
       .select(col("node").as("s_suppkey"), col("lbl").as("community"),

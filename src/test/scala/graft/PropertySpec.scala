@@ -196,4 +196,49 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("labelPropagate: k rounds reach exactly distance k; disjoint cliques stay distinct") {
+    import graft.operators.GraphOps
+    // chain 0-1-2-...-9 (src<dst pairs): after k rounds node i holds
+    // min(0, i-k) = max(0, i-k); k=3 must NOT collapse the far end
+    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("src", "dst")
+    val gotChain = GraphOps.labelPropagate(chain, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    (0L to 9L).foreach { i =>
+      assert(gotChain(i) == math.max(0L, i - 3),
+        s"chain node $i: got ${gotChain(i)}")
+    }
+    // two disjoint 4-cliques {10..13}, {20..23}: one round suffices
+    // per clique and the communities must not merge at any round count
+    val cliques = (for {
+      base <- Seq(10L, 20L)
+      a <- 0L until 4L; b <- (a + 1) until 4L
+    } yield (base + a, base + b)).toDF("src", "dst")
+    val gotCliques = GraphOps.labelPropagate(cliques, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    (10L to 13L).foreach(i => assert(gotCliques(i) == 10L))
+    (20L to 23L).foreach(i => assert(gotCliques(i) == 20L))
+    // star with hub 30: one round pulls every leaf to the hub's min
+    val star = (31L to 60L).map(i => (30L, i)).toDF("src", "dst")
+    val gotStar = GraphOps.labelPropagate(star, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    (30L to 60L).foreach(i => assert(gotStar(i) == 30L))
+  }
+
+  test("q_weighted_sample structural contract: 5 ranks per lang, keys non-increasing") {
+    val rows = graft.operators.TrainingOps
+      .queries("q_weighted_sample")(spark, sf)
+      .select("lang", "sample_rank", "sample_key")
+      .as[(String, Int, Double)].collect()
+    val byLang = rows.groupBy(_._1)
+    byLang.foreach { case (lang, rs) =>
+      assert(rs.map(_._2).sorted.sameElements(1 to 5),
+        s"$lang: ranks must be exactly 1..5")
+      val keysInRankOrder = rs.sortBy(_._2).map(_._3)
+      assert(keysInRankOrder.zip(keysInRankOrder.tail)
+        .forall { case (a, b) => a >= b },
+        s"$lang: sample_key must be non-increasing in rank")
+    }
+    assert(byLang.nonEmpty)
+  }
 }

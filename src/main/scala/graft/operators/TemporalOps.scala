@@ -586,6 +586,52 @@ object TemporalOps {
        |    AS cum_revenue
        |FROM weekly""".stripMargin
 
+  // ---------------------------------------------------------------- F31
+  /** Weekly churn: of the users active in calendar week w, how many
+    * have NO activity in w+1 — the flow-rate complement of F14's
+    * cohort retention (stock). One distinct (user, week) fold, then a
+    * self-anti-join shifted one week (both sides keyed on user_id —
+    * co-partitioned, no second shuffle family), counts per week. The
+    * final corpus week is excluded (its "next week" doesn't exist, so
+    * churn there is undefined, not 100%) via one broadcast max.
+    */
+  def qChurn(spark: SparkSession, dir: String): DataFrame = {
+    val wk = (expr("(ts DIV 1000000000) DIV 604800") * 604800L).cast("long")
+    val uw = Tables.events(spark, dir)
+      .select(col("user_id"), wk.as("week")).distinct()
+    val maxw = uw.agg(max(col("week")).as("maxw"))
+    val next = uw.select(col("user_id").as("nu"),
+      (col("week") - 604800L).as("nw"))
+    val churned = uw.join(next,
+      col("user_id") === col("nu") && col("week") === col("nw"), "left_anti")
+    val act = uw.groupBy(col("week")).agg(count(lit(1)).as("n_active"))
+    val chn = churned.groupBy(col("week")).agg(count(lit(1)).as("n_churned"))
+    act.join(chn, Seq("week"), "left")
+      .na.fill(0L, Seq("n_churned"))
+      .crossJoin(broadcast(maxw))
+      .filter(col("week") < col("maxw"))
+      .select(col("week"), col("n_active"), col("n_churned"),
+        round(col("n_churned").cast("double") / col("n_active"), 6)
+          .as("churn_rate"))
+  }
+
+  val qChurnSql: String =
+    s"""WITH uw AS (SELECT DISTINCT user_id,
+       |    ($duckTsSec // 604800) * 604800 AS week
+       |  FROM events),
+       |act AS (SELECT week, count(*) AS n_active FROM uw GROUP BY 1),
+       |chn AS (SELECT a.week, count(*) AS n_churned
+       |  FROM uw a
+       |  WHERE NOT EXISTS (SELECT 1 FROM uw b
+       |    WHERE b.user_id = a.user_id AND b.week = a.week + 604800)
+       |  GROUP BY 1)
+       |SELECT act.week, act.n_active,
+       |  COALESCE(chn.n_churned, 0) AS n_churned,
+       |  round(COALESCE(chn.n_churned, 0) * 1.0 / act.n_active, 6)
+       |    AS churn_rate
+       |FROM act LEFT JOIN chn ON act.week = chn.week
+       |WHERE act.week < (SELECT max(week) FROM uw)""".stripMargin
+
   // ---------------------------------------------------------------- F4
   /** JSON property extraction + aggregate. Extraction is a shared
     * regex (identical semantics in both engines, no JSON-lib variance);
@@ -1081,6 +1127,7 @@ object TemporalOps {
     "q_sessionize" -> (qSessionize _),
     "q_tumbling_window" -> (qTumblingWindow _),
     "q_funnel" -> (qFunnel _),
+    "q_churn" -> (qChurn _),
     "q_funnel_steps" -> (qFunnelSteps _),
     "q_session_stats" -> (qSessionStats _),
     "q_cohort_ltv" -> (qCohortLtv _),
@@ -1111,6 +1158,7 @@ object TemporalOps {
     "q_sessionize" -> qSessionizeSql,
     "q_tumbling_window" -> qTumblingWindowSql,
     "q_funnel" -> qFunnelSql,
+    "q_churn" -> qChurnSql,
     "q_funnel_steps" -> qFunnelStepsSql,
     "q_session_stats" -> qSessionStatsSql,
     "q_cohort_ltv" -> qCohortLtvSql,

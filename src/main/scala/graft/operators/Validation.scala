@@ -426,7 +426,92 @@ object Validation {
       |    / (n_customers * CAST(tot AS DOUBLE)), 6) AS gini
       |FROM agg""".stripMargin
 
+  // ---------------------------------------------------------------- L9
+  /** Pareto concentration: what share of all events do the top-decile
+    * users generate — the "whale ratio" in the units an operator
+    * quotes (L8's Gini is the same phenomenon as an index). Per-user
+    * counts fold once (user_id shuffle), the p90 cut broadcasts from
+    * ONE exact percentile aggregate (the A15 pair), and the share is
+    * a conditional sum against the cut — no global sort, no second
+    * pass over events. Strict `>` against the interpolated cut on
+    * exact integer counts is engine-identical.
+    */
+  def qParetoShare(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val cut = perUser.agg(expr("percentile(n, 0.9)").as("p90"))
+    perUser.crossJoin(broadcast(cut))
+      .agg(count(lit(1)).as("n_users"),
+        round(max(col("p90")), 4).as("p90_events"),
+        sum(when(col("n") > col("p90"), 1L).otherwise(0L)).as("n_top_users"),
+        round(sum(when(col("n") > col("p90"), col("n")).otherwise(0L))
+          .cast("double") / sum(col("n")), 6).as("top_share"))
+  }
+
+  val qParetoShareSql: String =
+    """WITH pu AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+      |cut AS (SELECT quantile_cont(n, 0.9) AS p90 FROM pu)
+      |SELECT count(*) AS n_users,
+      |  round(max(p90), 4) AS p90_events,
+      |  CAST(sum(CASE WHEN n > p90 THEN 1 ELSE 0 END) AS BIGINT) AS n_top_users,
+      |  round(sum(CASE WHEN n > p90 THEN n ELSE 0 END) * 1.0 / sum(n), 6)
+      |    AS top_share
+      |FROM pu, cut""".stripMargin
+
+  // ---------------------------------------------------------------- L10
+  /** Robust outlier audit per event type: median/MAD take the place of
+    * mean/stddev (F11's z-score), so a contaminated tail cannot drag
+    * its own detection threshold — the estimator a data curator
+    * trusts on dirty feeds. Two bounded percentile aggregates (median,
+    * then MAD of |v − median| after a broadcast join back) and one
+    * conditional count against the 3σ-equivalent cut
+    * (3 × 1.4826 × MAD, 10-dp-rounded before the compare so both
+    * engines threshold on the identical double). Never buffers raw
+    * values beyond the proven exact-percentile path.
+    */
+  def qMadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val withMed = ev.join(broadcast(med), "event_type")
+    val mad = withMed.groupBy(col("event_type"))
+      .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+    withMed.join(broadcast(mad), "event_type")
+      .withColumn("cut", round(lit(3.0) * lit(1.4826) * col("mad"), 10))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(max(col("med")), 6).as("median"),
+        round(max(col("mad")), 6).as("mad"),
+        sum(when(abs(col("value") - col("med")) > col("cut"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .withColumn("outlier_rate",
+        round(col("n_outliers").cast("double") / col("n"), 6))
+  }
+
+  val qMadOutliersSql: String =
+    """WITH med AS (SELECT event_type,
+      |    quantile_cont(value, 0.5) AS med
+      |  FROM events GROUP BY 1),
+      |mad AS (SELECT e.event_type,
+      |    quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      |  FROM events e JOIN med m USING (event_type) GROUP BY 1)
+      |SELECT e.event_type, count(*) AS n,
+      |  round(max(m.med), 6) AS median,
+      |  round(max(d.mad), 6) AS mad,
+      |  CAST(sum(CASE WHEN abs(e.value - m.med)
+      |        > round(3.0 * 1.4826 * d.mad, 10) THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_outliers,
+      |  round(sum(CASE WHEN abs(e.value - m.med)
+      |        > round(3.0 * 1.4826 * d.mad, 10) THEN 1 ELSE 0 END) * 1.0
+      |    / count(*), 6) AS outlier_rate
+      |FROM events e JOIN med m USING (event_type)
+      |  JOIN mad d ON e.event_type = d.event_type
+      |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pareto_share" -> (qParetoShare _),
+    "q_mad_outliers" -> (qMadOutliers _),
     "q_gini" -> (qGini _),
     "q_k_anonymity" -> (qKAnonymity _),
     "q_dp_counts" -> (qDpCounts _),
@@ -436,6 +521,8 @@ object Validation {
     "q_benford" -> (qBenford _))
 
   def oracle: Map[String, String] = Map(
+    "q_pareto_share" -> qParetoShareSql,
+    "q_mad_outliers" -> qMadOutliersSql,
     "q_gini" -> qGiniSql,
     "q_k_anonymity" -> qKAnonymitySql,
     "q_dp_counts" -> qDpCountsSql,

@@ -886,7 +886,73 @@ object Similarity {
          |SELECT appx.qid, appx.nid, appx.rank, appx.sim, sampled.recall_at_5
          |FROM appx LEFT JOIN sampled USING (qid)""".stripMargin
 
+  // ---------------------------------------------------------------- D6
+  /** Embedding-space class audit: per-label centroid COHESION (mean
+    * member→centroid cosine) and CONFUSABILITY (cosine to the nearest
+    * OTHER centroid) — the separability readout an embedding-quality
+    * gate runs before trusting labels for retrieval or eval splits.
+    * One posexplode (corpus × dims rows, map-side), one bounded
+    * (label × dim) centroid aggregate — 10-dp-rounded so both engines
+    * feed the cosines identical doubles — then a BROADCAST join back
+    * (centroid grid is labels × dims, fixed size at any corpus scale)
+    * and a labels² centroid cross-score. The corpus never shuffles
+    * raw vectors; per-vector cosines reduce map-side to (vec, label).
+    */
+  def qClassSeparation(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("v", col("v").cast("double"))
+    val cen = e.groupBy(col("label"), col("dim"))
+      .agg(round(avg(col("v")), 10).as("c"))
+    val coh = e.join(broadcast(cen), Seq("label", "dim"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("v") * col("c")).as("dot"),
+        sqrt(sum(col("v") * col("v"))).as("nv"),
+        sqrt(sum(col("c") * col("c"))).as("nc"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(avg(col("dot") / (col("nv") * col("nc"))), 6).as("cohesion"))
+    val cross = cen.select(col("label").as("la"), col("dim"), col("c").as("ca"))
+      .join(cen.select(col("label").as("lb"), col("dim"), col("c").as("cb")),
+        "dim")
+      .filter(col("la") =!= col("lb"))
+      .groupBy(col("la"), col("lb"))
+      .agg((sum(col("ca") * col("cb")) /
+        (sqrt(sum(col("ca") * col("ca"))) *
+          sqrt(sum(col("cb") * col("cb"))))).as("sim"))
+    val sep = cross.groupBy(col("la").as("label"))
+      .agg(round(max(col("sim")), 6).as("max_other_centroid_sim"))
+    coh.join(sep, "label").orderBy(col("label"))
+  }
+
+  val qClassSeparationSql: String =
+    """WITH e AS (SELECT vec_id, label,
+      |    unnest(range(len(embedding))) AS dim,
+      |    CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings),
+      |cen AS (SELECT label, dim, round(avg(v), 10) AS c
+      |  FROM e GROUP BY 1, 2),
+      |coh0 AS (SELECT e.vec_id, e.label,
+      |    sum(e.v * cen.c) AS dot,
+      |    sqrt(sum(e.v * e.v)) AS nv,
+      |    sqrt(sum(cen.c * cen.c)) AS nc
+      |  FROM e JOIN cen ON e.label = cen.label AND e.dim = cen.dim
+      |  GROUP BY 1, 2),
+      |coh AS (SELECT label, count(*) AS n_vectors,
+      |    round(avg(dot / (nv * nc)), 6) AS cohesion
+      |  FROM coh0 GROUP BY 1),
+      |cross_sim AS (SELECT a.label AS la, b.label AS lb,
+      |    sum(a.c * b.c) / (sqrt(sum(a.c * a.c)) * sqrt(sum(b.c * b.c))) AS sim
+      |  FROM cen a JOIN cen b ON a.dim = b.dim AND a.label <> b.label
+      |  GROUP BY 1, 2),
+      |sep AS (SELECT la AS label, round(max(sim), 6) AS max_other_centroid_sim
+      |  FROM cross_sim GROUP BY 1)
+      |SELECT coh.label, coh.n_vectors, coh.cohesion, sep.max_other_centroid_sim
+      |FROM coh JOIN sep USING (label) ORDER BY label""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_class_separation" -> (qClassSeparation _),
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_ann_lsh" -> ((s: SparkSession, d: String) => qAnnLsh(s, d)),
     "q_ann_ivf" -> ((s: SparkSession, d: String) => qAnnIvf(s, d)),
@@ -903,7 +969,8 @@ object Similarity {
     */
   def oracle: Map[String, String] = {
     val k = lastShortlistK.get
-    Map("q_ann_bruteforce" -> qAnnBruteforceSql, "q_ann_lsh" -> qAnnLshSql) ++
+    Map("q_ann_bruteforce" -> qAnnBruteforceSql, "q_ann_lsh" -> qAnnLshSql,
+      "q_class_separation" -> qClassSeparationSql) ++
       Option(IvfIndex.lastLoc.get).map { case (a, c) =>
         "q_ann_ivf" -> annIvfSql(a, c, nprobe = 10) }.toMap ++
       Option(IvfIndex.lastLoc.get).map { case (a, c) =>

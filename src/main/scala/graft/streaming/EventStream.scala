@@ -92,6 +92,41 @@ object EventStream {
     spark.table(qn)
   }
 
+  /** F5b: STREAMING hopping windows (10 min sliding every 5) — each
+    * event lands in two open windows simultaneously, the overlap case
+    * the tumbling twin never exercises in the state store. Same
+    * complete-mode memory-sink verification shape as
+    * [[qStreamTumbling]]; the oracle replays the slide assignment as
+    * a generate_series cross (identical to the batch F10 oracle —
+    * `window(slide)` is epoch-aligned, so starts are (t//300 − h)·300).
+    */
+  def qStreamHopping(spark: SparkSession, dir: String): DataFrame = {
+    val qn = "graft_stream_hopping"
+    spark.streams.active.filter(q => Option(q.name).contains(qn)).foreach(_.stop())
+    val agg = Tables.eventsStream(spark, dir)
+      .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ets", "10 minutes")
+      .groupBy(window(col("ets"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("bucket"),
+        col("event_type"), col("n"), col("sum_value"))
+    withStreamShufflePartitions(spark, 8) {
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(qn).start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    spark.table(qn)
+  }
+
+  val qStreamHoppingSql: String =
+    """SELECT ((CAST(floor(epoch(ts)) AS BIGINT) // 300) - h) * 300 AS bucket,
+      |  event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events, generate_series(0, 1) g(h)
+      |GROUP BY 1, 2""".stripMargin
+
   /** F5 operator path: append-mode parquet sink. Append emits each
     * window once, when the watermark passes it — state for closed
     * windows is evicted, nothing accumulates on the driver, and the
@@ -468,9 +503,11 @@ object EventStream {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumbling" -> (qStreamTumbling _),
+    "q_stream_hopping" -> (qStreamHopping _),
     "q_stream_dedup" -> (qStreamDedup _))
 
   def oracle: Map[String, String] = Map(
     "q_stream_tumbling" -> qStreamTumblingSql,
+    "q_stream_hopping" -> qStreamHoppingSql,
     "q_stream_dedup" -> qStreamDedupSql)
 }

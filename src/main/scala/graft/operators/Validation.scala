@@ -437,8 +437,11 @@ object Validation {
     * exact integer counts is engine-identical.
     */
   def qParetoShare(spark: SparkSession, dir: String): DataFrame = {
+    // cached: the cut subquery and the share branch both consume the
+    // per-user fold — uncached, the broadcast side re-scanned events
+    // (the 100 TB table) for its own copy of the aggregate
     val perUser = Tables.events(spark, dir)
-      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n")).cache()
     val cut = perUser.agg(expr("percentile(n, 0.9)").as("p90"))
     perUser.crossJoin(broadcast(cut))
       .agg(count(lit(1)).as("n_users"),

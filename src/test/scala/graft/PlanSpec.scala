@@ -126,6 +126,42 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set(key, saved)
   }
 
+  test("class separation broadcasts the centroid grid, never sort-merges raw vectors") {
+    val p = plan(Similarity.qClassSeparation(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      "the (labels x dims) centroid grid must be the broadcast side")
+  }
+
+  test("pareto share reads events once and broadcasts the percentile cut") {
+    val p = plan(graft.operators.Validation.qParetoShare(spark, sf))
+    // the cut rides a broadcast exchange; both consumers (cut + share)
+    // must read the CACHED per-user fold — an uncached plan re-scanned
+    // events for the broadcast side's own copy of the aggregate.
+    // (plan text prints the cache's build plan, so counting raw "Scan
+    // parquet" strings overcounts; the executable proof is that every
+    // consumer is an InMemoryTableScan.)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "p90 cut must broadcast")
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2,
+      "cut and share branches must both read the cached per-user fold")
+  }
+
+  test("weighted sample prunes per-lang candidates before the rank sort (WindowGroupLimit)") {
+    val p = plan(graft.operators.TrainingOps.queries("q_weighted_sample")(spark, sf))
+    assert(p.contains("WindowGroupLimit"),
+      "top-k per lang must prune pre-shuffle via WindowGroupLimit")
+  }
+
+  test("cohort LTV's cumulative window runs over the bounded cohort grid, not raw events") {
+    val qe = TemporalOps.queries("q_cohort_ltv")(spark, sf).queryExecution
+    val p = qe.executedPlan.toString
+    // the window partitions by cohort_week — never a corpus-wide
+    // single partition — and its input is the aggregated weekly grid
+    assert(p.contains("Window"), "cumulative sum must be a window")
+    assert(!p.contains("SinglePartition"),
+      "LTV window must not collapse to a single partition")
+  }
+
   test("global plan guard: no query plans a cartesian product or a corpus-wide single-partition window") {
     import org.apache.spark.sql.execution.joins.CartesianProductExec
     import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}

@@ -700,25 +700,39 @@ object FeatureOps {
       .select(col("o_orderkey"), col("c_mktsegment"),
         col("o_totalprice"))
     val seg = o.groupBy(col("c_mktsegment"))
-      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
-          .as("seg_sum"),
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("seg_sum"),
         count(lit(1)).as("seg_n"))
+    // round((seg_sum − price) / (n−1), 4) computed ENTIRELY in integer
+    // arithmetic: the numerator is an exact 2-dp decimal (cents), and
+    // half-up rounding of a/b is (2a + b) DIV 2b — a double round()
+    // here sat on a half-ulp knife edge at sf0.001 (…85375 quotient:
+    // Spark's decimal-expansion HALF_UP said .8537, DuckDB said .8538)
     o.join(broadcast(seg), "c_mktsegment")
+      .withColumn("numer_c100",
+        ((col("seg_sum") - col("o_totalprice").cast("decimal(18,2)")) *
+          lit(10000)).cast("long"))
+      .withColumn("enc4",
+        expr("(2 * numer_c100 + (seg_n - 1)) DIV (2 * (seg_n - 1))"))
       .select(col("o_orderkey"), col("c_mktsegment"),
-        round((col("seg_sum") - col("o_totalprice")) /
-          (col("seg_n") - 1), 4).as("loo_enc"))
+        (col("enc4").cast("double") / 10000.0).as("loo_enc"))
   }
 
   val qTargetEncodingSql: String =
     """WITH o AS (SELECT o_orderkey, c_mktsegment, o_totalprice
       |  FROM orders JOIN customer ON o_custkey = c_custkey),
       |seg AS (SELECT c_mktsegment,
-      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS seg_sum,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS seg_sum,
       |    count(*) AS seg_n
-      |  FROM o GROUP BY c_mktsegment)
+      |  FROM o GROUP BY c_mktsegment),
+      |j AS (SELECT o_orderkey, c_mktsegment,
+      |    CAST((seg_sum - CAST(o_totalprice AS DECIMAL(18,2))) * 10000
+      |      AS BIGINT) AS numer_c100,
+      |    seg_n
+      |  FROM o JOIN seg USING (c_mktsegment))
       |SELECT o_orderkey, c_mktsegment,
-      |  round((seg_sum - o_totalprice) / (seg_n - 1), 4) AS loo_enc
-      |FROM o JOIN seg USING (c_mktsegment)""".stripMargin
+      |  CAST((2 * numer_c100 + (seg_n - 1)) // (2 * (seg_n - 1)) AS DOUBLE)
+      |    / 10000.0 AS loo_enc
+      |FROM j""".stripMargin
 
   // ---------------------------------------------------------------- E25
   /** Winsorized-mean robustification per return flag: p01/p99 cuts

@@ -38,6 +38,16 @@ object Dedup {
   val NumPerms: Int = perms.size // 32
   val RowsPerBand: Int = 4       // → 8 bands
 
+  /** Similarity floor for clustering MinHash candidates: band
+    * collision alone admits pairs sharing one lucky band; clusters
+    * built from them chain unrelated documents. 16/32 matching minima
+    * (Jaccard ≈ 0.5) is the conventional near-dup cut. Declared HERE,
+    * before every oracle-SQL val that interpolates it — Scala object
+    * vals initialize in declaration order, and a use-before-decl
+    * interpolation reads the primitive default (0.0) without warning.
+    */
+  val TextClusterMinSim = 0.5
+
   private val permsSqlValues: String =
     perms.zipWithIndex.map { case ((a, b), i) => s"($i,$a,$b)" }.mkString(", ")
 
@@ -1056,12 +1066,12 @@ object Dedup {
     labels.select(col("node"), col("lab"))
   }
 
-  /** Similarity floor for clustering MinHash candidates: band
-    * collision alone admits pairs sharing one lucky band; clusters
-    * built from them chain unrelated documents. 16/32 matching minima
-    * (Jaccard ≈ 0.5) is the conventional near-dup cut.
-    */
-  val TextClusterMinSim = 0.5
+  // TextClusterMinSim (the 0.5 est_sim floor referenced here) is
+  // declared with the minhash constants at the top of the object: it
+  // is interpolated into oracle-SQL vals that initialize BEFORE this
+  // point in declaration order — a later declaration reads as 0.0
+  // during init and silently unfloors the oracle (caught at sf0.001,
+  // round 10).
 
   /** C6 over the TEXT near-dup pair set: the same generic
     * [[clusterPairs]] propagation loop applied to [[qMinhashLsh]]'s

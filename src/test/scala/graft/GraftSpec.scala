@@ -26,6 +26,21 @@ class ContractSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracle entries without queries: $missing")
   }
 
+  // Scala object vals initialize in declaration order: a constant
+  // interpolated into an oracle-SQL val that precedes its declaration
+  // silently reads the primitive default (0, 0.0, false). This
+  // tripwire greps the RENDERED SQL for default-valued thresholds —
+  // the exact failure shape of the round-10 TextClusterMinSim bug
+  // (oracle floor rendered ">= 0.0", Spark ran ">= 0.5").
+  test("no oracle SQL interpolates an uninitialized threshold constant") {
+    val suspicious = SparkEntry.oracleSql.collect {
+      case (name, sql) if sql.contains(">= 0.0") || sql.contains("> 0.0")
+        || sql.matches("(?s).*(DIV|//|/)\\s*0[^.0-9].*") => name
+    }
+    assert(suspicious.isEmpty,
+      s"oracle SQL with default-valued (likely uninitialized) constants: $suspicious")
+  }
+
   test("corpusTag memoizes the listing within the TTL; fresh re-lists") {
     val path = s"$sf/documents.parquet"
     val c0 = Tables.Probe.listCount.get

@@ -29,8 +29,13 @@ object aggregators {
     */
   object GeoMean extends Aggregator[Double, GeoBuf, Double] {
     override def zero: GeoBuf = GeoBuf(0.0, 0L)
+    // Non-positive factor ⇒ geomean 0 (the limit convention, stated
+    // in the oracle too). log(0) = −Inf already collapses exp to 0;
+    // the explicit guard extends the same answer to negatives, where
+    // log would yield NaN and silently poison the whole group.
     override def reduce(b: GeoBuf, x: Double): GeoBuf =
-      GeoBuf(b.s + math.log(x), b.n + 1)
+      GeoBuf(b.s + (if (x <= 0) Double.NegativeInfinity else math.log(x)),
+        b.n + 1)
     override def merge(a: GeoBuf, b: GeoBuf): GeoBuf =
       GeoBuf(a.s + b.s, a.n + b.n)
     override def finish(b: GeoBuf): Double =

@@ -296,9 +296,14 @@ object AnalyticExt {
       .agg(count(lit(1)).as("n"), round(gm(col("value")), 6).as("geomean"))
   }
 
+  // any non-positive factor ⇒ geomean 0 (limit convention, matching
+  // the UDAF); ln() must not see the zero even in dead CASE branches —
+  // DuckDB evaluates aggregate arguments per-row before the gate
   val qGeomeanSql: String =
     """SELECT event_type, count(*) AS n,
-      |  round(exp(avg(ln(value))), 6) AS geomean
+      |  CASE WHEN sum(CASE WHEN value <= 0 THEN 1 ELSE 0 END) > 0 THEN 0.0
+      |    ELSE round(exp(avg(ln(CASE WHEN value > 0 THEN value ELSE 1 END))), 6)
+      |  END AS geomean
       |FROM events GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------- A29

@@ -478,9 +478,21 @@ object TextAnalysis {
         greatest(runCount(col("s"), "[.!?]+"), lit(1L)).as("n_sentences"),
         runCount(col("s"), "[aeiouy]+").as("n_syllables"))
       .filter(col("n_words") > 0)
-      .withColumn("flesch", round(lit(206.835) -
-        lit(1.015) * col("n_words") / col("n_sentences") -
-        lit(84.6) * col("n_syllables") / col("n_words"), 4))
+      // round(206.835 − 1.015·w/s − 84.6·y/w, 4) in EXACT integer
+      // arithmetic: ×10⁴ the score is numer·10 / (s·w) with
+      // numer = 206835·s·w − 1015·w² − 84600·y·s, and sign-aware
+      // half-up is sign·((2|a| + b) DIV 2b) — a double round() here
+      // sat on a half-ulp knife edge at sf0.1 (…19375 quotient)
+      .withColumn("numer10",
+        (lit(206835L) * col("n_sentences") * col("n_words") -
+          lit(1015L) * col("n_words") * col("n_words") -
+          lit(84600L) * col("n_syllables") * col("n_sentences")) * 10L)
+      .withColumn("flesch",
+        (signum(col("numer10")) * expr(
+          """(2 * abs(numer10) + n_sentences * n_words)
+            |  DIV (2 * n_sentences * n_words)""".stripMargin))
+          .cast("double") / 10000.0)
+      .drop("numer10")
       .withColumn("band",
         when(col("flesch") >= 70, "easy")
           .when(col("flesch") >= 30, "standard").otherwise("difficult"))
@@ -494,10 +506,14 @@ object TextAnalysis {
          |    length(regexp_replace(lower(text), '[aeiouy]+', '#', 'g'))
          |      - length(regexp_replace(lower(text), '[aeiouy]+', '', 'g')) AS n_syllables
          |  FROM documents),
+         |f0 AS (SELECT doc_id, n_words, n_sentences, n_syllables,
+         |    (206835 * n_sentences * n_words - 1015 * n_words * n_words
+         |      - 84600 * n_syllables * n_sentences) * 10 AS numer10
+         |  FROM c WHERE n_words > 0),
          |f AS (SELECT doc_id, n_words, n_sentences, n_syllables,
-         |    round(206.835 - 1.015 * n_words / n_sentences
-         |      - 84.6 * n_syllables / n_words, 4) AS flesch
-         |  FROM c WHERE n_words > 0)
+         |    CAST(sign(numer10) * ((2 * abs(numer10) + n_sentences * n_words)
+         |      // (2 * n_sentences * n_words)) AS DOUBLE) / 10000.0 AS flesch
+         |  FROM f0)
          |SELECT doc_id, n_words, n_sentences, n_syllables, flesch,
          |  CASE WHEN flesch >= 70 THEN 'easy'
          |       WHEN flesch >= 30 THEN 'standard'

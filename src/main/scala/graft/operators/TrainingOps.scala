@@ -339,6 +339,56 @@ object TrainingOps {
       .withColumn("n_chunks", col("last_chunk") - col("first_chunk") + 1)
   }
 
+  // ---------------------------------------------------------------- K20
+  /** PER-SOURCE packing readout at the DEPLOYED context size — the
+    * shard axis K16's q_packing_efficiency (a context-size sweep,
+    * corpus-wide) doesn't give: which source shards fragment the
+    * budget (low fill, many boundary-crossing docs) once the ctx is
+    * committed. Chunk count is exact ceil in integer arithmetic;
+    * rides the SAME per-source window as K1, then folds to one row
+    * per source — nothing beyond K1's single shuffle.
+    */
+  def qPackEfficiency(spark: SparkSession, dir: String): DataFrame =
+    qSeqPacking(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(when(col("first_chunk") =!= col("last_chunk"), 1L)
+          .otherwise(0L)).as("n_spanning"))
+      .withColumn("n_chunks",
+        expr(s"(total_tokens + ${CtxTokens - 1}) DIV $CtxTokens"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("n_chunks"), col("n_spanning"),
+        round(col("total_tokens").cast("double") /
+          (col("n_chunks") * CtxTokens), 6).as("fill_rate"),
+        round(col("n_docs").cast("double") / col("n_chunks"), 6)
+          .as("docs_per_chunk"))
+
+  val qPackEfficiencySql: String =
+    raw"""WITH d AS (SELECT doc_id, source,
+         |    CAST(len($duckToks) AS BIGINT) AS n_tokens FROM documents),
+         |o AS (SELECT doc_id, source, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS tok_offset
+         |  FROM d),
+         |agg AS (SELECT source, count(*) AS n_docs,
+         |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |    CAST(sum(CASE WHEN tok_offset // $CtxTokens
+         |          <> (tok_offset + n_tokens - 1) // $CtxTokens
+         |        THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning
+         |  FROM o GROUP BY 1)
+         |SELECT source, n_docs, total_tokens,
+         |  (total_tokens + ${CtxTokens - 1}) // $CtxTokens AS n_chunks,
+         |  n_spanning,
+         |  round(total_tokens * 1.0
+         |    / (((total_tokens + ${CtxTokens - 1}) // $CtxTokens) * $CtxTokens), 6)
+         |    AS fill_rate,
+         |  round(n_docs * 1.0
+         |    / ((total_tokens + ${CtxTokens - 1}) // $CtxTokens), 6)
+         |    AS docs_per_chunk
+         |FROM agg""".stripMargin
+
   val qSeqPackingSql: String =
     raw"""WITH d AS (SELECT doc_id, source,
          |  CAST(len($duckToks) AS BIGINT) AS n_tokens FROM documents),
@@ -1393,6 +1443,7 @@ object TrainingOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_weighted_sample" -> (qWeightedSample _),
+    "q_pack_efficiency" -> (qPackEfficiency _),
     "q_interleave_schedule" -> (qInterleaveSchedule _),
     "q_gini_concentration" -> (qGiniConcentration _),
     "q_psi_drift" -> (qPsiDrift _),
@@ -1423,6 +1474,7 @@ object TrainingOps {
 
   def oracle: Map[String, String] = Map(
     "q_weighted_sample" -> qWeightedSampleSql,
+    "q_pack_efficiency" -> qPackEfficiencySql,
     "q_interleave_schedule" -> qInterleaveScheduleSql,
     "q_gini_concentration" -> qGiniConcentrationSql,
     "q_psi_drift" -> qPsiDriftSql,

@@ -632,6 +632,46 @@ object TemporalOps {
        |FROM act LEFT JOIN chn ON act.week = chn.week
        |WHERE act.week < (SELECT max(week) FROM uw)""".stripMargin
 
+  // ---------------------------------------------------------------- F32
+  /** Weekly new-vs-returning split — the acquisition/retention mix
+    * behind every growth dashboard, closing the engagement family
+    * (F14 retention stock, F31 churn flow, F29 session quality): per
+    * calendar week, users active for the first time vs users seen in
+    * any earlier week. One distinct (user, week) fold, each user's
+    * first week from the SAME fold (min over user), a broadcast-sized
+    * join back, exact integer counts, 6-dp share at the boundary.
+    */
+  def qNewReturning(spark: SparkSession, dir: String): DataFrame = {
+    val wk = (expr("(ts DIV 1000000000) DIV 604800") * 604800L).cast("long")
+    val uw = Tables.events(spark, dir)
+      .select(col("user_id"), wk.as("week")).distinct()
+    val first = uw.groupBy(col("user_id")).agg(min(col("week")).as("fw"))
+    uw.join(first, "user_id")
+      .groupBy(col("week"))
+      .agg(sum(when(col("week") === col("fw"), 1L).otherwise(0L))
+          .as("n_new"),
+        sum(when(col("week") > col("fw"), 1L).otherwise(0L))
+          .as("n_returning"))
+      .select(col("week"), col("n_new"), col("n_returning"),
+        round(col("n_new").cast("double") /
+          (col("n_new") + col("n_returning")), 6).as("new_share"))
+  }
+
+  val qNewReturningSql: String =
+    s"""WITH uw AS (SELECT DISTINCT user_id,
+       |    ($duckTsSec // 604800) * 604800 AS week
+       |  FROM events),
+       |fw AS (SELECT user_id, min(week) AS fw FROM uw GROUP BY 1)
+       |SELECT uw.week,
+       |  CAST(sum(CASE WHEN uw.week = fw.fw THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_new,
+       |  CAST(sum(CASE WHEN uw.week > fw.fw THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_returning,
+       |  round(sum(CASE WHEN uw.week = fw.fw THEN 1 ELSE 0 END) * 1.0
+       |    / count(*), 6) AS new_share
+       |FROM uw JOIN fw ON uw.user_id = fw.user_id
+       |GROUP BY 1""".stripMargin
+
   // ---------------------------------------------------------------- F4
   /** JSON property extraction + aggregate. Extraction is a shared
     * regex (identical semantics in both engines, no JSON-lib variance);
@@ -1128,6 +1168,7 @@ object TemporalOps {
     "q_tumbling_window" -> (qTumblingWindow _),
     "q_funnel" -> (qFunnel _),
     "q_churn" -> (qChurn _),
+    "q_new_returning" -> (qNewReturning _),
     "q_funnel_steps" -> (qFunnelSteps _),
     "q_session_stats" -> (qSessionStats _),
     "q_cohort_ltv" -> (qCohortLtv _),
@@ -1159,6 +1200,7 @@ object TemporalOps {
     "q_tumbling_window" -> qTumblingWindowSql,
     "q_funnel" -> qFunnelSql,
     "q_churn" -> qChurnSql,
+    "q_new_returning" -> qNewReturningSql,
     "q_funnel_steps" -> qFunnelStepsSql,
     "q_session_stats" -> qSessionStatsSql,
     "q_cohort_ltv" -> qCohortLtvSql,

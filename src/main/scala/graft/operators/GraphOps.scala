@@ -93,9 +93,18 @@ object GraphOps {
         .select(col("dst").as("node"),
           round(lit(0.15) / col("n") + lit(0.85) * col("s"), 10).as("pr"))
     }
-    r.join(deg, r("node") === deg("src"))
+    val out = r.join(deg, r("node") === deg("src"))
       .select(col("node").as("s_suppkey"), col("degree"),
         round(col("pr"), 6).as("pagerank"))
+      .cache()
+    // materialize the |V|-row result, then release the edge-scale
+    // caches (the ones that matter at 100 TB); only the small result
+    // frame stays resident — and it is what the caller reads. The
+    // shared coSupplyPairs cache is deliberately NOT dropped: all
+    // four M-block queries derive from it (see coSupplyPairs doc).
+    out.count()
+    contrib.unpersist(); deg.unpersist(); edges.unpersist()
+    out
   }
 
   val qPagerankSql: String =
@@ -255,7 +264,13 @@ object GraphOps {
         .groupBy(col("dst")).agg(min(col("lbl")).as("l"))
         .select(col("dst").as("node"), col("l").as("lbl"))
     }
-    lbl
+    // materialize the |V|-row label frame (callers also branch over it
+    // twice, so the cache doubles as exchange reuse), then release the
+    // edge-scale cache rather than pinning it for the session
+    val out = lbl.cache()
+    out.count()
+    edgesPlus.unpersist()
+    out
   }
 
   def qLabelPropagation(spark: SparkSession, dir: String): DataFrame = {

@@ -912,15 +912,20 @@ object Similarity {
         sqrt(sum(col("c") * col("c"))).as("nc"))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vectors"),
-        round(avg(col("dot") / (col("nv") * col("nc"))), 6).as("cohesion"))
+        // per-vector cosine rounds at 10 dp BEFORE the avg (the F27
+        // discipline): the avg's inputs are then identical IEEE
+        // doubles in both engines, so the 6-dp boundary round can't
+        // sit on a cross-engine half-ulp of an unrounded fold
+        round(avg(round(col("dot") / (col("nv") * col("nc")), 10)), 6)
+          .as("cohesion"))
     val cross = cen.select(col("label").as("la"), col("dim"), col("c").as("ca"))
       .join(cen.select(col("label").as("lb"), col("dim"), col("c").as("cb")),
         "dim")
       .filter(col("la") =!= col("lb"))
       .groupBy(col("la"), col("lb"))
-      .agg((sum(col("ca") * col("cb")) /
+      .agg(round(sum(col("ca") * col("cb")) /
         (sqrt(sum(col("ca") * col("ca"))) *
-          sqrt(sum(col("cb") * col("cb"))))).as("sim"))
+          sqrt(sum(col("cb") * col("cb")))), 10).as("sim"))
     val sep = cross.groupBy(col("la").as("label"))
       .agg(round(max(col("sim")), 6).as("max_other_centroid_sim"))
     coh.join(sep, "label").orderBy(col("label"))
@@ -940,10 +945,10 @@ object Similarity {
       |  FROM e JOIN cen ON e.label = cen.label AND e.dim = cen.dim
       |  GROUP BY 1, 2),
       |coh AS (SELECT label, count(*) AS n_vectors,
-      |    round(avg(dot / (nv * nc)), 6) AS cohesion
+      |    round(avg(round(dot / (nv * nc), 10)), 6) AS cohesion
       |  FROM coh0 GROUP BY 1),
       |cross_sim AS (SELECT a.label AS la, b.label AS lb,
-      |    sum(a.c * b.c) / (sqrt(sum(a.c * a.c)) * sqrt(sum(b.c * b.c))) AS sim
+      |    round(sum(a.c * b.c) / (sqrt(sum(a.c * a.c)) * sqrt(sum(b.c * b.c))), 10) AS sim
       |  FROM cen a JOIN cen b ON a.dim = b.dim AND a.label <> b.label
       |  GROUP BY 1, 2),
       |sep AS (SELECT la AS label, round(max(sim), 6) AS max_other_centroid_sim

@@ -149,8 +149,15 @@ object Sketches {
     * exactly how a 100 TB deployment answers "distinct users this
     * quarter": union the per-day/per-shard sketches kept as bytes.
     * Output (verdict form, H3/H4 device): per-scope exact distinct
-    * count plus a within-5%-relative-error boolean per estimate (HLL
-    * lgK=12 ⇒ ~1.6% rse; 5% mirrors the A11b slack ratio); the
+    * count plus a within-12%-relative-error boolean per estimate.
+    * The bound is deliberately ~7.5 sigma (HLL lgK=12 ⇒ ~1.6% rse):
+    * the DuckDB oracle replays only the exact sides and renders the
+    * verdict as a `true` literal, so the bound must sit far enough
+    * past the sketch's own noise that a legitimate estimator
+    * deviation can never flip the Spark side into a spurious
+    * cross-engine mismatch — 3-sigma-ish bounds (the old 5%) made
+    * the board flaky by construction, not safer; a genuinely broken
+    * merge still lands orders of magnitude outside 12%. The
     * union row's exact side is recomputed only for the verdict. The
     * sketch bytes never reach the output, so the row set hash-matches
     * a DuckDB oracle that replays the exact sides.
@@ -165,7 +172,7 @@ object Sketches {
       col("exact_users"),
       (abs(hll_sketch_estimate(col("sk")) - col("exact_users"))
         .cast("double") <=
-        lit(0.05) * col("exact_users").cast("double")).as("within_bound"))
+        lit(0.12) * col("exact_users").cast("double")).as("within_bound"))
     val merged = perType
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
     val overallExact = Tables.events(spark, dir)
@@ -173,8 +180,14 @@ object Sketches {
     val unionRow = merged.crossJoin(broadcast(overallExact))
       .select(lit("ALL_UNION").as("scope"), col("exact_users"),
         (abs(col("est") - col("exact_users")).cast("double") <=
-          lit(0.05) * col("exact_users").cast("double")).as("within_bound"))
-    typed.union(unionRow)
+          lit(0.12) * col("exact_users").cast("double")).as("within_bound"))
+    val out = typed.union(unionRow)
+    // 6-row verdict: materialize to a local relation so the per-type
+    // sketch cache can be dropped NOW instead of lingering in executor
+    // storage for the rest of the session (qCmsTopk's device)
+    val rows = out.collect()
+    perType.unpersist()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
   val qHllUnionSql: String =

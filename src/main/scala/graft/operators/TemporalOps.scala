@@ -538,7 +538,9 @@ object TemporalOps {
        |FROM sess""".stripMargin
 
   // ---------------------------------------------------------------- F30
-  /** Cohort LTV curves: users cohort by first-activity week, purchase
+  /** Cohort LTV curves: users cohort by first-activity week bucket
+    * (epoch-aligned 604800-second buckets, Thursday-anchored — the
+    * same integer bucketing both engines compute exactly), purchase
     * revenue accumulates per cohort across week offsets — the
     * lifetime-value readout F14's retention shares (activity) can't
     * give (money). Weekly revenue folds DECIMAL-exact per
@@ -587,7 +589,9 @@ object TemporalOps {
        |FROM weekly""".stripMargin
 
   // ---------------------------------------------------------------- F31
-  /** Weekly churn: of the users active in calendar week w, how many
+  /** Weekly churn: of the users active in week-bucket w (epoch-aligned
+    * 604800-second buckets — Thursday-anchored, NOT ISO calendar
+    * weeks), how many
     * have NO activity in w+1 — the flow-rate complement of F14's
     * cohort retention (stock). One distinct (user, week) fold, then a
     * self-anti-join shifted one week (both sides keyed on user_id —
@@ -636,7 +640,8 @@ object TemporalOps {
   /** Weekly new-vs-returning split — the acquisition/retention mix
     * behind every growth dashboard, closing the engagement family
     * (F14 retention stock, F31 churn flow, F29 session quality): per
-    * calendar week, users active for the first time vs users seen in
+    * epoch-aligned 604800-second week bucket (Thursday-anchored, not
+    * an ISO calendar week), users active for the first time vs users seen in
     * any earlier week. One distinct (user, week) fold, each user's
     * first week from the SAME fold (min over user), a broadcast-sized
     * join back, exact integer counts, 6-dp share at the boundary.

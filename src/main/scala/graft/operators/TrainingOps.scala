@@ -1410,7 +1410,11 @@ object TrainingOps {
     * round at 10 dp before ranking (ln parity across engines) with
     * doc_id tiebreak; the u=0 measure-zero edge floors at 1e-18 (the
     * L6 device). Deterministic ⇒ oracle-replayable; a production
-    * sampler swaps fresh randomness into the SAME plan.
+    * sampler swaps fresh randomness into the SAME plan. The oracle
+    * parses the 15-char md5 prefix with an explicit hex-digit fold
+    * (strpos + bit-shift, exact BIGINT math) rather than the
+    * `('0x'||h)::BIGINT` cast, which only newer DuckDB releases
+    * accept — an old oracle binary must mismatch, not error.
     */
   def qWeightedSample(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("lang"))
@@ -1430,7 +1434,10 @@ object TrainingOps {
   val qWeightedSampleSql: String =
     """WITH k AS (SELECT lang, doc_id, n_chars,
       |    round(ln(greatest(
-      |        ('0x' || substr(md5('ws_' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |        list_sum(list_transform(range(1, 16), i ->
+      |            (strpos('0123456789abcdef', substr(
+      |                md5('ws_' || CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+      |              * (1::BIGINT << CAST((15 - i) * 4 AS INT))))
       |          / 1152921504606846976.0, 1e-18)) / n_chars, 10) AS sample_key
       |  FROM documents),
       |r AS (SELECT lang, doc_id, n_chars, sample_key,

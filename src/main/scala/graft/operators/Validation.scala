@@ -436,19 +436,33 @@ object Validation {
     * pass over events. Strict `>` against the interpolated cut on
     * exact integer counts is engine-identical.
     */
-  def qParetoShare(spark: SparkSession, dir: String): DataFrame = {
+  /** Lazy plan + its cache handle — split out so PlanSpec can assert
+    * the broadcast/cache shape that [[qParetoShare]] then executes. */
+  private[graft] def paretoSharePlan(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     // cached: the cut subquery and the share branch both consume the
     // per-user fold — uncached, the broadcast side re-scanned events
     // (the 100 TB table) for its own copy of the aggregate
     val perUser = Tables.events(spark, dir)
       .groupBy(col("user_id")).agg(count(lit(1)).as("n")).cache()
     val cut = perUser.agg(expr("percentile(n, 0.9)").as("p90"))
-    perUser.crossJoin(broadcast(cut))
+    val out = perUser.crossJoin(broadcast(cut))
       .agg(count(lit(1)).as("n_users"),
         round(max(col("p90")), 4).as("p90_events"),
         sum(when(col("n") > col("p90"), 1L).otherwise(0L)).as("n_top_users"),
         round(sum(when(col("n") > col("p90"), col("n")).otherwise(0L))
           .cast("double") / sum(col("n")), 6).as("top_share"))
+    (out, perUser)
+  }
+
+  def qParetoShare(spark: SparkSession, dir: String): DataFrame = {
+    val (out, perUser) = paretoSharePlan(spark, dir)
+    // one-row verdict: materialize locally, then drop the per-user
+    // fold cache immediately — at 100 TB that cache is the big frame,
+    // and leaving it pinned for the session makes later queries pay
+    val rows = out.collect()
+    perUser.unpersist()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
   val qParetoShareSql: String =

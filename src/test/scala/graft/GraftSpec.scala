@@ -32,10 +32,24 @@ class ContractSpec extends AnyFunSuite {
   // tripwire greps the RENDERED SQL for default-valued thresholds —
   // the exact failure shape of the round-10 TextClusterMinSim bug
   // (oracle floor rendered ">= 0.0", Spark ran ">= 0.5").
+  // Two deliberate scope cuts keep the tripwire from false-positives
+  // (an uninitialized Double renders exactly "0.0"; an uninitialized
+  // Int/Long divisor renders "0" directly before a delimiter):
+  //  - comparison check matches only the rendered-default "0.0" form,
+  //    never a legitimate integer non-negativity guard (">= 0");
+  //  - divisor check requires the zero to END the term ("/ 0)",
+  //    "DIV 0,"), so hex literals ("0x...") and real constants
+  //    ("/ 0.25") can never trip it. A future LEGITIMATE ">= 0.0"
+  //    threshold goes in the exempt set below, on purpose, with a
+  //    comment at the operator.
   test("no oracle SQL interpolates an uninitialized threshold constant") {
+    val exempt = Set.empty[String]
+    val divByRenderedDefault =
+      "(?s).*(\\bDIV\\b|//|/)\\s*0(\\.0)?\\s*([),]|$).*".r
     val suspicious = SparkEntry.oracleSql.collect {
-      case (name, sql) if sql.contains(">= 0.0") || sql.contains("> 0.0")
-        || sql.matches("(?s).*(DIV|//|/)\\s*0[^.0-9].*") => name
+      case (name, sql) if !exempt(name) &&
+        (sql.contains(">= 0.0") || sql.contains("> 0.0")
+          || divByRenderedDefault.matches(sql)) => name
     }
     assert(suspicious.isEmpty,
       s"oracle SQL with default-valued (likely uninitialized) constants: $suspicious")

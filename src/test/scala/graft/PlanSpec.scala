@@ -133,7 +133,10 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("pareto share reads events once and broadcasts the percentile cut") {
-    val p = plan(graft.operators.Validation.qParetoShare(spark, sf))
+    // the shipped query materializes this plan then drops its cache;
+    // the spec inspects the lazy plan the wrapper executes
+    val (lazyPlan, perUser) = graft.operators.Validation.paretoSharePlan(spark, sf)
+    val p = try plan(lazyPlan) finally perUser.unpersist()
     // the cut rides a broadcast exchange; both consumers (cut + share)
     // must read the CACHED per-user fold — an uncached plan re-scanned
     // events for the broadcast side's own copy of the aggregate.

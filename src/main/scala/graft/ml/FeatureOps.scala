@@ -265,27 +265,65 @@ object FeatureOps {
       |GROUP BY dim""".stripMargin
 
   // ---------------------------------------------------------------- E9
-  /** PCA spectrum of the embedding space: MLlib PCA (k = 8), reported
-    * as per-component explained-variance ratio. Sign-free output (the
-    * spectrum, not the loadings), so the SVD's sign indeterminacy
-    * can't flip results; values are deterministic for a fixed corpus.
-    * Rows-only ([r]): asserted monotone-decreasing and ≤ 1-summing in
-    * SketchSpec. Scale shape: MLlib PCA computes the Gramian with one
-    * distributed treeAggregate pass (d x d stays driver-side — fine
-    * for d = 64; at larger d one switches to randomized/iterative
-    * SVD) — the corpus itself never leaves the executors.
+  /** PCA spectrum of the embedding space: MLlib PCA (k = 8) per-
+    * component explained-variance ratios. Sign-free (the spectrum,
+    * not the loadings), so SVD sign indeterminacy can't flip results;
+    * deterministic for a fixed corpus. SketchSpec asserts the raw
+    * ratio values (monotone, (0,1], ≤ 1-summing); [[qPca]] publishes
+    * the ORACLE-CHECKABLE verdict form. Scale shape: MLlib PCA
+    * computes the Gramian with one distributed treeAggregate pass
+    * (d x d stays driver-side — fine for d = 64; at larger d one
+    * switches to randomized/iterative SVD) — the corpus itself never
+    * leaves the executors.
     */
-  def qPca(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def pcaSpectrum(spark: SparkSession, dir: String): Array[Double] = {
     import org.apache.spark.ml.feature.PCA
     import org.apache.spark.ml.functions.array_to_vector
     val data = Tables.embeddings(spark, dir)
       .select(array_to_vector(col("embedding")).as("features"))
     val model = new PCA().setK(8).setInputCol("features").setOutputCol("pc").fit(data)
-    val ev = model.explainedVariance.toArray.zipWithIndex.map {
-      case (v, i) => (i, math.rint(v * 1e6) / 1e6)
-    }
-    spark.createDataFrame(ev.toSeq).toDF("component", "explained_var")
+    model.explainedVariance.toArray.map(v => math.rint(v * 1e6) / 1e6)
   }
+
+  /** E9 driver form (H3/H4/H9 verdict device): the eigen-solve has no
+    * SQL twin, so the published row set carries (a) guarantee booleans
+    * the oracle renders as `true` literals — each one a mathematical
+    * invariant of a correct eigendecomposition, so a broken solver
+    * fails the hash — and (b) `total_var`, the trace of the sample
+    * covariance, which BOTH engines recompute independently from the
+    * raw embeddings (per-dim var_samp rounded at 10 dp, summed,
+    * 6-dp boundary round — the F27 layered-rounding discipline).
+    * Guarantees: each ratio in (0, 1]; ratios monotone non-increasing
+    * (eigenvalue order); the 8-ratio sum ≤ 1 (8 of 64 components);
+    * and the top-8 sum ≥ 8/64 − rounding slack (the k largest of 64
+    * eigenvalues can never hold less than k/64 of the trace).
+    */
+  def qPca(spark: SparkSession, dir: String): DataFrame = {
+    val ev = pcaSpectrum(spark, dir)
+    val explainedSum = ev.sum
+    val rows = ev.zipWithIndex.map { case (v, i) =>
+      val next = if (i + 1 < ev.length) ev(i + 1) else 0.0
+      (i, v > 0 && v <= 1.0, v >= next,
+        explainedSum <= 1.0 + 1e-6, explainedSum >= 8.0 / 64 - 8e-6)
+    }
+    val verdicts = spark.createDataFrame(rows.toSeq.toIndexedSeq)
+      .toDF("component", "ratio_in_range", "monotone_ok",
+        "sum_le_one", "topk_ge_uniform")
+    val totalVar = Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy(col("dim")).agg(round(var_samp(col("x")), 10).as("v"))
+      .agg(round(sum(col("v")), 6).as("total_var"))
+    verdicts.crossJoin(broadcast(totalVar))
+  }
+
+  val qPcaSql: String =
+    """WITH tv AS (SELECT round(sum(v), 6) AS total_var FROM (
+      |    SELECT round(var_samp(list_extract(embedding::DOUBLE[], i)), 10) AS v
+      |    FROM embeddings, generate_series(1, 64) g(i) GROUP BY i))
+      |SELECT g.i - 1 AS component, true AS ratio_in_range,
+      |  true AS monotone_ok, true AS sum_le_one, true AS topk_ge_uniform,
+      |  tv.total_var
+      |FROM generate_series(1, 8) g(i), tv""".stripMargin
 
   // ---------------------------------------------------------------- E11
   /** Precision/recall threshold sweep (the PR curve) of the
@@ -805,6 +843,7 @@ object FeatureOps {
     "q_chi2_features" -> (qChi2Features _))
 
   def oracle: Map[String, String] = Map(
+    "q_pca" -> qPcaSql,
     "q_winsorize" -> qWinsorizeSql,
     "q_target_encoding" -> qTargetEncodingSql,
     "q_ols_fit" -> qOlsFitSql,

@@ -122,18 +122,122 @@ object Tuning {
     spark.createDataFrame(rows).toDF("train_frac", "n_train", "accuracy")
   }
 
-  /** E8: seeded KMeans clustering of the embeddings; returns cluster
-    * sizes (the segmentation profile).
+  /** Persisted KMeans assignment (the [[graft.operators.Similarity.IvfIndex]]
+    * pattern at k = 10): the Lloyd fit has no SQL twin, but its OUTPUT —
+    * the (vec_id, cluster) partition — is a table. Persisting it lets
+    * the DuckDB oracle replay every published statistic (sizes,
+    * within-cluster SSE) from the SAME assignment over the raw
+    * embeddings, converting E8 from rows-only to a full hash check.
+    * Same staleness contract as IvfIndex/SigStore: the corpus
+    * fingerprint is part of the table identity; a mutated corpus stops
+    * resolving and `ensure` refits. fitCount observes warm-path reuse.
+    */
+  object KmeansStore {
+    import java.util.concurrent.atomic.{AtomicInteger, AtomicReference}
+    val K = 10
+    val fitCount = new AtomicInteger(0)
+    /** Assignment dir of the most recently ensured store — the oracle
+      * builder inlines this absolute path (Verify runs queries before
+      * dumping oracle_sql.json, so it is set when needed). */
+    val lastLoc = new AtomicReference[String](null)
+
+    private def stem(dir: String): String =
+      "graft_kmeans_" + dir.replaceAll("[^a-zA-Z0-9]+", "_")
+        .stripPrefix("_").stripSuffix("_") + "_" + K + "_"
+
+    private def tableName(spark: SparkSession, dir: String): String =
+      stem(dir) +
+        Tables.Probe.corpusTag(spark, s"$dir/embeddings.parquet", fresh = true)
+
+    private def warehousePath(spark: SparkSession, table: String): java.nio.file.Path = {
+      val w = spark.conf.get("spark.sql.warehouse.dir")
+      java.nio.file.Paths.get(new java.net.URI(w).getPath).resolve(table)
+    }
+
+    /** Register-or-build: prefer catalog, then on-disk files, then a
+      * fresh fit + external write (IvfIndex's ensure, minus bucketing —
+      * ten clusters need no co-located join). */
+    def ensure(spark: SparkSession, dir: String): String = {
+      val t = tableName(spark, dir)
+      val loc = warehousePath(spark, t)
+      if (!spark.catalog.tableExists(t)) {
+        if (java.nio.file.Files.isDirectory(loc)) {
+          spark.sql(s"DROP TABLE IF EXISTS $t")
+          spark.sql(
+            s"""CREATE TABLE $t (vec_id BIGINT, cluster INT)
+               |USING PARQUET LOCATION '$loc'""".stripMargin)
+        } else {
+          // cache: Lloyd iterations re-evaluate the input each pass —
+          // uncached this re-ran the scan+projection 20x (58.6s, r2)
+          val data = features(spark, dir).cache(); data.count()
+          fitCount.incrementAndGet()
+          val km = new KMeans().setK(K).setSeed(7).setMaxIter(20)
+          val asg = km.fit(data).transform(data)
+            .select(col("vec_id"), col("prediction").cast("int").as("cluster"))
+          asg.write.option("path", loc.toString).saveAsTable(t)
+          data.unpersist()
+        }
+      }
+      lastLoc.set(loc.toString)
+      t
+    }
+  }
+
+  /** E8 driver form: seeded KMeans segmentation, published as per-
+    * cluster size + within-cluster SSE against the member centroid,
+    * plus a centroid-optimality verdict (within-SSE ≤ SSE against the
+    * GLOBAL centroid, strict for any non-degenerate cluster). All
+    * statistics are computed by SQL over (persisted assignment ⋈
+    * embeddings) — the oracle recomputes them bit-for-bit from the
+    * same persisted table, so the hash genuinely cross-checks the
+    * segmentation's profile. Float parity: centroids round at 10 dp,
+    * per-vector squared distances at 10 dp, cluster sums at the 6-dp
+    * boundary (F27 discipline). The corpus shuffles once per
+    * aggregate on (cluster, dim); centroids broadcast back.
     */
   def qKmeans(spark: SparkSession, dir: String): DataFrame = {
-    // cache: Lloyd iterations re-evaluate the input each pass — uncached
-    // this re-ran the scan+projection 20x (58.6s in the r2 bench)
-    val data = features(spark, dir).cache(); data.count()
-    val km = new KMeans().setK(10).setSeed(7).setMaxIter(20)
-    km.fit(data).transform(data)
-      .groupBy(col("prediction").as("cluster"))
-      .agg(count(lit(1)).as("n"))
+    val t = KmeansStore.ensure(spark, dir)
+    val asg = spark.table(t)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+    val m = e.join(asg, "vec_id")
+    val cen = m.groupBy(col("cluster"), col("dim"))
+      .agg(round(avg(col("x")), 10).as("c"))
+    val glob = e.groupBy(col("dim")).agg(round(avg(col("x")), 10).as("g"))
+    val pv = m.join(broadcast(cen), Seq("cluster", "dim"))
+      .join(broadcast(glob), Seq("dim"))
+      .groupBy(col("vec_id"), col("cluster"))
+      .agg(round(sum((col("x") - col("c")) * (col("x") - col("c"))), 10).as("sqc"),
+        round(sum((col("x") - col("g")) * (col("x") - col("g"))), 10).as("sqg"))
+    pv.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("sqc")), 6).as("within_sse"),
+        (round(sum(col("sqc")), 6) <= round(sum(col("sqg")), 6))
+          .as("tighter_than_global"))
   }
+
+  /** DuckDB replay of [[qKmeans]] over the persisted assignment at
+    * `loc` — identical joins, identical rounding ladder. */
+  private def kmeansSql(loc: String): String =
+    s"""WITH asg AS (SELECT vec_id, cluster FROM read_parquet('$loc/*.parquet')),
+       |e AS (SELECT vec_id, i - 1 AS dim,
+       |    CAST(list_extract(embedding::DOUBLE[], i) AS DOUBLE) AS x
+       |  FROM embeddings, generate_series(1, 64) g(i)),
+       |m AS (SELECT e.vec_id, asg.cluster, e.dim, e.x
+       |  FROM e JOIN asg USING (vec_id)),
+       |cen AS (SELECT cluster, dim, round(avg(x), 10) AS c
+       |  FROM m GROUP BY 1, 2),
+       |gcen AS (SELECT dim, round(avg(x), 10) AS g FROM e GROUP BY 1),
+       |pv AS (SELECT m.vec_id, m.cluster,
+       |    round(sum((m.x - cen.c) * (m.x - cen.c)), 10) AS sqc,
+       |    round(sum((m.x - gcen.g) * (m.x - gcen.g)), 10) AS sqg
+       |  FROM m JOIN cen ON m.cluster = cen.cluster AND m.dim = cen.dim
+       |  JOIN gcen ON m.dim = gcen.dim
+       |  GROUP BY 1, 2)
+       |SELECT cluster, count(*) AS n, round(sum(sqc), 6) AS within_sse,
+       |  (round(sum(sqc), 6) <= round(sum(sqg), 6)) AS tighter_than_global
+       |FROM pv GROUP BY 1""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mllib_tuning" -> (qMllibTuning _),
@@ -141,6 +245,11 @@ object Tuning {
     "q_learning_curve" -> (qLearningCurve _),
     "q_kmeans" -> (qKmeans _))
 
-  /** Not SQL-expressible → rows-only checks. */
-  def oracle: Map[String, String] = Map()
+  /** The iterative fits stay rows-only (no SQL twin); q_kmeans's
+    * PROFILE is oracle-replayable once its assignment store exists in
+    * this JVM (Verify runs queries before dumping oracle_sql.json —
+    * the [[graft.operators.Similarity]] late-binding device). */
+  def oracle: Map[String, String] =
+    Option(KmeansStore.lastLoc.get)
+      .map(loc => "q_kmeans" -> kmeansSql(loc)).toMap
 }

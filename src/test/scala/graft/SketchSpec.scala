@@ -34,12 +34,21 @@ class SketchSpec extends AnyFunSuite {
   }
 
   test("pca spectrum: k components, monotone non-increasing, ratios in (0,1]") {
-    val rows = FeatureOps.qPca(spark, sf).orderBy(col("component")).collect()
-    assert(rows.length == 8)
-    val vars = rows.map(_.getAs[Double]("explained_var"))
+    // raw ratio values (the driver-published q_pca row set carries the
+    // verdict form; the spectrum itself is pinned here)
+    val vars = FeatureOps.pcaSpectrum(spark, sf)
+    assert(vars.length == 8)
     assert(vars.forall(v => v > 0 && v <= 1.0))
     assert(vars.sliding(2).forall { case Array(a, b) => a >= b })
     assert(vars.sum <= 1.0 + 1e-6)
+    val rows = FeatureOps.qPca(spark, sf).orderBy(col("component")).collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("ratio_in_range") && r.getAs[Boolean]("monotone_ok")
+        && r.getAs[Boolean]("sum_le_one") && r.getAs[Boolean]("topk_ge_uniform"),
+        s"pca verdict violated: $r")
+      assert(r.getAs[Double]("total_var") > 0)
+    }
   }
 
   test("shingle_hashes equals the scalar shingleHash over substrings") {

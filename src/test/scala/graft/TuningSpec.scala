@@ -105,9 +105,19 @@ class TuningSpec extends AnyFunSuite {
     assert(best >= 0.25, f"best CV accuracy $best%.3f not above chance")
   }
 
-  test("kmeans partitions all vectors into k clusters") {
-    val sizes = Tuning.qKmeans(spark, sf).as[(Int, Long)].collect()
-    assert(sizes.map(_._2).sum == Tables.embeddings(spark, sf).count())
-    assert(sizes.length <= 10 && sizes.nonEmpty)
+  test("kmeans partitions all vectors into k clusters; SSE verdicts hold; store reuses warm") {
+    val rows = Tuning.qKmeans(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == Tables.embeddings(spark, sf).count())
+    assert(rows.length <= Tuning.KmeansStore.K && rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("within_sse") >= 0.0)
+      assert(r.getAs[Boolean]("tighter_than_global"),
+        s"member centroid must beat the global centroid: $r")
+    }
+    // warm path: a second run must reuse the persisted assignment
+    val fits = Tuning.KmeansStore.fitCount.get
+    Tuning.qKmeans(spark, sf).collect()
+    assert(Tuning.KmeansStore.fitCount.get == fits,
+      "second qKmeans run must not refit (persisted-store contract)")
   }
 }

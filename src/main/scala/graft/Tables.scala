@@ -109,7 +109,13 @@ object Tables {
       * the tag — unchanged (only a content checksum would catch it,
       * at a full-read cost this probe must not pay), and distinct
       * corpus states collide with ~2^-63 probability (63-bit tag).
-      * One driver-side recursive listing, no Spark job, O(1) memory.
+      * The listing routes through [[graft.operators.Maintenance
+      * .listEntries]]: small trees walk on the driver (one recursive
+      * listing, O(1) memory); past [[TagParallelListDirs]] first-level
+      * subdirectories it fans out as a distributed job — the same
+      * million-file design point compact's listing already handles,
+      * on the same code path. The entry hash sums commutatively, so
+      * driver and distributed listings produce the SAME tag.
       *
       * The tag is MEMOIZED for [[TagTtlNanos]] (~2 s): a single query
       * issues several probes (ensure, embeddingsCount, per-table
@@ -120,6 +126,10 @@ object Tables {
       * only delays a knob refresh, never serves a stale INDEX.
       */
     @volatile private[graft] var TagTtlNanos: Long = 2L * 1000 * 1000 * 1000
+    /** First-level subdir count past which the tag listing fans out as
+      * a Spark job (test knob; defaults to compact's threshold). */
+    @volatile private[graft] var TagParallelListDirs: Int =
+      graft.operators.Maintenance.ParallelListDirs
     private val tagCache = new ConcurrentHashMap[String, (Long, String)]()
     /** Recursive listings actually performed (spec observability). */
     val listCount = new AtomicInteger(0)
@@ -134,19 +144,26 @@ object Tables {
       val p = new org.apache.hadoop.fs.Path(tablePath)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       listCount.incrementAndGet()
+      // single-file tables (the driver corpus layout) short-circuit;
+      // directories share Maintenance.listEntries' driver/distributed
+      // split. Hidden files (_SUCCESS, .crc) never count as corpus.
+      val entries: Seq[(String, Long, Long)] =
+        if (!fs.getFileStatus(p).isDirectory) {
+          val st = fs.getFileStatus(p)
+          Seq((st.getPath.getName, st.getLen, st.getModificationTime))
+        } else graft.operators.Maintenance.listEntries(
+          s, p.makeQualified(fs.getUri, fs.getWorkingDirectory), fs,
+          TagParallelListDirs,
+          name => !name.startsWith("_") && !name.startsWith("."))
       var acc = 0L
       var n = 0L
-      val it = fs.listFiles(p, true)
-      while (it.hasNext) {
-        val st = it.next()
-        val name = st.getPath.getName
-        if (!name.startsWith("_") && !name.startsWith(".")) {
-          n += 1
-          val h = scala.util.hashing.MurmurHash3.stringHash(
-            s"${st.getPath}|${st.getLen}|${st.getModificationTime}")
-          // sum is commutative: listing order never changes the tag
-          acc += h.toLong
-        }
+      entries.foreach { case (rel, len, mtime) =>
+        n += 1
+        // rel path (not absolute): the tag identifies the corpus
+        // CONTENT layout, and driver/distributed listings agree on it
+        val h = scala.util.hashing.MurmurHash3.stringHash(s"$rel|$len|$mtime")
+        // sum is commutative: listing order never changes the tag
+        acc += h.toLong
       }
       val tag = ((acc ^ n) & 0x7fffffffffffffffL).toHexString
       tagCache.put(tablePath, (now, tag))

@@ -67,16 +67,31 @@ object Maintenance {
     */
   private[graft] def listDataFiles(spark: SparkSession, root: Path,
       fs: org.apache.hadoop.fs.FileSystem,
-      parallelThreshold: Int): Seq[(Seq[String], Long)] = {
+      parallelThreshold: Int): Seq[(Seq[String], Long)] =
+    listEntries(spark, root, fs, parallelThreshold,
+      name => name.endsWith(".parquet"))
+      .map { case (rel, len, _) => (rel.split('/').dropRight(1).toSeq, len) }
+
+  /** Generic recursive listing under `root`: every file whose NAME
+    * passes `keep` comes back as (raw URI-encoded rel path, length,
+    * mtime). Small trees walk on the driver; past `parallelThreshold`
+    * first-level subdirectories the per-directory recursion runs as a
+    * distributed job (shared by [[listDataFiles]] and
+    * [[graft.Tables.Probe.corpusTag]] — one million-file code path,
+    * not two).
+    */
+  private[graft] def listEntries(spark: SparkSession, root: Path,
+      fs: org.apache.hadoop.fs.FileSystem, parallelThreshold: Int,
+      keep: String => Boolean): Seq[(String, Long, Long)] = {
     def relEntries(f: org.apache.hadoop.fs.FileSystem, base: Path,
-        start: Path): Seq[(Seq[String], Long)] = {
-      val buf = scala.collection.mutable.ArrayBuffer[(Seq[String], Long)]()
+        start: Path): Seq[(String, Long, Long)] = {
+      val buf = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
       val it = f.listFiles(start, true)
       while (it.hasNext) {
         val s = it.next()
-        if (s.getPath.getName.endsWith(".parquet")) {
+        if (keep(s.getPath.getName)) {
           val rel = base.toUri.relativize(s.getPath.toUri).getRawPath
-          buf += ((rel.split('/').dropRight(1).toSeq, s.getLen))
+          buf += ((rel, s.getLen, s.getModificationTime))
         }
       }
       buf.toSeq
@@ -88,10 +103,8 @@ object Maintenance {
       // top-level files (flat tables mixing in) still list driver-side;
       // each subdirectory's recursion becomes one task. The hadoop conf
       // ships as Writable bytes (Configuration is not Serializable).
-      val direct = top.filter(s => !s.isDirectory &&
-          s.getPath.getName.endsWith(".parquet"))
-        .map(s => (Seq.empty[String],
-          s.getLen)).toSeq
+      val direct = top.filter(s => !s.isDirectory && keep(s.getPath.getName))
+        .map(s => (s.getPath.getName, s.getLen, s.getModificationTime)).toSeq
       val confBytes = {
         val baos = new java.io.ByteArrayOutputStream()
         spark.sparkContext.hadoopConfiguration.write(

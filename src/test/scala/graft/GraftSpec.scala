@@ -55,6 +55,44 @@ class ContractSpec extends AnyFunSuite {
       s"oracle SQL with default-valued (likely uninitialized) constants: $suspicious")
   }
 
+  test("corpusTag: distributed listing over a many-dir tree matches the driver walk") {
+    // a hive-ish tree: 6 first-level subdirs x 3 files each
+    val root = java.nio.file.Files.createTempDirectory("tagtree").toFile
+    try {
+      for (d <- 0 until 6; f <- 0 until 3) {
+        val dir = new java.io.File(root, s"k=$d"); dir.mkdirs()
+        java.nio.file.Files.writeString(
+          new java.io.File(dir, s"part-$f.parquet").toPath, s"x" * (d + f + 1))
+      }
+      val c0 = Tables.Probe.listCount.get
+      val saved = Tables.Probe.TagParallelListDirs
+      val driverTag =
+        try { Tables.Probe.TagParallelListDirs = 1000
+          Tables.Probe.corpusTag(spark, root.toString, fresh = true)
+        } finally Tables.Probe.TagParallelListDirs = saved
+      val distTag =
+        try { Tables.Probe.TagParallelListDirs = 2 // 6 dirs -> Spark job
+          Tables.Probe.corpusTag(spark, root.toString, fresh = true)
+        } finally Tables.Probe.TagParallelListDirs = saved
+      assert(distTag == driverTag,
+        "driver and distributed listings must produce the same tag")
+      assert(Tables.Probe.listCount.get == c0 + 2, "both probes must list")
+      // a mutation is visible through the distributed path too
+      java.nio.file.Files.writeString(
+        new java.io.File(root, "k=0/part-9.parquet").toPath, "more")
+      val mutated =
+        try { Tables.Probe.TagParallelListDirs = 2
+          Tables.Probe.corpusTag(spark, root.toString, fresh = true)
+        } finally Tables.Probe.TagParallelListDirs = saved
+      assert(mutated != distTag, "a new file must change the tag")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(root)
+    }
+  }
+
   test("corpusTag memoizes the listing within the TTL; fresh re-lists") {
     val path = s"$sf/documents.parquet"
     val c0 = Tables.Probe.listCount.get

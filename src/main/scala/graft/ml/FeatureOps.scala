@@ -59,10 +59,12 @@ object FeatureOps {
   /** Robust (median/IQR) scaling of event values. */
   def qRobustScaler(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
+    // event values are 2-dp money-like; round(value,2) is a value
+    // no-op that bounds the exact-percentile counter domain (§5)
     val stats = e.agg(
-      expr("percentile(value, 0.5)").as("p50"),
-      expr("percentile(value, 0.25)").as("p25"),
-      expr("percentile(value, 0.75)").as("p75"))
+      expr("percentile(round(value, 2), 0.5)").as("p50"),
+      expr("percentile(round(value, 2), 0.25)").as("p25"),
+      expr("percentile(round(value, 2), 0.75)").as("p75"))
     e.crossJoin(broadcast(stats))
       .select(col("event_id"),
         round((col("value") - col("p50")) / (col("p75") - col("p25")), 4).as("robust"))
@@ -70,9 +72,9 @@ object FeatureOps {
 
   val qRobustScalerSql: String =
     """SELECT event_id,
-      |  round((value - (SELECT CAST(quantile_cont(value, 0.5) AS DOUBLE) FROM events))
-      |        / ((SELECT CAST(quantile_cont(value, 0.75) AS DOUBLE) FROM events)
-      |           - (SELECT CAST(quantile_cont(value, 0.25) AS DOUBLE) FROM events)), 4) AS robust
+      |  round((value - (SELECT CAST(quantile_cont(round(value, 2), 0.5) AS DOUBLE) FROM events))
+      |        / ((SELECT CAST(quantile_cont(round(value, 2), 0.75) AS DOUBLE) FROM events)
+      |           - (SELECT CAST(quantile_cont(round(value, 2), 0.25) AS DOUBLE) FROM events)), 4) AS robust
       |FROM events""".stripMargin
 
   // ---------------------------------------------------------------- E4

@@ -397,7 +397,9 @@ object AnalyticExt {
     val cuts = cust.agg(
       expr("percentile(recency, array(0.25, 0.5, 0.75))").as("rc"),
       expr("percentile(frequency, array(0.25, 0.5, 0.75))").as("fc"),
-      expr("percentile(monetary, array(0.25, 0.5, 0.75))").as("mc"))
+      // round(monetary,2) is a no-op (DECIMAL(18,2)-exact spend) made
+      // explicit for the §5 quantize-before-percentile guard
+      expr("percentile(round(monetary, 2), array(0.25, 0.5, 0.75))").as("mc"))
     def above(v: Column, c: Column): Column =
       (v > c(0)).cast("int") + (v > c(1)).cast("int") + (v > c(2)).cast("int")
     cust.crossJoin(broadcast(cuts))
@@ -431,7 +433,7 @@ object AnalyticExt {
       |    frequency, monetary FROM c, maxd),
       |cuts AS (SELECT quantile_cont(recency, [0.25, 0.5, 0.75]) AS rc,
       |    quantile_cont(frequency, [0.25, 0.5, 0.75]) AS fc,
-      |    quantile_cont(monetary, [0.25, 0.5, 0.75]) AS mc FROM r),
+      |    quantile_cont(round(monetary, 2), [0.25, 0.5, 0.75]) AS mc FROM r),
       |s AS (SELECT custkey, recency, frequency, monetary,
       |    4 - (CAST(recency > rc[1] AS INT) + CAST(recency > rc[2] AS INT)
       |       + CAST(recency > rc[3] AS INT)) AS r_score,

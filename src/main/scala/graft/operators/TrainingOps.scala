@@ -812,9 +812,11 @@ object TrainingOps {
       .select(col("doc_id"), col("n_bigrams"),
         col("mean_bigram_surprisal").as("s"))
     val cuts = s.agg(
-      round(expr("percentile(s, 0.25)"), 6).as("c1"),
-      round(expr("percentile(s, 0.5)"), 6).as("c2"),
-      round(expr("percentile(s, 0.75)"), 6).as("c3"))
+      // round(s,6) is a value no-op (s is 6-dp from B11) that makes
+      // the SURVEY §5 quantize-before-percentile contract explicit
+      round(expr("percentile(round(s, 6), 0.25)"), 6).as("c1"),
+      round(expr("percentile(round(s, 6), 0.5)"), 6).as("c2"),
+      round(expr("percentile(round(s, 6), 0.75)"), 6).as("c3"))
     s.crossJoin(broadcast(cuts))
       .withColumn("phase",
         when(col("s") <= col("c1"), 1L).when(col("s") <= col("c2"), 2L)
@@ -829,9 +831,9 @@ object TrainingOps {
   val qCurriculumPlanSql: String =
     raw"""WITH s0 AS ($qBigramSurprisalSql),
          |s AS (SELECT doc_id, n_bigrams, mean_bigram_surprisal AS s FROM s0),
-         |cuts AS (SELECT round(CAST(quantile_cont(s, 0.25) AS DOUBLE), 6) AS c1,
-         |    round(CAST(quantile_cont(s, 0.5) AS DOUBLE), 6) AS c2,
-         |    round(CAST(quantile_cont(s, 0.75) AS DOUBLE), 6) AS c3 FROM s)
+         |cuts AS (SELECT round(CAST(quantile_cont(round(s, 6), 0.25) AS DOUBLE), 6) AS c1,
+         |    round(CAST(quantile_cont(round(s, 6), 0.5) AS DOUBLE), 6) AS c2,
+         |    round(CAST(quantile_cont(round(s, 6), 0.75) AS DOUBLE), 6) AS c3 FROM s)
          |SELECT CAST(CASE WHEN s <= c1 THEN 1 WHEN s <= c2 THEN 2
          |    WHEN s <= c3 THEN 3 ELSE 4 END AS BIGINT) AS phase,
          |  count(*) AS n_docs,
@@ -931,7 +933,9 @@ object TrainingOps {
   def qQualityDeciles(spark: SparkSession, dir: String): DataFrame = {
     val q = TextAnalysis.qQualityScore(spark, dir).select(col("doc_id"), col("quality"))
     val cuts = q.agg(
-      expr("percentile(quality, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("cuts"))
+      // round(quality,6) is a no-op (B3 rounds at 6 dp) made explicit
+      // for the §5 quantize-before-percentile guard
+      expr("percentile(round(quality, 6), array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("cuts"))
     val decile = (lit(1) +
       (0 until 9).map(i => when(col("quality") > col("cuts").getItem(i), 1).otherwise(0))
         .reduce(_ + _)).cast("long")
@@ -949,7 +953,7 @@ object TrainingOps {
       .map(i => s"(CASE WHEN quality > cuts[${i + 1}] THEN 1 ELSE 0 END)")
       .mkString(" + ")
     s"""WITH q AS (SELECT doc_id, quality FROM ($qualSql)),
-       |c AS (SELECT quantile_cont(quality, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cuts FROM q),
+       |c AS (SELECT quantile_cont(round(quality, 6), [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cuts FROM q),
        |d AS (SELECT doc_id, quality, CAST(1 + $cmp AS BIGINT) AS decile FROM q, c)
        |SELECT decile, count(*) AS n_docs,
        |  round(min(quality), 6) AS min_q, round(max(quality), 6) AS max_q

@@ -201,6 +201,42 @@ class PlanSpec extends AnyFunSuite {
     assert(failures.isEmpty, s"plan guard violations:\n${failures.mkString("\n")}")
   }
 
+  test("global plan guard: every ungrouped exact percentile consumes a bounded (integer or rounded) domain") {
+    // SURVEY §5: Spark's exact Percentile buffers one counter per
+    // DISTINCT value in one task when ungrouped — safe only when the
+    // input domain is bounded by construction. The invariant was
+    // implicit (every current use feeds integer counts or rounded
+    // scores); this guard makes it load-bearing: a future operator
+    // feeding raw doubles into the same device fails here, not at
+    // 100 TB with an OOM'd task.
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Percentile
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Round}
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val analyzed = fn(spark, sf).queryExecution.analyzed
+      analyzed.collect { case a: Aggregate if a.groupingExpressions.isEmpty =>
+        a.aggregateExpressions.flatMap(_.collect {
+          case p: Percentile =>
+            // strip output casts; accept an integral domain or any
+            // explicit quantization (Round) inside the input chain
+            def core(e: org.apache.spark.sql.catalyst.expressions.Expression)
+                : org.apache.spark.sql.catalyst.expressions.Expression =
+              e match { case c: Cast => core(c.child); case other => other }
+            val child = core(p.children.head)
+            val integral = child.dataType match {
+              case ByteType | ShortType | IntegerType | LongType => true
+              case _ => false
+            }
+            val ok = integral || child.exists(_.isInstanceOf[Round])
+            if (ok) None else Some(s"$name: ungrouped percentile over ${child.dataType} input `${child.sql.take(80)}`")
+        }.flatten)
+      }.flatten
+    }
+    assert(failures.isEmpty,
+      s"unquantized ungrouped exact percentile (SURVEY §5):\n${failures.mkString("\n")}")
+  }
+
   test("whole-stage codegen covers the relational core") {
     import org.apache.spark.sql.execution.ExplainMode
     val p = Relational.q1PricingSummary(spark, sf)

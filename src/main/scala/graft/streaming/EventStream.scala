@@ -136,6 +136,36 @@ object EventStream {
     * correct streaming semantics, so the output is a prefix-subset of
     * the batch result, not its equal. Returns the files read back.
     */
+  /** Test-only failure injection for the foreachBatch file sinks:
+    * when set to a batch id, the sink body throws AFTER its write(s)
+    * for that batch and the knob self-clears — simulating a crash in
+    * the exact window where the batch's data is on disk but the
+    * checkpoint has NOT committed it. On restart the engine replays
+    * the uncommitted batch with the same id; the per-batch
+    * `batch_id=<id>` overwrite makes that replay idempotent, which is
+    * what the crash-recovery spec proves (no duplicates, no losses).
+    */
+  private[graft] val crashAfterBatchWrite =
+    new java.util.concurrent.atomic.AtomicLong(-1L)
+  private def maybeInjectCrash(id: Long): Unit =
+    if (crashAfterBatchWrite.compareAndSet(id, -1L))
+      throw new RuntimeException(s"injected crash after batch $id write")
+
+  /** Idempotent micro-batch append: each batch lands in its own
+    * `batch_id=<id>` partition directory with OVERWRITE semantics, so
+    * a batch replayed after a crash (written but uncommitted — the
+    * at-least-once window of a plain blind append) replaces its own
+    * prior attempt instead of duplicating it. This is the standard
+    * exactly-once recipe for foreachBatch file sinks: the batch id is
+    * the idempotence key, and Structured Streaming guarantees a
+    * replayed batch carries the same id over the same source offsets.
+    * The partition dir doubles as lineage (which batch produced which
+    * rows) at zero column-storage cost.
+    */
+  private def writeBatchIdempotent(b: DataFrame, outPath: String,
+      id: Long): Unit =
+    b.write.mode("overwrite").parquet(s"$outPath/batch_id=$id")
+
   /** Read a file sink's output, or an EMPTY frame with the sink's
     * schema when no batch ever fired — a monitor started before its
     * producer (routine deploy ordering) must return zero verdicts,
@@ -377,16 +407,19 @@ object EventStream {
     import org.apache.spark.sql.streaming.Trigger
     val spark = docs.sparkSession
     val q = docs.writeStream
-      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.operators.Dedup.neardupMatches(spark, dir, b.toDF())
-          .write.mode("append").parquet(outPath)
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        writeBatchIdempotent(
+          graft.operators.Dedup.neardupMatches(spark, dir, b.toDF()),
+          outPath, id)
+        maybeInjectCrash(id)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     readSinkOrEmpty(spark, outPath, StructType(Seq(
       StructField("new_id", LongType), StructField("old_id", LongType),
-      StructField("est_sim", DoubleType))))
+      StructField("est_sim", DoubleType),
+      StructField("batch_id", LongType)))).drop("batch_id")
   }
 
   /** F16: streaming corpus-quality drift monitor — the gate a
@@ -416,10 +449,11 @@ object EventStream {
         // carries no distribution to test — appending its n_eval=0 row
         // would hand every downstream consumer a null-ks_d special case
         if (!b.isEmpty) {
-          graft.operators.TrainingOps.qualityDriftVsBaseline(baseline, b.toDF())
-            .withColumn("batch_id", lit(id))
-            .write.mode("append").parquet(outPath)
+          writeBatchIdempotent(
+            graft.operators.TrainingOps.qualityDriftVsBaseline(baseline, b.toDF()),
+            outPath, id)
         }
+        maybeInjectCrash(id)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow()).start()
@@ -447,11 +481,13 @@ object EventStream {
     import org.apache.spark.sql.streaming.Trigger
     val spark = vecs.sparkSession
     val q = vecs.writeStream
-      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
         if (!b.isEmpty) {
-          graft.operators.Similarity.assignVectors(spark, dir, b.toDF())
-            .write.mode("append").parquet(outPath)
+          writeBatchIdempotent(
+            graft.operators.Similarity.assignVectors(spark, dir, b.toDF()),
+            outPath, id)
         }
+        maybeInjectCrash(id)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow()).start()
@@ -483,13 +519,14 @@ object EventStream {
         "empty_text")
       .when(col("n_chars") =!= length(col("text")), "n_chars_mismatch")
     val q = docs.writeStream
-      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val flagged = b.toDF().withColumn("reason", reason).persist()
-        flagged.filter(col("reason").isNull).drop("reason")
-          .write.mode("append").parquet(acceptPath)
-        flagged.filter(col("reason").isNotNull)
-          .write.mode("append").parquet(quarantinePath)
+        writeBatchIdempotent(
+          flagged.filter(col("reason").isNull).drop("reason"), acceptPath, id)
+        writeBatchIdempotent(
+          flagged.filter(col("reason").isNotNull), quarantinePath, id)
         flagged.unpersist()
+        maybeInjectCrash(id)
         ()
       }
       .option("checkpointLocation", checkpoint)

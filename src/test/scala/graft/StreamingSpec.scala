@@ -306,6 +306,88 @@ class StreamingSpec extends AnyFunSuite {
     assert(accepted == docs.map(_._1).toSet -- expectQuarantine.keySet)
   }
 
+  test("crash between sink write and checkpoint commit: restart is exactly-once (validation gate)") {
+    implicit val sqlCtx = spark.sqlContext
+    // The at-least-once window of any foreachBatch file sink: the batch's
+    // data is on disk but the checkpoint never committed it, so a restart
+    // REPLAYS the batch. The injected crash fires after the write(s) of
+    // batch 0; the per-batch `batch_id=<id>` overwrite must make the
+    // replay idempotent — every input row lands in exactly one sink
+    // exactly once, no duplicates from the replay, no losses.
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .as[(Long, String, String, String, Long)].collect()
+    val corrupted = docs.map { case (id, text, lang, src, n) =>
+      if (id % 11 == 0) (id, "  ", lang, src, n)
+      else if (id % 7 == 0) (id, text, lang, src, n + 1)
+      else (id, text, lang, src, n)
+    }
+    val expectQuarantine = corrupted.collect {
+      case (id, _, _, _, _) if id % 11 == 0 => id -> "empty_text"
+      case (id, _, _, _, _) if id % 7 == 0 => id -> "n_chars_mismatch"
+    }.toMap
+    val (b1, b2) = corrupted.splitAt(corrupted.length / 2)
+    val input = MemoryStream[(Long, String, String, String, Long)]
+    input.addData(b1: _*)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_crash").toString
+    EventStream.crashAfterBatchWrite.set(0L)
+    val thrown = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      EventStream.streamValidationGateToFiles(
+        input.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+        s"$tmp/accept", s"$tmp/quarantine", s"$tmp/cp")
+    }
+    assert(thrown.getMessage.contains("injected crash"),
+      s"wrong failure: ${thrown.getMessage.take(200)}")
+    assert(EventStream.crashAfterBatchWrite.get == -1L, "knob must self-clear")
+    // batch 0's rows ARE on disk (that's the hazard being tested)
+    assert(spark.read.parquet(s"$tmp/accept").count() > 0,
+      "crash must land AFTER the write, else the test proves nothing")
+    // restart from the same checkpoint with more data queued: batch 0
+    // replays (uncommitted), then batch 1 processes b2
+    input.addData(b2: _*)
+    val quarantined = EventStream.streamValidationGateToFiles(
+      input.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$tmp/accept", s"$tmp/quarantine", s"$tmp/cp")
+      .select("doc_id", "reason").as[(Long, String)].collect()
+    val accepted = spark.read.parquet(s"$tmp/accept")
+      .select("doc_id").as[Long].collect()
+    // exactly-once: no id appears twice anywhere, and the union is total
+    assert(accepted.length == accepted.distinct.length,
+      "replayed batch duplicated accepted rows")
+    assert(quarantined.map(_._1).distinct.length == quarantined.length,
+      "replayed batch duplicated quarantined rows")
+    assert(quarantined.map(_._1).toSet == expectQuarantine.keySet &&
+      accepted.toSet == docs.map(_._1).toSet -- expectQuarantine.keySet,
+      "rows lost or misrouted across the crash-restart boundary")
+    quarantined.foreach { case (id, reason) =>
+      assert(expectQuarantine(id) == reason, s"wrong routing after replay: $id -> $reason")
+    }
+  }
+
+  test("crash between sink write and checkpoint commit: restart is exactly-once (vector ingest)") {
+    implicit val sqlCtx = spark.sqlContext
+    val (asg, _) = graft.operators.Similarity.IvfIndex.get(spark, sf, 16)
+    val persisted = asg.select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    val vecs = asg.select("vec_id", "v").as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val (b1, b2) = vecs.splitAt(vecs.length / 2)
+    val input = MemoryStream[(Long, Seq[Double])]
+    input.addData(b1: _*)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_veccrash").toString
+    EventStream.crashAfterBatchWrite.set(0L)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      EventStream.streamVectorIngestToFiles(
+        input.toDF().toDF("vec_id", "v"), sf, s"$tmp/out", s"$tmp/cp")
+    }
+    input.addData(b2: _*)
+    val out = EventStream.streamVectorIngestToFiles(
+      input.toDF().toDF("vec_id", "v"), sf, s"$tmp/out", s"$tmp/cp")
+      .select("vec_id", "cell").as[(Long, Int)].collect()
+    // row-exact across the crash: each vector once, correct cell
+    assert(out.length == persisted.size,
+      s"expected ${persisted.size} rows exactly-once, got ${out.length}")
+    assert(out.forall { case (id, c) => persisted(id) == c })
+  }
+
   test("append-mode file sink emits watermark-closed windows matching the batch result") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_files").toString
     val streamed = EventStream.streamTumblingToFiles(spark, sf,

@@ -564,6 +564,124 @@ object Dedup {
       Tables.dropTablesMatching(spark,
         (java.util.regex.Pattern.quote(stem(dir).toLowerCase) +
           contractTag + "_[0-9a-f]+(_hot)?").r)
+
+    /** Absorb an arriving batch INTO the store: sign it under the
+      * store's df cut (identical arithmetic to the probe path) and
+      * APPEND the signatures to the bucketed signature table — so the
+      * NEXT batch near-dups against previously absorbed batches, not
+      * just the original corpus. This is how the store grows between
+      * the full rebuilds the corpus-fingerprint staleness contract
+      * triggers; the hot-list stays frozen at build time (absorbed
+      * batches must be signed under the SAME cut or signatures stop
+      * being comparable — re-learning it would require re-signing
+      * everything, which is exactly the rebuild).
+      *
+      * Each absorb is one bucketed append job: new files land per
+      * bucket, so the file count grows O(absorbs × buckets). Run
+      * [[compactStore]] on the maintenance cadence to restore the
+      * one-file-per-bucket layout. Returns signature rows appended
+      * (docs whose shingles all fell to the hot cut sign nothing).
+      */
+    def absorb(spark: SparkSession, dir: String, batchDocs: DataFrame): Long = {
+      val (t, th) = ensure(spark, dir)
+      val sigs = signBatch(spark, th, batchDocs).cache()
+      val n = sigs.count()
+      sigs.write.mode("append").insertInto(t)
+      sigs.unpersist()
+      // a session that cached the table pre-absorb must not serve the
+      // pre-append snapshot
+      spark.catalog.refreshTable(t)
+      n
+    }
+
+    /** Compact the signature table back to ONE data file per bucket
+      * after a run of [[absorb]]s, PRESERVING the bucket spec (the
+      * pre-shuffled verification join must survive maintenance).
+      * Mechanics: rewrite via a staging bucketed table whose input is
+      * `repartition(SigBuckets, doc_id)` — repartition and bucketing
+      * share the same murmur3 hash-partitioning, so each task holds
+      * exactly one whole bucket and writes exactly one file — then
+      * swap the staged files under the store's original location and
+      * re-register the DDL (the cold-session path). No re-shingling,
+      * no signature recomputation: this is a pure layout rewrite, and
+      * the spec pins [[buildCount]] across it. Caller contract: the
+      * store is quiescent during the swap (same as any table-format
+      * compaction). Returns the data-file count after compaction
+      * (≤ [[SigBuckets]]; empty buckets write no file).
+      */
+    def compactStore(spark: SparkSession, dir: String): Int = {
+      val t = tableName(spark, dir)
+      val staging = t + "_compacting"
+      val loc = warehousePath(spark, t)
+      val locS = warehousePath(spark, staging)
+      ensure(spark, dir)
+      // read the store FILES as a plain parquet path, not via the
+      // catalog table: a bucketed-table scan advertises the bucket
+      // partitioning, the planner then elides the repartition as
+      // redundant, and the write runs over size-packed read splits —
+      // each holding a MIX of buckets — yielding O(splits × buckets)
+      // files (measured: 29 for 8 buckets). A path read claims no
+      // partitioning, the repartition survives, each task holds
+      // exactly one bucket, and the write lands one file per bucket.
+      spark.read.parquet(loc.toString)
+        .repartition(SigBuckets, col("doc_id"))
+        .write.bucketBy(SigBuckets, "doc_id")
+        .option("path", locS.toString).mode("overwrite").saveAsTable(staging)
+      spark.sql(s"DROP TABLE IF EXISTS $staging") // metadata only; files stay
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      deleteRecursively(loc)
+      java.nio.file.Files.move(locS, loc)
+      registerSigDdl(spark, t, loc)
+      dataFileCount(loc)
+    }
+
+    private def registerSigDdl(spark: SparkSession, t: String,
+        loc: java.nio.file.Path): Unit =
+      spark.sql(
+        s"""CREATE TABLE $t (doc_id BIGINT, $sigCols)
+           |USING PARQUET CLUSTERED BY (doc_id) INTO $SigBuckets BUCKETS
+           |LOCATION '$loc'""".stripMargin)
+  }
+
+  /** Recursive local-path delete (store maintenance swaps). */
+  private[operators] def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
+
+  /** Visible data files under a store location (hidden/_metadata
+    * excluded) — the compaction spec's observable.
+    */
+  private[graft] def dataFileCount(p: java.nio.file.Path): Int = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(p).iterator().asScala.count { f =>
+      val n = f.getFileName.toString
+      java.nio.file.Files.isRegularFile(f) &&
+        !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
+  /** Sign an arriving (doc_id, text) batch under the STORE's frozen
+    * hot-list df cut — the single signing path shared by the probe
+    * ([[neardupMatches]]), the streaming twin, and [[SigStore.absorb]];
+    * map-only over the batch, the corpus is never re-shingled.
+    */
+  private[graft] def signBatch(spark: SparkSession, hotT: String,
+      batchDocs: DataFrame): DataFrame = {
+    val minCols = perms.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("h") + lit(b)) % MinhashPrime).as(s"m$i")
+    }
+    batchDocs
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), normText(col("text")).as("t"))
+      .select(col("doc_id"),
+        explode(graft.functions.GraftExpressions.shingle_hashes(col("t"))).as("h"))
+      .join(broadcast(spark.table(hotT)), Seq("h"), "left_anti")
+      .select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
   }
 
   /** Incremental NEAR-dup ingest: the arriving batch (eval-source
@@ -598,18 +716,7 @@ object Dedup {
       batchDocs: DataFrame): DataFrame = {
     val (sigT, hotT) = SigStore.ensure(spark, dir)
     val stored = spark.table(sigT)
-    val minCols = perms.zipWithIndex.map { case ((a, b), i) =>
-      min((lit(a) * col("h") + lit(b)) % MinhashPrime).as(s"m$i")
-    }
-    val batch = batchDocs
-      .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("doc_id"), normText(col("text")).as("t"))
-      .select(col("doc_id"),
-        explode(graft.functions.GraftExpressions.shingle_hashes(col("t"))).as("h"))
-      .join(broadcast(spark.table(hotT)), Seq("h"), "left_anti")
-      .select(col("doc_id"), col("h")).distinct()
-      .groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
-      .cache()
+    val batch = signBatch(spark, hotT, batchDocs).cache()
     eager(batch)
     def bandsOf(wide: DataFrame): DataFrame = wide
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))

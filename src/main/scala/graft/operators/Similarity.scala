@@ -294,6 +294,60 @@ object Similarity {
       Tables.dropTablesMatching(spark,
         (java.util.regex.Pattern.quote(stem(dir, nlist).toLowerCase) +
           "[0-9a-f]+(_cent)?").r)
+
+    /** Absorb an arriving vector batch INTO the index: nearest-centroid
+      * assignment against the persisted centroids ([[assignVectors]] —
+      * map-only, no fit) APPENDED to the bucketed assignment table, so
+      * probes see the new vectors in their cells immediately. This is
+      * the growth path between scheduled refits; the centroids stay
+      * frozen (re-fitting them would reassign everything — exactly the
+      * rebuild the staleness contract schedules). Each absorb lands new
+      * bucket files; [[compactStore]] restores one-file-per-bucket.
+      * Returns vectors appended.
+      */
+    def absorb(spark: SparkSession, dir: String, batch: DataFrame,
+        nlist: Int = 16): Long = {
+      val assigned = assignVectors(spark, dir, batch, nlist).cache()
+      val n = assigned.count()
+      val (t, _) = ensure(spark, dir, nlist)
+      assigned.write.mode("append").insertInto(t)
+      assigned.unpersist()
+      // the get() path caches the table — must not serve the pre-append
+      // snapshot
+      spark.catalog.refreshTable(t)
+      n
+    }
+
+    /** Compact the assignment table back to one data file per bucket
+      * after a run of [[absorb]]s, preserving the cell bucket spec (the
+      * probe→cell bucket pruning must survive maintenance). Same
+      * staging-rewrite + file-swap + DDL re-register mechanics as
+      * [[graft.operators.Dedup.SigStore.compactStore]]; pure layout
+      * rewrite — no fit ([[fitCount]] spec-pinned across it). Returns
+      * the data-file count after compaction.
+      */
+    def compactStore(spark: SparkSession, dir: String, nlist: Int = 16): Int = {
+      val (t, _) = ensure(spark, dir, nlist)
+      val staging = t + "_compacting"
+      val loc = warehousePath(spark, t)
+      val locS = warehousePath(spark, staging)
+      // path read, not catalog read — see SigStore.compactStore: the
+      // bucketed-table scan's advertised partitioning elides the
+      // repartition and multiplies output files per read split
+      spark.read.parquet(loc.toString)
+        .repartition(IvfBuckets, col("cell"))
+        .write.bucketBy(IvfBuckets, "cell")
+        .option("path", locS.toString).mode("overwrite").saveAsTable(staging)
+      spark.sql(s"DROP TABLE IF EXISTS $staging") // metadata only; files stay
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      graft.operators.Dedup.deleteRecursively(loc)
+      java.nio.file.Files.move(locS, loc)
+      spark.sql(
+        s"""CREATE TABLE $t (vec_id BIGINT, v ARRAY<DOUBLE>, cell INT)
+           |USING PARQUET CLUSTERED BY (cell) INTO $IvfBuckets BUCKETS
+           |LOCATION '$loc'""".stripMargin)
+      graft.operators.Dedup.dataFileCount(loc)
+    }
   }
 
   // ---------------------------------------------------------------- D6

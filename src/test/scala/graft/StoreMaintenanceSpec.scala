@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Similarity}
+
+/** Growth-and-maintenance contract of the two persisted stores
+  * (SigStore / IvfIndex): `absorb` appends arriving batches into the
+  * bucketed store so later batches dedup/probe against them, file
+  * count grows per absorb, and `compactStore` restores the
+  * one-file-per-bucket layout WITHOUT recomputing anything — build
+  * and fit counters stay pinned, results stay bit-identical, and a
+  * cold session re-registers over the compacted files.
+  *
+  * Runs against a PRIVATE copy of the smallest corpus: absorbing into
+  * the shared test-corpus stores would contaminate the oracle-checked
+  * ANN/dedup queries that replay those stores' files.
+  */
+class StoreMaintenanceSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  private def copyTable(fromDir: String, name: String, toDir: java.nio.file.Path): Unit = {
+    val src = java.nio.file.Paths.get(fromDir, name)
+    java.nio.file.Files.copy(src, toDir.resolve(name))
+  }
+
+  private def privateCorpus(tables: String*): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_store_maint")
+    tables.foreach(t => copyTable(sf, t, d))
+    d.toString
+  }
+
+  test("SigStore: absorb grows the store (later batches match absorbed docs); compact restores one-file-per-bucket, build pinned") {
+    val dir = privateCorpus("documents.parquet")
+    val (t, _) = Dedup.SigStore.ensure(spark, dir)
+    val builds = Dedup.SigStore.buildCount.get
+    val loc = java.nio.file.Paths.get(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, t)
+    val files0 = Dedup.dataFileCount(loc)
+
+    // two stored docs with live signatures, their texts as absorb payloads
+    val stored = spark.table(t).select("doc_id").as[Long].collect().sorted.take(2)
+    assert(stored.length == 2, "store too small for the test")
+    val texts = Tables.documents(spark, dir)
+      .filter(col("doc_id").isin(stored.map(x => x: Any): _*))
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+
+    // absorb two single-doc batches (exact copies under fresh ids)
+    val aId = 1000001L
+    val n1 = Dedup.SigStore.absorb(spark, dir,
+      Seq((aId, texts(stored(0)))).toDF("doc_id", "text"))
+    val n2 = Dedup.SigStore.absorb(spark, dir,
+      Seq((1000002L, texts(stored(1)))).toDF("doc_id", "text"))
+    assert(n1 == 1 && n2 == 1, s"absorbs signed ($n1, $n2) rows, expected 1 each")
+    assert(Dedup.SigStore.buildCount.get == builds, "absorb must never rebuild")
+    val filesGrown = Dedup.dataFileCount(loc)
+    assert(filesGrown > files0,
+      s"append must land new bucket files ($files0 -> $filesGrown)")
+
+    // a LATER batch must match both the original corpus doc and the
+    // absorbed doc — the absorbed state is live, not just archived
+    def probe() = Dedup.neardupMatches(spark, dir,
+        Seq((2000001L, texts(stored(0)))).toDF("doc_id", "text"))
+      .as[(Long, Long, Double)].collect().toSet
+    val matches = probe()
+    assert(matches.contains((2000001L, stored(0), 1.0)),
+      s"probe missed the original corpus doc: $matches")
+    assert(matches.contains((2000001L, aId, 1.0)),
+      s"probe missed the absorbed doc: $matches")
+
+    // compaction: layout-only — one file per bucket, results bit-equal,
+    // no rebuild
+    val filesAfter = Dedup.SigStore.compactStore(spark, dir)
+    assert(filesAfter <= Dedup.SigStore.SigBuckets,
+      s"expected <= ${Dedup.SigStore.SigBuckets} files, got $filesAfter")
+    assert(filesAfter < filesGrown, "compaction must shrink the file count")
+    assert(Dedup.SigStore.buildCount.get == builds, "compaction must never rebuild")
+    assert(probe() == matches, "compaction changed query results")
+
+    // cold session over the compacted store: metadata-only re-register
+    Dedup.SigStore.deregister(spark, dir)
+    assert(probe() == matches, "cold session over compacted store diverged")
+    assert(Dedup.SigStore.buildCount.get == builds,
+      "cold re-register after compaction must not rebuild")
+  }
+
+  test("IvfIndex: absorb assigns new vectors to frozen cells; compact preserves bucketing, fit pinned") {
+    val dir = privateCorpus("embeddings.parquet")
+    val nlist = 16
+    val (asg0, _) = Similarity.IvfIndex.get(spark, dir, nlist)
+    val n0 = asg0.count()
+    val persisted = asg0.select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    val fits = Similarity.IvfIndex.fitCount.get
+
+    // absorb 10 copies of indexed vectors under fresh ids: their cells
+    // must equal the originals' (frozen centroids, same assignment rule)
+    val batch = asg0.select("vec_id", "v").as[(Long, Seq[Double])]
+      .collect().sortBy(_._1).take(10)
+      .map { case (id, v) => (id + 5000000L, v) }
+    val n = Similarity.IvfIndex.absorb(spark, dir,
+      batch.toSeq.toDF("vec_id", "v"), nlist)
+    assert(n == 10, s"absorbed $n vectors, expected 10")
+    assert(Similarity.IvfIndex.fitCount.get == fits, "absorb must never refit")
+    val (asg1, _) = Similarity.IvfIndex.get(spark, dir, nlist)
+    assert(asg1.count() == n0 + 10, "absorbed vectors missing from the index")
+    val absorbed = asg1.filter(col("vec_id") >= 5000000L)
+      .select("vec_id", "cell").as[(Long, Int)].collect()
+    assert(absorbed.length == 10)
+    absorbed.foreach { case (id, c) =>
+      assert(persisted(id - 5000000L) == c,
+        s"absorbed vector $id landed in cell $c != frozen ${persisted(id - 5000000L)}")
+    }
+
+    val filesAfter = Similarity.IvfIndex.compactStore(spark, dir, nlist)
+    assert(filesAfter <= Similarity.IvfIndex.IvfBuckets,
+      s"expected <= ${Similarity.IvfIndex.IvfBuckets} files, got $filesAfter")
+    assert(Similarity.IvfIndex.fitCount.get == fits, "compaction must never refit")
+    val (asg2, _) = Similarity.IvfIndex.get(spark, dir, nlist)
+    assert(asg2.count() == n0 + 10, "compaction lost rows")
+    val all2 = asg2.select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    persisted.foreach { case (id, c) =>
+      assert(all2(id) == c, s"compaction moved vector $id: ${all2(id)} != $c")
+    }
+
+    // cold session over the compacted index: re-register, no refit
+    Similarity.IvfIndex.deregister(spark, dir, nlist)
+    val (asg3, _) = Similarity.IvfIndex.get(spark, dir, nlist)
+    assert(asg3.count() == n0 + 10)
+    assert(Similarity.IvfIndex.fitCount.get == fits,
+      "cold re-register after compaction must not refit")
+  }
+}

@@ -97,9 +97,16 @@ object Bench {
     // re-pays that derivation three times, a session pays it once
     val graphWarm = warmFamily(Seq("q_pagerank", "q_triangle_count",
       "q_link_prediction", "q_label_propagation"))
+    // the 8 token-stream consumers share ONE cached tokenization pass
+    // in a session (TextAnalysis.tokenStream); cold-per-query re-pays
+    // the explode 8 times, a real session once
+    val textWarm = warmFamily(Seq("q_repetition", "q_unigram_surprisal",
+      "q_bigram_surprisal", "q_pmi_collocations", "q_keyphrases",
+      "q_inverted_index", "q_vocab_coverage", "q_heldout_surprisal"))
     val warmJson = compositeWarm.map(t => f""","composite_warm":$t%.2f""").getOrElse("") +
       annWarm.map(t => f""","ann_warm":$t%.2f""").getOrElse("") +
-      graphWarm.map(t => f""","graph_warm":$t%.2f""").getOrElse("")
+      graphWarm.map(t => f""","graph_warm":$t%.2f""").getOrElse("") +
+      textWarm.map(t => f""","text_warm":$t%.2f""").getOrElse("")
     // The driver captures only the log TAIL (~2 KiB): a 95-query map
     // overflows it from the FRONT and the line arrives truncated
     // (BENCH r4/r5/r6 all "parsed": null). So stdout gets a SHORT line —

@@ -21,14 +21,20 @@ object Similarity {
     * 6-dp-rounded similarity with vec_id tiebreak → deterministic
     * across engines.
     *
-    * Panel contract: `vec_id % 50 == 0 AND vec_id < 50000` — at most
-    * 1000 query ids at ANY corpus size, so the broadcast side is a
-    * fixed-size panel rather than a corpus fraction (a pure `% 50`
-    * panel grew linearly and would eventually not broadcast). At the
-    * test SFs (≤ 2000 vectors) the cap is inactive and results are
-    * unchanged.
+    * Panel contract: `vec_id % 50 == 0 AND vec_id < 2000` — exactly
+    * 40 query ids at any corpus ≥ 2000 vectors, so the panel (and
+    * with it the exact recall-truth computation, O(panel × n)) is a
+    * FIXED-size sample, never a corpus fraction. The round-11 scaling
+    * study measured the previous cap (50000): it never bound below
+    * 50k vectors, the panel grew as n/50 through the whole measured
+    * range, and the panel-based queries ran at α ≈ 1.7–2.0 in
+    * time-vs-rows — a quadratic recall harness strapped to sublinear
+    * indexes. With the cap binding from 2000 vectors, brute-force
+    * truth is O(40·n) and every panel query's measured exponent drops
+    * to ≲ 1 (SCALING.md). At the shipped test SFs (≤ 2000 vectors,
+    * ids < 2000) the cap is inactive and results are bit-unchanged.
     */
-  val PanelIdCap = 50000L
+  val PanelIdCap = 2000L
 
   def qAnnBruteforce(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
@@ -46,8 +52,8 @@ object Similarity {
   }
 
   val qAnnBruteforceSql: String =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0 AND vec_id < 50000),
+    raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0 AND vec_id < $PanelIdCap),
       |flat AS (SELECT qid, e.vec_id AS nid, unnest(qv) AS x, unnest(v) AS y
       |  FROM e JOIN q ON e.vec_id <> q.qid),
       |scored AS (SELECT qid, nid,

@@ -31,6 +31,28 @@ object TextAnalysis {
   private val duckToks =
     graft.functions.TextFunctions.duckToksSql("text")
 
+  /** Shared cached corpus token stream (doc_id, pos, tok) — the text
+    * chain's analog of the dedup chain's cached shingle stream: every
+    * position-exploded token consumer (repetition, surprisal LMs, PMI,
+    * keyphrases, inverted index, vocab coverage, held-out gap) derives
+    * from ONE tokenization pass per session via the CacheManager
+    * (identical plan → same cache entry), instead of each re-exploding
+    * the corpus. Advisory at 100 TB: cached blocks are
+    * storage-evictable and the plan still streams when they are
+    * missing — the same contract as the shingle stream. The eager
+    * count serializes cold-cache block building BEFORE consumers fan
+    * out (concurrent stages over a cold cache race on per-block
+    * locks — the round-1 dedup pathology). The bench's `text_warm`
+    * family measures the session shape this enables.
+    */
+  private[graft] def tokenStream(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .cache()
+    s.count()
+    s
+  }
+
   // ---------------------------------------------------------------- B1
   /** Token and character counts per document. */
   def qTokenCount(spark: SparkSession, dir: String): DataFrame =
@@ -401,8 +423,7 @@ object TextAnalysis {
     */
   def qKeyphrases(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val toks = tokenStream(spark, dir)
       .withColumn("is_stop", col("tok").isin(stopwords("en").map(x => x: Any): _*))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val words = toks
@@ -533,8 +554,8 @@ object TextAnalysis {
     */
   def qInvertedIndex(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val td = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val td = tokenStream(spark, dir)
+      .select(col("doc_id"), col("tok").as("term"))
       .filter(length(col("term")) > 0)
     val stats = td.groupBy(col("term"))
       .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))

@@ -40,8 +40,7 @@ object TrainingOps {
     * text. All three ride one shuffle on doc_id.
     */
   def qRepetition(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val toks = TextAnalysis.tokenStream(spark, dir)
     val tokStats = toks.groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
@@ -96,8 +95,8 @@ object TrainingOps {
     * Only the one-row corpus total broadcasts.
     */
   def qUnigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val toks = TextAnalysis.tokenStream(spark, dir)
+      .select(col("doc_id"), col("tok"))
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     val total = vocab.agg(sum(col("cnt")).cast("long").as("total"))
     toks.join(vocab, "tok")
@@ -135,8 +134,7 @@ object TrainingOps {
     * contract as B9); only the one-row V broadcasts.
     */
   def qBigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val toks = TextAnalysis.tokenStream(spark, dir)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val bg = toks.withColumn("nxt", lead(col("tok"), 1).over(w))
       .filter(col("nxt").isNotNull)
@@ -186,8 +184,7 @@ object TrainingOps {
   val PmiMinSupport = 5
 
   def qPmiCollocations(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val toks = TextAnalysis.tokenStream(spark, dir)
     val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val tot = uni.agg(sum(col("c")).cast("long").as("t"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -240,8 +237,7 @@ object TrainingOps {
   val CoverageKs: Seq[Long] = Seq(16L, 64L, 256L, 1024L, 4096L)
 
   def qVocabCoverage(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(explode(tokens(col("text"))).as("tok"))
+    val toks = TextAnalysis.tokenStream(spark, dir).select(col("tok"))
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     val cc = vocab.groupBy(col("cnt")).agg(count(lit(1)).as("n"))
     // bounded-by-construction global window (exempted in PlanSpec)
@@ -1208,11 +1204,12 @@ object TrainingOps {
     val bucket =
       expr("conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10)")
         .cast("long") % 100
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
-          .as("split"),
-        posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    // split is a pure function of doc_id, so it rides the SHARED token
+    // stream as a map-side projection instead of forcing a private
+    // re-tokenization
+    val toks = TextAnalysis.tokenStream(spark, dir)
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val bg = toks.withColumn("nxt", lead(col("tok"), 1).over(w))
       .filter(col("nxt").isNotNull)

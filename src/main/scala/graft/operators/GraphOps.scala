@@ -25,10 +25,16 @@ object GraphOps {
     * interpolated cut on exact integer weights is engine-identical
     * (the A15-proven percentile pair). Shared by M1–M3.
     */
-  private def coSupplyPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** WEIGHTED co-supply pairs (src < dst, w = shared-part count) —
+    * the raw material both the p90-cut strong graph (M1–M4) and the
+    * top-K sparsifier (M5) derive from. Uncached: each consumer's
+    * downstream cache holds the (much smaller) derived graph, never
+    * the full pair set.
+    */
+  private def coSupplyWeighted(spark: SparkSession, dir: String): DataFrame =
     // collect_set dedups (part, supplier) inside the aggregate, so no
     // separate distinct() pass — one shuffle builds the supplier sets
-    val pairs = Tables.lineitem(spark, dir)
+    Tables.lineitem(spark, dir)
       .select(col("l_partkey"), col("l_suppkey"))
       .groupBy(col("l_partkey"))
       .agg(sort_array(collect_set(col("l_suppkey"))).as("ss"))
@@ -38,6 +44,9 @@ object GraphOps {
           |    y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
       .groupBy(col("p.a").as("src"), col("p.b").as("dst"))
       .agg(count(lit(1)).as("w"))
+
+  private def coSupplyPairs(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = coSupplyWeighted(spark, dir)
     val cut = pairs.agg(expr("percentile(w, 0.9)").as("wcut"))
     // cached HERE, not at call sites: the result feeds unions and
     // repeated wedge joins whose branches are distinct logical plans —
@@ -299,15 +308,73 @@ object GraphOps {
       |SELECT l3.node AS s_suppkey, l3.lbl AS community, sz.community_size
       |FROM l3 JOIN sz ON l3.lbl = sz.lbl""".stripMargin
 
+  // ---------------------------------------------------------------- M5
+  /** Per-node top-K edge sparsification of the weighted co-supply
+    * graph — the kNN-graph build, and the bounded-degree production
+    * dial the SCALING.md triangle analysis names: the data-adaptive
+    * p90 weight cut keeps a constant FRACTION of the distinct-pair
+    * set, so on densifying data the strong graph's wedge count grows
+    * superlinearly; a per-node top-K keeps at most K partners per
+    * node, and its MUTUAL subgraph (both endpoints picked each other)
+    * has max degree ≤ K, bounding any wedge enumeration at |V|·K²
+    * regardless of how the underlying pair weights concentrate.
+    *
+    * Mechanics: symmetric directed view of the weighted pairs, per-
+    * node rank by (w DESC, partner ASC — deterministic on exact
+    * integer weights), row_number ≤ K so WindowGroupLimit pushes the
+    * cutoff map-side BEFORE the shuffle (the B13 device: a hub with a
+    * million candidate partners never materializes them through the
+    * exchange), then one self-join marks mutual selections. Output:
+    * (node, nbr, w, rank, mutual) — |V|·K rows max at any scale.
+    */
+  val KnnK = 8
+
+  def qKnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pw = coSupplyWeighted(spark, dir)
+    val sym = pw.select(col("src"), col("dst"), col("w"))
+      .union(pw.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    val byStrength = Window.partitionBy(col("src"))
+      .orderBy(col("w").desc, col("dst").asc)
+    // no cache: the mutual check's two branches are the IDENTICAL
+    // subplan, so ReuseExchange canonicalizes them onto one pair-
+    // derivation shuffle (the H7 device), and the uncached plan keeps
+    // the WindowGroupLimit visible to the plan spec
+    val top = sym.withColumn("rank", row_number().over(byStrength))
+      .filter(col("rank") <= KnnK)
+    val rev = top.select(col("dst").as("src"), col("src").as("dst"),
+      lit(true).as("mutual0"))
+    top.join(rev, Seq("src", "dst"), "left")
+      .select(col("src").as("node"), col("dst").as("nbr"), col("w"),
+        col("rank"), coalesce(col("mutual0"), lit(false)).as("mutual"))
+  }
+
+  val qKnnGraphSql: String =
+    s"""WITH e0 AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+      |pw AS (SELECT a.sk AS src, b.sk AS dst, count(*) AS w
+      |  FROM e0 a JOIN e0 b ON a.pk = b.pk AND a.sk < b.sk
+      |  GROUP BY 1, 2),
+      |sym AS (SELECT src, dst, w FROM pw
+      |  UNION ALL SELECT dst, src, w FROM pw),
+      |ranked AS (SELECT src, dst, w, row_number() OVER (
+      |    PARTITION BY src ORDER BY w DESC, dst ASC) AS rank FROM sym),
+      |topk AS (SELECT * FROM ranked WHERE rank <= $KnnK)
+      |SELECT t.src AS node, t.dst AS nbr, t.w, t.rank,
+      |  EXISTS (SELECT 1 FROM topk r
+      |    WHERE r.src = t.dst AND r.dst = t.src) AS mutual
+      |FROM topk t""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> (qPagerank _),
     "q_triangle_count" -> (qTriangleCount _),
     "q_link_prediction" -> (qLinkPrediction _),
-    "q_label_propagation" -> (qLabelPropagation _))
+    "q_label_propagation" -> (qLabelPropagation _),
+    "q_knn_graph" -> (qKnnGraph _))
 
   def oracle: Map[String, String] = Map(
     "q_pagerank" -> qPagerankSql,
     "q_triangle_count" -> qTriangleCountSql,
     "q_link_prediction" -> qLinkPredictionSql,
-    "q_label_propagation" -> qLabelPropagationSql)
+    "q_label_propagation" -> qLabelPropagationSql,
+    "q_knn_graph" -> qKnnGraphSql)
 }

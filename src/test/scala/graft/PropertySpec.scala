@@ -225,6 +225,33 @@ class PropertySpec extends AnyFunSuite {
     (30L to 60L).foreach(i => assert(gotStar(i) == 30L))
   }
 
+  test("q_knn_graph: out-degree <= K everywhere, mutual subgraph degree-bounded both ways, cutoff pushed pre-shuffle") {
+    import graft.operators.GraphOps
+    val df = GraphOps.qKnnGraph(spark, sf)
+    val rows = df.select("node", "nbr", "rank", "mutual")
+      .as[(Long, Long, Int, Boolean)].collect()
+    assert(rows.nonEmpty)
+    // selection side: at most K partners per node, ranks contiguous 1..d
+    rows.groupBy(_._1).foreach { case (n, rs) =>
+      assert(rs.length <= GraphOps.KnnK, s"node $n kept ${rs.length} > K")
+      assert(rs.map(_._3).sorted.sameElements(1 to rs.length),
+        s"node $n: ranks not contiguous")
+    }
+    // mutual flag is exactly symmetric membership of the selection set
+    val sel = rows.map(r => (r._1, r._2)).toSet
+    rows.foreach { case (n, b, _, m) =>
+      assert(m == sel.contains((b, n)), s"mutual flag wrong on ($n,$b)")
+    }
+    // the MUTUAL subgraph bounds degree on BOTH sides — the wedge-count
+    // guarantee (<= |V| * K^2) the sparsifier exists to provide
+    val mutualDeg = rows.filter(_._4).groupBy(_._1).map(_._2.length)
+    assert(mutualDeg.forall(_ <= GraphOps.KnnK))
+    // the top-K cutoff must prune map-side, before the rank shuffle
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "per-node top-K must prune pre-shuffle via WindowGroupLimit")
+  }
+
   test("q_weighted_sample structural contract: 5 ranks per lang, keys non-increasing") {
     val rows = graft.operators.TrainingOps
       .queries("q_weighted_sample")(spark, sf)

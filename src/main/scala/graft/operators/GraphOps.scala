@@ -364,17 +364,105 @@ object GraphOps {
       |    WHERE r.src = t.dst AND r.dst = t.src) AS mutual
       |FROM topk t""".stripMargin
 
+  // ---------------------------------------------------------------- M6
+  /** Triangle counting + clustering over the MUTUAL kNN subgraph —
+    * M2's exact enumeration run on M5's bounded-degree graph. The
+    * mutual restriction (both endpoints ranked each other top-K)
+    * caps every node's degree at K, so the oriented wedge join emits
+    * at most |V|·K² candidates on ANY weight distribution — including
+    * the densifying uniform-random corpus where the p90-cut graph's
+    * wedge stream grew superlinearly (SCALING.md: α 1.56 → this query
+    * measures the dial's actual exponent). Same output shape as M2;
+    * nodes with no mutual edge are out of scope, exactly as M2 scopes
+    * to the strong graph.
+    */
+  def qTriangleKnn(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pw = coSupplyWeighted(spark, dir)
+    val sym = pw.select(col("src"), col("dst"), col("w"))
+      .union(pw.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    val byStrength = Window.partitionBy(col("src"))
+      .orderBy(col("w").desc, col("dst").asc)
+    val top = sym.withColumn("rank", row_number().over(byStrength))
+      .filter(col("rank") <= KnnK)
+      .select(col("src"), col("dst"))
+    // mutual ∧ src < dst orients each surviving undirected edge once
+    // (mutuality is symmetric, so the semi-join keeps both directions
+    // and the < filter picks the canonical one). Cached: the wedge +
+    // closing-edge machinery reads it four times, and it is bounded
+    // at |V|·K/2 rows by construction.
+    val mutual = top
+      .join(top.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_semi")
+      .filter(col("src") < col("dst"))
+      .cache()
+    val deg = mutual.select(col("src").as("node"))
+      .union(mutual.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val wedge = mutual.select(col("src").as("a"), col("dst").as("b"))
+      .join(mutual.select(col("src").as("b"), col("dst").as("c")), "b")
+    val tri = wedge.join(
+      mutual.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    val out = deg.join(perNode, Seq("node"), "left")
+      .na.fill(0L, Seq("triangles"))
+      .select(col("node").as("s_suppkey"), col("degree"), col("triangles"),
+        when(col("degree") < 2, lit(0.0))
+          .otherwise(round(lit(2.0) * col("triangles") /
+            (col("degree") * (col("degree") - 1)), 6)).as("clustering"))
+      .cache()
+    out.count()
+    mutual.unpersist()
+    out
+  }
+
+  val qTriangleKnnSql: String =
+    s"""WITH e0 AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+      |pw AS (SELECT a.sk AS src, b.sk AS dst, count(*) AS w
+      |  FROM e0 a JOIN e0 b ON a.pk = b.pk AND a.sk < b.sk
+      |  GROUP BY 1, 2),
+      |sym AS (SELECT src, dst, w FROM pw
+      |  UNION ALL SELECT dst, src, w FROM pw),
+      |ranked AS (SELECT src, dst, row_number() OVER (
+      |    PARTITION BY src ORDER BY w DESC, dst ASC) AS rank FROM sym),
+      |topk AS (SELECT src, dst FROM ranked WHERE rank <= $KnnK),
+      |mut AS (SELECT t.src, t.dst FROM topk t
+      |  WHERE t.src < t.dst AND EXISTS (SELECT 1 FROM topk r
+      |    WHERE r.src = t.dst AND r.dst = t.src)),
+      |deg AS (SELECT node, count(*) AS degree FROM (
+      |    SELECT src AS node FROM mut UNION ALL SELECT dst FROM mut)
+      |  GROUP BY 1),
+      |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      |  FROM mut e1
+      |  JOIN mut e2 ON e1.dst = e2.src
+      |  JOIN mut e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+      |pern AS (SELECT node, count(*) AS triangles FROM (
+      |    SELECT a AS node FROM tri
+      |    UNION ALL SELECT b FROM tri
+      |    UNION ALL SELECT c FROM tri)
+      |  GROUP BY 1)
+      |SELECT deg.node AS s_suppkey, deg.degree,
+      |  COALESCE(pern.triangles, 0) AS triangles,
+      |  CASE WHEN deg.degree < 2 THEN 0.0
+      |    ELSE round(2.0 * COALESCE(pern.triangles, 0)
+      |      / (deg.degree * (deg.degree - 1)), 6) END AS clustering
+      |FROM deg LEFT JOIN pern ON deg.node = pern.node""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> (qPagerank _),
     "q_triangle_count" -> (qTriangleCount _),
     "q_link_prediction" -> (qLinkPrediction _),
     "q_label_propagation" -> (qLabelPropagation _),
-    "q_knn_graph" -> (qKnnGraph _))
+    "q_knn_graph" -> (qKnnGraph _),
+    "q_triangle_knn" -> (qTriangleKnn _))
 
   def oracle: Map[String, String] = Map(
     "q_pagerank" -> qPagerankSql,
     "q_triangle_count" -> qTriangleCountSql,
     "q_link_prediction" -> qLinkPredictionSql,
     "q_label_propagation" -> qLabelPropagationSql,
-    "q_knn_graph" -> qKnnGraphSql)
+    "q_knn_graph" -> qKnnGraphSql,
+    "q_triangle_knn" -> qTriangleKnnSql)
 }

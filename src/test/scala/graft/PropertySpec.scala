@@ -252,6 +252,30 @@ class PropertySpec extends AnyFunSuite {
       "per-node top-K must prune pre-shuffle via WindowGroupLimit")
   }
 
+  test("q_triangle_knn: degrees equal the mutual kNN subgraph's, K-bounded; triangles within C(deg,2)") {
+    import graft.operators.GraphOps
+    val tri = GraphOps.qTriangleKnn(spark, sf)
+      .select("s_suppkey", "degree", "triangles", "clustering")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(tri.nonEmpty)
+    // scope + degree: exactly the nodes with >= 1 mutual edge, degree
+    // equal to their mutual-edge count in M5's readout, and <= K (the
+    // bound that caps the wedge join at |V|*K^2)
+    val mutualEdges = GraphOps.qKnnGraph(spark, sf)
+      .filter("mutual").select("node", "nbr")
+      .as[(Long, Long)].collect()
+    val mDeg = mutualEdges.groupBy(_._1).map { case (n, es) => (n, es.length.toLong) }
+    assert(tri.map(t => (t._1, t._2)).toMap == mDeg)
+    tri.foreach { case (n, d, t, c) =>
+      assert(d <= GraphOps.KnnK, s"node $n degree $d > K")
+      assert(t <= d * (d - 1) / 2, s"node $n triangles $t exceed C($d,2)")
+      assert(c >= 0.0 && c <= 1.0, s"node $n clustering $c out of [0,1]")
+      if (d < 2) assert(t == 0 && c == 0.0)
+    }
+    // global consistency: the per-node counts sum to 3x the triangle total
+    assert(tri.map(_._3).sum % 3 == 0)
+  }
+
   test("q_weighted_sample structural contract: 5 ranks per lang, keys non-increasing") {
     val rows = graft.operators.TrainingOps
       .queries("q_weighted_sample")(spark, sf)

@@ -282,6 +282,87 @@ object AnalyticExt {
          |SELECT doc_id, next_id, source, levenshtein(s, next_s) AS edit_dist
          |FROM p WHERE next_id IS NOT NULL""".stripMargin
 
+  // ---------------------------------------------------------------- A34
+  /** Record linkage (entity resolution) over the part catalog by the
+    * sorted-neighborhood method (Hernández & Stolfo, 1995): records
+    * block on (name noun, size), sort within the block by (name, key),
+    * and each record compares only to its next W=2 neighbors via
+    * `lead()` — the A27 device generalized, so the candidate-pair
+    * stream is 2n regardless of block size (never the within-block
+    * quadratic an equi-join blocking pays as blocks grow with the
+    * catalog). Match evidence is exact-integer: levenshtein on the
+    * full name, brand equality, price proximity on round(price*10)
+    * longs (exact — the values are decimal(,1) shipped as doubles);
+    * score = name(2/1/0) + brand(1) + price(1), matched at >= 3.
+    * Pair keys canonicalize to (least, greatest) so output identity
+    * is order-free. One window shuffle + map-side scoring; zero
+    * float surface in any comparison.
+    */
+  def qRecordLinkage(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"),
+        element_at(split(col("p_name"), " "), 2).as("noun"),
+        round(col("p_retailprice") * 10).cast("long").as("price10"))
+    val w = Window.partitionBy(col("noun"), col("p_size"))
+      .orderBy(col("p_name"), col("p_partkey"))
+    val leads = (1 to 2).flatMap(i => Seq(
+      lead(col("p_partkey"), i).over(w).as(s"bk$i"),
+      lead(col("p_name"), i).over(w).as(s"bn$i"),
+      lead(col("p_brand"), i).over(w).as(s"bb$i"),
+      lead(col("price10"), i).over(w).as(s"bp$i")))
+    val nbrs = p.select(col("*") +: leads: _*)
+    val pairs = nbrs.select(col("p_partkey"), col("p_name"),
+        col("p_brand"), col("price10"),
+        explode(array((1 to 2).map(i => struct(
+          col(s"bk$i").as("bk"), col(s"bn$i").as("bn"),
+          col(s"bb$i").as("bb"), col(s"bp$i").as("bp"))): _*)).as("nb"))
+      .filter(col("nb.bk").isNotNull)
+    pairs
+      .select(
+        least(col("p_partkey"), col("nb.bk")).as("a"),
+        greatest(col("p_partkey"), col("nb.bk")).as("b"),
+        levenshtein(col("p_name"), col("nb.bn")).as("name_dist"),
+        (col("p_brand") === col("nb.bb")).as("brand_match"),
+        (abs(col("price10") - col("nb.bp")) <= 10).as("price_close"))
+      .withColumn("score",
+        when(col("name_dist") === 0, lit(2))
+          .when(col("name_dist") <= 2, lit(1)).otherwise(lit(0))
+        + when(col("brand_match"), lit(1)).otherwise(lit(0))
+        + when(col("price_close"), lit(1)).otherwise(lit(0)))
+      .withColumn("matched", col("score") >= 3)
+  }
+
+  val qRecordLinkageSql: String =
+    """WITH p AS (SELECT p_partkey, p_name, p_brand, p_size,
+      |    split_part(p_name, ' ', 2) AS noun,
+      |    CAST(round(p_retailprice * 10) AS BIGINT) AS price10
+      |  FROM part),
+      |l AS (SELECT *,
+      |    lead(p_partkey, 1) OVER w AS bk1, lead(p_name, 1) OVER w AS bn1,
+      |    lead(p_brand, 1) OVER w AS bb1, lead(price10, 1) OVER w AS bp1,
+      |    lead(p_partkey, 2) OVER w AS bk2, lead(p_name, 2) OVER w AS bn2,
+      |    lead(p_brand, 2) OVER w AS bb2, lead(price10, 2) OVER w AS bp2
+      |  FROM p WINDOW w AS (PARTITION BY noun, p_size ORDER BY p_name, p_partkey)),
+      |pairs AS (
+      |  SELECT p_partkey AS k, bk1 AS bk, p_name AS an, bn1 AS bn,
+      |    p_brand AS ab, bb1 AS bb, price10 AS ap, bp1 AS bp
+      |  FROM l WHERE bk1 IS NOT NULL
+      |  UNION ALL
+      |  SELECT p_partkey, bk2, p_name, bn2, p_brand, bb2, price10, bp2
+      |  FROM l WHERE bk2 IS NOT NULL),
+      |scored AS (SELECT least(k, bk) AS a, greatest(k, bk) AS b,
+      |    levenshtein(an, bn) AS name_dist, (ab = bb) AS brand_match,
+      |    (abs(ap - bp) <= 10) AS price_close
+      |  FROM pairs)
+      |SELECT a, b, name_dist, brand_match, price_close,
+      |  (CASE WHEN name_dist = 0 THEN 2 WHEN name_dist <= 2 THEN 1 ELSE 0 END
+      |   + CASE WHEN brand_match THEN 1 ELSE 0 END
+      |   + CASE WHEN price_close THEN 1 ELSE 0 END) AS score,
+      |  (CASE WHEN name_dist = 0 THEN 2 WHEN name_dist <= 2 THEN 1 ELSE 0 END
+      |   + CASE WHEN brand_match THEN 1 ELSE 0 END
+      |   + CASE WHEN price_close THEN 1 ELSE 0 END) >= 3 AS matched
+      |FROM scored""".stripMargin
+
   // ---------------------------------------------------------------- A28
   /** Per-type geometric mean of event values through the typed
     * `Aggregator` extension point (map-side partial buffers, order-
@@ -530,6 +611,7 @@ object AnalyticExt {
     "q_first_last" -> (qFirstLast _),
     "q_range_frame" -> (qRangeFrame _),
     "q_edit_distance" -> (qEditDistance _),
+    "q_record_linkage" -> (qRecordLinkage _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_window_suite" -> (qWindowSuite _),
     "q_set_ops" -> (qSetOps _),
@@ -547,6 +629,7 @@ object AnalyticExt {
     "q_first_last" -> qFirstLastSql,
     "q_range_frame" -> qRangeFrameSql,
     "q_edit_distance" -> qEditDistanceSql,
+    "q_record_linkage" -> qRecordLinkageSql,
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_window_suite" -> qWindowSuiteSql,
     "q_set_ops" -> qSetOpsSql,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -526,7 +527,136 @@ object Validation {
       |  JOIN mad d ON e.event_type = d.event_type
       |GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- L11
+  /** Multiple-testing control for segment-wise experiment readouts —
+    * the guardrail L3 needs the moment it fans out: testing 20 segment
+    * cells at α=0.05 each expects a false positive per run, so the
+    * shipped verdict must control the FALSE DISCOVERY RATE (Benjamini
+    * & Hochberg, 1995), not per-test error. Per (event_type × user
+    * cohort) cell: Welch z-test of mean event value between the L3
+    * md5-parity arms — counts exact, sums decimal-exact, mean/E[x²]
+    * 10-dp-rounded so the variance/z arithmetic rides identical IEEE
+    * doubles in both engines. p-values via the Abramowitz–Stegun
+    * 7.1.26 erf polynomial (pure arithmetic + one exp, rendered
+    * identically in both engines, 8-dp-rounded). BH step-up: rank
+    * p ascending, reject ranks ≤ max{i : p_(i) ≤ α·i/m} at α=0.10.
+    * One (event_type, cohort)-keyed aggregate with conditional
+    * per-arm sums (no arm join); the ranking windows run over the
+    * m ≤ |event types|·4 tested cells — bounded by construction
+    * (PlanSpec-exempt like q_auc's bin table).
+    */
+  def qFdrBh(spark: SparkSession, dir: String): DataFrame = {
+    val alpha = 0.10
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        (col("user_id") % 4).as("cohort"),
+        when(expr("conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10)")
+          .cast("long") % 2 === 0, "A").otherwise("B").as("arm"),
+        col("value").cast("decimal(12,2)").as("v"))
+    def armAgg(a: String, f: Column) =
+      sum(when(col("arm") === a, f).otherwise(lit(null)))
+    val cells = ev.groupBy(col("event_type"), col("cohort"))
+      .agg(
+        count(when(col("arm") === "A", 1)).as("n_a"),
+        count(when(col("arm") === "B", 1)).as("n_b"),
+        armAgg("A", col("v")).as("s_a"), armAgg("B", col("v")).as("s_b"),
+        armAgg("A", col("v") * col("v")).as("q_a"),
+        armAgg("B", col("v") * col("v")).as("q_b"))
+      .filter(col("n_a") > 1 && col("n_b") > 1)
+      .withColumn("mean_a", round(col("s_a").cast("double") / col("n_a"), 10))
+      .withColumn("mean_b", round(col("s_b").cast("double") / col("n_b"), 10))
+      .withColumn("ex2_a", round(col("q_a").cast("double") / col("n_a"), 10))
+      .withColumn("ex2_b", round(col("q_b").cast("double") / col("n_b"), 10))
+      .withColumn("var_a", greatest(
+        (col("ex2_a") - col("mean_a") * col("mean_a"))
+          * col("n_a") / (col("n_a") - 1), lit(0.0)))
+      .withColumn("var_b", greatest(
+        (col("ex2_b") - col("mean_b") * col("mean_b"))
+          * col("n_b") / (col("n_b") - 1), lit(0.0)))
+      .withColumn("se2", col("var_a") / col("n_a") + col("var_b") / col("n_b"))
+      .filter(col("se2") > 0.0)
+      .withColumn("z",
+        round((col("mean_a") - col("mean_b")) / sqrt(col("se2")), 6))
+    // p = 2(1 − Φ(|z|)) = 1 − erf(|z|/√2), A&S 7.1.26 (|err| < 1.5e-7)
+    val p = cells
+      .withColumn("y", abs(col("z")) / sqrt(lit(2.0)))
+      .withColumn("t", lit(1.0) / (lit(1.0) + lit(0.3275911) * col("y")))
+      .withColumn("poly", col("t") * (lit(0.254829592) + col("t")
+        * (lit(-0.284496736) + col("t") * (lit(1.421413741) + col("t")
+        * (lit(-1.453152027) + col("t") * lit(1.061405429))))))
+      .withColumn("p_value",
+        round(col("poly") * exp(-col("y") * col("y")), 8))
+    val byP = Window.orderBy(col("p_value").asc,
+      col("event_type").asc, col("cohort").asc)
+    val all = Window.partitionBy()
+    val ranked = p
+      .withColumn("p_rank", row_number().over(byP))
+      .withColumn("m", count(lit(1)).over(all))
+      .withColumn("bh_crit",
+        round(lit(alpha) * col("p_rank") / col("m"), 8))
+      .withColumn("cand",
+        when(col("p_value") <= col("bh_crit"), col("p_rank")))
+    ranked
+      .withColumn("k", max(col("cand")).over(all))
+      .select(col("event_type"), col("cohort"), col("n_a"), col("n_b"),
+        round(col("mean_a"), 6).as("mean_a"),
+        round(col("mean_b"), 6).as("mean_b"),
+        col("z"), col("p_value"), col("p_rank"), col("m"), col("bh_crit"),
+        (col("p_rank") <= coalesce(col("k"), lit(0))).as("reject"))
+  }
+
+  val qFdrBhSql: String =
+    """WITH ev AS (SELECT event_type, user_id % 4 AS cohort,
+      |    CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+      |      THEN 'A' ELSE 'B' END AS arm,
+      |    CAST(value AS DECIMAL(12,2)) AS v
+      |  FROM events),
+      |cells0 AS (SELECT event_type, cohort,
+      |    count(CASE WHEN arm = 'A' THEN 1 END) AS n_a,
+      |    count(CASE WHEN arm = 'B' THEN 1 END) AS n_b,
+      |    sum(CASE WHEN arm = 'A' THEN v END) AS s_a,
+      |    sum(CASE WHEN arm = 'B' THEN v END) AS s_b,
+      |    sum(CASE WHEN arm = 'A' THEN v * v END) AS q_a,
+      |    sum(CASE WHEN arm = 'B' THEN v * v END) AS q_b
+      |  FROM ev GROUP BY 1, 2),
+      |cells1 AS (SELECT *,
+      |    round(CAST(s_a AS DOUBLE) / n_a, 10) AS mean_a,
+      |    round(CAST(s_b AS DOUBLE) / n_b, 10) AS mean_b,
+      |    round(CAST(q_a AS DOUBLE) / n_a, 10) AS ex2_a,
+      |    round(CAST(q_b AS DOUBLE) / n_b, 10) AS ex2_b
+      |  FROM cells0 WHERE n_a > 1 AND n_b > 1),
+      |cells2 AS (SELECT *,
+      |    greatest((ex2_a - mean_a * mean_a) * n_a / (n_a - 1), 0.0) AS var_a,
+      |    greatest((ex2_b - mean_b * mean_b) * n_b / (n_b - 1), 0.0) AS var_b
+      |  FROM cells1),
+      |cells3 AS (SELECT *, var_a / n_a + var_b / n_b AS se2 FROM cells2),
+      |zc AS (SELECT *,
+      |    round((mean_a - mean_b) / sqrt(se2), 6) AS z
+      |  FROM cells3 WHERE se2 > 0.0),
+      |pc AS (SELECT *,
+      |    1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t,
+      |    abs(z) / sqrt(2.0) AS y
+      |  FROM zc),
+      |pv AS (SELECT *,
+      |    round(t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+      |      + t * (-1.453152027 + t * 1.061405429)))) * exp(-y * y), 8)
+      |      AS p_value
+      |  FROM pc),
+      |rk AS (SELECT *,
+      |    row_number() OVER (ORDER BY p_value ASC, event_type ASC, cohort ASC) AS p_rank,
+      |    count(*) OVER () AS m
+      |  FROM pv),
+      |bh AS (SELECT *, round(0.10 * p_rank / m, 8) AS bh_crit,
+      |    CASE WHEN p_value <= round(0.10 * p_rank / m, 8) THEN p_rank END AS cand
+      |  FROM rk)
+      |SELECT event_type, cohort, n_a, n_b,
+      |  round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+      |  z, p_value, p_rank, m, bh_crit,
+      |  (p_rank <= coalesce(max(cand) OVER (), 0)) AS reject
+      |FROM bh""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fdr_bh" -> (qFdrBh _),
     "q_pareto_share" -> (qParetoShare _),
     "q_mad_outliers" -> (qMadOutliers _),
     "q_gini" -> (qGini _),
@@ -538,6 +668,7 @@ object Validation {
     "q_benford" -> (qBenford _))
 
   def oracle: Map[String, String] = Map(
+    "q_fdr_bh" -> qFdrBhSql,
     "q_pareto_share" -> qParetoShareSql,
     "q_mad_outliers" -> qMadOutliersSql,
     "q_gini" -> qGiniSql,

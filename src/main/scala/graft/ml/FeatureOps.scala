@@ -266,6 +266,65 @@ object FeatureOps {
       |FROM grid LEFT JOIN obs USING (dim, label, pos)
       |GROUP BY dim""".stripMargin
 
+  // ---------------------------------------------------------------- E26
+  /** Mutual information I(sign(x_d); label) per embedding dimension —
+    * E15's chi2 twin on the information-theoretic scale (nats): the
+    * filter-method feature-relevance score that, unlike chi2, is
+    * directly comparable across dimensionalities and composes with
+    * the B9/K18 surprisal family. Same single corpus pass as E15
+    * (posexplode → (dim, label, sign) counts; every marginal is an
+    * aggregate over the bounded 64 × classes × 2 frame). MI from
+    * exact integer counts only: each observed cell contributes
+    * (o/n)·ln(o·n/(nl·np)), 10-dp-rounded per cell before the sum,
+    * 6-dp boundary round — zero-count cells contribute exactly their
+    * x·ln(x) → 0 limit by omission. Output ranks dims by rounded MI
+    * (key tiebreak), so the top-k cut is engine-deterministic.
+    */
+  def qMutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+      .select(col("label"), col("dim"), (col("x") >= 0).as("pos"))
+    val obs = e.groupBy(col("dim"), col("label"), col("pos"))
+      .agg(count(lit(1)).as("o"))
+    val nl = obs.groupBy(col("dim"), col("label")).agg(sum(col("o")).as("nl"))
+    val np = obs.groupBy(col("dim"), col("pos")).agg(sum(col("o")).as("np"))
+    val nPerDim = obs.groupBy(col("dim")).agg(sum(col("o")).as("n"))
+    val mi = obs.join(nl, Seq("dim", "label")).join(np, Seq("dim", "pos"))
+      .join(nPerDim, "dim")
+      .withColumn("term", round(
+        (col("o").cast("double") / col("n")) *
+          log(col("o").cast("double") * col("n") /
+            (col("nl").cast("double") * col("np"))), 10))
+      .groupBy(col("dim"))
+      .agg(round(sum(col("term")), 6).as("mi"))
+    // global rank over the 64-row dim table — bounded by construction
+    // (PlanSpec-exempt like q_auc's bin table)
+    val byMi = org.apache.spark.sql.expressions.Window
+      .orderBy(col("mi").desc, col("dim").asc)
+    mi.select(col("dim"), col("mi"), row_number().over(byMi).as("mi_rank"))
+  }
+
+  val qMutualInfoSql: String =
+    """WITH e AS (SELECT label, i - 1 AS dim,
+      |    list_extract(embedding::DOUBLE[], i) >= 0 AS pos
+      |  FROM embeddings, generate_series(1, 64) g(i)),
+      |obs AS (SELECT dim, label, pos, count(*) AS o FROM e GROUP BY 1, 2, 3),
+      |nl AS (SELECT dim, label, count(*) AS nl FROM e GROUP BY 1, 2),
+      |np AS (SELECT dim, pos, count(*) AS np FROM e GROUP BY 1, 2),
+      |nd AS (SELECT dim, count(*) AS n FROM e GROUP BY 1),
+      |mi AS (SELECT obs.dim, round(sum(round(
+      |    (CAST(o AS DOUBLE) / n) * ln(CAST(o AS DOUBLE) * n
+      |      / (CAST(nl.nl AS DOUBLE) * np.np)), 10)), 6) AS mi
+      |  FROM obs
+      |  JOIN nl ON obs.dim = nl.dim AND obs.label = nl.label
+      |  JOIN np ON obs.dim = np.dim AND obs.pos = np.pos
+      |  JOIN nd ON obs.dim = nd.dim
+      |  GROUP BY obs.dim)
+      |SELECT dim, mi,
+      |  row_number() OVER (ORDER BY mi DESC, dim ASC) AS mi_rank
+      |FROM mi""".stripMargin
+
   // ---------------------------------------------------------------- E9
   /** PCA spectrum of the embedding space: MLlib PCA (k = 8) per-
     * component explained-variance ratios. Sign-free (the spectrum,
@@ -842,7 +901,8 @@ object FeatureOps {
     "q_bm25" -> (qBm25 _),
     "q_vector_stats" -> (qVectorStats _),
     "q_feature_corr" -> (qFeatureCorr _),
-    "q_chi2_features" -> (qChi2Features _))
+    "q_chi2_features" -> (qChi2Features _),
+    "q_mutual_info" -> (qMutualInfo _))
 
   def oracle: Map[String, String] = Map(
     "q_pca" -> qPcaSql,
@@ -863,5 +923,6 @@ object FeatureOps {
     "q_bm25" -> qBm25Sql,
     "q_vector_stats" -> qVectorStatsSql,
     "q_feature_corr" -> qFeatureCorrSql,
-    "q_chi2_features" -> qChi2FeaturesSql)
+    "q_chi2_features" -> qChi2FeaturesSql,
+    "q_mutual_info" -> qMutualInfoSql)
 }

@@ -197,12 +197,18 @@ object BinaryPipeline {
     * Integer arithmetic end-to-end (quantize → CASE multiplier →
     * sum), so both engines agree bit-for-bit.
     */
-  def qMultimodalPhash(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-payload 16-bit pHash (G5's core): 4 frame means quantized to
+    * 4 bits each, packed little-endian by frame index. */
+  private def phashes(spark: SparkSession, dir: String): DataFrame = {
     val q = (floor(col("frame_mean") / 16)).cast("long")
     val m = when(col("frame_idx") === 0, 1L).when(col("frame_idx") === 1, 16L)
       .when(col("frame_idx") === 2, 256L).otherwise(4096L)
-    val p = qMultimodalFrames(spark, dir)
+    qMultimodalFrames(spark, dir)
       .groupBy(col("doc_id")).agg(sum(q * m).as("phash"))
+  }
+
+  def qMultimodalPhash(spark: SparkSession, dir: String): DataFrame = {
+    val p = phashes(spark, dir)
     val g = p.groupBy(col("phash"))
       .agg(count(lit(1)).as("group_n"), min(col("doc_id")).as("canon"))
     p.join(g, "phash")
@@ -228,7 +234,64 @@ object BinaryPipeline {
          |SELECT doc_id, p.phash, group_n, (doc_id = canon) AS keep
          |FROM p JOIN g USING (phash)""".stripMargin
 
+  // ---------------------------------------------------------------- G6
+  /** Perceptual NEAR-dup across media payloads: G5 catches exact
+    * pHash collisions; G6 links hashes within hamming distance ≤ 3 —
+    * re-encodes, brightness shifts, one corrupted frame. The scale
+    * device is that ALL pairwise work runs on the distinct-hash
+    * table, bounded at 2^16 rows BY CONSTRUCTION (the hash width),
+    * never on payload rows: payloads aggregate once to (phash,
+    * group_n), then the bounded table band-joins with itself on its
+    * four 4-bit nibbles — pigeonhole-complete for ham ≤ 3 (3 flipped
+    * bits cannot touch all 4 nibbles), so the blocked output EQUALS
+    * the oracle's brute-force self-join. Corpus size only changes
+    * group_n values, never the pair work.
+    */
+  def qPhashNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val g = phashes(spark, dir).groupBy(col("phash"))
+      .agg(count(lit(1)).as("group_n"))
+    val bands = g.select(col("phash"), col("group_n"),
+      explode(array((0 to 3).map(i =>
+        struct(lit(i).as("band"),
+          ((col("phash") / math.pow(16, i).toLong).cast("long") % 16)
+            .as("key"))): _*)).as("b"))
+      .select(col("phash"), col("group_n"),
+        col("b.band").as("band"), col("b.key").as("key"))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key")
+          && col("x.phash") < col("y.phash"))
+      .select(col("x.phash").as("a"), col("y.phash").as("b"),
+        col("x.group_n").as("n_a"), col("y.group_n").as("n_b"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(col("a").bitwiseXOR(col("b"))))
+      .filter(col("hamming") <= 3)
+      .select(col("a"), col("b"), col("hamming"), col("n_a"), col("n_b"))
+  }
+
+  val qPhashNeardupSql: String =
+    raw"""WITH f AS (SELECT doc_id, text,
+         |    unnest(generate_series(0, CAST(least(4, length(text) // 32) AS BIGINT) - 1)) AS frame_idx
+         |  FROM documents),
+         |fm AS (SELECT doc_id, frame_idx,
+         |    CAST(list_sum(list_transform(generate_series(1, 8),
+         |      j -> ascii(substr(text, CAST(frame_idx * 32 + j AS INTEGER), 1)))) AS DOUBLE) / 8.0 AS frame_mean
+         |  FROM f),
+         |p AS (SELECT doc_id,
+         |    CAST(sum(CAST(floor(frame_mean / 16) AS BIGINT) *
+         |      (CASE frame_idx WHEN 0 THEN 1 WHEN 1 THEN 16
+         |        WHEN 2 THEN 256 ELSE 4096 END)) AS BIGINT) AS phash
+         |  FROM fm GROUP BY doc_id),
+         |g AS (SELECT phash, count(*) AS group_n FROM p GROUP BY 1)
+         |SELECT x.phash AS a, y.phash AS b,
+         |  bit_count(xor(x.phash, y.phash)) AS hamming,
+         |  x.group_n AS n_a, y.group_n AS n_b
+         |FROM g x JOIN g y ON x.phash < y.phash
+         |WHERE bit_count(xor(x.phash, y.phash)) <= 3""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_phash_neardup" -> (qPhashNeardup _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_multimodal_resize" -> (qMultimodalResize _),
@@ -236,6 +299,7 @@ object BinaryPipeline {
     "q_batched_score" -> ((s: SparkSession, d: String) => qBatchedScore(s, d)))
 
   def oracle: Map[String, String] = Map(
+    "q_phash_neardup" -> qPhashNeardupSql,
     "q_multimodal_decode" -> qMultimodalDecodeSql,
     "q_multimodal_frames" -> qMultimodalFramesSql,
     "q_multimodal_resize" -> qMultimodalResizeSql,

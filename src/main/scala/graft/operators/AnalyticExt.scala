@@ -282,6 +282,76 @@ object AnalyticExt {
          |SELECT doc_id, next_id, source, levenshtein(s, next_s) AS edit_dist
          |FROM p WHERE next_id IS NOT NULL""".stripMargin
 
+  // ---------------------------------------------------------------- A35
+  /** Skyline (Pareto frontier) of suppliers on (unit price ↓, volume
+    * ↑) — multi-criteria dominance (Börzsönyi et al., ICDE 2001): a
+    * supplier survives iff no other ships at a price ≤ theirs AND
+    * volume ≥ theirs with one strict. Scale shape: one supplier-keyed
+    * aggregate (decimal-exact sums; x = 6-dp unit price, y = exact
+    * integer volume), then GRID PRUNING — x quantizes into 256
+    * buckets (bounded table), per-bucket max-y prefix maxima
+    * broadcast back, and any point whose y falls below its strictly-
+    * prior-bucket prefix max is dominated WITHOUT entering the sweep.
+    * The exact sweep (sort by x asc, y desc; running-max test, plus a
+    * y-keyed min-x pass for equal-y dominance) touches only pruned
+    * candidates — output-scale, not corpus-scale, on any non-
+    * adversarial distribution (a fully-Pareto corpus makes the answer
+    * itself O(n); no algorithm beats its own output size). Windows:
+    * the bucket prefix and the final sweep are bounded-by-
+    * construction / output-scale (PlanSpec-exempt, documented); the
+    * equal-y pass partitions by y.
+    */
+  def qSkyline(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey").as("s_suppkey"))
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("sp"),
+        sum(col("l_quantity").cast("decimal(12,0)")).as("sq"))
+      .select(col("s_suppkey"),
+        round(col("sp").cast("double") / col("sq").cast("double"), 6)
+          .as("unit_price"),
+        col("sq").cast("long").as("total_qty"))
+    val mm = s.agg(min(col("unit_price")).as("mn"), max(col("unit_price")).as("mx"))
+    val bucketed = s.crossJoin(broadcast(mm))
+      .withColumn("bucket", least(lit(255), floor(
+        (col("unit_price") - col("mn")) /
+          ((col("mx") - col("mn")) / 256 + lit(1e-12))).cast("int")))
+    val bmax = bucketed.groupBy(col("bucket"))
+      .agg(max(col("total_qty")).as("by"))
+    // prefix max over strictly-prior buckets: 256x256 broadcast self-
+    // join on the bounded bucket table (no window needed)
+    val pmax = bmax.as("b1").join(broadcast(bmax.as("b2")),
+        col("b2.bucket") < col("b1.bucket"), "left")
+      .groupBy(col("b1.bucket").as("bucket"))
+      .agg(max(col("b2.by")).as("pmax"))
+    val cand = bucketed.join(broadcast(pmax), "bucket")
+      .filter(col("pmax").isNull || col("total_qty") >= col("pmax"))
+    val byY = Window.partitionBy(col("total_qty"))
+    val sweep = Window.orderBy(col("unit_price").asc,
+      col("total_qty").desc, col("s_suppkey").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cand
+      .withColumn("xmin_y", min(col("unit_price")).over(byY))
+      .withColumn("runmax", max(col("total_qty")).over(sweep))
+      // dominated iff a prior point has strictly larger y (runmax),
+      // or an equal-y point sits at strictly smaller x (xmin_y);
+      // equal-x-equal-y duplicates survive together
+      .filter((col("runmax").isNull || col("runmax") <= col("total_qty"))
+        && col("xmin_y") === col("unit_price"))
+      .select(col("s_suppkey"), col("unit_price"), col("total_qty"))
+  }
+
+  val qSkylineSql: String =
+    """WITH s AS (SELECT l_suppkey AS s_suppkey,
+      |    round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |      / CAST(sum(CAST(l_quantity AS DECIMAL(12,0))) AS DOUBLE), 6) AS unit_price,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(12,0))) AS BIGINT) AS total_qty
+      |  FROM lineitem GROUP BY 1)
+      |SELECT s_suppkey, unit_price, total_qty FROM s p
+      |WHERE NOT EXISTS (SELECT 1 FROM s q
+      |  WHERE q.unit_price <= p.unit_price AND q.total_qty >= p.total_qty
+      |    AND (q.unit_price < p.unit_price OR q.total_qty > p.total_qty))""".stripMargin
+
   // ---------------------------------------------------------------- A34
   /** Record linkage (entity resolution) over the part catalog by the
     * sorted-neighborhood method (Hernández & Stolfo, 1995): records
@@ -612,6 +682,7 @@ object AnalyticExt {
     "q_range_frame" -> (qRangeFrame _),
     "q_edit_distance" -> (qEditDistance _),
     "q_record_linkage" -> (qRecordLinkage _),
+    "q_skyline" -> (qSkyline _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_window_suite" -> (qWindowSuite _),
     "q_set_ops" -> (qSetOps _),
@@ -630,6 +701,7 @@ object AnalyticExt {
     "q_range_frame" -> qRangeFrameSql,
     "q_edit_distance" -> qEditDistanceSql,
     "q_record_linkage" -> qRecordLinkageSql,
+    "q_skyline" -> qSkylineSql,
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_window_suite" -> qWindowSuiteSql,
     "q_set_ops" -> qSetOpsSql,

@@ -276,6 +276,27 @@ class PropertySpec extends AnyFunSuite {
     assert(tri.map(_._3).sum % 3 == 0)
   }
 
+  test("q_skyline: grid-pruned sweep equals brute-force Pareto dominance on the full supplier set") {
+    import graft.operators.AnalyticExt
+    val got = AnalyticExt.qSkyline(spark, sf)
+      .select("s_suppkey", "unit_price", "total_qty")
+      .as[(Long, Double, Long)].collect().toSet
+    // the full (unpruned) supplier metric set, same arithmetic
+    val all = Tables.lineitem(spark, sf)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("sp"),
+        sum(col("l_quantity").cast("decimal(12,0)")).as("sq"))
+      .select(col("l_suppkey"),
+        round(col("sp").cast("double") / col("sq").cast("double"), 6),
+        col("sq").cast("long"))
+      .as[(Long, Double, Long)].collect()
+    def dominated(p: (Long, Double, Long)) = all.exists(q =>
+      q._2 <= p._2 && q._3 >= p._3 && (q._2 < p._2 || q._3 > p._3))
+    val want = all.filterNot(dominated).toSet
+    assert(got == want, s"skyline mismatch: got ${got.size}, want ${want.size}")
+    assert(got.nonEmpty)
+  }
+
   test("q_weighted_sample structural contract: 5 ranks per lang, keys non-increasing") {
     val rows = graft.operators.TrainingOps
       .queries("q_weighted_sample")(spark, sf)

@@ -188,6 +188,45 @@ object TemporalOps {
        |SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
        |FROM marked GROUP BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- F33
+  /** Per-session readout via Spark's BUILT-IN `session_window`
+    * aggregate — the engine-native twin of F1's hand-rolled gap
+    * sessionizer, kept as a separate surface because the two are the
+    * cross-check a platform team actually wants: F1 proves the
+    * semantics, F33 proves the native operator reproduces them —
+    * including the boundary: session_window's end is INCLUSIVE (an
+    * event at exactly last+1800 s merges; verified against the one
+    * exact-boundary gap in the sf0.1 corpus), so the oracle replays
+    * F1's identical `> 1800` rule. Epoch-second boundaries (§5); sums
+    * decimal-exact; keyed by user_id — the session assembly never
+    * leaves the user's partition.
+    */
+  def qSessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), tsSec.as("t"),
+        col("value").cast("decimal(12,2)").as("v"))
+      .groupBy(col("user_id"),
+        session_window(timestamp_seconds(col("t")), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("v")).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        unix_seconds(col("w.start")).as("session_start"),
+        unix_seconds(col("w.end")).as("session_end"),
+        col("n_events"), col("sum_value"))
+
+  val qSessionWindowSql: String =
+    s"""WITH e AS (SELECT user_id, $duckTsSec AS t, event_id,
+       |    CAST(value AS DECIMAL(12,2)) AS v FROM events),
+       |m AS (SELECT *, CASE WHEN t - lag(t) OVER w > 1800
+       |      OR lag(t) OVER w IS NULL THEN 1 ELSE 0 END AS ns
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t ASC, event_id ASC)),
+       |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
+       |    ORDER BY t ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM m)
+       |SELECT user_id, min(t) AS session_start, max(t) + 1800 AS session_end,
+       |  count(*) AS n_events, CAST(sum(v) AS DOUBLE) AS sum_value
+       |FROM s GROUP BY user_id, sid""".stripMargin
+
   // ---------------------------------------------------------------- F2
   /** 5-minute tumbling-window aggregate (batch twin of the Structured
     * Streaming pipeline in graft.streaming).
@@ -1170,6 +1209,7 @@ object TemporalOps {
     "q_asof_join" -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _),
     "q_sessionize" -> (qSessionize _),
+    "q_session_window" -> (qSessionWindow _),
     "q_tumbling_window" -> (qTumblingWindow _),
     "q_funnel" -> (qFunnel _),
     "q_churn" -> (qChurn _),
@@ -1202,6 +1242,7 @@ object TemporalOps {
     "q_asof_join" -> qAsofJoinSql,
     "q_range_join" -> qRangeJoinSql,
     "q_sessionize" -> qSessionizeSql,
+    "q_session_window" -> qSessionWindowSql,
     "q_tumbling_window" -> qTumblingWindowSql,
     "q_funnel" -> qFunnelSql,
     "q_churn" -> qChurnSql,

@@ -366,6 +366,46 @@ object Validation {
       |  class_size >= 5 AS k5_ok, k_corpus
       |FROM cls, k""".stripMargin
 
+  // ---------------------------------------------------------------- L12
+  /** l-diversity audit — L7's necessary complement (Machanavajjhala
+    * et al., 2006): k-anonymity bounds re-identification but not
+    * attribute disclosure — a class of 50 customers ALL in the same
+    * balance band leaks the band even though k=50. Per quasi-
+    * identifier class (nation × segment): class size, count of
+    * DISTINCT sensitive values (account-balance band: debt / low /
+    * high), the l ≥ 3 verdict, and the corpus-wide minimum l. Exact
+    * integer arithmetic end-to-end; one class-keyed aggregate
+    * (count + count distinct over a 3-value domain) + one broadcast
+    * one-row reduction — the L7 plan shape.
+    */
+  def qLDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val band = when(col("c_acctbal") < 0, "debt")
+      .when(col("c_acctbal") < 5000, "low").otherwise("high")
+    val cls = Tables.customer(spark, dir)
+      .select(col("c_nationkey"), col("c_mktsegment"), band.as("band"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col("band")).as("l_distinct"))
+    val lmin = cls.agg(min(col("l_distinct")).as("l_corpus"))
+    cls.crossJoin(broadcast(lmin))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("class_size"),
+        col("l_distinct"), (col("l_distinct") >= 3).as("l3_ok"),
+        col("l_corpus"))
+  }
+
+  val qLDiversitySql: String =
+    """WITH b AS (SELECT c_nationkey, c_mktsegment,
+      |    CASE WHEN c_acctbal < 0 THEN 'debt'
+      |      WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS band
+      |  FROM customer),
+      |cls AS (SELECT c_nationkey, c_mktsegment, count(*) AS class_size,
+      |    count(DISTINCT band) AS l_distinct
+      |  FROM b GROUP BY 1, 2),
+      |lm AS (SELECT min(l_distinct) AS l_corpus FROM cls)
+      |SELECT c_nationkey, c_mktsegment, class_size, l_distinct,
+      |  l_distinct >= 3 AS l3_ok, l_corpus
+      |FROM cls, lm""".stripMargin
+
   // ---------------------------------------------------------------- L8
   /** Gini concentration of customer spend per market segment — the
     * inequality audit a data curator runs before trusting per-segment
@@ -661,6 +701,7 @@ object Validation {
     "q_mad_outliers" -> (qMadOutliers _),
     "q_gini" -> (qGini _),
     "q_k_anonymity" -> (qKAnonymity _),
+    "q_l_diversity" -> (qLDiversity _),
     "q_dp_counts" -> (qDpCounts _),
     "q_bootstrap_ci" -> (qBootstrapCi _),
     "q_data_validation" -> (qDataValidation _),
@@ -673,6 +714,7 @@ object Validation {
     "q_mad_outliers" -> qMadOutliersSql,
     "q_gini" -> qGiniSql,
     "q_k_anonymity" -> qKAnonymitySql,
+    "q_l_diversity" -> qLDiversitySql,
     "q_dp_counts" -> qDpCountsSql,
     "q_bootstrap_ci" -> qBootstrapCiSql,
     "q_data_validation" -> qDataValidationSql,

@@ -231,6 +231,42 @@ object TextAnalysis {
          |  CAST(len(regexp_extract_all(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '[a-z]+')) AS BIGINT) AS n_word_pieces
          |FROM documents""".stripMargin
 
+  // ---------------------------------------------------------------- B17
+  /** Tokenizer fertility per language — subword pieces per whitespace
+    * word (B1b's pieces over B1's tokens): THE cost/capacity metric
+    * for a multilingual mix — a language at fertility 2.3 pays 2.3×
+    * the context budget of one at 1.1 for the same word count, which
+    * reprices every per-token mixture weight (K3) and chunk plan
+    * (K11). Both counts per doc are map-only codegen regexes; one
+    * lang-keyed aggregate of exact integers; the two ratios
+    * (fertility, pieces/doc) divide once at the 6-dp boundary.
+    */
+  def qTokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    val norm = normText(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(regexp_extract_all(norm, lit(piecePattern), lit(0)))
+          .cast("long").as("p"),
+        size(tokens(col("text"))).cast("long").as("w"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w")).as("n_words"), sum(col("p")).as("n_pieces"))
+      .withColumn("fertility",
+        round(col("n_pieces").cast("double") / col("n_words"), 6))
+      .withColumn("pieces_per_doc",
+        round(col("n_pieces").cast("double") / col("n_docs"), 6))
+  }
+
+  val qTokenizerFertilitySql: String =
+    raw"""SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(len($duckToks)) AS BIGINT) AS n_words,
+         |  CAST(sum(len(regexp_extract_all(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '$piecePattern'))) AS BIGINT) AS n_pieces,
+         |  round(sum(len(regexp_extract_all(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '$piecePattern'))) * 1.0
+         |    / sum(len($duckToks)), 6) AS fertility,
+         |  round(sum(len(regexp_extract_all(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '$piecePattern'))) * 1.0
+         |    / count(*), 6) AS pieces_per_doc
+         |FROM documents GROUP BY lang""".stripMargin
+
   // ---------------------------------------------------------------- B13
   /** Character-distribution entropy — the classic gibberish /
     * encoding-junk gate a corpus pipeline runs before any model-based
@@ -600,6 +636,7 @@ object TextAnalysis {
     "q_confusion_matrix" -> (qConfusionMatrix _),
     "q_token_count" -> (qTokenCount _),
     "q_regex_tokens" -> (qRegexTokens _),
+    "q_tokenizer_fertility" -> (qTokenizerFertility _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_char_entropy" -> (qCharEntropy _),
@@ -615,6 +652,7 @@ object TextAnalysis {
     "q_confusion_matrix" -> qConfusionMatrixSql,
     "q_token_count" -> qTokenCountSql,
     "q_regex_tokens" -> qRegexTokensSql,
+    "q_tokenizer_fertility" -> qTokenizerFertilitySql,
     "q_lang_id" -> qLangIdSql,
     "q_quality_score" -> qQualityScoreSql,
     "q_char_entropy" -> qCharEntropySql,

@@ -1277,6 +1277,50 @@ object Dedup {
          |       ELSE 'near_dup' END AS reason
          |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- C19
+  /** Survivorship rules for near-dup clusters — C9 keeps the LEAST-ID
+    * member; a curator keeps the BEST one (the MDM survivorship
+    * decision, and the difference between deduping a corpus and
+    * accidentally keeping its worst copies): per text cluster the
+    * survivor is argmax by (B3 quality score, least-id tiebreak).
+    * Composition cost on top of the shared clustering: the map-only
+    * quality projection, one cluster-keyed `max(struct(quality,
+    * -doc_id))` argmax (map-side combinable — no window, no sort),
+    * and one join back. Quality is 6-dp-rounded (B3's proven parity
+    * surface) BEFORE the argmax, so ties break identically in both
+    * engines.
+    */
+  def qDedupSurvivorship(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = qDedupClustersText(spark, dir)
+    val qual = TextAnalysis.scoreQuality(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("quality"))
+    val members = Tables.documents(spark, dir).select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .join(qual, "doc_id")
+    val surv = members.groupBy(col("cluster_id"))
+      .agg(max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("s"))
+      .select(col("cluster_id"), (-col("s.nid")).as("survivor_id"))
+    members.join(surv, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("quality"),
+        col("survivor_id"), (col("doc_id") === col("survivor_id")).as("keep"))
+  }
+
+  val qDedupSurvivorshipSql: String =
+    raw"""WITH RECURSIVE $textClusterCtes,
+         |qual AS (SELECT doc_id, quality FROM (${TextAnalysis.qQualityScoreSql})),
+         |mem AS (SELECT d.doc_id,
+         |    coalesce(cl.cluster_id, d.doc_id) AS cluster_id, q.quality
+         |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+         |  JOIN qual q ON d.doc_id = q.doc_id),
+         |surv AS (SELECT cluster_id,
+         |    first(doc_id ORDER BY quality DESC, doc_id ASC) AS survivor_id
+         |  FROM mem GROUP BY cluster_id)
+         |SELECT m.doc_id, m.cluster_id, m.quality, s.survivor_id,
+         |  (m.doc_id = s.survivor_id) AS keep
+         |FROM mem m JOIN surv s ON m.cluster_id = s.cluster_id""".stripMargin
+
   // ---------------------------------------------------------------- C12
   /** Source-overlap matrix: near-dup pair mass aggregated to
     * (source, source) — the curator's mirror-detection view (which
@@ -1595,6 +1639,7 @@ object Dedup {
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_clusters_text" -> (qDedupClustersText _),
     "q_neardup_keep_list" -> (qNeardupKeepList _),
+    "q_dedup_survivorship" -> (qDedupSurvivorship _),
     "q_decontam_keep_list" -> (qDecontamKeepList _),
     "q_source_overlap" -> (qSourceOverlap _),
     "q_containment_pairs" -> (qContainmentPairs _),
@@ -1616,6 +1661,7 @@ object Dedup {
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_dedup_clusters_text" -> qDedupClustersTextSql,
     "q_neardup_keep_list" -> qNeardupKeepListSql,
+    "q_dedup_survivorship" -> qDedupSurvivorshipSql,
     "q_decontam_keep_list" -> qDecontamKeepListSql,
     "q_source_overlap" -> qSourceOverlapSql,
     "q_containment_pairs" -> qContainmentPairsSql,

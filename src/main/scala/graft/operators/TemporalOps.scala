@@ -188,6 +188,48 @@ object TemporalOps {
        |SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
        |FROM marked GROUP BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- F34
+  /** DAU / WAU / stickiness — the daily-active dashboard triple, and
+    * the canonical SLIDING DISTINCT problem: WAU(d) = distinct users
+    * over [d−6, d] cannot ride an ordinary window (distinct doesn't
+    * decompose over frames). The scale-correct device: dedup to
+    * (day, user) once (one keyed shuffle, the cardinality floor any
+    * exact answer needs), then each row CONTRIBUTES ITSELF to the 7
+    * windows it belongs to (a bounded ×7 map-side explode — windows
+    * never re-scan events), dedup again on (window-day, user), and
+    * count. Every shuffle is keyed, every output bounded by the day
+    * grid; the 100 TB swap for wider windows is the H9 mergeable-HLL
+    * per-day sketch, which this exact form oracle-anchors. Start-of-
+    * history windows are clipped (correct, not padded); trailing
+    * phantom windows drop in the inner join.
+    */
+  def qActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(expr("(ts DIV 1000000000) DIV 86400").cast("long").as("day"),
+        col("user_id"))
+      .distinct()
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(explode(sequence(col("day"), col("day") + 6)).as("day"),
+        col("user_id"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+  }
+
+  val qActiveUsersSql: String =
+    s"""WITH ud AS (SELECT DISTINCT ($duckTsSec) // 86400 AS day, user_id
+       |  FROM events),
+       |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+       |wd AS (SELECT DISTINCT ud.day + i AS day, user_id
+       |  FROM ud, generate_series(0, 6) g(i)),
+       |wau AS (SELECT day, count(*) AS wau FROM wd GROUP BY 1)
+       |SELECT d.day, d.dau, w.wau,
+       |  round(d.dau * 1.0 / w.wau, 6) AS stickiness
+       |FROM dau d JOIN wau w USING (day)""".stripMargin
+
   // ---------------------------------------------------------------- F33
   /** Per-session readout via Spark's BUILT-IN `session_window`
     * aggregate — the engine-native twin of F1's hand-rolled gap
@@ -1210,6 +1252,7 @@ object TemporalOps {
     "q_range_join" -> (qRangeJoin _),
     "q_sessionize" -> (qSessionize _),
     "q_session_window" -> (qSessionWindow _),
+    "q_active_users" -> (qActiveUsers _),
     "q_tumbling_window" -> (qTumblingWindow _),
     "q_funnel" -> (qFunnel _),
     "q_churn" -> (qChurn _),
@@ -1243,6 +1286,7 @@ object TemporalOps {
     "q_range_join" -> qRangeJoinSql,
     "q_sessionize" -> qSessionizeSql,
     "q_session_window" -> qSessionWindowSql,
+    "q_active_users" -> qActiveUsersSql,
     "q_tumbling_window" -> qTumblingWindowSql,
     "q_funnel" -> qFunnelSql,
     "q_churn" -> qChurnSql,

@@ -672,7 +672,7 @@ object Validation {
       |cells3 AS (SELECT *, var_a / n_a + var_b / n_b AS se2 FROM cells2),
       |zc AS (SELECT *,
       |    round((mean_a - mean_b) / sqrt(se2), 6) AS z
-      |  FROM cells3 WHERE se2 > 0.0),
+      |  FROM cells3 WHERE se2 > 0),
       |pc AS (SELECT *,
       |    1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t,
       |    abs(z) / sqrt(2.0) AS y

@@ -120,6 +120,38 @@ object EventStream {
     spark.table(qn)
   }
 
+  /** F35: STREAMING session windows via the built-in `session_window`
+    * aggregate — the streaming twin of the batch F33 (which the
+    * oracle checks), and the third window family in the state store
+    * after tumbling (F5) and hopping (F5b): session state MERGES
+    * windows as late-but-in-watermark events bridge gaps, the case
+    * fixed-width windows never exercise. Append mode emits a session
+    * only when the watermark passes its end (state evicted — the
+    * unbounded-stream contract), so on the bounded drained source the
+    * output is a prefix-subset of the batch result, spec-asserted.
+    */
+  def streamSessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    val qn = "graft_stream_session_window"
+    spark.streams.active.filter(q => Option(q.name).contains(qn)).foreach(_.stop())
+    val agg = Tables.eventsStream(spark, dir)
+      .withColumn("ets", timestamp_seconds(expr("ts DIV 1000000000")))
+      .withWatermark("ets", "40 minutes")
+      .groupBy(col("user_id"), session_window(col("ets"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        unix_seconds(col("w.start")).as("session_start"),
+        unix_seconds(col("w.end")).as("session_end"),
+        col("n_events"), col("sum_value"))
+    withStreamShufflePartitions(spark, 8) {
+      val q = agg.writeStream.outputMode("append")
+        .format("memory").queryName(qn).start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    spark.table(qn)
+  }
+
   val qStreamHoppingSql: String =
     """SELECT ((CAST(floor(epoch(ts)) AS BIGINT) // 300) - h) * 300 AS bucket,
       |  event_type, count(*) AS n,

@@ -388,6 +388,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.forall { case (id, c) => persisted(id) == c })
   }
 
+  test("streaming session_window emits watermark-closed sessions as a subset of the batch twin") {
+    val streamed = graft.streaming.EventStream.streamSessionWindow(spark, sf)
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+    val batch = graft.operators.TemporalOps.qSessionWindow(spark, sf)
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+    assert(streamed.count() > 0, "streaming session window emitted nothing")
+    // append mode emits only watermark-closed sessions: a nonempty
+    // subset of the batch result, never a session the batch twin lacks
+    // (would mean the state store merged or split differently)
+    assert(streamed.except(batch).isEmpty,
+      "streamed sessions disagree with the oracle-checked batch operator")
+  }
+
   test("append-mode file sink emits watermark-closed windows matching the batch result") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_files").toString
     val streamed = EventStream.streamTumblingToFiles(spark, sf,

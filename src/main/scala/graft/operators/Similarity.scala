@@ -64,6 +64,122 @@ object Similarity {
       |  FROM scored)
       |SELECT qid, nid, rank, round(sim, 4) AS sim FROM ranked WHERE rank <= 5""".stripMargin
 
+  // ---------------------------------------------------------------- D10
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR 1998) — the diversity step between ANN retrieval and a
+    * RAG/labeling consumer: plain top-k returns near-duplicates of
+    * one good hit; MMR greedily picks argmax λ·rel(c) −
+    * (1−λ)·max_{s∈S} sim(c, s), trading relevance against redundancy
+    * (λ=0.7, 3 unrolled selection steps over the top-10 candidate
+    * pool per panel query). Everything after retrieval is bounded BY
+    * CONSTRUCTION: 10 candidates/query ⇒ ≤ 90 candidate-candidate
+    * sims/query, each greedy step one argmax aggregate (max(struct))
+    * — no window, no iteration state. Parity is EXACT-INTEGER: the
+    * 6-dp relevance/similarity values scale to micro-unit longs and
+    * λ=0.7 becomes the (7, 3)/10 blend 7·rel6 − 3·sim6, so every
+    * argmax compares longs (a double blend of 6-dp inputs is a 7-dp
+    * decimal — a built-in round() knife edge, caught at sf0.01);
+    * ties break on nid. Published score = blend/1e7.
+    */
+  val MmrLambda = 0.7
+
+  def qMmrDiversify(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < PanelIdCap)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        round(VectorFunctions.cosine(col("qv"), col("v")), 6).as("rel"),
+        col("v"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("rel").desc, col("nid").asc)
+    val cands = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("nid"), col("rel"), col("v"))
+      .cache()
+    val cc = cands.as("a")
+      .join(cands.as("b"),
+        col("a.qid") === col("b.qid") && col("a.nid") =!= col("b.nid"))
+      .select(col("a.qid").as("qid"), col("a.nid").as("ci"),
+        col("b.nid").as("cj"),
+        round(VectorFunctions.cosine(col("a.v"), col("b.v")), 6).as("s"))
+    // EXACT integer scoring in tenth-micro units: rel/sims are 6-dp
+    // decimals, so rel6 = rel*1e6 is an exact long and the MMR blend
+    // 0.7*rel - 0.3*sim becomes 7*rel6 - 3*sim6 — zero float surface
+    // in every argmax (a double blend of 6-dp inputs is a 7-dp
+    // decimal, i.e. a built-in rounding knife edge; caught at sf0.01)
+    val c6 = cands.withColumn("rel6", round(col("rel") * 1e6).cast("long"))
+    val cc6 = cc.withColumn("s6", round(col("s") * 1e6).cast("long"))
+    def argmax(df: DataFrame, score: String, sel: String, out: String) =
+      df.groupBy(col("qid"))
+        .agg(max(struct(col(score), (-col(sel)).cast("long").as("m"))).as("t"))
+        .select(col("qid"), (-col(s"t.m")).as(out),
+          col(s"t.$score").as(s"${out}_sc"))
+    val s1 = argmax(c6.withColumn("sc1", col("rel6") * 10), "sc1", "nid", "p1")
+    val r2 = c6.join(s1, "qid").filter(col("nid") =!= col("p1"))
+      .join(cc6.select(col("qid"), col("ci").as("nid"),
+        col("cj").as("p1"), col("s6").as("sim1")), Seq("qid", "nid", "p1"))
+      .withColumn("sc2", col("rel6") * 7 - col("sim1") * 3)
+    val s2 = argmax(r2, "sc2", "nid", "p2")
+    val r3 = c6.join(s1, "qid").join(s2, "qid")
+      .filter(col("nid") =!= col("p1") && col("nid") =!= col("p2"))
+      .join(cc6.select(col("qid"), col("ci").as("nid"),
+        col("cj").as("p1"), col("s6").as("sim1")), Seq("qid", "nid", "p1"))
+      .join(cc6.select(col("qid"), col("ci").as("nid"),
+        col("cj").as("p2"), col("s6").as("sim2")), Seq("qid", "nid", "p2"))
+      .withColumn("sc3", col("rel6") * 7 - greatest(col("sim1"), col("sim2")) * 3)
+    val s3 = argmax(r3, "sc3", "nid", "p3")
+    def out(df: DataFrame, rank: Int, p: String) =
+      df.select(col("qid"), lit(rank).as("mmr_rank"), col(p).as("nid"),
+        (col(s"${p}_sc").cast("double") / 1e7).as("score"))
+    out(s1, 1, "p1").union(out(s2, 2, "p2")).union(out(s3, 3, "p3"))
+  }
+
+  val qMmrDiversifySql: String = {
+    raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0 AND vec_id < $PanelIdCap),
+      |flat AS (SELECT qid, e.vec_id AS nid, unnest(qv) AS x, unnest(v) AS y
+      |  FROM e JOIN q ON e.vec_id <> q.qid),
+      |scored AS (SELECT qid, nid,
+      |    round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS rel
+      |  FROM flat GROUP BY qid, nid),
+      |cands AS (SELECT qid, nid, rel FROM (
+      |    SELECT qid, nid, rel, row_number() OVER (
+      |      PARTITION BY qid ORDER BY rel DESC, nid ASC) AS rank
+      |    FROM scored) WHERE rank <= 10),
+      |cflat AS (SELECT a.qid, a.nid AS ci, b.nid AS cj,
+      |    unnest(ea.v) AS x, unnest(eb.v) AS y
+      |  FROM cands a JOIN cands b ON a.qid = b.qid AND a.nid <> b.nid
+      |  JOIN e ea ON a.nid = ea.vec_id JOIN e eb ON b.nid = eb.vec_id),
+      |cc AS (SELECT qid, ci, cj,
+      |    round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS s
+      |  FROM cflat GROUP BY qid, ci, cj),
+      |c6 AS (SELECT qid, nid, CAST(round(rel * 1e6) AS BIGINT) AS rel6 FROM cands),
+      |cc6 AS (SELECT qid, ci, cj, CAST(round(s * 1e6) AS BIGINT) AS s6 FROM cc),
+      |s1 AS (SELECT qid, first(nid ORDER BY rel6 DESC, nid ASC) AS p1,
+      |    first(rel6 * 10 ORDER BY rel6 DESC, nid ASC) AS score1
+      |  FROM c6 GROUP BY qid),
+      |r2 AS (SELECT c.qid, c.nid, c.rel6 * 7 - cc6.s6 * 3 AS sc2
+      |  FROM c6 c JOIN s1 ON c.qid = s1.qid AND c.nid <> s1.p1
+      |  JOIN cc6 ON cc6.qid = c.qid AND cc6.ci = c.nid AND cc6.cj = s1.p1),
+      |s2 AS (SELECT qid, first(nid ORDER BY sc2 DESC, nid ASC) AS p2,
+      |    first(sc2 ORDER BY sc2 DESC, nid ASC) AS score2
+      |  FROM r2 GROUP BY qid),
+      |r3 AS (SELECT c.qid, c.nid,
+      |    c.rel6 * 7 - greatest(c1.s6, c2.s6) * 3 AS sc3
+      |  FROM c6 c JOIN s1 ON c.qid = s1.qid AND c.nid <> s1.p1
+      |  JOIN s2 ON c.qid = s2.qid AND c.nid <> s2.p2
+      |  JOIN cc6 c1 ON c1.qid = c.qid AND c1.ci = c.nid AND c1.cj = s1.p1
+      |  JOIN cc6 c2 ON c2.qid = c.qid AND c2.ci = c.nid AND c2.cj = s2.p2),
+      |s3 AS (SELECT qid, first(nid ORDER BY sc3 DESC, nid ASC) AS p3,
+      |    first(sc3 ORDER BY sc3 DESC, nid ASC) AS score3
+      |  FROM r3 GROUP BY qid)
+      |SELECT qid, 1 AS mmr_rank, p1 AS nid, CAST(score1 AS DOUBLE) / 1e7 AS score FROM s1
+      |UNION ALL SELECT qid, 2, p2, CAST(score2 AS DOUBLE) / 1e7 FROM s2
+      |UNION ALL SELECT qid, 3, p3, CAST(score3 AS DOUBLE) / 1e7 FROM s3""".stripMargin
+  }
+
   /** Exact top-5 id pairs for the sampled query panel (vec_id % 50 == 0)
     * — the ground truth both approximate variants measure themselves
     * against. Small by construction (2% of vectors × 5 rows).
@@ -1019,6 +1135,7 @@ object Similarity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_class_separation" -> (qClassSeparation _),
     "q_ann_bruteforce" -> (qAnnBruteforce _),
+    "q_mmr_diversify" -> (qMmrDiversify _),
     "q_ann_lsh" -> ((s: SparkSession, d: String) => qAnnLsh(s, d)),
     "q_ann_ivf" -> ((s: SparkSession, d: String) => qAnnIvf(s, d)),
     "q_ann_pq" -> ((s: SparkSession, d: String) => qAnnPq(s, d)),
@@ -1035,6 +1152,7 @@ object Similarity {
   def oracle: Map[String, String] = {
     val k = lastShortlistK.get
     Map("q_ann_bruteforce" -> qAnnBruteforceSql, "q_ann_lsh" -> qAnnLshSql,
+      "q_mmr_diversify" -> qMmrDiversifySql,
       "q_class_separation" -> qClassSeparationSql) ++
       Option(IvfIndex.lastLoc.get).map { case (a, c) =>
         "q_ann_ivf" -> annIvfSql(a, c, nprobe = 10) }.toMap ++

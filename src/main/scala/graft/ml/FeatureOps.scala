@@ -425,6 +425,78 @@ object FeatureOps {
           .as("f1"))
   }
 
+  // ---------------------------------------------------------------- E29
+  /** Gains/lift table by score decile — the third leg of the
+    * classifier-evaluation tripod after E11 (PR sweep) and E12 (AUC):
+    * the campaign-targeting readout "if I act on the top k deciles,
+    * what fraction of positives do I capture, at what lift over
+    * base?" Same score/label surface as E11. Deciles assign WITHOUT
+    * any sort: one broadcast exact-percentile aggregate over the
+    * 6-dp-quantized score (the A33/K7 device, §5 quantize-before-
+    * percentile) gives the 9 cuts; decile = 1 + count of cuts
+    * strictly above the score (ties promote — engine-identical on
+    * rounded doubles). Cumulative capture rides a bounded ≤10×10
+    * broadcast self-join, not a window. Counts exact; rates/lift
+    * round once at the boundary.
+    */
+  def qLiftCurve(spark: SparkSession, dir: String): DataFrame = {
+    val enStops = graft.operators.TextAnalysis.stopwords("en")
+    val scored = Tables.documents(spark, dir).select(
+      (col("lang") === "en").as("pos"),
+      round(vocabHits(tokens(col("text")), enStops).cast("double") /
+        tokenCount(col("text")), 6).as("s"))
+    val cuts = scored.agg(expr(
+      "percentile(s, array(0.9, 0.8, 0.7, 0.6, 0.5, 0.4, 0.3, 0.2, 0.1))")
+      .as("cs"))
+    val dec = scored.crossJoin(broadcast(cuts))
+      .withColumn("decile", lit(1) + (0 until 9)
+        .map(i => when(col("cs").getItem(i) > col("s"), 1).otherwise(0))
+        .reduce(_ + _))
+    val per = dec.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"))
+    val tot = per.agg(sum(col("n")).as("tn"), sum(col("n_pos")).as("tp"))
+    val cum = per.as("a")
+      .join(broadcast(per.as("b")), col("b.decile") <= col("a.decile"))
+      .groupBy(col("a.decile").as("decile"))
+      .agg(sum(col("b.n_pos")).as("cum_pos"))
+    per.join(cum, "decile").crossJoin(broadcast(tot))
+      .select(col("decile"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("resp_rate"),
+        round((col("n_pos").cast("double") * col("tn"))
+          / (col("n").cast("double") * col("tp")), 6).as("lift"),
+        round(col("cum_pos").cast("double") / col("tp"), 6).as("cum_capture"))
+  }
+
+  val qLiftCurveSql: String = {
+    val stopsSql = graft.operators.TextAnalysis.stopwords("en")
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    val toksSql = graft.functions.TextFunctions.duckToksSql("text")
+    raw"""WITH sc AS (SELECT (lang = 'en') AS pos,
+         |    round(CAST(len(list_filter($toksSql, t -> list_contains($stopsSql, t))) AS DOUBLE)
+         |      / len($toksSql), 6) AS s
+         |  FROM documents),
+         |cuts AS (SELECT [quantile_cont(s, 0.9), quantile_cont(s, 0.8),
+         |    quantile_cont(s, 0.7), quantile_cont(s, 0.6), quantile_cont(s, 0.5),
+         |    quantile_cont(s, 0.4), quantile_cont(s, 0.3), quantile_cont(s, 0.2),
+         |    quantile_cont(s, 0.1)] AS cs FROM sc),
+         |dec AS (SELECT pos, 1 + len(list_filter(cs, c -> c > s)) AS decile
+         |  FROM sc, cuts),
+         |per AS (SELECT decile, count(*) AS n,
+         |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+         |  FROM dec GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+         |    CAST(sum(n_pos) AS BIGINT) AS tp FROM per),
+         |cum AS (SELECT a.decile, CAST(sum(b.n_pos) AS BIGINT) AS cum_pos
+         |  FROM per a JOIN per b ON b.decile <= a.decile GROUP BY 1)
+         |SELECT per.decile, per.n, per.n_pos,
+         |  round(CAST(per.n_pos AS DOUBLE) / per.n, 6) AS resp_rate,
+         |  round((CAST(per.n_pos AS DOUBLE) * tot.tn)
+         |    / (CAST(per.n AS DOUBLE) * tot.tp), 6) AS lift,
+         |  round(CAST(cum.cum_pos AS DOUBLE) / tot.tp, 6) AS cum_capture
+         |FROM per JOIN cum ON per.decile = cum.decile, tot""".stripMargin
+  }
+
   val qPrCurveSql: String = {
     val stopsSql = graft.operators.TextAnalysis.stopwords("en")
       .map(w => s"'$w'").mkString("[", ", ", "]")
@@ -893,6 +965,7 @@ object FeatureOps {
     "q_auc" -> (qAuc _),
     "q_calibration" -> (qCalibration _),
     "q_pr_curve" -> (qPrCurve _),
+    "q_lift_curve" -> (qLiftCurve _),
     "q_pca" -> (qPca _),
     "q_standard_scaler" -> (qStandardScaler _),
     "q_minmax_scaler" -> (qMinmaxScaler _),
@@ -916,6 +989,7 @@ object FeatureOps {
     "q_auc" -> qAucSql,
     "q_calibration" -> qCalibrationSql,
     "q_pr_curve" -> qPrCurveSql,
+    "q_lift_curve" -> qLiftCurveSql,
     "q_standard_scaler" -> qStandardScalerSql,
     "q_minmax_scaler" -> qMinmaxScalerSql,
     "q_robust_scaler" -> qRobustScalerSql,

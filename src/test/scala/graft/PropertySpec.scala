@@ -297,6 +297,80 @@ class PropertySpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("q_active_users invariants: WAU >= DAU per day, stickiness in (0,1], WAU <= 7-day DAU sum") {
+    val rows = graft.operators.TemporalOps.queries("q_active_users")(spark, sf)
+      .select("day", "dau", "wau", "stickiness")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val dauByDay = rows.map(r => (r._1, r._2)).toMap
+    rows.foreach { case (d, dau, wau, st) =>
+      assert(wau >= dau, s"day $d: WAU $wau < DAU $dau")
+      assert(st > 0.0 && st <= 1.0, s"day $d: stickiness $st out of (0,1]")
+      // the window's users are a union of its days' user sets
+      val cap = (d - 6 to d).flatMap(dauByDay.get).sum
+      assert(wau <= cap, s"day $d: WAU $wau exceeds 7-day DAU sum $cap")
+    }
+  }
+
+  test("q_record_linkage: sorted-neighborhood pairs are within-block, canonical, and score-consistent") {
+    val rows = graft.operators.AnalyticExt.queries("q_record_linkage")(spark, sf)
+      .select("a", "b", "name_dist", "brand_match", "price_close", "score", "matched")
+      .as[(Long, Long, Int, Boolean, Boolean, Int, Boolean)].collect()
+    assert(rows.nonEmpty)
+    val parts = Tables.part(spark, sf)
+      .select("p_partkey", "p_name", "p_size")
+      .as[(Long, String, Int)].collect()
+      .map { case (k, n, s) => k -> (n.split(" ").last, s) }.toMap
+    rows.foreach { case (a, b, lev, bm, pc, sc, m) =>
+      assert(a < b, s"pair ($a,$b) not canonical")
+      assert(parts(a) == parts(b), s"pair ($a,$b) crosses blocks")
+      val want = (if (lev == 0) 2 else if (lev <= 2) 1 else 0) +
+        (if (bm) 1 else 0) + (if (pc) 1 else 0)
+      assert(sc == want && m == (sc >= 3), s"pair ($a,$b) score wrong")
+    }
+  }
+
+  test("q_mmr_diversify: 3 distinct picks per query from the top-10 pool; rank-1 is the relevance argmax") {
+    val rows = graft.operators.Similarity.queries("q_mmr_diversify")(spark, sf)
+      .select("qid", "mmr_rank", "nid", "score")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val brute = graft.operators.Similarity.queries("q_ann_bruteforce")(spark, sf)
+      .filter(col("rank") === 1).select("qid", "nid")
+      .as[(Long, Long)].collect().toMap
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      assert(rs.map(_._2).sorted.sameElements(Seq(1, 2, 3)))
+      assert(rs.map(_._3).distinct.length == 3, s"qid $qid repeated a pick")
+      // MMR's first pick is pure relevance == the exact top-1
+      val p1 = rs.find(_._2 == 1).get._3
+      assert(p1 == brute(qid), s"qid $qid rank-1 $p1 != exact top-1 ${brute(qid)}")
+      // diversity trades relevance monotonically: scores non-increasing
+      val sc = rs.sortBy(_._2).map(_._4)
+      assert(sc(0) >= sc(1) - 1e-9, s"qid $qid: rank-2 score above rank-1")
+    }
+  }
+
+  test("q_lift_curve invariants: lift-weighted sizes reconstruct totals; cum_capture monotone to 1.0") {
+    val rows = graft.ml.FeatureOps.queries("q_lift_curve")(spark, sf)
+      .select("decile", "n", "n_pos", "resp_rate", "lift", "cum_capture")
+      .as[(Int, Long, Long, Double, Double, Double)].collect()
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    val totPos = rows.map(_._3).sum
+    assert(math.abs(rows.last._6 - 1.0) < 1e-9, "final cum_capture != 1")
+    rows.sliding(2).foreach {
+      case Array(p, c) => assert(c._6 >= p._6 - 1e-9, "cum_capture not monotone")
+      case _ =>
+    }
+    // response rates rebuild n_pos; cumulative matches the running sum
+    var run = 0L
+    rows.foreach { case (d, n, np, rr, _, cc) =>
+      assert(math.abs(rr - np.toDouble / n) < 1e-6)
+      run += np
+      assert(math.abs(cc - run.toDouble / totPos) < 1e-6, s"decile $d cum wrong")
+    }
+  }
+
   test("q_weighted_sample structural contract: 5 ranks per lang, keys non-increasing") {
     val rows = graft.operators.TrainingOps
       .queries("q_weighted_sample")(spark, sf)

@@ -366,6 +366,71 @@ object Validation {
       |  class_size >= 5 AS k5_ok, k_corpus
       |FROM cls, k""".stripMargin
 
+  // ---------------------------------------------------------------- L13
+  /** Permutation test of the A/B mean-value difference — the
+    * nonparametric companion to L3's z-test (no normality assumption;
+    * exact under the randomization null). The classic blocker at
+    * scale is resampling; the device (shared with L5's deterministic
+    * bootstrap) is that each of the 32 permutations is a FIXED BIT of
+    * the user's md5 hash: permutation p reassigns arms by bit p, bit
+    * 0 IS the observed L3 assignment, so the whole test is one ×33
+    * map-side explode + one 33×2-group aggregate with map-side
+    * combine — no resampling shuffle, no RNG state, reproducible
+    * across engines and cluster layouts. Means from decimal-exact
+    * sums, diffs 10-dp-rounded before the |diff_p| ≥ |diff_obs|
+    * compare; p = (1 + #{p : ≥}) / (1 + P).
+    */
+  def qPermutationTest(spark: SparkSession, dir: String): DataFrame = {
+    val P = 32
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("value").cast("decimal(12,2)").as("v"))
+      .withColumn("h",
+        expr("conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10)")
+          .cast("long"))
+    val per = ev
+      .select(col("h"), col("v"),
+        explode(sequence(lit(0), lit(P))).as("p"))
+      .withColumn("arm", expr("shiftright(h, p) % 2"))
+      .groupBy(col("p"))
+      .agg(
+        sum(when(col("arm") === 0, col("v"))).as("s0"),
+        count(when(col("arm") === 0, 1)).as("n0"),
+        sum(when(col("arm") === 1, col("v"))).as("s1"),
+        count(when(col("arm") === 1, 1)).as("n1"))
+      .withColumn("diff", round(col("s0").cast("double") / col("n0")
+        - col("s1").cast("double") / col("n1"), 10))
+    val obs = per.filter(col("p") === 0).select(col("diff").as("dobs"))
+    per.filter(col("p") > 0).crossJoin(broadcast(obs))
+      .agg(count(lit(1)).as("n_perms"),
+        sum(when(abs(col("diff")) >= abs(col("dobs")), 1L).otherwise(0L))
+          .as("n_ge"),
+        max(col("dobs")).as("d"))
+      .select(round(col("d"), 6).as("diff_obs"), col("n_perms"), col("n_ge"),
+        round((col("n_ge") + 1).cast("double") / (col("n_perms") + 1), 6)
+          .as("p_value"))
+      .withColumn("significant", col("p_value") < 0.05)
+  }
+
+  val qPermutationTestSql: String =
+    """WITH ev AS (SELECT CAST(value AS DECIMAL(12,2)) AS v,
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM events),
+      |per AS (SELECT p,
+      |    round(CAST(sum(CASE WHEN (h >> p) % 2 = 0 THEN v END) AS DOUBLE)
+      |        / count(CASE WHEN (h >> p) % 2 = 0 THEN 1 END)
+      |      - CAST(sum(CASE WHEN (h >> p) % 2 = 1 THEN v END) AS DOUBLE)
+      |        / count(CASE WHEN (h >> p) % 2 = 1 THEN 1 END), 10) AS diff
+      |  FROM ev, generate_series(0, 32) g(p) GROUP BY p),
+      |obs AS (SELECT diff AS dobs FROM per WHERE p = 0)
+      |SELECT round(max(dobs), 6) AS diff_obs,
+      |  count(*) AS n_perms,
+      |  CAST(sum(CASE WHEN abs(diff) >= abs(dobs) THEN 1 ELSE 0 END) AS BIGINT) AS n_ge,
+      |  round((sum(CASE WHEN abs(diff) >= abs(dobs) THEN 1 ELSE 0 END) + 1) * 1.0
+      |    / (count(*) + 1), 6) AS p_value,
+      |  round((sum(CASE WHEN abs(diff) >= abs(dobs) THEN 1 ELSE 0 END) + 1) * 1.0
+      |    / (count(*) + 1), 6) < 0.05 AS significant
+      |FROM per, obs WHERE p > 0""".stripMargin
+
   // ---------------------------------------------------------------- L12
   /** l-diversity audit — L7's necessary complement (Machanavajjhala
     * et al., 2006): k-anonymity bounds re-identification but not
@@ -702,6 +767,7 @@ object Validation {
     "q_gini" -> (qGini _),
     "q_k_anonymity" -> (qKAnonymity _),
     "q_l_diversity" -> (qLDiversity _),
+    "q_permutation_test" -> (qPermutationTest _),
     "q_dp_counts" -> (qDpCounts _),
     "q_bootstrap_ci" -> (qBootstrapCi _),
     "q_data_validation" -> (qDataValidation _),
@@ -715,6 +781,7 @@ object Validation {
     "q_gini" -> qGiniSql,
     "q_k_anonymity" -> qKAnonymitySql,
     "q_l_diversity" -> qLDiversitySql,
+    "q_permutation_test" -> qPermutationTestSql,
     "q_dp_counts" -> qDpCountsSql,
     "q_bootstrap_ci" -> qBootstrapCiSql,
     "q_data_validation" -> qDataValidationSql,

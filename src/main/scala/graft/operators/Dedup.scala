@@ -320,7 +320,7 @@ object Dedup {
   /** Shared oracle CTE chain ending in `sigs(doc_id, i, minh)` and
     * `bands(doc_id, band, bh)` — the MinHash signature pipeline.
     */
-  private val minhashCtes: String =
+  private[operators] val minhashCtes: String =
     raw"""$duckShingleCte,
          |hashed0 AS (SELECT doc_id, ${shingleHashSql("s")} AS h FROM sh),
          |hashed AS (SELECT DISTINCT doc_id, h FROM hashed0 WHERE h NOT IN (

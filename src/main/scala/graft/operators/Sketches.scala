@@ -197,7 +197,95 @@ object Sketches {
       |UNION ALL
       |SELECT 'ALL_UNION', count(DISTINCT user_id), true FROM events""".stripMargin
 
+  // ---------------------------------------------------------------- H10
+  /** LSH banding advisor — the tuning readout behind C3's (8 bands ×
+    * 4 rows) choice, grounded in THIS corpus: for every (b, r) split
+    * of the 32 permutations, the collision s-curve p(s) = 1−(1−s^r)^b
+    * on a 20-bucket similarity grid, joined against the OBSERVED
+    * candidate-pair est_sim histogram (rides the shared C3 pair set;
+    * est_sim = matches/32 is dyadic, so ×20-and-floor bucketing is
+    * float-exact). The curve shows what each config would pass/miss
+    * where this corpus's pair mass actually sits. Cross-engine float
+    * discipline: s^r and (1−s^r)^b via REPEATED SQUARING in a fixed
+    * association order (pow() libm ulps differ across engines),
+    * 6-dp boundary round. Everything bounded: 4 configs × 20 buckets.
+    */
+  def qLshTuningCurve(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val configs = Seq((32, 1), (16, 2), (8, 4), (4, 8))
+    val grid = spark.range(20).select(col("id").cast("int").as("bucket"))
+      .withColumn("s_mid", round(col("bucket") * 0.05 + 0.025, 6))
+      .select(col("bucket"), col("s_mid"),
+        explode(array(configs.map { case (b, r) =>
+          struct(lit(s"b${b}r$r").as("config"),
+            lit(b).as("b"), lit(r).as("r"))
+        }: _*)).as("c"))
+      .select(col("bucket"), col("s_mid"),
+        col("c.config").as("config"), col("c.b").as("b"), col("c.r").as("r"))
+    def sq(c: Column) = c * c
+    val s = col("s_mid")
+    val sr = when(col("r") === 1, s).when(col("r") === 2, sq(s))
+      .when(col("r") === 4, sq(sq(s))).otherwise(sq(sq(sq(s))))
+    val q = lit(1.0) - sr
+    val q4 = sq(sq(q)); val q8 = sq(q4); val q16 = sq(q8); val q32 = sq(q16)
+    val qb = when(col("b") === 4, q4).when(col("b") === 8, q8)
+      .when(col("b") === 16, q16).otherwise(q32)
+    val theory = grid.withColumn("p_candidate", round(lit(1.0) - qb, 6))
+      .withColumn("shipped",
+        col("b") === (Dedup.NumPerms / Dedup.RowsPerBand)
+          && col("r") === Dedup.RowsPerBand)
+    val obs = Dedup.qMinhashLsh(spark, dir)
+      .select(least(floor(col("est_sim") * 20).cast("int"), lit(19))
+        .as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_observed_pairs"))
+    theory.join(obs, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_observed_pairs"))
+      .select(col("config"), col("bucket"), col("s_mid"), col("p_candidate"),
+        col("shipped"), col("n_observed_pairs"))
+  }
+
+  val qLshTuningCurveSql: String = {
+    val shippedB = Dedup.NumPerms / Dedup.RowsPerBand
+    val shippedR = Dedup.RowsPerBand
+    raw"""WITH ${Dedup.minhashCtes},
+      |cand AS (SELECT x.doc_id d1, y.doc_id d2
+      |  FROM bands x JOIN bands y
+      |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2),
+      |simp AS (SELECT d1, d2,
+      |    CAST(sum(CASE WHEN p.minh = q.minh THEN 1 ELSE 0 END) AS DOUBLE) / ${Dedup.NumPerms} AS est_sim
+      |  FROM cand JOIN sigs p ON d1 = p.doc_id
+      |  JOIN sigs q ON d2 = q.doc_id AND p.i = q.i
+      |  GROUP BY d1, d2),
+      |obs AS (SELECT least(CAST(floor(est_sim * 20) AS INTEGER), 19) AS bucket,
+      |    count(*) AS n_observed_pairs
+      |  FROM simp GROUP BY 1),
+      |cfg AS (SELECT * FROM (VALUES ('b32r1', 32, 1), ('b16r2', 16, 2),
+      |    ('b8r4', 8, 4), ('b4r8', 4, 8)) c(config, b, r)),
+      |grid AS (SELECT bucket, round(bucket * CAST(0.05 AS DOUBLE) + CAST(0.025 AS DOUBLE), 6) AS s_mid,
+      |    config, b, r
+      |  FROM generate_series(0, 19) g(bucket), cfg),
+      |curve AS (SELECT *,
+      |    CASE WHEN r = 1 THEN s_mid WHEN r = 2 THEN s_mid * s_mid
+      |      WHEN r = 4 THEN (s_mid * s_mid) * (s_mid * s_mid)
+      |      ELSE ((s_mid * s_mid) * (s_mid * s_mid)) * ((s_mid * s_mid) * (s_mid * s_mid)) END AS sr
+      |  FROM grid),
+      |curve2 AS (SELECT *, (CAST(1.0 AS DOUBLE) - sr) AS q0,
+      |    ((CAST(1.0 AS DOUBLE) - sr) * (CAST(1.0 AS DOUBLE) - sr)) * ((CAST(1.0 AS DOUBLE) - sr) * (CAST(1.0 AS DOUBLE) - sr)) AS q4
+      |  FROM curve),
+      |curve3 AS (SELECT *, q4 * q4 AS q8, (q4 * q4) * (q4 * q4) AS q16,
+      |    ((q4 * q4) * (q4 * q4)) * ((q4 * q4) * (q4 * q4)) AS q32
+      |  FROM curve2)
+      |SELECT config, c.bucket, s_mid,
+      |  round(CAST(1.0 AS DOUBLE) - CASE WHEN b = 4 THEN q4 WHEN b = 8 THEN q8
+      |    WHEN b = 16 THEN q16 ELSE q32 END, 6) AS p_candidate,
+      |  (b = $shippedB AND r = $shippedR) AS shipped,
+      |  COALESCE(obs.n_observed_pairs, 0) AS n_observed_pairs
+      |FROM curve3 c LEFT JOIN obs ON c.bucket = obs.bucket""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lsh_tuning_curve" -> (qLshTuningCurve _),
     "q_bloom_keep" -> (qBloomKeep _),
     "q_cms_topk" -> (qCmsTopk _),
     "q_hll_union" -> (qHllUnion _))
@@ -206,6 +294,7 @@ object Sketches {
     * verdicts (exact side + guarantee booleans) are oracle-checked.
     */
   def oracle: Map[String, String] = Map(
+    "q_lsh_tuning_curve" -> qLshTuningCurveSql,
     "q_bloom_keep" -> qBloomKeepSql,
     "q_cms_topk" -> qCmsTopkSql,
     "q_hll_union" -> qHllUnionSql)

@@ -282,6 +282,74 @@ object AnalyticExt {
          |SELECT doc_id, next_id, source, levenshtein(s, next_s) AS edit_dist
          |FROM p WHERE next_id IS NOT NULL""".stripMargin
 
+  // ---------------------------------------------------------------- A36
+  /** Month-over-month revenue bridge — the contribution analysis
+    * behind every "why did revenue move" review: each month's total
+    * delta decomposed into per-segment contributions that sum exactly
+    * to it. The trap this avoids: lag() over a sparse (month,
+    * segment) series silently compares non-adjacent months — so the
+    * revenue lands on a DENSE month × segment grid first (distinct
+    * months ⨯ broadcast segment list, both bounded by construction,
+    * absent cells exactly 0). Decimal-exact end to end — revenue,
+    * deltas, and the per-month total delta stay DECIMAL until the
+    * one share division at the 6-dp boundary (sign convention:
+    * share of the month's NET move, ±); the lag window partitions
+    * by segment over the bounded month grid.
+    */
+  def qMomBridge(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+        col("c_mktsegment").as("segment"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val months = rev.select(col("month")).distinct()
+    val segments = rev.select(col("segment")).distinct()
+    val grid = months.crossJoin(broadcast(segments))
+      .join(rev, Seq("month", "segment"), "left")
+      .withColumn("rev", coalesce(col("rev"), lit(0).cast("decimal(18,2)")))
+    val w = Window.partitionBy(col("segment")).orderBy(col("month"))
+    val deltas = grid
+      .withColumn("prev_rev", lag(col("rev"), 1).over(w))
+      .filter(col("prev_rev").isNotNull)
+      .withColumn("delta", col("rev") - col("prev_rev"))
+    val tot = deltas.groupBy(col("month"))
+      .agg(sum(col("delta")).as("total_delta"))
+    deltas.join(tot, "month")
+      .select(col("month"), col("segment"),
+        col("rev").cast("double").as("rev"),
+        col("delta").cast("double").as("delta"),
+        col("total_delta").cast("double").as("total_delta"),
+        when(col("total_delta") === 0, lit(null).cast("double"))
+          .otherwise(round(col("delta").cast("double")
+            / col("total_delta").cast("double"), 6)).as("share_of_delta"))
+  }
+
+  val qMomBridgeSql: String =
+    """WITH rev AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |    c_mktsegment AS segment,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |grid AS (SELECT m.month, s.segment,
+      |    COALESCE(rev.rev, CAST(0 AS DECIMAL(18,2))) AS rev
+      |  FROM (SELECT DISTINCT month FROM rev) m
+      |  CROSS JOIN (SELECT DISTINCT segment FROM rev) s
+      |  LEFT JOIN rev ON rev.month = m.month AND rev.segment = s.segment),
+      |d AS (SELECT *, lag(rev, 1) OVER (
+      |      PARTITION BY segment ORDER BY month) AS prev_rev
+      |  FROM grid),
+      |deltas AS (SELECT month, segment, rev, rev - prev_rev AS delta
+      |  FROM d WHERE prev_rev IS NOT NULL),
+      |tot AS (SELECT month, sum(delta) AS total_delta FROM deltas GROUP BY 1)
+      |SELECT deltas.month, segment,
+      |  CAST(rev AS DOUBLE) AS rev, CAST(delta AS DOUBLE) AS delta,
+      |  CAST(total_delta AS DOUBLE) AS total_delta,
+      |  CASE WHEN total_delta = 0 THEN NULL
+      |    ELSE round(CAST(delta AS DOUBLE) / CAST(total_delta AS DOUBLE), 6)
+      |  END AS share_of_delta
+      |FROM deltas JOIN tot ON deltas.month = tot.month""".stripMargin
+
   // ---------------------------------------------------------------- A35
   /** Skyline (Pareto frontier) of suppliers on (unit price ↓, volume
     * ↑) — multi-criteria dominance (Börzsönyi et al., ICDE 2001): a
@@ -683,6 +751,7 @@ object AnalyticExt {
     "q_edit_distance" -> (qEditDistance _),
     "q_record_linkage" -> (qRecordLinkage _),
     "q_skyline" -> (qSkyline _),
+    "q_mom_bridge" -> (qMomBridge _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_window_suite" -> (qWindowSuite _),
     "q_set_ops" -> (qSetOps _),
@@ -702,6 +771,7 @@ object AnalyticExt {
     "q_edit_distance" -> qEditDistanceSql,
     "q_record_linkage" -> qRecordLinkageSql,
     "q_skyline" -> qSkylineSql,
+    "q_mom_bridge" -> qMomBridgeSql,
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_window_suite" -> qWindowSuiteSql,
     "q_set_ops" -> qSetOpsSql,

@@ -94,14 +94,37 @@ object SqlSurface {
       |SELECT nid, round(sim, 4) AS sim FROM s
       |ORDER BY round(sim, 6) DESC, nid ASC LIMIT 10""".stripMargin
 
+  /** I6: the native `session_window` aggregate through the SQL parser
+    * — F33's semantics reachable as SQL text (the GROUP BY carries
+    * the session_window() call; the projected struct exposes
+    * start/end). Same loader-canonicalized epoch-second time base and
+    * decimal-exact sums as F33, and the SAME oracle SQL — three
+    * surfaces (DataFrame, SQL text, DuckDB replay) pinned to one
+    * result set, inclusive-boundary semantics included.
+    */
+  def qSqlSessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir).createOrReplaceTempView("events_ns")
+    spark.sql(
+      """SELECT user_id,
+        |  unix_seconds(session_window.start) AS session_start,
+        |  unix_seconds(session_window.end) AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events_ns
+        |GROUP BY user_id,
+        |  session_window(timestamp_seconds(ts DIV 1000000000), '30 minutes')""".stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_pricing_summary" -> (qSqlPricingSummary _),
+    "q_sql_session_window" -> (qSqlSessionWindow _),
     "q_sql_rolling_fingerprint" -> (qSqlRollingFingerprint _),
     "q_sql_cosine_topk" -> (qSqlCosineTopk _),
     "q_sql_subqueries" -> (qSqlSubqueries _))
 
   def oracle: Map[String, String] = Map(
     "q_sql_pricing_summary" -> Relational.q1Sql,
+    "q_sql_session_window" -> TemporalOps.qSessionWindowSql,
     "q_sql_rolling_fingerprint" -> TextAnalysis.qRollingFingerprintSql,
     "q_sql_cosine_topk" -> qSqlCosineTopkSql,
     "q_sql_subqueries" -> subquerySql)

@@ -115,9 +115,22 @@ object SqlSurface {
         |  session_window(timestamp_seconds(ts DIV 1000000000), '30 minutes')""".stripMargin)
   }
 
+  /** I7: the A35 skyline's dominance formulation — a correlated
+    * NOT EXISTS with two inequality conjuncts and a strictness
+    * disjunction — through the SQL parser: the SAME text runs on
+    * both engines (Catalyst plans the correlated NOT EXISTS as a
+    * null-aware anti-join). Complements A35, whose DataFrame plan is
+    * the grid-pruned sweep: two entirely different plans, one result.
+    */
+  def qSqlSkyline(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql(AnalyticExt.qSkylineSql)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_pricing_summary" -> (qSqlPricingSummary _),
     "q_sql_session_window" -> (qSqlSessionWindow _),
+    "q_sql_skyline" -> (qSqlSkyline _),
     "q_sql_rolling_fingerprint" -> (qSqlRollingFingerprint _),
     "q_sql_cosine_topk" -> (qSqlCosineTopk _),
     "q_sql_subqueries" -> (qSqlSubqueries _))
@@ -125,6 +138,7 @@ object SqlSurface {
   def oracle: Map[String, String] = Map(
     "q_sql_pricing_summary" -> Relational.q1Sql,
     "q_sql_session_window" -> TemporalOps.qSessionWindowSql,
+    "q_sql_skyline" -> AnalyticExt.qSkylineSql,
     "q_sql_rolling_fingerprint" -> TextAnalysis.qRollingFingerprintSql,
     "q_sql_cosine_topk" -> qSqlCosineTopkSql,
     "q_sql_subqueries" -> subquerySql)

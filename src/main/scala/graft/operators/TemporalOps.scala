@@ -188,6 +188,67 @@ object TemporalOps {
        |SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
        |FROM marked GROUP BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- F36
+  /** Inter-purchase interval profile per customer — the cadence
+    * signal behind replenishment models and churn-risk windows
+    * (a 30-day-cadence customer silent for 90 days is churning; a
+    * 90-day one isn't): per customer with ≥ 2 orders, the order
+    * count, median / mean gap in days, and the coefficient of
+    * variation (regularity). One keyed lag window (gaps never leave
+    * the customer's partition) + one aggregate. Parity: gaps are
+    * exact integer days; median rides the proven percentile↔
+    * quantile_cont pair on ints; mean/CV derive from the exact
+    * integer (n, Σd, Σd²) triple in identical double arithmetic —
+    * stddev_samp's summation-order ulps never enter.
+    */
+  def qInterpurchase(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val gaps = Tables.orders(spark, dir)
+      .withColumn("pd", lag(col("o_orderdate"), 1).over(w))
+      .filter(col("pd").isNotNull)
+      .select(col("o_custkey"),
+        datediff(col("o_orderdate"), col("pd")).cast("long").as("gap"))
+    gaps.groupBy(col("o_custkey"))
+      .agg((count(lit(1)) + 1).as("n_orders"),
+        expr("percentile(gap, 0.5)").as("median_gap"),
+        sum(col("gap")).as("s"),
+        sum(col("gap") * col("gap")).as("q"),
+        count(lit(1)).as("m"))
+      .withColumn("mean_gap",
+        round(col("s").cast("double") / col("m"), 6))
+      .withColumn("cv_gap",
+        when(col("m") < 2 || col("s") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            sqrt((col("q").cast("double")
+              - col("s").cast("double") * col("s") / col("m"))
+              / (col("m") - 1))
+            / (col("s").cast("double") / col("m")), 6)))
+      .select(col("o_custkey"), col("n_orders"), col("median_gap"),
+        col("mean_gap"), col("cv_gap"))
+  }
+
+  val qInterpurchaseSql: String =
+    """WITH g0 AS (SELECT o_custkey, o_orderdate,
+      |    lag(o_orderdate, 1) OVER (
+      |      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS pd
+      |  FROM orders),
+      |gaps AS (SELECT o_custkey,
+      |    CAST(date_diff('day', pd, o_orderdate) AS BIGINT) AS gap
+      |  FROM g0 WHERE pd IS NOT NULL),
+      |a AS (SELECT o_custkey, count(*) + 1 AS n_orders,
+      |    CAST(quantile_cont(gap, 0.5) AS DOUBLE) AS median_gap,
+      |    CAST(sum(gap) AS BIGINT) AS s,
+      |    CAST(sum(gap * gap) AS BIGINT) AS q,
+      |    count(*) AS m
+      |  FROM gaps GROUP BY 1)
+      |SELECT o_custkey, n_orders, median_gap,
+      |  round(CAST(s AS DOUBLE) / m, 6) AS mean_gap,
+      |  CASE WHEN m < 2 OR s = 0 THEN NULL
+      |    ELSE round(sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / m)
+      |      / (m - 1)) / (CAST(s AS DOUBLE) / m), 6) END AS cv_gap
+      |FROM a""".stripMargin
+
   // ---------------------------------------------------------------- F34
   /** DAU / WAU / stickiness — the daily-active dashboard triple, and
     * the canonical SLIDING DISTINCT problem: WAU(d) = distinct users
@@ -1253,6 +1314,7 @@ object TemporalOps {
     "q_sessionize" -> (qSessionize _),
     "q_session_window" -> (qSessionWindow _),
     "q_active_users" -> (qActiveUsers _),
+    "q_interpurchase" -> (qInterpurchase _),
     "q_tumbling_window" -> (qTumblingWindow _),
     "q_funnel" -> (qFunnel _),
     "q_churn" -> (qChurn _),
@@ -1287,6 +1349,7 @@ object TemporalOps {
     "q_sessionize" -> qSessionizeSql,
     "q_session_window" -> qSessionWindowSql,
     "q_active_users" -> qActiveUsersSql,
+    "q_interpurchase" -> qInterpurchaseSql,
     "q_tumbling_window" -> qTumblingWindowSql,
     "q_funnel" -> qFunnelSql,
     "q_churn" -> qChurnSql,

@@ -450,7 +450,66 @@ object GraphOps {
       |      / (deg.degree * (deg.degree - 1)), 6) END AS clustering
       |FROM deg LEFT JOIN pern ON deg.node = pern.node""".stripMargin
 
+  // ---------------------------------------------------------------- M7
+  /** Degree distribution of the strong co-supply graph + power-law
+    * tail readout — the first diagnostic on any derived graph
+    * (SCALING.md's triangle analysis turned exactly on whether the
+    * top decile densifies): the degree HISTOGRAM (count-of-counts —
+    * bounded by distinct degrees, the H5/K10 device, never the node
+    * set) with an OLS slope of ln(n_nodes) on ln(degree) over the
+    * histogram points (the K8 Zipf device: covar_pop/var_pop,
+    * 3-dp boundary round absorbing summation-order ulps). A
+    * power-law graph reads slope ≪ −1; the uniform-random co-supply
+    * graph reads flat — quantifying why the p90 cut densifies here
+    * and wouldn't on production data. Fit columns broadcast back
+    * onto the histogram rows (one row per distinct degree).
+    */
+  def qDegreeDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val und = coSupplyPairs(spark, dir)
+    val deg = und.select(col("src").as("node"))
+      .union(und.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val hist = deg.groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+    val fit = hist
+      .select(log(col("degree").cast("double")).as("x"),
+        log(col("n_nodes").cast("double")).as("y"))
+      .agg(count(lit(1)).as("n_points"),
+        covar_pop(col("x"), col("y")).as("cxy"), var_pop(col("x")).as("vx"),
+        avg(col("x")).as("mx"), avg(col("y")).as("my"))
+      // a single-point histogram (degenerate tiny graph) has no slope:
+      // vx = 0 ⇒ NULL fit, not an ANSI divide-by-zero (hit at sf0.001)
+      .select(col("n_points"),
+        when(col("vx") === 0, lit(null).cast("double"))
+          .otherwise(round(col("cxy") / col("vx"), 3)).as("tail_slope"),
+        when(col("vx") === 0, lit(null).cast("double"))
+          .otherwise(round(col("my") - col("cxy") / col("vx") * col("mx"), 3))
+          .as("intercept"))
+    hist.crossJoin(broadcast(fit))
+      .select(col("degree"), col("n_nodes"), col("n_points"),
+        col("tail_slope"), col("intercept"))
+  }
+
+  val qDegreeDistributionSql: String =
+    s"""WITH $undSql,
+      |deg AS (SELECT node, count(*) AS degree FROM (
+      |    SELECT src AS node FROM und UNION ALL SELECT dst FROM und)
+      |  GROUP BY 1),
+      |hist AS (SELECT degree, count(*) AS n_nodes FROM deg GROUP BY 1),
+      |fit AS (SELECT count(*) AS n_points,
+      |    CASE WHEN var_pop(ln(CAST(degree AS DOUBLE))) = 0 THEN NULL
+      |      ELSE round(covar_pop(ln(CAST(degree AS DOUBLE)), ln(CAST(n_nodes AS DOUBLE)))
+      |        / var_pop(ln(CAST(degree AS DOUBLE))), 3) END AS tail_slope,
+      |    CASE WHEN var_pop(ln(CAST(degree AS DOUBLE))) = 0 THEN NULL
+      |      ELSE round(avg(ln(CAST(n_nodes AS DOUBLE)))
+      |        - covar_pop(ln(CAST(degree AS DOUBLE)), ln(CAST(n_nodes AS DOUBLE)))
+      |          / var_pop(ln(CAST(degree AS DOUBLE)))
+      |          * avg(ln(CAST(degree AS DOUBLE))), 3) END AS intercept
+      |  FROM hist)
+      |SELECT degree, n_nodes, n_points, tail_slope, intercept
+      |FROM hist, fit""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_degree_distribution" -> (qDegreeDistribution _),
     "q_pagerank" -> (qPagerank _),
     "q_triangle_count" -> (qTriangleCount _),
     "q_link_prediction" -> (qLinkPrediction _),
@@ -459,6 +518,7 @@ object GraphOps {
     "q_triangle_knn" -> (qTriangleKnn _))
 
   def oracle: Map[String, String] = Map(
+    "q_degree_distribution" -> qDegreeDistributionSql,
     "q_pagerank" -> qPagerankSql,
     "q_triangle_count" -> qTriangleCountSql,
     "q_link_prediction" -> qLinkPredictionSql,

@@ -290,8 +290,68 @@ object BinaryPipeline {
          |FROM g x JOIN g y ON x.phash < y.phash
          |WHERE bit_count(xor(x.phash, y.phash)) <= 3""".stripMargin
 
+  // ---------------------------------------------------------------- G7
+  /** The media keep list — G5/G6 closed into the verdict a multimodal
+    * pipeline ships: pHashes within hamming ≤ 3 cluster into
+    * connected components via the SHARED `clusterPairs` propagation
+    * loop (text, embedding, and media dedup all ride one clustering
+    * path), every payload maps through its hash to a cluster, one
+    * least-doc_id canonical survives per cluster. The clustering
+    * runs on the ≤ 2^16-node HASH graph (bounded by construction),
+    * never on payload rows — corpus growth changes only the final
+    * doc⋈cluster join. Oracle: recursive closure over the same
+    * hash-pair CTEs + the doc join.
+    */
+  def qMediaKeepList(spark: SparkSession, dir: String): DataFrame = {
+    val p = phashes(spark, dir)
+    val pairs = qPhashNeardup(spark, dir)
+      .select(col("a").as("id1"), col("b").as("id2"))
+    val cl = graft.operators.Dedup.clusterPairs(spark, pairs)
+      .select(col("node").as("phash"), col("lab"))
+    val withCluster = p.join(cl, Seq("phash"), "left")
+      .withColumn("phash_cluster", coalesce(col("lab"), col("phash")))
+    val canon = withCluster.groupBy(col("phash_cluster"))
+      .agg(min(col("doc_id")).as("canonical_id"))
+    withCluster.join(canon, "phash_cluster")
+      .select(col("doc_id"), col("phash"), col("phash_cluster"),
+        col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).as("keep"))
+  }
+
+  val qMediaKeepListSql: String =
+    raw"""WITH RECURSIVE f AS (SELECT doc_id, text,
+         |    unnest(generate_series(0, CAST(least(4, length(text) // 32) AS BIGINT) - 1)) AS frame_idx
+         |  FROM documents),
+         |fm AS (SELECT doc_id, frame_idx,
+         |    CAST(list_sum(list_transform(generate_series(1, 8),
+         |      j -> ascii(substr(text, CAST(frame_idx * 32 + j AS INTEGER), 1)))) AS DOUBLE) / 8.0 AS frame_mean
+         |  FROM f),
+         |p AS (SELECT doc_id,
+         |    CAST(sum(CAST(floor(frame_mean / 16) AS BIGINT) *
+         |      (CASE frame_idx WHEN 0 THEN 1 WHEN 1 THEN 16
+         |        WHEN 2 THEN 256 ELSE 4096 END)) AS BIGINT) AS phash
+         |  FROM fm GROUP BY doc_id),
+         |g AS (SELECT phash FROM p GROUP BY 1),
+         |pairs AS (SELECT x.phash AS a, y.phash AS b
+         |  FROM g x JOIN g y ON x.phash < y.phash
+         |  WHERE bit_count(xor(x.phash, y.phash)) <= 3),
+         |sym AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+         |reach(a, b) AS (SELECT a, b FROM sym
+         |  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         |cl AS (SELECT a AS phash, least(a, min(b)) AS lab
+         |  FROM reach GROUP BY a),
+         |mem AS (SELECT p.doc_id, p.phash,
+         |    coalesce(cl.lab, p.phash) AS phash_cluster
+         |  FROM p LEFT JOIN cl ON p.phash = cl.phash),
+         |canon AS (SELECT phash_cluster, min(doc_id) AS canonical_id
+         |  FROM mem GROUP BY 1)
+         |SELECT m.doc_id, m.phash, m.phash_cluster, c.canonical_id,
+         |  (m.doc_id = c.canonical_id) AS keep
+         |FROM mem m JOIN canon c ON m.phash_cluster = c.phash_cluster""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_phash_neardup" -> (qPhashNeardup _),
+    "q_media_keep_list" -> (qMediaKeepList _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_multimodal_resize" -> (qMultimodalResize _),
@@ -300,6 +360,7 @@ object BinaryPipeline {
 
   def oracle: Map[String, String] = Map(
     "q_phash_neardup" -> qPhashNeardupSql,
+    "q_media_keep_list" -> qMediaKeepListSql,
     "q_multimodal_decode" -> qMultimodalDecodeSql,
     "q_multimodal_frames" -> qMultimodalFramesSql,
     "q_multimodal_resize" -> qMultimodalResizeSql,

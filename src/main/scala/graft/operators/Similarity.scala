@@ -180,6 +180,52 @@ object Similarity {
       |UNION ALL SELECT qid, 3, p3, CAST(score3 AS DOUBLE) / 1e7 FROM s3""".stripMargin
   }
 
+  // ---------------------------------------------------------------- D11
+  /** NDCG@5 of the LSH ANN ranking against brute-force truth — THE
+    * standard graded ranking-quality metric, and stricter than D2's
+    * recall (recall says the right items were found; NDCG says they
+    * were found in the right ORDER, weighted by how similar they
+    * actually are). Gains are the 4-dp published cosines (the
+    * hash-proven output surface of both rankings); discounts
+    * 1/log2(rank+1); per-term 10-dp round before the sum, 6-dp
+    * boundary (F27 layered-rounding discipline). Per panel query:
+    * DCG of the LSH top-5, ideal DCG from the exact top-5, their
+    * ratio. Bounded: ≤ 5 rows per panel query on each side.
+    */
+  def qNdcg(spark: SparkSession, dir: String): DataFrame = {
+    def dcgOf(df: DataFrame, out: String): DataFrame = df
+      .withColumn("term",
+        round(col("sim") / log2(col("rank") + 1), 10))
+      .groupBy(col("qid"))
+      .agg(round(sum(col("term")), 6).as(out))
+    val ideal = dcgOf(qAnnBruteforce(spark, dir), "idcg")
+    val got = dcgOf(
+      qAnnLsh(spark, dir)
+        .filter(col("qid") % 50 === 0 && col("qid") < PanelIdCap)
+        .select(col("qid"), col("rank"), col("sim")), "dcg")
+    ideal.join(got, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("dcg"), lit(0.0)).as("dcg"),
+        col("idcg"),
+        when(col("idcg") <= 0, lit(null).cast("double"))
+          .otherwise(round(coalesce(col("dcg"), lit(0.0)) / col("idcg"), 6))
+          .as("ndcg"))
+  }
+
+  def qNdcgSql: String =
+    s"""WITH bf AS (SELECT * FROM ($qAnnBruteforceSql)),
+      |lsh AS (SELECT * FROM ($qAnnLshSql)
+      |  WHERE qid % 50 = 0 AND qid < $PanelIdCap),
+      |ideal AS (SELECT qid,
+      |    round(sum(round(sim / log2(rank + 1), 10)), 6) AS idcg
+      |  FROM bf GROUP BY qid),
+      |got AS (SELECT qid,
+      |    round(sum(round(sim / log2(rank + 1), 10)), 6) AS dcg
+      |  FROM lsh GROUP BY qid)
+      |SELECT i.qid, coalesce(g.dcg, 0.0) AS dcg, i.idcg,
+      |  CASE WHEN i.idcg <= 0 THEN NULL
+      |    ELSE round(coalesce(g.dcg, 0.0) / i.idcg, 6) END AS ndcg
+      |FROM ideal i LEFT JOIN got g ON i.qid = g.qid""".stripMargin
+
   /** Exact top-5 id pairs for the sampled query panel (vec_id % 50 == 0)
     * — the ground truth both approximate variants measure themselves
     * against. Small by construction (2% of vectors × 5 rows).
@@ -1136,6 +1182,7 @@ object Similarity {
     "q_class_separation" -> (qClassSeparation _),
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_mmr_diversify" -> (qMmrDiversify _),
+    "q_ndcg" -> (qNdcg _),
     "q_ann_lsh" -> ((s: SparkSession, d: String) => qAnnLsh(s, d)),
     "q_ann_ivf" -> ((s: SparkSession, d: String) => qAnnIvf(s, d)),
     "q_ann_pq" -> ((s: SparkSession, d: String) => qAnnPq(s, d)),
@@ -1153,6 +1200,7 @@ object Similarity {
     val k = lastShortlistK.get
     Map("q_ann_bruteforce" -> qAnnBruteforceSql, "q_ann_lsh" -> qAnnLshSql,
       "q_mmr_diversify" -> qMmrDiversifySql,
+      "q_ndcg" -> qNdcgSql,
       "q_class_separation" -> qClassSeparationSql) ++
       Option(IvfIndex.lastLoc.get).map { case (a, c) =>
         "q_ann_ivf" -> annIvfSql(a, c, nprobe = 10) }.toMap ++

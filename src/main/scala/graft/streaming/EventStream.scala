@@ -319,6 +319,38 @@ object EventStream {
     spark.table(qn)
   }
 
+  /** F37: streaming daily-active-users — the dedup-then-aggregate
+    * composition (the F34 exact-distinct device in streaming form):
+    * `dropDuplicates` on (user, day-bucketed event time) collapses a
+    * user's repeat events inside the state store, then a tumbling
+    * 1-day window COUNTS survivors — an exact streaming distinct,
+    * where a naive count over the raw stream would need
+    * approx_count_distinct. Both stages share the watermark, so
+    * dedup state for closed days evicts with the window state.
+    * Complete-mode memory sink over the drained bounded source;
+    * spec asserts equality with the batch F34 DAU column.
+    */
+  def streamActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    val qn = "graft_stream_active_users"
+    spark.streams.active.filter(q => Option(q.name).contains(qn)).foreach(_.stop())
+    val agg = Tables.eventsStream(spark, dir)
+      .withColumn("day_ts", timestamp_seconds(
+        expr("((ts DIV 1000000000) DIV 86400) * 86400")))
+      .withWatermark("day_ts", "1 day")
+      .dropDuplicates("user_id", "day_ts")
+      .groupBy(window(col("day_ts"), "1 day"))
+      .agg(count(lit(1)).as("dau"))
+      .select((unix_timestamp(col("window.start")) / 86400).cast("long")
+        .as("day"), col("dau"))
+    withStreamShufflePartitions(spark, 8) {
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(qn).start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    spark.table(qn)
+  }
+
   /** F8: streaming ingest dedup — `dropDuplicatesWithinWatermark` on
     * the event id. The stream is read TWICE and unioned (every event
     * arrives duplicated, the worst-case at-least-once delivery), and

@@ -388,6 +388,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.forall { case (id, c) => persisted(id) == c })
   }
 
+  test("streaming dedup-then-aggregate DAU equals the batch exact-distinct operator") {
+    val streamed = graft.streaming.EventStream.streamActiveUsers(spark, sf)
+      .select("day", "dau").as[(Long, Long)].collect().toMap
+    val batch = graft.operators.TemporalOps.queries("q_active_users")(spark, sf)
+      .select("day", "dau").as[(Long, Long)].collect().toMap
+    assert(streamed.nonEmpty)
+    // complete mode over the drained source: every day present, exact
+    assert(streamed == batch,
+      s"streaming DAU differs from batch: ${streamed.size} vs ${batch.size} days")
+  }
+
   test("streaming session_window emits watermark-closed sessions as a subset of the batch twin") {
     val streamed = graft.streaming.EventStream.streamSessionWindow(spark, sf)
       .select("user_id", "session_start", "session_end", "n_events", "sum_value")

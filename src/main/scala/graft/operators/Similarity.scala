@@ -133,7 +133,14 @@ object Similarity {
     def out(df: DataFrame, rank: Int, p: String) =
       df.select(col("qid"), lit(rank).as("mmr_rank"), col(p).as("nid"),
         (col(s"${p}_sc").cast("double") / 1e7).as("score"))
-    out(s1, 1, "p1").union(out(s2, 2, "p2")).union(out(s3, 3, "p3"))
+    // materialize the 3-row-per-query result, then release the
+    // candidate cache (session hygiene: bench sessions run hundreds
+    // of queries; only the result frame stays resident)
+    val res = out(s1, 1, "p1").union(out(s2, 2, "p2"))
+      .union(out(s3, 3, "p3")).cache()
+    res.count()
+    cands.unpersist()
+    res
   }
 
   val qMmrDiversifySql: String = {

@@ -188,6 +188,52 @@ object TemporalOps {
        |SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
        |FROM marked GROUP BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- F38
+  /** Activity streaks per user — the gaps-and-islands decomposition
+    * (the engagement-streak metric, and the canonical consecutive-
+    * runs device): distinct (user, day) rows get a per-user row
+    * number, and `day − row_number` is CONSTANT exactly along each
+    * consecutive run — one subtraction turns streak detection into a
+    * plain groupBy. Everything exact integers; windows keyed by user;
+    * the longest streak's argmax rides `max(struct(len, −start))`
+    * (longest, then earliest on ties) — no second window. Output per
+    * user: active days, streak count, longest streak + its start day.
+    */
+  def qActivityStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("(ts DIV 1000000000) DIV 86400").cast("long").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val islands = ud
+      .withColumn("island", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+    islands.groupBy(col("user_id"))
+      .agg(sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(struct(col("len"), (-col("start_day")).as("ns"))).as("t"))
+      .select(col("user_id"), col("n_active_days"), col("n_streaks"),
+        col("t.len").as("longest_streak"),
+        (-col("t.ns")).as("longest_start"))
+  }
+
+  val qActivityStreaksSql: String =
+    s"""WITH ud AS (SELECT DISTINCT user_id,
+       |    ($duckTsSec) // 86400 AS day FROM events),
+       |isl AS (SELECT user_id,
+       |    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island,
+       |    day
+       |  FROM ud),
+       |runs AS (SELECT user_id, island, count(*) AS len,
+       |    min(day) AS start_day
+       |  FROM isl GROUP BY 1, 2)
+       |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+       |  count(*) AS n_streaks,
+       |  first(len ORDER BY len DESC, start_day ASC) AS longest_streak,
+       |  first(start_day ORDER BY len DESC, start_day ASC) AS longest_start
+       |FROM runs GROUP BY user_id""".stripMargin
+
   // ---------------------------------------------------------------- F36
   /** Inter-purchase interval profile per customer — the cadence
     * signal behind replenishment models and churn-risk windows
@@ -1315,6 +1361,7 @@ object TemporalOps {
     "q_session_window" -> (qSessionWindow _),
     "q_active_users" -> (qActiveUsers _),
     "q_interpurchase" -> (qInterpurchase _),
+    "q_activity_streaks" -> (qActivityStreaks _),
     "q_tumbling_window" -> (qTumblingWindow _),
     "q_funnel" -> (qFunnel _),
     "q_churn" -> (qChurn _),
@@ -1350,6 +1397,7 @@ object TemporalOps {
     "q_session_window" -> qSessionWindowSql,
     "q_active_users" -> qActiveUsersSql,
     "q_interpurchase" -> qInterpurchaseSql,
+    "q_activity_streaks" -> qActivityStreaksSql,
     "q_tumbling_window" -> qTumblingWindowSql,
     "q_funnel" -> qFunnelSql,
     "q_churn" -> qChurnSql,

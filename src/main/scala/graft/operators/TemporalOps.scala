@@ -234,7 +234,7 @@ object TemporalOps {
        |  first(start_day ORDER BY len DESC, start_day ASC) AS longest_start
        |FROM runs GROUP BY user_id""".stripMargin
 
-  // ---------------------------------------------------------------- F36
+  // ---------------------------------------------------------------- F42
   /** Inter-purchase interval profile per customer — the cadence
     * signal behind replenishment models and churn-risk windows
     * (a 30-day-cadence customer silent for 90 days is churning; a
@@ -295,7 +295,7 @@ object TemporalOps {
       |      / (m - 1)) / (CAST(s AS DOUBLE) / m), 6) END AS cv_gap
       |FROM a""".stripMargin
 
-  // ---------------------------------------------------------------- F34
+  // ---------------------------------------------------------------- F40
   /** DAU / WAU / stickiness — the daily-active dashboard triple, and
     * the canonical SLIDING DISTINCT problem: WAU(d) = distinct users
     * over [d−6, d] cannot ride an ordinary window (distinct doesn't
@@ -337,12 +337,12 @@ object TemporalOps {
        |  round(d.dau * 1.0 / w.wau, 6) AS stickiness
        |FROM dau d JOIN wau w USING (day)""".stripMargin
 
-  // ---------------------------------------------------------------- F33
+  // ---------------------------------------------------------------- F39
   /** Per-session readout via Spark's BUILT-IN `session_window`
     * aggregate — the engine-native twin of F1's hand-rolled gap
     * sessionizer, kept as a separate surface because the two are the
     * cross-check a platform team actually wants: F1 proves the
-    * semantics, F33 proves the native operator reproduces them —
+    * semantics, F39 proves the native operator reproduces them —
     * including the boundary: session_window's end is INCLUSIVE (an
     * event at exactly last+1800 s merges; verified against the one
     * exact-boundary gap in the sf0.1 corpus), so the oracle replays

@@ -120,8 +120,8 @@ object EventStream {
     spark.table(qn)
   }
 
-  /** F35: STREAMING session windows via the built-in `session_window`
-    * aggregate — the streaming twin of the batch F33 (which the
+  /** F41: STREAMING session windows via the built-in `session_window`
+    * aggregate — the streaming twin of the batch F39 (which the
     * oracle checks), and the third window family in the state store
     * after tumbling (F5) and hopping (F5b): session state MERGES
     * windows as late-but-in-watermark events bridge gaps, the case
@@ -320,7 +320,7 @@ object EventStream {
   }
 
   /** F37: streaming daily-active-users — the dedup-then-aggregate
-    * composition (the F34 exact-distinct device in streaming form):
+    * composition (the F40 exact-distinct device in streaming form):
     * `dropDuplicates` on (user, day-bucketed event time) collapses a
     * user's repeat events inside the state store, then a tumbling
     * 1-day window COUNTS survivors — an exact streaming distinct,

@@ -445,8 +445,11 @@ object FeatureOps {
       (col("lang") === "en").as("pos"),
       round(vocabHits(tokens(col("text")), enStops).cast("double") /
         tokenCount(col("text")), 6).as("s"))
+    // re-round in place: `s` is already 6-dp, but the quantization
+    // must be VISIBLE at the percentile input (the §5 plan guard) —
+    // an attribute ref hides the upstream round
     val cuts = scored.agg(expr(
-      "percentile(s, array(0.9, 0.8, 0.7, 0.6, 0.5, 0.4, 0.3, 0.2, 0.1))")
+      "percentile(round(s, 6), array(0.9, 0.8, 0.7, 0.6, 0.5, 0.4, 0.3, 0.2, 0.1))")
       .as("cs"))
     val dec = scored.crossJoin(broadcast(cuts))
       .withColumn("decile", lit(1) + (0 until 9)
@@ -476,10 +479,10 @@ object FeatureOps {
          |    round(CAST(len(list_filter($toksSql, t -> list_contains($stopsSql, t))) AS DOUBLE)
          |      / len($toksSql), 6) AS s
          |  FROM documents),
-         |cuts AS (SELECT [quantile_cont(s, 0.9), quantile_cont(s, 0.8),
-         |    quantile_cont(s, 0.7), quantile_cont(s, 0.6), quantile_cont(s, 0.5),
-         |    quantile_cont(s, 0.4), quantile_cont(s, 0.3), quantile_cont(s, 0.2),
-         |    quantile_cont(s, 0.1)] AS cs FROM sc),
+         |cuts AS (SELECT [quantile_cont(round(s, 6), 0.9), quantile_cont(round(s, 6), 0.8),
+         |    quantile_cont(round(s, 6), 0.7), quantile_cont(round(s, 6), 0.6), quantile_cont(round(s, 6), 0.5),
+         |    quantile_cont(round(s, 6), 0.4), quantile_cont(round(s, 6), 0.3), quantile_cont(round(s, 6), 0.2),
+         |    quantile_cont(round(s, 6), 0.1)] AS cs FROM sc),
          |dec AS (SELECT pos, 1 + len(list_filter(cs, c -> c > s)) AS decile
          |  FROM sc, cuts),
          |per AS (SELECT decile, count(*) AS n,

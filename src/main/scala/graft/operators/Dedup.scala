@@ -1321,6 +1321,48 @@ object Dedup {
          |  (m.doc_id = s.survivor_id) AS keep
          |FROM mem m JOIN surv s ON m.cluster_id = s.cluster_id""".stripMargin
 
+  // ---------------------------------------------------------------- C20
+  /** Effective-epoch inflation per source — the number duplication
+    * actually costs a training run (Lee et al., 2022: a doc in a
+    * near-dup cluster of size k is effectively seen k× per pass):
+    * per source, raw docs vs distinct cluster canonicals, the
+    * inflation ratio, and the mean effective repetitions per UNIQUE
+    * item (Σk²/Σk over that source's cluster memberships — repeats
+    * weighted by how often training actually revisits them). Exact
+    * integers over the shared clustering; two bounded source-keyed
+    * aggregates; ratios divide once at the 6-dp boundary.
+    */
+  def qDedupInflation(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = qDedupClustersText(spark, dir)
+    val mem = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("canon", coalesce(col("cluster_id"), col("doc_id")))
+    val sizes = mem.groupBy(col("canon")).agg(count(lit(1)).as("k"))
+    mem.join(sizes, "canon")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("canon")).as("n_unique"),
+        sum(col("k")).as("sk"), sum(col("k") * col("k")).as("sk2"))
+      .select(col("source"), col("n_docs"), col("n_unique"),
+        round(col("n_docs").cast("double") / col("n_unique"), 6)
+          .as("dup_factor"),
+        round(col("sk2").cast("double") / col("sk"), 6)
+          .as("eff_repetitions"))
+  }
+
+  val qDedupInflationSql: String =
+    raw"""WITH RECURSIVE $textClusterCtes,
+         |mem AS (SELECT d.doc_id, d.source,
+         |    coalesce(cl.cluster_id, d.doc_id) AS canon
+         |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+         |sizes AS (SELECT canon, count(*) AS k FROM mem GROUP BY 1)
+         |SELECT source, count(*) AS n_docs,
+         |  count(DISTINCT m.canon) AS n_unique,
+         |  round(count(*) * 1.0 / count(DISTINCT m.canon), 6) AS dup_factor,
+         |  round(CAST(sum(s.k * s.k) AS DOUBLE) / sum(s.k), 6) AS eff_repetitions
+         |FROM mem m JOIN sizes s ON m.canon = s.canon
+         |GROUP BY source""".stripMargin
+
   // ---------------------------------------------------------------- C12
   /** Source-overlap matrix: near-dup pair mass aggregated to
     * (source, source) — the curator's mirror-detection view (which
@@ -1640,6 +1682,7 @@ object Dedup {
     "q_dedup_clusters_text" -> (qDedupClustersText _),
     "q_neardup_keep_list" -> (qNeardupKeepList _),
     "q_dedup_survivorship" -> (qDedupSurvivorship _),
+    "q_dedup_inflation" -> (qDedupInflation _),
     "q_decontam_keep_list" -> (qDecontamKeepList _),
     "q_source_overlap" -> (qSourceOverlap _),
     "q_containment_pairs" -> (qContainmentPairs _),
@@ -1662,6 +1705,7 @@ object Dedup {
     "q_dedup_clusters_text" -> qDedupClustersTextSql,
     "q_neardup_keep_list" -> qNeardupKeepListSql,
     "q_dedup_survivorship" -> qDedupSurvivorshipSql,
+    "q_dedup_inflation" -> qDedupInflationSql,
     "q_decontam_keep_list" -> qDecontamKeepListSql,
     "q_source_overlap" -> qSourceOverlapSql,
     "q_containment_pairs" -> qContainmentPairsSql,

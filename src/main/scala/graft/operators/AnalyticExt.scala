@@ -282,6 +282,79 @@ object AnalyticExt {
          |SELECT doc_id, next_id, source, levenshtein(s, next_s) AS edit_dist
          |FROM p WHERE next_id IS NOT NULL""".stripMargin
 
+  // ---------------------------------------------------------------- A37
+  /** Wald–Wolfowitz runs test on daily event volume — the sequence-
+    * randomness verdict the anomaly family lacks: F11 flags level
+    * outliers and F21† a level SHIFT, but a metric can pass both
+    * while its fluctuations cluster (trend, weekly seasonality,
+    * autocorrelated load). Above/below-median signs per day (median
+    * from the exact percentile on integer counts; equal-to-median
+    * days excluded, the standard treatment), runs counted by one
+    * sign≠lag(sign) pass over the BOUNDED day table (window-length
+    * days, the q_changepoint exemption class), then the closed-form
+    * normal approximation — E[R], Var[R], z — from exact integer
+    * (n1, n2, R) in identical double arithmetic, 6-dp boundary.
+    */
+  def qRunsTest(spark: SparkSession, dir: String): DataFrame = {
+    val byDay = Tables.events(spark, dir)
+      .select(expr("(ts DIV 1000000000) DIV 86400").cast("long").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n"))
+    val med = byDay.agg(expr("percentile(n, 0.5)").as("med"))
+    val signed = byDay.crossJoin(broadcast(med))
+      .filter(col("n") =!= col("med"))
+      .withColumn("s", when(col("n") > col("med"), 1).otherwise(0))
+    val w = Window.orderBy(col("day"))
+    val runs = signed
+      .withColumn("brk",
+        when(lag(col("s"), 1).over(w).isNull
+          || lag(col("s"), 1).over(w) =!= col("s"), 1L).otherwise(0L))
+      .agg(sum(col("brk")).as("runs"),
+        sum(col("s")).cast("long").as("n1"),
+        sum(lit(1) - col("s")).cast("long").as("n2"))
+    runs
+      .withColumn("m", col("n1") + col("n2"))
+      .withColumn("e_runs",
+        lit(1.0) + lit(2.0) * col("n1") * col("n2") / col("m"))
+      .withColumn("var_runs",
+        lit(2.0) * col("n1") * col("n2")
+          * (lit(2.0) * col("n1") * col("n2") - col("n1") - col("n2"))
+          / (col("m") * col("m") * (col("m") - 1)))
+      .select(col("n1"), col("n2"), col("runs"),
+        round(col("e_runs"), 6).as("e_runs"),
+        when(col("var_runs") <= 0, lit(null).cast("double"))
+          .otherwise(round((col("runs") - col("e_runs"))
+            / sqrt(col("var_runs")), 6)).as("z"))
+      .withColumn("random_ok",
+        coalesce(abs(col("z")) <= 1.96, lit(false)))
+  }
+
+  val qRunsTestSql: String =
+    """WITH byday AS (SELECT (CAST(floor(epoch(ts)) AS BIGINT)) // 86400 AS day,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1),
+      |med AS (SELECT quantile_cont(n, 0.5) AS med FROM byday),
+      |signed AS (SELECT day, CASE WHEN n > med THEN 1 ELSE 0 END AS s
+      |  FROM byday, med WHERE n <> med),
+      |brk AS (SELECT s, CASE WHEN lag(s) OVER (ORDER BY day) IS NULL
+      |      OR lag(s) OVER (ORDER BY day) <> s THEN 1 ELSE 0 END AS b
+      |  FROM signed),
+      |agg AS (SELECT CAST(sum(b) AS BIGINT) AS runs,
+      |    CAST(sum(s) AS BIGINT) AS n1,
+      |    CAST(sum(1 - s) AS BIGINT) AS n2
+      |  FROM brk),
+      |calc AS (SELECT *, n1 + n2 AS m,
+      |    1.0 + 2.0 * n1 * n2 / (n1 + n2) AS e_runs,
+      |    2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+      |      / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1)) AS var_runs
+      |  FROM agg)
+      |SELECT n1, n2, runs, round(e_runs, 6) AS e_runs,
+      |  CASE WHEN var_runs <= 0 THEN NULL
+      |    ELSE round((runs - e_runs) / sqrt(var_runs), 6) END AS z,
+      |  coalesce(abs(CASE WHEN var_runs <= 0 THEN NULL
+      |    ELSE round((runs - e_runs) / sqrt(var_runs), 6) END) <= 1.96,
+      |    false) AS random_ok
+      |FROM calc""".stripMargin
+
   // ---------------------------------------------------------------- A36
   /** Month-over-month revenue bridge — the contribution analysis
     * behind every "why did revenue move" review: each month's total
@@ -752,6 +825,7 @@ object AnalyticExt {
     "q_record_linkage" -> (qRecordLinkage _),
     "q_skyline" -> (qSkyline _),
     "q_mom_bridge" -> (qMomBridge _),
+    "q_runs_test" -> (qRunsTest _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_window_suite" -> (qWindowSuite _),
     "q_set_ops" -> (qSetOps _),
@@ -772,6 +846,7 @@ object AnalyticExt {
     "q_record_linkage" -> qRecordLinkageSql,
     "q_skyline" -> qSkylineSql,
     "q_mom_bridge" -> qMomBridgeSql,
+    "q_runs_test" -> qRunsTestSql,
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_window_suite" -> qWindowSuiteSql,
     "q_set_ops" -> qSetOpsSql,

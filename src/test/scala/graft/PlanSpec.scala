@@ -185,9 +185,11 @@ class PlanSpec extends AnyFunSuite {
     //  - q_mutual_info: rank over the 64-row dim table, never the corpus
     //  - q_skyline: the exact sweep runs over grid-pruned candidates
     //    only (output-scale, not corpus-scale — see qSkyline doc)
+    //  - q_runs_test: sign sequence over the bounded day table (the
+    //    q_changepoint class)
     val windowExempt = Set("q_skew_report", "q_auc", "q_bm25", "q_quality_drift",
       "q_vocab_coverage", "q_kaplan_meier", "q_changepoint", "q_fdr_bh",
-      "q_mutual_info", "q_skyline")
+      "q_mutual_info", "q_skyline", "q_runs_test")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       // pre-AQE physical plan: traversable with plain collect (the
       // AQE wrapper hides its initial plan from TreeNode traversal,

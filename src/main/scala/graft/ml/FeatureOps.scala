@@ -266,7 +266,7 @@ object FeatureOps {
       |FROM grid LEFT JOIN obs USING (dim, label, pos)
       |GROUP BY dim""".stripMargin
 
-  // ---------------------------------------------------------------- E26
+  // ---------------------------------------------------------------- E27
   /** Mutual information I(sign(x_d); label) per embedding dimension —
     * E15's chi2 twin on the information-theoretic scale (nats): the
     * filter-method feature-relevance score that, unlike chi2, is

@@ -1,23 +1,32 @@
 package graft.ml
 
+import org.apache.spark.ml.Pipeline
 import org.apache.spark.ml.classification.LogisticRegression
 import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
+import org.apache.spark.ml.feature.{HashingTF, StringIndexer, Tokenizer}
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** MLlib pipeline tuning (SURVEY.md §2: E7, E8) — the reference's
-  * nominal domain: estimator pipelines tuned with seeded
-  * cross-validation over a param grid. Rows-only checked (no SQL
-  * equivalent); determinism comes from fixed seeds.
+/** MLlib pipeline tuning (SURVEY.md §2: E7, E7b, E8, E13) — estimator
+  * pipelines tuned with deterministic-fold cross-validation over a
+  * param grid. The r12 design: the CV loop is EXPLICIT (hash-bucket
+  * folds on the row key instead of CrossValidator's internal random
+  * split) so every fit's per-row predictions are first-class artifacts
+  * — persisted next to the KMeans/IVF stores with the same
+  * corpus-fingerprint staleness contract — and the published tuning
+  * curve is pure SQL over those artifacts, replayed bit-for-bit by
+  * the DuckDB oracle (the E8/E9 verdict-form device; previously these
+  * three queries were rows-only because the iterative fit has no SQL
+  * twin — its OUTPUT does).
   *
-  * Scale notes: CrossValidator parallelism evaluates grid points
-  * concurrently; folds are hash-splits of the (distributed) dataset —
-  * nothing is collected. At 100 TB one would subsample per fold
-  * (`sampleBy` on the label) rather than full-fit every grid cell.
+  * Scale notes: folds are hash-filters of the distributed dataset —
+  * nothing is collected; grid cells fit concurrently (bounded pool,
+  * CrossValidator's parallelism knob made explicit). At 100 TB one
+  * would subsample per fold (`sampleBy` on the label) rather than
+  * full-fit every grid cell; the persisted-prediction contract is
+  * unchanged by that dial.
   */
 object Tuning {
 
@@ -27,100 +36,255 @@ object Tuning {
       array_to_vector(col("embedding")).as("features"),
       col("label").cast("double").as("label"))
 
-  /** E7: seeded 3-fold CV over a LogisticRegression grid; returns the
-    * per-grid-point mean accuracy (the tuning curve).
+  /** Persisted-prediction store scaffold shared by the three CV-style
+    * queries: one external parquet location per (family, corpus
+    * fingerprint), built once per corpus state, `_DONE` marker written
+    * LAST so a crashed build re-runs (the write itself is idempotent
+    * overwrite). fitCount observes warm-path reuse; lastLoc feeds the
+    * late-bound oracle exactly as [[KmeansStore]] does (Verify runs
+    * queries before dumping oracle_sql.json).
+    */
+  private[ml] abstract class PredStore(family: String, srcTable: String) {
+    import java.util.concurrent.atomic.{AtomicInteger, AtomicReference}
+    val fitCount = new AtomicInteger(0)
+    val lastLoc = new AtomicReference[String](null)
+
+    /** Fit everything and write the artifact tables under `loc`. */
+    protected def build(spark: SparkSession, dir: String, loc: String): Unit
+
+    private def stem(dir: String): String =
+      s"graft_${family}_" + dir.replaceAll("[^a-zA-Z0-9]+", "_")
+        .stripPrefix("_").stripSuffix("_") + "_"
+
+    def ensure(spark: SparkSession, dir: String): String = {
+      val tag = Tables.Probe.corpusTag(spark, s"$dir/$srcTable.parquet", fresh = true)
+      val w = spark.conf.get("spark.sql.warehouse.dir")
+      val loc = java.nio.file.Paths.get(new java.net.URI(w).getPath)
+        .resolve(stem(dir) + tag)
+      val done = loc.resolve("_DONE")
+      if (!java.nio.file.Files.exists(done)) {
+        fitCount.incrementAndGet()
+        build(spark, dir, loc.toString)
+        java.nio.file.Files.createFile(done)
+      }
+      lastLoc.set(loc.toString)
+      loc.toString
+    }
+
+    /** Bounded fit pool — CrossValidator's parallelism knob, explicit. */
+    protected def inParallel[A](work: Seq[() => A]): Seq[A] = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      try Await.result(Future.sequence(work.map(f => Future(f()))), Duration.Inf)
+      finally pool.shutdown()
+    }
+  }
+
+  /** E7 store: 3 hash folds × 4 LogisticRegression grid points over
+    * the embeddings; persists (vec_id, fold, reg_param, elastic_net,
+    * label, prediction) — one row per held-out scoring.
+    */
+  object CvStore extends PredStore("cvpred", "embeddings") {
+    val Folds = 3
+    val Grid: Seq[(Double, Double)] =
+      for { r <- Seq(0.001, 0.1); e <- Seq(0.0, 0.5) } yield (r, e)
+
+    protected def build(spark: SparkSession, dir: String, loc: String): Unit = {
+      // cache: every fold × grid fit re-evaluates the input; uncached,
+      // each of 12 LBFGS fits re-runs the scan + array_to_vector
+      val data = features(spark, dir)
+        .withColumn("fold", pmod(hash(col("vec_id")), lit(Folds)).cast("int"))
+        .cache()
+      data.count()
+      val parts = inParallel(
+        for { (reg, en) <- Grid; f <- 0 until Folds } yield { () =>
+          val lr = new LogisticRegression().setMaxIter(25).setTol(1e-5)
+            .setRegParam(reg).setElasticNetParam(en)
+          lr.fit(data.filter(col("fold") =!= f))
+            .transform(data.filter(col("fold") === f))
+            .select(col("vec_id"), col("fold"),
+              lit(reg).as("reg_param"), lit(en).as("elastic_net"),
+              col("label"), col("prediction"))
+        })
+      parts.reduce(_ union _).coalesce(1)
+        .write.mode("overwrite").parquet(loc)
+      data.unpersist()
+    }
+  }
+
+  /** E7: the tuning curve as SQL over the persisted CV predictions —
+    * per-fold accuracy (10-dp) then the fold mean (6-dp boundary), so
+    * the oracle recomputes the identical rounding ladder from the
+    * identical artifact. One grid point per row, exactly
+    * CrossValidator's avgMetrics semantics with deterministic folds.
     */
   def qMllibTuning(spark: SparkSession, dir: String): DataFrame = {
-    // cache: CV folds and every LBFGS iteration re-evaluate the input;
-    // uncached, each of 3 folds x 4 grid points x ~25 iterations
-    // re-runs the parquet scan + array_to_vector projection
-    val data = features(spark, dir).cache(); data.count()
-    val lr = new LogisticRegression().setMaxIter(25).setTol(1e-5)
-    val grid = new ParamGridBuilder()
-      .addGrid(lr.regParam, Array(0.001, 0.1))
-      .addGrid(lr.elasticNetParam, Array(0.0, 0.5))
-      .build()
-    val cv = new CrossValidator()
-      .setEstimator(lr)
-      .setEvaluator(new MulticlassClassificationEvaluator().setMetricName("accuracy"))
-      .setEstimatorParamMaps(grid)
-      .setNumFolds(3)
-      .setParallelism(4)
-      .setSeed(42)
-    val model = cv.fit(data)
-    val rows = grid.zip(model.avgMetrics).map { case (pm, m) =>
-      (pm(lr.regParam), pm(lr.elasticNetParam), math.rint(m * 1e6) / 1e6)
-    }
-    spark.createDataFrame(rows.toSeq)
-      .toDF("reg_param", "elastic_net", "cv_accuracy")
+    val loc = CvStore.ensure(spark, dir)
+    val pf = spark.read.parquet(loc)
+      .groupBy(col("reg_param"), col("elastic_net"), col("fold"))
+      .agg(round(avg(when(col("prediction") === col("label"), 1.0)
+        .otherwise(0.0)), 10).as("acc"),
+        count(lit(1)).as("n"))
+    pf.groupBy(col("reg_param"), col("elastic_net"))
+      .agg(count(lit(1)).cast("long").as("n_folds"),
+        sum(col("n")).cast("long").as("n_rows"),
+        round(avg(col("acc")), 6).as("cv_accuracy"))
   }
 
-  /** E7b: an actual multi-stage `Pipeline` under the seeded
-    * cross-validator — StringIndexer(lang label) → Tokenizer →
-    * HashingTF → LogisticRegression over the documents corpus,
-    * tuned jointly across feature-space size and regularization (the
-    * grid spans stages, which is the point of Pipeline tuning: one
-    * search over the composed estimator, no leakage between stages).
-    * Returns the tuning curve; rows-only checked, seeded.
+  private def mllibTuningSql(loc: String): String =
+    s"""WITH p AS (SELECT * FROM read_parquet('$loc/*.parquet')),
+       |pf AS (SELECT reg_param, elastic_net, fold,
+       |    round(avg(CASE WHEN prediction = label THEN 1.0 ELSE 0.0 END), 10) AS acc,
+       |    count(*) AS n
+       |  FROM p GROUP BY 1, 2, 3)
+       |SELECT reg_param, elastic_net, CAST(count(*) AS BIGINT) AS n_folds,
+       |  CAST(sum(n) AS BIGINT) AS n_rows, round(avg(acc), 6) AS cv_accuracy
+       |FROM pf GROUP BY 1, 2""".stripMargin
+
+  /** E7b store: the multi-stage pipeline (Tokenizer → HashingTF → LR)
+    * tuned jointly across feature-space size and regularization over
+    * the documents corpus, 3 hash folds on doc_id. The label mapping
+    * (StringIndexer, alphabetAsc) is fit ONCE on the full corpus —
+    * label indexing is corpus-level metadata, not a tunable stage, and
+    * a per-fold fit could produce fold-dependent label spaces; the
+    * tunable stages fit strictly inside the training fold (no
+    * leakage: tokenization and hashing are stateless, LR sees only
+    * train rows). Persists (doc_id, fold, num_features, reg_param,
+    * label, prediction).
+    */
+  object PipeStore extends PredStore("pipepred", "documents") {
+    val Folds = 3
+    val Grid: Seq[(Int, Double)] =
+      for { nf <- Seq(256, 1024); r <- Seq(0.01, 0.3) } yield (nf, r)
+
+    protected def build(spark: SparkSession, dir: String, loc: String): Unit = {
+      val docs0 = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+      val indexer = new StringIndexer().setInputCol("lang").setOutputCol("label")
+        .setStringOrderType("alphabetAsc") // deterministic label ids
+        .fit(docs0)
+      val docs = indexer.transform(docs0)
+        .withColumn("fold", pmod(hash(col("doc_id")), lit(Folds)).cast("int"))
+        .cache()
+      docs.count()
+      val parts = inParallel(
+        for { (nf, reg) <- Grid; f <- 0 until Folds } yield { () =>
+          val tok = new Tokenizer().setInputCol("text").setOutputCol("toks")
+          val tf = new HashingTF().setInputCol("toks").setOutputCol("features")
+            .setNumFeatures(nf)
+          val lr = new LogisticRegression().setMaxIter(20).setTol(1e-4)
+            .setRegParam(reg)
+          new Pipeline().setStages(Array(tok, tf, lr))
+            .fit(docs.filter(col("fold") =!= f))
+            .transform(docs.filter(col("fold") === f))
+            .select(col("doc_id"), col("fold"),
+              lit(nf.toLong).as("num_features"), lit(reg).as("reg_param"),
+              col("label"), col("prediction"))
+        })
+      parts.reduce(_ union _).coalesce(1)
+        .write.mode("overwrite").parquet(loc)
+      docs.unpersist()
+    }
+  }
+
+  /** E7b: pipeline tuning curve over the persisted predictions — same
+    * verdict arithmetic as [[qMllibTuning]], grid keyed on
+    * (num_features, reg_param) because the search spans stages.
     */
   def qPipelineTuning(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.Pipeline
-    import org.apache.spark.ml.feature.{HashingTF, StringIndexer, Tokenizer}
-    val docs = Tables.documents(spark, dir).select(col("text"), col("lang")).cache()
-    docs.count() // eager: folds/grid cells share one materialized corpus
-    val indexer = new StringIndexer().setInputCol("lang").setOutputCol("label")
-      .setStringOrderType("alphabetAsc") // deterministic label ids
-    val tok = new Tokenizer().setInputCol("text").setOutputCol("toks")
-    val tf = new HashingTF().setInputCol("toks").setOutputCol("features")
-    val lr = new LogisticRegression().setMaxIter(20).setTol(1e-4)
-    val pipe = new Pipeline().setStages(Array(indexer, tok, tf, lr))
-    val grid = new ParamGridBuilder()
-      .addGrid(tf.numFeatures, Array(256, 1024))
-      .addGrid(lr.regParam, Array(0.01, 0.3))
-      .build()
-    val cv = new CrossValidator()
-      .setEstimator(pipe)
-      .setEvaluator(new MulticlassClassificationEvaluator().setMetricName("accuracy"))
-      .setEstimatorParamMaps(grid)
-      .setNumFolds(3)
-      .setParallelism(4)
-      .setSeed(42)
-    val model = cv.fit(docs)
-    val rows = grid.zip(model.avgMetrics).map { case (pm, m) =>
-      (pm(tf.numFeatures).toLong, pm(lr.regParam), math.rint(m * 1e6) / 1e6)
-    }
-    spark.createDataFrame(rows.toSeq)
-      .toDF("num_features", "reg_param", "cv_accuracy")
+    val loc = PipeStore.ensure(spark, dir)
+    val pf = spark.read.parquet(loc)
+      .groupBy(col("num_features"), col("reg_param"), col("fold"))
+      .agg(round(avg(when(col("prediction") === col("label"), 1.0)
+        .otherwise(0.0)), 10).as("acc"),
+        count(lit(1)).as("n"))
+    pf.groupBy(col("num_features"), col("reg_param"))
+      .agg(count(lit(1)).cast("long").as("n_folds"),
+        sum(col("n")).cast("long").as("n_rows"),
+        round(avg(col("acc")), 6).as("cv_accuracy"))
   }
 
-  /** E13: learning curve — CV-style accuracy as a function of training
-    * set size (seeded nested fractions, fixed held-out split). Answers
-    * the question tuning alone can't: is the model data-bound (curve
-    * still rising → collect more data) or capacity-bound (flat →
-    * tune/scale the model)? Train/test split and the growing training
-    * subsets are hash-bucket filters on vec_id (deterministic, and
-    * NESTED: every smaller fraction is a subset of every larger one),
-    * so the curve is monotone in expectation and bit-stable across
-    * runs. Rows-only checked (an iterative LBFGS fit has no SQL twin);
-    * bounds spec'd in TuningSpec.
+  private def pipelineTuningSql(loc: String): String =
+    s"""WITH p AS (SELECT * FROM read_parquet('$loc/*.parquet')),
+       |pf AS (SELECT num_features, reg_param, fold,
+       |    round(avg(CASE WHEN prediction = label THEN 1.0 ELSE 0.0 END), 10) AS acc,
+       |    count(*) AS n
+       |  FROM p GROUP BY 1, 2, 3)
+       |SELECT num_features, reg_param, CAST(count(*) AS BIGINT) AS n_folds,
+       |  CAST(sum(n) AS BIGINT) AS n_rows, round(avg(acc), 6) AS cv_accuracy
+       |FROM pf GROUP BY 1, 2""".stripMargin
+
+  /** E13 store: learning-curve fits — nested training subsets by hash
+    * bucket (bucket < hi for hi ∈ 16..80, so every smaller fraction is
+    * a subset of every larger one), fixed held-out split (bucket ≥ 80).
+    * Persists TWO tables under one location: `pred` (hi, vec_id,
+    * label, prediction — held-out scorings per curve point) and `asg`
+    * (vec_id, bucket — the full assignment, so train-set sizes are
+    * recomputable by both engines without re-deriving Spark's hash).
+    */
+  object LearnStore extends PredStore("lcurve", "embeddings") {
+    val His = Seq(16, 32, 48, 64, 80)
+
+    protected def build(spark: SparkSession, dir: String, loc: String): Unit = {
+      val data = features(spark, dir)
+        .withColumn("bucket", pmod(hash(col("vec_id")), lit(100)).cast("int"))
+        .cache()
+      data.count()
+      data.select(col("vec_id"), col("bucket"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$loc/asg")
+      val testC = data.filter(col("bucket") >= 80)
+      val parts = inParallel(
+        His.map { hi => () =>
+          val lr = new LogisticRegression().setMaxIter(25).setTol(1e-5)
+            .setRegParam(0.01)
+          lr.fit(data.filter(col("bucket") < hi)) // nested by construction
+            .transform(testC)
+            .select(lit(hi).as("hi"), col("vec_id"),
+              col("label"), col("prediction"))
+        })
+      parts.reduce(_ union _).coalesce(1)
+        .write.mode("overwrite").parquet(s"$loc/pred")
+      data.unpersist()
+    }
+  }
+
+  /** E13: the learning curve as SQL over the persisted artifacts —
+    * accuracy per curve point from `pred`, train-set size from the
+    * bounded bucket histogram of `asg` (≤ 100 rows, broadcast), both
+    * engines computing hi/80 in identical IEEE arithmetic. Answers
+    * the question tuning alone can't: data-bound (curve rising) vs
+    * capacity-bound (flat).
     */
   def qLearningCurve(spark: SparkSession, dir: String): DataFrame = {
-    val data = features(spark, dir)
-      .withColumn("bucket", pmod(hash(col("vec_id")), lit(100)))
-      .cache()
-    data.count()
-    val testC = data.filter(col("bucket") >= 80)
-    val lr = new LogisticRegression().setMaxIter(25).setTol(1e-5).setRegParam(0.01)
-    val eval = new MulticlassClassificationEvaluator().setMetricName("accuracy")
-    val rows = Seq(16, 32, 48, 64, 80).map { hi =>
-      val subC = data.filter(col("bucket") < hi) // nested by construction
-      val n = subC.count()
-      val acc = eval.evaluate(lr.fit(subC).transform(testC))
-      (hi / 80.0, n, math.rint(acc * 1e6) / 1e6)
-    }
-    data.unpersist()
-    spark.createDataFrame(rows).toDF("train_frac", "n_train", "accuracy")
+    val loc = LearnStore.ensure(spark, dir)
+    val pred = spark.read.parquet(s"$loc/pred")
+    val bc = spark.read.parquet(s"$loc/asg")
+      .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+    val acc = pred.groupBy(col("hi"))
+      .agg(round(avg(when(col("prediction") === col("label"), 1.0)
+        .otherwise(0.0)), 6).as("accuracy"))
+    val ntr = pred.select(col("hi")).distinct()
+      .join(broadcast(bc), bc("bucket") < col("hi"))
+      .groupBy(col("hi")).agg(sum(col("c")).cast("long").as("n_train"))
+    ntr.join(acc, "hi")
+      .select((col("hi").cast("double") / 80).as("train_frac"),
+        col("n_train"), col("accuracy"))
   }
+
+  private def learningCurveSql(loc: String): String =
+    s"""WITH pred AS (SELECT * FROM read_parquet('$loc/pred/*.parquet')),
+       |bc AS (SELECT bucket, count(*) AS c
+       |  FROM read_parquet('$loc/asg/*.parquet') GROUP BY 1),
+       |his AS (SELECT DISTINCT hi FROM pred),
+       |ntr AS (SELECT hi, CAST(sum(c) AS BIGINT) AS n_train
+       |  FROM his JOIN bc ON bc.bucket < his.hi GROUP BY 1),
+       |acc AS (SELECT hi,
+       |    round(avg(CASE WHEN prediction = label THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+       |  FROM pred GROUP BY 1)
+       |SELECT CAST(n.hi AS DOUBLE) / 80 AS train_frac, n.n_train, a.accuracy
+       |FROM ntr n JOIN acc a ON n.hi = a.hi""".stripMargin
 
   /** Persisted KMeans assignment (the [[graft.operators.Similarity.IvfIndex]]
     * pattern at k = 10): the Lloyd fit has no SQL twin, but its OUTPUT —
@@ -245,11 +409,17 @@ object Tuning {
     "q_learning_curve" -> (qLearningCurve _),
     "q_kmeans" -> (qKmeans _))
 
-  /** The iterative fits stay rows-only (no SQL twin); q_kmeans's
-    * PROFILE is oracle-replayable once its assignment store exists in
-    * this JVM (Verify runs queries before dumping oracle_sql.json —
-    * the [[graft.operators.Similarity]] late-binding device). */
+  /** Every Tuning query is oracle-replayable once its prediction /
+    * assignment store exists in this JVM (Verify runs queries before
+    * dumping oracle_sql.json — the [[graft.operators.Similarity]]
+    * late-binding device; absent stores fall back to rows-only). */
   def oracle: Map[String, String] =
     Option(KmeansStore.lastLoc.get)
-      .map(loc => "q_kmeans" -> kmeansSql(loc)).toMap
+      .map(loc => "q_kmeans" -> kmeansSql(loc)).toMap ++
+    Option(CvStore.lastLoc.get)
+      .map(loc => "q_mllib_tuning" -> mllibTuningSql(loc)).toMap ++
+    Option(PipeStore.lastLoc.get)
+      .map(loc => "q_pipeline_tuning" -> pipelineTuningSql(loc)).toMap ++
+    Option(LearnStore.lastLoc.get)
+      .map(loc => "q_learning_curve" -> learningCurveSql(loc)).toMap
 }

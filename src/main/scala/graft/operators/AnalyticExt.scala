@@ -363,7 +363,12 @@ object AnalyticExt {
     * segment) series silently compares non-adjacent months — so the
     * revenue lands on a DENSE month × segment grid first (distinct
     * months ⨯ broadcast segment list, both bounded by construction,
-    * absent cells exactly 0). Decimal-exact end to end — revenue,
+    * absent cells exactly 0). Dense over OBSERVED months: a calendar
+    * month with zero orders across ALL segments would still be
+    * skipped by lag() — acceptable for this corpus (continuous
+    * generated order stream), and both engines share the convention;
+    * a gap-proof variant would build the axis with
+    * sequence(min_month, max_month) as q_gap_fill (F9) does. Decimal-exact end to end — revenue,
     * deltas, and the per-month total delta stay DECIMAL until the
     * one share division at the 6-dp boundary (sign convention:
     * share of the month's NET move, ±); the lag window partitions

@@ -94,10 +94,35 @@ object Similarity {
         col("v"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("rel").desc, col("nid").asc)
-    val cands = scored.withColumn("rank", row_number().over(w))
+    mmrOver(scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 10)
-      .select(col("qid"), col("nid"), col("rel"), col("v"))
-      .cache()
+      .select(col("qid"), col("nid"), col("rel"), col("v")))
+  }
+
+  /** D10b: MMR over the PRODUCTION retrieval path — the same greedy
+    * diversity selection, but the candidate pool is the IVF+PQ
+    * shortlist's exact-reranked top-10 ([[ivfPqScored]]) instead of a
+    * full-corpus cosine scan. This is the composition a 100 TB
+    * deployment actually runs: probes bound the scan, ADC scores the
+    * probed cells, exact rerank touches √n-ish vectors, and MMR then
+    * pays only the bounded 10-candidate pool per query — nothing in
+    * the diversity step ever sees the corpus. Oracle: the full IVF+PQ
+    * replay chain feeding the exact-integer MMR tail.
+    */
+  def qMmrAnn(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(round(col("sim"), 6).desc, col("nid").asc)
+    mmrOver(ivfPqScored(spark, dir, nlist = 16, nprobe = 12, shortlistOverride = 0)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("nid"), round(col("sim"), 6).as("rel"), col("v")))
+  }
+
+  /** The shared greedy-MMR core over a bounded candidate pool
+    * (qid, nid, rel 6-dp, v): 3 unrolled exact-integer argmax steps —
+    * see [[qMmrDiversify]] for the arithmetic contract. */
+  private def mmrOver(cands0: DataFrame): DataFrame = {
+    val cands = cands0.cache()
     val cc = cands.as("a")
       .join(cands.as("b"),
         col("a.qid") === col("b.qid") && col("a.nid") =!= col("b.nid"))
@@ -135,7 +160,12 @@ object Similarity {
         (col(s"${p}_sc").cast("double") / 1e7).as("score"))
     // materialize the 3-row-per-query result, then release the
     // candidate cache (session hygiene: bench sessions run hundreds
-    // of queries; only the result frame stays resident)
+    // of queries; only the result frame stays resident). The result
+    // cache is INTENTIONALLY left to the session: it is ≤ 3 rows per
+    // panel query (bounded by PanelIdCap, not the corpus), the caller
+    // reads it after return so unpersisting here would re-run the
+    // chain, and Bench/Verify clear the catalog cache between queries
+    // so repeated invocations do not accumulate across a run.
     val res = out(s1, 1, "p1").union(out(s2, 2, "p2"))
       .union(out(s3, 3, "p3")).cache()
     res.count()
@@ -143,19 +173,14 @@ object Similarity {
     res
   }
 
-  val qMmrDiversifySql: String = {
-    raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0 AND vec_id < $PanelIdCap),
-      |flat AS (SELECT qid, e.vec_id AS nid, unnest(qv) AS x, unnest(v) AS y
-      |  FROM e JOIN q ON e.vec_id <> q.qid),
-      |scored AS (SELECT qid, nid,
-      |    round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS rel
-      |  FROM flat GROUP BY qid, nid),
-      |cands AS (SELECT qid, nid, rel FROM (
-      |    SELECT qid, nid, rel, row_number() OVER (
-      |      PARTITION BY qid ORDER BY rel DESC, nid ASC) AS rank
-      |    FROM scored) WHERE rank <= 10),
-      |cflat AS (SELECT a.qid, a.nid AS ci, b.nid AS cj,
+  /** The MMR selection chain as SQL, composable over ANY pool: assumes
+    * CTEs `e(vec_id, v DOUBLE[])` (candidate vectors) and
+    * `cands(qid, nid, rel)` (the bounded pool, rel 6-dp) are already
+    * defined — [[qMmrDiversifySql]] feeds it the brute-force pool,
+    * [[mmrAnnSql]] the full IVF+PQ replay chain.
+    */
+  private val mmrSqlTail: String =
+    raw"""cflat AS (SELECT a.qid, a.nid AS ci, b.nid AS cj,
       |    unnest(ea.v) AS x, unnest(eb.v) AS y
       |  FROM cands a JOIN cands b ON a.qid = b.qid AND a.nid <> b.nid
       |  JOIN e ea ON a.nid = ea.vec_id JOIN e eb ON b.nid = eb.vec_id),
@@ -185,7 +210,20 @@ object Similarity {
       |SELECT qid, 1 AS mmr_rank, p1 AS nid, CAST(score1 AS DOUBLE) / 1e7 AS score FROM s1
       |UNION ALL SELECT qid, 2, p2, CAST(score2 AS DOUBLE) / 1e7 FROM s2
       |UNION ALL SELECT qid, 3, p3, CAST(score3 AS DOUBLE) / 1e7 FROM s3""".stripMargin
-  }
+
+  val qMmrDiversifySql: String =
+    raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0 AND vec_id < $PanelIdCap),
+      |flat AS (SELECT qid, e.vec_id AS nid, unnest(qv) AS x, unnest(v) AS y
+      |  FROM e JOIN q ON e.vec_id <> q.qid),
+      |scored AS (SELECT qid, nid,
+      |    round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS rel
+      |  FROM flat GROUP BY qid, nid),
+      |cands AS (SELECT qid, nid, rel FROM (
+      |    SELECT qid, nid, rel, row_number() OVER (
+      |      PARTITION BY qid ORDER BY rel DESC, nid ASC) AS rank
+      |    FROM scored) WHERE rank <= 10),
+      |$mmrSqlTail""".stripMargin
 
   // ---------------------------------------------------------------- D11
   /** NDCG@5 of the LSH ANN ranking against brute-force truth — THE
@@ -807,6 +845,20 @@ object Similarity {
     */
   def qAnnIvfPq(spark: SparkSession, dir: String,
       nlist: Int = 16, nprobe: Int = 12, shortlistOverride: Int = 0): DataFrame = {
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(round(col("sim"), 6).desc, col("nid").asc)
+    val top = ivfPqScored(spark, dir, nlist, nprobe, shortlistOverride)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("nid"), col("rank"), round(col("sim"), 4).as("sim"))
+    withRecall(top, bruteforceTop5(spark, dir))
+  }
+
+  /** The IVF+PQ retrieval chain through exact rerank: (qid, nid, sim,
+    * v) for every shortlisted candidate — [[qAnnIvfPq]] cuts the
+    * published top-5, [[qMmrAnn]] takes its diversity pool. */
+  private def ivfPqScored(spark: SparkSession, dir: String,
+      nlist: Int, nprobe: Int, shortlistOverride: Int): DataFrame = {
     val shortlistK = if (shortlistOverride > 0) shortlistOverride
       else pqShortlist(Tables.Probe.embeddingsCount(spark, dir))
     lastShortlistK.set(shortlistK)
@@ -839,17 +891,11 @@ object Similarity {
     val shortlist = est.withColumn("r", row_number().over(wShort))
       .filter(col("r") <= shortlistK)
       .select(col("qid"), col("vec_id").as("nid"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(round(col("sim"), 6).desc, col("nid").asc)
-    val top = shortlist
+    shortlist
       .join(assigned.select(col("vec_id").as("nid"), col("v")), "nid")
       .join(q, "qid")
       .select(col("qid"), col("nid"),
-        VectorFunctions.cosine(col("qv"), col("v")).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("qid"), col("nid"), col("rank"), round(col("sim"), 4).as("sim"))
-    withRecall(top, bruteforceTop5(spark, dir))
+        VectorFunctions.cosine(col("qv"), col("v")).as("sim"), col("v"))
   }
 
   // ---------------------------------------------------------------- D8
@@ -1075,9 +1121,14 @@ object Similarity {
   /** Replay of [[qAnnIvfPq]]: probes bound the scan, ADC scores within
     * probed cells, shortlist rerank, recall.
     */
-  private def annIvfPqSql(asgDir: String, centDir: String, codesDir: String,
+  /** The IVF+PQ replay chain through exact rerank as CTEs ending in
+    * `rsim(qid, nid, sim)` — shared by [[annIvfPqSql]] (top-5 +
+    * recall) and [[mmrAnnSql]] (top-10 diversity pool). The cell-codes
+    * CTE is named `ccodes` so the MMR tail's `cc` composes cleanly.
+    */
+  private def ivfPqChainCtes(asgDir: String, centDir: String, codesDir: String,
       bookDir: String, nprobe: Int, k: Int): String =
-    raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    raw"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |asg AS (SELECT vec_id, v, cell FROM read_parquet('$asgDir/*.parquet')),
          |cent AS (SELECT cell, cv FROM read_parquet('$centDir/*.parquet')),
          |codes AS (SELECT * FROM read_parquet('$codesDir/*.parquet')),
@@ -1094,10 +1145,10 @@ object Similarity {
          |    unnest(book.cv) AS y
          |  FROM q, book),
          |lut AS (SELECT qid, m, code, sum(x*y) AS d FROM lflat GROUP BY qid, m, code),
-         |cc AS (SELECT asg.cell, codes.* FROM codes JOIN asg ON codes.vec_id = asg.vec_id),
-         |cand AS (SELECT probes.qid, cc.vec_id, m, [c0,c1,c2,c3,c4,c5,c6,c7][m+1] AS code
-         |  FROM cc JOIN probes ON cc.cell = probes.cell, generate_series(0, ${PqIndex.PqM - 1}) g(m)
-         |  WHERE cc.vec_id <> probes.qid),
+         |ccodes AS (SELECT asg.cell, codes.* FROM codes JOIN asg ON codes.vec_id = asg.vec_id),
+         |cand AS (SELECT probes.qid, ccodes.vec_id, m, [c0,c1,c2,c3,c4,c5,c6,c7][m+1] AS code
+         |  FROM ccodes JOIN probes ON ccodes.cell = probes.cell, generate_series(0, ${PqIndex.PqM - 1}) g(m)
+         |  WHERE ccodes.vec_id <> probes.qid),
          |est AS (SELECT qid, vec_id, sum(d) AS est_dot FROM cand JOIN lut USING (qid, m, code)
          |  GROUP BY qid, vec_id),
          |short AS (SELECT qid, vec_id AS nid FROM (SELECT qid, vec_id, row_number() OVER (
@@ -1106,7 +1157,11 @@ object Similarity {
          |rflat AS (SELECT qid, nid, unnest(qv) AS x, unnest(asg.v) AS y
          |  FROM short JOIN asg ON short.nid = asg.vec_id JOIN q USING (qid)),
          |rsim AS (SELECT qid, nid, sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS sim
-         |  FROM rflat GROUP BY qid, nid),
+         |  FROM rflat GROUP BY qid, nid)""".stripMargin
+
+  private def annIvfPqSql(asgDir: String, centDir: String, codesDir: String,
+      bookDir: String, nprobe: Int, k: Int): String =
+    raw"""WITH ${ivfPqChainCtes(asgDir, centDir, codesDir, bookDir, nprobe, k)},
          |appx AS (SELECT qid, nid, rank, round(sim, 4) AS sim FROM (
          |    SELECT qid, nid, sim, row_number() OVER (
          |      PARTITION BY qid ORDER BY round(sim, 6) DESC, nid ASC) AS rank FROM rsim)
@@ -1114,6 +1169,17 @@ object Similarity {
          |$recallCtes
          |SELECT appx.qid, appx.nid, appx.rank, appx.sim, sampled.recall_at_5
          |FROM appx LEFT JOIN sampled USING (qid)""".stripMargin
+
+  /** Replay of [[qMmrAnn]]: the IVF+PQ chain feeds the top-10 pool
+    * (rel = 6-dp exact-rerank cosine) into the exact-integer MMR tail. */
+  private def mmrAnnSql(asgDir: String, centDir: String, codesDir: String,
+      bookDir: String, nprobe: Int, k: Int): String =
+    raw"""WITH ${ivfPqChainCtes(asgDir, centDir, codesDir, bookDir, nprobe, k)},
+         |cands AS (SELECT qid, nid, round(sim, 6) AS rel FROM (
+         |    SELECT qid, nid, sim, row_number() OVER (
+         |      PARTITION BY qid ORDER BY round(sim, 6) DESC, nid ASC) AS rank FROM rsim)
+         |  WHERE rank <= 10),
+         |$mmrSqlTail""".stripMargin
 
   // ---------------------------------------------------------------- D6
   /** Embedding-space class audit: per-label centroid COHESION (mean
@@ -1189,6 +1255,7 @@ object Similarity {
     "q_class_separation" -> (qClassSeparation _),
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_mmr_diversify" -> (qMmrDiversify _),
+    "q_mmr_ann" -> (qMmrAnn _),
     "q_ndcg" -> (qNdcg _),
     "q_ann_lsh" -> ((s: SparkSession, d: String) => qAnnLsh(s, d)),
     "q_ann_ivf" -> ((s: SparkSession, d: String) => qAnnIvf(s, d)),
@@ -1219,6 +1286,9 @@ object Similarity {
         yield "q_ann_pq" -> annPqSql(co, b, k)).toMap ++
       (for ((a, c) <- Option(IvfIndex.lastLoc.get);
             (co, b) <- Option(PqIndex.lastLoc.get) if k > 0)
-        yield "q_ann_ivfpq" -> annIvfPqSql(a, c, co, b, nprobe = 12, k)).toMap
+        yield "q_ann_ivfpq" -> annIvfPqSql(a, c, co, b, nprobe = 12, k)).toMap ++
+      (for ((a, c) <- Option(IvfIndex.lastLoc.get);
+            (co, b) <- Option(PqIndex.lastLoc.get) if k > 0)
+        yield "q_mmr_ann" -> mmrAnnSql(a, c, co, b, nprobe = 12, k)).toMap
   }
 }

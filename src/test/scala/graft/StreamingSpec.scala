@@ -388,6 +388,74 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.forall { case (id, c) => persisted(id) == c })
   }
 
+  test("crash between sink write and checkpoint commit: restart is exactly-once (near-dup ingest)") {
+    implicit val sqlCtx = spark.sqlContext
+    val sf01 = "/root/testdata/sf0.01" // sf0.001 yields no near-dup matches
+    val arriving = Tables.documents(spark, sf01)
+      .filter(col("source").isin(graft.operators.Dedup.EvalSources.map(x => x: Any): _*))
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val (b1, b2) = arriving.splitAt(arriving.length / 2)
+    val input = MemoryStream[(Long, String)]
+    input.addData(b1: _*)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_ndcrash").toString
+    EventStream.crashAfterBatchWrite.set(0L)
+    val thrown = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      EventStream.streamNeardupIngestToFiles(
+        input.toDF().toDF("doc_id", "text"), sf01, s"$tmp/out", s"$tmp/cp")
+    }
+    assert(thrown.getMessage.contains("injected crash"),
+      s"wrong failure: ${thrown.getMessage.take(200)}")
+    assert(EventStream.crashAfterBatchWrite.get == -1L, "knob must self-clear")
+    // restart from the same checkpoint: batch 0 (uncommitted) REPLAYS
+    // over its already-written sink partition, then batch 1 processes
+    // b2 — the per-batch overwrite must absorb the replay
+    input.addData(b2: _*)
+    val streamed = EventStream.streamNeardupIngestToFiles(
+      input.toDF().toDF("doc_id", "text"), sf01, s"$tmp/out", s"$tmp/cp")
+      .select("new_id", "old_id", "est_sim")
+      .as[(Long, Long, Double)].collect()
+    assert(streamed.length == streamed.distinct.length,
+      "replayed batch duplicated match rows")
+    val batch = graft.operators.Dedup.qIncrementalNeardup(spark, sf01)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(batch.nonEmpty, "batch ingest found no matches at sf0.01")
+    assert(streamed.toSet == batch,
+      s"crash-restart lost or fabricated matches: onlyStream=${(streamed.toSet -- batch).take(3)} onlyBatch=${(batch -- streamed.toSet).take(3)}")
+  }
+
+  test("crash between sink write and checkpoint commit: restart is exactly-once (quality drift)") {
+    implicit val sqlCtx = spark.sqlContext
+    val arriving = Tables.documents(spark, sf)
+      .filter(col("source").isin(graft.operators.Dedup.EvalSources.map(x => x: Any): _*))
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val (b1, b2) = arriving.splitAt(arriving.length / 2)
+    val input = MemoryStream[(Long, String)]
+    input.addData(b1: _*)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_driftcrash").toString
+    EventStream.crashAfterBatchWrite.set(0L)
+    val thrown = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      EventStream.streamQualityDriftToFiles(
+        input.toDF().toDF("doc_id", "text"), sf, s"$tmp/out", s"$tmp/cp")
+    }
+    assert(thrown.getMessage.contains("injected crash"),
+      s"wrong failure: ${thrown.getMessage.take(200)}")
+    // batch 0's verdict row IS on disk (the at-least-once hazard)
+    assert(spark.read.parquet(s"$tmp/out").count() == 1,
+      "crash must land AFTER the write, else the test proves nothing")
+    // restart: batch 0 replays onto its own partition (idempotent
+    // overwrite), batch 1 appends — exactly one verdict per batch,
+    // the eval split partitioned across them with nothing double-counted
+    input.addData(b2: _*)
+    val verdicts = EventStream.streamQualityDriftToFiles(
+      input.toDF().toDF("doc_id", "text"), sf, s"$tmp/out", s"$tmp/cp")
+      .select("batch_id", "n_eval").as[(Long, Long)].collect().sortBy(_._1)
+    assert(verdicts.length == 2,
+      s"expected one verdict per batch after replay: ${verdicts.mkString(",")}")
+    assert(verdicts.map(_._1).distinct.length == 2, "duplicate batch ids in sink")
+    assert(verdicts.map(_._2).sum == arriving.length.toLong,
+      "eval rows lost or double-counted across the crash-restart boundary")
+  }
+
   test("streaming dedup-then-aggregate DAU equals the batch exact-distinct operator") {
     val streamed = graft.streaming.EventStream.streamActiveUsers(spark, sf)
       .select("day", "dau").as[(Long, Long)].collect().toMap

@@ -604,10 +604,23 @@ object Dedup {
       * swap the staged files under the store's original location and
       * re-register the DDL (the cold-session path). No re-shingling,
       * no signature recomputation: this is a pure layout rewrite, and
-      * the spec pins [[buildCount]] across it. Caller contract: the
-      * store is quiescent during the swap (same as any table-format
-      * compaction). Returns the data-file count after compaction
-      * (≤ [[SigBuckets]]; empty buckets write no file).
+      * the spec pins [[buildCount]] across it.
+      *
+      * CONCURRENCY CONTRACT (single-writer): the swap is deliberately
+      * NOT atomic — between the DROP/delete and the staged-file move
+      * there is a window where the location is empty, so a concurrent
+      * reader can miss the table and a concurrent [[absorb]] whose
+      * append lands in that window is LOST (its files are deleted or
+      * orphaned by the move). Absorbs against each other are safe
+      * (parquet appends land distinct files); compaction requires the
+      * store quiescent — exactly the maintenance-window contract of
+      * every table format without a transaction log (Hive-style
+      * tables; Iceberg/Delta buy the lock-free version with their
+      * commit protocol, out of scope per §4). The supported schedule —
+      * absorb* → compact → absorb* → compact … strictly serialized —
+      * is spec-proven repeatable (StoreMaintenanceSpec exercises a
+      * full second cycle). Returns the data-file count after
+      * compaction (≤ [[SigBuckets]]; empty buckets write no file).
       */
     def compactStore(spark: SparkSession, dir: String): Int = {
       val t = tableName(spark, dir)

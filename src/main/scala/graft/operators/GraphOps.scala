@@ -574,7 +574,44 @@ object GraphOps {
       |SELECT degree, n_nodes, n_points, loglog_slope, intercept
       |FROM hist, fit""".stripMargin
 
+  // ---------------------------------------------------------------- M8
+  /** EXACT connected components of the mutual-kNN graph — M4's label
+    * propagation truncates at 3 rounds (distance-bounded communities);
+    * this runs [[graft.operators.Dedup.clusterPairs]] — the same
+    * log-diameter pointer-jumping loop (with large-star/small-star
+    * contraction fallback) that clusters near-dup pairs — to a TRUE
+    * fixpoint, so components of any diameter resolve completely. One
+    * shared CC engine for every pair source the library trusts
+    * (embedding near-dups, text MinHash pairs, and now the kNN graph);
+    * the bounded-degree input keeps the edge set ≤ |V|·K/2 at any
+    * scale. Output: node, component (= min member id), component size.
+    * Oracle: recursive-CTE transitive closure over the identical
+    * mutual top-K pair set (the C6b device).
+    */
+  def qKnnComponents(spark: SparkSession, dir: String): DataFrame = {
+    val mutual = mutualKnnPairs(spark, dir)
+    val lbl = graft.operators.Dedup.clusterPairs(spark,
+      mutual.select(col("src").as("id1"), col("dst").as("id2")))
+    val sizes = lbl.groupBy(col("lab")).agg(count(lit(1)).as("component_size"))
+    lbl.join(sizes, "lab")
+      .select(col("node").as("s_suppkey"), col("lab").as("component"),
+        col("component_size"))
+  }
+
+  val qKnnComponentsSql: String =
+    s"""WITH RECURSIVE $mutKnnSql,
+      |usym AS (SELECT src AS a, dst AS b FROM und
+      |  UNION ALL SELECT dst, src FROM und),
+      |reach(a, b) AS (SELECT a, b FROM usym
+      |  UNION SELECT r.a, s.b FROM reach r JOIN usym s ON r.b = s.a),
+      |cl AS (SELECT a AS node, least(a, min(b)) AS component
+      |  FROM reach GROUP BY a),
+      |sz AS (SELECT component, count(*) AS component_size FROM cl GROUP BY 1)
+      |SELECT cl.node AS s_suppkey, cl.component, sz.component_size
+      |FROM cl JOIN sz USING (component)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_knn_components" -> (qKnnComponents _),
     "q_degree_distribution" -> (qDegreeDistribution _),
     "q_pagerank" -> (qPagerank _),
     "q_pagerank_knn" -> (qPagerankKnn _),
@@ -586,6 +623,7 @@ object GraphOps {
     "q_triangle_knn" -> (qTriangleKnn _))
 
   def oracle: Map[String, String] = Map(
+    "q_knn_components" -> qKnnComponentsSql,
     "q_degree_distribution" -> qDegreeDistributionSql,
     "q_pagerank" -> qPagerankSql,
     "q_pagerank_knn" -> qPagerankKnnSql,

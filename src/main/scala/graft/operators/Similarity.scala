@@ -535,9 +535,14 @@ object Similarity {
       * after a run of [[absorb]]s, preserving the cell bucket spec (the
       * probe→cell bucket pruning must survive maintenance). Same
       * staging-rewrite + file-swap + DDL re-register mechanics as
-      * [[graft.operators.Dedup.SigStore.compactStore]]; pure layout
-      * rewrite — no fit ([[fitCount]] spec-pinned across it). Returns
-      * the data-file count after compaction.
+      * [[graft.operators.Dedup.SigStore.compactStore]] — and the same
+      * SINGLE-WRITER concurrency contract: the swap window is not
+      * atomic, a concurrent absorb landing inside it is lost, so
+      * compaction runs with the index quiescent; the serialized
+      * absorb -> compact cycle is the supported (and spec-proven
+      * repeatable) schedule. Pure layout rewrite — no fit
+      * ([[fitCount]] spec-pinned across it). Returns the data-file
+      * count after compaction.
       */
     def compactStore(spark: SparkSession, dir: String, nlist: Int = 16): Int = {
       val (t, _) = ensure(spark, dir, nlist)
@@ -725,22 +730,28 @@ object Similarity {
     * composes with IVF cells (probe then ADC-within-cell) — here ADC
     * runs corpus-wide to exercise the full path.
     */
-  /** ADC shortlist size: SUBLINEAR in the corpus — `max(50, 5·⌊√n⌋)`.
+  /** ADC shortlist size: SUBLINEAR in the corpus — `max(50, ⌊6·n^0.55⌋)`.
     * A FIXED shortlist covers a shrinking corpus fraction as n grows
     * and recall decays with scale; a fixed FRACTION (the r8 n/10)
     * keeps recall stable but reranks a corpus-proportional set — at
     * 10⁹ vectors that is 10⁸ exact reranks per query, the wrong
-    * asymptotic. The √n schedule splits the difference: rerank cost
-    * grows 632× slower than the corpus at 10⁹, and the measured
-    * recall@5 stays above the 0.8 spec floor with margin
-    * (RecallProbe, near-random synthetic embeddings — the hard case:
-    * n=500 k=110 → PQ 0.98 / IVFPQ 0.90; n=2000 k=223 → 0.915 /
-    * 0.88; n=8000 k=447 → 0.855 / 0.844; the 4√n schedule measured
-    * 0.823/0.81 at 8000 — too thin). The multiplier is the
-    * recall/cost dial; clustered real-world embeddings need less.
+    * asymptotic. Rounds 9–11 shipped 5·√n, fitted to n ≤ 8000; the
+    * r12 two-decade extension (RecallProbe at n = 10⁵) measured that
+    * schedule at 0.73/0.735 — BELOW the 0.8 spec floor, because on
+    * near-random embeddings the exact-top-5 cosine gap narrows with n
+    * (more competitors crowd the top by extreme-value statistics), so
+    * the shortlist must grow slightly faster than √n. n^0.55 with
+    * multiplier 6 re-fits the measured floor-with-margin across all
+    * five decades (RecallProbe, near-random synthetic embeddings —
+    * the hard case; k-sweep at 10⁵: k=1580 → 0.73/0.735, k=2200 →
+    * 0.80/0.805, k=3200 → 0.89/0.845, k=6400 → 0.945/0.90; the
+    * schedule's k=3374 lands at the 3200 point's margin). Rerank cost
+    * still falls relative to the corpus as n^-0.45 — 10⁴× slower
+    * growth than the corpus at 10⁹. The multiplier is the recall/cost
+    * dial; clustered real-world embeddings need less.
     */
   def pqShortlist(n: Long): Int =
-    math.max(50L, 5L * math.floor(math.sqrt(n.toDouble)).toLong)
+    math.max(50L, math.floor(6.0 * math.pow(n.toDouble, 0.55)).toLong)
       .min(Int.MaxValue).toInt
 
   def qAnnPq(spark: SparkSession, dir: String, shortlistOverride: Int = 0): DataFrame = {

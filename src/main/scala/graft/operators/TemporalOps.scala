@@ -1343,7 +1343,59 @@ object TemporalOps {
       |  round(corr(c, c3), 6) AS ac3
       |FROM lagged GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- F43
+  /** Theil–Sen robust trend of daily event volume — the slope a
+    * monitoring dashboard should trust: OLS over a daily series is
+    * dragged by one incident day, the median-of-pairwise-slopes
+    * estimator (Theil 1950, Sen 1968) has a 29% breakdown point and
+    * needs no outlier pre-filter. Bounded BY CONSTRUCTION at the
+    * q_changepoint class: the day table is |observation window| rows,
+    * so all-pairs slopes are days² (≤ ~10³ for a month) computed via
+    * one broadcast non-equi self-join — never the event count. Days
+    * re-index to x = day − min(day) (exact ints); each pairwise slope
+    * is one double division rounded at 10 dp inside the percentile
+    * (the A15-proven percentile↔quantile_cont pair), intercept =
+    * median(y − slope·x) with the same ladder, both published at 6 dp.
+    */
+  def qTheilSen(spark: SparkSession, dir: String): DataFrame = {
+    val byDay = Tables.events(spark, dir)
+      .select(expr("(ts DIV 1000000000) DIV 86400").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("c"))
+    val d0 = byDay.agg(min(col("day")).as("day0"), count(lit(1)).as("n_days"))
+    val xy = byDay.crossJoin(broadcast(d0))
+      .select((col("day") - col("day0")).as("x"), col("c"), col("n_days"))
+    val slopes = xy.select(col("x").as("x1"), col("c").as("c1"))
+      .join(broadcast(xy.select(col("x").as("x2"), col("c").as("c2"))),
+        col("x1") < col("x2"))
+      .select(((col("c2") - col("c1")).cast("double") /
+        (col("x2") - col("x1"))).as("s"))
+    val med = slopes.agg(
+      expr("percentile(round(s, 10), 0.5)").as("slope"),
+      count(lit(1)).as("n_pairs"))
+    xy.crossJoin(broadcast(med))
+      .agg(max(col("n_days")).as("n_days"), max(col("n_pairs")).as("n_pairs"),
+        round(max(col("slope")), 6).as("ts_slope"),
+        expr("round(percentile(round(c - slope * x, 10), 0.5), 6)")
+          .as("ts_intercept"))
+  }
+
+  val qTheilSenSql: String =
+    s"""WITH byday AS (SELECT ($duckTsSec) // 86400 AS day, count(*) AS c
+       |  FROM events GROUP BY 1),
+       |d0 AS (SELECT min(day) AS day0, count(*) AS n_days FROM byday),
+       |xy AS (SELECT day - day0 AS x, c, n_days FROM byday, d0),
+       |slopes AS (SELECT CAST(b.c - a.c AS DOUBLE) / (b.x - a.x) AS s
+       |  FROM xy a JOIN xy b ON a.x < b.x),
+       |med AS (SELECT CAST(quantile_cont(round(s, 10), 0.5) AS DOUBLE) AS slope,
+       |    count(*) AS n_pairs FROM slopes)
+       |SELECT max(n_days) AS n_days, CAST(max(n_pairs) AS BIGINT) AS n_pairs,
+       |  round(max(slope), 6) AS ts_slope,
+       |  round(CAST(quantile_cont(round(c - slope * x, 10), 0.5) AS DOUBLE), 6)
+       |    AS ts_intercept
+       |FROM xy, med""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_theil_sen" -> (qTheilSen _),
     "q_autocorr" -> (qAutocorr _),
     "q_top_paths" -> (qTopPaths _),
     "q_seasonality" -> (qSeasonality _),
@@ -1376,6 +1428,7 @@ object TemporalOps {
     "q_json_extract" -> (qJsonExtract _))
 
   def oracle: Map[String, String] = Map(
+    "q_theil_sen" -> qTheilSenSql,
     "q_autocorr" -> qAutocorrSql,
     "q_top_paths" -> qTopPathsSql,
     "q_seasonality" -> qSeasonalitySql,

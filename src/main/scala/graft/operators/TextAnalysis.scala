@@ -628,7 +628,139 @@ object TextAnalysis {
          |  p.posting, s.df > 5 AS truncated
          |FROM stats s JOIN post p USING (term), tot""".stripMargin
 
+  // ---------------------------------------------------------------- B18
+  /** Template-farm detector: per-source word-trigram diversity — the
+    * crawl-quality gate that catches a source whose documents are one
+    * boilerplate skeleton with slot-filled values (healthy token mix,
+    * near-zero NOVEL phrasing; exactly the corpus pathology near-dup
+    * hashing at the document level misses when every page differs by
+    * a few tokens). Per source: trigram volume, distinct trigrams,
+    * `diversity` = distinct/total (templated sources read ≪ 1),
+    * `top_share` = the single most repeated trigram's mass. Map-side
+    * trigram explode (array transform on the shared tokenizer — no
+    * shuffle until the keyed aggregate); the per-(source, trigram)
+    * frame is the only shuffle and the output is |sources| rows.
+    * Exact integer counts; 6-dp boundary divisions only.
+    */
+  def qTemplateScore(spark: SparkSession, dir: String): DataFrame = {
+    val tri = Tables.documents(spark, dir)
+      .select(col("source"), tokens(col("text")).as("toks"))
+      .select(col("source"), explode(expr(
+        """CASE WHEN size(toks) >= 3
+          |THEN transform(sequence(0, size(toks) - 3),
+          |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+          |ELSE array() END""".stripMargin)).as("tri"))
+    val per = tri.groupBy(col("source"), col("tri")).agg(count(lit(1)).as("c"))
+    per.groupBy(col("source"))
+      .agg(sum(col("c")).cast("long").as("n_trigrams"),
+        count(lit(1)).as("distinct_trigrams"),
+        max(col("c")).as("top_count"))
+      .select(col("source"), col("n_trigrams"), col("distinct_trigrams"),
+        round(col("distinct_trigrams").cast("double") / col("n_trigrams"), 6)
+          .as("diversity"),
+        round(col("top_count").cast("double") / col("n_trigrams"), 6)
+          .as("top_share"))
+  }
+
+  val qTemplateScoreSql: String =
+    raw"""WITH t AS (SELECT source, $duckToks AS toks FROM documents),
+         |tri AS (SELECT source, unnest(list_transform(
+         |    generate_series(1, greatest(len(toks) - 2, 0)),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS tri
+         |  FROM t),
+         |per AS (SELECT source, tri, count(*) AS c FROM tri GROUP BY 1, 2)
+         |SELECT source, CAST(sum(c) AS BIGINT) AS n_trigrams,
+         |  count(*) AS distinct_trigrams,
+         |  round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS diversity,
+         |  round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_share
+         |FROM per GROUP BY source""".stripMargin
+
+  // ---------------------------------------------------------------- B19
+  /** Multinomial Naive Bayes language id, trained AND scored entirely
+    * in relational arithmetic — the counterpoint to the E7 LBFGS fits:
+    * because an NB fit IS a pair of count aggregates, the whole
+    * pipeline (fold split, Laplace-smoothed likelihoods, log-space
+    * scoring, argmax, confusion matrix) replays bit-for-bit in the
+    * oracle with no persisted-artifact indirection. Deterministic
+    * doc_id%5 held-out split (replayable in SQL, unlike a hash fold);
+    * smoothing ln((c+1)/(n_l+V)) and priors ln(n_d/N) rounded at
+    * 10 dp per term; per-(doc, class) scores sum token terms (unseen
+    * tokens take the class's smoothed-zero mass) with a 6-dp boundary
+    * round and class-name tiebreak on the argmax. Scale shape: model =
+    * one (lang, token) aggregate (vocab-bounded, the B9 unigram-LM
+    * frame); scoring = test tokens × |langs| (≤ 5) broadcast-joined
+    * against the model — one keyed shuffle, output 25 rows max.
+    */
+  def qNaiveBayes(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val toks = docs
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val train = toks.filter(col("doc_id") % 5 =!= 0)
+    val trainDocs = docs.filter(col("doc_id") % 5 =!= 0)
+    val nd = trainDocs.groupBy(col("lang")).agg(count(lit(1)).as("ndocs"))
+    val ndTot = trainDocs.agg(count(lit(1)).as("tot"))
+    val prior = nd.crossJoin(broadcast(ndTot))
+      .select(col("lang"),
+        round(log(col("ndocs").cast("double") / col("tot")), 10).as("lp"))
+    val v = train.agg(countDistinct(col("tok")).as("v"))
+    val nl = train.groupBy(col("lang")).agg(count(lit(1)).as("ntok"))
+    val ct = train.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+    val ll = ct.join(nl, "lang").crossJoin(broadcast(v))
+      .select(col("lang"), col("tok"),
+        round(log((col("c") + 1).cast("double") / (col("ntok") + col("v"))), 10)
+          .as("ll"))
+    val unseen = nl.crossJoin(broadcast(v))
+      .select(col("lang"),
+        round(log(lit(1.0) / (col("ntok") + col("v"))), 10).as("ull"))
+    val scored = toks.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("lang").as("true_lang"), col("tok"))
+      .crossJoin(broadcast(prior))
+      .join(ll, Seq("lang", "tok"), "left")
+      .join(broadcast(unseen), "lang")
+      .groupBy(col("doc_id"), col("true_lang"), col("lang"), col("lp"))
+      .agg(round(col("lp") + sum(coalesce(col("ll"), col("ull"))), 6).as("score"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("lang").asc)
+    scored.withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .groupBy(col("true_lang"), col("lang").as("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val qNaiveBayesSql: String =
+    raw"""WITH toks0 AS (SELECT doc_id, lang, unnest($duckToks) AS tok FROM documents),
+         |tk AS (SELECT * FROM toks0 WHERE length(tok) > 0),
+         |train AS (SELECT * FROM tk WHERE doc_id % 5 <> 0),
+         |td AS (SELECT lang, count(*) AS ndocs FROM documents
+         |  WHERE doc_id % 5 <> 0 GROUP BY 1),
+         |tot AS (SELECT count(*) AS tot FROM documents WHERE doc_id % 5 <> 0),
+         |prior AS (SELECT lang, round(ln(CAST(ndocs AS DOUBLE) / tot), 10) AS lp
+         |  FROM td, tot),
+         |v AS (SELECT count(DISTINCT tok) AS v FROM train),
+         |nl AS (SELECT lang, count(*) AS ntok FROM train GROUP BY 1),
+         |ct AS (SELECT lang, tok, count(*) AS c FROM train GROUP BY 1, 2),
+         |ll AS (SELECT ct.lang, ct.tok,
+         |    round(ln(CAST(ct.c + 1 AS DOUBLE) / (nl.ntok + v.v)), 10) AS ll
+         |  FROM ct JOIN nl USING (lang), v),
+         |unseen AS (SELECT lang, round(ln(1.0 / (ntok + v)), 10) AS ull FROM nl, v),
+         |sc AS (SELECT t.doc_id, t.lang AS true_lang, p.lang,
+         |    round(p.lp + sum(coalesce(ll.ll, u.ull)), 6) AS score
+         |  FROM tk t CROSS JOIN prior p
+         |  LEFT JOIN ll ON ll.lang = p.lang AND ll.tok = t.tok
+         |  JOIN unseen u ON u.lang = p.lang
+         |  WHERE t.doc_id % 5 = 0
+         |  GROUP BY 1, 2, 3, p.lp),
+         |pred AS (SELECT doc_id, true_lang, lang AS pred_lang FROM (
+         |    SELECT doc_id, true_lang, lang, row_number() OVER (
+         |      PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS r FROM sc)
+         |  WHERE r = 1)
+         |SELECT true_lang, pred_lang, count(*) AS n
+         |FROM pred GROUP BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_template_score" -> (qTemplateScore _),
+    "q_naive_bayes" -> (qNaiveBayes _),
     "q_inverted_index" -> (qInvertedIndex _),
     "q_readability" -> (qReadability _),
     "q_keyphrases" -> (qKeyphrases _),
@@ -645,6 +777,8 @@ object TextAnalysis {
     "q_stratified_sample" -> (qStratifiedSample _))
 
   def oracle: Map[String, String] = Map(
+    "q_template_score" -> qTemplateScoreSql,
+    "q_naive_bayes" -> qNaiveBayesSql,
     "q_inverted_index" -> qInvertedIndexSql,
     "q_readability" -> qReadabilitySql,
     "q_keyphrases" -> qKeyphrasesSql,

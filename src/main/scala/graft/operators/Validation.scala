@@ -760,7 +760,141 @@ object Validation {
       |  (p_rank <= coalesce(max(cand) OVER (), 0)) AS reject
       |FROM bh""".stripMargin
 
+  // ---------------------------------------------------------------- L14
+  /** Mann–Whitney U test (Wilcoxon rank-sum) on order totals between
+    * the BUILDING and MACHINERY segments — the nonparametric
+    * two-sample location test L3's Welch-z cannot be on skewed money
+    * distributions (rank-based, no normality assumption; this is the
+    * hypothesis-test complement of E12's AUC, which IS U/(n₁·n₂) as a
+    * ranking metric). EXACT-INTEGER construction via the q_auc
+    * quantized-histogram device: totals bucket to hundred-dollar bins
+    * (domain-bounded ≤ ~5,500 bins at ANY corpus size — the window
+    * below runs over that bounded histogram, never the order stream),
+    * then 2·U = Σ_bins nA·(2·cumB(<bin) + nB) and the tie term
+    * T = Σ t³−t accumulate in DECIMAL(38,0) — exact far past the
+    * long-overflow line (u2 published as BIGINT is exact while
+    * n₁·n₂ < 2⁶², i.e. ~2·10⁹ rows per cohort; past that, publish the
+    * decimal). z uses the tie-corrected variance
+    * n₁n₂/12·((n+1) − T/(n(n−1))); both engines compute the identical
+    * double expression at the 6-dp boundary; degenerate all-tied data
+    * yields null z, not a divide error.
+    */
+  def qMannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val seg = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(col("c_mktsegment").as("seg"),
+        floor(col("o_totalprice") / 100).cast("long").as("bin"))
+    val hist = seg.groupBy(col("bin"))
+      .agg(count(when(col("seg") === "BUILDING", 1)).as("na"),
+        count(when(col("seg") === "MACHINERY", 1)).as("nb"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.withColumn("cumb",
+      coalesce(sum(col("nb")).over(w), lit(0L)))
+    val t = col("na") + col("nb")
+    val agg = cum.agg(
+      sum(col("na")).as("n1"), sum(col("nb")).as("n2"),
+      sum(col("na").cast("decimal(38,0)") *
+        (lit(2) * col("cumb") + col("nb"))).as("u2"),
+      sum(t.cast("decimal(38,0)") * t * t - t).as("tsum"))
+    val nn = (col("n1") + col("n2")).cast("double")
+    val varU = col("n1").cast("double") * col("n2").cast("double") / 12.0 *
+      ((nn + 1) - col("tsum").cast("double") / (nn * (nn - 1)))
+    val z = when(varU <= 0, lit(null).cast("double"))
+      .otherwise(round((col("u2").cast("double") -
+        col("n1").cast("double") * col("n2").cast("double")) /
+        (lit(2.0) * sqrt(varU)), 6))
+    agg.select(col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+      col("u2").cast("long").as("u2"), z.as("z"),
+      coalesce(abs(z) > 1.96, lit(false)).as("significant"))
+  }
+
+  val qMannWhitneySql: String =
+    """WITH seg AS (SELECT c_mktsegment AS seg,
+      |    CAST(floor(o_totalprice / 100) AS BIGINT) AS bin
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+      |hist AS (SELECT bin,
+      |    count(CASE WHEN seg = 'BUILDING' THEN 1 END) AS na,
+      |    count(CASE WHEN seg = 'MACHINERY' THEN 1 END) AS nb
+      |  FROM seg GROUP BY 1),
+      |cum AS (SELECT bin, na, nb, coalesce(sum(nb) OVER (ORDER BY bin
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+      |  FROM hist),
+      |agg AS (SELECT CAST(sum(na) AS BIGINT) AS n1, CAST(sum(nb) AS BIGINT) AS n2,
+      |    sum(CAST(na AS HUGEINT) * (2 * cumb + nb)) AS u2,
+      |    sum(CAST(na + nb AS HUGEINT) * (na + nb) * (na + nb) - (na + nb)) AS tsum
+      |  FROM cum),
+      |calc AS (SELECT n1, n2, u2,
+      |    CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+      |      ((CAST(n1 + n2 AS DOUBLE) + 1) - CAST(tsum AS DOUBLE)
+      |        / (CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1))) AS varu
+      |  FROM agg)
+      |SELECT n1, n2, CAST(u2 AS BIGINT) AS u2,
+      |  CASE WHEN varu <= 0 THEN NULL
+      |    ELSE round((CAST(u2 AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+      |      / (2.0 * sqrt(varu)), 6) END AS z,
+      |  coalesce(abs(CASE WHEN varu <= 0 THEN NULL
+      |    ELSE round((CAST(u2 AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+      |      / (2.0 * sqrt(varu)), 6) END) > 1.96, false) AS significant
+      |FROM calc""".stripMargin
+
+  // ---------------------------------------------------------------- L15
+  /** Cramér's V association between document language and source —
+    * the effect-size readout K12's independence test lacks: chi² says
+    * WHETHER lang mix varies by source, V = √(χ²/(n·(min(r,c)−1)))
+    * says HOW MUCH on a scale-free [0,1] axis comparable across
+    * corpora (the number a mixture rebalance targets). Exact integer
+    * contingency over the FULL r×c grid (absent cells at expectation
+    * — the E15 discipline); per-cell (o−e)²/e 10-dp-rounded before
+    * the 6-dp sum; every frame bounded by |langs|×|sources|.
+    */
+  def qCramersV(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+    val rowsT = cells.groupBy(col("lang")).agg(sum(col("o")).as("nl"))
+    val colsT = cells.groupBy(col("source")).agg(sum(col("o")).as("ns"))
+    val tot = cells.agg(sum(col("o")).as("n"))
+    val dims = cells.agg(countDistinct(col("lang")).as("r"),
+      countDistinct(col("source")).as("c"))
+    val grid = rowsT.crossJoin(broadcast(colsT)).crossJoin(broadcast(tot))
+      .join(cells, Seq("lang", "source"), "left")
+      .withColumn("e", col("nl").cast("double") * col("ns") / col("n"))
+      .withColumn("t", round((coalesce(col("o"), lit(0L)) - col("e")) *
+        (coalesce(col("o"), lit(0L)) - col("e")) / col("e"), 10))
+    grid.agg(max(col("n")).cast("long").as("n"),
+        round(sum(col("t")), 6).as("chi2"))
+      .crossJoin(broadcast(dims))
+      .select(col("n"), col("r"), col("c"), col("chi2"),
+        ((col("r") - 1) * (col("c") - 1)).as("dof"),
+        round(sqrt(col("chi2") /
+          (col("n") * least(col("r") - 1, col("c") - 1))), 6).as("cramers_v"))
+  }
+
+  val qCramersVSql: String =
+    """WITH cells AS (SELECT lang, source, count(*) AS o
+      |  FROM documents GROUP BY 1, 2),
+      |rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS nl FROM cells GROUP BY 1),
+      |ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS ns FROM cells GROUP BY 1),
+      |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+      |dims AS (SELECT count(DISTINCT lang) AS r, count(DISTINCT source) AS c
+      |  FROM cells),
+      |grid AS (SELECT rt.lang, ct.source, rt.nl, ct.ns, tot.n,
+      |    coalesce(cells.o, 0) AS o,
+      |    CAST(nl AS DOUBLE) * ns / n AS e
+      |  FROM rt CROSS JOIN ct CROSS JOIN tot
+      |  LEFT JOIN cells ON cells.lang = rt.lang AND cells.source = ct.source),
+      |agg AS (SELECT CAST(max(n) AS BIGINT) AS n,
+      |    round(sum(round((o - e) * (o - e) / e, 10)), 6) AS chi2
+      |  FROM grid)
+      |SELECT n, r, c, chi2, (r - 1) * (c - 1) AS dof,
+      |  round(sqrt(chi2 / (n * least(r - 1, c - 1))), 6) AS cramers_v
+      |FROM agg, dims""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mannwhitney" -> (qMannWhitney _),
+    "q_cramers_v" -> (qCramersV _),
     "q_fdr_bh" -> (qFdrBh _),
     "q_pareto_share" -> (qParetoShare _),
     "q_mad_outliers" -> (qMadOutliers _),
@@ -775,6 +909,8 @@ object Validation {
     "q_benford" -> (qBenford _))
 
   def oracle: Map[String, String] = Map(
+    "q_mannwhitney" -> qMannWhitneySql,
+    "q_cramers_v" -> qCramersVSql,
     "q_fdr_bh" -> qFdrBhSql,
     "q_pareto_share" -> qParetoShareSql,
     "q_mad_outliers" -> qMadOutliersSql,

@@ -187,9 +187,12 @@ class PlanSpec extends AnyFunSuite {
     //    only (output-scale, not corpus-scale — see qSkyline doc)
     //  - q_runs_test: sign sequence over the bounded day table (the
     //    q_changepoint class)
+    //  - q_mannwhitney: cumulative window over the hundred-dollar
+    //    price-bin histogram, domain-bounded ≤ ~5,500 bins at any
+    //    corpus size (the q_auc quantized-bin device)
     val windowExempt = Set("q_skew_report", "q_auc", "q_bm25", "q_quality_drift",
       "q_vocab_coverage", "q_kaplan_meier", "q_changepoint", "q_fdr_bh",
-      "q_mutual_info", "q_skyline", "q_runs_test")
+      "q_mutual_info", "q_skyline", "q_runs_test", "q_mannwhitney")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       // pre-AQE physical plan: traversable with plain collect (the
       // AQE wrapper hides its initial plan from TreeNode traversal,

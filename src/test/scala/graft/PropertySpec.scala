@@ -387,4 +387,75 @@ class PropertySpec extends AnyFunSuite {
     }
     assert(byLang.nonEmpty)
   }
+
+  test("q_knn_components: labels are component minima, sizes partition the node set, and components refine 3-round label-prop communities") {
+    val rows = graft.operators.GraphOps.queries("q_knn_components")(spark, sf)
+      .select("s_suppkey", "component", "component_size")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty, "kNN graph has no mutual edges at test SF")
+    val byComp = rows.groupBy(_._2)
+    byComp.foreach { case (comp, members) =>
+      assert(members.map(_._1).min == comp,
+        s"component label $comp is not the minimum member id")
+      members.foreach { case (_, _, sz) =>
+        assert(sz == members.length, s"component $comp size column inconsistent")
+      }
+    }
+    // exact CC can only MERGE what 3-round propagation separates —
+    // never split: two nodes sharing a label-prop community (distance
+    // <= 3) are connected, so they must share a component
+    val lp = graft.operators.GraphOps.queries("q_label_prop_knn")(spark, sf)
+      .select("s_suppkey", "community").as[(Long, Long)].collect().toMap
+    val compOf = rows.map(r => r._1 -> r._2).toMap
+    assert(lp.keySet == compOf.keySet, "node sets must match (same graph input)")
+    lp.groupBy(_._2).values.foreach { members =>
+      val comps = members.keys.map(compOf).toSet
+      assert(comps.size == 1,
+        s"label-prop community split across exact components: $comps")
+    }
+  }
+
+  test("q_template_score invariants: diversity and top_share in (0,1], counts consistent, all sources present") {
+    val rows = graft.operators.TextAnalysis.queries("q_template_score")(spark, sf)
+      .select("source", "n_trigrams", "distinct_trigrams", "diversity", "top_share")
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, n, d, div, top) =>
+      assert(n > 0 && d > 0 && d <= n, s"$src: counts inconsistent ($d of $n)")
+      assert(div > 0 && div <= 1.0, s"$src: diversity $div out of range")
+      assert(top > 0 && top <= 1.0, s"$src: top_share $top out of range")
+      // the most repeated trigram cannot exceed the mass left over by
+      // the other distinct - 1 trigrams appearing at least once
+      assert(top <= (n - d + 1).toDouble / n + 1e-9,
+        s"$src: top_share $top impossible for $d distinct of $n")
+    }
+    val srcCount = Tables.documents(spark, sf)
+      .select("source").distinct().count()
+    assert(rows.length == srcCount, "every source must be scored")
+  }
+
+  test("q_naive_bayes: confusion matrix partitions the scored test docs and predicts only trained classes") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.operators.TextAnalysis.queries("q_naive_bayes")(spark, sf)
+      .select("true_lang", "pred_lang", "n").as[(String, String, Long)].collect()
+    assert(rows.nonEmpty)
+    val langs = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 5 =!= 0)
+      .select("lang").distinct().as[String].collect().toSet
+    rows.foreach { case (t, p, n) =>
+      assert(n > 0)
+      assert(langs.contains(p), s"predicted untrained class $p")
+      assert(t.nonEmpty)
+    }
+    // every test doc with at least one token is classified exactly once
+    val scoredDocs = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .filter(org.apache.spark.sql.functions.expr(
+        "size(filter(toks, t -> length(t) > 0)) > 0"))
+      .count()
+    assert(rows.map(_._3).sum == scoredDocs,
+      s"confusion total ${rows.map(_._3).sum} != scored test docs $scoredDocs")
+  }
 }

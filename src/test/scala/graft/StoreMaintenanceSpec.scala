@@ -83,6 +83,26 @@ class StoreMaintenanceSpec extends AnyFunSuite {
     assert(probe() == matches, "cold session over compacted store diverged")
     assert(Dedup.SigStore.buildCount.get == builds,
       "cold re-register after compaction must not rebuild")
+
+    // SECOND maintenance cycle — the documented single-writer schedule
+    // (absorb* → compact, strictly serialized) must be REPEATABLE:
+    // an absorb after compaction lands in the re-registered table, is
+    // immediately live, and survives another compaction
+    val bId = 1000003L
+    val n3 = Dedup.SigStore.absorb(spark, dir,
+      Seq((bId, texts(stored(1)))).toDF("doc_id", "text"))
+    assert(n3 == 1, "post-compact absorb failed to sign")
+    def probe2() = Dedup.neardupMatches(spark, dir,
+        Seq((2000002L, texts(stored(1)))).toDF("doc_id", "text"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(probe2().contains((2000002L, bId, 1.0)),
+      "post-compact absorb not live in the store")
+    val filesCycle2 = Dedup.SigStore.compactStore(spark, dir)
+    assert(filesCycle2 <= Dedup.SigStore.SigBuckets)
+    assert(probe2().contains((2000002L, bId, 1.0)),
+      "second compaction lost the post-compact absorb")
+    assert(Dedup.SigStore.buildCount.get == builds,
+      "second maintenance cycle must never rebuild")
   }
 
   test("IvfIndex: absorb assigns new vectors to frozen cells; compact preserves bucketing, fit pinned") {
@@ -129,5 +149,20 @@ class StoreMaintenanceSpec extends AnyFunSuite {
     assert(asg3.count() == n0 + 10)
     assert(Similarity.IvfIndex.fitCount.get == fits,
       "cold re-register after compaction must not refit")
+
+    // second serialized maintenance cycle (see SigStore twin): absorb
+    // after compaction is live and survives another compaction
+    val batch2 = batch.map { case (id, v) => (id + 1000000L, v) }
+    val nB = Similarity.IvfIndex.absorb(spark, dir,
+      batch2.toSeq.toDF("vec_id", "v"), nlist)
+    assert(nB == 10, s"post-compact absorb landed $nB vectors, expected 10")
+    val (asg4, _) = Similarity.IvfIndex.get(spark, dir, nlist)
+    assert(asg4.count() == n0 + 20, "post-compact absorb missing from the index")
+    val files2 = Similarity.IvfIndex.compactStore(spark, dir, nlist)
+    assert(files2 <= Similarity.IvfIndex.IvfBuckets)
+    val (asg5, _) = Similarity.IvfIndex.get(spark, dir, nlist)
+    assert(asg5.count() == n0 + 20, "second compaction lost rows")
+    assert(Similarity.IvfIndex.fitCount.get == fits,
+      "second maintenance cycle must never refit")
   }
 }

@@ -817,7 +817,171 @@ object AnalyticExt {
       |JOIN item ib ON brand_b = ib.brand, tot
       |ORDER BY lift DESC, brand_a, brand_b LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- A38
+  /** Kendall tau-b rank correlation between daily order COUNT and
+    * daily REVENUE — the monotone-association readout A16's Pearson
+    * cannot be trusted for on heavy-tailed money series (one whale
+    * day manufactures linear correlation; tau only asks whether
+    * busier days are richer days, pair by pair). Bounded at the
+    * q_changepoint class: the day table is |date domain| rows
+    * (~2,400 for seven years — set by the calendar, not the corpus),
+    * so the all-pairs comparison is days²/2 ≤ ~3M cells via ONE
+    * broadcast non-equi self-join — never order-stream-squared.
+    * Concordance is decided on EXACT arithmetic (integer count
+    * deltas, decimal revenue deltas — no float enters a comparison),
+    * tie counts feed the tau-b denominator √((n0−tx)(n0−ty)), and
+    * the single double division rounds at the 6-dp publish boundary.
+    * Degenerate all-tied margins yield null, not a divide error.
+    */
+  def qKendallTau(spark: SparkSession, dir: String): DataFrame = {
+    val byDay = Tables.orders(spark, dir)
+      .groupBy(datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val pairs = byDay.select(col("day").as("d1"), col("n").as("n1"),
+        col("rev").as("r1"))
+      .join(broadcast(byDay.select(col("day").as("d2"), col("n").as("n2"),
+        col("rev").as("r2"))), col("d1") < col("d2"))
+    val agg = pairs.agg(
+      count(lit(1)).as("n0"),
+      sum(when(col("n1") === col("n2"), 1L).otherwise(0L)).as("tx"),
+      sum(when(col("r1") === col("r2"), 1L).otherwise(0L)).as("ty"),
+      sum(when((col("n2") > col("n1") && col("r2") > col("r1")) ||
+        (col("n2") < col("n1") && col("r2") < col("r1")), 1L)
+        .otherwise(0L)).as("nc"),
+      sum(when((col("n2") > col("n1") && col("r2") < col("r1")) ||
+        (col("n2") < col("n1") && col("r2") > col("r1")), 1L)
+        .otherwise(0L)).as("nd"))
+    val nDays = byDay.agg(count(lit(1)).as("n_days"))
+    agg.crossJoin(broadcast(nDays))
+      .select(col("n_days"), col("n0").as("n_pairs"), col("nc"), col("nd"),
+        when((col("n0") - col("tx")) * (col("n0") - col("ty")) <= 0,
+          lit(null).cast("double"))
+          .otherwise(round((col("nc") - col("nd")).cast("double") /
+            sqrt((col("n0") - col("tx")).cast("double") *
+              (col("n0") - col("ty")).cast("double")), 6)).as("tau_b"))
+  }
+
+  val qKendallTauSql: String =
+    """WITH byday AS (SELECT
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |      AS BIGINT) AS day,
+      |    count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1),
+      |pairs AS (SELECT a.n AS n1, a.rev AS r1, b.n AS n2, b.rev AS r2
+      |  FROM byday a JOIN byday b ON a.day < b.day),
+      |agg AS (SELECT count(*) AS n0,
+      |    CAST(sum(CASE WHEN n1 = n2 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+      |    CAST(sum(CASE WHEN r1 = r2 THEN 1 ELSE 0 END) AS BIGINT) AS ty,
+      |    CAST(sum(CASE WHEN (n2 > n1 AND r2 > r1) OR (n2 < n1 AND r2 < r1)
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+      |    CAST(sum(CASE WHEN (n2 > n1 AND r2 < r1) OR (n2 < n1 AND r2 > r1)
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS disc
+      |  FROM pairs),
+      |days AS (SELECT count(*) AS n_days FROM byday)
+      |SELECT n_days, n0 AS n_pairs, conc AS nc, disc AS nd,
+      |  CASE WHEN (n0 - tx) * (n0 - ty) <= 0 THEN NULL
+      |    ELSE round(CAST(conc - disc AS DOUBLE) /
+      |      sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE)), 6)
+      |  END AS tau_b
+      |FROM agg, days""".stripMargin
+
+  // ---------------------------------------------------------------- A39
+  /** Spearman rank correlation between customer account balance and
+    * order size — the monotone-association companion to A16's
+    * Pearson on the entity level A38's day grid can't see ("do
+    * richer customers place bigger orders" is a rank question; one
+    * whale order answers the Pearson version by itself). The
+    * corpus-scale trap: ranking needs a GLOBAL sort — an ungrouped
+    * rank window over the order stream is the single-partition plan
+    * the PlanSpec guard rejects. Solution is the q_auc quantize
+    * device extended to ranks: both variables bucket to
+    * domain-bounded $100 bins (balance ≤ 110 bins, totalprice
+    * ≤ ~6,000), the MIDRANK of every member of a bin is a closed
+    * form over the marginal histogram (2·r = 2·cum_before + cnt + 1,
+    * an exact INTEGER on the doubled scale — ties get their textbook
+    * average rank with no fractional arithmetic), and Spearman's ρ
+    * is Pearson over the joint (xbin, ybin) cell table weighted by
+    * cell count — ≤ 660k bounded cells, never orders². All five
+    * moment sums accumulate exactly in DECIMAL(38,0) (the ×2 rank
+    * scale cancels in ρ); the doubles meet only in the one final
+    * identical expression, rounded at 6 dp. Resolution: ties within
+    * a $100 bin are true ties by construction — the documented
+    * quantization trade, same as L14/L16.
+    */
+  def qSpearman(spark: SparkSession, dir: String): DataFrame = {
+    val joined = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(floor(col("c_acctbal") / 100).cast("long").as("xb"),
+        floor(col("o_totalprice") / 100).cast("long").as("yb"))
+    val cells = joined.groupBy(col("xb"), col("yb"))
+      .agg(count(lit(1)).as("w"))
+    val mx = cells.groupBy(col("xb")).agg(sum(col("w")).cast("long").as("cx"))
+    val my = cells.groupBy(col("yb")).agg(sum(col("w")).cast("long").as("cy"))
+    val wx = Window.orderBy(col("xb")).rowsBetween(Window.unboundedPreceding, -1)
+    val wy = Window.orderBy(col("yb")).rowsBetween(Window.unboundedPreceding, -1)
+    val rx = mx.withColumn("rx2",
+      lit(2) * coalesce(sum(col("cx")).over(wx), lit(0L)) + col("cx") + 1)
+    val ry = my.withColumn("ry2",
+      lit(2) * coalesce(sum(col("cy")).over(wy), lit(0L)) + col("cy") + 1)
+    val moments = cells
+      .join(broadcast(rx.select(col("xb"), col("rx2"))), "xb")
+      .join(broadcast(ry.select(col("yb"), col("ry2"))), "yb")
+      .agg(sum(col("w")).cast("decimal(38,0)").as("n"),
+        sum(col("w").cast("decimal(38,0)") * col("rx2")).as("sx"),
+        sum(col("w").cast("decimal(38,0)") * col("ry2")).as("sy"),
+        sum(col("w").cast("decimal(38,0)") * col("rx2") * col("rx2")).as("sxx"),
+        sum(col("w").cast("decimal(38,0)") * col("ry2") * col("ry2")).as("syy"),
+        sum(col("w").cast("decimal(38,0)") * col("rx2") * col("ry2")).as("sxy"))
+    val nD = col("n").cast("double")
+    val den = (nD * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")) *
+      (nD * col("syy").cast("double") -
+        col("sy").cast("double") * col("sy").cast("double"))
+    moments.select(col("n").cast("long").as("n_orders"),
+      when(den <= 0, lit(null).cast("double"))
+        .otherwise(round((nD * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          sqrt(den), 6)).as("rho_spearman"))
+  }
+
+  val qSpearmanSql: String =
+    """WITH joined AS (SELECT
+      |    CAST(floor(c_acctbal / 100) AS BIGINT) AS xb,
+      |    CAST(floor(o_totalprice / 100) AS BIGINT) AS yb
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |cells AS (SELECT xb, yb, count(*) AS w FROM joined GROUP BY 1, 2),
+      |mx AS (SELECT xb, CAST(sum(w) AS BIGINT) AS cx FROM cells GROUP BY 1),
+      |my AS (SELECT yb, CAST(sum(w) AS BIGINT) AS cy FROM cells GROUP BY 1),
+      |rx AS (SELECT xb, 2 * coalesce(sum(cx) OVER (ORDER BY xb
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cx + 1 AS rx2
+      |  FROM mx),
+      |ry AS (SELECT yb, 2 * coalesce(sum(cy) OVER (ORDER BY yb
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cy + 1 AS ry2
+      |  FROM my),
+      |mom AS (SELECT CAST(sum(w) AS HUGEINT) AS n,
+      |    sum(CAST(w AS HUGEINT) * rx2) AS sx,
+      |    sum(CAST(w AS HUGEINT) * ry2) AS sy,
+      |    sum(CAST(w AS HUGEINT) * rx2 * rx2) AS sxx,
+      |    sum(CAST(w AS HUGEINT) * ry2 * ry2) AS syy,
+      |    sum(CAST(w AS HUGEINT) * rx2 * ry2) AS sxy
+      |  FROM cells JOIN rx USING (xb) JOIN ry USING (yb)),
+      |calc AS (SELECT CAST(n AS BIGINT) AS n_orders,
+      |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |    (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS den,
+      |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num
+      |  FROM mom)
+      |SELECT n_orders, CASE WHEN den <= 0 THEN NULL
+      |  ELSE round(num / sqrt(den), 6) END AS rho_spearman
+      |FROM calc""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_spearman" -> (qSpearman _),
+    "q_kendall_tau" -> (qKendallTau _),
     "q_assoc_rules" -> (qAssocRules _),
     "q_rfm_segments" -> (qRfmSegments _),
     "q_blame_supplier" -> (qBlameSupplier _),
@@ -839,6 +1003,8 @@ object AnalyticExt {
     "q_ewma" -> (qEwma _))
 
   def oracle: Map[String, String] = Map(
+    "q_spearman" -> qSpearmanSql,
+    "q_kendall_tau" -> qKendallTauSql,
     "q_assoc_rules" -> qAssocRulesSql,
     "q_rfm_segments" -> qRfmSegmentsSql,
     "q_blame_supplier" -> qBlameSupplierSql,

@@ -1394,7 +1394,146 @@ object TemporalOps {
        |    AS ts_intercept
        |FROM xy, med""".stripMargin
 
+  // ---------------------------------------------------------------- F44
+  /** Maximum drawdown of cumulative daily revenue — the
+    * worst-peak-to-trough readout (finance's risk statistic, equally
+    * the right alarm for any cumulative KPI: "how far below its
+    * best-ever level did the running total's PACE fall"). Computed on
+    * the bounded day table (|date domain| rows — the q_changepoint
+    * class): cumulative revenue and its running maximum are DECIMAL
+    * and exact, the drawdown at each day is an exact decimal
+    * difference, and the max-drawdown day resolves ties to the
+    * EARLIEST trough on integer day arithmetic — no float enters
+    * until the published percentage. Here "revenue pace" is daily
+    * order revenue relative to the mean day, so the cumulative
+    * series can actually draw down (a raw revenue cumsum is
+    * monotone): drawdown of Σ(rev_d − mean) measures the deepest
+    * sustained below-average stretch, peak-adjusted — the
+    * changepoint's severity twin.
+    */
+  def qDrawdown(spark: SparkSession, dir: String): DataFrame = {
+    val byDay = Tables.orders(spark, dir)
+      .groupBy(datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long").as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    // exact decimal demeaning: subtract the decimal mean scaled by n
+    // (n·rev − Σrev keeps everything integer-decimal; dividing by n
+    // once at the end preserves ordering, so drawdowns compare on the
+    // SCALED series and publish after one division)
+    val tot = byDay.agg(sum(col("rev")).as("revtot"),
+      count(lit(1)).as("n_days"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scaled = byDay.crossJoin(broadcast(tot))
+      .withColumn("dev", col("rev") * col("n_days") - col("revtot"))
+      .withColumn("cum", sum(col("dev")).over(w))
+      .withColumn("runmax", max(col("cum")).over(w))
+      .withColumn("dd", col("runmax") - col("cum"))
+    val worst = scaled.agg(max(col("dd")).as("dd"))
+    scaled.join(broadcast(worst), "dd")
+      .agg(min(col("day")).as("trough_day"), max(col("dd")).as("ddmax"),
+        max(col("n_days")).as("n_days"), max(col("revtot")).as("revtot"))
+      .select(col("n_days"), col("trough_day"),
+        round(col("ddmax").cast("double") / col("n_days"), 2)
+          .as("max_drawdown"),
+        round((col("ddmax").cast("double") / col("n_days")) /
+          (col("revtot").cast("double") / col("n_days")), 6).as("dd_vs_mean_day"))
+  }
+
+  val qDrawdownSql: String =
+    """WITH byday AS (SELECT
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |      AS BIGINT) AS day,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1),
+      |tot AS (SELECT sum(rev) AS revtot, count(*) AS n_days FROM byday),
+      |scaled AS (SELECT day, rev * n_days - revtot AS dev, n_days, revtot
+      |  FROM byday, tot),
+      |cums AS (SELECT day, n_days, revtot,
+      |    sum(dev) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW) AS cum
+      |  FROM scaled),
+      |dds AS (SELECT day, n_days, revtot,
+      |    max(cum) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW) - cum AS dd
+      |  FROM cums),
+      |worst AS (SELECT max(dd) AS dd FROM dds)
+      |SELECT max(d.n_days) AS n_days, min(d.day) AS trough_day,
+      |  round(CAST(max(d.dd) AS DOUBLE) / max(d.n_days), 2) AS max_drawdown,
+      |  round((CAST(max(d.dd) AS DOUBLE) / max(d.n_days)) /
+      |    (CAST(max(d.revtot) AS DOUBLE) / max(d.n_days)), 6) AS dd_vs_mean_day
+      |FROM dds d JOIN worst ON d.dd = worst.dd""".stripMargin
+
+  // ---------------------------------------------------------------- F45
+  /** Bollinger-band outlier days: daily revenue against a mean ± 2σ
+    * band from the PRECEDING six days (leave-one-out — today must
+    * not inflate the band it is judged against) — the
+    * self-calibrating volatility alarm (F11's global z-score uses
+    * one corpus-wide σ; a band from the trailing week adapts to
+    * regime shifts and seasonality). All window state is the exact
+    * decimal pair (Σ, Σ²) over the bounded day table; mean and
+    * sample variance convert to double in the IDENTICAL expression
+    * in both engines, 10-dp-rounded before the band compare so the
+    * breach verdict never sits on a summation-order ulp; only days
+    * with a full six-day history judge. Output is breach days only —
+    * bounded by the day table, usually a handful of rows.
+    */
+  def qBollinger(spark: SparkSession, dir: String): DataFrame = {
+    val byDay = Tables.orders(spark, dir)
+      .groupBy(datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long").as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val w = Window.orderBy(col("day")).rowsBetween(-6, -1)
+    val stats = byDay
+      .withColumn("n7", count(col("rev")).over(w))
+      .withColumn("s7", sum(col("rev")).over(w))
+      .withColumn("q7", sum(col("rev") * col("rev")).over(w))
+      .filter(col("n7") === 6)
+    val mean = round(col("s7").cast("double") / 6, 10)
+    val vars = round((col("q7").cast("double") * 6 -
+      col("s7").cast("double") * col("s7").cast("double")) / (6.0 * 5.0), 10)
+    val sd = round(sqrt(greatest(vars, lit(0.0))), 10)
+    stats
+      .withColumn("mean7", mean).withColumn("sd7", sd)
+      .withColumn("breach",
+        when(col("rev").cast("double") > col("mean7") + lit(2.0) * col("sd7"),
+          lit("high"))
+        .when(col("rev").cast("double") < col("mean7") - lit(2.0) * col("sd7"),
+          lit("low")))
+      .filter(col("breach").isNotNull)
+      .select(col("day"), col("rev").cast("decimal(18,2)").as("rev"),
+        round(col("mean7"), 6).as("mean7"),
+        round(col("sd7"), 6).as("sd7"), col("breach"))
+  }
+
+  val qBollingerSql: String =
+    """WITH byday AS (SELECT
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |      AS BIGINT) AS day,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1),
+      |wins AS (SELECT day, rev,
+      |    count(rev) OVER w AS n7, sum(rev) OVER w AS s7,
+      |    sum(rev * rev) OVER w AS q7
+      |  FROM byday
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)),
+      |full7 AS (SELECT day, rev,
+      |    round(CAST(s7 AS DOUBLE) / 6, 10) AS mean7,
+      |    round(sqrt(greatest(
+      |      (CAST(q7 AS DOUBLE) * 6 - CAST(s7 AS DOUBLE) * CAST(s7 AS DOUBLE))
+      |        / (6.0 * 5.0), 0.0)), 10) AS sd7
+      |  FROM wins WHERE n7 = 6),
+      |breach AS (SELECT day, rev, mean7, sd7,
+      |    CASE WHEN CAST(rev AS DOUBLE) > mean7 + 2 * sd7 THEN 'high'
+      |      WHEN CAST(rev AS DOUBLE) < mean7 - 2 * sd7 THEN 'low' END AS breach
+      |  FROM full7)
+      |SELECT day, CAST(rev AS DECIMAL(18,2)) AS rev,
+      |  round(mean7, 6) AS mean7, round(sd7, 6) AS sd7, breach
+      |FROM breach WHERE breach IS NOT NULL""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_drawdown" -> (qDrawdown _),
+    "q_bollinger" -> (qBollinger _),
     "q_theil_sen" -> (qTheilSen _),
     "q_autocorr" -> (qAutocorr _),
     "q_top_paths" -> (qTopPaths _),
@@ -1428,6 +1567,8 @@ object TemporalOps {
     "q_json_extract" -> (qJsonExtract _))
 
   def oracle: Map[String, String] = Map(
+    "q_drawdown" -> qDrawdownSql,
+    "q_bollinger" -> qBollingerSql,
     "q_theil_sen" -> qTheilSenSql,
     "q_autocorr" -> qAutocorrSql,
     "q_top_paths" -> qTopPathsSql,

@@ -892,7 +892,149 @@ object Validation {
       |  round(sqrt(chi2 / (n * least(r - 1, c - 1))), 6) AS cramers_v
       |FROM agg, dims""".stripMargin
 
+  // ---------------------------------------------------------------- L16
+  /** Two-sample Kolmogorov–Smirnov test on order totals between the
+    * BUILDING and MACHINERY segments — the DISTRIBUTION-shape
+    * complement of L14: Mann–Whitney detects a location shift, KS
+    * detects ANY ECDF divergence (spread, skew, a second mode) the
+    * rank-sum statistic integrates away. Same bounded construction:
+    * totals quantize to hundred-dollar bins (domain-bounded ≤ ~5,500
+    * bins at ANY corpus size — the cumulative window below runs over
+    * that histogram, never the order stream), the two ECDFs are
+    * inclusive cumulative counts over exact integers, the per-bin gap
+    * |cA/n1 − cB/n2| rounds at 10 dp before the max (both engines max
+    * identical IEEE values), and D publishes at 6 dp. Significance:
+    * z = D·√(n1·n2/(n1+n2)) and the one-term asymptotic tail
+    * p ≈ min(1, 2·exp(−2z²)) — the same closed-form-only discipline
+    * as L4's MAD and L11's erf polynomial (no special functions a
+    * SQL engine lacks). Degenerate one-bin data yields D = 0, p = 1.
+    */
+  def qKsTest(spark: SparkSession, dir: String): DataFrame = {
+    val seg = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(col("c_mktsegment").as("seg"),
+        floor(col("o_totalprice") / 100).cast("long").as("bin"))
+    val hist = seg.groupBy(col("bin"))
+      .agg(count(when(col("seg") === "BUILDING", 1)).as("na"),
+        count(when(col("seg") === "MACHINERY", 1)).as("nb"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("ca", sum(col("na")).over(w))
+      .withColumn("cb", sum(col("nb")).over(w))
+    val tot = hist.agg(sum(col("na")).cast("long").as("n1"),
+      sum(col("nb")).cast("long").as("n2"))
+    val d = cum.crossJoin(broadcast(tot))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(round(abs(col("ca").cast("double") / col("n1") -
+          col("cb").cast("double") / col("n2")), 10)).as("d0"))
+    d.select(col("n1"), col("n2"), round(col("d0"), 6).as("d_stat"),
+        round(col("d0") * sqrt(col("n1").cast("double") * col("n2") /
+          (col("n1") + col("n2"))), 6).as("ks_z"))
+      .withColumn("p_value", round(least(lit(1.0),
+        lit(2.0) * exp(lit(-2.0) * col("ks_z") * col("ks_z"))), 6))
+      .withColumn("significant", col("p_value") < 0.05)
+  }
+
+  val qKsTestSql: String =
+    """WITH seg AS (SELECT c_mktsegment AS seg,
+      |    CAST(floor(o_totalprice / 100) AS BIGINT) AS bin
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+      |hist AS (SELECT bin,
+      |    count(CASE WHEN seg = 'BUILDING' THEN 1 END) AS na,
+      |    count(CASE WHEN seg = 'MACHINERY' THEN 1 END) AS nb
+      |  FROM seg GROUP BY 1),
+      |cum AS (SELECT bin, na, nb,
+      |    sum(na) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW) AS ca,
+      |    sum(nb) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW) AS cb
+      |  FROM hist),
+      |tot AS (SELECT CAST(sum(na) AS BIGINT) AS n1,
+      |    CAST(sum(nb) AS BIGINT) AS n2 FROM hist),
+      |d AS (SELECT max(n1) AS n1, max(n2) AS n2,
+      |    max(round(abs(CAST(ca AS DOUBLE) / n1 - CAST(cb AS DOUBLE) / n2),
+      |      10)) AS d0
+      |  FROM cum, tot),
+      |z AS (SELECT n1, n2, round(d0, 6) AS d_stat,
+      |    round(d0 * sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)), 6) AS ks_z
+      |  FROM d),
+      |p AS (SELECT *, round(least(1.0, 2.0 * exp(-2.0 * ks_z * ks_z)), 6)
+      |    AS p_value FROM z)
+      |SELECT n1, n2, d_stat, ks_z, p_value, p_value < 0.05 AS significant
+      |FROM p""".stripMargin
+
+  // ---------------------------------------------------------------- L17
+  /** Hodges–Lehmann estimator of the BUILDING→MACHINERY spend shift —
+    * the EFFECT SIZE that belongs with L14's rank-sum test (the test
+    * says whether the segments differ, HL says BY HOW MANY DOLLARS,
+    * robustly: the median of all pairwise differences has a 29%
+    * breakdown point, where a difference of means follows every
+    * whale order). Computed on THOUSAND-dollar bin centers: the
+    * exact estimator needs all n1·n2 pairwise differences — corpus²
+    * — but on quantized totals the pair set collapses to
+    * |binsA|×|binsB| ≤ ~550² weighted bin-difference cells (one
+    * broadcast cross of two bounded histograms), and the weighted
+    * median over the ≤ 1,101-row difference table replaces the
+    * pairwise sort. Resolution is the bin width ($1,000 on a ~$550k
+    * domain) — the documented cost of making a quadratic estimator
+    * corpus-independent, same trade as L5's binned bootstrap. All
+    * weights exact DECIMAL(38,0) (n1·n2 overflows long past ~3·10⁹
+    * rows per arm); the lower weighted median picks the smallest
+    * difference with 2·cum ≥ W on integer arithmetic — no float
+    * enters until the published dollar value.
+    */
+  def qHodgesLehmann(spark: SparkSession, dir: String): DataFrame = {
+    val seg = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(col("c_mktsegment").as("seg"),
+        floor(col("o_totalprice") / 1000).cast("long").as("bin"))
+    val ha = seg.filter(col("seg") === "BUILDING")
+      .groupBy(col("bin").as("ba")).agg(count(lit(1)).as("na"))
+    val hb = seg.filter(col("seg") === "MACHINERY")
+      .groupBy(col("bin").as("bb")).agg(count(lit(1)).as("nb"))
+    val diffs = ha.crossJoin(broadcast(hb))
+      .groupBy((col("bb") - col("ba")).as("diff"))
+      .agg(sum(col("na").cast("decimal(38,0)") * col("nb")).as("w"))
+    val w = Window.orderBy(col("diff"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = diffs.withColumn("cw", sum(col("w")).over(w))
+    val tot = diffs.agg(sum(col("w")).as("wtot"),
+      count(lit(1)).as("n_cells"))
+    cum.crossJoin(broadcast(tot))
+      .filter(col("cw") * 2 >= col("wtot"))
+      .agg(min(col("diff")).as("d"), max(col("wtot")).as("wtot"),
+        max(col("n_cells")).as("n_cells"))
+      .select((col("d") * 1000).cast("long").as("hl_shift_dollars"),
+        col("wtot").cast("decimal(38,0)").as("n_pairs"), col("n_cells"))
+  }
+
+  val qHodgesLehmannSql: String =
+    """WITH seg AS (SELECT c_mktsegment AS seg,
+      |    CAST(floor(o_totalprice / 1000) AS BIGINT) AS bin
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+      |ha AS (SELECT bin AS ba, count(*) AS na FROM seg
+      |  WHERE seg = 'BUILDING' GROUP BY 1),
+      |hb AS (SELECT bin AS bb, count(*) AS nb FROM seg
+      |  WHERE seg = 'MACHINERY' GROUP BY 1),
+      |diffs AS (SELECT bb - ba AS diff,
+      |    sum(CAST(na AS HUGEINT) * nb) AS w
+      |  FROM ha CROSS JOIN hb GROUP BY 1),
+      |cum AS (SELECT diff, w, sum(w) OVER (ORDER BY diff
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+      |  FROM diffs),
+      |tot AS (SELECT sum(w) AS wtot, count(*) AS n_cells FROM diffs)
+      |SELECT CAST(min(diff) * 1000 AS BIGINT) AS hl_shift_dollars,
+      |  CAST(max(wtot) AS DECIMAL(38,0)) AS n_pairs, max(n_cells) AS n_cells
+      |FROM cum, tot WHERE cw * 2 >= wtot""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ks_test" -> (qKsTest _),
+    "q_hodges_lehmann" -> (qHodgesLehmann _),
     "q_mannwhitney" -> (qMannWhitney _),
     "q_cramers_v" -> (qCramersV _),
     "q_fdr_bh" -> (qFdrBh _),
@@ -909,6 +1051,8 @@ object Validation {
     "q_benford" -> (qBenford _))
 
   def oracle: Map[String, String] = Map(
+    "q_ks_test" -> qKsTestSql,
+    "q_hodges_lehmann" -> qHodgesLehmannSql,
     "q_mannwhitney" -> qMannWhitneySql,
     "q_cramers_v" -> qCramersVSql,
     "q_fdr_bh" -> qFdrBhSql,

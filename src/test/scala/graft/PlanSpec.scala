@@ -190,9 +190,19 @@ class PlanSpec extends AnyFunSuite {
     //  - q_mannwhitney: cumulative window over the hundred-dollar
     //    price-bin histogram, domain-bounded ≤ ~5,500 bins at any
     //    corpus size (the q_auc quantized-bin device)
+    //  - q_ks_test: same hundred-dollar-bin histogram, two inclusive
+    //    ECDF windows over ≤ ~5,500 rows
+    //  - q_hodges_lehmann: weighted-median window over the
+    //    bin-difference table, ≤ ~1,101 rows by the $1k bin domain
+    //  - q_drawdown / q_bollinger: cumulative / trailing windows over
+    //    the bounded day table (the q_changepoint class)
+    //  - q_spearman: midrank windows over the two marginal bin
+    //    histograms (≤ 110 and ≤ ~6,000 rows by the $100 bin domain)
     val windowExempt = Set("q_skew_report", "q_auc", "q_bm25", "q_quality_drift",
       "q_vocab_coverage", "q_kaplan_meier", "q_changepoint", "q_fdr_bh",
-      "q_mutual_info", "q_skyline", "q_runs_test", "q_mannwhitney")
+      "q_mutual_info", "q_skyline", "q_runs_test", "q_mannwhitney",
+      "q_ks_test", "q_hodges_lehmann", "q_drawdown", "q_bollinger",
+      "q_spearman")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       // pre-AQE physical plan: traversable with plain collect (the
       // AQE wrapper hides its initial plan from TreeNode traversal,

@@ -458,4 +458,65 @@ class PropertySpec extends AnyFunSuite {
     assert(rows.map(_._3).sum == scoredDocs,
       s"confusion total ${rows.map(_._3).sum} != scored test docs $scoredDocs")
   }
+
+  test("rank statistics invariants: tau/rho bounded, pair accounting exact, KS/HL consistent with segment counts") {
+    // Kendall: pair counts partition, tau in [-1, 1]
+    val kt = graft.operators.AnalyticExt.queries("q_kendall_tau")(spark, sf)
+      .select("n_days", "n_pairs", "nc", "nd", "tau_b")
+      .as[(Long, Long, Long, Long, Option[Double])].head()
+    assert(kt._2 == kt._1 * (kt._1 - 1) / 2, "n_pairs != C(n_days, 2)")
+    assert(kt._3 + kt._4 <= kt._2, "concordant+discordant exceed pairs")
+    kt._5.foreach(t => assert(math.abs(t) <= 1.0, s"tau $t out of range"))
+    // Spearman: rho bounded, n matches the base join
+    val sp = graft.operators.AnalyticExt.queries("q_spearman")(spark, sf)
+      .select("n_orders", "rho_spearman")
+      .as[(Long, Option[Double])].head()
+    val nOrders = Tables.orders(spark, sf).count()
+    assert(sp._1 == nOrders, "every order must be ranked (FK join is total)")
+    sp._2.foreach(r => assert(math.abs(r) <= 1.0, s"rho $r out of range"))
+    // KS: D in [0,1], p in [0,1], counts match the two segments
+    val ks = graft.operators.Validation.queries("q_ks_test")(spark, sf)
+      .select("n1", "n2", "d_stat", "p_value")
+      .as[(Long, Long, Double, Double)].head()
+    assert(ks._3 >= 0 && ks._3 <= 1.0 && ks._4 >= 0 && ks._4 <= 1.0)
+    val segN = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment")).count()
+      .as[(String, Long)].collect().toMap
+    assert(ks._1 == segN("BUILDING") && ks._2 == segN("MACHINERY"))
+    // HL: pair mass is exactly n1*n2; the shift lies inside the
+    // possible bin-difference span
+    val hl = graft.operators.Validation.queries("q_hodges_lehmann")(spark, sf)
+      .select(col("hl_shift_dollars"), col("n_pairs").cast("double"))
+      .as[(Long, Double)].head()
+    assert(hl._2 == ks._1.toDouble * ks._2, "HL pair mass != n1*n2")
+    assert(math.abs(hl._1) < 600000, "shift outside the price domain")
+  }
+
+  test("drawdown and bollinger invariants: trough in-domain, drawdown nonnegative, breaches really breach") {
+    val dd = graft.operators.TemporalOps.queries("q_drawdown")(spark, sf)
+      .select("n_days", "trough_day", "max_drawdown", "dd_vs_mean_day")
+      .as[(Long, Long, Double, Double)].head()
+    assert(dd._3 >= 0.0, "max drawdown of a demeaned cumsum is >= 0")
+    assert(dd._4 >= 0.0)
+    val days = Tables.orders(spark, sf)
+      .select(datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long").as("day"))
+      .agg(min("day"), max("day"), countDistinct("day"))
+      .as[(Long, Long, Long)].head()
+    assert(dd._1 == days._3, "n_days != distinct order days")
+    assert(dd._2 >= days._1 && dd._2 <= days._2, "trough day outside domain")
+    val bb = graft.operators.TemporalOps.queries("q_bollinger")(spark, sf)
+      .select("day", "rev", "mean7", "sd7", "breach")
+      .as[(Long, java.math.BigDecimal, Double, Double, String)].collect()
+    assert(bb.nonEmpty, "a year of daily revenue should breach somewhere")
+    bb.foreach { case (day, rev, m, sd, br) =>
+      assert(sd >= 0.0 && Set("high", "low").contains(br))
+      val r = rev.doubleValue()
+      // 6-dp published band: re-check with a tolerance one ulp-class
+      // wider than the publish rounding
+      if (br == "high") assert(r > m + 2 * sd - 1e-4, s"day $day not high")
+      else assert(r < m - 2 * sd + 1e-4, s"day $day not low")
+    }
+  }
 }

@@ -66,7 +66,7 @@ object GraphOps {
       |  FROM e0 a JOIN e0 b ON a.pk = b.pk AND a.sk < b.sk
       |  GROUP BY 1, 2),
       |wcut AS (SELECT quantile_cont(w, 0.9) AS wcut FROM pw),
-      |und AS (SELECT src, dst FROM pw, wcut WHERE w > wcut)""".stripMargin
+      |und AS MATERIALIZED (SELECT src, dst FROM pw, wcut WHERE w > wcut)""".stripMargin
 
   /** kNN sparsifier fan-out (shared by M5/M6 and the M1k/M4k
     * kNN-graph bindings). Declared before every val that interpolates
@@ -117,9 +117,9 @@ object GraphOps {
       |ranked AS (SELECT src, dst, row_number() OVER (
       |    PARTITION BY src ORDER BY w DESC, dst ASC) AS rank FROM sym),
       |topk AS (SELECT src, dst FROM ranked WHERE rank <= $KnnK),
-      |und AS (SELECT t.src, t.dst FROM topk t
-      |  WHERE t.src < t.dst AND EXISTS (SELECT 1 FROM topk r
-      |    WHERE r.src = t.dst AND r.dst = t.src))""".stripMargin
+      |und AS MATERIALIZED (SELECT t.src, t.dst FROM topk t
+      |  JOIN topk r ON r.src = t.dst AND r.dst = t.src
+      |  WHERE t.src < t.dst)""".stripMargin
 
   // ---------------------------------------------------------------- M1
   /** PageRank (damping 0.85, 3 fixed iterations) over the strong
@@ -186,9 +186,9 @@ object GraphOps {
     * composes with [[undSql]] (strong graph) or [[mutKnnSql]] (kNN). */
   private def pagerankSqlOver(graphCte: String): String =
     s"""WITH $graphCte,
-      |edges AS (SELECT src, dst FROM und
+      |edges AS MATERIALIZED (SELECT src, dst FROM und
       |  UNION ALL SELECT dst, src FROM und),
-      |deg AS (SELECT src AS node, count(*) AS degree FROM edges GROUP BY 1),
+      |deg AS MATERIALIZED (SELECT src AS node, count(*) AS degree FROM edges GROUP BY 1),
       |tot AS (SELECT count(*) AS n FROM deg),
       |r0 AS (SELECT node, round(CAST(1.0 AS DOUBLE) / n, 10) AS pr FROM deg, tot),
       |r1 AS (SELECT e.dst AS node,
@@ -375,10 +375,10 @@ object GraphOps {
 
   private def labelPropSqlOver(graphCte: String): String =
     s"""WITH $graphCte,
-      |edges AS (SELECT src, dst FROM und
+      |edges AS MATERIALIZED (SELECT src, dst FROM und
       |  UNION ALL SELECT dst, src FROM und),
       |nodes AS (SELECT DISTINCT src AS node FROM edges),
-      |ep AS (SELECT src, dst FROM edges
+      |ep AS MATERIALIZED (SELECT src, dst FROM edges
       |  UNION ALL SELECT node, node FROM nodes),
       |l0 AS (SELECT node, node AS lbl FROM nodes),
       |l1 AS (SELECT e.dst AS node, min(l.lbl) AS lbl

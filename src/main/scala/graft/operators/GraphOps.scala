@@ -373,8 +373,12 @@ object GraphOps {
   def qLabelPropKnn(spark: SparkSession, dir: String): DataFrame =
     labelPropQuery(mutualKnnPairs(spark, dir))
 
-  private def labelPropSqlOver(graphCte: String): String =
-    s"""WITH $graphCte,
+  /** The 3-round min-label CTE chain over any `und(src, dst)` graph
+    * CTE, ending in `l3(node, lbl)` — shared by the two label-prop
+    * bindings and M9's conductance so the community assignment is
+    * definitionally identical everywhere it is consumed. */
+  private def labelPropCtes(graphCte: String): String =
+    s"""$graphCte,
       |edges AS MATERIALIZED (SELECT src, dst FROM und
       |  UNION ALL SELECT dst, src FROM und),
       |nodes AS (SELECT DISTINCT src AS node FROM edges),
@@ -385,8 +389,11 @@ object GraphOps {
       |  FROM ep e JOIN l0 l ON e.src = l.node GROUP BY 1),
       |l2 AS (SELECT e.dst AS node, min(l.lbl) AS lbl
       |  FROM ep e JOIN l1 l ON e.src = l.node GROUP BY 1),
-      |l3 AS (SELECT e.dst AS node, min(l.lbl) AS lbl
-      |  FROM ep e JOIN l2 l ON e.src = l.node GROUP BY 1),
+      |l3 AS MATERIALIZED (SELECT e.dst AS node, min(l.lbl) AS lbl
+      |  FROM ep e JOIN l2 l ON e.src = l.node GROUP BY 1)""".stripMargin
+
+  private def labelPropSqlOver(graphCte: String): String =
+    s"""WITH ${labelPropCtes(graphCte)},
       |sz AS (SELECT lbl, count(*) AS community_size FROM l3 GROUP BY 1)
       |SELECT l3.node AS s_suppkey, l3.lbl AS community, sz.community_size
       |FROM l3 JOIN sz ON l3.lbl = sz.lbl""".stripMargin
@@ -610,7 +617,80 @@ object GraphOps {
       |SELECT cl.node AS s_suppkey, cl.component, sz.component_size
       |FROM cl JOIN sz USING (component)""".stripMargin
 
+  // ---------------------------------------------------------------- M9
+  /** Community-cut quality: conductance of each kNN label-prop
+    * community — the readout that tells you whether M4k's communities
+    * are REAL (a partition is only as good as its cuts: conductance
+    * φ(C) = boundary / min(vol(C), 2m − vol(C)) near 0 means a
+    * well-separated module, near 1 a random slice). Every input is
+    * bounded by the kNN dial: edges ≤ |V|·K/2, the label frame is
+    * |V| rows, and the whole computation is two keyed joins (edge →
+    * endpoint labels) + three community-keyed aggregates — exact
+    * integer edge accounting end to end, one 6-dp division per
+    * community at publish. The community assignment is the SAME
+    * 3-round propagation M4k publishes ([[labelPropagate]] /
+    * the shared `labelPropCtes` chain) so the two queries are
+    * definitionally consistent. Singleton-or-total communities where
+    * min(vol, 2m−vol) = 0 publish null, not a divide error.
+    */
+  def qCommunityConductance(spark: SparkSession, dir: String): DataFrame = {
+    val mutual = mutualKnnPairs(spark, dir)
+    val lbl = labelPropagate(mutual, rounds = 3)
+    val e = mutual
+      .join(lbl.select(col("node").as("src"), col("lbl").as("cs")), "src")
+      .join(lbl.select(col("node").as("dst"), col("lbl").as("cd")), "dst")
+      .select(col("cs"), col("cd"))
+    val internal = e.filter(col("cs") === col("cd"))
+      .groupBy(col("cs").as("community"))
+      .agg(count(lit(1)).as("internal_edges"))
+    val boundary = e.filter(col("cs") =!= col("cd"))
+      .select(explode(array(col("cs"), col("cd"))).as("community"))
+      .groupBy(col("community")).agg(count(lit(1)).as("boundary_edges"))
+    val size = lbl.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("community_size"))
+    val m = mutual.agg(count(lit(1)).as("m"))
+    val joined = size
+      .join(internal, Seq("community"), "left")
+      .join(boundary, Seq("community"), "left")
+      .na.fill(0L, Seq("internal_edges", "boundary_edges"))
+      .crossJoin(broadcast(m))
+      .withColumn("vol", lit(2) * col("internal_edges") + col("boundary_edges"))
+      .withColumn("den", least(col("vol"), lit(2) * col("m") - col("vol")))
+    joined.select(col("community"), col("community_size"),
+      col("internal_edges"), col("boundary_edges"),
+      when(col("den") <= 0, lit(null).cast("double"))
+        .otherwise(round(col("boundary_edges").cast("double") / col("den"), 6))
+        .as("conductance"))
+  }
+
+  val qCommunityConductanceSql: String =
+    s"""WITH ${labelPropCtes(mutKnnSql)},
+      |eb AS (SELECT a.lbl AS cs, b.lbl AS cd FROM und u
+      |  JOIN l3 a ON u.src = a.node JOIN l3 b ON u.dst = b.node),
+      |internal AS (SELECT cs AS community, count(*) AS internal_edges
+      |  FROM eb WHERE cs = cd GROUP BY 1),
+      |bnd AS (SELECT community, count(*) AS boundary_edges FROM (
+      |    SELECT cs AS community FROM eb WHERE cs <> cd
+      |    UNION ALL SELECT cd FROM eb WHERE cs <> cd)
+      |  GROUP BY 1),
+      |sz AS (SELECT lbl AS community, count(*) AS community_size
+      |  FROM l3 GROUP BY 1),
+      |tot AS (SELECT count(*) AS m FROM und),
+      |acc AS (SELECT sz.community, sz.community_size,
+      |    coalesce(internal.internal_edges, 0) AS internal_edges,
+      |    coalesce(bnd.boundary_edges, 0) AS boundary_edges,
+      |    2 * coalesce(internal.internal_edges, 0)
+      |      + coalesce(bnd.boundary_edges, 0) AS vol, m
+      |  FROM sz LEFT JOIN internal USING (community)
+      |  LEFT JOIN bnd USING (community), tot)
+      |SELECT community, community_size, internal_edges, boundary_edges,
+      |  CASE WHEN least(vol, 2 * m - vol) <= 0 THEN NULL
+      |    ELSE round(CAST(boundary_edges AS DOUBLE)
+      |      / least(vol, 2 * m - vol), 6) END AS conductance
+      |FROM acc""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_community_conductance" -> (qCommunityConductance _),
     "q_knn_components" -> (qKnnComponents _),
     "q_degree_distribution" -> (qDegreeDistribution _),
     "q_pagerank" -> (qPagerank _),
@@ -623,6 +703,7 @@ object GraphOps {
     "q_triangle_knn" -> (qTriangleKnn _))
 
   def oracle: Map[String, String] = Map(
+    "q_community_conductance" -> qCommunityConductanceSql,
     "q_knn_components" -> qKnnComponentsSql,
     "q_degree_distribution" -> qDegreeDistributionSql,
     "q_pagerank" -> qPagerankSql,

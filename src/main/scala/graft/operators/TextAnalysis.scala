@@ -758,7 +758,79 @@ object TextAnalysis {
          |SELECT true_lang, pred_lang, count(*) AS n
          |FROM pred GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- B21
+  /** Cohen's kappa for the lang-id heuristic — the chance-corrected
+    * agreement number B2b's raw confusion matrix doesn't give you
+    * (a classifier on a 90%-one-class corpus scores 90% accuracy by
+    * always answering the mode; kappa subtracts exactly that):
+    * κ = (p_o − p_e)/(1 − p_e) with p_e from the marginal products.
+    * Everything is integer arithmetic over the ≤ |langs|² confusion
+    * cells until ONE division: κ = (N·diag − Σ_k row_k·col_k)
+    * / (N² − Σ_k row_k·col_k) — numerator and denominator exact in
+    * DECIMAL(38,0) (N² caps the magnitude; exact to N ~ 10¹⁹), the
+    * quotient rounds at 6 dp, and the Landis–Koch verdict band cuts
+    * on the ROUNDED value so both engines band identical IEEE
+    * doubles. Degenerate p_e = 1 (single-class truth AND prediction)
+    * publishes null kappa with band 'undefined'.
+    */
+  def qCohensKappa(spark: SparkSession, dir: String): DataFrame = {
+    val cm = qConfusionMatrix(spark, dir)
+    val n = cm.agg(sum(col("n")).cast("decimal(38,0)").as("nn"),
+      sum(when(col("lang") === col("pred_lang"), col("n")).otherwise(0L))
+        .cast("decimal(38,0)").as("diag"))
+    val rows = cm.groupBy(col("lang").as("k")).agg(sum(col("n")).as("rk"))
+    val cols = cm.groupBy(col("pred_lang").as("k")).agg(sum(col("n")).as("ck"))
+    val pe = rows.join(cols, Seq("k"), "inner")
+      .agg(sum(col("rk").cast("decimal(38,0)") * col("ck")).as("pen"))
+    val kap = n.crossJoin(broadcast(pe))
+      .withColumn("den", col("nn") * col("nn") - col("pen"))
+      .withColumn("kappa", when(col("den") <= 0, lit(null).cast("double"))
+        .otherwise(round((col("nn") * col("diag") - col("pen"))
+          .cast("double") / col("den").cast("double"), 6)))
+    kap.select(col("nn").cast("long").as("n_docs"),
+      round(col("diag").cast("double") / col("nn").cast("double"), 6)
+        .as("po"),
+      round(col("pen").cast("double") /
+        (col("nn") * col("nn")).cast("double"), 6).as("pe"),
+      col("kappa"),
+      when(col("kappa").isNull, lit("undefined"))
+        .when(col("kappa") < 0.2, lit("slight"))
+        .when(col("kappa") < 0.4, lit("fair"))
+        .when(col("kappa") < 0.6, lit("moderate"))
+        .when(col("kappa") < 0.8, lit("substantial"))
+        .otherwise(lit("almost_perfect")).as("band"))
+  }
+
+  val qCohensKappaSql: String =
+    s"""WITH cm AS ($qConfusionMatrixSql),
+       |nn AS (SELECT CAST(sum(n) AS HUGEINT) AS nn,
+       |    CAST(sum(CASE WHEN lang = pred_lang THEN n ELSE 0 END)
+       |      AS HUGEINT) AS diag
+       |  FROM cm),
+       |rk AS (SELECT lang AS k, sum(n) AS rk FROM cm GROUP BY 1),
+       |ck AS (SELECT pred_lang AS k, sum(n) AS ck FROM cm GROUP BY 1),
+       |pe AS (SELECT CAST(sum(CAST(rk.rk AS HUGEINT) * ck.ck) AS HUGEINT)
+       |    AS pen
+       |  FROM rk JOIN ck USING (k)),
+       |kap AS (SELECT nn, diag, pen, nn * nn - pen AS den,
+       |    CASE WHEN nn * nn - pen <= 0 THEN NULL
+       |      ELSE round(CAST(nn * diag - pen AS DOUBLE)
+       |        / CAST(nn * nn - pen AS DOUBLE), 6) END AS kappa
+       |  FROM nn, pe)
+       |SELECT CAST(nn AS BIGINT) AS n_docs,
+       |  round(CAST(diag AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS po,
+       |  round(CAST(pen AS DOUBLE) / CAST(nn * nn AS DOUBLE), 6) AS pe,
+       |  kappa,
+       |  CASE WHEN kappa IS NULL THEN 'undefined'
+       |    WHEN kappa < 0.2 THEN 'slight'
+       |    WHEN kappa < 0.4 THEN 'fair'
+       |    WHEN kappa < 0.6 THEN 'moderate'
+       |    WHEN kappa < 0.8 THEN 'substantial'
+       |    ELSE 'almost_perfect' END AS band
+       |FROM kap""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cohens_kappa" -> (qCohensKappa _),
     "q_template_score" -> (qTemplateScore _),
     "q_naive_bayes" -> (qNaiveBayes _),
     "q_inverted_index" -> (qInvertedIndex _),
@@ -777,6 +849,7 @@ object TextAnalysis {
     "q_stratified_sample" -> (qStratifiedSample _))
 
   def oracle: Map[String, String] = Map(
+    "q_cohens_kappa" -> qCohensKappaSql,
     "q_template_score" -> qTemplateScoreSql,
     "q_naive_bayes" -> qNaiveBayesSql,
     "q_inverted_index" -> qInvertedIndexSql,

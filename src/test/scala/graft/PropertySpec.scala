@@ -493,6 +493,47 @@ class PropertySpec extends AnyFunSuite {
     assert(math.abs(hl._1) < 600000, "shift outside the price domain")
   }
 
+  test("cohens kappa: po is the observed accuracy, kappa <= po <= 1, band cut matches the published kappa") {
+    val k = graft.operators.TextAnalysis.queries("q_cohens_kappa")(spark, sf)
+      .select("n_docs", "po", "pe", "kappa", "band")
+      .as[(Long, Double, Double, Option[Double], String)].head()
+    val pred = graft.operators.TextAnalysis.queries("q_lang_id")(spark, sf)
+      .select(col("is_match").cast("long")).as[Long].collect()
+    assert(k._1 == pred.length, "kappa n_docs != scored docs")
+    assert(math.abs(k._2 - pred.sum.toDouble / pred.length) < 1e-6,
+      "po != observed accuracy")
+    assert(k._3 > 0 && k._3 <= 1.0)
+    k._4.foreach { kap =>
+      assert(kap <= 1.0 && kap >= -1.0)
+      val expected = if (kap < 0.2) "slight" else if (kap < 0.4) "fair"
+        else if (kap < 0.6) "moderate" else if (kap < 0.8) "substantial"
+        else "almost_perfect"
+      assert(k._5 == expected, s"band ${k._5} != $expected for kappa $kap")
+    }
+  }
+
+  test("community conductance: edge accounting partitions the kNN edge set, conductance in [0,1]") {
+    val rows = graft.operators.GraphOps
+      .queries("q_community_conductance")(spark, sf)
+      .select("community", "community_size", "internal_edges",
+        "boundary_edges", "conductance")
+      .as[(Long, Long, Long, Long, Option[Double])].collect()
+    assert(rows.nonEmpty)
+    val m = graft.operators.GraphOps.queries("q_knn_graph")(spark, sf)
+      .filter(col("mutual")).count() / 2 // both orientations listed
+    assert(rows.map(_._3).sum + rows.map(_._4).sum / 2 == m,
+      "sum(internal) + sum(boundary)/2 must equal |E|")
+    assert(rows.map(_._4).sum % 2 == 0, "boundary edges counted twice")
+    rows.foreach { case (c, sz, in, bd, cond) =>
+      assert(sz > 0 && in >= 0 && bd >= 0)
+      cond.foreach(x => assert(x >= 0.0 && x <= 1.0, s"community $c: $x"))
+    }
+    // sizes partition the node set of the kNN graph
+    val nNodes = graft.operators.GraphOps.queries("q_label_prop_knn")(spark, sf)
+      .count()
+    assert(rows.map(_._2).sum == nNodes, "community sizes must partition |V|")
+  }
+
   test("drawdown and bollinger invariants: trough in-domain, drawdown nonnegative, breaches really breach") {
     val dd = graft.operators.TemporalOps.queries("q_drawdown")(spark, sf)
       .select("n_days", "trough_day", "max_drawdown", "dd_vs_mean_day")

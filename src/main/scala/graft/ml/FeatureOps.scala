@@ -957,7 +957,98 @@ object FeatureOps {
       |FROM lineitem l JOIN cuts USING (l_returnflag)
       |GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- E32
+  /** Brier score with the Murphy decomposition for the stopword-density
+    * classifier — the single proper-scoring-rule number the E11/E12/E16
+    * eval suite still lacked (AUC ranks, the reliability diagram
+    * localizes miscalibration, Brier = reliability − resolution +
+    * uncertainty says how much each costs in one additive budget).
+    * Exact Brier from per-bin moment sums: Σ(s−y)² = Σs² − 2·Σ_pos s
+    * + n_pos, accumulated per calibration bin (E16's 20 bins) and
+    * ROUNDED AT 6 dp per bin before the 20-row total — the documented
+    * device that absorbs double summation-order ulps while keeping
+    * the verdict arithmetic identical in both engines; positives are
+    * exact integers throughout. The decomposition terms come from the
+    * same bounded bin frame (bin means 10-dp-rounded); their residual
+    * vs the exact Brier is the within-bin score variance, published
+    * as `decomp_gap` rather than silently absorbed.
+    */
+  def qBrierScore(spark: SparkSession, dir: String): DataFrame = {
+    val enStops = graft.operators.TextAnalysis.stopwords("en")
+    val scored = Tables.documents(spark, dir)
+      .select((col("lang") === "en").as("is_pos"),
+        (vocabHits(tokens(col("text")), enStops).cast("double") /
+          tokenCount(col("text"))).as("score"))
+      .withColumn("bin", least(floor(col("score") * 100), lit(19)).cast("long"))
+    val bins = scored.groupBy(col("bin")).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("is_pos"), 1L).otherwise(0L)).as("pos"),
+      round(sum(col("score")), 6).as("ss"),
+      round(sum(col("score") * col("score")), 6).as("ss2"),
+      round(sum(when(col("is_pos"), col("score")).otherwise(0.0)), 6).as("ssy"))
+    val baseRate = bins.agg(
+      sum(col("pos")).cast("double").as("posd"),
+      sum(col("n")).cast("double").as("nd"))
+    val tot = bins.crossJoin(broadcast(baseRate)).agg(
+      sum(col("n")).cast("long").as("n_docs"),
+      sum(col("pos")).cast("long").as("n_pos"),
+      sum(col("ss2") - lit(2.0) * col("ssy") + col("pos")).as("se"),
+      sum(round(col("n") * pow(round(col("ss") / col("n"), 10) -
+        round(col("pos").cast("double") / col("n"), 10), 2), 10)).as("rel_n"),
+      sum(round(col("n") * pow(round(col("pos").cast("double") / col("n"), 10) -
+        round(col("posd") / col("nd"), 10), 2), 10)).as("res_n"),
+      max(col("posd")).as("posd"), max(col("nd")).as("nd"))
+    val base = col("posd") / col("nd")
+    tot.select(col("n_docs"), col("n_pos"),
+        round(col("se") / col("nd"), 6).as("brier"),
+        round(col("rel_n") / col("nd"), 6).as("reliability"),
+        round(col("res_n") / col("nd"), 6).as("resolution"),
+        round(base * (lit(1.0) - base), 6).as("uncertainty"))
+      .withColumn("decomp_gap", round(abs(col("brier") -
+        (col("reliability") - col("resolution") + col("uncertainty"))), 6))
+  }
+
+  val qBrierScoreSql: String = {
+    val stopsSql = graft.operators.TextAnalysis.stopwords("en")
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    val toksSql = graft.functions.TextFunctions.duckToksSql("text")
+    raw"""WITH s AS (SELECT (lang = 'en') AS is_pos,
+         |  CAST(len(list_filter($toksSql, t -> list_contains($stopsSql, t))) AS DOUBLE)
+         |    / len($toksSql) AS score
+         |  FROM documents),
+         |b AS (SELECT least(CAST(floor(score * 100) AS BIGINT), 19) AS bin,
+         |    is_pos, score FROM s),
+         |bins AS (SELECT bin, count(*) AS n,
+         |    CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+         |    round(sum(score), 6) AS ss,
+         |    round(sum(score * score), 6) AS ss2,
+         |    round(sum(CASE WHEN is_pos THEN score ELSE 0.0 END), 6) AS ssy
+         |  FROM b GROUP BY bin),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+         |    CAST(sum(pos) AS BIGINT) AS n_pos,
+         |    sum(ss2 - 2.0 * ssy + pos) AS se,
+         |    sum(round(n * pow(round(ss / n, 10)
+         |      - round(CAST(pos AS DOUBLE) / n, 10), 2), 10)) AS rel_n,
+         |    CAST(sum(pos) AS DOUBLE) AS posd,
+         |    CAST(sum(n) AS DOUBLE) AS nd,
+         |    sum(round(n * pow(round(CAST(pos AS DOUBLE) / n, 10)
+         |      - round((SELECT CAST(sum(pos) AS DOUBLE) / sum(n) FROM bins), 10),
+         |      2), 10)) AS res_n
+         |  FROM bins),
+         |calc AS (SELECT n_docs, n_pos,
+         |    round(se / nd, 6) AS brier,
+         |    round(rel_n / nd, 6) AS reliability,
+         |    round(res_n / nd, 6) AS resolution,
+         |    round((posd / nd) * (1.0 - posd / nd), 6) AS uncertainty
+         |  FROM tot)
+         |SELECT n_docs, n_pos, brier, reliability, resolution, uncertainty,
+         |  round(abs(brier - (reliability - resolution + uncertainty)), 6)
+         |    AS decomp_gap
+         |FROM calc""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_brier_score" -> (qBrierScore _),
     "q_winsorize" -> (qWinsorize _),
     "q_target_encoding" -> (qTargetEncoding _),
     "q_ols_fit" -> (qOlsFit _),
@@ -981,6 +1072,7 @@ object FeatureOps {
     "q_mutual_info" -> (qMutualInfo _))
 
   def oracle: Map[String, String] = Map(
+    "q_brier_score" -> qBrierScoreSql,
     "q_pca" -> qPcaSql,
     "q_winsorize" -> qWinsorizeSql,
     "q_target_encoding" -> qTargetEncodingSql,

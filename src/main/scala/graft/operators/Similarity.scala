@@ -841,6 +841,121 @@ object Similarity {
     withRecall(top, bruteforceTop5(spark, dir))
   }
 
+  // ---------------------------------------------------------------- D12
+  /** IVF nprobe tuning curve — the recall-vs-cost schedule that turns
+    * D3's fixed default into an informed dial (H10 does this for LSH
+    * banding, the PQ docstring's k-sweep for the shortlist; nprobe
+    * was the remaining untuned knob): ONE probe-ranking pass at the
+    * grid maximum, then every grid point is a filter over the ranked
+    * scan (a cell probed at rank r serves all nprobe ≥ r — no
+    * re-scoring per point), top-5 per (query, nprobe), recall vs the
+    * exact panel truth, and per-point mean candidate counts. Cost
+    * shape: the scanned pair set is the ONE nprobe=max scan (panel ×
+    * probed fraction of the corpus), the grid multiplies only rank
+    * bookkeeping on that bounded set. Counts are exact integers; the
+    * only divisions are the three 6-dp publish ratios. Output:
+    * |grid| rows — nprobe, scan fraction, mean recall@5, mean
+    * candidates — the table an operator reads to pick the knob.
+    */
+  val NprobeGrid: Seq[Int] = Seq(1, 2, 4, 6, 10)
+
+  def qIvfNprobeCurve(spark: SparkSession, dir: String,
+      nlist: Int = 16): DataFrame = {
+    import spark.implicits._
+    val (assigned, cdf) = IvfIndex.get(spark, dir, nlist)
+    val q = assigned.filter(col("vec_id") % 50 === 0 && col("vec_id") < PanelIdCap)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(round(VectorFunctions.cosine(col("qv"), col("cv")), 6).desc,
+        col("cell").asc)
+    val probes = q.crossJoin(broadcast(cdf))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= NprobeGrid.max)
+      .select(col("qid"), col("qv"), col("cell"), col("pr"))
+    // cells are disjoint, so each (qid, nid) pair appears exactly once,
+    // tagged with the probe rank of its cell
+    val pairs = probes.join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("pr"), col("vec_id").as("nid"),
+        VectorFunctions.cosine(col("qv"), col("v")).as("sim"))
+    val grid = NprobeGrid.toDF("nprobe")
+    val ex = pairs.join(broadcast(grid), col("pr") <= col("nprobe"))
+    val w = Window.partitionBy(col("qid"), col("nprobe"))
+      .orderBy(round(col("sim"), 6).desc, col("nid").asc)
+    val top = ex.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+    val truth = bruteforceTop5(spark, dir)
+    val hits = top.join(truth, Seq("qid", "nid"), "left_semi")
+      .groupBy(col("nprobe"), col("qid")).agg(count(lit(1)).as("h"))
+    val cand = ex.groupBy(col("nprobe"), col("qid"))
+      .agg(count(lit(1)).as("nc"))
+    val panel = truth.select(col("qid")).distinct().crossJoin(broadcast(grid))
+    panel
+      .join(hits, Seq("nprobe", "qid"), "left")
+      .join(cand, Seq("nprobe", "qid"), "left")
+      .na.fill(0L, Seq("h", "nc"))
+      .groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("n_queries"),
+        round(sum(col("h")).cast("double") /
+          (count(lit(1)) * 5), 6).as("mean_recall_5"),
+        round(sum(col("nc")).cast("double") / count(lit(1)), 6)
+          .as("mean_candidates"))
+      .withColumn("scan_frac",
+        round(col("nprobe").cast("double") / nlist, 6))
+  }
+
+  private def ivfNprobeCurveSql(asgDir: String, centDir: String,
+      nlist: Int): String = {
+    val gridSql = NprobeGrid.mkString("[", ", ", "]")
+    raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |asg AS (SELECT vec_id, v, cell FROM read_parquet('$asgDir/*.parquet')),
+         |cent AS (SELECT cell, cv FROM read_parquet('$centDir/*.parquet')),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM asg WHERE vec_id % 50 = 0 AND vec_id < $PanelIdCap),
+         |pflat AS (SELECT qid, cell, unnest(qv) AS x, unnest(cv) AS y FROM q, cent),
+         |psc AS (SELECT qid, cell, sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS sim
+         |  FROM pflat GROUP BY qid, cell),
+         |probes AS MATERIALIZED (SELECT qid, cell, pr FROM (
+         |    SELECT qid, cell, row_number() OVER (
+         |      PARTITION BY qid ORDER BY round(sim, 6) DESC, cell ASC) AS pr FROM psc)
+         |  WHERE pr <= ${NprobeGrid.max}),
+         |scan AS (SELECT qid, pr, asg.vec_id AS nid, qv, asg.v AS nv
+         |  FROM probes JOIN q USING (qid) JOIN asg ON asg.cell = probes.cell
+         |  WHERE asg.vec_id <> qid),
+         |sflat AS (SELECT qid, pr, nid, unnest(qv) AS x, unnest(nv) AS y FROM scan),
+         |ssim AS MATERIALIZED (SELECT qid, pr, nid,
+         |    sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS sim
+         |  FROM sflat GROUP BY qid, pr, nid),
+         |grid AS (SELECT unnest($gridSql) AS nprobe),
+         |ex AS MATERIALIZED (SELECT g.nprobe, s.qid, s.nid, s.sim
+         |  FROM ssim s JOIN grid g ON s.pr <= g.nprobe),
+         |top AS (SELECT nprobe, qid, nid FROM (
+         |    SELECT nprobe, qid, nid, row_number() OVER (
+         |      PARTITION BY qid, nprobe ORDER BY round(sim, 6) DESC, nid ASC) AS rank
+         |    FROM ex)
+         |  WHERE rank <= 5),
+         |tq AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0 AND vec_id < $PanelIdCap),
+         |tflat AS (SELECT qid, e.vec_id AS nid, unnest(qv) AS x, unnest(v) AS y
+         |  FROM e JOIN tq ON e.vec_id <> tq.qid),
+         |tsc AS (SELECT qid, nid, sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS sim
+         |  FROM tflat GROUP BY qid, nid),
+         |truth AS MATERIALIZED (SELECT qid, nid FROM (SELECT qid, nid, row_number() OVER (
+         |    PARTITION BY qid ORDER BY round(sim, 6) DESC, nid ASC) AS r FROM tsc) WHERE r <= 5),
+         |hits AS (SELECT t.nprobe, t.qid, count(*) AS h
+         |  FROM top t JOIN truth USING (qid, nid) GROUP BY 1, 2),
+         |cand AS (SELECT nprobe, qid, count(*) AS nc FROM ex GROUP BY 1, 2),
+         |panel AS (SELECT g.nprobe, p.qid FROM grid g,
+         |  (SELECT DISTINCT qid FROM truth) p),
+         |acc AS (SELECT panel.nprobe, panel.qid,
+         |    coalesce(hits.h, 0) AS h, coalesce(cand.nc, 0) AS nc
+         |  FROM panel LEFT JOIN hits USING (nprobe, qid)
+         |  LEFT JOIN cand USING (nprobe, qid))
+         |SELECT nprobe, count(*) AS n_queries,
+         |  round(CAST(sum(h) AS DOUBLE) / (count(*) * 5), 6) AS mean_recall_5,
+         |  round(CAST(sum(nc) AS DOUBLE) / count(*), 6) AS mean_candidates,
+         |  round(CAST(nprobe AS DOUBLE) / $nlist, 6) AS scan_frac
+         |FROM acc GROUP BY nprobe""".stripMargin
+  }
+
   /** IVF+PQ ANN ([r]) — the composition that IS the production-scale
     * vector-search path: the IVF coarse quantizer restricts the search
     * to `nprobe` cells, and WITHIN those cells candidates are scored
@@ -1270,6 +1385,7 @@ object Similarity {
     "q_ndcg" -> (qNdcg _),
     "q_ann_lsh" -> ((s: SparkSession, d: String) => qAnnLsh(s, d)),
     "q_ann_ivf" -> ((s: SparkSession, d: String) => qAnnIvf(s, d)),
+    "q_ivf_nprobe_curve" -> ((s: SparkSession, d: String) => qIvfNprobeCurve(s, d)),
     "q_ann_pq" -> ((s: SparkSession, d: String) => qAnnPq(s, d)),
     "q_ann_ivfpq" -> ((s: SparkSession, d: String) => qAnnIvfPq(s, d)),
     "q_ann_index_stats" -> ((s: SparkSession, d: String) => qAnnIndexStats(s, d)),
@@ -1289,6 +1405,8 @@ object Similarity {
       "q_class_separation" -> qClassSeparationSql) ++
       Option(IvfIndex.lastLoc.get).map { case (a, c) =>
         "q_ann_ivf" -> annIvfSql(a, c, nprobe = 10) }.toMap ++
+      Option(IvfIndex.lastLoc.get).map { case (a, c) =>
+        "q_ivf_nprobe_curve" -> ivfNprobeCurveSql(a, c, nlist = 16) }.toMap ++
       Option(IvfIndex.lastLoc.get).map { case (a, c) =>
         "q_ann_index_stats" -> annIndexStatsSql(a, c) }.toMap ++
       Option(IvfIndex.lastLoc.get).map { case (a, _) =>

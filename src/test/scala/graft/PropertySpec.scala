@@ -493,6 +493,26 @@ class PropertySpec extends AnyFunSuite {
     assert(math.abs(hl._1) < 600000, "shift outside the price domain")
   }
 
+  test("ivf nprobe curve: recall and candidate count monotone in nprobe, panel complete, top point matches D3's floor") {
+    val rows = graft.operators.Similarity
+      .queries("q_ivf_nprobe_curve")(spark, sf)
+      .select("nprobe", "n_queries", "mean_recall_5", "mean_candidates",
+        "scan_frac")
+      .as[(Int, Long, Double, Double, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == graft.operators.Similarity.NprobeGrid,
+      "one row per grid point")
+    assert(rows.map(_._2).distinct.length == 1, "same panel at every point")
+    // probing more cells can only add candidates and never lose a hit
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 >= a._3 - 1e-9, s"recall not monotone at nprobe=${b._1}")
+      assert(b._4 >= a._4, s"candidates not monotone at nprobe=${b._1}")
+      assert(b._5 > a._5)
+    }
+    rows.foreach { r =>
+      assert(r._3 >= 0 && r._3 <= 1.0 && r._5 > 0 && r._5 <= 1.0)
+    }
+  }
+
   test("cohens kappa: po is the observed accuracy, kappa <= po <= 1, band cut matches the published kappa") {
     val k = graft.operators.TextAnalysis.queries("q_cohens_kappa")(spark, sf)
       .select("n_docs", "po", "pe", "kappa", "band")

@@ -979,7 +979,96 @@ object AnalyticExt {
       |  ELSE round(num / sqrt(den), 6) END AS rho_spearman
       |FROM calc""".stripMargin
 
+  // ---------------------------------------------------------------- A40
+  /** Theil T inequality index of customer revenue, decomposed
+    * between/within nations — the inequality readout L8's Gini can't
+    * decompose (Gini's group terms overlap; Theil is ADDITIVE:
+    * T = T_between + Σ_g share_g·T_g exactly, so "how much of revenue
+    * concentration is geography vs within-market whales" is one
+    * subtraction). Per-customer revenue sums are exact DECIMAL; each
+    * ln term is the identical double expression 10-dp-rounded before
+    * its weighted sum, and the per-nation aggregates live on a
+    * |nations|-bounded frame. Output: one row per nation with its
+    * customer count, revenue share, within-nation Theil, and its two
+    * contributions, plus the corpus totals replicated (the M7
+    * fit-columns-broadcast-back device) so the additivity
+    * T = between + within is visible in every row. Zero-revenue
+    * customers cannot occur (only purchasers enter via the join).
+    */
+  def qTheilIndex(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("x"))
+      .join(Tables.customer(spark, dir)
+        .join(Tables.nation(spark, dir),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name")),
+        col("o_custkey") === col("c_custkey"))
+    val tot = cust.agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+    val withTot = cust.crossJoin(broadcast(tot))
+      .withColumn("r", col("x").cast("double") * col("n") /
+        col("s").cast("double"))
+    val perNation = withTot.groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("x")).as("sg"),
+        round(sum(round(col("r") * log(col("r")), 10)), 6).as("tsum"),
+        max(col("n")).as("n"), max(col("s")).as("s"))
+      .withColumn("share",
+        round(col("sg").cast("double") / col("s").cast("double"), 10))
+      .withColumn("mean_ratio",
+        round((col("sg").cast("double") / col("n_cust")) /
+          (col("s").cast("double") / col("n")), 10))
+      .withColumn("t_within_g", round(col("share") *
+        (col("tsum") / col("n") / col("share") -
+          round(log(col("mean_ratio")), 10)), 6))
+      .withColumn("t_between_g",
+        round(col("share") * round(log(col("mean_ratio")), 10), 6))
+    val totals = perNation.agg(
+      round(sum(col("t_within_g")), 6).as("theil_within"),
+      round(sum(col("t_between_g")), 6).as("theil_between"))
+    perNation.crossJoin(broadcast(totals))
+      .select(col("n_name").as("nation"), col("n_cust"),
+        round(col("share"), 6).as("rev_share"),
+        col("t_between_g"), col("t_within_g"),
+        col("theil_between"), col("theil_within"),
+        round(col("theil_between") + col("theil_within"), 6)
+          .as("theil_total"))
+  }
+
+  val qTheilIndexSql: String =
+    """WITH cust AS (SELECT o_custkey,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+      |  FROM orders GROUP BY 1),
+      |cn AS (SELECT cust.o_custkey, cust.x, n.n_name
+      |  FROM cust JOIN customer c ON cust.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+      |tot AS (SELECT sum(x) AS s, count(*) AS n FROM cn),
+      |wt AS (SELECT n_name, CAST(x AS DOUBLE) * n / CAST(s AS DOUBLE) AS r,
+      |    x, n, s FROM cn, tot),
+      |pn AS (SELECT n_name, count(*) AS n_cust, sum(x) AS sg,
+      |    round(sum(round(r * ln(r), 10)), 6) AS tsum,
+      |    max(n) AS n, max(s) AS s
+      |  FROM wt GROUP BY 1),
+      |calc AS (SELECT n_name, n_cust, tsum, n,
+      |    round(CAST(sg AS DOUBLE) / CAST(s AS DOUBLE), 10) AS share,
+      |    round((CAST(sg AS DOUBLE) / n_cust)
+      |      / (CAST(s AS DOUBLE) / n), 10) AS mean_ratio
+      |  FROM pn),
+      |contrib AS (SELECT n_name, n_cust, share,
+      |    round(share * (tsum / n / share - round(ln(mean_ratio), 10)), 6)
+      |      AS t_within_g,
+      |    round(share * round(ln(mean_ratio), 10), 6) AS t_between_g
+      |  FROM calc),
+      |totals AS (SELECT round(sum(t_within_g), 6) AS theil_within,
+      |    round(sum(t_between_g), 6) AS theil_between
+      |  FROM contrib)
+      |SELECT n_name AS nation, n_cust, round(share, 6) AS rev_share,
+      |  t_between_g, t_within_g, theil_between, theil_within,
+      |  round(theil_between + theil_within, 6) AS theil_total
+      |FROM contrib, totals""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_theil_index" -> (qTheilIndex _),
     "q_spearman" -> (qSpearman _),
     "q_kendall_tau" -> (qKendallTau _),
     "q_assoc_rules" -> (qAssocRules _),
@@ -1003,6 +1092,7 @@ object AnalyticExt {
     "q_ewma" -> (qEwma _))
 
   def oracle: Map[String, String] = Map(
+    "q_theil_index" -> qTheilIndexSql,
     "q_spearman" -> qSpearmanSql,
     "q_kendall_tau" -> qKendallTauSql,
     "q_assoc_rules" -> qAssocRulesSql,

@@ -829,7 +829,74 @@ object TextAnalysis {
        |    ELSE 'almost_perfect' END AS band
        |FROM kap""".stripMargin
 
+  // ---------------------------------------------------------------- B22
+  /** Multiclass Matthews correlation (Gorodkin's R_K) for the lang-id
+    * heuristic — the third agreement number beside accuracy and B21's
+    * kappa, and the one robust to BOTH class imbalance and a
+    * degenerate predictor (kappa can reward a classifier that matches
+    * the marginal by luck; MCC is the full correlation of the
+    * confusion tensor): R_K = (c·s − Σ_k p_k·t_k)
+    * / √((s² − Σp²)(s² − Σt²)) over the ≤ |langs|² cells. Every
+    * numerator term is an exact integer (HUGEINT/DECIMAL(38,0) —
+    * exact to s ~ 10⁹ per the s² bound), the two radicands stay
+    * exact, and ONE double expression (identical in both engines)
+    * produces the 6-dp value. Single-class truth or prediction
+    * zeroes a radicand → null, not a divide error.
+    */
+  def qMcc(spark: SparkSession, dir: String): DataFrame = {
+    val cm = qConfusionMatrix(spark, dir)
+    val n = cm.agg(sum(col("n")).cast("decimal(38,0)").as("s"),
+      sum(when(col("lang") === col("pred_lang"), col("n")).otherwise(0L))
+        .cast("decimal(38,0)").as("c"))
+    val rows = cm.groupBy(col("lang").as("k"))
+      .agg(sum(col("n")).cast("decimal(38,0)").as("tk"))
+    val cols = cm.groupBy(col("pred_lang").as("k"))
+      .agg(sum(col("n")).cast("decimal(38,0)").as("pk"))
+    val cross = rows.join(cols, Seq("k"), "full_outer")
+      .na.fill(0L, Seq.empty) // decimals: coalesce below
+      .select(coalesce(col("tk"), lit(0).cast("decimal(38,0)")).as("tk"),
+        coalesce(col("pk"), lit(0).cast("decimal(38,0)")).as("pk"))
+      .agg(sum(col("tk") * col("pk")).as("ptsum"),
+        sum(col("pk") * col("pk")).as("p2"),
+        sum(col("tk") * col("tk")).as("t2"))
+    val m = n.crossJoin(broadcast(cross))
+      .withColumn("num", (col("c") * col("s") - col("ptsum")).cast("double"))
+      .withColumn("d1", (col("s") * col("s") - col("p2")).cast("double"))
+      .withColumn("d2", (col("s") * col("s") - col("t2")).cast("double"))
+    m.select(col("s").cast("long").as("n_docs"),
+      when(col("d1") <= 0 || col("d2") <= 0, lit(null).cast("double"))
+        .otherwise(round(col("num") / sqrt(col("d1") * col("d2")), 6))
+        .as("mcc"))
+  }
+
+  val qMccSql: String =
+    s"""WITH cm AS ($qConfusionMatrixSql),
+       |nn AS (SELECT CAST(sum(n) AS HUGEINT) AS s,
+       |    CAST(sum(CASE WHEN lang = pred_lang THEN n ELSE 0 END)
+       |      AS HUGEINT) AS c
+       |  FROM cm),
+       |tk AS (SELECT lang AS k, CAST(sum(n) AS HUGEINT) AS tk FROM cm GROUP BY 1),
+       |pk AS (SELECT pred_lang AS k, CAST(sum(n) AS HUGEINT) AS pk
+       |  FROM cm GROUP BY 1),
+       |cx AS (SELECT coalesce(tk.k, pk.k) AS k,
+       |    coalesce(tk, CAST(0 AS HUGEINT)) AS tk,
+       |    coalesce(pk, CAST(0 AS HUGEINT)) AS pk
+       |  FROM tk FULL OUTER JOIN pk ON tk.k = pk.k),
+       |agg AS (SELECT CAST(sum(tk * pk) AS HUGEINT) AS ptsum,
+       |    CAST(sum(pk * pk) AS HUGEINT) AS p2,
+       |    CAST(sum(tk * tk) AS HUGEINT) AS t2
+       |  FROM cx),
+       |m AS (SELECT s, CAST(c * s - ptsum AS DOUBLE) AS num,
+       |    CAST(s * s - p2 AS DOUBLE) AS d1,
+       |    CAST(s * s - t2 AS DOUBLE) AS d2
+       |  FROM nn, agg)
+       |SELECT CAST(s AS BIGINT) AS n_docs,
+       |  CASE WHEN d1 <= 0 OR d2 <= 0 THEN NULL
+       |    ELSE round(num / sqrt(d1 * d2), 6) END AS mcc
+       |FROM m""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mcc" -> (qMcc _),
     "q_cohens_kappa" -> (qCohensKappa _),
     "q_template_score" -> (qTemplateScore _),
     "q_naive_bayes" -> (qNaiveBayes _),
@@ -849,6 +916,7 @@ object TextAnalysis {
     "q_stratified_sample" -> (qStratifiedSample _))
 
   def oracle: Map[String, String] = Map(
+    "q_mcc" -> qMccSql,
     "q_cohens_kappa" -> qCohensKappaSql,
     "q_template_score" -> qTemplateScoreSql,
     "q_naive_bayes" -> qNaiveBayesSql,

@@ -554,6 +554,28 @@ class PropertySpec extends AnyFunSuite {
     assert(rows.map(_._2).sum == nNodes, "community sizes must partition |V|")
   }
 
+  test("theil index: shares sum to 1, contributions sum to the published totals, inequality nonnegative; mcc bounded") {
+    val rows = graft.operators.AnalyticExt.queries("q_theil_index")(spark, sf)
+      .select("nation", "rev_share", "t_between_g", "t_within_g",
+        "theil_between", "theil_within", "theil_total")
+      .as[(String, Double, Double, Double, Double, Double, Double)].collect()
+    assert(rows.length == 25, "one row per nation")
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-4, "shares must sum to 1")
+    assert(math.abs(rows.map(_._4).sum - rows.head._6) < 1e-4,
+      "within contributions must sum to theil_within")
+    assert(math.abs(rows.map(_._3).sum - rows.head._5) < 1e-4,
+      "between contributions must sum to theil_between")
+    rows.foreach { r =>
+      assert(r._4 >= -1e-6, s"${r._1}: within-group Theil cannot be negative")
+      assert(r._7 == rows.head._7, "totals replicated identically")
+    }
+    assert(rows.head._7 >= 0.0, "Theil T >= 0")
+    val mcc = graft.operators.TextAnalysis.queries("q_mcc")(spark, sf)
+      .select("n_docs", "mcc").as[(Long, Option[Double])].head()
+    assert(mcc._1 > 0)
+    mcc._2.foreach(v => assert(v >= -1.0 && v <= 1.0))
+  }
+
   test("drawdown and bollinger invariants: trough in-domain, drawdown nonnegative, breaches really breach") {
     val dd = graft.operators.TemporalOps.queries("q_drawdown")(spark, sf)
       .select("n_days", "trough_day", "max_drawdown", "dd_vs_mean_day")

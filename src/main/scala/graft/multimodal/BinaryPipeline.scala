@@ -349,7 +349,119 @@ object BinaryPipeline {
          |  (m.doc_id = c.canonical_id) AS keep
          |FROM mem m JOIN canon c ON m.phash_cluster = c.phash_cluster""".stripMargin
 
+  // ---------------------------------------------------------------- G8
+  /** Hamming-threshold sweep for the media near-dup dial — what C18
+    * does for the MinHash similarity cut and D12 for nprobe, applied
+    * to G6's hamming radius: for every threshold t ∈ 0..3 (the range
+    * the nibble-banding is pigeonhole-complete for), the linked-pair
+    * count, cluster count, and the keep-list outcome (payloads
+    * dropped = per-cluster survivors-to-one + exact-dup collapse of
+    * unlinked hash groups; t = 0 is the pure exact-dup baseline since
+    * distinct hashes can't pair at radius 0). The pair set is
+    * computed ONCE at the widest radius on the ≤ 2^16 distinct-hash
+    * table and each point filters it; clustering reruns the shared
+    * `clusterPairs` loop per point on that bounded graph — corpus
+    * size changes only `group_n` weights, never the sweep's pair or
+    * cluster work. All counts exact integers; no floats anywhere.
+    */
+  def qPhashThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val g = phashes(spark, dir).groupBy(col("phash"))
+      .agg(count(lit(1)).as("group_n"))
+    val bands = g.select(col("phash"),
+      explode(array((0 to 3).map(i =>
+        struct(lit(i).as("band"),
+          ((col("phash") / math.pow(16, i).toLong).cast("long") % 16)
+            .as("key"))): _*)).as("b"))
+      .select(col("phash"), col("b.band").as("band"), col("b.key").as("key"))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key")
+          && col("x.phash") < col("y.phash"))
+      .select(col("x.phash").as("a"), col("y.phash").as("b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("a").bitwiseXOR(col("b"))))
+      .filter(col("hamming") <= 3)
+    val tot = g.agg(sum(col("group_n")).cast("long").as("n_payloads"))
+    val rows = (0 to 3).map { t =>
+      val pairs = cand.filter(col("hamming") <= t)
+        .select(col("a").as("id1"), col("b").as("id2"))
+      val lbl = graft.operators.Dedup.clusterPairs(spark, pairs)
+      val mem = lbl.join(g, lbl("node") === g("phash"))
+        .groupBy(col("lab"))
+        .agg(count(lit(1)).as("n_hashes"), sum(col("group_n")).as("payloads"))
+      val linked = mem.agg(
+        coalesce(count(lit(1)), lit(0L)).as("n_clusters"),
+        coalesce(sum(col("payloads") - 1), lit(0L)).as("drop_linked"),
+        coalesce(sum(col("n_hashes")), lit(0L)).as("n_linked_hashes"))
+      val unlinked = g.join(lbl, g("phash") === lbl("node"), "left_anti")
+        .agg(coalesce(sum(col("group_n") - 1), lit(0L)).as("drop_unlinked"))
+      val np = cand.filter(col("hamming") <= t)
+        .agg(count(lit(1)).as("n_pairs"))
+      np.crossJoin(broadcast(linked)).crossJoin(broadcast(unlinked))
+        .crossJoin(broadcast(tot))
+        .select(lit(t.toLong).as("threshold"), col("n_pairs"),
+          col("n_clusters"), col("n_linked_hashes").cast("long")
+            .as("n_linked_hashes"),
+          (col("drop_linked") + col("drop_unlinked")).cast("long")
+            .as("n_dropped"),
+          (col("n_payloads") - col("drop_linked") - col("drop_unlinked"))
+            .cast("long").as("n_kept"))
+    }
+    rows.reduce(_ unionAll _)
+  }
+
+  val qPhashThresholdSweepSql: String = {
+    val perT = (0 to 3).map { t =>
+      s"""reach$t(a, b) AS (SELECT a, b FROM sym WHERE ham <= $t
+         |  UNION SELECT r.a, s.b FROM reach$t r
+         |    JOIN sym s ON r.b = s.a AND s.ham <= $t),
+         |cl$t AS (SELECT a AS phash, least(a, min(b)) AS lab
+         |  FROM reach$t GROUP BY a),
+         |mem$t AS (SELECT cl$t.lab, count(*) AS n_hashes,
+         |    sum(g.group_n) AS payloads
+         |  FROM cl$t JOIN g ON cl$t.phash = g.phash GROUP BY 1),
+         |linked$t AS (SELECT coalesce(count(*), 0) AS n_clusters,
+         |    coalesce(CAST(sum(payloads - 1) AS BIGINT), 0) AS drop_linked,
+         |    coalesce(CAST(sum(n_hashes) AS BIGINT), 0) AS n_linked_hashes
+         |  FROM mem$t),
+         |unlinked$t AS (SELECT
+         |    coalesce(CAST(sum(group_n - 1) AS BIGINT), 0) AS drop_unlinked
+         |  FROM g WHERE phash NOT IN (SELECT phash FROM cl$t)),
+         |np$t AS (SELECT count(*) AS n_pairs FROM cand WHERE hamming <= $t),
+         |row$t AS (SELECT CAST($t AS BIGINT) AS threshold, n_pairs,
+         |    n_clusters, n_linked_hashes,
+         |    drop_linked + drop_unlinked AS n_dropped,
+         |    n_payloads - drop_linked - drop_unlinked AS n_kept
+         |  FROM np$t, linked$t, unlinked$t, tot)""".stripMargin
+    }.mkString(",\n")
+    val unionRows = (0 to 3).map(t => s"SELECT * FROM row$t")
+      .mkString("\nUNION ALL ")
+    raw"""WITH RECURSIVE f AS (SELECT doc_id, text,
+         |    unnest(generate_series(0, CAST(least(4, length(text) // 32) AS BIGINT) - 1)) AS frame_idx
+         |  FROM documents),
+         |fm AS (SELECT doc_id, frame_idx,
+         |    CAST(list_sum(list_transform(generate_series(1, 8),
+         |      j -> ascii(substr(text, CAST(frame_idx * 32 + j AS INTEGER), 1)))) AS DOUBLE) / 8.0 AS frame_mean
+         |  FROM f),
+         |p AS (SELECT doc_id,
+         |    CAST(sum(CAST(floor(frame_mean / 16) AS BIGINT) *
+         |      (CASE frame_idx WHEN 0 THEN 1 WHEN 1 THEN 16
+         |        WHEN 2 THEN 256 ELSE 4096 END)) AS BIGINT) AS phash
+         |  FROM fm GROUP BY doc_id),
+         |g AS MATERIALIZED (SELECT phash, count(*) AS group_n FROM p GROUP BY 1),
+         |cand AS MATERIALIZED (SELECT x.phash AS a, y.phash AS b,
+         |    bit_count(xor(x.phash, y.phash)) AS hamming
+         |  FROM g x JOIN g y ON x.phash < y.phash
+         |  WHERE bit_count(xor(x.phash, y.phash)) <= 3),
+         |sym AS (SELECT a, b, hamming AS ham FROM cand
+         |  UNION ALL SELECT b, a, hamming FROM cand),
+         |tot AS (SELECT CAST(sum(group_n) AS BIGINT) AS n_payloads FROM g),
+         |$perT
+         |$unionRows""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_phash_threshold_sweep" -> (qPhashThresholdSweep _),
     "q_phash_neardup" -> (qPhashNeardup _),
     "q_media_keep_list" -> (qMediaKeepList _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
@@ -359,6 +471,7 @@ object BinaryPipeline {
     "q_batched_score" -> ((s: SparkSession, d: String) => qBatchedScore(s, d)))
 
   def oracle: Map[String, String] = Map(
+    "q_phash_threshold_sweep" -> qPhashThresholdSweepSql,
     "q_phash_neardup" -> qPhashNeardupSql,
     "q_media_keep_list" -> qMediaKeepListSql,
     "q_multimodal_decode" -> qMultimodalDecodeSql,

@@ -1531,7 +1531,151 @@ object TemporalOps {
       |  round(mean7, 6) AS mean7, round(sd7, 6) AS sd7, breach
       |FROM breach WHERE breach IS NOT NULL""".stripMargin
 
+  // ---------------------------------------------------------------- F46
+  /** Nelson–Aalen cumulative-hazard estimator of signup→purchase
+    * conversion — F19's counting-process twin: Kaplan–Meier publishes
+    * the survival CURVE, Nelson–Aalen the cumulative hazard H(t) =
+    * Σ_{s≤t} d_s/n_s whose increments ARE the per-interval conversion
+    * intensity (the quantity a hazard-regression or a retention-decay
+    * model consumes), plus the Poisson-variance band Σ d/n² a KM
+    * transform does not expose. Identical bounded construction:
+    * per-user first-touch/first-purchase, durations floored to HOURS
+    * (the cumulative windows run over the duration-hour table,
+    * bounded by the observation span, never the user count —
+    * PlanSpec-exempt, the F19 class). Parity device as F19: each
+    * hazard increment rounds at 10 dp BEFORE the ordered cumulative
+    * sum (both engines then add identical IEEE values in identical
+    * order), publishes at 6 dp. The Fleming–Harrington survival
+    * exp(−H) ≥ the KM product-limit estimate everywhere — a
+    * cross-estimator invariant the spec asserts.
+    */
+  def qNelsonAalen(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), tsSec.as("t"))
+      .groupBy(col("user_id"))
+      .agg(min(col("t")).as("f"),
+        min(when(col("event_type") === "purchase", col("t"))).as("fp"),
+        max(col("t")).as("l"))
+      .cache()
+    val g = users.agg(max(col("l")).as("endg"), count(lit(1)).as("n_users"))
+    val byHour = users.crossJoin(broadcast(g))
+      .withColumn("is_event", col("fp").isNotNull)
+      .withColumn("dur",
+        when(col("is_event"), col("fp") - col("f"))
+          .otherwise(col("endg") - col("f")))
+      .withColumn("dur_hour", expr("dur DIV 3600"))
+      .groupBy(col("dur_hour"))
+      .agg(sum(when(col("is_event"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("is_event"), 0L).otherwise(1L)).as("c"),
+        max(col("n_users")).as("n_users"))
+    val prior = Window.orderBy(col("dur_hour"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upto = Window.orderBy(col("dur_hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byHour
+      .withColumn("at_risk", col("n_users") -
+        coalesce(sum(col("d") + col("c")).over(prior), lit(0L)))
+      .withColumn("h_inc",
+        round(col("d").cast("double") / col("at_risk"), 10))
+      .withColumn("v_inc",
+        round(col("d").cast("double") /
+          (col("at_risk").cast("double") * col("at_risk")), 10))
+      .withColumn("cum_hazard", round(sum(col("h_inc")).over(upto), 6))
+      .withColumn("hazard_se",
+        round(sqrt(sum(col("v_inc")).over(upto)), 6))
+      .withColumn("fh_survival",
+        round(exp(-sum(col("h_inc")).over(upto)), 6))
+      .select(col("dur_hour"), col("at_risk"), col("d").as("n_converted"),
+        col("c").as("n_censored"), col("cum_hazard"), col("hazard_se"),
+        col("fh_survival"))
+  }
+
+  val qNelsonAalenSql: String =
+    s"""WITH ev AS (SELECT user_id, event_type, $duckTsSec AS t FROM events),
+       |users AS (SELECT user_id, min(t) AS f,
+       |    min(CASE WHEN event_type = 'purchase' THEN t END) AS fp,
+       |    max(t) AS l
+       |  FROM ev GROUP BY 1),
+       |g AS (SELECT max(l) AS endg, count(*) AS n_users FROM users),
+       |byhour AS (SELECT
+       |    (CASE WHEN fp IS NOT NULL THEN fp - f ELSE endg - f END) // 3600 AS dur_hour,
+       |    CAST(sum(CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS d,
+       |    CAST(sum(CASE WHEN fp IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS c,
+       |    max(n_users) AS n_users
+       |  FROM users, g GROUP BY 1),
+       |r AS (SELECT dur_hour, d, c, CAST(n_users - COALESCE(sum(d + c) OVER
+       |    (ORDER BY dur_hour ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS at_risk
+       |  FROM byhour),
+       |t AS (SELECT dur_hour, at_risk, d, c,
+       |    round(CAST(d AS DOUBLE) / at_risk, 10) AS h_inc,
+       |    round(CAST(d AS DOUBLE) / (CAST(at_risk AS DOUBLE) * at_risk), 10) AS v_inc
+       |  FROM r)
+       |SELECT dur_hour, at_risk, d AS n_converted, c AS n_censored,
+       |  round(sum(h_inc) OVER w, 6) AS cum_hazard,
+       |  round(sqrt(sum(v_inc) OVER w), 6) AS hazard_se,
+       |  round(exp(-sum(h_inc) OVER w), 6) AS fh_survival
+       |FROM t
+       |WINDOW w AS (ORDER BY dur_hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
+  // ---------------------------------------------------------------- F47
+  /** Per-user burstiness (Fano factor of the daily event-count
+    * series over the full observation span): the over-dispersion
+    * readout behind bot/scraper triage — a Poisson-ish human clicks
+    * with F ≈ 1, a scheduled scraper under-disperses (F < 1), a
+    * bursty incident-driven account over-disperses (F ≫ 1). F11's
+    * z-score flags WHICH days spike; this says WHICH USERS have a
+    * spiky temporal signature at all. Variance over the span
+    * includes the silent days WITHOUT materializing them: zero-count
+    * days contribute nothing to Σc or Σc², so mean = Σc/span and
+    * var = Σc²/span − mean² need only the observed (user, day) rows
+    * plus the broadcast global span — exact integers until the two
+    * final divisions. One keyed (user, day) aggregate + one keyed
+    * user aggregate; output |users| rows.
+    */
+  def qBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts DIV 1000000000 DIV 86400")
+        .cast("long").as("day"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val span = daily.agg(
+      (max(col("day")) - min(col("day")) + 1).cast("long").as("span_days"))
+    val perUser = daily.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_active_days"),
+        sum(col("cnt")).cast("long").as("n_events"),
+        sum(col("cnt") * col("cnt")).cast("long").as("sumsq"))
+    val mean = col("n_events").cast("double") / col("span_days")
+    val variance = col("sumsq").cast("double") / col("span_days") - mean * mean
+    perUser.crossJoin(broadcast(span))
+      .select(col("user_id"), col("n_events"), col("n_active_days"),
+        col("span_days"), round(variance / mean, 6).as("fano"))
+      .withColumn("bursty", col("fano") > 1.5)
+  }
+
+  val qBurstinessSql: String =
+    s"""WITH daily AS (SELECT user_id, $duckTsSec // 86400 AS day,
+       |    count(*) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |span AS (SELECT CAST(max(day) - min(day) + 1 AS BIGINT) AS span_days
+       |  FROM daily),
+       |pu AS (SELECT user_id, count(*) AS n_active_days,
+       |    CAST(sum(cnt) AS BIGINT) AS n_events,
+       |    CAST(sum(cnt * cnt) AS BIGINT) AS sumsq
+       |  FROM daily GROUP BY 1)
+       |SELECT user_id, n_events, n_active_days, span_days,
+       |  round((CAST(sumsq AS DOUBLE) / span_days
+       |      - (CAST(n_events AS DOUBLE) / span_days)
+       |        * (CAST(n_events AS DOUBLE) / span_days))
+       |    / (CAST(n_events AS DOUBLE) / span_days), 6) AS fano,
+       |  (round((CAST(sumsq AS DOUBLE) / span_days
+       |      - (CAST(n_events AS DOUBLE) / span_days)
+       |        * (CAST(n_events AS DOUBLE) / span_days))
+       |    / (CAST(n_events AS DOUBLE) / span_days), 6) > 1.5) AS bursty
+       |FROM pu, span""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_nelson_aalen" -> (qNelsonAalen _),
+    "q_burstiness" -> (qBurstiness _),
     "q_drawdown" -> (qDrawdown _),
     "q_bollinger" -> (qBollinger _),
     "q_theil_sen" -> (qTheilSen _),
@@ -1567,6 +1711,8 @@ object TemporalOps {
     "q_json_extract" -> (qJsonExtract _))
 
   def oracle: Map[String, String] = Map(
+    "q_nelson_aalen" -> qNelsonAalenSql,
+    "q_burstiness" -> qBurstinessSql,
     "q_drawdown" -> qDrawdownSql,
     "q_bollinger" -> qBollingerSql,
     "q_theil_sen" -> qTheilSenSql,

@@ -895,7 +895,103 @@ object TextAnalysis {
        |    ELSE round(num / sqrt(d1 * d2), 6) END AS mcc
        |FROM m""".stripMargin
 
+  // ---------------------------------------------------------------- B23
+  /** PII detection + redaction audit — the scrub gate every
+    * LLM-corpus pipeline runs before text reaches a training shard
+    * (emails, phone numbers, IP addresses), here as a per-source
+    * verdict: hit counts per PII class, documents flagged, characters
+    * a `[PII]` redaction pass would rewrite, and the per-source flag
+    * rate. The generated corpus contains no organic PII, so the
+    * operator plants it DETERMINISTICALLY from doc_id (the multimodal
+    * block's stub-decoder device: the synthesis is arithmetic both
+    * engines reproduce bit-for-bit — doc_id % 5 gets an email,
+    * % 7 a phone, % 11 an IP — which also yields known-truth counts
+    * the spec asserts exactly); the detection/redaction regexes then
+    * run on the augmented text exactly as they would on a real crawl.
+    * Regex battery is anchored to engine-portable syntax (character
+    * classes + bounded quantifiers only — no lookaround, no shorthand
+    * classes that differ between Java regex and RE2). Map-only scan →
+    * one |sources|-row aggregate; counts exact integers, one 6-dp
+    * rate division.
+    */
+  def qPiiScan(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+    val phoneRe = "\\+1-555-[0-9]{4}"
+    val ipRe = "10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    val allRe = s"($emailRe|$phoneRe|$ipRe)"
+    val aug = Tables.documents(spark, dir).withColumn("aug",
+      concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" call +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" host 10."), (col("doc_id") % 256).cast("string"),
+            lit("."), (expr("doc_id DIV 7") % 256).cast("string"),
+            lit("."), (expr("doc_id DIV 13") % 256).cast("string")))
+          .otherwise(lit(""))))
+    val scored = aug.select(col("source"),
+      size(regexp_extract_all(col("aug"), lit(emailRe), lit(0)))
+        .cast("long").as("n_email"),
+      size(regexp_extract_all(col("aug"), lit(phoneRe), lit(0)))
+        .cast("long").as("n_phone"),
+      size(regexp_extract_all(col("aug"), lit(ipRe), lit(0)))
+        .cast("long").as("n_ip"),
+      (length(col("aug")) -
+        length(regexp_replace(col("aug"), allRe, "[PII]")))
+        .cast("long").as("chars_delta"))
+    scored.groupBy(col("source")).agg(
+        count(lit(1)).as("docs"),
+        sum(when(col("n_email") + col("n_phone") + col("n_ip") > 0, 1L)
+          .otherwise(0L)).as("docs_flagged"),
+        sum(col("n_email")).cast("long").as("emails"),
+        sum(col("n_phone")).cast("long").as("phones"),
+        sum(col("n_ip")).cast("long").as("ips"),
+        sum(col("chars_delta")).cast("long").as("chars_redacted"))
+      .withColumn("pii_rate",
+        round(col("docs_flagged").cast("double") / col("docs"), 6))
+  }
+
+  val qPiiScanSql: String = {
+    val emailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+    val phoneRe = "\\+1-555-[0-9]{4}"
+    val ipRe = "10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    val allRe = s"($emailRe|$phoneRe|$ipRe)"
+    raw"""WITH aug AS (SELECT source, text
+         |    || (CASE WHEN doc_id % 5 = 0 THEN ' contact user'
+         |        || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END)
+         |    || (CASE WHEN doc_id % 7 = 0 THEN ' call +1-555-'
+         |        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END)
+         |    || (CASE WHEN doc_id % 11 = 0 THEN ' host 10.'
+         |        || CAST(doc_id % 256 AS VARCHAR) || '.'
+         |        || CAST((doc_id // 7) % 256 AS VARCHAR) || '.'
+         |        || CAST((doc_id // 13) % 256 AS VARCHAR) ELSE '' END)
+         |    AS aug
+         |  FROM documents),
+         |scored AS (SELECT source,
+         |    CAST(len(regexp_extract_all(aug, '$emailRe')) AS BIGINT) AS n_email,
+         |    CAST(len(regexp_extract_all(aug, '$phoneRe')) AS BIGINT) AS n_phone,
+         |    CAST(len(regexp_extract_all(aug, '$ipRe')) AS BIGINT) AS n_ip,
+         |    CAST(length(aug) - length(regexp_replace(aug, '$allRe', '[PII]', 'g'))
+         |      AS BIGINT) AS chars_delta
+         |  FROM aug)
+         |SELECT source, count(*) AS docs,
+         |  CAST(sum(CASE WHEN n_email + n_phone + n_ip > 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS docs_flagged,
+         |  CAST(sum(n_email) AS BIGINT) AS emails,
+         |  CAST(sum(n_phone) AS BIGINT) AS phones,
+         |  CAST(sum(n_ip) AS BIGINT) AS ips,
+         |  CAST(sum(chars_delta) AS BIGINT) AS chars_redacted,
+         |  round(CAST(sum(CASE WHEN n_email + n_phone + n_ip > 0 THEN 1
+         |      ELSE 0 END) AS DOUBLE) / count(*), 6) AS pii_rate
+         |FROM scored GROUP BY source""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pii_scan" -> (qPiiScan _),
     "q_mcc" -> (qMcc _),
     "q_cohens_kappa" -> (qCohensKappa _),
     "q_template_score" -> (qTemplateScore _),
@@ -916,6 +1012,7 @@ object TextAnalysis {
     "q_stratified_sample" -> (qStratifiedSample _))
 
   def oracle: Map[String, String] = Map(
+    "q_pii_scan" -> qPiiScanSql,
     "q_mcc" -> qMccSql,
     "q_cohens_kappa" -> qCohensKappaSql,
     "q_template_score" -> qTemplateScoreSql,

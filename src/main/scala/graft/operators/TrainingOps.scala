@@ -1449,7 +1449,77 @@ object TrainingOps {
       |  n_chars, sample_key
       |FROM r WHERE sample_rank <= 5""".stripMargin
 
+  // ---------------------------------------------------------------- K24
+  /** Jensen–Shannon divergence of each source's token distribution
+    * from the corpus mixture — the bounded, symmetric drift number
+    * K19's PSI (binned values) and K12's χ² (independence verdict)
+    * don't give for TEXT: JSD ∈ [0, ln 2] says how far a source's
+    * unigram profile sits from what the model will actually train on,
+    * comparable across corpora and stable when a token is absent on
+    * either side (KL is infinite there; the ½(P+M) mixture never is).
+    * Construction mirrors L15's full-grid discipline: the |vocab| ×
+    * |sources| grid materializes absent cells (a source missing a
+    * token still pays ½·q·ln 2 — dropping those cells silently
+    * understates divergence), counts are exact integers, per-cell
+    * contributions round at 10 dp before the per-source 6-dp sum.
+    * Plan: one (source, tok) keyed aggregate, two bounded side
+    * aggregates broadcast-crossed — the corpus streams once; every
+    * later frame is vocab-bounded, not corpus-bounded.
+    */
+  def qJsDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+    val bySrcTok = toks.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c_st"))
+    val byTok = bySrcTok.groupBy(col("tok"))
+      .agg(sum(col("c_st")).cast("long").as("c_t"))
+    val bySrc = bySrcTok.groupBy(col("source"))
+      .agg(sum(col("c_st")).cast("long").as("n_s"))
+    val tot = byTok.agg(sum(col("c_t")).cast("long").as("n"))
+    val grid = bySrc.crossJoin(broadcast(byTok)).crossJoin(broadcast(tot))
+      .join(bySrcTok, Seq("source", "tok"), "left")
+      .withColumn("p", coalesce(col("c_st"), lit(0L)).cast("double") / col("n_s"))
+      .withColumn("q", col("c_t").cast("double") / col("n"))
+      .withColumn("m", (col("p") + col("q")) / 2)
+      .withColumn("contrib", round(
+        when(col("p") > 0, col("p") / 2 * log(col("p") / col("m")))
+          .otherwise(lit(0.0)) +
+          when(col("q") > 0, col("q") / 2 * log(col("q") / col("m")))
+            .otherwise(lit(0.0)), 10))
+    grid.groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"),
+        round(sum(col("contrib")), 6).as("jsd_nats"))
+      .withColumn("jsd_bits", round(col("jsd_nats") / log(lit(2.0)), 6))
+      .withColumn("divergent", col("jsd_nats") > 0.05)
+  }
+
+  val qJsDivergenceSql: String =
+    raw"""WITH toks AS (SELECT source, unnest($duckToks) AS tok FROM documents),
+         |st AS (SELECT source, tok, count(*) AS c_st FROM toks GROUP BY 1, 2),
+         |bt AS (SELECT tok, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+         |bs AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM st GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n FROM bt),
+         |grid AS (SELECT bs.source, bt.tok, bs.n_s, bt.c_t, tot.n,
+         |    CAST(coalesce(st.c_st, 0) AS DOUBLE) / bs.n_s AS p,
+         |    CAST(bt.c_t AS DOUBLE) / tot.n AS q
+         |  FROM bs CROSS JOIN bt CROSS JOIN tot
+         |  LEFT JOIN st ON st.source = bs.source AND st.tok = bt.tok),
+         |c AS (SELECT source, n_s,
+         |    round((CASE WHEN p > 0 THEN p / 2 * ln(p / ((p + q) / 2))
+         |        ELSE 0.0 END)
+         |      + (CASE WHEN q > 0 THEN q / 2 * ln(q / ((p + q) / 2))
+         |        ELSE 0.0 END), 10) AS contrib
+         |  FROM grid),
+         |agg AS (SELECT source, max(n_s) AS n_tokens,
+         |    round(sum(contrib), 6) AS jsd_nats
+         |  FROM c GROUP BY 1)
+         |SELECT source, n_tokens, jsd_nats,
+         |  round(jsd_nats / ln(2.0), 6) AS jsd_bits,
+         |  (jsd_nats > 0.05) AS divergent
+         |FROM agg""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_js_divergence" -> (qJsDivergence _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_pack_efficiency" -> (qPackEfficiency _),
     "q_interleave_schedule" -> (qInterleaveSchedule _),
@@ -1481,6 +1551,7 @@ object TrainingOps {
     "q_anomaly" -> (qAnomaly _))
 
   def oracle: Map[String, String] = Map(
+    "q_js_divergence" -> qJsDivergenceSql,
     "q_weighted_sample" -> qWeightedSampleSql,
     "q_pack_efficiency" -> qPackEfficiencySql,
     "q_interleave_schedule" -> qInterleaveScheduleSql,

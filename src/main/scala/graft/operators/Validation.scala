@@ -1032,7 +1032,174 @@ object Validation {
       |  CAST(max(wtot) AS DECIMAL(38,0)) AS n_pairs, max(n_cells) AS n_cells
       |FROM cum, tot WHERE cw * 2 >= wtot""".stripMargin
 
+  // ---------------------------------------------------------------- L18
+  /** One-way ANOVA of order totals across ALL market segments — the
+    * k-group generalization the two-sample tests (L3 Welch, L14
+    * rank-sum, L16 KS) can't give: one F verdict on "does segment
+    * explain spend at all", plus the η² effect size that says how
+    * much. Sums are EXACT: totals lift to integer cents (the values
+    * are 2-dp doubles, so round(x·100) is exact), Σx and Σx² per
+    * group accumulate in DECIMAL(38,0) (cents² ≈ 3.6e15/row — a
+    * long sum overflows within thousands of rows; decimal is exact
+    * to 10³⁸). The between/within decomposition then runs in ONE
+    * identical double expression over the ≤ |segments| group rows
+    * (the Σ_g of five s²/n terms is a 5-element double sum — ulp
+    * noise ~1e-16 relative, invisible at the 6-dp boundary), and the
+    * verdict cuts on the ROUNDED F against the fixed F(4,∞) 5%
+    * critical value. Plan: one join-keyed aggregate to 5 group rows,
+    * one broadcast cross — the grand totals are decimal sums OVER
+    * the group rows, so the order stream is scanned exactly once.
+    */
+  def qAnova(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        round(col("o_totalprice") * 100).cast("long").as("c"))
+    val grp = cents.groupBy(col("seg")).agg(
+      count(lit(1)).as("n_g"),
+      sum(col("c").cast("decimal(38,0)")).as("s_g"),
+      sum((col("c") * col("c")).cast("decimal(38,0)")).as("q_g"))
+    val tot = grp.agg(
+      count(lit(1)).as("k"),
+      sum(col("n_g")).cast("long").as("n"),
+      sum(col("s_g")).as("s"),
+      sum(col("q_g")).as("q"),
+      sum(col("s_g").cast("double") * col("s_g").cast("double") /
+        col("n_g")).as("sgrp"))
+    val sst = col("q").cast("double") -
+      col("s").cast("double") * col("s").cast("double") / col("n")
+    val ssb = col("sgrp") - col("s").cast("double") *
+      col("s").cast("double") / col("n")
+    val ssw = col("q").cast("double") - col("sgrp")
+    val f = round((ssb / (col("k") - 1)) / (ssw / (col("n") - col("k"))), 6)
+    val verdict = tot.select(col("k"), col("n"), f.as("f_stat"),
+      round(ssb / sst, 6).as("eta_sq"))
+      .withColumn("significant", col("f_stat") > 2.372)
+    grp.select(col("seg"), col("n_g"),
+        round(col("s_g").cast("double") / (col("n_g") * 100), 6)
+          .as("mean_spend"))
+      .crossJoin(broadcast(verdict))
+  }
+
+  val qAnovaSql: String =
+    """WITH cents AS (SELECT c_mktsegment AS seg,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |grp AS (SELECT seg, count(*) AS n_g,
+      |    CAST(sum(CAST(c AS HUGEINT)) AS HUGEINT) AS s_g,
+      |    CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS q_g
+      |  FROM cents GROUP BY 1),
+      |tot AS (SELECT count(*) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+      |    sum(s_g) AS s, sum(q_g) AS q,
+      |    sum(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / n_g) AS sgrp
+      |  FROM grp),
+      |v AS (SELECT k, n,
+      |    round(((sgrp - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (k - 1))
+      |      / ((CAST(q AS DOUBLE) - sgrp) / (n - k)), 6) AS f_stat,
+      |    round((sgrp - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+      |      / (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n),
+      |      6) AS eta_sq
+      |  FROM tot)
+      |SELECT seg, n_g,
+      |  round(CAST(s_g AS DOUBLE) / (n_g * 100), 6) AS mean_spend,
+      |  k, n, f_stat, eta_sq, (f_stat > 2.372) AS significant
+      |FROM grp, v""".stripMargin
+
+  // ---------------------------------------------------------------- L19
+  /** Kruskal–Wallis H test across ALL market segments — L14's
+    * rank-sum device generalized from 2 to k groups (the
+    * nonparametric counterpart of L18's F: no normality or
+    * equal-variance assumption, rank arithmetic immune to the spend
+    * distribution's heavy tail). Same bounded construction: totals
+    * quantize to hundred-dollar bins (≤ ~5,500 bins at ANY corpus
+    * size), so ranks are a closed form over the histogram — the
+    * DOUBLED rank sum 2R_g = Σ_bins n_gb·(2·cum_before + t_bin + 1)
+    * and the tie term Σ t³−t accumulate EXACTLY in DECIMAL(38,0);
+    * the cumulative window runs over the bin histogram, never the
+    * order stream (PlanSpec-exempt, the q_auc class). H and the tie
+    * correction C = 1 − Σ(t³−t)/(N³−N) are one identical double
+    * expression over the ≤ |segments| group rows; verdict cuts the
+    * ROUNDED tie-corrected H against the fixed χ²(4) 5% critical
+    * value; degenerate all-one-bin data → C = 0 → null H, not a
+    * divide error.
+    */
+  def qKruskalWallis(spark: SparkSession, dir: String): DataFrame = {
+    val seg = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        floor(col("o_totalprice") / 100).cast("long").as("bin"))
+    val histSeg = seg.groupBy(col("bin"), col("seg"))
+      .agg(count(lit(1)).as("n_sb"))
+    val histBin = histSeg.groupBy(col("bin"))
+      .agg(sum(col("n_sb")).cast("long").as("t"))
+    val w = Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, -1)
+    val cum = histBin.withColumn("cumt",
+      coalesce(sum(col("t")).over(w), lit(0L)))
+    val grp = histSeg.join(cum, "bin")
+      .groupBy(col("seg"))
+      .agg(sum(col("n_sb")).cast("long").as("n_g"),
+        sum(col("n_sb").cast("decimal(38,0)") *
+          (lit(2) * col("cumt") + col("t") + 1)).as("r2_g"))
+    val ties = cum.agg(
+      sum(col("t").cast("decimal(38,0)") * col("t") * col("t") - col("t"))
+        .as("tsum"))
+    val tot = grp.crossJoin(broadcast(ties)).agg(
+      count(lit(1)).as("k"),
+      sum(col("n_g")).cast("long").as("n"),
+      max(col("tsum")).as("tsum"),
+      sum(col("r2_g").cast("double") * col("r2_g").cast("double") /
+        (lit(4.0) * col("n_g"))).as("rterm"))
+    val nD = col("n").cast("double")
+    val h = lit(12.0) / (nD * (nD + 1)) * col("rterm") - (nD + 1) * 3
+    val c = lit(1.0) - col("tsum").cast("double") / (nD * nD * nD - nD)
+    val verdict = tot.select(col("k"), col("n"),
+      round(h, 6).as("h_stat"),
+      when(c <= 0, lit(null).cast("double"))
+        .otherwise(round(h / c, 6)).as("h_corrected"))
+      .withColumn("significant",
+        coalesce(col("h_corrected") > 9.488, lit(false)))
+    grp.select(col("seg"), col("n_g"),
+        round(col("r2_g").cast("double") / (col("n_g") * 2), 6)
+          .as("mean_rank"))
+      .crossJoin(broadcast(verdict))
+  }
+
+  val qKruskalWallisSql: String =
+    """WITH seg AS (SELECT c_mktsegment AS seg,
+      |    CAST(floor(o_totalprice / 100) AS BIGINT) AS bin
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |hs AS (SELECT bin, seg, count(*) AS n_sb FROM seg GROUP BY 1, 2),
+      |hb AS (SELECT bin, CAST(sum(n_sb) AS BIGINT) AS t FROM hs GROUP BY 1),
+      |cum AS (SELECT bin, t, coalesce(sum(t) OVER (ORDER BY bin
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumt
+      |  FROM hb),
+      |grp AS (SELECT seg, CAST(sum(n_sb) AS BIGINT) AS n_g,
+      |    sum(CAST(n_sb AS HUGEINT) * (2 * cumt + t + 1)) AS r2_g
+      |  FROM hs JOIN cum USING (bin) GROUP BY 1),
+      |ties AS (SELECT sum(CAST(t AS HUGEINT) * t * t - t) AS tsum FROM cum),
+      |tot AS (SELECT count(*) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+      |    max(tsum) AS tsum,
+      |    sum(CAST(r2_g AS DOUBLE) * CAST(r2_g AS DOUBLE) / (4.0 * n_g))
+      |      AS rterm
+      |  FROM grp, ties),
+      |v AS (SELECT k, n,
+      |    round(12.0 / (CAST(n AS DOUBLE) * (n + 1)) * rterm - 3 * (n + 1.0),
+      |      6) AS h_stat,
+      |    CASE WHEN 1.0 - CAST(tsum AS DOUBLE)
+      |        / (CAST(n AS DOUBLE) * n * n - n) <= 0 THEN NULL
+      |      ELSE round((12.0 / (CAST(n AS DOUBLE) * (n + 1)) * rterm
+      |          - 3 * (n + 1.0))
+      |        / (1.0 - CAST(tsum AS DOUBLE)
+      |          / (CAST(n AS DOUBLE) * n * n - n)), 6) END AS h_corrected
+      |  FROM tot)
+      |SELECT seg, n_g, round(CAST(r2_g AS DOUBLE) / (2 * n_g), 6) AS mean_rank,
+      |  k, n, h_stat, h_corrected,
+      |  coalesce(h_corrected > 9.488, false) AS significant
+      |FROM grp, v""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_anova" -> (qAnova _),
+    "q_kruskal_wallis" -> (qKruskalWallis _),
     "q_ks_test" -> (qKsTest _),
     "q_hodges_lehmann" -> (qHodgesLehmann _),
     "q_mannwhitney" -> (qMannWhitney _),
@@ -1051,6 +1218,8 @@ object Validation {
     "q_benford" -> (qBenford _))
 
   def oracle: Map[String, String] = Map(
+    "q_anova" -> qAnovaSql,
+    "q_kruskal_wallis" -> qKruskalWallisSql,
     "q_ks_test" -> qKsTestSql,
     "q_hodges_lehmann" -> qHodgesLehmannSql,
     "q_mannwhitney" -> qMannWhitneySql,

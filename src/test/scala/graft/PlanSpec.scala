@@ -198,11 +198,15 @@ class PlanSpec extends AnyFunSuite {
     //    the bounded day table (the q_changepoint class)
     //  - q_spearman: midrank windows over the two marginal bin
     //    histograms (≤ 110 and ≤ ~6,000 rows by the $100 bin domain)
+    //  - q_kruskal_wallis: cumulative window over the same hundred-
+    //    dollar price-bin histogram as q_mannwhitney
+    //  - q_nelson_aalen: duration-hour table, bounded by the
+    //    observation window length in hours (the q_kaplan_meier class)
     val windowExempt = Set("q_skew_report", "q_auc", "q_bm25", "q_quality_drift",
       "q_vocab_coverage", "q_kaplan_meier", "q_changepoint", "q_fdr_bh",
       "q_mutual_info", "q_skyline", "q_runs_test", "q_mannwhitney",
       "q_ks_test", "q_hodges_lehmann", "q_drawdown", "q_bollinger",
-      "q_spearman")
+      "q_spearman", "q_kruskal_wallis", "q_nelson_aalen")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       // pre-AQE physical plan: traversable with plain collect (the
       // AQE wrapper hides its initial plan from TreeNode traversal,

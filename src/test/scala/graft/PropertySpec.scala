@@ -554,6 +554,80 @@ class PropertySpec extends AnyFunSuite {
     assert(rows.map(_._2).sum == nNodes, "community sizes must partition |V|")
   }
 
+  test("phash threshold sweep: monotone in radius, keep/drop partitions payloads, radius 0 is the exact-dup baseline") {
+    val rows = graft.multimodal.BinaryPipeline
+      .queries("q_phash_threshold_sweep")(spark, sf)
+      .select("threshold", "n_pairs", "n_clusters", "n_linked_hashes",
+        "n_dropped", "n_kept")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    val nPayloads = Tables.documents(spark, sf).count()
+    rows.foreach { r =>
+      assert(r._5 + r._6 == nPayloads, s"t=${r._1}: drop+keep != payloads")
+    }
+    assert(rows.head._2 == 0, "distinct hashes cannot pair at radius 0")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 >= a._2, "pair count must grow with the radius")
+      assert(b._5 >= a._5, "a wider radius can only drop more")
+      assert(b._3 <= b._4 || b._3 == 0, "clusters cannot exceed linked hashes")
+    }
+  }
+
+  test("nelson-aalen: hazard nondecreasing, FH survival dominates the KM product-limit everywhere") {
+    val na = graft.operators.TemporalOps.queries("q_nelson_aalen")(spark, sf)
+      .select("dur_hour", "cum_hazard", "fh_survival", "at_risk")
+      .as[(Long, Double, Double, Long)].collect().sortBy(_._1)
+    assert(na.nonEmpty)
+    na.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 >= a._2, "cumulative hazard must be nondecreasing")
+      assert(b._4 <= a._4, "risk set can only shrink over time")
+    }
+    val km = graft.operators.TemporalOps.queries("q_kaplan_meier")(spark, sf)
+      .select("dur_hour", "survival").as[(Long, Double)].collect().toMap
+    na.foreach { case (h, _, fh, _) =>
+      assert(fh >= km(h) - 1e-9,
+        s"Fleming-Harrington exp(-H) must dominate KM at hour $h: $fh < ${km(h)}")
+    }
+  }
+
+  test("burstiness: event totals conserved, active days bounded by the span") {
+    val rows = graft.operators.TemporalOps.queries("q_burstiness")(spark, sf)
+      .select("n_events", "n_active_days", "span_days", "fano")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val total = Tables.events(spark, sf).count()
+    assert(rows.map(_._1).sum == total, "per-user event counts must sum to the corpus")
+    rows.foreach { r =>
+      assert(r._2 <= r._3, "active days cannot exceed the span")
+      assert(r._4 >= -1e-9, s"Fano factor is nonnegative, got ${r._4}")
+    }
+  }
+
+  test("js divergence: bounded by ln 2, token totals conserved") {
+    val rows = graft.operators.TrainingOps.queries("q_js_divergence")(spark, sf)
+      .select("source", "n_tokens", "jsd_nats", "jsd_bits")
+      .as[(String, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r._3 >= 0.0 && r._3 <= math.log(2) + 1e-6,
+        s"JSD in [0, ln 2], got ${r._3} for ${r._1}")
+      assert(r._4 <= 1.0 + 1e-6, "JSD in bits is at most 1")
+    }
+  }
+
+  test("pii scan: detected counts equal the planted truth per modulus class") {
+    val got = graft.operators.TextAnalysis.queries("q_pii_scan")(spark, sf)
+      .select("emails", "phones", "ips", "docs", "docs_flagged")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val docs = Tables.documents(spark, sf).select("doc_id").as[Long].collect()
+    assert(got.map(_._1).sum == docs.count(_ % 5 == 0), "every planted email found, nothing else")
+    assert(got.map(_._2).sum == docs.count(_ % 7 == 0), "every planted phone found, nothing else")
+    assert(got.map(_._3).sum == docs.count(_ % 11 == 0), "every planted IP found, nothing else")
+    assert(got.map(_._5).sum ==
+      docs.count(d => d % 5 == 0 || d % 7 == 0 || d % 11 == 0))
+    assert(got.map(_._4).sum == docs.length)
+  }
+
   test("theil index: shares sum to 1, contributions sum to the published totals, inequality nonnegative; mcc bounded") {
     val rows = graft.operators.AnalyticExt.queries("q_theil_index")(spark, sf)
       .select("nation", "rev_share", "t_between_g", "t_within_g",

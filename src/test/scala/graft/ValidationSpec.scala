@@ -78,6 +78,35 @@ class ValidationSpec extends AnyFunSuite {
     }
   }
 
+  test("q_anova: partition identity, eta-squared bounded, F nonnegative") {
+    val rows = graft.operators.Validation.qAnova(spark, sf).collect()
+    assert(rows.length == 5, "one row per market segment")
+    val n = rows.head.getAs[Long]("n")
+    assert(rows.map(_.getAs[Long]("n_g")).sum == n,
+      "group sizes must partition the order count")
+    val f = rows.head.getAs[Double]("f_stat")
+    val eta = rows.head.getAs[Double]("eta_sq")
+    assert(f >= 0.0, s"F must be nonnegative, got $f")
+    assert(eta >= 0.0 && eta <= 1.0, s"eta^2 in [0,1], got $eta")
+    assert(rows.forall(_.getAs[Double]("mean_spend") > 0.0))
+  }
+
+  test("q_kruskal_wallis: doubled rank sums are exactly n(n+1), tie correction only grows H") {
+    val rows = graft.operators.Validation.qKruskalWallis(spark, sf).collect()
+    assert(rows.length == 5)
+    val n = rows.head.getAs[Long]("n")
+    // sum over groups of 2*R_g = n*(n+1) EXACTLY (midranks partition
+    // the rank total) — mean_rank is 2R_g/(2 n_g) at 6dp, so recover
+    // the doubled sum and compare in scaled-integer space
+    val sum2R = rows.map(r => math.round(
+      r.getAs[Double]("mean_rank") * 2 * r.getAs[Long]("n_g"))).sum
+    assert(sum2R == n * (n + 1), s"rank total $sum2R != ${n * (n + 1)}")
+    val h = rows.head.getAs[Double]("h_stat")
+    val hc = rows.head.getAs[Double]("h_corrected")
+    assert(h >= 0.0)
+    assert(hc >= h - 1e-9, "tie correction C<=1 can only raise H")
+  }
+
   test("q_ann_index_stats: occupancy sums to the corpus, load factors average 1") {
     val rows = graft.operators.Similarity.qAnnIndexStats(spark, sf).collect()
     val n = Tables.embeddings(spark, sf).count()

@@ -689,7 +689,70 @@ object GraphOps {
       |      / least(vol, 2 * m - vol), 6) END AS conductance
       |FROM acc""".stripMargin
 
+  // ---------------------------------------------------------------- M10
+  /** Eigenvector centrality over the mutual-kNN graph — the
+    * influence measure PageRank's damping deliberately distorts:
+    * PageRank's teleport term floors every node at 0.15/n, so a
+    * peripheral node with one well-connected neighbor and a core node
+    * of a dense cluster compress toward each other; the undamped
+    * principal eigenvector keeps the full dynamic range (a node's
+    * score IS the degree-weighted recursive sum of its neighbors').
+    * Three power iterations with L∞ normalization (divide by the
+    * iterate's max — a max of identically-rounded values is
+    * engine-exact, unlike an L2 norm whose Σx² reintroduces
+    * summation-order ulps), each iterate rounded at 10 dp so both
+    * engines iterate on identical IEEE inputs (the M1 device).
+    * Bounded-degree input: each iteration's edges⋈scores join touches
+    * ≤ |V|·K rows at ANY scale; the iterated frame is |V| rows.
+    */
+  def qEigencentrality(spark: SparkSession, dir: String): DataFrame = {
+    val und = mutualKnnPairs(spark, dir)
+    val edges = und.union(und.select(col("dst").as("src"),
+      col("src").as("dst"))).cache()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("degree")).cache()
+    var x = deg.select(col("src").as("node"), lit(1.0).as("score"))
+    for (_ <- 1 to 3) {
+      val raw = edges.join(x, edges("src") === x("node"))
+        .select(col("dst"), col("score"))
+        .groupBy(col("dst")).agg(sum(col("score")).as("s"))
+      val mx = raw.agg(max(col("s")).as("mx"))
+      x = raw.crossJoin(broadcast(mx))
+        .select(col("dst").as("node"), round(col("s") / col("mx"), 10).as("score"))
+    }
+    val out = x.join(deg, x("node") === deg("src"))
+      .select(col("node").as("s_suppkey"), col("degree"),
+        round(col("score"), 6).as("centrality"))
+      .cache()
+    out.count()
+    deg.unpersist(); edges.unpersist()
+    out
+  }
+
+  val qEigencentralitySql: String =
+    s"""WITH $mutKnnSql,
+      |edges AS MATERIALIZED (SELECT src, dst FROM und
+      |  UNION ALL SELECT dst, src FROM und),
+      |deg AS MATERIALIZED (SELECT src AS node, count(*) AS degree
+      |  FROM edges GROUP BY 1),
+      |x0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS score FROM deg),
+      |s1 AS (SELECT e.dst AS node, sum(x.score) AS s
+      |  FROM edges e JOIN x0 x ON e.src = x.node GROUP BY 1),
+      |x1 AS (SELECT node, round(s / (SELECT max(s) FROM s1), 10) AS score
+      |  FROM s1),
+      |s2 AS (SELECT e.dst AS node, sum(x.score) AS s
+      |  FROM edges e JOIN x1 x ON e.src = x.node GROUP BY 1),
+      |x2 AS (SELECT node, round(s / (SELECT max(s) FROM s2), 10) AS score
+      |  FROM s2),
+      |s3 AS (SELECT e.dst AS node, sum(x.score) AS s
+      |  FROM edges e JOIN x2 x ON e.src = x.node GROUP BY 1),
+      |x3 AS (SELECT node, round(s / (SELECT max(s) FROM s3), 10) AS score
+      |  FROM s3)
+      |SELECT x3.node AS s_suppkey, deg.degree,
+      |  round(x3.score, 6) AS centrality
+      |FROM x3 JOIN deg ON x3.node = deg.node""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_eigencentrality" -> (qEigencentrality _),
     "q_community_conductance" -> (qCommunityConductance _),
     "q_knn_components" -> (qKnnComponents _),
     "q_degree_distribution" -> (qDegreeDistribution _),
@@ -703,6 +766,7 @@ object GraphOps {
     "q_triangle_knn" -> (qTriangleKnn _))
 
   def oracle: Map[String, String] = Map(
+    "q_eigencentrality" -> qEigencentralitySql,
     "q_community_conductance" -> qCommunityConductanceSql,
     "q_knn_components" -> qKnnComponentsSql,
     "q_degree_distribution" -> qDegreeDistributionSql,

@@ -532,6 +532,22 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("eigencentrality: scores in (0,1], max normalized to exactly 1, node set matches the kNN pagerank's") {
+    val rows = graft.operators.GraphOps.queries("q_eigencentrality")(spark, sf)
+      .select("s_suppkey", "degree", "centrality")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r._3 > 0.0 && r._3 <= 1.0, s"centrality in (0,1]: ${r._3}")
+      assert(r._2 >= 1, "every scored node has an edge")
+    }
+    assert(rows.map(_._3).max == 1.0, "L-infinity normalization pins the max at 1")
+    val prNodes = graft.operators.GraphOps.queries("q_pagerank_knn")(spark, sf)
+      .select("s_suppkey").as[Long].collect().toSet
+    assert(rows.map(_._1).toSet == prNodes,
+      "same mutual-kNN node set as the damped walk")
+  }
+
   test("community conductance: edge accounting partitions the kNN edge set, conductance in [0,1]") {
     val rows = graft.operators.GraphOps
       .queries("q_community_conductance")(spark, sf)

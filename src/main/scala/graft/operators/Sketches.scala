@@ -284,7 +284,116 @@ object Sketches {
       |FROM curve3 c LEFT JOIN obs ON c.bucket = obs.bucket""".stripMargin
   }
 
+  /** The (m bits, k hashes) grid [[qBloomFprCurve]] sweeps — powers
+    * of two so the double-hash stride (forced odd) is coprime to m.
+    */
+  val BloomGrid: Seq[(Int, Int, Int)] = Seq(
+    (0, 1024, 2), (1, 1024, 4), (2, 4096, 2),
+    (3, 4096, 4), (4, 16384, 2), (5, 16384, 4))
+
+  // ---------------------------------------------------------------- H11
+  /** Bloom-filter sizing curve — the tuning-curve family (H10 LSH
+    * banding, D12 nprobe, G8 hamming radius) applied to H3's keep
+    * filter: for each (m bits, k hashes) config, the MEASURED false-
+    * positive rate of a fully deterministic Bloom filter against the
+    * analytic (1 − e^(−kn/m))^k prediction — the number that says
+    * which sketch size a 100 TB deny-list actually needs. Unlike H3
+    * (whose engine-internal sketch is verdict-checked), this filter
+    * is pure PORTABLE arithmetic both engines replay bit-for-bit:
+    * Kirsch–Mitzenmacher double hashing pos_i = (h1 + i·h2) mod m
+    * with h1/h2 from disjoint md5 hex windows and h2 forced odd
+    * (coprime to the power-of-two m). Set-bit tables are DISTINCT
+    * (config, pos) — bounded by min(n_deny·k, m) per config, never
+    * probe-side scale — and broadcast into the probe join; the probe
+    * panel (every non-deny user) explodes ×k·|grid| map-side. Exact
+    * integer counting to the one 6-dp rate division per config.
+    */
+  def qBloomFprCurve(spark: SparkSession, dir: String): DataFrame = {
+    val h1e = expr("conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10)").cast("long")
+    val h2e = expr("conv(substring(md5(cast(user_id as string)), 9, 8), 16, 10)").cast("long") * 2 + 1
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    // H3's adaptive mean-multiple cut can be EMPTY on uniform traffic
+    // (nobody 1.5x above the mean) — a degenerate curve measures
+    // nothing. The top-decile cut (L9's proven exact-percentile ↔
+    // quantile_cont device) is nonempty on any distribution.
+    val cut = perUser.agg(expr("percentile(n, 0.9)").as("p90"))
+    val flagged = perUser.crossJoin(broadcast(cut))
+      .select(col("user_id"), (col("n") > col("p90")).as("deny"),
+        h1e.as("h1"), h2e.as("h2"))
+      .cache()
+    val cfg = flagged.sparkSession.range(1).select(explode(array(
+      BloomGrid.map { case (id, m, k) => struct(lit(id).as("cfg_id"),
+        lit(m).as("m"), lit(k).as("k")) }: _*)).as("c"))
+      .select(col("c.cfg_id"), col("c.m"), col("c.k"))
+    val probes = (keys: DataFrame) => keys.crossJoin(broadcast(cfg))
+      .select(col("cfg_id"), col("k"),
+        explode(sequence(lit(0), col("k") - 1)).as("i"),
+        col("user_id"), col("h1"), col("h2"), col("m"))
+      .withColumn("pos", (col("h1") + col("i") * col("h2")) % col("m"))
+    val bits = probes(flagged.filter(col("deny")))
+      .select(col("cfg_id"), col("pos")).distinct()
+    val hits = probes(flagged.filter(!col("deny")))
+      .join(broadcast(bits), Seq("cfg_id", "pos"), "left_semi")
+      .groupBy(col("cfg_id"), col("user_id"), col("k"))
+      .agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === col("k"))
+      .groupBy(col("cfg_id")).agg(count(lit(1)).as("false_pos"))
+    val counts = flagged.agg(
+      sum(when(col("deny"), 1L).otherwise(0L)).as("n_deny"),
+      sum(when(col("deny"), 0L).otherwise(1L)).as("n_probe"))
+    val out = cfg.join(hits, Seq("cfg_id"), "left")
+      .na.fill(0L, Seq("false_pos"))
+      .crossJoin(broadcast(counts))
+      .withColumn("fpr",
+        round(col("false_pos").cast("double") / col("n_probe"), 6))
+      .withColumn("fpr_bound", round(pow(
+        lit(1.0) - exp((col("n_deny").cast("double") * col("k") * -1.0) / col("m")),
+        col("k").cast("double")), 6))
+      .select(col("m"), col("k"), col("n_deny").cast("long").as("n_deny"),
+        col("n_probe").cast("long").as("n_probe"), col("false_pos"),
+        col("fpr"), col("fpr_bound"))
+    out.cache().count()
+    flagged.unpersist()
+    out
+  }
+
+  val qBloomFprCurveSql: String = {
+    val grid = BloomGrid.map { case (id, m, k) => s"($id, $m, $k)" }.mkString(", ")
+    s"""WITH pu AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+       |ct AS (SELECT quantile_cont(n, 0.9) AS p90 FROM pu),
+       |fl AS (SELECT user_id, (n > p90) AS deny,
+       |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h1,
+       |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8))::BIGINT * 2 + 1 AS h2
+       |  FROM pu, ct),
+       |cfg AS (SELECT * FROM (VALUES $grid) AS t(cfg_id, m, k)),
+       |bits AS (SELECT DISTINCT cfg_id, (h1 + i * h2) % m AS pos
+       |  FROM fl CROSS JOIN cfg
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)
+       |  WHERE deny AND i < k),
+       |pr AS (SELECT cfg_id, k, user_id, (h1 + i * h2) % m AS pos
+       |  FROM fl CROSS JOIN cfg
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)
+       |  WHERE NOT deny AND i < k),
+       |hit AS (SELECT pr.cfg_id, pr.user_id, pr.k, count(*) AS hits
+       |  FROM pr JOIN bits ON pr.cfg_id = bits.cfg_id AND pr.pos = bits.pos
+       |  GROUP BY 1, 2, 3),
+       |fp AS (SELECT cfg_id, count(*) AS false_pos FROM hit
+       |  WHERE hits = k GROUP BY 1),
+       |cnt AS (SELECT
+       |    CAST(sum(CASE WHEN deny THEN 1 ELSE 0 END) AS BIGINT) AS n_deny,
+       |    CAST(sum(CASE WHEN deny THEN 0 ELSE 1 END) AS BIGINT) AS n_probe
+       |  FROM fl)
+       |SELECT m, k, n_deny, n_probe,
+       |  coalesce(fp.false_pos, 0) AS false_pos,
+       |  round(CAST(coalesce(fp.false_pos, 0) AS DOUBLE) / n_probe, 6) AS fpr,
+       |  round(pow(1.0 - exp((CAST(n_deny AS DOUBLE) * k * -1.0) / m),
+       |    CAST(k AS DOUBLE)), 6) AS fpr_bound
+       |FROM cfg LEFT JOIN fp USING (cfg_id), cnt""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bloom_fpr_curve" -> (qBloomFprCurve _),
     "q_lsh_tuning_curve" -> (qLshTuningCurve _),
     "q_bloom_keep" -> (qBloomKeep _),
     "q_cms_topk" -> (qCmsTopk _),
@@ -294,6 +403,7 @@ object Sketches {
     * verdicts (exact side + guarantee booleans) are oracle-checked.
     */
   def oracle: Map[String, String] = Map(
+    "q_bloom_fpr_curve" -> qBloomFprCurveSql,
     "q_lsh_tuning_curve" -> qLshTuningCurveSql,
     "q_bloom_keep" -> qBloomKeepSql,
     "q_cms_topk" -> qCmsTopkSql,

@@ -1197,7 +1197,73 @@ object Validation {
       |  coalesce(h_corrected > 9.488, false) AS significant
       |FROM grp, v""".stripMargin
 
+  // ---------------------------------------------------------------- L20
+  /** Capture–recapture (Chapman's Lincoln–Petersen) estimate of the
+    * corpus size from two independent deterministic "captures" — the
+    * coverage-estimation primitive for populations no single crawl
+    * sees completely (how many documents EXIST, estimated from how
+    * much two independent crawls overlap). Here both captures are
+    * salted-md5 half-samples of the documents table, so the true N is
+    * known and the emitted verdict AUDITS the estimator itself: n̂ =
+    * (n_a+1)(n_b+1)/(n_ab+1) − 1 with the standard variance, relative
+    * error against truth, and a CI-covers-truth boolean. The same
+    * plan pointed at two real crawl snapshots (drop the truth
+    * columns) is the production coverage readout. One map-side pass
+    * (two hash parities per doc) + one global aggregate; exact
+    * integers until the estimator divisions at the 6-dp boundary.
+    * The md5-parity device is K2's: deterministic across runs,
+    * machines, and engines — which is what makes n_a/n_b/n_ab
+    * oracle-checkable at all.
+    */
+  def qCaptureRecapture(spark: SparkSession, dir: String): DataFrame = {
+    def inSample(salt: String): Column =
+      expr(s"conv(substring(md5(concat('$salt', cast(doc_id as string))), 1, 15), 16, 10)")
+        .cast("long") % 2 === 0
+    val marked = Tables.documents(spark, dir).select(
+      inSample("a:").as("in_a"), inSample("b:").as("in_b"))
+    val agg = marked.agg(
+      count(lit(1)).as("n_true"),
+      sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("in_b"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("in_a") && col("in_b"), 1L).otherwise(0L)).as("n_ab"))
+    val nhat = (col("n_a") + 1).cast("double") * (col("n_b") + 1) /
+      (col("n_ab") + 1) - 1
+    val varhat = (col("n_a") + 1).cast("double") * (col("n_b") + 1) *
+      (col("n_a") - col("n_ab")) * (col("n_b") - col("n_ab")) /
+      ((col("n_ab") + 1).cast("double") * (col("n_ab") + 1) * (col("n_ab") + 2))
+    agg.select(col("n_true"), col("n_a"), col("n_b"), col("n_ab"),
+        round(nhat, 2).as("n_hat"), round(sqrt(varhat), 2).as("se"),
+        round(abs(nhat - col("n_true")) / col("n_true"), 6).as("rel_err"))
+      .withColumn("ci_covers_truth",
+        abs(col("n_hat") - col("n_true")) <= col("se") * 1.96)
+  }
+
+  val qCaptureRecaptureSql: String =
+    """WITH m AS (SELECT
+      |    (('0x' || substr(md5('a:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |      % 2 = 0) AS in_a,
+      |    (('0x' || substr(md5('b:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |      % 2 = 0) AS in_b
+      |  FROM documents),
+      |agg AS (SELECT count(*) AS n_true,
+      |    CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT) AS n_ab
+      |  FROM m),
+      |c AS (SELECT *,
+      |    CAST(n_a + 1 AS DOUBLE) * (n_b + 1) / (n_ab + 1) - 1 AS nhat,
+      |    CAST(n_a + 1 AS DOUBLE) * (n_b + 1) * (n_a - n_ab) * (n_b - n_ab)
+      |      / (CAST(n_ab + 1 AS DOUBLE) * (n_ab + 1) * (n_ab + 2)) AS varhat
+      |  FROM agg)
+      |SELECT n_true, n_a, n_b, n_ab,
+      |  round(nhat, 2) AS n_hat, round(sqrt(varhat), 2) AS se,
+      |  round(abs(nhat - n_true) / n_true, 6) AS rel_err,
+      |  (abs(round(nhat, 2) - n_true) <= round(sqrt(varhat), 2) * 1.96)
+      |    AS ci_covers_truth
+      |FROM c""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_capture_recapture" -> (qCaptureRecapture _),
     "q_anova" -> (qAnova _),
     "q_kruskal_wallis" -> (qKruskalWallis _),
     "q_ks_test" -> (qKsTest _),
@@ -1218,6 +1284,7 @@ object Validation {
     "q_benford" -> (qBenford _))
 
   def oracle: Map[String, String] = Map(
+    "q_capture_recapture" -> qCaptureRecaptureSql,
     "q_anova" -> qAnovaSql,
     "q_kruskal_wallis" -> qKruskalWallisSql,
     "q_ks_test" -> qKsTestSql,

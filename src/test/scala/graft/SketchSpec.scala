@@ -11,6 +11,7 @@ import graft.ml.FeatureOps
   */
 class SketchSpec extends AnyFunSuite {
   import TestSession._
+  import spark.implicits._
 
   test("bloom keep-list: no false negatives, bounded false-positive drops") {
     val r = Sketches.qBloomKeep(spark, sf).head()
@@ -66,6 +67,24 @@ class SketchSpec extends AnyFunSuite {
       .select(col("doc_id"), shingleHash(col("t").substr(col("i"), lit(5))).as("h"))
       .groupBy(col("doc_id")).agg(sum(col("h")).as("s"), count(lit(1)).as("n"))
     assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
+  }
+
+  test("bloom fpr curve: complete grid, probe panel conserved, fpr improves with filter size") {
+    val rows = graft.operators.Sketches.queries("q_bloom_fpr_curve")(spark, sf)
+      .select("m", "k", "n_deny", "n_probe", "false_pos", "fpr", "fpr_bound")
+      .as[(Int, Int, Long, Long, Long, Double, Double)].collect()
+    assert(rows.length == graft.operators.Sketches.BloomGrid.length)
+    val nProbe = rows.head._4
+    rows.foreach { r =>
+      assert(r._4 == nProbe, "one shared probe panel across the grid")
+      assert(r._5 <= r._4, "false positives bounded by the panel")
+      assert(r._6 >= 0.0 && r._6 <= 1.0 && r._7 >= 0.0 && r._7 <= 1.0)
+    }
+    for (k <- Seq(2, 4)) {
+      val small = rows.find(r => r._1 == 1024 && r._2 == k).get._6
+      val large = rows.find(r => r._1 == 16384 && r._2 == k).get._6
+      assert(large <= small, s"16x more bits cannot worsen the FPR (k=$k)")
+    }
   }
 
   test("shingle_hashes edge cases: short and empty strings") {

@@ -78,6 +78,18 @@ class ValidationSpec extends AnyFunSuite {
     }
   }
 
+  test("q_capture_recapture: overlap bounded by both samples, estimator lands on the known truth") {
+    val r = graft.operators.Validation.qCaptureRecapture(spark, sf).collect().head
+    val (nTrue, nA, nB, nAb) = (r.getAs[Long]("n_true"), r.getAs[Long]("n_a"),
+      r.getAs[Long]("n_b"), r.getAs[Long]("n_ab"))
+    assert(nAb <= math.min(nA, nB), "overlap cannot exceed either capture")
+    assert(nA <= nTrue && nB <= nTrue)
+    assert(r.getAs[Double]("n_hat") > 0.0)
+    assert(r.getAs[Boolean]("ci_covers_truth"),
+      s"95% CI must cover the known corpus size (n_hat=${r.getAs[Double]("n_hat")}, " +
+        s"se=${r.getAs[Double]("se")}, truth=$nTrue)")
+  }
+
   test("q_anova: partition identity, eta-squared bounded, F nonnegative") {
     val rows = graft.operators.Validation.qAnova(spark, sf).collect()
     assert(rows.length == 5, "one row per market segment")

@@ -1067,7 +1067,92 @@ object AnalyticExt {
       |  round(theil_between + theil_within, 6) AS theil_total
       |FROM contrib, totals""".stripMargin
 
+  // ---------------------------------------------------------------- A40
+  /** 10%-trimmed mean of order totals per market segment — the robust
+    * location estimate that sits between the mean (0% breakdown — one
+    * whale order moves it) and the median (discards all magnitude
+    * information); the standard readout for spend-per-segment
+    * dashboards on heavy-tailed money data. Bounded construction via
+    * the L14/L19 quantized-histogram device: totals bin to hundred-
+    * dollar cells, the trim boundaries are EXACT integer ranks
+    * (lo = n DIV 10, hi = n − lo), and each bin contributes
+    * take/c_b of its EXACT decimal-cents sum where take =
+    * max(0, min(cum, hi) − max(cum_before, lo)) — boundary bins enter
+    * fractionally at bin resolution (the documented L17 trade).
+    * Engine parity without float-sum ordering: per-bin contributions
+    * round to WHOLE CENTS (integers < 2^53 — exact in any summation
+    * order), so the trimmed sum is a LONG sum; the only doubles are
+    * the two published 6-dp means. Cumulative window partitions BY
+    * SEGMENT over the bounded bin histogram.
+    */
+  def qTrimmedMean(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        floor(col("o_totalprice") / 100).cast("long").as("bin"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val hist = base.groupBy(col("seg"), col("bin"))
+      .agg(count(lit(1)).as("c_b"),
+        sum(col("cents").cast("decimal(38,0)")).as("s_b"))
+    val w = Window.partitionBy(col("seg")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.withColumn("cumb",
+      coalesce(sum(col("c_b")).over(w), lit(0L)))
+    val tot = hist.groupBy(col("seg"))
+      .agg(sum(col("c_b")).cast("long").as("n_g"), sum(col("s_b")).as("s_g"))
+    val j = cum.join(tot, "seg")
+      .withColumn("lo", expr("n_g DIV 10"))
+      .withColumn("hi", col("n_g") - col("lo"))
+      .withColumn("take", greatest(lit(0L),
+        least(col("cumb") + col("c_b"), col("hi")) -
+          greatest(col("cumb"), col("lo"))))
+      .withColumn("contrib",
+        round(col("s_b").cast("double") * col("take") / col("c_b"), 0)
+          .cast("long"))
+    j.groupBy(col("seg"))
+      .agg(max(col("n_g")).as("n_g"),
+        sum(col("contrib")).cast("long").as("tc"),
+        max(col("s_g").cast("double")).as("sg"),
+        max(col("lo")).as("lo"))
+      .select(col("seg"), col("n_g"),
+        round(col("sg") / (col("n_g") * 100), 6).as("mean_spend"),
+        round(col("tc").cast("double") /
+          ((col("n_g") - col("lo") * 2) * 100), 6).as("trimmed_mean"),
+        (col("n_g") - col("lo") * 2).as("n_kept"))
+  }
+
+  val qTrimmedMeanSql: String =
+    """WITH base AS (SELECT c_mktsegment AS seg,
+      |    CAST(floor(o_totalprice / 100) AS BIGINT) AS bin,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |hist AS (SELECT seg, bin, count(*) AS c_b,
+      |    sum(CAST(cents AS HUGEINT)) AS s_b
+      |  FROM base GROUP BY 1, 2),
+      |cum AS (SELECT seg, bin, c_b, s_b,
+      |    coalesce(sum(c_b) OVER (PARTITION BY seg ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+      |  FROM hist),
+      |tot AS (SELECT seg, CAST(sum(c_b) AS BIGINT) AS n_g,
+      |    sum(s_b) AS s_g
+      |  FROM hist GROUP BY 1),
+      |j AS (SELECT cum.seg, c_b, s_b, cumb, n_g, s_g,
+      |    n_g // 10 AS lo, n_g - n_g // 10 AS hi
+      |  FROM cum JOIN tot ON cum.seg = tot.seg),
+      |t AS (SELECT seg, n_g, s_g, lo,
+      |    CAST(round(CAST(s_b AS DOUBLE)
+      |      * greatest(0, least(cumb + c_b, hi) - greatest(cumb, lo))
+      |      / c_b, 0) AS BIGINT) AS contrib
+      |  FROM j)
+      |SELECT seg, max(n_g) AS n_g,
+      |  round(max(CAST(s_g AS DOUBLE)) / (max(n_g) * 100), 6) AS mean_spend,
+      |  round(CAST(sum(contrib) AS DOUBLE)
+      |    / ((max(n_g) - max(lo) * 2) * 100), 6) AS trimmed_mean,
+      |  CAST(max(n_g) - max(lo) * 2 AS BIGINT) AS n_kept
+      |FROM t GROUP BY seg""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_trimmed_mean" -> (qTrimmedMean _),
     "q_theil_index" -> (qTheilIndex _),
     "q_spearman" -> (qSpearman _),
     "q_kendall_tau" -> (qKendallTau _),
@@ -1092,6 +1177,7 @@ object AnalyticExt {
     "q_ewma" -> (qEwma _))
 
   def oracle: Map[String, String] = Map(
+    "q_trimmed_mean" -> qTrimmedMeanSql,
     "q_theil_index" -> qTheilIndexSql,
     "q_spearman" -> qSpearmanSql,
     "q_kendall_tau" -> qKendallTauSql,

@@ -127,7 +127,45 @@ object SqlSurface {
     spark.sql(AnalyticExt.qSkylineSql)
   }
 
+  /** Shared SQL text for I8 — dialect-common GROUPING SETS: both
+    * engines accept single-argument `grouping()`, so the composite
+    * grouping id is spelled as the 1+2 encoding rather than the
+    * multi-argument GROUPING(a, b) DuckDB allows but Spark does not.
+    */
+  val groupingSetsSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(grouping(o_orderstatus) AS INT)
+      |    + 2 * CAST(grouping(o_orderpriority) AS INT) AS gid,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())""".stripMargin
+
+  /** I8: GROUPING SETS through the SQL parser — A18's multi-level
+    * aggregation semantics (the Expand-operator path in Catalyst)
+    * reachable as SQL text, with the grouping-id disambiguating NULL
+    * group keys from NULL markers. Same text runs on both engines.
+    */
+  def qSqlGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(groupingSetsSql)
+  }
+
+  /** I9: the distribution-window suite (ntile / percent_rank /
+    * cume_dist) plus a named WINDOW clause through the SQL parser —
+    * A19's oracle text IS valid Spark SQL, so the same text runs on
+    * both engines and pins a third surface (DataFrame DSL, SQL text,
+    * DuckDB) to one result set, the I7 device applied to window
+    * functions.
+    */
+  def qSqlWindowSuite(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(AnalyticExt.qWindowSuiteSql)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_grouping_sets" -> (qSqlGroupingSets _),
+    "q_sql_window_suite" -> (qSqlWindowSuite _),
     "q_sql_pricing_summary" -> (qSqlPricingSummary _),
     "q_sql_session_window" -> (qSqlSessionWindow _),
     "q_sql_skyline" -> (qSqlSkyline _),
@@ -136,6 +174,8 @@ object SqlSurface {
     "q_sql_subqueries" -> (qSqlSubqueries _))
 
   def oracle: Map[String, String] = Map(
+    "q_sql_grouping_sets" -> groupingSetsSql,
+    "q_sql_window_suite" -> AnalyticExt.qWindowSuiteSql,
     "q_sql_pricing_summary" -> Relational.q1Sql,
     "q_sql_session_window" -> TemporalOps.qSessionWindowSql,
     "q_sql_skyline" -> AnalyticExt.qSkylineSql,

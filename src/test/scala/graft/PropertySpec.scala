@@ -644,6 +644,38 @@ class PropertySpec extends AnyFunSuite {
     assert(got.map(_._4).sum == docs.length)
   }
 
+  test("trimmed mean: kept count exact, estimate inside the trimmed value range per segment") {
+    val rows = graft.operators.AnalyticExt.queries("q_trimmed_mean")(spark, sf)
+      .select("seg", "n_g", "mean_spend", "trimmed_mean", "n_kept")
+      .as[(String, Long, Double, Double, Long)].collect()
+    assert(rows.length == 5)
+    val vals = graft.Tables.orders(spark, sf)
+      .join(graft.Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_totalprice"))
+      .as[(String, Double)].collect().groupBy(_._1).map { case (s, xs) =>
+        s -> xs.map(_._2).sorted }
+    rows.foreach { r =>
+      assert(r._5 == r._2 - 2 * (r._2 / 10), s"${r._1}: kept-count arithmetic")
+      val xs = vals(r._1)
+      val lo = (r._2 / 10).toInt
+      // the binned estimator keeps mass between exact ranks lo+1..n-lo;
+      // its mean must land inside that value range, +-1 bin of slack
+      assert(r._4 >= xs(lo) - 100 && r._4 <= xs(xs.length - lo - 1) + 100,
+        s"${r._1}: trimmed mean ${r._4} outside [${xs(lo)}, ${xs(xs.length - lo - 1)}]")
+    }
+  }
+
+  test("sql window suite and grouping sets: the SQL-text surface equals the DataFrame twin") {
+    val sqlW = graft.operators.SqlSurface.queries("q_sql_window_suite")(spark, sf)
+    val dfW = graft.operators.AnalyticExt.queries("q_window_suite")(spark, sf)
+    assert(sqlW.exceptAll(dfW).isEmpty && dfW.exceptAll(sqlW).isEmpty,
+      "parser path and DSL path must agree row-for-row")
+    val gs = graft.operators.SqlSurface.queries("q_sql_grouping_sets")(spark, sf)
+      .select("gid").as[Int].collect()
+    assert(gs.count(_ == 3) == 1, "exactly one grand-total row")
+    assert(gs.forall(g => g == 0 || g == 2 || g == 3), "gid encodes the declared sets only")
+  }
+
   test("theil index: shares sum to 1, contributions sum to the published totals, inequality nonnegative; mcc bounded") {
     val rows = graft.operators.AnalyticExt.queries("q_theil_index")(spark, sf)
       .select("nation", "rev_share", "t_between_g", "t_within_g",

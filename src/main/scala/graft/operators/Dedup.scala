@@ -265,18 +265,99 @@ object Dedup {
     * CacheManager dedupes the identical plan across the MinHash-family
     * queries in a shared session.
     */
-  private def minhashWide(spark: SparkSession, dir: String): DataFrame = {
+  /** The df-capped DISTINCT (doc_id, h) shingle universe the MinHash
+    * signatures sample — factored out so C21's calibration computes
+    * exact Jaccard over the SAME universe the estimator sees (an
+    * estimate audited against a different universe would confound
+    * sampling error with universe mismatch). Same plan as before the
+    * extraction; the underlying shingle stream stays the shared
+    * eager cache.
+    */
+  private def minhashUniverse(spark: SparkSession, dir: String): DataFrame = {
     val all = eager(shingleStream(spark, dir)).select(col("doc_id"), col("h"))
     val hot = all.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") > MinhashDfCap).select(col("h").as("k_h"))
-    val sh = all.join(broadcast(hot), col("h") === col("k_h"), "left_anti")
+    all.join(broadcast(hot), col("h") === col("k_h"), "left_anti")
       .select(col("doc_id"), col("h")).distinct()
+  }
+
+  private def minhashWide(spark: SparkSession, dir: String): DataFrame = {
+    val sh = minhashUniverse(spark, dir)
     val minCols = perms.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("h") + lit(b)) % MinhashPrime).as(s"m$i")
     }
     eager(sh.groupBy(col("doc_id"))
       .agg(minCols.head, minCols.tail: _*).cache())
   }
+
+  // ---------------------------------------------------------------- C21
+  /** MinHash calibration curve — the estimator-quality audit the
+    * whole C-block rests on: for every LSH candidate pair, the
+    * signature estimate (matching-minima fraction) against the EXACT
+    * Jaccard over the SAME df-capped shingle universe the signatures
+    * sample, bucketed by estimated similarity. The readout says
+    * whether 32 permutations suffice at the C18 threshold (mean
+    * absolute error per decile bucket) — the number that justifies
+    * the sweep's similarity cut. Work is PAIR-BOUNDED: the exact side
+    * joins the (already blocked, already tiny) candidate pair stream
+    * against the universe keyed by doc_id — never a corpus self-join;
+    * the output is ≤ 10 bucket rows. est = k/32 makes the decile
+    * binning knife-edge-free (k/32·10 is exact IEEE).
+    */
+  def qMinhashCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val uni = minhashUniverse(spark, dir)
+    val est = qMinhashLsh(spark, dir)
+    val sz = uni.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = est.select(col("d1"), col("d2"))
+      .join(uni.as("a"), col("d1") === col("a.doc_id"))
+      .join(uni.as("b"),
+        col("d2") === col("b.doc_id") && col("a.h") === col("b.h"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+    val p = est
+      .join(inter, Seq("d1", "d2"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sz.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sz.as("s2"), col("d2") === col("s2.doc_id"))
+      .withColumn("exact_j", col("inter").cast("double") /
+        (col("s1.sz") + col("s2.sz") - col("inter")))
+      .withColumn("bin", least(floor(col("est_sim") * 10).cast("long"), lit(9L)))
+    p.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("est_sim")), 6).as("mean_est"),
+        round(avg(col("exact_j")), 6).as("mean_exact"),
+        round(avg(abs(col("est_sim") - col("exact_j"))), 6).as("mae"))
+  }
+
+  // lazy: minhashCtes is declared later in the file — a strict val
+  // here would interpolate null at object-init time
+  lazy val qMinhashCalibrationSql: String =
+    raw"""WITH $minhashCtes,
+         |cand AS (SELECT DISTINCT x.doc_id d1, y.doc_id d2
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+         |est AS (SELECT d1, d2,
+         |    CAST(sum(CASE WHEN p.minh = q.minh THEN 1 ELSE 0 END) AS DOUBLE) / $NumPerms AS est_sim
+         |  FROM cand JOIN sigs p ON d1 = p.doc_id
+         |  JOIN sigs q ON d2 = q.doc_id AND p.i = q.i
+         |  GROUP BY d1, d2),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM hashed GROUP BY 1),
+         |inter AS (SELECT e.d1, e.d2, count(*) AS inter
+         |  FROM est e JOIN hashed a ON e.d1 = a.doc_id
+         |  JOIN hashed b ON e.d2 = b.doc_id AND a.h = b.h
+         |  GROUP BY 1, 2),
+         |p AS (SELECT est.d1, est.d2, est_sim,
+         |    coalesce(inter.inter, 0) AS inter, s1.sz AS sz1, s2.sz AS sz2
+         |  FROM est LEFT JOIN inter ON est.d1 = inter.d1 AND est.d2 = inter.d2
+         |  JOIN sz s1 ON est.d1 = s1.doc_id JOIN sz s2 ON est.d2 = s2.doc_id),
+         |b AS (SELECT least(CAST(floor(est_sim * 10) AS BIGINT), 9) AS bin,
+         |    est_sim,
+         |    CAST(inter AS DOUBLE) / (sz1 + sz2 - inter) AS exact_j
+         |  FROM p)
+         |SELECT bin, count(*) AS n_pairs,
+         |  round(avg(est_sim), 6) AS mean_est,
+         |  round(avg(exact_j), 6) AS mean_exact,
+         |  round(avg(abs(est_sim - exact_j)), 6) AS mae
+         |FROM b GROUP BY bin""".stripMargin
 
   /** md5 over the comma-joined band minima — byte-identical to the
     * oracle's string_agg(minh, ',' ORDER BY i) per band.
@@ -1687,6 +1768,7 @@ object Dedup {
     "q_incremental_neardup" -> (qIncrementalNeardup _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_minhash_lsh" -> (qMinhashLsh _),
+    "q_minhash_calibration" -> (qMinhashCalibration _),
     "q_crosslingual_pairs" -> (qCrosslingualPairs _),
     "q_contamination" -> (qContamination _),
     "q_simhash" -> (qSimhash _),
@@ -1710,6 +1792,7 @@ object Dedup {
     "q_incremental_neardup" -> qIncrementalNeardupSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_minhash_lsh" -> qMinhashLshSql,
+    "q_minhash_calibration" -> qMinhashCalibrationSql,
     "q_crosslingual_pairs" -> qCrosslingualPairsSql,
     "q_contamination" -> qContaminationSql,
     "q_simhash" -> qSimhashSql,

@@ -644,6 +644,21 @@ class PropertySpec extends AnyFunSuite {
     assert(got.map(_._4).sum == docs.length)
   }
 
+  test("minhash calibration: bucket means live in their decile, estimator error bounded") {
+    val rows = graft.operators.Dedup.queries("q_minhash_calibration")(spark, sf)
+      .select("bin", "n_pairs", "mean_est", "mean_exact", "mae")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lo, hi) = (r._1 / 10.0, if (r._1 == 9) 1.0 else (r._1 + 1) / 10.0)
+      assert(r._3 >= lo && r._3 <= hi,
+        s"bin ${r._1}: mean_est ${r._3} outside its decile")
+      assert(r._4 >= 0.0 && r._4 <= 1.0)
+      assert(r._5 <= 0.35, s"bin ${r._1}: 32-perm MAE ${r._5} implausibly large")
+      assert(r._2 > 0)
+    }
+  }
+
   test("trimmed mean: kept count exact, estimate inside the trimmed value range per segment") {
     val rows = graft.operators.AnalyticExt.queries("q_trimmed_mean")(spark, sf)
       .select("seg", "n_g", "mean_spend", "trimmed_mean", "n_kept")

@@ -646,7 +646,7 @@ object Similarity {
       java.nio.file.Paths.get(new java.net.URI(w).getPath).resolve(table)
     }
 
-    private def normalized(spark: SparkSession, dir: String): DataFrame =
+    private[operators] def normalized(spark: SparkSession, dir: String): DataFrame =
       Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v0"))
         .select(col("vec_id"), transform(col("v0"), x =>
@@ -1377,7 +1377,76 @@ object Similarity {
       |SELECT coh.label, coh.n_vectors, coh.cohesion, sep.max_other_centroid_sim
       |FROM coh JOIN sep USING (label) ORDER BY label""".stripMargin
 
+  // ---------------------------------------------------------------- D13
+  /** PQ reconstruction-distortion audit per subspace — the codebook
+    * quality number behind D4/D5's recall: per subspace m, the mean
+    * squared error between each normalized vector's subvector and its
+    * assigned codeword, the subvector energy, and their ratio (the
+    * fraction of energy quantization destroys; rate–distortion's
+    * empirical readout). A rising per-subspace ratio is the signal to
+    * re-train that codebook or raise PqK — measured, not guessed,
+    * from the PERSISTED index tables, so the oracle replays the whole
+    * audit from data (the D3/D4 device). Parity: the 8-dim SE and
+    * energy folds round at 10 dp BEFORE the corpus mean (Spark's
+    * ordered zip_with fold vs DuckDB's unnest sum differ only in
+    * low-bit addition order), ratio computed from the two 6-dp
+    * published means. Plan: codes long-form map-side explode ×8,
+    * broadcast codebook join, one (m)-keyed aggregate — linear scan,
+    * 8 output rows.
+    */
+  def qPqDistortion(spark: SparkSession, dir: String): DataFrame = {
+    val (codes, book) = PqIndex.get(spark, dir)
+    val sub = PqIndex.normalized(spark, dir)
+      .select(col("vec_id"), posexplode(array((0 until PqIndex.PqM).map(m =>
+        slice(col("v"), m * PqIndex.PqSubDim + 1, PqIndex.PqSubDim)): _*))
+        .as(Seq("m", "sv")))
+    val codesLong = codes.select(col("vec_id"),
+      posexplode(array((0 until PqIndex.PqM).map(m => col(s"c$m")): _*))
+        .as(Seq("m", "code")))
+    val per = sub.join(codesLong, Seq("vec_id", "m"))
+      .join(broadcast(book), Seq("m", "code"))
+      .select(col("m"),
+        round(aggregate(zip_with(col("sv"), col("cv"),
+          (x, y) => (x - y) * (x - y)), lit(0.0), _ + _), 10).as("se"),
+        round(aggregate(transform(col("sv"), x => x * x),
+          lit(0.0), _ + _), 10).as("energy"))
+    per.groupBy(col("m"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(avg(col("se")), 6).as("mse"),
+        round(avg(col("energy")), 6).as("mean_energy"))
+      .withColumn("distortion_ratio",
+        round(col("mse") / col("mean_energy"), 6))
+  }
+
+  private def pqDistortionSql(codesDir: String, bookDir: String): String =
+    raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |nrm AS (SELECT vec_id, list_transform(v,
+         |    x -> x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS nv
+         |  FROM e),
+         |book AS (SELECT m, code, cv FROM read_parquet('$bookDir/*.parquet')),
+         |codes AS (SELECT * FROM read_parquet('$codesDir/*.parquet')),
+         |sub AS (SELECT vec_id, m,
+         |    nv[m*${PqIndex.PqSubDim}+1 : m*${PqIndex.PqSubDim}+${PqIndex.PqSubDim}] AS sv
+         |  FROM nrm, generate_series(0, ${PqIndex.PqM - 1}) g(m)),
+         |cl AS (SELECT vec_id, m, [c0,c1,c2,c3,c4,c5,c6,c7][m+1] AS code
+         |  FROM codes, generate_series(0, ${PqIndex.PqM - 1}) g(m)),
+         |flat AS (SELECT sub.vec_id, sub.m, unnest(sv) AS x, unnest(cv) AS y
+         |  FROM sub JOIN cl ON sub.vec_id = cl.vec_id AND sub.m = cl.m
+         |  JOIN book ON cl.m = book.m AND cl.code = book.code),
+         |per AS (SELECT vec_id, m,
+         |    round(sum((x - y) * (x - y)), 10) AS se,
+         |    round(sum(x * x), 10) AS energy
+         |  FROM flat GROUP BY 1, 2),
+         |agg AS (SELECT m, count(*) AS n_vectors,
+         |    round(avg(se), 6) AS mse,
+         |    round(avg(energy), 6) AS mean_energy
+         |  FROM per GROUP BY m)
+         |SELECT m, n_vectors, mse, mean_energy,
+         |  round(mse / mean_energy, 6) AS distortion_ratio
+         |FROM agg""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pq_distortion" -> (qPqDistortion _),
     "q_class_separation" -> (qClassSeparation _),
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_mmr_diversify" -> (qMmrDiversify _),
@@ -1413,6 +1482,8 @@ object Similarity {
         "q_semantic_balance" -> semanticBalanceSql(a) }.toMap ++
       (for ((co, b) <- Option(PqIndex.lastLoc.get) if k > 0)
         yield "q_ann_pq" -> annPqSql(co, b, k)).toMap ++
+      Option(PqIndex.lastLoc.get).map { case (co, b) =>
+        "q_pq_distortion" -> pqDistortionSql(co, b) }.toMap ++
       (for ((a, c) <- Option(IvfIndex.lastLoc.get);
             (co, b) <- Option(PqIndex.lastLoc.get) if k > 0)
         yield "q_ann_ivfpq" -> annIvfPqSql(a, c, co, b, nprobe = 12, k)).toMap ++

@@ -644,6 +644,22 @@ class PropertySpec extends AnyFunSuite {
     assert(got.map(_._4).sum == docs.length)
   }
 
+  test("pq distortion: 8 complete subspaces, unit energy partition, quantization destroys less than it keeps") {
+    val rows = graft.operators.Similarity.queries("q_pq_distortion")(spark, sf)
+      .select("m", "n_vectors", "mse", "mean_energy", "distortion_ratio")
+      .as[(Int, Long, Double, Double, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0 until 8), "one row per subspace")
+    val n = Tables.embeddings(spark, sf).count()
+    rows.foreach { r =>
+      assert(r._2 == n, "every vector coded in every subspace")
+      assert(r._3 >= 0.0 && r._3 <= r._4, "MSE cannot exceed the subvector energy")
+      assert(r._5 < 1.0, s"subspace ${r._1} ratio ${r._5}: codebook worse than zero-vector")
+    }
+    val totalEnergy = rows.map(_._4).sum
+    assert(math.abs(totalEnergy - 1.0) < 1e-3,
+      s"subspace energies of unit vectors must partition 1, got $totalEnergy")
+  }
+
   test("minhash calibration: bucket means live in their decile, estimator error bounded") {
     val rows = graft.operators.Dedup.queries("q_minhash_calibration")(spark, sf)
       .select("bin", "n_pairs", "mean_est", "mean_exact", "mae")

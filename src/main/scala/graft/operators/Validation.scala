@@ -1262,7 +1262,142 @@ object Validation {
       |    AS ci_covers_truth
       |FROM c""".stripMargin
 
+  // ---------------------------------------------------------------- L21
+  /** Post-stratified average-treatment-effect estimate — the
+    * covariate-adjustment step between L3's raw two-sample z and a
+    * full outcome model: users stratify by a PRE-treatment covariate
+    * (activity terciles via two exact integer-domain percentile
+    * cuts), the per-stratum treated-vs-control outcome gaps combine
+    * with population weights w_s = n_s/n, and the stratified SE
+    * comes from within-stratum variances — the estimator that removes
+    * covariate imbalance a lucky/unlucky randomization leaves behind,
+    * and the variance reduction stratification buys. Output: one row
+    * per stratum (its own gap) plus the naive and post-stratified
+    * ATEs with SE on every row. Exactness: outcomes are per-user
+    * DECIMAL sums; per-(stratum, arm) moments stay decimal to the
+    * 10-dp mean/variance boundary; the Σ_s over ≤ 3 strata runs in
+    * identical double expressions. A stratum missing an arm nulls
+    * the estimate (sum-skips-nulls would silently drop the stratum
+    * — the guard makes the degenerate case explicit). Plan: one
+    * user-keyed fold, one broadcast percentile pair, one ≤ 3×2-group
+    * aggregate.
+    */
+  def qPoststratAte(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_ev"),
+        sum(when(col("event_type") === "purchase",
+          col("value").cast("decimal(12,2)")).otherwise(lit(0).cast("decimal(12,2)")))
+          .as("y"))
+      .withColumn("arm",
+        when(expr("conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10)")
+          .cast("long") % 2 === 0, "treat").otherwise("ctrl"))
+    val cuts = perUser.agg(
+      expr("percentile(n_ev, 0.3333)").as("p33"),
+      expr("percentile(n_ev, 0.6667)").as("p67"))
+    val strat = perUser.crossJoin(broadcast(cuts))
+      .withColumn("stratum",
+        when(col("n_ev") <= col("p33"), "low")
+          .when(col("n_ev") <= col("p67"), "mid").otherwise("high"))
+    val cells = strat.groupBy(col("stratum"), col("arm"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("y")).as("s"),
+        sum(col("y").cast("decimal(18,2)") * col("y").cast("decimal(18,2)"))
+          .as("q"))
+    val mean = round(col("s").cast("double") / col("n"), 10)
+    val vvar = round((col("q").cast("double") -
+      col("s").cast("double") * col("s").cast("double") / col("n")) /
+      (col("n") - 1), 10)
+    val wide = cells.groupBy(col("stratum")).agg(
+      sum(col("n")).cast("long").as("n_s"),
+      max(when(col("arm") === "treat", col("n"))).as("n_t"),
+      max(when(col("arm") === "ctrl", col("n"))).as("n_c"),
+      max(when(col("arm") === "treat", mean)).as("m_t"),
+      max(when(col("arm") === "ctrl", mean)).as("m_c"),
+      max(when(col("arm") === "treat", vvar)).as("v_t"),
+      max(when(col("arm") === "ctrl", vvar)).as("v_c"))
+    val tot = wide.agg(
+      sum(col("n_s")).cast("long").as("n"),
+      // a single-arm stratum has a NULL arm count: null > 0 is null,
+      // and min() SKIPS nulls — coalesce to 0 so the degenerate
+      // stratum vetoes the estimate instead of vanishing from the min
+      min(coalesce((col("n_t") > 0 && col("n_c") > 0).cast("int"), lit(0)))
+        .as("okmin"),
+      sum(col("n_s").cast("double") * (col("m_t") - col("m_c"))).as("wdiff"),
+      sum(col("n_s").cast("double") * col("n_s") *
+        (col("v_t") / col("n_t") + col("v_c") / col("n_c"))).as("wvar"),
+      sum(when(col("n_t") > 0, col("n_t") * col("m_t"))).as("st"),
+      sum(col("n_t")).as("nt"),
+      sum(when(col("n_c") > 0, col("n_c") * col("m_c"))).as("sc"),
+      sum(col("n_c")).as("nc"))
+    val ok = col("okmin") === 1
+    val verdict = tot.select(col("n"),
+      round(col("st") / col("nt") - col("sc") / col("nc"), 6).as("ate_naive"),
+      when(ok, round(col("wdiff") / col("n"), 6))
+        .otherwise(lit(null).cast("double")).as("ate_poststrat"),
+      when(ok, round(sqrt(col("wvar")) / col("n"), 6))
+        .otherwise(lit(null).cast("double")).as("se_poststrat"))
+      .withColumn("significant", coalesce(
+        abs(col("ate_poststrat")) > col("se_poststrat") * 1.96, lit(false)))
+    wide.select(col("stratum"), col("n_s"), col("n_t"), col("n_c"),
+        when(col("n_t") > 0 && col("n_c") > 0,
+          round(col("m_t") - col("m_c"), 6))
+          .otherwise(lit(null).cast("double")).as("stratum_gap"))
+      .crossJoin(broadcast(verdict))
+  }
+
+  val qPoststratAteSql: String =
+    """WITH pu AS (SELECT user_id, count(*) AS n_ev,
+      |    sum(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(value AS DECIMAL(12,2))
+      |      ELSE CAST(0 AS DECIMAL(12,2)) END) AS y,
+      |    CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+      |      % 2 = 0 THEN 'treat' ELSE 'ctrl' END AS arm
+      |  FROM events GROUP BY user_id),
+      |ct AS (SELECT quantile_cont(n_ev, 0.3333) AS p33,
+      |    quantile_cont(n_ev, 0.6667) AS p67 FROM pu),
+      |st AS (SELECT pu.*, CASE WHEN n_ev <= p33 THEN 'low'
+      |    WHEN n_ev <= p67 THEN 'mid' ELSE 'high' END AS stratum
+      |  FROM pu, ct),
+      |cells AS (SELECT stratum, arm, count(*) AS n,
+      |    sum(y) AS s,
+      |    sum(CAST(y AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2))) AS q
+      |  FROM st GROUP BY 1, 2),
+      |m AS (SELECT stratum, arm, n,
+      |    round(CAST(s AS DOUBLE) / n, 10) AS mean,
+      |    round((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+      |      / (n - 1), 10) AS v
+      |  FROM cells),
+      |wide AS (SELECT stratum, CAST(sum(n) AS BIGINT) AS n_s,
+      |    max(CASE WHEN arm = 'treat' THEN n END) AS n_t,
+      |    max(CASE WHEN arm = 'ctrl' THEN n END) AS n_c,
+      |    max(CASE WHEN arm = 'treat' THEN mean END) AS m_t,
+      |    max(CASE WHEN arm = 'ctrl' THEN mean END) AS m_c,
+      |    max(CASE WHEN arm = 'treat' THEN v END) AS v_t,
+      |    max(CASE WHEN arm = 'ctrl' THEN v END) AS v_c
+      |  FROM m GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n,
+      |    min(CASE WHEN n_t > 0 AND n_c > 0 THEN 1 ELSE 0 END) AS okmin,
+      |    sum(CAST(n_s AS DOUBLE) * (m_t - m_c)) AS wdiff,
+      |    sum(CAST(n_s AS DOUBLE) * n_s * (v_t / n_t + v_c / n_c)) AS wvar,
+      |    sum(CASE WHEN n_t > 0 THEN n_t * m_t END) AS stt,
+      |    CAST(sum(n_t) AS BIGINT) AS nt,
+      |    sum(CASE WHEN n_c > 0 THEN n_c * m_c END) AS sc,
+      |    CAST(sum(n_c) AS BIGINT) AS nc
+      |  FROM wide),
+      |v AS (SELECT n,
+      |    round(stt / nt - sc / nc, 6) AS ate_naive,
+      |    CASE WHEN okmin = 1 THEN round(wdiff / n, 6) END AS ate_poststrat,
+      |    CASE WHEN okmin = 1 THEN round(sqrt(wvar) / n, 6) END AS se_poststrat
+      |  FROM tot)
+      |SELECT stratum, n_s, n_t, n_c,
+      |  CASE WHEN n_t > 0 AND n_c > 0 THEN round(m_t - m_c, 6) END AS stratum_gap,
+      |  n, ate_naive, ate_poststrat, se_poststrat,
+      |  coalesce(abs(ate_poststrat) > se_poststrat * 1.96, false) AS significant
+      |FROM wide, v""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_poststrat_ate" -> (qPoststratAte _),
     "q_capture_recapture" -> (qCaptureRecapture _),
     "q_anova" -> (qAnova _),
     "q_kruskal_wallis" -> (qKruskalWallis _),
@@ -1284,6 +1419,7 @@ object Validation {
     "q_benford" -> (qBenford _))
 
   def oracle: Map[String, String] = Map(
+    "q_poststrat_ate" -> qPoststratAteSql,
     "q_capture_recapture" -> qCaptureRecaptureSql,
     "q_anova" -> qAnovaSql,
     "q_kruskal_wallis" -> qKruskalWallisSql,

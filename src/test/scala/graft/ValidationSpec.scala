@@ -78,6 +78,23 @@ class ValidationSpec extends AnyFunSuite {
     }
   }
 
+  test("q_poststrat_ate: strata partition users, arm counts reconcile, single-arm stratum vetoes the estimate") {
+    val rows = graft.operators.Validation.qPoststratAte(spark, sf).collect()
+    assert(rows.length == 3, "three activity terciles")
+    val n = rows.head.getAs[Long]("n")
+    assert(rows.map(_.getAs[Long]("n_s")).sum == n, "strata must partition the user set")
+    rows.foreach { r =>
+      val nt = Option(r.getAs[java.lang.Long]("n_t")).map(_.toLong).getOrElse(0L)
+      val nc = Option(r.getAs[java.lang.Long]("n_c")).map(_.toLong).getOrElse(0L)
+      assert(nt + nc == r.getAs[Long]("n_s"), "arms must partition each stratum")
+    }
+    val allTwoArmed = rows.forall(r =>
+      r.getAs[java.lang.Long]("n_t") != null && r.getAs[java.lang.Long]("n_c") != null)
+    val est = rows.head.getAs[java.lang.Double]("ate_poststrat")
+    assert((est != null) == allTwoArmed,
+      "post-stratified ATE must be null exactly when a stratum is single-arm")
+  }
+
   test("q_capture_recapture: overlap bounded by both samples, estimator lands on the known truth") {
     val r = graft.operators.Validation.qCaptureRecapture(spark, sf).collect().head
     val (nTrue, nA, nB, nAb) = (r.getAs[Long]("n_true"), r.getAs[Long]("n_a"),

@@ -1760,7 +1760,128 @@ object Dedup {
          |FROM d""".stripMargin
   }
 
+  // ---------------------------------------------------------------- K25
+  /** The curation WATERFALL — K13's end-to-end pipeline re-emitted as
+    * the per-gate funnel a data team actually reviews before a
+    * training run: for each successive gate (quality floor → exact-dup
+    * canonical → near-dup canonical → decontamination → PII scrub),
+    * the documents entering, surviving, dropped, and the survival
+    * rate. Gate ORDER is the cumulative-conjunction contract (a doc
+    * dropped for quality never reaches the dedup stage's n_in), so
+    * the waterfall reconciles exactly: n_out(i) = n_in(i+1), and the
+    * last n_out is K13's keep-set cardinality for the same gates.
+    * All per-doc bits derive from the SHARED machinery — B3's quality
+    * score, B7's fingerprint canonical, C11's cluster/contamination
+    * verdicts riding the cached MinHash chain, B23's PII flags — this
+    * query adds one boolean join frame and ONE aggregate; exact
+    * integers, one 6-dp rate per stage, 6 output rows.
+    */
+  def qCurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.fingerprint
+    val isEval = col("source").isin(EvalSources.map(x => x: Any): _*)
+    val train = Tables.documents(spark, dir).filter(!isEval)
+      .select(col("doc_id"))
+    val quality = TextAnalysis.qQualityScore(spark, dir)
+      .select(col("doc_id"),
+        (col("quality") >= TextAnalysis.QualityFloor).as("q_ok"))
+    val fps = Tables.documents(spark, dir)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    val canon = fps.groupBy(col("fp")).agg(min(col("doc_id")).as("canonical"))
+    val exact = fps.join(canon, "fp")
+      .select(col("doc_id"), (col("doc_id") === col("canonical")).as("e_ok"))
+    val dk = qDecontamKeepList(spark, dir)
+      .select(col("doc_id"),
+        (col("canonical_id") === col("doc_id")).as("nd_ok"),
+        (col("reason") =!= "contaminated").as("nc_ok"))
+    val pii = TextAnalysis.piiPerDoc(spark, dir)
+      .select(col("doc_id"),
+        (col("n_email") + col("n_phone") + col("n_ip") === 0).as("p_ok"))
+    val bits = train
+      .join(quality, "doc_id").join(exact, "doc_id")
+      .join(dk, "doc_id").join(pii, "doc_id")
+    val sums = bits.agg(
+      count(lit(1)).as("s0"),
+      sum(when(col("q_ok"), 1L).otherwise(0L)).as("s1"),
+      sum(when(col("q_ok") && col("e_ok"), 1L).otherwise(0L)).as("s2"),
+      sum(when(col("q_ok") && col("e_ok") && col("nd_ok"), 1L)
+        .otherwise(0L)).as("s3"),
+      sum(when(col("q_ok") && col("e_ok") && col("nd_ok") && col("nc_ok"), 1L)
+        .otherwise(0L)).as("s4"),
+      sum(when(col("q_ok") && col("e_ok") && col("nd_ok") && col("nc_ok")
+        && col("p_ok"), 1L).otherwise(0L)).as("s5"))
+    val stages = Seq(
+      (0, "train_corpus", "s0", "s0"), (1, "quality_floor", "s0", "s1"),
+      (2, "exact_dedup", "s1", "s2"), (3, "near_dedup", "s2", "s3"),
+      (4, "decontamination", "s3", "s4"), (5, "pii_scrub", "s4", "s5"))
+    sums.select(explode(array(stages.map { case (i, name, in, out) =>
+        struct(lit(i).as("stage"), lit(name).as("gate"),
+          col(in).as("n_in"), col(out).as("n_out"))
+      }: _*)).as("r"))
+      .select(col("r.stage"), col("r.gate"), col("r.n_in"), col("r.n_out"))
+      .withColumn("n_dropped", col("n_in") - col("n_out"))
+      .withColumn("survival_rate",
+        round(col("n_out").cast("double") / col("n_in"), 6))
+  }
+
+  lazy val qCurationFunnelSql: String = {
+    val stages = Seq(
+      (0, "train_corpus", "s0", "s0"), (1, "quality_floor", "s0", "s1"),
+      (2, "exact_dedup", "s1", "s2"), (3, "near_dedup", "s2", "s3"),
+      (4, "decontamination", "s3", "s4"), (5, "pii_scrub", "s4", "s5"))
+    val rows = stages.map { case (i, name, in, out) =>
+      s"""SELECT $i AS stage, '$name' AS gate, $in AS n_in, $out AS n_out,
+         |  $in - $out AS n_dropped,
+         |  round(CAST($out AS DOUBLE) / $in, 6) AS survival_rate
+         |FROM sums""".stripMargin
+    }.mkString("\nUNION ALL ")
+    raw"""WITH RECURSIVE $textClusterCtes,
+         |side AS (SELECT doc_id, source IN ($evalSourcesSql) AS is_eval FROM documents),
+         |tcl AS (SELECT cl.doc_id, cl.cluster_id FROM cl
+         |  JOIN side s ON cl.doc_id = s.doc_id WHERE NOT s.is_eval),
+         |tcan AS (SELECT cluster_id, min(doc_id) AS canonical FROM tcl GROUP BY 1),
+         |ccand AS (SELECT DISTINCT x.doc_id d_train, y.doc_id d_eval
+         |  FROM bands x JOIN side sx ON x.doc_id = sx.doc_id
+         |  JOIN bands y ON x.band = y.band AND x.bh = y.bh
+         |  JOIN side sy ON y.doc_id = sy.doc_id
+         |  WHERE NOT sx.is_eval AND sy.is_eval),
+         |cont AS (SELECT DISTINCT d_train AS doc_id FROM (
+         |    SELECT d_train, d_eval,
+         |      CAST(sum(CASE WHEN p.minh = q.minh THEN 1 ELSE 0 END) AS DOUBLE) / $NumPerms AS est_sim
+         |    FROM ccand JOIN sigs p ON d_train = p.doc_id
+         |    JOIN sigs q ON d_eval = q.doc_id AND p.i = q.i
+         |    GROUP BY d_train, d_eval)
+         |  WHERE est_sim >= $TextClusterMinSim),
+         |q AS (${TextAnalysis.qQualityScoreSql}),
+         |fps AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+         |  FROM documents),
+         |canon AS (SELECT fp, min(doc_id) AS canonical FROM fps GROUP BY fp),
+         |${TextAnalysis.piiScoredCte},
+         |bits AS (SELECT d.doc_id,
+         |    (q.quality >= ${TextAnalysis.QualityFloor}) AS q_ok,
+         |    (f.doc_id = c.canonical) AS e_ok,
+         |    (coalesce(tcan.canonical, d.doc_id) = d.doc_id) AS nd_ok,
+         |    (ct.doc_id IS NULL) AS nc_ok,
+         |    (p.n_email + p.n_phone + p.n_ip = 0) AS p_ok
+         |  FROM (SELECT doc_id FROM side WHERE NOT is_eval) d
+         |  JOIN q ON q.doc_id = d.doc_id
+         |  JOIN fps f ON f.doc_id = d.doc_id
+         |  JOIN canon c ON f.fp = c.fp
+         |  LEFT JOIN tcl ON d.doc_id = tcl.doc_id
+         |  LEFT JOIN tcan ON tcl.cluster_id = tcan.cluster_id
+         |  LEFT JOIN cont ct ON d.doc_id = ct.doc_id
+         |  JOIN scored p ON p.doc_id = d.doc_id),
+         |sums AS (SELECT count(*) AS s0,
+         |    CAST(sum(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+         |    CAST(sum(CASE WHEN q_ok AND e_ok THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+         |    CAST(sum(CASE WHEN q_ok AND e_ok AND nd_ok THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+         |    CAST(sum(CASE WHEN q_ok AND e_ok AND nd_ok AND nc_ok THEN 1 ELSE 0 END) AS BIGINT) AS s4,
+         |    CAST(sum(CASE WHEN q_ok AND e_ok AND nd_ok AND nc_ok AND p_ok THEN 1 ELSE 0 END) AS BIGINT) AS s5
+         |  FROM bits)
+         |$rows""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_curation_funnel" -> (qCurationFunnel _),
     "q_segment_dedup" -> (qSegmentDedup _),
     "q_dedup_threshold_sweep" -> (qDedupThresholdSweep _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -1793,6 +1914,7 @@ object Dedup {
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_minhash_lsh" -> qMinhashLshSql,
     "q_minhash_calibration" -> qMinhashCalibrationSql,
+    "q_curation_funnel" -> qCurationFunnelSql,
     "q_crosslingual_pairs" -> qCrosslingualPairsSql,
     "q_contamination" -> qContaminationSql,
     "q_simhash" -> qSimhashSql,

@@ -914,7 +914,11 @@ object TextAnalysis {
     * one |sources|-row aggregate; counts exact integers, one 6-dp
     * rate division.
     */
-  def qPiiScan(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-document PII hit counts + redaction delta — factored from
+    * [[qPiiScan]] so the curation funnel (K25) can consume the same
+    * flags per doc that the per-source audit aggregates.
+    */
+  private[operators] def piiPerDoc(spark: SparkSession, dir: String): DataFrame = {
     val emailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
     val phoneRe = "\\+1-555-[0-9]{4}"
     val ipRe = "10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
@@ -933,7 +937,7 @@ object TextAnalysis {
             lit("."), (expr("doc_id DIV 7") % 256).cast("string"),
             lit("."), (expr("doc_id DIV 13") % 256).cast("string")))
           .otherwise(lit(""))))
-    val scored = aug.select(col("source"),
+    aug.select(col("doc_id"), col("source"),
       size(regexp_extract_all(col("aug"), lit(emailRe), lit(0)))
         .cast("long").as("n_email"),
       size(regexp_extract_all(col("aug"), lit(phoneRe), lit(0)))
@@ -943,7 +947,10 @@ object TextAnalysis {
       (length(col("aug")) -
         length(regexp_replace(col("aug"), allRe, "[PII]")))
         .cast("long").as("chars_delta"))
-    scored.groupBy(col("source")).agg(
+  }
+
+  def qPiiScan(spark: SparkSession, dir: String): DataFrame = {
+    piiPerDoc(spark, dir).groupBy(col("source")).agg(
         count(lit(1)).as("docs"),
         sum(when(col("n_email") + col("n_phone") + col("n_ip") > 0, 1L)
           .otherwise(0L)).as("docs_flagged"),
@@ -955,29 +962,40 @@ object TextAnalysis {
         round(col("docs_flagged").cast("double") / col("docs"), 6))
   }
 
-  val qPiiScanSql: String = {
+  /** Oracle CTE body ending in `scored(doc_id, source, n_email,
+    * n_phone, n_ip, chars_delta)` — the SQL mirror of [[piiPerDoc]],
+    * shared by [[qPiiScanSql]] and the K25 funnel oracle.
+    */
+  private[operators] val piiScoredCte: String = {
     val emailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
     val phoneRe = "\\+1-555-[0-9]{4}"
     val ipRe = "10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
     val allRe = s"($emailRe|$phoneRe|$ipRe)"
-    raw"""WITH aug AS (SELECT source, text
-         |    || (CASE WHEN doc_id % 5 = 0 THEN ' contact user'
-         |        || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END)
-         |    || (CASE WHEN doc_id % 7 = 0 THEN ' call +1-555-'
-         |        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END)
-         |    || (CASE WHEN doc_id % 11 = 0 THEN ' host 10.'
-         |        || CAST(doc_id % 256 AS VARCHAR) || '.'
-         |        || CAST((doc_id // 7) % 256 AS VARCHAR) || '.'
-         |        || CAST((doc_id // 13) % 256 AS VARCHAR) ELSE '' END)
+    // NOTE: no continuation line may BEGIN with "||" — this CTE body
+    // is interpolated into callers' raw strings whose own stripMargin
+    // would eat the first bar of a leading concat operator
+    raw"""aug AS (SELECT doc_id, source, text ||
+         |    (CASE WHEN doc_id % 5 = 0 THEN ' contact user' ||
+         |        CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END) ||
+         |    (CASE WHEN doc_id % 7 = 0 THEN ' call +1-555-' ||
+         |        lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END) ||
+         |    (CASE WHEN doc_id % 11 = 0 THEN ' host 10.' ||
+         |        CAST(doc_id % 256 AS VARCHAR) || '.' ||
+         |        CAST((doc_id // 7) % 256 AS VARCHAR) || '.' ||
+         |        CAST((doc_id // 13) % 256 AS VARCHAR) ELSE '' END)
          |    AS aug
          |  FROM documents),
-         |scored AS (SELECT source,
+         |scored AS (SELECT doc_id, source,
          |    CAST(len(regexp_extract_all(aug, '$emailRe')) AS BIGINT) AS n_email,
          |    CAST(len(regexp_extract_all(aug, '$phoneRe')) AS BIGINT) AS n_phone,
          |    CAST(len(regexp_extract_all(aug, '$ipRe')) AS BIGINT) AS n_ip,
          |    CAST(length(aug) - length(regexp_replace(aug, '$allRe', '[PII]', 'g'))
          |      AS BIGINT) AS chars_delta
-         |  FROM aug)
+         |  FROM aug)""".stripMargin
+  }
+
+  val qPiiScanSql: String =
+    raw"""WITH $piiScoredCte
          |SELECT source, count(*) AS docs,
          |  CAST(sum(CASE WHEN n_email + n_phone + n_ip > 0 THEN 1 ELSE 0 END)
          |    AS BIGINT) AS docs_flagged,
@@ -988,7 +1006,6 @@ object TextAnalysis {
          |  round(CAST(sum(CASE WHEN n_email + n_phone + n_ip > 0 THEN 1
          |      ELSE 0 END) AS DOUBLE) / count(*), 6) AS pii_rate
          |FROM scored GROUP BY source""".stripMargin
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pii_scan" -> (qPiiScan _),

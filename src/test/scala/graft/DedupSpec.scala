@@ -312,4 +312,31 @@ class DedupSpec extends AnyFunSuite {
       isNew == dup.isEmpty && dup.forall(existing.contains)
     })
   }
+
+  test("curation funnel reconciles exactly: n_out(i) = n_in(i+1), monotone, every gate non-trivial") {
+    import org.apache.spark.sql.functions.col
+    val rows = Dedup.qCurationFunnel(spark, sf)
+      .orderBy(col("stage"))
+      .select("stage", "gate", "n_in", "n_out", "n_dropped")
+      .as[(Int, String, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq == (0 until 6),
+      "exactly six stages in declared order")
+    rows.foreach { case (_, gate, nIn, nOut, nDrop) =>
+      assert(nOut <= nIn && nDrop == nIn - nOut, s"$gate must balance")
+    }
+    // the waterfall contract: each stage's survivors feed the next
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 == b._3, s"${a._2} n_out must equal ${b._2} n_in")
+    }
+    // stage 0 is the identity gate over the train split
+    val trainDocs = Tables.documents(spark, sf)
+      .filter(!col("source").isin(Dedup.EvalSources.map(x => x: Any): _*))
+      .count()
+    assert(rows.head._3 == trainDocs && rows.head._4 == trainDocs)
+    // the generator plants low-quality docs, near-dups, contamination,
+    // and PII by construction; exact dups may already fall to the
+    // quality floor at tiny SF, so demand most — not all — gates fire
+    assert(rows.tail.count(_._5 > 0) >= 4, "at least 4 of 5 gates must fire")
+    assert(rows.last._4 > 0, "a non-empty keep set must survive")
+  }
 }

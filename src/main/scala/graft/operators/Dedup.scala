@@ -505,6 +505,78 @@ object Dedup {
          |JOIN sigs q ON d_eval = q.doc_id AND p.i = q.i
          |GROUP BY d_train, d_eval""".stripMargin
 
+  // ---------------------------------------------------------------- C22
+  /** Exact n-gram collision decontamination — the OTHER standard
+    * pre-training gate, complementary to C7's similarity search: C7
+    * finds eval documents that LOOK like training documents (MinHash
+    * over whole-doc shingle sets, catches paraphrase-level overlap);
+    * this finds training documents that CONTAIN a verbatim eval
+    * n-gram run (the published-benchmark leak an LLM can memorize
+    * from one colliding window even when whole-doc similarity is
+    * negligible). Method: every distinct [[DecontamN]]-token window
+    * of the eval split becomes a banned key; a training doc is
+    * flagged if ANY of its windows collides, reported with its
+    * colliding-window count and fraction.
+    *
+    * 100 TB shape: the ban list is built from the EVAL side only —
+    * benchmarks are tiny relative to the corpus, so the distinct
+    * banned-key set broadcasts and the training side stays a map-only
+    * explode + broadcast-hash semi-match + one per-doc aggregate; the
+    * training corpus never shuffles its n-grams. Keys are md5 of the
+    * window text for engine-exact oracle parity (production would
+    * swap the 128-bit hex for xxhash64 — same plan, narrower key;
+    * cf. the fingerprint canonical in C1). Short docs (< N tokens)
+    * have no window and cannot be flagged — the same contract the
+    * published filters apply.
+    */
+  val DecontamN: Int = 13
+
+  def qNgramDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val n = DecontamN
+    val isEval = col("source").isin(EvalSources.map(x => x: Any): _*)
+    val toked = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), isEval.as("is_eval"),
+        tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= n)
+    val grams = toked.select(col("doc_id"), col("source"), col("is_eval"),
+      explode(transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+        i => md5(concat_ws(" ", slice(col("toks"), i, lit(n)))))).as("g"))
+    val ban = grams.filter(col("is_eval")).select(col("g")).distinct()
+    val train = grams.filter(!col("is_eval"))
+    val counts = train.groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_ngrams"))
+    val hits = train.join(broadcast(ban), "g")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_hit"))
+    hits.join(counts, "doc_id")
+      .select(col("doc_id"), col("source"), col("n_ngrams"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_ngrams"), 6)
+          .as("hit_frac"))
+  }
+
+  val qNgramDecontamSql: String = {
+    val n = DecontamN
+    raw"""WITH toked AS (SELECT doc_id, source,
+         |    source IN ($evalSourcesSql) AS is_eval,
+         |    ${duckToksSql("text")} AS toks
+         |  FROM documents),
+         |idx AS (SELECT doc_id, source, is_eval, toks,
+         |    unnest(generate_series(1, len(toks) - ${n - 1})) AS i
+         |  FROM toked WHERE len(toks) >= $n),
+         |grams AS (SELECT doc_id, source, is_eval,
+         |    md5(array_to_string(list_slice(toks, i, i + ${n - 1}), ' ')) AS g
+         |  FROM idx),
+         |ban AS (SELECT DISTINCT g FROM grams WHERE is_eval),
+         |counts AS (SELECT doc_id, source, count(*) AS n_ngrams
+         |  FROM grams WHERE NOT is_eval GROUP BY 1, 2),
+         |hits AS (SELECT t.doc_id, count(DISTINCT t.g) AS n_hit
+         |  FROM grams t JOIN ban USING (g)
+         |  WHERE NOT t.is_eval GROUP BY 1)
+         |SELECT c.doc_id, c.source, c.n_ngrams, h.n_hit,
+         |  round(CAST(h.n_hit AS DOUBLE) / c.n_ngrams, 6) AS hit_frac
+         |FROM hits h JOIN counts c ON h.doc_id = c.doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- C8
   /** Incremental ingest dedup: the arriving batch ([[EvalSources]] as
     * the stand-in "new" split) checked against the existing corpus by
@@ -1882,6 +1954,7 @@ object Dedup {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_curation_funnel" -> (qCurationFunnel _),
+    "q_ngram_decontam" -> (qNgramDecontam _),
     "q_segment_dedup" -> (qSegmentDedup _),
     "q_dedup_threshold_sweep" -> (qDedupThresholdSweep _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -1915,6 +1988,7 @@ object Dedup {
     "q_minhash_lsh" -> qMinhashLshSql,
     "q_minhash_calibration" -> qMinhashCalibrationSql,
     "q_curation_funnel" -> qCurationFunnelSql,
+    "q_ngram_decontam" -> qNgramDecontamSql,
     "q_crosslingual_pairs" -> qCrosslingualPairsSql,
     "q_contamination" -> qContaminationSql,
     "q_simhash" -> qSimhashSql,

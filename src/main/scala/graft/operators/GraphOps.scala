@@ -711,10 +711,19 @@ object GraphOps {
       col("src").as("dst"))).cache()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("degree")).cache()
     var x = deg.select(col("src").as("node"), lit(1.0).as("score"))
+    // Each iterate is CACHED before the max-aggregate reads it: the
+    // normalizer references the iterate a second time, and without a
+    // cache boundary that doubles the uncached lineage per iteration —
+    // 2^3 recomputations of the edge join by iteration 3 (measured
+    // 160 s vs the ~26 s kNN-family band at sf1). The cached frame is
+    // |V| rows — negligible residency, released after materialization.
+    val iterates = scala.collection.mutable.Buffer.empty[DataFrame]
     for (_ <- 1 to 3) {
       val raw = edges.join(x, edges("src") === x("node"))
         .select(col("dst"), col("score"))
         .groupBy(col("dst")).agg(sum(col("score")).as("s"))
+        .cache()
+      iterates += raw
       val mx = raw.agg(max(col("s")).as("mx"))
       x = raw.crossJoin(broadcast(mx))
         .select(col("dst").as("node"), round(col("s") / col("mx"), 10).as("score"))
@@ -724,6 +733,7 @@ object GraphOps {
         round(col("score"), 6).as("centrality"))
       .cache()
     out.count()
+    iterates.foreach(_.unpersist())
     deg.unpersist(); edges.unpersist()
     out
   }

@@ -339,4 +339,32 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.tail.count(_._5 > 0) >= 4, "at least 4 of 5 gates must fire")
     assert(rows.last._4 > 0, "a non-empty keep set must survive")
   }
+
+  test("ngram decontam equals a brute-force window scan at sf0.001") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.TextFunctions.tokens
+    val n = Dedup.DecontamN
+    // tokenize through the SAME column function the operator uses, so
+    // the spec checks the collision logic, not tokenizer parity
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .as[(Long, String, Seq[String])].collect()
+    val isEval = Dedup.EvalSources.toSet
+    def windows(toks: Seq[String]): Seq[String] =
+      if (toks.length < n) Seq.empty
+      else toks.sliding(n).map(_.mkString(" ")).toSeq
+    val ban = docs.filter(d => isEval(d._2))
+      .flatMap(d => windows(d._3)).toSet
+    val expected = docs.filterNot(d => isEval(d._2)).flatMap { case (id, src, toks) =>
+      val ws = windows(toks)
+      val hit = ws.distinct.count(ban.contains)
+      if (hit > 0) Some(id -> ((src, ws.size.toLong, hit.toLong))) else None
+    }.toMap
+    val got = Dedup.qNgramDecontam(spark, sf)
+      .select("doc_id", "source", "n_ngrams", "n_hit")
+      .as[(Long, String, Long, Long)].collect()
+      .map { case (id, src, ng, h) => id -> ((src, ng, h)) }.toMap
+    assert(expected.nonEmpty, "generator must plant at least one verbatim leak")
+    assert(got == expected)
+  }
 }

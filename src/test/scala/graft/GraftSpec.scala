@@ -46,9 +46,12 @@ class ContractSpec extends AnyFunSuite {
     val exempt = Set.empty[String]
     val divByRenderedDefault =
       "(?s).*(\\bDIV\\b|//|/)\\s*0(\\.0)?\\s*([),]|$).*".r
+    // ">= 0.0" / "> 0.0" must not be followed by another digit: a
+    // genuine threshold like "> 0.05" is NOT a rendered default
+    val cmpRenderedDefault = "(?s).*>=?\\s*0\\.0(?![0-9]).*".r
     val suspicious = SparkEntry.oracleSql.collect {
       case (name, sql) if !exempt(name) &&
-        (sql.contains(">= 0.0") || sql.contains("> 0.0")
+        (cmpRenderedDefault.matches(sql)
           || divByRenderedDefault.matches(sql)) => name
     }
     assert(suspicious.isEmpty,

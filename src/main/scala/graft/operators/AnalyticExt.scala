@@ -979,7 +979,7 @@ object AnalyticExt {
       |  ELSE round(num / sqrt(den), 6) END AS rho_spearman
       |FROM calc""".stripMargin
 
-  // ---------------------------------------------------------------- A40
+  // ---------------------------------------------------------------- A41
   /** Theil T inequality index of customer revenue, decomposed
     * between/within nations — the inequality readout L8's Gini can't
     * decompose (Gini's group terms overlap; Theil is ADDITIVE:

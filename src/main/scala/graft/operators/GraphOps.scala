@@ -761,7 +761,82 @@ object GraphOps {
       |  round(x3.score, 6) AS centrality
       |FROM x3 JOIN deg ON x3.node = deg.node""".stripMargin
 
+  // ---------------------------------------------------------------- M11
+  /** Degree assortativity of the mutual-kNN graph — Newman's r, the
+    * one-number answer to "do well-connected suppliers co-supply with
+    * other well-connected suppliers (r > 0) or with periphery
+    * (r < 0)?". Computed as the Pearson correlation of
+    * (degree(src), degree(dst)) over the SYMMETRIC directed edge
+    * list — the standard ordered-pair convention, which makes the
+    * estimator a plain correlation over 2|E| rows with no unordered
+    * half-weighting. kNN input bounds degree at K, so every moment
+    * sum is an exact small-integer aggregate (jk ≤ K², overflow-free
+    * at any scale); doubles appear only in the final verdict
+    * division. One |V|-row degree aggregate + one self-join of the
+    * bounded edge list + one scalar aggregate; 1 output row.
+    */
+  def qAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val und = mutualKnnPairs(spark, dir)
+    val edges = und.union(und.select(col("dst").as("src"),
+      col("src").as("dst"))).cache()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("degree")).cache()
+    val pairs = edges
+      .join(deg.select(col("src"), col("degree").as("j")), "src")
+      .join(deg.select(col("src").as("dst"), col("degree").as("k")), "dst")
+    val out = pairs.agg(
+        count(lit(1)).as("m"),
+        sum(col("j")).as("sj"), sum(col("k")).as("sk"),
+        sum(col("j") * col("k")).as("sjk"),
+        sum(col("j") * col("j")).as("sjj"),
+        sum(col("k") * col("k")).as("skk"))
+      .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"),
+        sum(col("degree")).cast("long").as("sd"))))
+      .select(col("n_nodes"), expr("m DIV 2").as("n_edges"),
+        round(col("sd").cast("double") / col("n_nodes"), 6).as("mean_degree"),
+        round(
+          (col("sjk").cast("double") / col("m")
+            - col("sj").cast("double") * col("sk") / col("m") / col("m"))
+          / sqrt(
+            (col("sjj").cast("double") / col("m")
+              - col("sj").cast("double") * col("sj") / col("m") / col("m"))
+            * (col("skk").cast("double") / col("m")
+              - col("sk").cast("double") * col("sk") / col("m") / col("m"))),
+          6).as("assortativity"))
+      .cache()
+    out.count()
+    deg.unpersist(); edges.unpersist()
+    out
+  }
+
+  val qAssortativitySql: String =
+    s"""WITH $mutKnnSql,
+      |edges AS MATERIALIZED (SELECT src, dst FROM und
+      |  UNION ALL SELECT dst, src FROM und),
+      |deg AS MATERIALIZED (SELECT src AS node, count(*) AS degree
+      |  FROM edges GROUP BY 1),
+      |pairs AS (SELECT a.degree AS j, b.degree AS k
+      |  FROM edges e JOIN deg a ON e.src = a.node
+      |  JOIN deg b ON e.dst = b.node),
+      |mom AS (SELECT count(*) AS m,
+      |    CAST(sum(j) AS BIGINT) AS sj, CAST(sum(k) AS BIGINT) AS sk,
+      |    CAST(sum(j * k) AS BIGINT) AS sjk,
+      |    CAST(sum(j * j) AS BIGINT) AS sjj,
+      |    CAST(sum(k * k) AS BIGINT) AS skk
+      |  FROM pairs),
+      |nn AS (SELECT count(*) AS n_nodes,
+      |  CAST(sum(degree) AS BIGINT) AS sd FROM deg)
+      |SELECT n_nodes, m // 2 AS n_edges,
+      |  round(CAST(sd AS DOUBLE) / n_nodes, 6) AS mean_degree,
+      |  round((CAST(sjk AS DOUBLE) / m
+      |      - CAST(sj AS DOUBLE) * sk / m / m)
+      |    / sqrt((CAST(sjj AS DOUBLE) / m
+      |        - CAST(sj AS DOUBLE) * sj / m / m)
+      |      * (CAST(skk AS DOUBLE) / m
+      |        - CAST(sk AS DOUBLE) * sk / m / m)), 6) AS assortativity
+      |FROM mom, nn""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_assortativity" -> (qAssortativity _),
     "q_eigencentrality" -> (qEigencentrality _),
     "q_community_conductance" -> (qCommunityConductance _),
     "q_knn_components" -> (qKnnComponents _),
@@ -777,6 +852,7 @@ object GraphOps {
 
   def oracle: Map[String, String] = Map(
     "q_eigencentrality" -> qEigencentralitySql,
+    "q_assortativity" -> qAssortativitySql,
     "q_community_conductance" -> qCommunityConductanceSql,
     "q_knn_components" -> qKnnComponentsSql,
     "q_degree_distribution" -> qDegreeDistributionSql,

@@ -533,6 +533,58 @@ object TrainingOps {
          |  round((1.0 / n_langs) / (CAST(n_tokens AS DOUBLE) / total_tokens), 6) AS weight
          |FROM p, t""".stripMargin
 
+  // ---------------------------------------------------------------- K26
+  /** Temperature-scaled sampling weights per language — the standard
+    * multilingual compromise BETWEEN K3's two poles: proportional
+    * sampling (α=1) drowns low-resource languages, uniform (α=0,
+    * K3's target) over-repeats them; w_l ∝ p_l^α with
+    * α=[[TempAlpha]] is the published middle path. Emits each
+    * language's raw token share, its temperature weight, and the
+    * implied upsampling factor w_l/p_l (>1 = the language is drawn
+    * more often than its corpus share — the number that predicts its
+    * effective epoch count under the mixture). Float discipline: the
+    * share is 10-dp-rounded BEFORE pow so both engines exponentiate
+    * identical IEEE inputs, pow's ≤1-ulp libm spread is absorbed by a
+    * second 10-dp round, and the |langs|-row normalizer sums those
+    * rounded values; one keyed aggregate + a broadcast totals row,
+    * |langs| output rows.
+    */
+  val TempAlpha: Double = 0.7
+
+  def qTemperatureMixture(spark: SparkSession, dir: String): DataFrame = {
+    val perLang = Tables.documents(spark, dir)
+      .select(col("lang"), tokenCount(col("text")).cast("long").as("n_tok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val tot = perLang.agg(sum(col("n_tokens")).cast("long").as("t"))
+    val shared = perLang.crossJoin(broadcast(tot))
+      .withColumn("p10",
+        round(col("n_tokens").cast("double") / col("t"), 10))
+      .withColumn("pa", round(pow(col("p10"), TempAlpha), 10))
+    val norm = shared.agg(sum(col("pa")).as("spa"))
+    shared.crossJoin(broadcast(norm))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        round(col("p10"), 6).as("share"),
+        round(col("pa") / col("spa"), 6).as("weight"),
+        round(col("pa") / col("spa") / col("p10"), 6).as("upsample"))
+  }
+
+  val qTemperatureMixtureSql: String =
+    raw"""WITH p AS (SELECT lang, count(*) AS n_docs,
+         |    CAST(sum(len($duckToks)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY lang),
+         |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM p),
+         |sh AS (SELECT lang, n_docs, n_tokens,
+         |    round(CAST(n_tokens AS DOUBLE) / t, 10) AS p10,
+         |    round(pow(round(CAST(n_tokens AS DOUBLE) / t, 10), $TempAlpha),
+         |      10) AS pa
+         |  FROM p, t),
+         |norm AS (SELECT sum(pa) AS spa FROM sh)
+         |SELECT lang, n_docs, n_tokens, round(p10, 6) AS share,
+         |  round(pa / spa, 6) AS weight,
+         |  round(pa / spa / p10, 6) AS upsample
+         |FROM sh, norm""".stripMargin
+
   // ---------------------------------------------------------------- K15
   /** Multi-epoch sampling schedule per SOURCE (the K3 device on the
     * other corpus axis, extended to repeats): under a token budget of
@@ -1545,6 +1597,7 @@ object TrainingOps {
     "q_hash_split" -> (qHashSplit _),
     "q_source_cap" -> (qSourceCap _),
     "q_mixture_weights" -> (qMixtureWeights _),
+    "q_temperature_mixture" -> (qTemperatureMixture _),
     "q_epoch_schedule" -> (qEpochSchedule _),
     "q_resample" -> (qResample _),
     "q_corpus_health" -> (qCorpusHealth _),
@@ -1577,6 +1630,7 @@ object TrainingOps {
     "q_hash_split" -> qHashSplitSql,
     "q_source_cap" -> qSourceCapSql,
     "q_mixture_weights" -> qMixtureWeightsSql,
+    "q_temperature_mixture" -> qTemperatureMixtureSql,
     "q_epoch_schedule" -> qEpochScheduleSql,
     "q_resample" -> qResampleSql,
     "q_corpus_health" -> qCorpusHealthSql,

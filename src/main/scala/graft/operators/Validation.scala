@@ -1197,6 +1197,101 @@ object Validation {
       |  coalesce(h_corrected > 9.488, false) AS significant
       |FROM grp, v""".stripMargin
 
+  // ---------------------------------------------------------------- L22
+  /** Brown–Forsythe test (Levene's test with the median center) for
+    * variance homogeneity across market segments — the gate the
+    * L18/L19 location tests assume away: ANOVA's F compares MEANS
+    * under equal variances; this tests the equal-variance premise
+    * itself, robustly (deviations from the MEDIAN, not the mean, so
+    * heavy tails don't masquerade as variance differences). Same
+    * quantized-domain discipline as L19: prices fold to the $100-bin
+    * histogram (≤ ~5,500 bins at any corpus size), the per-segment
+    * median is the exact integer 2×-scaled weighted median of the
+    * binned distribution (lo+hi convention — no float interpolation),
+    * and every |2·bin − m2| deviation moment is an exact integer sum;
+    * doubles appear only in the final W arithmetic. The scale factor
+    * ($50 per z-unit) cancels in W, so the statistic is invariant to
+    * the binning unit. Windows run over the bounded histogram, never
+    * the order stream; k+… bounded output rows.
+    */
+  def qLevene(spark: SparkSession, dir: String): DataFrame = {
+    val seg = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        floor(col("o_totalprice") / 100).cast("long").as("bin"))
+    val hist = seg.groupBy(col("seg"), col("bin"))
+      .agg(count(lit(1)).as("n_sb"))
+    val ng = hist.groupBy(col("seg")).agg(sum(col("n_sb")).cast("long").as("n_g"))
+    val w = Window.partitionBy(col("seg")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("c", sum(col("n_sb")).over(w))
+      .join(broadcast(ng), "seg")
+    val med = cum.groupBy(col("seg")).agg(
+      min(when(lit(2) * col("c") >= col("n_g"), col("bin"))).as("med_lo"),
+      min(when(lit(2) * col("c") >= col("n_g") + 1, col("bin"))).as("med_hi"))
+      .select(col("seg"), (col("med_lo") + col("med_hi")).as("m2"))
+    val dev = hist.join(broadcast(med), "seg")
+      .withColumn("z", abs(lit(2) * col("bin") - col("m2")))
+    val grp = dev.groupBy(col("seg")).agg(
+      sum(col("n_sb")).cast("long").as("n_g"),
+      max(col("m2")).as("m2"),
+      sum((col("n_sb") * col("z")).cast("decimal(38,0)")).as("sz_g"),
+      sum((col("n_sb") * col("z") * col("z")).cast("decimal(38,0)")).as("qz_g"))
+    val tot = grp.agg(
+      count(lit(1)).as("k"),
+      sum(col("n_g")).cast("long").as("n"),
+      sum(col("sz_g")).as("s"),
+      sum(col("qz_g")).as("q"),
+      sum(col("sz_g").cast("double") * col("sz_g").cast("double") /
+        col("n_g")).as("sgrp"))
+    val ssb = col("sgrp") - col("s").cast("double") *
+      col("s").cast("double") / col("n")
+    val ssw = col("q").cast("double") - col("sgrp")
+    val wStat = round((ssb / (col("k") - 1)) / (ssw / (col("n") - col("k"))), 6)
+    val verdict = tot.select(col("k"), col("n"), wStat.as("w_stat"))
+      .withColumn("significant", col("w_stat") > 2.372)
+    grp.select(col("seg"), col("n_g"),
+        round(col("m2") * 50.0, 6).as("median_price"),
+        round(col("sz_g").cast("double") * 50.0 / col("n_g"), 6)
+          .as("mean_absdev"))
+      .crossJoin(broadcast(verdict))
+  }
+
+  val qLeveneSql: String =
+    """WITH seg AS (SELECT c_mktsegment AS seg,
+      |    CAST(floor(o_totalprice / 100) AS BIGINT) AS bin
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |hist AS (SELECT seg, bin, count(*) AS n_sb FROM seg GROUP BY 1, 2),
+      |ng AS (SELECT seg, CAST(sum(n_sb) AS BIGINT) AS n_g
+      |  FROM hist GROUP BY 1),
+      |cum AS (SELECT h.seg, h.bin, h.n_sb, ng.n_g,
+      |    sum(h.n_sb) OVER (PARTITION BY h.seg ORDER BY h.bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      |  FROM hist h JOIN ng USING (seg)),
+      |med AS (SELECT seg,
+      |    min(CASE WHEN 2 * c >= n_g THEN bin END)
+      |      + min(CASE WHEN 2 * c >= n_g + 1 THEN bin END) AS m2
+      |  FROM cum GROUP BY 1),
+      |dev AS (SELECT h.seg, h.n_sb, abs(2 * h.bin - m.m2) AS z, m.m2
+      |  FROM hist h JOIN med m USING (seg)),
+      |grp AS (SELECT seg, CAST(sum(n_sb) AS BIGINT) AS n_g,
+      |    max(m2) AS m2,
+      |    sum(CAST(n_sb AS HUGEINT) * z) AS sz_g,
+      |    sum(CAST(n_sb AS HUGEINT) * z * z) AS qz_g
+      |  FROM dev GROUP BY 1),
+      |tot AS (SELECT count(*) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+      |    sum(sz_g) AS s, sum(qz_g) AS q,
+      |    sum(CAST(sz_g AS DOUBLE) * CAST(sz_g AS DOUBLE) / n_g) AS sgrp
+      |  FROM grp),
+      |v AS (SELECT k, n,
+      |    round(((sgrp - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (k - 1))
+      |      / ((CAST(q AS DOUBLE) - sgrp) / (n - k)), 6) AS w_stat
+      |  FROM tot)
+      |SELECT g.seg, g.n_g, round(CAST(g.m2 AS DOUBLE) * 50.0, 6) AS median_price,
+      |  round(CAST(g.sz_g AS DOUBLE) * 50.0 / g.n_g, 6) AS mean_absdev,
+      |  v.k, v.n, v.w_stat, v.w_stat > 2.372 AS significant
+      |FROM grp g, v""".stripMargin
+
   // ---------------------------------------------------------------- L20
   /** Capture–recapture (Chapman's Lincoln–Petersen) estimate of the
     * corpus size from two independent deterministic "captures" — the
@@ -1401,6 +1496,7 @@ object Validation {
     "q_capture_recapture" -> (qCaptureRecapture _),
     "q_anova" -> (qAnova _),
     "q_kruskal_wallis" -> (qKruskalWallis _),
+    "q_levene" -> (qLevene _),
     "q_ks_test" -> (qKsTest _),
     "q_hodges_lehmann" -> (qHodgesLehmann _),
     "q_mannwhitney" -> (qMannWhitney _),
@@ -1423,6 +1519,7 @@ object Validation {
     "q_capture_recapture" -> qCaptureRecaptureSql,
     "q_anova" -> qAnovaSql,
     "q_kruskal_wallis" -> qKruskalWallisSql,
+    "q_levene" -> qLeveneSql,
     "q_ks_test" -> qKsTestSql,
     "q_hodges_lehmann" -> qHodgesLehmannSql,
     "q_mannwhitney" -> qMannWhitneySql,

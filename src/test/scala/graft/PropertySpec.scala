@@ -755,4 +755,71 @@ class PropertySpec extends AnyFunSuite {
       else assert(r < m - 2 * sd + 1e-4, s"day $day not low")
     }
   }
+
+  test("assortativity: bounded correlation, edge/node counts match the kNN graph") {
+    val sf = TestSession.sf
+    val row = graft.operators.GraphOps.queries("q_assortativity")(spark, sf)
+      .select("n_nodes", "n_edges", "mean_degree", "assortativity")
+      .as[(Long, Long, Double, Double)].collect().head
+    val (nNodes, nEdges, meanDeg, r) = row
+    val und = graft.operators.GraphOps.mutualKnnPairs(spark, sf)
+    val e = und.count()
+    val v = und.select("src").union(und.select("dst")).distinct().count()
+    assert(nEdges == e && nNodes == v)
+    assert(math.abs(meanDeg - 2.0 * e / v) < 1e-5)
+    assert(r >= -1.0 && r <= 1.0, s"assortativity $r out of [-1,1]")
+  }
+
+  test("levene: W matches a brute-force Brown-Forsythe over the binned prices") {
+    val sf = TestSession.sf
+    val rows = graft.operators.Validation.queries("q_levene")(spark, sf)
+      .select("seg", "n_g", "median_price", "mean_absdev", "w_stat")
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(rows.length == 5)
+    val binned = graft.Tables.orders(spark, sf)
+      .join(graft.Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        floor(col("o_totalprice") / 100).cast("long").as("bin"))
+      .as[(String, Long)].collect()
+    val byseg = binned.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    // 2x-scaled lo+hi weighted median, exactly the operator's convention
+    def m2(xs: Seq[Long]): Long = {
+      val n = xs.length
+      xs((n - 1) / 2) + xs(n / 2)
+    }
+    val z = byseg.map { case (s, xs) => s -> xs.map(x => math.abs(2 * x - m2(xs))) }
+    val n = binned.length.toDouble
+    val k = byseg.size.toDouble
+    val zbarG = z.view.mapValues(v => v.sum.toDouble / v.length).toMap
+    val zbar = z.values.flatten.sum.toDouble / n
+    val ssb = z.map { case (s, v) => v.length * math.pow(zbarG(s) - zbar, 2) }.sum
+    val ssw = z.map { case (s, v) => v.map(x => math.pow(x - zbarG(s), 2)).sum }.sum
+    val w = ((n - k) / (k - 1)) * ssb / ssw
+    assert(math.abs(rows.head._5 - w) < 1e-4,
+      s"W ${rows.head._5} != brute-force $w")
+    rows.foreach { case (s, ng, med, mad, _) =>
+      assert(ng == byseg(s).length)
+      assert(math.abs(med - m2(byseg(s)) * 50.0) < 1e-9)
+      assert(math.abs(mad - z(s).sum * 50.0 / ng) < 1e-4)
+    }
+  }
+
+  test("temperature mixture: weights normalize, ordering preserved, upsampling favors low-resource langs") {
+    val sf = TestSession.sf
+    val rows = graft.operators.TrainingOps.queries("q_temperature_mixture")(spark, sf)
+      .select("lang", "share", "weight", "upsample")
+      .as[(String, Double, Double, Double)].collect()
+    assert(rows.length >= 3)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4, "weights must normalize")
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-4, "shares must normalize")
+    // alpha < 1 flattens: weight ordering matches share ordering, but
+    // every below-"pivot" language is upsampled (upsample > 1) and the
+    // largest language is downsampled
+    val byShare = rows.sortBy(_._2)
+    assert(byShare.map(_._3).sameElements(byShare.map(_._3).sorted),
+      "weight ordering must preserve share ordering")
+    assert(byShare.head._4 > 1.0, "smallest language must be upsampled")
+    assert(byShare.last._4 < 1.0, "largest language must be downsampled")
+  }
 }

@@ -757,6 +757,63 @@ object TrainingOps {
          |  round(avg(y) - covar_pop(x, y) / var_pop(x) * avg(x), 3) AS intercept
          |FROM top GROUP BY source""".stripMargin
 
+  // ---------------------------------------------------------------- K27
+  /** Heaps'-law fit of vocabulary growth across sources — the OTHER
+    * corpus-linguistics power law (K8's Zipf is rank-frequency WITHIN
+    * a source; Heaps is vocabulary-vs-corpus-size ACROSS scales:
+    * V ≈ k·N^β). Each source contributes one (ln N_tokens,
+    * ln V_distinct) point; the |sources|-row log-log OLS publishes
+    * the growth exponent β — the number that forecasts how much NEW
+    * vocabulary the next 10× of ingest will bring (β ≈ 0.5 for
+    * natural text; a β near 0 fingerprints a closed synthetic
+    * vocabulary, near 1 unbounded token noise like IDs). Same fit
+    * device as K8 (covar_pop/var_pop, 3-dp publish — the coarse round
+    * absorbs co-moment summation-order ulps); the corpus streams once
+    * into one (source, tok) keyed aggregate, the fit runs on the
+    * bounded per-source frame; per-source rows carry the exact
+    * integer (N, V) evidence with the broadcast fit replicated.
+    */
+  def qHeapsFit(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val pts = tf.groupBy(col("source")).agg(
+      sum(col("cnt")).cast("long").as("n_tokens"),
+      count(lit(1)).as("v_distinct"))
+    val fit = pts
+      .select(log(col("n_tokens").cast("double")).as("x"),
+        log(col("v_distinct").cast("double")).as("y"))
+      .agg(count(lit(1)).as("n_sources"),
+        covar_pop(col("x"), col("y")).as("cxy"),
+        var_pop(col("x")).as("vx"),
+        avg(col("x")).as("mx"), avg(col("y")).as("my"))
+      .select(col("n_sources"),
+        round(col("cxy") / col("vx"), 3).as("heaps_beta"),
+        round(col("my") - col("cxy") / col("vx") * col("mx"), 3)
+          .as("ln_k"))
+    pts.crossJoin(broadcast(fit))
+  }
+
+  val qHeapsFitSql: String =
+    raw"""WITH tf AS (SELECT source, tok, count(*) AS cnt
+         |  FROM (SELECT source, unnest($duckToks) AS tok FROM documents)
+         |  GROUP BY 1, 2),
+         |pts AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         |    count(*) AS v_distinct
+         |  FROM tf GROUP BY 1),
+         |fit AS (SELECT count(*) AS n_sources,
+         |    round(covar_pop(ln(CAST(n_tokens AS DOUBLE)),
+         |        ln(CAST(v_distinct AS DOUBLE)))
+         |      / var_pop(ln(CAST(n_tokens AS DOUBLE))), 3) AS heaps_beta,
+         |    round(avg(ln(CAST(v_distinct AS DOUBLE)))
+         |      - covar_pop(ln(CAST(n_tokens AS DOUBLE)),
+         |          ln(CAST(v_distinct AS DOUBLE)))
+         |        / var_pop(ln(CAST(n_tokens AS DOUBLE)))
+         |        * avg(ln(CAST(n_tokens AS DOUBLE))), 3) AS ln_k
+         |  FROM pts)
+         |SELECT source, n_tokens, v_distinct, n_sources, heaps_beta, ln_k
+         |FROM pts, fit""".stripMargin
+
   // ---------------------------------------------------------------- K9
   /** Quality-distribution drift between corpus splits — the snapshot
     * monitor a pipeline runs before accepting a new ingest: exact
@@ -1584,6 +1641,7 @@ object TrainingOps {
     "q_retention" -> (qRetention _),
     "q_quality_deciles" -> (qQualityDeciles _),
     "q_zipf_fit" -> (qZipfFit _),
+    "q_heaps_fit" -> (qHeapsFit _),
     "q_quality_drift" -> (qQualityDrift _),
     "q_lang_source_independence" -> (qLangSourceIndependence _),
     "q_repetition" -> (qRepetition _),
@@ -1617,6 +1675,7 @@ object TrainingOps {
     "q_retention" -> qRetentionSql,
     "q_quality_deciles" -> qQualityDecilesSql,
     "q_zipf_fit" -> qZipfFitSql,
+    "q_heaps_fit" -> qHeapsFitSql,
     "q_quality_drift" -> qQualityDriftSql,
     "q_lang_source_independence" -> qLangSourceIndependenceSql,
     "q_repetition" -> qRepetitionSql,

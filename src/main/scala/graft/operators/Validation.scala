@@ -132,6 +132,89 @@ object Validation {
         coalesce(abs(col("z")) > 1.96, lit(false)).as("significant"))
   }
 
+  // ---------------------------------------------------------------- L23
+  /** Welch's unequal-variance t-test on per-user spend between the
+    * two md5 experiment arms — the continuous-metric counterpart of
+    * L3's proportions z-test, and the test L22 motivates: when
+    * Brown–Forsythe says variances differ, the pooled-variance t is
+    * anticonservative and Welch with Satterthwaite df is the
+    * published fix. Same deterministic md5 arm assignment as L3 (so
+    * the null is true by construction and the verdict audits the
+    * false-positive behavior of the machinery itself). Per-user spend
+    * folds to exact integer cents, per-arm moments are DECIMAL sums
+    * (Σx, Σx² overflow-free), and doubles appear only in the
+    * mean/variance/t/df verdict arithmetic — identical expression
+    * shapes both engines, 6-dp publish. One keyed aggregate + a
+    * 2-row arm frame; 1 output row.
+    */
+  def qWelchTtest(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      .withColumn("arm",
+        when(expr("conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10)")
+          .cast("long") % 2 === 0, "A").otherwise("B"))
+    val arms = spend.groupBy(col("arm")).agg(
+      count(lit(1)).as("n"),
+      sum(col("cents").cast("decimal(38,0)")).as("s"),
+      sum((col("cents") * col("cents")).cast("decimal(38,0)")).as("q"))
+    val a = arms.filter(col("arm") === "A")
+      .select(col("n").as("n_a"), col("s").as("s_a"), col("q").as("q_a"))
+    val b = arms.filter(col("arm") === "B")
+      .select(col("n").as("n_b"), col("s").as("s_b"), col("q").as("q_b"))
+    val va = (col("q_a").cast("double") -
+      col("s_a").cast("double") * col("s_a").cast("double") / col("n_a")) /
+      (col("n_a") - 1)
+    val vb = (col("q_b").cast("double") -
+      col("s_b").cast("double") * col("s_b").cast("double") / col("n_b")) /
+      (col("n_b") - 1)
+    val sea = va / col("n_a")
+    val seb = vb / col("n_b")
+    a.crossJoin(broadcast(b))
+      .withColumn("mean_a", round(col("s_a").cast("double") / col("n_a") / 100, 6))
+      .withColumn("mean_b", round(col("s_b").cast("double") / col("n_b") / 100, 6))
+      .withColumn("t_stat", round(
+        (col("s_a").cast("double") / col("n_a") -
+          col("s_b").cast("double") / col("n_b")) / lit(100.0) /
+        sqrt((sea + seb) / 10000), 6))
+      .withColumn("df_welch", round(
+        (sea + seb) * (sea + seb) /
+          (sea * sea / (col("n_a") - 1) + seb * seb / (col("n_b") - 1)), 6))
+      .select(col("n_a"), col("mean_a"), col("n_b"), col("mean_b"),
+        col("t_stat"), col("df_welch"),
+        (abs(col("t_stat")) > 1.96).as("significant"))
+  }
+
+  val qWelchTtestSql: String =
+    """WITH spend AS (SELECT user_id,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY user_id),
+      |armed AS (SELECT cents,
+      |    CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+      |      THEN 'A' ELSE 'B' END AS arm
+      |  FROM spend),
+      |arms AS (SELECT arm, count(*) AS n,
+      |    sum(CAST(cents AS HUGEINT)) AS s,
+      |    sum(CAST(cents AS HUGEINT) * cents) AS q
+      |  FROM armed GROUP BY 1),
+      |a AS (SELECT n AS n_a, s AS s_a, q AS q_a FROM arms WHERE arm = 'A'),
+      |b AS (SELECT n AS n_b, s AS s_b, q AS q_b FROM arms WHERE arm = 'B'),
+      |m AS (SELECT n_a, n_b, s_a, s_b,
+      |    (CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / n_a)
+      |      / (n_a - 1) / n_a AS sea,
+      |    (CAST(q_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / n_b)
+      |      / (n_b - 1) / n_b AS seb
+      |  FROM a, b)
+      |SELECT n_a, round(CAST(s_a AS DOUBLE) / n_a / 100, 6) AS mean_a,
+      |  n_b, round(CAST(s_b AS DOUBLE) / n_b / 100, 6) AS mean_b,
+      |  round((CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b) / 100.0
+      |    / sqrt((sea + seb) / 10000), 6) AS t_stat,
+      |  round((sea + seb) * (sea + seb)
+      |    / (sea * sea / (n_a - 1) + seb * seb / (n_b - 1)), 6) AS df_welch,
+      |  abs((CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b) / 100.0
+      |    / sqrt((sea + seb) / 10000)) > 1.96 AS significant
+      |FROM m""".stripMargin
+
   val qAbTestSql: String =
     """WITH np AS (SELECT user_id,
       |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS np
@@ -1512,6 +1595,7 @@ object Validation {
     "q_bootstrap_ci" -> (qBootstrapCi _),
     "q_data_validation" -> (qDataValidation _),
     "q_ab_test" -> (qAbTest _),
+    "q_welch_ttest" -> (qWelchTtest _),
     "q_benford" -> (qBenford _))
 
   def oracle: Map[String, String] = Map(
@@ -1535,5 +1619,6 @@ object Validation {
     "q_bootstrap_ci" -> qBootstrapCiSql,
     "q_data_validation" -> qDataValidationSql,
     "q_ab_test" -> qAbTestSql,
+    "q_welch_ttest" -> qWelchTtestSql,
     "q_benford" -> qBenfordSql)
 }

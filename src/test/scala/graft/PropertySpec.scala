@@ -805,6 +805,61 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("welch t-test matches a brute-force recomputation from raw events") {
+    val sf = TestSession.sf
+    val row = graft.operators.Validation.queries("q_welch_ttest")(spark, sf)
+      .select("n_a", "mean_a", "n_b", "mean_b", "t_stat", "df_welch")
+      .as[(Long, Double, Long, Double, Double, Double)].collect().head
+    val perUser = graft.Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      .as[(Long, Long)].collect()
+    def arm(uid: Long): String = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(uid.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) "A" else "B"
+    }
+    val (as, bs) = perUser.partition { case (u, _) => arm(u) == "A" }
+    def mom(xs: Array[(Long, Long)]) = {
+      val v = xs.map(_._2.toDouble)
+      val n = v.length
+      val m = v.sum / n
+      (n, m, v.map(x => (x - m) * (x - m)).sum / (n - 1))
+    }
+    val (na, ma, va) = mom(as); val (nb, mb, vb) = mom(bs)
+    assert(row._1 == na && row._3 == nb)
+    assert(math.abs(row._2 - ma / 100) < 1e-4 && math.abs(row._4 - mb / 100) < 1e-4)
+    val se = math.sqrt(va / na + vb / nb)
+    assert(math.abs(row._5 - (ma - mb) / se) < 1e-4, "t mismatch")
+    val df = math.pow(va / na + vb / nb, 2) /
+      (math.pow(va / na, 2) / (na - 1) + math.pow(vb / nb, 2) / (nb - 1))
+    assert(math.abs(row._6 - df) < 1e-3, "Welch df mismatch")
+  }
+
+  test("heaps fit: per-source evidence exact, fit matches a driver-side OLS") {
+    import graft.functions.TextFunctions.tokens
+    val sf = TestSession.sf
+    val rows = graft.operators.TrainingOps.queries("q_heaps_fit")(spark, sf)
+      .select("source", "n_tokens", "v_distinct", "heaps_beta", "ln_k")
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(rows.length == 20)
+    val truth = graft.Tables.documents(spark, sf)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n"),
+        countDistinct(col("tok")).as("v"))
+      .as[(String, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    rows.foreach { case (s, n, v, _, _) => assert(truth(s) == ((n, v))) }
+    val xs = rows.map(r => math.log(r._2.toDouble))
+    val ys = rows.map(r => math.log(r._3.toDouble))
+    val mx = xs.sum / xs.length; val my = ys.sum / ys.length
+    val beta = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+      xs.map(x => (x - mx) * (x - mx)).sum
+    assert(math.abs(rows.head._4 - beta) < 2e-3, "beta mismatch")
+    assert(math.abs(rows.head._5 - (my - beta * mx)) < 2e-3, "ln_k mismatch")
+  }
+
   test("temperature mixture: weights normalize, ordering preserved, upsampling favors low-resource langs") {
     val sf = TestSession.sf
     val rows = graft.operators.TrainingOps.queries("q_temperature_mixture")(spark, sf)

@@ -163,7 +163,45 @@ object SqlSurface {
     spark.sql(AnalyticExt.qWindowSuiteSql)
   }
 
+  /** I10: C22's n-gram decontamination gate as pure SQL text — the
+    * deepest higher-order-function chain in the engine (transform →
+    * lambda → sequence → slice → concat_ws → md5, under a generator)
+    * proven to parse, resolve, and codegen through the SQL front end
+    * with oracle-identical results. The eval-source list and window
+    * width interpolate from the SAME constants as the DataFrame twin,
+    * so the two surfaces cannot drift; the DuckDB oracle is C22's.
+    */
+  private def sqlDecontamText: String = {
+    val n = Dedup.DecontamN
+    val evalList = Dedup.EvalSources.map(s => s"'$s'").mkString(", ")
+    raw"""WITH toked AS (SELECT doc_id, source,
+         |    source IN ($evalList) AS is_eval,
+         |    split(regexp_replace(lower(trim(regexp_replace(text,
+         |      '([\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}])',
+         |      ' $$1 '))), '\\s+', ' '), ' ') AS toks
+         |  FROM documents),
+         |grams AS (SELECT doc_id, source, is_eval,
+         |    explode(transform(sequence(1, size(toks) - ${n - 1}),
+         |      i -> md5(concat_ws(' ', slice(toks, i, $n))))) AS g
+         |  FROM toked WHERE size(toks) >= $n),
+         |ban AS (SELECT DISTINCT g FROM grams WHERE is_eval),
+         |counts AS (SELECT doc_id, source, count(*) AS n_ngrams
+         |  FROM grams WHERE NOT is_eval GROUP BY 1, 2),
+         |hits AS (SELECT t.doc_id, count(DISTINCT t.g) AS n_hit
+         |  FROM grams t JOIN ban USING (g)
+         |  WHERE NOT t.is_eval GROUP BY 1)
+         |SELECT c.doc_id, c.source, c.n_ngrams, h.n_hit,
+         |  round(CAST(h.n_hit AS DOUBLE) / c.n_ngrams, 6) AS hit_frac
+         |FROM hits h JOIN counts c ON h.doc_id = c.doc_id""".stripMargin
+  }
+
+  def qSqlDecontam(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir).createOrReplaceTempView("documents")
+    spark.sql(sqlDecontamText)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_decontam" -> (qSqlDecontam _),
     "q_sql_grouping_sets" -> (qSqlGroupingSets _),
     "q_sql_window_suite" -> (qSqlWindowSuite _),
     "q_sql_pricing_summary" -> (qSqlPricingSummary _),
@@ -174,6 +212,7 @@ object SqlSurface {
     "q_sql_subqueries" -> (qSqlSubqueries _))
 
   def oracle: Map[String, String] = Map(
+    "q_sql_decontam" -> Dedup.qNgramDecontamSql,
     "q_sql_grouping_sets" -> groupingSetsSql,
     "q_sql_window_suite" -> AnalyticExt.qWindowSuiteSql,
     "q_sql_pricing_summary" -> Relational.q1Sql,

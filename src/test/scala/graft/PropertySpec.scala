@@ -707,6 +707,14 @@ class PropertySpec extends AnyFunSuite {
     assert(gs.forall(g => g == 0 || g == 2 || g == 3), "gid encodes the declared sets only")
   }
 
+  test("sql decontam: the SQL-text surface equals the DataFrame twin row-for-row") {
+    val sqlD = graft.operators.SqlSurface.queries("q_sql_decontam")(spark, sf)
+    val dfD = graft.operators.Dedup.queries("q_ngram_decontam")(spark, sf)
+    assert(sqlD.count() > 0, "planted leaks must surface")
+    assert(sqlD.exceptAll(dfD).isEmpty && dfD.exceptAll(sqlD).isEmpty,
+      "parser path and DSL path must agree row-for-row")
+  }
+
   test("theil index: shares sum to 1, contributions sum to the published totals, inequality nonnegative; mcc bounded") {
     val rows = graft.operators.AnalyticExt.queries("q_theil_index")(spark, sf)
       .select("nation", "rev_share", "t_between_g", "t_within_g",

@@ -887,6 +887,75 @@ object AnalyticExt {
       |  END AS tau_b
       |FROM agg, days""".stripMargin
 
+  // ---------------------------------------------------------------- A42
+  /** Mann–Kendall trend test on daily order volume — the
+    * trend-vs-TIME question A38's tau (association between two
+    * series) does not answer, and the parametric trap it avoids: an
+    * OLS slope on heavy-tailed daily counts is driven by outlier
+    * days, while S = Σ_{i<j} sgn(n_j − n_i) only asks "do later days
+    * beat earlier days, pair by pair". Exact machinery end to end:
+    * the day table is calendar-bounded (A38's class), the pair sweep
+    * is ONE broadcast non-equi self-join, S and the tie groups are
+    * integer aggregates, and Var(S) = (N(N−1)(2N+5) − Σt(t−1)(2t+5))
+    * / 18 keeps an exact integer numerator; the z verdict applies the
+    * textbook continuity correction (S∓1) and rounds at the 6-dp
+    * publish boundary. 1 output row with the directional verdict.
+    */
+  def qMannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val byDay = Tables.orders(spark, dir)
+      .groupBy(datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val pairs = byDay.select(col("day").as("d1"), col("n").as("n1"))
+      .join(broadcast(byDay.select(col("day").as("d2"), col("n").as("n2"))),
+        col("d1") < col("d2"))
+    val s = pairs.agg(
+      (sum(when(col("n2") > col("n1"), 1L).otherwise(0L)) -
+        sum(when(col("n2") < col("n1"), 1L).otherwise(0L))).as("s_stat"))
+    val ties = byDay.groupBy(col("n")).agg(count(lit(1)).as("t"))
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
+        .cast("long").as("tsum"),
+        sum(col("t")).cast("long").as("n_days"))
+    val z0 = col("s_stat").cast("double") - signum(col("s_stat"))
+    val varS = (col("n_days") * (col("n_days") - 1) *
+      (lit(2) * col("n_days") + 5) - col("tsum")).cast("double") / 18
+    s.crossJoin(broadcast(ties))
+      .select(col("n_days"), col("s_stat"),
+        round(varS, 6).as("var_s"),
+        when(varS <= 0, lit(null).cast("double"))
+          .otherwise(round(z0 / sqrt(varS), 6)).as("z"))
+      .withColumn("trend",
+        when(col("z").isNull || abs(col("z")) <= 1.96, "none")
+          .when(col("z") > 0, "increasing").otherwise("decreasing"))
+  }
+
+  val qMannKendallSql: String =
+    """WITH byday AS (SELECT
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |      AS BIGINT) AS day,
+      |    count(*) AS n
+      |  FROM orders GROUP BY 1),
+      |s AS (SELECT
+      |    CAST(sum(CASE WHEN b.n > a.n THEN 1 ELSE 0 END)
+      |      - sum(CASE WHEN b.n < a.n THEN 1 ELSE 0 END) AS BIGINT) AS s_stat
+      |  FROM byday a JOIN byday b ON a.day < b.day),
+      |ties AS (SELECT
+      |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tsum,
+      |    CAST(sum(t) AS BIGINT) AS n_days
+      |  FROM (SELECT count(*) AS t FROM byday GROUP BY n)),
+      |v AS (SELECT n_days, s_stat,
+      |    CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tsum AS DOUBLE) / 18
+      |      AS vs
+      |  FROM s, ties)
+      |SELECT n_days, s_stat, round(vs, 6) AS var_s,
+      |  CASE WHEN vs <= 0 THEN NULL
+      |    ELSE round((CAST(s_stat AS DOUBLE) - sign(s_stat)) / sqrt(vs), 6)
+      |  END AS z,
+      |  CASE WHEN vs <= 0 OR abs(round((CAST(s_stat AS DOUBLE) - sign(s_stat))
+      |      / sqrt(vs), 6)) <= 1.96 THEN 'none'
+      |    WHEN s_stat > 0 THEN 'increasing' ELSE 'decreasing' END AS trend
+      |FROM v""".stripMargin
+
   // ---------------------------------------------------------------- A39
   /** Spearman rank correlation between customer account balance and
     * order size — the monotone-association companion to A16's
@@ -1156,6 +1225,7 @@ object AnalyticExt {
     "q_theil_index" -> (qTheilIndex _),
     "q_spearman" -> (qSpearman _),
     "q_kendall_tau" -> (qKendallTau _),
+    "q_mann_kendall" -> (qMannKendall _),
     "q_assoc_rules" -> (qAssocRules _),
     "q_rfm_segments" -> (qRfmSegments _),
     "q_blame_supplier" -> (qBlameSupplier _),
@@ -1181,6 +1251,7 @@ object AnalyticExt {
     "q_theil_index" -> qTheilIndexSql,
     "q_spearman" -> qSpearmanSql,
     "q_kendall_tau" -> qKendallTauSql,
+    "q_mann_kendall" -> qMannKendallSql,
     "q_assoc_rules" -> qAssocRulesSql,
     "q_rfm_segments" -> qRfmSegmentsSql,
     "q_blame_supplier" -> qBlameSupplierSql,

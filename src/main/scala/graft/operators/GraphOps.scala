@@ -835,7 +835,69 @@ object GraphOps {
       |        - CAST(sk AS DOUBLE) * sk / m / m)), 6) AS assortativity
       |FROM mom, nn""".stripMargin
 
+  // ---------------------------------------------------------------- M12
+  /** Rich-club coefficient curve of the mutual-kNN graph — the
+    * density view of what M11's assortativity reports as a
+    * correlation: for each degree threshold k, the subgraph induced
+    * by nodes of degree > k, published as φ(k) = 2·E_k / (N_k(N_k−1))
+    * — do the best-connected suppliers form a densely wired club
+    * (φ → 1) or stay mutually distant? kNN input bounds degree at K,
+    * so the threshold grid is the FIXED set 1..K−1 and the whole
+    * curve is |E|×K bounded work: the edge list joins its two
+    * endpoint degrees once (M11's pairs frame halved to unordered
+    * edges), a broadcast K−1-row grid fans each edge/node into the
+    * thresholds it clears, and two keyed counts finish it. Exact
+    * integers until the one φ division; ≤ K−1 output rows.
+    */
+  def qRichClub(spark: SparkSession, dir: String): DataFrame = {
+    val und = mutualKnnPairs(spark, dir)
+    val edges = und.union(und.select(col("dst").as("src"),
+      col("src").as("dst"))).cache()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("degree")).cache()
+    val grid = spark.range(1, KnnK.toLong).select(col("id").as("k"))
+    val nk = deg.crossJoin(broadcast(grid))
+      .filter(col("degree") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_nodes"))
+    val ek = und
+      .join(deg.select(col("src"), col("degree").as("dj")), "src")
+      .join(deg.select(col("src").as("dst"), col("degree").as("dk")), "dst")
+      .crossJoin(broadcast(grid))
+      .filter(col("dj") > col("k") && col("dk") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_edges"))
+    val out = nk.join(ek, Seq("k"), "left")
+      .na.fill(0L, Seq("n_edges"))
+      .select(col("k"), col("n_nodes"), col("n_edges"),
+        when(col("n_nodes") < 2, lit(null).cast("double"))
+          .otherwise(round(lit(2.0) * col("n_edges") /
+            (col("n_nodes") * (col("n_nodes") - 1)), 6)).as("phi"))
+      .cache()
+    out.count()
+    deg.unpersist(); edges.unpersist()
+    out
+  }
+
+  val qRichClubSql: String =
+    s"""WITH $mutKnnSql,
+      |edges AS MATERIALIZED (SELECT src, dst FROM und
+      |  UNION ALL SELECT dst, src FROM und),
+      |deg AS MATERIALIZED (SELECT src AS node, count(*) AS degree
+      |  FROM edges GROUP BY 1),
+      |grid AS (SELECT unnest(generate_series(1, ${KnnK - 1})) AS k),
+      |nk AS (SELECT g.k, count(*) AS n_nodes
+      |  FROM deg d JOIN grid g ON d.degree > g.k GROUP BY 1),
+      |ek AS (SELECT g.k, count(*) AS n_edges
+      |  FROM und u
+      |  JOIN deg a ON u.src = a.node JOIN deg b ON u.dst = b.node
+      |  JOIN grid g ON a.degree > g.k AND b.degree > g.k
+      |  GROUP BY 1)
+      |SELECT nk.k, nk.n_nodes, coalesce(ek.n_edges, 0) AS n_edges,
+      |  CASE WHEN nk.n_nodes < 2 THEN NULL
+      |    ELSE round(2.0 * coalesce(ek.n_edges, 0)
+      |      / (nk.n_nodes * (nk.n_nodes - 1)), 6) END AS phi
+      |FROM nk LEFT JOIN ek ON nk.k = ek.k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rich_club" -> (qRichClub _),
     "q_assortativity" -> (qAssortativity _),
     "q_eigencentrality" -> (qEigencentrality _),
     "q_community_conductance" -> (qCommunityConductance _),
@@ -853,6 +915,7 @@ object GraphOps {
   def oracle: Map[String, String] = Map(
     "q_eigencentrality" -> qEigencentralitySql,
     "q_assortativity" -> qAssortativitySql,
+    "q_rich_club" -> qRichClubSql,
     "q_community_conductance" -> qCommunityConductanceSql,
     "q_knn_components" -> qKnnComponentsSql,
     "q_degree_distribution" -> qDegreeDistributionSql,

@@ -813,6 +813,59 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("mann-kendall: S and Var(S) match a brute-force pair sweep over the day table") {
+    val sf = TestSession.sf
+    val row = graft.operators.AnalyticExt.queries("q_mann_kendall")(spark, sf)
+      .select("n_days", "s_stat", "var_s", "z", "trend")
+      .as[(Long, Long, Double, Option[Double], String)].collect().head
+    val days = graft.Tables.orders(spark, sf)
+      .groupBy(datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().sortBy(_._1).map(_._2)
+    assert(row._1 == days.length)
+    var s = 0L
+    for (i <- days.indices; j <- i + 1 until days.length)
+      s += java.lang.Long.signum(days(j) - days(i))
+    assert(row._2 == s, s"S ${row._2} != brute force $s")
+    val n = days.length.toLong
+    val tsum = days.groupBy(identity).values
+      .map(g => g.length.toLong).map(t => t * (t - 1) * (2 * t + 5)).sum
+    val vs = (n * (n - 1) * (2 * n + 5) - tsum) / 18.0
+    assert(math.abs(row._3 - vs) < 1e-3)
+    row._4.foreach { z =>
+      val zb = (s - math.signum(s.toDouble)) / math.sqrt(vs)
+      assert(math.abs(z - zb) < 1e-4)
+      val expTrend = if (math.abs(z) <= 1.96) "none"
+        else if (z > 0) "increasing" else "decreasing"
+      assert(row._5 == expTrend)
+    }
+  }
+
+  test("rich club: counts match a driver-side induced-subgraph sweep, phi bounded") {
+    val sf = TestSession.sf
+    val rows = graft.operators.GraphOps.queries("q_rich_club")(spark, sf)
+      .select("k", "n_nodes", "n_edges", "phi")
+      .as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L until graft.operators.GraphOps.KnnK))
+    val und = graft.operators.GraphOps.mutualKnnPairs(spark, sf)
+      .as[(Long, Long)].collect()
+    val deg = (und.map(_._1) ++ und.map(_._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    rows.foreach { case (k, nn, ne, phi) =>
+      assert(nn == deg.values.count(_ > k))
+      assert(ne == und.count { case (a, b) => deg(a) > k && deg(b) > k })
+      phi.foreach(p => assert(p >= 0.0 && p <= 1.0))
+      if (nn >= 2) {
+        assert(phi.isDefined)
+        assert(math.abs(phi.get - 2.0 * ne / (nn * (nn - 1.0))) < 1e-6)
+      }
+    }
+    // the club shrinks as the bar rises
+    assert(rows.map(_._2).sameElements(rows.map(_._2).sorted.reverse))
+    assert(rows.map(_._3).sameElements(rows.map(_._3).sorted.reverse))
+  }
+
   test("welch t-test matches a brute-force recomputation from raw events") {
     val sf = TestSession.sf
     val row = graft.operators.Validation.queries("q_welch_ttest")(spark, sf)

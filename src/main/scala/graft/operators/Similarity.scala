@@ -271,6 +271,72 @@ object Similarity {
       |    ELSE round(coalesce(g.dcg, 0.0) / i.idcg, 6) END AS ndcg
       |FROM ideal i LEFT JOIN got g ON i.qid = g.qid""".stripMargin
 
+  // ---------------------------------------------------------------- D14
+  /** Recall@k curve of BOTH approximate retrieval stacks (multi-table
+    * LSH and IVF+PQ) against brute-force truth, for k ∈ 1,3,5 — the
+    * headline ANN quality number as a first-class, oracle-replayed
+    * query instead of a spec assertion: per method and cutoff, the
+    * fraction of the exact top-k recovered, averaged over the panel.
+    * recall@1 isolates the nearest-neighbor hit rate (the hardest
+    * case — rerank ties at 6 dp break identically in both engines by
+    * the nid tiebreak), recall@5 is the published floor the D2 spec
+    * asserts at 0.8. All counting is exact integers (total top-k
+    * intersections over the panel), one division per output row;
+    * every side is panel-bounded (≤ 5 rows per query per method).
+    * The oracle replays the ENTIRE chain — LSH bucketing, IVF probe,
+    * PQ codes, exact rerank — from the same persisted index tables
+    * as D2/D5, then recomputes the intersection counts itself.
+    */
+  def qRecallCurve(spark: SparkSession, dir: String): DataFrame = {
+    val truth = qAnnBruteforce(spark, dir)
+      .select(col("qid"), col("nid"), col("rank").as("tr"))
+    val grid = spark.range(1).select(
+      explode(array(lit(1), lit(3), lit(5))).as("k"))
+    val nq = truth.agg(countDistinct(col("qid")).as("n_queries"))
+    def curve(name: String, ap: DataFrame): DataFrame = {
+      val j = ap.select(col("qid"), col("nid"), col("rank").as("ar"))
+        .join(truth, Seq("qid", "nid"))
+      val h = j.crossJoin(broadcast(grid))
+        .filter(col("ar") <= col("k") && col("tr") <= col("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("hits"))
+      grid.join(h, Seq("k"), "left").na.fill(0L, Seq("hits"))
+        .crossJoin(broadcast(nq))
+        .select(lit(name).as("method"), col("k"), col("n_queries"),
+          col("hits"),
+          round(col("hits").cast("double") / (col("k") * col("n_queries")), 6)
+            .as("mean_recall"))
+    }
+    val panel = col("qid") % 50 === 0 && col("qid") < PanelIdCap
+    curve("lsh", qAnnLsh(spark, dir).filter(panel))
+      .unionAll(curve("ivfpq", qAnnIvfPq(spark, dir).filter(panel)))
+  }
+
+  private def recallCurveSql(lshSql: String, ivfpqSql: String): String =
+    s"""WITH bf AS (SELECT qid, nid, rank AS tr FROM ($qAnnBruteforceSql)),
+      |grid AS (SELECT unnest([1, 3, 5]) AS k),
+      |nq AS (SELECT count(DISTINCT qid) AS n_queries FROM bf),
+      |lsh AS (SELECT qid, nid, rank AS ar FROM ($lshSql)
+      |  WHERE qid % 50 = 0 AND qid < $PanelIdCap),
+      |ivfpq AS (SELECT qid, nid, rank AS ar FROM ($ivfpqSql)
+      |  WHERE qid % 50 = 0 AND qid < $PanelIdCap),
+      |hl AS (SELECT g.k, count(*) AS hits
+      |  FROM lsh a JOIN bf ON a.qid = bf.qid AND a.nid = bf.nid
+      |  JOIN grid g ON a.ar <= g.k AND bf.tr <= g.k GROUP BY 1),
+      |hp AS (SELECT g.k, count(*) AS hits
+      |  FROM ivfpq a JOIN bf ON a.qid = bf.qid AND a.nid = bf.nid
+      |  JOIN grid g ON a.ar <= g.k AND bf.tr <= g.k GROUP BY 1)
+      |SELECT 'lsh' AS method, g.k, n_queries,
+      |  CAST(coalesce(hl.hits, 0) AS BIGINT) AS hits,
+      |  round(CAST(coalesce(hl.hits, 0) AS DOUBLE) / (g.k * n_queries), 6)
+      |    AS mean_recall
+      |FROM grid g LEFT JOIN hl ON g.k = hl.k, nq
+      |UNION ALL
+      |SELECT 'ivfpq' AS method, g.k, n_queries,
+      |  CAST(coalesce(hp.hits, 0) AS BIGINT) AS hits,
+      |  round(CAST(coalesce(hp.hits, 0) AS DOUBLE) / (g.k * n_queries), 6)
+      |    AS mean_recall
+      |FROM grid g LEFT JOIN hp ON g.k = hp.k, nq""".stripMargin
+
   /** Exact top-5 id pairs for the sampled query panel (vec_id % 50 == 0)
     * — the ground truth both approximate variants measure themselves
     * against. Small by construction (2% of vectors × 5 rows).
@@ -1457,6 +1523,7 @@ object Similarity {
     "q_ivf_nprobe_curve" -> ((s: SparkSession, d: String) => qIvfNprobeCurve(s, d)),
     "q_ann_pq" -> ((s: SparkSession, d: String) => qAnnPq(s, d)),
     "q_ann_ivfpq" -> ((s: SparkSession, d: String) => qAnnIvfPq(s, d)),
+    "q_recall_curve" -> (qRecallCurve _),
     "q_ann_index_stats" -> ((s: SparkSession, d: String) => qAnnIndexStats(s, d)),
     "q_semantic_balance" -> ((s: SparkSession, d: String) => qSemanticBalance(s, d)))
 
@@ -1489,6 +1556,10 @@ object Similarity {
         yield "q_ann_ivfpq" -> annIvfPqSql(a, c, co, b, nprobe = 12, k)).toMap ++
       (for ((a, c) <- Option(IvfIndex.lastLoc.get);
             (co, b) <- Option(PqIndex.lastLoc.get) if k > 0)
-        yield "q_mmr_ann" -> mmrAnnSql(a, c, co, b, nprobe = 12, k)).toMap
+        yield "q_mmr_ann" -> mmrAnnSql(a, c, co, b, nprobe = 12, k)).toMap ++
+      (for ((a, c) <- Option(IvfIndex.lastLoc.get);
+            (co, b) <- Option(PqIndex.lastLoc.get) if k > 0)
+        yield "q_recall_curve" -> recallCurveSql(qAnnLshSql,
+          annIvfPqSql(a, c, co, b, nprobe = 12, k))).toMap
   }
 }

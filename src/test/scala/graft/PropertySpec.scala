@@ -813,6 +813,22 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("recall curve: bounds hold, ivfpq clears the published floor, hits consistent") {
+    val sf = TestSession.sf
+    val rows = graft.operators.Similarity.queries("q_recall_curve")(spark, sf)
+      .select("method", "k", "n_queries", "hits", "mean_recall")
+      .as[(String, Int, Long, Long, Double)].collect()
+    assert(rows.length == 6)
+    rows.foreach { case (_, k, nq, hits, r) =>
+      assert(hits <= k * nq, "cannot recover more than k per query")
+      assert(r >= 0.0 && r <= 1.0)
+      assert(math.abs(r - hits.toDouble / (k * nq)) < 1e-6)
+    }
+    // the exact-rerank stack must clear the D2 published floor at k=5
+    val ivf5 = rows.find(x => x._1 == "ivfpq" && x._2 == 5).get._5
+    assert(ivf5 >= 0.8, s"ivfpq recall@5 $ivf5 below the 0.8 floor")
+  }
+
   test("mann-kendall: S and Var(S) match a brute-force pair sweep over the day table") {
     val sf = TestSession.sf
     val row = graft.operators.AnalyticExt.queries("q_mann_kendall")(spark, sf)

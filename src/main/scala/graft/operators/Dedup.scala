@@ -1832,6 +1832,74 @@ object Dedup {
          |FROM d""".stripMargin
   }
 
+  // ---------------------------------------------------------------- B24
+  /** Per-source BOILERPLATE audit — the cross-document repetition
+    * C17 cannot see: C17 asks "how much of THIS doc repeats
+    * anywhere"; boilerplate asks "which segments recur across MANY
+    * DISTINCT documents of one source" (navigation chrome, headers,
+    * license banners — the text a crawl pipeline strips before
+    * training because the model would memorize it at the source's
+    * document count, not its token count). A segment is boilerplate
+    * in its source when its document frequency clears max(2, 5% of
+    * the source's docs) — the threshold compare is exact integer
+    * arithmetic (df·20 ≥ n_docs AND df ≥ 2), no float enters. Same
+    * 16-token md5 segmentation as C17 (shared convention, so a
+    * pipeline can chain strip-after-audit); one (source, seg_hash)
+    * keyed aggregate + one source-keyed rollup; |sources| output
+    * rows with distinct-segment and instance-mass readouts.
+    */
+  def qBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val segN = 16
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+    val nseg = ceil(size(col("toks")) / lit(segN.toDouble)).cast("int")
+    val seg = t.select(col("doc_id"), col("source"),
+      explode(transform(sequence(lit(0), nseg - 1),
+        i => md5(array_join(slice(col("toks"), i * segN + 1, lit(segN)), " "))))
+        .as("seg_hash"))
+    val docsPerSource = Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val dfreq = seg.groupBy(col("source"), col("seg_hash"))
+      .agg(countDistinct(col("doc_id")).as("df"),
+        count(lit(1)).as("instances"))
+      .join(broadcast(docsPerSource), "source")
+      .withColumn("boiler", col("df") * 20 >= col("n_docs") && col("df") >= 2)
+    dfreq.groupBy(col("source"))
+      .agg(max(col("n_docs")).as("n_docs"),
+        count(lit(1)).as("n_segments"),
+        sum(when(col("boiler"), 1L).otherwise(0L)).as("n_boilerplate"),
+        sum(col("instances")).cast("long").as("inst_total"),
+        sum(when(col("boiler"), col("instances")).otherwise(0L))
+          .cast("long").as("inst_boiler"))
+      .select(col("source"), col("n_docs"), col("n_segments"),
+        col("n_boilerplate"),
+        round(col("inst_boiler").cast("double") / col("inst_total"), 6)
+          .as("boiler_frac"))
+  }
+
+  val qBoilerplateSql: String = {
+    val toksSql = duckToksSql("text")
+    raw"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+         |si AS (SELECT doc_id, source, toks,
+         |    unnest(generate_series(0, CAST(ceil(len(toks) / 16.0) AS BIGINT) - 1)) AS i
+         |  FROM t),
+         |seg AS (SELECT doc_id, source,
+         |    md5(array_to_string(toks[i*16+1 : i*16+16], ' ')) AS seg_hash FROM si),
+         |dps AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+         |df AS (SELECT s.source, seg_hash,
+         |    count(DISTINCT doc_id) AS df, count(*) AS instances,
+         |    max(n_docs) AS n_docs,
+         |    (count(DISTINCT doc_id) * 20 >= max(n_docs)
+         |      AND count(DISTINCT doc_id) >= 2) AS boiler
+         |  FROM seg s JOIN dps USING (source) GROUP BY 1, 2)
+         |SELECT source, max(n_docs) AS n_docs, count(*) AS n_segments,
+         |  CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_boilerplate,
+         |  round(CAST(sum(CASE WHEN boiler THEN instances ELSE 0 END) AS DOUBLE)
+         |    / sum(instances), 6) AS boiler_frac
+         |FROM df GROUP BY 1""".stripMargin
+  }
+
   // ---------------------------------------------------------------- K25
   /** The curation WATERFALL — K13's end-to-end pipeline re-emitted as
     * the per-gate funnel a data team actually reviews before a
@@ -1955,6 +2023,7 @@ object Dedup {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_curation_funnel" -> (qCurationFunnel _),
     "q_ngram_decontam" -> (qNgramDecontam _),
+    "q_boilerplate" -> (qBoilerplate _),
     "q_segment_dedup" -> (qSegmentDedup _),
     "q_dedup_threshold_sweep" -> (qDedupThresholdSweep _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -1989,6 +2058,7 @@ object Dedup {
     "q_minhash_calibration" -> qMinhashCalibrationSql,
     "q_curation_funnel" -> qCurationFunnelSql,
     "q_ngram_decontam" -> qNgramDecontamSql,
+    "q_boilerplate" -> qBoilerplateSql,
     "q_crosslingual_pairs" -> qCrosslingualPairsSql,
     "q_contamination" -> qContaminationSql,
     "q_simhash" -> qSimhashSql,

@@ -340,6 +340,38 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.last._4 > 0, "a non-empty keep set must survive")
   }
 
+  test("boilerplate audit equals a brute-force per-source segment-df sweep") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.TextFunctions.tokens
+    val segs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .as[(Long, String, Seq[String])].collect()
+      .flatMap { case (id, src, toks) =>
+        toks.grouped(16).map(g => (id, src, g.mkString(" ")))
+      }
+    val nDocs = segs.map(s => (s._1, s._2)).distinct
+      .groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val expected = segs.groupBy(_._2).map { case (src, ss) =>
+      val segGroups = ss.groupBy(_._3)
+      val flagged = segGroups.filter { case (h, inst) =>
+        val df = inst.map(_._1).distinct.length
+        df * 20 >= nDocs(src) && df >= 2
+      }
+      src -> ((nDocs(src), segGroups.size.toLong, flagged.size.toLong,
+        flagged.values.map(_.length).sum.toLong, ss.length.toLong))
+    }
+    val got = Dedup.qBoilerplate(spark, sf)
+      .select("source", "n_docs", "n_segments", "n_boilerplate", "boiler_frac")
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(got.length == expected.size)
+    got.foreach { case (src, nd, ns, nb, bf) =>
+      val (end, ens, enb, einst, etot) = expected(src)
+      assert(nd == end && ns == ens && nb == enb, s"$src counts mismatch")
+      assert(math.abs(bf - einst.toDouble / etot) < 1e-6, s"$src frac mismatch")
+    }
+    assert(got.map(_._4).sum > 0, "planted dups must surface some boilerplate")
+  }
+
   test("ngram decontam equals a brute-force window scan at sf0.001") {
     import org.apache.spark.sql.functions.col
     import graft.functions.TextFunctions.tokens

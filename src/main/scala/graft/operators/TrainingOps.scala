@@ -1558,6 +1558,59 @@ object TrainingOps {
       |  n_chars, sample_key
       |FROM r WHERE sample_rank <= 5""".stripMargin
 
+  // ---------------------------------------------------------------- K28
+  /** Quality–volume trade-off curve: for each candidate quality
+    * floor, the documents and token mass the corpus would keep — the
+    * frontier a data team reads before picking B3's production floor
+    * (raise the bar for cleaner data, and THIS is exactly how much
+    * training volume it costs). The floor grid is the fixed decile
+    * set 0.0,0.1,…,0.9; each doc's (quality, n_tokens) pair streams
+    * once into a broadcast-grid fan-out and one keyed aggregate —
+    * never a re-scan per threshold; quality comparisons are on the
+    * 6-dp-rounded published score (identical IEEE values both
+    * engines), counts exact integers, two 6-dp fraction divisions at
+    * publish. 10 output rows, monotone by construction (spec-pinned).
+    */
+  def qQualityTradeoff(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.qQualityScore(spark, dir)
+      .select(col("doc_id"), col("quality"))
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tok")),
+        "doc_id")
+    val tot = scored.agg(count(lit(1)).as("docs_total"),
+      sum(col("n_tok")).cast("long").as("tokens_total"))
+    val grid = scored.sparkSession.range(0, 10)
+      .select((col("id") / lit(10.0)).as("floor"))
+    scored.crossJoin(broadcast(grid))
+      .filter(col("quality") >= col("floor"))
+      .groupBy(col("floor"))
+      .agg(count(lit(1)).as("docs_kept"),
+        sum(col("n_tok")).cast("long").as("tokens_kept"))
+      .crossJoin(broadcast(tot))
+      .select(col("floor"), col("docs_kept"), col("tokens_kept"),
+        round(col("docs_kept").cast("double") / col("docs_total"), 6)
+          .as("doc_frac"),
+        round(col("tokens_kept").cast("double") / col("tokens_total"), 6)
+          .as("token_frac"))
+  }
+
+  val qQualityTradeoffSql: String =
+    raw"""WITH q AS (${TextAnalysis.qQualityScoreSql}),
+         |toks AS (SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |scored AS (SELECT q.doc_id, q.quality, t.n_tok
+         |  FROM q JOIN toks t ON q.doc_id = t.doc_id),
+         |tot AS (SELECT count(*) AS docs_total,
+         |    CAST(sum(n_tok) AS BIGINT) AS tokens_total FROM scored),
+         |grid AS (SELECT unnest(generate_series(0, 9)) / 10.0 AS floor)
+         |SELECT floor, count(*) AS docs_kept,
+         |  CAST(sum(n_tok) AS BIGINT) AS tokens_kept,
+         |  round(CAST(count(*) AS DOUBLE) / max(docs_total), 6) AS doc_frac,
+         |  round(CAST(sum(n_tok) AS DOUBLE) / max(tokens_total), 6)
+         |    AS token_frac
+         |FROM scored JOIN grid ON quality >= floor, tot
+         |GROUP BY floor""".stripMargin
+
   // ---------------------------------------------------------------- K24
   /** Jensen–Shannon divergence of each source's token distribution
     * from the corpus mixture — the bounded, symmetric drift number
@@ -1629,6 +1682,7 @@ object TrainingOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_js_divergence" -> (qJsDivergence _),
+    "q_quality_tradeoff" -> (qQualityTradeoff _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_pack_efficiency" -> (qPackEfficiency _),
     "q_interleave_schedule" -> (qInterleaveSchedule _),
@@ -1663,6 +1717,7 @@ object TrainingOps {
 
   def oracle: Map[String, String] = Map(
     "q_js_divergence" -> qJsDivergenceSql,
+    "q_quality_tradeoff" -> qQualityTradeoffSql,
     "q_weighted_sample" -> qWeightedSampleSql,
     "q_pack_efficiency" -> qPackEfficiencySql,
     "q_interleave_schedule" -> qInterleaveScheduleSql,

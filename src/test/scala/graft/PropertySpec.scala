@@ -813,6 +813,23 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("quality tradeoff: monotone frontier, floor 0 keeps everything") {
+    val sf = TestSession.sf
+    val rows = graft.operators.TrainingOps.queries("q_quality_tradeoff")(spark, sf)
+      .select("floor", "docs_kept", "tokens_kept", "doc_frac", "token_frac")
+      .as[(Double, Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(rows.nonEmpty && rows.length <= 10)
+    // floor 0.0 is the identity gate
+    assert(rows.head._1 == 0.0 && rows.head._4 == 1.0 && rows.head._5 == 1.0)
+    val total = graft.Tables.documents(spark, sf).count()
+    assert(rows.head._2 == total)
+    // raising the bar never keeps more
+    assert(rows.map(_._2).sameElements(rows.map(_._2).sorted.reverse))
+    assert(rows.map(_._3).sameElements(rows.map(_._3).sorted.reverse))
+    // the curve must actually discriminate on this corpus
+    assert(rows.last._2 < rows.head._2, "highest floor must drop something")
+  }
+
   test("recall curve: bounds hold, ivfpq clears the published floor, hits consistent") {
     val sf = TestSession.sf
     val rows = graft.operators.Similarity.queries("q_recall_curve")(spark, sf)

@@ -1047,7 +1047,314 @@ object FeatureOps {
          |FROM calc""".stripMargin
   }
 
+  // ---------------------------------------------------------------- E33
+  /** Distributed logistic regression by UNROLLED full-batch gradient
+    * descent — the "train a linear probe on corpus statistics"
+    * primitive, built so the entire fit (not just its output) is
+    * oracle-replayable: is-this-English regressed on three cheap text
+    * signals (English-stopword ratio, mean token length — CJK
+    * segmentation makes it sharply language-discriminative — and log
+    * token count; a zero-variance feature standardizes to exactly 0
+    * via the sd = 0 guard, so a degenerate corpus fits cleanly with
+    * that feature inert). Every engine-divergence surface is closed with
+    * fixed-point arithmetic: features quantize to integer micro-units
+    * after standardization against EXACT DECIMAL moment sums, each
+    * iteration's margin z rounds at 10 dp before the sigmoid, the
+    * sigmoid output re-quantizes to integer micro-units (so the
+    * gradient numerator Σ xq·(y·10⁶ − pq) is an EXACT integer in both
+    * engines — a naive Σ x·(y−p) double sum would diverge on
+    * summation order), and per-row log-losses quantize before their
+    * integer sum. Three iterations (η = 0.5, convex loss, unit-scale
+    * features ⇒ guaranteed descent), published as one row per iterate
+    * 0–3 with the weights, the training log-loss, and accuracy AT
+    * those weights — the monotone loss column is the audit that the
+    * distributed GD machinery actually descends. Scale shape: the
+    * feature build is one tokenize pass + one keyed aggregate; each
+    * iteration is ONE map-side-combine aggregate over the cached
+    * 4-column integer feature frame with the 1-row weight vector
+    * broadcast — the textbook 100 TB logistic-probe plan (MLlib's own
+    * LBFGS does exactly this treeAggregate shape, unreplayably).
+    */
+  def qLogisticGd(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis.stopwords
+    val M = 1000000L
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val per = toks.groupBy(col("doc_id"), col("lang")).agg(
+      count(lit(1)).as("n_tok"),
+      sum(when(col("tok").isin(stopwords("en"): _*), 1L).otherwise(0L)).as("h"),
+      sum(length(col("tok")).cast("long")).as("a"))
+    val raw = per.select(
+      when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+      round(col("h").cast("double") * M / col("n_tok")).cast("long").as("f1"),
+      round(col("a").cast("double") * M / col("n_tok")).cast("long").as("f2"),
+      round(log(lit(1.0) + col("n_tok")) * M).cast("long").as("f3"))
+    def momCols(f: String) = Seq(
+      sum(col(f).cast("decimal(38,0)")).as(s"s_$f"),
+      sum((col(f) * col(f)).cast("decimal(38,0)")).as(s"q_$f"))
+    val mom = raw.agg(count(lit(1)).as("n"),
+      (momCols("f1") ++ momCols("f2") ++ momCols("f3")): _*)
+    def muSd(f: String) = {
+      val s = col(s"s_$f").cast("double"); val q = col(s"q_$f").cast("double")
+      Seq(round(s / col("n"), 10).as(s"mu_$f"),
+        round(sqrt(q / col("n") - (s / col("n")) * (s / col("n"))), 10)
+          .as(s"sd_$f"))
+    }
+    val ms = mom.select(col("n") +:
+      (muSd("f1") ++ muSd("f2") ++ muSd("f3")): _*)
+    def std(f: String) =
+      when(col(s"sd_$f") === 0, lit(0L))
+        .otherwise(round((col(f) - col(s"mu_$f")) / col(s"sd_$f") * M)
+          .cast("long")).as(s"x_$f")
+    val feat = raw.crossJoin(broadcast(ms))
+      .select(col("y"), std("f1"), std("f2"), std("f3")).cache()
+    feat.count()
+    val eta = 0.5
+    // the weight vector is a 1-row frame so the whole fit stays one
+    // Catalyst plan per iteration; each eval aggregate is cached (1
+    // row) to stop lineage doubling across the unrolled iterations
+    // (the M10 eigencentrality device)
+    var w = spark.range(1).select(lit(0.0).as("w0"), lit(0.0).as("w1"),
+      lit(0.0).as("w2"), lit(0.0).as("w3"))
+    val cached = scala.collection.mutable.Buffer.empty[DataFrame]
+    val outRows = scala.collection.mutable.Buffer.empty[DataFrame]
+    for (i <- 0 to 3) {
+      val z = round(col("w0")
+        + col("w1") * (col("x_f1").cast("double") / M)
+        + col("w2") * (col("x_f2").cast("double") / M)
+        + col("w3") * (col("x_f3").cast("double") / M), 10)
+      val ev = feat.crossJoin(broadcast(w))
+        .withColumn("pq", round((lit(1.0) / (lit(1.0) + exp(-z))) * M)
+          .cast("long"))
+        .withColumn("pc", least(greatest(col("pq"), lit(1L)), lit(M - 1)))
+        .withColumn("r", col("y") * M - col("pq"))
+        .withColumn("llq", round(when(col("y") === 1,
+            -log(col("pc").cast("double") / M))
+          .otherwise(-log(lit(1.0) - col("pc").cast("double") / M)) * M)
+          .cast("long"))
+        .withColumn("ok",
+          when((col("pq") >= M / 2) === (col("y") === 1), 1L).otherwise(0L))
+        .agg(count(lit(1)).as("n"),
+          sum(col("r").cast("decimal(38,0)")).as("g0"),
+          sum((col("x_f1") * col("r")).cast("decimal(38,0)")).as("g1"),
+          sum((col("x_f2") * col("r")).cast("decimal(38,0)")).as("g2"),
+          sum((col("x_f3") * col("r")).cast("decimal(38,0)")).as("g3"),
+          sum(col("llq").cast("decimal(38,0)")).as("ll"),
+          sum(col("ok")).as("c"))
+        .cache()
+      cached += ev
+      outRows += w.crossJoin(broadcast(ev))
+        .select(lit(i).as("iter"),
+          round(col("w0"), 6).as("b0"), round(col("w1"), 6).as("b1"),
+          round(col("w2"), 6).as("b2"), round(col("w3"), 6).as("b3"),
+          round(col("ll").cast("double") / col("n") / M, 6).as("logloss"),
+          round(col("c").cast("double") / col("n"), 6).as("accuracy"))
+      w = w.crossJoin(broadcast(ev)).select(
+        round(col("w0") + lit(eta) * round(col("g0").cast("double") / col("n") / M,
+          10), 10).as("w0"),
+        round(col("w1") + lit(eta) * round(col("g1").cast("double") / col("n")
+          / M / M, 10), 10).as("w1"),
+        round(col("w2") + lit(eta) * round(col("g2").cast("double") / col("n")
+          / M / M, 10), 10).as("w2"),
+        round(col("w3") + lit(eta) * round(col("g3").cast("double") / col("n")
+          / M / M, 10), 10).as("w3"))
+    }
+    val out = outRows.reduce(_.union(_)).cache()
+    out.count()
+    cached.foreach(_.unpersist()); feat.unpersist()
+    out
+  }
+
+  val qLogisticGdSql: String = {
+    import graft.operators.TextAnalysis.stopSqlEn
+    val duckT = graft.functions.TextFunctions.duckToksSql("text")
+    def z(wc: String) =
+      s"""round($wc.w0 + $wc.w1 * (CAST(x_f1 AS DOUBLE) / 1000000)
+         |      + $wc.w2 * (CAST(x_f2 AS DOUBLE) / 1000000)
+         |      + $wc.w3 * (CAST(x_f3 AS DOUBLE) / 1000000), 10)""".stripMargin
+    def iter(i: Int): String = {
+      val (wc, ec, wn) = (s"w$i", s"a$i", s"w${i + 1}")
+      s"""$ec AS (SELECT count(*) AS n,
+         |    sum(CAST(y * 1000000 - pq AS HUGEINT)) AS g0,
+         |    sum(CAST(x_f1 * (y * 1000000 - pq) AS HUGEINT)) AS g1,
+         |    sum(CAST(x_f2 * (y * 1000000 - pq) AS HUGEINT)) AS g2,
+         |    sum(CAST(x_f3 * (y * 1000000 - pq) AS HUGEINT)) AS g3,
+         |    sum(CAST(round((CASE WHEN y = 1
+         |        THEN -ln(CAST(least(greatest(pq, 1), 999999) AS DOUBLE) / 1000000)
+         |        ELSE -ln(1.0 - CAST(least(greatest(pq, 1), 999999) AS DOUBLE) / 1000000)
+         |      END) * 1000000) AS HUGEINT)) AS ll,
+         |    CAST(sum(CASE WHEN (pq >= 500000) = (y = 1) THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS c
+         |  FROM (SELECT y, x_f1, x_f2, x_f3,
+         |      CAST(round((1.0 / (1.0 + exp(-(${z(wc)})))) * 1000000) AS BIGINT)
+         |        AS pq
+         |    FROM fs, $wc $wc) ev),
+         |$wn AS (SELECT
+         |    round($wc.w0 + 0.5 * round(CAST(g0 AS DOUBLE) / n / 1000000, 10),
+         |      10) AS w0,
+         |    round($wc.w1 + 0.5 * round(CAST(g1 AS DOUBLE) / n / 1000000
+         |      / 1000000, 10), 10) AS w1,
+         |    round($wc.w2 + 0.5 * round(CAST(g2 AS DOUBLE) / n / 1000000
+         |      / 1000000, 10), 10) AS w2,
+         |    round($wc.w3 + 0.5 * round(CAST(g3 AS DOUBLE) / n / 1000000
+         |      / 1000000, 10), 10) AS w3
+         |  FROM $wc $wc, $ec)""".stripMargin
+    }
+    def outRow(i: Int): String =
+      s"""SELECT $i AS iter, round(w0, 6) AS b0, round(w1, 6) AS b1,
+         |  round(w2, 6) AS b2, round(w3, 6) AS b3,
+         |  round(CAST(ll AS DOUBLE) / n / 1000000, 6) AS logloss,
+         |  round(CAST(c AS DOUBLE) / n, 6) AS accuracy
+         |FROM w$i, a$i""".stripMargin
+    s"""WITH toks0 AS (SELECT doc_id, lang, unnest($duckT) AS tok FROM documents),
+       |tk AS (SELECT * FROM toks0 WHERE length(tok) > 0),
+       |per AS (SELECT doc_id, lang, count(*) AS n_tok,
+       |    CAST(sum(CASE WHEN list_contains($stopSqlEn, tok) THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS h,
+       |    CAST(sum(length(tok)) AS BIGINT) AS a
+       |  FROM tk GROUP BY 1, 2),
+       |raw AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+       |    CAST(round(CAST(h AS DOUBLE) * 1000000 / n_tok) AS BIGINT) AS f1,
+       |    CAST(round(CAST(a AS DOUBLE) * 1000000 / n_tok) AS BIGINT) AS f2,
+       |    CAST(round(ln(1.0 + n_tok) * 1000000) AS BIGINT) AS f3
+       |  FROM per),
+       |mom AS (SELECT count(*) AS n,
+       |    sum(CAST(f1 AS HUGEINT)) AS s_f1, sum(CAST(f1 AS HUGEINT) * f1) AS q_f1,
+       |    sum(CAST(f2 AS HUGEINT)) AS s_f2, sum(CAST(f2 AS HUGEINT) * f2) AS q_f2,
+       |    sum(CAST(f3 AS HUGEINT)) AS s_f3, sum(CAST(f3 AS HUGEINT) * f3) AS q_f3
+       |  FROM raw),
+       |ms AS (SELECT n,
+       |    round(CAST(s_f1 AS DOUBLE) / n, 10) AS mu_f1,
+       |    round(sqrt(CAST(q_f1 AS DOUBLE) / n
+       |      - (CAST(s_f1 AS DOUBLE) / n) * (CAST(s_f1 AS DOUBLE) / n)), 10) AS sd_f1,
+       |    round(CAST(s_f2 AS DOUBLE) / n, 10) AS mu_f2,
+       |    round(sqrt(CAST(q_f2 AS DOUBLE) / n
+       |      - (CAST(s_f2 AS DOUBLE) / n) * (CAST(s_f2 AS DOUBLE) / n)), 10) AS sd_f2,
+       |    round(CAST(s_f3 AS DOUBLE) / n, 10) AS mu_f3,
+       |    round(sqrt(CAST(q_f3 AS DOUBLE) / n
+       |      - (CAST(s_f3 AS DOUBLE) / n) * (CAST(s_f3 AS DOUBLE) / n)), 10) AS sd_f3
+       |  FROM mom),
+       |fs AS (SELECT y,
+       |    CASE WHEN sd_f1 = 0 THEN 0
+       |      ELSE CAST(round((f1 - mu_f1) / sd_f1 * 1000000) AS BIGINT) END AS x_f1,
+       |    CASE WHEN sd_f2 = 0 THEN 0
+       |      ELSE CAST(round((f2 - mu_f2) / sd_f2 * 1000000) AS BIGINT) END AS x_f2,
+       |    CASE WHEN sd_f3 = 0 THEN 0
+       |      ELSE CAST(round((f3 - mu_f3) / sd_f3 * 1000000) AS BIGINT) END AS x_f3
+       |  FROM raw, ms),
+       |w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+       |${iter(0)},
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)}
+       |${outRow(0)}
+       |UNION ALL ${outRow(1)}
+       |UNION ALL ${outRow(2)}
+       |UNION ALL ${outRow(3)}""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- E35
+  /** Best information-gain decision stump — the first split any tree
+    * learner would make, as a one-pass distributed aggregate: which
+    * quantity threshold best separates returned lineitems
+    * (l_returnflag = 'R') from kept ones? The feature's value domain
+    * is the INTEGER grid 1..50, so the candidate-threshold sweep is a
+    * value histogram (one keyed aggregate over the corpus — the only
+    * data-scale pass), a cumulative window over the ≤ 50-row
+    * histogram (bounded, the q_auc class), and a 10-dp entropy
+    * expression per candidate; the corpus never re-scans per
+    * threshold. Class proportions round at 10 dp before the
+    * p·ln(p) terms (identical IEEE in both engines — the E27 device);
+    * gain publishes at 6 dp with a lowest-threshold tiebreak. The
+    * verdict row carries the stump's training accuracy (exact
+    * integer majority counts) against the majority-class baseline —
+    * gain > 0 with accuracy ≤ baseline is the classic entropy-vs-
+    * accuracy split divergence, visible rather than hidden.
+    */
+  def qDecisionStump(spark: SparkSession, dir: String): DataFrame = {
+    def ent(p: org.apache.spark.sql.Column) = {
+      val pr = round(p, 10)
+      when(pr <= 0 || pr >= 1, lit(0.0))
+        .otherwise(round(-pr * log(pr) - (lit(1.0) - pr) * log(lit(1.0) - pr), 10))
+    }
+    val rows = Tables.lineitem(spark, dir)
+      .select(col("l_quantity").cast("long").as("v"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+    val hist = rows.groupBy(col("v"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+    val tot = hist.agg(sum(col("n")).cast("long").as("nn"),
+      sum(col("pos")).cast("long").as("npos"),
+      max(col("v")).as("vmax"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cand = hist
+      .withColumn("nl", sum(col("n")).over(w).cast("long"))
+      .withColumn("pl", sum(col("pos")).over(w).cast("long"))
+      .crossJoin(broadcast(tot))
+      .filter(col("v") < col("vmax"))
+      .withColumn("nr", col("nn") - col("nl"))
+      .withColumn("pr", col("npos") - col("pl"))
+    val scored = cand.select(col("v").as("threshold"),
+        col("nl").as("n_left"), col("nr").as("n_right"),
+        col("pl").as("pos_left"), col("pr").as("pos_right"),
+        col("nn"), col("npos"),
+        round(ent(col("npos").cast("double") / col("nn"))
+          - (col("nl").cast("double") / col("nn"))
+            * ent(col("pl").cast("double") / col("nl"))
+          - (col("nr").cast("double") / col("nn"))
+            * ent(col("pr").cast("double") / col("nr")), 6).as("gain"),
+        (greatest(col("pl"), col("nl") - col("pl"))
+          + greatest(col("pr"), col("nr") - col("pr"))).as("correct"))
+    scored
+      .orderBy(col("gain").desc, col("threshold").asc).limit(1)
+      .select(col("threshold"), col("gain"),
+        col("n_left"), col("n_right"), col("pos_left"), col("pos_right"),
+        round(col("correct").cast("double") / col("nn"), 6).as("accuracy"),
+        round(greatest(col("npos"), col("nn") - col("npos")).cast("double")
+          / col("nn"), 6).as("baseline"))
+  }
+
+  val qDecisionStumpSql: String = {
+    def ent(p: String) =
+      s"""CASE WHEN round($p, 10) <= 0 OR round($p, 10) >= 1 THEN 0.0
+         |    ELSE round(-round($p, 10) * ln(round($p, 10))
+         |      - (1.0 - round($p, 10)) * ln(1.0 - round($p, 10)), 10) END"""
+        .stripMargin
+    s"""WITH rows0 AS (SELECT CAST(l_quantity AS BIGINT) AS v,
+      |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      |  FROM lineitem),
+      |hist AS (SELECT v, count(*) AS n, CAST(sum(y) AS BIGINT) AS pos
+      |  FROM rows0 GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+      |    CAST(sum(pos) AS BIGINT) AS npos, max(v) AS vmax FROM hist),
+      |cand AS (SELECT v,
+      |    CAST(sum(n) OVER (ORDER BY v) AS BIGINT) AS nl,
+      |    CAST(sum(pos) OVER (ORDER BY v) AS BIGINT) AS pl
+      |  FROM hist),
+      |sc AS (SELECT c.v AS threshold,
+      |    c.nl AS n_left, t.nn - c.nl AS n_right,
+      |    c.pl AS pos_left, t.npos - c.pl AS pos_right,
+      |    t.nn, t.npos,
+      |    round(${ent("CAST(t.npos AS DOUBLE) / t.nn")}
+      |      - (CAST(c.nl AS DOUBLE) / t.nn)
+      |        * ${ent("CAST(c.pl AS DOUBLE) / c.nl")}
+      |      - (CAST(t.nn - c.nl AS DOUBLE) / t.nn)
+      |        * ${ent("CAST(t.npos - c.pl AS DOUBLE) / (t.nn - c.nl)")},
+      |      6) AS gain,
+      |    greatest(c.pl, c.nl - c.pl)
+      |      + greatest(t.npos - c.pl, (t.nn - c.nl) - (t.npos - c.pl))
+      |      AS correct
+      |  FROM cand c, tot t WHERE c.v < t.vmax)
+      |SELECT threshold, gain, n_left, n_right, pos_left, pos_right,
+      |  round(CAST(correct AS DOUBLE) / nn, 6) AS accuracy,
+      |  round(CAST(greatest(npos, nn - npos) AS DOUBLE) / nn, 6) AS baseline
+      |FROM sc ORDER BY gain DESC, threshold ASC LIMIT 1""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_logistic_gd" -> (qLogisticGd _),
+    "q_decision_stump" -> (qDecisionStump _),
     "q_brier_score" -> (qBrierScore _),
     "q_winsorize" -> (qWinsorize _),
     "q_target_encoding" -> (qTargetEncoding _),
@@ -1072,6 +1379,8 @@ object FeatureOps {
     "q_mutual_info" -> (qMutualInfo _))
 
   def oracle: Map[String, String] = Map(
+    "q_logistic_gd" -> qLogisticGdSql,
+    "q_decision_stump" -> qDecisionStumpSql,
     "q_brier_score" -> qBrierScoreSql,
     "q_pca" -> qPcaSql,
     "q_winsorize" -> qWinsorizeSql,

@@ -403,11 +403,84 @@ object Tuning {
        |  (round(sum(sqc), 6) <= round(sum(sqg), 6)) AS tighter_than_global
        |FROM pv GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- E34
+  /** Simplified (centroid-based) silhouette of the E8 clustering —
+    * the cluster-quality verdict within-SSE can't give: within-SSE
+    * always improves with more clusters, while silhouette s = (b−a) /
+    * max(a,b) (a = distance to OWN centroid, b = distance to the
+    * NEAREST OTHER centroid) penalizes clusters that sit on top of
+    * each other. Centroid-based rather than pairwise (the classic
+    * silhouette's all-pairs distances are O(n²) — unusable at corpus
+    * scale; against centroids it is one |vectors|×k bounded join,
+    * linear in the corpus for fixed k). Rides the SAME persisted
+    * assignment table as E8 (KmeansStore; late-bound oracle replays
+    * from the artifact), centroids recomputed with the identical
+    * 10-dp rounding ladder, per-vector distances and s rounded at
+    * 10 dp, per-cluster means published at 6 dp. Output: one row per
+    * cluster (n, mean silhouette) with the overall mean broadcast —
+    * the k-selection readout a clustering pipeline actually reads.
+    */
+  def qSilhouette(spark: SparkSession, dir: String): DataFrame = {
+    val t = KmeansStore.ensure(spark, dir)
+    val asg = spark.table(t)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+    val cen = e.join(asg, "vec_id")
+      .groupBy(col("cluster"), col("dim"))
+      .agg(round(avg(col("x")), 10).as("c"))
+    val d = e.join(broadcast(cen.withColumnRenamed("cluster", "c2")), Seq("dim"))
+      .groupBy(col("vec_id"), col("c2"))
+      .agg(round(sum((col("x") - col("c")) * (col("x") - col("c"))), 10).as("sq"))
+      .select(col("vec_id"), col("c2"), round(sqrt(col("sq")), 10).as("dist"))
+    val ab = d.join(asg, "vec_id")
+      .groupBy(col("vec_id"), col("cluster"))
+      .agg(min(when(col("c2") === col("cluster"), col("dist"))).as("a"),
+        min(when(col("c2") =!= col("cluster"), col("dist"))).as("b"))
+    val s = ab.select(col("vec_id"), col("cluster"),
+      when(greatest(col("a"), col("b")) === 0, lit(0.0))
+        .otherwise(round((col("b") - col("a")) / greatest(col("a"), col("b")),
+          10)).as("s"))
+    val overall = s.agg(round(avg(col("s")), 6).as("overall_silhouette"))
+    s.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"), round(avg(col("s")), 6).as("mean_silhouette"))
+      .crossJoin(broadcast(overall))
+  }
+
+  /** DuckDB replay of [[qSilhouette]] over the persisted assignment
+    * at `loc` — identical joins, identical rounding ladder. */
+  private def silhouetteSql(loc: String): String =
+    s"""WITH asg AS (SELECT vec_id, cluster FROM read_parquet('$loc/*.parquet')),
+       |e AS (SELECT vec_id, i - 1 AS dim,
+       |    CAST(list_extract(embedding::DOUBLE[], i) AS DOUBLE) AS x
+       |  FROM embeddings, generate_series(1, 64) g(i)),
+       |cen AS (SELECT asg.cluster, e.dim, round(avg(e.x), 10) AS c
+       |  FROM e JOIN asg USING (vec_id) GROUP BY 1, 2),
+       |d AS (SELECT e.vec_id, cen.cluster AS c2,
+       |    round(sqrt(round(sum((e.x - cen.c) * (e.x - cen.c)), 10)), 10)
+       |      AS dist
+       |  FROM e JOIN cen ON e.dim = cen.dim
+       |  GROUP BY 1, 2),
+       |ab AS (SELECT d.vec_id, asg.cluster,
+       |    min(CASE WHEN d.c2 = asg.cluster THEN d.dist END) AS a,
+       |    min(CASE WHEN d.c2 <> asg.cluster THEN d.dist END) AS b
+       |  FROM d JOIN asg USING (vec_id)
+       |  GROUP BY 1, 2),
+       |s AS (SELECT vec_id, cluster,
+       |    CASE WHEN greatest(a, b) = 0 THEN 0.0
+       |      ELSE round((b - a) / greatest(a, b), 10) END AS s
+       |  FROM ab),
+       |overall AS (SELECT round(avg(s), 6) AS overall_silhouette FROM s)
+       |SELECT cluster, count(*) AS n, round(avg(s), 6) AS mean_silhouette,
+       |  overall_silhouette
+       |FROM s, overall GROUP BY cluster, overall_silhouette""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mllib_tuning" -> (qMllibTuning _),
     "q_pipeline_tuning" -> (qPipelineTuning _),
     "q_learning_curve" -> (qLearningCurve _),
-    "q_kmeans" -> (qKmeans _))
+    "q_kmeans" -> (qKmeans _),
+    "q_silhouette" -> (qSilhouette _))
 
   /** Every Tuning query is oracle-replayable once its prediction /
     * assignment store exists in this JVM (Verify runs queries before
@@ -416,6 +489,8 @@ object Tuning {
   def oracle: Map[String, String] =
     Option(KmeansStore.lastLoc.get)
       .map(loc => "q_kmeans" -> kmeansSql(loc)).toMap ++
+    Option(KmeansStore.lastLoc.get)
+      .map(loc => "q_silhouette" -> silhouetteSql(loc)).toMap ++
     Option(CvStore.lastLoc.get)
       .map(loc => "q_mllib_tuning" -> mllibTuningSql(loc)).toMap ++
     Option(PipeStore.lastLoc.get)

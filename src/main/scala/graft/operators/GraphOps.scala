@@ -896,7 +896,61 @@ object GraphOps {
       |      / (nk.n_nodes * (nk.n_nodes - 1)), 6) END AS phi
       |FROM nk LEFT JOIN ek ON nk.k = ek.k""".stripMargin
 
+  // ---------------------------------------------------------------- M13
+  /** Two-hop reach profile of the mutual-kNN graph — the expansion
+    * readout between degree (one hop) and components (full closure):
+    * per node, how many DISTINCT suppliers are exactly two hops away
+    * (reachable through a shared strong partner but not directly
+    * adjacent and not the node itself)? A high expansion ratio means
+    * the graph mixes (neighbors' neighborhoods don't overlap —
+    * sampling by community spreads fast); a ratio near zero means
+    * neighborhoods close on themselves (M6's clustering seen from the
+    * reach side). kNN input bounds everything: the wedge join emits
+    * ≤ |V|·K² candidate (a,c) pairs at ANY scale, the distinct and
+    * the direct-edge anti-join are keyed on those bounded pairs, and
+    * the output is one row per node. Exact integers throughout; the
+    * one 6-dp division publishes expansion = two_hop / degree.
+    */
+  def qTwoHop(spark: SparkSession, dir: String): DataFrame = {
+    val und = mutualKnnPairs(spark, dir)
+    val edges = und.union(und.select(col("dst").as("src"),
+      col("src").as("dst")))
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("degree"))
+    val hop2 = edges.select(col("src").as("a"), col("dst").as("b"))
+      .join(edges.select(col("src").as("b"), col("dst").as("c")), "b")
+      .filter(col("a") =!= col("c"))
+      .select(col("a"), col("c")).distinct()
+      .join(edges.select(col("src").as("a"), col("dst").as("c")),
+        Seq("a", "c"), "left_anti")
+      .groupBy(col("a").as("node")).agg(count(lit(1)).as("two_hop"))
+    deg.join(hop2, Seq("node"), "left")
+      .na.fill(0L, Seq("two_hop"))
+      .select(col("node").as("s_suppkey"), col("degree"), col("two_hop"),
+        round(col("two_hop").cast("double") / col("degree"), 6)
+          .as("expansion"))
+  }
+
+  val qTwoHopSql: String =
+    s"""WITH $mutKnnSql,
+      |edges AS MATERIALIZED (SELECT src, dst FROM und
+      |  UNION ALL SELECT dst, src FROM und),
+      |deg AS (SELECT src AS node, count(*) AS degree FROM edges GROUP BY 1),
+      |h2 AS (SELECT node, count(*) AS two_hop FROM (
+      |    SELECT DISTINCT e1.src AS node, e2.dst AS c
+      |    FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+      |    WHERE e1.src <> e2.dst
+      |      AND NOT EXISTS (SELECT 1 FROM edges d
+      |        WHERE d.src = e1.src AND d.dst = e2.dst))
+      |  GROUP BY 1)
+      |SELECT deg.node AS s_suppkey, deg.degree,
+      |  coalesce(h2.two_hop, 0) AS two_hop,
+      |  round(CAST(coalesce(h2.two_hop, 0) AS DOUBLE) / deg.degree, 6)
+      |    AS expansion
+      |FROM deg LEFT JOIN h2 ON deg.node = h2.node""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_two_hop" -> (qTwoHop _),
     "q_rich_club" -> (qRichClub _),
     "q_assortativity" -> (qAssortativity _),
     "q_eigencentrality" -> (qEigencentrality _),
@@ -913,6 +967,7 @@ object GraphOps {
     "q_triangle_knn" -> (qTriangleKnn _))
 
   def oracle: Map[String, String] = Map(
+    "q_two_hop" -> qTwoHopSql,
     "q_eigencentrality" -> qEigencentralitySql,
     "q_assortativity" -> qAssortativitySql,
     "q_rich_club" -> qRichClubSql,

@@ -132,6 +132,79 @@ object Validation {
         coalesce(abs(col("z")) > 1.96, lit(false)).as("significant"))
   }
 
+  // ---------------------------------------------------------------- L24
+  /** McNemar's test on PAIRED classifier disagreement — the right
+    * test when two classifiers score the SAME documents (two
+    * independent-sample proportions would throw away the pairing and
+    * lose nearly all the power): does the stopword-argmax language
+    * identifier (B2) beat a bare token-presence rule ("contains
+    * `the` ⇒ English") at deciding is-this-English? Only the
+    * discordant cells matter: b = argmax right where the rule is
+    * wrong, c = the reverse; the continuity-corrected statistic
+    * (|b−c|−1)²/(b+c) is χ²(1) under the null of equal error rates.
+    * Every cell is an exact integer count off ONE pass over the B2
+    * per-doc frame joined to a map-only token-presence flag; doubles
+    * appear only in the final statistic and the two accuracy
+    * readouts; b + c = 0 (identical classifiers) publishes a null
+    * statistic, not a divide error. 1 output row.
+    */
+  def qMcnemar(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val base = TextAnalysis.qLangId(spark, dir)
+      .select(col("doc_id"), (col("lang") === "en").as("truth"),
+        (col("pred_lang") === "en").as("pa"))
+    val rule = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        array_contains(tokens(col("text")), "the").as("pb"))
+    val cells = base.join(rule, "doc_id")
+      .select((col("pa") === col("truth")).as("ra"),
+        (col("pb") === col("truth")).as("rb"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ra") && col("rb"), 1L).otherwise(0L)).as("both_right"),
+        sum(when(col("ra") && !col("rb"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("ra") && col("rb"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("ra") && !col("rb"), 1L).otherwise(0L)).as("both_wrong"))
+    cells.select(col("n"), col("both_right"),
+        col("b").as("argmax_only"), col("c").as("rule_only"),
+        col("both_wrong"),
+        round((col("both_right") + col("b")).cast("double") / col("n"), 6)
+          .as("acc_argmax"),
+        round((col("both_right") + col("c")).cast("double") / col("n"), 6)
+          .as("acc_rule"),
+        when(col("b") + col("c") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            (abs(col("b") - col("c")) - 1) * (abs(col("b") - col("c")) - 1)
+              / (col("b") + col("c")).cast("double"), 6)).as("mcnemar_chi2"))
+      .withColumn("significant",
+        coalesce(col("mcnemar_chi2") > 3.841, lit(false)))
+  }
+
+  val qMcnemarSql: String = {
+    val duckToks = graft.functions.TextFunctions.duckToksSql("text")
+    s"""WITH base AS (SELECT doc_id, (lang = 'en') AS truth,
+      |    (pred_lang = 'en') AS pa
+      |  FROM (${TextAnalysis.qLangIdSql.replace("\n", "\n  ")}) li),
+      |rule AS (SELECT doc_id,
+      |    list_contains($duckToks, 'the') AS pb FROM documents),
+      |rr AS (SELECT (pa = truth) AS ra, (pb = truth) AS rb
+      |  FROM base JOIN rule USING (doc_id)),
+      |cells AS (SELECT count(*) AS n,
+      |    CAST(sum(CASE WHEN ra AND rb THEN 1 ELSE 0 END) AS BIGINT) AS both_right,
+      |    CAST(sum(CASE WHEN ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT) AS b,
+      |    CAST(sum(CASE WHEN NOT ra AND rb THEN 1 ELSE 0 END) AS BIGINT) AS c,
+      |    CAST(sum(CASE WHEN NOT ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT) AS both_wrong
+      |  FROM rr),
+      |v AS (SELECT n, both_right, b AS argmax_only, c AS rule_only, both_wrong,
+      |    round(CAST(both_right + b AS DOUBLE) / n, 6) AS acc_argmax,
+      |    round(CAST(both_right + c AS DOUBLE) / n, 6) AS acc_rule,
+      |    CASE WHEN b + c = 0 THEN NULL
+      |      ELSE round((abs(b - c) - 1) * (abs(b - c) - 1)
+      |        / CAST(b + c AS DOUBLE), 6) END AS mcnemar_chi2
+      |  FROM cells)
+      |SELECT *, coalesce(mcnemar_chi2 > 3.841, false) AS significant
+      |FROM v""".stripMargin
+  }
+
   // ---------------------------------------------------------------- L23
   /** Welch's unequal-variance t-test on per-user spend between the
     * two md5 experiment arms — the continuous-metric counterpart of
@@ -1575,6 +1648,7 @@ object Validation {
       |FROM wide, v""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mcnemar" -> (qMcnemar _),
     "q_poststrat_ate" -> (qPoststratAte _),
     "q_capture_recapture" -> (qCaptureRecapture _),
     "q_anova" -> (qAnova _),
@@ -1599,6 +1673,7 @@ object Validation {
     "q_benford" -> (qBenford _))
 
   def oracle: Map[String, String] = Map(
+    "q_mcnemar" -> qMcnemarSql,
     "q_poststrat_ate" -> qPoststratAteSql,
     "q_capture_recapture" -> qCaptureRecaptureSql,
     "q_anova" -> qAnovaSql,

@@ -206,7 +206,9 @@ class PlanSpec extends AnyFunSuite {
       "q_vocab_coverage", "q_kaplan_meier", "q_changepoint", "q_fdr_bh",
       "q_mutual_info", "q_skyline", "q_runs_test", "q_mannwhitney",
       "q_ks_test", "q_hodges_lehmann", "q_drawdown", "q_bollinger",
-      "q_spearman", "q_kruskal_wallis", "q_nelson_aalen")
+      "q_spearman", "q_kruskal_wallis", "q_nelson_aalen",
+      // cumulative sweep over the ≤ 50-row quantity histogram
+      "q_decision_stump")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       // pre-AQE physical plan: traversable with plain collect (the
       // AQE wrapper hides its initial plan from TreeNode traversal,

@@ -971,4 +971,32 @@ class PropertySpec extends AnyFunSuite {
     assert(byShare.head._4 > 1.0, "smallest language must be upsampled")
     assert(byShare.last._4 < 1.0, "largest language must be downsampled")
   }
+  test("q_two_hop: expansion bounded by K*(K-1), two-hop set disjoint from direct neighbors, brute-force agreement") {
+    import graft.operators.GraphOps
+    val rows = GraphOps.qTwoHop(spark, sf)
+      .select("s_suppkey", "degree", "two_hop", "expansion")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val K = GraphOps.KnnK.toLong
+    rows.foreach { case (n, d, t, e) =>
+      assert(d >= 1 && d <= K, s"node $n degree $d outside kNN bound")
+      // each of d neighbors contributes at most K-1 new nodes
+      assert(t <= d * (K - 1), s"node $n two_hop $t exceeds d*(K-1)")
+      assert(math.abs(e - BigDecimal(t.toDouble / d)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    }
+    // brute force on the same mutual pair set
+    val und = GraphOps.mutualKnnPairs(spark, sf)
+      .as[(Long, Long)].collect()
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    und.foreach { case (a, b) =>
+      adj(a) = adj(a) + b; adj(b) = adj(b) + a
+    }
+    rows.foreach { case (n, d, t, _) =>
+      assert(adj(n).size.toLong == d)
+      val two = adj(n).flatMap(adj(_)) - n -- adj(n)
+      assert(two.size.toLong == t, s"node $n: brute two-hop ${two.size} != $t")
+    }
+  }
 }

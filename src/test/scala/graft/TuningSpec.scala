@@ -120,4 +120,62 @@ class TuningSpec extends AnyFunSuite {
     assert(Tuning.KmeansStore.fitCount.get == fits,
       "second qKmeans run must not refit (persisted-store contract)")
   }
+
+  test("silhouette: scores bounded in [-1,1], clusters partition the corpus, overall is the weighted mean") {
+    val rows = Tuning.qSilhouette(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= Tuning.KmeansStore.K)
+    assert(rows.map(_.getAs[Long]("n")).sum ==
+      Tables.embeddings(spark, sf).count())
+    rows.foreach { r =>
+      val s = r.getAs[Double]("mean_silhouette")
+      assert(s >= -1.0 && s <= 1.0, s"mean silhouette out of range: $r")
+    }
+    val overall = rows.head.getAs[Double]("overall_silhouette")
+    assert(rows.forall(_.getAs[Double]("overall_silhouette") == overall))
+    val weighted = rows.map(r =>
+      r.getAs[Double]("mean_silhouette") * r.getAs[Long]("n")).sum /
+      rows.map(_.getAs[Long]("n")).sum
+    // per-cluster means are published at 6 dp, so the recomposed
+    // weighted mean can drift by at most one rounding unit per cluster
+    assert(math.abs(weighted - overall) < 1e-4,
+      s"overall=$overall vs weighted-of-cluster-means=$weighted")
+  }
+
+  test("logistic GD: training loss descends monotonically across all three iterations") {
+    val rows = FeatureOps.qLogisticGd(spark, sf).collect()
+      .sortBy(_.getAs[Int]("iter"))
+    assert(rows.length == 4 && rows.head.getAs[Int]("iter") == 0)
+    // iterate 0 is the all-zero weight vector: loss must be exactly
+    // ln 2 at 6 dp and every weight 0
+    assert(rows.head.getAs[Double]("logloss") == 0.693147)
+    Seq("b0", "b1", "b2", "b3").foreach(c =>
+      assert(rows.head.getAs[Double](c) == 0.0))
+    val losses = rows.map(_.getAs[Double]("logloss"))
+    losses.sliding(2).foreach { w =>
+      assert(w(1) < w(0),
+        s"full-batch GD on a convex loss must descend: ${losses.toSeq}")
+    }
+    rows.foreach { r =>
+      val acc = r.getAs[Double]("accuracy")
+      assert(acc >= 0.0 && acc <= 1.0)
+    }
+  }
+
+  test("decision stump: gain is non-negative and the split is consistent with its cells") {
+    val r = FeatureOps.qDecisionStump(spark, sf).collect().head
+    val (nl, nr) = (r.getAs[Long]("n_left"), r.getAs[Long]("n_right"))
+    val (pl, pr) = (r.getAs[Long]("pos_left"), r.getAs[Long]("pos_right"))
+    assert(nl > 0 && nr > 0, "both sides of the best split are non-empty")
+    assert(pl >= 0 && pl <= nl && pr >= 0 && pr <= nr)
+    assert(r.getAs[Double]("gain") >= 0.0, "information gain is never negative")
+    val li = Tables.lineitem(spark, sf)
+    assert(nl + nr == li.count(), "split partitions the corpus")
+    // majority-vote accuracy recomposed from the published cells
+    val correct = math.max(pl, nl - pl) + math.max(pr, nr - pr)
+    assert(r.getAs[Double]("accuracy") ==
+      BigDecimal(correct.toDouble / (nl + nr))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getAs[Double]("accuracy") >= r.getAs[Double]("baseline") - 1e-9,
+      "the best split never loses to the majority baseline on training data")
+  }
 }

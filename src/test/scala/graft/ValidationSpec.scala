@@ -145,4 +145,24 @@ class ValidationSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Double]("mean_coherence") > 0.0),
       "members correlate positively with their own centroid")
   }
+  test("q_mcnemar: cells partition the corpus, accuracies and the statistic recompose from the cells") {
+    val r = Validation.qMcnemar(spark, sf).collect().head
+    val n = r.getAs[Long]("n")
+    val (br, ao, ro, bw) = (r.getAs[Long]("both_right"),
+      r.getAs[Long]("argmax_only"), r.getAs[Long]("rule_only"),
+      r.getAs[Long]("both_wrong"))
+    assert(br + ao + ro + bw == n, "the four cells partition the docs")
+    assert(n == Tables.documents(spark, sf).count())
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("acc_argmax") == r6((br + ao).toDouble / n))
+    assert(r.getAs[Double]("acc_rule") == r6((br + ro).toDouble / n))
+    val chi = r.getAs[Double]("mcnemar_chi2")
+    if (ao + ro == 0) assert(r.isNullAt(r.fieldIndex("mcnemar_chi2")))
+    else {
+      val d = math.abs(ao - ro).toDouble - 1
+      assert(chi == r6(d * d / (ao + ro)))
+      assert(r.getAs[Boolean]("significant") == (chi > 3.841))
+    }
+  }
 }

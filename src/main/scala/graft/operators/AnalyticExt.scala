@@ -1220,7 +1220,86 @@ object AnalyticExt {
       |  CAST(max(n_g) - max(lo) * 2 AS BIGINT) AS n_kept
       |FROM t GROUP BY seg""".stripMargin
 
+  // ---------------------------------------------------------------- A43
+  /** Lead–lag cross-correlation of the two daily business series —
+    * does order VOLUME lead revenue (pipeline fill), lag it
+    * (replenishment), or move with it? Pearson corr(revenue_t,
+    * n_orders_{t+ℓ}) for every lag ℓ ∈ −7..+7, computed entirely on
+    * the bounded DAY table (one corpus-scale keyed aggregate builds
+    * it; the lag sweep is a broadcast 15-row grid joined against the
+    * day table's self-shift — never a re-scan). Revenue folds to
+    * exact integer cents and counts are exact, so every moment sum
+    * (Σx, Σy, Σxy, Σx², Σy²) is engine-exact DECIMAL; the one
+    * correlation expression runs on identical doubles and rounds at
+    * 6 dp. Pairs exist only where BOTH days are observed (the
+    * correlation is over the overlapping grid — absent calendar days
+    * shorten n_days rather than fabricating zeros). The peak flag
+    * marks the lag(s) achieving the maximum rounded correlation.
+    */
+  def qCrossCorr(spark: SparkSession, dir: String): DataFrame = {
+    val day = Tables.orders(spark, dir)
+      .groupBy(datediff(col("o_orderdate"), lit("1970-01-01")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")
+          .cast("decimal(38,0)")).as("rev"),
+        count(lit(1)).as("cnt"))
+    val grid = spark.range(-7L, 8L).select(col("id").as("lag"))
+    val pairs = day.select(col("day"), col("rev"))
+      .crossJoin(broadcast(grid))
+      .join(day.select(col("day").as("dj"), col("cnt")),
+        col("day") + col("lag") === col("dj"))
+    val mom = pairs.groupBy(col("lag")).agg(
+      count(lit(1)).as("n_days"),
+      sum(col("rev")).as("sx"),
+      sum(col("cnt").cast("decimal(38,0)")).as("sy"),
+      sum(col("rev") * col("cnt")).as("sxy"),
+      sum(col("rev") * col("rev")).as("sxx"),
+      sum((col("cnt") * col("cnt")).cast("decimal(38,0)")).as("syy"))
+    val corr = mom.select(col("lag"), col("n_days"),
+      round(
+        (col("sxy").cast("double") / col("n_days")
+          - col("sx").cast("double") * col("sy").cast("double")
+            / col("n_days") / col("n_days"))
+        / sqrt(
+          (col("sxx").cast("double") / col("n_days")
+            - col("sx").cast("double") * col("sx").cast("double")
+              / col("n_days") / col("n_days"))
+          * (col("syy").cast("double") / col("n_days")
+            - col("sy").cast("double") * col("sy").cast("double")
+              / col("n_days") / col("n_days"))), 6).as("xcorr"))
+    val mx = corr.agg(max(col("xcorr")).as("mx"))
+    corr.crossJoin(broadcast(mx))
+      .select(col("lag"), col("n_days"), col("xcorr"),
+        (col("xcorr") === col("mx")).as("peak"))
+  }
+
+  val qCrossCorrSql: String =
+    """WITH day AS (SELECT date_diff('day', DATE '1970-01-01', o_orderdate) AS day,
+      |    sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT)) AS rev,
+      |    count(*) AS cnt
+      |  FROM orders GROUP BY 1),
+      |grid AS (SELECT unnest(generate_series(-7, 7)) AS lag),
+      |pairs AS (SELECT g.lag, a.rev, b.cnt
+      |  FROM day a, grid g JOIN day b ON a.day + g.lag = b.day),
+      |mom AS (SELECT lag, count(*) AS n_days,
+      |    sum(rev) AS sx, sum(CAST(cnt AS HUGEINT)) AS sy,
+      |    sum(rev * cnt) AS sxy, sum(rev * rev) AS sxx,
+      |    sum(CAST(cnt AS HUGEINT) * cnt) AS syy
+      |  FROM pairs GROUP BY 1),
+      |corr AS (SELECT lag, n_days,
+      |    round((CAST(sxy AS DOUBLE) / n_days
+      |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n_days / n_days)
+      |      / sqrt((CAST(sxx AS DOUBLE) / n_days
+      |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n_days / n_days)
+      |        * (CAST(syy AS DOUBLE) / n_days
+      |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n_days / n_days)),
+      |      6) AS xcorr
+      |  FROM mom),
+      |mx AS (SELECT max(xcorr) AS mx FROM corr)
+      |SELECT lag, n_days, xcorr, (xcorr = mx) AS peak
+      |FROM corr, mx""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cross_corr" -> (qCrossCorr _),
     "q_trimmed_mean" -> (qTrimmedMean _),
     "q_theil_index" -> (qTheilIndex _),
     "q_spearman" -> (qSpearman _),
@@ -1252,6 +1331,7 @@ object AnalyticExt {
     "q_spearman" -> qSpearmanSql,
     "q_kendall_tau" -> qKendallTauSql,
     "q_mann_kendall" -> qMannKendallSql,
+    "q_cross_corr" -> qCrossCorrSql,
     "q_assoc_rules" -> qAssocRulesSql,
     "q_rfm_segments" -> qRfmSegmentsSql,
     "q_blame_supplier" -> qBlameSupplierSql,

@@ -949,7 +949,66 @@ object GraphOps {
       |    AS expansion
       |FROM deg LEFT JOIN h2 ON deg.node = h2.node""".stripMargin
 
+  // ---------------------------------------------------------------- M14
+  /** Neighbor-set Jaccard similarity of ADJACENT node pairs in the
+    * mutual-kNN graph — the structural-equivalence readout M3's
+    * link prediction inverts (M3 scores NON-adjacent pairs for
+    * missing edges; this scores existing edges for redundancy): an
+    * edge whose endpoints share most of their neighborhoods carries
+    * little extra information (contract it when coarsening), one
+    * whose endpoints share nothing is a bridge. J = |N(a)∩N(b)| /
+    * |N(a)∪N(b)| over OPEN neighborhoods; the intersection count is
+    * the per-edge wedge count (the M2 triangle machinery keyed by
+    * edge instead of node), the union is deg(a)+deg(b)−|∩| by
+    * inclusion–exclusion — no set materialization anywhere. kNN
+    * input bounds the wedge stream at |V|·K² and every degree at K;
+    * exact integers to the one 6-dp division; |E| output rows.
+    */
+  def qNeighborJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val und = mutualKnnPairs(spark, dir)
+    val edges = und.union(und.select(col("dst").as("src"),
+      col("src").as("dst")))
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("degree"))
+    // common neighbors of the ordered pair (a,c), a < c: wedges
+    // a—b—c confirmed by nothing (open or closed both count — the
+    // intersection is over neighbor sets, not triangles)
+    val common = edges.select(col("src").as("a"), col("dst").as("b"))
+      .join(edges.select(col("src").as("b"), col("dst").as("c")), "b")
+      .filter(col("a") < col("c"))
+      .groupBy(col("a"), col("c")).agg(count(lit(1)).as("nc"))
+    und.select(col("src").as("a"), col("dst").as("c"))
+      .join(common, Seq("a", "c"), "left")
+      .na.fill(0L, Seq("nc"))
+      .join(deg.select(col("node").as("a"), col("degree").as("da")), "a")
+      .join(deg.select(col("node").as("c"), col("degree").as("dc")), "c")
+      .select(col("a").as("src"), col("c").as("dst"),
+        col("nc").as("common_neighbors"),
+        (col("da") + col("dc") - col("nc")).as("union_size"),
+        round(col("nc").cast("double")
+          / (col("da") + col("dc") - col("nc")), 6).as("jaccard"))
+  }
+
+  val qNeighborJaccardSql: String =
+    s"""WITH $mutKnnSql,
+      |edges AS MATERIALIZED (SELECT src, dst FROM und
+      |  UNION ALL SELECT dst, src FROM und),
+      |deg AS (SELECT src AS node, count(*) AS degree FROM edges GROUP BY 1),
+      |common AS (SELECT e1.src AS a, e2.dst AS c, count(*) AS nc
+      |  FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+      |  WHERE e1.src < e2.dst GROUP BY 1, 2)
+      |SELECT u.src, u.dst,
+      |  coalesce(common.nc, 0) AS common_neighbors,
+      |  da.degree + dc.degree - coalesce(common.nc, 0) AS union_size,
+      |  round(CAST(coalesce(common.nc, 0) AS DOUBLE)
+      |    / (da.degree + dc.degree - coalesce(common.nc, 0)), 6) AS jaccard
+      |FROM und u
+      |LEFT JOIN common ON common.a = u.src AND common.c = u.dst
+      |JOIN deg da ON da.node = u.src
+      |JOIN deg dc ON dc.node = u.dst""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_neighbor_jaccard" -> (qNeighborJaccard _),
     "q_two_hop" -> (qTwoHop _),
     "q_rich_club" -> (qRichClub _),
     "q_assortativity" -> (qAssortativity _),
@@ -967,6 +1026,7 @@ object GraphOps {
     "q_triangle_knn" -> (qTriangleKnn _))
 
   def oracle: Map[String, String] = Map(
+    "q_neighbor_jaccard" -> qNeighborJaccardSql,
     "q_two_hop" -> qTwoHopSql,
     "q_eigencentrality" -> qEigencentralitySql,
     "q_assortativity" -> qAssortativitySql,

@@ -132,6 +132,203 @@ object Validation {
         coalesce(abs(col("z")) > 1.96, lit(false)).as("significant"))
   }
 
+  // ---------------------------------------------------------------- L25
+  /** CUPED variance reduction — the covariate-adjustment that halves
+    * an experiment's runtime when a pre-period covariate is strong:
+    * per-user PRE-period purchase spend x (first 15 observed days)
+    * against POST-period spend y, θ = cov(x,y)/var(x) pooled over
+    * both md5 arms, adjusted outcome y − θ(x − x̄). The key identity
+    * that keeps it oracle-exact: arm means and variances of the
+    * ADJUSTED outcome are pure algebra over the arms' EXACT DECIMAL
+    * moment sums — mean_adj = ȳ_a − θ(x̄_a − x̄), var_adj = var(y) −
+    * 2θ·cov(x,y) + θ²·var(x) — so no per-user double is ever summed
+    * (the naive Σ(y−θx) would diverge on summation order). Publishes
+    * the raw and CUPED z-statistics side by side with the achieved
+    * variance-reduction ratio; deterministic arms make the null true
+    * by construction, so the verdict audits the machinery (θ, the
+    * reduction, unchanged significance), not a fabricated effect.
+    * var(x) = 0 degenerates to θ = 0 (CUPED = raw), never a divide
+    * error. One corpus-scale pass + bounded arm algebra; 1 row.
+    */
+  def qCuped(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"),
+      expr("(ts DIV 1000000000) DIV 86400").cast("long").as("day"),
+      when(col("event_type") === "purchase",
+        round(col("value") * 100).cast("long")).otherwise(0L).as("cents"))
+    val mind = ev.agg(min(col("day")).as("d0"))
+    val pu = ev.crossJoin(broadcast(mind))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("day") < col("d0") + 15, col("cents"))
+          .otherwise(0L)).as("x"),
+        sum(when(col("day") >= col("d0") + 15, col("cents"))
+          .otherwise(0L)).as("y"))
+      .withColumn("arm",
+        when(expr("conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10)")
+          .cast("long") % 2 === 0, "treat").otherwise("ctrl"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val pooled = pu.agg(count(lit(1)).as("n"),
+      sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+      sum(dec(col("x") * col("y"))).as("sxy"),
+      sum(dec(col("x") * col("x"))).as("sxx"))
+    val arms = pu.groupBy(col("arm")).agg(count(lit(1)).as("n"),
+      sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+      sum(dec(col("x") * col("y"))).as("sxy"),
+      sum(dec(col("x") * col("x"))).as("sxx"),
+      sum(dec(col("y") * col("y"))).as("syy"))
+    def armCol(a: String, c: String) = max(when(col("arm") === a, col(c)))
+    val wide = arms.agg(
+      armCol("treat", "n").as("n_t"), armCol("ctrl", "n").as("n_c"),
+      armCol("treat", "sx").as("sx_t"), armCol("ctrl", "sx").as("sx_c"),
+      armCol("treat", "sy").as("sy_t"), armCol("ctrl", "sy").as("sy_c"),
+      armCol("treat", "sxy").as("sxy_t"), armCol("ctrl", "sxy").as("sxy_c"),
+      armCol("treat", "sxx").as("sxx_t"), armCol("ctrl", "sxx").as("sxx_c"),
+      armCol("treat", "syy").as("syy_t"), armCol("ctrl", "syy").as("syy_c"))
+    val j = wide.crossJoin(broadcast(pooled))
+      .withColumn("xbar", col("sx").cast("double") / col("n"))
+      .withColumn("vx", col("sxx").cast("double") / col("n")
+        - (col("sx").cast("double") / col("n"))
+          * (col("sx").cast("double") / col("n")))
+      .withColumn("theta", when(col("vx") <= 0, lit(0.0))
+        .otherwise(round(
+          (col("sxy").cast("double") / col("n")
+            - col("sx").cast("double") * col("sy").cast("double")
+              / col("n") / col("n")) / col("vx"), 10)))
+    def mAdj(a: String) =
+      (col(s"sy_$a").cast("double") / col(s"n_$a")
+        - col("theta") * (col(s"sx_$a").cast("double") / col(s"n_$a")
+          - col("xbar")))
+    def vRaw(a: String) =
+      ((col(s"syy_$a").cast("double")
+        - col(s"sy_$a").cast("double") * col(s"sy_$a").cast("double")
+          / col(s"n_$a")) / (col(s"n_$a") - 1))
+    def covA(a: String) =
+      ((col(s"sxy_$a").cast("double")
+        - col(s"sx_$a").cast("double") * col(s"sy_$a").cast("double")
+          / col(s"n_$a")) / (col(s"n_$a") - 1))
+    def vxA(a: String) =
+      ((col(s"sxx_$a").cast("double")
+        - col(s"sx_$a").cast("double") * col(s"sx_$a").cast("double")
+          / col(s"n_$a")) / (col(s"n_$a") - 1))
+    def vAdj(a: String) =
+      (vRaw(a) - lit(2.0) * col("theta") * covA(a)
+        + col("theta") * col("theta") * vxA(a))
+    val out = j
+      .withColumn("diff_raw",
+        round((col("sy_t").cast("double") / col("n_t")
+          - col("sy_c").cast("double") / col("n_c")) / 100.0, 6))
+      .withColumn("se2_raw", vRaw("t") / col("n_t") + vRaw("c") / col("n_c"))
+      .withColumn("se2_adj", vAdj("t") / col("n_t") + vAdj("c") / col("n_c"))
+      .withColumn("diff_cuped", round((mAdj("t") - mAdj("c")) / 100.0, 6))
+      .withColumn("z_raw", when(col("se2_raw") <= 0, lit(null).cast("double"))
+        .otherwise(round((col("sy_t").cast("double") / col("n_t")
+          - col("sy_c").cast("double") / col("n_c"))
+          / sqrt(col("se2_raw")), 6)))
+      .withColumn("z_cuped", when(col("se2_adj") <= 0, lit(null).cast("double"))
+        .otherwise(round((mAdj("t") - mAdj("c")) / sqrt(col("se2_adj")), 6)))
+      .withColumn("var_reduction",
+        when(col("se2_raw") <= 0, lit(null).cast("double"))
+          .otherwise(round(lit(1.0) - col("se2_adj") / col("se2_raw"), 6)))
+    out.select(col("n_t"), col("n_c"), round(col("theta"), 6).as("theta"),
+      col("diff_raw"), col("z_raw"), col("diff_cuped"), col("z_cuped"),
+      col("var_reduction"),
+      coalesce(abs(col("z_cuped")) > 1.96, lit(false)).as("significant"))
+  }
+
+  val qCupedSql: String =
+    """WITH ev AS (SELECT user_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    CASE WHEN event_type = 'purchase'
+      |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END AS cents
+      |  FROM events),
+      |mind AS (SELECT min(day) AS d0 FROM ev),
+      |pu AS (SELECT user_id,
+      |    CAST(sum(CASE WHEN day < d0 + 15 THEN cents ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN day >= d0 + 15 THEN cents ELSE 0 END) AS BIGINT) AS y,
+      |    CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+      |      THEN 'treat' ELSE 'ctrl' END AS arm
+      |  FROM ev, mind GROUP BY user_id, arm),
+      |pooled AS (SELECT count(*) AS n,
+      |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx
+      |  FROM pu),
+      |arms AS (SELECT arm, count(*) AS n,
+      |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM pu GROUP BY 1),
+      |wide AS (SELECT
+      |    max(CASE WHEN arm = 'treat' THEN n END) AS n_t,
+      |    max(CASE WHEN arm = 'ctrl' THEN n END) AS n_c,
+      |    max(CASE WHEN arm = 'treat' THEN sx END) AS sx_t,
+      |    max(CASE WHEN arm = 'ctrl' THEN sx END) AS sx_c,
+      |    max(CASE WHEN arm = 'treat' THEN sy END) AS sy_t,
+      |    max(CASE WHEN arm = 'ctrl' THEN sy END) AS sy_c,
+      |    max(CASE WHEN arm = 'treat' THEN sxy END) AS sxy_t,
+      |    max(CASE WHEN arm = 'ctrl' THEN sxy END) AS sxy_c,
+      |    max(CASE WHEN arm = 'treat' THEN sxx END) AS sxx_t,
+      |    max(CASE WHEN arm = 'ctrl' THEN sxx END) AS sxx_c,
+      |    max(CASE WHEN arm = 'treat' THEN syy END) AS syy_t,
+      |    max(CASE WHEN arm = 'ctrl' THEN syy END) AS syy_c
+      |  FROM arms),
+      |j AS (SELECT *,
+      |    CAST(sx AS DOUBLE) / n AS xbar,
+      |    CAST(sxx AS DOUBLE) / n
+      |      - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) AS vx
+      |  FROM wide, pooled),
+      |t AS (SELECT *,
+      |    CASE WHEN vx <= 0 THEN 0.0
+      |      ELSE round((CAST(sxy AS DOUBLE) / n
+      |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n / n) / vx, 10)
+      |    END AS theta
+      |  FROM j),
+      |c AS (SELECT *,
+      |    CAST(sy_t AS DOUBLE) / n_t
+      |      - theta * (CAST(sx_t AS DOUBLE) / n_t - xbar) AS m_t,
+      |    CAST(sy_c AS DOUBLE) / n_c
+      |      - theta * (CAST(sx_c AS DOUBLE) / n_c - xbar) AS m_c,
+      |    (CAST(syy_t AS DOUBLE)
+      |      - CAST(sy_t AS DOUBLE) * CAST(sy_t AS DOUBLE) / n_t) / (n_t - 1)
+      |      - 2.0 * theta * ((CAST(sxy_t AS DOUBLE)
+      |        - CAST(sx_t AS DOUBLE) * CAST(sy_t AS DOUBLE) / n_t) / (n_t - 1))
+      |      + theta * theta * ((CAST(sxx_t AS DOUBLE)
+      |        - CAST(sx_t AS DOUBLE) * CAST(sx_t AS DOUBLE) / n_t) / (n_t - 1))
+      |      AS va_t,
+      |    (CAST(syy_c AS DOUBLE)
+      |      - CAST(sy_c AS DOUBLE) * CAST(sy_c AS DOUBLE) / n_c) / (n_c - 1)
+      |      - 2.0 * theta * ((CAST(sxy_c AS DOUBLE)
+      |        - CAST(sx_c AS DOUBLE) * CAST(sy_c AS DOUBLE) / n_c) / (n_c - 1))
+      |      + theta * theta * ((CAST(sxx_c AS DOUBLE)
+      |        - CAST(sx_c AS DOUBLE) * CAST(sx_c AS DOUBLE) / n_c) / (n_c - 1))
+      |      AS va_c,
+      |    (CAST(syy_t AS DOUBLE)
+      |      - CAST(sy_t AS DOUBLE) * CAST(sy_t AS DOUBLE) / n_t) / (n_t - 1)
+      |      AS vr_t,
+      |    (CAST(syy_c AS DOUBLE)
+      |      - CAST(sy_c AS DOUBLE) * CAST(sy_c AS DOUBLE) / n_c) / (n_c - 1)
+      |      AS vr_c
+      |  FROM t),
+      |f AS (SELECT n_t, n_c, round(theta, 6) AS theta,
+      |    round((CAST(sy_t AS DOUBLE) / n_t
+      |      - CAST(sy_c AS DOUBLE) / n_c) / 100.0, 6) AS diff_raw,
+      |    vr_t / n_t + vr_c / n_c AS se2_raw,
+      |    va_t / n_t + va_c / n_c AS se2_adj,
+      |    CAST(sy_t AS DOUBLE) / n_t - CAST(sy_c AS DOUBLE) / n_c AS draw,
+      |    m_t - m_c AS dadj
+      |  FROM c)
+      |SELECT n_t, n_c, theta, diff_raw,
+      |  CASE WHEN se2_raw <= 0 THEN NULL
+      |    ELSE round(draw / sqrt(se2_raw), 6) END AS z_raw,
+      |  round(dadj / 100.0, 6) AS diff_cuped,
+      |  CASE WHEN se2_adj <= 0 THEN NULL
+      |    ELSE round(dadj / sqrt(se2_adj), 6) END AS z_cuped,
+      |  CASE WHEN se2_raw <= 0 THEN NULL
+      |    ELSE round(1.0 - se2_adj / se2_raw, 6) END AS var_reduction,
+      |  coalesce(abs(CASE WHEN se2_adj <= 0 THEN NULL
+      |    ELSE round(dadj / sqrt(se2_adj), 6) END) > 1.96, false) AS significant
+      |FROM f""".stripMargin
+
   // ---------------------------------------------------------------- L24
   /** McNemar's test on PAIRED classifier disagreement — the right
     * test when two classifiers score the SAME documents (two
@@ -1649,6 +1846,7 @@ object Validation {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mcnemar" -> (qMcnemar _),
+    "q_cuped" -> (qCuped _),
     "q_poststrat_ate" -> (qPoststratAte _),
     "q_capture_recapture" -> (qCaptureRecapture _),
     "q_anova" -> (qAnova _),
@@ -1674,6 +1872,7 @@ object Validation {
 
   def oracle: Map[String, String] = Map(
     "q_mcnemar" -> qMcnemarSql,
+    "q_cuped" -> qCupedSql,
     "q_poststrat_ate" -> qPoststratAteSql,
     "q_capture_recapture" -> qCaptureRecaptureSql,
     "q_anova" -> qAnovaSql,

@@ -999,4 +999,57 @@ class PropertySpec extends AnyFunSuite {
       assert(two.size.toLong == t, s"node $n: brute two-hop ${two.size} != $t")
     }
   }
+
+  test("q_neighbor_jaccard: counts match brute-force neighbor sets, jaccard consistent by inclusion-exclusion") {
+    import graft.operators.GraphOps
+    val rows = GraphOps.qNeighborJaccard(spark, sf)
+      .select("src", "dst", "common_neighbors", "union_size", "jaccard")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val und = GraphOps.mutualKnnPairs(spark, sf).as[(Long, Long)].collect()
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    und.foreach { case (a, b) => adj(a) = adj(a) + b; adj(b) = adj(b) + a }
+    assert(rows.length == und.length, "one output row per mutual edge")
+    rows.foreach { case (a, c, nc, u, j) =>
+      val inter = (adj(a) intersect adj(c)).size.toLong
+      assert(nc == inter, s"edge ($a,$c): common $nc != brute $inter")
+      assert(u == (adj(a) union adj(c)).size.toLong,
+        s"edge ($a,$c): union via inclusion-exclusion broke")
+      assert(u >= 2, "adjacent endpoints always contribute both selves")
+      assert(j >= 0.0 && j < 1.0, "J < 1: a and c are never common neighbors of themselves")
+      assert(math.abs(j - BigDecimal(nc.toDouble / u)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    }
+  }
+
+  test("q_cross_corr: 15-lag grid complete, bounds hold, lag-0 equals an exact driver-side Pearson") {
+    import graft.operators.AnalyticExt
+    val rows = AnalyticExt.qCrossCorr(spark, sf)
+      .select("lag", "n_days", "xcorr", "peak")
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    assert(rows.map(_._1).sameElements(-7L to 7L), "lag grid incomplete")
+    rows.foreach { case (_, n, c, _) =>
+      assert(n > 0 && c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+    }
+    val mx = rows.map(_._3).max
+    assert(rows.forall { case (_, _, c, p) => p == (c == mx) })
+    // driver-side exact lag-0 Pearson from the raw day table
+    import org.apache.spark.sql.functions._
+    val day = Tables.orders(spark, sf)
+      .groupBy(datediff(col("o_orderdate"), lit("1970-01-01")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"),
+        count(lit(1)).as("cnt"))
+      .as[(Long, Long, Long)].collect()
+    val n = day.length.toDouble
+    val (xs, ys) = (day.map(_._2.toDouble), day.map(_._3.toDouble))
+    val (mxx, myy) = (xs.sum / n, ys.sum / n)
+    val num = xs.zip(ys).map { case (x, y) => (x - mxx) * (y - myy) }.sum / n
+    val den = math.sqrt(
+      xs.map(x => (x - mxx) * (x - mxx)).sum / n *
+        ys.map(y => (y - myy) * (y - myy)).sum / n)
+    val lag0 = rows.find(_._1 == 0L).get._3
+    assert(math.abs(lag0 - num / den) < 1e-4,
+      s"lag-0 xcorr $lag0 vs driver Pearson ${num / den}")
+  }
 }

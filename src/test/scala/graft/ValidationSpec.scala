@@ -12,6 +12,7 @@ import graft.operators.{Dedup, SkewJoin, TrainingOps, Validation}
   */
 class ValidationSpec extends AnyFunSuite {
   import TestSession._
+  import spark.implicits._
 
   test("q_data_validation: every check passes on clean data, one scan per table") {
     val df = Validation.qDataValidation(spark, sf)
@@ -164,5 +165,52 @@ class ValidationSpec extends AnyFunSuite {
       assert(chi == r6(d * d / (ao + ro)))
       assert(r.getAs[Boolean]("significant") == (chi > 3.841))
     }
+  }
+
+  test("q_cuped: theta and both z statistics match a brute-force per-user recomputation") {
+    val r = Validation.qCuped(spark, sf).collect().head
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf).select(col("user_id"),
+      expr("(ts DIV 1000000000) DIV 86400").cast("long").as("day"),
+      when(col("event_type") === "purchase",
+        round(col("value") * 100).cast("long")).otherwise(0L).as("cents"))
+      .as[(Long, Long, Long)].collect()
+    val d0 = ev.map(_._2).min
+    val byU = ev.groupBy(_._1).map { case (u, rs) =>
+      val x = rs.filter(_._2 < d0 + 15).map(_._3).sum.toDouble
+      val y = rs.filter(_._2 >= d0 + 15).map(_._3).sum.toDouble
+      val arm = if (java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(u.toString)
+          .substring(0, 15), 16) % 2 == 0) "treat" else "ctrl"
+      (arm, x, y)
+    }.toSeq
+    val n = byU.length.toDouble
+    val xbar = byU.map(_._2).sum / n
+    val ybar = byU.map(_._3).sum / n
+    val vx = byU.map(t => (t._2 - xbar) * (t._2 - xbar)).sum / n
+    val cov = byU.map(t => (t._2 - xbar) * (t._3 - ybar)).sum / n
+    val theta = if (vx <= 0) 0.0 else cov / vx
+    assert(math.abs(r.getAs[Double]("theta") - theta) < 1e-4,
+      s"theta ${r.getAs[Double]("theta")} vs brute $theta")
+    def stats(arm: String, th: Double) = {
+      val ys = byU.filter(_._1 == arm)
+        .map(t => t._3 - th * (t._2 - xbar))
+      val m = ys.sum / ys.length
+      val v = ys.map(v0 => (v0 - m) * (v0 - m)).sum / (ys.length - 1)
+      (ys.length, m, v)
+    }
+    val (ntr, mtr, vtr) = stats("treat", theta)
+    val (ncr, mcr, vcr) = stats("ctrl", theta)
+    assert(r.getAs[Long]("n_t") == ntr && r.getAs[Long]("n_c") == ncr)
+    val z = (mtr - mcr) / math.sqrt(vtr / ntr + vcr / ncr)
+    assert(math.abs(r.getAs[Double]("z_cuped") - z) < 1e-3,
+      s"z_cuped ${r.getAs[Double]("z_cuped")} vs brute $z")
+    val (_, mtr0, vtr0) = stats("treat", 0.0)
+    val (_, mcr0, vcr0) = stats("ctrl", 0.0)
+    val z0 = (mtr0 - mcr0) / math.sqrt(vtr0 / ntr + vcr0 / ncr)
+    assert(math.abs(r.getAs[Double]("z_raw") - z0) < 1e-3)
+    val vr = 1.0 - (vtr / ntr + vcr / ncr) / (vtr0 / ntr + vcr0 / ncr)
+    assert(math.abs(r.getAs[Double]("var_reduction") - vr) < 1e-3,
+      s"var_reduction ${r.getAs[Double]("var_reduction")} vs brute $vr")
   }
 }

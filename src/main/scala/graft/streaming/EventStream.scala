@@ -282,6 +282,104 @@ object EventStream {
       }
   }
 
+  /** Typed event (with type) for the stateful funnel. */
+  case class TypedEv(user_id: Long, tsec: Long, event_type: String,
+    ets: java.sql.Timestamp)
+  /** Per-user funnel progress: earliest signup seen (MaxValue when
+    * none yet), purchases buffered BEFORE any signup arrived, and the
+    * emitted-flag that makes the hit exactly-once per user. */
+  case class FunnelState(signupT: Long, preBuf: List[Long], done: Boolean)
+  /** Emitted once per user on the first purchase within the window. */
+  case class FunnelHit(user_id: Long, signup_t: Long, conv_t: Long)
+
+  /** F44: stateful streaming funnel — the F3 batch funnel (earliest
+    * signup → any purchase within the hour) as an incremental
+    * `flatMapGroupsWithState` operator that emits each conversion the
+    * MOMENT its purchase arrives, rather than re-scanning history:
+    * per-user state is three words plus a pre-signup purchase buffer
+    * (bounded by the watermark horizon — an unmatched purchase can
+    * only matter while a signup that reaches back to it can still
+    * arrive), and an event-time timeout evicts users whose window
+    * closed below the watermark, so state never grows with stream
+    * length. Emission does not wait for the watermark (a hit is a
+    * hit when matched) — append-mode output with no close-delay.
+    * Batch-equality contract: with the replayed source delivering
+    * events in event-time order (the corpus files are ts-sorted), the
+    * per-user earliest signup is known before any later purchase, so
+    * the emitted (user, signup_t, conv_t) set equals the batch F3
+    * conversion set with conv_t = the earliest in-window purchase —
+    * spec-asserted. Out-of-order arrivals within the watermark delay
+    * only ADD conversions late, never emit a wrong one (a hit is
+    * checked against the then-known earliest signup; an even earlier
+    * signup arriving later would only have widened the window
+    * earlier, and the corpus replay never produces that ordering).
+    */
+  def streamFunnel(spark: SparkSession, dir: String,
+      windowSec: Long = 3600): Dataset[FunnelHit] = {
+    import spark.implicits._
+    funnelHits(Tables.eventsStream(spark, dir)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select(col("user_id"),
+        expr("ts DIV 1000000000").cast("long").as("tsec"),
+        col("event_type"),
+        timestamp_micros(expr("ts DIV 1000")).as("ets"))
+      .as[TypedEv], windowSec)
+  }
+
+  /** The funnel transform itself, source-agnostic (the F12 contract):
+    * any [[TypedEv]] stream in, conversion hits out. */
+  def funnelHits(events: Dataset[TypedEv],
+      windowSec: Long): Dataset[FunnelHit] = {
+    import events.sparkSession.implicits._
+    val src = events.withWatermark("ets", "10 minutes").as[TypedEv]
+    src.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[TypedEv], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val evs = it.toSeq.sortBy(_.tsec)
+            var st = state.getOption
+              .getOrElse(FunnelState(Long.MaxValue, Nil, done = false))
+            val out = Seq.newBuilder[FunnelHit]
+            if (!st.done) {
+              val signups = evs.filter(_.event_type == "signup").map(_.tsec)
+              val s = (signups :+ st.signupT).min
+              val purchases = st.preBuf ++
+                evs.filter(_.event_type == "purchase").map(_.tsec)
+              if (s == Long.MaxValue) {
+                // no signup yet: buffer purchases for a possible
+                // backdated signup still inside the watermark horizon
+                st = st.copy(preBuf = purchases)
+              } else {
+                val hit = purchases.filter(p => p >= s && p <= s + windowSec)
+                if (hit.nonEmpty) {
+                  out += FunnelHit(user, s, hit.min)
+                  st = FunnelState(s, Nil, done = true)
+                } else
+                  // pre-window purchases can never match (the earliest
+                  // signup only moves down on out-of-order input the
+                  // replayed corpus never produces) and post-window
+                  // ones never will — the buffer clears either way
+                  st = FunnelState(s, Nil, done = false)
+              }
+            }
+            state.update(st)
+            // evict once the watermark passes the last possible match:
+            // window end for a known signup, or the horizon for a
+            // signup that could still arrive
+            val horizon = if (st.signupT != Long.MaxValue)
+              st.signupT + windowSec
+            else evs.map(_.tsec).foldLeft(0L)(math.max) + windowSec
+            // EventTimeTimeout rejects a timestamp at or below the
+            // current watermark — clamp one minute above it
+            state.setTimeoutTimestamp(
+              math.max(horizon * 1000L, state.getCurrentWatermarkMs() + 60000L))
+            out.result().iterator
+          }
+      }
+  }
+
   /** F7: stream-stream time-interval join — the streaming twin of the
     * batch range join (A13): views joined to clicks by the same user
     * within 10 minutes, both sides watermarked so the join state for

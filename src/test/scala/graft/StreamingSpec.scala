@@ -492,4 +492,67 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.except(batch).isEmpty,
       "file-sink rows disagree with the batch twin")
   }
+  test("stateful streaming funnel equals the batch conversion set with the earliest in-window purchase") {
+    import EventStream.FunnelHit
+    import org.apache.spark.sql.functions._
+    val qn = "funnel_stream_test"
+    val q = EventStream.streamFunnel(spark, sf)
+      .writeStream.outputMode("append").format("memory").queryName(qn).start()
+    q.processAllAvailable(); q.stop()
+    val hits = spark.table(qn).as[FunnelHit].collect()
+    assert(hits.nonEmpty, "no conversions streamed")
+    assert(hits.map(_.user_id).distinct.length == hits.length,
+      "a user converted more than once")
+    // batch truth: earliest signup, earliest purchase within the hour
+    val ev = Tables.events(spark, sf).select(col("user_id"),
+      expr("ts DIV 1000000000").cast("long").as("tsec"), col("event_type"))
+      .as[(Long, Long, String)].collect()
+    val truth = ev.groupBy(_._1).flatMap { case (u, rs) =>
+      val signups = rs.filter(_._3 == "signup").map(_._2)
+      if (signups.isEmpty) None
+      else {
+        val s = signups.min
+        val conv = rs.filter(r =>
+          r._3 == "purchase" && r._2 >= s && r._2 <= s + 3600).map(_._2)
+        if (conv.isEmpty) None else Some(FunnelHit(u, s, conv.min))
+      }
+    }.toSet
+    assert(hits.toSet == truth,
+      s"streamed ${hits.length} hits != batch ${truth.size}")
+    // headline consistency with the oracle-checked F3 count
+    val f3 = graft.operators.TemporalOps.qFunnel(spark, sf).collect().head
+    assert(hits.length.toLong == f3.getAs[Long]("n_converted"))
+  }
+
+  test("streaming funnel buffers a purchase that arrives before its signup and evicts idle state") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStream.{TypedEv, FunnelHit}
+    def te(u: Long, t: Long, ty: String) =
+      TypedEv(u, t, ty, new java.sql.Timestamp(t * 1000L))
+    val input = MemoryStream[TypedEv]
+    val qn = "funnel_buffer_test"
+    val q = EventStream.funnelHits(input.toDS(), windowSec = 3600)
+      .writeStream.outputMode("append").format("memory").queryName(qn).start()
+    // batch 1: user 1's purchase arrives BEFORE its signup (same event
+    // times would match); user 2 signs up and never purchases
+    input.addData(te(1, 2000, "purchase"), te(2, 1000, "signup"))
+    q.processAllAvailable()
+    // batch 2: user 1's signup arrives late-but-in-order-of-event-time
+    // relative to nothing — the buffered purchase must now match
+    input.addData(te(1, 1500, "signup"))
+    q.processAllAvailable()
+    // batch 3: advance the watermark far past every horizon so user
+    // 2's state (and user 1's done-state) is evicted via timeout
+    input.addData(te(3, 100000, "signup"))
+    q.processAllAvailable()
+    // a purchase from user 2 AFTER eviction must not resurrect a hit
+    // (its window [1000, 4600] is below the watermark; the event is
+    // late beyond the delay and dropped by the watermark filter)
+    input.addData(te(2, 3000, "purchase"))
+    q.processAllAvailable()
+    val out = spark.table(qn).as[FunnelHit].collect().toSet
+    q.stop()
+    assert(out == Set(FunnelHit(1, 1500, 2000)),
+      s"pre-signup purchase buffering broke: $out")
+  }
 }

@@ -200,7 +200,51 @@ object SqlSurface {
     spark.sql(sqlDecontamText)
   }
 
+  /** I11: the SQL `PIVOT` clause through the parser — revenue by
+    * nation fanned into one column per order priority. PIVOT is a
+    * genuine parser/analyzer feature (Spark rewrites it to a
+    * conditional aggregate during analysis — there is no PIVOT
+    * operator in the DSL-built plans elsewhere in this library), so
+    * this pins that the front end's rewrite produces the same
+    * nullable cells as the oracle's explicit CASE aggregate: an
+    * empty (nation, priority) cell is NULL in both. Revenue folds to
+    * exact integer cents before the pivot, so every cell is
+    * engine-exact; the plan is one join + one grouped aggregate —
+    * the pivot fan-out adds columns, never rows or extra scans.
+    */
+  def qSqlPivot(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.nation(spark, dir).createOrReplaceTempView("nation")
+    spark.sql(
+      """SELECT * FROM (
+        |  SELECT n_name AS nation, o_orderpriority AS prio,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |) PIVOT (sum(cents) FOR prio IN
+        |  ('1-URGENT' AS urgent, '2-HIGH' AS high, '3-MEDIUM' AS medium,
+        |   '4-NOT SPECIFIED' AS notspec, '5-LOW' AS low))""".stripMargin)
+  }
+
+  val qSqlPivotSql: String =
+    """SELECT n_name AS nation,
+      |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+      |    THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS urgent,
+      |  CAST(sum(CASE WHEN o_orderpriority = '2-HIGH'
+      |    THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS high,
+      |  CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM'
+      |    THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS medium,
+      |  CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+      |    THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS notspec,
+      |  CAST(sum(CASE WHEN o_orderpriority = '5-LOW'
+      |    THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS low
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_pivot" -> (qSqlPivot _),
     "q_sql_decontam" -> (qSqlDecontam _),
     "q_sql_grouping_sets" -> (qSqlGroupingSets _),
     "q_sql_window_suite" -> (qSqlWindowSuite _),
@@ -212,6 +256,7 @@ object SqlSurface {
     "q_sql_subqueries" -> (qSqlSubqueries _))
 
   def oracle: Map[String, String] = Map(
+    "q_sql_pivot" -> qSqlPivotSql,
     "q_sql_decontam" -> Dedup.qNgramDecontamSql,
     "q_sql_grouping_sets" -> groupingSetsSql,
     "q_sql_window_suite" -> AnalyticExt.qWindowSuiteSql,

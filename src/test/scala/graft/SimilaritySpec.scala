@@ -171,4 +171,31 @@ class SimilaritySpec extends AnyFunSuite {
       assert(rows.map(_._2).sorted.toSeq == (1 to 5), s"query $q ranks broken")
     }
   }
+  test("filtered ANN: every hit matches the query label, recall vs filtered truth >= 0.8, selectivity sane") {
+    val rows = Similarity.qAnnFiltered(spark, sf)
+      .select("qid", "qlabel", "nid", "rank", "recall_at_5", "selectivity")
+      .as[(Long, Int, Long, Int, Option[Double], Option[Double])].collect()
+    assert(rows.nonEmpty, "filtered search returned nothing")
+    // the filter really filtered: every neighbor shares the query label
+    val lbl = Tables.embeddings(spark, sf)
+      .select("vec_id", "label").as[(Long, Int)].collect().toMap
+    rows.foreach { case (q, ql, n, _, _, _) =>
+      assert(lbl(q) == ql, s"query $q published wrong label")
+      assert(lbl(n) == ql, s"neighbor $n of query $q violates the label filter")
+    }
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._4).sorted.toSeq == (1 to rs.length),
+        s"query $q ranks not dense")
+      assert(rs.length <= 5)
+    }
+    // recall vs the FILTERED exact truth: the filtered pipeline must
+    // not lose same-label neighbors that the filtered scan could reach
+    val recalls = rows.flatMap(_._5).distinct
+    assert(recalls.nonEmpty)
+    val mean = rows.groupBy(_._1).flatMap(_._2.head._5).toSeq
+    assert(mean.sum / mean.size >= 0.8,
+      s"mean filtered recall ${mean.sum / mean.size} below floor")
+    // selectivity: a label cut keeps a strict, non-trivial fraction
+    rows.flatMap(_._6).foreach(s => assert(s > 0.0 && s < 1.0))
+  }
 }

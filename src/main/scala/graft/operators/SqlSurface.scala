@@ -243,7 +243,31 @@ object SqlSurface {
       |JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY 1""".stripMargin
 
+  /** Shared SQL text for I12 — valid in BOTH engines, so the exact
+    * same string runs on Spark and DuckDB (the I1 device applied to a
+    * correlated LATERAL subquery with ORDER BY + LIMIT: Spark plans
+    * it as a LateralJoin, DuckDB as a dependent join — per-group
+    * top-k through the parser, where the DSL twin A4 uses a window).
+    * Exact integer cents and a c_custkey tiebreak close the rank
+    * boundary.
+    */
+  val lateralSql: String =
+    """SELECT n_name AS nation, t.c_custkey, t.bal_cents
+      |FROM nation, LATERAL (
+      |  SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      |  FROM customer WHERE c_nationkey = n_nationkey
+      |  ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 3) t""".stripMargin
+
+  /** I12: correlated LATERAL subquery through the SQL front end —
+    * top-3 customers by balance per nation. */
+  def qSqlLateral(spark: SparkSession, dir: String): DataFrame = {
+    Tables.nation(spark, dir).createOrReplaceTempView("nation")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    spark.sql(lateralSql)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_lateral" -> (qSqlLateral _),
     "q_sql_pivot" -> (qSqlPivot _),
     "q_sql_decontam" -> (qSqlDecontam _),
     "q_sql_grouping_sets" -> (qSqlGroupingSets _),
@@ -256,6 +280,7 @@ object SqlSurface {
     "q_sql_subqueries" -> (qSqlSubqueries _))
 
   def oracle: Map[String, String] = Map(
+    "q_sql_lateral" -> lateralSql,
     "q_sql_pivot" -> qSqlPivotSql,
     "q_sql_decontam" -> Dedup.qNgramDecontamSql,
     "q_sql_grouping_sets" -> groupingSetsSql,

@@ -707,6 +707,21 @@ class PropertySpec extends AnyFunSuite {
     assert(gs.forall(g => g == 0 || g == 2 || g == 3), "gid encodes the declared sets only")
   }
 
+  test("sql lateral: correlated LATERAL top-3 equals the window-function formulation") {
+    val lat = graft.operators.SqlSurface.queries("q_sql_lateral")(spark, sf)
+    assert(lat.count() == 25 * 3, "3 customers per nation, 25 nations")
+    val win = graft.Tables.customer(spark, sf)
+      .join(graft.Tables.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("n_nationkey")
+          .orderBy(col("c_acctbal").desc, col("c_custkey").asc)))
+      .where(col("rk") <= 3)
+      .select(col("n_name").as("nation"), col("c_custkey"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+    assert(lat.exceptAll(win).isEmpty && win.exceptAll(lat).isEmpty,
+      "LATERAL parser path and window DSL path must agree row-for-row")
+  }
+
   test("sql decontam: the SQL-text surface equals the DataFrame twin row-for-row") {
     val sqlD = graft.operators.SqlSurface.queries("q_sql_decontam")(spark, sf)
     val dfD = graft.operators.Dedup.queries("q_ngram_decontam")(spark, sf)

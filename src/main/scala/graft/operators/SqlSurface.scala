@@ -266,7 +266,58 @@ object SqlSurface {
     spark.sql(lateralSql)
   }
 
+  /** Shared SQL text for I13 — a RECURSIVE CTE valid in BOTH engines,
+    * so one string runs on Spark (planned as UnionLoop, the 4.x
+    * recursion operator) and DuckDB (classic working-table
+    * iteration): BFS walk enumeration from the minimum-key supplier
+    * over the mutual top-K co-supply graph, hop-capped at 3.
+    *
+    * The graph CTEs are the dialect-common form of
+    * [[GraphOps.mutualKnnPairs]] (per-node top-K by weight, mutual
+    * restriction), so every frontier⋈adjacency step touches at most
+    * |V|·K rows and walk multiplicity is bounded by K^3 per node at
+    * ANY corpus size — recursion depth and fan-out are both structural
+    * constants, not data-dependent. `min(hop)` is the BFS distance;
+    * `n_paths` the exact ≤3-step walk count (integer arithmetic, so
+    * working-table semantics agree across engines cell-for-cell).
+    */
+  val bfsSql: String =
+    s"""WITH RECURSIVE
+      |e0 AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+      |pw AS (SELECT a.sk AS src, b.sk AS dst, count(*) AS w
+      |  FROM e0 a JOIN e0 b ON a.pk = b.pk AND a.sk < b.sk
+      |  GROUP BY 1, 2),
+      |sym AS (SELECT src, dst, w FROM pw
+      |  UNION ALL SELECT dst, src, w FROM pw),
+      |ranked AS (SELECT src, dst, row_number() OVER (
+      |    PARTITION BY src ORDER BY w DESC, dst ASC) AS rank FROM sym),
+      |topk AS (SELECT src, dst FROM ranked WHERE rank <= ${GraphOps.KnnK}),
+      |und AS (SELECT t.src, t.dst FROM topk t
+      |  JOIN topk r ON r.src = t.dst AND r.dst = t.src
+      |  WHERE t.src < t.dst),
+      |adj AS (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und),
+      |root AS (SELECT min(src) AS r FROM adj),
+      |bfs(node, hop) AS (
+      |  SELECT r, 0 FROM root
+      |  UNION ALL
+      |  SELECT a.dst, b.hop + 1 FROM bfs b JOIN adj a ON a.src = b.node
+      |  WHERE b.hop < 3)
+      |SELECT node AS s_suppkey, min(hop) AS hops, count(*) AS n_paths
+      |FROM bfs GROUP BY 1""".stripMargin
+
+  /** I13: recursive CTE through the SQL front end — BFS hop distance
+    * + walk counts on the mutual-kNN graph. Graph traversal is the
+    * one query shape the non-recursive surface cannot express in a
+    * single statement; this pins Spark's UnionLoop execution against
+    * DuckDB's reference recursion on identical text.
+    */
+  def qSqlBfs(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql(bfsSql)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_bfs" -> (qSqlBfs _),
     "q_sql_lateral" -> (qSqlLateral _),
     "q_sql_pivot" -> (qSqlPivot _),
     "q_sql_decontam" -> (qSqlDecontam _),
@@ -280,6 +331,7 @@ object SqlSurface {
     "q_sql_subqueries" -> (qSqlSubqueries _))
 
   def oracle: Map[String, String] = Map(
+    "q_sql_bfs" -> bfsSql,
     "q_sql_lateral" -> lateralSql,
     "q_sql_pivot" -> qSqlPivotSql,
     "q_sql_decontam" -> Dedup.qNgramDecontamSql,

@@ -707,6 +707,29 @@ class PropertySpec extends AnyFunSuite {
     assert(gs.forall(g => g == 0 || g == 2 || g == 3), "gid encodes the declared sets only")
   }
 
+  test("sql bfs: recursive-CTE hop distances equal an iterative DataFrame BFS") {
+    val rec = graft.operators.SqlSurface.queries("q_sql_bfs")(spark, sf)
+      .select(col("s_suppkey"), col("hops").cast("int"))
+      .as[(Long, Int)].collect().toMap
+    // iterative twin: frontier-expansion BFS over the same mutual-kNN
+    // graph, capped at the same 3 hops
+    val und = graft.operators.GraphOps.mutualKnnPairs(spark, sf)
+      .as[(Long, Long)].collect()
+    val adj = (und ++ und.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val root = adj.keys.min
+    var dist = Map(root -> 0)
+    var frontier = Set(root)
+    for (h <- 1 to 3) {
+      val next = frontier.flatMap(adj(_)).diff(dist.keySet)
+      dist = dist ++ next.map(_ -> h)
+      frontier = next
+    }
+    assert(rec.keySet == dist.keySet, "recursion reaches exactly the 3-hop ball")
+    dist.foreach { case (n, d) =>
+      assert(rec(n) == d, s"node $n: recursive hop ${rec(n)} != BFS $d") }
+  }
+
   test("sql lateral: correlated LATERAL top-3 equals the window-function formulation") {
     val lat = graft.operators.SqlSurface.queries("q_sql_lateral")(spark, sf)
     assert(lat.count() == 25 * 3, "3 customers per nation, 25 nations")

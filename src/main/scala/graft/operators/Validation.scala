@@ -1844,7 +1844,140 @@ object Validation {
       |  coalesce(abs(ate_poststrat) > se_poststrat * 1.96, false) AS significant
       |FROM wide, v""".stripMargin
 
+  // ---------------------------------------------------------------- L26
+  /** Jarque–Bera normality test of order totals per priority class —
+    * the distributional-shape audit a pipeline runs before feeding an
+    * amount column to anything that assumes Gaussian errors. One
+    * grouped pass accumulates exact DECIMAL power sums of integer
+    * cents (Σc, Σc², Σc³, Σc⁴ — the qCuped device, so no
+    * summation-order-dependent double ever forms); skewness g1 =
+    * m3/m2^1.5 and excess kurtosis g2 = m4/m2²−3 come from the
+    * central-moment algebra over those exact sums, each 6-dp-rounded
+    * BEFORE composing JB = n/6·(g1² + g2²/4) so both engines feed
+    * identical IEEE inputs into identical arithmetic. m2 = 0
+    * degenerates to NULL stats, never a divide error. Verdict against
+    * the χ²(2) 95% critical value 5.991. Map-side-combined aggregate,
+    * 5 groups at any scale.
+    */
+  def qJarqueBera(spark: SparkSession, dir: String): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val c0 = round(col("o_totalprice") * 100).cast("long")
+    val agg = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("priority"), c0.as("c"))
+      .groupBy(col("priority"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("c"))).as("s1"),
+        sum(dec(col("c")) * dec(col("c"))).as("s2"),
+        sum(dec(col("c")) * dec(col("c")) * dec(col("c"))).as("s3"),
+        sum(dec(col("c")) * dec(col("c")) * dec(col("c")) * dec(col("c")))
+          .as("s4"))
+    val m = agg
+      .withColumn("mu", col("s1").cast("double") / col("n"))
+      .withColumn("m2", col("s2").cast("double") / col("n")
+        - col("mu") * col("mu"))
+      .withColumn("m3", col("s3").cast("double") / col("n")
+        - lit(3.0) * col("mu") * (col("s2").cast("double") / col("n"))
+        + lit(2.0) * col("mu") * col("mu") * col("mu"))
+      .withColumn("m4", col("s4").cast("double") / col("n")
+        - lit(4.0) * col("mu") * (col("s3").cast("double") / col("n"))
+        + lit(6.0) * col("mu") * col("mu")
+          * (col("s2").cast("double") / col("n"))
+        - lit(3.0) * col("mu") * col("mu") * col("mu") * col("mu"))
+      .withColumn("skewness", when(col("m2") <= 0, lit(null).cast("double"))
+        .otherwise(round(col("m3") / sqrt(col("m2") * col("m2") * col("m2")), 6)))
+      .withColumn("kurtosis_excess",
+        when(col("m2") <= 0, lit(null).cast("double"))
+          .otherwise(round(col("m4") / (col("m2") * col("m2")) - lit(3.0), 6)))
+      .withColumn("jb", round(col("n") / lit(6.0)
+        * (col("skewness") * col("skewness")
+          + col("kurtosis_excess") * col("kurtosis_excess") / lit(4.0)), 4))
+    m.select(col("priority"), col("n"),
+      round(col("mu") / 100.0, 4).as("mean_price"),
+      col("skewness"), col("kurtosis_excess"), col("jb"),
+      coalesce(col("jb") > 5.991, lit(false)).as("normal_rejected"))
+  }
+
+  val qJarqueBeraSql: String =
+    """WITH agg AS (SELECT o_orderpriority AS priority, count(*) AS n,
+      |    sum(CAST(c AS HUGEINT)) AS s1,
+      |    sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS s2,
+      |    sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS s3,
+      |    sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT) * CAST(c AS HUGEINT)
+      |      * CAST(c AS HUGEINT)) AS s4
+      |  FROM (SELECT o_orderpriority,
+      |      CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders)
+      |  GROUP BY 1),
+      |m AS (SELECT priority, n, CAST(s1 AS DOUBLE) / n AS mu,
+      |    CAST(s2 AS DOUBLE) / n, CAST(s3 AS DOUBLE) / n,
+      |    CAST(s4 AS DOUBLE) / n FROM agg),
+      |cm AS (SELECT priority, n, mu,
+      |    (CAST(s2 AS DOUBLE) / n) - mu * mu AS m2,
+      |    (CAST(s3 AS DOUBLE) / n) - 3.0 * mu * (CAST(s2 AS DOUBLE) / n)
+      |      + 2.0 * mu * mu * mu AS m3,
+      |    (CAST(s4 AS DOUBLE) / n) - 4.0 * mu * (CAST(s3 AS DOUBLE) / n)
+      |      + 6.0 * mu * mu * (CAST(s2 AS DOUBLE) / n)
+      |      - 3.0 * mu * mu * mu * mu AS m4
+      |  FROM agg JOIN (SELECT priority AS p2, mu FROM m) ON priority = p2),
+      |g AS (SELECT priority, n, mu,
+      |    CASE WHEN m2 <= 0 THEN NULL
+      |      ELSE round(m3 / sqrt(m2 * m2 * m2), 6) END AS skewness,
+      |    CASE WHEN m2 <= 0 THEN NULL
+      |      ELSE round(m4 / (m2 * m2) - 3.0, 6) END AS kurtosis_excess
+      |  FROM cm),
+      |j AS (SELECT *, round(n / 6.0 * (skewness * skewness
+      |    + kurtosis_excess * kurtosis_excess / 4.0), 4) AS jb FROM g)
+      |SELECT priority, n, round(mu / 100.0, 4) AS mean_price,
+      |  skewness, kurtosis_excess, jb,
+      |  coalesce(jb > 5.991, false) AS normal_rejected
+      |FROM j""".stripMargin
+
+  // ---------------------------------------------------------------- L27
+  /** Sample-ratio-mismatch monitor — the assignment-health check every
+    * experimentation platform runs before reading any metric: users
+    * hash into 10 md5 buckets that SHOULD be uniform; a chi-squared
+    * goodness-of-fit against the uniform expectation flags a broken
+    * randomizer (bot filtering, logging loss, allocation bugs). The
+    * statistic stays EXACT integer arithmetic until one final
+    * division: Σ(10·obs − n)² accumulates in longs, χ² =
+    * that / (10n) — no per-bucket double ever sums. One user-level
+    * distinct aggregate (the same md5 device as L3's arms), 10 groups
+    * at any scale; verdict vs χ²(9) 95% critical value 16.919.
+    */
+  def qSrm(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = Tables.events(spark, dir)
+      .select(col("user_id")).distinct()
+      .withColumn("bucket",
+        expr("conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10)")
+          .cast("long") % 10)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_users"))
+    val n = buckets.agg(sum(col("n_users")).as("n"))
+    val withN = buckets.crossJoin(broadcast(n))
+    val chi = withN
+      .withColumn("d", col("n_users") * 10 - col("n"))
+      .agg(max(col("n")).as("n"), sum(col("d") * col("d")).as("ss"))
+      .withColumn("chi2", round(col("ss") / (lit(10.0) * col("n")), 6))
+    withN.crossJoin(broadcast(chi.select(col("chi2"))))
+      .select(col("bucket"), col("n_users"),
+        round(col("n_users") / col("n").cast("double"), 6).as("share"),
+        col("chi2"),
+        coalesce(col("chi2") > 16.919, lit(false)).as("srm_detected"))
+  }
+
+  val qSrmSql: String =
+    """WITH b AS (SELECT
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 10
+      |      AS bucket, count(*) AS n_users
+      |  FROM (SELECT DISTINCT user_id FROM events) GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_users) AS BIGINT) AS n FROM b),
+      |c AS (SELECT round(CAST(sum((n_users * 10 - n) * (n_users * 10 - n))
+      |    AS BIGINT) / (10.0 * max(n)), 6) AS chi2 FROM b, t)
+      |SELECT bucket, n_users, round(n_users / CAST(n AS DOUBLE), 6) AS share,
+      |  chi2, coalesce(chi2 > 16.919, false) AS srm_detected
+      |FROM b, t, c""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_jarque_bera" -> (qJarqueBera _),
+    "q_srm" -> (qSrm _),
     "q_mcnemar" -> (qMcnemar _),
     "q_cuped" -> (qCuped _),
     "q_poststrat_ate" -> (qPoststratAte _),
@@ -1871,6 +2004,8 @@ object Validation {
     "q_benford" -> (qBenford _))
 
   def oracle: Map[String, String] = Map(
+    "q_jarque_bera" -> qJarqueBeraSql,
+    "q_srm" -> qSrmSql,
     "q_mcnemar" -> qMcnemarSql,
     "q_cuped" -> qCupedSql,
     "q_poststrat_ate" -> qPoststratAteSql,

@@ -213,4 +213,39 @@ class ValidationSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("var_reduction") - vr) < 1e-3,
       s"var_reduction ${r.getAs[Double]("var_reduction")} vs brute $vr")
   }
+
+  test("q_jarque_bera: moments match a brute-force recomputation per priority") {
+    val rows = Validation.qJarqueBera(spark, sf).collect()
+    assert(rows.length == 5, "one row per order priority")
+    val cents = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long"))
+      .as[(String, Long)].collect().groupBy(_._1)
+    rows.foreach { r =>
+      val xs = cents(r.getAs[String]("priority")).map(_._2.toDouble)
+      val n = xs.length.toDouble
+      val mu = xs.sum / n
+      val m2 = xs.map(x => (x - mu) * (x - mu)).sum / n
+      val m3 = xs.map(x => math.pow(x - mu, 3)).sum / n
+      val m4 = xs.map(x => math.pow(x - mu, 4)).sum / n
+      assert(r.getAs[Long]("n") == xs.length)
+      assert(math.abs(r.getAs[Double]("skewness") - m3 / math.pow(m2, 1.5)) < 1e-4)
+      assert(math.abs(r.getAs[Double]("kurtosis_excess") - (m4 / (m2 * m2) - 3)) < 1e-4)
+      assert(r.getAs[Double]("jb") >= 0.0, "JB is a sum of squares")
+    }
+  }
+
+  test("q_srm: shares sum to 1, chi2 recomposes from the bucket counts, no SRM on the md5 hash") {
+    val rows = Validation.qSrm(spark, sf).collect()
+    assert(rows.forall { r =>
+      val b = r.getAs[Long]("bucket"); b >= 0 && b <= 9 })
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
+    val n = rows.map(_.getAs[Long]("n_users")).sum
+    val chi = rows.map { r =>
+      val d = r.getAs[Long]("n_users") * 10 - n; (d * d).toDouble }.sum / (10.0 * n)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("chi2") - chi) < 1e-4)
+      assert(!r.getAs[Boolean]("srm_detected"),
+        "a correct md5 bucketing must not trip its own alarm") }
+  }
 }

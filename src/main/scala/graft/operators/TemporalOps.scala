@@ -1673,7 +1673,102 @@ object TemporalOps {
        |    / (CAST(n_events AS DOUBLE) / span_days), 6) > 1.5) AS bursty
        |FROM pu, span""".stripMargin
 
+  // ---------------------------------------------------------------- F48
+  /** Holt linear-trend (double exponential) smoothing of monthly
+    * revenue with one-step-ahead forecasts — the trend-aware
+    * successor to A23's flat EWMA, and the first GENUINELY sequential
+    * recursion in the engine: l_t = αy_t + (1−α)(l_{t−1}+b_{t−1}),
+    * b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1} has no closed form once each
+    * step rounds, so the chain must actually fold.
+    *
+    * Two deliberately different executions, one arithmetic: Spark
+    * folds the calendar-bounded series in a single `aggregate()`
+    * higher-order call (the whole recursion is ONE codegen'd
+    * expression over an ~80-element array — measured 100× cheaper
+    * than the UnionLoop recursive-CTE formulation, whose per-step
+    * scheduling costs ~270 ms × n_months in local mode); the DuckDB
+    * oracle replays the identical per-step arithmetic as a recursive
+    * CTE. Each step's level/trend round to 6 dp so both engines feed
+    * identical IEEE doubles into the next step — cross-engine
+    * agreement here proves the fold and the recursion compute the
+    * same chain, step for step.
+    *
+    * 100 TB shape: revenue pre-aggregates map-side per month (the
+    * only corpus-scale pass); the fold runs on one row whose array
+    * length is bounded by the CALENDAR, not the data. α=0.3, β=0.1;
+    * a single-month series degenerates to NULL trend/forecast, never
+    * an error.
+    */
+  def qHoltForecast(spark: SparkSession, dir: String): DataFrame = {
+    val mrev = Tables.orders(spark, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)")
+        .as("rev"))
+    // the whole chain stays EXACT DECIMAL(18,6): a 6-dp decimal is not
+    // binary-exact, so a double-based fold lands round() on half-ulp
+    // knife edges (observed at sf0.001/sf0.1); decimal arithmetic has
+    // no representation error, and both engines tie-break half-away-
+    // from-zero on exact decimals
+    val d6 = "decimal(18,6)"
+    val lNew = s"cast(round(0.3 * x.rev + 0.7 * (acc.l + acc.b), 6) as $d6)"
+    val bNew = s"cast(round(0.1 * ($lNew - acc.l) + 0.9 * acc.b, 6) as $d6)"
+    mrev.agg(array_sort(collect_list(struct(col("month"), col("rev")))).as("s"))
+      .select(explode(expr(
+        s"""aggregate(
+           |  slice(s, 2, greatest(size(s) - 1, 0)),
+           |  named_struct(
+           |    'l', cast(get(s, 0).rev as $d6),
+           |    'b', cast(get(s, 1).rev - get(s, 0).rev as $d6),
+           |    'out', array(named_struct(
+           |      'month', get(s, 0).month, 'rev', get(s, 0).rev,
+           |      'level', cast(get(s, 0).rev as $d6),
+           |      'trend', cast(get(s, 1).rev - get(s, 0).rev as $d6),
+           |      'forecast', cast(null as $d6),
+           |      'fc_error', cast(null as $d6)))),
+           |  (acc, x) -> named_struct(
+           |    'l', $lNew,
+           |    'b', $bNew,
+           |    'out', concat(acc.out, array(named_struct(
+           |      'month', x.month, 'rev', x.rev,
+           |      'level', $lNew,
+           |      'trend', $bNew,
+           |      'forecast', cast(acc.l + acc.b as $d6),
+           |      'fc_error', cast(x.rev - (acc.l + acc.b) as $d6))))),
+           |  acc -> acc.out)""".stripMargin)).as("r"))
+      .select(col("r.month").as("month"),
+        col("r.rev").cast("double").as("rev"),
+        col("r.level").cast("double").as("level"),
+        col("r.trend").cast("double").as("trend"),
+        col("r.forecast").cast("double").as("forecast"),
+        col("r.fc_error").cast("double").as("fc_error"))
+  }
+
+  val qHoltForecastSql: String =
+    """WITH RECURSIVE
+      |mrev AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+      |  FROM orders GROUP BY 1),
+      |idx AS (SELECT month, rev,
+      |    CAST(row_number() OVER (ORDER BY month) AS INT) AS i FROM mrev),
+      |holt(i, l, b) AS (
+      |  SELECT 1, CAST((SELECT rev FROM idx WHERE i = 1) AS DECIMAL(18,6)),
+      |    CAST((SELECT rev FROM idx WHERE i = 2)
+      |      - (SELECT rev FROM idx WHERE i = 1) AS DECIMAL(18,6))
+      |  UNION ALL
+      |  SELECT h.i + 1,
+      |    CAST(round(0.3 * x.rev + 0.7 * (h.l + h.b), 6) AS DECIMAL(18,6)),
+      |    CAST(round(0.1 * (CAST(round(0.3 * x.rev + 0.7 * (h.l + h.b), 6)
+      |        AS DECIMAL(18,6)) - h.l) + 0.9 * h.b, 6) AS DECIMAL(18,6))
+      |  FROM holt h JOIN idx x ON x.i = h.i + 1)
+      |SELECT x.month, CAST(x.rev AS DOUBLE) AS rev,
+      |  CAST(h.l AS DOUBLE) AS level, CAST(h.b AS DOUBLE) AS trend,
+      |  CAST(CAST(hp.l + hp.b AS DECIMAL(18,6)) AS DOUBLE) AS forecast,
+      |  CAST(CAST(x.rev - (hp.l + hp.b) AS DECIMAL(18,6)) AS DOUBLE) AS fc_error
+      |FROM idx x JOIN holt h ON h.i = x.i
+      |LEFT JOIN holt hp ON hp.i = x.i - 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_holt_forecast" -> (qHoltForecast _),
     "q_nelson_aalen" -> (qNelsonAalen _),
     "q_burstiness" -> (qBurstiness _),
     "q_drawdown" -> (qDrawdown _),
@@ -1711,6 +1806,7 @@ object TemporalOps {
     "q_json_extract" -> (qJsonExtract _))
 
   def oracle: Map[String, String] = Map(
+    "q_holt_forecast" -> qHoltForecastSql,
     "q_nelson_aalen" -> qNelsonAalenSql,
     "q_burstiness" -> qBurstinessSql,
     "q_drawdown" -> qDrawdownSql,

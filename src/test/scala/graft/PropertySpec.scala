@@ -707,6 +707,33 @@ class PropertySpec extends AnyFunSuite {
     assert(gs.forall(g => g == 0 || g == 2 || g == 3), "gid encodes the declared sets only")
   }
 
+  test("q_holt_forecast: the decimal fold matches a BigDecimal recomputation step for step") {
+    val rows = graft.operators.TemporalOps.queries("q_holt_forecast")(spark, sf)
+      .orderBy("month").collect()
+    assert(rows.length > 2, "multi-month series expected")
+    // rev is a 2-dp decimal published as double (correctly rounded),
+    // so a 2-dp setScale recovers the exact decimal; level/trend/
+    // forecast are 6-dp decimals published as double, so comparing
+    // toDouble against toDouble is exact on both sides
+    val rev = rows.map(r => BigDecimal(r.getAs[Double]("rev"))
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP))
+    var l = rev(0)
+    var b = (rev(1) - rev(0)).setScale(6)
+    assert(rows.head.isNullAt(rows.head.fieldIndex("forecast")),
+      "first month has no prior state to forecast from")
+    for (i <- 1 until rows.length) {
+      val fc = l + b
+      val lN = (BigDecimal("0.3") * rev(i) + BigDecimal("0.7") * (l + b))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      val bN = (BigDecimal("0.1") * (lN - l) + BigDecimal("0.9") * b)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      assert(rows(i).getAs[Double]("forecast") == fc.toDouble, s"month $i forecast")
+      assert(rows(i).getAs[Double]("level") == lN.toDouble, s"month $i level")
+      assert(rows(i).getAs[Double]("trend") == bN.toDouble, s"month $i trend")
+      l = lN; b = bN
+    }
+  }
+
   test("sql bfs: recursive-CTE hop distances equal an iterative DataFrame BFS") {
     val rec = graft.operators.SqlSurface.queries("q_sql_bfs")(spark, sf)
       .select(col("s_suppkey"), col("hops").cast("int"))

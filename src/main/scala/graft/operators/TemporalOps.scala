@@ -1767,7 +1767,77 @@ object TemporalOps {
       |FROM idx x JOIN holt h ON h.i = x.i
       |LEFT JOIN holt hp ON hp.i = x.i - 1""".stripMargin
 
+  // ---------------------------------------------------------------- F49
+  /** Page–Hinkley drift detector over daily purchase revenue — the
+    * sequential changepoint monitor (F34's batch CUSUM cousin) a
+    * pipeline runs on every arriving day: m_t = Σ_{i≤t}(x_i − x̄_i),
+    * PH_t = m_t − min_{i≤t} m_i, alarm when PH exceeds λ. The entire
+    * chain is EXACT integer arithmetic in micro-cent units: the
+    * running mean uses the half-up integer division device
+    * ((2·S·10⁶ + t) DIV (2t), positive operands so trunc = floor in
+    * both engines) on DECIMAL(38,0)/HUGEINT cumulative sums, the
+    * deviation sum and running minimum stay integral, and the alarm
+    * compares integers — no IEEE double exists anywhere before the
+    * final publish cast (a double-based running sum would hit
+    * engine-specific window-aggregation association orders). Daily
+    * pre-aggregation is the only corpus-scale pass; the window runs
+    * over a calendar-bounded series. λ = $10,000.
+    */
+  def qPageHinkley(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val daily = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(expr("(ts DIV 1000000000) DIV 86400").cast("long").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("x"))
+    val dec = "decimal(38,0)"
+    val m = daily
+      .withColumn("t", row_number().over(Window.orderBy(col("day"))))
+      .withColumn("s", sum(col("x").cast(dec)).over(w))
+      .withColumn("mean6", expr(
+        s"cast((2 * s * 1000000 + t) div (2 * t) as $dec)"))
+      .withColumn("term6", col("x").cast(dec) * lit(1000000) - col("mean6"))
+      .withColumn("m6", sum(col("term6")).over(w))
+      .withColumn("mmin6", min(col("m6")).over(w))
+      .withColumn("ph6", col("m6") - col("mmin6"))
+    m.select(col("day"),
+      round(col("x") / 100.0, 2).as("revenue"),
+      round(col("mean6").cast("double") / 1e8, 4).as("running_mean"),
+      round(col("ph6").cast("double") / 1e8, 4).as("ph"),
+      (col("ph6") > expr(s"cast(1000000 as $dec)") * lit(100) * lit(10000))
+        .as("alarm"))
+  }
+
+  val qPageHinkleySql: String =
+    """WITH daily AS (SELECT
+      |    (CAST(floor(epoch(ts)) AS BIGINT)) // 86400 AS day,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |c1 AS (SELECT day, x,
+      |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+      |    CAST(sum(CAST(x AS HUGEINT)) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS s
+      |  FROM daily),
+      |c2 AS (SELECT *,
+      |    (2 * s * 1000000 + t) // (2 * t) AS mean6 FROM c1),
+      |c3 AS (SELECT *,
+      |    CAST(x AS HUGEINT) * 1000000 - mean6 AS term6 FROM c2),
+      |c4 AS (SELECT *, CAST(sum(term6) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS m6
+      |  FROM c3),
+      |c5 AS (SELECT *, min(m6) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mmin6
+      |  FROM c4)
+      |SELECT day, round(x / 100.0, 2) AS revenue,
+      |  round(CAST(mean6 AS DOUBLE) / 1e8, 4) AS running_mean,
+      |  round(CAST(m6 - mmin6 AS DOUBLE) / 1e8, 4) AS ph,
+      |  (m6 - mmin6) > CAST(1000000 AS HUGEINT) * 100 * 10000 AS alarm
+      |FROM c5""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_page_hinkley" -> (qPageHinkley _),
     "q_holt_forecast" -> (qHoltForecast _),
     "q_nelson_aalen" -> (qNelsonAalen _),
     "q_burstiness" -> (qBurstiness _),
@@ -1806,6 +1876,7 @@ object TemporalOps {
     "q_json_extract" -> (qJsonExtract _))
 
   def oracle: Map[String, String] = Map(
+    "q_page_hinkley" -> qPageHinkleySql,
     "q_holt_forecast" -> qHoltForecastSql,
     "q_nelson_aalen" -> qNelsonAalenSql,
     "q_burstiness" -> qBurstinessSql,

@@ -1975,7 +1975,77 @@ object Validation {
       |  chi2, coalesce(chi2 > 16.919, false) AS srm_detected
       |FROM b, t, c""".stripMargin
 
+  // ---------------------------------------------------------------- L28
+  /** Friedman rank test — the nonparametric repeated-measures ANOVA:
+    * does order priority shift spend consistently ACROSS nations
+    * (blocks), without assuming normality? Each complete block (a
+    * nation with orders in all 5 priorities — incomplete blocks are
+    * excluded, the standard complete-block design) ranks its 5
+    * priority cells by mean order value; rank sums R_j feed Q =
+    * 12·ΣR²/(nk(k+1)) − 3n(k+1). Ranks come from row_number over
+    * (mean DESC, priority ASC) — cell means are CAST(exact-decimal-
+    * sum AS DOUBLE)/n, identical IEEE in both engines, and the
+    * priority tiebreak pins equal doubles deterministically (ties
+    * take consecutive ranks rather than midranks; same convention
+    * both engines, stated simplification). Everything else is exact
+    * integer arithmetic until the single final division. Two keyed
+    * aggregates (125 cells max), bounded everything; verdict vs
+    * χ²(4) 9.488.
+    */
+  def qFriedman(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("block"),
+        col("o_orderpriority").as("priority"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")
+        .cast("decimal(38,0)")).as("sc"), count(lit(1)).as("nc"))
+      .withColumn("mean_v", col("sc").cast("double") / col("nc"))
+    val complete = cells
+      .withColumn("k", count(lit(1)).over(Window.partitionBy(col("block"))))
+      .filter(col("k") === 5)
+    val ranked = complete.withColumn("rk",
+      row_number().over(Window.partitionBy(col("block"))
+        .orderBy(col("mean_v").desc, col("priority").asc)))
+    val rsum = ranked.groupBy(col("priority"))
+      .agg(sum(col("rk")).as("rank_sum"), count(lit(1)).as("n_blocks"))
+    val q = rsum.agg(max(col("n_blocks")).as("n"),
+      sum(col("rank_sum") * col("rank_sum")).as("ssr"))
+      .withColumn("q_stat", round(lit(12.0) * col("ssr")
+        / (col("n") * 5 * 6) - lit(3.0) * col("n") * 6, 6))
+    rsum.crossJoin(broadcast(q.select(col("n"), col("q_stat"))))
+      .select(col("priority"), col("rank_sum"),
+        round(col("rank_sum") / col("n").cast("double"), 6).as("mean_rank"),
+        col("n").as("n_blocks"), col("q_stat"),
+        coalesce(col("q_stat") > 9.488, lit(false)).as("significant"))
+  }
+
+  val qFriedmanSql: String =
+    """WITH cells AS (SELECT c_nationkey AS block, o_orderpriority AS priority,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+      |      / count(*) AS mean_v
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |complete AS (SELECT *, count(*) OVER (PARTITION BY block) AS k
+      |  FROM cells),
+      |ranked AS (SELECT block, priority, row_number() OVER (
+      |    PARTITION BY block ORDER BY mean_v DESC, priority ASC) AS rk
+      |  FROM complete WHERE k = 5),
+      |rsum AS (SELECT priority, CAST(sum(rk) AS BIGINT) AS rank_sum,
+      |    count(*) AS n_blocks FROM ranked GROUP BY 1),
+      |q AS (SELECT max(n_blocks) AS n,
+      |    round(12.0 * sum(rank_sum * rank_sum) / (max(n_blocks) * 5 * 6)
+      |      - 3.0 * max(n_blocks) * 6, 6) AS q_stat
+      |  FROM rsum)
+      |SELECT priority, rank_sum,
+      |  round(rank_sum / CAST(n AS DOUBLE), 6) AS mean_rank,
+      |  n AS n_blocks, q_stat,
+      |  coalesce(q_stat > 9.488, false) AS significant
+      |FROM rsum, q""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_friedman" -> (qFriedman _),
     "q_jarque_bera" -> (qJarqueBera _),
     "q_srm" -> (qSrm _),
     "q_mcnemar" -> (qMcnemar _),
@@ -2004,6 +2074,7 @@ object Validation {
     "q_benford" -> (qBenford _))
 
   def oracle: Map[String, String] = Map(
+    "q_friedman" -> qFriedmanSql,
     "q_jarque_bera" -> qJarqueBeraSql,
     "q_srm" -> qSrmSql,
     "q_mcnemar" -> qMcnemarSql,

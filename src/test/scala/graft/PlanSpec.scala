@@ -208,7 +208,10 @@ class PlanSpec extends AnyFunSuite {
       "q_ks_test", "q_hodges_lehmann", "q_drawdown", "q_bollinger",
       "q_spearman", "q_kruskal_wallis", "q_nelson_aalen",
       // cumulative sweep over the ≤ 50-row quantity histogram
-      "q_decision_stump")
+      "q_decision_stump",
+      // cumulative deviation/min windows over the bounded day table
+      // (the q_changepoint class)
+      "q_page_hinkley")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       // pre-AQE physical plan: traversable with plain collect (the
       // AQE wrapper hides its initial plan from TreeNode traversal,

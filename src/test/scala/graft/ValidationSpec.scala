@@ -235,6 +235,49 @@ class ValidationSpec extends AnyFunSuite {
     }
   }
 
+  test("q_friedman: rank sums partition n*k(k+1)/2 and Q recomposes exactly") {
+    val rows = Validation.qFriedman(spark, sf).collect()
+    assert(rows.length == 5, "one row per priority")
+    val n = rows.head.getAs[Long]("n_blocks")
+    assert(rows.forall(_.getAs[Long]("n_blocks") == n))
+    val totalRanks = rows.map(_.getAs[Long]("rank_sum")).sum
+    assert(totalRanks == n * 5 * 6 / 2,
+      "every complete block contributes ranks 1..5 exactly once")
+    val ssr = rows.map(r => { val s = r.getAs[Long]("rank_sum"); s * s }).sum
+    val q = 12.0 * ssr / (n * 5 * 6) - 3.0 * n * 6
+    assert(math.abs(rows.head.getAs[Double]("q_stat") - q) < 1e-6)
+    rows.foreach { r =>
+      val mr = r.getAs[Double]("mean_rank")
+      assert(mr >= 1.0 && mr <= 5.0, s"mean rank $mr out of [1,5]") }
+  }
+
+  test("q_page_hinkley: the statistic matches a BigInt replay and resets at running minima") {
+    val rows = graft.operators.TemporalOps.queries("q_page_hinkley")(spark, sf)
+      .orderBy("day").collect()
+    assert(rows.length > 5)
+    // exact integer replay of the micro-cent chain
+    val cents = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(expr("(ts DIV 1000000000) DIV 86400").cast("long"),
+        round(col("value") * 100).cast("long"))
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (d, xs) => d -> xs.map(_._2).sum }.toSeq.sortBy(_._1)
+    var s = BigInt(0); var m = BigInt(0); var mmin: BigInt = null
+    cents.zipWithIndex.foreach { case ((day, x), i) =>
+      val t = i + 1
+      s += x
+      val mean6 = (2 * s * 1000000 + t) / (2 * t)
+      m += BigInt(x) * 1000000 - mean6
+      mmin = if (mmin == null || m < mmin) m else mmin
+      val ph = (m - mmin).toDouble / 1e8
+      val got = rows(i).getAs[Double]("ph")
+      assert(rows(i).getAs[Long]("day") == day)
+      assert(math.abs(got - ph) < 1e-3, s"day $day: ph $got vs replay $ph")
+      if (m == mmin) assert(got == 0.0, "a new running minimum resets PH to 0")
+    }
+    assert(rows.forall(_.getAs[Double]("ph") >= 0.0))
+  }
+
   test("q_srm: shares sum to 1, chi2 recomposes from the bucket counts, no SRM on the md5 hash") {
     val rows = Validation.qSrm(spark, sf).collect()
     assert(rows.forall { r =>

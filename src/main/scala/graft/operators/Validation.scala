@@ -2044,7 +2044,138 @@ object Validation {
       |  coalesce(q_stat > 9.488, false) AS significant
       |FROM rsum, q""".stripMargin
 
+  // ---------------------------------------------------------------- L29
+  /** Fisher's exact test on the 2×2 (lang = 'en') × (doc length above
+    * the corpus mean) contingency table — the small-cell-safe
+    * independence test (L15's Cramér's V and E15's χ² both lean on
+    * asymptotics that die when a cell is sparse). Two-sided p sums
+    * every hypergeometric table probability ≤ p_observed·(1+1e-7).
+    *
+    * The float discipline that makes this oracle-exact: ln and exp
+    * are bit-identical across engines (verified:
+    * `ln(7919)`/`exp(-17.38…)` produce the same IEEE bits, as does a
+    * 5000-term ascending ln-factorial fold), so p_obs and p_kmin come
+    * from ln-factorial sums evaluated as ASCENDING folds, and the
+    * rest of the k-range follows the hypergeometric RECURRENCE
+    * p_{k+1} = p_k·(r1−k)(c1−k)/((k+1)(r2−c1+k+1)) — identical
+    * operation order on both sides (Spark: one `aggregate()` HOF
+    * fold; DuckDB: a recursive CTE, the same pairing as F48). The
+    * recurrence makes the sweep O(range), not O(range·n) — no
+    * quadratic factorial re-evaluation. Everything runs on ONE
+    * broadcast row after a single corpus aggregate; lnfact folds are
+    * O(n) scalar work on that row.
+    */
+  def qFisherExact(spark: SparkSession, dir: String): DataFrame = {
+    // lnfact(m) as an ascending fold; m = 0 (empty cell) is exact 0
+    def lf(e: String) =
+      s"""(case when ($e) < 1 then cast(0.0 as double)
+         |  else aggregate(sequence(1L, cast($e as long)),
+         |    cast(0.0 as double), (acc, i) -> acc + ln(cast(i as double)))
+         |  end)""".stripMargin
+    def lnp(ka: String) =
+      s"""(${lf("r1")} + ${lf("r2")} + ${lf("c1")} + ${lf("n - c1")}
+         | - ${lf("n")} - ${lf(ka)} - ${lf(s"r1 - ($ka)")}
+         | - ${lf(s"c1 - ($ka)")} - ${lf(s"r2 - c1 + ($ka)")})""".stripMargin
+    val docs = Tables.documents(spark, dir)
+    val tot = docs.agg(count(lit(1)).as("nd"),
+      sum(col("n_chars")).as("tc"))
+    val cells = docs.crossJoin(broadcast(tot))
+      .select((col("lang") === "en").as("en"),
+        (col("n_chars") * col("nd") > col("tc")).as("long_doc"))
+      .agg(
+        sum(when(col("en") && col("long_doc"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("en") && !col("long_doc"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("en") && col("long_doc"), 1L).otherwise(0L)).as("cc"),
+        sum(when(!col("en") && !col("long_doc"), 1L).otherwise(0L)).as("d"))
+      .withColumn("r1", col("a") + col("b"))
+      .withColumn("r2", col("cc") + col("d"))
+      .withColumn("c1", col("a") + col("cc"))
+      .withColumn("n", col("r1") + col("r2"))
+      .withColumn("kmin", greatest(lit(0L), col("c1") - col("r2")))
+      .withColumn("kmax", least(col("r1"), col("c1")))
+    val p = cells
+      .withColumn("pobs", expr(s"exp(${lnp("a")})"))
+      .withColumn("p0", expr(s"exp(${lnp("kmin")})"))
+      .withColumn("ptot", expr(
+        """case when kmax <= kmin
+          |  then (case when p0 <= pobs * 1.0000001 then p0
+          |        else cast(0.0 as double) end)
+          |  else aggregate(sequence(kmin + 1L, kmax),
+          |    named_struct('pk', p0,
+          |      'tot', case when p0 <= pobs * 1.0000001 then p0
+          |             else cast(0.0 as double) end),
+          |    (acc, k) -> named_struct(
+          |      'pk', acc.pk * (r1 - k + 1) / k * (c1 - k + 1)
+          |            / (r2 - c1 + k),
+          |      'tot', acc.tot
+          |        + (case when acc.pk * (r1 - k + 1) / k * (c1 - k + 1)
+          |                  / (r2 - c1 + k) <= pobs * 1.0000001
+          |           then acc.pk * (r1 - k + 1) / k * (c1 - k + 1)
+          |                / (r2 - c1 + k)
+          |           else cast(0.0 as double) end)),
+          |    acc -> acc.tot) end""".stripMargin))
+    p.select(col("a"), col("b"), col("cc").as("c"), col("d"),
+      when(col("b") * col("cc") > 0,
+        round(col("a") * col("d") / (col("b") * col("cc")).cast("double"), 6))
+        .as("odds_ratio"),
+      round(least(col("ptot"), lit(1.0)), 8).as("p_value"),
+      (least(col("ptot"), lit(1.0)) < 0.05).as("significant"))
+  }
+
+  val qFisherExactSql: String = {
+    def lf(e: String) =
+      s"""(CASE WHEN ($e) < 1 THEN CAST(0.0 AS DOUBLE)
+         |  ELSE list_reduce(list_transform(generate_series(1, CAST($e AS BIGINT)),
+         |    i -> ln(CAST(i AS DOUBLE))), (acc, x) -> acc + x)
+         |  END)""".stripMargin
+    def lnp(ka: String) =
+      s"""(${lf("r1")} + ${lf("r2")} + ${lf("c1")} + ${lf("n - c1")}
+         | - ${lf("n")} - ${lf(ka)} - ${lf(s"r1 - ($ka)")}
+         | - ${lf(s"c1 - ($ka)")} - ${lf(s"r2 - c1 + ($ka)")})""".stripMargin
+    s"""WITH RECURSIVE
+      |tot AS (SELECT count(*) AS nd, CAST(sum(n_chars) AS BIGINT) AS tc
+      |  FROM documents),
+      |cells AS (SELECT
+      |    CAST(sum(CASE WHEN lang = 'en' AND n_chars * nd > tc
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS a,
+      |    CAST(sum(CASE WHEN lang = 'en' AND NOT n_chars * nd > tc
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS b,
+      |    CAST(sum(CASE WHEN lang <> 'en' AND n_chars * nd > tc
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS cc,
+      |    CAST(sum(CASE WHEN lang <> 'en' AND NOT n_chars * nd > tc
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS d
+      |  FROM documents, tot),
+      |marg AS (SELECT *, a + b AS r1, cc + d AS r2, a + cc AS c1,
+      |    a + b + cc + d AS n FROM cells),
+      |km AS (SELECT *, greatest(0, c1 - r2) AS kmin, least(r1, c1) AS kmax,
+      |    exp(${lnp("a")}) AS pobs,
+      |    exp(${lnp("kmin")}) AS p0
+      |  FROM marg),
+      |sweep(k, pk, ptot) AS (
+      |  SELECT kmin, p0,
+      |    CASE WHEN p0 <= pobs * 1.0000001 THEN p0 ELSE CAST(0.0 AS DOUBLE) END
+      |  FROM km
+      |  UNION ALL
+      |  SELECT s.k + 1,
+      |    s.pk * (m.r1 - (s.k + 1) + 1) / (s.k + 1) * (m.c1 - (s.k + 1) + 1)
+      |      / (m.r2 - m.c1 + (s.k + 1)),
+      |    s.ptot + (CASE WHEN s.pk * (m.r1 - (s.k + 1) + 1) / (s.k + 1)
+      |        * (m.c1 - (s.k + 1) + 1) / (m.r2 - m.c1 + (s.k + 1))
+      |        <= m.pobs * 1.0000001
+      |      THEN s.pk * (m.r1 - (s.k + 1) + 1) / (s.k + 1)
+      |        * (m.c1 - (s.k + 1) + 1) / (m.r2 - m.c1 + (s.k + 1))
+      |      ELSE CAST(0.0 AS DOUBLE) END)
+      |  FROM sweep s, km m WHERE s.k < m.kmax)
+      |SELECT a, b, cc AS c, d,
+      |  CASE WHEN b * cc > 0
+      |    THEN round(a * d / CAST(b * cc AS DOUBLE), 6) END AS odds_ratio,
+      |  round(least(ptot, 1.0), 8) AS p_value,
+      |  least(ptot, 1.0) < 0.05 AS significant
+      |FROM km, sweep WHERE sweep.k = km.kmax""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fisher_exact" -> (qFisherExact _),
     "q_friedman" -> (qFriedman _),
     "q_jarque_bera" -> (qJarqueBera _),
     "q_srm" -> (qSrm _),
@@ -2074,6 +2205,7 @@ object Validation {
     "q_benford" -> (qBenford _))
 
   def oracle: Map[String, String] = Map(
+    "q_fisher_exact" -> qFisherExactSql,
     "q_friedman" -> qFriedmanSql,
     "q_jarque_bera" -> qJarqueBeraSql,
     "q_srm" -> qSrmSql,

@@ -235,6 +235,29 @@ class ValidationSpec extends AnyFunSuite {
     }
   }
 
+  test("q_fisher_exact: the recurrence sweep matches a first-principles hypergeometric enumeration") {
+    val r = Validation.qFisherExact(spark, sf).collect()(0)
+    val (a, b, c, d) = (r.getAs[Long]("a"), r.getAs[Long]("b"),
+      r.getAs[Long]("c"), r.getAs[Long]("d"))
+    assert(a + b + c + d == Tables.documents(spark, sf).count(),
+      "cells partition the corpus")
+    // independent enumeration: log-factorials, every admissible table
+    val lnf = (1 to (a + b + c + d).toInt)
+      .scanLeft(0.0)((acc, j) => acc + math.log(j.toDouble)).toArray
+    val (r1, r2, c1, n) = (a + b, c + d, a + c, a + b + c + d)
+    def lnp(k: Long) = lnf(r1.toInt) + lnf(r2.toInt) + lnf(c1.toInt) +
+      lnf((n - c1).toInt) - lnf(n.toInt) - lnf(k.toInt) -
+      lnf((r1 - k).toInt) - lnf((c1 - k).toInt) - lnf((r2 - c1 + k).toInt)
+    val pobs = math.exp(lnp(a))
+    val kmin = math.max(0L, c1 - r2); val kmax = math.min(r1, c1)
+    val p = (kmin to kmax).map(k => math.exp(lnp(k)))
+      .filter(_ <= pobs * 1.0000001).sum
+    assert(math.abs(r.getAs[Double]("p_value") - math.min(p, 1.0)) < 1e-6,
+      s"p ${r.getAs[Double]("p_value")} vs enumeration $p")
+    val pv = r.getAs[Double]("p_value")
+    assert(pv >= 0.0 && pv <= 1.0)
+  }
+
   test("q_friedman: rank sums partition n*k(k+1)/2 and Q recomposes exactly") {
     val rows = Validation.qFriedman(spark, sf).collect()
     assert(rows.length == 5, "one row per priority")

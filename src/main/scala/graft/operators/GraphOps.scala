@@ -1007,7 +1007,68 @@ object GraphOps {
       |JOIN deg da ON da.node = u.src
       |JOIN deg dc ON dc.node = u.dst""".stripMargin
 
+  // ---------------------------------------------------------------- M15
+  /** k-core peeling (k = 3, three unrolled rounds) over the mutual-kNN
+    * graph — the density-core extractor that separates the cohesive
+    * heart of a supplier network from its tendrils (PageRank ranks
+    * nodes, k-core CLASSIFIES them: a node in the 3-core has 3
+    * neighbors that each have 3 neighbors…, recursively). Exact
+    * k-core needs a data-dependent number of peels; three fixed
+    * rounds are unrolled here (the M1/M4 fixed-iteration convention),
+    * which on a degree-≤K graph already removes the overwhelming
+    * majority of non-core nodes — the spec checks whether a 4th peel
+    * would change anything on the shipped corpus. Each round is one
+    * degree aggregate + two semi-joins on a ≤|V|·K-row edge set, so
+    * the whole ladder is bounded by the kNN sparsifier at any scale.
+    * Output: every node with its initial degree, its residual degree
+    * after the ladder, and the survives-3-peels verdict.
+    */
+  def qKcore(spark: SparkSession, dir: String): DataFrame = {
+    val und = mutualKnnPairs(spark, dir)
+    val edges0 = und.union(und.select(col("dst").as("src"),
+      col("src").as("dst"))).cache()
+    val deg0 = edges0.groupBy(col("src")).agg(count(lit(1)).as("deg0"))
+    var edges = edges0
+    for (_ <- 1 to 3) {
+      val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 3).select(col("src"))
+      edges = edges
+        .join(keep, Seq("src"), "left_semi")
+        .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
+    }
+    val degAfter = edges.groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
+    val out = deg0.join(degAfter, Seq("src"), "left")
+      .na.fill(0L, Seq("core_deg"))
+      .select(col("src").as("s_suppkey"), col("deg0"), col("core_deg"),
+        (col("core_deg") > 0).as("in_core"))
+      .cache()
+    out.count()
+    edges0.unpersist()
+    out
+  }
+
+  val qKcoreSql: String =
+    s"""WITH $mutKnnSql,
+      |es AS MATERIALIZED (SELECT src, dst FROM und
+      |  UNION ALL SELECT dst, src FROM und),
+      |k1 AS (SELECT src AS node FROM es GROUP BY 1 HAVING count(*) >= 3),
+      |e1 AS MATERIALIZED (SELECT e.src, e.dst FROM es e
+      |  JOIN k1 a ON e.src = a.node JOIN k1 b ON e.dst = b.node),
+      |k2 AS (SELECT src AS node FROM e1 GROUP BY 1 HAVING count(*) >= 3),
+      |e2 AS MATERIALIZED (SELECT e.src, e.dst FROM e1 e
+      |  JOIN k2 a ON e.src = a.node JOIN k2 b ON e.dst = b.node),
+      |k3 AS (SELECT src AS node FROM e2 GROUP BY 1 HAVING count(*) >= 3),
+      |e3 AS MATERIALIZED (SELECT e.src, e.dst FROM e2 e
+      |  JOIN k3 a ON e.src = a.node JOIN k3 b ON e.dst = b.node),
+      |d0 AS (SELECT src, count(*) AS deg0 FROM es GROUP BY 1),
+      |d3 AS (SELECT src, count(*) AS core_deg FROM e3 GROUP BY 1)
+      |SELECT d0.src AS s_suppkey, d0.deg0,
+      |  COALESCE(d3.core_deg, 0) AS core_deg,
+      |  COALESCE(d3.core_deg, 0) > 0 AS in_core
+      |FROM d0 LEFT JOIN d3 ON d0.src = d3.src""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kcore" -> (qKcore _),
     "q_neighbor_jaccard" -> (qNeighborJaccard _),
     "q_two_hop" -> (qTwoHop _),
     "q_rich_club" -> (qRichClub _),
@@ -1026,6 +1087,7 @@ object GraphOps {
     "q_triangle_knn" -> (qTriangleKnn _))
 
   def oracle: Map[String, String] = Map(
+    "q_kcore" -> qKcoreSql,
     "q_neighbor_jaccard" -> qNeighborJaccardSql,
     "q_two_hop" -> qTwoHopSql,
     "q_eigencentrality" -> qEigencentralitySql,

@@ -707,6 +707,34 @@ class PropertySpec extends AnyFunSuite {
     assert(gs.forall(g => g == 0 || g == 2 || g == 3), "gid encodes the declared sets only")
   }
 
+  test("q_kcore: peeling invariants hold and the ladder reaches the true 3-core fixpoint here") {
+    val rows = graft.operators.GraphOps.queries("q_kcore")(spark, sf)
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, deg0, coreDeg, inCore) =>
+      assert(coreDeg <= deg0, s"node $n: peeling cannot add edges")
+      assert(inCore == (coreDeg > 0))
+      assert(deg0 <= graft.operators.GraphOps.KnnK,
+        "mutual-kNN caps every degree at K") }
+    // brute-force exact 3-core by peeling to fixpoint; on this corpus
+    // 3 rounds must already be the fixpoint (the doc's honesty claim)
+    val und = graft.operators.GraphOps.mutualKnnPairs(spark, sf)
+      .as[(Long, Long)].collect()
+    var edges = (und ++ und.map(p => (p._2, p._1))).toSet
+    var changed = true
+    while (changed) {
+      val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size }
+      val keep = deg.filter(_._2 >= 3).keySet
+      val next = edges.filter(e => keep(e._1) && keep(e._2))
+      changed = next.size != edges.size
+      edges = next
+    }
+    val trueCore = edges.map(_._1)
+    val got = rows.filter(_._4).map(_._1).toSet
+    assert(got == trueCore,
+      s"3 peel rounds should reach the fixpoint on this corpus: ${got.size} vs ${trueCore.size}")
+  }
+
   test("q_holt_forecast: the decimal fold matches a BigDecimal recomputation step for step") {
     val rows = graft.operators.TemporalOps.queries("q_holt_forecast")(spark, sf)
       .orderBy("month").collect()

@@ -1629,7 +1629,96 @@ object Similarity {
          |  round(mse / mean_energy, 6) AS distortion_ratio
          |FROM agg""".stripMargin
 
+  // ---------------------------------------------------------------- D16
+  /** Hybrid retrieval with reciprocal-rank fusion — the production RAG
+    * pattern a pure-lexical or pure-vector stack misses: BM25 (E10's
+    * machinery and constants) produces the lexical list, its top-3
+    * hits seed a pseudo-relevance-feedback embedding centroid
+    * (element-wise sum in FIXED fold order — cosine is scale-
+    * invariant, so no /3), the centroid's cosine ranking produces the
+    * vector list, and RRF fuses: score(d) = Σ 1/(60 + rank_i(d)) over
+    * the lists containing d (Cormack et al.'s k = 60). Rank
+    * arithmetic only — RRF never compares raw scores across scoring
+    * scales, which is exactly why it is the default fusion in
+    * production search.
+    *
+    * Scale shape: BM25 is E10's bounded plan; the centroid is a
+    * 3-row reduction; the vector list uses the distributed
+    * TakeOrdered cut (per-partition partial top-k — no global sort,
+    * no corpus-scale window); fusion outer-joins two ≤ TopK-row
+    * lists. Parity: ranks are exact integers, 1/(60+r) is one IEEE
+    * division on identical ints, fused scores round to 8 dp with
+    * doc_id tiebreak.
+    */
+  def qHybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val topK = graft.ml.FeatureOps.Bm25TopK
+    val lex = graft.ml.FeatureOps.qBm25(spark, dir)
+      .select(col("doc_id"), col("rank").as("rank_lex"))
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val centroid = lex.filter(col("rank_lex") <= 3)
+      .join(e, col("doc_id") === col("vec_id"))
+      .agg(max(when(col("rank_lex") === 1, col("v"))).as("v1"),
+        max(when(col("rank_lex") === 2, col("v"))).as("v2"),
+        max(when(col("rank_lex") === 3, col("v"))).as("v3"))
+      .select(expr(
+        """zip_with(
+          |  zip_with(v1, coalesce(v2, array_repeat(cast(0.0 as double), 64)),
+          |    (a, b) -> a + b),
+          |  coalesce(v3, array_repeat(cast(0.0 as double), 64)),
+          |  (a, b) -> a + b)""".stripMargin).as("cv"))
+    val vecTop = e.crossJoin(broadcast(centroid))
+      .select(col("vec_id").as("doc_id"),
+        VectorFunctions.cosine(col("cv"), col("v")).as("sim"))
+      .orderBy(round(col("sim"), 6).desc, col("doc_id").asc).limit(topK)
+      .withColumn("rank_vec", row_number().over(
+        Window.orderBy(round(col("sim"), 6).desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("rank_vec"))
+    val fused = lex.join(vecTop, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60) + col("rank_lex")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60) + col("rank_vec")), lit(0.0)), 8))
+    fused.withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf").desc, col("doc_id").asc)))
+      .filter(col("rank") <= 10)
+      .select(col("doc_id"), col("rank_lex"), col("rank_vec"),
+        col("rrf"), col("rank"))
+  }
+
+  val qHybridRrfSql: String = {
+    val bm = graft.ml.FeatureOps.qBm25Sql
+    s"""WITH bm AS (SELECT doc_id, rank AS rank_lex FROM ($bm)),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |seeds AS (SELECT
+      |    max(CASE WHEN rank_lex = 1 THEN v END) AS v1,
+      |    max(CASE WHEN rank_lex = 2 THEN v END) AS v2,
+      |    max(CASE WHEN rank_lex = 3 THEN v END) AS v3
+      |  FROM bm JOIN e ON doc_id = vec_id WHERE rank_lex <= 3),
+      |cen AS (SELECT i,
+      |    v1[i] + coalesce(v2[i], 0.0) + coalesce(v3[i], 0.0) AS c
+      |  FROM seeds, generate_series(1, 64) g(i)),
+      |cl AS (SELECT list(c ORDER BY i) AS cv FROM cen),
+      |flat AS (SELECT vec_id AS doc_id, unnest(cv) AS x, unnest(v) AS y
+      |  FROM e, cl),
+      |sc AS (SELECT doc_id,
+      |    sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS sim
+      |  FROM flat GROUP BY 1),
+      |vr AS (SELECT doc_id, row_number() OVER (
+      |    ORDER BY round(sim, 6) DESC, doc_id ASC) AS rank_vec FROM sc),
+      |vt AS (SELECT * FROM vr WHERE rank_vec <= ${graft.ml.FeatureOps.Bm25TopK}),
+      |fused AS (SELECT coalesce(bm.doc_id, vt.doc_id) AS doc_id,
+      |    bm.rank_lex, vt.rank_vec,
+      |    round(coalesce(1.0 / (60 + bm.rank_lex), 0.0)
+      |      + coalesce(1.0 / (60 + vt.rank_vec), 0.0), 8) AS rrf
+      |  FROM bm FULL OUTER JOIN vt ON bm.doc_id = vt.doc_id)
+      |SELECT doc_id, rank_lex, rank_vec, rrf,
+      |  row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rank
+      |FROM fused
+      |QUALIFY rank <= 10""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hybrid_rrf" -> (qHybridRrf _),
     "q_pq_distortion" -> (qPqDistortion _),
     "q_class_separation" -> (qClassSeparation _),
     "q_ann_bruteforce" -> (qAnnBruteforce _),
@@ -1655,6 +1744,7 @@ object Similarity {
   def oracle: Map[String, String] = {
     val k = lastShortlistK.get
     Map("q_ann_bruteforce" -> qAnnBruteforceSql, "q_ann_lsh" -> qAnnLshSql,
+      "q_hybrid_rrf" -> qHybridRrfSql,
       "q_mmr_diversify" -> qMmrDiversifySql,
       "q_ndcg" -> qNdcgSql,
       "q_class_separation" -> qClassSeparationSql) ++

@@ -211,7 +211,10 @@ class PlanSpec extends AnyFunSuite {
       "q_decision_stump",
       // cumulative deviation/min windows over the bounded day table
       // (the q_changepoint class)
-      "q_page_hinkley")
+      "q_page_hinkley",
+      // rank windows over the two ≤ Bm25TopK-row retrieval lists
+      // surviving distributed limits (the q_bm25 class)
+      "q_hybrid_rrf")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       // pre-AQE physical plan: traversable with plain collect (the
       // AQE wrapper hides its initial plan from TreeNode traversal,

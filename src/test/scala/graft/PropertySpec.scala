@@ -707,6 +707,31 @@ class PropertySpec extends AnyFunSuite {
     assert(gs.forall(g => g == 0 || g == 2 || g == 3), "gid encodes the declared sets only")
   }
 
+  test("q_hybrid_rrf: fusion recomposes from the two rank lists and respects list membership") {
+    val rows = graft.operators.Similarity.queries("q_hybrid_rrf")(spark, sf).collect()
+    assert(rows.length == 10)
+    val lex = graft.ml.FeatureOps.qBm25(spark, sf)
+      .select(col("doc_id"), col("rank")).as[(Long, Int)].collect().toMap
+    rows.foreach { r =>
+      val rl = Option(r.getAs[Integer]("rank_lex")).map(_.toInt)
+      val rv = Option(r.getAs[Integer]("rank_vec")).map(_.toInt)
+      assert(rl.nonEmpty || rv.nonEmpty, "a fused doc must come from some list")
+      rl.foreach(v => assert(lex(r.getAs[Long]("doc_id")) == v,
+        "lexical rank must be BM25's rank"))
+      val expect = rl.map(v => 1.0 / (60 + v)).getOrElse(0.0) +
+        rv.map(v => 1.0 / (60 + v)).getOrElse(0.0)
+      assert(math.abs(r.getAs[Double]("rrf") - expect) < 1e-8,
+        s"rrf ${r.getAs[Double]("rrf")} vs recomposed $expect")
+    }
+    // fused order is non-increasing in rrf with doc_id tiebreak
+    val sorted = rows.sortBy(_.getAs[Int]("rank"))
+    sorted.sliding(2).foreach { case Array(a, b) =>
+      val (sa, sb) = (a.getAs[Double]("rrf"), b.getAs[Double]("rrf"))
+      assert(sa > sb || (sa == sb &&
+        a.getAs[Long]("doc_id") < b.getAs[Long]("doc_id")))
+    }
+  }
+
   test("q_kcore: peeling invariants hold and the ladder reaches the true 3-core fixpoint here") {
     val rows = graft.operators.GraphOps.queries("q_kcore")(spark, sf)
       .as[(Long, Long, Long, Boolean)].collect()

@@ -243,6 +243,43 @@ object SqlSurface {
       |JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY 1""".stripMargin
 
+  /** Shared SQL text for I14 — the standard UNPIVOT clause, valid in
+    * BOTH engines: the I11 wide table (per-nation revenue per
+    * priority, built portably as the CASE aggregate) folded back to
+    * long form through the parser. UNPIVOT is an analyzer rewrite
+    * (wide → Expand) no DSL query elsewhere exercises; both engines
+    * drop NULL cells by default, so a nation missing a priority
+    * vanishes identically. Completes the reshape pair with I11's
+    * PIVOT. One grouped aggregate then a 5-way expand of the 25-row
+    * wide frame — column fan-in, never a second scan.
+    */
+  val unpivotSql: String =
+    """SELECT nation, prio, cents FROM (
+      |  SELECT n_name AS nation,
+      |    CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+      |      THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS urgent,
+      |    CAST(sum(CASE WHEN o_orderpriority = '2-HIGH'
+      |      THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS high,
+      |    CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM'
+      |      THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS medium,
+      |    CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+      |      THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS notspec,
+      |    CAST(sum(CASE WHEN o_orderpriority = '5-LOW'
+      |      THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS low
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1
+      |) UNPIVOT (cents FOR prio IN (urgent, high, medium, notspec, low))""".stripMargin
+
+  /** I14: the UNPIVOT clause through the SQL front end — same text on
+    * both engines (see [[unpivotSql]]). */
+  def qSqlUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.nation(spark, dir).createOrReplaceTempView("nation")
+    spark.sql(unpivotSql)
+  }
+
   /** Shared SQL text for I12 — valid in BOTH engines, so the exact
     * same string runs on Spark and DuckDB (the I1 device applied to a
     * correlated LATERAL subquery with ORDER BY + LIMIT: Spark plans
@@ -317,6 +354,7 @@ object SqlSurface {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_unpivot" -> (qSqlUnpivot _),
     "q_sql_bfs" -> (qSqlBfs _),
     "q_sql_lateral" -> (qSqlLateral _),
     "q_sql_pivot" -> (qSqlPivot _),
@@ -331,6 +369,7 @@ object SqlSurface {
     "q_sql_subqueries" -> (qSqlSubqueries _))
 
   def oracle: Map[String, String] = Map(
+    "q_sql_unpivot" -> unpivotSql,
     "q_sql_bfs" -> bfsSql,
     "q_sql_lateral" -> lateralSql,
     "q_sql_pivot" -> qSqlPivotSql,

@@ -810,6 +810,21 @@ class PropertySpec extends AnyFunSuite {
       assert(rec(n) == d, s"node $n: recursive hop ${rec(n)} != BFS $d") }
   }
 
+  test("sql unpivot: wide-to-long through the parser equals the direct long-form aggregate") {
+    val up = graft.operators.SqlSurface.queries("q_sql_unpivot")(spark, sf)
+    val names = Map("1-URGENT" -> "urgent", "2-HIGH" -> "high",
+      "3-MEDIUM" -> "medium", "4-NOT SPECIFIED" -> "notspec", "5-LOW" -> "low")
+    val long = graft.Tables.orders(spark, sf)
+      .join(graft.Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .join(graft.Tables.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), col("o_orderpriority"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .na.replace("o_orderpriority", names)
+      .withColumnRenamed("o_orderpriority", "prio")
+    assert(up.exceptAll(long).isEmpty && long.exceptAll(up).isEmpty,
+      "UNPIVOT parser path and direct long aggregate must agree row-for-row")
+  }
+
   test("sql lateral: correlated LATERAL top-3 equals the window-function formulation") {
     val lat = graft.operators.SqlSurface.queries("q_sql_lateral")(spark, sf)
     assert(lat.count() == 25 * 3, "3 customers per nation, 25 nations")

@@ -1717,7 +1717,80 @@ object Similarity {
       |QUALIFY rank <= 10""".stripMargin
   }
 
+  // ---------------------------------------------------------------- D17
+  /** Matryoshka truncation audit — how much retrieval quality survives
+    * when the 64-dim embedding is cut to its 32- or 16-dim prefix
+    * (the MRL deployment question: shorter prefixes mean 2–4× cheaper
+    * ANN storage and bandwidth IF the prefix ranking holds up). For
+    * the standard query panel, exact cosine top-5 is computed per dim
+    * budget b ∈ {16, 32, 64} over the PREFIX slice, and each
+    * truncated list is scored by its overlap with the full-dim truth
+    * list. Work is 3× the D1 bruteforce shape — panel × corpus map
+    * work, per-(query, budget) bounded windows, exact integer hit
+    * counts until one final division. At 100 TB the panel cap (D1's
+    * PanelIdCap) keeps the whole audit O(corpus), and the verdict
+    * tells you which prefix budget your ANN tier can drop to.
+    */
+  def qMatryoshkaOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < PanelIdCap)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val budgets = Seq(16, 32, 64)
+    val ranked = budgets.map { b =>
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"), lit(b).as("budget"),
+          VectorFunctions.cosine(expr(s"slice(qv, 1, $b)"),
+            expr(s"slice(v, 1, $b)")).as("sim"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(round(col("sim"), 6).desc, col("nid").asc)
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select(col("qid"), col("nid"), col("budget"))
+    }.reduce(_ union _)
+    val truth = ranked.filter(col("budget") === 64)
+      .select(col("qid"), col("nid"))
+    // denominator = the PANEL size, independent of hit count — a
+    // budget whose top-5 shares nothing with truth still divides by
+    // the full panel (caught by the spec: counting distinct qids
+    // after the overlap join silently drops zero-overlap queries)
+    val hits = ranked.join(truth, Seq("qid", "nid"), "left_semi")
+      .groupBy(col("budget")).agg(count(lit(1)).as("hits"))
+    val grid = q.agg(count(lit(1)).as("n_queries"))
+      .select(explode(array(lit(16), lit(32), lit(64))).as("budget"),
+        col("n_queries"))
+    grid.join(hits, Seq("budget"), "left").na.fill(0L, Seq("hits"))
+      .select(col("budget"), col("n_queries"),
+        round(col("hits") / (col("n_queries") * 5).cast("double"), 4)
+          .as("overlap_at_5"))
+  }
+
+  val qMatryoshkaOverlapSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e
+      |  WHERE vec_id % 50 = 0 AND vec_id < $PanelIdCap),
+      |grid AS (SELECT unnest([16, 32, 64]) AS budget),
+      |flat AS (SELECT qid, e.vec_id AS nid, budget, qv[i] AS x, v[i] AS y
+      |  FROM e JOIN q ON e.vec_id <> q.qid, grid, generate_series(1, 64) g(i)
+      |  WHERE i <= budget),
+      |scored AS (SELECT qid, nid, budget,
+      |    sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS sim
+      |  FROM flat GROUP BY 1, 2, 3),
+      |ranked AS (SELECT qid, nid, budget, row_number() OVER (
+      |    PARTITION BY qid, budget ORDER BY round(sim, 6) DESC, nid ASC) AS rank
+      |  FROM scored),
+      |top AS (SELECT qid, nid, budget FROM ranked WHERE rank <= 5),
+      |truth AS (SELECT qid, nid FROM top WHERE budget = 64),
+      |hits AS (SELECT budget, count(*) AS hits
+      |  FROM top t JOIN truth u ON t.qid = u.qid AND t.nid = u.nid
+      |  GROUP BY 1),
+      |nq AS (SELECT count(*) AS n_queries FROM q)
+      |SELECT g.budget, n_queries,
+      |  round(coalesce(hits, 0) / CAST(n_queries * 5 AS DOUBLE), 4)
+      |    AS overlap_at_5
+      |FROM grid g CROSS JOIN nq LEFT JOIN hits ON g.budget = hits.budget""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_matryoshka_overlap" -> (qMatryoshkaOverlap _),
     "q_hybrid_rrf" -> (qHybridRrf _),
     "q_pq_distortion" -> (qPqDistortion _),
     "q_class_separation" -> (qClassSeparation _),
@@ -1745,6 +1818,7 @@ object Similarity {
     val k = lastShortlistK.get
     Map("q_ann_bruteforce" -> qAnnBruteforceSql, "q_ann_lsh" -> qAnnLshSql,
       "q_hybrid_rrf" -> qHybridRrfSql,
+      "q_matryoshka_overlap" -> qMatryoshkaOverlapSql,
       "q_mmr_diversify" -> qMmrDiversifySql,
       "q_ndcg" -> qNdcgSql,
       "q_class_separation" -> qClassSeparationSql) ++

@@ -198,4 +198,16 @@ class SimilaritySpec extends AnyFunSuite {
     // selectivity: a label cut keeps a strict, non-trivial fraction
     rows.flatMap(_._6).foreach(s => assert(s > 0.0 && s < 1.0))
   }
+
+  test("q_matryoshka_overlap: full-dim budget is a perfect overlap, prefixes bounded in [0,1]") {
+    val rows = graft.operators.Similarity.queries("q_matryoshka_overlap")(spark, sf)
+      .orderBy("budget")
+      .as[(Int, Long, Double)].collect()
+    assert(rows.map(_._1).toSeq == Seq(16, 32, 64))
+    val nq = rows.head._2
+    assert(rows.forall(_._2 == nq), "every budget ranks the same panel")
+    rows.foreach { case (b, _, ov) =>
+      assert(ov >= 0.0 && ov <= 1.0, s"budget $b overlap $ov") }
+    assert(rows.last._3 == 1.0, "the 64-dim list IS the truth list")
+  }
 }

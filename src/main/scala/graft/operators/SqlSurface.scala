@@ -342,15 +342,46 @@ object SqlSurface {
       |SELECT node AS s_suppkey, min(hop) AS hops, count(*) AS n_paths
       |FROM bfs GROUP BY 1""".stripMargin
 
+  /** The recursion + readout portion of [[bfsSql]] over a resolvable
+    * `adj(src, dst)` relation — the text both engines execute for the
+    * actual traversal (DuckDB resolves `adj` as the inline CTE above;
+    * Spark as the cached kNN view below).
+    */
+  private val bfsRecursionSql: String =
+    """WITH RECURSIVE
+      |root AS (SELECT min(src) AS r FROM adj),
+      |bfs(node, hop) AS (
+      |  SELECT r, 0 FROM root
+      |  UNION ALL
+      |  SELECT a.dst, b.hop + 1 FROM bfs b JOIN adj a ON a.src = b.node
+      |  WHERE b.hop < 3)
+      |SELECT node AS s_suppkey, min(hop) AS hops, count(*) AS n_paths
+      |FROM bfs GROUP BY 1""".stripMargin
+
   /** I13: recursive CTE through the SQL front end — BFS hop distance
     * + walk counts on the mutual-kNN graph. Graph traversal is the
     * one query shape the non-recursive surface cannot express in a
     * single statement; this pins Spark's UnionLoop execution against
-    * DuckDB's reference recursion on identical text.
+    * DuckDB's reference recursion on identical traversal text.
+    *
+    * The graph arrives as a CACHED temp view rather than an inline
+    * CTE: Spark's UnionLoop re-evaluates its step subtree every
+    * iteration, so inlining the kNN derivation re-runs the pair join
+    * once PER HOP — measured 22 s at sf0.1 / 158 s at sf1 inline,
+    * vs the shared [[GraphOps.mutualKnnPairs]] cache paying the
+    * derivation once. The DuckDB oracle keeps the fully inline
+    * [[bfsSql]] (its recursion materializes the working table, so the
+    * CTE is evaluated once there).
     */
   def qSqlBfs(spark: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
-    spark.sql(bfsSql)
+    val und = GraphOps.mutualKnnPairs(spark, dir)
+    und.select(org.apache.spark.sql.functions.col("src"),
+        org.apache.spark.sql.functions.col("dst"))
+      .union(und.select(
+        org.apache.spark.sql.functions.col("dst").as("src"),
+        org.apache.spark.sql.functions.col("src").as("dst")))
+      .createOrReplaceTempView("adj")
+    spark.sql(bfsRecursionSql)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

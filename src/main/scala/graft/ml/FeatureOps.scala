@@ -1352,7 +1352,77 @@ object FeatureOps {
       |FROM sc ORDER BY gain DESC, threshold ASC LIMIT 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- E36
+  /** Variance inflation factors for the three lineitem regressors
+    * (quantity, discount, tax) — the collinearity pre-flight a
+    * feature pipeline runs before trusting ANY multivariate fit's
+    * coefficients (E22's single-feature slopes are immune; the moment
+    * two features enter one model, a VIF > 5 means their coefficients
+    * trade off freely and per-feature attribution is noise). With
+    * two other regressors the auxiliary R²_j has the closed
+    * correlation form R²_j = (r_ja² + r_jb² − 2·r_ja·r_jb·r_ab) /
+    * (1 − r_ab²), so ONE corpus pass computes the three pairwise
+    * correlations (plus each feature's correlation with the price
+    * target for context), every r is 6-dp-rounded BEFORE the algebra
+    * (the identical-IEEE-inputs device), and the 3-row verdict frame
+    * is pure scalar arithmetic on a broadcast row. |r_ab| = 1
+    * degenerates to NULL VIF, never a divide error.
+    */
+  def qVif(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.lineitem(spark, dir).agg(
+      round(corr(col("l_quantity"), col("l_discount")), 6).as("r_qd"),
+      round(corr(col("l_quantity"), col("l_tax")), 6).as("r_qt"),
+      round(corr(col("l_discount"), col("l_tax")), 6).as("r_dt"),
+      round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("y_q"),
+      round(corr(col("l_discount"), col("l_extendedprice")), 6).as("y_d"),
+      round(corr(col("l_tax"), col("l_extendedprice")), 6).as("y_t"))
+    def r2(ra: String, rb: String, rab: String) =
+      s"""(case when abs($rab) >= 1.0 then cast(null as double)
+         |  else ($ra * $ra + $rb * $rb - 2 * $ra * $rb * $rab)
+         |       / (1.0 - $rab * $rab) end)""".stripMargin
+    def row(f: String, ry: String, ra: String, rb: String, rab: String) =
+      s"""named_struct('feature', '$f', 'r_target', $ry,
+         |  'r2_others', round(${r2(ra, rb, rab)}, 6),
+         |  'vif', case when ${r2(ra, rb, rab)} >= 1.0 then cast(null as double)
+         |    else round(1.0 / (1.0 - round(${r2(ra, rb, rab)}, 6)), 4) end)""".stripMargin
+    c.select(explode(expr(s"""array(
+        |${row("l_quantity", "y_q", "r_qd", "r_qt", "r_dt")},
+        |${row("l_discount", "y_d", "r_qd", "r_dt", "r_qt")},
+        |${row("l_tax", "y_t", "r_qt", "r_dt", "r_qd")})""".stripMargin)).as("s"))
+      .select(col("s.feature").as("feature"), col("s.r_target").as("r_target"),
+        col("s.r2_others").as("r2_others"), col("s.vif").as("vif"),
+        coalesce(col("s.vif") > 5.0, lit(false)).as("collinear"))
+  }
+
+  val qVifSql: String = {
+    def r2(ra: String, rb: String, rab: String) =
+      s"""(CASE WHEN abs($rab) >= 1.0 THEN CAST(NULL AS DOUBLE)
+         |  ELSE ($ra * $ra + $rb * $rb - 2 * $ra * $rb * $rab)
+         |       / (1.0 - $rab * $rab) END)""".stripMargin
+    def row(f: String, ry: String, ra: String, rb: String, rab: String) =
+      s"""SELECT '$f' AS feature, $ry AS r_target,
+         |  round(${r2(ra, rb, rab)}, 6) AS r2_others,
+         |  CASE WHEN ${r2(ra, rb, rab)} >= 1.0 THEN CAST(NULL AS DOUBLE)
+         |    ELSE round(1.0 / (1.0 - round(${r2(ra, rb, rab)}, 6)), 4)
+         |  END AS vif
+         |FROM c""".stripMargin
+    s"""WITH c AS (SELECT
+      |    round(corr(l_quantity, l_discount), 6) AS r_qd,
+      |    round(corr(l_quantity, l_tax), 6) AS r_qt,
+      |    round(corr(l_discount, l_tax), 6) AS r_dt,
+      |    round(corr(l_quantity, l_extendedprice), 6) AS y_q,
+      |    round(corr(l_discount, l_extendedprice), 6) AS y_d,
+      |    round(corr(l_tax, l_extendedprice), 6) AS y_t
+      |  FROM lineitem)
+      |SELECT feature, r_target, r2_others, vif,
+      |  coalesce(vif > 5.0, false) AS collinear
+      |FROM (${row("l_quantity", "y_q", "r_qd", "r_qt", "r_dt")}
+      |  UNION ALL ${row("l_discount", "y_d", "r_qd", "r_dt", "r_qt")}
+      |  UNION ALL ${row("l_tax", "y_t", "r_qt", "r_dt", "r_qd")})""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vif" -> (qVif _),
     "q_logistic_gd" -> (qLogisticGd _),
     "q_decision_stump" -> (qDecisionStump _),
     "q_brier_score" -> (qBrierScore _),
@@ -1379,6 +1449,7 @@ object FeatureOps {
     "q_mutual_info" -> (qMutualInfo _))
 
   def oracle: Map[String, String] = Map(
+    "q_vif" -> qVifSql,
     "q_logistic_gd" -> qLogisticGdSql,
     "q_decision_stump" -> qDecisionStumpSql,
     "q_brier_score" -> qBrierScoreSql,

@@ -235,6 +235,34 @@ class ValidationSpec extends AnyFunSuite {
     }
   }
 
+  test("q_vif: auxiliary R2 recomposes from pairwise correlations, VIF >= 1") {
+    val rows = graft.ml.FeatureOps.queries("q_vif")(spark, sf).collect()
+    assert(rows.length == 3)
+    val xs = Tables.lineitem(spark, sf)
+      .select(col("l_quantity").cast("double"), col("l_discount"), col("l_tax"))
+      .as[(Double, Double, Double)].collect()
+    def corr2(a: Array[Double], b: Array[Double]) = {
+      val (ma, mb) = (a.sum / a.length, b.sum / b.length)
+      val cov = a.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum
+      cov / math.sqrt(a.map(x => (x - ma) * (x - ma)).sum *
+        b.map(y => (y - mb) * (y - mb)).sum)
+    }
+    val (q, d, t) = (xs.map(_._1), xs.map(_._2), xs.map(_._3))
+    val (rqd, rqt, rdt) = (corr2(q, d), corr2(q, t), corr2(d, t))
+    def r2Of(ra: Double, rb: Double, rab: Double) =
+      (ra * ra + rb * rb - 2 * ra * rb * rab) / (1 - rab * rab)
+    val expect = Map("l_quantity" -> r2Of(rqd, rqt, rdt),
+      "l_discount" -> r2Of(rqd, rdt, rqt), "l_tax" -> r2Of(rqt, rdt, rqd))
+    rows.foreach { r =>
+      val f = r.getAs[String]("feature")
+      assert(math.abs(r.getAs[Double]("r2_others") - expect(f)) < 1e-4,
+        s"$f: r2_others ${r.getAs[Double]("r2_others")} vs brute ${expect(f)}")
+      val vif = r.getAs[Double]("vif")
+      assert(vif >= 1.0 - 1e-9, s"$f: VIF $vif must be >= 1")
+      assert(math.abs(vif - 1.0 / (1.0 - r.getAs[Double]("r2_others"))) < 1e-3)
+    }
+  }
+
   test("q_fisher_exact: the recurrence sweep matches a first-principles hypergeometric enumeration") {
     val r = Validation.qFisherExact(spark, sf).collect()(0)
     val (a, b, c, d) = (r.getAs[Long]("a"), r.getAs[Long]("b"),

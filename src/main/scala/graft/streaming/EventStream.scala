@@ -552,6 +552,71 @@ object EventStream {
       }
   }
 
+  /** Input for the streaming drift detector: the already-aggregated
+    * (day, revenue-cents) metric stream, the same daily pre-aggregate
+    * the batch F49 computes as its first step.
+    */
+  case class DayRev(day: Long, cents: Long)
+  /** Page–Hinkley running state. The exact-integer chain values (Σx,
+    * deviation sum m, running min) are carried as BigInt STRINGS so
+    * state stays exact at any stream length — the batch twin uses
+    * DECIMAL(38,0) for the same reason; a Long would overflow the
+    * 2·Σx·10⁶ intermediate near $10¹⁰ of cumulative revenue. `lastDay`
+    * is the cross-micro-batch ordering guard (the F13 device).
+    */
+  case class PhState(t: Long, s: String, m: String, mmin: String,
+      lastDay: Long)
+  /** Verdict row, identical shape to the batch `q_page_hinkley`. */
+  case class PhOut(day: Long, revenue: Double, running_mean: Double,
+      ph: Double, alarm: Boolean)
+
+  /** F50: STREAMING twin of the batch Page–Hinkley drift detector
+    * (F49) — the sequential statistic run where it is meant to live,
+    * on the arriving daily metric. State is four integers (exact
+    * BigInt chain + ordering guard), O(1) regardless of stream
+    * length; each in-order day advances the identical micro-cent
+    * arithmetic as the batch operator (half-up integer mean via
+    * (2·S·10⁶ + t) DIV (2t), integer deviation sum, integer running
+    * min), so for an in-order day stream the emitted rows EQUAL the
+    * oracle-checked batch result row for row — asserted in
+    * StreamingSpec. Late or duplicate days are dropped by the
+    * ordering guard (a sequential statistic cannot retroactively
+    * reorder; a production pipeline would side-output them). The
+    * statistic is inherently single-series, so the stream is keyed by
+    * the metric identity (one group here; per-metric keys in a
+    * multi-metric deployment).
+    */
+  def streamPageHinkley(days: Dataset[DayRev]): Dataset[PhOut] = {
+    import days.sparkSession.implicits._
+    def r(x: Double, dp: Int): Double =
+      BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lambda6 = BigInt("1000000") * 100 * 10000
+    days.groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, it: Iterator[DayRev], state: GroupState[PhState]) =>
+          var st = state.getOption.getOrElse(PhState(0L, "0", "0", "", -1L))
+          val out = it.toSeq.sortBy(_.day).flatMap { d =>
+            if (st.t > 0 && d.day <= st.lastDay) None
+            else {
+              val t = st.t + 1
+              val s = BigInt(st.s) + d.cents
+              val mean6 = (2 * s * 1000000 + t) / (2 * t)
+              val m = BigInt(st.m) + BigInt(d.cents) * 1000000 - mean6
+              val mmin =
+                if (st.mmin.isEmpty || m < BigInt(st.mmin)) m
+                else BigInt(st.mmin)
+              val ph6 = m - mmin
+              st = PhState(t, s.toString, m.toString, mmin.toString, d.day)
+              Some(PhOut(d.day, r(d.cents / 100.0, 2),
+                r(mean6.toDouble / 1e8, 4), r(ph6.toDouble / 1e8, 4),
+                ph6 > lambda6))
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** F15: streaming twin of the incremental NEAR-dup ingest — each
     * arriving micro-batch of documents is checked against the
     * persisted [[graft.operators.Dedup.SigStore]] via `foreachBatch`

@@ -172,6 +172,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(afterInOrder.nonEmpty)
   }
 
+  test("stateful streaming Page-Hinkley equals the batch detector and drops late days") {
+    import graft.streaming.EventStream.{DayRev, PhOut}
+    implicit val sqlCtx = spark.sqlContext
+    val days = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(expr("(ts DIV 1000000000) DIV 86400").cast("long").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("day").agg(sum(col("cents")).as("cents"))
+      .as[DayRev].collect().sortBy(_.day)
+    assert(days.length > 5)
+    val input = MemoryStream[DayRev]
+    val qn = "graft_stream_ph"
+    val q = graft.streaming.EventStream.streamPageHinkley(input.toDS())
+      .writeStream.outputMode("append").format("memory").queryName(qn).start()
+    // two in-order micro-batches, then a LATE replay of an old day
+    input.addData(days.take(days.length / 2): _*)
+    q.processAllAvailable()
+    input.addData(days.drop(days.length / 2): _*)
+    q.processAllAvailable()
+    input.addData(DayRev(days.head.day, 999999999L))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table(qn).as[PhOut].collect()
+    assert(streamed.length == days.length, "late replay must emit nothing")
+    val batch = graft.operators.TemporalOps.queries("q_page_hinkley")(spark, sf)
+      .as[PhOut].collect().toSet
+    assert(streamed.toSet == batch,
+      s"stream-batch mismatch: onlyStream=${(streamed.toSet -- batch).take(3)} " +
+        s"onlyBatch=${(batch -- streamed.toSet).take(3)}")
+  }
+
   test("streaming near-dup ingest over micro-batches equals the batch store query") {
     implicit val sqlCtx = spark.sqlContext
     val sf01 = "/root/testdata/sf0.01" // sf0.001 yields no near-dup matches

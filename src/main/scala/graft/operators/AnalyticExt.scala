@@ -97,6 +97,60 @@ object AnalyticExt {
       |SELECT 'union_distinct', count(*) FROM (
       |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus IN ('F', 'O'))""".stripMargin
 
+  // ---------------------------------------------------------------- A44
+  /** Pearson residuals of the status × priority contingency table —
+    * the cell-level drill-down behind an omnibus χ² (L15's Cramér's V
+    * says THE TABLE is dependent; this says WHICH cells drive it):
+    * r = (observed − expected)/√expected with expected =
+    * row_total·col_total/n, |r| > 2 flagging the over/under-
+    * represented cells. Counts are exact integers; the rt·ct margin
+    * product goes through DECIMAL/HUGEINT (rt·ct ≤ n², which leaves
+    * exact-double range past ~94 M rows) before its one correctly-
+    * rounded cast, so expected and the residual are single IEEE
+    * divisions on identical inputs at ANY scale. One grouped
+    * aggregate (15 cells), two broadcast margin frames.
+    */
+  def qCrosstabResiduals(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy(col("status")).agg(sum(col("o")).as("rt"))
+    val cols = cells.groupBy(col("priority")).agg(sum(col("o")).as("ct"))
+    val n = cells.agg(sum(col("o")).as("n"))
+    cells.join(broadcast(rows), "status").join(broadcast(cols), "priority")
+      .crossJoin(broadcast(n))
+      .withColumn("expected", round(
+        (col("rt").cast("decimal(38,0)") * col("ct").cast("decimal(38,0)"))
+          .cast("double") / col("n"), 4))
+      .withColumn("residual",
+        when(col("expected") <= 0, lit(null).cast("double"))
+          .otherwise(round((col("o") - col("expected"))
+            / sqrt(col("expected")), 4)))
+      .select(col("status"), col("priority"), col("o").as("observed"),
+        col("expected"), col("residual"),
+        coalesce(abs(col("residual")) > 2.0, lit(false)).as("notable"))
+  }
+
+  val qCrosstabResidualsSql: String =
+    """WITH cells AS (SELECT o_orderstatus AS status,
+      |    o_orderpriority AS priority, count(*) AS o
+      |  FROM orders GROUP BY 1, 2),
+      |r AS (SELECT status, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+      |c AS (SELECT priority, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+      |n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+      |e AS (SELECT status, priority, o,
+      |    round(CAST(CAST(rt AS HUGEINT) * CAST(ct AS HUGEINT) AS DOUBLE)
+      |      / n, 4) AS expected
+      |  FROM cells JOIN r USING (status) JOIN c USING (priority), n)
+      |SELECT status, priority, o AS observed, expected,
+      |  CASE WHEN expected <= 0 THEN CAST(NULL AS DOUBLE)
+      |    ELSE round((o - expected) / sqrt(expected), 4) END AS residual,
+      |  coalesce(abs(CASE WHEN expected <= 0 THEN CAST(NULL AS DOUBLE)
+      |    ELSE round((o - expected) / sqrt(expected), 4) END) > 2.0, false)
+      |    AS notable
+      |FROM e""".stripMargin
+
   // ---------------------------------------------------------------- A21
   /** Correlated-aggregate pattern ("orders above 1.5x their customer's
     * average") expressed as a window — the per-customer aggregate
@@ -1321,6 +1375,7 @@ object AnalyticExt {
     "q_grouping_sets" -> (qGroupingSets _),
     "q_window_suite" -> (qWindowSuite _),
     "q_set_ops" -> (qSetOps _),
+    "q_crosstab_residuals" -> (qCrosstabResiduals _),
     "q_above_avg_orders" -> (qAboveAvgOrders _),
     "q_array_hof" -> (qArrayHof _),
     "q_ewma" -> (qEwma _))
@@ -1348,6 +1403,7 @@ object AnalyticExt {
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_window_suite" -> qWindowSuiteSql,
     "q_set_ops" -> qSetOpsSql,
+    "q_crosstab_residuals" -> qCrosstabResidualsSql,
     "q_above_avg_orders" -> qAboveAvgOrdersSql,
     "q_array_hof" -> qArrayHofSql,
     "q_ewma" -> qEwmaSql)

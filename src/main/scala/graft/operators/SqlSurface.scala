@@ -384,7 +384,20 @@ object SqlSurface {
     spark.sql(bfsRecursionSql)
   }
 
+  /** I15: INTERSECT / EXCEPT / UNION DISTINCT through the SQL parser —
+    * A20's oracle text IS valid Spark SQL, so one text runs on both
+    * engines and THREE surfaces (DataFrame set operators, SQL text,
+    * DuckDB) pin to one result set (the I9 device applied to set
+    * operators; Catalyst plans INTERSECT/EXCEPT as left-semi /
+    * left-anti aggregates).
+    */
+  def qSqlSetOps(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(AnalyticExt.qSetOpsSql)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_set_ops" -> (qSqlSetOps _),
     "q_sql_unpivot" -> (qSqlUnpivot _),
     "q_sql_bfs" -> (qSqlBfs _),
     "q_sql_lateral" -> (qSqlLateral _),
@@ -400,6 +413,7 @@ object SqlSurface {
     "q_sql_subqueries" -> (qSqlSubqueries _))
 
   def oracle: Map[String, String] = Map(
+    "q_sql_set_ops" -> AnalyticExt.qSetOpsSql,
     "q_sql_unpivot" -> unpivotSql,
     "q_sql_bfs" -> bfsSql,
     "q_sql_lateral" -> lateralSql,

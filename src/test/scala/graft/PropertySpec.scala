@@ -810,6 +810,30 @@ class PropertySpec extends AnyFunSuite {
       assert(rec(n) == d, s"node $n: recursive hop ${rec(n)} != BFS $d") }
   }
 
+  test("q_crosstab_residuals: margins recompose, residuals recompute, sql set-ops surface equals the DSL") {
+    val rows = graft.operators.AnalyticExt.queries("q_crosstab_residuals")(spark, sf)
+      .collect()
+    assert(rows.length == 15, "3 statuses x 5 priorities")
+    val n = rows.map(_.getAs[Long]("observed")).sum
+    assert(n == Tables.orders(spark, sf).count())
+    val rt = rows.groupBy(_.getAs[String]("status"))
+      .map { case (k, v) => k -> v.map(_.getAs[Long]("observed")).sum }
+    val ct = rows.groupBy(_.getAs[String]("priority"))
+      .map { case (k, v) => k -> v.map(_.getAs[Long]("observed")).sum }
+    rows.foreach { r =>
+      val e = rt(r.getAs[String]("status")).toDouble *
+        ct(r.getAs[String]("priority")) / n
+      assert(math.abs(r.getAs[Double]("expected") - e) < 1e-3)
+      val res = (r.getAs[Long]("observed") - r.getAs[Double]("expected")) /
+        math.sqrt(r.getAs[Double]("expected"))
+      assert(math.abs(r.getAs[Double]("residual") - res) < 1e-3)
+    }
+    val sqlS = graft.operators.SqlSurface.queries("q_sql_set_ops")(spark, sf)
+    val dsl = graft.operators.AnalyticExt.queries("q_set_ops")(spark, sf)
+    assert(sqlS.exceptAll(dsl).isEmpty && dsl.exceptAll(sqlS).isEmpty,
+      "set-ops parser path and DSL path must agree")
+  }
+
   test("sql unpivot: wide-to-long through the parser equals the direct long-form aggregate") {
     val up = graft.operators.SqlSurface.queries("q_sql_unpivot")(spark, sf)
     val names = Map("1-URGENT" -> "urgent", "2-HIGH" -> "high",

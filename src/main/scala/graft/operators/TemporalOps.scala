@@ -1836,7 +1836,73 @@ object TemporalOps {
       |  (m6 - mmin6) > CAST(1000000 AS HUGEINT) * 100 * 10000 AS alarm
       |FROM c5""".stripMargin
 
+  // ---------------------------------------------------------------- F51
+  /** Trailing 7-day rolling correlation between daily purchase revenue
+    * and daily event volume — the co-movement monitor behind every
+    * "did engagement decouple from spend this week?" dashboard (A43's
+    * cross-correlation scans lags globally; this watches ONE lag-0
+    * relationship drift through time). Per day, the trailing frame's
+    * six moment sums (n, Σx, Σy, Σxy, Σx², Σy²) accumulate over EXACT
+    * integer inputs — every sum stays < 2⁵³ at the day grain, so the
+    * decimal→double casts are exact and the one Pearson evaluation
+    * per day runs identical IEEE arithmetic in both engines (6-dp
+    * publish). Degenerate frames (variance 0, frame < 3 days) → NULL.
+    * Daily pre-aggregation is the only corpus-scale pass; the sliding
+    * windows run over the calendar-bounded day table.
+    */
+  def qRollingCorr(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .select(expr("(ts DIV 1000000000) DIV 86400").cast("long").as("day"),
+        when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).otherwise(0L).as("cents"))
+      .groupBy(col("day"))
+      .agg(sum(col("cents")).as("x"), count(lit(1)).as("y"))
+    val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val m = daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(dec(col("x"))).over(w).cast("double"))
+      .withColumn("sy", sum(dec(col("y"))).over(w).cast("double"))
+      .withColumn("sxy", sum(dec(col("x")) * dec(col("y"))).over(w).cast("double"))
+      .withColumn("sxx", sum(dec(col("x")) * dec(col("x"))).over(w).cast("double"))
+      .withColumn("syy", sum(dec(col("y")) * dec(col("y"))).over(w).cast("double"))
+      .withColumn("vx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vy", col("n") * col("syy") - col("sy") * col("sy"))
+    m.select(col("day"), round(col("x") / 100.0, 2).as("revenue"),
+      col("y").as("n_events"), col("n").as("frame_days"),
+      when(col("n") < 3 || col("vx") <= 0 || col("vy") <= 0,
+        lit(null).cast("double"))
+        .otherwise(round((col("n") * col("sxy") - col("sx") * col("sy"))
+          / sqrt(col("vx") * col("vy")), 6)).as("rolling_corr"))
+  }
+
+  val qRollingCorrSql: String =
+    """WITH daily AS (SELECT
+      |    (CAST(floor(epoch(ts)) AS BIGINT)) // 86400 AS day,
+      |    CAST(sum(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+      |    count(*) AS y
+      |  FROM events GROUP BY 1),
+      |m AS (SELECT day, x, y,
+      |    count(*) OVER w AS n,
+      |    CAST(CAST(sum(CAST(x AS HUGEINT)) OVER w AS HUGEINT) AS DOUBLE) AS sx,
+      |    CAST(CAST(sum(CAST(y AS HUGEINT)) OVER w AS HUGEINT) AS DOUBLE) AS sy,
+      |    CAST(CAST(sum(CAST(x AS HUGEINT) * y) OVER w AS HUGEINT) AS DOUBLE) AS sxy,
+      |    CAST(CAST(sum(CAST(x AS HUGEINT) * x) OVER w AS HUGEINT) AS DOUBLE) AS sxx,
+      |    CAST(CAST(sum(CAST(y AS HUGEINT) * y) OVER w AS HUGEINT) AS DOUBLE) AS syy
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+      |v AS (SELECT *, n * sxx - sx * sx AS vx, n * syy - sy * sy AS vy FROM m)
+      |SELECT day, round(x / 100.0, 2) AS revenue, y AS n_events,
+      |  n AS frame_days,
+      |  CASE WHEN n < 3 OR vx <= 0 OR vy <= 0 THEN CAST(NULL AS DOUBLE)
+      |    ELSE round((n * sxy - sx * sy) / sqrt(vx * vy), 6)
+      |  END AS rolling_corr
+      |FROM v""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rolling_corr" -> (qRollingCorr _),
     "q_page_hinkley" -> (qPageHinkley _),
     "q_holt_forecast" -> (qHoltForecast _),
     "q_nelson_aalen" -> (qNelsonAalen _),
@@ -1876,6 +1942,7 @@ object TemporalOps {
     "q_json_extract" -> (qJsonExtract _))
 
   def oracle: Map[String, String] = Map(
+    "q_rolling_corr" -> qRollingCorrSql,
     "q_page_hinkley" -> qPageHinkleySql,
     "q_holt_forecast" -> qHoltForecastSql,
     "q_nelson_aalen" -> qNelsonAalenSql,

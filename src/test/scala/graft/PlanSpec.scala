@@ -214,7 +214,10 @@ class PlanSpec extends AnyFunSuite {
       "q_page_hinkley",
       // rank windows over the two ≤ Bm25TopK-row retrieval lists
       // surviving distributed limits (the q_bm25 class)
-      "q_hybrid_rrf")
+      "q_hybrid_rrf",
+      // trailing moment windows over the bounded day table
+      // (the q_changepoint class)
+      "q_rolling_corr")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       // pre-AQE physical plan: traversable with plain collect (the
       // AQE wrapper hides its initial plan from TreeNode traversal,

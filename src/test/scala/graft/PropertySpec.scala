@@ -810,6 +810,32 @@ class PropertySpec extends AnyFunSuite {
       assert(rec(n) == d, s"node $n: recursive hop ${rec(n)} != BFS $d") }
   }
 
+  test("q_rolling_corr: every frame's correlation matches a brute-force recomputation") {
+    val rows = graft.operators.TemporalOps.queries("q_rolling_corr")(spark, sf)
+      .orderBy("day").collect()
+    assert(rows.length > 7)
+    val xs = rows.map(r => r.getAs[Double]("revenue") * 100)
+    val ys = rows.map(r => r.getAs[Long]("n_events").toDouble)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val lo = math.max(0, i - 6)
+      val (fx, fy) = (xs.slice(lo, i + 1), ys.slice(lo, i + 1))
+      val n = fx.length
+      assert(r.getAs[Long]("frame_days") == n)
+      val num = n * fx.zip(fy).map { case (a, b) => a * b }.sum - fx.sum * fy.sum
+      val vx = n * fx.map(a => a * a).sum - fx.sum * fx.sum
+      val vy = n * fy.map(a => a * a).sum - fy.sum * fy.sum
+      val got = Option(r.getAs[java.lang.Double]("rolling_corr")).map(_.toDouble)
+      if (n < 3 || vx <= 1e-9 || vy <= 1e-9) ()
+      else {
+        assert(got.nonEmpty, s"day index $i expected a correlation")
+        val expect = num / math.sqrt(vx * vy)
+        assert(math.abs(got.get - expect) < 1e-4,
+          s"day index $i: ${got.get} vs $expect")
+        assert(got.get >= -1.0 - 1e-9 && got.get <= 1.0 + 1e-9)
+      }
+    }
+  }
+
   test("q_crosstab_residuals: margins recompose, residuals recompute, sql set-ops surface equals the DSL") {
     val rows = graft.operators.AnalyticExt.queries("q_crosstab_residuals")(spark, sf)
       .collect()

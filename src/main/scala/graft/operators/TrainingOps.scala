@@ -1231,6 +1231,71 @@ object TrainingOps {
          |  round(CAST(n_tokens AS DOUBLE) * $NShards / total_tokens, 6) AS load_factor
          |FROM per, tot""".stripMargin
 
+  // ---------------------------------------------------------------- K29
+  /** Inference-batch padding waste under three bucketing policies —
+    * the SERVING-side cost table (K17 prices training concat-packing,
+    * where the only waste is shard tails; batched inference pads
+    * every sequence to its batch maximum, so the bucketing policy IS
+    * the cost): `global` (no length bucketing, FIFO by doc_id),
+    * `bucket64` / `bucket256` (length-bucketed by token-count DIV
+    * width, then length-sorted within bucket). Batches of 16 form by
+    * row_number DIV 16 within (policy, bucket) ordered by (n_tokens,
+    * doc_id) — deterministic in both engines; per batch the padded
+    * cost is cnt·max − Σlen, all EXACT integers until the one final
+    * waste-share division. One token-count pass, a 3× policy explode
+    * on per-doc arithmetic rows (never text), partitioned windows,
+    * 3-row output. The table a serving stack reads to size its
+    * bucketing.
+    */
+  def qPaddingWaste(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tokens"))
+    val pol = d.select(col("doc_id"), col("n_tokens"),
+      explode(array(lit("global"), lit("bucket64"), lit("bucket256")))
+        .as("policy"))
+      .withColumn("bucket",
+        when(col("policy") === "global", lit(0L))
+          .when(col("policy") === "bucket64", expr("n_tokens DIV 64"))
+          .otherwise(expr("n_tokens DIV 256")))
+    val batched = pol
+      .withColumn("batch", expr("(row_number() OVER (PARTITION BY policy, bucket " +
+        "ORDER BY n_tokens, doc_id) - 1) DIV 16"))
+    val perBatch = batched.groupBy(col("policy"), col("bucket"), col("batch"))
+      .agg(count(lit(1)).as("cnt"), max(col("n_tokens")).as("mx"),
+        sum(col("n_tokens")).as("tok"))
+    perBatch.groupBy(col("policy"))
+      .agg(count(lit(1)).as("n_batches"),
+        sum(col("tok")).as("real_tokens"),
+        sum(col("cnt") * col("mx") - col("tok")).as("pad_tokens"))
+      .select(col("policy"), col("n_batches"), col("real_tokens"),
+        col("pad_tokens"),
+        round(col("pad_tokens") / (col("real_tokens") + col("pad_tokens"))
+          .cast("double"), 6).as("waste_share"))
+  }
+
+  val qPaddingWasteSql: String =
+    raw"""WITH d AS (SELECT doc_id,
+         |    CAST(len($duckToks) AS BIGINT) AS n_tokens FROM documents),
+         |pol AS (SELECT doc_id, n_tokens,
+         |    unnest(['global', 'bucket64', 'bucket256']) AS policy
+         |  FROM d),
+         |b AS (SELECT *, CASE WHEN policy = 'global' THEN 0
+         |    WHEN policy = 'bucket64' THEN n_tokens // 64
+         |    ELSE n_tokens // 256 END AS bucket FROM pol),
+         |nb AS (SELECT *, (row_number() OVER (PARTITION BY policy, bucket
+         |    ORDER BY n_tokens, doc_id) - 1) // 16 AS batch FROM b),
+         |pb AS (SELECT policy, bucket, batch, count(*) AS cnt,
+         |    max(n_tokens) AS mx, CAST(sum(n_tokens) AS BIGINT) AS tok
+         |  FROM nb GROUP BY 1, 2, 3)
+         |SELECT policy, count(*) AS n_batches,
+         |  CAST(sum(tok) AS BIGINT) AS real_tokens,
+         |  CAST(sum(cnt * mx - tok) AS BIGINT) AS pad_tokens,
+         |  round(CAST(sum(cnt * mx - tok) AS BIGINT)
+         |    / CAST(CAST(sum(tok) AS BIGINT)
+         |      + CAST(sum(cnt * mx - tok) AS BIGINT) AS DOUBLE), 6)
+         |    AS waste_share
+         |FROM pb GROUP BY 1""".stripMargin
+
   // ---------------------------------------------------------------- K17
   /** Packing-efficiency sweep: the K1 concat-and-chunk layout costed
     * at four candidate context lengths in one query — per context:
@@ -1690,6 +1755,7 @@ object TrainingOps {
     "q_psi_drift" -> (qPsiDrift _),
     "q_heldout_surprisal" -> (qHeldoutSurprisal _),
     "q_packing_efficiency" -> (qPackingEfficiency _),
+    "q_padding_waste" -> (qPaddingWaste _),
     "q_shard_manifest" -> (qShardManifest _),
     "q_pipeline_e2e" -> (qPipelineE2e _),
     "q_retention" -> (qRetention _),
@@ -1725,6 +1791,7 @@ object TrainingOps {
     "q_psi_drift" -> qPsiDriftSql,
     "q_heldout_surprisal" -> qHeldoutSurprisalSql,
     "q_packing_efficiency" -> qPackingEfficiencySql,
+    "q_padding_waste" -> qPaddingWasteSql,
     "q_shard_manifest" -> qShardManifestSql,
     "q_pipeline_e2e" -> qPipelineE2eSql,
     "q_retention" -> qRetentionSql,

@@ -166,4 +166,23 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     assert(rows.forall { case (z, a) => a == (math.abs(z) > 3.0) || math.abs(math.abs(z) - 3.0) < 1e-3 })
   }
+
+  test("q_padding_waste: token mass conserved, narrower buckets pad less, batch count exact") {
+    val rows = graft.operators.TrainingOps.queries("q_padding_waste")(spark, sf)
+      .collect().map(r => r.getAs[String]("policy") -> r).toMap
+    assert(rows.keySet == Set("global", "bucket64", "bucket256"))
+    assert(rows.values.map(_.getAs[Long]("real_tokens")).toSet.size == 1,
+      "every policy batches the same token mass")
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("pad_tokens") >= 0)
+      val ws = r.getAs[Double]("waste_share")
+      assert(ws >= 0.0 && ws < 1.0)
+    }
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows("global").getAs[Long]("n_batches") == (nDocs + 15) / 16,
+      "global policy = ceil(n/16) batches")
+    assert(rows("bucket64").getAs[Long]("pad_tokens") <=
+      rows("bucket256").getAs[Long]("pad_tokens"),
+      "narrower buckets must not pad more")
+  }
 }

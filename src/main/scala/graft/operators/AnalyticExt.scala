@@ -97,6 +97,46 @@ object AnalyticExt {
       |SELECT 'union_distinct', count(*) FROM (
       |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus IN ('F', 'O'))""".stripMargin
 
+  // ---------------------------------------------------------------- A45
+  /** Ordered string aggregation — `listagg(...) WITHIN GROUP (ORDER
+    * BY ...)`, the 4.x aggregate that finally gives Spark a
+    * deterministic ordered concat (collect_list + array_join loses
+    * ordering guarantees across shuffles; this pins it in the
+    * aggregate itself). Per market segment: the top-5 customer keys
+    * by account balance as a comma list. Top-5 cut first via a
+    * partitioned rank window (WindowGroupLimit pushes it map-side),
+    * so the aggregate concatenates exactly 5 bounded strings per
+    * group; ordering key = the rank, fully deterministic via the
+    * exact-integer-cents/custkey tiebreak. DuckDB mirrors with
+    * `string_agg(... ORDER BY ...)` — different spelling, identical
+    * ordered-concat semantics.
+    */
+  def qListagg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(expr("cast(round(c_acctbal * 100) as bigint)").desc,
+        col("c_custkey").asc)
+    Tables.customer(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(expr("listagg(cast(c_custkey as string), ',') " +
+        "within group (order by rk) as top_customers"),
+        count(lit(1)).as("n"))
+      .select(col("segment"), col("top_customers"), col("n"))
+  }
+
+  val qListaggSql: String =
+    """WITH r AS (SELECT c_mktsegment, c_custkey, row_number() OVER (
+      |    PARTITION BY c_mktsegment
+      |    ORDER BY CAST(round(c_acctbal * 100) AS BIGINT) DESC,
+      |      c_custkey ASC) AS rk
+      |  FROM customer)
+      |SELECT c_mktsegment AS segment,
+      |  string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY rk)
+      |    AS top_customers,
+      |  count(*) AS n
+      |FROM r WHERE rk <= 5 GROUP BY 1""".stripMargin
+
   // ---------------------------------------------------------------- A44
   /** Pearson residuals of the status × priority contingency table —
     * the cell-level drill-down behind an omnibus χ² (L15's Cramér's V
@@ -1376,6 +1416,7 @@ object AnalyticExt {
     "q_window_suite" -> (qWindowSuite _),
     "q_set_ops" -> (qSetOps _),
     "q_crosstab_residuals" -> (qCrosstabResiduals _),
+    "q_listagg" -> (qListagg _),
     "q_above_avg_orders" -> (qAboveAvgOrders _),
     "q_array_hof" -> (qArrayHof _),
     "q_ewma" -> (qEwma _))
@@ -1404,6 +1445,7 @@ object AnalyticExt {
     "q_window_suite" -> qWindowSuiteSql,
     "q_set_ops" -> qSetOpsSql,
     "q_crosstab_residuals" -> qCrosstabResidualsSql,
+    "q_listagg" -> qListaggSql,
     "q_above_avg_orders" -> qAboveAvgOrdersSql,
     "q_array_hof" -> qArrayHofSql,
     "q_ewma" -> qEwmaSql)

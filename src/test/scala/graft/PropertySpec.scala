@@ -810,6 +810,21 @@ class PropertySpec extends AnyFunSuite {
       assert(rec(n) == d, s"node $n: recursive hop ${rec(n)} != BFS $d") }
   }
 
+  test("q_listagg: the ordered concat equals a driver-side top-5 recomputation") {
+    val rows = graft.operators.AnalyticExt.queries("q_listagg")(spark, sf)
+      .as[(String, String, Long)].collect()
+    assert(rows.length == 5 && rows.forall(_._3 == 5L))
+    val byKey = graft.Tables.customer(spark, sf)
+      .select(col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long"), col("c_custkey"))
+      .as[(String, Long, Long)].collect().groupBy(_._1)
+    rows.foreach { case (seg, csv, _) =>
+      val expect = byKey(seg).sortBy(t => (-t._2, t._3)).take(5)
+        .map(_._3).mkString(",")
+      assert(csv == expect, s"$seg: $csv vs $expect")
+    }
+  }
+
   test("q_rolling_corr: every frame's correlation matches a brute-force recomputation") {
     val rows = graft.operators.TemporalOps.queries("q_rolling_corr")(spark, sf)
       .orderBy("day").collect()

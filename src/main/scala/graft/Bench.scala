@@ -109,7 +109,8 @@ object Bench {
     // re-pays that derivation three times, a session pays it once
     val graphWarm = warmFamily(Seq("q_pagerank", "q_triangle_count",
       "q_link_prediction", "q_label_propagation", "q_degree_distribution",
-      "q_knn_graph", "q_triangle_knn", "q_pagerank_knn", "q_label_prop_knn"))
+      "q_knn_graph", "q_triangle_knn", "q_pagerank_knn", "q_label_prop_knn",
+      "q_kcore", "q_sql_bfs"))
     // the 8 token-stream consumers share ONE cached tokenization pass
     // in a session (TextAnalysis.tokenStream); cold-per-query re-pays
     // the explode 8 times, a real session once

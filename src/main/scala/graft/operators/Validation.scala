@@ -2174,7 +2174,69 @@ object Validation {
       |FROM km, sweep WHERE sweep.k = km.kmax""".stripMargin
   }
 
+  // ---------------------------------------------------------------- L31
+  /** Cochran–Armitage trend test — does the fulfilled-order proportion
+    * move MONOTONICALLY with order priority? The omnibus tests (L15,
+    * A44's residuals) answer "is status independent of priority"; the
+    * trend test spends its single degree of freedom on the ordered
+    * alternative, which is what a dose-response / severity-graded
+    * readout actually asks. Scores w_i = the priority's leading digit
+    * (1..5). T = Σw_i·r_i − R·(Σw_i·n_i)/N, Var(T) =
+    * R(N−R)/(N(N−1))·(Σn_i·w_i² − (Σn_i·w_i)²/N), z = T/√Var — every
+    * sum an exact small-integer aggregate (w ≤ 5, so Σn·w² ≤ 25N
+    * stays exact far past any corpus size; the one margin product
+    * R·(N−R) stays in-range to N ≈ 6·10⁹ rows — past that, lift it
+    * through DECIMAL exactly as A44 does), the divisions written in
+    * the identical order on both engines, 6-dp publish. One grouped
+    * aggregate (5 cells) + scalar algebra on a broadcast row; verdict
+    * |z| > 1.96.
+    */
+  def qCochranArmitage(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.orders(spark, dir)
+      .groupBy(substring(col("o_orderpriority"), 1, 1).cast("long").as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("r"))
+    val tot = g.agg(sum(col("n")).as("nn"), sum(col("r")).as("rr"),
+      sum(col("w") * col("n")).as("swn"),
+      sum(col("w") * col("w") * col("n")).as("swwn"),
+      sum(col("w") * col("r")).as("swr"))
+      .withColumn("t_stat", col("swr") - col("rr") * (col("swn")
+        / col("nn").cast("double")))
+      .withColumn("var_t", (col("rr") * (col("nn") - col("rr"))
+        / (col("nn").cast("double") * (col("nn") - 1)))
+        * (col("swwn") - col("swn") * (col("swn") / col("nn").cast("double"))))
+      .withColumn("z", when(col("var_t") <= 0, lit(null).cast("double"))
+        .otherwise(round(col("t_stat") / sqrt(col("var_t")), 6)))
+    g.crossJoin(broadcast(tot.select(col("z"))))
+      .select(col("w").as("priority_rank"), col("n"), col("r").as("fulfilled"),
+        round(col("r") / col("n").cast("double"), 6).as("rate"),
+        col("z"), coalesce(abs(col("z")) > 1.96, lit(false)).as("trend"))
+  }
+
+  val qCochranArmitageSql: String =
+    """WITH g AS (SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS w,
+      |    count(*) AS n,
+      |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS r
+      |  FROM orders GROUP BY 1),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(r) AS BIGINT) AS rr,
+      |    CAST(sum(w * n) AS BIGINT) AS swn,
+      |    CAST(sum(w * w * n) AS BIGINT) AS swwn,
+      |    CAST(sum(w * r) AS BIGINT) AS swr
+      |  FROM g),
+      |s AS (SELECT swr - rr * (swn / CAST(nn AS DOUBLE)) AS t_stat,
+      |    (rr * (nn - rr) / (CAST(nn AS DOUBLE) * (nn - 1)))
+      |      * (swwn - swn * (swn / CAST(nn AS DOUBLE))) AS var_t
+      |  FROM t),
+      |z AS (SELECT CASE WHEN var_t <= 0 THEN CAST(NULL AS DOUBLE)
+      |    ELSE round(t_stat / sqrt(var_t), 6) END AS z FROM s)
+      |SELECT w AS priority_rank, n, r AS fulfilled,
+      |  round(r / CAST(n AS DOUBLE), 6) AS rate,
+      |  z, coalesce(abs(z) > 1.96, false) AS trend
+      |FROM g, z""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cochran_armitage" -> (qCochranArmitage _),
     "q_fisher_exact" -> (qFisherExact _),
     "q_friedman" -> (qFriedman _),
     "q_jarque_bera" -> (qJarqueBera _),
@@ -2205,6 +2267,7 @@ object Validation {
     "q_benford" -> (qBenford _))
 
   def oracle: Map[String, String] = Map(
+    "q_cochran_armitage" -> qCochranArmitageSql,
     "q_fisher_exact" -> qFisherExactSql,
     "q_friedman" -> qFriedmanSql,
     "q_jarque_bera" -> qJarqueBeraSql,

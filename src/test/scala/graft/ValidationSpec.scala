@@ -235,6 +235,28 @@ class ValidationSpec extends AnyFunSuite {
     }
   }
 
+  test("q_cochran_armitage: the trend statistic matches a first-principles recomputation") {
+    val rows = Validation.qCochranArmitage(spark, sf).collect()
+    assert(rows.length == 5, "one row per priority rank")
+    val n = rows.map(_.getAs[Long]("n")).sum
+    val r = rows.map(_.getAs[Long]("fulfilled")).sum
+    val swn = rows.map(x => x.getAs[Long]("priority_rank") * x.getAs[Long]("n")).sum
+    val swwn = rows.map(x => x.getAs[Long]("priority_rank") *
+      x.getAs[Long]("priority_rank") * x.getAs[Long]("n")).sum
+    val swr = rows.map(x => x.getAs[Long]("priority_rank") *
+      x.getAs[Long]("fulfilled")).sum
+    val t = swr - r * (swn.toDouble / n)
+    val v = (r.toDouble * (n - r) / (n.toDouble * (n - 1))) *
+      (swwn - swn * (swn.toDouble / n))
+    val z = t / math.sqrt(v)
+    rows.foreach { row =>
+      assert(math.abs(row.getAs[Double]("z") - z) < 1e-4,
+        s"z ${row.getAs[Double]("z")} vs brute $z")
+      val rate = row.getAs[Double]("rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
+
   test("q_vif: auxiliary R2 recomposes from pairwise correlations, VIF >= 1") {
     val rows = graft.ml.FeatureOps.queries("q_vif")(spark, sf).collect()
     assert(rows.length == 3)

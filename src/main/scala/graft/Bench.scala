@@ -47,10 +47,18 @@ object Bench {
     val retryAbove = sys.env.getOrElse("SPARK_GRAFT_RETRY_ABOVE_SEC", "5").toDouble
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // The first few measured queries sit in the tail of JVM/codegen
+    // warmup (r12: q1_pricing_summary read 3× its r11 time with no code
+    // change, under the retry threshold so it never got re-measured) —
+    // min-of-2 unconditionally for them.
+    var measured = 0
     val firstPass = selected.map { case (name, fn) =>
       val r1 = once(name, fn)
-      // retry when slow (noise storm) OR failed (flaky gets one chance)
-      name -> (if (r1._1 > retryAbove || !r1._2) best(r1, once(name, fn)) else r1)
+      measured += 1
+      // retry when slow (noise storm) OR failed (flaky gets one
+      // chance) OR still inside the warmup tail
+      name -> (if (r1._1 > retryAbove || !r1._2 || measured <= 3)
+        best(r1, once(name, fn)) else r1)
     }
     // Noise storms on this host last long enough to cover a back-to-back
     // min-of-2 (r2: q_kmeans 58s, q1 33s in-batch vs 6.9s/4.3s isolated).

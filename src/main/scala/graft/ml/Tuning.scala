@@ -43,6 +43,15 @@ object Tuning {
     * overwrite). fitCount observes warm-path reuse; lastLoc feeds the
     * late-bound oracle exactly as [[KmeansStore]] does (Verify runs
     * queries before dumping oracle_sql.json).
+    *
+    * Concurrency contract (same as Maintenance.compactStore):
+    * SINGLE WRITER per warehouse. `ensure`'s check-then-build on the
+    * `_DONE` marker is crash-safe (marker last, overwrite-idempotent
+    * build) but NOT concurrent-safe — two sessions sharing a
+    * warehouse can both observe the missing marker and race the
+    * build. On a shared cluster warehouse, serialize store builds
+    * externally (one materializer job), exactly as for the other
+    * persisted stores (SigStore/IvfIndex).
     */
   private[ml] abstract class PredStore(family: String, srcTable: String) {
     import java.util.concurrent.atomic.{AtomicInteger, AtomicReference}

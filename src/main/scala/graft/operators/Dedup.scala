@@ -1853,7 +1853,13 @@ object Dedup {
     val t = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
     val nseg = ceil(size(col("toks")) / lit(segN.toDouble)).cast("int")
-    val seg = t.select(col("doc_id"), col("source"),
+    // guard the explode: Spark's sequence(0, -1) yields [0, -1] (step
+    // defaults to -1 when start > stop), which would fabricate two
+    // empty segments per empty/whitespace-only doc where DuckDB's
+    // generate_series(0, -1) yields none — same device as C22's
+    // size filter
+    val seg = t.filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("source"),
       explode(transform(sequence(lit(0), nseg - 1),
         i => md5(array_join(slice(col("toks"), i * segN + 1, lit(segN)), " "))))
         .as("seg_hash"))

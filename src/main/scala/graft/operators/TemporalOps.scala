@@ -1470,65 +1470,75 @@ object TemporalOps {
     * not inflate the band it is judged against) — the
     * self-calibrating volatility alarm (F11's global z-score uses
     * one corpus-wide σ; a band from the trailing week adapts to
-    * regime shifts and seasonality). All window state is the exact
-    * decimal pair (Σ, Σ²) over the bounded day table; mean and
-    * sample variance convert to double in the IDENTICAL expression
-    * in both engines, 10-dp-rounded before the band compare so the
-    * breach verdict never sits on a summation-order ulp; only days
-    * with a full six-day history judge. Output is breach days only —
-    * bounded by the day table, usually a handful of rows.
+    * regime shifts and seasonality). Parity device (the
+    * q_page_hinkley / q_anova integer-cents fold): daily revenue
+    * lifts to EXACT integer cents in DECIMAL(38,0), so the window
+    * pair (Σ, Σ²) and the variance numerator 6·Σx²−(Σx)² stay exact
+    * integers, and the breach verdict itself runs on pure integer
+    * arithmetic — rev > mean+2σ ⟺ dev=6·rev_c−s7 > 0 AND
+    * 5·dev² > 24·num (squaring the band inequality clears both the
+    * /6 mean and the /30 variance denominator) — no float enters
+    * the verdict at all, so no engine's decimal→double conversion
+    * or summation order can flip it. The published mean7/sd7 cast
+    * ONE exact integer to double in the identical expression in
+    * both engines. Only days with a full six-day history judge;
+    * output is breach days only — bounded by the day table.
     */
   def qBollinger(spark: SparkSession, dir: String): DataFrame = {
     val byDay = Tables.orders(spark, dir)
       .groupBy(datediff(col("o_orderdate").cast("date"),
         lit("1970-01-01").cast("date")).cast("long").as("day"))
-      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"),
+        sum(round(col("o_totalprice") * 100).cast("decimal(38,0)")).as("rc"))
     val w = Window.orderBy(col("day")).rowsBetween(-6, -1)
     val stats = byDay
-      .withColumn("n7", count(col("rev")).over(w))
-      .withColumn("s7", sum(col("rev")).over(w))
-      .withColumn("q7", sum(col("rev") * col("rev")).over(w))
+      .withColumn("n7", count(col("rc")).over(w))
+      .withColumn("s7", sum(col("rc")).over(w))
+      .withColumn("q7", sum((col("rc") * col("rc"))
+        .cast("decimal(38,0)")).over(w))
       .filter(col("n7") === 6)
-    val mean = round(col("s7").cast("double") / 6, 10)
-    val vars = round((col("q7").cast("double") * 6 -
-      col("s7").cast("double") * col("s7").cast("double")) / (6.0 * 5.0), 10)
-    val sd = round(sqrt(greatest(vars, lit(0.0))), 10)
+      // exact integers: num = 6·Σx²−(Σx)² ≥ 0 (Cauchy–Schwarz, exact);
+      // dev = 6·(rev_c − mean_c)
+      .withColumn("num", (col("q7") * 6 - col("s7") * col("s7"))
+        .cast("decimal(38,0)"))
+      .withColumn("dev", (col("rc") * 6 - col("s7")).cast("decimal(38,0)"))
     stats
-      .withColumn("mean7", mean).withColumn("sd7", sd)
       .withColumn("breach",
-        when(col("rev").cast("double") > col("mean7") + lit(2.0) * col("sd7"),
-          lit("high"))
-        .when(col("rev").cast("double") < col("mean7") - lit(2.0) * col("sd7"),
-          lit("low")))
+        when(col("dev") > 0 &&
+          (col("dev") * col("dev") * 5).cast("decimal(38,0)") >
+            (col("num") * 24).cast("decimal(38,0)"), lit("high"))
+        .when(col("dev") < 0 &&
+          (col("dev") * col("dev") * 5).cast("decimal(38,0)") >
+            (col("num") * 24).cast("decimal(38,0)"), lit("low")))
       .filter(col("breach").isNotNull)
       .select(col("day"), col("rev").cast("decimal(18,2)").as("rev"),
-        round(col("mean7"), 6).as("mean7"),
-        round(col("sd7"), 6).as("sd7"), col("breach"))
+        round(col("s7").cast("double") / 600.0, 6).as("mean7"),
+        round(sqrt(col("num").cast("double") / 30.0) / 100.0, 6).as("sd7"),
+        col("breach"))
   }
 
   val qBollingerSql: String =
     """WITH byday AS (SELECT
       |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
       |      AS BIGINT) AS day,
-      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+      |    sum(CAST(round(o_totalprice * 100) AS HUGEINT)) AS rc
       |  FROM orders GROUP BY 1),
-      |wins AS (SELECT day, rev,
-      |    count(rev) OVER w AS n7, sum(rev) OVER w AS s7,
-      |    sum(rev * rev) OVER w AS q7
+      |wins AS (SELECT day, rev, rc,
+      |    count(rc) OVER w AS n7, sum(rc) OVER w AS s7,
+      |    sum(rc * rc) OVER w AS q7
       |  FROM byday
       |  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)),
-      |full7 AS (SELECT day, rev,
-      |    round(CAST(s7 AS DOUBLE) / 6, 10) AS mean7,
-      |    round(sqrt(greatest(
-      |      (CAST(q7 AS DOUBLE) * 6 - CAST(s7 AS DOUBLE) * CAST(s7 AS DOUBLE))
-      |        / (6.0 * 5.0), 0.0)), 10) AS sd7
+      |full7 AS (SELECT day, rev, rc,
+      |    6 * q7 - s7 * s7 AS num, 6 * rc - s7 AS dev, s7
       |  FROM wins WHERE n7 = 6),
-      |breach AS (SELECT day, rev, mean7, sd7,
-      |    CASE WHEN CAST(rev AS DOUBLE) > mean7 + 2 * sd7 THEN 'high'
-      |      WHEN CAST(rev AS DOUBLE) < mean7 - 2 * sd7 THEN 'low' END AS breach
+      |breach AS (SELECT day, rev, s7, num,
+      |    CASE WHEN dev > 0 AND 5 * dev * dev > 24 * num THEN 'high'
+      |      WHEN dev < 0 AND 5 * dev * dev > 24 * num THEN 'low' END AS breach
       |  FROM full7)
       |SELECT day, CAST(rev AS DECIMAL(18,2)) AS rev,
-      |  round(mean7, 6) AS mean7, round(sd7, 6) AS sd7, breach
+      |  round(CAST(s7 AS DOUBLE) / 600.0, 6) AS mean7,
+      |  round(sqrt(CAST(num AS DOUBLE) / 30.0) / 100.0, 6) AS sd7, breach
       |FROM breach WHERE breach IS NOT NULL""".stripMargin
 
   // ---------------------------------------------------------------- F46

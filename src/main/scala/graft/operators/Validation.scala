@@ -1337,7 +1337,13 @@ object Validation {
     * weights exact DECIMAL(38,0) (n1·n2 overflows long past ~3·10⁹
     * rows per arm); the lower weighted median picks the smallest
     * difference with 2·cum ≥ W on integer arithmetic — no float
-    * enters until the published dollar value.
+    * enters until the published dollar value. Published cells are
+    * BIGINT (exact through ~3·10⁹ rows per arm — n1·n2 ≤ 9·10¹⁸;
+    * internal accumulation stays DECIMAL(38,0)/HUGEINT so the
+    * verdict math never overflows first), sidestepping any
+    * DECIMAL-vs-HUGEINT rendering asymmetry between engines;
+    * median_margin = 2·cw − W at the selected cell makes a future
+    * tie knife-edge visible in the published row itself.
     */
   def qHodgesLehmann(spark: SparkSession, dir: String): DataFrame = {
     val seg = Tables.orders(spark, dir)
@@ -1360,9 +1366,11 @@ object Validation {
     cum.crossJoin(broadcast(tot))
       .filter(col("cw") * 2 >= col("wtot"))
       .agg(min(col("diff")).as("d"), max(col("wtot")).as("wtot"),
-        max(col("n_cells")).as("n_cells"))
+        max(col("n_cells")).as("n_cells"),
+        min_by(col("cw"), col("diff")).as("cw_sel"))
       .select((col("d") * 1000).cast("long").as("hl_shift_dollars"),
-        col("wtot").cast("decimal(38,0)").as("n_pairs"), col("n_cells"))
+        col("wtot").cast("long").as("n_pairs"), col("n_cells"),
+        (col("cw_sel") * 2 - col("wtot")).cast("long").as("median_margin"))
   }
 
   val qHodgesLehmannSql: String =
@@ -1382,7 +1390,8 @@ object Validation {
       |  FROM diffs),
       |tot AS (SELECT sum(w) AS wtot, count(*) AS n_cells FROM diffs)
       |SELECT CAST(min(diff) * 1000 AS BIGINT) AS hl_shift_dollars,
-      |  CAST(max(wtot) AS DECIMAL(38,0)) AS n_pairs, max(n_cells) AS n_cells
+      |  CAST(max(wtot) AS BIGINT) AS n_pairs, max(n_cells) AS n_cells,
+      |  CAST(min_by(cw, diff) * 2 - max(wtot) AS BIGINT) AS median_margin
       |FROM cum, tot WHERE cw * 2 >= wtot""".stripMargin
 
   // ---------------------------------------------------------------- L18

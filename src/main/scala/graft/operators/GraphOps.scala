@@ -23,7 +23,10 @@ object GraphOps {
     * overlap (top decile, data-adaptive — no magic constant to re-tune
     * per scale) yields a structured graph. Strict `>` against the
     * interpolated cut on exact integer weights is engine-identical
-    * (the A15-proven percentile pair). Shared by M1–M3.
+    * (the A15-proven percentile pair). Shared by M1–M3. Served from
+    * [[GraphStore]] since r13: the derivation is a pure function of
+    * the lineitem corpus, so cold queries read the persisted edge
+    * table instead of re-deriving it.
     */
   /** WEIGHTED co-supply pairs (src < dst, w = shared-part count) —
     * the raw material both the p90-cut strong graph (M1–M4) and the
@@ -45,19 +48,8 @@ object GraphOps {
       .groupBy(col("p.a").as("src"), col("p.b").as("dst"))
       .agg(count(lit(1)).as("w"))
 
-  private def coSupplyPairs(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = coSupplyWeighted(spark, dir)
-    val cut = pairs.agg(expr("percentile(w, 0.9)").as("wcut"))
-    // cached HERE, not at call sites: the result feeds unions and
-    // repeated wedge joins whose branches are distinct logical plans —
-    // without the cache each branch re-pays the whole pair derivation
-    // (observed 2x on qPagerank's und ∪ und.swap). All three M-block
-    // queries build the identical plan, so they share one entry.
-    pairs.crossJoin(broadcast(cut))
-      .filter(col("w") > col("wcut"))
-      .select(col("src"), col("dst"))
-      .cache()
-  }
+  private def coSupplyPairs(spark: SparkSession, dir: String): DataFrame =
+    GraphStore.strong(spark, dir)
 
   /** DuckDB mirror of [[coSupplyPairs]] as a CTE body. */
   private val undSql: String =
@@ -86,21 +78,113 @@ object GraphOps {
     * all kNN-graph consumers build the identical logical plan and
     * share one entry.
     */
-  private[graft] def mutualKnnPairs(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val pw = coSupplyWeighted(spark, dir)
-    val sym = pw.select(col("src"), col("dst"), col("w"))
-      .union(pw.select(col("dst").as("src"), col("src").as("dst"), col("w")))
-    val byStrength = Window.partitionBy(col("src"))
-      .orderBy(col("w").desc, col("dst").asc)
-    val top = sym.withColumn("rank", row_number().over(byStrength))
-      .filter(col("rank") <= KnnK)
-      .select(col("src"), col("dst"))
-    top
-      .join(top.select(col("dst").as("src"), col("src").as("dst")),
-        Seq("src", "dst"), "left_semi")
-      .filter(col("src") < col("dst"))
-      .cache()
+  private[graft] def mutualKnnPairs(spark: SparkSession, dir: String): DataFrame =
+    GraphStore.knn(spark, dir)
+
+  /** Persisted graph store — the IvfIndex/SigStore pattern applied to
+    * the two derived graphs every M-block consumer shares. r12's bench
+    * showed 8 of the 10 slowest queries each re-paying the ~5 s
+    * co-supply derivation COLD (the session cache only helps within a
+    * session); the derivation is a pure function of the lineitem
+    * corpus, so it is a store, not a query. One derivation pass
+    * ([[coSupplyWeighted]], cached for the build only) feeds BOTH
+    * artifacts: the p90-cut strong graph (M1–M4) and the mutual
+    * top-K sparsifier (M5+ and q_sql_bfs). Identity carries the
+    * corpus fingerprint (same staleness contract as SigStore): a
+    * mutated corpus changes the table name, the stale name stops
+    * resolving, and `ensure` rebuilds over the current corpus. Cold
+    * sessions over a built store re-register metadata only.
+    *
+    * Scale: both artifacts are edge lists bounded far below the
+    * corpus — strong = top-decile pairs, kNN ≤ |V|·K/2 rows — so a
+    * single parquet file each is right through very large |V|; at
+    * 100 TB the store write is one-time per corpus state and every
+    * graph query afterwards reads thousands of rows, not terabytes.
+    * Concurrency: SINGLE WRITER per warehouse (the PredStore /
+    * compactStore contract) — concurrent first-builds race the
+    * overwrite; serialize store materialization externally.
+    */
+  private[graft] object GraphStore {
+    import java.util.concurrent.atomic.AtomicInteger
+
+    /** Store builds performed by this JVM (spec observability: warm
+      * and re-registration paths must not increment it). */
+    val buildCount = new AtomicInteger(0)
+
+    private def stem(kind: String, dir: String): String =
+      s"graft_${kind}_" + dir.replaceAll("[^a-zA-Z0-9]+", "_")
+        .stripPrefix("_").stripSuffix("_") + "_"
+
+    private def warehousePath(spark: SparkSession, table: String): java.nio.file.Path = {
+      val w = spark.conf.get("spark.sql.warehouse.dir")
+      java.nio.file.Paths.get(new java.net.URI(w).getPath).resolve(table)
+    }
+
+    private def ensure(spark: SparkSession, dir: String): (String, String) = {
+      // fresh: the staleness contract hinges on seeing the corpus NOW
+      val tag = Tables.Probe.corpusTag(spark, s"$dir/lineitem.parquet", fresh = true)
+      val tS = stem("cosup", dir) + tag
+      val tK = stem("knng", dir) + tag
+      val locS = warehousePath(spark, tS)
+      val locK = warehousePath(spark, tK)
+      def registered(n: String) = spark.catalog.tableExists(n)
+      if (!registered(tS) || !registered(tK)) {
+        if (java.nio.file.Files.isDirectory(locS) &&
+            java.nio.file.Files.isDirectory(locK)) {
+          // cold session over a built store: metadata-only re-registration
+          Seq(tS -> locS, tK -> locK).foreach { case (t, loc) =>
+            spark.sql(s"DROP TABLE IF EXISTS $t")
+            spark.sql(
+              s"""CREATE TABLE $t (src BIGINT, dst BIGINT)
+                 |USING PARQUET LOCATION '$loc'""".stripMargin)
+          }
+        } else {
+          import org.apache.spark.sql.expressions.Window
+          buildCount.incrementAndGet()
+          val pw = coSupplyWeighted(spark, dir).cache()
+          try {
+            val cut = pw.agg(expr("percentile(w, 0.9)").as("wcut"))
+            pw.crossJoin(broadcast(cut))
+              .filter(col("w") > col("wcut"))
+              .select(col("src").cast("long").as("src"),
+                col("dst").cast("long").as("dst"))
+              .coalesce(1).write.option("path", locS.toString)
+              .mode("overwrite").saveAsTable(tS)
+            val sym = pw.select(col("src"), col("dst"), col("w"))
+              .union(pw.select(col("dst").as("src"), col("src").as("dst"),
+                col("w")))
+            val byStrength = Window.partitionBy(col("src"))
+              .orderBy(col("w").desc, col("dst").asc)
+            val top = sym.withColumn("rank", row_number().over(byStrength))
+              .filter(col("rank") <= KnnK)
+              .select(col("src"), col("dst"))
+            top
+              .join(top.select(col("dst").as("src"), col("src").as("dst")),
+                Seq("src", "dst"), "left_semi")
+              .filter(col("src") < col("dst"))
+              .select(col("src").cast("long").as("src"),
+                col("dst").cast("long").as("dst"))
+              .coalesce(1).write.option("path", locK.toString)
+              .mode("overwrite").saveAsTable(tK)
+          } finally pw.unpersist()
+        }
+      }
+      (tS, tK)
+    }
+
+    /** Strong co-supply graph (p90 weight cut), src < dst. Cached:
+      * consumers union/join multiple branches of the same edge set;
+      * identical plans share one cache entry. */
+    def strong(spark: SparkSession, dir: String): DataFrame = {
+      val (tS, _) = ensure(spark, dir)
+      spark.table(tS).cache()
+    }
+
+    /** Mutual top-K kNN graph, src < dst, degree ≤ K by construction. */
+    def knn(spark: SparkSession, dir: String): DataFrame = {
+      val (_, tK) = ensure(spark, dir)
+      spark.table(tK).cache()
+    }
   }
 
   /** DuckDB mirror of [[mutualKnnPairs]] as a CTE body that, like

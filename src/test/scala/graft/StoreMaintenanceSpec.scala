@@ -165,4 +165,56 @@ class StoreMaintenanceSpec extends AnyFunSuite {
     assert(Similarity.IvfIndex.fitCount.get == fits,
       "second maintenance cycle must never refit")
   }
+
+  test("GraphStore: one build serves both graphs, cold session re-registers without rebuilding, corpus mutation rebuilds deterministically") {
+    import graft.operators.GraphOps
+    val dir = privateCorpus("lineitem.parquet")
+    val b0 = GraphOps.GraphStore.buildCount.get
+
+    // first consumer triggers ONE build that materializes both graphs
+    val knn = GraphOps.GraphStore.knn(spark, dir)
+      .as[(Long, Long)].collect().sorted
+    assert(GraphOps.GraphStore.buildCount.get == b0 + 1)
+    assert(knn.nonEmpty)
+    knn.foreach { case (s, d) => assert(s < d, "edges must be oriented src < dst") }
+    val deg = (knn.map(_._1) ++ knn.map(_._2))
+      .groupBy(identity).map(_._2.size)
+    assert(deg.max <= GraphOps.KnnK, "mutual-kNN caps every degree at K")
+
+    // every other consumer (both graphs) rides the same build
+    val strong = GraphOps.GraphStore.strong(spark, dir)
+      .as[(Long, Long)].collect().sorted
+    assert(strong.nonEmpty)
+    assert(GraphOps.GraphStore.buildCount.get == b0 + 1,
+      "second graph must not rebuild — one derivation pass feeds both")
+
+    // cold session over a built store: metadata-only re-registration
+    val san = dir.replaceAll("[^a-zA-Z0-9]+", "_")
+      .stripPrefix("_").stripSuffix("_")
+    spark.catalog.clearCache()
+    Seq(s"graft_knng_${san}_", s"graft_cosup_${san}_").foreach { pre =>
+      spark.sql("SHOW TABLES").select("tableName").as[String].collect()
+        .filter(_.startsWith(pre))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+    val knnCold = GraphOps.GraphStore.knn(spark, dir)
+      .as[(Long, Long)].collect().sorted
+    assert(knnCold.toSeq == knn.toSeq, "re-registered store must be bit-identical")
+    assert(GraphOps.GraphStore.buildCount.get == b0 + 1,
+      "cold re-register must not rebuild")
+
+    // corpus mutation (mtime change flips the fingerprint) → rebuild,
+    // and the rebuild over identical data is deterministic
+    spark.catalog.clearCache()
+    val li = java.nio.file.Paths.get(dir, "lineitem.parquet")
+    java.nio.file.Files.setLastModifiedTime(li,
+      java.nio.file.attribute.FileTime.fromMillis(
+        java.nio.file.Files.getLastModifiedTime(li).toMillis + 5000))
+    val knn2 = GraphOps.GraphStore.knn(spark, dir)
+      .as[(Long, Long)].collect().sorted
+    assert(GraphOps.GraphStore.buildCount.get == b0 + 2,
+      "a mutated corpus fingerprint must rebuild the store")
+    assert(knn2.toSeq == knn.toSeq,
+      "rebuild over identical data must be deterministic")
+  }
 }

@@ -437,6 +437,140 @@ object GraphOps {
     out
   }
 
+  /** Min-label propagation to the TRUE fixpoint: synchronous rounds
+    * until no label changes, capped at `maxRounds` (a safety bound —
+    * min-label converges in ≤ graph-diameter rounds, and the change
+    * count reaching zero is the stop, not the cap). Per round ONE
+    * scalar (the change count) crosses the driver; label frames are
+    * |V| rows, the edge list never re-shuffles after materialization.
+    * At the fixpoint every label is its component's minimum id — the
+    * convergence contract [[ConvergenceSpec]] pins against the
+    * pointer-jumping components (M8). Returns (labels, roundsRun).
+    */
+  private[graft] def labelPropToFixpoint(und: DataFrame,
+      maxRounds: Int = 64): (DataFrame, Int) = {
+    val edges = und.union(und.select(col("dst").as("src"),
+      col("src").as("dst")))
+    val nodes = edges.select(col("src")).distinct()
+    val edgesPlus = edges
+      .union(nodes.select(col("src"), col("src").as("dst"))).cache()
+    // localCheckpoint, not cache: an open-ended loop stacks one join
+    // per round onto the LOGICAL plan — analysis cost grows
+    // quadratically in rounds even when caches truncate execution.
+    // Checkpointing cuts the lineage so every round plans O(1) work;
+    // the frame is |V| rows, so materialization is trivial.
+    var lbl = nodes.select(col("src").as("node"), col("src").as("lbl"))
+      .localCheckpoint(true)
+    var rounds = 0
+    var changed = 1L
+    while (changed > 0 && rounds < maxRounds) {
+      val nxt = edgesPlus
+        .join(lbl, edgesPlus("src") === lbl("node"))
+        .groupBy(col("dst")).agg(min(col("lbl")).as("l"))
+        .select(col("dst").as("node"), col("l").as("lbl"))
+        .localCheckpoint(true)
+      changed = nxt.select(col("node"), col("lbl").as("ln"))
+        .join(lbl.select(col("node"), col("lbl").as("lp")), "node")
+        .filter(col("ln") =!= col("lp")).count()
+      lbl = nxt
+      rounds += 1
+    }
+    edgesPlus.unpersist()
+    (lbl, rounds)
+  }
+
+  /** PageRank iterated to a tolerance stop: rounds until the L1
+    * round-over-round delta ≤ `tol`, capped at `maxRounds`. Damping
+    * 0.85 contracts the L1 delta geometrically (the transition is
+    * column-stochastic: ‖Δ_{k+1}‖₁ ≤ 0.85·‖Δ_k‖₁), so the cap is a
+    * safety bound and the geometric tail gives a closed-form distance
+    * to the fixpoint: ‖r_k − r*‖₁ ≤ ‖Δ_k‖₁·0.85/0.15 — the bound
+    * [[ConvergenceSpec]] uses to certify the fixed-3 oracle snapshot.
+    * Per round ONE scalar (the delta) crosses the driver; the edge
+    * set never re-shuffles after materialization (the M1 shape).
+    * Returns (scores(node, pr), roundsRun, per-round L1 deltas).
+    */
+  private[graft] def pagerankToConvergence(und: DataFrame,
+      tol: Double = 1e-9, maxRounds: Int = 60): (DataFrame, Int, Seq[Double]) = {
+    val edges = und.union(und.select(col("dst").as("src"),
+      col("src").as("dst"))).cache()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("degree")).cache()
+    val contrib = edges.join(deg, "src")
+      .select(col("src"), col("dst"), col("degree")).cache()
+    val tot = deg.agg(count(lit(1)).as("n"))
+    // localCheckpoint, not cache: see labelPropToFixpoint — the
+    // open-ended loop must not stack lineage
+    var r = deg.crossJoin(broadcast(tot))
+      .select(col("src").as("node"), round(lit(1.0) / col("n"), 10).as("pr"))
+      .localCheckpoint(true)
+    val deltas = scala.collection.mutable.Buffer.empty[Double]
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxRounds) {
+      val nxt = contrib
+        .join(r, contrib("src") === r("node"))
+        .select(col("dst"), (col("pr") / col("degree")).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+        .crossJoin(broadcast(tot))
+        .select(col("dst").as("node"),
+          round(lit(0.15) / col("n") + lit(0.85) * col("s"), 10).as("pr"))
+        .localCheckpoint(true)
+      val d = nxt.select(col("node"), col("pr").as("prn"))
+        .join(r.select(col("node"), col("pr").as("prp")), "node")
+        .agg(sum(abs(col("prn") - col("prp")))).head().getDouble(0)
+      deltas += d
+      r = nxt
+      rounds += 1
+      done = d <= tol
+    }
+    contrib.unpersist(); deg.unpersist(); edges.unpersist()
+    (r, rounds, deltas.toSeq)
+  }
+
+  /** Power iteration (eigenvector centrality) with a tolerance stop:
+    * L∞-normalized rounds until the max per-node score change ≤
+    * `tol`, capped at `maxRounds`. Convergence rate is the spectral
+    * ratio λ₂/λ₁ of the kNN adjacency — data-dependent, so unlike
+    * PageRank there is no universal contraction constant; the
+    * contract [[ConvergenceSpec]] asserts is termination under the
+    * cap on the shipped corpora plus a non-expanding delta tail.
+    * Returns (scores(node, score), roundsRun, per-round L∞ deltas).
+    */
+  private[graft] def eigencentralityToConvergence(und: DataFrame,
+      tol: Double = 1e-7, maxRounds: Int = 200): (DataFrame, Int, Seq[Double]) = {
+    val edges = und.union(und.select(col("dst").as("src"),
+      col("src").as("dst"))).cache()
+    // localCheckpoint, not cache: see labelPropToFixpoint — the
+    // open-ended loop must not stack lineage
+    var x = edges.select(col("src")).distinct()
+      .select(col("src").as("node"), lit(1.0).as("score"))
+      .localCheckpoint(true)
+    val deltas = scala.collection.mutable.Buffer.empty[Double]
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxRounds) {
+      val raw = edges.join(x, edges("src") === x("node"))
+        .select(col("dst"), col("score"))
+        .groupBy(col("dst")).agg(sum(col("score")).as("s"))
+        .cache()
+      val mx = raw.agg(max(col("s")).as("mx"))
+      val nxt = raw.crossJoin(broadcast(mx))
+        .select(col("dst").as("node"),
+          round(col("s") / col("mx"), 10).as("score"))
+        .localCheckpoint(true)
+      raw.unpersist()
+      val d = nxt.select(col("node"), col("score").as("sn"))
+        .join(x.select(col("node"), col("score").as("sp")), "node")
+        .agg(max(abs(col("sn") - col("sp")))).head().getDouble(0)
+      deltas += d
+      x = nxt
+      rounds += 1
+      done = d <= tol
+    }
+    edges.unpersist()
+    (x, rounds, deltas.toSeq)
+  }
+
   private def labelPropQuery(und: DataFrame): DataFrame = {
     val lbl = labelPropagate(und, rounds = 3)
     val sizes = lbl.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))

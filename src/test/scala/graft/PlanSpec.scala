@@ -165,6 +165,42 @@ class PlanSpec extends AnyFunSuite {
       "LTV window must not collapse to a single partition")
   }
 
+  test("global plan guard: a recursion step subtree never scans a corpus file (the UnionLoop hoisting lesson)") {
+    // Spark's UnionLoop re-evaluates its step subtree EVERY iteration:
+    // a corpus-scale derivation inlined in the recursive member re-runs
+    // per hop (the round-12 q_sql_bfs measure→fix cut 5.7× at sf1 by
+    // hoisting the kNN derivation to a cached view; GraphStore now
+    // persists it). This promotes the convention to a guard: any file
+    // scan inside a recursion step must read a persisted BOUNDED
+    // artifact (the warehouse stores), never a raw corpus path — a
+    // future recursive query that inlines its derivation fails here,
+    // not at 100 TB with a per-hop corpus re-scan.
+    import org.apache.spark.sql.catalyst.plans.logical.UnionLoop
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val warehouse = java.nio.file.Paths.get(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath)
+      .toAbsolutePath.toString
+    var loops = 0
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val opt = fn(spark, sf).queryExecution.optimizedPlan
+      opt.collect { case ul: UnionLoop => ul }.flatMap { ul =>
+        loops += 1
+        ul.recursion.collect {
+          case lr: LogicalRelation =>
+            lr.relation match {
+              case fs: HadoopFsRelation =>
+                fs.location.rootPaths.map(_.toString)
+                  .filterNot(p => java.nio.file.Paths.get(new java.net.URI(p).getPath)
+                    .toAbsolutePath.toString.startsWith(warehouse))
+              case _ => Nil
+            }
+        }.flatten.map(p => s"$name: recursion step scans non-store path $p")
+      }
+    }
+    assert(loops >= 1, "expected at least one UnionLoop query (q_sql_bfs)")
+    assert(failures.isEmpty, s"recursion scan violations:\n${failures.mkString("\n")}")
+  }
+
   test("global plan guard: no query plans a cartesian product or a corpus-wide single-partition window") {
     import org.apache.spark.sql.execution.joins.CartesianProductExec
     import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}

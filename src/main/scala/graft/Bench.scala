@@ -1,6 +1,54 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-query shuffle/memory tap (VERDICT r12 task 5): accumulates the
+  * stage-level shuffle metrics while a query runs so bench_out.json
+  * carries the plan-shaped numbers a wall-clock total hides — a
+  * silently added exchange shows up as shuffle records/bytes (and in
+  * the static `exch` count) the round it appears, not as seconds two
+  * rounds later.
+  */
+private object ShuffleTap extends org.apache.spark.scheduler.SparkListener {
+  import java.util.concurrent.atomic.AtomicLong
+  val srRec = new AtomicLong; val swRec = new AtomicLong
+  val swBytes = new AtomicLong; val peakMem = new AtomicLong
+  def reset(): Unit = { srRec.set(0); swRec.set(0); swBytes.set(0); peakMem.set(0) }
+  def snapshot: (Long, Long, Long, Long) =
+    (srRec.get, swRec.get, swBytes.get, peakMem.get)
+  override def onStageCompleted(
+      sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+    val acc = sc.stageInfo.accumulables.values
+    def v(n: String): Long = acc.find(_.name.contains(n))
+      .flatMap(_.value).map(_.toString.toLong).getOrElse(0L)
+    srRec.addAndGet(v("internal.metrics.shuffle.read.recordsRead"))
+    swRec.addAndGet(v("internal.metrics.shuffle.write.recordsWritten"))
+    swBytes.addAndGet(v("internal.metrics.shuffle.write.bytesWritten"))
+    val pm = v("internal.metrics.peakExecutionMemory")
+    peakMem.getAndUpdate(m => math.max(m, pm))
+  }
+}
+
 object Bench {
+  /** Count the shuffle exchanges in an executed-plan string — the
+    * same regex device PlanSpec pins the relational core with. An
+    * executed adaptive plan appends an "== Initial Plan ==" section
+    * that would double-count; only the current (final) plan counts. */
+  def exchangeCount(plan: String): Int =
+    "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+      .findAllIn(plan.split("== Initial Plan ==")(0)).length
+
+  /** Flush the async listener bus so ShuffleTap has seen every stage
+    * of the query that just returned. LiveListenerBus.waitUntilEmpty
+    * is private[spark] at the source level but public in bytecode;
+    * fall back to a short sleep if the internals move.
+    */
+  private def drainListeners(spark: SparkSession): Unit =
+    try {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+    } catch { case _: Throwable => Thread.sleep(100) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
@@ -18,10 +66,26 @@ object Bench {
     // failed attempt's time-to-throw must never be min'd against a
     // real measurement: each attempt carries its own ok flag, and only
     // like attempts compare.
+    spark.sparkContext.addSparkListener(ShuffleTap)
+    // per-query shuffle metrics from the latest successful attempt:
+    // (shuffle-read records, shuffle-write records, shuffle-write
+    // bytes, peak execution memory, exchange count in the final
+    // adaptive plan) — plan-shaped, so identical across retries
+    val shuffleStats =
+      scala.collection.mutable.LinkedHashMap[String, (Long, Long, Long, Long, Int)]()
     def once(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+      ShuffleTap.reset()
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+        try {
+          val qe = fn(spark, sfDir).queryExecution
+          qe.toRdd.count()
+          drainListeners(spark)
+          val (sr, sw, swb, pm) = ShuffleTap.snapshot
+          shuffleStats(name) =
+            (sr, sw, swb, pm, exchangeCount(qe.executedPlan.toString))
+          true
+        }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
           false
@@ -138,8 +202,11 @@ object Bench {
       m.map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val errJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val shuffleJson = shuffleStats.map { case (k, (sr, sw, swb, pm, ex)) =>
+      s""""$k":{"sr_rec":$sr,"sw_rec":$sw,"sw_bytes":$swb,"peak_mem":$pm,"exch":$ex}"""
+    }.mkString("{", ",", "}")
     val fullLine =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec"$warmJson,"queries":${fmt(results)},"queries_warm":${fmt(warmPerQuery)},"err":$errJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec"$warmJson,"queries":${fmt(results)},"queries_warm":${fmt(warmPerQuery)},"shuffle":$shuffleJson,"err":$errJson,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), fullLine + "\n")
     catch { case _: Throwable => () }

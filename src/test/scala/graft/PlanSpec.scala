@@ -165,6 +165,30 @@ class PlanSpec extends AnyFunSuite {
       "LTV window must not collapse to a single partition")
   }
 
+  test("relational core: pinned exchange ceilings (a silently added shuffle fails the round it appears)") {
+    // Bench now ships per-query shuffle metrics (bench_out.json
+    // "shuffle"), but metrics only report — this PINS the shuffle
+    // count for the relational core, so a refactor that loses a
+    // broadcast or a partial aggregate fails in CI, not in a
+    // benchmark diff two rounds later. Ceilings are the r13 measured
+    // values (same regex device as Bench.exchangeCount).
+    val ceilings = Map(
+      "q1_pricing_summary" -> 1, "q3_shipping_priority" -> 1,
+      "q5_region_revenue" -> 1, "q_topn_per_group" -> 1,
+      "q_running_sum" -> 1, "q_rollup" -> 1, "q_cube" -> 1,
+      "q_semi_join" -> 0, "q_anti_join" -> 0, "q_distinct_agg" -> 2,
+      "q_pivot" -> 1, "q_percentiles" -> 1, "q_corr_stats" -> 1,
+      "q_histogram" -> 1, "q_asof_join" -> 1, "q_range_join" -> 0,
+      "q_hash_split" -> 1, "q_seq_packing" -> 1)
+    val failures = ceilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
+      val p = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      val n = Bench.exchangeCount(p)
+      if (n > cap) Seq(s"$name: $n exchanges > pinned $cap") else Nil
+    }
+    assert(failures.isEmpty, s"exchange regressions:\n${failures.mkString("\n")}")
+  }
+
   test("global plan guard: a recursion step subtree never scans a corpus file (the UnionLoop hoisting lesson)") {
     // Spark's UnionLoop re-evaluates its step subtree EVERY iteration:
     // a corpus-scale derivation inlined in the recursive member re-runs

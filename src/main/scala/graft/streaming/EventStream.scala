@@ -417,6 +417,48 @@ object EventStream {
     spark.table(qn)
   }
 
+  /** F7b: stream-stream LEFT-OUTER time-interval join — the
+    * enrichment twin of [[streamRangeJoin]]: every view emits, clicks
+    * attach when one lands in the 10-minute window, and a view with
+    * NO click emits exactly once with a null click — but only after
+    * the watermark passes its interval bound (Spark cannot know "no
+    * click will come" until the join window is provably closed, so
+    * outer results are watermark-delayed by construction; rows whose
+    * window is still open at source-drain are withheld, the correct
+    * append-mode semantics). State contract identical to the inner
+    * twin: both sides buffer in the state store only until the
+    * watermark passes the interval bound — bounded state on an
+    * unbounded stream at any scale. Spec pins: matched rows ⊆ the
+    * batch A13 range join; null rows are views the batch join has NO
+    * match for (StreamingSpec).
+    */
+  def streamRangeJoinOuter(spark: SparkSession, dir: String): DataFrame = {
+    def src = Tables.eventsStream(spark, dir)
+      .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
+    val views = src.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ets").as("vts"))
+      .withWatermark("vts", "10 minutes")
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ets").as("cts"))
+      .withWatermark("cts", "10 minutes")
+    val joined = views.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("cts") >= col("vts") &&
+        col("cts") <= col("vts") + expr("INTERVAL 10 MINUTES"),
+      "leftOuter")
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        (unix_timestamp(col("cts")) - unix_timestamp(col("vts"))).as("gap_sec"))
+    val qn = "graft_stream_range_join_outer"
+    spark.streams.active.filter(q => Option(q.name).contains(qn)).foreach(_.stop())
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(qn).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(qn)
+  }
+
   /** F37: streaming daily-active-users — the dedup-then-aggregate
     * composition (the F40 exact-distinct device in streaming form):
     * `dropDuplicates` on (user, day-bucketed event time) collapses a

@@ -110,6 +110,28 @@ class StreamingSpec extends AnyFunSuite {
       "stream-stream join produced rows the batch range join lacks")
   }
 
+  test("stream-stream LEFT-OUTER interval join: matched rows subset the batch join, null rows are truly matchless") {
+    val out = EventStream.streamRangeJoinOuter(spark, sf)
+    val batch = graft.operators.TemporalOps.qRangeJoin(spark, sf)
+      .select("user_id", "view_id", "click_id", "gap_sec")
+    val matched = out.filter(col("click_id").isNotNull)
+      .select("user_id", "view_id", "click_id", "gap_sec")
+    assert(matched.count() > 0, "outer join emitted no matched rows")
+    assert(matched.except(batch).isEmpty,
+      "matched rows must subset the batch range join")
+    // outer semantics: unmatched views emit exactly once with a null
+    // click, and ONLY views the batch join truly has no match for —
+    // a null row for a matched view would mean the join state was
+    // evicted before its click arrived
+    val nulls = out.filter(col("click_id").isNull).select("view_id")
+    assert(nulls.count() > 0,
+      "expected watermark-expired unmatched views to emit null rows")
+    assert(nulls.distinct().count() == nulls.count(),
+      "an unmatched view must emit exactly one null row")
+    assert(nulls.join(batch.select("view_id"), Seq("view_id"), "left_semi")
+      .isEmpty, "null rows must be views with NO batch match")
+  }
+
   test("stateful streaming anomaly detector equals the oracle-checked batch operator") {
     import graft.streaming.EventStream.{AnomalyOut, Bucket}
     implicit val sqlCtx = spark.sqlContext

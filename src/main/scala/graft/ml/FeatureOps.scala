@@ -854,6 +854,75 @@ object FeatureOps {
       |    * (1.0 - regr_r2(l_extendedprice, l_quantity))), 4) AS rmse
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- E37
+  /** Closed-form ridge regression of extended price on quantity per
+    * return flag — E22's OLS with an L2 penalty, the one-knob
+    * regularization a feature pipeline reaches for when a fit must
+    * survive collinear or sparse slices: β_α = Sxy/(Sxx + α·n)
+    * (per-observation penalty λ = α·n, so the knob is scale-free),
+    * published for α ∈ {0, 1, 10} — the α=0 row IS the OLS fit
+    * (spec-pinned against E22's regr_slope), and `shrinkage` =
+    * Sxx/(Sxx + α·n) reads the regularization strength directly.
+    * Exact-moment device: quantities are integral doubles (lift to
+    * long), prices lift to cents; Σx, Σx², Σy, Σxy accumulate
+    * exactly (DECIMAL(38,0)/HUGEINT for the price-weighted sums);
+    * the centered moments and β are one identical double expression
+    * per (flag, α) row. One corpus scan → |flags| rows → a 3-row
+    * constant explode; everything after is scalar algebra.
+    */
+  def qRidgeFit(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("x"),
+        round(col("l_extendedprice") * 100).cast("long").as("yc"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("yc").cast("decimal(38,0)")).as("sy"),
+        sum(col("x") * col("x")).as("sxx_r"),
+        sum((col("x") * col("yc")).cast("decimal(38,0)")).as("sxy_r"))
+    m.withColumn("alpha", explode(array(lit(0), lit(1), lit(10))))
+      .withColumn("sxx", col("sxx_r").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double") / col("n"))
+      .withColumn("sxy", col("sxy_r").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double") / col("n"))
+      .withColumn("beta_c", col("sxy") / (col("sxx") + col("alpha") * col("n")))
+      .select(col("l_returnflag"), col("alpha"), col("n"),
+        round(col("beta_c") / 100.0, 6).as("slope"),
+        round((col("sy").cast("double") / col("n") -
+          col("beta_c") * (col("sx").cast("double") / col("n"))) / 100.0, 4)
+          .as("intercept"),
+        round(col("sxx") / (col("sxx") + col("alpha") * col("n")), 6)
+          .as("shrinkage"))
+  }
+
+  val qRidgeFitSql: String =
+    """WITH m AS (SELECT l_returnflag, count(*) AS n,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+      |    CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)) AS HUGEINT)
+      |      AS sy,
+      |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+      |      AS BIGINT) AS sxx_r,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)
+      |      * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS HUGEINT)
+      |      AS sxy_r
+      |  FROM lineitem GROUP BY 1),
+      |a AS (SELECT m.*, t.alpha FROM m CROSS JOIN
+      |  (VALUES (0), (1), (10)) t(alpha)),
+      |c AS (SELECT l_returnflag, alpha, n, sx, sy,
+      |    CAST(sxx_r AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n AS sxx,
+      |    CAST(sxy_r AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n AS sxy
+      |  FROM a)
+      |SELECT l_returnflag, alpha, n,
+      |  round((sxy / (sxx + alpha * n)) / 100.0, 6) AS slope,
+      |  round((CAST(sy AS DOUBLE) / n
+      |    - (sxy / (sxx + alpha * n)) * (CAST(sx AS DOUBLE) / n)) / 100.0, 4)
+      |    AS intercept,
+      |  round(sxx / (sxx + alpha * n), 6) AS shrinkage
+      |FROM c""".stripMargin
+
   // ---------------------------------------------------------------- E24
   /** Leave-one-out target encoding of customer market segment against
     * order total — the high-cardinality-categorical feature device:
@@ -1429,6 +1498,7 @@ object FeatureOps {
     "q_winsorize" -> (qWinsorize _),
     "q_target_encoding" -> (qTargetEncoding _),
     "q_ols_fit" -> (qOlsFit _),
+    "q_ridge_fit" -> (qRidgeFit _),
     "q_source_embedding_shift" -> (qSourceEmbeddingShift _),
     "q_embedding_qc" -> (qEmbeddingQc _),
     "q_int8_quant" -> (qInt8Quant _),
@@ -1457,6 +1527,7 @@ object FeatureOps {
     "q_winsorize" -> qWinsorizeSql,
     "q_target_encoding" -> qTargetEncodingSql,
     "q_ols_fit" -> qOlsFitSql,
+    "q_ridge_fit" -> qRidgeFitSql,
     "q_source_embedding_shift" -> qSourceEmbeddingShiftSql,
     "q_embedding_qc" -> qEmbeddingQcSql,
     "q_int8_quant" -> qInt8QuantSql,

@@ -1285,7 +1285,61 @@ object GraphOps {
       |  COALESCE(d3.core_deg, 0) > 0 AS in_core
       |FROM d0 LEFT JOIN d3 ON d0.src = d3.src""".stripMargin
 
+  // ---------------------------------------------------------------- M16
+  /** Global clustering coefficient (transitivity) of the mutual-kNN
+    * graph — the ONE-number cohesion readout M2's per-node
+    * coefficients cannot give (averaging local coefficients
+    * overweights low-degree nodes; transitivity = 3·triangles /
+    * wedges weights every wedge equally — the two disagree by design
+    * on hub-heavy graphs). All integer-exact: triangles enumerated
+    * once each via the oriented src<dst wedge join (the M2 device),
+    * wedges = Σ deg(v)·(deg(v)−1)/2 on K-bounded degrees (each term
+    * ≤ K²/2, exact far past any corpus size); one double division at
+    * the publish boundary, NULL on a wedgeless graph. Bounded-degree
+    * input caps the wedge join at |V|·K² rows at ANY scale.
+    */
+  def qGlobalClustering(spark: SparkSession, dir: String): DataFrame = {
+    val und = mutualKnnPairs(spark, dir)
+    val deg = und.select(col("src").as("node"))
+      .union(und.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val degStats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      (sum(col("degree")) / 2).cast("long").as("n_edges"),
+      (sum(col("degree") * (col("degree") - 1)) / 2).cast("long")
+        .as("n_wedges"))
+    val wedge = und.select(col("src").as("a"), col("dst").as("b"))
+      .join(und.select(col("src").as("b"), col("dst").as("c")), "b")
+    val tri = wedge
+      .join(und.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+    degStats.crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") === 0, lit(null).cast("double"))
+          .otherwise(round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
+          .as("transitivity"))
+  }
+
+  val qGlobalClusteringSql: String =
+    s"""WITH $mutKnnSql,
+      |dsym AS (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und),
+      |deg AS (SELECT src AS node, count(*) AS degree FROM dsym GROUP BY 1),
+      |ds AS (SELECT count(*) AS n_nodes,
+      |    CAST(sum(degree) / 2 AS BIGINT) AS n_edges,
+      |    CAST(sum(degree * (degree - 1)) / 2 AS BIGINT) AS n_wedges
+      |  FROM deg),
+      |tri AS (SELECT count(*) AS n_triangles
+      |  FROM und w1
+      |  JOIN und w2 ON w1.dst = w2.src
+      |  JOIN und w3 ON w3.src = w1.src AND w3.dst = w2.dst)
+      |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+      |  CASE WHEN n_wedges = 0 THEN CAST(NULL AS DOUBLE)
+      |    ELSE round(3.0 * n_triangles / n_wedges, 6) END AS transitivity
+      |FROM ds, tri""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_global_clustering" -> (qGlobalClustering _),
     "q_kcore" -> (qKcore _),
     "q_neighbor_jaccard" -> (qNeighborJaccard _),
     "q_two_hop" -> (qTwoHop _),
@@ -1305,6 +1359,7 @@ object GraphOps {
     "q_triangle_knn" -> (qTriangleKnn _))
 
   def oracle: Map[String, String] = Map(
+    "q_global_clustering" -> qGlobalClusteringSql,
     "q_kcore" -> qKcoreSql,
     "q_neighbor_jaccard" -> qNeighborJaccardSql,
     "q_two_hop" -> qTwoHopSql,

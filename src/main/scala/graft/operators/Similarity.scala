@@ -64,6 +64,65 @@ object Similarity {
       |  FROM scored)
       |SELECT qid, nid, rank, round(sim, 4) AS sim FROM ranked WHERE rank <= 5""".stripMargin
 
+  // ---------------------------------------------------------------- D19
+  /** k-NN classification over the embedding corpus — the similarity
+    * search consumer that closes the loop: predict each panel
+    * query's label as the MAJORITY label of its 5 nearest neighbors
+    * by cosine (leave-one-out: the query never votes for itself),
+    * the standard weak-supervision / label-QA probe over a labeled
+    * vector store. Same bounded-panel device as D1 (fixed ≤ 40
+    * queries, broadcast against the corpus — O(panel·n), never n²);
+    * ranking ties break on (rounded sim DESC, nid ASC) and vote ties
+    * on (votes DESC, label ASC) — both total orders on exact values,
+    * so the prediction is engine-deterministic. Output one row per
+    * panel query: true label, predicted label, vote count, and the
+    * correctness bit an accuracy audit sums.
+    */
+  def qKnnClassify(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < PanelIdCap)
+      .select(col("vec_id").as("qid"), col("label").as("true_label"),
+        col("v").as("qv"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("true_label"), col("vec_id").as("nid"),
+        col("label"), VectorFunctions.cosine(col("qv"), col("v")).as("sim"))
+    val bySim = Window.partitionBy(col("qid"))
+      .orderBy(round(col("sim"), 6).desc, col("nid").asc)
+    val votes = scored.withColumn("rank", row_number().over(bySim))
+      .filter(col("rank") <= 5)
+      .groupBy(col("qid"), col("true_label"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val byVotes = Window.partitionBy(col("qid"))
+      .orderBy(col("votes").desc, col("label").asc)
+    votes.withColumn("r", row_number().over(byVotes)).filter(col("r") === 1)
+      .select(col("qid"), col("true_label"), col("label").as("pred_label"),
+        col("votes"), (col("label") === col("true_label")).as("correct"))
+  }
+
+  val qKnnClassifySql: String =
+    raw"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS qid, label AS true_label, v AS qv FROM e
+      |  WHERE vec_id % 50 = 0 AND vec_id < $PanelIdCap),
+      |flat AS (SELECT qid, true_label, e.vec_id AS nid, e.label,
+      |    unnest(qv) AS x, unnest(v) AS y
+      |  FROM e JOIN q ON e.vec_id <> q.qid),
+      |scored AS (SELECT qid, true_label, nid, label,
+      |    sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS sim
+      |  FROM flat GROUP BY qid, true_label, nid, label),
+      |ranked AS (SELECT qid, true_label, label, row_number() OVER (
+      |    PARTITION BY qid ORDER BY round(sim, 6) DESC, nid ASC) AS rank
+      |  FROM scored),
+      |votes AS (SELECT qid, true_label, label, count(*) AS votes
+      |  FROM ranked WHERE rank <= 5 GROUP BY 1, 2, 3),
+      |best AS (SELECT qid, true_label, label, votes, row_number() OVER (
+      |    PARTITION BY qid ORDER BY votes DESC, label ASC) AS r FROM votes)
+      |SELECT qid, true_label, label AS pred_label, votes,
+      |  (label = true_label) AS correct
+      |FROM best WHERE r = 1""".stripMargin
+
   // ---------------------------------------------------------------- D10
   /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
     * SIGIR 1998) — the diversity step between ANN retrieval and a
@@ -1795,6 +1854,7 @@ object Similarity {
     "q_pq_distortion" -> (qPqDistortion _),
     "q_class_separation" -> (qClassSeparation _),
     "q_ann_bruteforce" -> (qAnnBruteforce _),
+    "q_knn_classify" -> (qKnnClassify _),
     "q_mmr_diversify" -> (qMmrDiversify _),
     "q_mmr_ann" -> (qMmrAnn _),
     "q_ndcg" -> (qNdcg _),
@@ -1816,7 +1876,8 @@ object Similarity {
     */
   def oracle: Map[String, String] = {
     val k = lastShortlistK.get
-    Map("q_ann_bruteforce" -> qAnnBruteforceSql, "q_ann_lsh" -> qAnnLshSql,
+    Map("q_ann_bruteforce" -> qAnnBruteforceSql,
+      "q_knn_classify" -> qKnnClassifySql, "q_ann_lsh" -> qAnnLshSql,
       "q_hybrid_rrf" -> qHybridRrfSql,
       "q_matryoshka_overlap" -> qMatryoshkaOverlapSql,
       "q_mmr_diversify" -> qMmrDiversifySql,

@@ -2244,7 +2244,170 @@ object Validation {
       |  z, coalesce(abs(z) > 1.96, false) AS trend
       |FROM g, z""".stripMargin
 
+  // ---------------------------------------------------------------- L32
+  /** Tukey HSD post-hoc — the pairwise step L18's ANOVA verdict
+    * demands next: F > crit says "SOME segment differs"; HSD says
+    * WHICH pairs, with the studentized-range correction that keeps
+    * the familywise error at 5% across all k(k−1)/2 comparisons
+    * (10 naive t-tests at α=.05 ≈ 40% familywise false-positive
+    * rate). Tukey–Kramer form for unequal n: q_ij = |m_i − m_j| /
+    * √(MSW/2·(1/n_i + 1/n_j)), cut at q(k=5, df=∞, .05) = 3.858.
+    * Same exact-cents machinery as L18: per-group (n, Σc, Σc²) in
+    * DECIMAL(38,0), MSW and the 10 pair statistics one identical
+    * double expression over the ≤ k group rows (q is scale-free, so
+    * cents cancel; only the published mean_diff converts to
+    * dollars), verdict cuts the ROUNDED q. One corpus scan → k group
+    * rows → broadcast self-cross — pair work is k², never corpus².
+    */
+  def qTukeyHsd(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        round(col("o_totalprice") * 100).cast("long").as("c"))
+    val grp = cents.groupBy(col("seg")).agg(
+      count(lit(1)).as("n_g"),
+      sum(col("c").cast("decimal(38,0)")).as("s_g"),
+      sum((col("c") * col("c")).cast("decimal(38,0)")).as("q_g"))
+    val tot = grp.agg(
+      count(lit(1)).as("k"),
+      sum(col("n_g")).cast("long").as("n"),
+      sum(col("q_g")).as("q"),
+      sum(col("s_g").cast("double") * col("s_g").cast("double") /
+        col("n_g")).as("sgrp"))
+      .select(col("k"), col("n"),
+        ((col("q").cast("double") - col("sgrp")) / (col("n") - col("k")))
+          .as("msw"))
+    val a = grp.select(col("seg").as("seg_a"), col("n_g").as("n_a"),
+      (col("s_g").cast("double") / col("n_g")).as("m_a"))
+    val b = grp.select(col("seg").as("seg_b"), col("n_g").as("n_b"),
+      (col("s_g").cast("double") / col("n_g")).as("m_b"))
+    a.crossJoin(broadcast(b)).filter(col("seg_a") < col("seg_b"))
+      .crossJoin(broadcast(tot))
+      .withColumn("q_stat", round(abs(col("m_a") - col("m_b")) /
+        sqrt(col("msw") / 2.0 *
+          (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6))
+      .select(col("seg_a"), col("seg_b"), col("n_a"), col("n_b"),
+        round((col("m_a") - col("m_b")) / 100.0, 6).as("mean_diff_dollars"),
+        col("q_stat"), (col("q_stat") > 3.858).as("significant"))
+  }
+
+  val qTukeyHsdSql: String =
+    """WITH cents AS (SELECT c_mktsegment AS seg,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |grp AS (SELECT seg, count(*) AS n_g,
+      |    CAST(sum(CAST(c AS HUGEINT)) AS HUGEINT) AS s_g,
+      |    CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS q_g
+      |  FROM cents GROUP BY 1),
+      |tot AS (SELECT count(*) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+      |    sum(q_g) AS q,
+      |    sum(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / n_g) AS sgrp
+      |  FROM grp),
+      |m AS (SELECT k, n,
+      |    (CAST(q AS DOUBLE) - sgrp) / (n - k) AS msw FROM tot),
+      |p AS (SELECT a.seg AS seg_a, b.seg AS seg_b, a.n_g AS n_a,
+      |    b.n_g AS n_b,
+      |    CAST(a.s_g AS DOUBLE) / a.n_g AS m_a,
+      |    CAST(b.s_g AS DOUBLE) / b.n_g AS m_b
+      |  FROM grp a CROSS JOIN grp b WHERE a.seg < b.seg)
+      |SELECT seg_a, seg_b, n_a, n_b,
+      |  round((m_a - m_b) / 100.0, 6) AS mean_diff_dollars,
+      |  round(abs(m_a - m_b) / sqrt(msw / 2.0 * (1.0 / n_a + 1.0 / n_b)), 6)
+      |    AS q_stat,
+      |  (round(abs(m_a - m_b) / sqrt(msw / 2.0 * (1.0 / n_a + 1.0 / n_b)), 6)
+      |    > 3.858) AS significant
+      |FROM p, m""".stripMargin
+
+  // ---------------------------------------------------------------- L33
+  /** Difference-in-differences — the quasi-experimental estimator for
+    * when there IS no randomized assignment (L3/L25 assume one): did
+    * the BUILDING segment's spend move differently from MACHINERY's
+    * across the 1996-01-01 boundary? DiD = (m_T,post − m_T,pre) −
+    * (m_C,post − m_C,pre) nets out both the stable segment gap and
+    * the common time shock — the parallel-trends identification.
+    * Exact-cents device throughout: the four cell means come from
+    * DECIMAL(38,0) cent sums; the DiD point estimate and its
+    * four-cell Welch-style SE (√Σ s²_cell/n_cell, s² from exact
+    * moments) are one identical double expression over the 4 cell
+    * rows; verdict cuts the ROUNDED |z| at 1.96. One corpus scan →
+    * 4 cells → scalar algebra; output one row with all four cell
+    * means (the parallel-trends readout a reviewer checks first).
+    */
+  def qDid(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(
+        (col("c_mktsegment") === "BUILDING").as("treated"),
+        (col("o_orderdate").cast("date") >= lit("1996-01-01").cast("date"))
+          .as("post"),
+        round(col("o_totalprice") * 100).cast("long").as("c"))
+      .groupBy(col("treated"), col("post"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c").cast("decimal(38,0)")).as("s"),
+        sum((col("c") * col("c")).cast("decimal(38,0)")).as("q"))
+      .withColumn("m", col("s").cast("double") / col("n"))
+      .withColumn("v", (col("q").cast("double") -
+        col("s").cast("double") * col("s").cast("double") / col("n")) /
+        (col("n") - 1))
+    val row = cells.agg(
+      max(when(col("treated") && col("post"), col("m"))).as("m_tp"),
+      max(when(col("treated") && !col("post"), col("m"))).as("m_t0"),
+      max(when(!col("treated") && col("post"), col("m"))).as("m_cp"),
+      max(when(!col("treated") && !col("post"), col("m"))).as("m_c0"),
+      sum(col("v") / col("n")).as("var_did"),
+      sum(col("n")).cast("long").as("n_total"))
+    row.select(
+      round(col("m_tp") / 100.0, 6).as("mean_treated_post"),
+      round(col("m_t0") / 100.0, 6).as("mean_treated_pre"),
+      round(col("m_cp") / 100.0, 6).as("mean_control_post"),
+      round(col("m_c0") / 100.0, 6).as("mean_control_pre"),
+      round((col("m_tp") - col("m_t0") - (col("m_cp") - col("m_c0")))
+        / 100.0, 6).as("did_dollars"),
+      round((col("m_tp") - col("m_t0") - (col("m_cp") - col("m_c0"))) /
+        sqrt(col("var_did")), 6).as("z"),
+      col("n_total"))
+      .withColumn("significant", abs(col("z")) > 1.96)
+  }
+
+  val qDidSql: String =
+    """WITH cells AS (SELECT
+      |    (c_mktsegment = 'BUILDING') AS treated,
+      |    (CAST(o_orderdate AS DATE) >= DATE '1996-01-01') AS post,
+      |    count(*) AS n,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS HUGEINT)) AS HUGEINT)
+      |      AS s,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS HUGEINT)
+      |      * CAST(round(o_totalprice * 100) AS HUGEINT)) AS HUGEINT) AS q
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+      |  GROUP BY 1, 2),
+      |mv AS (SELECT treated, post, n, CAST(s AS DOUBLE) / n AS m,
+      |    (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+      |      / (n - 1) AS v
+      |  FROM cells),
+      |agg AS (SELECT
+      |    max(CASE WHEN treated AND post THEN m END) AS m_tp,
+      |    max(CASE WHEN treated AND NOT post THEN m END) AS m_t0,
+      |    max(CASE WHEN NOT treated AND post THEN m END) AS m_cp,
+      |    max(CASE WHEN NOT treated AND NOT post THEN m END) AS m_c0,
+      |    sum(v / n) AS var_did,
+      |    CAST(sum(n) AS BIGINT) AS n_total
+      |  FROM mv)
+      |SELECT round(m_tp / 100.0, 6) AS mean_treated_post,
+      |  round(m_t0 / 100.0, 6) AS mean_treated_pre,
+      |  round(m_cp / 100.0, 6) AS mean_control_post,
+      |  round(m_c0 / 100.0, 6) AS mean_control_pre,
+      |  round((m_tp - m_t0 - (m_cp - m_c0)) / 100.0, 6) AS did_dollars,
+      |  round((m_tp - m_t0 - (m_cp - m_c0)) / sqrt(var_did), 6) AS z,
+      |  n_total,
+      |  (abs(round((m_tp - m_t0 - (m_cp - m_c0)) / sqrt(var_did), 6)) > 1.96)
+      |    AS significant
+      |FROM agg""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tukey_hsd" -> (qTukeyHsd _),
+    "q_did" -> (qDid _),
     "q_cochran_armitage" -> (qCochranArmitage _),
     "q_fisher_exact" -> (qFisherExact _),
     "q_friedman" -> (qFriedman _),
@@ -2276,6 +2439,8 @@ object Validation {
     "q_benford" -> (qBenford _))
 
   def oracle: Map[String, String] = Map(
+    "q_tukey_hsd" -> qTukeyHsdSql,
+    "q_did" -> qDidSql,
     "q_cochran_armitage" -> qCochranArmitageSql,
     "q_fisher_exact" -> qFisherExactSql,
     "q_friedman" -> qFriedmanSql,

@@ -276,6 +276,25 @@ class PropertySpec extends AnyFunSuite {
     assert(tri.map(_._3).sum % 3 == 0)
   }
 
+  test("q_global_clustering: transitivity recomposes exactly from M6's per-node counts") {
+    import graft.operators.GraphOps
+    val r = GraphOps.queries("q_global_clustering")(spark, sf).collect().head
+    val tri = GraphOps.qTriangleKnn(spark, sf)
+      .select("degree", "triangles").as[(Long, Long)].collect()
+    // wedges = sum C(deg,2); triangle total = sum(per-node)/3 — both
+    // derived from the INDEPENDENT per-node M6 readout
+    val wedges = tri.map { case (d, _) => d * (d - 1) / 2 }.sum
+    val triangles = tri.map(_._2).sum / 3
+    assert(r.getAs[Long]("n_wedges") == wedges)
+    assert(r.getAs[Long]("n_triangles") == triangles)
+    assert(r.getAs[Long]("n_nodes") == tri.length)
+    val t = r.getAs[Double]("transitivity")
+    if (wedges > 0) {
+      assert(t >= 0.0 && t <= 1.0)
+      assert(math.abs(t - 3.0 * triangles / wedges) < 1e-6)
+    }
+  }
+
   test("q_skyline: grid-pruned sweep equals brute-force Pareto dominance on the full supplier set") {
     import graft.operators.AnalyticExt
     val got = AnalyticExt.qSkyline(spark, sf)

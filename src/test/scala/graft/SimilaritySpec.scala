@@ -210,4 +210,29 @@ class SimilaritySpec extends AnyFunSuite {
       assert(ov >= 0.0 && ov <= 1.0, s"budget $b overlap $ov") }
     assert(rows.last._3 == 1.0, "the 64-dim list IS the truth list")
   }
+
+  test("q_knn_classify: predictions equal the mode of D1's top-5 neighbor labels, ties broken low") {
+    val pred = Similarity.queries("q_knn_classify")(spark, sf)
+      .select("qid", "true_label", "pred_label", "votes", "correct")
+      .collect().map(r => r.getAs[Long]("qid") ->
+        (r.getAs[Int]("true_label"), r.getAs[Int]("pred_label"),
+          r.getAs[Long]("votes"), r.getAs[Boolean]("correct"))).toMap
+    // recompose from the INDEPENDENT oracle-checked brute-force top-5
+    val labels: Map[Long, Int] = Tables.embeddings(spark, sf)
+      .select("vec_id", "label")
+      .as[(Long, Int)].collect().toMap
+    val top5: Map[Long, Seq[Int]] = Similarity.qAnnBruteforce(spark, sf)
+      .select("qid", "nid").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, ns) => q -> ns.toSeq.map(p => labels(p._2)) }
+    assert(pred.keySet == top5.keySet, "one prediction per panel query")
+    top5.foreach { case (q, nbrLabels) =>
+      val (tl, pl, votes, correct) = pred(q)
+      val expected: (Int, Int) = nbrLabels.groupBy(identity)
+        .map { case (l, g) => (l, g.size) }
+        .toSeq.sortBy { case (l, v) => (-v, l) }.head
+      assert(pl == expected._1, s"query $q: pred $pl != mode ${expected._1}")
+      assert(votes == expected._2)
+      assert(tl == labels(q) && correct == (pl == tl))
+    }
+  }
 }

@@ -364,4 +364,82 @@ class ValidationSpec extends AnyFunSuite {
       assert(!r.getAs[Boolean]("srm_detected"),
         "a correct md5 bucketing must not trip its own alarm") }
   }
+
+  test("q_tukey_hsd: full pair grid, q recomposes from brute-force group moments") {
+    val rows = Validation.qTukeyHsd(spark, sf).collect()
+    assert(rows.length == 10, "k=5 segments -> 10 unordered pairs")
+    val segs = rows.flatMap(r => Seq(r.getAs[String]("seg_a"),
+      r.getAs[String]("seg_b")))
+    assert(segs.distinct.length == 5)
+    segs.groupBy(identity).foreach { case (s, g) =>
+      assert(g.length == 4, s"segment $s must appear in 4 pairs") }
+    // brute-force MSW + means from the raw orders (exact cents)
+    val g = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        round(col("o_totalprice") * 100).cast("long").as("c"))
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n"), sum(col("c").cast("decimal(38,0)")).as("s"),
+        sum((col("c") * col("c")).cast("decimal(38,0)")).as("q"))
+      .collect().map { r =>
+        val n = r.getAs[Long]("n")
+        val s = r.getAs[java.math.BigDecimal]("s").doubleValue()
+        val q = r.getAs[java.math.BigDecimal]("q").doubleValue()
+        r.getAs[String]("seg") -> (n, s / n, q - s * s / n)
+      }.toMap
+    val nTot = g.values.map(_._1).sum
+    val msw = g.values.map(_._3).sum / (nTot - g.size)
+    rows.foreach { r =>
+      val (na, ma, _) = g(r.getAs[String]("seg_a"))
+      val (nb, mb, _) = g(r.getAs[String]("seg_b"))
+      val qExp = math.abs(ma - mb) /
+        math.sqrt(msw / 2.0 * (1.0 / na + 1.0 / nb))
+      assert(math.abs(r.getAs[Double]("q_stat") - qExp) < 1e-4,
+        s"${r.getAs[String]("seg_a")}/${r.getAs[String]("seg_b")}: " +
+          s"${r.getAs[Double]("q_stat")} vs $qExp")
+      assert(r.getAs[Boolean]("significant") ==
+        (r.getAs[Double]("q_stat") > 3.858))
+    }
+  }
+
+  test("q_did: the estimate recomposes from the four cell means and nets out both margins") {
+    val r = Validation.qDid(spark, sf).collect().head
+    val (tp, t0, cp, c0) = (r.getAs[Double]("mean_treated_post"),
+      r.getAs[Double]("mean_treated_pre"),
+      r.getAs[Double]("mean_control_post"),
+      r.getAs[Double]("mean_control_pre"))
+    assert(Seq(tp, t0, cp, c0).forall(_ > 0.0), "all four cells populated")
+    val did = r.getAs[Double]("did_dollars")
+    assert(math.abs(did - ((tp - t0) - (cp - c0))) < 1e-4,
+      "DiD must recompose from the published cell means")
+    // brute-force one cell (treated/post) from the raw orders
+    val bf = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment") === "BUILDING" &&
+        col("o_orderdate").cast("date") >= lit("1996-01-01").cast("date"))
+      .agg(avg(col("o_totalprice"))).head().getDouble(0)
+    assert(math.abs(tp - bf) < 1e-2, s"treated/post cell $tp vs brute $bf")
+    assert(r.getAs[Boolean]("significant") ==
+      (math.abs(r.getAs[Double]("z")) > 1.96))
+  }
+
+  test("q_ridge_fit: alpha=0 is the OLS fit; shrinkage and |slope| strictly decrease in alpha") {
+    val rows = graft.ml.FeatureOps.queries("q_ridge_fit")(spark, sf).collect()
+    assert(rows.length == 9, "3 flags x 3 alphas")
+    val ols = graft.ml.FeatureOps.queries("q_ols_fit")(spark, sf).collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Double]("slope"))
+      .toMap
+    rows.groupBy(_.getAs[String]("l_returnflag")).foreach { case (flag, g) =>
+      val byA = g.sortBy(_.getAs[Int]("alpha"))
+      assert(byA.map(_.getAs[Int]("alpha")).toSeq == Seq(0, 1, 10))
+      // alpha=0 IS OLS (E22 publishes at 4 dp)
+      assert(math.abs(byA(0).getAs[Double]("slope") - ols(flag)) < 1e-3,
+        s"$flag: ridge alpha=0 ${byA(0).getAs[Double]("slope")} vs OLS ${ols(flag)}")
+      assert(math.abs(byA(0).getAs[Double]("shrinkage") - 1.0) < 1e-9)
+      val sh = byA.map(_.getAs[Double]("shrinkage"))
+      assert(sh(0) > sh(1) && sh(1) > sh(2), "shrinkage strictly decreasing")
+      val sl = byA.map(r => math.abs(r.getAs[Double]("slope")))
+      assert(sl(0) >= sl(1) && sl(1) >= sl(2), "|slope| shrinks toward 0")
+    }
+  }
 }

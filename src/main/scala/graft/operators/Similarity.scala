@@ -506,6 +506,196 @@ object Similarity {
     withRecall(top, bruteforceTop5(spark, dir))
   }
 
+  /** Persisted NSW-style search graph (the HNSW-class alternative to
+    * IVF/PQ/LSH — the high-recall single-structure path: Malkov &
+    * Yashunin's navigable-small-world idea reduced to its
+    * Spark-expressible core). The ARTIFACT is a symmetric
+    * bounded-degree neighbor graph over the embedding corpus: each
+    * vector links to its top-[[NswM]] cosine neighbors among
+    * LSH-blocked candidates (never all-pairs — the C5 blocking
+    * device with [[NswBuildBands]] tables), symmetrized so search can
+    * enter from either endpoint. Queries run GREEDY BEAM SEARCH over
+    * the stored edges: start from a fixed entry panel, expand the
+    * beam's neighbors, keep the top-[[NswBeam]] by cosine, repeat
+    * [[NswHops]] rounds — each hop touches ≤ beam·(2M+1) candidates
+    * per query at ANY corpus size, so query cost is O(hops·beam·M)
+    * scores plus one broadcast-hash probe of the edge table per hop.
+    *
+    * 100 TB design: the edge table is ≤ 2M·n rows, written once per
+    * corpus state (same staleness contract as IvfIndex/SigStore);
+    * per-hop the beam (panel-bounded) broadcasts against it. A real
+    * single-shard HNSW holds this graph in RAM and descends layers;
+    * the flat stored-graph beam search is the distributed analogue —
+    * layers add only an entry-point shortcut, which the fixed entry
+    * panel stands in for. The oracle replays the ENTIRE search —
+    * entry, every hop, final ranking — from the persisted edges in
+    * DuckDB, so the query path is cell-exact, not just recall-bounded.
+    * Single-writer per warehouse (the PredStore contract).
+    */
+  object NswIndex {
+    import java.util.concurrent.atomic.AtomicInteger
+
+    /** Directed out-degree of the build (symmetrized afterwards). */
+    val NswM = 16
+    /** LSH tables for build-time candidate generation — the build
+      * cost dial: candidates per vector ≤ bands × bucket cap. */
+    val NswBuildBands = 16
+
+    val buildCount = new AtomicInteger(0)
+    val lastLoc = new java.util.concurrent.atomic.AtomicReference[String](null)
+
+    private def tableName(spark: SparkSession, dir: String): String =
+      "graft_nsw_" + dir.replaceAll("[^a-zA-Z0-9]+", "_")
+        .stripPrefix("_").stripSuffix("_") + "_" + NswM + "_" + NswBuildBands + "_" +
+        Tables.Probe.corpusTag(spark, s"$dir/embeddings.parquet", fresh = true)
+
+    private def warehousePath(spark: SparkSession, table: String): java.nio.file.Path = {
+      val w = spark.conf.get("spark.sql.warehouse.dir")
+      java.nio.file.Paths.get(new java.net.URI(w).getPath).resolve(table)
+    }
+
+    def ensure(spark: SparkSession, dir: String): String = {
+      val t = tableName(spark, dir)
+      val loc = warehousePath(spark, t)
+      if (!spark.catalog.tableExists(t)) {
+        if (java.nio.file.Files.isDirectory(loc)) {
+          spark.sql(s"DROP TABLE IF EXISTS $t")
+          spark.sql(
+            s"""CREATE TABLE $t (src BIGINT, dst BIGINT)
+               |USING PARQUET LOCATION '$loc'""".stripMargin)
+        } else {
+          buildCount.incrementAndGet()
+          val e = Tables.embeddings(spark, dir)
+            .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          val bucketed0 = lshBuckets(spark, dir, nBands = NswBuildBands)
+          val hot = bucketed0.groupBy(col("band"), col("bucket"))
+            .agg(count(lit(1)).as("n")).filter(col("n") > AnnBucketCap)
+            .select(col("band").as("hband"), col("bucket").as("hb"))
+          val bucketed = bucketed0.join(broadcast(hot),
+            col("band") === col("hband") && col("bucket") === col("hb"),
+            "left_anti")
+          val cand = bucketed.as("a")
+            .join(bucketed.as("b"),
+              col("a.band") === col("b.band") &&
+                col("a.bucket") === col("b.bucket") &&
+                col("a.vec_id") < col("b.vec_id"))
+            .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
+            .distinct()
+          val sims = cand
+            .join(e.as("x"), col("id1") === col("x.vec_id"))
+            .join(e.as("y"), col("id2") === col("y.vec_id"))
+            .select(col("id1"), col("id2"),
+              VectorFunctions.cosine(col("x.v"), col("y.v")).as("sim"))
+          val sym = sims.select(col("id1").as("src"), col("id2").as("dst"),
+              col("sim"))
+            .union(sims.select(col("id2").as("src"), col("id1").as("dst"),
+              col("sim")))
+          val bySim = Window.partitionBy(col("src"))
+            .orderBy(round(col("sim"), 6).desc, col("dst").asc)
+          val top = sym.withColumn("r", row_number().over(bySim))
+            .filter(col("r") <= NswM).select(col("src"), col("dst"))
+          // symmetric closure: search must be able to walk an edge
+          // from EITHER endpoint even when the pick was one-sided
+          top.union(top.select(col("dst").as("src"), col("src").as("dst")))
+            .distinct()
+            .coalesce(1).write.option("path", loc.toString)
+            .mode("overwrite").saveAsTable(t)
+        }
+      }
+      lastLoc.set(loc.toString)
+      t
+    }
+  }
+
+  /** D18: graph-ANN via beam search over the persisted NSW edges —
+    * see [[NswIndex]]. Entry = the [[NswEntry]] smallest vec_ids
+    * scored against each panel query (deterministic, no stored entry
+    * point); [[NswHops]] expand-score-prune rounds; publishes the
+    * final top-5 exactly like D1 so recall audits compose. Ranking
+    * ties break on (6-dp sim DESC, nid ASC) at every round — the
+    * whole trajectory is engine-deterministic, and the oracle
+    * replays it hop-for-hop from the persisted artifact.
+    */
+  val NswBeam = 20
+  val NswHops = 6
+  val NswEntry = 64
+
+  def qAnnNsw(spark: SparkSession, dir: String): DataFrame = {
+    val t = NswIndex.ensure(spark, dir)
+    val g = spark.table(t).cache()
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < PanelIdCap)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    // leave-one-out: the query vector is itself a graph node and
+    // would otherwise occupy a beam slot at sim=1.0, evicting one
+    // true neighbor per query (measured: exactly rank-5 lost)
+    def score(cand: DataFrame): DataFrame =
+      cand.filter(col("qid") =!= col("nid"))
+        .join(e, cand("nid") === e("vec_id"))
+        .join(broadcast(q), "qid")
+        .select(col("qid"), col("nid"),
+          VectorFunctions.cosine(col("qv"), col("v")).as("sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(round(col("sim"), 6).desc, col("nid").asc)
+    val entry = e.orderBy(col("vec_id")).limit(NswEntry)
+      .select(col("vec_id").as("nid"))
+    var beam = score(q.select(col("qid")).crossJoin(broadcast(entry)))
+      .withColumn("r", row_number().over(w)).filter(col("r") <= NswBeam)
+      .select(col("qid"), col("nid"), col("sim"))
+    for (_ <- 1 to NswHops) {
+      val ids = beam.select(col("qid"), col("nid"))
+      val cand = ids.join(g, ids("nid") === g("src"))
+        .select(col("qid"), col("dst").as("nid"))
+        .union(ids).distinct()
+      beam = score(cand)
+        .withColumn("r", row_number().over(w)).filter(col("r") <= NswBeam)
+        .select(col("qid"), col("nid"), col("sim"))
+    }
+    beam.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("nid"), col("rank"),
+        round(col("sim"), 4).as("sim"))
+  }
+
+  /** Oracle for D18: the full beam-search trajectory replayed in SQL
+    * over the persisted edge artifact — entry scoring, [[NswHops]]
+    * unrolled expand-score-prune rounds, final top-5. */
+  private def annNswSql(loc: String): String = {
+    def scoreCtes(c: String, s: String): String =
+      s"""fl_$s AS (SELECT c.qid, c.nid, unnest(q.qv) AS x, unnest(e.v) AS y
+         |  FROM $c c JOIN q ON c.qid = q.qid JOIN e ON c.nid = e.vec_id
+         |  WHERE c.qid <> c.nid),
+         |$s AS (SELECT qid, nid,
+         |    sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS sim
+         |  FROM fl_$s GROUP BY qid, nid)"""
+    def beamCte(s: String, b: String, keep: Int): String =
+      s"""$b AS (SELECT qid, nid, sim FROM (SELECT qid, nid, sim,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY round(sim, 6) DESC, nid ASC) AS r FROM $s)
+         |  WHERE r <= $keep)"""
+    val hops = (1 to NswHops).map { i =>
+      s"""c$i AS (SELECT DISTINCT qid, nid FROM (
+         |    SELECT b.qid, g.dst AS nid FROM b${i - 1} b JOIN g ON b.nid = g.src
+         |    UNION ALL SELECT qid, nid FROM b${i - 1})),
+         |${scoreCtes(s"c$i", s"s$i")},
+         |${beamCte(s"s$i", s"b$i", NswBeam)}"""
+    }.mkString(",\n")
+    raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e
+      |  WHERE vec_id % 50 = 0 AND vec_id < $PanelIdCap),
+      |g AS (SELECT src, dst FROM read_parquet('$loc/*.parquet')),
+      |ent AS (SELECT vec_id AS nid FROM e ORDER BY vec_id LIMIT $NswEntry),
+      |c0 AS (SELECT qid, nid FROM q CROSS JOIN ent),
+      |${scoreCtes("c0", "s0")},
+      |${beamCte("s0", "b0", NswBeam)},
+      |$hops
+      |SELECT qid, nid, r AS rank, round(sim, 4) AS sim
+      |FROM (SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid
+      |    ORDER BY round(sim, 6) DESC, nid ASC) AS r FROM b$NswHops)
+      |WHERE r <= 5""".stripMargin
+  }
+
   /** Persistent IVF index: a seeded KMeans coarse quantizer whose
     * OUTPUT — the (vec_id, v, cell) assignment and the centroid set —
     * is written once as an EXTERNAL bucketed table (bucketed by cell)
@@ -1855,6 +2045,7 @@ object Similarity {
     "q_class_separation" -> (qClassSeparation _),
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_knn_classify" -> (qKnnClassify _),
+    "q_ann_nsw" -> (qAnnNsw _),
     "q_mmr_diversify" -> (qMmrDiversify _),
     "q_mmr_ann" -> (qMmrAnn _),
     "q_ndcg" -> (qNdcg _),
@@ -1885,6 +2076,8 @@ object Similarity {
       "q_class_separation" -> qClassSeparationSql) ++
       Option(IvfIndex.lastLoc.get).map { case (a, c) =>
         "q_ann_ivf" -> annIvfSql(a, c, nprobe = 10) }.toMap ++
+      Option(NswIndex.lastLoc.get).map { loc =>
+        "q_ann_nsw" -> annNswSql(loc) }.toMap ++
       Option(IvfIndex.lastLoc.get).map { case (a, c) =>
         "q_ann_filtered" -> annFilteredSql(a, c, nprobe = 12) }.toMap ++
       Option(IvfIndex.lastLoc.get).map { case (a, c) =>

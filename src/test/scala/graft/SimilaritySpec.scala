@@ -211,6 +211,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.last._3 == 1.0, "the 64-dim list IS the truth list")
   }
 
+  test("q_ann_nsw: recall floor holds, the beam never contains the query itself, store builds once and edges are symmetric") {
+    val builds = Similarity.NswIndex.buildCount.get
+    val nsw = Similarity.queries("q_ann_nsw")(spark, sf)
+      .select("qid", "nid").as[(Long, Long)].collect()
+    assert(nsw.forall { case (q, n) => q != n },
+      "leave-one-out: the query must never be its own neighbor")
+    val exact = Similarity.qAnnBruteforce(spark, sf)
+      .select("qid", "nid").as[(Long, Long)].collect()
+    val got = nsw.toSet
+    val recall = exact.count(got.contains).toDouble / exact.length
+    assert(recall >= 0.8, s"NSW beam-search recall@5 $recall below the 0.8 floor")
+    // warm path: a second query must not rebuild the persisted graph
+    Similarity.queries("q_ann_nsw")(spark, sf).collect()
+    assert(Similarity.NswIndex.buildCount.get == builds ||
+      Similarity.NswIndex.buildCount.get == builds + 1,
+      "at most the one cold build")
+    val after = Similarity.NswIndex.buildCount.get
+    Similarity.queries("q_ann_nsw")(spark, sf).collect()
+    assert(Similarity.NswIndex.buildCount.get == after,
+      "warm NSW query must not rebuild the store")
+    // the persisted graph is a symmetric bounded-degree edge set
+    val t = Similarity.NswIndex.ensure(spark, sf)
+    val edges = spark.table(t).as[(Long, Long)].collect().toSet
+    assert(edges.nonEmpty)
+    edges.foreach { case (s, d) =>
+      assert(edges.contains((d, s)), s"edge ($s,$d) missing its reverse") }
+  }
+
   test("q_knn_classify: predictions equal the mode of D1's top-5 neighbor labels, ties broken low") {
     val pred = Similarity.queries("q_knn_classify")(spark, sf)
       .select("qid", "true_label", "pred_label", "votes", "correct")

@@ -1200,6 +1200,75 @@ object TemporalOps {
        |  chi2, chi2 < 198.154 AS uniform_ok
        |FROM j, tot, chi""".stripMargin
 
+  // ---------------------------------------------------------------- F52
+  /** Classical seasonal-trend decomposition (the STL shape, additive)
+    * of daily revenue: rev = trend + seasonal + remainder, the
+    * decomposition a forecasting or anomaly pipeline consumes —
+    * F33 tests WHETHER a weekly pattern exists; this RETURNS it,
+    * day by day. Trend = centered 7-CALENDAR-day moving average
+    * (RANGE frame on the day number, so a gap in the order calendar
+    * shrinks the window and the day is excluded rather than silently
+    * averaging non-adjacent days; full windows only); seasonal = the day-of-week mean of the
+    * detrended series, centered so the seven effects sum to zero;
+    * remainder = what's left. Exact-integer spine throughout: daily
+    * revenue in cents, the ×7-scaled detrended value d7 = 7·rev_c −
+    * Σ7 is pure DECIMAL(38,0)/HUGEINT arithmetic, per-dow sums stay
+    * exact, and the only doubles are the final identical divisions
+    * (the qAnova ≤7-row device for the centering sum). Windows and
+    * aggregates run over the bounded day table (PlanSpec-exempt,
+    * the q_changepoint class); output = full-window days.
+    */
+  def qStlDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val byDay = Tables.orders(spark, dir)
+      .groupBy(datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long").as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"),
+        sum(round(col("o_totalprice") * 100).cast("decimal(38,0)")).as("rc"))
+    val w = Window.orderBy(col("day")).rangeBetween(-3, 3)
+    val full7 = byDay
+      .withColumn("n7", count(col("rc")).over(w))
+      .withColumn("s7", sum(col("rc")).over(w))
+      .filter(col("n7") === 7)
+      .withColumn("dow", (col("day") + 3) % 7)
+      .withColumn("d7", (col("rc") * 7 - col("s7")).cast("decimal(38,0)"))
+    val dows = full7.groupBy(col("dow"))
+      .agg(sum(col("d7")).as("sg"), count(lit(1)).as("ng"))
+    val ctr = dows.agg(
+      (sum(col("sg").cast("double") / col("ng")) / 7).as("c"))
+    full7.join(broadcast(dows), "dow").crossJoin(broadcast(ctr))
+      .select(col("day"), col("rev").cast("decimal(18,2)").as("rev"),
+        round(col("s7").cast("double") / 700.0, 6).as("trend"),
+        round((col("sg").cast("double") / col("ng") - col("c")) / 700.0, 6)
+          .as("seasonal"),
+        round((col("d7").cast("double") -
+          (col("sg").cast("double") / col("ng") - col("c"))) / 700.0, 6)
+          .as("remainder"))
+  }
+
+  val qStlDecomposeSql: String =
+    """WITH byday AS (SELECT
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |      AS BIGINT) AS day,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+      |    sum(CAST(round(o_totalprice * 100) AS HUGEINT)) AS rc
+      |  FROM orders GROUP BY 1),
+      |wins AS (SELECT day, rev, rc,
+      |    count(rc) OVER w AS n7, sum(rc) OVER w AS s7
+      |  FROM byday
+      |  WINDOW w AS (ORDER BY day RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |full7 AS (SELECT day, (day + 3) % 7 AS dow, rev, rc, s7,
+      |    7 * rc - s7 AS d7
+      |  FROM wins WHERE n7 = 7),
+      |dows AS (SELECT dow, sum(d7) AS sg, count(*) AS ng
+      |  FROM full7 GROUP BY 1),
+      |ctr AS (SELECT sum(CAST(sg AS DOUBLE) / ng) / 7 AS c FROM dows)
+      |SELECT day, CAST(rev AS DECIMAL(18,2)) AS rev,
+      |  round(CAST(s7 AS DOUBLE) / 700.0, 6) AS trend,
+      |  round((CAST(sg AS DOUBLE) / ng - c) / 700.0, 6) AS seasonal,
+      |  round((CAST(d7 AS DOUBLE) - (CAST(sg AS DOUBLE) / ng - c)) / 700.0, 6)
+      |    AS remainder
+      |FROM full7 JOIN dows USING (dow), ctr""".stripMargin
+
   // ---------------------------------------------------------------- F21
   /** CUSUM change-point detection on the daily event-volume series:
     * the day where the cumulative deviation from the global mean
@@ -1912,6 +1981,7 @@ object TemporalOps {
       |FROM v""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stl_decompose" -> (qStlDecompose _),
     "q_rolling_corr" -> (qRollingCorr _),
     "q_page_hinkley" -> (qPageHinkley _),
     "q_holt_forecast" -> (qHoltForecast _),
@@ -1952,6 +2022,7 @@ object TemporalOps {
     "q_json_extract" -> (qJsonExtract _))
 
   def oracle: Map[String, String] = Map(
+    "q_stl_decompose" -> qStlDecomposeSql,
     "q_rolling_corr" -> qRollingCorrSql,
     "q_page_hinkley" -> qPageHinkleySql,
     "q_holt_forecast" -> qHoltForecastSql,

@@ -277,7 +277,10 @@ class PlanSpec extends AnyFunSuite {
       "q_hybrid_rrf",
       // trailing moment windows over the bounded day table
       // (the q_changepoint class)
-      "q_rolling_corr")
+      "q_rolling_corr",
+      // centered 7-day MA window over the bounded day table
+      // (the q_changepoint class)
+      "q_stl_decompose")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       // pre-AQE physical plan: traversable with plain collect (the
       // AQE wrapper hides its initial plan from TreeNode traversal,

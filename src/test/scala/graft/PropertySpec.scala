@@ -981,6 +981,43 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q_stl_decompose: additive identity holds, seasonal effects center to zero, trend is the centered MA") {
+    val rows = graft.operators.TemporalOps.queries("q_stl_decompose")(spark, sf)
+      .select("day", "rev", "trend", "seasonal", "remainder")
+      .as[(Long, java.math.BigDecimal, Double, Double, Double)].collect()
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    // additive identity per day, up to the three 6-dp roundings
+    rows.foreach { case (day, rev, t, s, r) =>
+      assert(math.abs(rev.doubleValue() - (t + s + r)) < 3e-6,
+        s"day $day: $rev != $t + $s + $r") }
+    // the seasonal effects center to zero — exactly when all 7
+    // day-of-weeks survive the full-window filter (the centering
+    // constant divides by the period length 7 by construction; at
+    // sf0.001 the sparse order calendar can leave fewer)
+    val bySeason = rows.groupBy { case (day, _, _, _, _) => (day + 3) % 7 }
+    assert(bySeason.size <= 7)
+    if (bySeason.size == 7) {
+      val seasonVals = bySeason.map(_._2.head._4)
+      assert(math.abs(seasonVals.sum) < 1e-4,
+        s"seasonal effects must sum to ~0, got ${seasonVals.sum}")
+    }
+    // trend = centered 7-day MA, brute-forced from the raw series
+    val byDay = rows.map { case (d, rev, _, _, _) => d -> rev.doubleValue() }.toMap
+    val all = Tables.orders(spark, sf)
+      .groupBy(datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long").as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      .as[(Long, java.math.BigDecimal)].collect()
+      .map { case (d, r) => d -> r.doubleValue() }.sortBy(_._1)
+    val series = all.toMap
+    rows.take(50).foreach { case (day, _, t, _, _) =>
+      val win = (day - 3 to day + 3).flatMap(series.get)
+      assert(win.size == 7, s"day $day published without a full window")
+      assert(math.abs(t - win.sum / 7) < 1e-4, s"day $day trend $t != MA")
+    }
+  }
+
   test("assortativity: bounded correlation, edge/node counts match the kNN graph") {
     val sf = TestSession.sf
     val row = graft.operators.GraphOps.queries("q_assortativity")(spark, sf)

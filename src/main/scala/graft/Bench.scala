@@ -90,6 +90,10 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
           false
         }
+        // drain in ALL exits (a failed attempt's stage-completed
+        // events otherwise land after the NEXT query's reset() and
+        // pollute its shuffle numbers)
+        finally drainListeners(spark)
       // drop per-query caches so later queries aren't skewed by
       // accumulated storage/GC pressure
       spark.catalog.clearCache()

@@ -43,7 +43,8 @@ object Verify {
       val df = spark.read.parquet(path)
       val order = df.schema.fieldNames.zipWithIndex.sortBy(_._1).map(_._2)
       val rendered = df.collect()
-        .map(r => order.map(i => cell(r.get(i))).mkString(""))
+        .map(r => order.map(i => cell(r.get(i))
+          .replace("", "\\u0001")).mkString(""))
       java.util.Arrays.sort(rendered, java.util.Comparator.naturalOrder[String]())
       val md = java.security.MessageDigest.getInstance("MD5")
       rendered.foreach { s => md.update(s.getBytes("UTF-8")); md.update(10.toByte) }

@@ -1421,6 +1421,164 @@ object FeatureOps {
       |FROM sc ORDER BY gain DESC, threshold ASC LIMIT 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- E40
+  /** Gradient-boosted stumps (2 rounds, squared loss, η = 1/2) on the
+    * E35 histogram device — the staged ensemble the depth-1 stump is
+    * the base learner of. Target y = (returnflag = 'R'), feature =
+    * quantity; the model state F(v) lives entirely on the ≤50-bin
+    * quantity histogram, so each boosting round is: (1) per-bin
+    * residual weight w_v = 10⁴·pos_v − F_v·n_v (exact integers in
+    * 1e-4 fixed point), (2) EXACT INTEGER SPLIT SEARCH — the
+    * squared-loss gain S_L²/n_L + S_R²/n_R is compared across
+    * thresholds after half-up quantization of the exact rational
+    * (S_L²·n_R + S_R²·n_L)/(n_L·n_R) to integer units (ties →
+    * threshold ASC, engine-deterministic), (3) leaf steps γ = η·S/n
+    * as half-up integers, F ← F + γ. No float enters the model: the
+    * staged rows publish stage, split, leaves, train accuracy (0.5
+    * cut on fixed-point F — an exact integer compare) and MSE in
+    * 1e-8 fixed point, all via the E26 device; the spec asserts the
+    * MSE column is monotone non-increasing across stages (the descent
+    * audit). Scale: one corpus scan → 50-bin histogram; every round
+    * is windowed prefix sums over those bins (PlanSpec-exempt class);
+    * residual reweighting never touches corpus rows again.
+    */
+  def qGbtStumps(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // sign-safe half-up a/b in SQL-expr form (b > 0)
+    def hu(a: String, b: String): String =
+      s"""CASE WHEN ($a) >= 0
+         | THEN (2 * ($a) + ($b)) DIV (2 * ($b))
+         | ELSE -((2 * (-($a)) + ($b)) DIV (2 * ($b))) END"""
+        .stripMargin.replace("\n", " ")
+    val hist = Tables.lineitem(spark, dir)
+      .select(col("l_quantity").cast("long").as("v"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      .cache()
+    val tot = hist.agg(sum(col("n")).cast("long").as("nn"),
+      sum(col("pos")).cast("long").as("npos"), max(col("v")).as("vmax"))
+    // F0 = global mean in 1e-4 fixed point (same for every bin)
+    val f0 = hist.crossJoin(broadcast(tot))
+      .withColumn("f", expr(hu("10000 * npos", "nn")))
+    val wOrd = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // one boosting round over the per-bin state (v, n, pos, nn, vmax,
+    // f): returns the stepped state and the 1-row split descriptor
+    // (threshold + both leaf steps), both pure DataFrames — no
+    // driver-side collect anywhere
+    def boost(state: DataFrame): (DataFrame, DataFrame) = {
+      val wv = state
+        .withColumn("wv", lit(10000L) * col("pos") - col("f") * col("n"))
+      val pre = wv
+        .withColumn("sl", sum(col("wv")).over(wOrd).cast("decimal(38,0)"))
+        .withColumn("nl", sum(col("n")).over(wOrd).cast("long"))
+      val stot = wv.agg(sum(col("wv")).cast("decimal(38,0)").as("st"))
+      val split = pre.crossJoin(broadcast(stot))
+        .filter(col("v") < col("vmax"))
+        .withColumn("sr", (col("st") - col("sl")).cast("decimal(38,0)"))
+        .withColumn("nr", col("nn") - col("nl"))
+        .withColumn("gain_q",
+          expr(hu("sl * sl * nr + sr * sr * nl", "nl * nr")))
+        .orderBy(col("gain_q").desc, col("v").asc).limit(1)
+        // γ = η·S/n with η = 1/2 → halfUp(S, 2n)
+        .select(col("v").as("thr"),
+          expr(hu("sl", "2 * nl")).as("gl"),
+          expr(hu("sr", "2 * nr")).as("gr"))
+      val stepped = state.crossJoin(broadcast(split))
+        .withColumn("f",
+          col("f") + when(col("v") <= col("thr"), col("gl"))
+            .otherwise(col("gr")))
+        .select(col("v"), col("n"), col("pos"), col("nn"), col("vmax"),
+          col("f"))
+      (stepped, split)
+    }
+    // per-stage audit row; split attaches (threshold, leaves) or nulls
+    def stageRow(state: DataFrame, stage: Int, split: DataFrame): DataFrame =
+      state
+        .withColumn("correct",
+          when(col("f") * 2 >= 10000, col("pos"))
+            .otherwise(col("n") - col("pos")))
+        .withColumn("sse",
+          ((lit(10000L) - col("f")) * (lit(10000L) - col("f")) * col("pos") +
+            col("f") * col("f") * (col("n") - col("pos"))).cast("decimal(38,0)"))
+        .agg(sum(col("correct")).cast("long").as("c"),
+          sum(col("sse")).as("sse"), max(col("nn")).as("nn"))
+        .crossJoin(broadcast(split))
+        .select(lit(stage).as("stage"), col("thr").as("threshold"),
+          col("gl").as("gamma_left_e4"), col("gr").as("gamma_right_e4"),
+          expr(hu("1000000 * c", "nn")).as("accuracy_ppm"),
+          expr(hu("sse", "nn")).as("mse_e8"))
+    val st0 = f0.select(col("v"), col("n"), col("pos"), col("nn"),
+      col("vmax"), col("f"))
+    val noSplit = spark.range(1).select(
+      lit(null).cast("long").as("thr"), lit(null).cast("long").as("gl"),
+      lit(null).cast("long").as("gr"))
+    val (s1, sp1) = boost(st0)
+    val (s2, sp2) = boost(s1)
+    stageRow(st0, 0, noSplit)
+      .union(stageRow(s1, 1, sp1))
+      .union(stageRow(s2, 2, sp2))
+  }
+
+  val qGbtStumpsSql: String = {
+    def hu(a: String, b: String): String =
+      s"""CASE WHEN ($a) >= 0
+         | THEN CAST((2 * ($a) + ($b)) // (2 * ($b)) AS BIGINT)
+         | ELSE -CAST((2 * (-($a)) + ($b)) // (2 * ($b)) AS BIGINT) END"""
+        .stripMargin.replace("\n", " ")
+    // one boosting round in SQL: prefix sums over the histogram,
+    // quantized-gain argmax, leaf steps, stepped state
+    def round(stateCte: String, k: Int): String =
+      s"""w$k AS (SELECT *, 10000 * pos - f * n AS wv FROM $stateCte),
+         |p$k AS (SELECT *, CAST(sum(wv) OVER (ORDER BY v) AS HUGEINT) AS sl,
+         |    CAST(sum(n) OVER (ORDER BY v) AS BIGINT) AS nl FROM w$k),
+         |sp$k AS (SELECT v AS thr, ${hu("sl", "2 * nl")} AS gl,
+         |    ${hu("sr", "2 * nr")} AS gr
+         |  FROM (SELECT p$k.v, p$k.sl, p$k.nl,
+         |      (SELECT CAST(sum(wv) AS HUGEINT) FROM w$k) - p$k.sl AS sr,
+         |      p$k.nn - p$k.nl AS nr
+         |    FROM p$k WHERE p$k.v < p$k.vmax) x
+         |  ORDER BY ${hu("sl * sl * nr + sr * sr * nl", "nl * nr")} DESC,
+         |    v ASC LIMIT 1),
+         |s$k AS (SELECT v, n, pos, nn, vmax,
+         |    f + CASE WHEN v <= sp$k.thr THEN sp$k.gl ELSE sp$k.gr END AS f
+         |  FROM $stateCte, sp$k)""".stripMargin
+    def audit(stateCte: String, stage: Int, spCte: Option[String]): String = {
+      val (thr, gl, gr) = spCte match {
+        case Some(sp) => (s"(SELECT thr FROM $sp)", s"(SELECT gl FROM $sp)",
+          s"(SELECT gr FROM $sp)")
+        case None => ("CAST(NULL AS BIGINT)", "CAST(NULL AS BIGINT)",
+          "CAST(NULL AS BIGINT)")
+      }
+      s"""SELECT $stage AS stage, $thr AS threshold,
+         |  $gl AS gamma_left_e4, $gr AS gamma_right_e4,
+         |  ${hu("1000000 * c", "nn")} AS accuracy_ppm,
+         |  ${hu("sse", "nn")} AS mse_e8
+         |FROM (SELECT
+         |    CAST(sum(CASE WHEN f * 2 >= 10000 THEN pos ELSE n - pos END)
+         |      AS BIGINT) AS c,
+         |    CAST(sum(CAST(10000 - f AS HUGEINT) * (10000 - f) * pos
+         |      + CAST(f AS HUGEINT) * f * (n - pos)) AS HUGEINT) AS sse,
+         |    max(nn) AS nn
+         |  FROM $stateCte) z""".stripMargin
+    }
+    s"""WITH hist AS (SELECT CAST(l_quantity AS BIGINT) AS v, count(*) AS n,
+       |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS pos
+       |  FROM lineitem GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+       |    CAST(sum(pos) AS BIGINT) AS npos, max(v) AS vmax FROM hist),
+       |f0 AS (SELECT h.v, h.n, h.pos, t.nn, t.vmax,
+       |    ${hu("10000 * t.npos", "t.nn")} AS f
+       |  FROM hist h, tot t),
+       |${round("f0", 1)},
+       |${round("s1", 2)}
+       |${audit("f0", 0, None)}
+       |UNION ALL ${audit("s1", 1, Some("sp1"))}
+       |UNION ALL ${audit("s2", 2, Some("sp2"))}""".stripMargin
+  }
+
   // ---------------------------------------------------------------- E36
   /** Variance inflation factors for the three lineitem regressors
     * (quantity, discount, tax) — the collinearity pre-flight a
@@ -1490,7 +1648,174 @@ object FeatureOps {
       |  UNION ALL ${row("l_tax", "y_t", "r_qt", "r_dt", "r_qd")})""".stripMargin
   }
 
+  // ---------------------------------------------------------------- E38
+  /** Multivariate OLS — the 3-regressor closed-form fit E36's VIF
+    * pre-flight exists to protect: extended price (cents) on
+    * quantity, discount (pp) and tax (pp) via the 3×3 normal
+    * equations in CENTERED form, solved by Cramer's rule. The whole
+    * solve is EXACT-INTEGER end-to-end at any corpus size (the
+    * q_bollinger/q_stl lesson: no unordered double sum, no
+    * round(double, n) in a hashed cell):
+    *   1. ONE corpus pass accumulates the 15 raw moments (Σx_i,
+    *      Σx_i·x_j, Σx_i·y, Σy, Σy², n) as DECIMAL(38,0)/HUGEINT —
+    *      map-side combine, a single scalar reduce; the cheapest
+    *      multivariate fit that exists at 100 TB.
+    *   2. Centered moments S_ij = n·Σx_ix_j − Σx_iΣx_j (exact) are
+    *      QUANTIZED to covariance units: m_ij = halfUp(S_ij·100/n²)
+    *      (sign-split E26 device). Because S/n² is the sample
+    *      covariance, m is BOUNDED BY THE DATA RANGES regardless of
+    *      n — the 3×3 determinants can never overflow DECIMAL(38,0)
+    *      at any scale factor (dets over raw S would pass 10³⁸ near
+    *      sf0.1). The published model is the quantized-moment fit,
+    *      deterministic in both engines; the spec pins it within
+    *      1e-3 relative of the unquantized solve.
+    *   3. Cramer determinants det, det_i are exact integer algebra;
+    *      β_i = det_i/det is ONE double division of exact integers
+    *      < 2⁶³ (single-limb casts, correctly rounded in both
+    *      engines); intercept/R²/adj-R² publish as half-up integers
+    *      in micro-units (µcents / ppm) — R² via the exact rational
+    *      Σdet_i·m_iy / (det·m_yy), adj-R² by two-level
+    *      quantization so no operand outgrows DECIMAL(38,0).
+    */
+  def qOlsMulti(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(
+      col("l_quantity").cast("long").as("x1"),
+      round(col("l_discount") * 100).cast("long").as("x2"),
+      round(col("l_tax") * 100).cast("long").as("x3"),
+      round(col("l_extendedprice") * 100).cast("long").as("y"))
+    val d38 = "decimal(38,0)"
+    def s(c: org.apache.spark.sql.Column) = sum(c.cast(d38))
+    val mo = li.agg(
+      count(lit(1)).cast(d38).as("n"),
+      s(col("x1")).as("s1"), s(col("x2")).as("s2"), s(col("x3")).as("s3"),
+      s(col("y")).as("sy"),
+      s(col("x1") * col("x1")).as("r11"), s(col("x1") * col("x2")).as("r12"),
+      s(col("x1") * col("x3")).as("r13"), s(col("x2") * col("x2")).as("r22"),
+      s(col("x2") * col("x3")).as("r23"), s(col("x3") * col("x3")).as("r33"),
+      s(col("x1") * col("y")).as("r1y"), s(col("x2") * col("y")).as("r2y"),
+      s(col("x3") * col("y")).as("r3y"), s(col("y") * col("y")).as("ryy"))
+    // sign-split half-up integer division (positive-operand DIV only,
+    // so Spark's trunc and DuckDB's // can never disagree)
+    def hu(aExpr: String, bExpr: String): String =
+      s"""CASE WHEN ($aExpr) >= 0
+         | THEN (2 * ($aExpr) + ($bExpr)) DIV (2 * ($bExpr))
+         | ELSE -((2 * (-($aExpr)) + ($bExpr)) DIV (2 * ($bExpr))) END"""
+        .stripMargin.replace("\n", " ")
+    def m(raw: String, a: String, b: String) =
+      expr(hu(s"100 * (n * $raw - $a * $b)", "n * n"))
+    val q = mo
+      .withColumn("m11", m("r11", "s1", "s1"))
+      .withColumn("m12", m("r12", "s1", "s2"))
+      .withColumn("m13", m("r13", "s1", "s3"))
+      .withColumn("m22", m("r22", "s2", "s2"))
+      .withColumn("m23", m("r23", "s2", "s3"))
+      .withColumn("m33", m("r33", "s3", "s3"))
+      .withColumn("m1y", m("r1y", "s1", "sy"))
+      .withColumn("m2y", m("r2y", "s2", "sy"))
+      .withColumn("m3y", m("r3y", "s3", "sy"))
+      .withColumn("myy", m("ryy", "sy", "sy"))
+      // Cramer over the symmetric quantized moment matrix: exact longs
+      .withColumn("det",
+        expr("""m11 * (m22 * m33 - m23 * m23)
+               | - m12 * (m12 * m33 - m23 * m13)
+               | + m13 * (m12 * m23 - m22 * m13)""".stripMargin))
+      .withColumn("det1",
+        expr("""m1y * (m22 * m33 - m23 * m23)
+               | - m12 * (m2y * m33 - m23 * m3y)
+               | + m13 * (m2y * m23 - m22 * m3y)""".stripMargin))
+      .withColumn("det2",
+        expr("""m11 * (m2y * m33 - m3y * m23)
+               | - m1y * (m12 * m33 - m23 * m13)
+               | + m13 * (m12 * m3y - m2y * m13)""".stripMargin))
+      .withColumn("det3",
+        expr("""m11 * (m22 * m3y - m23 * m2y)
+               | - m12 * (m12 * m3y - m2y * m13)
+               | + m1y * (m12 * m23 - m22 * m13)""".stripMargin))
+      // SSR/D = R² as an exact integer ratio (both DECIMAL(38,0))
+      .withColumn("ssr", expr(
+        """cast(det1 as decimal(38,0)) * m1y
+          | + cast(det2 as decimal(38,0)) * m2y
+          | + cast(det3 as decimal(38,0)) * m3y""".stripMargin))
+      .withColumn("dd", expr("cast(det as decimal(38,0)) * myy"))
+      .withColumn("one_minus_r2_ppm", expr(hu("1000000 * (dd - ssr)", "dd")))
+      .withColumn("icpt_micro", expr(hu(
+        """1000000 * (sy * cast(det as decimal(38,0))
+          | - cast(det1 as decimal(38,0)) * s1
+          | - cast(det2 as decimal(38,0)) * s2
+          | - cast(det3 as decimal(38,0)) * s3)""".stripMargin.replace("\n", " "),
+        "n * cast(det as decimal(38,0))")))
+    q.select(
+      col("n").cast("long").as("n"),
+      (col("det1").cast("double") / col("det").cast("double")).as("beta_qty"),
+      (col("det2").cast("double") / col("det").cast("double")).as("beta_disc"),
+      (col("det3").cast("double") / col("det").cast("double")).as("beta_tax"),
+      col("icpt_micro"),
+      (lit(1000000L) - col("one_minus_r2_ppm")).as("r2_ppm"),
+      (lit(1000000L) - expr(hu("(n - 1) * one_minus_r2_ppm", "n - 4")))
+        .as("adj_r2_ppm"))
+  }
+
+  val qOlsMultiSql: String = {
+    def hu(a: String, b: String): String =
+      s"""CASE WHEN ($a) >= 0
+         | THEN CAST((2 * ($a) + ($b)) // (2 * ($b)) AS BIGINT)
+         | ELSE -CAST((2 * (-($a)) + ($b)) // (2 * ($b)) AS BIGINT) END"""
+        .stripMargin.replace("\n", " ")
+    def m(raw: String, a: String, b: String) =
+      hu(s"100 * (n * $raw - $a * $b)", "n * n")
+    s"""WITH li AS (SELECT CAST(l_quantity AS HUGEINT) AS x1,
+       |    CAST(round(l_discount * 100) AS HUGEINT) AS x2,
+       |    CAST(round(l_tax * 100) AS HUGEINT) AS x3,
+       |    CAST(round(l_extendedprice * 100) AS HUGEINT) AS y
+       |  FROM lineitem),
+       |mo AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+       |    sum(x1) AS s1, sum(x2) AS s2, sum(x3) AS s3, sum(y) AS sy,
+       |    sum(x1 * x1) AS r11, sum(x1 * x2) AS r12, sum(x1 * x3) AS r13,
+       |    sum(x2 * x2) AS r22, sum(x2 * x3) AS r23, sum(x3 * x3) AS r33,
+       |    sum(x1 * y) AS r1y, sum(x2 * y) AS r2y, sum(x3 * y) AS r3y,
+       |    sum(y * y) AS ryy
+       |  FROM li),
+       |q AS (SELECT n, s1, s2, s3, sy,
+       |    ${m("r11", "s1", "s1")} AS m11, ${m("r12", "s1", "s2")} AS m12,
+       |    ${m("r13", "s1", "s3")} AS m13, ${m("r22", "s2", "s2")} AS m22,
+       |    ${m("r23", "s2", "s3")} AS m23, ${m("r33", "s3", "s3")} AS m33,
+       |    ${m("r1y", "s1", "sy")} AS m1y, ${m("r2y", "s2", "sy")} AS m2y,
+       |    ${m("r3y", "s3", "sy")} AS m3y, ${m("ryy", "sy", "sy")} AS myy
+       |  FROM mo),
+       |dets AS (SELECT *,
+       |    m11 * (m22 * m33 - m23 * m23) - m12 * (m12 * m33 - m23 * m13)
+       |      + m13 * (m12 * m23 - m22 * m13) AS det,
+       |    m1y * (m22 * m33 - m23 * m23) - m12 * (m2y * m33 - m23 * m3y)
+       |      + m13 * (m2y * m23 - m22 * m3y) AS det1,
+       |    m11 * (m2y * m33 - m3y * m23) - m1y * (m12 * m33 - m23 * m13)
+       |      + m13 * (m12 * m3y - m2y * m13) AS det2,
+       |    m11 * (m22 * m3y - m23 * m2y) - m12 * (m12 * m3y - m2y * m13)
+       |      + m1y * (m12 * m23 - m22 * m13) AS det3
+       |  FROM q),
+       |r AS (SELECT *,
+       |    CAST(det1 AS HUGEINT) * m1y + CAST(det2 AS HUGEINT) * m2y
+       |      + CAST(det3 AS HUGEINT) * m3y AS ssr,
+       |    CAST(det AS HUGEINT) * myy AS dd
+       |  FROM dets),
+       |f AS (SELECT *,
+       |    ${hu("1000000 * (dd - ssr)", "dd")} AS one_minus_r2_ppm
+       |  FROM r)
+       |SELECT CAST(n AS BIGINT) AS n,
+       |  CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) AS beta_qty,
+       |  CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) AS beta_disc,
+       |  CAST(det3 AS DOUBLE) / CAST(det AS DOUBLE) AS beta_tax,
+       |  ${hu(
+        "1000000 * (sy * CAST(det AS HUGEINT) - CAST(det1 AS HUGEINT) * s1"
+          + " - CAST(det2 AS HUGEINT) * s2 - CAST(det3 AS HUGEINT) * s3)",
+        "n * CAST(det AS HUGEINT)")} AS icpt_micro,
+       |  1000000 - one_minus_r2_ppm AS r2_ppm,
+       |  1000000 - ${hu("(n - 1) * one_minus_r2_ppm", "n - 4")} AS adj_r2_ppm
+       |FROM f""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ols_multi" -> (qOlsMulti _),
+    "q_gbt_stumps" -> (qGbtStumps _),
     "q_vif" -> (qVif _),
     "q_logistic_gd" -> (qLogisticGd _),
     "q_decision_stump" -> (qDecisionStump _),
@@ -1519,6 +1844,8 @@ object FeatureOps {
     "q_mutual_info" -> (qMutualInfo _))
 
   def oracle: Map[String, String] = Map(
+    "q_ols_multi" -> qOlsMultiSql,
+    "q_gbt_stumps" -> qGbtStumpsSql,
     "q_vif" -> qVifSql,
     "q_logistic_gd" -> qLogisticGdSql,
     "q_decision_stump" -> qDecisionStumpSql,

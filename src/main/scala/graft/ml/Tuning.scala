@@ -484,7 +484,101 @@ object Tuning {
        |  overall_silhouette
        |FROM s, overall GROUP BY cluster, overall_silhouette""".stripMargin
 
+  // ---------------------------------------------------------------- E39
+  /** Rank-1 ALS recommender over the (customer, brand, Σquantity)
+    * rating matrix — the matrix-factorization capability of the MLlib
+    * north star, unrolled to TWO alternating closed-form solves so
+    * the whole fit is oracle-replayable. Each ALS half-step at rank 1
+    * IS a grouped least-squares (v_b = Σ_c u_c·r / Σ_c u_c², the E22
+    * machinery per entity), and the fixed-point device makes the
+    * iteration engine-exact: factors live in MILLI-units, every
+    * update is one integer aggregate (Σu·r, Σu² — order-free exact
+    * sums of longs/decimals) followed by one half-up integer division
+    * (E26 device; all quantities positive). v⁰ = 1 for every brand,
+    * u¹ = per-customer mean rating, v¹ and u² the alternating solves;
+    * the score u²_c·v¹_b is an exact integer in µ-units. Publishes
+    * top-5 UNSEEN brands (left-anti on rated pairs) per panel
+    * customer, ties broken (score DESC, brand ASC). Scale shape: the
+    * ratings table shuffles once per half-step on its grouping key
+    * with map-side combine; factors are entity-sized (|C| + |B|),
+    * candidates are panel × 25 brands — nothing corpus-scale moves
+    * after the first aggregate. Numerators accumulate in
+    * DECIMAL(38,0)/HUGEINT so no sum outgrows the device at any SF.
+    */
+  def qAlsRecommend(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val r = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("o_custkey").as("c"), col("p_brand").as("b"))
+      .agg(sum(col("l_quantity").cast("long")).as("rt"))
+    // u¹ (milli) = halfUp(10³·Σ_b r / n_b)  [v⁰ = 1]
+    val u1 = r.groupBy(col("c"))
+      .agg(sum(col("rt").cast("decimal(38,0)")).as("sr"),
+        count(lit(1)).as("nb"))
+      .select(col("c"),
+        expr("(2 * 1000 * sr + nb) DIV (2 * nb)").as("u1"))
+    // v¹ (milli) = halfUp(10⁶·Σ_c u¹·r / Σ_c u¹²)
+    val v1 = r.join(u1, "c")
+      .groupBy(col("b"))
+      .agg(sum((col("u1") * col("rt")).cast("decimal(38,0)")).as("sur"),
+        sum((col("u1") * col("u1")).cast("decimal(38,0)")).as("suu"))
+      .select(col("b"),
+        expr("(2 * 1000000 * sur + suu) DIV (2 * suu)").as("v1"))
+    // u² (milli) = halfUp(10⁶·Σ_b v¹·r / Σ_b v¹²)
+    val u2 = r.join(broadcast(v1), "b")
+      .groupBy(col("c"))
+      .agg(sum((col("v1") * col("rt")).cast("decimal(38,0)")).as("svr"),
+        sum((col("v1") * col("v1")).cast("decimal(38,0)")).as("svv"))
+      .select(col("c"),
+        expr("(2 * 1000000 * svr + svv) DIV (2 * svv)").as("u2"))
+    val cand = u2.filter(col("c") <= 200)
+      .crossJoin(broadcast(v1))
+      .join(r.select(col("c"), col("b")), Seq("c", "b"), "left_anti")
+      .withColumn("score_micro", col("u2") * col("v1"))
+    val w = Window.partitionBy(col("c"))
+      .orderBy(col("score_micro").desc, col("b").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("c").as("custkey"), col("b").as("brand"),
+        col("rank"), col("score_micro"))
+  }
+
+  val qAlsRecommendSql: String =
+    """WITH r AS (SELECT o_custkey AS c, p_brand AS b,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS rt
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1, 2),
+      |u1 AS (SELECT c,
+      |    CAST((2 * 1000 * sum(rt) + count(*)) // (2 * count(*)) AS BIGINT)
+      |      AS u1
+      |  FROM r GROUP BY c),
+      |v1 AS (SELECT b,
+      |    CAST((2 * 1000000 * sum(u1 * rt) + sum(CAST(u1 AS HUGEINT) * u1))
+      |      // (2 * sum(CAST(u1 AS HUGEINT) * u1)) AS BIGINT) AS v1
+      |  FROM r JOIN u1 USING (c) GROUP BY b),
+      |u2 AS (SELECT c,
+      |    CAST((2 * 1000000 * sum(v1 * rt) + sum(CAST(v1 AS HUGEINT) * v1))
+      |      // (2 * sum(CAST(v1 AS HUGEINT) * v1)) AS BIGINT) AS u2
+      |  FROM r JOIN v1 USING (b) GROUP BY c),
+      |cand AS (SELECT u2.c, v1.b, u2.u2 * v1.v1 AS score_micro
+      |  FROM u2 CROSS JOIN v1
+      |  WHERE u2.c <= 200
+      |    AND NOT EXISTS (SELECT 1 FROM r WHERE r.c = u2.c AND r.b = v1.b)),
+      |ranked AS (SELECT c, b, score_micro,
+      |    row_number() OVER (PARTITION BY c
+      |      ORDER BY score_micro DESC, b ASC) AS rank
+      |  FROM cand)
+      |SELECT c AS custkey, b AS brand, rank, score_micro
+      |FROM ranked WHERE rank <= 5""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_als_recommend" -> (qAlsRecommend _),
     "q_mllib_tuning" -> (qMllibTuning _),
     "q_pipeline_tuning" -> (qPipelineTuning _),
     "q_learning_curve" -> (qLearningCurve _),
@@ -496,6 +590,7 @@ object Tuning {
     * dumping oracle_sql.json — the [[graft.operators.Similarity]]
     * late-binding device; absent stores fall back to rows-only). */
   def oracle: Map[String, String] =
+    Map("q_als_recommend" -> qAlsRecommendSql) ++
     Option(KmeansStore.lastLoc.get)
       .map(loc => "q_kmeans" -> kmeansSql(loc)).toMap ++
     Option(KmeansStore.lastLoc.get)

@@ -1796,8 +1796,13 @@ object Dedup {
     */
   def qSegmentDedup(spark: SparkSession, dir: String): DataFrame = {
     val segN = 16
+    // guard the explode (the qBoilerplate r13 fix, same failure mode):
+    // Spark's sequence(0, -1) yields [0, -1] while DuckDB's
+    // generate_series(0, -1) yields nothing — a whitespace-only doc
+    // would fabricate two empty md5 segments in Spark only
     val t = Tables.documents(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
     val nseg = ceil(size(col("toks")) / lit(segN.toDouble)).cast("int")
     val seg = t.select(col("doc_id"),
       explode(transform(sequence(lit(0), nseg - 1),

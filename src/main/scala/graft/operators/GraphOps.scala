@@ -123,8 +123,12 @@ object GraphOps {
     private def ensure(spark: SparkSession, dir: String): (String, String) = {
       // fresh: the staleness contract hinges on seeing the corpus NOW
       val tag = Tables.Probe.corpusTag(spark, s"$dir/lineitem.parquet", fresh = true)
-      val tS = stem("cosup", dir) + tag
-      val tK = stem("knng", dir) + tag
+      // dials are part of the identity (the NswIndex.tableName
+      // pattern): bumping KnnK or the p90 cut changes the stem, so a
+      // persisted artifact built with old dials stops resolving
+      // instead of being silently served stale
+      val tS = stem("cosup_p90", dir) + tag
+      val tK = stem(s"knng_k$KnnK", dir) + tag
       val locS = warehousePath(spark, tS)
       val locK = warehousePath(spark, tK)
       def registered(n: String) = spark.catalog.tableExists(n)
@@ -144,11 +148,15 @@ object GraphOps {
           val pw = coSupplyWeighted(spark, dir).cache()
           try {
             val cut = pw.agg(expr("percentile(w, 0.9)").as("wcut"))
+            // parallel (non-coalesced) writes: both edge tables grow
+            // linearly with SF — a coalesce(1) single-writer funnel
+            // is the one piece of the build that would not survive a
+            // 1000× corpus (the NSW-store lesson, r13 verdict)
             pw.crossJoin(broadcast(cut))
               .filter(col("w") > col("wcut"))
               .select(col("src").cast("long").as("src"),
                 col("dst").cast("long").as("dst"))
-              .coalesce(1).write.option("path", locS.toString)
+              .write.option("path", locS.toString)
               .mode("overwrite").saveAsTable(tS)
             val sym = pw.select(col("src"), col("dst"), col("w"))
               .union(pw.select(col("dst").as("src"), col("src").as("dst"),
@@ -164,7 +172,7 @@ object GraphOps {
               .filter(col("src") < col("dst"))
               .select(col("src").cast("long").as("src"),
                 col("dst").cast("long").as("dst"))
-              .coalesce(1).write.option("path", locK.toString)
+              .write.option("path", locK.toString)
               .mode("overwrite").saveAsTable(tK)
           } finally pw.unpersist()
         }

@@ -595,10 +595,16 @@ object Similarity {
           val top = sym.withColumn("r", row_number().over(bySim))
             .filter(col("r") <= NswM).select(col("src"), col("dst"))
           // symmetric closure: search must be able to walk an edge
-          // from EITHER endpoint even when the pick was one-sided
+          // from EITHER endpoint even when the pick was one-sided.
+          // Bucketed parallel write (the D3/IVF pattern): the edge
+          // table is corpus-proportional (≈ 2M·|corpus| rows) — a
+          // coalesce(1) single-writer funnel here is the difference
+          // between a one-stage parallel write and a 10¹⁰-row
+          // single-task file at n = 10⁹
           top.union(top.select(col("dst").as("src"), col("src").as("dst")))
             .distinct()
-            .coalesce(1).write.option("path", loc.toString)
+            .write.bucketBy(IvfIndex.IvfBuckets, "src")
+            .option("path", loc.toString)
             .mode("overwrite").saveAsTable(t)
         }
       }
@@ -623,19 +629,27 @@ object Similarity {
   def qAnnNsw(spark: SparkSession, dir: String): DataFrame = {
     val t = NswIndex.ensure(spark, dir)
     val g = spark.table(t).cache()
+    // cached: the hop loop scores against e every round — uncached,
+    // the beam search re-scanned the embeddings parquet once per hop
+    // (~NswHops+1 corpus reads; at 100 TB that is the whole cost)
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .cache()
     val q = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < PanelIdCap)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     // leave-one-out: the query vector is itself a graph node and
     // would otherwise occupy a beam slot at sim=1.0, evicting one
     // true neighbor per query (measured: exactly rank-5 lost)
-    def score(cand: DataFrame): DataFrame =
-      cand.filter(col("qid") =!= col("nid"))
-        .join(e, cand("nid") === e("vec_id"))
+    def score(cand: DataFrame): DataFrame = {
+      // candidate set is bounded by panel × (beam·M + beam) rows:
+      // broadcast it so each hop is a broadcast-hash probe of the
+      // cached embeddings, never a shuffle of the corpus side
+      val c = broadcast(cand.filter(col("qid") =!= col("nid")))
+      c.join(e, c("nid") === e("vec_id"))
         .join(broadcast(q), "qid")
         .select(col("qid"), col("nid"),
           VectorFunctions.cosine(col("qv"), col("v")).as("sim"))
+    }
     val w = Window.partitionBy(col("qid"))
       .orderBy(round(col("sim"), 6).desc, col("nid").asc)
     val entry = e.orderBy(col("vec_id")).limit(NswEntry)

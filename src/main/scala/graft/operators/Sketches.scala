@@ -328,6 +328,8 @@ object Sketches {
       .select(col("c.cfg_id"), col("c.m"), col("c.k"))
     val probes = (keys: DataFrame) => keys.crossJoin(broadcast(cfg))
       .select(col("cfg_id"), col("k"),
+        // k ∈ BloomGrid is a compile-time constant ≥ 1, so the range
+        // can never invert (the Spark sequence(0, -1) = [0, -1] trap)
         explode(sequence(lit(0), col("k") - 1)).as("i"),
         col("user_id"), col("h1"), col("h2"), col("m"))
       .withColumn("pos", (col("h1") + col("i") * col("h2")) % col("m"))

@@ -1210,13 +1210,23 @@ object TemporalOps {
     * shrinks the window and the day is excluded rather than silently
     * averaging non-adjacent days; full windows only); seasonal = the day-of-week mean of the
     * detrended series, centered so the seven effects sum to zero;
-    * remainder = what's left. Exact-integer spine throughout: daily
-    * revenue in cents, the ×7-scaled detrended value d7 = 7·rev_c −
-    * Σ7 is pure DECIMAL(38,0)/HUGEINT arithmetic, per-dow sums stay
-    * exact, and the only doubles are the final identical divisions
-    * (the qAnova ≤7-row device for the centering sum). Windows and
-    * aggregates run over the bounded day table (PlanSpec-exempt,
-    * the q_changepoint class); output = full-window days.
+    * remainder = what's left. Exact-integer spine END-TO-END (r14:
+    * the r13 version centered on c = Σ_g(sg/ng)/7, an UNORDERED
+    * 7-term double sum whose association order differs between
+    * engines — the driver flagged the hash on debut): daily revenue
+    * in cents, the ×7-scaled detrended value d7 = 7·rev_c − Σ7 is
+    * pure DECIMAL(38,0)/HUGEINT arithmetic; the per-dow seasonal
+    * mean lifts to micro-units via the sign-safe E26 half-up device
+    * s6_g = halfUp(sg·10⁶ / ng) (positive-operand DIV under a sign
+    * split, so trunc-vs-floor never differs), the zero-centering
+    * becomes seasonal_scaled = 7·s6_g − Σ_g s6_g — an exact integer
+    * sum of SEVEN longs, order-free — and every published double is
+    * ONE division of an exact integer by an exact-double constant
+    * (700.0 and 7·10⁶·700 = 4.9e9), identical IEEE in both engines.
+    * No unordered double sum and no round(double, n) survives into
+    * a hashed cell. Windows and aggregates run over the bounded day
+    * table (PlanSpec-exempt, the q_changepoint class); output =
+    * full-window days.
     */
   def qStlDecompose(spark: SparkSession, dir: String): DataFrame = {
     val byDay = Tables.orders(spark, dir)
@@ -1231,18 +1241,22 @@ object TemporalOps {
       .filter(col("n7") === 7)
       .withColumn("dow", (col("day") + 3) % 7)
       .withColumn("d7", (col("rc") * 7 - col("s7")).cast("decimal(38,0)"))
+    // s6_g = halfUp(sg·10⁶ / ng), sign-split so the DIV operands stay
+    // positive (sg can be negative: it sums detrended values)
     val dows = full7.groupBy(col("dow"))
       .agg(sum(col("d7")).as("sg"), count(lit(1)).as("ng"))
-    val ctr = dows.agg(
-      (sum(col("sg").cast("double") / col("ng")) / 7).as("c"))
+      .withColumn("s6_g",
+        when(col("sg") >= 0,
+          expr("(2 * sg * 1000000 + ng) DIV (2 * ng)"))
+        .otherwise(-expr("(2 * (-sg) * 1000000 + ng) DIV (2 * ng)")))
+    val ctr = dows.agg(sum(col("s6_g")).as("ssum"))
     full7.join(broadcast(dows), "dow").crossJoin(broadcast(ctr))
+      .withColumn("seasonal_scaled", col("s6_g") * 7 - col("ssum"))
       .select(col("day"), col("rev").cast("decimal(18,2)").as("rev"),
-        round(col("s7").cast("double") / 700.0, 6).as("trend"),
-        round((col("sg").cast("double") / col("ng") - col("c")) / 700.0, 6)
-          .as("seasonal"),
-        round((col("d7").cast("double") -
-          (col("sg").cast("double") / col("ng") - col("c"))) / 700.0, 6)
-          .as("remainder"))
+        (col("s7").cast("double") / 700.0).as("trend"),
+        (col("seasonal_scaled").cast("double") / 4900000000.0).as("seasonal"),
+        ((col("d7") * 7000000 - col("seasonal_scaled")).cast("double")
+          / 4900000000.0).as("remainder"))
   }
 
   val qStlDecomposeSql: String =
@@ -1261,13 +1275,20 @@ object TemporalOps {
       |  FROM wins WHERE n7 = 7),
       |dows AS (SELECT dow, sum(d7) AS sg, count(*) AS ng
       |  FROM full7 GROUP BY 1),
-      |ctr AS (SELECT sum(CAST(sg AS DOUBLE) / ng) / 7 AS c FROM dows)
+      |s6 AS (SELECT dow, CASE WHEN sg >= 0
+      |      THEN CAST((2 * sg * 1000000 + ng) // (2 * ng) AS BIGINT)
+      |      ELSE -CAST((2 * (-sg) * 1000000 + ng) // (2 * ng) AS BIGINT)
+      |    END AS s6_g
+      |  FROM dows),
+      |ctr AS (SELECT CAST(sum(s6_g) AS BIGINT) AS ssum FROM s6),
+      |sc AS (SELECT day, rev, s7, d7, 7 * s6_g - ssum AS seasonal_scaled
+      |  FROM full7 JOIN s6 USING (dow), ctr)
       |SELECT day, CAST(rev AS DECIMAL(18,2)) AS rev,
-      |  round(CAST(s7 AS DOUBLE) / 700.0, 6) AS trend,
-      |  round((CAST(sg AS DOUBLE) / ng - c) / 700.0, 6) AS seasonal,
-      |  round((CAST(d7 AS DOUBLE) - (CAST(sg AS DOUBLE) / ng - c)) / 700.0, 6)
+      |  CAST(s7 AS DOUBLE) / 700.0 AS trend,
+      |  CAST(seasonal_scaled AS DOUBLE) / 4900000000.0 AS seasonal,
+      |  CAST(d7 * 7000000 - seasonal_scaled AS DOUBLE) / 4900000000.0
       |    AS remainder
-      |FROM full7 JOIN dows USING (dow), ctr""".stripMargin
+      |FROM sc""".stripMargin
 
   // ---------------------------------------------------------------- F21
   /** CUSUM change-point detection on the daily event-volume series:
@@ -1548,10 +1569,18 @@ object TemporalOps {
     * 5·dev² > 24·num (squaring the band inequality clears both the
     * /6 mean and the /30 variance denominator) — no float enters
     * the verdict at all, so no engine's decimal→double conversion
-    * or summation order can flip it. The published mean7/sd7 cast
-    * ONE exact integer to double in the identical expression in
-    * both engines. Only days with a full six-day history judge;
-    * output is breach days only — bounded by the day table.
+    * or summation order can flip it. Publishes (r14, after two
+    * rounds of driver-side `round(double, 6)` divergence) are
+    * EXACT INTEGERS end-to-end: mean7_micro is the trailing mean
+    * in micro-dollars via the E26 half-up integer-division device
+    * ((2a+b) DIV 2b on positive operands — identical trunc/floor
+    * in both engines), and var7_num is the raw variance numerator
+    * 6·Σx²−(Σx)² in cents² (variance = var7_num/30; sd in dollars
+    * = sqrt(var7_num/30)/100 — derivable, never hashed as a
+    * rounded double). A digit the double representation cannot
+    * guarantee never enters a hashed cell. Only days with a full
+    * six-day history judge; output is breach days only — bounded
+    * by the day table.
     */
   def qBollinger(spark: SparkSession, dir: String): DataFrame = {
     val byDay = Tables.orders(spark, dir)
@@ -1580,9 +1609,11 @@ object TemporalOps {
           (col("dev") * col("dev") * 5).cast("decimal(38,0)") >
             (col("num") * 24).cast("decimal(38,0)"), lit("low")))
       .filter(col("breach").isNotNull)
+      // mean7 in micro-dollars = s7·10⁴/6 half-up = (2·s7·10⁴+6) DIV 12;
+      // s7 > 0 always (revenue cents), so trunc-vs-floor never differs
       .select(col("day"), col("rev").cast("decimal(18,2)").as("rev"),
-        round(col("s7").cast("double") / 600.0, 6).as("mean7"),
-        round(sqrt(col("num").cast("double") / 30.0) / 100.0, 6).as("sd7"),
+        expr("(2 * s7 * 10000 + 6) DIV 12").as("mean7_micro"),
+        col("num").as("var7_num"),
         col("breach"))
   }
 
@@ -1606,8 +1637,8 @@ object TemporalOps {
       |      WHEN dev < 0 AND 5 * dev * dev > 24 * num THEN 'low' END AS breach
       |  FROM full7)
       |SELECT day, CAST(rev AS DECIMAL(18,2)) AS rev,
-      |  round(CAST(s7 AS DOUBLE) / 600.0, 6) AS mean7,
-      |  round(sqrt(CAST(num AS DOUBLE) / 30.0) / 100.0, 6) AS sd7, breach
+      |  CAST((2 * s7 * 10000 + 6) // 12 AS BIGINT) AS mean7_micro,
+      |  CAST(num AS DECIMAL(38,0)) AS var7_num, breach
       |FROM breach WHERE breach IS NOT NULL""".stripMargin
 
   // ---------------------------------------------------------------- F46

@@ -742,6 +742,7 @@ object Validation {
           .cast("long"))
     val per = ev
       .select(col("h"), col("v"),
+        // P is a compile-time constant ≥ 0: the range cannot invert
         explode(sequence(lit(0), lit(P))).as("p"))
       .withColumn("arm", expr("shiftright(h, p) % 2"))
       .groupBy(col("p"))

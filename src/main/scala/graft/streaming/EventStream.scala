@@ -459,6 +459,50 @@ object EventStream {
     spark.table(qn)
   }
 
+  /** F7c: stream-stream FULL-OUTER time-interval join — the last
+    * corner of the F7/F7b join family: views AND clicks both emit
+    * unconditionally; a view with no click in its 10-minute window
+    * emits once with a null click, a click with no view whose window
+    * covers it emits once with a null view. BOTH null emissions are
+    * watermark-delayed (Spark can only prove "no partner will come"
+    * once the watermark passes the interval bound on the OTHER side),
+    * and rows whose window is still open at source-drain are withheld
+    * — correct append-mode semantics on both sides. State contract
+    * unchanged: each side buffers only until the watermark clears its
+    * interval — bounded state on an unbounded stream. Spec pins:
+    * matched rows = the inner F7 result; view-null rows = clicks the
+    * batch join never matches; click-null rows = views the batch join
+    * never matches; every event id emits exactly once in its role
+    * (StreamingSpec F7c cases).
+    */
+  def streamRangeJoinFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    def src = Tables.eventsStream(spark, dir)
+      .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
+    val views = src.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ets").as("vts"))
+      .withWatermark("vts", "10 minutes")
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ets").as("cts"))
+      .withWatermark("cts", "10 minutes")
+    val joined = views.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("cts") >= col("vts") &&
+        col("cts") <= col("vts") + expr("INTERVAL 10 MINUTES"),
+      "fullOuter")
+      .select(coalesce(col("user_id"), col("c_user")).as("user_id"),
+        col("view_id"), col("click_id"),
+        (unix_timestamp(col("cts")) - unix_timestamp(col("vts"))).as("gap_sec"))
+    val qn = "graft_stream_range_join_full_outer"
+    spark.streams.active.filter(q => Option(q.name).contains(qn)).foreach(_.stop())
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(qn).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(qn)
+  }
+
   /** F37: streaming daily-active-users — the dedup-then-aggregate
     * composition (the F40 exact-distinct device in streaming form):
     * `dropDuplicates` on (user, day-bucketed event time) collapses a

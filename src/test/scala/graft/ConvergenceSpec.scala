@@ -70,8 +70,11 @@ class ConvergenceSpec extends AnyFunSuite {
     }
     // certify the shipped fixed-3 snapshot: geometric tail gives
     // ||r_3 - r*||_1 <= ||Δ_3||_1 * 0.85/0.15; the published cells
-    // round at 6 dp, so allow that grain per node on top
-    val bound = deltas(2) * 0.85 / 0.15 + 5e-7 * fix.count()
+    // round at 6 dp, so allow that grain per node on top. If the
+    // corpus converges in < 3 rounds the round-3 delta is its last
+    // recorded one (the tail bound only tightens).
+    val d3 = if (deltas.length >= 3) deltas(2) else deltas.last
+    val bound = d3 * 0.85 / 0.15 + 5e-7 * fix.count()
     val pr3 = GraphOps.queries("q_pagerank_knn")(spark, sf)
       .select(col("s_suppkey").as("node"), col("pagerank"))
     val dist = pr3.join(fix.select(col("node"), col("pr")), "node")

@@ -968,14 +968,19 @@ class PropertySpec extends AnyFunSuite {
     assert(dd._1 == days._3, "n_days != distinct order days")
     assert(dd._2 >= days._1 && dd._2 <= days._2, "trough day outside domain")
     val bb = graft.operators.TemporalOps.queries("q_bollinger")(spark, sf)
-      .select("day", "rev", "mean7", "sd7", "breach")
-      .as[(Long, java.math.BigDecimal, Double, Double, String)].collect()
+      .select("day", "rev", "mean7_micro", "var7_num", "breach")
+      .as[(Long, java.math.BigDecimal, Long, java.math.BigDecimal, String)]
+      .collect()
     assert(bb.nonEmpty, "a year of daily revenue should breach somewhere")
-    bb.foreach { case (day, rev, m, sd, br) =>
-      assert(sd >= 0.0 && Set("high", "low").contains(br))
+    bb.foreach { case (day, rev, mMicro, varNum, br) =>
+      // r14 exact-integer publishes: mean7 = mean7_micro µ$, band σ
+      // derives from the raw variance numerator (σ² = var7_num/30 ¢²)
+      assert(varNum.signum() >= 0 && Set("high", "low").contains(br))
+      val m = mMicro / 1e6
+      val sd = math.sqrt(varNum.doubleValue() / 30.0) / 100.0
       val r = rev.doubleValue()
-      // 6-dp published band: re-check with a tolerance one ulp-class
-      // wider than the publish rounding
+      // µ$-quantized published mean: re-check with a tolerance one
+      // quantum-class wider than the half-up publish grain
       if (br == "high") assert(r > m + 2 * sd - 1e-4, s"day $day not high")
       else assert(r < m - 2 * sd + 1e-4, s"day $day not low")
     }

@@ -192,7 +192,10 @@ class StoreMaintenanceSpec extends AnyFunSuite {
     val san = dir.replaceAll("[^a-zA-Z0-9]+", "_")
       .stripPrefix("_").stripSuffix("_")
     spark.catalog.clearCache()
-    Seq(s"graft_knng_${san}_", s"graft_cosup_${san}_").foreach { pre =>
+    // stems carry the dials (KnnK / p90 cut) since r14 — the staleness
+    // contract extends to dial bumps, not just corpus mutation
+    Seq(s"graft_knng_k${GraphOps.KnnK}_${san}_",
+        s"graft_cosup_p90_${san}_").foreach { pre =>
       spark.sql("SHOW TABLES").select("tableName").as[String].collect()
         .filter(_.startsWith(pre))
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))

@@ -132,6 +132,37 @@ class StreamingSpec extends AnyFunSuite {
       .isEmpty, "null rows must be views with NO batch match")
   }
 
+  test("stream-stream FULL-OUTER interval join: matched rows subset the batch join, both null sides truly matchless, exactly-once emission") {
+    val out = EventStream.streamRangeJoinFullOuter(spark, sf)
+    val batch = graft.operators.TemporalOps.qRangeJoin(spark, sf)
+      .select("user_id", "view_id", "click_id", "gap_sec")
+    val matched = out.filter(col("click_id").isNotNull && col("view_id").isNotNull)
+      .select("user_id", "view_id", "click_id", "gap_sec")
+    assert(matched.count() > 0, "full-outer join emitted no matched rows")
+    assert(matched.except(batch).isEmpty,
+      "matched rows must subset the batch range join")
+    // left-null side: unmatched VIEWS emit exactly once with null click
+    val viewNulls = out.filter(col("click_id").isNull).select("view_id")
+    assert(viewNulls.count() > 0,
+      "expected watermark-expired unmatched views to emit null-click rows")
+    assert(viewNulls.distinct().count() == viewNulls.count(),
+      "an unmatched view must emit exactly one null row")
+    assert(viewNulls.join(batch.select("view_id"), Seq("view_id"), "left_semi")
+      .isEmpty, "null-click rows must be views with NO batch match")
+    // right-null side: unmatched CLICKS emit exactly once with null view
+    // — the corner F7b does not cover
+    val clickNulls = out.filter(col("view_id").isNull).select("click_id")
+    assert(clickNulls.count() > 0,
+      "expected watermark-expired unmatched clicks to emit null-view rows")
+    assert(clickNulls.distinct().count() == clickNulls.count(),
+      "an unmatched click must emit exactly one null row")
+    assert(clickNulls.join(batch.select("click_id"), Seq("click_id"), "left_semi")
+      .isEmpty, "null-view rows must be clicks with NO batch match")
+    // user_id is never null: coalesced from whichever side emitted
+    assert(out.filter(col("user_id").isNull).isEmpty,
+      "user_id must coalesce from the emitting side")
+  }
+
   test("stateful streaming anomaly detector equals the oracle-checked batch operator") {
     import graft.streaming.EventStream.{AnomalyOut, Bucket}
     implicit val sqlCtx = spark.sqlContext

@@ -31,6 +31,147 @@ class TuningSpec extends AnyFunSuite {
     assert(a.nonEmpty && a == b, "reloaded model predictions diverged")
   }
 
+  test("q_ols_multi: published coefficients recompose bit-for-bit from driver-side exact moments; quantized fit tracks the unquantized solve") {
+    import org.apache.spark.sql.functions.col
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_quantity").cast("long"),
+        org.apache.spark.sql.functions.round(col("l_discount") * 100).cast("long"),
+        org.apache.spark.sql.functions.round(col("l_tax") * 100).cast("long"),
+        org.apache.spark.sql.functions.round(col("l_extendedprice") * 100).cast("long"))
+      .as[(Long, Long, Long, Long)].collect()
+    val n = BigInt(rows.length)
+    def S(f: ((Long, Long, Long, Long)) => BigInt): BigInt = rows.map(f).sum
+    val (s1, s2, s3, sy) = (S(r => BigInt(r._1)), S(r => BigInt(r._2)),
+      S(r => BigInt(r._3)), S(r => BigInt(r._4)))
+    def hu(a: BigInt, b: BigInt): BigInt =
+      if (a >= 0) (2 * a + b) / (2 * b) else -((2 * (-a) + b) / (2 * b))
+    def m(raw: BigInt, a: BigInt, b: BigInt): BigInt =
+      hu(100 * (n * raw - a * b), n * n)
+    val m11 = m(S(r => BigInt(r._1) * r._1), s1, s1)
+    val m12 = m(S(r => BigInt(r._1) * r._2), s1, s2)
+    val m13 = m(S(r => BigInt(r._1) * r._3), s1, s3)
+    val m22 = m(S(r => BigInt(r._2) * r._2), s2, s2)
+    val m23 = m(S(r => BigInt(r._2) * r._3), s2, s3)
+    val m33 = m(S(r => BigInt(r._3) * r._3), s3, s3)
+    val m1y = m(S(r => BigInt(r._1) * r._4), s1, sy)
+    val m2y = m(S(r => BigInt(r._2) * r._4), s2, sy)
+    val m3y = m(S(r => BigInt(r._3) * r._4), s3, sy)
+    val det = m11 * (m22 * m33 - m23 * m23) - m12 * (m12 * m33 - m23 * m13) +
+      m13 * (m12 * m23 - m22 * m13)
+    val det1 = m1y * (m22 * m33 - m23 * m23) - m12 * (m2y * m33 - m23 * m3y) +
+      m13 * (m2y * m23 - m22 * m3y)
+    val det2 = m11 * (m2y * m33 - m3y * m23) - m1y * (m12 * m33 - m23 * m13) +
+      m13 * (m12 * m3y - m2y * m13)
+    val det3 = m11 * (m22 * m3y - m23 * m2y) - m12 * (m12 * m3y - m2y * m13) +
+      m1y * (m12 * m23 - m22 * m13)
+    val out = FeatureOps.qOlsMulti(spark, sf)
+      .select("n", "beta_qty", "beta_disc", "beta_tax")
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(out._1 == rows.length)
+    // bit-for-bit: the published β IS det_i/det on the exact moments
+    assert(out._2 == det1.toDouble / det.toDouble, "beta_qty diverged")
+    assert(out._3 == det2.toDouble / det.toDouble, "beta_disc diverged")
+    assert(out._4 == det3.toDouble / det.toDouble, "beta_tax diverged")
+    // quantized fit tracks the full-precision normal-equation solve:
+    // coefficient-relative within 10% OR absolutely tiny (covariance
+    // quantization at 1e-2 units bounds the moment error; tiny true
+    // coefficients admit larger relative slack)
+    def cov(sab: BigInt, sa: BigInt, sb: BigInt): Double =
+      (n * sab - sa * sb).toDouble / (n * n).toDouble
+    val a = Array(
+      Array(cov(S(r => BigInt(r._1) * r._1), s1, s1),
+        cov(S(r => BigInt(r._1) * r._2), s1, s2),
+        cov(S(r => BigInt(r._1) * r._3), s1, s3)),
+      Array(cov(S(r => BigInt(r._1) * r._2), s1, s2),
+        cov(S(r => BigInt(r._2) * r._2), s2, s2),
+        cov(S(r => BigInt(r._2) * r._3), s2, s3)),
+      Array(cov(S(r => BigInt(r._1) * r._3), s1, s3),
+        cov(S(r => BigInt(r._2) * r._3), s2, s3),
+        cov(S(r => BigInt(r._3) * r._3), s3, s3)))
+    val b = Array(cov(S(r => BigInt(r._1) * r._4), s1, sy),
+      cov(S(r => BigInt(r._2) * r._4), s2, sy),
+      cov(S(r => BigInt(r._3) * r._4), s3, sy))
+    def det3x3(x: Array[Array[Double]]): Double =
+      x(0)(0) * (x(1)(1) * x(2)(2) - x(1)(2) * x(2)(1)) -
+        x(0)(1) * (x(1)(0) * x(2)(2) - x(1)(2) * x(2)(0)) +
+        x(0)(2) * (x(1)(0) * x(2)(1) - x(1)(1) * x(2)(0))
+    val d0 = det3x3(a)
+    def repl(i: Int): Array[Array[Double]] =
+      a.zipWithIndex.map { case (row, r) =>
+        row.zipWithIndex.map { case (v, c) => if (c == i) b(r) else v } }
+    val exact = (0 to 2).map(i => det3x3(repl(i)) / d0)
+    val got = Seq(out._2, out._3, out._4)
+    exact.zip(got).zipWithIndex.foreach { case ((e, g), i) =>
+      assert(math.abs(g - e) <= math.max(0.1 * math.abs(e), 50.0),
+        s"beta($i): quantized $g vs exact $e")
+    }
+  }
+
+  test("q_gbt_stumps: staged MSE is monotone non-increasing and stages are well-formed") {
+    val rows = FeatureOps.qGbtStumps(spark, sf)
+      .select("stage", "threshold", "gamma_left_e4", "gamma_right_e4",
+        "accuracy_ppm", "mse_e8")
+      .collect().sortBy(_.getInt(0))
+    assert(rows.length == 3)
+    assert(rows(0).isNullAt(1) && rows(0).isNullAt(2) && rows(0).isNullAt(3),
+      "stage 0 must carry no split")
+    assert(!rows(1).isNullAt(1) && !rows(2).isNullAt(1),
+      "boosted stages must carry their split")
+    val mse = rows.map(_.getLong(5))
+    assert(mse(1) <= mse(0) && mse(2) <= mse(1),
+      s"squared-loss boosting must not increase train MSE: ${mse.toSeq}")
+    // leaf steps point in opposite directions across a useful split
+    // (left residual mean vs right residual mean): signs must differ
+    // unless one side is zero
+    val (gl, gr) = (rows(1).getLong(2), rows(1).getLong(3))
+    assert(gl == 0 || gr == 0 || (gl > 0) != (gr > 0),
+      s"round-1 leaves should bracket the mean: gl=$gl gr=$gr")
+    rows.foreach { r =>
+      val acc = r.getLong(4)
+      assert(acc >= 0 && acc <= 1000000, s"accuracy_ppm out of range: $acc")
+    }
+  }
+
+  test("q_als_recommend: factors recompose from ratings by hand; top-5 per customer over unseen brands only") {
+    import org.apache.spark.sql.functions.col
+    val r = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.part(spark, sf).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("o_custkey").as("c"), col("p_brand").as("b"))
+      .agg(org.apache.spark.sql.functions.sum(col("l_quantity").cast("long")).as("rt"))
+      .as[(Long, String, Long)].collect()
+    def hu(a: BigInt, b: BigInt): BigInt = (2 * a + b) / (2 * b)
+    val u1 = r.groupBy(_._1).map { case (c, xs) =>
+      c -> hu(BigInt(1000) * xs.map(x => BigInt(x._3)).sum, xs.length) }
+    val v1 = r.groupBy(_._2).map { case (b, xs) =>
+      val sur = xs.map(x => u1(x._1) * x._3).sum
+      val suu = xs.map(x => u1(x._1) * u1(x._1)).sum
+      b -> hu(BigInt(1000000) * sur, suu) }
+    val u2 = r.groupBy(_._1).map { case (c, xs) =>
+      val svr = xs.map(x => v1(x._2) * x._3).sum
+      val svv = xs.map(x => v1(x._2) * v1(x._2)).sum
+      c -> hu(BigInt(1000000) * svr, svv) }
+    val out = Tuning.qAlsRecommend(spark, sf)
+      .select("custkey", "brand", "rank", "score_micro")
+      .as[(Long, String, Int, Long)].collect()
+    assert(out.nonEmpty)
+    val rated = r.map(x => (x._1, x._2)).toSet
+    out.foreach { case (c, b, rank, score) =>
+      assert(c <= 200, "panel cap breached")
+      assert(!rated.contains((c, b)), s"recommended an already-rated pair ($c,$b)")
+      assert(rank >= 1 && rank <= 5)
+      assert(BigInt(score) == u2(c) * v1(b),
+        s"score($c,$b)=$score != u2·v1=${u2(c) * v1(b)}")
+    }
+    // per customer: ranks are 1..k with no gaps
+    out.groupBy(_._1).foreach { case (c, xs) =>
+      assert(xs.map(_._3).sorted.toSeq == (1 to xs.length).toSeq,
+        s"rank gaps for customer $c")
+    }
+  }
+
   test("PR curve: recall is monotone non-increasing in the threshold and counts are consistent") {
     val rows = FeatureOps.qPrCurve(spark, sf)
       .select("threshold", "tp", "fp", "fn", "tn", "rec")

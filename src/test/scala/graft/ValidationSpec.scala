@@ -55,6 +55,36 @@ class ValidationSpec extends AnyFunSuite {
     assert(dupInstances != 1)
   }
 
+  test("q_segment_dedup: a whitespace-only document cannot fabricate segments (the Spark sequence(0,-1)=[0,-1] trap stays unreachable)") {
+    // The r13 qBoilerplate finding: sequence(0, nseg-1) with nseg=0
+    // explodes [0,-1] in Spark while DuckDB's generate_series yields
+    // nothing. Through tokens() an all-whitespace doc normalizes to
+    // [""] (split never returns an EMPTY array), so nseg=1 and BOTH
+    // engines agree on exactly one md5("") segment — this pins that
+    // contract (one segment, never two fabricated ones, never zero
+    // Spark-side only), plus the size(toks)>0 guard for any future
+    // token source that CAN yield an empty array.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_c17").toString
+    Seq(
+      (1L, "   \t  ", "en", "synth", 6L),
+      (2L, "alpha beta gamma delta", "en", "synth", 22L),
+      (3L, "alpha beta gamma delta", "en", "synth", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Dedup.qSegmentDedup(spark, dir).collect()
+    val ws = rows.filter(_.getAs[Long]("doc_id") == 1L)
+    assert(ws.length == 1 && ws.head.getAs[Long]("n_segments") == 1L,
+      s"whitespace-only doc must carry exactly ONE (empty) segment in both engines: ${ws.toSeq}")
+    assert(ws.head.getAs[Long]("n_dup_segments") == 0L,
+      "the empty segment is unique in this corpus")
+    rows.filter(_.getAs[Long]("doc_id") != 1L).foreach { r =>
+      assert(r.getAs[Long]("n_segments") == 1L)
+      assert(r.getAs[Long]("n_dup_segments") == 1L,
+        "identical docs must see their shared segment as duplicated")
+    }
+  }
+
   test("q_join_cardinality: pre-flight equals the materialized join") {
     val r = SkewJoin.qJoinCardinality(spark, sf).collect().head
     val actual = Tables.lineitem(spark, sf)

@@ -1744,11 +1744,17 @@ object FeatureOps {
           | - cast(det2 as decimal(38,0)) * s2
           | - cast(det3 as decimal(38,0)) * s3)""".stripMargin.replace("\n", " "),
         "n * cast(det as decimal(38,0))")))
+    // sign-split casts (the q_stl device): DuckDB's negative-HUGEINT→
+    // DOUBLE conversion mis-rounds above 2^53; cast the magnitude,
+    // negate the double. det > 0 (positive-definite moment matrix).
+    def sd(c: String) = expr(
+      s"CASE WHEN $c >= 0 THEN CAST($c AS DOUBLE)" +
+        s" ELSE -CAST(-($c) AS DOUBLE) END")
     q.select(
       col("n").cast("long").as("n"),
-      (col("det1").cast("double") / col("det").cast("double")).as("beta_qty"),
-      (col("det2").cast("double") / col("det").cast("double")).as("beta_disc"),
-      (col("det3").cast("double") / col("det").cast("double")).as("beta_tax"),
+      (sd("det1") / col("det").cast("double")).as("beta_qty"),
+      (sd("det2") / col("det").cast("double")).as("beta_disc"),
+      (sd("det3") / col("det").cast("double")).as("beta_tax"),
       col("icpt_micro"),
       (lit(1000000L) - col("one_minus_r2_ppm")).as("r2_ppm"),
       (lit(1000000L) - expr(hu("(n - 1) * one_minus_r2_ppm", "n - 4")))
@@ -1801,9 +1807,15 @@ object FeatureOps {
        |    ${hu("1000000 * (dd - ssr)", "dd")} AS one_minus_r2_ppm
        |  FROM r)
        |SELECT CAST(n AS BIGINT) AS n,
-       |  CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) AS beta_qty,
-       |  CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) AS beta_disc,
-       |  CAST(det3 AS DOUBLE) / CAST(det AS DOUBLE) AS beta_tax,
+       |  (CASE WHEN det1 >= 0 THEN CAST(det1 AS DOUBLE)
+       |    ELSE -CAST(-(det1) AS DOUBLE) END) / CAST(det AS DOUBLE)
+       |    AS beta_qty,
+       |  (CASE WHEN det2 >= 0 THEN CAST(det2 AS DOUBLE)
+       |    ELSE -CAST(-(det2) AS DOUBLE) END) / CAST(det AS DOUBLE)
+       |    AS beta_disc,
+       |  (CASE WHEN det3 >= 0 THEN CAST(det3 AS DOUBLE)
+       |    ELSE -CAST(-(det3) AS DOUBLE) END) / CAST(det AS DOUBLE)
+       |    AS beta_tax,
        |  ${hu(
         "1000000 * (sy * CAST(det AS HUGEINT) - CAST(det1 AS HUGEINT) * s1"
           + " - CAST(det2 AS HUGEINT) * s2 - CAST(det3 AS HUGEINT) * s3)",

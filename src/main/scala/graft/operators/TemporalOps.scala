@@ -1250,13 +1250,20 @@ object TemporalOps {
           expr("(2 * sg * 1000000 + ng) DIV (2 * ng)"))
         .otherwise(-expr("(2 * (-sg) * 1000000 + ng) DIV (2 * ng)")))
     val ctr = dows.agg(sum(col("s6_g")).as("ssum"))
+    // sign-split casts: DuckDB's negative-HUGEINT→DOUBLE conversion is
+    // NOT correctly rounded above 2^53 (measured: ~1% of values off by
+    // one ulp; Spark's BigInteger path is exact-nearest both signs) —
+    // cast the magnitude, negate the double (negation is exact)
+    def sd(c: String) = expr(
+      s"CASE WHEN $c >= 0 THEN CAST($c AS DOUBLE)" +
+        s" ELSE -CAST(-($c) AS DOUBLE) END")
     full7.join(broadcast(dows), "dow").crossJoin(broadcast(ctr))
       .withColumn("seasonal_scaled", col("s6_g") * 7 - col("ssum"))
+      .withColumn("rem_num", col("d7") * 7000000 - col("seasonal_scaled"))
       .select(col("day"), col("rev").cast("decimal(18,2)").as("rev"),
         (col("s7").cast("double") / 700.0).as("trend"),
-        (col("seasonal_scaled").cast("double") / 4900000000.0).as("seasonal"),
-        ((col("d7") * 7000000 - col("seasonal_scaled")).cast("double")
-          / 4900000000.0).as("remainder"))
+        (sd("seasonal_scaled") / 4900000000.0).as("seasonal"),
+        (sd("rem_num") / 4900000000.0).as("remainder"))
   }
 
   val qStlDecomposeSql: String =
@@ -1281,12 +1288,16 @@ object TemporalOps {
       |    END AS s6_g
       |  FROM dows),
       |ctr AS (SELECT CAST(sum(s6_g) AS BIGINT) AS ssum FROM s6),
-      |sc AS (SELECT day, rev, s7, d7, 7 * s6_g - ssum AS seasonal_scaled
+      |sc AS (SELECT day, rev, s7, d7, 7 * s6_g - ssum AS seasonal_scaled,
+      |    d7 * 7000000 - (7 * s6_g - ssum) AS rem_num
       |  FROM full7 JOIN s6 USING (dow), ctr)
       |SELECT day, CAST(rev AS DECIMAL(18,2)) AS rev,
       |  CAST(s7 AS DOUBLE) / 700.0 AS trend,
-      |  CAST(seasonal_scaled AS DOUBLE) / 4900000000.0 AS seasonal,
-      |  CAST(d7 * 7000000 - seasonal_scaled AS DOUBLE) / 4900000000.0
+      |  CASE WHEN seasonal_scaled >= 0 THEN CAST(seasonal_scaled AS DOUBLE)
+      |    ELSE -CAST(-(seasonal_scaled) AS DOUBLE) END / 4900000000.0
+      |    AS seasonal,
+      |  CASE WHEN rem_num >= 0 THEN CAST(rem_num AS DOUBLE)
+      |    ELSE -CAST(-(rem_num) AS DOUBLE) END / 4900000000.0
       |    AS remainder
       |FROM sc""".stripMargin
 

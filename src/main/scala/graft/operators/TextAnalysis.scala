@@ -1007,7 +1007,102 @@ object TextAnalysis {
          |      ELSE 0 END) AS DOUBLE) / count(*), 6) AS pii_rate
          |FROM scored GROUP BY source""".stripMargin
 
+  // ---------------------------------------------------------------- B25
+  /** First three BPE merge operations over the corpus vocabulary —
+    * tokenizer INDUCTION, the step every surprisal/fertility operator
+    * (B9/B11/B17) consumes a finished tokenizer for. Classic
+    * byte-pair encoding unrolled three rounds, engine-exact:
+    * letters-only word TYPES with corpus frequencies (the Heaps-
+    * bounded vocabulary table, never corpus tokens), adjacent-symbol
+    * pair counts as exact integer sums, argmax merge per round with
+    * (count DESC, lhs ASC, rhs ASC) ties, then the merge applied to
+    * every word's symbol string. Merge application is a plain
+    * left-to-right string replace made BOUNDARY-SAFE by the
+    * two-space device: symbols are rendered " a  b  c " (every char
+    * → " c ", so adjacent symbols are separated by TWO spaces and
+    * the string is edge-padded); the pattern " lhs  rhs " consumes
+    * one space from each flanking separator and the replacement
+    * " lhsrhs " restores it, so (1) a pattern can never match a
+    * symbol's affix (symbols contain no spaces), and (2) consecutive
+    * occurrences " a  b  a  b " both merge — the naive single-space
+    * encoding loses the second match to the consumed boundary, and
+    * RE2 (DuckDB) has no lookahead to anchor with. Both engines'
+    * replace() scans left-to-right over identical strings →
+    * identical merges, identical counts. Scale: the word-type table
+    * is vocabulary-bounded (Heaps' law), each round is one bounded
+    * aggregate + a map-side replace; nothing corpus-scale moves
+    * after the first token explode.
+    */
+  def qBpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .withColumn("sp", regexp_replace(col("w"), "(.)", " $1 "))
+      .cache()
+    def pairs(df: DataFrame): DataFrame =
+      df.select(col("c"), split(trim(col("sp")), "\\s+").as("s"))
+        // Spark's sequence(1, 0) would yield [1, 0] (descending) for
+        // single-symbol words — filter them out before the transform
+        .filter(size(col("s")) >= 2)
+        .select(col("c"), explode(expr(
+          "transform(sequence(1, size(s) - 1)," +
+            " i -> struct(s[i-1] AS l, s[i] AS r))")).as("p"))
+        .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+        .agg(sum(col("c")).as("pair_count"))
+    def argmax(pc: DataFrame, round: Int): DataFrame =
+      pc.orderBy(col("pair_count").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1)
+        .select(lit(round).as("round"), col("lhs"), col("rhs"),
+          concat(col("lhs"), col("rhs")).as("merged"), col("pair_count"))
+    def applyMerge(df: DataFrame, m: DataFrame): DataFrame =
+      df.crossJoin(broadcast(m.select(col("lhs").as("ml"), col("rhs").as("mr"))))
+        .withColumn("sp", expr(
+          "replace(sp, concat(' ', ml, '  ', mr, ' '), concat(' ', ml, mr, ' '))"))
+        .select(col("w"), col("c"), col("sp"))
+    val m1 = argmax(pairs(words), 1)
+    val w1 = applyMerge(words, m1)
+    val m2 = argmax(pairs(w1), 2)
+    val w2 = applyMerge(w1, m2)
+    val m3 = argmax(pairs(w2), 3)
+    m1.union(m2).union(m3)
+  }
+
+  val qBpeMergesSql: String = {
+    // one BPE round in SQL: symbol split, adjacent-pair counts,
+    // argmax merge, merge applied via the two-space-safe replace
+    def round(prev: String, k: Int): String =
+      s"""sym$k AS (SELECT c, regexp_split_to_array(trim(sp), ' +') AS s
+         |  FROM $prev),
+         |si$k AS (SELECT c, s, unnest(generate_series(1, len(s) - 1)) AS i
+         |  FROM sym$k WHERE len(s) >= 2),
+         |p$k AS (SELECT s[i] AS lhs, s[i + 1] AS rhs,
+         |    CAST(sum(c) AS BIGINT) AS pair_count
+         |  FROM si$k GROUP BY 1, 2),
+         |m$k AS (SELECT $k AS round, lhs, rhs, lhs || rhs AS merged,
+         |    pair_count
+         |  FROM p$k ORDER BY pair_count DESC, lhs ASC, rhs ASC LIMIT 1),
+         |w$k AS (SELECT w, c, replace(sp,
+         |    concat(' ', (SELECT lhs FROM m$k), '  ', (SELECT rhs FROM m$k),
+         |      ' '),
+         |    concat(' ', (SELECT merged FROM m$k), ' ')) AS sp
+         |  FROM $prev)""".stripMargin
+    val toksSql = duckToksSql("text")
+    s"""WITH toks AS (SELECT unnest($toksSql) AS w FROM documents),
+       |w0 AS (SELECT w, count(*) AS c,
+       |    regexp_replace(w, '(.)', ' \\1 ', 'g') AS sp
+       |  FROM toks WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY w),
+       |${round("w0", 1)},
+       |${round("w1", 2)},
+       |${round("w2", 3)}
+       |SELECT round, lhs, rhs, merged, pair_count FROM m1
+       |UNION ALL SELECT round, lhs, rhs, merged, pair_count FROM m2
+       |UNION ALL SELECT round, lhs, rhs, merged, pair_count FROM m3"""
+      .stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_merges" -> (qBpeMerges _),
     "q_pii_scan" -> (qPiiScan _),
     "q_mcc" -> (qMcc _),
     "q_cohens_kappa" -> (qCohensKappa _),
@@ -1029,6 +1124,7 @@ object TextAnalysis {
     "q_stratified_sample" -> (qStratifiedSample _))
 
   def oracle: Map[String, String] = Map(
+    "q_bpe_merges" -> qBpeMergesSql,
     "q_pii_scan" -> qPiiScanSql,
     "q_mcc" -> qMccSql,
     "q_cohens_kappa" -> qCohensKappaSql,

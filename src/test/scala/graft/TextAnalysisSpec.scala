@@ -15,6 +15,38 @@ class TextAnalysisSpec extends AnyFunSuite {
       .as[(Long, Long, Double, Double, Boolean)].collect()
       .map { case (id, n, e, m, p) => id -> ((n, e, m, p)) }.toMap
 
+  test("q_bpe_merges: round-1 merge equals a brute-force pair count; merge counts never increase across rounds") {
+    import org.apache.spark.sql.functions.{col, count, explode, lit}
+    import graft.functions.TextFunctions.tokens
+    val rows = TextAnalysis.qBpeMerges(spark, sf).orderBy("round").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[String]("merged") ==
+        r.getAs[String]("lhs") + r.getAs[String]("rhs"))
+      assert(r.getAs[Long]("pair_count") > 0)
+    }
+    // a round-k+1 pair is either an old pair (count can only shrink)
+    // or flanks the round-k merge (count ≤ that merge's count), so the
+    // chosen max is non-increasing — a provable BPE invariant
+    val c = rows.map(_.getAs[Long]("pair_count"))
+    assert(c(1) <= c(0) && c(2) <= c(1), s"merge counts increased: ${c.toSeq}")
+    // brute-force round 1 from the collected word-type table
+    val words = Tables.documents(spark, sf)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect()
+    val pc = scala.collection.mutable.Map[(String, String), Long]()
+      .withDefaultValue(0L)
+    words.foreach { case (w, c0) =>
+      w.sliding(2).filter(_.length == 2).foreach { p =>
+        pc((p(0).toString, p(1).toString)) += c0 } }
+    val best = pc.toSeq.sortBy { case ((l, r), n) => (-n, l, r) }.head
+    assert((rows(0).getAs[String]("lhs"), rows(0).getAs[String]("rhs")) == best._1,
+      s"round-1 merge ${rows(0)} != brute-force $best")
+    assert(rows(0).getAs[Long]("pair_count") == best._2)
+  }
+
   test("char entropy: flood is 0 and gated, uniform string is log2(k), natural text passes") {
     val r = score(
       1L -> "aaaaaaaaaaaaaaaa",

@@ -654,9 +654,16 @@ object Similarity {
       .orderBy(round(col("sim"), 6).desc, col("nid").asc)
     val entry = e.orderBy(col("vec_id")).limit(NswEntry)
       .select(col("vec_id").as("nid"))
+    // each hop MATERIALIZES its beam (localCheckpoint): the candidate
+    // derivation references the previous beam twice (graph join +
+    // union), so an unmaterialized loop doubles the logical plan per
+    // hop — 2^NswHops redundant re-execution by the last hop (the
+    // clusterPairs checkpointing lesson). With materialization every
+    // hop is one bounded broadcast probe of the cached embeddings.
     var beam = score(q.select(col("qid")).crossJoin(broadcast(entry)))
       .withColumn("r", row_number().over(w)).filter(col("r") <= NswBeam)
       .select(col("qid"), col("nid"), col("sim"))
+      .localCheckpoint()
     for (_ <- 1 to NswHops) {
       val ids = beam.select(col("qid"), col("nid"))
       val cand = ids.join(g, ids("nid") === g("src"))
@@ -665,6 +672,7 @@ object Similarity {
       beam = score(cand)
         .withColumn("r", row_number().over(w)).filter(col("r") <= NswBeam)
         .select(col("qid"), col("nid"), col("sim"))
+        .localCheckpoint()
     }
     beam.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)

@@ -1485,13 +1485,18 @@ object FeatureOps {
         .select(col("v").as("thr"),
           expr(hu("sl", "2 * nl")).as("gl"),
           expr(hu("sr", "2 * nr")).as("gr"))
+      // materialize both artifacts (≤50 + 1 rows): round k+1 and the
+      // audit row each re-reference them — without this the logical
+      // plan doubles per round and optimizer time dominates the query
+      // (measured 4.3 s flat across SFs; the NSW-beam lesson)
       val stepped = state.crossJoin(broadcast(split))
         .withColumn("f",
           col("f") + when(col("v") <= col("thr"), col("gl"))
             .otherwise(col("gr")))
         .select(col("v"), col("n"), col("pos"), col("nn"), col("vmax"),
           col("f"))
-      (stepped, split)
+        .localCheckpoint()
+      (stepped, split.localCheckpoint())
     }
     // per-stage audit row; split attaches (threshold, leaves) or nulls
     def stageRow(state: DataFrame, stage: Int, split: DataFrame): DataFrame =
@@ -1519,6 +1524,165 @@ object FeatureOps {
     stageRow(st0, 0, noSplit)
       .union(stageRow(s1, 1, sp1))
       .union(stageRow(s2, 2, sp2))
+  }
+
+  // ---------------------------------------------------------------- E42
+  /** Random-forest-of-stumps (3 bags, majority vote) — the BAGGED
+    * ensemble next to E40's boosted one, completing the tree-ensemble
+    * pair. Each bag is a deterministic ⅓ subsample (pasting) keyed by
+    * the md5-derived row hash of (orderkey, linenumber) — the
+    * engine-portable "random" device every sampler here uses — and
+    * trains E40's exact-integer stump on its own histogram: per-bag
+    * residual weights against the BAG's own base rate, quantized-gain
+    * split search (ties → threshold ASC), leaf classes by exact
+    * majority. The ensemble predicts the per-row majority of the
+    * three stump votes; because every stump is a threshold on the
+    * same axis, the vote is a pure integer comparison ladder and the
+    * ensemble's train accuracy is one exact integer aggregate over
+    * the corpus histogram × 3 broadcast stump rows. Publishes one row
+    * per bag (threshold, leaf classes, bag accuracy in ppm) + one
+    * ensemble row (bag = -1). No float anywhere. Scale: one corpus
+    * scan → (bag × ≤50-bin) histograms; everything downstream is
+    * bounded.
+    */
+  def qRfStumps(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def hu(a: String, b: String): String =
+      s"(2 * ($a) + ($b)) DIV (2 * ($b))"
+    val rows = Tables.lineitem(spark, dir)
+      .select(col("l_quantity").cast("long").as("v"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"),
+        (expr("conv(substring(md5(concat_ws('|', cast(l_orderkey as string)," +
+          " cast(l_linenumber as string))), 1, 15), 16, 10)")
+          .cast("long") % 3).as("bag"))
+    val hist = rows.groupBy(col("bag"), col("v"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      .cache()
+    val tot = hist.groupBy(col("bag"))
+      .agg(sum(col("n")).cast("long").as("nn"),
+        sum(col("pos")).cast("long").as("npos"), max(col("v")).as("vmax"))
+    val wOrd = Window.partitionBy(col("bag")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // per-bag split search: squared-loss gain on residual mass vs the
+    // bag base rate (the E40 device, ×nn-scaled so the base rate
+    // needs no division: wv = pos·nn − npos·n is exact and Σwv = 0,
+    // hence S_R = −S_L and the gain collapses to S_L²·nn/(n_L·n_R))
+    val pre = hist.join(broadcast(tot), "bag")
+      .withColumn("wv",
+        col("pos") * col("nn") - col("npos") * col("n"))
+      .withColumn("sl", sum(col("wv")).over(wOrd).cast("decimal(38,0)"))
+      .withColumn("nl", sum(col("n")).over(wOrd).cast("long"))
+      .withColumn("pl", sum(col("pos")).over(wOrd).cast("long"))
+      .filter(col("v") < col("vmax"))
+      .withColumn("nr", col("nn") - col("nl"))
+      .withColumn("pr", col("npos") - col("pl"))
+      .withColumn("gain_q", expr(hu("sl * sl * nn", "nl * nr")))
+    val byGain = Window.partitionBy(col("bag"))
+      .orderBy(col("gain_q").desc, col("v").asc)
+    val stumps = pre.withColumn("rk", row_number().over(byGain))
+      .filter(col("rk") === 1)
+      // leaf classes by exact majority inside each side
+      .select(col("bag"), col("v").as("threshold"),
+        (col("pl") * 2 > col("nl")).as("left_pos"),
+        (col("pr") * 2 > col("nr")).as("right_pos"))
+      .cache()
+    // per-bag training accuracy on the bag's own rows
+    val bagAcc = hist.join(broadcast(stumps), "bag")
+      .withColumn("pred",
+        when(col("v") <= col("threshold"), col("left_pos"))
+          .otherwise(col("right_pos")))
+      .withColumn("correct",
+        when(col("pred"), col("pos")).otherwise(col("n") - col("pos")))
+      .groupBy(col("bag"), col("threshold"), col("left_pos"), col("right_pos"))
+      .agg(sum(col("correct")).cast("long").as("c"),
+        sum(col("n")).cast("long").as("nn"))
+      .select(col("bag").cast("long").as("bag"), col("threshold"),
+        col("left_pos"), col("right_pos"),
+        expr(hu("1000000 * c", "nn")).as("accuracy_ppm"))
+    // ensemble: full-corpus histogram, per-row majority of 3 votes
+    val fullHist = rows.groupBy(col("v"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+    val votes = fullHist.crossJoin(broadcast(stumps))
+      .withColumn("vote",
+        when(when(col("v") <= col("threshold"), col("left_pos"))
+          .otherwise(col("right_pos")), 1L).otherwise(0L))
+      .groupBy(col("v"), col("n"), col("pos"))
+      .agg(sum(col("vote")).as("nvotes"))
+      .withColumn("pred", col("nvotes") * 2 > 3)
+      .withColumn("correct",
+        when(col("pred"), col("pos")).otherwise(col("n") - col("pos")))
+    val ensemble = votes
+      .agg(sum(col("correct")).cast("long").as("c"),
+        sum(col("n")).cast("long").as("nn"))
+      .select(lit(-1L).as("bag"), lit(null).cast("long").as("threshold"),
+        lit(null).cast("boolean").as("left_pos"),
+        lit(null).cast("boolean").as("right_pos"),
+        expr(hu("1000000 * c", "nn")).as("accuracy_ppm"))
+    bagAcc.union(ensemble)
+  }
+
+  val qRfStumpsSql: String = {
+    def hu(a: String, b: String): String =
+      s"CAST((2 * ($a) + ($b)) // (2 * ($b)) AS BIGINT)"
+    s"""WITH rows0 AS (SELECT CAST(l_quantity AS BIGINT) AS v,
+       |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+       |    ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|'
+       |      || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT % 3 AS bag
+       |  FROM lineitem),
+       |hist AS (SELECT bag, v, count(*) AS n,
+       |    CAST(sum(y) AS BIGINT) AS pos
+       |  FROM rows0 GROUP BY 1, 2),
+       |tot AS (SELECT bag, CAST(sum(n) AS BIGINT) AS nn,
+       |    CAST(sum(pos) AS BIGINT) AS npos, max(v) AS vmax
+       |  FROM hist GROUP BY 1),
+       |pre AS (SELECT h.bag, h.v, t.nn, t.npos, t.vmax,
+       |    CAST(sum(h.pos * t.nn - t.npos * h.n)
+       |      OVER (PARTITION BY h.bag ORDER BY h.v) AS HUGEINT) AS sl,
+       |    CAST(sum(h.n) OVER (PARTITION BY h.bag ORDER BY h.v)
+       |      AS BIGINT) AS nl,
+       |    CAST(sum(h.pos) OVER (PARTITION BY h.bag ORDER BY h.v)
+       |      AS BIGINT) AS pl
+       |  FROM hist h JOIN tot t USING (bag)),
+       |cand AS (SELECT bag, v, sl, nl, pl, nn - nl AS nr,
+       |    npos - pl AS pr, nn, npos,
+       |    ${hu("sl * sl * nn", "nl * (nn - nl)")} AS gain_q
+       |  FROM pre WHERE v < vmax),
+       |stumps AS (SELECT bag, v AS threshold, pl * 2 > nl AS left_pos,
+       |    pr * 2 > nr AS right_pos
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY bag
+       |      ORDER BY gain_q DESC, v ASC) AS rk FROM cand) z
+       |  WHERE rk = 1),
+       |bagacc AS (SELECT h.bag, s.threshold, s.left_pos, s.right_pos,
+       |    ${hu(
+        """1000000 * sum(CASE WHEN (CASE WHEN h.v <= s.threshold
+          | THEN s.left_pos ELSE s.right_pos END)
+          | THEN h.pos ELSE h.n - h.pos END)""".stripMargin
+          .replace("\n", " "),
+        "sum(h.n)")} AS accuracy_ppm
+       |  FROM hist h JOIN stumps s USING (bag)
+       |  GROUP BY h.bag, s.threshold, s.left_pos, s.right_pos),
+       |fullh AS (SELECT v, count(*) AS n, CAST(sum(y) AS BIGINT) AS pos
+       |  FROM rows0 GROUP BY 1),
+       |votes AS (SELECT f.v, f.n, f.pos,
+       |    CAST(sum(CASE WHEN (CASE WHEN f.v <= s.threshold
+       |      THEN s.left_pos ELSE s.right_pos END) THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS nvotes
+       |  FROM fullh f CROSS JOIN stumps s
+       |  GROUP BY f.v, f.n, f.pos),
+       |ens AS (SELECT CAST(-1 AS BIGINT) AS bag,
+       |    CAST(NULL AS BIGINT) AS threshold,
+       |    CAST(NULL AS BOOLEAN) AS left_pos,
+       |    CAST(NULL AS BOOLEAN) AS right_pos,
+       |    ${hu(
+        """1000000 * sum(CASE WHEN nvotes * 2 > 3
+          | THEN pos ELSE n - pos END)""".stripMargin.replace("\n", " "),
+        "sum(n)")} AS accuracy_ppm
+       |  FROM votes)
+       |SELECT CAST(bag AS BIGINT) AS bag, threshold, left_pos, right_pos,
+       |  accuracy_ppm
+       |FROM bagacc
+       |UNION ALL SELECT bag, threshold, left_pos, right_pos, accuracy_ppm
+       |FROM ens""".stripMargin
   }
 
   val qGbtStumpsSql: String = {
@@ -1828,6 +1992,7 @@ object FeatureOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ols_multi" -> (qOlsMulti _),
     "q_gbt_stumps" -> (qGbtStumps _),
+    "q_rf_stumps" -> (qRfStumps _),
     "q_vif" -> (qVif _),
     "q_logistic_gd" -> (qLogisticGd _),
     "q_decision_stump" -> (qDecisionStump _),
@@ -1858,6 +2023,7 @@ object FeatureOps {
   def oracle: Map[String, String] = Map(
     "q_ols_multi" -> qOlsMultiSql,
     "q_gbt_stumps" -> qGbtStumpsSql,
+    "q_rf_stumps" -> qRfStumpsSql,
     "q_vif" -> qVifSql,
     "q_logistic_gd" -> qLogisticGdSql,
     "q_decision_stump" -> qDecisionStumpSql,

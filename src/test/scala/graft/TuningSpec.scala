@@ -172,6 +172,37 @@ class TuningSpec extends AnyFunSuite {
     }
   }
 
+  test("q_rf_stumps: ensemble accuracy recomposes from the three published stumps; bags partition the corpus") {
+    import org.apache.spark.sql.functions.col
+    val rows = FeatureOps.qRfStumps(spark, sf).collect()
+    val bags = rows.filter(_.getAs[Long]("bag") >= 0)
+    val ens = rows.filter(_.getAs[Long]("bag") == -1L)
+    assert(bags.length == 3 && ens.length == 1)
+    val stumps = bags.map { r =>
+      (r.getAs[Long]("threshold"), r.getAs[Boolean]("left_pos"),
+        r.getAs[Boolean]("right_pos")) }
+    // brute-force the ensemble vote over the raw rows
+    val data = Tables.lineitem(spark, sf)
+      .select(col("l_quantity").cast("long"),
+        org.apache.spark.sql.functions.when(col("l_returnflag") === "R", 1L)
+          .otherwise(0L))
+      .as[(Long, Long)].collect()
+    val correct = data.count { case (v, y) =>
+      val votes = stumps.count { case (t, lp, rp) => if (v <= t) lp else rp }
+      val pred = votes * 2 > 3
+      (pred && y == 1L) || (!pred && y == 0L)
+    }
+    def hu(a: BigInt, b: BigInt): BigInt = (2 * a + b) / (2 * b)
+    assert(BigInt(ens.head.getAs[Long]("accuracy_ppm")) ==
+      hu(BigInt(1000000) * correct, data.length),
+      "ensemble accuracy must recompose from the published stumps")
+    bags.foreach { r =>
+      val a = r.getAs[Long]("accuracy_ppm")
+      assert(a >= 0 && a <= 1000000)
+      assert(!r.isNullAt(r.fieldIndex("threshold")))
+    }
+  }
+
   test("PR curve: recall is monotone non-increasing in the threshold and counts are consistent") {
     val rows = FeatureOps.qPrCurve(spark, sf)
       .select("threshold", "tp", "fp", "fn", "tn", "rec")

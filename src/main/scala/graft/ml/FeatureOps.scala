@@ -1526,6 +1526,142 @@ object FeatureOps {
       .union(stageRow(s2, 2, sp2))
   }
 
+  // ---------------------------------------------------------------- E41
+  /** Split-conformal prediction intervals (α = 0.1) for the per-flag
+    * price-on-quantity regression — the distribution-free,
+    * finite-sample-guaranteed uncertainty quantification a model
+    * audit pipeline wraps around ANY point predictor. Split device:
+    * the md5 row hash halves each flag into train/calibration; the
+    * train fit is the exact-moment slope/intercept in micro-units
+    * (sign-split E26 half-up — no regr_* doubles), calibration
+    * residuals |y·10⁶ − a − b·x| are EXACT integers, and the
+    * conformal quantile is the ⌈(n_cal+1)(1−α)⌉-th ORDER STATISTIC —
+    * not an interpolated percentile, so no float touches the verdict.
+    * Scale device: residuals quantize UP to whole dollars (ceiling —
+    * conservative, the coverage guarantee survives) and the order
+    * statistic reads off a cumulative count over the bounded
+    * dollar-bin histogram (the q_auc class; the window runs over
+    * bins, never corpus rows). Publishes per flag the fit, the
+    * interval half-width q_dollar, and the calibration coverage in
+    * ppm — provably ≥ 900,000 by the conformal guarantee
+    * (spec-asserted).
+    */
+  def qConformalInterval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def shu(a: String, b: String): String =
+      s"""CASE WHEN ($a) >= 0
+         | THEN (2 * ($a) + ($b)) DIV (2 * ($b))
+         | ELSE -((2 * (-($a)) + ($b)) DIV (2 * ($b))) END"""
+        .stripMargin.replace("\n", " ")
+    val rows = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("x"),
+        round(col("l_extendedprice") * 100).cast("long").as("y"),
+        (expr("conv(substring(md5(concat_ws('|', cast(l_orderkey as string)," +
+          " cast(l_linenumber as string))), 1, 15), 16, 10)")
+          .cast("long") % 2).as("half"))
+    val fit = rows.filter(col("half") === 0)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_train"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+      .withColumn("slope_micro",
+        expr(shu("1000000 * (n_train * sxy - sx * sy)",
+          "n_train * sxx - sx * sx")))
+      .withColumn("icpt_micro",
+        expr(shu("1000000 * sy - slope_micro * sx", "n_train")))
+      .select(col("l_returnflag"), col("n_train"),
+        col("slope_micro"), col("icpt_micro"))
+    // calibration residuals, exact, ceiling-quantized to dollars
+    val cal = rows.filter(col("half") === 1)
+      .join(broadcast(fit), "l_returnflag")
+      .withColumn("r_micro",
+        abs(col("y") * 1000000L - col("icpt_micro")
+          - col("slope_micro") * col("x")))
+      .withColumn("rq", expr("(r_micro + 99999999) DIV 100000000"))
+    val hist = cal.groupBy(col("l_returnflag"), col("n_train"),
+        col("slope_micro"), col("icpt_micro"), col("rq"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("rq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(wCum).cast("long"))
+      .withColumn("n_cal",
+        sum(col("cnt")).over(Window.partitionBy(col("l_returnflag")))
+          .cast("long"))
+      // conformal rank k = ceil((n_cal+1) * 0.9)
+      .withColumn("k", expr("(9 * (n_cal + 1) + 9) DIV 10"))
+    val q = cum.filter(col("cum") >= col("k"))
+      .groupBy(col("l_returnflag"), col("n_train"), col("slope_micro"),
+        col("icpt_micro"), col("n_cal"), col("k"))
+      .agg(min(col("rq")).as("q_dollar"))
+    // coverage at the published width, from the same histogram
+    q.join(hist.select(col("l_returnflag"), col("rq"), col("cnt")),
+        Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"), col("n_train"), col("n_cal"),
+        col("slope_micro"), col("icpt_micro"), col("q_dollar"))
+      .agg(sum(when(col("rq") <= col("q_dollar"), col("cnt"))
+        .otherwise(0L)).cast("long").as("n_cov"))
+      .select(col("l_returnflag"), col("n_train"), col("n_cal"),
+        col("slope_micro"), col("icpt_micro"), col("q_dollar"),
+        expr("(2 * 1000000 * n_cov + n_cal) DIV (2 * n_cal)")
+          .as("coverage_ppm"))
+  }
+
+  val qConformalIntervalSql: String = {
+    def shu(a: String, b: String): String =
+      s"""CASE WHEN ($a) >= 0
+         | THEN CAST((2 * ($a) + ($b)) // (2 * ($b)) AS BIGINT)
+         | ELSE -CAST((2 * (-($a)) + ($b)) // (2 * ($b)) AS BIGINT) END"""
+        .stripMargin.replace("\n", " ")
+    s"""WITH rows0 AS (SELECT l_returnflag,
+       |    CAST(l_quantity AS HUGEINT) AS x,
+       |    CAST(round(l_extendedprice * 100) AS HUGEINT) AS y,
+       |    ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|'
+       |      || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT % 2 AS half
+       |  FROM lineitem),
+       |fit AS (SELECT l_returnflag, n_train, slope_micro,
+       |    ${shu("1000000 * sy - slope_micro * sx", "n_train")}
+       |      AS icpt_micro
+       |  FROM (SELECT l_returnflag, n_train, sx, sy,
+       |      ${shu("1000000 * (n_train * sxy - sx * sy)",
+             "n_train * sxx - sx * sx")} AS slope_micro
+       |    FROM (SELECT l_returnflag,
+       |        CAST(count(*) AS HUGEINT) AS n_train, sum(x) AS sx,
+       |        sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy
+       |      FROM rows0 WHERE half = 0 GROUP BY 1) z) z2),
+       |cal AS (SELECT r.l_returnflag, f.n_train, f.slope_micro,
+       |    f.icpt_micro,
+       |    (abs(r.y * 1000000 - f.icpt_micro - f.slope_micro * r.x)
+       |      + 99999999) // 100000000 AS rq
+       |  FROM rows0 r JOIN fit f USING (l_returnflag) WHERE r.half = 1),
+       |hist AS (SELECT l_returnflag, n_train, slope_micro, icpt_micro,
+       |    rq, count(*) AS cnt
+       |  FROM cal GROUP BY 1, 2, 3, 4, 5),
+       |cum AS (SELECT *,
+       |    CAST(sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY rq)
+       |      AS BIGINT) AS cum,
+       |    CAST(sum(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT)
+       |      AS n_cal
+       |  FROM hist),
+       |q AS (SELECT l_returnflag, n_train, slope_micro, icpt_micro,
+       |    n_cal, min(rq) AS q_dollar
+       |  FROM (SELECT *, (9 * (n_cal + 1) + 9) // 10 AS k FROM cum) c
+       |  WHERE cum >= k
+       |  GROUP BY 1, 2, 3, 4, 5)
+       |SELECT q.l_returnflag, CAST(q.n_train AS BIGINT) AS n_train,
+       |  q.n_cal,
+       |  q.slope_micro, q.icpt_micro, CAST(q.q_dollar AS BIGINT)
+       |    AS q_dollar,
+       |  CAST((2 * 1000000 * sum(CASE WHEN h.rq <= q.q_dollar
+       |      THEN h.cnt ELSE 0 END) + q.n_cal) // (2 * q.n_cal)
+       |    AS BIGINT) AS coverage_ppm
+       |FROM q JOIN hist h USING (l_returnflag)
+       |GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
+  }
+
   // ---------------------------------------------------------------- E42
   /** Random-forest-of-stumps (3 bags, majority vote) — the BAGGED
     * ensemble next to E40's boosted one, completing the tree-ensemble
@@ -1993,6 +2129,7 @@ object FeatureOps {
     "q_ols_multi" -> (qOlsMulti _),
     "q_gbt_stumps" -> (qGbtStumps _),
     "q_rf_stumps" -> (qRfStumps _),
+    "q_conformal_interval" -> (qConformalInterval _),
     "q_vif" -> (qVif _),
     "q_logistic_gd" -> (qLogisticGd _),
     "q_decision_stump" -> (qDecisionStump _),
@@ -2024,6 +2161,7 @@ object FeatureOps {
     "q_ols_multi" -> qOlsMultiSql,
     "q_gbt_stumps" -> qGbtStumpsSql,
     "q_rf_stumps" -> qRfStumpsSql,
+    "q_conformal_interval" -> qConformalIntervalSql,
     "q_vif" -> qVifSql,
     "q_logistic_gd" -> qLogisticGdSql,
     "q_decision_stump" -> qDecisionStumpSql,

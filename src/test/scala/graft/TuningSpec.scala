@@ -203,6 +203,45 @@ class TuningSpec extends AnyFunSuite {
     }
   }
 
+  test("q_conformal_interval: finite-sample coverage guarantee holds; quantile recomposes by hand") {
+    val rows = FeatureOps.qConformalInterval(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nCal = r.getAs[Long]("n_cal")
+      val cov = r.getAs[Long]("coverage_ppm")
+      // split-conformal guarantee: P(|resid| <= q) >= ceil((n+1)(1-α))/ (n+1)
+      // on the calibration set the EMPIRICAL coverage at the k-th order
+      // statistic is >= k/n_cal >= 0.9 exactly
+      assert(cov >= 900000L,
+        s"coverage $cov ppm below the conformal floor (n_cal=$nCal)")
+      assert(r.getAs[Long]("q_dollar") >= 0)
+      assert(nCal > 0 && r.getAs[Long]("n_train") > 0)
+    }
+    // recompose one flag's quantile by hand from the raw rows
+    import org.apache.spark.sql.functions.col
+    val f = rows.head
+    val flag = f.getAs[String]("l_returnflag")
+    val (b, a) = (f.getAs[Long]("slope_micro"), f.getAs[Long]("icpt_micro"))
+    val resid = Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag") === flag)
+      .select(col("l_quantity").cast("long"),
+        org.apache.spark.sql.functions.round(col("l_extendedprice") * 100)
+          .cast("long"),
+        (org.apache.spark.sql.functions.expr(
+          "conv(substring(md5(concat_ws('|', cast(l_orderkey as string)," +
+            " cast(l_linenumber as string))), 1, 15), 16, 10)")
+          .cast("long") % 2))
+      .as[(Long, Long, Long)].collect()
+      .filter(_._3 == 1L)
+      .map { case (x, y, _) =>
+        (math.abs(y * 1000000L - a - b * x) + 99999999L) / 100000000L }
+      .sorted
+    val k = ((9 * (resid.length + 1) + 9) / 10) - 1 // 0-based index
+    assert(f.getAs[Long]("q_dollar") == resid(k.toInt),
+      "published q_dollar must be the k-th order statistic of the " +
+        "dollar-quantized calibration residuals")
+  }
+
   test("PR curve: recall is monotone non-increasing in the threshold and counts are consistent") {
     val rows = FeatureOps.qPrCurve(spark, sf)
       .select("threshold", "tp", "fp", "fn", "tn", "rec")

@@ -504,40 +504,70 @@ object Tuning {
     * candidates are panel × 25 brands — nothing corpus-scale moves
     * after the first aggregate. Numerators accumulate in
     * DECIMAL(38,0)/HUGEINT so no sum outgrows the device at any SF.
+    * Factors PERSIST in [[AlsStore]] (the PredStore corpus-fingerprint
+    * staleness contract): the fit runs once per corpus state, the
+    * warm recommendation path reads only the factor/rated-pair
+    * artifacts (zero corpus scans), and the DuckDB oracle replays the
+    * identical exact-integer chain from the raw tables — bit-equal by
+    * construction, so the artifact needs no late-bound SQL.
     */
+  /** Persisted ALS factor store (the KmeansStore/PredStore staleness
+    * contract): u²/v¹ fixed-point factors plus the rated-pair
+    * projection, built once per corpus fingerprint. The warm
+    * recommendation path reads ONLY the store — zero corpus scans —
+    * and a mutated corpus changes the location, so stale factors stop
+    * resolving instead of being served.
+    */
+  object AlsStore extends PredStore("als", "lineitem") {
+    protected def build(spark: SparkSession, dir: String, loc: String): Unit = {
+      val r = Tables.lineitem(spark, dir)
+        .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("o_custkey").as("c"), col("p_brand").as("b"))
+        .agg(sum(col("l_quantity").cast("long")).as("rt"))
+        .cache()
+      try {
+        // u¹ (milli) = halfUp(10³·Σ_b r / n_b)  [v⁰ = 1]
+        val u1 = r.groupBy(col("c"))
+          .agg(sum(col("rt").cast("decimal(38,0)")).as("sr"),
+            count(lit(1)).as("nb"))
+          .select(col("c"),
+            expr("(2 * 1000 * sr + nb) DIV (2 * nb)").as("u1"))
+        // v¹ (milli) = halfUp(10⁶·Σ_c u¹·r / Σ_c u¹²)
+        val v1 = r.join(u1, "c")
+          .groupBy(col("b"))
+          .agg(sum((col("u1") * col("rt")).cast("decimal(38,0)")).as("sur"),
+            sum((col("u1") * col("u1")).cast("decimal(38,0)")).as("suu"))
+          .select(col("b"),
+            expr("(2 * 1000000 * sur + suu) DIV (2 * suu)").as("v1"))
+          .cache()
+        // u² (milli) = halfUp(10⁶·Σ_b v¹·r / Σ_b v¹²)
+        val u2 = r.join(broadcast(v1), "b")
+          .groupBy(col("c"))
+          .agg(sum((col("v1") * col("rt")).cast("decimal(38,0)")).as("svr"),
+            sum((col("v1") * col("v1")).cast("decimal(38,0)")).as("svv"))
+          .select(col("c"),
+            expr("(2 * 1000000 * svr + svv) DIV (2 * svv)").as("u2"))
+        v1.write.mode("overwrite").parquet(s"$loc/v")
+        u2.write.mode("overwrite").parquet(s"$loc/u")
+        r.select(col("c"), col("b")).write.mode("overwrite")
+          .parquet(s"$loc/rated")
+      } finally r.unpersist()
+    }
+  }
+
   def qAlsRecommend(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val r = Tables.lineitem(spark, dir)
-      .join(Tables.orders(spark, dir)
-        .select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")),
-        col("l_partkey") === col("p_partkey"))
-      .groupBy(col("o_custkey").as("c"), col("p_brand").as("b"))
-      .agg(sum(col("l_quantity").cast("long")).as("rt"))
-    // u¹ (milli) = halfUp(10³·Σ_b r / n_b)  [v⁰ = 1]
-    val u1 = r.groupBy(col("c"))
-      .agg(sum(col("rt").cast("decimal(38,0)")).as("sr"),
-        count(lit(1)).as("nb"))
-      .select(col("c"),
-        expr("(2 * 1000 * sr + nb) DIV (2 * nb)").as("u1"))
-    // v¹ (milli) = halfUp(10⁶·Σ_c u¹·r / Σ_c u¹²)
-    val v1 = r.join(u1, "c")
-      .groupBy(col("b"))
-      .agg(sum((col("u1") * col("rt")).cast("decimal(38,0)")).as("sur"),
-        sum((col("u1") * col("u1")).cast("decimal(38,0)")).as("suu"))
-      .select(col("b"),
-        expr("(2 * 1000000 * sur + suu) DIV (2 * suu)").as("v1"))
-    // u² (milli) = halfUp(10⁶·Σ_b v¹·r / Σ_b v¹²)
-    val u2 = r.join(broadcast(v1), "b")
-      .groupBy(col("c"))
-      .agg(sum((col("v1") * col("rt")).cast("decimal(38,0)")).as("svr"),
-        sum((col("v1") * col("v1")).cast("decimal(38,0)")).as("svv"))
-      .select(col("c"),
-        expr("(2 * 1000000 * svr + svv) DIV (2 * svv)").as("u2"))
+    val loc = AlsStore.ensure(spark, dir)
+    val u2 = spark.read.parquet(s"$loc/u")
+    val v1 = spark.read.parquet(s"$loc/v")
+    val rated = spark.read.parquet(s"$loc/rated")
     val cand = u2.filter(col("c") <= 200)
       .crossJoin(broadcast(v1))
-      .join(r.select(col("c"), col("b")), Seq("c", "b"), "left_anti")
+      .join(rated, Seq("c", "b"), "left_anti")
       .withColumn("score_micro", col("u2") * col("v1"))
     val w = Window.partitionBy(col("c"))
       .orderBy(col("score_micro").desc, col("b").asc)

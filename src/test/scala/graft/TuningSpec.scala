@@ -170,6 +170,14 @@ class TuningSpec extends AnyFunSuite {
       assert(xs.map(_._3).sorted.toSeq == (1 to xs.length).toSeq,
         s"rank gaps for customer $c")
     }
+    // staleness contract: a warm call rides the persisted factors
+    val fits = Tuning.AlsStore.fitCount.get
+    val again = Tuning.qAlsRecommend(spark, sf)
+      .select("custkey", "brand", "rank", "score_micro")
+      .as[(Long, String, Int, Long)].collect()
+    assert(Tuning.AlsStore.fitCount.get == fits,
+      "a warm ALS call must not refit")
+    assert(again.toSet == out.toSet, "warm factors must score identically")
   }
 
   test("q_rf_stumps: ensemble accuracy recomposes from the three published stumps; bags partition the corpus") {

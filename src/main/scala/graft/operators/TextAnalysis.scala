@@ -1033,7 +1033,13 @@ object TextAnalysis {
     * aggregate + a map-side replace; nothing corpus-scale moves
     * after the first token explode.
     */
-  def qBpeMerges(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared BPE induction state: the word-type table after the three
+    * learned merges (w, c, sp) and the three 1-row merge descriptors.
+    * [[qBpeMerges]] publishes the merges; [[qBpeApply]] joins the
+    * merged symbol table back onto the corpus.
+    */
+  private def bpeState(spark: SparkSession, dir: String)
+      : (DataFrame, Seq[DataFrame]) = {
     val words = Tables.documents(spark, dir)
       .select(explode(tokens(col("text"))).as("w"))
       .filter(col("w").rlike("^[a-z]+$"))
@@ -1065,12 +1071,21 @@ object TextAnalysis {
     val m2 = argmax(pairs(w1), 2)
     val w2 = applyMerge(w1, m2)
     val m3 = argmax(pairs(w2), 3)
-    m1.union(m2).union(m3)
+    val w3 = applyMerge(w2, m3)
+    (w3, Seq(m1, m2, m3))
   }
 
-  val qBpeMergesSql: String = {
-    // one BPE round in SQL: symbol split, adjacent-pair counts,
-    // argmax merge, merge applied via the two-space-safe replace
+  def qBpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val (_, merges) = bpeState(spark, dir)
+    merges.reduce(_ union _)
+  }
+
+  /** Shared WITH-prefix of the BPE oracle: word-type table w0 and the
+    * three unrolled merge rounds (CTEs m1–m3, w1–w3). One BPE round =
+    * symbol split, adjacent-pair counts, argmax merge, merge applied
+    * via the two-space-safe replace.
+    */
+  private def bpeSqlCtes: String = {
     def round(prev: String, k: Int): String =
       s"""sym$k AS (SELECT c, regexp_split_to_array(trim(sp), ' +') AS s
          |  FROM $prev),
@@ -1094,15 +1109,72 @@ object TextAnalysis {
        |  FROM toks WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY w),
        |${round("w0", 1)},
        |${round("w1", 2)},
-       |${round("w2", 3)}
+       |${round("w2", 3)}""".stripMargin
+  }
+
+  val qBpeMergesSql: String =
+    s"""$bpeSqlCtes
        |SELECT round, lhs, rhs, merged, pair_count FROM m1
        |UNION ALL SELECT round, lhs, rhs, merged, pair_count FROM m2
        |UNION ALL SELECT round, lhs, rhs, merged, pair_count FROM m3"""
       .stripMargin
+
+  // ---------------------------------------------------------------- B26
+  /** The learned BPE tokenizer APPLIED corpus-wide — the per-source
+    * fertility/compression readout a tokenizer change is judged by
+    * (B17 measures a fixed whitespace tokenizer; this measures the
+    * induced one). The B25 merge chain runs once on the vocabulary;
+    * the corpus pass is then ONE map-side explode joined to the
+    * BROADCAST merged symbol table (vocab-bounded — never a shuffle
+    * of text), aggregated per source: word instances, characters,
+    * post-merge tokens, and the two half-up ppm ratios (tokens/word
+    * fertility, tokens/char compression — exact integers end-to-end).
+    * Non-letter tokens are outside the induction scope and excluded
+    * on both sides (inner join = the oracle's inner join).
+    */
+  def qBpeApply(spark: SparkSession, dir: String): DataFrame = {
+    val (w3, _) = bpeState(spark, dir)
+    val vocab = w3.select(col("w"),
+      size(split(trim(col("sp")), "\\s+")).cast("long").as("n_sym"),
+      length(col("w")).cast("long").as("n_chr"))
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .join(broadcast(vocab), "w")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_chr")).cast("long").as("n_chars"),
+        sum(col("n_sym")).cast("long").as("n_tokens"))
+      .select(col("source"), col("n_words"), col("n_chars"),
+        col("n_tokens"),
+        expr("(2 * 1000000 * n_tokens + n_words) DIV (2 * n_words)")
+          .as("fertility_ppm"),
+        expr("(2 * 1000000 * n_tokens + n_chars) DIV (2 * n_chars)")
+          .as("compression_ppm"))
   }
+
+  val qBpeApplySql: String =
+    s"""$bpeSqlCtes,
+       |vocab AS (SELECT w,
+       |    CAST(len(regexp_split_to_array(trim(sp), ' +')) AS BIGINT)
+       |      AS n_sym,
+       |    CAST(length(w) AS BIGINT) AS n_chr
+       |  FROM w3),
+       |dw AS (SELECT source, unnest(${duckToksSql("text")}) AS w
+       |  FROM documents),
+       |agg AS (SELECT source, count(*) AS n_words,
+       |    CAST(sum(n_chr) AS BIGINT) AS n_chars,
+       |    CAST(sum(n_sym) AS BIGINT) AS n_tokens
+       |  FROM dw JOIN vocab USING (w) GROUP BY source)
+       |SELECT source, n_words, n_chars, n_tokens,
+       |  CAST((2 * 1000000 * n_tokens + n_words) // (2 * n_words)
+       |    AS BIGINT) AS fertility_ppm,
+       |  CAST((2 * 1000000 * n_tokens + n_chars) // (2 * n_chars)
+       |    AS BIGINT) AS compression_ppm
+       |FROM agg""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_merges" -> (qBpeMerges _),
+    "q_bpe_apply" -> (qBpeApply _),
     "q_pii_scan" -> (qPiiScan _),
     "q_mcc" -> (qMcc _),
     "q_cohens_kappa" -> (qCohensKappa _),
@@ -1125,6 +1197,7 @@ object TextAnalysis {
 
   def oracle: Map[String, String] = Map(
     "q_bpe_merges" -> qBpeMergesSql,
+    "q_bpe_apply" -> qBpeApplySql,
     "q_pii_scan" -> qPiiScanSql,
     "q_mcc" -> qMccSql,
     "q_cohens_kappa" -> qCohensKappaSql,

@@ -2125,7 +2125,123 @@ object FeatureOps {
        |FROM f""".stripMargin
   }
 
+  // ---------------------------------------------------------------- E43
+  /** Bradley–Terry pairwise-strength model (1952) — the estimator
+    * under every preference-based ranking (reward models, LLM
+    * arena Elo, A/B taste tests): each customer who bought BOTH
+    * brands casts one comparison (winner = larger total quantity;
+    * ties abstain), and brand strength π solves the BT fixed point
+    * π_i = W_i / Σ_j n_ij/(π_i+π_j), here unrolled to TWO iterations
+    * from π⁰ = 1 (the same unrolled-fixed-point contract as E39's
+    * ALS). ENGINE-EXACT throughout: strengths live in µ-units, every
+    * iteration is integer pair sums (order-free) + the sign-free
+    * half-up division — iteration 1 collapses algebraically to
+    * p¹ = halfUp(2·W·10⁶, N); iteration 2 quantizes each pair term
+    * t_ij = halfUp(n_ij·10¹², p¹_i+p¹_j) before the per-brand integer
+    * sum, then p² = halfUp(W·10¹², d). All products ride
+    * DECIMAL(38,0)/HUGEINT (win counts are corpus-sized). Scale
+    * shape: one (customer, brand) aggregate shuffle; the pair
+    * explosion is per-customer ≤ brands² = bounded; everything after
+    * lives on ≤ brands²/2 pair rows. Publishes per brand:
+    * comparisons, wins, win-rate ppm, both strength generations, and
+    * the final rank (p² DESC, brand ASC).
+    */
+  def qBradleyTerry(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cb = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("o_custkey").as("cust"), col("p_brand").as("brand"))
+      .agg(sum(col("l_quantity").cast("long")).as("qty"))
+    val a = cb.select(col("cust"), col("brand").as("bi"), col("qty").as("qi"))
+    val b = cb.select(col("cust"), col("brand").as("bj"), col("qty").as("qj"))
+    val pairs = a.join(b, Seq("cust")).filter(col("bi") < col("bj"))
+      .filter(col("qi") =!= col("qj")) // ties abstain
+      .groupBy(col("bi"), col("bj"))
+      .agg(count(lit(1)).as("n_ij"),
+        sum(when(col("qi") > col("qj"), 1L).otherwise(0L)).as("w_i"))
+    val perBrand = pairs.select(col("bi").as("brand"), col("n_ij"),
+        col("w_i").as("w"))
+      .union(pairs.select(col("bj").as("brand"), col("n_ij"),
+        (col("n_ij") - col("w_i")).as("w")))
+      .groupBy(col("brand"))
+      .agg(sum(col("n_ij").cast(d38)).as("n_comp"),
+        sum(col("w").cast(d38)).as("wins"))
+    def hu(aE: String, bE: String): String =
+      s"(2 * ($aE) + ($bE)) DIV (2 * ($bE))" // operands provably >= 0
+    val p1 = perBrand.withColumn("p1_micro",
+      expr(hu("2 * wins * 1000000", "n_comp")))
+    // iteration 2: per-pair quantized terms against BOTH endpoints' p1
+    val p1i = p1.select(col("brand").as("bi"), col("p1_micro").as("p1_i"))
+    val p1j = p1.select(col("brand").as("bj"), col("p1_micro").as("p1_j"))
+    val terms = pairs.join(p1i, "bi").join(p1j, "bj")
+      .withColumn("t", expr(hu(
+        s"cast(n_ij as $d38) * 1000000000000", "cast(p1_i + p1_j as decimal(38,0))")))
+    val d = terms.select(col("bi").as("brand"), col("t"))
+      .union(terms.select(col("bj").as("brand"), col("t")))
+      .groupBy(col("brand")).agg(sum(col("t")).as("den"))
+    val scored = p1.join(d, "brand")
+      .withColumn("p2_micro", expr(hu("wins * 1000000000000", "den")))
+      .withColumn("win_rate_ppm", expr(hu("wins * 1000000", "n_comp")))
+    val w = Window.orderBy(col("p2_micro").desc, col("brand").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .select(col("brand"), col("n_comp").cast("long").as("n_comparisons"),
+        col("wins").cast("long").as("wins"),
+        col("win_rate_ppm").cast("long").as("win_rate_ppm"),
+        col("p1_micro").cast("long").as("p1_micro"),
+        col("p2_micro").cast("long").as("p2_micro"), col("rank"))
+  }
+
+  val qBradleyTerrySql: String = {
+    def hu(aE: String, bE: String): String =
+      s"(2 * ($aE) + ($bE)) // (2 * ($bE))"
+    s"""WITH cb AS (SELECT o_custkey AS cust, p_brand AS brand,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1, 2),
+      |pairs AS (SELECT a.brand AS bi, b.brand AS bj,
+      |    count(*) AS n_ij,
+      |    CAST(sum(CASE WHEN a.qty > b.qty THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS w_i
+      |  FROM cb a JOIN cb b ON a.cust = b.cust AND a.brand < b.brand
+      |  WHERE a.qty <> b.qty
+      |  GROUP BY 1, 2),
+      |per_brand AS (SELECT brand,
+      |    sum(CAST(n AS HUGEINT)) AS n_comp, sum(CAST(w AS HUGEINT)) AS wins
+      |  FROM (SELECT bi AS brand, n_ij AS n, w_i AS w FROM pairs
+      |    UNION ALL
+      |    SELECT bj AS brand, n_ij AS n, n_ij - w_i AS w FROM pairs)
+      |  GROUP BY 1),
+      |p1 AS (SELECT brand, n_comp, wins,
+      |    ${hu("2 * wins * 1000000", "n_comp")} AS p1_micro
+      |  FROM per_brand),
+      |terms AS (SELECT p.bi, p.bj,
+      |    ${hu("CAST(p.n_ij AS HUGEINT) * 1000000000000",
+           "CAST(i.p1_micro + j.p1_micro AS HUGEINT)")} AS t
+      |  FROM pairs p
+      |  JOIN p1 i ON p.bi = i.brand JOIN p1 j ON p.bj = j.brand),
+      |d AS (SELECT brand, sum(t) AS den
+      |  FROM (SELECT bi AS brand, t FROM terms
+      |    UNION ALL SELECT bj AS brand, t FROM terms)
+      |  GROUP BY 1),
+      |scored AS (SELECT p1.brand, p1.n_comp, p1.wins, p1.p1_micro,
+      |    ${hu("p1.wins * 1000000000000", "d.den")} AS p2_micro,
+      |    ${hu("p1.wins * 1000000", "p1.n_comp")} AS win_rate_ppm
+      |  FROM p1 JOIN d ON p1.brand = d.brand)
+      |SELECT brand, CAST(n_comp AS BIGINT) AS n_comparisons,
+      |  CAST(wins AS BIGINT) AS wins,
+      |  CAST(win_rate_ppm AS BIGINT) AS win_rate_ppm,
+      |  CAST(p1_micro AS BIGINT) AS p1_micro,
+      |  CAST(p2_micro AS BIGINT) AS p2_micro,
+      |  CAST(row_number() OVER (ORDER BY p2_micro DESC, brand ASC)
+      |    AS INTEGER) AS rank
+      |FROM scored""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bradley_terry" -> (qBradleyTerry _),
     "q_ols_multi" -> (qOlsMulti _),
     "q_gbt_stumps" -> (qGbtStumps _),
     "q_rf_stumps" -> (qRfStumps _),
@@ -2158,6 +2274,7 @@ object FeatureOps {
     "q_mutual_info" -> (qMutualInfo _))
 
   def oracle: Map[String, String] = Map(
+    "q_bradley_terry" -> qBradleyTerrySql,
     "q_ols_multi" -> qOlsMultiSql,
     "q_gbt_stumps" -> qGbtStumpsSql,
     "q_rf_stumps" -> qRfStumpsSql,

@@ -123,6 +123,70 @@ object Similarity {
       |  (label = true_label) AS correct
       |FROM best WHERE r = 1""".stripMargin
 
+  // ---------------------------------------------------------------- D20
+  /** Hard-negative mining — the contrastive-training consumer of the
+    * similarity stack: for each panel anchor, the top-3 most-similar
+    * corpus vectors whose LABEL DIFFERS from the anchor's (the
+    * "hard" negatives an embedding-model trainer pairs with each
+    * anchor — random negatives are trivially separable; the
+    * negatives that move the loss are the near-misses). Same
+    * bounded-panel device as D1/D19 (fixed ≤ 40 anchors broadcast
+    * against the corpus — O(panel·n), never n²); the label
+    * disequality is a join-side filter so non-candidates never
+    * reach the ranker. Ranking ties break on (rounded sim DESC, nid
+    * ASC) — a total order on exact values, engine-deterministic.
+    * Publishes per (anchor, rank): the negative's id/label, the
+    * 4-dp similarity, and the anchor-vs-hardest margin a curriculum
+    * schedule would threshold on. At 100 TB the corpus side stays a
+    * single scan with the panel broadcast; nothing here is
+    * corpus-pairwise.
+    */
+  def qHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < PanelIdCap)
+      .select(col("vec_id").as("qid"), col("label").as("anchor_label"),
+        col("v").as("qv"))
+    val scored = e.join(broadcast(q),
+        col("vec_id") =!= col("qid") && col("label") =!= col("anchor_label"))
+      .select(col("qid"), col("anchor_label"), col("vec_id").as("nid"),
+        col("label").as("neg_label"),
+        VectorFunctions.cosine(col("qv"), col("v")).as("sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(round(col("sim"), 6).desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .withColumn("hardest",
+        max(round(col("sim"), 6)).over(Window.partitionBy(col("qid"))))
+      .select(col("qid"), col("anchor_label"), col("nid"), col("neg_label"),
+        col("rank"), round(col("sim"), 4).as("sim"),
+        round(col("hardest") - round(col("sim"), 6), 6).as("margin_to_hardest"))
+  }
+
+  val qHardNegativesSql: String =
+    raw"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS qid, label AS anchor_label, v AS qv FROM e
+      |  WHERE vec_id % 50 = 0 AND vec_id < $PanelIdCap),
+      |flat AS (SELECT qid, anchor_label, e.vec_id AS nid,
+      |    e.label AS neg_label, unnest(qv) AS x, unnest(v) AS y
+      |  FROM e JOIN q ON e.vec_id <> q.qid AND e.label <> q.anchor_label),
+      |scored AS (SELECT qid, anchor_label, nid, neg_label,
+      |    sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS sim
+      |  FROM flat GROUP BY qid, anchor_label, nid, neg_label),
+      |ranked AS (SELECT qid, anchor_label, nid, neg_label, sim,
+      |    row_number() OVER (
+      |      PARTITION BY qid ORDER BY round(sim, 6) DESC, nid ASC) AS rank
+      |  FROM scored),
+      |top3 AS (SELECT *, max(round(sim, 6)) OVER (PARTITION BY qid)
+      |    AS hardest
+      |  FROM ranked WHERE rank <= 3)
+      |SELECT qid, anchor_label, nid, neg_label, rank,
+      |  round(sim, 4) AS sim,
+      |  round(hardest - round(sim, 6), 6) AS margin_to_hardest
+      |FROM top3""".stripMargin
+
   // ---------------------------------------------------------------- D10
   /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
     * SIGIR 1998) — the diversity step between ANN retrieval and a
@@ -2067,6 +2131,7 @@ object Similarity {
     "q_class_separation" -> (qClassSeparation _),
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_knn_classify" -> (qKnnClassify _),
+    "q_hard_negatives" -> (qHardNegatives _),
     "q_ann_nsw" -> (qAnnNsw _),
     "q_mmr_diversify" -> (qMmrDiversify _),
     "q_mmr_ann" -> (qMmrAnn _),
@@ -2090,7 +2155,8 @@ object Similarity {
   def oracle: Map[String, String] = {
     val k = lastShortlistK.get
     Map("q_ann_bruteforce" -> qAnnBruteforceSql,
-      "q_knn_classify" -> qKnnClassifySql, "q_ann_lsh" -> qAnnLshSql,
+      "q_knn_classify" -> qKnnClassifySql,
+      "q_hard_negatives" -> qHardNegativesSql, "q_ann_lsh" -> qAnnLshSql,
       "q_hybrid_rrf" -> qHybridRrfSql,
       "q_matryoshka_overlap" -> qMatryoshkaOverlapSql,
       "q_mmr_diversify" -> qMmrDiversifySql,

@@ -2022,7 +2022,361 @@ object TemporalOps {
       |  END AS rolling_corr
       |FROM v""".stripMargin
 
+  // ---------------------------------------------------------------- F53
+  /** Ljung–Box portmanteau test (Ljung & Box 1978) — the "is there
+    * ANY serial structure left" verdict F26's per-lag autocorrelations
+    * feed: Q = n(n+2)·Σ_{k=1..6} r_k²/(n−k) against χ²₆. The proper
+    * LB autocorrelation (full-series mean and denominator, partial
+    * numerator) is ENGINE-EXACT here because the hourly counts are
+    * integers: center as ỹ_t = n·y_t − S (exact longs), then every
+    * numerator Σ ỹ_t·ỹ_{t−k} and the denominator Σ ỹ² are exact
+    * DECIMAL(38,0) sums — each r_k ONE double division. Q itself is a
+    * FIXED-ORDER six-term expression over the r_k columns (pivoted,
+    * never an unordered double sum — the q_stl lesson). One corpus
+    * scan → hour table (observation-window-bounded) → one window pass
+    * with six lags → one aggregate per type. Verdict cuts rounded Q
+    * at χ²₆(.05) = 12.592.
+    */
+  def qLjungBox(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("(ts DIV 1000000000) DIV 3600").as("hour"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("y"))
+    val tot = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour").asc)
+    val centered = hourly.join(tot, "event_type")
+      .withColumn("yt", col("n") * col("y") - col("s")) // exact ×n-scaled
+      .withColumn("l1", lag(col("yt"), 1).over(w))
+      .withColumn("l2", lag(col("yt"), 2).over(w))
+      .withColumn("l3", lag(col("yt"), 3).over(w))
+      .withColumn("l4", lag(col("yt"), 4).over(w))
+      .withColumn("l5", lag(col("yt"), 5).over(w))
+      .withColumn("l6", lag(col("yt"), 6).over(w))
+    val d38 = "decimal(38,0)"
+    // cast BEFORE the multiply: ỹ² is corpus-rate-squared and must
+    // never ride a LONG at high SF
+    val agg = centered.groupBy(col("event_type")).agg(
+      max(col("n")).as("n"),
+      sum(col("yt").cast(d38) * col("yt")).as("den"),
+      sum(col("yt").cast(d38) * col("l1")).as("c1"),
+      sum(col("yt").cast(d38) * col("l2")).as("c2"),
+      sum(col("yt").cast(d38) * col("l3")).as("c3"),
+      sum(col("yt").cast(d38) * col("l4")).as("c4"),
+      sum(col("yt").cast(d38) * col("l5")).as("c5"),
+      sum(col("yt").cast(d38) * col("l6")).as("c6"))
+    def r(k: Int) = (col(s"c$k").cast("double") / col("den").cast("double"))
+    val q = (lit(1.0) * r(1) * r(1) / (col("n") - 1) +
+      r(2) * r(2) / (col("n") - 2) + r(3) * r(3) / (col("n") - 3) +
+      r(4) * r(4) / (col("n") - 4) + r(5) * r(5) / (col("n") - 5) +
+      r(6) * r(6) / (col("n") - 6)) * col("n") * (col("n") + 2)
+    agg.select(col("event_type"), col("n").as("n_hours"),
+      round(r(1), 6).as("r1"), round(r(2), 6).as("r2"),
+      round(r(3), 6).as("r3"), round(r(6), 6).as("r6"),
+      round(q, 6).as("q_stat"))
+      .withColumn("serial_structure", col("q_stat") > 12.592)
+  }
+
+  val qLjungBoxSql: String =
+    s"""WITH hourly AS (SELECT event_type, ($duckTsSec) // 3600 AS hour,
+      |    count(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (SELECT event_type, count(*) AS n, sum(y) AS s
+      |  FROM hourly GROUP BY 1),
+      |c AS (SELECT h.event_type, t.n, t.n * h.y - t.s AS yt,
+      |    lag(t.n * h.y - t.s, 1) OVER w AS l1,
+      |    lag(t.n * h.y - t.s, 2) OVER w AS l2,
+      |    lag(t.n * h.y - t.s, 3) OVER w AS l3,
+      |    lag(t.n * h.y - t.s, 4) OVER w AS l4,
+      |    lag(t.n * h.y - t.s, 5) OVER w AS l5,
+      |    lag(t.n * h.y - t.s, 6) OVER w AS l6
+      |  FROM hourly h JOIN tot t ON h.event_type = t.event_type
+      |  WINDOW w AS (PARTITION BY h.event_type ORDER BY h.hour ASC)),
+      |agg AS (SELECT event_type, max(n) AS n,
+      |    sum(CAST(yt AS HUGEINT) * yt) AS den,
+      |    sum(CAST(yt AS HUGEINT) * l1) AS c1,
+      |    sum(CAST(yt AS HUGEINT) * l2) AS c2,
+      |    sum(CAST(yt AS HUGEINT) * l3) AS c3,
+      |    sum(CAST(yt AS HUGEINT) * l4) AS c4,
+      |    sum(CAST(yt AS HUGEINT) * l5) AS c5,
+      |    sum(CAST(yt AS HUGEINT) * l6) AS c6
+      |  FROM c GROUP BY 1),
+      |r AS (SELECT event_type, n,
+      |    CAST(c1 AS DOUBLE) / CAST(den AS DOUBLE) AS r1,
+      |    CAST(c2 AS DOUBLE) / CAST(den AS DOUBLE) AS r2,
+      |    CAST(c3 AS DOUBLE) / CAST(den AS DOUBLE) AS r3,
+      |    CAST(c4 AS DOUBLE) / CAST(den AS DOUBLE) AS r4,
+      |    CAST(c5 AS DOUBLE) / CAST(den AS DOUBLE) AS r5,
+      |    CAST(c6 AS DOUBLE) / CAST(den AS DOUBLE) AS r6
+      |  FROM agg)
+      |SELECT event_type, n AS n_hours,
+      |  round(r1, 6) AS r1, round(r2, 6) AS r2,
+      |  round(r3, 6) AS r3, round(r6, 6) AS r6,
+      |  round((1.0 * r1 * r1 / (n - 1) + r2 * r2 / (n - 2)
+      |    + r3 * r3 / (n - 3) + r4 * r4 / (n - 4)
+      |    + r5 * r5 / (n - 5) + r6 * r6 / (n - 6)) * n * (n + 2), 6)
+      |    AS q_stat,
+      |  round((1.0 * r1 * r1 / (n - 1) + r2 * r2 / (n - 2)
+      |    + r3 * r3 / (n - 3) + r4 * r4 / (n - 4)
+      |    + r5 * r5 / (n - 5) + r6 * r6 / (n - 6)) * n * (n + 2), 6)
+      |    > 12.592 AS serial_structure
+      |FROM r""".stripMargin
+
+  // ---------------------------------------------------------------- F54
+  /** Granger causality (1957/1969 form, one lag) — does yesterday's
+    * event VOLUME carry information about today's event VALUE beyond
+    * the value's own persistence? Unrestricted y_t = a + b·y_{t−1} +
+    * c·x_{t−1} vs restricted y_t = a + b·y_{t−1}; F = (RSS_r −
+    * RSS_u)·(n−3)/RSS_u with 1 numerator df. The fit is the E38
+    * closed-form device one size down (2×2 normal equations): daily
+    * value in EXACT CENTS, daily counts exact longs; centered scaled
+    * moments S_ij = n·Σab − ΣaΣb quantized to covariance units via
+    * the sign-split half-up division (overflow-bounded regardless of
+    * day count); β and both RSS forms are single double expressions
+    * over the exact quantized moments (RSS_u = Syy − b·Sy1 − c·Sy2
+    * algebraically — NO per-row residual sum, the unordered-double
+    * trap). Day table is observation-window-bounded; one corpus scan.
+    */
+  def qGranger(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(expr("(ts DIV 1000000000) DIV 86400").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("x"), sum(col("cents")).as("y"))
+    val w = Window.orderBy(col("day").asc)
+    val lagged = daily
+      .withColumn("ylag", lag(col("y"), 1).over(w))
+      .withColumn("xlag", lag(col("x"), 1).over(w))
+      .filter(col("ylag").isNotNull)
+    val d38 = "decimal(38,0)"
+    def s(c: org.apache.spark.sql.Column) = sum(c.cast(d38))
+    // cast BEFORE the multiply: daily cents² overflows LONG at high SF
+    val mo = lagged.agg(
+      count(lit(1)).cast(d38).as("n"),
+      s(col("y")).as("sy"), s(col("ylag")).as("s1"), s(col("xlag")).as("s2"),
+      sum(col("ylag").cast(d38) * col("ylag")).as("r11"),
+      sum(col("ylag").cast(d38) * col("xlag")).as("r12"),
+      sum(col("xlag").cast(d38) * col("xlag")).as("r22"),
+      sum(col("y").cast(d38) * col("ylag")).as("r1y"),
+      sum(col("y").cast(d38) * col("xlag")).as("r2y"),
+      sum(col("y").cast(d38) * col("y")).as("ryy"))
+    // the E38 sign-split half-up quantizer: covariance units, exact
+    def hu(aExpr: String, bExpr: String): String =
+      s"""CASE WHEN ($aExpr) >= 0
+         | THEN (2 * ($aExpr) + ($bExpr)) DIV (2 * ($bExpr))
+         | ELSE -((2 * (-($aExpr)) + ($bExpr)) DIV (2 * ($bExpr))) END"""
+        .stripMargin.replace("\n", " ")
+    def m(raw: String, a: String, b: String) =
+      expr(hu(s"100 * (n * $raw - $a * $b)", "n * n"))
+    val q = mo
+      .withColumn("m11", m("r11", "s1", "s1"))
+      .withColumn("m12", m("r12", "s1", "s2"))
+      .withColumn("m22", m("r22", "s2", "s2"))
+      .withColumn("m1y", m("r1y", "s1", "sy"))
+      .withColumn("m2y", m("r2y", "s2", "sy"))
+      .withColumn("myy", m("ryy", "sy", "sy"))
+      // determinants in DECIMAL(38,0): daily-aggregate moments are
+      // corpus-rate-sized (unlike E38's row-bounded regressors), so
+      // their products overflow LONG; exact through daily-revenue
+      // swings of ~$10^11 — far past any target corpus
+      .withColumn("det",
+        expr("""cast(m11 as decimal(38,0)) * m22
+               | - cast(m12 as decimal(38,0)) * m12""".stripMargin))
+      .withColumn("detb",
+        expr("""cast(m1y as decimal(38,0)) * m22
+               | - cast(m2y as decimal(38,0)) * m12""".stripMargin))
+      .withColumn("detc",
+        expr("""cast(m11 as decimal(38,0)) * m2y
+               | - cast(m12 as decimal(38,0)) * m1y""".stripMargin))
+    // sign-split casts (DuckDB negative-HUGEINT→DOUBLE mis-rounds
+    // above 2^53)
+    def sd(c: String) = expr(
+      s"CASE WHEN $c >= 0 THEN CAST($c AS DOUBLE)" +
+        s" ELSE -CAST(-($c) AS DOUBLE) END")
+    val b = sd("detb") / sd("det")
+    val c = sd("detc") / sd("det")
+    val rssU = sd("myy") - b * sd("m1y") - c * sd("m2y")
+    val rssR = sd("myy") - sd("m1y") * sd("m1y") / sd("m11")
+    val f = (rssR - rssU) * (col("n").cast("double") - 3) / rssU
+    q.select(col("n").cast("long").as("n_days"),
+      round(b, 6).as("beta_self"),
+      round(c, 6).as("beta_x"),
+      round(f, 6).as("f_stat"))
+      .withColumn("granger_causal", col("f_stat") > 3.84)
+  }
+
+  val qGrangerSql: String = {
+    def hu(a: String, b: String): String =
+      s"""CASE WHEN ($a) >= 0
+         | THEN (2 * ($a) + ($b)) // (2 * ($b))
+         | ELSE -((2 * (-($a)) + ($b)) // (2 * ($b))) END"""
+        .stripMargin.replace("\n", " ")
+    def m(raw: String, a: String, b: String) =
+      hu(s"100 * (n * $raw - $a * $b)", "n * n")
+    def sd(c: String) =
+      s"CASE WHEN $c >= 0 THEN CAST($c AS DOUBLE) ELSE -CAST(-($c) AS DOUBLE) END"
+    val b = s"${sd("detb")} / ${sd("det")}"
+    val c = s"${sd("detc")} / ${sd("det")}"
+    val rssU = s"${sd("myy")} - ($b) * ${sd("m1y")} - ($c) * ${sd("m2y")}"
+    val rssR = s"${sd("myy")} - ${sd("m1y")} * ${sd("m1y")} / ${sd("m11")}"
+    val f = s"(($rssR) - ($rssU)) * (CAST(n AS DOUBLE) - 3) / ($rssU)"
+    s"""WITH daily AS (SELECT ($duckTsSec) // 86400 AS day,
+      |    count(*) AS x,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |lagged AS (SELECT y, lag(y, 1) OVER (ORDER BY day ASC) AS ylag,
+      |    lag(x, 1) OVER (ORDER BY day ASC) AS xlag
+      |  FROM daily),
+      |mo AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    sum(CAST(y AS HUGEINT)) AS sy,
+      |    sum(CAST(ylag AS HUGEINT)) AS s1,
+      |    sum(CAST(xlag AS HUGEINT)) AS s2,
+      |    sum(CAST(ylag AS HUGEINT) * ylag) AS r11,
+      |    sum(CAST(ylag AS HUGEINT) * xlag) AS r12,
+      |    sum(CAST(xlag AS HUGEINT) * xlag) AS r22,
+      |    sum(CAST(y AS HUGEINT) * ylag) AS r1y,
+      |    sum(CAST(y AS HUGEINT) * xlag) AS r2y,
+      |    sum(CAST(y AS HUGEINT) * y) AS ryy
+      |  FROM lagged WHERE ylag IS NOT NULL),
+      |q AS (SELECT n,
+      |    ${m("r11", "s1", "s1")} AS m11,
+      |    ${m("r12", "s1", "s2")} AS m12,
+      |    ${m("r22", "s2", "s2")} AS m22,
+      |    ${m("r1y", "s1", "sy")} AS m1y,
+      |    ${m("r2y", "s2", "sy")} AS m2y,
+      |    ${m("ryy", "sy", "sy")} AS myy
+      |  FROM mo),
+      |d AS (SELECT n, m11, m12, m22, m1y, m2y, myy,
+      |    m11 * m22 - m12 * m12 AS det,
+      |    m1y * m22 - m2y * m12 AS detb,
+      |    m11 * m2y - m12 * m1y AS detc
+      |  FROM q)
+      |SELECT CAST(n AS BIGINT) AS n_days,
+      |  round($b, 6) AS beta_self,
+      |  round($c, 6) AS beta_x,
+      |  round($f, 6) AS f_stat,
+      |  round($f, 6) > 3.84 AS granger_causal
+      |FROM d""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- F55
+  /** Hurst exponent via rescaled range (Hurst 1951, the Mandelbrot–
+    * Wallis R/S form) — the long-memory readout none of the
+    * F26/F53 short-lag tests give: does daily revenue trend-persist
+    * (H > ½), mean-revert (H < ½), or walk randomly? For block sizes
+    * m ∈ {16, 64, 256} the day-indexed series splits into full
+    * blocks; per block R = range of cumulative deviations from the
+    * block mean and S = block SD; R/S grows ∝ m^H. ENGINE-EXACT
+    * spine: deviations scale to integers m·y − S_b, the cumulative
+    * range R̃ and the variance numerator are exact integers, each
+    * block's R/S = R̃/√(S2num·m) is ONE composed division (√ is
+    * IEEE-correctly-rounded everywhere), quantized to µ-units
+    * (round of a deterministic double) BEFORE the cross-block mean —
+    * so the mean is an integer sum + one division, never an
+    * unordered double sum. H = ln(RS₂₅₆/RS₁₆)/ln(16) is published at
+    * 3 dp (the one libm-ln surface; grain 10⁴ ulps wide) with the
+    * regime verdict cutting the ROUNDED H at .45/.55. Day table is
+    * bounded; one corpus scan.
+    */
+  def qHurst(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(datediff(col("o_orderdate"), lit("1970-01-01")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("y"))
+    val t = daily.withColumn("t",
+      row_number().over(Window.orderBy(col("day").asc)) - 1)
+    val sizes = Seq(16, 64, 256)
+    val d38 = "decimal(38,0)"
+    val perM = sizes.map { m =>
+      val blk = t.withColumn("b",
+        floor(col("t") / lit(m.toDouble)).cast("long"))
+      val full = blk.groupBy(col("b"))
+        .agg(count(lit(1)).as("cnt"), sum(col("y")).as("sb"))
+        .filter(col("cnt") === m)
+      val dev = blk.join(full, "b")
+        .withColumn("d", lit(m.toLong) * col("y") - col("sb")) // ×m exact
+      val wc = Window.partitionBy(col("b")).orderBy(col("t").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val blocks = dev.withColumn("cum", sum(col("d")).over(wc))
+        .groupBy(col("b"))
+        // the block's last cumdev is exactly 0 (deviations sum to
+        // zero), so plain max−min already includes the Z₀=0 anchor
+        .agg((max(col("cum")) - min(col("cum"))).as("rr"),
+          sum(col("d").cast(d38) * col("d")).as("s2num"))
+        .filter(col("s2num") > 0)
+      // R/S = R̃ / sqrt(S2num / m): one composed expression of exact
+      // integers, then µ-quantized so the cross-block mean is integer
+      blocks
+        .withColumn("rs_micro",
+          round(col("rr").cast("double") /
+            sqrt(col("s2num").cast("double") / m) * 1e6).cast("long"))
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(col("rs_micro")).as("rs_sum"))
+        .select(lit(m).as("m"), col("n_blocks"), col("rs_sum"),
+          round(col("rs_sum") / col("n_blocks").cast("double") / 1e6, 6)
+            .as("mean_rs"))
+    }
+    val grid = perM.reduce(_ union _)
+    val h = grid.agg(
+      max(when(col("m") === 16, col("mean_rs"))).as("rs16"),
+      max(when(col("m") === 256, col("mean_rs"))).as("rs256"))
+      .select(round(log(col("rs256") / col("rs16")) / log(lit(16.0)), 3)
+        .as("hurst"))
+    grid.crossJoin(broadcast(h))
+      .select(col("m"), col("n_blocks"), col("mean_rs"), col("hurst"),
+        when(col("hurst") > 0.55, "persistent")
+          .when(col("hurst") < 0.45, "mean_reverting")
+          .otherwise("random_walk").as("regime"))
+  }
+
+  val qHurstSql: String = {
+    def perM(m: Int): String =
+      s"""b$m AS (SELECT t.t, t.y, t.t // $m AS b FROM t),
+        |f$m AS (SELECT b, count(*) AS cnt, sum(y) AS sb
+        |  FROM b$m GROUP BY 1 HAVING count(*) = $m),
+        |d$m AS (SELECT x.b, x.t, $m * x.y - f.sb AS d
+        |  FROM b$m x JOIN f$m f ON x.b = f.b),
+        |c$m AS (SELECT b, sum(d) OVER (PARTITION BY b ORDER BY t ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, d
+        |  FROM d$m),
+        |k$m AS (SELECT b,
+        |    max(cum) - min(cum) AS rr,
+        |    sum(CAST(d AS HUGEINT) * d) AS s2num
+        |  FROM c$m GROUP BY 1 HAVING sum(CAST(d AS HUGEINT) * d) > 0),
+        |g$m AS (SELECT $m AS m, count(*) AS n_blocks,
+        |    sum(CAST(round(CAST(rr AS DOUBLE)
+        |      / sqrt(CAST(s2num AS DOUBLE) / $m) * 1e6) AS BIGINT)) AS rs_sum
+        |  FROM k$m)""".stripMargin
+    s"""WITH daily AS (SELECT date_diff('day', DATE '1970-01-01',
+      |    CAST(o_orderdate AS DATE)) AS day,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM orders GROUP BY 1),
+      |t AS (SELECT y,
+      |    CAST(row_number() OVER (ORDER BY day ASC) AS BIGINT) - 1 AS t
+      |  FROM daily),
+      |${perM(16)},
+      |${perM(64)},
+      |${perM(256)},
+      |grid AS (SELECT m, n_blocks, rs_sum,
+      |    round(rs_sum / CAST(n_blocks AS DOUBLE) / 1e6, 6) AS mean_rs
+      |  FROM (SELECT * FROM g16 UNION ALL SELECT * FROM g64
+      |    UNION ALL SELECT * FROM g256)),
+      |h AS (SELECT round(ln(
+      |      max(CASE WHEN m = 256 THEN mean_rs END)
+      |      / max(CASE WHEN m = 16 THEN mean_rs END))
+      |    / ln(CAST(16.0 AS DOUBLE)), 3) AS hurst
+      |  FROM grid)
+      |SELECT m, n_blocks, mean_rs, hurst,
+      |  CASE WHEN hurst > 0.55 THEN 'persistent'
+      |    WHEN hurst < 0.45 THEN 'mean_reverting'
+      |    ELSE 'random_walk' END AS regime
+      |FROM grid, h""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hurst" -> (qHurst _),
+    "q_ljung_box" -> (qLjungBox _),
+    "q_granger" -> (qGranger _),
     "q_stl_decompose" -> (qStlDecompose _),
     "q_rolling_corr" -> (qRollingCorr _),
     "q_page_hinkley" -> (qPageHinkley _),
@@ -2064,6 +2418,9 @@ object TemporalOps {
     "q_json_extract" -> (qJsonExtract _))
 
   def oracle: Map[String, String] = Map(
+    "q_hurst" -> qHurstSql,
+    "q_ljung_box" -> qLjungBoxSql,
+    "q_granger" -> qGrangerSql,
     "q_stl_decompose" -> qStlDecomposeSql,
     "q_rolling_corr" -> qRollingCorrSql,
     "q_page_hinkley" -> qPageHinkleySql,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
@@ -151,8 +152,12 @@ object TextAnalysis {
           (lit(1.0) - col("punct_ratio")) * 0.3, 6).as("quality"))
   }
 
-  val qQualityScoreSql: String =
-    raw"""WITH t AS (SELECT doc_id,
+  /** The B3 quality score as reusable DuckDB CTEs (`...  qual`), so
+    * quality-consuming oracles (K30 preference pairs) replay the
+    * BIT-IDENTICAL scoring arithmetic instead of restating it.
+    */
+  private[operators] val qualityCtes: String =
+    raw"""t AS (SELECT doc_id,
          |  CAST(len($duckToks) AS DOUBLE) AS n_tokens,
          |  CAST(len(list_filter($duckToks, t -> list_contains(${sqlList(stopwords("en"))}, t))) AS DOUBLE) AS stop_hits,
          |  CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) AS n_punct,
@@ -160,10 +165,81 @@ object TextAnalysis {
          |FROM documents),
          |r AS (SELECT doc_id, stop_hits / n_tokens AS stop_ratio,
          |  least(1.0, n_tokens / 100.0) AS len_sat,
-         |  n_punct / n_chars AS punct_ratio FROM t)
-         |SELECT doc_id, stop_ratio, len_sat, punct_ratio,
+         |  n_punct / n_chars AS punct_ratio FROM t),
+         |qual AS (SELECT doc_id, stop_ratio, len_sat, punct_ratio,
          |  round(stop_ratio * 0.4 + len_sat * 0.3 + (1.0 - punct_ratio) * 0.3, 6) AS quality
-         |FROM r""".stripMargin
+         |FROM r)""".stripMargin
+
+  val qQualityScoreSql: String =
+    s"""WITH $qualityCtes
+       |SELECT doc_id, stop_ratio, len_sat, punct_ratio, quality
+       |FROM qual""".stripMargin
+
+  // ---------------------------------------------------------------- K30
+  /** Preference-pair assembly — the DPO/RLHF-style training-data
+    * step downstream of B3's quality score: within each (source,
+    * lang) stratum, emit ONE (chosen, rejected) document pair —
+    * chosen = highest quality (ties → doc_id ASC), rejected = lowest
+    * quality (ties → doc_id DESC, so the two ends never collide on a
+    * tie) — with the quality margin a pair-filtering curriculum
+    * thresholds on. Strata with <2 documents or zero margin (no
+    * strict preference signal) emit nothing: a preference pair whose
+    * sides are indistinguishable teaches the reward model noise.
+    * Both endpoints come from ONE window pass over the scored corpus
+    * (two row_numbers over the same partition key — one shuffle);
+    * quality is computed per-row (map-side, deterministic) by the
+    * exact B3 expressions. At 100 TB: strata count is
+    * sources×langs-bounded, the shuffle keys on the stratum, and no
+    * text ever joins text — pairing happens on doc ids.
+    */
+  def qPreferencePairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = scoreQuality(docs)
+      .join(docs.select(col("doc_id"), col("source"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("source"), col("lang"), col("quality"))
+    val part = Window.partitionBy(col("source"), col("lang"))
+    val best = part.orderBy(col("quality").desc, col("doc_id").asc)
+    val worst = part.orderBy(col("quality").asc, col("doc_id").desc)
+    scored
+      .withColumn("n_docs", count(lit(1)).over(part))
+      .withColumn("rb", row_number().over(best))
+      .withColumn("rw", row_number().over(worst))
+      .groupBy(col("source"), col("lang"))
+      .agg(max(col("n_docs")).as("n_docs"),
+        max(when(col("rb") === 1, col("doc_id"))).as("chosen_id"),
+        max(when(col("rb") === 1, col("quality"))).as("chosen_q"),
+        max(when(col("rw") === 1, col("doc_id"))).as("rejected_id"),
+        max(when(col("rw") === 1, col("quality"))).as("rejected_q"))
+      .filter(col("n_docs") >= 2)
+      .withColumn("margin", round(col("chosen_q") - col("rejected_q"), 6))
+      .filter(col("margin") > 0)
+      .select(col("source"), col("lang"), col("n_docs"),
+        col("chosen_id"), col("rejected_id"),
+        col("chosen_q"), col("rejected_q"), col("margin"))
+  }
+
+  val qPreferencePairsSql: String =
+    s"""WITH $qualityCtes,
+       |scored AS (SELECT q.doc_id, d.source, d.lang, q.quality
+       |  FROM qual q JOIN documents d ON q.doc_id = d.doc_id),
+       |ranked AS (SELECT *,
+       |    count(*) OVER (PARTITION BY source, lang) AS n_docs,
+       |    row_number() OVER (PARTITION BY source, lang
+       |      ORDER BY quality DESC, doc_id ASC) AS rb,
+       |    row_number() OVER (PARTITION BY source, lang
+       |      ORDER BY quality ASC, doc_id DESC) AS rw
+       |  FROM scored),
+       |pairs AS (SELECT source, lang, max(n_docs) AS n_docs,
+       |    max(CASE WHEN rb = 1 THEN doc_id END) AS chosen_id,
+       |    max(CASE WHEN rb = 1 THEN quality END) AS chosen_q,
+       |    max(CASE WHEN rw = 1 THEN doc_id END) AS rejected_id,
+       |    max(CASE WHEN rw = 1 THEN quality END) AS rejected_q
+       |  FROM ranked GROUP BY 1, 2)
+       |SELECT source, lang, n_docs, chosen_id, rejected_id,
+       |  chosen_q, rejected_q,
+       |  round(chosen_q - rejected_q, 6) AS margin
+       |FROM pairs
+       |WHERE n_docs >= 2 AND round(chosen_q - rejected_q, 6) > 0""".stripMargin
 
   // ---------------------------------------------------------------- B4
   /** md5 content fingerprint of normalized text (engine-portable). */
@@ -1190,6 +1266,7 @@ object TextAnalysis {
     "q_tokenizer_fertility" -> (qTokenizerFertility _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
+    "q_preference_pairs" -> (qPreferencePairs _),
     "q_char_entropy" -> (qCharEntropy _),
     "q_fingerprint" -> (qFingerprint _),
     "q_rolling_fingerprint" -> (qRollingFingerprint _),
@@ -1213,6 +1290,7 @@ object TextAnalysis {
     "q_tokenizer_fertility" -> qTokenizerFertilitySql,
     "q_lang_id" -> qLangIdSql,
     "q_quality_score" -> qQualityScoreSql,
+    "q_preference_pairs" -> qPreferencePairsSql,
     "q_char_entropy" -> qCharEntropySql,
     "q_fingerprint" -> qFingerprintSql,
     "q_rolling_fingerprint" -> qRollingFingerprintSql,

@@ -2406,7 +2406,259 @@ object Validation {
       |    AS significant
       |FROM agg""".stripMargin
 
+  // ---------------------------------------------------------------- L34
+  /** Cohen's d / Hedges' g effect size — the magnitude readout
+    * L23's Welch t-test verdict is missing: at corpus scale
+    * EVERYTHING is "significant" (t grows with √n), so the decision
+    * input is the standardized effect size, which does not. Same
+    * md5-bit A/B arms and exact-cents machinery as L23: per-arm
+    * (n, Σc, Σc²) in DECIMAL(38,0), pooled SD from the two exact
+    * variance numerators, d = (mean_a − mean_b)/s_pooled and the
+    * small-sample Hedges correction g = d·(1 − 3/(4(n_a+n_b)−9)) as
+    * single double expressions over exact integers, 6-dp published.
+    * The magnitude label cuts the ROUNDED |d| at the conventional
+    * .2/.5/.8 — verdict and statistic can never disagree. One corpus
+    * scan → 2 group rows → broadcast cross; O(1) after the scan.
+    */
+  def qCohensD(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      .withColumn("arm",
+        when(expr("conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10)")
+          .cast("long") % 2 === 0, "A").otherwise("B"))
+    val arms = spend.groupBy(col("arm")).agg(
+      count(lit(1)).as("n"),
+      sum(col("cents").cast("decimal(38,0)")).as("s"),
+      sum((col("cents") * col("cents")).cast("decimal(38,0)")).as("q"))
+    val a = arms.filter(col("arm") === "A")
+      .select(col("n").as("n_a"), col("s").as("s_a"), col("q").as("q_a"))
+    val b = arms.filter(col("arm") === "B")
+      .select(col("n").as("n_b"), col("s").as("s_b"), col("q").as("q_b"))
+    // exact variance NUMERATORS (n·Σc² − (Σc)²), doubles only at the
+    // final combined expression
+    val ssA = col("q_a").cast("double") -
+      col("s_a").cast("double") * col("s_a").cast("double") / col("n_a")
+    val ssB = col("q_b").cast("double") -
+      col("s_b").cast("double") * col("s_b").cast("double") / col("n_b")
+    val sPooled = sqrt((ssA + ssB) / (col("n_a") + col("n_b") - 2))
+    val d = (col("s_a").cast("double") / col("n_a") -
+      col("s_b").cast("double") / col("n_b")) / sPooled
+    a.crossJoin(broadcast(b))
+      .withColumn("cohens_d", round(d, 6))
+      .withColumn("hedges_g", round(
+        d * (lit(1.0) - lit(3.0) / (lit(4.0) * (col("n_a") + col("n_b")) - 9)),
+        6))
+      .select(col("n_a"), col("n_b"),
+        round((col("s_a").cast("double") / col("n_a") -
+          col("s_b").cast("double") / col("n_b")) / 100, 6).as("mean_diff"),
+        col("cohens_d"), col("hedges_g"),
+        when(abs(col("cohens_d")) < 0.2, "negligible")
+          .when(abs(col("cohens_d")) < 0.5, "small")
+          .when(abs(col("cohens_d")) < 0.8, "medium")
+          .otherwise("large").as("magnitude"))
+  }
+
+  val qCohensDSql: String =
+    """WITH spend AS (SELECT user_id,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1),
+      |armed AS (SELECT cents,
+      |    CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+      |      THEN 'A' ELSE 'B' END AS arm
+      |  FROM spend),
+      |arms AS (SELECT arm, count(*) AS n,
+      |    sum(CAST(cents AS HUGEINT)) AS s,
+      |    sum(CAST(cents AS HUGEINT) * cents) AS q
+      |  FROM armed GROUP BY 1),
+      |a AS (SELECT n AS n_a, s AS s_a, q AS q_a FROM arms WHERE arm = 'A'),
+      |b AS (SELECT n AS n_b, s AS s_b, q AS q_b FROM arms WHERE arm = 'B'),
+      |x AS (SELECT n_a, n_b,
+      |    CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / n_a
+      |      AS ss_a,
+      |    CAST(q_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / n_b
+      |      AS ss_b,
+      |    CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b AS md
+      |  FROM a, b),
+      |e AS (SELECT n_a, n_b, md,
+      |    round(md / sqrt((ss_a + ss_b) / (n_a + n_b - 2)), 6) AS cohens_d,
+      |    round(md / sqrt((ss_a + ss_b) / (n_a + n_b - 2))
+      |      * (1.0 - 3.0 / (4.0 * (n_a + n_b) - 9)), 6) AS hedges_g
+      |  FROM x)
+      |SELECT n_a, n_b, round(md / 100, 6) AS mean_diff, cohens_d, hedges_g,
+      |  CASE WHEN abs(cohens_d) < 0.2 THEN 'negligible'
+      |    WHEN abs(cohens_d) < 0.5 THEN 'small'
+      |    WHEN abs(cohens_d) < 0.8 THEN 'medium'
+      |    ELSE 'large' END AS magnitude
+      |FROM e""".stripMargin
+
+  // ---------------------------------------------------------------- L35
+  /** t-closeness — the third rung of the privacy-audit ladder after
+    * L7's k-anonymity (class size) and L12's l-diversity (distinct
+    * sensitive values): a class can be large AND diverse yet still
+    * leak if its sensitive-value DISTRIBUTION differs sharply from
+    * the corpus's (an attacker's posterior moves by the gap). For
+    * the ORDERED sensitive attribute (account-balance band, 11 fixed
+    * $1000 bins) the distance is the ordinal Earth-Mover's Distance:
+    * t_g = Σᵢ |Σ_{j≤i}(p_gj − p_j)| / (m−1). ENGINE-EXACT device:
+    * the per-bin gap scales to the integer n_gb·N − N_b·n_g, the
+    * cumulative sum runs over the FIXED bin order (integer cumsum —
+    * order-free), and t is ONE double division of the exact |·| sum
+    * by N·n_g·(m−1), 6-dp published. Class×bin grid is bounded
+    * (≤ nations×segments×11) and built by sequence-explode — no
+    * corpus-side work after the two grouped counts (one scan each,
+    * AQE-broadcast back). Verdict cuts the ROUNDED t at 0.25.
+    */
+  def qTCloseness(spark: SparkSession, dir: String): DataFrame = {
+    val bins = 11
+    val banded = Tables.customer(spark, dir)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        least(greatest(
+          floor((round(col("c_acctbal") * 100).cast("long") + 100000L)
+            / 100000L), lit(0L)), lit(bins - 1L)).cast("int").as("band"))
+    // the corpus total rides along as a broadcast 1-row frame — no
+    // driver-side action on the query path
+    val total = banded.agg(count(lit(1)).as("n_total"))
+    val global = banded.groupBy(col("band")).agg(count(lit(1)).as("nb"))
+    val cls = banded.groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_g"))
+    val perBand = banded.groupBy(col("c_nationkey"), col("c_mktsegment"),
+      col("band")).agg(count(lit(1)).as("n_gb"))
+    val grid = cls
+      .select(col("c_nationkey"), col("c_mktsegment"), col("n_g"),
+        explode(sequence(lit(0), lit(bins - 1))).as("band"))
+      .join(perBand, Seq("c_nationkey", "c_mktsegment", "band"), "left")
+      .join(broadcast(global), Seq("band"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("n_g"),
+        col("band"), col("n_total"),
+        (coalesce(col("n_gb"), lit(0L)) * col("n_total") -
+          coalesce(col("nb"), lit(0L)) * col("n_g")).as("gap"))
+    val wCum = Window.partitionBy(col("c_nationkey"), col("c_mktsegment"))
+      .orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.withColumn("cum", sum(col("gap")).over(wCum))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("n_g"),
+        col("n_total"))
+      .agg(sum(abs(col("cum"))).as("emd_scaled"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("n_g"),
+        round(col("emd_scaled") /
+          (col("n_total").cast("double") * col("n_g") * (bins - 1)), 6)
+          .as("t_close"))
+      .withColumn("t_ok", col("t_close") <= 0.25)
+  }
+
+  val qTClosenessSql: String =
+    """WITH banded AS (SELECT c_nationkey, c_mktsegment,
+      |    CAST(least(greatest(
+      |      (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000,
+      |      0), 10) AS INTEGER) AS band
+      |  FROM customer),
+      |tot AS (SELECT count(*) AS n FROM banded),
+      |gdist AS (SELECT band, count(*) AS nb FROM banded GROUP BY 1),
+      |cls AS (SELECT c_nationkey, c_mktsegment, count(*) AS n_g
+      |  FROM banded GROUP BY 1, 2),
+      |per_band AS (SELECT c_nationkey, c_mktsegment, band, count(*) AS n_gb
+      |  FROM banded GROUP BY 1, 2, 3),
+      |grid AS (SELECT c.c_nationkey, c.c_mktsegment, c.n_g, s.band,
+      |    coalesce(p.n_gb, 0) * t.n - coalesce(g.nb, 0) * c.n_g AS gap
+      |  FROM cls c
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 10)) AS band) s
+      |  CROSS JOIN tot t
+      |  LEFT JOIN per_band p ON p.c_nationkey = c.c_nationkey
+      |    AND p.c_mktsegment = c.c_mktsegment AND p.band = s.band
+      |  LEFT JOIN gdist g ON g.band = s.band),
+      |cum AS (SELECT c_nationkey, c_mktsegment, n_g,
+      |    sum(gap) OVER (PARTITION BY c_nationkey, c_mktsegment
+      |      ORDER BY band ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS cum_gap
+      |  FROM grid),
+      |emd AS (SELECT c_nationkey, c_mktsegment, n_g,
+      |    sum(abs(cum_gap)) AS emd_scaled
+      |  FROM cum GROUP BY 1, 2, 3)
+      |SELECT c_nationkey, c_mktsegment, n_g,
+      |  round(emd_scaled / (CAST((SELECT n FROM tot) AS DOUBLE) * n_g * 10), 6)
+      |    AS t_close,
+      |  round(emd_scaled / (CAST((SELECT n FROM tot) AS DOUBLE) * n_g * 10), 6)
+      |    <= 0.25 AS t_ok
+      |FROM emd""".stripMargin
+
+  // ---------------------------------------------------------------- L36
+  /** Wald's SPRT (1945) — the SEQUENTIAL verdict the L3/L23 batch
+    * tests can't give: an experiment monitor wants to STOP as soon as
+    * the evidence is decisive, not at a fixed horizon. H0: purchase
+    * share p = .25 vs H1: p = .35, α = β = .05. Per event the
+    * log-likelihood-ratio increment is a CONSTANT (ln(p1/p0) on
+    * success, ln(q1/q0) on failure), so the day-t LLR is S_t·L1 +
+    * F_t·L0 — two exact-integer cumulative counts times two double
+    * LITERALS (17-significant-digit decimal constants parse to the
+    * identical IEEE double in both engines; no engine libm ln() ever
+    * runs), one fixed-order two-term expression. Decision bands at
+    * ±ln((1−β)/α) = ±2.9444389791664403. The day table is
+    * observation-window-bounded; cumsums are integer window sums over
+    * the fixed day order. Publishes the full monitoring trace (day,
+    * S, F, llr, decision) plus `decided_by` — the first decisive day
+    * — on every row.
+    */
+  def qSprt(spark: SparkSession, dir: String): DataFrame = {
+    // ln(0.35/0.25), ln(0.65/0.75), ln(19) as exact decimal literals
+    val l1 = 0.33647223662121289
+    val l0 = -0.14310084364067338
+    val band = 2.9444389791664403
+    val daily = Tables.events(spark, dir)
+      .select(expr("(ts DIV 1000000000) DIV 86400").as("day"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("hit"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("trials"), sum(col("hit")).as("hits"))
+    val w = Window.orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val trace = daily
+      .withColumn("s_cum", sum(col("hits")).over(w))
+      .withColumn("f_cum", sum(col("trials") - col("hits")).over(w))
+      .withColumn("llr",
+        round(col("s_cum") * lit(l1) + col("f_cum") * lit(l0), 6))
+      .withColumn("decision",
+        when(col("llr") >= band, "accept_h1")
+          .when(col("llr") <= -band, "accept_h0")
+          .otherwise("continue"))
+    val firstDecided = trace.filter(col("decision") =!= "continue")
+      .agg(min(col("day")).as("decided_by"))
+    trace.crossJoin(broadcast(firstDecided))
+      .select(col("day"), col("s_cum"), col("f_cum"), col("llr"),
+        col("decision"), col("decided_by"))
+  }
+
+  val qSprtSql: String =
+    s"""WITH daily AS (SELECT
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    count(*) AS trials,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS hits
+      |  FROM events GROUP BY 1),
+      |trace AS (SELECT day,
+      |    CAST(sum(hits) OVER w AS BIGINT) AS s_cum,
+      |    CAST(sum(trials - hits) OVER w AS BIGINT) AS f_cum
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |scored AS (SELECT day, s_cum, f_cum,
+      |    round(s_cum * CAST(0.33647223662121289 AS DOUBLE)
+      |      + f_cum * CAST(-0.14310084364067338 AS DOUBLE), 6) AS llr
+      |  FROM trace),
+      |dec AS (SELECT *, CASE
+      |    WHEN llr >= 2.9444389791664403 THEN 'accept_h1'
+      |    WHEN llr <= -2.9444389791664403 THEN 'accept_h0'
+      |    ELSE 'continue' END AS decision
+      |  FROM scored),
+      |fd AS (SELECT min(day) AS decided_by FROM dec
+      |  WHERE decision <> 'continue')
+      |SELECT day, s_cum, f_cum, llr, decision, decided_by
+      |FROM dec, fd""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cohens_d" -> (qCohensD _),
+    "q_t_closeness" -> (qTCloseness _),
+    "q_sprt" -> (qSprt _),
     "q_tukey_hsd" -> (qTukeyHsd _),
     "q_did" -> (qDid _),
     "q_cochran_armitage" -> (qCochranArmitage _),
@@ -2440,6 +2692,9 @@ object Validation {
     "q_benford" -> (qBenford _))
 
   def oracle: Map[String, String] = Map(
+    "q_cohens_d" -> qCohensDSql,
+    "q_t_closeness" -> qTClosenessSql,
+    "q_sprt" -> qSprtSql,
     "q_tukey_hsd" -> qTukeyHsdSql,
     "q_did" -> qDidSql,
     "q_cochran_armitage" -> qCochranArmitageSql,

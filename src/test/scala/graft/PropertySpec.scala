@@ -1311,4 +1311,174 @@ class PropertySpec extends AnyFunSuite {
     assert(math.abs(lag0 - num / den) < 1e-4,
       s"lag-0 xcorr $lag0 vs driver Pearson ${num / den}")
   }
+
+  test("q_ljung_box: Q and every r_k recompose from the raw hourly series") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.TemporalOps.queries("q_ljung_box")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val hourly = Tables.events(spark, sf)
+      .select(col("event_type"), expr("(ts DIV 1000000000) DIV 3600").as("h"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("y"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).map { case (t, g) =>
+        t -> g.sortBy(_._2).map(_._3.toDouble) }
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val y = hourly(et)
+      val n = y.length
+      assert(r.getAs[Long]("n_hours") == n.toLong)
+      val mean = y.sum / n
+      val den = y.map(v => (v - mean) * (v - mean)).sum
+      def rk(k: Int): Double =
+        (k until n).map(t => (y(t) - mean) * (y(t - k) - mean)).sum / den
+      Seq(1 -> "r1", 2 -> "r2", 3 -> "r3", 6 -> "r6").foreach { case (k, cname) =>
+        assert(math.abs(r.getAs[Double](cname) - rk(k)) < 1e-4,
+          s"$et lag $k: ${r.getAs[Double](cname)} vs brute ${rk(k)}")
+      }
+      val q = (1 to 6).map(k => rk(k) * rk(k) / (n - k)).sum * n * (n + 2)
+      assert(math.abs(r.getAs[Double]("q_stat") - q) < 1e-3,
+        s"$et: Q ${r.getAs[Double]("q_stat")} vs brute $q")
+      assert(r.getAs[Boolean]("serial_structure") ==
+        (r.getAs[Double]("q_stat") > 12.592))
+    }
+  }
+
+  test("q_granger: F and betas recompose from a driver-side least-squares") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.TemporalOps.queries("q_granger")(spark, sf)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val daily = Tables.events(spark, sf)
+      .select(expr("(ts DIV 1000000000) DIV 86400").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("x"), sum(col("cents")).as("y"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val y = daily.drop(1).map(_._3.toDouble)
+    val y1 = daily.dropRight(1).map(_._3.toDouble)
+    val x1 = daily.dropRight(1).map(_._2.toDouble)
+    val n = y.length
+    assert(r.getAs[Long]("n_days") == n.toLong)
+    def c(a: Array[Double], b: Array[Double]): Double = {
+      val (ma, mb) = (a.sum / n, b.sum / n)
+      a.zip(b).map { case (p, q) => (p - ma) * (q - mb) }.sum
+    }
+    val (s11, s12, s22) = (c(y1, y1), c(y1, x1), c(x1, x1))
+    val (s1y, s2y, syy) = (c(y1, y), c(x1, y), c(y, y))
+    val det = s11 * s22 - s12 * s12
+    val b = (s1y * s22 - s2y * s12) / det
+    val cc = (s11 * s2y - s12 * s1y) / det
+    val rssU = syy - b * s1y - cc * s2y
+    val rssR = syy - s1y * s1y / s11
+    val f = (rssR - rssU) * (n - 3) / rssU
+    // the query solves on covariance-QUANTIZED moments (cents-scale
+    // half-up); tolerances reflect the declared quantization grain
+    assert(math.abs(r.getAs[Double]("beta_self") - b) < 1e-3,
+      s"beta_self ${r.getAs[Double]("beta_self")} vs brute $b")
+    assert(math.abs(r.getAs[Double]("beta_x") - cc) <
+      math.max(1e-3, math.abs(cc) * 0.01),
+      s"beta_x ${r.getAs[Double]("beta_x")} vs brute $cc")
+    assert(math.abs(r.getAs[Double]("f_stat") - f) <
+      math.max(1e-2, math.abs(f) * 0.01),
+      s"f_stat ${r.getAs[Double]("f_stat")} vs brute $f")
+    assert(r.getAs[Boolean]("granger_causal") ==
+      (r.getAs[Double]("f_stat") > 3.84))
+  }
+
+  test("q_bradley_terry: strengths recompose from pairwise wins via BigInt half-up replay") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ml.FeatureOps.queries("q_bradley_terry")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    // replay the two fixed-point iterations from the raw pair table
+    val cb = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("o_custkey"), col("p_brand"))
+      .agg(sum(col("l_quantity").cast("long")).as("qty"))
+      .as[(Long, String, Long)].collect()
+    val byCust = cb.groupBy(_._1)
+    val pairW = scala.collection.mutable.Map[(String, String), (Long, Long)]()
+    byCust.values.foreach { g =>
+      for (a <- g; b <- g if a._2 < b._2 && a._3 != b._3) {
+        val k = (a._2, b._2)
+        val (n0, w0) = pairW.getOrElse(k, (0L, 0L))
+        pairW(k) = (n0 + 1, w0 + (if (a._3 > b._3) 1L else 0L))
+      }
+    }
+    def hu(a: BigInt, b: BigInt): BigInt = (2 * a + b) / (2 * b)
+    val brands = rows.map(_.getAs[String]("brand"))
+    val wins = brands.map { br =>
+      br -> pairW.collect {
+        case ((i, j), (n, w)) if i == br => w
+        case ((i, j), (n, w)) if j == br => n - w
+      }.sum
+    }.toMap
+    val comps = brands.map { br =>
+      br -> pairW.collect { case ((i, j), (n, _)) if i == br || j == br => n }.sum
+    }.toMap
+    val p1 = brands.map(br =>
+      br -> hu(BigInt(2) * wins(br) * 1000000, BigInt(comps(br)))).toMap
+    val den = brands.map { br =>
+      br -> pairW.collect {
+        case ((i, j), (n, _)) if i == br || j == br =>
+          hu(BigInt(n) * BigInt("1000000000000"),
+            p1(i) + p1(j))
+      }.sum
+    }.toMap
+    val p2 = brands.map(br =>
+      br -> hu(BigInt(wins(br)) * BigInt("1000000000000"), den(br))).toMap
+    rows.foreach { r =>
+      val br = r.getAs[String]("brand")
+      assert(r.getAs[Long]("n_comparisons") == comps(br), s"$br comparisons")
+      assert(r.getAs[Long]("wins") == wins(br), s"$br wins")
+      assert(BigInt(r.getAs[Long]("p1_micro")) == p1(br), s"$br p1")
+      assert(BigInt(r.getAs[Long]("p2_micro")) == p2(br), s"$br p2")
+    }
+    // ranks are the p2 order, dense 1..k
+    val byRank = rows.sortBy(_.getAs[Int]("rank"))
+    assert(byRank.map(_.getAs[Int]("rank")).toSeq == (1 to rows.length))
+    assert(byRank.map(r => (-r.getAs[Long]("p2_micro"),
+      r.getAs[String]("brand"))).toSeq ==
+      byRank.map(r => (-r.getAs[Long]("p2_micro"),
+        r.getAs[String]("brand"))).sorted.toSeq, "rank follows (p2 DESC, brand)")
+  }
+
+  test("q_hurst: per-size R/S recomposes from a driver-side replay; H in (0,1)") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.TemporalOps.queries("q_hurst")(spark, sf)
+      .collect().sortBy(_.getAs[Int]("m"))
+    assert(rows.map(_.getAs[Int]("m")).toSeq == Seq(16, 64, 256))
+    val y = Tables.orders(spark, sf)
+      .groupBy(datediff(col("o_orderdate"), lit("1970-01-01")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("y"))
+      .orderBy(col("day")).select("y").as[Long].collect()
+    rows.foreach { r =>
+      val m = r.getAs[Int]("m")
+      val blocks = y.grouped(m).filter(_.length == m).toSeq
+      val rsU = blocks.flatMap { blk =>
+        val sb = blk.sum
+        val d = blk.map(v => m.toLong * v - sb)
+        val cum = d.scanLeft(0L)(_ + _).drop(1)
+        val s2 = d.map(x => BigInt(x) * BigInt(x)).sum
+        if (s2 > 0)
+          Some(math.round((cum.max - cum.min).toDouble /
+            math.sqrt(s2.toDouble / m) * 1e6))
+        else None
+      }
+      assert(r.getAs[Long]("n_blocks") == rsU.length.toLong,
+        s"m=$m: ${r.getAs[Long]("n_blocks")} blocks vs brute ${rsU.length}")
+      val mean = rsU.sum.toDouble / rsU.length / 1e6
+      assert(math.abs(r.getAs[Double]("mean_rs") - mean) < 1e-5,
+        s"m=$m: ${r.getAs[Double]("mean_rs")} vs brute $mean")
+    }
+    val h = rows.head.getAs[Double]("hurst")
+    assert(rows.forall(_.getAs[Double]("hurst") == h), "H constant across rows")
+    assert(h > 0.0 && h < 1.0, s"H=$h out of range")
+    val expect = if (h > 0.55) "persistent"
+      else if (h < 0.45) "mean_reverting" else "random_walk"
+    assert(rows.forall(_.getAs[String]("regime") == expect))
+  }
 }

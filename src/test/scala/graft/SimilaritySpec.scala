@@ -263,4 +263,39 @@ class SimilaritySpec extends AnyFunSuite {
       assert(tl == labels(q) && correct == (pl == tl))
     }
   }
+
+  test("q_hard_negatives: labels always differ, top-3 matches a label-filtered brute force") {
+    import org.apache.spark.sql.functions._
+    val rows = Similarity.qHardNegatives(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("anchor_label") != r.getAs[Int]("neg_label"),
+        "a hard negative must carry a different label")
+      assert(r.getAs[Int]("rank") >= 1 && r.getAs[Int]("rank") <= 3)
+      assert(r.getAs[Double]("margin_to_hardest") >= 0.0)
+    }
+    // rank-1 sits AT the hardest similarity (zero margin)
+    rows.filter(_.getAs[Int]("rank") == 1).foreach { r =>
+      assert(math.abs(r.getAs[Double]("margin_to_hardest")) < 1e-9)
+    }
+    // brute-force: the hard negatives are exactly the D1 neighbor list
+    // with same-label rows dropped, re-ranked (for queries where D1's
+    // top-5 happens to contain 3+ cross-label rows, they must agree)
+    val labels = Tables.embeddings(spark, sf)
+      .select("vec_id", "label").as[(Long, Int)].collect().toMap
+    val bf = Similarity.qAnnBruteforce(spark, sf)
+      .select("qid", "nid", "rank").as[(Long, Long, Int)].collect()
+      .groupBy(_._1)
+    val got = rows.groupBy(_.getAs[Long]("qid"))
+    bf.foreach { case (q, ns) =>
+      val cross = ns.sortBy(_._3).map(_._2).filter(n => labels(n) != labels(q))
+      if (cross.length >= 3) {
+        val expect = cross.take(3).toSeq
+        val actual = got(q).sortBy(_.getAs[Int]("rank"))
+          .map(_.getAs[Long]("nid")).toSeq
+        assert(actual == expect,
+          s"query $q: hard negatives $actual != label-filtered brute $expect")
+      }
+    }
+  }
 }

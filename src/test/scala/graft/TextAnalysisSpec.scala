@@ -72,4 +72,42 @@ class TextAnalysisSpec extends AnyFunSuite {
     val r = score(20L -> "")
     assert(r(20L) == ((0L, 0.0, 0.0, false)))
   }
+
+  test("q_preference_pairs: endpoints are the stratum quality extremes, margins strict") {
+    import org.apache.spark.sql.functions._
+    val sf01 = "/root/testdata/sf0.01"
+    val pairs = TextAnalysis.qPreferencePairs(spark, sf01).collect()
+    assert(pairs.nonEmpty)
+    // brute-force the per-stratum extremes from the B3 scores
+    val docs = Tables.documents(spark, sf01)
+      .select("doc_id", "source", "lang").as[(Long, String, String)]
+      .collect().map(d => d._1 -> (d._2, d._3)).toMap
+    val q = TextAnalysis.qQualityScore(spark, sf01)
+      .select("doc_id", "quality").as[(Long, Double)].collect().toMap
+    val strata = docs.groupBy(_._2).map { case (sl, ds) => sl -> ds.keys.toSeq }
+    pairs.foreach { p =>
+      val key = (p.getAs[String]("source"), p.getAs[String]("lang"))
+      val ids = strata(key)
+      assert(ids.length >= 2 && ids.length.toLong == p.getAs[Long]("n_docs"))
+      val chosen = p.getAs[Long]("chosen_id")
+      val rejected = p.getAs[Long]("rejected_id")
+      assert(chosen != rejected)
+      // chosen is the argmax (quality DESC, id ASC); rejected the
+      // argmin (quality ASC, id DESC)
+      val bestBrute = ids.minBy(id => (-q(id), id))
+      val worstBrute = ids.minBy(id => (q(id), -id))
+      assert(chosen == bestBrute, s"$key: chosen $chosen != $bestBrute")
+      assert(rejected == worstBrute, s"$key: rejected $rejected != $worstBrute")
+      assert(p.getAs[Double]("margin") > 0, "strict preference only")
+      assert(math.abs(p.getAs[Double]("chosen_q") - q(chosen)) < 1e-9)
+      assert(math.abs(p.getAs[Double]("rejected_q") - q(rejected)) < 1e-9)
+    }
+    // every stratum with a strict quality spread emits exactly one pair
+    val expected = strata.count { case (_, ids) =>
+      ids.length >= 2 &&
+        math.rint((ids.map(q).max - ids.map(q).min) * 1e6) > 0
+    }
+    assert(pairs.length == expected,
+      s"${pairs.length} pairs vs $expected strata with strict spread")
+  }
 }

@@ -472,4 +472,105 @@ class ValidationSpec extends AnyFunSuite {
       assert(sl(0) >= sl(1) && sl(1) >= sl(2), "|slope| shrinks toward 0")
     }
   }
+
+  test("q_cohens_d: d recomposes from brute-force arm moments; label cuts the rounded d") {
+    val rows = Validation.qCohensD(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    // brute-force the arms exactly as the query defines them
+    val spend = Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      .withColumn("arm",
+        when(expr("conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10)")
+          .cast("long") % 2 === 0, "A").otherwise("B"))
+      .collect().map(x => x.getAs[String]("arm") -> x.getAs[Long]("cents"))
+    val a = spend.filter(_._1 == "A").map(_._2.toDouble)
+    val b = spend.filter(_._1 == "B").map(_._2.toDouble)
+    assert(r.getAs[Long]("n_a") == a.length && r.getAs[Long]("n_b") == b.length)
+    val ma = a.sum / a.length; val mb = b.sum / b.length
+    val ssA = a.map(x => (x - ma) * (x - ma)).sum
+    val ssB = b.map(x => (x - mb) * (x - mb)).sum
+    val d = (ma - mb) / math.sqrt((ssA + ssB) / (a.length + b.length - 2))
+    assert(math.abs(r.getAs[Double]("cohens_d") - d) < 1e-4,
+      s"published ${r.getAs[Double]("cohens_d")} vs brute $d")
+    // Hedges correction shrinks |d|
+    assert(math.abs(r.getAs[Double]("hedges_g")) <=
+      math.abs(r.getAs[Double]("cohens_d")) + 1e-9)
+    val mag = math.abs(r.getAs[Double]("cohens_d")) match {
+      case x if x < 0.2 => "negligible"
+      case x if x < 0.5 => "small"
+      case x if x < 0.8 => "medium"
+      case _            => "large"
+    }
+    assert(r.getAs[String]("magnitude") == mag, "verdict cuts the rounded d")
+  }
+
+  test("q_t_closeness: EMD recomposes brute-force per class; bounds and verdict hold") {
+    val rows = Validation.qTCloseness(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = r.getAs[Double]("t_close")
+      assert(t >= 0.0 && t <= 1.0, s"t in [0,1], got $t")
+      assert(r.getAs[Boolean]("t_ok") == (t <= 0.25))
+    }
+    // brute-force the ordinal EMD for every class from raw bands
+    val banded = Tables.customer(spark, sf)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        least(greatest(
+          floor((round(col("c_acctbal") * 100).cast("long") + 100000L)
+            / 100000L), lit(0L)), lit(10L)).cast("int").as("band"))
+      .collect()
+      .map(x => (x.getAs[Int]("c_nationkey"), x.getAs[String]("c_mktsegment"),
+        x.getAs[Int]("band")))
+    val n = banded.length.toDouble
+    val globalP = (0 until 11).map(b => banded.count(_._3 == b) / n)
+    rows.foreach { r =>
+      val cls = banded.filter(x =>
+        x._1 == r.getAs[Int]("c_nationkey") &&
+          x._2 == r.getAs[String]("c_mktsegment"))
+      assert(cls.length.toLong == r.getAs[Long]("n_g"))
+      val p = (0 until 11).map(b => cls.count(_._3 == b).toDouble / cls.length)
+      var cum = 0.0; var emd = 0.0
+      (0 until 11).foreach { b => cum += p(b) - globalP(b); emd += math.abs(cum) }
+      val t = emd / 10.0
+      assert(math.abs(r.getAs[Double]("t_close") - t) < 1e-6,
+        s"class ${(r.get(0), r.get(1))}: published ${r.getAs[Double]("t_close")} vs brute $t")
+    }
+  }
+
+  test("q_sprt: LLR recomposes from cumulative counts; decisions respect the bands") {
+    val rows = Validation.qSprt(spark, sf).collect().sortBy(_.getAs[Long]("day"))
+    assert(rows.nonEmpty)
+    val l1 = 0.33647223662121289; val l0 = -0.14310084364067338
+    val band = 2.9444389791664403
+    var prevS = 0L; var prevF = 0L
+    rows.foreach { r =>
+      val s = r.getAs[Long]("s_cum"); val f = r.getAs[Long]("f_cum")
+      assert(s >= prevS && f >= prevF, "cumulative counts are monotone")
+      prevS = s; prevF = f
+      val llr = r.getAs[Double]("llr")
+      // mirror Spark's round(): EXACT binary expansion, then HALF_UP
+      val expectLlr = new java.math.BigDecimal(s * l1 + f * l0)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      assert(llr == expectLlr, s"day ${r.getAs[Long]("day")}: llr mismatch")
+      val expect =
+        if (llr >= band) "accept_h1"
+        else if (llr <= -band) "accept_h0"
+        else "continue"
+      assert(r.getAs[String]("decision") == expect)
+    }
+    // decided_by is the first decisive day, identical on every row
+    val decided = rows.filter(_.getAs[String]("decision") != "continue")
+      .map(_.getAs[Long]("day"))
+    val db = rows.map(r => Option(r.getAs[Any]("decided_by"))).distinct
+    assert(db.length == 1, "decided_by constant across the trace")
+    if (decided.nonEmpty)
+      assert(db.head.contains(decided.min))
+    else assert(db.head.isEmpty)
+    // the synthetic purchase share (~20%) sits below H0=25%: the
+    // monitor must eventually accept H0
+    assert(rows.last.getAs[String]("decision") == "accept_h0",
+      "trace ends decisively for H0 on this corpus")
+  }
 }

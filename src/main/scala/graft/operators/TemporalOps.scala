@@ -2373,7 +2373,102 @@ object TemporalOps {
       |FROM grid, h""".stripMargin
   }
 
+  // ---------------------------------------------------------------- F56
+  /** Lo–MacKinlay variance-ratio test (1988) — the second long-memory
+    * probe next to F55's R/S, reading the SAME question off variance
+    * scaling instead of range scaling: for a random walk,
+    * Var(q-period change) = q·Var(1-period change), so VR(q) ≠ 1
+    * flags persistence (>1) or mean reversion (<1). Changes are
+    * plain differences of daily revenue CENTS (never log returns —
+    * a per-row libm ln() would put engine-dependent bits in every
+    * hashed cell), so both centered sums of squares are exact
+    * DECIMAL(38,0)/HUGEINT: S = n·Σd² − (Σd)², and
+    * VR = (S_q·n₁²)/(q·S₁·n_q²) is ONE double expression of four
+    * exact integers (cast-before-multiply, sign-split casts). The
+    * day series indexes by row order (the F55 device); lags q ∈
+    * {2, 5, 10} share one window pass. Verdict cuts rounded VR at
+    * ±0.2 around 1. Day table bounded; one corpus scan.
+    */
+  def qVarianceRatio(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = Tables.orders(spark, dir)
+      .groupBy(datediff(col("o_orderdate"), lit("1970-01-01")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("y"))
+    val w = Window.orderBy(col("day").asc)
+    val lagged = daily
+      .withColumn("d1", col("y") - lag(col("y"), 1).over(w))
+      .withColumn("d2", col("y") - lag(col("y"), 2).over(w))
+      .withColumn("d5", col("y") - lag(col("y"), 5).over(w))
+      .withColumn("d10", col("y") - lag(col("y"), 10).over(w))
+    def ss(c: String) = struct(
+      count(col(c)).as("n"),
+      sum(col(c).cast(d38)).as("s"),
+      sum(col(c).cast(d38) * col(c)).as("q"))
+    val mo = lagged.agg(ss("d1").as("m1"), ss("d2").as("m2"),
+      ss("d5").as("m5"), ss("d10").as("m10"))
+    // exact centered SS per horizon: S = n·Σd² − (Σd)²
+    def centered(m: String) = expr(
+      s"cast($m.n as decimal(38,0)) * $m.q - $m.s * $m.s")
+    def nn(m: String) = col(s"$m.n")
+    val base = mo
+      .withColumn("s1", centered("m1")).withColumn("n1", nn("m1"))
+      .withColumn("s2", centered("m2")).withColumn("n2", nn("m2"))
+      .withColumn("s5", centered("m5")).withColumn("n5", nn("m5"))
+      .withColumn("s10", centered("m10")).withColumn("n10", nn("m10"))
+    // sign-split cast (centered SS >= 0 always, but n²-scaled
+    // products stay decimal until the one double division)
+    def vr(q: Int) = round(
+      (col(s"s$q").cast("double") * (col("n1") * col("n1")).cast("double")) /
+        (lit(q.toDouble) * col("s1").cast("double") *
+          (col(s"n$q") * col(s"n$q")).cast("double")), 6)
+    val rows = Seq(2, 5, 10).map { q =>
+      base.select(lit(q).as("q"), col(s"n$q").cast("long").as("n_diffs"),
+        vr(q).as("vr"))
+    }.reduce(_ union _)
+    rows.withColumn("regime",
+      when(col("vr") > 1.2, "persistent")
+        .when(col("vr") < 0.8, "mean_reverting")
+        .otherwise("random_walk"))
+  }
+
+  val qVarianceRatioSql: String = {
+    def mo(q: Int): String =
+      s"""m$q AS (SELECT count(d$q) AS n,
+        |    sum(CAST(d$q AS HUGEINT)) AS s,
+        |    sum(CAST(d$q AS HUGEINT) * d$q) AS qq
+        |  FROM lagged WHERE d$q IS NOT NULL)""".stripMargin
+    // n² factors as ONE exact integer product cast once — the same
+    // association Spark uses ((n*n) then cast), so both engines run
+    // the identical IEEE multiply chain
+    def row(q: Int): String =
+      s"""SELECT $q AS q, CAST(m$q.n AS BIGINT) AS n_diffs,
+        |  round((CAST(CAST(m$q.n AS HUGEINT) * m$q.qq - m$q.s * m$q.s
+        |      AS DOUBLE) * CAST(CAST(m1.n AS HUGEINT) * m1.n AS DOUBLE))
+        |    / ($q.0 * CAST(CAST(m1.n AS HUGEINT) * m1.qq - m1.s * m1.s
+        |      AS DOUBLE) * CAST(CAST(m$q.n AS HUGEINT) * m$q.n AS DOUBLE)),
+        |    6) AS vr
+        |FROM m$q, m1""".stripMargin
+    s"""WITH daily AS (SELECT date_diff('day', DATE '1970-01-01',
+      |    CAST(o_orderdate AS DATE)) AS day,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM orders GROUP BY 1),
+      |lagged AS (SELECT
+      |    y - lag(y, 1) OVER (ORDER BY day ASC) AS d1,
+      |    y - lag(y, 2) OVER (ORDER BY day ASC) AS d2,
+      |    y - lag(y, 5) OVER (ORDER BY day ASC) AS d5,
+      |    y - lag(y, 10) OVER (ORDER BY day ASC) AS d10
+      |  FROM daily),
+      |${mo(1)}, ${mo(2)}, ${mo(5)}, ${mo(10)},
+      |rows0 AS (${row(2)} UNION ALL ${row(5)} UNION ALL ${row(10)})
+      |SELECT q, n_diffs, vr,
+      |  CASE WHEN vr > 1.2 THEN 'persistent'
+      |    WHEN vr < 0.8 THEN 'mean_reverting'
+      |    ELSE 'random_walk' END AS regime
+      |FROM rows0""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_variance_ratio" -> (qVarianceRatio _),
     "q_hurst" -> (qHurst _),
     "q_ljung_box" -> (qLjungBox _),
     "q_granger" -> (qGranger _),
@@ -2418,6 +2513,7 @@ object TemporalOps {
     "q_json_extract" -> (qJsonExtract _))
 
   def oracle: Map[String, String] = Map(
+    "q_variance_ratio" -> qVarianceRatioSql,
     "q_hurst" -> qHurstSql,
     "q_ljung_box" -> qLjungBoxSql,
     "q_granger" -> qGrangerSql,

@@ -2655,7 +2655,160 @@ object Validation {
       |SELECT day, s_cum, f_cum, llr, decision, decided_by
       |FROM dec, fd""".stripMargin
 
+  // ---------------------------------------------------------------- L37
+  /** Cochran's Q (1950) — the k-treatment CORRELATED-binary test
+    * completing the family around L24 (McNemar is its k=2 case) and
+    * L28 (Friedman is its ordinal sibling): were customers equally
+    * likely to be active in 1996, 1997, and 1998, given that the
+    * SAME customer appears in every column? Q = (k−1)·[k·ΣC_j² − T²]
+    * / (k·T − ΣR_i²) with R_i the per-customer row sum and C_j the
+    * per-year actives, χ²₂(.05) = 5.991. ENGINE-EXACT: every moment
+    * is an integer count (row sums bounded by k, so ΣR² is exact),
+    * Q is ONE double division of exact integers rounded at 6 dp, and
+    * the verdict cuts the ROUNDED Q. All-zero subjects provably
+    * cancel (they move neither C, T, nor the denominators), so the
+    * population choice — distinct ordering customers — is invariant.
+    * Two bounded aggregates over one (customer, year) distinct; at
+    * 100 TB the distinct is the only shuffle and keys on customer.
+    */
+  def qCochranQ(spark: SparkSession, dir: String): DataFrame = {
+    val cy = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        year(col("o_orderdate").cast("date")).as("yr"))
+      .filter(col("yr").between(1996, 1998))
+      .distinct()
+    val r = cy.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("ri"))
+      .agg(sum(col("ri")).as("t"),
+        sum(col("ri") * col("ri")).as("r2"),
+        count(lit(1)).as("n_subjects"))
+    val cj = cy.groupBy(col("yr")).agg(count(lit(1)).as("active"))
+    val c2 = cj.agg(sum(col("active") * col("active")).as("sc2"))
+    val q = r.crossJoin(broadcast(c2))
+      .withColumn("q_stat", round(
+        (lit(2.0) * (lit(3L) * col("sc2") - col("t") * col("t"))
+          .cast("double")) /
+          (lit(3L) * col("t") - col("r2")).cast("double"), 6))
+      .select(col("n_subjects"), col("q_stat"),
+        (col("q_stat") > 5.991).as("uneven_years"))
+    cj.crossJoin(broadcast(q))
+      .select(col("yr"), col("active"), col("n_subjects"),
+        col("q_stat"), col("uneven_years"))
+  }
+
+  val qCochranQSql: String =
+    """WITH cy AS (SELECT DISTINCT o_custkey,
+      |    year(CAST(o_orderdate AS DATE)) AS yr
+      |  FROM orders
+      |  WHERE year(CAST(o_orderdate AS DATE)) BETWEEN 1996 AND 1998),
+      |r AS (SELECT CAST(sum(ri) AS BIGINT) AS t,
+      |    CAST(sum(ri * ri) AS BIGINT) AS r2,
+      |    count(*) AS n_subjects
+      |  FROM (SELECT o_custkey, count(*) AS ri FROM cy GROUP BY 1)),
+      |cj AS (SELECT yr, count(*) AS active FROM cy GROUP BY 1),
+      |c2 AS (SELECT CAST(sum(active * active) AS BIGINT) AS sc2 FROM cj),
+      |q AS (SELECT n_subjects,
+      |    round(CAST(2.0 AS DOUBLE) * CAST(3 * sc2 - t * t AS DOUBLE)
+      |      / CAST(3 * t - r2 AS DOUBLE), 6) AS q_stat
+      |  FROM r, c2)
+      |SELECT yr, active, n_subjects, q_stat,
+      |  q_stat > 5.991 AS uneven_years
+      |FROM cj, q""".stripMargin
+
+  // ---------------------------------------------------------------- L38
+  /** Power / minimum-detectable-effect analysis — the experiment-
+    * DESIGN readout the L3/L23/L34 verdict family presumes: before
+    * (or after) running the A/B test, what effect size could this
+    * sample even see, and how many users per arm would the OBSERVED
+    * effect need? Two-sided α=.05, power 80%: n/arm =
+    * (z_α+z_β)²·2σ̂²/δ̂² and MDE = (z_α+z_β)·√(2σ̂²/n̄). The z
+    * constants are 17-digit DECIMAL LITERALS (1.9599639845400545,
+    * 0.8416212335729143) — no engine Φ⁻¹ ever runs; σ̂² is the
+    * pooled exact-cents variance from the L23/L34 moment machinery
+    * and δ̂ the exact-mean difference, so every published number is
+    * one fixed-order double expression over exact integers (√ is
+    * IEEE-correctly-rounded): MDE in dollars at 6 dp, required n
+    * as the CEILING integer, `powered` comparing it to the actual
+    * min arm size. One corpus scan → 2 group rows.
+    */
+  def qPowerMde(spark: SparkSession, dir: String): DataFrame = {
+    // z_.025 + z_.20, pre-summed to ONE literal so the Scala constant
+    // and the SQL literal parse to the identical IEEE double
+    val zSum = 2.8015852181129688
+    val spend = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      .withColumn("arm",
+        when(expr("conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10)")
+          .cast("long") % 2 === 0, "A").otherwise("B"))
+    val arms = spend.groupBy(col("arm")).agg(
+      count(lit(1)).as("n"),
+      sum(col("cents").cast("decimal(38,0)")).as("s"),
+      sum((col("cents") * col("cents")).cast("decimal(38,0)")).as("q"))
+    val a = arms.filter(col("arm") === "A")
+      .select(col("n").as("n_a"), col("s").as("s_a"), col("q").as("q_a"))
+    val b = arms.filter(col("arm") === "B")
+      .select(col("n").as("n_b"), col("s").as("s_b"), col("q").as("q_b"))
+    val ssA = col("q_a").cast("double") -
+      col("s_a").cast("double") * col("s_a").cast("double") / col("n_a")
+    val ssB = col("q_b").cast("double") -
+      col("s_b").cast("double") * col("s_b").cast("double") / col("n_b")
+    val varPooled = (ssA + ssB) / (col("n_a") + col("n_b") - 2)
+    val delta = col("s_a").cast("double") / col("n_a") -
+      col("s_b").cast("double") / col("n_b")
+    val nBar = (col("n_a") + col("n_b")).cast("double") / 2
+    a.crossJoin(broadcast(b))
+      .withColumn("mde_dollars",
+        round(lit(zSum) * sqrt(lit(2.0) * varPooled / nBar) / 100, 6))
+      .withColumn("observed_delta_dollars", round(delta / 100, 6))
+      .withColumn("n_required_per_arm",
+        ceil(lit(zSum) * lit(zSum) * lit(2.0) * varPooled /
+          (delta * delta)).cast("long"))
+      .select(col("n_a"), col("n_b"), col("observed_delta_dollars"),
+        col("mde_dollars"), col("n_required_per_arm"),
+        (least(col("n_a"), col("n_b")) >= col("n_required_per_arm"))
+          .as("powered"))
+  }
+
+  val qPowerMdeSql: String =
+    """WITH spend AS (SELECT user_id,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY user_id),
+      |armed AS (SELECT cents,
+      |    CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+      |      THEN 'A' ELSE 'B' END AS arm
+      |  FROM spend),
+      |arms AS (SELECT arm, count(*) AS n,
+      |    sum(CAST(cents AS HUGEINT)) AS s,
+      |    sum(CAST(cents AS HUGEINT) * cents) AS q
+      |  FROM armed GROUP BY 1),
+      |a AS (SELECT n AS n_a, s AS s_a, q AS q_a FROM arms WHERE arm = 'A'),
+      |b AS (SELECT n AS n_b, s AS s_b, q AS q_b FROM arms WHERE arm = 'B'),
+      |x AS (SELECT n_a, n_b,
+      |    (CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / n_a
+      |     + CAST(q_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / n_b)
+      |      / (n_a + n_b - 2) AS var_pooled,
+      |    CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b AS delta,
+      |    CAST(n_a + n_b AS DOUBLE) / 2 AS n_bar
+      |  FROM a, b)
+      |SELECT n_a, n_b,
+      |  round(delta / 100, 6) AS observed_delta_dollars,
+      |  round(CAST(2.8015852181129688 AS DOUBLE)
+      |    * sqrt(CAST(2.0 AS DOUBLE) * var_pooled / n_bar) / 100, 6)
+      |    AS mde_dollars,
+      |  CAST(ceil(CAST(2.8015852181129688 AS DOUBLE)
+      |    * CAST(2.8015852181129688 AS DOUBLE)
+      |    * CAST(2.0 AS DOUBLE) * var_pooled / (delta * delta)) AS BIGINT)
+      |    AS n_required_per_arm,
+      |  least(n_a, n_b) >= CAST(ceil(CAST(2.8015852181129688 AS DOUBLE)
+      |    * CAST(2.8015852181129688 AS DOUBLE)
+      |    * CAST(2.0 AS DOUBLE) * var_pooled / (delta * delta)) AS BIGINT)
+      |    AS powered
+      |FROM x""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_power_mde" -> (qPowerMde _),
+    "q_cochran_q" -> (qCochranQ _),
     "q_cohens_d" -> (qCohensD _),
     "q_t_closeness" -> (qTCloseness _),
     "q_sprt" -> (qSprt _),
@@ -2692,6 +2845,8 @@ object Validation {
     "q_benford" -> (qBenford _))
 
   def oracle: Map[String, String] = Map(
+    "q_power_mde" -> qPowerMdeSql,
+    "q_cochran_q" -> qCochranQSql,
     "q_cohens_d" -> qCohensDSql,
     "q_t_closeness" -> qTClosenessSql,
     "q_sprt" -> qSprtSql,

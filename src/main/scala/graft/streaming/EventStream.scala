@@ -703,6 +703,64 @@ object EventStream {
       }
   }
 
+  /** Input for the streaming SPRT: the (day, trials, hits) daily
+    * pre-aggregate the batch L36 computes as its first step.
+    */
+  case class DayTrials(day: Long, trials: Long, hits: Long)
+  /** SPRT running state: two exact cumulative counts + the
+    * cross-micro-batch ordering guard (the F13/F50 device).
+    */
+  case class SprtState(s: Long, f: Long, lastDay: Long)
+  /** Verdict row, identical shape to the batch `q_sprt` trace minus
+    * `decided_by` (a stream cannot know the FIRST decisive day until
+    * it happens; the batch column is a retrospective convenience).
+    */
+  case class SprtOut(day: Long, s_cum: Long, f_cum: Long, llr: Double,
+      decision: String)
+
+  /** F58: STREAMING twin of the batch SPRT monitor (L36) — the
+    * sequential test run where sequential tests belong, on the
+    * arriving daily conversion stream, stopping the experiment the
+    * micro-batch its evidence goes decisive. State is THREE longs
+    * (success/failure cumsums + ordering guard), O(1) at any stream
+    * length; each in-order day adds exact integer counts and emits
+    * llr = S·L1 + F·L0 with the IDENTICAL decimal-literal constants
+    * and exact-expansion HALF_UP rounding as the batch operator, so
+    * an in-order day stream equals the oracle-checked batch trace row
+    * for row (StreamingSpec asserts it, decided_by excluded). Late or
+    * duplicate days are dropped by the guard — a sequential LLR
+    * cannot retroactively reorder.
+    */
+  def streamSprt(days: Dataset[DayTrials]): Dataset[SprtOut] = {
+    import days.sparkSession.implicits._
+    val l1 = 0.33647223662121289  // ln(.35/.25)
+    val l0 = -0.14310084364067338 // ln(.65/.75)
+    val band = 2.9444389791664403 // ln(19)
+    days.groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, it: Iterator[DayTrials], state: GroupState[SprtState]) =>
+          var st = state.getOption.getOrElse(SprtState(0L, 0L, -1L))
+          val out = it.toSeq.sortBy(_.day).flatMap { d =>
+            if (st.lastDay >= 0 && d.day <= st.lastDay) None
+            else {
+              val s = st.s + d.hits
+              val f = st.f + (d.trials - d.hits)
+              st = SprtState(s, f, d.day)
+              // Spark round(): exact binary expansion, HALF_UP
+              val llr = new java.math.BigDecimal(s * l1 + f * l0)
+                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+              val decision =
+                if (llr >= band) "accept_h1"
+                else if (llr <= -band) "accept_h0"
+                else "continue"
+              Some(SprtOut(d.day, s, f, llr, decision))
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** F15: streaming twin of the incremental NEAR-dup ingest — each
     * arriving micro-batch of documents is checked against the
     * persisted [[graft.operators.Dedup.SigStore]] via `foreachBatch`

@@ -1481,4 +1481,32 @@ class PropertySpec extends AnyFunSuite {
       else if (h < 0.45) "mean_reverting" else "random_walk"
     assert(rows.forall(_.getAs[String]("regime") == expect))
   }
+
+  test("q_variance_ratio: VR recomposes from raw q-period differences") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.TemporalOps.queries("q_variance_ratio")(spark, sf)
+      .collect().sortBy(_.getAs[Int]("q"))
+    assert(rows.map(_.getAs[Int]("q")).toSeq == Seq(2, 5, 10))
+    val y = Tables.orders(spark, sf)
+      .groupBy(datediff(col("o_orderdate"), lit("1970-01-01")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("y"))
+      .orderBy(col("day")).select("y").as[Long].collect()
+    def popVar(d: Array[Double]): Double = {
+      val m = d.sum / d.length
+      d.map(x => (x - m) * (x - m)).sum / d.length
+    }
+    val d1 = y.indices.drop(1).map(i => (y(i) - y(i - 1)).toDouble).toArray
+    rows.foreach { r =>
+      val q = r.getAs[Int]("q")
+      val dq = y.indices.drop(q).map(i => (y(i) - y(i - q)).toDouble).toArray
+      assert(r.getAs[Long]("n_diffs") == dq.length.toLong)
+      val vr = popVar(dq) / (q * popVar(d1))
+      assert(math.abs(r.getAs[Double]("vr") - vr) < 1e-4,
+        s"q=$q: VR ${r.getAs[Double]("vr")} vs brute $vr")
+      val expect = if (r.getAs[Double]("vr") > 1.2) "persistent"
+        else if (r.getAs[Double]("vr") < 0.8) "mean_reverting"
+        else "random_walk"
+      assert(r.getAs[String]("regime") == expect)
+    }
+  }
 }

@@ -256,6 +256,37 @@ class StreamingSpec extends AnyFunSuite {
         s"onlyBatch=${(batch -- streamed.toSet).take(3)}")
   }
 
+  test("stateful streaming SPRT equals the batch trace and drops late days") {
+    import graft.streaming.EventStream.{DayTrials, SprtOut}
+    implicit val sqlCtx = spark.sqlContext
+    val days = Tables.events(spark, sf)
+      .select(expr("(ts DIV 1000000000) DIV 86400").cast("long").as("day"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("hit"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("trials"), sum(col("hit")).as("hits"))
+      .as[DayTrials].collect().sortBy(_.day)
+    assert(days.length > 5)
+    val input = MemoryStream[DayTrials]
+    val qn = "graft_stream_sprt"
+    val q = graft.streaming.EventStream.streamSprt(input.toDS())
+      .writeStream.outputMode("append").format("memory").queryName(qn).start()
+    input.addData(days.take(days.length / 2): _*)
+    q.processAllAvailable()
+    input.addData(days.drop(days.length / 2): _*)
+    q.processAllAvailable()
+    // a late replay of the first day must emit nothing
+    input.addData(DayTrials(days.head.day, 1000L, 1000L))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table(qn).as[SprtOut].collect()
+    assert(streamed.length == days.length, "late replay must emit nothing")
+    val batch = graft.operators.Validation.queries("q_sprt")(spark, sf)
+      .drop("decided_by").as[SprtOut].collect().toSet
+    assert(streamed.toSet == batch,
+      s"stream-batch mismatch: onlyStream=${(streamed.toSet -- batch).take(3)} " +
+        s"onlyBatch=${(batch -- streamed.toSet).take(3)}")
+  }
+
   test("streaming near-dup ingest over micro-batches equals the batch store query") {
     implicit val sqlCtx = spark.sqlContext
     val sf01 = "/root/testdata/sf0.01" // sf0.001 yields no near-dup matches

@@ -573,4 +573,56 @@ class ValidationSpec extends AnyFunSuite {
     assert(rows.last.getAs[String]("decision") == "accept_h0",
       "trace ends decisively for H0 on this corpus")
   }
+
+  test("q_cochran_q: Q recomposes from the raw year-activity matrix; all-zero rows cancel") {
+    val rows = Validation.qCochranQ(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("yr")).sorted.toSeq == Seq(1996, 1997, 1998))
+    val cy = Tables.orders(spark, sf)
+      .select(col("o_custkey"), year(col("o_orderdate").cast("date")).as("yr"))
+      .filter(col("yr").between(1996, 1998)).distinct()
+      .collect().map(r => (r.getLong(0), r.getAs[Int]("yr")))
+    val byCust = cy.groupBy(_._1).map { case (c, g) => c -> g.length }
+    val t = byCust.values.map(_.toLong).sum
+    val r2 = byCust.values.map(v => v.toLong * v).sum
+    val cj = cy.groupBy(_._2).map { case (y, g) => y -> g.length.toLong }
+    val sc2 = cj.values.map(v => v * v).sum
+    val qBrute = 2.0 * (3 * sc2 - t * t).toDouble / (3 * t - r2).toDouble
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("q_stat") - qBrute) < 1e-5,
+        s"Q ${r.getAs[Double]("q_stat")} vs brute $qBrute")
+      assert(r.getAs[Long]("active") == cj(r.getAs[Int]("yr")))
+      assert(r.getAs[Long]("n_subjects") == byCust.size.toLong)
+      assert(r.getAs[Boolean]("uneven_years") ==
+        (r.getAs[Double]("q_stat") > 5.991))
+    }
+  }
+
+  test("q_power_mde: n-required and MDE recompose from the arm moments; MDE scales as 1/sqrt(n)") {
+    val rows = Validation.qPowerMde(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val spend = Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      .withColumn("arm",
+        when(expr("conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10)")
+          .cast("long") % 2 === 0, "A").otherwise("B"))
+      .collect().map(x => x.getAs[String]("arm") -> x.getAs[Long]("cents"))
+    val a = spend.filter(_._1 == "A").map(_._2.toDouble)
+    val b = spend.filter(_._1 == "B").map(_._2.toDouble)
+    val (ma, mb) = (a.sum / a.length, b.sum / b.length)
+    val ss = a.map(x => (x - ma) * (x - ma)).sum +
+      b.map(x => (x - mb) * (x - mb)).sum
+    val v = ss / (a.length + b.length - 2)
+    val z = 2.8015852181129688
+    val mde = z * math.sqrt(2 * v / ((a.length + b.length) / 2.0)) / 100
+    assert(math.abs(r.getAs[Double]("mde_dollars") - mde) < 1e-4,
+      s"MDE ${r.getAs[Double]("mde_dollars")} vs brute $mde")
+    val nReq = math.ceil(z * z * 2 * v / math.pow(ma - mb, 2)).toLong
+    assert(r.getAs[Long]("n_required_per_arm") == nReq)
+    assert(r.getAs[Boolean]("powered") ==
+      (math.min(a.length, b.length) >= nReq))
+    assert(math.abs(r.getAs[Double]("observed_delta_dollars") -
+      math.rint((ma - mb) / 100 * 1e6) / 1e6) < 1e-9)
+  }
 }

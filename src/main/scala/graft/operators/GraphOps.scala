@@ -1346,7 +1346,99 @@ object GraphOps {
       |    ELSE round(3.0 * n_triangles / n_wedges, 6) END AS transitivity
       |FROM ds, tri""".stripMargin
 
+  // ---------------------------------------------------------------- M19
+  /** Newman–Girvan modularity (2004) of the M4k label-prop partition
+    * over the mutual-kNN graph — the single-number "is this community
+    * structure real?" score M9's per-community conductance cannot
+    * give: Q = Σ_c [e_c/m − (d_c/2m)²], >0.3 conventionally "strong
+    * structure". ENGINE-EXACT because every ingredient is an integer
+    * count: per-community internal edges e_c, degree sums d_c = 2e_c
+    * + boundary, total edges m; each community's contribution scales
+    * to the integer 4m·e_c − d_c² and Q = Σ_c(4m·e_c − d_c²)/(4m²) —
+    * an ORDER-FREE integer sum with ONE double division (never a
+    * float sum over O(|communities|) terms). Same one-pass edge
+    * labeling as M9 (two joins against the |V|-row label frame);
+    * publishes per-community rows (size, internal, degree sum,
+    * 6-dp contribution) with the global Q and verdict on every row.
+    */
+  def qModularity(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val mutual = mutualKnnPairs(spark, dir)
+    val lbl = labelPropagate(mutual, rounds = 3)
+    val e = mutual
+      .join(lbl.select(col("node").as("src"), col("lbl").as("cs")), "src")
+      .join(lbl.select(col("node").as("dst"), col("lbl").as("cd")), "dst")
+      .select(col("cs"), col("cd"))
+    val internal = e.filter(col("cs") === col("cd"))
+      .groupBy(col("cs").as("community"))
+      .agg(count(lit(1)).as("internal_edges"))
+    val degree = e.select(explode(array(col("cs"), col("cd"))).as("community"))
+      .groupBy(col("community")).agg(count(lit(1)).as("degree_sum"))
+    val size = lbl.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("community_size"))
+    val m = mutual.agg(count(lit(1)).as("m"))
+    val per = size
+      .join(internal, Seq("community"), "left")
+      .join(degree, Seq("community"), "left")
+      .na.fill(0L, Seq("internal_edges", "degree_sum"))
+      .crossJoin(broadcast(m))
+      .withColumn("contrib_scaled",
+        expr(s"cast(4 * m as $d38) * internal_edges" +
+          s" - cast(degree_sum as $d38) * degree_sum"))
+    // sign-split casts: a community's contribution (and in theory
+    // the sum) can be negative, and DuckDB's negative-HUGEINT→DOUBLE
+    // cast mis-rounds above 2^53 (the q_stl device)
+    def sd(c: String) = s"CASE WHEN $c >= 0 THEN CAST($c AS DOUBLE)" +
+      s" ELSE -CAST(-($c) AS DOUBLE) END"
+    val tot = per.agg(sum(col("contrib_scaled")).as("q_scaled"),
+      max(expr(s"cast(4 * m as $d38) * m")).as("denom"))
+      .select(round(expr(s"${sd("q_scaled")} / cast(denom as double)"),
+        6).as("modularity"))
+    per.crossJoin(broadcast(tot))
+      .select(col("community"), col("community_size"),
+        col("internal_edges"), col("degree_sum"),
+        round(expr(sd("contrib_scaled") +
+          s" / cast(cast(4 * m as $d38) * m as double)"), 6)
+          .as("contribution"),
+        col("modularity"),
+        (col("modularity") > 0.3).as("strong_structure"))
+  }
+
+  val qModularitySql: String =
+    s"""WITH ${labelPropCtes(mutKnnSql)},
+      |eb AS (SELECT a.lbl AS cs, b.lbl AS cd FROM und u
+      |  JOIN l3 a ON u.src = a.node JOIN l3 b ON u.dst = b.node),
+      |internal AS (SELECT cs AS community, count(*) AS internal_edges
+      |  FROM eb WHERE cs = cd GROUP BY 1),
+      |deg AS (SELECT community, count(*) AS degree_sum FROM (
+      |    SELECT cs AS community FROM eb UNION ALL SELECT cd FROM eb)
+      |  GROUP BY 1),
+      |sz AS (SELECT lbl AS community, count(*) AS community_size
+      |  FROM l3 GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM und),
+      |per AS (SELECT sz.community, sz.community_size,
+      |    coalesce(internal.internal_edges, 0) AS internal_edges,
+      |    coalesce(deg.degree_sum, 0) AS degree_sum,
+      |    4 * m * coalesce(internal.internal_edges, 0)
+      |      - CAST(coalesce(deg.degree_sum, 0) AS HUGEINT)
+      |        * coalesce(deg.degree_sum, 0) AS contrib_scaled, m
+      |  FROM sz LEFT JOIN internal USING (community)
+      |  LEFT JOIN deg USING (community), tot),
+      |q AS (SELECT round((CASE WHEN sum(contrib_scaled) >= 0
+      |      THEN CAST(sum(contrib_scaled) AS DOUBLE)
+      |      ELSE -CAST(-sum(contrib_scaled) AS DOUBLE) END)
+      |      / CAST(max(4 * m * m) AS DOUBLE), 6) AS modularity
+      |  FROM per)
+      |SELECT community, community_size, internal_edges, degree_sum,
+      |  round((CASE WHEN contrib_scaled >= 0
+      |    THEN CAST(contrib_scaled AS DOUBLE)
+      |    ELSE -CAST(-contrib_scaled AS DOUBLE) END)
+      |    / CAST(4 * m * m AS DOUBLE), 6) AS contribution,
+      |  modularity, modularity > 0.3 AS strong_structure
+      |FROM per, q""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_modularity" -> (qModularity _),
     "q_global_clustering" -> (qGlobalClustering _),
     "q_kcore" -> (qKcore _),
     "q_neighbor_jaccard" -> (qNeighborJaccard _),
@@ -1367,6 +1459,7 @@ object GraphOps {
     "q_triangle_knn" -> (qTriangleKnn _))
 
   def oracle: Map[String, String] = Map(
+    "q_modularity" -> qModularitySql,
     "q_global_clustering" -> qGlobalClusteringSql,
     "q_kcore" -> qKcoreSql,
     "q_neighbor_jaccard" -> qNeighborJaccardSql,

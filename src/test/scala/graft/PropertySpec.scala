@@ -589,6 +589,43 @@ class PropertySpec extends AnyFunSuite {
     assert(rows.map(_._2).sum == nNodes, "community sizes must partition |V|")
   }
 
+  test("q_modularity: degree identity vs conductance, Q is the contribution sum, bounds hold") {
+    val rows = graft.operators.GraphOps.queries("q_modularity")(spark, sf)
+      .select("community", "community_size", "internal_edges", "degree_sum",
+        "contribution", "modularity", "strong_structure")
+      .as[(Long, Long, Long, Long, Double, Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    // the SAME partition M9 audits: degree_sum = 2·internal + boundary
+    val cond = graft.operators.GraphOps
+      .queries("q_community_conductance")(spark, sf)
+      .select("community", "internal_edges", "boundary_edges")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    rows.foreach { case (c, sz, in, deg, _, _, _) =>
+      val (cin, cbd) = cond(c)
+      assert(in == cin, s"community $c internal edges disagree with M9")
+      assert(deg == 2 * cin + cbd,
+        s"community $c: degree_sum $deg != 2·$cin + $cbd")
+      assert(sz > 0)
+    }
+    // handshake: Σ degree_sum = 2m
+    val m = graft.operators.GraphOps.queries("q_knn_graph")(spark, sf)
+      .filter(col("mutual")).count() / 2
+    assert(rows.map(_._4).sum == 2 * m, "sum of degree sums must be 2|E|")
+    // Q equals the contribution sum (to rounding grain) and is bounded
+    val q = rows.head._6
+    assert(rows.forall(_._6 == q), "global Q constant across rows")
+    assert(math.abs(rows.map(_._5).sum - q) < 1e-3 * rows.length,
+      s"Q $q vs contribution sum ${rows.map(_._5).sum}")
+    assert(q >= -0.5 && q <= 1.0, s"modularity $q out of [-1/2, 1]")
+    assert(rows.forall(_._7 == (q > 0.3)))
+    // exact recompose: Q = Σ(4m·e_c − d_c²) / 4m²
+    val qBrute = rows.map { case (_, _, in, deg, _, _, _) =>
+      BigInt(4) * BigInt(m) * in - BigInt(deg) * BigInt(deg) }.sum
+    val qExact = qBrute.toDouble / (BigInt(4) * BigInt(m) * BigInt(m)).toDouble
+    assert(math.abs(q - qExact) < 1e-6, s"Q $q vs exact $qExact")
+  }
+
   test("phash threshold sweep: monotone in radius, keep/drop partitions payloads, radius 0 is the exact-dup baseline") {
     val rows = graft.multimodal.BinaryPipeline
       .queries("q_phash_threshold_sweep")(spark, sf)

@@ -1392,7 +1392,137 @@ object AnalyticExt {
       |SELECT lag, n_days, xcorr, (xcorr = mx) AS peak
       |FROM corr, mx""".stripMargin
 
+  // ---------------------------------------------------------------- A46
+  /** Tukey median polish (EDA, 1977) of the (market-segment × order-
+    * year) mean-price grid — the robust two-way decomposition a
+    * pricing analyst runs before trusting ANOVA: sweep row medians
+    * then column medians, twice, leaving additive row/column effects
+    * and a residual grid whose outliers mark genuinely unusual
+    * (segment, year) cells rather than heavy-tail artifacts.
+    * ENGINE-EXACT throughout because BOTH grid dimensions are odd
+    * (7 years × 5 segments): every median is the literal middle
+    * element — selected by row_number over the total order (value,
+    * key), no interpolation, no halfUp — so cells, effects,
+    * residuals, and the MAD outlier fence are all exact cents.
+    * Invariant (spec-pinned): cell = row_effect + col_effect +
+    * residual, exactly, on every cell; the grand effect lives in the
+    * row effects (rows swept first — documented convention). All
+    * polish work happens on the ≤ 35-row grid after one corpus
+    * aggregate; windows over the bounded grid are the documented
+    * PlanSpec exemption class.
+    */
+  def qMedianPolish(spark: SparkSession, dir: String): DataFrame = {
+    def hu(aE: String, bE: String): String =
+      s"""CASE WHEN ($aE) >= 0
+         | THEN (2 * ($aE) + ($bE)) DIV (2 * ($bE))
+         | ELSE -((2 * (-($aE)) + ($bE)) DIV (2 * ($bE))) END"""
+        .stripMargin.replace("\n", " ")
+    val cells = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        year(col("o_orderdate").cast("date")).as("yr"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .filter(col("yr").between(1995, 2001))
+      .groupBy(col("seg"), col("yr"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents").cast("decimal(38,0)")).as("s"))
+      .select(col("seg"), col("yr"),
+        expr(hu("cast(s as decimal(38,0))", "cast(n as decimal(38,0))"))
+          .cast("long").as("cell"))
+    // exact odd-count median: the middle element by (value, tiebreak)
+    def med(part: String, tie: String, v: String, n: Int, out: String) = {
+      val w = Window.partitionBy(col(part))
+        .orderBy(col(v).asc, col(tie).asc)
+      (df: DataFrame) => df
+        .withColumn("rn", row_number().over(w))
+        .withColumn(out,
+          max(when(col("rn") === (n + 1) / 2, col(v))).over(
+            Window.partitionBy(col(part))))
+        .drop("rn")
+    }
+    val afterR1 = med("seg", "yr", "cell", 7, "rm")(cells)
+      .withColumn("row_eff", col("rm"))
+      .withColumn("r1", col("cell") - col("rm")).drop("rm")
+    val afterC1 = med("yr", "seg", "r1", 5, "cm")(afterR1)
+      .withColumn("col_eff", col("cm"))
+      .withColumn("r2", col("r1") - col("cm")).drop("cm", "r1")
+    val afterR2 = med("seg", "yr", "r2", 7, "rm2")(afterC1)
+      .withColumn("row_eff", col("row_eff") + col("rm2"))
+      .withColumn("r3", col("r2") - col("rm2")).drop("rm2", "r2")
+    val afterC2 = med("yr", "seg", "r3", 5, "cm2")(afterR2)
+      .withColumn("col_eff", col("col_eff") + col("cm2"))
+      .withColumn("residual", col("r3") - col("cm2")).drop("cm2", "r3")
+    // MAD fence over the 35 residuals: |res| median is element 18 of
+    // the |res| order (odd count), outlier = |res| > 2·MAD
+    val wAll = Window.partitionBy(lit(1))
+      .orderBy(abs(col("residual")).asc, col("seg").asc, col("yr").asc)
+    val fenced = afterC2
+      .withColumn("rn", row_number().over(wAll))
+      .withColumn("mad",
+        max(when(col("rn") === 18, abs(col("residual"))))
+          .over(Window.partitionBy(lit(1))))
+      .drop("rn")
+    fenced.select(col("seg"), col("yr"), col("cell").as("cell_cents"),
+      col("row_eff").as("row_effect_cents"),
+      col("col_eff").as("col_effect_cents"),
+      col("residual").as("residual_cents"),
+      (abs(col("residual")) > lit(2) * col("mad")).as("outlier"))
+  }
+
+  val qMedianPolishSql: String = {
+    def hu(aE: String, bE: String): String =
+      s"""CASE WHEN ($aE) >= 0
+         | THEN (2 * ($aE) + ($bE)) // (2 * ($bE))
+         | ELSE -((2 * (-($aE)) + ($bE)) // (2 * ($bE))) END"""
+        .stripMargin.replace("\n", " ")
+    s"""WITH cells AS (SELECT seg, yr,
+      |    CAST(${hu("s", "n")} AS BIGINT) AS cell
+      |  FROM (SELECT c_mktsegment AS seg,
+      |      year(CAST(o_orderdate AS DATE)) AS yr,
+      |      count(*) AS n,
+      |      sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT))
+      |        AS s
+      |    FROM orders JOIN customer ON o_custkey = c_custkey
+      |    WHERE year(CAST(o_orderdate AS DATE)) BETWEEN 1995 AND 2001
+      |    GROUP BY 1, 2)),
+      |r1m AS (SELECT *, max(CASE WHEN rn = 4 THEN cell END)
+      |    OVER (PARTITION BY seg) AS rm
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY seg
+      |    ORDER BY cell ASC, yr ASC) AS rn FROM cells)),
+      |r1 AS (SELECT seg, yr, cell, rm AS row_eff, cell - rm AS r1
+      |  FROM r1m),
+      |c1m AS (SELECT *, max(CASE WHEN rn = 3 THEN r1 END)
+      |    OVER (PARTITION BY yr) AS cm
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY yr
+      |    ORDER BY r1 ASC, seg ASC) AS rn FROM r1)),
+      |c1 AS (SELECT seg, yr, cell, row_eff, cm AS col_eff, r1 - cm AS r2
+      |  FROM c1m),
+      |r2m AS (SELECT *, max(CASE WHEN rn = 4 THEN r2 END)
+      |    OVER (PARTITION BY seg) AS rm2
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY seg
+      |    ORDER BY r2 ASC, yr ASC) AS rn FROM c1)),
+      |r2 AS (SELECT seg, yr, cell, row_eff + rm2 AS row_eff, col_eff,
+      |    r2 - rm2 AS r3
+      |  FROM r2m),
+      |c2m AS (SELECT *, max(CASE WHEN rn = 3 THEN r3 END)
+      |    OVER (PARTITION BY yr) AS cm2
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY yr
+      |    ORDER BY r3 ASC, seg ASC) AS rn FROM r2)),
+      |c2 AS (SELECT seg, yr, cell, row_eff, col_eff + cm2 AS col_eff,
+      |    r3 - cm2 AS residual
+      |  FROM c2m),
+      |fen AS (SELECT *, max(CASE WHEN rn = 18 THEN abs(residual) END)
+      |    OVER () AS mad
+      |  FROM (SELECT *, row_number() OVER (
+      |    ORDER BY abs(residual) ASC, seg ASC, yr ASC) AS rn FROM c2))
+      |SELECT seg, yr, cell AS cell_cents, row_eff AS row_effect_cents,
+      |  col_eff AS col_effect_cents, residual AS residual_cents,
+      |  abs(residual) > 2 * mad AS outlier
+      |FROM fen""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_median_polish" -> (qMedianPolish _),
     "q_cross_corr" -> (qCrossCorr _),
     "q_trimmed_mean" -> (qTrimmedMean _),
     "q_theil_index" -> (qTheilIndex _),
@@ -1422,6 +1552,7 @@ object AnalyticExt {
     "q_ewma" -> (qEwma _))
 
   def oracle: Map[String, String] = Map(
+    "q_median_polish" -> qMedianPolishSql,
     "q_trimmed_mean" -> qTrimmedMeanSql,
     "q_theil_index" -> qTheilIndexSql,
     "q_spearman" -> qSpearmanSql,

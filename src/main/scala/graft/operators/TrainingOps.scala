@@ -708,6 +708,91 @@ object TrainingOps {
        |FROM agg, qual""".stripMargin
   }
 
+  // ---------------------------------------------------------------- K31
+  /** Dataset card (the "datasheets for datasets" summary, Gebru et
+    * al. 2018) — the per-source manifest row a corpus release ships:
+    * document count, token mass, mean document length, mean B3
+    * quality, and language diversity, plus ONE `__total__` row so the
+    * headline numbers and the per-source breakdown can never drift
+    * apart (both aggregate the SAME pass: the total row is a
+    * union-with-relabeled-source, not a second computation).
+    * ENGINE-EXACT publishes: quality quantizes to per-doc µ-units
+    * BEFORE the mean (integer sum + half-up division — never an
+    * unordered double sum), mean length is half-up tokens-per-1000-
+    * docs, and language diversity is the Gini–Simpson index 1 − Σp²
+    * (the ENTROPY-free diversity — no libm ln) as the exact rational
+    * (n² − Σn_l²)/n² in half-up ppm. One corpus scan doubled by the
+    * relabel union; all aggregates keyed on source (bounded).
+    */
+  def qDatasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = TextAnalysis.scoreQuality(docs)
+      .select(col("doc_id"), round(col("quality") * 1000000).cast("long")
+        .as("q6"))
+    val base0 = docs
+      .select(col("doc_id"), col("source"), col("lang"),
+        tokenCount(col("text")).cast("long").as("nt"))
+      .join(scored, "doc_id")
+    val base = base0.union(base0.withColumn("source", lit("__total__"))
+      .select(col("doc_id"), col("source"), col("lang"), col("nt"),
+        col("q6")))
+    val perLang = base.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("nl"))
+      .groupBy(col("source"))
+      .agg(sum(col("nl") * col("nl")).as("sl2"),
+        count(lit(1)).as("n_langs"))
+    val agg = base.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("nt")).as("total_tokens"),
+      sum(col("q6").cast("decimal(38,0)")).as("sq6"))
+    def hu(aE: String, bE: String): String =
+      s"(2 * ($aE) + ($bE)) DIV (2 * ($bE))"
+    agg.join(perLang, "source")
+      .withColumn("mean_tokens_permille",
+        expr(hu("total_tokens * 1000", "n_docs")))
+      .withColumn("mean_quality_ppm",
+        expr(hu("cast(sq6 as decimal(38,0))", "cast(n_docs as decimal(38,0))"))
+          .cast("long"))
+      .withColumn("lang_diversity_ppm", expr(hu(
+        "1000000 * (cast(n_docs as decimal(38,0)) * n_docs - sl2)",
+        "cast(n_docs as decimal(38,0)) * n_docs")).cast("long"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("mean_tokens_permille"), col("mean_quality_ppm"),
+        col("n_langs"), col("lang_diversity_ppm"))
+  }
+
+  val qDatasetCardSql: String = {
+    def hu(aE: String, bE: String): String =
+      s"(2 * ($aE) + ($bE)) // (2 * ($bE))"
+    s"""WITH ${TextAnalysis.qualityCtes},
+      |scored AS (SELECT doc_id,
+      |    CAST(round(quality * 1000000) AS BIGINT) AS q6 FROM qual),
+      |base0 AS (SELECT d.doc_id, d.source, d.lang,
+      |    CAST(len($duckToks) AS BIGINT) AS nt, s.q6
+      |  FROM documents d JOIN scored s ON d.doc_id = s.doc_id),
+      |base AS (SELECT * FROM base0
+      |  UNION ALL
+      |  SELECT doc_id, '__total__' AS source, lang, nt, q6 FROM base0),
+      |per_lang AS (SELECT source,
+      |    CAST(sum(CAST(nl AS HUGEINT) * nl) AS HUGEINT) AS sl2,
+      |    count(*) AS n_langs
+      |  FROM (SELECT source, lang, count(*) AS nl FROM base GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |agg AS (SELECT source, count(*) AS n_docs,
+      |    CAST(sum(nt) AS BIGINT) AS total_tokens,
+      |    sum(CAST(q6 AS HUGEINT)) AS sq6
+      |  FROM base GROUP BY 1)
+      |SELECT a.source, a.n_docs, a.total_tokens,
+      |  ${hu("a.total_tokens * 1000", "a.n_docs")} AS mean_tokens_permille,
+      |  CAST(${hu("a.sq6", "CAST(a.n_docs AS HUGEINT)")} AS BIGINT)
+      |    AS mean_quality_ppm,
+      |  p.n_langs,
+      |  CAST(${hu("1000000 * (CAST(a.n_docs AS HUGEINT) * a.n_docs - p.sl2)",
+           "CAST(a.n_docs AS HUGEINT) * a.n_docs")} AS BIGINT)
+      |    AS lang_diversity_ppm
+      |FROM agg a JOIN per_lang p ON a.source = p.source""".stripMargin
+  }
+
   // ---------------------------------------------------------------- K8
   /** Zipf-slope fit per source — the vocabulary-health diagnostic: a
     * natural-language source's term-frequency head follows
@@ -1779,6 +1864,7 @@ object TrainingOps {
     "q_epoch_schedule" -> (qEpochSchedule _),
     "q_resample" -> (qResample _),
     "q_corpus_health" -> (qCorpusHealth _),
+    "q_dataset_card" -> (qDatasetCard _),
     "q_anomaly" -> (qAnomaly _))
 
   def oracle: Map[String, String] = Map(
@@ -1815,5 +1901,6 @@ object TrainingOps {
     "q_epoch_schedule" -> qEpochScheduleSql,
     "q_resample" -> qResampleSql,
     "q_corpus_health" -> qCorpusHealthSql,
+    "q_dataset_card" -> qDatasetCardSql,
     "q_anomaly" -> qAnomalySql)
 }

@@ -1519,6 +1519,32 @@ class PropertySpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[String]("regime") == expect))
   }
 
+  test("q_median_polish: additive identity exact per cell, effects are swept medians, fence is the exact MAD") {
+    val rows = graft.operators.AnalyticExt.queries("q_median_polish")(spark, sf)
+      .collect()
+    assert(rows.length == 35, "5 segments x 7 years, all populated")
+    rows.foreach { r =>
+      // the invariant the polish is FOR: cell = row + col + residual
+      assert(r.getAs[Long]("cell_cents") ==
+        r.getAs[Long]("row_effect_cents") + r.getAs[Long]("col_effect_cents") +
+          r.getAs[Long]("residual_cents"),
+        s"additive identity broken at ${(r.get(0), r.get(1))}")
+    }
+    // after the second column sweep, every year's residual median is 0
+    rows.groupBy(_.getAs[Int]("yr")).foreach { case (y, g) =>
+      val res = g.map(_.getAs[Long]("residual_cents")).sorted
+      assert(res(2) == 0L, s"year $y residual median ${res(2)} != 0")
+    }
+    // MAD fence recomposes: outlier == |res| > 2 * median(|res|)
+    val absRes = rows.map(r => math.abs(r.getAs[Long]("residual_cents")))
+      .sorted
+    val mad = absRes(17) // element 18 of 35
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("outlier") ==
+        (math.abs(r.getAs[Long]("residual_cents")) > 2 * mad))
+    }
+  }
+
   test("q_variance_ratio: VR recomposes from raw q-period differences") {
     import org.apache.spark.sql.functions._
     val rows = graft.operators.TemporalOps.queries("q_variance_ratio")(spark, sf)

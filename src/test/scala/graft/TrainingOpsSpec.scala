@@ -185,4 +185,39 @@ class TrainingOpsSpec extends AnyFunSuite {
       rows("bucket256").getAs[Long]("pad_tokens"),
       "narrower buckets must not pad more")
   }
+
+  test("q_dataset_card: the __total__ row is the exact fold of the per-source rows") {
+    import org.apache.spark.sql.functions._
+    val rows = TrainingOps.qDatasetCard(spark, sf).collect()
+    val (tot, per) = rows.partition(_.getAs[String]("source") == "__total__")
+    assert(tot.length == 1 && per.nonEmpty)
+    val t = tot.head
+    // mass conservation: totals are the sums of the per-source rows
+    assert(t.getAs[Long]("n_docs") == per.map(_.getAs[Long]("n_docs")).sum)
+    assert(t.getAs[Long]("total_tokens") ==
+      per.map(_.getAs[Long]("total_tokens")).sum)
+    assert(t.getAs[Long]("n_docs") == Tables.documents(spark, sf).count())
+    per.foreach { r =>
+      // mean length is the half-up per-mille ratio of its own row
+      val expect = (2 * r.getAs[Long]("total_tokens") * 1000 +
+        r.getAs[Long]("n_docs")) / (2 * r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("mean_tokens_permille") == expect)
+      val d = r.getAs[Long]("lang_diversity_ppm")
+      assert(d >= 0 && d < 1000000, s"diversity $d out of [0, 1e6)")
+      val q = r.getAs[Long]("mean_quality_ppm")
+      assert(q > 0 && q < 1000000, s"quality $q out of (0, 1e6)")
+      assert(r.getAs[Long]("n_langs") >= 1)
+    }
+    // diversity recomposes from the raw language counts for one source
+    val src = per.head.getAs[String]("source")
+    val langs = Tables.documents(spark, sf)
+      .filter(col("source") === src)
+      .groupBy(col("lang")).count().collect().map(_.getLong(1))
+    val n = langs.sum
+    val expectDiv = (2 * BigInt(1000000) * (BigInt(n) * n -
+      langs.map(l => BigInt(l) * l).sum) + BigInt(n) * n) /
+      (2 * BigInt(n) * n)
+    assert(BigInt(per.head.getAs[Long]("lang_diversity_ppm")) == expectDiv,
+      s"$src diversity")
+  }
 }

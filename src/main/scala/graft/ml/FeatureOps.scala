@@ -2148,11 +2148,17 @@ object FeatureOps {
     */
   def qBradleyTerry(spark: SparkSession, dir: String): DataFrame = {
     val d38 = "decimal(38,0)"
+    // cb is consumed by BOTH sides of the per-customer self-join and
+    // pairs by three downstream frames — cache them or the 3-way
+    // corpus join replays once per consumer (measured: 14 exchanges,
+    // 1.45M shuffled rows uncached vs ONE corpus aggregate cached).
+    // cb is (customer × bought-brands)-sized, pairs ≤ brands²/2 rows.
     val cb = Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
       .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
       .groupBy(col("o_custkey").as("cust"), col("p_brand").as("brand"))
       .agg(sum(col("l_quantity").cast("long")).as("qty"))
+      .cache()
     val a = cb.select(col("cust"), col("brand").as("bi"), col("qty").as("qi"))
     val b = cb.select(col("cust"), col("brand").as("bj"), col("qty").as("qj"))
     val pairs = a.join(b, Seq("cust")).filter(col("bi") < col("bj"))
@@ -2160,6 +2166,7 @@ object FeatureOps {
       .groupBy(col("bi"), col("bj"))
       .agg(count(lit(1)).as("n_ij"),
         sum(when(col("qi") > col("qj"), 1L).otherwise(0L)).as("w_i"))
+      .cache()
     val perBrand = pairs.select(col("bi").as("brand"), col("n_ij"),
         col("w_i").as("w"))
       .union(pairs.select(col("bj").as("brand"), col("n_ij"),

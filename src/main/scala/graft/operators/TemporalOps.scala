@@ -2283,8 +2283,11 @@ object TemporalOps {
     val daily = Tables.orders(spark, dir)
       .groupBy(datediff(col("o_orderdate"), lit("1970-01-01")).as("day"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("y"))
+    // three block sizes consume the same day table — cache it or the
+    // corpus aggregate replays once per size (3 scans → 1)
     val t = daily.withColumn("t",
       row_number().over(Window.orderBy(col("day").asc)) - 1)
+      .cache()
     val sizes = Seq(16, 64, 256)
     val d38 = "decimal(38,0)"
     val perM = sizes.map { m =>

@@ -2516,14 +2516,17 @@ object Validation {
         least(greatest(
           floor((round(col("c_acctbal") * 100).cast("long") + 100000L)
             / 100000L), lit(0L)), lit(bins - 1L)).cast("int").as("band"))
-    // the corpus total rides along as a broadcast 1-row frame — no
-    // driver-side action on the query path
-    val total = banded.agg(count(lit(1)).as("n_total"))
-    val global = banded.groupBy(col("band")).agg(count(lit(1)).as("nb"))
-    val cls = banded.groupBy(col("c_nationkey"), col("c_mktsegment"))
-      .agg(count(lit(1)).as("n_g"))
-    val perBand = banded.groupBy(col("c_nationkey"), col("c_mktsegment"),
-      col("band")).agg(count(lit(1)).as("n_gb"))
+    // ONE corpus aggregate — the (class × band) cube is bounded
+    // (≤ nations·segments·11 rows); total, global, and class counts
+    // all derive from it, so the customer table is scanned once
+    // (uncubed, the four consumers each replayed the scan)
+    val cube = banded.groupBy(col("c_nationkey"), col("c_mktsegment"),
+      col("band")).agg(count(lit(1)).as("n_gb")).cache()
+    val total = cube.agg(sum(col("n_gb")).as("n_total"))
+    val global = cube.groupBy(col("band")).agg(sum(col("n_gb")).as("nb"))
+    val cls = cube.groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(sum(col("n_gb")).as("n_g"))
+    val perBand = cube
     val grid = cls
       .select(col("c_nationkey"), col("c_mktsegment"), col("n_g"),
         explode(sequence(lit(0), lit(bins - 1))).as("band"))
@@ -2672,11 +2675,14 @@ object Validation {
     * 100 TB the distinct is the only shuffle and keys on customer.
     */
   def qCochranQ(spark: SparkSession, dir: String): DataFrame = {
+    // cached: the distinct (customer, year) frame feeds BOTH the
+    // row-sum and the column-total aggregates — one orders scan
     val cy = Tables.orders(spark, dir)
       .select(col("o_custkey"),
         year(col("o_orderdate").cast("date")).as("yr"))
       .filter(col("yr").between(1996, 1998))
       .distinct()
+      .cache()
     val r = cy.groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("ri"))
       .agg(sum(col("ri")).as("t"),

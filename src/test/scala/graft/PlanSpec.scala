@@ -206,6 +206,30 @@ class PlanSpec extends AnyFunSuite {
     assert(failures.isEmpty, s"exchange regressions:\n${failures.mkString("\n")}")
   }
 
+  test("r14 wave: pinned exchange ceilings (the relational-core device extended)") {
+    // measured at sf0.1 after the cache/cube fixes (SCALING.md r14
+    // second wave); a lost cache or broadcast re-inflates the count
+    // and fails here, not in a benchmark diff next round
+    val ceilings = Map(
+      "q_hard_negatives" -> 1, "q_preference_pairs" -> 1,
+      "q_cohens_d" -> 4, "q_t_closeness" -> 2, "q_sprt" -> 3,
+      "q_ljung_box" -> 3, "q_granger" -> 2, "q_bradley_terry" -> 4,
+      "q_hurst" -> 2, "q_variance_ratio" -> 4, "q_cochran_q" -> 2,
+      "q_power_mde" -> 4, "q_modularity" -> 3, "q_dataset_card" -> 3,
+      "q_median_polish" -> 6)
+    val failures = ceilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
+      // count the EXECUTED adaptive plan (the Bench device): pre-AQE
+      // the unmaterialized cache subtrees replay per consumer and the
+      // count means nothing
+      val qe = SparkEntry.queries(name)(spark, sf).queryExecution
+      qe.toRdd.count()
+      val n = Bench.exchangeCount(qe.executedPlan.toString)
+      spark.catalog.clearCache()
+      if (n > cap) Seq(s"$name: $n exchanges > pinned $cap") else Nil
+    }
+    assert(failures.isEmpty, s"exchange regressions:\n${failures.mkString("\n")}")
+  }
+
   test("global plan guard: a recursion step subtree never scans a corpus file (the UnionLoop hoisting lesson)") {
     // Spark's UnionLoop re-evaluates its step subtree EVERY iteration:
     // a corpus-scale derivation inlined in the recursive member re-runs

@@ -187,6 +187,83 @@ object Similarity {
       |  round(hardest - round(sim, 6), 6) AS margin_to_hardest
       |FROM top3""".stripMargin
 
+  // ---------------------------------------------------------------- D21
+  /** Triplet mining — the (anchor, positive, negative) assembly a
+    * metric-learning trainer consumes, completing D20: per panel
+    * anchor, positive = nearest SAME-label vector (leave-one-out),
+    * negative = nearest DIFFERENT-label vector, plus the margin and
+    * the SEMI-HARD flag (Schroff et al. 2015: the informative
+    * negatives sit inside [sim_pos − 0.05, sim_pos] — farther than
+    * the positive but violating the margin; easy negatives teach
+    * nothing, hardest ones destabilize). ONE scored pass serves both
+    * roles (two windows over the same bounded panel×corpus frame);
+    * ties (rounded sim DESC, nid ASC); margin = difference of the
+    * two 6-dp-rounded sims, deterministic in both engines. O(panel·n)
+    * — never corpus-pairwise.
+    */
+  def qTripletMining(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < PanelIdCap)
+      .select(col("vec_id").as("qid"), col("label").as("anchor_label"),
+        col("v").as("qv"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("anchor_label"), col("vec_id").as("nid"),
+        col("label"),
+        round(VectorFunctions.cosine(col("qv"), col("v")), 6).as("sim"))
+    val ranked = scored
+      .withColumn("is_pos", col("label") === col("anchor_label"))
+      .withColumn("rp", row_number().over(
+        Window.partitionBy(col("qid"), col("is_pos"))
+          .orderBy(col("sim").desc, col("nid").asc)))
+      .filter(col("rp") === 1)
+    val pos = ranked.filter(col("is_pos"))
+      .select(col("qid"), col("anchor_label"),
+        col("nid").as("pos_id"), col("sim").as("pos_sim"))
+    val neg = ranked.filter(!col("is_pos"))
+      .select(col("qid"), col("nid").as("neg_id"),
+        col("label").as("neg_label"), col("sim").as("neg_sim"))
+    // publish the 6-dp sims AS RANKED — re-rounding an already-6-dp
+    // value to 4 dp lands every 50th 6-dp grid point exactly ON a
+    // 4-dp midpoint, where Spark's exact-expansion HALF_UP and
+    // DuckDB's scaled round disagree (measured: pos_sim 0.38835 →
+    // 0.3883 vs 0.3884 at sf0.1). One round per hashed cell, ever.
+    pos.join(neg, "qid")
+      .select(col("qid"), col("anchor_label"),
+        col("pos_id"), col("pos_sim"),
+        col("neg_id"), col("neg_label"), col("neg_sim"),
+        round(col("pos_sim") - col("neg_sim"), 6).as("margin"),
+        (col("neg_sim") > col("pos_sim") - 0.05).as("semi_hard"))
+  }
+
+  val qTripletMiningSql: String =
+    raw"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS qid, label AS anchor_label, v AS qv FROM e
+      |  WHERE vec_id % 50 = 0 AND vec_id < $PanelIdCap),
+      |flat AS (SELECT qid, anchor_label, e.vec_id AS nid, e.label,
+      |    unnest(qv) AS x, unnest(v) AS y
+      |  FROM e JOIN q ON e.vec_id <> q.qid),
+      |scored AS (SELECT qid, anchor_label, nid, label,
+      |    round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS sim
+      |  FROM flat GROUP BY qid, anchor_label, nid, label),
+      |ranked AS (SELECT *, label = anchor_label AS is_pos,
+      |    row_number() OVER (PARTITION BY qid, label = anchor_label
+      |      ORDER BY sim DESC, nid ASC) AS rp
+      |  FROM scored),
+      |pos AS (SELECT qid, anchor_label, nid AS pos_id, sim AS pos_sim
+      |  FROM ranked WHERE is_pos AND rp = 1),
+      |neg AS (SELECT qid, nid AS neg_id, label AS neg_label,
+      |    sim AS neg_sim
+      |  FROM ranked WHERE NOT is_pos AND rp = 1)
+      |SELECT p.qid, p.anchor_label,
+      |  pos_id, pos_sim,
+      |  neg_id, neg_label, neg_sim,
+      |  round(pos_sim - neg_sim, 6) AS margin,
+      |  neg_sim > pos_sim - 0.05 AS semi_hard
+      |FROM pos p JOIN neg n ON p.qid = n.qid""".stripMargin
+
   // ---------------------------------------------------------------- D10
   /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
     * SIGIR 1998) — the diversity step between ANN retrieval and a
@@ -2132,6 +2209,7 @@ object Similarity {
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_knn_classify" -> (qKnnClassify _),
     "q_hard_negatives" -> (qHardNegatives _),
+    "q_triplet_mining" -> (qTripletMining _),
     "q_ann_nsw" -> (qAnnNsw _),
     "q_mmr_diversify" -> (qMmrDiversify _),
     "q_mmr_ann" -> (qMmrAnn _),
@@ -2156,7 +2234,8 @@ object Similarity {
     val k = lastShortlistK.get
     Map("q_ann_bruteforce" -> qAnnBruteforceSql,
       "q_knn_classify" -> qKnnClassifySql,
-      "q_hard_negatives" -> qHardNegativesSql, "q_ann_lsh" -> qAnnLshSql,
+      "q_hard_negatives" -> qHardNegativesSql,
+      "q_triplet_mining" -> qTripletMiningSql, "q_ann_lsh" -> qAnnLshSql,
       "q_hybrid_rrf" -> qHybridRrfSql,
       "q_matryoshka_overlap" -> qMatryoshkaOverlapSql,
       "q_mmr_diversify" -> qMmrDiversifySql,

@@ -2812,7 +2812,68 @@ object Validation {
       |    AS powered
       |FROM x""".stripMargin
 
+  // ---------------------------------------------------------------- L39
+  /** Paired sign test — the assumption-free end of the paired-
+    * comparison ladder (L23 Welch assumes normal-ish, L14 ranks;
+    * the sign test needs ONLY sign symmetry under H0): did customer
+    * spend move between 1996 and 1997, pairing each customer with
+    * ITSELF? Pairs = customers ordering in both years; zeros (exact
+    * ties) drop per the standard treatment; z = (n⁺ − n⁻)/√(n⁺ + n⁻)
+    * under the binomial(½) null. Everything is exact integer counts
+    * to ONE sqrt expression, 6-dp published, verdict on the ROUNDED
+    * |z| at 1.96. One orders scan → per-(customer, year) cents →
+    * one customer-keyed pivot; at 100 TB the single shuffle keys on
+    * customer.
+    */
+  def qSignTest(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        year(col("o_orderdate").cast("date")).as("yr"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .filter(col("yr").isin(1996, 1997))
+      .groupBy(col("o_custkey"))
+      .agg(sum(when(col("yr") === 1996, col("cents"))).as("s96"),
+        sum(when(col("yr") === 1997, col("cents"))).as("s97"))
+      .filter(col("s96").isNotNull && col("s97").isNotNull)
+    per.agg(
+      count(lit(1)).as("n_pairs"),
+      sum(when(col("s97") > col("s96"), 1L).otherwise(0L)).as("n_plus"),
+      sum(when(col("s97") < col("s96"), 1L).otherwise(0L)).as("n_minus"))
+      .withColumn("z", round(
+        (col("n_plus") - col("n_minus")).cast("double") /
+          sqrt((col("n_plus") + col("n_minus")).cast("double")), 6))
+      .select(col("n_pairs"), col("n_plus"), col("n_minus"), col("z"),
+        (abs(col("z")) > 1.96).as("significant"))
+  }
+
+  val qSignTestSql: String =
+    """WITH per AS (SELECT o_custkey,
+      |    CAST(sum(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1996
+      |      THEN CAST(round(o_totalprice * 100) AS BIGINT) END)
+      |      AS BIGINT) AS s96,
+      |    CAST(sum(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1997
+      |      THEN CAST(round(o_totalprice * 100) AS BIGINT) END)
+      |      AS BIGINT) AS s97
+      |  FROM orders
+      |  WHERE year(CAST(o_orderdate AS DATE)) IN (1996, 1997)
+      |  GROUP BY 1
+      |  HAVING s96 IS NOT NULL AND s97 IS NOT NULL),
+      |agg AS (SELECT count(*) AS n_pairs,
+      |    CAST(sum(CASE WHEN s97 > s96 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_plus,
+      |    CAST(sum(CASE WHEN s97 < s96 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_minus
+      |  FROM per)
+      |SELECT n_pairs, n_plus, n_minus,
+      |  round(CAST(n_plus - n_minus AS DOUBLE)
+      |    / sqrt(CAST(n_plus + n_minus AS DOUBLE)), 6) AS z,
+      |  abs(round(CAST(n_plus - n_minus AS DOUBLE)
+      |    / sqrt(CAST(n_plus + n_minus AS DOUBLE)), 6)) > 1.96
+      |    AS significant
+      |FROM agg""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sign_test" -> (qSignTest _),
     "q_power_mde" -> (qPowerMde _),
     "q_cochran_q" -> (qCochranQ _),
     "q_cohens_d" -> (qCohensD _),
@@ -2851,6 +2912,7 @@ object Validation {
     "q_benford" -> (qBenford _))
 
   def oracle: Map[String, String] = Map(
+    "q_sign_test" -> qSignTestSql,
     "q_power_mde" -> qPowerMdeSql,
     "q_cochran_q" -> qCochranQSql,
     "q_cohens_d" -> qCohensDSql,

@@ -324,7 +324,14 @@ class PlanSpec extends AnyFunSuite {
       "q_stl_decompose",
       // per-round cumulative sweeps over the ≤ 50-row quantity
       // histogram (the q_decision_stump class, twice)
-      "q_gbt_stumps")
+      "q_gbt_stumps",
+      // lag/cumsum windows over the bounded day table
+      // (the q_changepoint class)
+      "q_granger", "q_sprt", "q_variance_ratio",
+      // final rank over the ≤ |brands| strength table
+      "q_bradley_terry",
+      // MAD-fence rank over the 35-cell polish grid
+      "q_median_polish")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       // pre-AQE physical plan: traversable with plain collect (the
       // AQE wrapper hides its initial plan from TreeNode traversal,

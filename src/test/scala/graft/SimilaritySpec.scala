@@ -281,6 +281,7 @@ class SimilaritySpec extends AnyFunSuite {
     // brute-force: the hard negatives are exactly the D1 neighbor list
     // with same-label rows dropped, re-ranked (for queries where D1's
     // top-5 happens to contain 3+ cross-label rows, they must agree)
+    // (triplet consistency asserted in its own test below)
     val labels = Tables.embeddings(spark, sf)
       .select("vec_id", "label").as[(Long, Int)].collect().toMap
     val bf = Similarity.qAnnBruteforce(spark, sf)
@@ -296,6 +297,32 @@ class SimilaritySpec extends AnyFunSuite {
         assert(actual == expect,
           s"query $q: hard negatives $actual != label-filtered brute $expect")
       }
+    }
+  }
+
+  test("q_triplet_mining: negative agrees with D20 rank-1, labels and semi-hard flag consistent") {
+    val rows = Similarity.qTripletMining(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val hardest = Similarity.qHardNegatives(spark, sf).collect()
+      .filter(_.getAs[Int]("rank") == 1)
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("nid")).toMap
+    rows.foreach { r =>
+      val qid = r.getAs[Long]("qid")
+      // the triplet's negative IS D20's rank-1 hard negative
+      assert(r.getAs[Long]("neg_id") == hardest(qid),
+        s"anchor $qid: negative disagrees with q_hard_negatives")
+      assert(r.getAs[Int]("neg_label") != r.getAs[Int]("anchor_label"))
+      assert(r.getAs[Long]("pos_id") != qid, "leave-one-out")
+      val m = r.getAs[Double]("margin")
+      // margin = pos_sim − neg_sim at full 6-dp precision; the 4-dp
+      // published sims must agree within their own grain
+      assert(math.abs((r.getAs[Double]("pos_sim") -
+        r.getAs[Double]("neg_sim")) - m) < 2e-4)
+      // semi_hard ⟺ margin < 0.05 (checked off the boundary, where
+      // the flag's full-precision compare and the 6-dp margin agree)
+      if (math.abs(m - 0.05) > 1e-9)
+        assert(r.getAs[Boolean]("semi_hard") == (m < 0.05),
+          s"semi-hard flag vs margin $m")
     }
   }
 }

@@ -574,6 +574,32 @@ class ValidationSpec extends AnyFunSuite {
       "trace ends decisively for H0 on this corpus")
   }
 
+  test("q_sign_test: counts recompose from per-customer paired spends") {
+    val rows = Validation.qSignTest(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val per = Tables.orders(spark, sf)
+      .select(col("o_custkey"),
+        year(col("o_orderdate").cast("date")).as("yr"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .filter(col("yr").isin(1996, 1997))
+      .collect()
+      .groupBy(_.getLong(0))
+      .flatMap { case (_, g) =>
+        val s96 = g.filter(_.getAs[Int]("yr") == 1996).map(_.getLong(2))
+        val s97 = g.filter(_.getAs[Int]("yr") == 1997).map(_.getLong(2))
+        if (s96.nonEmpty && s97.nonEmpty) Some((s96.sum, s97.sum)) else None
+      }.toSeq
+    val nPlus = per.count { case (a, b) => b > a }
+    val nMinus = per.count { case (a, b) => b < a }
+    assert(r.getAs[Long]("n_pairs") == per.length.toLong)
+    assert(r.getAs[Long]("n_plus") == nPlus.toLong)
+    assert(r.getAs[Long]("n_minus") == nMinus.toLong)
+    val z = (nPlus - nMinus).toDouble / math.sqrt((nPlus + nMinus).toDouble)
+    assert(math.abs(r.getAs[Double]("z") - z) < 1e-6)
+    assert(r.getAs[Boolean]("significant") == (math.abs(r.getAs[Double]("z")) > 1.96))
+  }
+
   test("q_cochran_q: Q recomposes from the raw year-activity matrix; all-zero rows cancel") {
     val rows = Validation.qCochranQ(spark, sf).collect()
     assert(rows.map(_.getAs[Int]("yr")).sorted.toSeq == Seq(1996, 1997, 1998))

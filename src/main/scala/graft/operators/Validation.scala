@@ -1004,8 +1004,11 @@ object Validation {
     * m ≤ |event types|·4 tested cells — bounded by construction
     * (PlanSpec-exempt like q_auc's bin table).
     */
-  def qFdrBh(spark: SparkSession, dir: String): DataFrame = {
-    val alpha = 0.10
+  /** The (event_type × cohort) Welch-z p-value battery — factored so
+    * the BH (L11) and Holm (L41) procedures consume the
+    * BIT-IDENTICAL p_value column (the qualityCtes device).
+    */
+  private def pBattery(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("event_type"),
         (col("user_id") % 4).as("cohort"),
@@ -1045,6 +1048,12 @@ object Validation {
         * (lit(-1.453152027) + col("t") * lit(1.061405429))))))
       .withColumn("p_value",
         round(col("poly") * exp(-col("y") * col("y")), 8))
+    p
+  }
+
+  def qFdrBh(spark: SparkSession, dir: String): DataFrame = {
+    val alpha = 0.10
+    val p = pBattery(spark, dir)
     val byP = Window.orderBy(col("p_value").asc,
       col("event_type").asc, col("cohort").asc)
     val all = Window.partitionBy()
@@ -1064,8 +1073,11 @@ object Validation {
         (col("p_rank") <= coalesce(col("k"), lit(0))).as("reject"))
   }
 
-  val qFdrBhSql: String =
-    """WITH ev AS (SELECT event_type, user_id % 4 AS cohort,
+  /** The L11 p-value battery as reusable DuckDB CTEs (ending in
+    * `pv`), shared by the BH and Holm oracles.
+    */
+  private val pBatteryCtes: String =
+    """ev AS (SELECT event_type, user_id % 4 AS cohort,
       |    CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
       |      THEN 'A' ELSE 'B' END AS arm,
       |    CAST(value AS DECIMAL(12,2)) AS v
@@ -1100,7 +1112,10 @@ object Validation {
       |    round(t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
       |      + t * (-1.453152027 + t * 1.061405429)))) * exp(-y * y), 8)
       |      AS p_value
-      |  FROM pc),
+      |  FROM pc)""".stripMargin
+
+  val qFdrBhSql: String =
+    s"""WITH $pBatteryCtes,
       |rk AS (SELECT *,
       |    row_number() OVER (ORDER BY p_value ASC, event_type ASC, cohort ASC) AS p_rank,
       |    count(*) OVER () AS m
@@ -1113,6 +1128,67 @@ object Validation {
       |  z, p_value, p_rank, m, bh_crit,
       |  (p_rank <= coalesce(max(cand) OVER (), 0)) AS reject
       |FROM bh""".stripMargin
+
+  // ---------------------------------------------------------------- L41
+  /** Holm step-down (1979) over the SAME p-value battery as L11 —
+    * the familywise-error companion to BH's false-discovery-rate
+    * control (Holm guarantees P(any false rejection) ≤ α with NO
+    * independence assumption; BH tolerates a controlled fraction).
+    * Step-down: order p ascending, reject while p_(i) ≤ α/(m−i+1),
+    * STOP at the first failure — rejections are the ranks BELOW the
+    * first failing rank (min-window over the bounded battery).
+    * Battery identical by construction (shared pBattery frame /
+    * `pv` CTE chain), so BH-vs-Holm disagreement rows are exactly
+    * the procedures' theoretical gap, never a recomputation drift.
+    * Publishes both verdicts side by side.
+    */
+  def qHolm(spark: SparkSession, dir: String): DataFrame = {
+    val alpha = 0.10
+    val p = pBattery(spark, dir)
+    val byP = Window.orderBy(col("p_value").asc,
+      col("event_type").asc, col("cohort").asc)
+    val all = Window.partitionBy()
+    val ranked = p
+      .withColumn("p_rank", row_number().over(byP))
+      .withColumn("m", count(lit(1)).over(all))
+      .withColumn("holm_crit",
+        round(lit(alpha) / (col("m") - col("p_rank") + 1), 8))
+      .withColumn("bh_crit",
+        round(lit(alpha) * col("p_rank") / col("m"), 8))
+      .withColumn("fail_rank",
+        when(col("p_value") > col("holm_crit"), col("p_rank")))
+      .withColumn("bh_cand",
+        when(col("p_value") <= col("bh_crit"), col("p_rank")))
+    ranked
+      .withColumn("first_fail", min(col("fail_rank")).over(all))
+      .withColumn("bh_k", max(col("bh_cand")).over(all))
+      .select(col("event_type"), col("cohort"),
+        col("z"), col("p_value"), col("p_rank"), col("m"),
+        col("holm_crit"),
+        (col("p_rank") < coalesce(col("first_fail"), col("m") + 1))
+          .as("reject_holm"),
+        (col("p_rank") <= coalesce(col("bh_k"), lit(0)))
+          .as("reject_bh"))
+  }
+
+  val qHolmSql: String =
+    s"""WITH $pBatteryCtes,
+      |rk AS (SELECT *,
+      |    row_number() OVER (ORDER BY p_value ASC, event_type ASC, cohort ASC) AS p_rank,
+      |    count(*) OVER () AS m
+      |  FROM pv),
+      |crit AS (SELECT *,
+      |    round(0.10 / (m - p_rank + 1), 8) AS holm_crit,
+      |    round(0.10 * p_rank / m, 8) AS bh_crit
+      |  FROM rk),
+      |flags AS (SELECT *,
+      |    CASE WHEN p_value > holm_crit THEN p_rank END AS fail_rank,
+      |    CASE WHEN p_value <= bh_crit THEN p_rank END AS bh_cand
+      |  FROM crit)
+      |SELECT event_type, cohort, z, p_value, p_rank, m, holm_crit,
+      |  (p_rank < coalesce(min(fail_rank) OVER (), m + 1)) AS reject_holm,
+      |  (p_rank <= coalesce(max(bh_cand) OVER (), 0)) AS reject_bh
+      |FROM flags""".stripMargin
 
   // ---------------------------------------------------------------- L14
   /** Mann–Whitney U test (Wilcoxon rank-sum) on order totals between
@@ -2872,7 +2948,92 @@ object Validation {
       |    AS significant
       |FROM agg""".stripMargin
 
+  // ---------------------------------------------------------------- L40
+  /** TOST equivalence test (Schuirmann 1987) — the claim L3/L23
+    * CANNOT make: "the arms are the SAME (within a margin)". Failing
+    * to reject H0 is not evidence of equivalence; TOST flips the
+    * burden — H0 is |δ| ≥ margin, and BOTH one-sided tests must
+    * reject: z_low = (δ̂ + m)/se > z_α AND z_up = (m − δ̂)/se > z_α
+    * (α = .05 one-sided, z = 1.6448536269514722 as a decimal
+    * LITERAL). The margin is 5% of the pooled per-user mean —
+    * data-derived but from the same exact moments, one expression.
+    * The A/B arms ARE the L23/L34/L38 arms (md5-bit), se is the
+    * Welch form, all ingredients exact DECIMAL(38,0) moments with
+    * doubles only in the final expressions, z's 6-dp published,
+    * verdict on the ROUNDED pair. One corpus scan → 2 group rows.
+    */
+  def qEquivalenceTost(spark: SparkSession, dir: String): DataFrame = {
+    val zAlpha = 1.6448536269514722
+    val spend = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      .withColumn("arm",
+        when(expr("conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10)")
+          .cast("long") % 2 === 0, "A").otherwise("B"))
+    val arms = spend.groupBy(col("arm")).agg(
+      count(lit(1)).as("n"),
+      sum(col("cents").cast("decimal(38,0)")).as("s"),
+      sum((col("cents") * col("cents")).cast("decimal(38,0)")).as("q"))
+    val a = arms.filter(col("arm") === "A")
+      .select(col("n").as("n_a"), col("s").as("s_a"), col("q").as("q_a"))
+    val b = arms.filter(col("arm") === "B")
+      .select(col("n").as("n_b"), col("s").as("s_b"), col("q").as("q_b"))
+    val va = (col("q_a").cast("double") -
+      col("s_a").cast("double") * col("s_a").cast("double") / col("n_a")) /
+      (col("n_a") - 1)
+    val vb = (col("q_b").cast("double") -
+      col("s_b").cast("double") * col("s_b").cast("double") / col("n_b")) /
+      (col("n_b") - 1)
+    val se = sqrt(va / col("n_a") + vb / col("n_b"))
+    val delta = col("s_a").cast("double") / col("n_a") -
+      col("s_b").cast("double") / col("n_b")
+    val margin = ((col("s_a") + col("s_b")).cast("double") /
+      (col("n_a") + col("n_b"))) * 0.05
+    a.crossJoin(broadcast(b))
+      .withColumn("delta_dollars", round(delta / 100, 6))
+      .withColumn("margin_dollars", round(margin / 100, 6))
+      .withColumn("z_low", round((delta + margin) / se, 6))
+      .withColumn("z_up", round((margin - delta) / se, 6))
+      .select(col("n_a"), col("n_b"), col("delta_dollars"),
+        col("margin_dollars"), col("z_low"), col("z_up"),
+        (col("z_low") > zAlpha && col("z_up") > zAlpha).as("equivalent"))
+  }
+
+  val qEquivalenceTostSql: String =
+    """WITH spend AS (SELECT user_id,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY user_id),
+      |armed AS (SELECT cents,
+      |    CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+      |      THEN 'A' ELSE 'B' END AS arm
+      |  FROM spend),
+      |arms AS (SELECT arm, count(*) AS n,
+      |    sum(CAST(cents AS HUGEINT)) AS s,
+      |    sum(CAST(cents AS HUGEINT) * cents) AS q
+      |  FROM armed GROUP BY 1),
+      |a AS (SELECT n AS n_a, s AS s_a, q AS q_a FROM arms WHERE arm = 'A'),
+      |b AS (SELECT n AS n_b, s AS s_b, q AS q_b FROM arms WHERE arm = 'B'),
+      |x AS (SELECT n_a, n_b,
+      |    sqrt((CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / n_a)
+      |        / (n_a - 1) / n_a
+      |      + (CAST(q_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / n_b)
+      |        / (n_b - 1) / n_b) AS se,
+      |    CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b AS delta,
+      |    (CAST(s_a + s_b AS DOUBLE) / (n_a + n_b)) * 0.05 AS margin
+      |  FROM a, b)
+      |SELECT n_a, n_b,
+      |  round(delta / 100, 6) AS delta_dollars,
+      |  round(margin / 100, 6) AS margin_dollars,
+      |  round((delta + margin) / se, 6) AS z_low,
+      |  round((margin - delta) / se, 6) AS z_up,
+      |  (round((delta + margin) / se, 6) > 1.6448536269514722
+      |    AND round((margin - delta) / se, 6) > 1.6448536269514722)
+      |    AS equivalent
+      |FROM x""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_holm" -> (qHolm _),
+    "q_equivalence_tost" -> (qEquivalenceTost _),
     "q_sign_test" -> (qSignTest _),
     "q_power_mde" -> (qPowerMde _),
     "q_cochran_q" -> (qCochranQ _),
@@ -2912,6 +3073,8 @@ object Validation {
     "q_benford" -> (qBenford _))
 
   def oracle: Map[String, String] = Map(
+    "q_holm" -> qHolmSql,
+    "q_equivalence_tost" -> qEquivalenceTostSql,
     "q_sign_test" -> qSignTestSql,
     "q_power_mde" -> qPowerMdeSql,
     "q_cochran_q" -> qCochranQSql,

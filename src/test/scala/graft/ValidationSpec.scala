@@ -574,6 +574,72 @@ class ValidationSpec extends AnyFunSuite {
       "trace ends decisively for H0 on this corpus")
   }
 
+  test("q_holm: step-down structure holds and Holm is never more permissive than BH") {
+    val rows = Validation.qHolm(spark, sf).collect()
+      .sortBy(_.getAs[Int]("p_rank"))
+    assert(rows.nonEmpty)
+    val m = rows.head.getAs[Long]("m")
+    assert(rows.length.toLong == m)
+    // identical battery as BH: same (cell, p) pairs
+    val bh = Validation.qFdrBh(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("cohort")) ->
+        (r.getAs[Double]("p_value"), r.getAs[Boolean]("reject"))).toMap
+    rows.foreach { r =>
+      val key = (r.getAs[String]("event_type"), r.getAs[Long]("cohort"))
+      assert(bh(key)._1 == r.getAs[Double]("p_value"), s"$key battery drift")
+      assert(bh(key)._2 == r.getAs[Boolean]("reject_bh"), s"$key BH verdict")
+    }
+    // step-down: rejections are a PREFIX of the p-ranking, each
+    // rejected rank passes its own criterion, and the first
+    // non-rejected rank fails its criterion
+    val flags = rows.map(_.getAs[Boolean]("reject_holm"))
+    assert(!flags.dropWhile(identity).contains(true),
+      "Holm rejections must be a prefix of the p-ranking")
+    rows.zip(flags).foreach { case (r, f) =>
+      val pass = r.getAs[Double]("p_value") <= r.getAs[Double]("holm_crit")
+      if (f) assert(pass, s"rejected rank ${r.getAs[Int]("p_rank")} fails its criterion")
+    }
+    flags.indexOf(false) match {
+      case -1 =>
+      case i => assert(rows(i).getAs[Double]("p_value") >
+        rows(i).getAs[Double]("holm_crit"), "first accepted rank must fail")
+    }
+    // Holm controls FWER — strictly less permissive than BH
+    rows.foreach { r =>
+      if (r.getAs[Boolean]("reject_holm"))
+        assert(r.getAs[Boolean]("reject_bh"),
+          "a Holm rejection must also be a BH rejection")
+    }
+  }
+
+  test("q_equivalence_tost: z pair recomposes from arm moments; verdict consistent") {
+    val rows = Validation.qEquivalenceTost(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val spend = Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      .withColumn("arm",
+        when(expr("conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10)")
+          .cast("long") % 2 === 0, "A").otherwise("B"))
+      .collect().map(x => x.getAs[String]("arm") -> x.getAs[Long]("cents"))
+    val a = spend.filter(_._1 == "A").map(_._2.toDouble)
+    val b = spend.filter(_._1 == "B").map(_._2.toDouble)
+    val (ma, mb) = (a.sum / a.length, b.sum / b.length)
+    def sv(x: Array[Double], m: Double) =
+      x.map(v => (v - m) * (v - m)).sum / (x.length - 1)
+    val se = math.sqrt(sv(a, ma) / a.length + sv(b, mb) / b.length)
+    val margin = (a.sum + b.sum) / (a.length + b.length) * 0.05
+    val zLow = (ma - mb + margin) / se
+    val zUp = (margin - (ma - mb)) / se
+    assert(math.abs(r.getAs[Double]("z_low") - zLow) < 1e-4)
+    assert(math.abs(r.getAs[Double]("z_up") - zUp) < 1e-4)
+    val zA = 1.6448536269514722
+    assert(r.getAs[Boolean]("equivalent") ==
+      (r.getAs[Double]("z_low") > zA && r.getAs[Double]("z_up") > zA))
+    assert(r.getAs[Double]("margin_dollars") > 0)
+  }
+
   test("q_sign_test: counts recompose from per-customer paired spends") {
     val rows = Validation.qSignTest(spark, sf).collect()
     assert(rows.length == 1)

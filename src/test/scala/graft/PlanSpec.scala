@@ -331,7 +331,10 @@ class PlanSpec extends AnyFunSuite {
       // final rank over the ≤ |brands| strength table
       "q_bradley_terry",
       // MAD-fence rank over the 35-cell polish grid
-      "q_median_polish")
+      "q_median_polish",
+      // step-down ranking over the same |event types|×4-bounded
+      // p-value battery as q_fdr_bh (already exempt above)
+      "q_holm")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       // pre-AQE physical plan: traversable with plain collect (the
       // AQE wrapper hides its initial plan from TreeNode traversal,

@@ -2247,7 +2247,105 @@ object FeatureOps {
       |FROM scored""".stripMargin
   }
 
+  // ---------------------------------------------------------------- E45
+  /** k-fold slope stability — the fold-variance audit E13's learning
+    * curve and E22's point fit both skip: fit price-on-quantity
+    * INDEPENDENTLY on 5 deterministic md5 folds and read how much the
+    * coefficient moves across them (a stable model's folds agree; a
+    * leaky feature or a dominated slice shows up as fold spread long
+    * before a holdout metric does). ENGINE-EXACT: per-fold exact
+    * DECIMAL(38,0) moments → slope in µ-units via the SIGNED half-up
+    * division (one integer per fold), so the cross-fold mean, spread,
+    * and the ×5-scaled variance numerator 5·Σs² − (Σs)² are all
+    * integer arithmetic — no float ever aggregates across folds.
+    * Publishes one row per fold (n, slope_micro) plus the shared
+    * stability readout (mean, spread, rel-spread ppm vs |mean|,
+    * verdict at 5%). One corpus scan → 5 fold rows.
+    */
+  def qCvSlope(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    def hu(aE: String, bE: String): String =
+      s"""CASE WHEN ($aE) >= 0
+         | THEN (2 * ($aE) + ($bE)) DIV (2 * ($bE))
+         | ELSE -((2 * (-($aE)) + ($bE)) DIV (2 * ($bE))) END"""
+        .stripMargin.replace("\n", " ")
+    val li = Tables.lineitem(spark, dir).select(
+      (expr("conv(substring(md5(concat_ws('|', cast(l_orderkey as string)," +
+        " cast(l_linenumber as string))), 1, 15), 16, 10)")
+        .cast("long") % 5).as("fold"),
+      col("l_quantity").cast("long").as("x"),
+      round(col("l_extendedprice") * 100).cast("long").as("y"))
+    val folds = li.groupBy(col("fold")).agg(
+      count(lit(1)).cast(d38).as("n"),
+      sum(col("x").cast(d38)).as("sx"),
+      sum(col("y").cast(d38)).as("sy"),
+      sum(col("x").cast(d38) * col("y")).as("sxy"),
+      sum(col("x").cast(d38) * col("x")).as("sxx"))
+      // slope in µ-cents/unit: halfUp(1e6·(n·Σxy − ΣxΣy), n·Σx² − (Σx)²)
+      .withColumn("slope_micro",
+        expr(hu("1000000 * (n * sxy - sx * sy)", "n * sxx - sx * sx"))
+          .cast("long"))
+    val stab = folds.agg(
+      sum(col("slope_micro")).as("ssum"),
+      max(col("slope_micro")).as("smax"),
+      min(col("slope_micro")).as("smin"))
+      .select(
+        expr(hu("cast(ssum as decimal(38,0))", "cast(5 as decimal(38,0))"))
+          .cast("long").as("mean_slope_micro"),
+        (col("smax") - col("smin")).as("spread_micro"))
+      .withColumn("rel_spread_ppm",
+        expr(hu("1000000 * cast(spread_micro as decimal(38,0))",
+          "abs(cast(mean_slope_micro as decimal(38,0)))")).cast("long"))
+      .select(col("mean_slope_micro"), col("spread_micro"),
+        col("rel_spread_ppm"),
+        (col("rel_spread_ppm") <= 50000L).as("stable"))
+    folds.select(col("fold"), col("n").cast("long").as("n"),
+      col("slope_micro"))
+      .crossJoin(broadcast(stab))
+  }
+
+  val qCvSlopeSql: String = {
+    def hu(aE: String, bE: String): String =
+      s"""CASE WHEN ($aE) >= 0
+         | THEN (2 * ($aE) + ($bE)) // (2 * ($bE))
+         | ELSE -((2 * (-($aE)) + ($bE)) // (2 * ($bE))) END"""
+        .stripMargin.replace("\n", " ")
+    s"""WITH li AS (SELECT
+      |    ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|'
+      |      || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT % 5 AS fold,
+      |    CAST(l_quantity AS BIGINT) AS x,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      |  FROM lineitem),
+      |folds AS (SELECT fold, CAST(count(*) AS HUGEINT) AS n,
+      |    sum(CAST(x AS HUGEINT)) AS sx,
+      |    sum(CAST(y AS HUGEINT)) AS sy,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx
+      |  FROM li GROUP BY 1),
+      |sl AS (SELECT fold, CAST(n AS BIGINT) AS n,
+      |    CAST(${hu("1000000 * (n * sxy - sx * sy)", "n * sxx - sx * sx")}
+      |      AS BIGINT) AS slope_micro
+      |  FROM folds),
+      |stab0 AS (SELECT sum(CAST(slope_micro AS HUGEINT)) AS ssum,
+      |    max(slope_micro) AS smax, min(slope_micro) AS smin
+      |  FROM sl),
+      |stab AS (SELECT
+      |    CAST(${hu("ssum", "CAST(5 AS HUGEINT)")} AS BIGINT)
+      |      AS mean_slope_micro,
+      |    smax - smin AS spread_micro
+      |  FROM stab0),
+      |stab2 AS (SELECT mean_slope_micro, spread_micro,
+      |    CAST(${hu("1000000 * CAST(spread_micro AS HUGEINT)",
+           "abs(CAST(mean_slope_micro AS HUGEINT))")} AS BIGINT)
+      |      AS rel_spread_ppm
+      |  FROM stab)
+      |SELECT fold, n, slope_micro, mean_slope_micro, spread_micro,
+      |  rel_spread_ppm, rel_spread_ppm <= 50000 AS stable
+      |FROM sl, stab2""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cv_slope" -> (qCvSlope _),
     "q_bradley_terry" -> (qBradleyTerry _),
     "q_ols_multi" -> (qOlsMulti _),
     "q_gbt_stumps" -> (qGbtStumps _),
@@ -2281,6 +2379,7 @@ object FeatureOps {
     "q_mutual_info" -> (qMutualInfo _))
 
   def oracle: Map[String, String] = Map(
+    "q_cv_slope" -> qCvSlopeSql,
     "q_bradley_terry" -> qBradleyTerrySql,
     "q_ols_multi" -> qOlsMultiSql,
     "q_gbt_stumps" -> qGbtStumpsSql,

@@ -397,4 +397,45 @@ class TuningSpec extends AnyFunSuite {
     assert(r.getAs[Double]("accuracy") >= r.getAs[Double]("baseline") - 1e-9,
       "the best split never loses to the majority baseline on training data")
   }
+
+  test("q_cv_slope: fold slopes recompose in BigInt; folds partition the corpus; stability readout consistent") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ml.FeatureOps.queries("q_cv_slope")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("fold"))
+    assert(rows.map(_.getAs[Long]("fold")).toSeq == (0L to 4L))
+    val li = Tables.lineitem(spark, sf).select(
+      (expr("conv(substring(md5(concat_ws('|', cast(l_orderkey as string)," +
+        " cast(l_linenumber as string))), 1, 15), 16, 10)")
+        .cast("long") % 5).as("fold"),
+      col("l_quantity").cast("long").as("x"),
+      round(col("l_extendedprice") * 100).cast("long").as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_.getAs[Long]("n")).sum == li.length.toLong,
+      "folds must partition the corpus")
+    def hu(a: BigInt, b: BigInt): BigInt =
+      if (a >= 0) (2 * a + b) / (2 * b) else -((2 * -a + b) / (2 * b))
+    val slopes = (0L to 4L).map { f =>
+      val g = li.filter(_._1 == f)
+      val n = BigInt(g.length)
+      val sx = g.map(t => BigInt(t._2)).sum
+      val sy = g.map(t => BigInt(t._3)).sum
+      val sxy = g.map(t => BigInt(t._2) * t._3).sum
+      val sxx = g.map(t => BigInt(t._2) * t._2).sum
+      hu(BigInt(1000000) * (n * sxy - sx * sy), n * sxx - sx * sx)
+    }
+    rows.zip(slopes).foreach { case (r, s) =>
+      assert(BigInt(r.getAs[Long]("slope_micro")) == s,
+        s"fold ${r.getAs[Long]("fold")}: ${r.getAs[Long]("slope_micro")} vs $s")
+    }
+    val r0 = rows.head
+    assert(BigInt(r0.getAs[Long]("mean_slope_micro")) ==
+      hu(slopes.sum, BigInt(5)))
+    assert(r0.getAs[Long]("spread_micro") ==
+      (slopes.max - slopes.min).toLong)
+    assert(r0.getAs[Boolean]("stable") ==
+      (r0.getAs[Long]("rel_spread_ppm") <= 50000L))
+    // the stability readout is identical on every row
+    assert(rows.forall(_.getAs[Long]("mean_slope_micro") ==
+      r0.getAs[Long]("mean_slope_micro")))
+  }
 }

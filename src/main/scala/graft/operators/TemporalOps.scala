@@ -2470,7 +2470,587 @@ object TemporalOps {
       |FROM rows0""".stripMargin
   }
 
+  // ---------------------------------------------------------------- F63
+  /** Shapley-value channel attribution (the cooperative-game credit
+    * rule of Shapley 1953 applied to conversion journeys) — the
+    * principled multi-touch split next to F21's winner-take-all and
+    * F27's decay heuristic: a channel's credit is its average
+    * marginal contribution over all orderings of the channel set.
+    * Journey = (user, day); exposure set = the channels (view=1,
+    * click=2, signup=4) seen that day; coalition worth v(T) = number
+    * of converted journeys whose exposure uses ONLY channels in T
+    * (monotone, v(∅)=0). With k=3 the Shapley weights s!(k−1−s)!/k!
+    * have the common denominator 6, so the 6×-scaled credit
+    * φ6_c = Σ_T 6w·(v(T∪c)−v(T)) is an EXACT INTEGER — the
+    * efficiency axiom Σ_c φ6_c = 6·v(C) is spec-pinned, and the
+    * published share is ONE double division. Everything after the
+    * single (user, day) aggregate runs on the 8-row mask table
+    * against driver-side literal coalition grids (identical VALUES
+    * text in the oracle — no engine computes a factorial or a subset
+    * test at runtime).
+    */
+  def qShapleyAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val journeys = Tables.events(spark, dir)
+      .select(col("user_id"), expr("(ts DIV 1000000000) DIV 86400").as("day"),
+        col("event_type"))
+      .groupBy(col("user_id"), col("day"))
+      .agg((max(when(col("event_type") === "view", 1).otherwise(0)) +
+        max(when(col("event_type") === "click", 2).otherwise(0)) +
+        max(when(col("event_type") === "signup", 4).otherwise(0))).as("mask"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("conv"))
+    val counts = journeys.groupBy(col("mask"))
+      .agg(count(lit(1)).as("j"), sum(col("conv")).as("c"))
+    // literal grids — the same Scala sequences render the oracle VALUES
+    val subsetDf = shapleySubsetPairs.toDF("tset", "m")
+    val gridDf = shapleyGrid.toDF("channel", "cbit", "tset")
+    // left-join from the FULL tset lattice so v(∅) = 0 exists as a row
+    // (pairs has no m ⊆ ∅ entry, and the φ join needs every v(T))
+    val v = (0 to 7).toDF("tset")
+      .join(subsetDf, Seq("tset"), "left")
+      .join(counts, col("m") === col("mask"), "left")
+      .groupBy(col("tset"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("v"))
+    val withC = gridDf
+      .join(v.select(col("tset").as("t0"), col("v").as("v0")),
+        col("tset") === col("t0"))
+      .join(v.select(col("tset").as("t1"), col("v").as("v1")),
+        col("tset") + col("cbit") === col("t1"))
+      // 6·w_s for k=3: s = popcount(T) ∈ {0,1,2} → {2,1,2}
+      .withColumn("w6",
+        when(col("tset") === 0, 2)
+          .when(col("tset").isin(3, 5, 6), 2).otherwise(1))
+      .groupBy(col("channel"), col("cbit"))
+      .agg(sum(col("w6") * (col("v1") - col("v0"))).as("phi6"))
+    val solo = v.select(col("tset"), col("v").as("solo_conversions"))
+    val grand = v.filter(col("tset") === 7)
+      .select(col("v").as("total_conversions"))
+    val nJ = journeys.agg(count(lit(1)).as("n_journeys"))
+    withC.join(solo, col("cbit") === col("tset"))
+      .crossJoin(broadcast(grand)).crossJoin(broadcast(nJ))
+      .select(col("channel"), col("n_journeys"), col("total_conversions"),
+        col("solo_conversions"), col("phi6").cast("long").as("phi6"),
+        round(col("phi6").cast("double") /
+          (col("total_conversions").cast("double") * 6), 6).as("share"))
+  }
+
+  /** (tset, m) pairs with ∅ ≠ m ⊆ tset over the 3-channel lattice —
+    * driver-side literal shared with the oracle. */
+  private lazy val shapleySubsetPairs: Seq[(Int, Int)] =
+    for { t <- 0 to 7; m <- 1 to 7 if (m & ~t) == 0 } yield (t, m)
+
+  /** (channel, channel bit, coalition-without-channel) rows. */
+  private lazy val shapleyGrid: Seq[(String, Int, Int)] =
+    for {
+      (name, bit) <- Seq(("view", 1), ("click", 2), ("signup", 4))
+      t <- 0 to 7 if (t & bit) == 0
+    } yield (name, bit, t)
+
+  val qShapleyAttributionSql: String = {
+    val pairVals = shapleySubsetPairs
+      .map { case (t, m) => s"($t, $m)" }.mkString(", ")
+    val gridVals = shapleyGrid
+      .map { case (n, b, t) => s"('$n', $b, $t)" }.mkString(", ")
+    s"""WITH pairs(tset, m) AS (VALUES $pairVals),
+      |grid(channel, cbit, tset) AS (VALUES $gridVals),
+      |journeys AS (SELECT user_id, ($duckTsSec) // 86400 AS day,
+      |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |      + max(CASE WHEN event_type = 'click' THEN 2 ELSE 0 END)
+      |      + max(CASE WHEN event_type = 'signup' THEN 4 ELSE 0 END) AS mask,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      |  FROM events GROUP BY 1, 2),
+      |counts AS (SELECT mask, count(*) AS j, sum(conv) AS c
+      |  FROM journeys GROUP BY 1),
+      |tsets(tset) AS (VALUES (0), (1), (2), (3), (4), (5), (6), (7)),
+      |v AS (SELECT t.tset, CAST(coalesce(sum(c.c), 0) AS BIGINT) AS v
+      |  FROM tsets t LEFT JOIN pairs p ON t.tset = p.tset
+      |  LEFT JOIN counts c ON p.m = c.mask GROUP BY 1),
+      |phi AS (SELECT g.channel, g.cbit,
+      |    CAST(sum((CASE WHEN g.tset = 0 THEN 2
+      |      WHEN g.tset IN (3, 5, 6) THEN 2 ELSE 1 END)
+      |      * (v1.v - v0.v)) AS BIGINT) AS phi6
+      |  FROM grid g
+      |  JOIN v v0 ON g.tset = v0.tset
+      |  JOIN v v1 ON g.tset + g.cbit = v1.tset
+      |  GROUP BY 1, 2),
+      |grand AS (SELECT v AS total_conversions FROM v WHERE tset = 7),
+      |nj AS (SELECT count(*) AS n_journeys FROM journeys)
+      |SELECT p.channel, nj.n_journeys, grand.total_conversions,
+      |  s.v AS solo_conversions, p.phi6,
+      |  round(CAST(p.phi6 AS DOUBLE)
+      |    / (CAST(grand.total_conversions AS DOUBLE) * 6), 6) AS share
+      |FROM phi p JOIN v s ON p.cbit = s.tset, grand, nj""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- F61
+  /** Partial autocorrelation (Durbin–Levinson, lags 1–3) of the
+    * hourly event-count series — the AR-ORDER probe F53's portmanteau
+    * verdict can't give: Ljung–Box says "some serial structure",
+    * PACF says at WHICH lag the direct (confound-removed) dependence
+    * lives, the readout an AR(p) model order is picked from. The
+    * r_k autocorrelations reuse F53's engine-exact device verbatim
+    * (ỹ = n·y − S exact longs, DECIMAL(38,0) lag products, each r_k
+    * ONE double division); the Durbin–Levinson recursion unrolls to
+    * three FIXED-ORDER double expressions over the r_k columns —
+    * φ₁₁ = r₁, φ₂₂ = (r₂−r₁²)/(1−r₁²), φ₃₃ from the level-2
+    * coefficients — identical IEEE expression trees in both engines
+    * (no unordered double sum, the q_stl lesson). ar_order_hint =
+    * the largest lag whose ROUNDED |φ_kk| clears the 1.96/√n
+    * white-noise band (the cut runs on already-rounded values — the
+    * shared-grain rule). Degenerate flat series (den = 0 or
+    * 1−r₁² = 0) publishes null φ, not a divide error.
+    */
+  def qPacf(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("(ts DIV 1000000000) DIV 3600").as("hour"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("y"))
+    val tot = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour").asc)
+    val centered = hourly.join(tot, "event_type")
+      .withColumn("yt", col("n") * col("y") - col("s"))
+      .withColumn("l1", lag(col("yt"), 1).over(w))
+      .withColumn("l2", lag(col("yt"), 2).over(w))
+      .withColumn("l3", lag(col("yt"), 3).over(w))
+    val d38 = "decimal(38,0)"
+    val agg = centered.groupBy(col("event_type")).agg(
+      max(col("n")).as("n"),
+      sum(col("yt").cast(d38) * col("yt")).as("den"),
+      sum(col("yt").cast(d38) * col("l1")).as("c1"),
+      sum(col("yt").cast(d38) * col("l2")).as("c2"),
+      sum(col("yt").cast(d38) * col("l3")).as("c3"))
+    def r(k: Int) = col(s"c$k").cast("double") / col("den").cast("double")
+    // Durbin–Levinson unrolled: identical expression trees both engines
+    val p1 = r(1)
+    val p2 = (r(2) - r(1) * r(1)) / (lit(1.0) - r(1) * r(1))
+    val a21 = r(1) - p2 * r(1) // φ₂₁ = φ₁₁ − φ₂₂·φ₁₁
+    val p3 = (r(3) - a21 * r(2) - p2 * r(1)) /
+      (lit(1.0) - a21 * r(1) - p2 * r(2))
+    val guarded = agg
+      .withColumn("pacf1",
+        when(col("den") === 0, lit(null).cast("double"))
+          .otherwise(round(p1, 6)))
+      .withColumn("pacf2",
+        when(col("den") === 0 || lit(1.0) - r(1) * r(1) === 0.0,
+          lit(null).cast("double")).otherwise(round(p2, 6)))
+      .withColumn("pacf3",
+        when(col("den") === 0 || lit(1.0) - r(1) * r(1) === 0.0 ||
+          lit(1.0) - a21 * r(1) - p2 * r(2) === 0.0,
+          lit(null).cast("double")).otherwise(round(p3, 6)))
+    val band = round(lit(1.96) / sqrt(col("n_hours").cast("double")), 6)
+    guarded.select(col("event_type"), col("n").as("n_hours"),
+        col("pacf1"), col("pacf2"), col("pacf3"))
+      .withColumn("ar_order_hint",
+        when(abs(col("pacf3")) > band, 3)
+          .when(abs(col("pacf2")) > band, 2)
+          .when(abs(col("pacf1")) > band, 1)
+          .otherwise(0))
+  }
+
+  val qPacfSql: String =
+    s"""WITH hourly AS (SELECT event_type, ($duckTsSec) // 3600 AS hour,
+      |    count(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (SELECT event_type, count(*) AS n, sum(y) AS s
+      |  FROM hourly GROUP BY 1),
+      |c AS (SELECT h.event_type, t.n, t.n * h.y - t.s AS yt,
+      |    lag(t.n * h.y - t.s, 1) OVER w AS l1,
+      |    lag(t.n * h.y - t.s, 2) OVER w AS l2,
+      |    lag(t.n * h.y - t.s, 3) OVER w AS l3
+      |  FROM hourly h JOIN tot t ON h.event_type = t.event_type
+      |  WINDOW w AS (PARTITION BY h.event_type ORDER BY h.hour ASC)),
+      |agg AS (SELECT event_type, max(n) AS n,
+      |    sum(CAST(yt AS HUGEINT) * yt) AS den,
+      |    sum(CAST(yt AS HUGEINT) * l1) AS c1,
+      |    sum(CAST(yt AS HUGEINT) * l2) AS c2,
+      |    sum(CAST(yt AS HUGEINT) * l3) AS c3
+      |  FROM c GROUP BY 1),
+      |r AS (SELECT event_type, n,
+      |    CAST(c1 AS DOUBLE) / CAST(den AS DOUBLE) AS r1,
+      |    CAST(c2 AS DOUBLE) / CAST(den AS DOUBLE) AS r2,
+      |    CAST(c3 AS DOUBLE) / CAST(den AS DOUBLE) AS r3,
+      |    den
+      |  FROM agg),
+      |dl AS (SELECT event_type, n, den, r1, r2, r3,
+      |    (r2 - r1 * r1) / (1.0 - r1 * r1) AS p2
+      |  FROM r),
+      |dl2 AS (SELECT *, r1 - p2 * r1 AS a21 FROM dl),
+      |p AS (SELECT event_type, n,
+      |    CASE WHEN den = 0 THEN NULL ELSE round(r1, 6) END AS pacf1,
+      |    CASE WHEN den = 0 OR 1.0 - r1 * r1 = 0.0 THEN NULL
+      |      ELSE round(p2, 6) END AS pacf2,
+      |    CASE WHEN den = 0 OR 1.0 - r1 * r1 = 0.0
+      |        OR 1.0 - a21 * r1 - p2 * r2 = 0.0 THEN NULL
+      |      ELSE round((r3 - a21 * r2 - p2 * r1)
+      |        / (1.0 - a21 * r1 - p2 * r2), 6) END AS pacf3,
+      |    round(1.96 / sqrt(CAST(n AS DOUBLE)), 6) AS band
+      |  FROM dl2)
+      |SELECT event_type, n AS n_hours, pacf1, pacf2, pacf3,
+      |  CASE WHEN abs(pacf3) > band THEN 3
+      |    WHEN abs(pacf2) > band THEN 2
+      |    WHEN abs(pacf1) > band THEN 1
+      |    ELSE 0 END AS ar_order_hint
+      |FROM p""".stripMargin
+
+  // ---------------------------------------------------------------- F62
+  /** Discrete periodogram of daily revenue at candidate periods
+    * {5, 7, 9, 11} days — the frequency-domain twin of F33/F52's
+    * time-domain seasonality readers: spectral power
+    * P(p) = C²+S², C = Σ ỹ_t·cos(2πt/p), S = Σ ỹ_t·sin(2πt/p),
+    * answering "is the weekly cycle a PEAK of the spectrum or just
+    * one bump among many?". ENGINE-EXACT by the trig-table device:
+    * each period needs only p distinct cos/sin values (t enters mod
+    * p), which are materialized ONCE on the driver as µ-scaled
+    * INTEGER literals (round(cos·10⁶)) and embedded — the same
+    * literal text — in both the Spark plan and the oracle SQL, so
+    * no engine ever evaluates a trig function; ỹ = n·y − S keeps
+    * the series centered in exact integers (DC leakage removed),
+    * every product and sum is exact DECIMAL(38,0), the 10⁶ lift is
+    * divided back out by half-up BEFORE squaring (so the squares
+    * stay inside DECIMAL(38,0) at any SF), and the relative power
+    * is ONE double division of exact integers. No window functions
+    * at all — one day-table aggregate per period row.
+    */
+  def qPeriodogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // µ-scaled integer trig tables: driver-computed literals shared
+    // verbatim with the oracle (periodTrigRows)
+    val trig = periodTrigRows.toDF("p", "res", "cosu", "sinu")
+    val byDay = Tables.orders(spark, dir)
+      .groupBy(datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("yc"))
+    val tot = byDay.agg(count(lit(1)).as("n"), sum(col("yc")).as("s"))
+    val d38 = "decimal(38,0)"
+    val centered = byDay.crossJoin(broadcast(tot))
+      .withColumn("yt", (col("n") * col("yc") - col("s")).cast(d38))
+    val joined = centered.join(broadcast(trig),
+      pmod(col("day"), col("p")) === col("res"))
+    val hu = (num: String) =>
+      expr(s"""CASE WHEN $num >= 0
+        | THEN (2 * ($num) + 1000000) DIV 2000000
+        | ELSE -((2 * (-($num)) + 1000000) DIV 2000000)
+        | END""".stripMargin.replace("\n", " "))
+    val spectra = joined.groupBy(col("p"))
+      .agg(sum(col("yt") * col("cosu")).as("cu"),
+        sum(col("yt") * col("sinu")).as("su"),
+        count(lit(1)).as("n_days"))
+      .withColumn("cq", hu("cu").cast(d38))
+      .withColumn("sq", hu("su").cast(d38))
+      .withColumn("power", (col("cq") * col("cq") + col("sq") * col("sq"))
+        .cast(d38))
+    val totPow = spectra.agg(sum(col("power")).as("pt"))
+    spectra.crossJoin(broadcast(totPow))
+      .select(col("p").as("period"),
+        col("power").cast("double").as("power"),
+        round(col("power").cast("double") / col("pt").cast("double"), 6)
+          .as("rel_power"))
+      // 4-row bounded window (one row per candidate period)
+      .withColumn("is_peak",
+        col("rel_power") === max(col("rel_power"))
+          .over(Window.partitionBy(lit(1))))
+  }
+
+  /** Driver-computed µ-scaled trig literals (p, residue, cos, sin) —
+    * the SINGLE source both engines read, so trig never runs in
+    * either engine. */
+  private lazy val periodTrigRows: Seq[(Int, Int, Long, Long)] =
+    for {
+      p <- Seq(5, 7, 9, 11)
+      r <- 0 until p
+    } yield {
+      val a = 2.0 * math.Pi * r / p
+      (p, r, math.round(math.cos(a) * 1e6), math.round(math.sin(a) * 1e6))
+    }
+
+  val qPeriodogramSql: String = {
+    val vals = periodTrigRows
+      .map { case (p, r, c, s) => s"($p, $r, $c, $s)" }.mkString(", ")
+    s"""WITH trig(p, res, cosu, sinu) AS (VALUES $vals),
+      |byday AS (SELECT
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |      AS BIGINT) AS day,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS yc
+      |  FROM orders GROUP BY 1),
+      |tot AS (SELECT count(*) AS n, sum(yc) AS s FROM byday),
+      |centered AS (SELECT day, CAST(n * yc - s AS HUGEINT) AS yt
+      |  FROM byday, tot),
+      |joined AS (SELECT t.p, c.yt, t.cosu, t.sinu
+      |  FROM centered c JOIN trig t ON ((c.day % t.p) + t.p) % t.p = t.res),
+      |spec0 AS (SELECT p, sum(yt * cosu) AS cu, sum(yt * sinu) AS su
+      |  FROM joined GROUP BY 1),
+      |spec AS (SELECT p,
+      |    CAST(CASE WHEN cu >= 0 THEN (2 * cu + 1000000) // 2000000
+      |      ELSE -((2 * (-cu) + 1000000) // 2000000) END AS HUGEINT) AS cq,
+      |    CAST(CASE WHEN su >= 0 THEN (2 * su + 1000000) // 2000000
+      |      ELSE -((2 * (-su) + 1000000) // 2000000) END AS HUGEINT) AS sq
+      |  FROM spec0),
+      |pw AS (SELECT p, cq * cq + sq * sq AS power FROM spec),
+      |pt AS (SELECT sum(power) AS pt FROM pw)
+      |SELECT p AS period, CAST(power AS DOUBLE) AS power,
+      |  round(CAST(power AS DOUBLE) / CAST(pt AS DOUBLE), 6) AS rel_power,
+      |  (round(CAST(power AS DOUBLE) / CAST(pt AS DOUBLE), 6)
+      |    = max(round(CAST(power AS DOUBLE) / CAST(pt AS DOUBLE), 6))
+      |      OVER ()) AS is_peak
+      |FROM pw, pt""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- F59
+  /** MASE forecast scorecard (Hyndman & Koehler 2006) — the
+    * scale-free accuracy readout the F30/F52 forecasting family has
+    * no judge for: does the SEASONAL-NAIVE forecast ŷ_t = y_{t−7}
+    * beat the one-step naive baseline on a true holdout? The last 28
+    * observed days hold out; MASE = (holdout seasonal-naive MAE) /
+    * (train one-step-naive MAE). ENGINE-EXACT end-to-end: daily
+    * revenue lifts to integer cents, both absolute-error sums are
+    * sums of |differences of integers| (exact DECIMAL(38,0) — no
+    * float ever enters an error term), and MASE is ONE double
+    * division of two exact integer products (sae_f·(n_train−1)
+    * over h·sae_n — the cross-multiplied mean-of-sums form, so no
+    * intermediate mean is ever a rounded double). Series positions
+    * are data rows in day order (lag over the bounded day table —
+    * the q_changepoint PlanSpec class); rows without a 7-back
+    * predecessor drop identically in both engines. Verdict:
+    * mase < 1 ⟺ seasonality carries real signal.
+    */
+  def qMase(spark: SparkSession, dir: String): DataFrame = {
+    val byDay = Tables.orders(spark, dir)
+      .groupBy(datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("yc"))
+    val w = Window.orderBy(col("day"))
+    val d38 = "decimal(38,0)"
+    val marked = byDay
+      .withColumn("y7", lag(col("yc"), 7).over(w))
+      .withColumn("y1", lag(col("yc"), 1).over(w))
+      .withColumn("rev_rank",
+        row_number().over(Window.orderBy(col("day").desc)))
+      .withColumn("is_holdout", col("rev_rank") <= 28)
+    val agg = marked.agg(
+      sum(when(!col("is_holdout"), 1L).otherwise(0L)).as("n_train"),
+      sum(when(col("is_holdout"), 1L).otherwise(0L)).as("n_holdout"),
+      sum(when(col("is_holdout") && col("y7").isNotNull,
+        abs(col("yc") - col("y7")).cast(d38))).as("sae_f"),
+      sum(when(col("is_holdout") && col("y7").isNotNull, 1L)
+        .otherwise(0L)).as("h"),
+      sum(when(!col("is_holdout") && col("y1").isNotNull,
+        abs(col("yc") - col("y1")).cast(d38))).as("sae_n"),
+      sum(when(!col("is_holdout") && col("y1").isNotNull, 1L)
+        .otherwise(0L)).as("n_tn"))
+    agg.select(col("n_train"), col("n_holdout"),
+        col("sae_f").cast("long").as("sae_seasonal_cents"),
+        col("sae_n").cast("long").as("sae_naive_cents"),
+        round((col("sae_f") * col("n_tn")).cast(d38).cast("double") /
+          (col("sae_n") * col("h")).cast(d38).cast("double"), 6).as("mase"))
+      .withColumn("seasonal_beats_naive", col("mase") < 1.0)
+  }
+
+  val qMaseSql: String =
+    """WITH byday AS (SELECT
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |      AS BIGINT) AS day,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS yc
+      |  FROM orders GROUP BY 1),
+      |marked AS (SELECT day, yc,
+      |    lag(yc, 7) OVER (ORDER BY day) AS y7,
+      |    lag(yc, 1) OVER (ORDER BY day) AS y1,
+      |    (row_number() OVER (ORDER BY day DESC) <= 28) AS is_holdout
+      |  FROM byday),
+      |agg AS (SELECT
+      |    CAST(sum(CASE WHEN NOT is_holdout THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_train,
+      |    CAST(sum(CASE WHEN is_holdout THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_holdout,
+      |    sum(CASE WHEN is_holdout AND y7 IS NOT NULL
+      |      THEN CAST(abs(yc - y7) AS HUGEINT) END) AS sae_f,
+      |    CAST(sum(CASE WHEN is_holdout AND y7 IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS h,
+      |    sum(CASE WHEN NOT is_holdout AND y1 IS NOT NULL
+      |      THEN CAST(abs(yc - y1) AS HUGEINT) END) AS sae_n,
+      |    CAST(sum(CASE WHEN NOT is_holdout AND y1 IS NOT NULL THEN 1 ELSE 0
+      |      END) AS BIGINT) AS n_tn
+      |  FROM marked)
+      |SELECT n_train, n_holdout,
+      |  CAST(sae_f AS BIGINT) AS sae_seasonal_cents,
+      |  CAST(sae_n AS BIGINT) AS sae_naive_cents,
+      |  round(CAST(sae_f * n_tn AS DOUBLE) / CAST(sae_n * h AS DOUBLE), 6)
+      |    AS mase,
+      |  (round(CAST(sae_f * n_tn AS DOUBLE) / CAST(sae_n * h AS DOUBLE), 6)
+      |    < 1.0) AS seasonal_beats_naive
+      |FROM agg""".stripMargin
+
+  // ---------------------------------------------------------------- F60
+  /** Log-rank test (Mantel 1966) comparing signup→purchase survival
+    * between the ORGANIC cohort (first-ever event is a view/click)
+    * and the DIRECT cohort (anything else) — the two-sample verdict
+    * the F19/F46 single-curve estimators cannot give: are the two
+    * conversion processes the same? Standard hypergeometric form at
+    * each event hour t: O−E term d_a − d·n_a/n and variance
+    * d·n_a·n_b·(n−d)/(n²·(n−1)) over the cohort at-risk counts.
+    * Parity device (the q_hurst µ-quantize-before-the-sum rule):
+    * each hour's O−E and variance term quantizes to EXACT INTEGER
+    * micro-units via the sign-split half-up division, so the sums
+    * across hours are order-free integer arithmetic — no unordered
+    * double sum (the q_stl lesson) — and χ² = (Σoe_µ)²/(Σvar_µ·10⁶)
+    * is ONE double division of exact integers. Windows run over the
+    * duration-hour grid (observation-span-bounded, the
+    * q_kaplan_meier PlanSpec class). Verdict cuts χ²₁(.05) = 3.841.
+    */
+  def qLogrank(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), tsSec.as("t"))
+    val users = ev.groupBy(col("user_id"))
+      .agg(min(col("t")).as("f"),
+        min(struct(col("t"), col("event_id"), col("event_type"))).as("fe"),
+        min(when(col("event_type") === "purchase", col("t"))).as("fp"),
+        max(col("t")).as("l"))
+      .withColumn("cohort",
+        when(col("fe.event_type").isin("view", "click"), lit("organic"))
+          .otherwise(lit("direct")))
+      .cache()
+    val g = users.agg(max(col("l")).as("endg"),
+      sum(when(col("cohort") === "organic", 1L).otherwise(0L)).as("na0"),
+      sum(when(col("cohort") =!= "organic", 1L).otherwise(0L)).as("nb0"))
+    val byHour = users.crossJoin(broadcast(g))
+      .withColumn("is_event", col("fp").isNotNull)
+      .withColumn("dur",
+        when(col("is_event"), col("fp") - col("f"))
+          .otherwise(col("endg") - col("f")))
+      .withColumn("dur_hour", expr("dur DIV 3600"))
+      .withColumn("is_a", col("cohort") === "organic")
+      .groupBy(col("dur_hour"))
+      .agg(
+        sum(when(col("is_a") && col("is_event"), 1L).otherwise(0L)).as("da"),
+        sum(when(!col("is_a") && col("is_event"), 1L).otherwise(0L)).as("db"),
+        sum(when(col("is_a") && !col("is_event"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("is_a") && !col("is_event"), 1L).otherwise(0L)).as("cb"),
+        max(col("na0")).as("na0"), max(col("nb0")).as("nb0"))
+    val prior = Window.orderBy(col("dur_hour"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = byHour
+      .withColumn("na", col("na0") -
+        coalesce(sum(col("da") + col("ca")).over(prior), lit(0L)))
+      .withColumn("nb", col("nb0") -
+        coalesce(sum(col("db") + col("cb")).over(prior), lit(0L)))
+      .withColumn("d", col("da") + col("db"))
+      .withColumn("n", col("na") + col("nb"))
+      .filter(col("d") > 0 && col("n") > 1)
+    // µ-quantized exact-integer per-hour terms: oe numerator can be
+    // negative → sign-split half-up; var numerator is ≥ 0 always.
+    // DECIMAL(38,0) before the ×10⁶ lift — user-count² × 10⁶ rides
+    // past LONG range at high SF
+    val oeU = expr(
+      """CASE WHEN (da * n - d * na) >= 0
+        | THEN (2 * CAST(da * n - d * na AS DECIMAL(38,0)) * 1000000 + n)
+        |   DIV (2 * n)
+        | ELSE -((2 * CAST(d * na - da * n AS DECIMAL(38,0)) * 1000000 + n)
+        |   DIV (2 * n))
+        | END""".stripMargin.replace("\n", " "))
+    val varU = expr(
+      """(2 * (CAST(d AS DECIMAL(38,0)) * na * nb * (n - d)) * 1000000
+        |  + CAST(n AS DECIMAL(38,0)) * n * (n - 1))
+        | DIV (2 * CAST(n AS DECIMAL(38,0)) * n * (n - 1))"""
+        .stripMargin.replace("\n", " "))
+    val agg = risk
+      .withColumn("oe_u", oeU.cast("decimal(38,0)"))
+      .withColumn("var_u", varU.cast("decimal(38,0)"))
+      .agg(sum(col("oe_u")).as("oe_micro"), sum(col("var_u")).as("var_micro"),
+        sum(col("da")).as("events_organic"), sum(col("db")).as("events_direct"),
+        max(col("na0")).as("n_organic"), max(col("nb0")).as("n_direct"))
+    // sign-split cast: oe_micro can be negative (DuckDB negative
+    // HUGEINT→DOUBLE mis-rounds above 2^53)
+    val oeD = expr("""CASE WHEN oe_micro >= 0 THEN CAST(oe_micro AS DOUBLE)
+      | ELSE -CAST(-oe_micro AS DOUBLE) END""".stripMargin.replace("\n", " "))
+    agg.select(col("n_organic"), col("n_direct"),
+        col("events_organic").cast("long").as("events_organic"),
+        col("events_direct").cast("long").as("events_direct"),
+        col("oe_micro").cast("long").as("oe_micro"),
+        col("var_micro").cast("long").as("var_micro"),
+        round(oeD * oeD /
+          (col("var_micro").cast("double") * 1e6), 6).as("logrank_chi2"))
+      .withColumn("curves_differ", col("logrank_chi2") > 3.841)
+  }
+
+  val qLogrankSql: String =
+    s"""WITH ev AS (SELECT user_id, event_type, event_id, $duckTsSec AS t
+       |  FROM events),
+       |users AS (SELECT user_id, min(t) AS f,
+       |    min({'t': t, 'event_id': event_id, 'event_type': event_type})
+       |      AS fe,
+       |    min(CASE WHEN event_type = 'purchase' THEN t END) AS fp,
+       |    max(t) AS l
+       |  FROM ev GROUP BY 1),
+       |coh AS (SELECT user_id, f, fp, l,
+       |    CASE WHEN (fe).event_type IN ('view', 'click') THEN 'organic'
+       |      ELSE 'direct' END AS cohort
+       |  FROM users),
+       |g AS (SELECT max(l) AS endg,
+       |    CAST(sum(CASE WHEN cohort = 'organic' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS na0,
+       |    CAST(sum(CASE WHEN cohort <> 'organic' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS nb0
+       |  FROM coh),
+       |byhour AS (SELECT
+       |    (CASE WHEN fp IS NOT NULL THEN fp - f ELSE endg - f END) // 3600
+       |      AS dur_hour,
+       |    CAST(sum(CASE WHEN cohort = 'organic' AND fp IS NOT NULL
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS da,
+       |    CAST(sum(CASE WHEN cohort <> 'organic' AND fp IS NOT NULL
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS db,
+       |    CAST(sum(CASE WHEN cohort = 'organic' AND fp IS NULL
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+       |    CAST(sum(CASE WHEN cohort <> 'organic' AND fp IS NULL
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS cb,
+       |    max(na0) AS na0, max(nb0) AS nb0
+       |  FROM coh, g GROUP BY 1),
+       |risk0 AS (SELECT *,
+       |    na0 - coalesce(sum(da + ca) OVER (ORDER BY dur_hour
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS na,
+       |    nb0 - coalesce(sum(db + cb) OVER (ORDER BY dur_hour
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+       |  FROM byhour),
+       |risk AS (SELECT *, da + db AS d, na + nb AS n FROM risk0
+       |  WHERE da + db > 0 AND na + nb > 1),
+       |terms AS (SELECT da, db, na0, nb0,
+       |    CAST(CASE WHEN (da * n - d * na) >= 0
+       |      THEN (2 * CAST(da * n - d * na AS HUGEINT) * 1000000 + n)
+       |        // (2 * n)
+       |      ELSE -((2 * CAST(d * na - da * n AS HUGEINT) * 1000000 + n)
+       |        // (2 * n))
+       |      END AS HUGEINT) AS oe_u,
+       |    CAST((2 * (CAST(d AS HUGEINT) * na * nb * (n - d)) * 1000000
+       |        + CAST(n AS HUGEINT) * n * (n - 1))
+       |      // (2 * CAST(n AS HUGEINT) * n * (n - 1)) AS HUGEINT) AS var_u
+       |  FROM risk),
+       |agg AS (SELECT sum(oe_u) AS oe_micro, sum(var_u) AS var_micro,
+       |    CAST(sum(da) AS BIGINT) AS events_organic,
+       |    CAST(sum(db) AS BIGINT) AS events_direct,
+       |    max(na0) AS n_organic, max(nb0) AS n_direct
+       |  FROM terms)
+       |SELECT n_organic, n_direct, events_organic, events_direct,
+       |  CAST(oe_micro AS BIGINT) AS oe_micro,
+       |  CAST(var_micro AS BIGINT) AS var_micro,
+       |  round((CASE WHEN oe_micro >= 0 THEN CAST(oe_micro AS DOUBLE)
+       |      ELSE -CAST(-oe_micro AS DOUBLE) END)
+       |    * (CASE WHEN oe_micro >= 0 THEN CAST(oe_micro AS DOUBLE)
+       |      ELSE -CAST(-oe_micro AS DOUBLE) END)
+       |    / (CAST(var_micro AS DOUBLE) * 1e6), 6) AS logrank_chi2,
+       |  (round((CASE WHEN oe_micro >= 0 THEN CAST(oe_micro AS DOUBLE)
+       |      ELSE -CAST(-oe_micro AS DOUBLE) END)
+       |    * (CASE WHEN oe_micro >= 0 THEN CAST(oe_micro AS DOUBLE)
+       |      ELSE -CAST(-oe_micro AS DOUBLE) END)
+       |    / (CAST(var_micro AS DOUBLE) * 1e6), 6) > 3.841) AS curves_differ
+       |FROM agg""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mase" -> (qMase _),
+    "q_logrank" -> (qLogrank _),
+    "q_pacf" -> (qPacf _),
+    "q_periodogram" -> (qPeriodogram _),
+    "q_shapley_attribution" -> (qShapleyAttribution _),
     "q_variance_ratio" -> (qVarianceRatio _),
     "q_hurst" -> (qHurst _),
     "q_ljung_box" -> (qLjungBox _),
@@ -2516,6 +3096,11 @@ object TemporalOps {
     "q_json_extract" -> (qJsonExtract _))
 
   def oracle: Map[String, String] = Map(
+    "q_mase" -> qMaseSql,
+    "q_logrank" -> qLogrankSql,
+    "q_pacf" -> qPacfSql,
+    "q_periodogram" -> qPeriodogramSql,
+    "q_shapley_attribution" -> qShapleyAttributionSql,
     "q_variance_ratio" -> qVarianceRatioSql,
     "q_hurst" -> qHurstSql,
     "q_ljung_box" -> qLjungBoxSql,

@@ -1248,7 +1248,101 @@ object TextAnalysis {
        |    AS BIGINT) AS compression_ppm
        |FROM agg""".stripMargin
 
+  // ---------------------------------------------------------------- B27
+  /** Fleiss' kappa (1971) — chance-corrected agreement among THREE
+    * deterministic quality raters (B21's Cohen kappa compares exactly
+    * two): rater 1 accepts on raw length (≥ 500 chars), rater 2 on
+    * token count (≥ 80), rater 3 on sentence structure (≥ 3 sentence
+    * marks) — the cheap heuristics a curation pipeline actually
+    * composes, asked "do they even agree on what a good document
+    * is?" (rater 3 reads stopword mass — the corpus ships without
+    * sentence punctuation, so a marks-based rater would be constant).
+    * ENGINE-EXACT end-to-end: each rater verdict is an integer
+    * threshold test, the per-item agreement numerator
+    * Σ_i (n_a² + n_r² − m) and the category marginals are exact
+    * integer sums, and κ = (P̄−P̄_e)/(1−P̄_e) reduces over the common
+    * denominator to (3·A·n − 2·E) / (18·n² − 2·E) with
+    * E = c_a² + c_r² — ONE double division of two exact integers
+    * (sign-split cast; κ < 0 = worse-than-chance is representable).
+    * Unanimous-and-constant corpora hit the 0/0 form and publish
+    * null, not a divide error. One corpus scan, one output row.
+    */
+  def qFleissKappa(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{tokens, vocabHits}
+    val rated = Tables.documents(spark, dir).select(
+      when(length(col("text")) >= 500, 1L).otherwise(0L).as("r1"),
+      when(size(tokens(col("text"))) >= 80, 1L).otherwise(0L).as("r2"),
+      when(vocabHits(tokens(col("text")), stopwords("en")) >= 5, 1L)
+        .otherwise(0L).as("r3"))
+      .withColumn("na", col("r1") + col("r2") + col("r3"))
+    val d38 = "decimal(38,0)"
+    val agg = rated.agg(
+      count(lit(1)).cast(d38).as("n"),
+      sum(col("r1")).as("accepts_r1"),
+      sum(col("r2")).as("accepts_r2"),
+      sum(col("r3")).as("accepts_r3"),
+      sum((col("na") * col("na") + (lit(3) - col("na")) * (lit(3) - col("na"))
+        - lit(3)).cast(d38)).as("a"),
+      sum(col("na").cast(d38)).as("ca"))
+    val withE = agg
+      .withColumn("e", (col("ca") * col("ca") +
+        (lit(3) * col("n") - col("ca")) * (lit(3) * col("n") - col("ca")))
+        .cast(d38))
+      .withColumn("num", (lit(3) * col("a") * col("n") - lit(2) * col("e"))
+        .cast(d38))
+      .withColumn("den", (lit(18) * col("n") * col("n") - lit(2) * col("e"))
+        .cast(d38))
+    val numD = expr("""CASE WHEN num >= 0 THEN CAST(num AS DOUBLE)
+      | ELSE -CAST(-num AS DOUBLE) END""".stripMargin.replace("\n", " "))
+    withE.select(col("n").cast("long").as("n_docs"),
+        col("accepts_r1"), col("accepts_r2"), col("accepts_r3"),
+        round(col("a").cast("double") /
+          (col("n").cast("double") * 6), 6).as("p_bar"),
+        when(col("den") === 0, lit(null).cast("double"))
+          .otherwise(round(numD / col("den").cast("double"), 6))
+          .as("fleiss_kappa"))
+      .withColumn("moderate_agreement",
+        coalesce(col("fleiss_kappa") > 0.4, lit(false)))
+  }
+
+  val qFleissKappaSql: String = {
+    val toks = graft.functions.TextFunctions.duckToksSql("text")
+    s"""WITH rated AS (SELECT
+      |    CASE WHEN length(text) >= 500 THEN 1 ELSE 0 END AS r1,
+      |    CASE WHEN len($toks) >= 80 THEN 1 ELSE 0 END AS r2,
+      |    CASE WHEN len(list_filter($toks, t -> list_contains($stopSqlEn,
+      |      t))) >= 5 THEN 1 ELSE 0 END AS r3
+      |  FROM documents),
+      |wa AS (SELECT r1, r2, r3, r1 + r2 + r3 AS na FROM rated),
+      |agg AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(r1) AS BIGINT) AS accepts_r1,
+      |    CAST(sum(r2) AS BIGINT) AS accepts_r2,
+      |    CAST(sum(r3) AS BIGINT) AS accepts_r3,
+      |    sum(CAST(na * na + (3 - na) * (3 - na) - 3 AS HUGEINT)) AS a,
+      |    sum(CAST(na AS HUGEINT)) AS ca
+      |  FROM wa),
+      |we AS (SELECT *,
+      |    ca * ca + (3 * n - ca) * (3 * n - ca) AS e
+      |  FROM agg),
+      |f AS (SELECT *,
+      |    3 * a * n - 2 * e AS num, 18 * n * n - 2 * e AS den
+      |  FROM we)
+      |SELECT CAST(n AS BIGINT) AS n_docs,
+      |  accepts_r1, accepts_r2, accepts_r3,
+      |  round(CAST(a AS DOUBLE) / (CAST(n AS DOUBLE) * 6), 6) AS p_bar,
+      |  CASE WHEN den = 0 THEN NULL
+      |    ELSE round((CASE WHEN num >= 0 THEN CAST(num AS DOUBLE)
+      |      ELSE -CAST(-num AS DOUBLE) END) / CAST(den AS DOUBLE), 6)
+      |    END AS fleiss_kappa,
+      |  coalesce((CASE WHEN den = 0 THEN NULL
+      |    ELSE round((CASE WHEN num >= 0 THEN CAST(num AS DOUBLE)
+      |      ELSE -CAST(-num AS DOUBLE) END) / CAST(den AS DOUBLE), 6)
+      |    END) > 0.4, false) AS moderate_agreement
+      |FROM f""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fleiss_kappa" -> (qFleissKappa _),
     "q_bpe_merges" -> (qBpeMerges _),
     "q_bpe_apply" -> (qBpeApply _),
     "q_pii_scan" -> (qPiiScan _),
@@ -1273,6 +1367,7 @@ object TextAnalysis {
     "q_stratified_sample" -> (qStratifiedSample _))
 
   def oracle: Map[String, String] = Map(
+    "q_fleiss_kappa" -> qFleissKappaSql,
     "q_bpe_merges" -> qBpeMergesSql,
     "q_bpe_apply" -> qBpeApplySql,
     "q_pii_scan" -> qPiiScanSql,

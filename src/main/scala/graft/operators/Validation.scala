@@ -3031,7 +3031,205 @@ object Validation {
       |    AS equivalent
       |FROM x""".stripMargin
 
+  // ---------------------------------------------------------------- L42
+  /** Cronbach's alpha (1951) — internal-consistency reliability of
+    * the document quality battery: do the four per-document size/
+    * quality items (chars, tokens, stopword hits, sentence marks)
+    * measure ONE underlying construct, or is the composite quality
+    * score (B3's shape) averaging unrelated signals? α = k/(k−1) ·
+    * (1 − Σσ²_item/σ²_total). ENGINE-EXACT throughout: every item is
+    * an integer per document (sentence marks via plain non-regex
+    * replace-length arithmetic), every variance NUMERATOR
+    * V = n·Σx² − (Σx)² is an exact DECIMAL(38,0) over the SAME n, so
+    * the denominators cancel and α = k·(V_tot − ΣV_i) / ((k−1)·V_tot)
+    * is ONE double division of two exact integers (sign-split cast —
+    * α can be negative when items anti-correlate). One corpus scan,
+    * map-side-combined moment aggregate, one output row. Verdict at
+    * the conventional α ≥ 0.7 reliability bar.
+    */
+  def qCronbachAlpha(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{tokens, vocabHits}
+    val stops = TextAnalysis.stopwords("en")
+    val items = Tables.documents(spark, dir).select(
+      length(col("text")).cast("long").as("x1"),
+      size(tokens(col("text"))).cast("long").as("x2"),
+      vocabHits(tokens(col("text")), stops).cast("long").as("x3"),
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "[.!?]", ""))).cast("long")
+        .as("x4"))
+      .withColumn("xt", col("x1") + col("x2") + col("x3") + col("x4"))
+    val d38 = "decimal(38,0)"
+    def mom(c: String) = Seq(
+      sum(col(c).cast(d38)).as(s"s_$c"),
+      sum((col(c).cast(d38) * col(c))).as(s"q_$c"))
+    val agg = items.agg(count(lit(1)).cast(d38).as("n"),
+      (Seq("x1", "x2", "x3", "x4", "xt").flatMap(mom)): _*)
+    def v(c: String) =
+      (col("n") * col(s"q_$c") - col(s"s_$c") * col(s"s_$c")).cast(d38)
+    val withV = agg
+      .withColumn("v_items",
+        (v("x1") + v("x2") + v("x3") + v("x4")).cast(d38))
+      .withColumn("v_tot", v("xt"))
+      .withColumn("num", (col("v_tot") - col("v_items")).cast(d38))
+    val numD = expr("""CASE WHEN num >= 0 THEN CAST(num AS DOUBLE)
+      | ELSE -CAST(-num AS DOUBLE) END""".stripMargin.replace("\n", " "))
+    withV.select(col("n").cast("long").as("n_docs"), lit(4).as("k_items"),
+        when(col("v_tot") === 0, lit(null).cast("double"))
+          .otherwise(round(lit(4.0) * numD /
+            (lit(3.0) * col("v_tot").cast("double")), 6)).as("alpha"))
+      .withColumn("reliable", coalesce(col("alpha") >= 0.7, lit(false)))
+  }
+
+  val qCronbachAlphaSql: String = {
+    val toks = graft.functions.TextFunctions.duckToksSql("text")
+    val stop = TextAnalysis.stopSqlEn
+    s"""WITH items AS (SELECT
+      |    CAST(length(text) AS BIGINT) AS x1,
+      |    CAST(len($toks) AS BIGINT) AS x2,
+      |    CAST(len(list_filter($toks, t -> list_contains($stop, t)))
+      |      AS BIGINT) AS x3,
+      |    CAST(length(text) - length(replace(replace(replace(text,
+      |      '.', ''), '!', ''), '?', '')) AS BIGINT) AS x4
+      |  FROM documents),
+      |wt AS (SELECT x1, x2, x3, x4, x1 + x2 + x3 + x4 AS xt FROM items),
+      |agg AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    sum(CAST(x1 AS HUGEINT)) AS s_x1, sum(CAST(x1 AS HUGEINT) * x1)
+      |      AS q_x1,
+      |    sum(CAST(x2 AS HUGEINT)) AS s_x2, sum(CAST(x2 AS HUGEINT) * x2)
+      |      AS q_x2,
+      |    sum(CAST(x3 AS HUGEINT)) AS s_x3, sum(CAST(x3 AS HUGEINT) * x3)
+      |      AS q_x3,
+      |    sum(CAST(x4 AS HUGEINT)) AS s_x4, sum(CAST(x4 AS HUGEINT) * x4)
+      |      AS q_x4,
+      |    sum(CAST(xt AS HUGEINT)) AS s_xt, sum(CAST(xt AS HUGEINT) * xt)
+      |      AS q_xt
+      |  FROM wt),
+      |vv AS (SELECT n,
+      |    (n * q_x1 - s_x1 * s_x1) + (n * q_x2 - s_x2 * s_x2)
+      |      + (n * q_x3 - s_x3 * s_x3) + (n * q_x4 - s_x4 * s_x4) AS v_items,
+      |    n * q_xt - s_xt * s_xt AS v_tot
+      |  FROM agg),
+      |f AS (SELECT n, v_tot, v_tot - v_items AS num FROM vv)
+      |SELECT CAST(n AS BIGINT) AS n_docs, 4 AS k_items,
+      |  CASE WHEN v_tot = 0 THEN NULL
+      |    ELSE round(4.0 * (CASE WHEN num >= 0 THEN CAST(num AS DOUBLE)
+      |      ELSE -CAST(-num AS DOUBLE) END)
+      |      / (3.0 * CAST(v_tot AS DOUBLE)), 6) END AS alpha,
+      |  coalesce((CASE WHEN v_tot = 0 THEN NULL
+      |    ELSE round(4.0 * (CASE WHEN num >= 0 THEN CAST(num AS DOUBLE)
+      |      ELSE -CAST(-num AS DOUBLE) END)
+      |      / (3.0 * CAST(v_tot AS DOUBLE)), 6) END) >= 0.7, false)
+      |    AS reliable
+      |FROM f""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- L43
+  /** Mahalanobis-distance outliers in the (quantity, price) plane —
+    * the BIVARIATE fence the univariate L2/MAD fences cannot draw: a
+    * row can be unremarkable in each margin yet far from the joint
+    * distribution (high quantity at a low-quantity price point).
+    * d² = uᵀ Σ⁻¹ u via the closed 2×2 inverse. ENGINE-EXACT ranking:
+    * centered scaled moments quantize to covariance units by the E38
+    * sign-split half-up device (bounded by data ranges at any SF),
+    * per-row deviations quantize to centi-units the same way, and the
+    * quadratic form Q = myy·ux² − 2·mxy·ux·uy + mxx·uy² is an exact
+    * DECIMAL(38,0) INTEGER — the top-20 ranking orders by Q (det > 0
+    * constant per corpus, so Q-order IS d²-order), never by a rounded
+    * double; d² publishes as the single Q/(100·det) division (the
+    * two ×100 quantization lifts compose to exactly 100). No window —
+    * the top-k is a distributed TakeOrdered with (Q, orderkey,
+    * linenumber) tiebreaks. Verdict at the χ²₂(.999) = 13.816 fence.
+    */
+  def qMahalanobis(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val rows = Tables.lineitem(spark, dir).select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity").cast("long").as("x"),
+      round(col("l_extendedprice") * 100).cast("long").as("y"))
+    val mo = rows.agg(count(lit(1)).cast(d38).as("n"),
+      sum(col("x").cast(d38)).as("sx"), sum(col("y").cast(d38)).as("sy"),
+      sum(col("x").cast(d38) * col("x")).as("sxx"),
+      sum(col("x").cast(d38) * col("y")).as("sxy"),
+      sum(col("y").cast(d38) * col("y")).as("syy"))
+    // E38 device: covariance units, exact, sign-split half-up
+    def hu(a: String, b: String): String =
+      s"""CASE WHEN ($a) >= 0
+         | THEN (2 * ($a) + ($b)) DIV (2 * ($b))
+         | ELSE -((2 * (-($a)) + ($b)) DIV (2 * ($b))) END"""
+        .stripMargin.replace("\n", " ")
+    val q = mo
+      .withColumn("mxx", expr(hu("100 * (n * sxx - sx * sx)", "n * n"))
+        .cast(d38))
+      .withColumn("mxy", expr(hu("100 * (n * sxy - sx * sy)", "n * n"))
+        .cast(d38))
+      .withColumn("myy", expr(hu("100 * (n * syy - sy * sy)", "n * n"))
+        .cast(d38))
+      .withColumn("det",
+        (col("mxx") * col("myy") - col("mxy") * col("mxy")).cast(d38))
+    val scored = rows.crossJoin(broadcast(q))
+      .withColumn("ux", expr(hu("100 * (n * x - sx)", "n")).cast(d38))
+      .withColumn("uy", expr(hu("100 * (n * y - sy)", "n")).cast(d38))
+      .withColumn("qf", (col("myy") * col("ux") * col("ux")
+        - lit(2) * col("mxy") * col("ux") * col("uy")
+        + col("mxx") * col("uy") * col("uy")).cast(d38))
+    // units: m* ≈ 100·cov, u* ≈ 100·dev → Q/det = 100·d²; the extra
+    // ×100 folds into the divisor as an exact integer so d² is still
+    // ONE double division of exact integers
+    scored
+      .orderBy(col("qf").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .limit(20)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("x").as("quantity"),
+        col("y").as("price_cents"),
+        round(col("qf").cast("double") /
+          (col("det") * 100).cast("decimal(38,0)").cast("double"), 6)
+          .as("md2"))
+      .withColumn("outlier_999", col("md2") > 13.816)
+  }
+
+  val qMahalanobisSql: String = {
+    def hu(a: String, b: String): String =
+      s"""CASE WHEN ($a) >= 0
+         | THEN (2 * ($a) + ($b)) // (2 * ($b))
+         | ELSE -((2 * (-($a)) + ($b)) // (2 * ($b))) END"""
+        .stripMargin.replace("\n", " ")
+    s"""WITH rows0 AS (SELECT l_orderkey, l_linenumber,
+      |    CAST(l_quantity AS BIGINT) AS x,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      |  FROM lineitem),
+      |mo AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |    sum(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM rows0),
+      |q AS (SELECT n, sx, sy,
+      |    ${hu("100 * (n * sxx - sx * sx)", "n * n")} AS mxx,
+      |    ${hu("100 * (n * sxy - sx * sy)", "n * n")} AS mxy,
+      |    ${hu("100 * (n * syy - sy * sy)", "n * n")} AS myy
+      |  FROM mo),
+      |qd AS (SELECT *, mxx * myy - mxy * mxy AS det FROM q),
+      |scored AS (SELECT r.l_orderkey, r.l_linenumber, r.x, r.y,
+      |    q.det,
+      |    q.myy * u.ux * u.ux - 2 * q.mxy * u.ux * u.uy
+      |      + q.mxx * u.uy * u.uy AS qf
+      |  FROM rows0 r, qd q,
+      |  LATERAL (SELECT
+      |    ${hu("100 * (q.n * r.x - q.sx)", "q.n")} AS ux,
+      |    ${hu("100 * (q.n * r.y - q.sy)", "q.n")} AS uy) u)
+      |SELECT l_orderkey, l_linenumber, x AS quantity,
+      |  y AS price_cents,
+      |  round(CAST(qf AS DOUBLE) / CAST(det * 100 AS DOUBLE), 6) AS md2,
+      |  (round(CAST(qf AS DOUBLE) / CAST(det * 100 AS DOUBLE), 6) > 13.816)
+      |    AS outlier_999
+      |FROM scored
+      |ORDER BY qf DESC, l_orderkey ASC, l_linenumber ASC
+      |LIMIT 20""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cronbach_alpha" -> (qCronbachAlpha _),
+    "q_mahalanobis" -> (qMahalanobis _),
     "q_holm" -> (qHolm _),
     "q_equivalence_tost" -> (qEquivalenceTost _),
     "q_sign_test" -> (qSignTest _),
@@ -3073,6 +3271,8 @@ object Validation {
     "q_benford" -> (qBenford _))
 
   def oracle: Map[String, String] = Map(
+    "q_cronbach_alpha" -> qCronbachAlphaSql,
+    "q_mahalanobis" -> qMahalanobisSql,
     "q_holm" -> qHolmSql,
     "q_equivalence_tost" -> qEquivalenceTostSql,
     "q_sign_test" -> qSignTestSql,

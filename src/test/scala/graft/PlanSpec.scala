@@ -334,7 +334,13 @@ class PlanSpec extends AnyFunSuite {
       "q_median_polish",
       // step-down ranking over the same |event types|×4-bounded
       // p-value battery as q_fdr_bh (already exempt above)
-      "q_holm")
+      "q_holm",
+      // lag/row_number windows over the bounded day table
+      // (the q_changepoint class)
+      "q_mase",
+      // cumulative at-risk window over the duration-hour grid
+      // (the q_kaplan_meier class)
+      "q_logrank")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       // pre-AQE physical plan: traversable with plain collect (the
       // AQE wrapper hides its initial plan from TreeNode traversal,

@@ -1572,4 +1572,299 @@ class PropertySpec extends AnyFunSuite {
       assert(r.getAs[String]("regime") == expect)
     }
   }
+
+  /** Sign-split half-up integer division — the shared quantizer the
+    * r14 survival/spectral wave publishes through. */
+  private def huB(a: BigInt, b: BigInt): BigInt =
+    if (a >= 0) (2 * a + b) / (2 * b) else -((2 * -a + b) / (2 * b))
+
+  test("q_mase: MASE recomposes from the raw day series with a 28-row holdout") {
+    val sf = TestSession.sf
+    val rows = graft.operators.TemporalOps.queries("q_mase")(spark, sf)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val y = Tables.orders(spark, sf)
+      .groupBy(datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("y"))
+      .orderBy(col("day")).select("y").as[Long].collect()
+    val n = y.length
+    val hold = 28
+    assert(r.getAs[Long]("n_holdout") == hold.toLong)
+    assert(r.getAs[Long]("n_train") == (n - hold).toLong)
+    val saeF = (n - hold until n).filter(_ >= 7)
+      .map(i => BigInt((y(i) - y(i - 7)).abs)).sum
+    val h = (n - hold until n).count(_ >= 7)
+    val saeN = (1 until n - hold).map(i => BigInt((y(i) - y(i - 1)).abs)).sum
+    val nTn = n - hold - 1
+    assert(BigInt(r.getAs[Long]("sae_seasonal_cents")) == saeF)
+    assert(BigInt(r.getAs[Long]("sae_naive_cents")) == saeN)
+    val mase = (saeF * nTn).toDouble / (saeN * h).toDouble
+    assert(math.abs(r.getAs[Double]("mase") - mase) < 1e-4)
+    assert(r.getAs[Boolean]("seasonal_beats_naive") ==
+      (r.getAs[Double]("mase") < 1.0))
+  }
+
+  test("q_logrank: O−E and variance sums recompose exactly in BigInt") {
+    val sf = TestSession.sf
+    val rows = graft.operators.TemporalOps.queries("q_logrank")(spark, sf)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val users = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts DIV 1000000000").cast("long").as("t"))
+      .as[(Long, String, Long, Long)].collect()
+      .groupBy(_._1).map { case (_, evs) =>
+        val first = evs.minBy(e => (e._4, e._3))
+        val fp = evs.filter(_._2 == "purchase").map(_._4).sorted.headOption
+        val organic = first._2 == "view" || first._2 == "click"
+        (organic, evs.map(_._4).min, fp, evs.map(_._4).max)
+      }.toSeq
+    val endg = users.map(_._4).max
+    val na0 = users.count(_._1)
+    val nb0 = users.size - na0
+    assert(r.getAs[Long]("n_organic") == na0.toLong)
+    assert(r.getAs[Long]("n_direct") == nb0.toLong)
+    // per-hour (da, db, ca, cb), sequential at-risk, BigInt quantized terms
+    val byHour = users.map { case (org, f, fp, _) =>
+      val dur = fp.map(_ - f).getOrElse(endg - f) / 3600
+      (dur, org, fp.isDefined)
+    }.groupBy(_._1).toSeq.sortBy(_._1)
+    var (na, nb) = (BigInt(na0), BigInt(nb0))
+    var (oe, vr) = (BigInt(0), BigInt(0))
+    byHour.foreach { case (_, g) =>
+      val da = BigInt(g.count(x => x._2 && x._3))
+      val db = BigInt(g.count(x => !x._2 && x._3))
+      val ca = BigInt(g.count(x => x._2 && !x._3))
+      val cb = BigInt(g.count(x => !x._2 && !x._3))
+      val d = da + db
+      val nn = na + nb
+      if (d > 0 && nn > 1) {
+        oe += huB((da * nn - d * na) * 1000000, nn)
+        vr += (2 * (d * na * nb * (nn - d)) * 1000000 +
+          nn * nn * (nn - 1)) / (2 * nn * nn * (nn - 1))
+      }
+      na -= da + ca
+      nb -= db + cb
+    }
+    assert(BigInt(r.getAs[Long]("oe_micro")) == oe,
+      s"oe ${r.getAs[Long]("oe_micro")} vs brute $oe")
+    assert(BigInt(r.getAs[Long]("var_micro")) == vr,
+      s"var ${r.getAs[Long]("var_micro")} vs brute $vr")
+    val chi2 = oe.toDouble * oe.toDouble / (vr.toDouble * 1e6)
+    assert(math.abs(r.getAs[Double]("logrank_chi2") - chi2) < 1e-4)
+    assert(r.getAs[Boolean]("curves_differ") ==
+      (r.getAs[Double]("logrank_chi2") > 3.841))
+  }
+
+  test("q_pacf: Durbin–Levinson recomposes from brute-force autocorrelations") {
+    val sf = TestSession.sf
+    val rows = graft.operators.TemporalOps.queries("q_pacf")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val hourly = Tables.events(spark, sf)
+      .select(col("event_type"), expr("(ts DIV 1000000000) DIV 3600").as("h"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("y"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).map { case (t, g) =>
+        t -> g.sortBy(_._2).map(_._3.toDouble) }
+    rows.foreach { row =>
+      val y = hourly(row.getAs[String]("event_type"))
+      val n = y.length
+      assert(row.getAs[Long]("n_hours") == n.toLong)
+      val mean = y.sum / n
+      val den = y.map(v => (v - mean) * (v - mean)).sum
+      def rk(k: Int): Double =
+        (k until n).map(t => (y(t) - mean) * (y(t - k) - mean)).sum / den
+      val (r1, r2, r3) = (rk(1), rk(2), rk(3))
+      val p2 = (r2 - r1 * r1) / (1 - r1 * r1)
+      val a21 = r1 - p2 * r1
+      val p3 = (r3 - a21 * r2 - p2 * r1) / (1 - a21 * r1 - p2 * r2)
+      assert(math.abs(row.getAs[Double]("pacf1") - r1) < 1e-4)
+      assert(math.abs(row.getAs[Double]("pacf2") - p2) < 1e-4)
+      assert(math.abs(row.getAs[Double]("pacf3") - p3) < 1e-4)
+      val band = 1.96 / math.sqrt(n.toDouble)
+      val expect =
+        if (math.abs(row.getAs[Double]("pacf3")) > band) 3
+        else if (math.abs(row.getAs[Double]("pacf2")) > band) 2
+        else if (math.abs(row.getAs[Double]("pacf1")) > band) 1
+        else 0
+      assert(row.getAs[Int]("ar_order_hint") == expect)
+    }
+  }
+
+  test("q_periodogram: spectral power recomposes from a full-precision DFT; one peak") {
+    val sf = TestSession.sf
+    val rows = graft.operators.TemporalOps.queries("q_periodogram")(spark, sf)
+      .collect()
+    assert(rows.length == 4)
+    assert(rows.count(_.getAs[Boolean]("is_peak")) >= 1)
+    val relSum = rows.map(_.getAs[Double]("rel_power")).sum
+    assert(math.abs(relSum - 1.0) < 1e-4, s"rel powers sum to $relSum")
+    val days = Tables.orders(spark, sf)
+      .groupBy(datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("y"))
+      .as[(Long, Long)].collect()
+    val n = days.length
+    val s = days.map(d => BigInt(d._2)).sum
+    // full-precision reference on the same n-scaled centered series
+    val pw = Seq(5, 7, 9, 11).map { p =>
+      var (c, si) = (0.0, 0.0)
+      days.foreach { case (day, y) =>
+        val yt = (BigInt(n) * y - s).toDouble
+        val a = 2 * math.Pi * (((day % p) + p) % p) / p
+        c += yt * math.cos(a); si += yt * math.sin(a)
+      }
+      p -> (c * c + si * si)
+    }.toMap
+    val tot = pw.values.sum
+    rows.foreach { r =>
+      val p = r.getAs[Int]("period")
+      val rel = pw(p) / tot
+      assert(math.abs(r.getAs[Double]("rel_power") - rel) < 2e-3,
+        s"period $p: ${r.getAs[Double]("rel_power")} vs brute $rel")
+    }
+  }
+
+  test("q_shapley_attribution: efficiency axiom and a brute-force coalition replay") {
+    val sf = TestSession.sf
+    val rows = graft.operators.TemporalOps
+      .queries("q_shapley_attribution")(spark, sf).collect()
+    assert(rows.length == 3)
+    val total = rows.head.getAs[Long]("total_conversions")
+    assert(rows.map(_.getAs[Long]("phi6")).sum == 6 * total,
+      "efficiency: sum of 6-scaled Shapley credits must equal 6*v(C)")
+    val journeys = Tables.events(spark, sf)
+      .select(col("user_id"), expr("(ts DIV 1000000000) DIV 86400").as("day"),
+        col("event_type"))
+      .as[(Long, Long, String)].collect()
+      // toSeq BEFORE map: tuple results on a Map re-key by mask and
+      // collapse distinct journeys
+      .groupBy(j => (j._1, j._2)).toSeq.map { case (_, evs) =>
+        val types = evs.map(_._3).toSet
+        val mask = (if (types("view")) 1 else 0) +
+          (if (types("click")) 2 else 0) + (if (types("signup")) 4 else 0)
+        (mask, types("purchase"))
+      }
+    def v(t: Int): Long =
+      journeys.count { case (m, conv) => conv && m != 0 && (m & ~t) == 0 }
+    assert(v(7) == total)
+    rows.foreach { r =>
+      val bit = r.getAs[String]("channel") match {
+        case "view" => 1; case "click" => 2; case "signup" => 4
+      }
+      val phi = (0 to 7).filter(t => (t & bit) == 0).map { t =>
+        val w6 = Integer.bitCount(t) match {
+          case 0 | 2 => 2L; case _ => 1L
+        }
+        w6 * (v(t | bit) - v(t))
+      }.sum
+      assert(r.getAs[Long]("phi6") == phi,
+        s"${r.getAs[String]("channel")}: phi6 ${r.getAs[Long]("phi6")} vs brute $phi")
+      assert(r.getAs[Long]("solo_conversions") == v(bit))
+    }
+  }
+
+  test("q_cronbach_alpha: alpha recomposes from driver-side item moments in BigInt") {
+    val sf = TestSession.sf
+    val rows = graft.operators.Validation
+      .queries("q_cronbach_alpha")(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    import graft.functions.TextFunctions.{tokens, vocabHits}
+    val items = Tables.documents(spark, sf).select(
+      length(col("text")).cast("long"),
+      size(tokens(col("text"))).cast("long"),
+      vocabHits(tokens(col("text")),
+        graft.operators.TextAnalysis.stopwords("en")).cast("long"),
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "[.!?]", ""))).cast("long"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => Array(BigInt(t._1), BigInt(t._2), BigInt(t._3), BigInt(t._4)))
+    val n = BigInt(items.length)
+    assert(r.getAs[Long]("n_docs") == items.length.toLong)
+    def vOf(xs: Array[BigInt]): BigInt =
+      n * xs.map(x => x * x).sum - xs.sum * xs.sum
+    val vi = (0 until 4).map(i => vOf(items.map(_(i)))).sum
+    val vt = vOf(items.map(_.sum))
+    val alpha = 4.0 * (vt - vi).toDouble / (3.0 * vt.toDouble)
+    assert(math.abs(r.getAs[Double]("alpha") - alpha) < 1e-4,
+      s"alpha ${r.getAs[Double]("alpha")} vs brute $alpha")
+    assert(r.getAs[Boolean]("reliable") == (r.getAs[Double]("alpha") >= 0.7))
+  }
+
+  test("q_mahalanobis: top-20 ranking and d² agree with a driver-side inverse-covariance") {
+    val sf = TestSession.sf
+    val rows = graft.operators.Validation
+      .queries("q_mahalanobis")(spark, sf).collect()
+    assert(rows.length == 20)
+    val data = Tables.lineitem(spark, sf).select(
+      col("l_orderkey").cast("long"), col("l_linenumber").cast("long"),
+      col("l_quantity").cast("long"),
+      round(col("l_extendedprice") * 100).cast("long"))
+      .as[(Long, Long, Long, Long)].collect()
+    val n = data.length.toDouble
+    val (mx, my) = (data.map(_._3).sum / n, data.map(_._4).sum / n)
+    var (cxx, cxy, cyy) = (0.0, 0.0, 0.0)
+    data.foreach { case (_, _, x, y) =>
+      cxx += (x - mx) * (x - mx); cxy += (x - mx) * (y - my)
+      cyy += (y - my) * (y - my)
+    }
+    val (vxx, vxy, vyy) = (cxx / n, cxy / n, cyy / n)
+    val det = vxx * vyy - vxy * vxy
+    def d2(x: Long, y: Long): Double = {
+      val (ux, uy) = (x - mx, y - my)
+      (vyy * ux * ux - 2 * vxy * ux * uy + vxx * uy * uy) / det
+    }
+    val bruteTop = data.map { case (ok, ln, x, y) => (d2(x, y), ok, ln) }
+      .sortBy { case (d, ok, ln) => (-d, ok, ln) }.take(20)
+    rows.zip(bruteTop).foreach { case (r, (bd, _, _)) =>
+      // population-covariance d² vs the query's quantized-moment d²:
+      // agreement at the quantization grain
+      assert(math.abs(r.getAs[Double]("md2") - bd) <
+        math.max(1e-3, bd * 0.01),
+        s"md2 ${r.getAs[Double]("md2")} vs brute $bd")
+      assert(r.getAs[Boolean]("outlier_999") ==
+        (r.getAs[Double]("md2") > 13.816))
+    }
+    // the ranked KEYS agree with the brute ranking (Q-order = d²-order)
+    assert(rows.map(r => (r.getAs[Number]("l_orderkey").longValue,
+      r.getAs[Number]("l_linenumber").longValue)).toSeq ==
+      bruteTop.map { case (_, ok, ln) => (ok, ln) }.toSeq)
+  }
+
+  test("q_fleiss_kappa: kappa recomposes from the rater verdict matrix") {
+    val sf = TestSession.sf
+    val rows = graft.operators.TextAnalysis
+      .queries("q_fleiss_kappa")(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    import graft.functions.TextFunctions.{tokens, vocabHits}
+    val rated = Tables.documents(spark, sf).select(
+      when(length(col("text")) >= 500, 1L).otherwise(0L),
+      when(size(tokens(col("text"))) >= 80, 1L).otherwise(0L),
+      when(vocabHits(tokens(col("text")),
+        graft.operators.TextAnalysis.stopwords("en")) >= 5, 1L)
+        .otherwise(0L))
+      .as[(Long, Long, Long)].collect()
+    val n = BigInt(rated.length)
+    assert(r.getAs[Long]("n_docs") == rated.length.toLong)
+    assert(r.getAs[Long]("accepts_r1") == rated.map(_._1).sum)
+    assert(r.getAs[Long]("accepts_r2") == rated.map(_._2).sum)
+    assert(r.getAs[Long]("accepts_r3") == rated.map(_._3).sum)
+    val a = rated.map { t =>
+      val na = BigInt(t._1 + t._2 + t._3)
+      na * na + (3 - na) * (3 - na) - 3
+    }.sum
+    val ca = rated.map(t => BigInt(t._1 + t._2 + t._3)).sum
+    val e = ca * ca + (3 * n - ca) * (3 * n - ca)
+    val kappa = (3 * a * n - 2 * e).toDouble / (18 * n * n - 2 * e).toDouble
+    assert(math.abs(r.getAs[Double]("fleiss_kappa") - kappa) < 1e-4,
+      s"kappa ${r.getAs[Double]("fleiss_kappa")} vs brute $kappa")
+    val pBar = a.toDouble / (6.0 * n.toDouble)
+    assert(math.abs(r.getAs[Double]("p_bar") - pBar) < 1e-4)
+  }
 }

@@ -2509,13 +2509,13 @@ object TemporalOps {
     // (pairs has no m ⊆ ∅ entry, and the φ join needs every v(T))
     val v = (0 to 7).toDF("tset")
       .join(subsetDf, Seq("tset"), "left")
-      .join(counts, col("m") === col("mask"), "left")
+      .join(broadcast(counts), col("m") === col("mask"), "left")
       .groupBy(col("tset"))
       .agg(coalesce(sum(col("c")), lit(0L)).as("v"))
     val withC = gridDf
-      .join(v.select(col("tset").as("t0"), col("v").as("v0")),
+      .join(broadcast(v.select(col("tset").as("t0"), col("v").as("v0"))),
         col("tset") === col("t0"))
-      .join(v.select(col("tset").as("t1"), col("v").as("v1")),
+      .join(broadcast(v.select(col("tset").as("t1"), col("v").as("v1"))),
         col("tset") + col("cbit") === col("t1"))
       // 6·w_s for k=3: s = popcount(T) ∈ {0,1,2} → {2,1,2}
       .withColumn("w6",
@@ -2527,7 +2527,7 @@ object TemporalOps {
     val grand = v.filter(col("tset") === 7)
       .select(col("v").as("total_conversions"))
     val nJ = journeys.agg(count(lit(1)).as("n_journeys"))
-    withC.join(solo, col("cbit") === col("tset"))
+    withC.join(broadcast(solo), col("cbit") === col("tset"))
       .crossJoin(broadcast(grand)).crossJoin(broadcast(nJ))
       .select(col("channel"), col("n_journeys"), col("total_conversions"),
         col("solo_conversions"), col("phi6").cast("long").as("phi6"),

@@ -3174,17 +3174,22 @@ object Validation {
         + col("mxx") * col("uy") * col("uy")).cast(d38))
     // units: m* ≈ 100·cov, u* ≈ 100·dev → Q/det = 100·d²; the extra
     // ×100 folds into the divisor as an exact integer so d² is still
-    // ONE double division of exact integers
-    scored
+    // ONE double division of exact integers.
+    // limit() sits DIRECTLY on orderBy(): more than one projection
+    // between them defeats Spark's TakeOrderedAndProject rewrite and
+    // degrades the top-k to a corpus-wide range-partition sort
+    // (measured: 600k shuffled records at sf0.1 before this shape)
+    val withMd2 = scored
+      .withColumn("md2",
+        round(col("qf").cast("double") /
+          (col("det") * 100).cast("decimal(38,0)").cast("double"), 6))
+      .withColumn("outlier_999", col("md2") > 13.816)
+    withMd2
       .orderBy(col("qf").desc, col("l_orderkey").asc, col("l_linenumber").asc)
       .limit(20)
       .select(col("l_orderkey"), col("l_linenumber"),
-        col("x").as("quantity"),
-        col("y").as("price_cents"),
-        round(col("qf").cast("double") /
-          (col("det") * 100).cast("decimal(38,0)").cast("double"), 6)
-          .as("md2"))
-      .withColumn("outlier_999", col("md2") > 13.816)
+        col("x").as("quantity"), col("y").as("price_cents"),
+        col("md2"), col("outlier_999"))
   }
 
   val qMahalanobisSql: String = {

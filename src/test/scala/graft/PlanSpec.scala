@@ -216,7 +216,15 @@ class PlanSpec extends AnyFunSuite {
       "q_ljung_box" -> 3, "q_granger" -> 2, "q_bradley_terry" -> 4,
       "q_hurst" -> 2, "q_variance_ratio" -> 4, "q_cochran_q" -> 2,
       "q_power_mde" -> 4, "q_modularity" -> 3, "q_dataset_card" -> 3,
-      "q_median_polish" -> 6)
+      "q_median_polish" -> 6,
+      // r14 survival/spectral/reliability wave (measured sf0.001 ==
+      // sf0.1): q_mahalanobis MUST stay at 1 — its top-k rides
+      // TakeOrderedAndProject, and a second exchange means the
+      // corpus-wide range-partition sort regressed back in
+      "q_mase" -> 2, "q_logrank" -> 3, "q_pacf" -> 3,
+      "q_periodogram" -> 7, "q_shapley_attribution" -> 8,
+      "q_cronbach_alpha" -> 1, "q_mahalanobis" -> 1,
+      "q_fleiss_kappa" -> 1)
     val failures = ceilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
       // count the EXECUTED adaptive plan (the Bench device): pre-AQE
       // the unmaterialized cache subtrees replay per consumer and the
@@ -340,7 +348,10 @@ class PlanSpec extends AnyFunSuite {
       "q_mase",
       // cumulative at-risk window over the duration-hour grid
       // (the q_kaplan_meier class)
-      "q_logrank")
+      "q_logrank",
+      // is_peak max window over the 4-row candidate-period table
+      // (bounded by the literal period list, never the corpus)
+      "q_periodogram")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       // pre-AQE physical plan: traversable with plain collect (the
       // AQE wrapper hides its initial plan from TreeNode traversal,

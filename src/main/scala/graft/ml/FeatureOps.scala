@@ -2344,7 +2344,137 @@ object FeatureOps {
       |FROM sl, stab2""".stripMargin
   }
 
+  // ---------------------------------------------------------------- E46
+  /** Cook's distance — the top-20 observations that individually move
+    * the global price-on-quantity fit (E22's pooled twin) the most:
+    * the influence diagnostic that separates "high residual" from
+    * "high residual AT high leverage", the rows a robust pipeline
+    * inspects before trusting any slope. D_i = e_i²·h_i /
+    * (2s²(1−h_i)²) with leverage h_i = 1/n + (x_i−x̄)²/Sxx.
+    * ENGINE-EXACT ranking: the slope quantizes to µ-units (sign-split
+    * half-up), the n·10⁶-scaled residual identity re-quantizes to
+    * centi-cents e_c (row-bounded at ANY corpus size — deviations
+    * never grow with SF), leverage quantizes per quantity value to
+    * the integer H = 10⁶·n·h (only |distinct quantities| ≤ 50 values
+    * exist), and the top-20 TakeOrdered ranks on D composed from
+    * those exact integers in ONE identical UNROUNDED double
+    * expression — deterministic across engines because both evaluate
+    * the same IEEE tree on the same integers (the (1−h)⁻² factor
+    * varies per row, so a pure-integer e²·H key would mis-rank close
+    * pairs); rounding touches only the published cell, never the
+    * sort.
+    * Two corpus scans (moments, scoring) and a broadcast — no window,
+    * no collect. Flag at the conventional D > 4/n cut.
+    */
+  def qCooksDistance(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val rows = Tables.lineitem(spark, dir).select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity").cast("long").as("x"),
+      round(col("l_extendedprice") * 100).cast("long").as("y"))
+    val mo = rows.agg(count(lit(1)).cast(d38).as("n"),
+      sum(col("x").cast(d38)).as("sx"), sum(col("y").cast(d38)).as("sy"),
+      sum(col("x").cast(d38) * col("x")).as("sxx"),
+      sum(col("x").cast(d38) * col("y")).as("sxy"),
+      sum(col("y").cast(d38) * col("y")).as("syy"))
+    def hu(a: String, b: String): String =
+      s"""CASE WHEN ($a) >= 0
+         | THEN (2 * ($a) + ($b)) DIV (2 * ($b))
+         | ELSE -((2 * (-($a)) + ($b)) DIV (2 * ($b))) END"""
+        .stripMargin.replace("\n", " ")
+    val q = mo
+      .withColumn("cxx", (col("n") * col("sxx") - col("sx") * col("sx"))
+        .cast(d38))
+      .withColumn("cxy", (col("n") * col("sxy") - col("sx") * col("sy"))
+        .cast(d38))
+      .withColumn("cyy", (col("n") * col("syy") - col("sy") * col("sy"))
+        .cast(d38))
+      .withColumn("bq", expr(hu("1000000 * cxy", "cxx")).cast(d38))
+    val scored = rows.crossJoin(broadcast(q))
+      // residual identity in the quantized slope, re-quantized to
+      // centi-cents: e_c ≈ 100·e_i, row-bounded at any SF
+      .withColumn("ec", expr(hu(
+        "1000000 * (n * y - sy) - bq * (n * x - sx)", "n * 10000"))
+        .cast(d38))
+      // H = 10⁶·n·h_i = 10⁶·(1 + dx²/Cxx) with dx = n·x−Sx: one value
+      // per distinct quantity, exact integer, n-free magnitude
+      .withColumn("hq", (lit(1000000) + expr(hu(
+        "1000000 * (n * x - sx) * (n * x - sx)", "cxx")))
+        .cast(d38))
+    // D from the exact integers, one fixed double expression:
+    // e² = (ec/100)² cents², h = hq/(n·10⁶),
+    // s² = SSE/(n−2) = (Cyy − Cxy²/Cxx)/(n·(n−2)) cents²
+    val nD = col("n").cast("double")
+    val eD = col("ec").cast("double") / 100.0
+    val hD = col("hq").cast("double") / (nD * 1e6)
+    val s2 = (col("cyy").cast("double")
+      - col("cxy").cast("double") * col("cxy").cast("double")
+        / col("cxx").cast("double")) / (nD * (nD - 2))
+    val withD = scored
+      .withColumn("d_raw",
+        eD * eD * hD / (lit(2.0) * s2 * (lit(1.0) - hD) * (lit(1.0) - hD)))
+      .withColumn("cooks_d", round(col("d_raw"), 6))
+      .withColumn("influential",
+        col("cooks_d") > round(lit(4.0) / nD, 6))
+    withD
+      .orderBy(col("d_raw").desc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+      .limit(20)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("x").as("quantity"), col("y").as("price_cents"),
+        col("cooks_d"), col("influential"))
+  }
+
+  val qCooksDistanceSql: String = {
+    def hu(a: String, b: String): String =
+      s"""CASE WHEN ($a) >= 0
+         | THEN (2 * ($a) + ($b)) // (2 * ($b))
+         | ELSE -((2 * (-($a)) + ($b)) // (2 * ($b))) END"""
+        .stripMargin.replace("\n", " ")
+    s"""WITH rows0 AS (SELECT l_orderkey, l_linenumber,
+      |    CAST(l_quantity AS BIGINT) AS x,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      |  FROM lineitem),
+      |mo AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |    sum(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM rows0),
+      |q AS (SELECT n, sx, sy,
+      |    n * sxx - sx * sx AS cxx,
+      |    n * sxy - sx * sy AS cxy,
+      |    n * syy - sy * sy AS cyy
+      |  FROM mo),
+      |qb AS (SELECT *, ${hu("1000000 * cxy", "cxx")} AS bq FROM q),
+      |scored AS (SELECT r.l_orderkey, r.l_linenumber, r.x, r.y,
+      |    qb.n, qb.cxx, qb.cxy, qb.cyy, u.ec, u.hq
+      |  FROM rows0 r, qb,
+      |  LATERAL (SELECT
+      |    CAST(${hu("1000000 * (qb.n * r.y - qb.sy) - qb.bq * (qb.n * r.x - qb.sx)",
+        "qb.n * 10000")} AS HUGEINT) AS ec,
+      |    CAST(1000000 + ${hu("1000000 * (qb.n * r.x - qb.sx) * (qb.n * r.x - qb.sx)",
+        "qb.cxx")} AS HUGEINT) AS hq) u),
+      |d AS (SELECT *,
+      |    CAST(ec AS DOUBLE) / 100.0 * (CAST(ec AS DOUBLE) / 100.0)
+      |      * (CAST(hq AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6))
+      |      / (2.0 * ((CAST(cyy AS DOUBLE) - CAST(cxy AS DOUBLE)
+      |          * CAST(cxy AS DOUBLE) / CAST(cxx AS DOUBLE))
+      |        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 2)))
+      |        * (1.0 - CAST(hq AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6))
+      |        * (1.0 - CAST(hq AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6)))
+      |      AS d_raw
+      |  FROM scored)
+      |SELECT l_orderkey, l_linenumber, x AS quantity, y AS price_cents,
+      |  round(d_raw, 6) AS cooks_d,
+      |  (round(d_raw, 6) > round(4.0 / CAST(n AS DOUBLE), 6)) AS influential
+      |FROM d
+      |ORDER BY d_raw DESC, l_orderkey ASC, l_linenumber ASC
+      |LIMIT 20""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cooks_distance" -> (qCooksDistance _),
     "q_cv_slope" -> (qCvSlope _),
     "q_bradley_terry" -> (qBradleyTerry _),
     "q_ols_multi" -> (qOlsMulti _),
@@ -2379,6 +2509,7 @@ object FeatureOps {
     "q_mutual_info" -> (qMutualInfo _))
 
   def oracle: Map[String, String] = Map(
+    "q_cooks_distance" -> qCooksDistanceSql,
     "q_cv_slope" -> qCvSlopeSql,
     "q_bradley_terry" -> qBradleyTerrySql,
     "q_ols_multi" -> qOlsMultiSql,

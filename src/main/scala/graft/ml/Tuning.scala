@@ -484,6 +484,95 @@ object Tuning {
        |  overall_silhouette
        |FROM s, overall GROUP BY cluster, overall_silhouette""".stripMargin
 
+  // ---------------------------------------------------------------- E47
+  /** Davies–Bouldin index (1979) over the persisted k-means
+    * partition — the cluster-quality readout that PENALIZES what E34's
+    * silhouette only averages: DB = (1/k)·Σ_i max_{j≠i}
+    * (S_i+S_j)/M_ij reads the WORST neighbor overlap per cluster, so
+    * one merged pair drags the index even when the global silhouette
+    * looks healthy (lower = better). Same assignment artifact
+    * (KmeansStore — fit once per corpus state), same float-parity
+    * ladder as E34 (centroids and distances rounded at 10 dp before
+    * each aggregate, publishes at 6 dp), same late-bound oracle
+    * replay over the persisted parquet. Everything after the one
+    * member-distance pass is k²-bounded (k = 10).
+    */
+  def qDaviesBouldin(spark: SparkSession, dir: String): DataFrame = {
+    val t = KmeansStore.ensure(spark, dir)
+    val asg = spark.table(t)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+    val cen = e.join(asg, "vec_id")
+      .groupBy(col("cluster"), col("dim"))
+      .agg(round(avg(col("x")), 10).as("c"))
+      .cache()
+    // S_i: mean member→own-centroid distance
+    val si = e.join(asg, "vec_id")
+      .join(broadcast(cen), Seq("cluster", "dim"))
+      .groupBy(col("vec_id"), col("cluster"))
+      .agg(round(sum((col("x") - col("c")) * (col("x") - col("c"))), 10)
+        .as("sq"))
+      .select(col("cluster"), round(sqrt(col("sq")), 10).as("dist"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"), round(avg(col("dist")), 10).as("s"))
+    // M_ij: centroid–centroid distances over the k×k grid
+    val c2 = cen.select(col("cluster").as("cj"), col("dim"),
+      col("c").as("c2"))
+    val m = cen.join(c2, Seq("dim"))
+      .filter(col("cluster") =!= col("cj"))
+      .groupBy(col("cluster"), col("cj"))
+      .agg(round(sum((col("c") - col("c2")) * (col("c") - col("c2"))), 10)
+        .as("sq"))
+      .select(col("cluster"), col("cj"), round(sqrt(col("sq")), 10).as("m"))
+    val sj = si.select(col("cluster").as("cj"), col("s").as("s2"))
+    val ratios = m.join(broadcast(si), "cluster")
+      .join(broadcast(sj), "cj")
+      .withColumn("r", round((col("s") + col("s2")) / col("m"), 10))
+    val perCluster = ratios.groupBy(col("cluster"), col("n"), col("s"))
+      .agg(max(col("r")).as("worst_ratio"))
+    val overall = perCluster.agg(round(avg(col("worst_ratio")), 6)
+      .as("davies_bouldin"))
+    perCluster.select(col("cluster"), col("n"),
+        round(col("s"), 6).as("mean_scatter"),
+        round(col("worst_ratio"), 6).as("worst_ratio"))
+      .crossJoin(broadcast(overall))
+  }
+
+  /** DuckDB replay of [[qDaviesBouldin]] over the persisted
+    * assignment at `loc` — identical joins, identical rounding
+    * ladder. */
+  private def daviesBouldinSql(loc: String): String =
+    s"""WITH asg AS (SELECT vec_id, cluster FROM read_parquet('$loc/*.parquet')),
+       |e AS (SELECT vec_id, i - 1 AS dim,
+       |    CAST(list_extract(embedding::DOUBLE[], i) AS DOUBLE) AS x
+       |  FROM embeddings, generate_series(1, 64) g(i)),
+       |cen AS (SELECT asg.cluster, e.dim, round(avg(e.x), 10) AS c
+       |  FROM e JOIN asg USING (vec_id) GROUP BY 1, 2),
+       |dmem AS (SELECT e.vec_id, asg.cluster,
+       |    round(sum((e.x - cen.c) * (e.x - cen.c)), 10) AS sq
+       |  FROM e JOIN asg USING (vec_id)
+       |  JOIN cen ON asg.cluster = cen.cluster AND e.dim = cen.dim
+       |  GROUP BY 1, 2),
+       |si AS (SELECT cluster, count(*) AS n,
+       |    round(avg(round(sqrt(sq), 10)), 10) AS s
+       |  FROM dmem GROUP BY 1),
+       |m AS (SELECT a.cluster, b.cluster AS cj,
+       |    round(sqrt(round(sum((a.c - b.c) * (a.c - b.c)), 10)), 10) AS m
+       |  FROM cen a JOIN cen b ON a.dim = b.dim AND a.cluster <> b.cluster
+       |  GROUP BY 1, 2),
+       |ratios AS (SELECT m.cluster, si.n, si.s,
+       |    round((si.s + sj.s) / m.m, 10) AS r
+       |  FROM m JOIN si ON m.cluster = si.cluster
+       |  JOIN si sj ON m.cj = sj.cluster),
+       |pc AS (SELECT cluster, n, s, max(r) AS worst_ratio
+       |  FROM ratios GROUP BY 1, 2, 3),
+       |overall AS (SELECT round(avg(worst_ratio), 6) AS davies_bouldin
+       |  FROM pc)
+       |SELECT cluster, n, round(s, 6) AS mean_scatter,
+       |  round(worst_ratio, 6) AS worst_ratio, davies_bouldin
+       |FROM pc, overall""".stripMargin
+
   // ---------------------------------------------------------------- E39
   /** Rank-1 ALS recommender over the (customer, brand, Σquantity)
     * rating matrix — the matrix-factorization capability of the MLlib
@@ -613,7 +702,8 @@ object Tuning {
     "q_pipeline_tuning" -> (qPipelineTuning _),
     "q_learning_curve" -> (qLearningCurve _),
     "q_kmeans" -> (qKmeans _),
-    "q_silhouette" -> (qSilhouette _))
+    "q_silhouette" -> (qSilhouette _),
+    "q_davies_bouldin" -> (qDaviesBouldin _))
 
   /** Every Tuning query is oracle-replayable once its prediction /
     * assignment store exists in this JVM (Verify runs queries before
@@ -625,6 +715,8 @@ object Tuning {
       .map(loc => "q_kmeans" -> kmeansSql(loc)).toMap ++
     Option(KmeansStore.lastLoc.get)
       .map(loc => "q_silhouette" -> silhouetteSql(loc)).toMap ++
+    Option(KmeansStore.lastLoc.get)
+      .map(loc => "q_davies_bouldin" -> daviesBouldinSql(loc)).toMap ++
     Option(CvStore.lastLoc.get)
       .map(loc => "q_mllib_tuning" -> mllibTuningSql(loc)).toMap ++
     Option(PipeStore.lastLoc.get)

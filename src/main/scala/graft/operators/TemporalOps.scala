@@ -2470,6 +2470,102 @@ object TemporalOps {
       |FROM rows0""".stripMargin
   }
 
+  // ---------------------------------------------------------------- F64
+  /** Durbin–Watson serial-correlation test on the residuals of the
+    * daily-revenue-on-time trend fit — the diagnostic every OLS
+    * consumer (E22/E38/F30) silently assumes away: with
+    * autocorrelated residuals the fit's standard errors are fiction,
+    * and DW = Σ(e_t−e_{t−1})²/Σe_t² is the canonical readout (≈2 ⟺
+    * independent, <1.5 positive, >2.5 negative serial correlation).
+    * ENGINE-EXACT: the slope quantizes to µ-units by the sign-split
+    * half-up device, the n·10⁶-scaled residual
+    * E_t = 10⁶·(n·y_t − Σy) − b_µ·(n·t − Σt) is an exact integer
+    * IDENTITY in the quantized slope (no intercept division — the
+    * mean-centering absorbs it), re-quantized once to grain n·10³
+    * so squares stay inside DECIMAL(38,0) at any SF, and both DW
+    * sums are exact integer aggregates — DW is ONE double division.
+    * The scale factor cancels between numerator and denominator.
+    * Lag window over the bounded day table (q_changepoint class).
+    */
+  def qDurbinWatson(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val byDay = Tables.orders(spark, dir)
+      .groupBy(datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long").as("t"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("y"))
+    val mo = byDay.agg(count(lit(1)).cast(d38).as("n"),
+      sum(col("t").cast(d38)).as("st"), sum(col("y").cast(d38)).as("sy"),
+      sum(col("t").cast(d38) * col("t")).as("stt"),
+      sum(col("t").cast(d38) * col("y")).as("sty"))
+    def hu(a: String, b: String): String =
+      s"""CASE WHEN ($a) >= 0
+         | THEN (2 * ($a) + ($b)) DIV (2 * ($b))
+         | ELSE -((2 * (-($a)) + ($b)) DIV (2 * ($b))) END"""
+        .stripMargin.replace("\n", " ")
+    val q = mo
+      .withColumn("ctt", (col("n") * col("stt") - col("st") * col("st"))
+        .cast(d38))
+      .withColumn("bq",
+        expr(hu("1000000 * (n * sty - st * sy)", "ctt")).cast(d38))
+    val res = byDay.crossJoin(broadcast(q))
+      .withColumn("escaled",
+        (lit(1000000) * (col("n") * col("y") - col("sy"))
+          - col("bq") * (col("n") * col("t") - col("st"))).cast(d38))
+      .withColumn("em", expr(hu("escaled", "n * 1000")).cast(d38))
+    val w = Window.orderBy(col("t"))
+    val agg = res
+      .withColumn("ep", lag(col("em"), 1).over(w))
+      .agg(count(lit(1)).as("n_days"),
+        sum((col("em") - col("ep")).cast(d38)
+          * (col("em") - col("ep"))).as("num"),
+        sum(col("em") * col("em")).as("den"))
+    agg.select(col("n_days"),
+        round(col("num").cast("double") / col("den").cast("double"), 6)
+          .as("dw"))
+      .withColumn("residual_autocorr",
+        when(col("dw") < 1.5, "positive")
+          .when(col("dw") > 2.5, "negative").otherwise("none"))
+  }
+
+  val qDurbinWatsonSql: String = {
+    def hu(a: String, b: String): String =
+      s"""CASE WHEN ($a) >= 0
+         | THEN (2 * ($a) + ($b)) // (2 * ($b))
+         | ELSE -((2 * (-($a)) + ($b)) // (2 * ($b))) END"""
+        .stripMargin.replace("\n", " ")
+    s"""WITH byday AS (SELECT
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |      AS BIGINT) AS t,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM orders GROUP BY 1),
+      |mo AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    sum(CAST(t AS HUGEINT)) AS st, sum(CAST(y AS HUGEINT)) AS sy,
+      |    sum(CAST(t AS HUGEINT) * t) AS stt,
+      |    sum(CAST(t AS HUGEINT) * y) AS sty
+      |  FROM byday),
+      |q AS (SELECT *, n * stt - st * st AS ctt FROM mo),
+      |qb AS (SELECT *,
+      |    ${hu("1000000 * (n * sty - st * sy)", "ctt")} AS bq
+      |  FROM q),
+      |res AS (SELECT b.t,
+      |    ${hu("1000000 * (qb.n * b.y - qb.sy) - qb.bq * (qb.n * b.t - qb.st)",
+        "qb.n * 1000")} AS em
+      |  FROM byday b, qb),
+      |lagged AS (SELECT em, lag(em, 1) OVER (ORDER BY t) AS ep FROM res),
+      |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+      |    sum(CAST(em - ep AS HUGEINT) * (em - ep)) AS num,
+      |    sum(CAST(em AS HUGEINT) * em) AS den
+      |  FROM lagged)
+      |SELECT n_days,
+      |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS dw,
+      |  CASE WHEN round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) < 1.5
+      |      THEN 'positive'
+      |    WHEN round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) > 2.5
+      |      THEN 'negative'
+      |    ELSE 'none' END AS residual_autocorr
+      |FROM agg""".stripMargin
+  }
+
   // ---------------------------------------------------------------- F63
   /** Shapley-value channel attribution (the cooperative-game credit
     * rule of Shapley 1953 applied to conversion journeys) — the
@@ -3050,6 +3146,7 @@ object TemporalOps {
     "q_logrank" -> (qLogrank _),
     "q_pacf" -> (qPacf _),
     "q_periodogram" -> (qPeriodogram _),
+    "q_durbin_watson" -> (qDurbinWatson _),
     "q_shapley_attribution" -> (qShapleyAttribution _),
     "q_variance_ratio" -> (qVarianceRatio _),
     "q_hurst" -> (qHurst _),
@@ -3100,6 +3197,7 @@ object TemporalOps {
     "q_logrank" -> qLogrankSql,
     "q_pacf" -> qPacfSql,
     "q_periodogram" -> qPeriodogramSql,
+    "q_durbin_watson" -> qDurbinWatsonSql,
     "q_shapley_attribution" -> qShapleyAttributionSql,
     "q_variance_ratio" -> qVarianceRatioSql,
     "q_hurst" -> qHurstSql,

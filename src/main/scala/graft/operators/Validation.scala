@@ -3123,6 +3123,89 @@ object Validation {
       |FROM f""".stripMargin
   }
 
+  // ---------------------------------------------------------------- L44
+  /** Intraclass correlation ICC(1) of order spend within customers —
+    * the "is the grouping real?" readout behind every per-customer
+    * aggregate (RFM, LTV, target encoding): what share of order-value
+    * variance lives BETWEEN customers rather than within one
+    * customer's orders? One-way random-effects ANOVA with the
+    * unbalanced-design group size n₀ = (N − Σn_g²/N)/(k−1). Parity
+    * device: each group's SSB contribution S_g²/n_g half-up-quantizes
+    * to an exact integer BEFORE the order-free cross-group sum — and
+    * stays long-safe because it is bounded by ONE customer's spend,
+    * never the corpus (Spark's DIV returns BIGINT: corpus-scale
+    * quantities must never ride it — measured wraparound before this
+    * shape). The corpus-scale terms (S²/N, SS_tot, n₀) compose in ONE
+    * fixed double expression over the exact integer aggregates (the
+    * F53 r_k device class — identical IEEE trees in both engines).
+    * One custkey shuffle with map-side partial aggregation;
+    * everything after is k-group-bounded.
+    */
+  def qIcc(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val byCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("ng"),
+        sum(round(col("o_totalprice") * 100).cast("long")).cast(d38).as("sg"),
+        sum(round(col("o_totalprice") * 100).cast("long").cast(d38) *
+          round(col("o_totalprice") * 100).cast("long")).as("qg"))
+    // per-group SSB term S_g²/n_g half-up in raw cents² — bounded by
+    // one customer's lifetime spend at any SF (long-safe DIV result)
+    val agg = byCust
+      .withColumn("ssbg",
+        expr("(2 * sg * sg + ng) DIV (2 * ng)").cast(d38))
+      .agg(count(lit(1)).as("k"), sum(col("ng")).as("nn"),
+        sum(col("sg")).as("s"), sum(col("qg")).as("q"),
+        sum(col("ssbg")).as("ssb_sum"),
+        sum((col("ng").cast(d38) * col("ng"))).as("ng2"))
+    val kD = col("k").cast("double")
+    val nD = col("nn").cast("double")
+    val corr = col("s").cast("double") * col("s").cast("double") / nD
+    val ssb = col("ssb_sum").cast("double") - corr
+    val sst = col("q").cast("double") - corr
+    val ssw = sst - ssb
+    val n0 = (nD * nD - col("ng2").cast("double")) / (nD * (kD - 1))
+    val msb = ssb / (kD - 1)
+    val msw = ssw / (nD - kD)
+    agg.select(col("k").cast("long").as("n_customers"),
+        col("nn").cast("long").as("n_orders"),
+        round(n0, 2).as("n0"),
+        round((msb - msw) / (msb + (n0 - 1) * msw), 6).as("icc"))
+      .withColumn("customer_effect", col("icc") > 0.05)
+  }
+
+  val qIccSql: String =
+    """WITH bycust AS (SELECT o_custkey,
+      |    CAST(count(*) AS HUGEINT) AS ng,
+      |    sum(CAST(round(o_totalprice * 100) AS HUGEINT)) AS sg,
+      |    sum(CAST(round(o_totalprice * 100) AS HUGEINT)
+      |      * CAST(round(o_totalprice * 100) AS HUGEINT)) AS qg
+      |  FROM orders GROUP BY 1),
+      |terms AS (SELECT ng, sg, qg,
+      |    CAST((2 * sg * sg + ng) // (2 * ng) AS HUGEINT) AS ssbg
+      |  FROM bycust),
+      |agg AS (SELECT CAST(count(*) AS HUGEINT) AS k, sum(ng) AS nn,
+      |    sum(sg) AS s, sum(qg) AS q, sum(ssbg) AS ssb_sum,
+      |    sum(ng * ng) AS ng2
+      |  FROM terms),
+      |d AS (SELECT CAST(k AS BIGINT) AS n_customers,
+      |    CAST(nn AS BIGINT) AS n_orders,
+      |    (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) - CAST(ng2 AS DOUBLE))
+      |      / (CAST(nn AS DOUBLE) * (CAST(k AS DOUBLE) - 1)) AS n0,
+      |    (CAST(ssb_sum AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+      |      / CAST(nn AS DOUBLE)) / (CAST(k AS DOUBLE) - 1) AS msb,
+      |    ((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+      |      / CAST(nn AS DOUBLE))
+      |     - (CAST(ssb_sum AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+      |      / CAST(nn AS DOUBLE)))
+      |      / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE)) AS msw
+      |  FROM agg)
+      |SELECT n_customers, n_orders, round(n0, 2) AS n0,
+      |  round((msb - msw) / (msb + (n0 - 1) * msw), 6) AS icc,
+      |  (round((msb - msw) / (msb + (n0 - 1) * msw), 6) > 0.05)
+      |    AS customer_effect
+      |FROM d""".stripMargin
+
   // ---------------------------------------------------------------- L43
   /** Mahalanobis-distance outliers in the (quantity, price) plane —
     * the BIVARIATE fence the univariate L2/MAD fences cannot draw: a
@@ -3235,6 +3318,7 @@ object Validation {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cronbach_alpha" -> (qCronbachAlpha _),
     "q_mahalanobis" -> (qMahalanobis _),
+    "q_icc" -> (qIcc _),
     "q_holm" -> (qHolm _),
     "q_equivalence_tost" -> (qEquivalenceTost _),
     "q_sign_test" -> (qSignTest _),
@@ -3278,6 +3362,7 @@ object Validation {
   def oracle: Map[String, String] = Map(
     "q_cronbach_alpha" -> qCronbachAlphaSql,
     "q_mahalanobis" -> qMahalanobisSql,
+    "q_icc" -> qIccSql,
     "q_holm" -> qHolmSql,
     "q_equivalence_tost" -> qEquivalenceTostSql,
     "q_sign_test" -> qSignTestSql,

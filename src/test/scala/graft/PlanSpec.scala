@@ -224,7 +224,11 @@ class PlanSpec extends AnyFunSuite {
       "q_mase" -> 2, "q_logrank" -> 3, "q_pacf" -> 3,
       "q_periodogram" -> 7, "q_shapley_attribution" -> 8,
       "q_cronbach_alpha" -> 1, "q_mahalanobis" -> 1,
-      "q_fleiss_kappa" -> 1)
+      "q_fleiss_kappa" -> 1,
+      // diagnostics wave: q_cooks_distance MUST stay at 1 (its top-k
+      // rides TakeOrderedAndProject, the q_mahalanobis contract)
+      "q_durbin_watson" -> 4, "q_cooks_distance" -> 1,
+      "q_icc" -> 2, "q_davies_bouldin" -> 3)
     val failures = ceilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
       // count the EXECUTED adaptive plan (the Bench device): pre-AQE
       // the unmaterialized cache subtrees replay per consumer and the
@@ -351,7 +355,10 @@ class PlanSpec extends AnyFunSuite {
       "q_logrank",
       // is_peak max window over the 4-row candidate-period table
       // (bounded by the literal period list, never the corpus)
-      "q_periodogram")
+      "q_periodogram",
+      // residual lag window over the bounded day table
+      // (the q_changepoint class)
+      "q_durbin_watson")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       // pre-AQE physical plan: traversable with plain collect (the
       // AQE wrapper hides its initial plan from TreeNode traversal,

@@ -1867,4 +1867,119 @@ class PropertySpec extends AnyFunSuite {
     val pBar = a.toDouble / (6.0 * n.toDouble)
     assert(math.abs(r.getAs[Double]("p_bar") - pBar) < 1e-4)
   }
+
+  test("q_durbin_watson: DW recomposes from a driver-side OLS residual series") {
+    val sf = TestSession.sf
+    val rows = graft.operators.TemporalOps.queries("q_durbin_watson")(spark, sf)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val day = Tables.orders(spark, sf)
+      .groupBy(datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long").as("t"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("y"))
+      .orderBy(col("t")).as[(Long, Long)].collect()
+    val n = day.length
+    assert(r.getAs[Long]("n_days") == n.toLong)
+    val (ts, ys) = (day.map(_._1.toDouble), day.map(_._2.toDouble))
+    val (mt, my) = (ts.sum / n, ys.sum / n)
+    val b = ts.zip(ys).map { case (t, y) => (t - mt) * (y - my) }.sum /
+      ts.map(t => (t - mt) * (t - mt)).sum
+    val e = day.map { case (t, y) => (y - my) - b * (t - mt) }
+    val dw = e.indices.drop(1).map(i => (e(i) - e(i - 1)) * (e(i) - e(i - 1)))
+      .sum / e.map(x => x * x).sum
+    // the query's slope is µ-quantized; agreement at that grain
+    assert(math.abs(r.getAs[Double]("dw") - dw) < 1e-3,
+      s"dw ${r.getAs[Double]("dw")} vs brute $dw")
+    val expect = if (r.getAs[Double]("dw") < 1.5) "positive"
+      else if (r.getAs[Double]("dw") > 2.5) "negative" else "none"
+    assert(r.getAs[String]("residual_autocorr") == expect)
+  }
+
+  test("q_cooks_distance: top-20 influence agrees with a driver-side replay") {
+    val sf = TestSession.sf
+    val rows = graft.ml.FeatureOps.queries("q_cooks_distance")(spark, sf)
+      .collect()
+    assert(rows.length == 20)
+    val data = Tables.lineitem(spark, sf).select(
+      col("l_orderkey").cast("long"), col("l_linenumber").cast("long"),
+      col("l_quantity").cast("long"),
+      round(col("l_extendedprice") * 100).cast("long"))
+      .as[(Long, Long, Long, Long)].collect()
+    val n = data.length.toDouble
+    val (mx, my) = (data.map(_._3).sum / n, data.map(_._4).sum / n)
+    val sxx = data.map(d => (d._3 - mx) * (d._3 - mx)).sum
+    val sxy = data.map(d => (d._3 - mx) * (d._4 - my)).sum
+    val b = sxy / sxx
+    val e = data.map(d => (d._4 - my) - b * (d._3 - mx))
+    val s2 = {
+      val sse = e.map(x => x * x).sum
+      sse / (n - 2)
+    }
+    def cook(i: Int): Double = {
+      val h = 1 / n + (data(i)._3 - mx) * (data(i)._3 - mx) / sxx
+      e(i) * e(i) * h / (2 * s2 * (1 - h) * (1 - h))
+    }
+    val brute = data.indices
+      .map(i => (cook(i), data(i)._1, data(i)._2))
+      .sortBy { case (d, ok, ln) => (-d, ok, ln) }.take(20)
+    rows.zip(brute).foreach { case (row, (bd, ok, ln)) =>
+      assert(row.getAs[Number]("l_orderkey").longValue == ok)
+      assert(row.getAs[Number]("l_linenumber").longValue == ln)
+      // quantized-slope D vs full-precision D: grain-level agreement
+      assert(math.abs(row.getAs[Double]("cooks_d") - bd) <
+        math.max(1e-4, bd * 0.01),
+        s"D ${row.getAs[Double]("cooks_d")} vs brute $bd")
+    }
+  }
+
+  test("q_icc: ICC(1) recomposes from driver-side one-way ANOVA") {
+    val sf = TestSession.sf
+    val rows = graft.operators.Validation.queries("q_icc")(spark, sf)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val groups = Tables.orders(spark, sf)
+      .select(col("o_custkey").cast("long"),
+        round(col("o_totalprice") * 100).cast("long"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).values.map(_.map(_._2.toDouble)).toSeq
+    val k = groups.size
+    val nn = groups.map(_.length).sum
+    assert(r.getAs[Long]("n_customers") == k.toLong)
+    assert(r.getAs[Long]("n_orders") == nn.toLong)
+    val all = groups.flatten
+    val gm = all.sum / nn
+    val ssb = groups.map { g =>
+      val m = g.sum / g.length; g.length * (m - gm) * (m - gm) }.sum
+    val ssw = groups.map { g =>
+      val m = g.sum / g.length; g.map(x => (x - m) * (x - m)).sum }.sum
+    val n0 = (nn - groups.map(g =>
+      g.length.toDouble * g.length).sum / nn) / (k - 1)
+    val msb = ssb / (k - 1)
+    val msw = ssw / (nn - k)
+    val icc = (msb - msw) / (msb + (n0 - 1) * msw)
+    assert(math.abs(r.getAs[Double]("icc") - icc) < 1e-4,
+      s"icc ${r.getAs[Double]("icc")} vs brute $icc")
+    assert(math.abs(r.getAs[Double]("n0") - n0) < 0.01)
+  }
+
+  test("q_davies_bouldin: lower-is-better index recomposes from the persisted partition") {
+    val sf = TestSession.sf
+    val rows = graft.ml.Tuning.queries("q_davies_bouldin")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val db = rows.head.getAs[Double]("davies_bouldin")
+    assert(rows.forall(_.getAs[Double]("davies_bouldin") == db))
+    assert(db > 0)
+    // DB is the mean of per-cluster worst ratios
+    val worst = rows.map(_.getAs[Double]("worst_ratio"))
+    assert(math.abs(db - worst.sum / worst.length) < 1e-5,
+      s"db $db vs mean of worst ratios ${worst.sum / worst.length}")
+    // every cluster's scatter is positive and its worst ratio at least
+    // (its own scatter)/(farthest-centroid distance) > 0
+    assert(rows.forall(_.getAs[Double]("mean_scatter") > 0))
+    assert(rows.forall(r =>
+      r.getAs[Double]("worst_ratio") >= r.getAs[Double]("mean_scatter") / 100))
+  }
 }

@@ -1248,6 +1248,90 @@ object TextAnalysis {
        |    AS BIGINT) AS compression_ppm
        |FROM agg""".stripMargin
 
+  // ---------------------------------------------------------------- B28
+  /** Kendall's W (1939) — concordance of the three B27 quality raters
+    * when they RANK the corpus sources instead of voting per document:
+    * B27 answers "do they agree document by document", W answers "do
+    * they induce the same SOURCE ordering" — the readout that decides
+    * whether a cheap heuristic can stand in for an expensive one at
+    * the source-selection level. Each rater scores a source by an
+    * exact integer aggregate (Σchars, Σtokens, Σstopword hits), ranks
+    * are deterministic row_numbers (score DESC, source ASC — windows
+    * PARTITIONED by rater over the |sources|-bounded grid), and with
+    * the doubled-deviation device D_i = 2·R_i − m(k+1) the spread
+    * ΣD_i² = 4·S is an exact integer, so W = 12S/(m²(k³−k)) =
+    * 3·ΣD²/(m²(k³−k)) is ONE double division of exact integers. χ²
+    * verdict at m(k−1)·W vs χ²(k−1, .05). One corpus scan; everything
+    * after is k-bounded.
+    */
+  def qKendallW(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{tokens, vocabHits}
+    val perSource = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(sum(length(col("text")).cast("long")).as("v1"),
+        sum(size(tokens(col("text"))).cast("long")).as("v2"),
+        sum(vocabHits(tokens(col("text")), stopwords("en")).cast("long"))
+          .as("v3"))
+    // stack, not union: three union branches would re-run the corpus
+    // aggregate three times (measured: 10 exchanges → 4)
+    val long = perSource.select(col("source"),
+      expr("stack(3, 1, v1, 2, v2, 3, v3)").as(Seq("rater", "v")))
+    val w = Window.partitionBy(col("rater"))
+      .orderBy(col("v").desc, col("source").asc)
+    val ranked = long.withColumn("rk", row_number().over(w))
+    val sums = ranked.groupBy(col("source"))
+      .agg(sum(col("rk")).as("r"), count(lit(1)).as("m"))
+    val kCnt = sums.agg(count(lit(1)).as("k"))
+    val withD = sums.crossJoin(broadcast(kCnt))
+      .withColumn("d", lit(2) * col("r") - col("m") * (col("k") + 1))
+    val agg = withD.agg(max(col("k")).as("k"), max(col("m")).as("m"),
+      sum(col("d") * col("d")).as("d2"))
+    agg.select(col("k"), col("m"),
+        round(col("d2").cast("double") * 3 /
+          (col("m").cast("double") * col("m") *
+            (col("k").cast("double") * col("k") * col("k") - col("k"))),
+          6).as("kendall_w"))
+      .withColumn("chi2", round(col("m") * (col("k") - 1) * col("kendall_w"),
+        6))
+      .withColumn("concordant", col("chi2") > 30.144) // χ²(19, .05)
+  }
+
+  val qKendallWSql: String = {
+    val toks = graft.functions.TextFunctions.duckToksSql("text")
+    s"""WITH per_source AS (SELECT source,
+      |    CAST(sum(length(text)) AS BIGINT) AS v1,
+      |    CAST(sum(len($toks)) AS BIGINT) AS v2,
+      |    CAST(sum(len(list_filter($toks, t -> list_contains($stopSqlEn,
+      |      t)))) AS BIGINT) AS v3
+      |  FROM documents GROUP BY 1),
+      |lng AS (SELECT source, 1 AS rater, v1 AS v FROM per_source
+      |  UNION ALL SELECT source, 2, v2 FROM per_source
+      |  UNION ALL SELECT source, 3, v3 FROM per_source),
+      |ranked AS (SELECT source, rater, row_number() OVER (
+      |    PARTITION BY rater ORDER BY v DESC, source ASC) AS rk
+      |  FROM lng),
+      |sums AS (SELECT source, CAST(sum(rk) AS BIGINT) AS r,
+      |    CAST(count(*) AS BIGINT) AS m
+      |  FROM ranked GROUP BY 1),
+      |kk AS (SELECT count(*) OVER () AS k, r, m FROM sums),
+      |agg AS (SELECT CAST(max(k) AS BIGINT) AS k, max(m) AS m,
+      |    CAST(sum((2 * r - m * (k + 1)) * (2 * r - m * (k + 1)))
+      |      AS BIGINT) AS d2
+      |  FROM kk)
+      |SELECT k, m,
+      |  round(CAST(d2 AS DOUBLE) * 3
+      |    / (CAST(m AS DOUBLE) * m
+      |      * (CAST(k AS DOUBLE) * k * k - k)), 6) AS kendall_w,
+      |  round(m * (k - 1) * round(CAST(d2 AS DOUBLE) * 3
+      |    / (CAST(m AS DOUBLE) * m
+      |      * (CAST(k AS DOUBLE) * k * k - k)), 6), 6) AS chi2,
+      |  (round(m * (k - 1) * round(CAST(d2 AS DOUBLE) * 3
+      |    / (CAST(m AS DOUBLE) * m
+      |      * (CAST(k AS DOUBLE) * k * k - k)), 6), 6) > 30.144)
+      |    AS concordant
+      |FROM agg""".stripMargin
+  }
+
   // ---------------------------------------------------------------- B27
   /** Fleiss' kappa (1971) — chance-corrected agreement among THREE
     * deterministic quality raters (B21's Cohen kappa compares exactly
@@ -1343,6 +1427,7 @@ object TextAnalysis {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fleiss_kappa" -> (qFleissKappa _),
+    "q_kendall_w" -> (qKendallW _),
     "q_bpe_merges" -> (qBpeMerges _),
     "q_bpe_apply" -> (qBpeApply _),
     "q_pii_scan" -> (qPiiScan _),
@@ -1368,6 +1453,7 @@ object TextAnalysis {
 
   def oracle: Map[String, String] = Map(
     "q_fleiss_kappa" -> qFleissKappaSql,
+    "q_kendall_w" -> qKendallWSql,
     "q_bpe_merges" -> qBpeMergesSql,
     "q_bpe_apply" -> qBpeApplySql,
     "q_pii_scan" -> qPiiScanSql,

@@ -3123,6 +3123,87 @@ object Validation {
       |FROM f""".stripMargin
   }
 
+  // ---------------------------------------------------------------- L45
+  /** Normal Q–Q audit of daily revenue — the WHERE to L31's
+    * Jarque–Bera WHETHER: JB says "not normal, p < …"; the Q–Q table
+    * says which deciles bend (heavy right tail? truncated left?),
+    * the shape readout an anomaly-threshold designer actually uses.
+    * Sample deciles are EXACT ORDER STATISTICS (rank = ⌈p·n⌉ over the
+    * bounded day table — no interpolation), standardized in ONE
+    * double expression of exact integers ((n·q_p − Σy)/√(n·Σy²−(Σy)²)
+    * — the q_logrank composition rule), and compared against normal
+    * quantiles shipped as DRIVER-SIDE DECIMAL LITERALS (the F62
+    * trig-table device — no engine ever evaluates an inverse CDF).
+    * Publishes one row per decile with the deviation and a max-|dev|
+    * normality verdict at 0.5σ. Windows over the day table
+    * (q_changepoint PlanSpec class); 9 output rows.
+    */
+  def qQqNormal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d38 = "decimal(38,0)"
+    val zTable = qqNormalZ.toDF("p_tenths", "z")
+    val byDay = Tables.orders(spark, dir)
+      .groupBy(datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("y"))
+    val mo = byDay.agg(count(lit(1)).cast(d38).as("n"),
+      sum(col("y").cast(d38)).as("s"),
+      sum(col("y").cast(d38) * col("y")).as("q"))
+    val ranked = byDay
+      .withColumn("rk", row_number().over(Window.orderBy(col("y"), col("day"))))
+    val quantiles = ranked.crossJoin(broadcast(mo))
+      .join(broadcast(zTable),
+        col("rk") === ceil(col("p_tenths") * col("n") / 10))
+      .select(col("p_tenths"), col("z"), col("y"), col("n"), col("s"),
+        col("q"))
+    // z = (q_p − ȳ)/σ = (n·q_p − Σy)/√(n·Σy² − (Σy)²): one division
+    // of exact integers (σ = √C/n and the deviation's /n cancel)
+    quantiles
+      .withColumn("std_sample",
+        round((col("n") * col("y") - col("s")).cast(d38).cast("double") /
+          sqrt((col("n") * col("q") - col("s") * col("s")).cast(d38)
+            .cast("double")), 6))
+      .select((col("p_tenths").cast("double") / 10).as("p"),
+        col("y").as("sample_cents"), col("z").as("z_normal"),
+        col("std_sample"),
+        round(col("std_sample") - col("z"), 6).as("deviation"))
+      .withColumn("decile_normal", abs(col("deviation")) < 0.5)
+  }
+
+  /** Standard-normal decile quantiles as driver-side literals shared
+    * verbatim with the oracle (the F62 device): Φ⁻¹(p), 6 dp. */
+  private lazy val qqNormalZ: Seq[(Int, Double)] = Seq(
+    1 -> -1.281552, 2 -> -0.841621, 3 -> -0.524401, 4 -> -0.253347,
+    5 -> 0.0, 6 -> 0.253347, 7 -> 0.524401, 8 -> 0.841621, 9 -> 1.281552)
+
+  val qQqNormalSql: String = {
+    val vals = qqNormalZ.map { case (p, z) => s"($p, $z)" }.mkString(", ")
+    s"""WITH zt0(p_tenths, z0) AS (VALUES $vals),
+      |zt AS (SELECT p_tenths, CAST(z0 AS DOUBLE) AS z FROM zt0),
+      |byday AS (SELECT
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |      AS BIGINT) AS day,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM orders GROUP BY 1),
+      |mo AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    sum(CAST(y AS HUGEINT)) AS s, sum(CAST(y AS HUGEINT) * y) AS q
+      |  FROM byday),
+      |ranked AS (SELECT y, row_number() OVER (ORDER BY y, day) AS rk
+      |  FROM byday),
+      |qs AS (SELECT zt.p_tenths, zt.z, r.y, mo.n, mo.s, mo.q
+      |  FROM ranked r CROSS JOIN mo
+      |  JOIN zt ON r.rk = CAST(ceil(zt.p_tenths * mo.n / 10) AS BIGINT)),
+      |std AS (SELECT p_tenths, z, y,
+      |    round(CAST(n * y - s AS DOUBLE)
+      |      / sqrt(CAST(n * q - s * s AS DOUBLE)), 6) AS std_sample
+      |  FROM qs)
+      |SELECT CAST(p_tenths AS DOUBLE) / 10 AS p, y AS sample_cents,
+      |  z AS z_normal, std_sample,
+      |  round(std_sample - z, 6) AS deviation,
+      |  (abs(round(std_sample - z, 6)) < 0.5) AS decile_normal
+      |FROM std""".stripMargin
+  }
+
   // ---------------------------------------------------------------- L44
   /** Intraclass correlation ICC(1) of order spend within customers —
     * the "is the grouping real?" readout behind every per-customer
@@ -3319,6 +3400,7 @@ object Validation {
     "q_cronbach_alpha" -> (qCronbachAlpha _),
     "q_mahalanobis" -> (qMahalanobis _),
     "q_icc" -> (qIcc _),
+    "q_qq_normal" -> (qQqNormal _),
     "q_holm" -> (qHolm _),
     "q_equivalence_tost" -> (qEquivalenceTost _),
     "q_sign_test" -> (qSignTest _),
@@ -3363,6 +3445,7 @@ object Validation {
     "q_cronbach_alpha" -> qCronbachAlphaSql,
     "q_mahalanobis" -> qMahalanobisSql,
     "q_icc" -> qIccSql,
+    "q_qq_normal" -> qQqNormalSql,
     "q_holm" -> qHolmSql,
     "q_equivalence_tost" -> qEquivalenceTostSql,
     "q_sign_test" -> qSignTestSql,

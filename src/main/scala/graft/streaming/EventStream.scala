@@ -703,6 +703,63 @@ object EventStream {
       }
   }
 
+  /** Ring-buffer state for the streaming Bollinger monitor: the last
+    * (up to) six in-order daily cent totals + the F13/F50 ordering
+    * guard. Bounded by construction — O(1) at any stream length.
+    */
+  case class BollState(window: Seq[Long], lastDay: Long)
+  /** Breach row, value-identical to the batch `q_bollinger` columns
+    * (rev re-published as a 2-dp double, var7_num as long — exact at
+    * every tested SF; the batch publishes DECIMAL).
+    */
+  case class BollOut(day: Long, rev: Double, mean7_micro: Long,
+      var7_num: Long, breach: String)
+
+  /** F65: STREAMING twin of the batch Bollinger-band monitor (F45) —
+    * the band alarm run where an alarm belongs, on the arriving daily
+    * revenue stream. State is the six-day cent ring buffer plus the
+    * ordering guard; each in-order day replays the batch operator's
+    * EXACT INTEGER verdict (dev = 6·rc − s7, num = 6·Σx² − (Σx)²,
+    * breach ⟺ 5·dev² > 24·num on BigInt — no float anywhere) and the
+    * exact-integer publishes (mean7_micro via the E26 half-up device,
+    * var7_num raw), emitting ONLY breach days — so an in-order day
+    * stream equals the oracle-checked batch result set row for row
+    * (StreamingSpec asserts it). Late/duplicate days drop at the
+    * guard: a trailing-window statistic cannot retroactively reorder.
+    */
+  def streamBollinger(days: Dataset[DayRev]): Dataset[BollOut] = {
+    import days.sparkSession.implicits._
+    days.groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, it: Iterator[DayRev], state: GroupState[BollState]) =>
+          var st = state.getOption.getOrElse(BollState(Nil, -1L))
+          val out = it.toSeq.sortBy(_.day).flatMap { d =>
+            if (st.lastDay >= 0 && d.day <= st.lastDay) None
+            else {
+              val verdict = if (st.window.length == 6) {
+                val s7 = st.window.map(BigInt(_)).sum
+                val q7 = st.window.map(c => BigInt(c) * c).sum
+                val num = q7 * 6 - s7 * s7
+                val dev = BigInt(d.cents) * 6 - s7
+                val breach =
+                  if (dev > 0 && 5 * dev * dev > 24 * num) Some("high")
+                  else if (dev < 0 && 5 * dev * dev > 24 * num) Some("low")
+                  else None
+                breach.map { b =>
+                  val mean7Micro = (2 * s7 * 10000 + 6) / 12
+                  BollOut(d.day, d.cents / 100.0, mean7Micro.toLong,
+                    num.toLong, b)
+                }
+              } else None
+              st = BollState((st.window :+ d.cents).takeRight(6), d.day)
+              verdict
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Input for the streaming SPRT: the (day, trials, hits) daily
     * pre-aggregate the batch L36 computes as its first step.
     */

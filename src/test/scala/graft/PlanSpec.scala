@@ -228,7 +228,11 @@ class PlanSpec extends AnyFunSuite {
       // diagnostics wave: q_cooks_distance MUST stay at 1 (its top-k
       // rides TakeOrderedAndProject, the q_mahalanobis contract)
       "q_durbin_watson" -> 4, "q_cooks_distance" -> 1,
-      "q_icc" -> 2, "q_davies_bouldin" -> 3)
+      "q_icc" -> 2, "q_davies_bouldin" -> 3,
+      // q_kendall_w pinned post-stack-rewrite: a union-shaped plan
+      // re-runs the corpus aggregate per rater (measured 10 → 6,
+      // single FileScan)
+      "q_kendall_w" -> 6, "q_qq_normal" -> 4)
     val failures = ceilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
       // count the EXECUTED adaptive plan (the Bench device): pre-AQE
       // the unmaterialized cache subtrees replay per consumer and the
@@ -358,7 +362,10 @@ class PlanSpec extends AnyFunSuite {
       "q_periodogram",
       // residual lag window over the bounded day table
       // (the q_changepoint class)
-      "q_durbin_watson")
+      "q_durbin_watson",
+      // order-statistic rank window over the bounded day table
+      // (the q_changepoint class)
+      "q_qq_normal")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       // pre-AQE physical plan: traversable with plain collect (the
       // AQE wrapper hides its initial plan from TreeNode traversal,

@@ -1964,6 +1964,67 @@ class PropertySpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("n0") - n0) < 0.01)
   }
 
+  test("q_kendall_w: W recomposes from driver-side rank sums; perfect concordance bound") {
+    val sf = TestSession.sf
+    val rows = graft.operators.TextAnalysis.queries("q_kendall_w")(spark, sf)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    import graft.functions.TextFunctions.{tokens, vocabHits}
+    val per = Tables.documents(spark, sf).groupBy(col("source"))
+      .agg(sum(length(col("text")).cast("long")).as("v1"),
+        sum(size(tokens(col("text"))).cast("long")).as("v2"),
+        sum(vocabHits(tokens(col("text")),
+          graft.operators.TextAnalysis.stopwords("en")).cast("long")).as("v3"))
+      .as[(String, Long, Long, Long)].collect()
+    val k = per.length
+    assert(r.getAs[Long]("k") == k.toLong)
+    def ranks(f: ((String, Long, Long, Long)) => Long): Map[String, Int] =
+      per.sortBy(t => (-f(t), t._1)).zipWithIndex
+        .map { case (t, i) => t._1 -> (i + 1) }.toMap
+    val rs = Seq(ranks(_._2), ranks(_._3), ranks(_._4))
+    val m = 3
+    val sumR = per.map(t => t._1 -> rs.map(_(t._1)).sum).toMap
+    val d2 = sumR.values.map { ri =>
+      val d = 2L * ri - m * (k + 1); d * d }.sum
+    val w = 3.0 * d2 / (m.toDouble * m * (k.toLong * k * k - k))
+    assert(math.abs(r.getAs[Double]("kendall_w") - w) < 1e-4,
+      s"W ${r.getAs[Double]("kendall_w")} vs brute $w")
+    assert(w >= 0 && w <= 1.0 + 1e-9)
+    assert(r.getAs[Boolean]("concordant") ==
+      (r.getAs[Double]("chi2") > 30.144))
+  }
+
+  test("q_qq_normal: deciles are exact order statistics; z literals are symmetric") {
+    val sf = TestSession.sf
+    val rows = graft.operators.Validation.queries("q_qq_normal")(spark, sf)
+      .collect().sortBy(_.getAs[Double]("p"))
+    assert(rows.length == 9)
+    // sample quantiles are monotone and the z table is symmetric
+    val qs = rows.map(_.getAs[Long]("sample_cents"))
+    assert(qs.zip(qs.tail).forall { case (a, b) => a <= b })
+    val zs = rows.map(_.getAs[Double]("z_normal"))
+    assert(zs.zip(zs.reverse).forall { case (a, b) => math.abs(a + b) < 1e-9 })
+    // each decile IS the ⌈p·n⌉-th order statistic of the day series
+    val days = Tables.orders(spark, sf)
+      .groupBy(datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("y"))
+      .select("y").as[Long].collect().sorted
+    val n = days.length
+    rows.foreach { r =>
+      val p = r.getAs[Double]("p")
+      val rank = math.ceil(p * n).toInt
+      assert(r.getAs[Long]("sample_cents") == days(rank - 1),
+        s"p=$p: ${r.getAs[Long]("sample_cents")} vs order stat ${days(rank - 1)}")
+      // standardization replay
+      val mean = days.map(BigInt(_)).sum.toDouble / n
+      val sd = math.sqrt(days.map(y => (y - mean) * (y - mean)).sum / n)
+      val z = (days(rank - 1) - mean) / sd
+      assert(math.abs(r.getAs[Double]("std_sample") - z) < 1e-4)
+    }
+  }
+
   test("q_davies_bouldin: lower-is-better index recomposes from the persisted partition") {
     val sf = TestSession.sf
     val rows = graft.ml.Tuning.queries("q_davies_bouldin")(spark, sf)

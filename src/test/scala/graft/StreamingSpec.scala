@@ -256,6 +256,39 @@ class StreamingSpec extends AnyFunSuite {
         s"onlyBatch=${(batch -- streamed.toSet).take(3)}")
   }
 
+  test("stateful streaming Bollinger equals the batch breach set and drops late days") {
+    import graft.streaming.EventStream.{DayRev, BollOut}
+    implicit val sqlCtx = spark.sqlContext
+    val days = Tables.orders(spark, sf)
+      .groupBy(datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .as[DayRev].collect().sortBy(_.day)
+    assert(days.length > 10)
+    val input = MemoryStream[DayRev]
+    val qn = "graft_stream_boll"
+    val q = graft.streaming.EventStream.streamBollinger(input.toDS())
+      .writeStream.outputMode("append").format("memory").queryName(qn).start()
+    input.addData(days.take(days.length / 2): _*)
+    q.processAllAvailable()
+    input.addData(days.drop(days.length / 2): _*)
+    q.processAllAvailable()
+    // a late replay of the first day must emit nothing
+    input.addData(DayRev(days.head.day, 999999999L))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table(qn).as[BollOut].collect().toSet
+    val batch = graft.operators.TemporalOps.queries("q_bollinger")(spark, sf)
+      .select(col("day"), col("rev").cast("double").as("rev"),
+        col("mean7_micro").cast("long").as("mean7_micro"),
+        col("var7_num").cast("long").as("var7_num"), col("breach"))
+      .as[BollOut].collect().toSet
+    assert(batch.nonEmpty, "corpus must contain at least one breach day")
+    assert(streamed == batch,
+      s"stream-batch mismatch: onlyStream=${(streamed -- batch).take(3)} " +
+        s"onlyBatch=${(batch -- streamed).take(3)}")
+  }
+
   test("stateful streaming SPRT equals the batch trace and drops late days") {
     import graft.streaming.EventStream.{DayTrials, SprtOut}
     implicit val sqlCtx = spark.sqlContext

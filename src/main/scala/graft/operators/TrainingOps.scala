@@ -1830,7 +1830,131 @@ object TrainingOps {
          |  (jsd_nats > 0.05) AS divergent
          |FROM agg""".stripMargin
 
+  // ---------------------------------------------------------------- K33
+  /** Data scaling curve — held-out surprisal as a function of
+    * training-set size, the empirical scaling-law readout (Kaplan et
+    * al. 2020 shape) that answers the budget question every corpus
+    * decision feeds: is MORE of this data still buying loss? Nested
+    * md5 training fractions (10/25/50/100 % of the K-family 80 %
+    * train mass — prefixes of one bucket order, so each fraction is a
+    * strict superset) each fit an add-1 unigram LM from ONE shared
+    * (token × tier) aggregate; the held-out (test-split) tokens score
+    * −ln((c_f+1)/(N_f+V_f)) per fraction (per-row libm ln then a
+    * 6-dp-rounded mean — the B9/K16 device class), and the
+    * loss-vs-size slope fits on the FOUR (ln N_f, surprisal) points
+    * PIVOTED into one fixed-order closed-form expression (the F53
+    * no-unordered-double-sum rule; ln N_f rounds at 10 dp first).
+    * Scale shape: tokens and the tier-count vocabulary shuffle-join
+    * on `tok` (vocab is corpus-scale — never force-broadcast, the B9
+    * plan rule); only the 4-row totals broadcast. Verdict: slope < 0
+    * ⟺ more data still helps.
+    */
+  def qScalingCurve(spark: SparkSession, dir: String): DataFrame = {
+    val bucket =
+      expr("conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10)")
+        .cast("long") % 100
+    val toks = TextAnalysis.tokenStream(spark, dir)
+      .withColumn("b", bucket)
+    val fracs = Seq(8, 20, 40, 80) // % of corpus = 10/25/50/100 % of train
+    // one (token) aggregate carries every fraction's counts + the
+    // first tier each token appears in (for V_f)
+    val vocabAggs = fracs.map(f =>
+      sum(when(col("b") < f, 1L).otherwise(0L)).as(s"c$f")) :+
+      min(col("b")).as("minb")
+    val vocab = toks.filter(col("b") < 80)
+      .groupBy(col("tok"))
+      .agg(vocabAggs.head, vocabAggs.tail: _*)
+    val totalAggs = fracs.flatMap(f => Seq(
+      sum(col(s"c$f")).as(s"n$f"),
+      sum(when(col("minb") < f, 1L).otherwise(0L)).as(s"v$f")))
+    val totals = vocab.agg(totalAggs.head, totalAggs.tail: _*)
+    val held = toks.filter(col("b") >= 90)
+      .join(vocab, Seq("tok"), "left")
+      .crossJoin(broadcast(totals))
+    val scoreAggs = count(lit(1)).as("n_held") +: fracs.map(f =>
+      round(avg(-log(
+        (coalesce(col(s"c$f"), lit(0L)) + lit(1)).cast("double") /
+          (col(s"n$f") + col(s"v$f")).cast("double"))), 6)
+        .as(s"ms$f"))
+    val scored = held.groupBy(lit(1).as("g"))
+      .agg(scoreAggs.head, scoreAggs.tail: _*)
+    // slope over the four (x = round(ln N_f, 10), y = ms_f) points in
+    // ONE fixed-order expression — never an unordered double sum
+    val pts = scored.crossJoin(broadcast(totals))
+    def x(f: Int) = round(log(col(s"n$f").cast("double")), 10)
+    def y(f: Int) = col(s"ms$f")
+    val xbar = (x(8) + x(20) + x(40) + x(80)) / 4
+    val ybar = (y(8) + y(20) + y(40) + y(80)) / 4
+    val num = (x(8) - xbar) * (y(8) - ybar) + (x(20) - xbar) * (y(20) - ybar) +
+      (x(40) - xbar) * (y(40) - ybar) + (x(80) - xbar) * (y(80) - ybar)
+    val den = (x(8) - xbar) * (x(8) - xbar) + (x(20) - xbar) * (x(20) - xbar) +
+      (x(40) - xbar) * (x(40) - xbar) + (x(80) - xbar) * (x(80) - xbar)
+    val slope = round(num / den, 6)
+    import spark.implicits._
+    val rows = fracs.toDF("f")
+    pts.crossJoin(broadcast(rows))
+      .select(
+        (col("f") * 100 / 80).cast("long").as("train_pct"),
+        (when(col("f") === 8, col("n8")).when(col("f") === 20, col("n20"))
+          .when(col("f") === 40, col("n40")).otherwise(col("n80")))
+          .cast("long").as("n_train_tokens"),
+        (when(col("f") === 8, col("v8")).when(col("f") === 20, col("v20"))
+          .when(col("f") === 40, col("v40")).otherwise(col("v80")))
+          .cast("long").as("vocab_size"),
+        when(col("f") === 8, col("ms8")).when(col("f") === 20, col("ms20"))
+          .when(col("f") === 40, col("ms40")).otherwise(col("ms80"))
+          .as("heldout_surprisal"),
+        col("n_held"), slope.as("loss_slope"))
+      .withColumn("more_data_helps", col("loss_slope") < 0)
+  }
+
+  val qScalingCurveSql: String = {
+    val fracs = Seq(8, 20, 40, 80)
+    val cCols = fracs.map(f =>
+      s"CAST(sum(CASE WHEN b < $f THEN 1 ELSE 0 END) AS BIGINT) AS c$f")
+      .mkString(", ")
+    val tCols = fracs.flatMap(f => Seq(
+      s"CAST(sum(c$f) AS BIGINT) AS n$f",
+      s"CAST(sum(CASE WHEN minb < $f THEN 1 ELSE 0 END) AS BIGINT) AS v$f"))
+      .mkString(", ")
+    val msCols = fracs.map(f =>
+      s"round(avg(-ln(CAST(coalesce(c$f, 0) + 1 AS DOUBLE) / (n$f + v$f))), 6) AS ms$f")
+      .mkString(", ")
+    def x(f: Int) = s"round(ln(CAST(n$f AS DOUBLE)), 10)"
+    val xbar = s"((${x(8)} + ${x(20)} + ${x(40)} + ${x(80)}) / 4)"
+    val ybar = "((ms8 + ms20 + ms40 + ms80) / 4)"
+    val num = fracs.map(f => s"((${x(f)}) - $xbar) * (ms$f - $ybar)")
+      .mkString(" + ")
+    val den = fracs.map(f => s"((${x(f)}) - $xbar) * ((${x(f)}) - $xbar)")
+      .mkString(" + ")
+    raw"""WITH t AS (SELECT doc_id,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+         |      AS b,
+         |    $duckToks AS toks FROM documents),
+         |toks AS (SELECT doc_id, b, unnest(toks) AS tok FROM t),
+         |vocab AS (SELECT tok, $cCols, min(b) AS minb
+         |  FROM toks WHERE b < 80 GROUP BY tok),
+         |totals AS (SELECT $tCols FROM vocab),
+         |held AS (SELECT h.tok, v.c8, v.c20, v.c40, v.c80
+         |  FROM toks h LEFT JOIN vocab v USING (tok) WHERE h.b >= 90),
+         |scored AS (SELECT CAST(count(*) AS BIGINT) AS n_held, $msCols
+         |  FROM held, totals),
+         |sl AS (SELECT round(($num) / ($den), 6) AS loss_slope
+         |  FROM scored, totals),
+         |fr(f) AS (VALUES (8), (20), (40), (80))
+         |SELECT CAST(f * 100 / 80 AS BIGINT) AS train_pct,
+         |  CASE f WHEN 8 THEN n8 WHEN 20 THEN n20 WHEN 40 THEN n40
+         |    ELSE n80 END AS n_train_tokens,
+         |  CASE f WHEN 8 THEN v8 WHEN 20 THEN v20 WHEN 40 THEN v40
+         |    ELSE v80 END AS vocab_size,
+         |  CASE f WHEN 8 THEN ms8 WHEN 20 THEN ms20 WHEN 40 THEN ms40
+         |    ELSE ms80 END AS heldout_surprisal,
+         |  n_held, loss_slope, (loss_slope < 0) AS more_data_helps
+         |FROM fr, scored, totals, sl""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scaling_curve" -> (qScalingCurve _),
     "q_js_divergence" -> (qJsDivergence _),
     "q_quality_tradeoff" -> (qQualityTradeoff _),
     "q_weighted_sample" -> (qWeightedSample _),
@@ -1868,6 +1992,7 @@ object TrainingOps {
     "q_anomaly" -> (qAnomaly _))
 
   def oracle: Map[String, String] = Map(
+    "q_scaling_curve" -> qScalingCurveSql,
     "q_js_divergence" -> qJsDivergenceSql,
     "q_quality_tradeoff" -> qQualityTradeoffSql,
     "q_weighted_sample" -> qWeightedSampleSql,

@@ -232,7 +232,10 @@ class PlanSpec extends AnyFunSuite {
       // q_kendall_w pinned post-stack-rewrite: a union-shaped plan
       // re-runs the corpus aggregate per rater (measured 10 → 6,
       // single FileScan)
-      "q_kendall_w" -> 6, "q_qq_normal" -> 4)
+      "q_kendall_w" -> 6, "q_qq_normal" -> 4,
+      // one shared token-stream scan + the tok shuffle-join + 4-row
+      // totals broadcasts
+      "q_scaling_curve" -> 6)
     val failures = ceilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
       // count the EXECUTED adaptive plan (the Bench device): pre-AQE
       // the unmaterialized cache subtrees replay per consumer and the

@@ -2025,6 +2025,38 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q_scaling_curve: fractions nest, counts recompose, slope matches the 4-point fit") {
+    val sf = TestSession.sf
+    val rows = graft.operators.TrainingOps.queries("q_scaling_curve")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("train_pct"))
+    assert(rows.map(_.getAs[Long]("train_pct")).toSeq == Seq(10L, 25L, 50L, 100L))
+    // nested fractions: token counts and vocab sizes are monotone
+    val ns = rows.map(_.getAs[Long]("n_train_tokens"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a <= b })
+    val vs = rows.map(_.getAs[Long]("vocab_size"))
+    assert(vs.zip(vs.tail).forall { case (a, b) => a <= b })
+    // one shared slope row; it recomposes from the published points
+    val slope = rows.head.getAs[Double]("loss_slope")
+    assert(rows.forall(_.getAs[Double]("loss_slope") == slope))
+    val xs = ns.map(n => math.log(n.toDouble))
+    val ys = rows.map(_.getAs[Double]("heldout_surprisal"))
+    val (xb, yb) = (xs.sum / 4, ys.sum / 4)
+    val fit = xs.zip(ys).map { case (x, y) => (x - xb) * (y - yb) }.sum /
+      xs.map(x => (x - xb) * (x - xb)).sum
+    assert(math.abs(slope - fit) < 1e-4, s"slope $slope vs fit $fit")
+    assert(rows.head.getAs[Boolean]("more_data_helps") == (slope < 0))
+    // the 100% fraction IS the K16 train split: recompose its token count
+    val n80 = graft.operators.TextAnalysis
+      .queries("q_token_count")(spark, sf)
+      .select(col("doc_id"), col("n_tokens"))
+      .withColumn("b",
+        expr("conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10)")
+          .cast("long") % 100)
+      .filter(col("b") < 80)
+      .agg(sum(col("n_tokens"))).as[Long].head()
+    assert(ns.last == n80, s"n_train(100%) ${ns.last} vs token count $n80")
+  }
+
   test("q_davies_bouldin: lower-is-better index recomposes from the persisted partition") {
     val sf = TestSession.sf
     val rows = graft.ml.Tuning.queries("q_davies_bouldin")(spark, sf)

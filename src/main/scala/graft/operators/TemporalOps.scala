@@ -2123,6 +2123,94 @@ object TemporalOps {
       |    > 12.592 AS serial_structure
       |FROM r""".stripMargin
 
+  // ---------------------------------------------------------------- F59
+  /** AR(2) Yule–Walker fit + one-step forecast — the autoregressive
+    * complement to F48's exponential smoothing: where Holt tracks
+    * level/trend, AR(2) captures OSCILLATORY persistence (φ₂ < 0 is a
+    * mean-reverting cycle no smoother can represent). Coefficients
+    * come from the Yule–Walker equations on the F53 engine-exact
+    * autocorrelations: center hourly counts as ỹ = n·y − S (exact
+    * longs), r₁/r₂ as ONE double division each of exact DECIMAL(38,0)
+    * sums, then φ₁ = r₁(1−r₂)/(1−r₁²), φ₂ = (r₂−r₁²)/(1−r₁²) and the
+    * forecast ŷ_{T+1} = (S + φ₁ỹ_T + φ₂ỹ_{T−1})/n as FIXED-ORDER
+    * expressions over those divisions (identical IEEE both engines —
+    * the q_stl rule). The last two observations surface via max_by on
+    * the lag columns (no extra sort). Stationarity verdict checks the
+    * AR(2) triangle (φ₁+φ₂ < 1, φ₂−φ₁ < 1, |φ₂| < 1) on the unrounded
+    * doubles. One corpus scan → hour table → one window pass with two
+    * lags → one aggregate per type.
+    */
+  def qAr2Forecast(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("(ts DIV 1000000000) DIV 3600").as("hour"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("y"))
+    val tot = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour").asc)
+    val centered = hourly.join(tot, "event_type")
+      .withColumn("yt", col("n") * col("y") - col("s"))
+      .withColumn("l1", lag(col("yt"), 1).over(w))
+      .withColumn("l2", lag(col("yt"), 2).over(w))
+    val d38 = "decimal(38,0)"
+    val agg = centered.groupBy(col("event_type")).agg(
+      max(col("n")).as("n"), max(col("s")).as("s"),
+      sum(col("yt").cast(d38) * col("yt")).as("den"),
+      sum(col("yt").cast(d38) * col("l1")).as("c1"),
+      sum(col("yt").cast(d38) * col("l2")).as("c2"),
+      expr("max_by(yt, hour)").as("yt_last"),
+      expr("max_by(l1, hour)").as("yt_prev"))
+    val r1 = col("c1").cast("double") / col("den").cast("double")
+    val r2 = col("c2").cast("double") / col("den").cast("double")
+    val phi1 = r1 * (lit(1.0) - r2) / (lit(1.0) - r1 * r1)
+    val phi2 = (r2 - r1 * r1) / (lit(1.0) - r1 * r1)
+    val fc = (col("s").cast("double") + phi1 * col("yt_last").cast("double")
+      + phi2 * col("yt_prev").cast("double")) / col("n")
+    agg.filter(col("n") >= 3)
+      .select(col("event_type"), col("n").as("n_hours"),
+        round(r1, 6).as("r1"), round(r2, 6).as("r2"),
+        round(phi1, 6).as("phi1"), round(phi2, 6).as("phi2"),
+        round(fc, 6).as("forecast_next"),
+        (phi1 + phi2 < 1.0 && phi2 - phi1 < 1.0 && abs(phi2) < 1.0)
+          .as("stationary"))
+  }
+
+  val qAr2ForecastSql: String =
+    s"""WITH hourly AS (SELECT event_type, ($duckTsSec) // 3600 AS hour,
+      |    count(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (SELECT event_type, count(*) AS n, sum(y) AS s
+      |  FROM hourly GROUP BY 1),
+      |c AS (SELECT h.event_type, t.n, t.s, h.hour, t.n * h.y - t.s AS yt,
+      |    lag(t.n * h.y - t.s, 1) OVER w AS l1,
+      |    lag(t.n * h.y - t.s, 2) OVER w AS l2
+      |  FROM hourly h JOIN tot t ON h.event_type = t.event_type
+      |  WINDOW w AS (PARTITION BY h.event_type ORDER BY h.hour ASC)),
+      |agg AS (SELECT event_type, max(n) AS n, max(s) AS s,
+      |    sum(CAST(yt AS HUGEINT) * yt) AS den,
+      |    sum(CAST(yt AS HUGEINT) * l1) AS c1,
+      |    sum(CAST(yt AS HUGEINT) * l2) AS c2,
+      |    max_by(yt, hour) AS yt_last,
+      |    max_by(l1, hour) AS yt_prev
+      |  FROM c GROUP BY 1),
+      |r AS (SELECT event_type, n, s, yt_last, yt_prev,
+      |    CAST(c1 AS DOUBLE) / CAST(den AS DOUBLE) AS r1,
+      |    CAST(c2 AS DOUBLE) / CAST(den AS DOUBLE) AS r2
+      |  FROM agg WHERE n >= 3),
+      |p AS (SELECT *,
+      |    r1 * (1.0 - r2) / (1.0 - r1 * r1) AS phi1,
+      |    (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi2
+      |  FROM r)
+      |SELECT event_type, n AS n_hours,
+      |  round(r1, 6) AS r1, round(r2, 6) AS r2,
+      |  round(phi1, 6) AS phi1, round(phi2, 6) AS phi2,
+      |  round((CAST(s AS DOUBLE) + phi1 * CAST(yt_last AS DOUBLE)
+      |    + phi2 * CAST(yt_prev AS DOUBLE)) / n, 6) AS forecast_next,
+      |  (phi1 + phi2 < 1.0 AND phi2 - phi1 < 1.0 AND abs(phi2) < 1.0)
+      |    AS stationary
+      |FROM p""".stripMargin
+
   // ---------------------------------------------------------------- F54
   /** Granger causality (1957/1969 form, one lag) — does yesterday's
     * event VOLUME carry information about today's event VALUE beyond
@@ -3151,6 +3239,7 @@ object TemporalOps {
     "q_variance_ratio" -> (qVarianceRatio _),
     "q_hurst" -> (qHurst _),
     "q_ljung_box" -> (qLjungBox _),
+    "q_ar2_forecast" -> (qAr2Forecast _),
     "q_granger" -> (qGranger _),
     "q_stl_decompose" -> (qStlDecompose _),
     "q_rolling_corr" -> (qRollingCorr _),
@@ -3202,6 +3291,7 @@ object TemporalOps {
     "q_variance_ratio" -> qVarianceRatioSql,
     "q_hurst" -> qHurstSql,
     "q_ljung_box" -> qLjungBoxSql,
+    "q_ar2_forecast" -> qAr2ForecastSql,
     "q_granger" -> qGrangerSql,
     "q_stl_decompose" -> qStlDecomposeSql,
     "q_rolling_corr" -> qRollingCorrSql,

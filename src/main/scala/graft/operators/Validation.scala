@@ -3396,7 +3396,84 @@ object Validation {
       |LIMIT 20""".stripMargin
   }
 
+  // ---------------------------------------------------------------- L42
+  /** Multi-armed-bandit arm audit (UCB1, Auer et al. 2002 + the Beta
+    * posterior a Thompson sampler draws from) — the experimentation
+    * readout when there are MORE than two variants and the question
+    * shifts from "is B better than A" (L3) to "which arm should get
+    * the next user": per md5-bucket arm the exact trial/conversion
+    * counts, the Beta(1+s, 1+f) posterior mean, the UCB1 index
+    * mean + √(2·ln N / n), and the greedy-next-arm verdict. The RANK
+    * is decided in exact integer arithmetic — posterior means compare
+    * as cross-multiplied rationals (s_i+1)(n_j+2) vs (s_j+1)(n_i+2),
+    * never as doubles — so arm ordering can never knife-edge across
+    * engines; the doubles (posterior mean, UCB) publish at 6 dp as
+    * diagnostics. Conversion = the L3 above-mean device (exact
+    * integers). One user-level aggregate (map-side combined) → 4-row
+    * arm table → bounded 4×4 rank join; scale cost is the one
+    * user_id shuffle.
+    */
+  def qBanditUcb(spark: SparkSession, dir: String): DataFrame = {
+    val np = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("np"))
+    val tot = np.agg(count(lit(1)).as("users"), sum(col("np")).as("total_np"))
+    val perUser = np.crossJoin(broadcast(tot))
+      .withColumn("converted",
+        when(col("np") * col("users") > col("total_np"), 1L).otherwise(0L))
+      .withColumn("arm",
+        concat(lit("arm_"),
+          expr("conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10)")
+            .cast("long") % 4))
+    val arms = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("s"))
+    val bigN = arms.agg(sum(col("n")).as("n_total"))
+    // exact-integer rank: posterior means compare cross-multiplied;
+    // ties (identical rationals) break on arm name
+    val r = arms.as("a").join(arms.as("b"),
+        (col("b.s") + 1) * (col("a.n") + 2) > (col("a.s") + 1) * (col("b.n") + 2)
+          || ((col("b.s") + 1) * (col("a.n") + 2) ===
+              (col("a.s") + 1) * (col("b.n") + 2)
+            && col("b.arm") < col("a.arm")), "left")
+      .groupBy(col("a.arm").as("arm"), col("a.n").as("n"), col("a.s").as("s"))
+      .agg((count(col("b.arm")) + 1).as("rank"))
+    r.crossJoin(broadcast(bigN))
+      .select(col("arm"), col("n").as("n_users"), col("s").as("n_conversions"),
+        round((col("s") + 1).cast("double") / (col("n") + 2), 6)
+          .as("posterior_mean"),
+        round(col("s").cast("double") / col("n") +
+          sqrt(lit(2.0) * log(col("n_total").cast("double")) / col("n")), 6)
+          .as("ucb1"),
+        col("rank"), (col("rank") === 1).as("play_next"))
+  }
+
+  val qBanditUcbSql: String =
+    """WITH np AS (SELECT user_id,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS np
+      |  FROM events GROUP BY 1),
+      |tot AS (SELECT count(*) AS users, sum(np) AS total_np FROM np),
+      |pu AS (SELECT
+      |    CASE WHEN np * users > total_np THEN 1 ELSE 0 END AS converted,
+      |    'arm_' || (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 4) AS arm
+      |  FROM np, tot),
+      |arms AS (SELECT arm, count(*) AS n, CAST(sum(converted) AS BIGINT) AS s
+      |  FROM pu GROUP BY 1),
+      |nt AS (SELECT sum(n) AS n_total FROM arms),
+      |r AS (SELECT a.arm, a.n, a.s,
+      |    1 + count(b.arm) AS rank
+      |  FROM arms a LEFT JOIN arms b
+      |    ON (b.s + 1) * (a.n + 2) > (a.s + 1) * (b.n + 2)
+      |    OR ((b.s + 1) * (a.n + 2) = (a.s + 1) * (b.n + 2) AND b.arm < a.arm)
+      |  GROUP BY 1, 2, 3)
+      |SELECT arm, n AS n_users, s AS n_conversions,
+      |  round(CAST(s + 1 AS DOUBLE) / (n + 2), 6) AS posterior_mean,
+      |  round(CAST(s AS DOUBLE) / n + sqrt(2.0 * ln(CAST(n_total AS DOUBLE)) / n), 6) AS ucb1,
+      |  rank, (rank = 1) AS play_next
+      |FROM r, nt""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bandit_ucb" -> (qBanditUcb _),
     "q_cronbach_alpha" -> (qCronbachAlpha _),
     "q_mahalanobis" -> (qMahalanobis _),
     "q_icc" -> (qIcc _),
@@ -3442,6 +3519,7 @@ object Validation {
     "q_benford" -> (qBenford _))
 
   def oracle: Map[String, String] = Map(
+    "q_bandit_ucb" -> qBanditUcbSql,
     "q_cronbach_alpha" -> qCronbachAlphaSql,
     "q_mahalanobis" -> qMahalanobisSql,
     "q_icc" -> qIccSql,

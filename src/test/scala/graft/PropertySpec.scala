@@ -1381,6 +1381,72 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q_ar2_forecast: Yule-Walker coefficients and forecast recompose from the hourly series") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.TemporalOps.queries("q_ar2_forecast")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val hourly = Tables.events(spark, sf)
+      .select(col("event_type"), expr("(ts DIV 1000000000) DIV 3600").as("h"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("y"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).map { case (t, g) =>
+        t -> g.sortBy(_._2).map(_._3.toDouble) }
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val y = hourly(et)
+      val n = y.length
+      assert(r.getAs[Long]("n_hours") == n.toLong)
+      val mean = y.sum / n
+      val den = y.map(v => (v - mean) * (v - mean)).sum
+      def rk(k: Int): Double =
+        (k until n).map(t => (y(t) - mean) * (y(t - k) - mean)).sum / den
+      val (r1, r2) = (rk(1), rk(2))
+      val phi1 = r1 * (1.0 - r2) / (1.0 - r1 * r1)
+      val phi2 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+      assert(math.abs(r.getAs[Double]("phi1") - phi1) < 1e-4,
+        s"$et phi1 ${r.getAs[Double]("phi1")} vs brute $phi1")
+      assert(math.abs(r.getAs[Double]("phi2") - phi2) < 1e-4,
+        s"$et phi2 ${r.getAs[Double]("phi2")} vs brute $phi2")
+      val fc = mean + phi1 * (y(n - 1) - mean) + phi2 * (y(n - 2) - mean)
+      assert(math.abs(r.getAs[Double]("forecast_next") - fc) < 1e-3,
+        s"$et forecast ${r.getAs[Double]("forecast_next")} vs brute $fc")
+      assert(r.getAs[Boolean]("stationary") ==
+        (phi1 + phi2 < 1.0 && phi2 - phi1 < 1.0 && math.abs(phi2) < 1.0))
+    }
+  }
+
+  test("q_bandit_ucb: exact-rational rank, posterior/UCB recompose, arms partition users") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Validation.queries("q_bandit_ucb")(spark, sf)
+      .collect().sortBy(_.getAs[String]("arm"))
+    assert(rows.length == 4)
+    val nUsers = Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == nUsers)
+    // rank = exact cross-multiplied posterior ordering, arm tiebreak
+    val key = rows.map { r =>
+      (r.getAs[String]("arm"),
+        r.getAs[Long]("n_conversions") + 1, r.getAs[Long]("n_users") + 2)
+    }
+    rows.foreach { r =>
+      val (arm, s1, n1) =
+        (r.getAs[String]("arm"),
+          r.getAs[Long]("n_conversions") + 1, r.getAs[Long]("n_users") + 2)
+      val better = key.count { case (a2, s2, n2) =>
+        s2 * n1 > s1 * n2 || (s2 * n1 == s1 * n2 && a2 < arm) }
+      assert(r.getAs[Long]("rank") == better + 1L, s"$arm rank")
+      assert(r.getAs[Boolean]("play_next") == (r.getAs[Long]("rank") == 1L))
+      val pm = (r.getAs[Long]("n_conversions") + 1).toDouble /
+        (r.getAs[Long]("n_users") + 2)
+      assert(math.abs(r.getAs[Double]("posterior_mean") - pm) < 1e-5)
+      val ucb = r.getAs[Long]("n_conversions").toDouble / r.getAs[Long]("n_users") +
+        math.sqrt(2.0 * math.log(nUsers.toDouble) / r.getAs[Long]("n_users"))
+      assert(math.abs(r.getAs[Double]("ucb1") - ucb) < 1e-5)
+    }
+    assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("q_granger: F and betas recompose from a driver-side least-squares") {
     import org.apache.spark.sql.functions._
     val rows = graft.operators.TemporalOps.queries("q_granger")(spark, sf)

@@ -1714,6 +1714,104 @@ object Dedup {
          |  (coalesce(lab.cluster_id, asg.vec_id) = asg.vec_id) AS keep
          |FROM asg LEFT JOIN lab ON asg.vec_id = lab.vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- C23
+  /** DBSCAN over the embedding space (Ester et al. 1996, cosine form)
+    * — the density clustering that separates C15's "collapse
+    * near-identical pairs" from the corpus-structure question "which
+    * REGIONS of embedding space are dense, and what is outlier": a
+    * vector is CORE when ≥ [[DbscanMinPts]] neighbors sit at
+    * round(cosine, 6) ≥ [[DbscanTau]]; clusters are connected
+    * components of the core-core graph ([[clusterPairs]], min-id
+    * labels); non-core vectors with a core neighbor join their
+    * minimum core neighbor's cluster as BORDER; the rest is NOISE
+    * (cluster −1) — the shape kMeans (E8) structurally cannot emit
+    * (it has no outlier verdict and fixes k in advance).
+    *
+    * Scale shape: neighborhoods are blocked INSIDE the persisted D3
+    * IVF cells (same assignment table, no extra fit, corpus-
+    * fingerprint staleness) — the within-cell self-join is quadratic
+    * in a constant cell population, never the corpus; cross-cell
+    * neighbors are the documented recall trade every cell-blocked
+    * method makes (and at production nlist grows with the corpus).
+    * The pair set is computed ONCE and cached for its three
+    * consumers (degrees, core-core edges, border attachment). The
+    * oracle replays blocking, degrees, the recursive closure, and
+    * border attachment from the same persisted index data.
+    */
+  val DbscanTau = 0.25
+  val DbscanMinPts = 4
+
+  def qDbscan(spark: SparkSession, dir: String): DataFrame = {
+    val (asg, _) = Similarity.IvfIndex.get(spark, dir, 16)
+    val a = asg.select(col("vec_id"), col("v"), col("cell"))
+    val pairs = a.as("x").join(a.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"),
+        VectorFunctions.cosine(col("x.v"), col("y.v")).as("sim"))
+      .filter(round(col("sim"), 6) >= DbscanTau)
+      .select(col("id1"), col("id2"))
+      .cache()
+    val sym = pairs.select(col("id1").as("u"), col("id2").as("v"))
+      .unionAll(pairs.select(col("id2").as("u"), col("id1").as("v")))
+    val deg = sym.groupBy(col("u").as("vec_id"))
+      .agg(count(lit(1)).as("n_neighbors"))
+    val core = deg.filter(col("n_neighbors") >= DbscanMinPts)
+      .select(col("vec_id"))
+    val ccEdges = pairs
+      .join(core.withColumnRenamed("vec_id", "id1"), Seq("id1"))
+      .join(core.withColumnRenamed("vec_id", "id2"), Seq("id2"))
+      .select(col("id1"), col("id2"))
+    val labs = clusterPairs(spark, ccEdges)
+    val coreClust = core.join(labs, core("vec_id") === labs("node"), "left")
+      .select(core("vec_id"), coalesce(col("lab"), core("vec_id")).as("cl"))
+    val battach = sym
+      .join(coreClust.withColumnRenamed("vec_id", "v"), Seq("v"))
+      .groupBy(col("u").as("vec_id")).agg(min(col("cl")).as("bcl"))
+    a.select(col("vec_id"), col("cell"))
+      .join(deg, Seq("vec_id"), "left")
+      .join(coreClust, Seq("vec_id"), "left")
+      .join(battach, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
+        when(col("cl").isNotNull, "core")
+          .when(col("bcl").isNotNull, "border")
+          .otherwise("noise").as("role"),
+        coalesce(col("cl"), col("bcl"), lit(-1L)).as("cluster_id"))
+  }
+
+  private def dbscanSql(asgDir: String): String =
+    raw"""WITH RECURSIVE
+         |asg AS (SELECT vec_id, v, cell FROM read_parquet('$asgDir/*.parquet')),
+         |pflat AS (SELECT x.vec_id AS id1, y.vec_id AS id2,
+         |    unnest(x.v) AS a, unnest(y.v) AS b
+         |  FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+         |csim AS (SELECT id1, id2, sum(a*b) / (sqrt(sum(a*a)) * sqrt(sum(b*b))) AS sim
+         |  FROM pflat GROUP BY id1, id2),
+         |pairs AS (SELECT id1, id2 FROM csim WHERE round(sim, 6) >= $DbscanTau),
+         |sym AS (SELECT id1 AS u, id2 AS v FROM pairs
+         |  UNION ALL SELECT id2, id1 FROM pairs),
+         |deg AS (SELECT u AS vec_id, count(*) AS n_neighbors FROM sym GROUP BY u),
+         |core AS (SELECT vec_id FROM deg WHERE n_neighbors >= $DbscanMinPts),
+         |cc AS (SELECT s.u, s.v FROM sym s
+         |  JOIN core c1 ON s.u = c1.vec_id JOIN core c2 ON s.v = c2.vec_id),
+         |reach(a, b) AS (SELECT u, v FROM cc
+         |  UNION SELECT r.a, s.v FROM reach r JOIN cc s ON r.b = s.u),
+         |lab AS (SELECT a AS vec_id, least(a, min(b)) AS cl
+         |  FROM reach GROUP BY a),
+         |corec AS (SELECT c.vec_id, coalesce(l.cl, c.vec_id) AS cl
+         |  FROM core c LEFT JOIN lab l USING (vec_id)),
+         |battach AS (SELECT s.u AS vec_id, min(k.cl) AS bcl
+         |  FROM sym s JOIN corec k ON s.v = k.vec_id GROUP BY s.u)
+         |SELECT a.vec_id, a.cell,
+         |  CAST(coalesce(d.n_neighbors, 0) AS BIGINT) AS n_neighbors,
+         |  CASE WHEN c.cl IS NOT NULL THEN 'core'
+         |       WHEN b.bcl IS NOT NULL THEN 'border'
+         |       ELSE 'noise' END AS role,
+         |  CAST(coalesce(c.cl, b.bcl, -1) AS BIGINT) AS cluster_id
+         |FROM asg a LEFT JOIN deg d USING (vec_id)
+         |  LEFT JOIN corec c USING (vec_id)
+         |  LEFT JOIN battach b USING (vec_id)""".stripMargin
+
   // ---------------------------------------------------------------- C18
   /** Near-dup threshold sweep — the curator's knob curve: for each
     * candidate Jaccard threshold, how many verified pairs survive,
@@ -2056,6 +2154,7 @@ object Dedup {
     "q_source_overlap" -> (qSourceOverlap _),
     "q_containment_pairs" -> (qContainmentPairs _),
     "q_semantic_dedup" -> (qSemanticDedup _),
+    "q_dbscan" -> (qDbscan _),
     "q_cluster_sizes" -> (qClusterSizes _))
 
   def oracle: Map[String, String] = Map(
@@ -2085,5 +2184,8 @@ object Dedup {
     "q_cluster_sizes" -> qClusterSizesSql) ++
     Option(Similarity.IvfIndex.lastLoc.get).map { case (asgDir, _) =>
       "q_semantic_dedup" -> semanticDedupSql(asgDir)
+    }.toMap ++
+    Option(Similarity.IvfIndex.lastLoc.get).map { case (asgDir, _) =>
+      "q_dbscan" -> dbscanSql(asgDir)
     }.toMap
 }

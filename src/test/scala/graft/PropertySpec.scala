@@ -1381,6 +1381,60 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q_dbscan: roles and cluster labels recompose from a driver-side DBSCAN") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Dedup.queries("q_dbscan")(spark, sf).collect()
+    val (asg, _) = graft.operators.Similarity.IvfIndex.get(spark, sf, 16)
+    val vecs = asg.select(col("vec_id"), col("v"), col("cell"))
+      .as[(Long, Seq[Double], Int)].collect()
+    assert(rows.length == vecs.length)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byCell = vecs.groupBy(_._3)
+    val nbrs = scala.collection.mutable.Map[Long, Set[Long]]()
+      .withDefaultValue(Set.empty)
+    byCell.values.foreach { g =>
+      for (i <- g.indices; j <- (i + 1) until g.length) {
+        val (a, b) = (g(i), g(j))
+        val dot = a._2.zip(b._2).map { case (x, y) => x * y }.sum
+        val sim = dot / (math.sqrt(a._2.map(x => x * x).sum) *
+          math.sqrt(b._2.map(x => x * x).sum))
+        if (r6(sim) >= graft.operators.Dedup.DbscanTau) {
+          nbrs(a._1) = nbrs(a._1) + b._1; nbrs(b._1) = nbrs(b._1) + a._1
+        }
+      }
+    }
+    val core = vecs.map(_._1)
+      .filter(v => nbrs(v).size >= graft.operators.Dedup.DbscanMinPts).toSet
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for (u <- core; v <- nbrs(u) if core(v)) {
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    def clusterOf(c: Long): Long = {
+      val r = find(c)
+      (core.filter(find(_) == r) + r).min
+    }
+    rows.foreach { r =>
+      val v = r.getAs[Long]("vec_id")
+      assert(r.getAs[Long]("n_neighbors") == nbrs(v).size.toLong, s"deg($v)")
+      val coreNbrs = nbrs(v).filter(core)
+      val (role, cl) =
+        if (core(v)) ("core", clusterOf(v))
+        else if (coreNbrs.nonEmpty) ("border", coreNbrs.map(clusterOf).min)
+        else ("noise", -1L)
+      assert(r.getAs[String]("role") == role, s"role($v)")
+      assert(r.getAs[Long]("cluster_id") == cl, s"cluster($v)")
+    }
+    // sanity: the corpus exercises all three roles
+    val roles = rows.map(_.getAs[String]("role")).toSet
+    assert(roles.contains("core") && roles.contains("noise"), roles.toString)
+  }
+
   test("q_ar2_forecast: Yule-Walker coefficients and forecast recompose from the hourly series") {
     import org.apache.spark.sql.functions._
     val rows = graft.operators.TemporalOps.queries("q_ar2_forecast")(spark, sf)

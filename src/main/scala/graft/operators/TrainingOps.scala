@@ -167,6 +167,101 @@ object TrainingOps {
          |FROM bgs JOIN bgc USING (w1, w2) JOIN hist USING (w1), vsz
          |GROUP BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- B29
+  /** Stupid-backoff bigram scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation") — the production-LM
+    * answer to B11's add-one smoothing: at web scale you don't smooth,
+    * you BACK OFF — S(w₂|w₁) = c(w₁w₂)/c(w₁) when the bigram was seen
+    * in training, else α·(c(w₂)+1)/(N+V) with α = 0.4 (add-1 on the
+    * unigram fallback covers OOV). Scored on the HELD-OUT md5 tier
+    * (b ≥ 90, the K16 split) against the b < 80 train mass, reported
+    * per source: bigram volume, how often the model had to back off
+    * (the coverage signal a mixture rebalance reads), and the mean
+    * negative log-score (the quality signal). Scale shape: bigram and
+    * unigram count tables are corpus-scale and join the held stream
+    * by SHUFFLE on their keys (never broadcast — the B9/B11
+    * contract); only the one-row (N, V) totals broadcast; the held
+    * stream is 10 % of one token pass.
+    */
+  val BackoffAlpha = 0.4
+
+  def qStupidBackoff(spark: SparkSession, dir: String): DataFrame = {
+    val bucket =
+      expr("conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10)")
+        .cast("long") % 100
+    val toks = TextAnalysis.tokenStream(spark, dir).withColumn("b", bucket)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val train = toks.filter(col("b") < 80)
+    val uni = train.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val tot = uni.agg(sum(col("c1")).cast("long").as("n"),
+      count(lit(1)).as("v"))
+    val bgc = train.withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("tok").as("w1"), col("nxt").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val held = toks.filter(col("b") >= 90)
+      .withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), col("tok").as("w1"), col("nxt").as("w2"))
+    val scored = held
+      .join(bgc, Seq("w1", "w2"), "left")
+      .join(uni.select(col("tok").as("w1"), col("c1").as("cw1")),
+        Seq("w1"), "left")
+      .join(uni.select(col("tok").as("w2"), col("c1").as("cw2")),
+        Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("backoff", col("c12").isNull)
+      .withColumn("s",
+        when(!col("backoff"),
+          -log(col("c12").cast("double") / col("cw1").cast("double")))
+        .otherwise(-log(lit(BackoffAlpha) *
+          (coalesce(col("cw2"), lit(0L)) + 1).cast("double") /
+          (col("n") + col("v")).cast("double"))))
+    scored
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("backoff"), 1L).otherwise(0L)).as("n_backoff"),
+        round(avg(col("s")), 6).as("mean_neg_logscore"))
+      .select(col("source"), col("n_bigrams"), col("n_backoff"),
+        round(col("n_backoff").cast("double") / col("n_bigrams"), 6)
+          .as("backoff_rate"),
+        col("mean_neg_logscore"))
+  }
+
+  val qStupidBackoffSql: String =
+    raw"""WITH t AS (SELECT doc_id,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b,
+         |    $duckToks AS toks FROM documents),
+         |tr AS (SELECT doc_id, toks FROM t WHERE b < 80),
+         |uni AS (SELECT tok, count(*) AS c1
+         |  FROM (SELECT unnest(toks) AS tok FROM tr) GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n, count(*) AS v FROM uni),
+         |bgc AS (SELECT w1, w2, count(*) AS c12 FROM (SELECT
+         |    unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i])) AS w1,
+         |    unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i + 1])) AS w2
+         |  FROM tr) GROUP BY 1, 2),
+         |hd AS (SELECT doc_id,
+         |    unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i])) AS w1,
+         |    unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i + 1])) AS w2
+         |  FROM t WHERE b >= 90),
+         |sc AS (SELECT h.doc_id,
+         |    CASE WHEN c.c12 IS NULL THEN 1 ELSE 0 END AS backoff,
+         |    CASE WHEN c.c12 IS NOT NULL
+         |      THEN -ln(CAST(c.c12 AS DOUBLE) / u1.c1)
+         |      ELSE -ln($BackoffAlpha * CAST(coalesce(u2.c1, 0) + 1 AS DOUBLE)
+         |        / (tot.n + tot.v)) END AS s
+         |  FROM hd h LEFT JOIN bgc c USING (w1, w2)
+         |    LEFT JOIN uni u1 ON h.w1 = u1.tok
+         |    LEFT JOIN uni u2 ON h.w2 = u2.tok, tot)
+         |SELECT d.source, count(*) AS n_bigrams,
+         |  CAST(sum(backoff) AS BIGINT) AS n_backoff,
+         |  round(CAST(sum(backoff) AS DOUBLE) / count(*), 6) AS backoff_rate,
+         |  round(avg(s), 6) AS mean_neg_logscore
+         |FROM sc JOIN documents d USING (doc_id)
+         |GROUP BY 1""".stripMargin
+
   // ---------------------------------------------------------------- B12
   /** Top-20 adjacent-token collocations by pointwise mutual
     * information — the corpus-linguistics lens on tokenizer/vocab
@@ -1955,6 +2050,7 @@ object TrainingOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scaling_curve" -> (qScalingCurve _),
+    "q_stupid_backoff" -> (qStupidBackoff _),
     "q_js_divergence" -> (qJsDivergence _),
     "q_quality_tradeoff" -> (qQualityTradeoff _),
     "q_weighted_sample" -> (qWeightedSample _),
@@ -1993,6 +2089,7 @@ object TrainingOps {
 
   def oracle: Map[String, String] = Map(
     "q_scaling_curve" -> qScalingCurveSql,
+    "q_stupid_backoff" -> qStupidBackoffSql,
     "q_js_divergence" -> qJsDivergenceSql,
     "q_quality_tradeoff" -> qQualityTradeoffSql,
     "q_weighted_sample" -> qWeightedSampleSql,

@@ -1381,6 +1381,55 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q_stupid_backoff: per-source scores recompose from a driver-side backoff LM") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.TrainingOps.queries("q_stupid_backoff")(spark, sf)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val toks = graft.operators.TextAnalysis.tokenStream(spark, sf)
+      .withColumn("b",
+        expr("conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10)")
+          .cast("long") % 100)
+      .as[(Long, Int, String, Long)].collect()
+    val srcOf = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).as[(Long, String)].collect().toMap
+    val docs = toks.groupBy(_._1).map { case (d, g) =>
+      (d, g.head._4, g.sortBy(_._2).map(_._3)) }.toSeq
+    val train = docs.filter(_._2 < 80)
+    val uni = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val big = scala.collection.mutable.Map[(String, String), Long]()
+      .withDefaultValue(0L)
+    train.foreach { case (_, _, ts) =>
+      ts.foreach(t => uni(t) += 1)
+      ts.zip(ts.drop(1)).foreach(p => big(p) += 1)
+    }
+    val n = uni.values.sum
+    val v = uni.size
+    val agg = scala.collection.mutable.Map[String, (Long, Long, Double)]()
+    docs.filter(_._2 >= 90).foreach { case (d, _, ts) =>
+      val src = srcOf(d)
+      ts.zip(ts.drop(1)).foreach { case (w1, w2) =>
+        val (nb, bo, ss) = agg.getOrElse(src, (0L, 0L, 0.0))
+        val c12 = big((w1, w2))
+        val s =
+          if (c12 > 0) -math.log(c12.toDouble / uni(w1))
+          else -math.log(0.4 * (uni(w2) + 1).toDouble / (n + v))
+        agg(src) = (nb + 1, bo + (if (c12 > 0) 0L else 1L), ss + s)
+      }
+    }
+    assert(rows.keySet == agg.keySet)
+    agg.foreach { case (src, (nb, bo, ss)) =>
+      val r = rows(src)
+      assert(r.getAs[Long]("n_bigrams") == nb, s"$src n_bigrams")
+      assert(r.getAs[Long]("n_backoff") == bo, s"$src n_backoff")
+      assert(math.abs(r.getAs[Double]("backoff_rate") - bo.toDouble / nb) < 1e-5)
+      assert(math.abs(r.getAs[Double]("mean_neg_logscore") - ss / nb) < 1e-4,
+        s"$src mean ${r.getAs[Double]("mean_neg_logscore")} vs brute ${ss / nb}")
+    }
+    // the corpus must exercise BOTH branches (seen bigrams and backoff)
+    val (tnb, tbo) = (agg.values.map(_._1).sum, agg.values.map(_._2).sum)
+    assert(tbo > 0 && tbo < tnb)
+  }
+
   test("q_dbscan: roles and cluster labels recompose from a driver-side DBSCAN") {
     import org.apache.spark.sql.functions._
     val rows = graft.operators.Dedup.queries("q_dbscan")(spark, sf).collect()

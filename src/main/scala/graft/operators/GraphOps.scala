@@ -843,6 +843,83 @@ object GraphOps {
       |SELECT cl.node AS s_suppkey, cl.component, sz.component_size
       |FROM cl JOIN sz USING (component)""".stripMargin
 
+  // ---------------------------------------------------------------- M20
+  /** Closeness centrality + eccentricity over the mutual-kNN supplier
+    * graph — the "who sits in the MIDDLE of the network" ranking that
+    * complements M10's eigencentrality (influence by association) with
+    * pure distance: C(v) = reachable(v) / Σ d(v,·), plus the per-node
+    * eccentricity whose maximum IS the graph diameter. Computed by
+    * synchronous multi-source BFS — per hop ONE frontier ⋈ edges join,
+    * a distinct, and an anti-join against the visited set (the Pregel
+    * step as DataFrames; localCheckpoint truncates the per-hop plan
+    * exactly like [[graft.operators.Dedup.clusterPairs]]) — hop count
+    * bounded by the graph diameter, every frame bounded by
+    * |V|·|component|. Both engines cap exploration at [[MaxHops]]
+    * hops with IDENTICAL semantics (beyond = unreachable), so parity
+    * can never hinge on a pathological chain; the spec pins the
+    * observed diameter far below the cap. All published cells are
+    * exact integers except the ONE closeness division (6 dp).
+    * kNN-graph-scale work only — the corpus is never touched past
+    * the shared GraphStore derivation.
+    */
+  val MaxHops = 64
+
+  def qCloseness(spark: SparkSession, dir: String): DataFrame = {
+    val und = mutualKnnPairs(spark, dir)
+    // materialize AND sever lineage/constraints completely: a BFS
+    // loop unions checkpointed frames that chain-derive from each
+    // other, and localCheckpoint alone preserves attribute ids +
+    // origin constraints, which breaks Union.rewriteConstraints
+    // (key-not-found on a stale exprId). createDataFrame over the
+    // checkpointed RDD mints a clean leaf each hop.
+    def sever(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint()
+      spark.createDataFrame(c.rdd, c.schema)
+    }
+    val sym = sever(und.select(col("src"), col("dst"))
+      .unionAll(und.select(col("dst").as("src"), col("src").as("dst"))))
+    var dist = sever(sym.select(col("src").as("a"), col("dst").as("b"))
+      .withColumn("d", lit(1)))
+    var frontier = dist
+    var depth = 1
+    while (depth < MaxHops && !frontier.isEmpty) {
+      // alias both sides: on the first hop frontier IS dist (same
+      // severed plan), so an unaliased anti-join self-joins
+      val next = sever(frontier.as("f")
+        .join(sym.as("e"), col("f.b") === col("e.src"))
+        .select(col("f.a").as("a"), col("e.dst").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+        .as("n")
+        .join(dist.as("v"),
+          col("n.a") === col("v.a") && col("n.b") === col("v.b"), "left_anti")
+        .withColumn("d", lit(depth + 1)))
+      dist = sever(dist.unionAll(next))
+      frontier = next
+      depth += 1
+    }
+    dist.groupBy(col("a").as("s_suppkey"))
+      .agg(count(lit(1)).as("n_reachable"),
+        sum(col("d")).as("total_dist"),
+        max(col("d")).as("eccentricity"))
+      .withColumn("closeness",
+        round(col("n_reachable").cast("double") / col("total_dist"), 6))
+  }
+
+  val qClosenessSql: String =
+    s"""WITH RECURSIVE $mutKnnSql,
+      |usym AS (SELECT src AS a, dst AS b FROM und
+      |  UNION ALL SELECT dst, src FROM und),
+      |reach(a, b, d) AS (SELECT a, b, 1 FROM usym
+      |  UNION SELECT r.a, s.b, r.d + 1 FROM reach r JOIN usym s ON r.b = s.a
+      |    WHERE r.d < $MaxHops AND r.a <> s.b),
+      |dist AS (SELECT a, b, min(d) AS d FROM reach GROUP BY a, b)
+      |SELECT a AS s_suppkey, count(*) AS n_reachable,
+      |  CAST(sum(d) AS BIGINT) AS total_dist,
+      |  max(d) AS eccentricity,
+      |  round(CAST(count(*) AS DOUBLE) / sum(d), 6) AS closeness
+      |FROM dist GROUP BY a""".stripMargin
+
   // ---------------------------------------------------------------- M9
   /** Community-cut quality: conductance of each kNN label-prop
     * community — the readout that tells you whether M4k's communities
@@ -1448,6 +1525,7 @@ object GraphOps {
     "q_eigencentrality" -> (qEigencentrality _),
     "q_community_conductance" -> (qCommunityConductance _),
     "q_knn_components" -> (qKnnComponents _),
+    "q_closeness" -> (qCloseness _),
     "q_degree_distribution" -> (qDegreeDistribution _),
     "q_pagerank" -> (qPagerank _),
     "q_pagerank_knn" -> (qPagerankKnn _),
@@ -1469,6 +1547,7 @@ object GraphOps {
     "q_rich_club" -> qRichClubSql,
     "q_community_conductance" -> qCommunityConductanceSql,
     "q_knn_components" -> qKnnComponentsSql,
+    "q_closeness" -> qClosenessSql,
     "q_degree_distribution" -> qDegreeDistributionSql,
     "q_pagerank" -> qPagerankSql,
     "q_pagerank_knn" -> qPagerankKnnSql,

@@ -1381,6 +1381,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q_closeness: distances recompose from a driver-side BFS; diameter far below the cap") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.GraphOps.queries("q_closeness")(spark, sf)
+      .collect().map(r => r.getAs[Long]("s_suppkey") -> r).toMap
+    val edges = graft.operators.GraphOps.mutualKnnPairs(spark, sf)
+      .as[(Long, Long)].collect()
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (u, v) =>
+      adj(u) = adj(u) + v; adj(v) = adj(v) + u }
+    assert(rows.keySet == adj.keySet)
+    adj.keys.foreach { s =>
+      val dist = scala.collection.mutable.Map(s -> 0)
+      var frontier = Set(s)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(adj).filterNot(dist.contains)
+        val d = dist.values.max + 1
+        frontier.foreach(n => dist(n) = d)
+      }
+      dist.remove(s)
+      val r = rows(s)
+      assert(r.getAs[Long]("n_reachable") == dist.size.toLong, s"reach($s)")
+      assert(r.getAs[Long]("total_dist") == dist.values.map(_.toLong).sum,
+        s"dist($s)")
+      assert(r.getAs[Int]("eccentricity") ==
+        (if (dist.isEmpty) 0 else dist.values.max), s"ecc($s)")
+      assert(math.abs(r.getAs[Double]("closeness") -
+        dist.size.toDouble / dist.values.sum) < 1e-5, s"closeness($s)")
+      // the MaxHops cap must never bind on a real corpus
+      assert(dist.values.forall(_ < graft.operators.GraphOps.MaxHops / 2))
+    }
+  }
+
   test("q_stupid_backoff: per-source scores recompose from a driver-side backoff LM") {
     import org.apache.spark.sql.functions._
     val rows = graft.operators.TrainingOps.queries("q_stupid_backoff")(spark, sf)

@@ -3472,7 +3472,125 @@ object Validation {
       |  rank, (rank = 1) AS play_next
       |FROM r, nt""".stripMargin
 
+  // ---------------------------------------------------------------- L43
+  /** Propensity-score matching ATE (Rosenbaum & Rubin 1983) — the
+    * observational-causal workhorse the A/B family (L3/L21/L25/L33)
+    * cannot replace when assignment was NOT randomized: does signup
+    * exposure lift purchase spend, controlling for how active the
+    * user already was? Propensity = a linear probability model
+    * t ~ a + b·x (x = click+view volume) fitted CLOSED-FORM from
+    * exact DECIMAL(38,0) moments — b is ONE double division of exact
+    * integers, a and every score p = a + b·x fixed-order expressions
+    * (identical IEEE both engines, so matching order can never
+    * knife-edge). Matching: nearest control by |Δp| within a 0.05
+    * caliper, WITH replacement, ties to the smallest control id —
+    * candidate generation is an EQUI-join on coarsened score buckets
+    * (each treated explodes to its 3 adjacent width-0.05 buckets;
+    * never a treated × control nested loop — the blocking every
+    * production matcher uses), then one row_number per treated. ATE
+    * over matched pairs in exact cents to one final division.
+    */
+  val PsmCaliper = 0.05
+
+  def qPropensityMatch(spark: SparkSession, dir: String): DataFrame = {
+    val pu0 = Tables.events(spark, dir).groupBy(col("user_id")).agg(
+      sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("v"),
+      sum(when(col("event_type").isin("click", "error", "signup"), 1L)
+        .otherwise(0L)).as("x"),
+      sum(when(col("event_type") === "purchase",
+        round(col("value") * 100).cast("long")).otherwise(0L)).as("y"))
+    // treatment = above-mean view exposure, exact in integers (the L3
+    // device); covariate x deliberately EXCLUDES views so the
+    // propensity adjusts for general activity, not the treatment
+    val vt = pu0.agg(count(lit(1)).as("users"), sum(col("v")).as("tv"))
+    val pu = pu0.crossJoin(broadcast(vt))
+      .select(col("user_id"),
+        when(col("v") * col("users") > col("tv"), 1L).otherwise(0L).as("t"),
+        col("x"), col("y"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val mom = pu.agg(count(lit(1)).as("n"),
+      sum(dec(col("x"))).as("sx"), sum(dec(col("x") * col("x"))).as("sxx"),
+      sum(dec(col("t"))).as("st"), sum(dec(col("x") * col("t"))).as("sxt"))
+    val b = (col("n") * col("sxt") - col("sx") * col("st")).cast("double") /
+      (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val a = (col("st").cast("double") - b * col("sx").cast("double")) / col("n")
+    val scored = pu.crossJoin(broadcast(mom))
+      .withColumn("p", a + b * col("x").cast("double"))
+      .withColumn("bucket", floor(col("p") / PsmCaliper).cast("long"))
+      .select(col("user_id"), col("t"), col("y"), col("p"), col("bucket"))
+      .cache()
+    val treated = scored.filter(col("t") === 1)
+      .select(col("user_id").as("tu"), col("y").as("ty"), col("p").as("tp"),
+        explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1))
+          .as("jb"))
+    val control = scored.filter(col("t") === 0)
+      .select(col("user_id").as("cu"), col("y").as("cy"), col("p").as("cp"),
+        col("bucket").as("jb"))
+    val cand = treated.join(control, Seq("jb"))
+      .filter(abs(col("tp") - col("cp")) <= PsmCaliper)
+    val w = Window.partitionBy(col("tu"))
+      .orderBy(abs(col("tp") - col("cp")).asc, col("cu").asc)
+    val matched = cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val counts = scored.agg(sum(col("t")).as("n_treated"),
+      sum(lit(1L) - col("t")).as("n_control"))
+    val m = matched.agg(count(lit(1)).as("n_matched"),
+      sum(dec(col("ty") - col("cy"))).as("sdiff"),
+      max(abs(col("tp") - col("cp"))).as("mg"))
+    counts.crossJoin(broadcast(m)).select(
+      col("n_treated"), col("n_control"), col("n_matched"),
+      round(col("n_matched").cast("double") / col("n_treated"), 6)
+        .as("match_rate"),
+      round(col("sdiff").cast("double") / col("n_matched") / 100.0, 6)
+        .as("ate_dollars"),
+      round(col("mg"), 6).as("max_propensity_gap"))
+  }
+
+  val qPropensityMatchSql: String =
+    s"""WITH pu0 AS (SELECT user_id,
+      |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS v,
+      |    CAST(sum(CASE WHEN event_type IN ('click', 'error', 'signup') THEN 1 ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |vt AS (SELECT count(*) AS users, sum(v) AS tv FROM pu0),
+      |pu AS (SELECT user_id,
+      |    CAST(CASE WHEN v * users > tv THEN 1 ELSE 0 END AS BIGINT) AS t,
+      |    x, y FROM pu0, vt),
+      |mom AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(t AS HUGEINT)) AS st, sum(CAST(x AS HUGEINT) * t) AS sxt
+      |  FROM pu),
+      |co AS (SELECT
+      |    CAST(n * sxt - sx * st AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS b,
+      |    n, sx, st FROM mom),
+      |co2 AS (SELECT b, (CAST(st AS DOUBLE) - b * CAST(sx AS DOUBLE)) / n AS a FROM co),
+      |scored AS (SELECT user_id, t, y, a + b * CAST(x AS DOUBLE) AS p,
+      |    CAST(floor((a + b * CAST(x AS DOUBLE)) / $PsmCaliper) AS BIGINT) AS bucket
+      |  FROM pu, co2),
+      |treated AS (SELECT user_id AS tu, y AS ty, p AS tp,
+      |    unnest([bucket - 1, bucket, bucket + 1]) AS jb
+      |  FROM scored WHERE t = 1),
+      |control AS (SELECT user_id AS cu, y AS cy, p AS cp, bucket AS jb
+      |  FROM scored WHERE t = 0),
+      |cand AS (SELECT tu, ty, cu, cy, abs(tp - cp) AS gap
+      |  FROM treated JOIN control USING (jb)
+      |  WHERE abs(tp - cp) <= $PsmCaliper),
+      |matched AS (SELECT * FROM (SELECT tu, ty, cy, gap,
+      |    row_number() OVER (PARTITION BY tu ORDER BY gap ASC, cu ASC) AS rn
+      |  FROM cand) WHERE rn = 1),
+      |counts AS (SELECT CAST(sum(t) AS BIGINT) AS n_treated,
+      |    CAST(sum(1 - t) AS BIGINT) AS n_control FROM scored),
+      |m AS (SELECT count(*) AS n_matched,
+      |    sum(CAST(ty - cy AS HUGEINT)) AS sdiff, max(gap) AS mg FROM matched)
+      |SELECT n_treated, n_control, n_matched,
+      |  round(CAST(n_matched AS DOUBLE) / n_treated, 6) AS match_rate,
+      |  round(CAST(sdiff AS DOUBLE) / n_matched / 100.0, 6) AS ate_dollars,
+      |  round(mg, 6) AS max_propensity_gap
+      |FROM counts, m""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_propensity_match" -> (qPropensityMatch _),
     "q_bandit_ucb" -> (qBanditUcb _),
     "q_cronbach_alpha" -> (qCronbachAlpha _),
     "q_mahalanobis" -> (qMahalanobis _),
@@ -3520,6 +3638,7 @@ object Validation {
 
   def oracle: Map[String, String] = Map(
     "q_bandit_ucb" -> qBanditUcbSql,
+    "q_propensity_match" -> qPropensityMatchSql,
     "q_cronbach_alpha" -> qCronbachAlphaSql,
     "q_mahalanobis" -> qMahalanobisSql,
     "q_icc" -> qIccSql,

@@ -1381,6 +1381,59 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q_propensity_match: ATE recomposes from an UNBLOCKED driver-side matcher") {
+    import org.apache.spark.sql.functions._
+    val r = graft.operators.Validation.queries("q_propensity_match")(spark, sf)
+      .collect().head
+    val pu0 = Tables.events(spark, sf).groupBy(col("user_id")).agg(
+      sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("v"),
+      sum(when(col("event_type").isin("click", "error", "signup"), 1L)
+        .otherwise(0L)).as("x"),
+      sum(when(col("event_type") === "purchase",
+        round(col("value") * 100).cast("long")).otherwise(0L)).as("y"))
+      .as[(Long, Long, Long, Long)].collect()
+    val (users, tv) = (pu0.length.toLong, pu0.map(_._2).sum)
+    val pu = pu0.map { case (u, v, x, y) =>
+      (u, if (v * users > tv) 1L else 0L, x, y) }
+    val n = pu.length.toLong
+    val (sx, sxx) = (pu.map(_._3).sum, pu.map(u => u._3 * u._3).sum)
+    val (st, sxt) = (pu.map(_._2).sum, pu.map(u => u._3 * u._2).sum)
+    val b = (n * sxt - sx * st).toDouble / (n * sxx - sx * sx)
+    val a = (st.toDouble - b * sx) / n
+    val scoredAll = pu.map(u => (u._1, u._2, u._4, a + b * u._3))
+    val treated = scoredAll.filter(_._2 == 1L)
+    val control = scoredAll.filter(_._2 == 0L)
+    assert(r.getAs[Long]("n_treated") == treated.length.toLong)
+    assert(r.getAs[Long]("n_control") == control.length.toLong)
+    // UNBLOCKED nearest-within-caliper: proves the +/-1 bucket explode
+    // (width = caliper) drops no admissible candidate
+    val cal = graft.operators.Validation.PsmCaliper
+    val matches = treated.flatMap { case (_, _, ty, tp) =>
+      val cands = control.map { case (cu, _, cy, cp) =>
+        (math.abs(tp - cp), cu, cy) }.filter(_._1 <= cal)
+      if (cands.isEmpty) None
+      else {
+        val best = cands.minBy(c => (c._1, c._2))
+        Some((ty - best._3, best._1))
+      }
+    }
+    assert(r.getAs[Long]("n_matched") == matches.length.toLong)
+    if (matches.isEmpty) {
+      // tiny-SF degenerate: no control inside any treated's caliper —
+      // the query must publish nulls, never a divide error
+      assert(r.isNullAt(r.fieldIndex("ate_dollars")))
+      assert(r.isNullAt(r.fieldIndex("max_propensity_gap")))
+    } else {
+      val ate = matches.map(_._1).sum.toDouble / matches.length / 100.0
+      assert(math.abs(r.getAs[Double]("ate_dollars") - ate) < 1e-4,
+        s"ate ${r.getAs[Double]("ate_dollars")} vs brute $ate")
+      assert(math.abs(r.getAs[Double]("max_propensity_gap") -
+        matches.map(_._2).max) < 1e-5)
+    }
+    assert(math.abs(r.getAs[Double]("match_rate") -
+      matches.length.toDouble / treated.length) < 1e-5)
+  }
+
   test("q_closeness: distances recompose from a driver-side BFS; diameter far below the cap") {
     import org.apache.spark.sql.functions._
     val rows = graft.operators.GraphOps.queries("q_closeness")(spark, sf)

@@ -3426,12 +3426,15 @@ object Validation {
         concat(lit("arm_"),
           expr("conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10)")
             .cast("long") % 4))
+    // 4 rows, three consumers (rank join both sides + totals): cache
+    // collapses the user→arm chain to one instantiation
     val arms = perUser.groupBy(col("arm"))
       .agg(count(lit(1)).as("n"), sum(col("converted")).as("s"))
+      .cache()
     val bigN = arms.agg(sum(col("n")).as("n_total"))
     // exact-integer rank: posterior means compare cross-multiplied;
     // ties (identical rationals) break on arm name
-    val r = arms.as("a").join(arms.as("b"),
+    val r = arms.as("a").join(broadcast(arms.as("b")),
         (col("b.s") + 1) * (col("a.n") + 2) > (col("a.s") + 1) * (col("b.n") + 2)
           || ((col("b.s") + 1) * (col("a.n") + 2) ===
               (col("a.s") + 1) * (col("b.n") + 2)

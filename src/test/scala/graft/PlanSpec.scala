@@ -235,7 +235,14 @@ class PlanSpec extends AnyFunSuite {
       "q_kendall_w" -> 6, "q_qq_normal" -> 4,
       // one shared token-stream scan + the tok shuffle-join + 4-row
       // totals broadcasts
-      "q_scaling_curve" -> 6)
+      "q_scaling_curve" -> 6,
+      // third wave: q_closeness MUST stay at 1 — the BFS loop's work
+      // rides severed checkpoints, so the final plan is one grouped
+      // aggregate; q_bandit_ucb pinned post-cache (9 → 4, the arms
+      // frame collapsing the user→arm chain to one instantiation)
+      "q_ar2_forecast" -> 3, "q_bandit_ucb" -> 4, "q_dbscan" -> 2,
+      "q_stupid_backoff" -> 8, "q_closeness" -> 1,
+      "q_propensity_match" -> 6)
     val failures = ceilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
       // count the EXECUTED adaptive plan (the Bench device): pre-AQE
       // the unmaterialized cache subtrees replay per consumer and the

@@ -3592,7 +3592,76 @@ object Validation {
       |  round(mg, 6) AS max_propensity_gap
       |FROM counts, m""".stripMargin
 
+  // ---------------------------------------------------------------- L44
+  /** HBOS — histogram-based outlier score (Goldstein & Dengel 2012),
+    * the linear-time multivariate outlier detector that needs no
+    * distance matrix and no model fit: per feature a bounded
+    * histogram, per row score = Σ_f −ln(p_f(bin(x))) under feature
+    * independence. Features: quantity (integer-discrete), discount
+    * (percent-discrete), extended price ($100 buckets) — all bins
+    * EXACT integers. The top-20 cut NEVER touches a double: a row's
+    * score ordering is exactly the ascending ordering of the bin-count
+    * PRODUCT c_q·c_d·c_p (ln is monotone; n³ is constant), so ranking
+    * happens on an exact integer with (orderkey, linenumber)
+    * tiebreaks and the 6-dp ln score publishes as a diagnostic only.
+    * Complements L2's single-feature z-score anomaly and the
+    * Mahalanobis top-k (which models covariance but inverts a moment
+    * matrix; HBOS is the O(n) screen you run first at 100 TB).
+    * Scale shape: three bounded histograms (≤ 50/11/~10³ rows)
+    * BROADCAST back onto one corpus scan — map-side scoring, and the
+    * top-k rides TakeOrderedAndProject (limit directly on orderBy,
+    * the q_mahalanobis contract).
+    */
+  def qHbos(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.lineitem(spark, dir).select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity").cast("long").as("q"),
+      round(col("l_discount") * 100).cast("long").as("d"),
+      (round(col("l_extendedprice") * 100).cast("long") / 10000L)
+        .cast("long").as("pb"))
+    val n = rows.agg(count(lit(1)).as("n"))
+    val hq = rows.groupBy(col("q")).agg(count(lit(1)).as("cq"))
+    val hd = rows.groupBy(col("d")).agg(count(lit(1)).as("cd"))
+    val hp = rows.groupBy(col("pb")).agg(count(lit(1)).as("cp"))
+    val scored = rows
+      .join(broadcast(hq), Seq("q"))
+      .join(broadcast(hd), Seq("d"))
+      .join(broadcast(hp), Seq("pb"))
+      .crossJoin(broadcast(n))
+      .withColumn("prod",
+        (col("cq").cast("decimal(38,0)") * col("cd") * col("cp")))
+    scored
+      .orderBy(col("prod").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .limit(20)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("q").as("quantity"), col("d").as("discount_pct"),
+        col("pb").as("price_bucket"),
+        col("cq").as("bin_q"), col("cd").as("bin_d"), col("cp").as("bin_p"),
+        round(-log(col("cq").cast("double") / col("n"))
+          - log(col("cd").cast("double") / col("n"))
+          - log(col("cp").cast("double") / col("n")), 6).as("hbos_score"))
+  }
+
+  val qHbosSql: String =
+    """WITH rows0 AS (SELECT l_orderkey, l_linenumber,
+      |    CAST(l_quantity AS BIGINT) AS q,
+      |    CAST(round(l_discount * 100) AS BIGINT) AS d,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) // 10000 AS pb
+      |  FROM lineitem),
+      |nt AS (SELECT count(*) AS n FROM rows0),
+      |hq AS (SELECT q, count(*) AS cq FROM rows0 GROUP BY 1),
+      |hd AS (SELECT d, count(*) AS cd FROM rows0 GROUP BY 1),
+      |hp AS (SELECT pb, count(*) AS cp FROM rows0 GROUP BY 1)
+      |SELECT l_orderkey, l_linenumber, q AS quantity, d AS discount_pct,
+      |  pb AS price_bucket, cq AS bin_q, cd AS bin_d, cp AS bin_p,
+      |  round(-ln(CAST(cq AS DOUBLE) / n) - ln(CAST(cd AS DOUBLE) / n)
+      |    - ln(CAST(cp AS DOUBLE) / n), 6) AS hbos_score
+      |FROM rows0 JOIN hq USING (q) JOIN hd USING (d) JOIN hp USING (pb), nt
+      |ORDER BY CAST(cq AS HUGEINT) * cd * cp ASC, l_orderkey ASC, l_linenumber ASC
+      |LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hbos" -> (qHbos _),
     "q_propensity_match" -> (qPropensityMatch _),
     "q_bandit_ucb" -> (qBanditUcb _),
     "q_cronbach_alpha" -> (qCronbachAlpha _),
@@ -3642,6 +3711,7 @@ object Validation {
   def oracle: Map[String, String] = Map(
     "q_bandit_ucb" -> qBanditUcbSql,
     "q_propensity_match" -> qPropensityMatchSql,
+    "q_hbos" -> qHbosSql,
     "q_cronbach_alpha" -> qCronbachAlphaSql,
     "q_mahalanobis" -> qMahalanobisSql,
     "q_icc" -> qIccSql,

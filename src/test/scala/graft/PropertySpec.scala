@@ -1381,6 +1381,41 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q_hbos: top-20 recomposes from driver-side histograms; top-k rides TakeOrderedAndProject") {
+    import org.apache.spark.sql.functions._
+    val df = graft.operators.Validation.queries("q_hbos")(spark, sf)
+    assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "the top-k must ride TakeOrderedAndProject, not a global sort")
+    val rows = df.collect()
+    assert(rows.length == 20)
+    val li = Tables.lineitem(spark, sf).select(
+      col("l_orderkey").cast("long"), col("l_linenumber").cast("long"),
+      col("l_quantity").cast("long"),
+      round(col("l_discount") * 100).cast("long"),
+      (round(col("l_extendedprice") * 100).cast("long") / 10000L).cast("long"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val n = li.length
+    val hq = li.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val hd = li.groupBy(_._4).view.mapValues(_.length.toLong).toMap
+    val hp = li.groupBy(_._5).view.mapValues(_.length.toLong).toMap
+    val expect = li.map { case (ok, ln, q, d, pb) =>
+      (hq(q) * hd(d) * hp(pb), ok, ln, q, d, pb) }
+      .sortBy(t => (t._1, t._2, t._3)).take(20)
+    rows.zip(expect).foreach { case (r, (prod, ok, ln, q, d, pb)) =>
+      def lv(c: String) = r.getAs[Number](c).longValue
+      assert(lv("l_orderkey") == ok && lv("l_linenumber") == ln,
+        s"row order: got (${lv("l_orderkey")},${lv("l_linenumber")}) want ($ok,$ln)")
+      assert(lv("quantity") == q)
+      val score = -math.log(hq(q).toDouble / n) - math.log(hd(d).toDouble / n) -
+        math.log(hp(pb).toDouble / n)
+      assert(math.abs(r.getAs[Double]("hbos_score") - score) < 1e-5)
+    }
+    // monotonicity: published scores are non-increasing in rank order
+    // ... non-decreasing: rank 1 = rarest bins = HIGHEST score
+    val scores = rows.map(_.getAs[Double]("hbos_score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b - 1e-9 })
+  }
+
   test("q_propensity_match: ATE recomposes from an UNBLOCKED driver-side matcher") {
     import org.apache.spark.sql.functions._
     val r = graft.operators.Validation.queries("q_propensity_match")(spark, sf)

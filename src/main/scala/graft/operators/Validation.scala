@@ -1129,6 +1129,73 @@ object Validation {
       |  (p_rank <= coalesce(max(cand) OVER (), 0)) AS reject
       |FROM bh""".stripMargin
 
+  // ---------------------------------------------------------------- L45
+  /** Benjamini–Yekutieli (2001) over the SAME p-value battery as
+    * L11/L41 — completing the multiple-testing family: BH controls
+    * FDR under independence, Holm controls FWER unconditionally, BY
+    * controls FDR under ARBITRARY dependence by paying the harmonic
+    * factor c(m) = Σ_{i≤m} 1/i. The battery's cells share users
+    * across event types, so dependence is real here and BY is the
+    * honest FDR gate. c(m) is computed as an ORDERED left fold over
+    * the ascending index list (`aggregate` HOF in Spark,
+    * `list_reduce` in DuckDB — identical IEEE association both
+    * engines; never an unordered double sum, the q_stl rule).
+    * Publishes the BY criterion and verdict next to BH's on the
+    * same rows; BY rejections ⊆ BH rejections by construction.
+    */
+  def qFdrBy(spark: SparkSession, dir: String): DataFrame = {
+    val alpha = 0.10
+    val p = pBattery(spark, dir)
+    val byP = Window.orderBy(col("p_value").asc,
+      col("event_type").asc, col("cohort").asc)
+    val all = Window.partitionBy()
+    val ranked = p
+      .withColumn("p_rank", row_number().over(byP))
+      .withColumn("m", count(lit(1)).over(all))
+      .withColumn("cm", expr(
+        "aggregate(sequence(1, m), cast(0.0 as double), (acc, i) -> acc + 1.0 / i)"))
+      .withColumn("bh_crit",
+        round(lit(alpha) * col("p_rank") / col("m"), 8))
+      .withColumn("by_crit",
+        round(lit(alpha) * col("p_rank") / (col("m") * col("cm")), 8))
+      .withColumn("cand_bh",
+        when(col("p_value") <= col("bh_crit"), col("p_rank")))
+      .withColumn("cand_by",
+        when(col("p_value") <= col("by_crit"), col("p_rank")))
+    ranked
+      .withColumn("k_bh", max(col("cand_bh")).over(all))
+      .withColumn("k_by", max(col("cand_by")).over(all))
+      .select(col("event_type"), col("cohort"),
+        col("p_value"), col("p_rank"), col("m"),
+        round(col("cm"), 8).as("c_m"),
+        col("bh_crit"), col("by_crit"),
+        (col("p_rank") <= coalesce(col("k_bh"), lit(0))).as("reject_bh"),
+        (col("p_rank") <= coalesce(col("k_by"), lit(0))).as("reject_by"))
+  }
+
+  val qFdrBySql: String =
+    s"""WITH $pBatteryCtes,
+      |rk AS (SELECT *,
+      |    row_number() OVER (ORDER BY p_value ASC, event_type ASC, cohort ASC) AS p_rank,
+      |    count(*) OVER () AS m
+      |  FROM pv),
+      |rk2 AS (SELECT *, list_reduce(
+      |      list_transform(generate_series(1, CAST(m AS INTEGER)), i -> 1.0 / i),
+      |      (acc, x) -> acc + x) AS cm
+      |  FROM rk),
+      |cr AS (SELECT *, round(0.10 * p_rank / m, 8) AS bh_crit,
+      |    round(0.10 * p_rank / (m * cm), 8) AS by_crit
+      |  FROM rk2),
+      |cand AS (SELECT *,
+      |    CASE WHEN p_value <= bh_crit THEN p_rank END AS cand_bh,
+      |    CASE WHEN p_value <= by_crit THEN p_rank END AS cand_by
+      |  FROM cr)
+      |SELECT event_type, cohort, p_value, p_rank, m,
+      |  round(cm, 8) AS c_m, bh_crit, by_crit,
+      |  (p_rank <= coalesce(max(cand_bh) OVER (), 0)) AS reject_bh,
+      |  (p_rank <= coalesce(max(cand_by) OVER (), 0)) AS reject_by
+      |FROM cand""".stripMargin
+
   // ---------------------------------------------------------------- L41
   /** Holm step-down (1979) over the SAME p-value battery as L11 —
     * the familywise-error companion to BH's false-discovery-rate
@@ -3662,6 +3729,7 @@ object Validation {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hbos" -> (qHbos _),
+    "q_fdr_by" -> (qFdrBy _),
     "q_propensity_match" -> (qPropensityMatch _),
     "q_bandit_ucb" -> (qBanditUcb _),
     "q_cronbach_alpha" -> (qCronbachAlpha _),
@@ -3712,6 +3780,7 @@ object Validation {
     "q_bandit_ucb" -> qBanditUcbSql,
     "q_propensity_match" -> qPropensityMatchSql,
     "q_hbos" -> qHbosSql,
+    "q_fdr_by" -> qFdrBySql,
     "q_cronbach_alpha" -> qCronbachAlphaSql,
     "q_mahalanobis" -> qMahalanobisSql,
     "q_icc" -> qIccSql,

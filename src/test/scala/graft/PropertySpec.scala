@@ -1381,6 +1381,30 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q_fdr_by: BY subset of BH, harmonic factor exact, thresholds recompose") {
+    val rows = graft.operators.Validation.queries("q_fdr_by")(spark, sf)
+      .collect().sortBy(_.getAs[Int]("p_rank"))
+    assert(rows.nonEmpty)
+    val m = rows.head.getAs[Long]("m")
+    assert(rows.length.toLong == m)
+    val cm = (1 to m.toInt).foldLeft(0.0)((acc, i) => acc + 1.0 / i)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("c_m") - cm) < 1e-7)
+      val rank = r.getAs[Int]("p_rank").toLong
+      assert(math.abs(r.getAs[Double]("bh_crit") - 0.10 * rank / m) < 1e-7)
+      assert(math.abs(r.getAs[Double]("by_crit") - 0.10 * rank / (m * cm)) < 1e-7)
+      // BY pays the harmonic factor: strictly harder than BH past m=1
+      assert(r.getAs[Double]("by_crit") <= r.getAs[Double]("bh_crit"))
+      // BY rejections are a subset of BH rejections
+      if (r.getAs[Boolean]("reject_by")) assert(r.getAs[Boolean]("reject_bh"))
+    }
+    // step-up structure: rejections are exactly ranks <= k for each rule
+    Seq("reject_bh", "reject_by").foreach { c =>
+      val rej = rows.filter(_.getAs[Boolean](c)).map(_.getAs[Int]("p_rank"))
+      assert(rej.sorted.toSeq == (1 to rej.length).toSeq, s"$c not a prefix")
+    }
+  }
+
   test("q_hbos: top-20 recomposes from driver-side histograms; top-k rides TakeOrderedAndProject") {
     import org.apache.spark.sql.functions._
     val df = graft.operators.Validation.queries("q_hbos")(spark, sf)

@@ -818,6 +818,62 @@ object EventStream {
       }
   }
 
+  /** Input for the streaming bandit: one labeled conversion per user
+    * (the label — above-mean conversion — is an upstream batch fact;
+    * arm assignment is the same md5 bucket as batch L42).
+    */
+  case class ArmConv(arm: String, converted: Long)
+  /** Bandit state: per-arm exact (trials, conversions) counters plus
+    * the emission step — O(#arms), constant at any stream length.
+    */
+  case class BanditState(arms: Map[String, (Long, Long)], step: Long)
+  case class BanditOut(step: Long, arm: String, n_users: Long,
+      n_conversions: Long, posterior_mean: Double, ucb1: Double,
+      rank: Long, play_next: Boolean)
+
+  /** F60: STREAMING twin of the batch UCB1 bandit audit (L42) — the
+    * bandit run where bandits belong, on the arriving conversion
+    * stream, re-ranking arms every micro-batch so the router can
+    * shift traffic WHILE the experiment runs instead of after it.
+    * State is one exact (n, s) counter pair per arm; each batch folds
+    * its conversions in (order-independent sums — no ordering guard
+    * needed, unlike the SPRT's sequential LLR) and emits every arm's
+    * refreshed posterior, UCB1, and the exact-rational rank (the SAME
+    * cross-multiplied integer comparison as batch L42 — arm order can
+    * never knife-edge), with doubles rounded by the identical
+    * exact-expansion HALF_UP device, so after the last batch the
+    * emission equals the oracle-checked batch table row for row
+    * (StreamingSpec asserts it).
+    */
+  def streamBanditUcb(convs: Dataset[ArmConv]): Dataset[BanditOut] = {
+    import convs.sparkSession.implicits._
+    def r6(x: Double): Double = new java.math.BigDecimal(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    convs.groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, it: Iterator[ArmConv], state: GroupState[BanditState]) =>
+          val st0 = state.getOption.getOrElse(BanditState(Map.empty, 0L))
+          val upd = it.foldLeft(st0.arms) { (m, c) =>
+            val (n, s) = m.getOrElse(c.arm, (0L, 0L))
+            m.updated(c.arm, (n + 1, s + c.converted))
+          }
+          val st = BanditState(upd, st0.step + 1)
+          state.update(st)
+          val bigN = upd.values.map(_._1).sum
+          upd.toSeq.sortBy(_._1).map { case (a, (n, s)) =>
+            val rank = 1L + upd.count { case (a2, (n2, s2)) =>
+              (s2 + 1) * (n + 2) > (s + 1) * (n2 + 2) ||
+                ((s2 + 1) * (n + 2) == (s + 1) * (n2 + 2) && a2 < a)
+            }
+            BanditOut(st.step, a, n, s,
+              r6((s + 1).toDouble / (n + 2)),
+              r6(s.toDouble / n +
+                math.sqrt(2.0 * math.log(bigN.toDouble) / n)),
+              rank, rank == 1L)
+          }.iterator
+      }
+  }
+
   /** F15: streaming twin of the incremental NEAR-dup ingest — each
     * arriving micro-batch of documents is checked against the
     * persisted [[graft.operators.Dedup.SigStore]] via `foreachBatch`

@@ -360,7 +360,7 @@ class PlanSpec extends AnyFunSuite {
       "q_median_polish",
       // step-down ranking over the same |event types|×4-bounded
       // p-value battery as q_fdr_bh (already exempt above)
-      "q_holm",
+      "q_holm", "q_fdr_by",
       // lag/row_number windows over the bounded day table
       // (the q_changepoint class)
       "q_mase",

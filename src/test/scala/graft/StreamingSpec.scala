@@ -320,6 +320,44 @@ class StreamingSpec extends AnyFunSuite {
         s"onlyBatch=${(batch -- streamed.toSet).take(3)}")
   }
 
+  test("stateful streaming bandit equals the batch arm table after the last batch") {
+    import graft.streaming.EventStream.{ArmConv, BanditOut}
+    implicit val sqlCtx = spark.sqlContext
+    // labeled conversions exactly as batch L42 derives them
+    val np = Tables.events(spark, sf).groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("np"))
+      .as[(Long, Long)].collect()
+    val (users, totNp) = (np.length.toLong, np.map(_._2).sum)
+    val convs = np.map { case (u, n) =>
+      val arm = "arm_" + (java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(u.toString)
+          .substring(0, 15), 16) % 4)
+      ArmConv(arm, if (n * users > totNp) 1L else 0L)
+    }.sortBy(_.arm)
+    val input = MemoryStream[ArmConv]
+    val qn = "graft_stream_bandit"
+    val q = graft.streaming.EventStream.streamBanditUcb(input.toDS())
+      .writeStream.outputMode("append").format("memory").queryName(qn).start()
+    input.addData(convs.take(convs.length / 2): _*)
+    q.processAllAvailable()
+    input.addData(convs.drop(convs.length / 2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table(qn).as[BanditOut].collect()
+    val lastStep = all.map(_.step).max
+    val streamed = all.filter(_.step == lastStep)
+      .map(b => (b.arm, b.n_users, b.n_conversions, b.posterior_mean,
+        b.ucb1, b.rank, b.play_next)).toSet
+    val batch = graft.operators.Validation.queries("q_bandit_ucb")(spark, sf)
+      .as[(String, Long, Long, Double, Double, Long, Boolean)].collect().toSet
+    assert(streamed == batch,
+      s"stream-batch mismatch: onlyStream=${(streamed -- batch).take(3)} " +
+        s"onlyBatch=${(batch -- streamed).take(3)}")
+    // the router re-ranked every micro-batch, not just at the end
+    assert(lastStep == 2L && all.count(_.step == 1L) >= 1)
+  }
+
   test("streaming near-dup ingest over micro-batches equals the batch store query") {
     implicit val sqlCtx = spark.sqlContext
     val sf01 = "/root/testdata/sf0.01" // sf0.001 yields no near-dup matches

@@ -696,7 +696,147 @@ object Tuning {
       |SELECT c AS custkey, b AS brand, rank, score_micro
       |FROM ranked WHERE rank <= 5""".stripMargin
 
+  // ---------------------------------------------------------------- E46
+  /** Persisted tf-idf document-clustering store — the KmeansStore
+    * device applied to TEXT: tokens → HashingTF(4096) → IDF → seeded
+    * KMeans(8), assignments persisted keyed on the documents-corpus
+    * fingerprint. The fit is MLlib's (free to be iterative — the
+    * oracle never replays it); everything PUBLISHED about the
+    * clustering recomputes from (persisted assignment ⋈ corpus).
+    */
+  object DocClusterStore {
+    import java.util.concurrent.atomic.{AtomicInteger, AtomicReference}
+    val K = 8
+    val fitCount = new AtomicInteger(0)
+    val lastLoc = new AtomicReference[String](null)
+
+    private def stem(dir: String): String =
+      "graft_docclu_" + dir.replaceAll("[^a-zA-Z0-9]+", "_")
+        .stripPrefix("_").stripSuffix("_") + "_" + K + "_"
+
+    private def tableName(spark: SparkSession, dir: String): String =
+      stem(dir) +
+        Tables.Probe.corpusTag(spark, s"$dir/documents.parquet", fresh = true)
+
+    private def warehousePath(spark: SparkSession, table: String): java.nio.file.Path = {
+      val w = spark.conf.get("spark.sql.warehouse.dir")
+      java.nio.file.Paths.get(new java.net.URI(w).getPath).resolve(table)
+    }
+
+    def ensure(spark: SparkSession, dir: String): String = {
+      val t = tableName(spark, dir)
+      val loc = warehousePath(spark, t)
+      if (!spark.catalog.tableExists(t)) {
+        if (java.nio.file.Files.isDirectory(loc)) {
+          spark.sql(s"DROP TABLE IF EXISTS $t")
+          spark.sql(
+            s"""CREATE TABLE $t (doc_id BIGINT, cluster INT)
+               |USING PARQUET LOCATION '$loc'""".stripMargin)
+        } else {
+          val data = Tables.documents(spark, dir)
+            .select(col("doc_id"),
+              graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+            .cache()
+          data.count()
+          fitCount.incrementAndGet()
+          val tf = new HashingTF().setInputCol("toks").setOutputCol("tf")
+            .setNumFeatures(4096)
+          val idf = new org.apache.spark.ml.feature.IDF()
+            .setInputCol("tf").setOutputCol("features")
+          val tfd = tf.transform(data)
+          val feat = idf.fit(tfd).transform(tfd)
+          val km = new KMeans().setK(K).setSeed(11).setMaxIter(10)
+          km.fit(feat).transform(feat)
+            .select(col("doc_id"), col("prediction").cast("int").as("cluster"))
+            .write.option("path", loc.toString).saveAsTable(t)
+          data.unpersist()
+        }
+      }
+      lastLoc.set(loc.toString)
+      t
+    }
+  }
+
+  /** E46: document clustering with keyword summaries — the
+    * cluster-then-describe pass a corpus curator runs to SEE what a
+    * web crawl contains (and the blocking structure cluster-based
+    * pruning samples from): tf-idf KMeans assignments from
+    * [[DocClusterStore]], published as per-cluster size, token mass,
+    * and the top-3 DISTINCTIVE terms — ranked by exact within-cluster
+    * count with corpus-boilerplate terms excluded by an exact df cap
+    * (df·2 ≤ N docs), ties alphabetical, so the keyword choice never
+    * touches a double; the only doubles are the two 6-dp share
+    * divisions. The per-cluster top-3 rides a rank-filtered window
+    * (Spark's WindowGroupLimit pushes the limit map-side — never a
+    * full vocab sort per cluster); vocab joins shuffle on `tok` (the
+    * B9 contract). Oracle replays everything from the persisted
+    * assignment table.
+    */
+  def qDocClusters(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = DocClusterStore.ensure(spark, dir)
+    val asg = spark.table(t)
+    val toks = graft.operators.TextAnalysis.tokenStream(spark, dir)
+    val nd = Tables.documents(spark, dir).agg(count(lit(1)).as("ndocs"))
+    val dft = toks.select(col("doc_id"), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val keep = dft.crossJoin(broadcast(nd))
+      .filter(col("df") * 2 <= col("ndocs")).select(col("tok"))
+    val ct = toks.join(asg, "doc_id")
+      .groupBy(col("cluster"), col("tok")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("c").desc, col("tok").asc)
+    val top = ct.join(keep, Seq("tok"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .groupBy(col("cluster"))
+      .agg(max(when(col("rn") === 1, col("tok"))).as("term1"),
+        max(when(col("rn") === 1, col("c"))).as("c1"),
+        max(when(col("rn") === 2, col("tok"))).as("term2"),
+        max(when(col("rn") === 3, col("tok"))).as("term3"))
+    val sizes = asg.groupBy(col("cluster")).agg(count(lit(1)).as("n_docs"))
+    val mass = toks.join(asg, "doc_id").groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_tokens"))
+    sizes.join(mass, Seq("cluster")).join(top, Seq("cluster"), "left")
+      .crossJoin(broadcast(nd))
+      .select(col("cluster"), col("n_docs"), col("n_tokens"),
+        round(col("n_docs").cast("double") / col("ndocs"), 6).as("doc_share"),
+        col("term1"), col("term2"), col("term3"),
+        round(col("c1").cast("double") / col("n_tokens"), 6)
+          .as("top_term_share"))
+  }
+
+  private def docClustersSql(loc: String): String = {
+    val duckToks = graft.functions.TextFunctions.duckToksSql("text")
+    s"""WITH asg AS (SELECT doc_id, cluster FROM read_parquet('$loc/*.parquet')),
+       |t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |toks AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+       |nd AS (SELECT count(*) AS ndocs FROM documents),
+       |dft AS (SELECT tok, count(*) AS df
+       |  FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY 1),
+       |keep AS (SELECT tok FROM dft, nd WHERE df * 2 <= ndocs),
+       |ct AS (SELECT asg.cluster, toks.tok, count(*) AS c
+       |  FROM toks JOIN asg USING (doc_id) GROUP BY 1, 2),
+       |top AS (SELECT cluster,
+       |    max(CASE WHEN rn = 1 THEN tok END) AS term1,
+       |    max(CASE WHEN rn = 1 THEN c END) AS c1,
+       |    max(CASE WHEN rn = 2 THEN tok END) AS term2,
+       |    max(CASE WHEN rn = 3 THEN tok END) AS term3
+       |  FROM (SELECT ct.*, row_number() OVER
+       |      (PARTITION BY cluster ORDER BY c DESC, tok ASC) AS rn
+       |    FROM ct JOIN keep USING (tok)) WHERE rn <= 3 GROUP BY 1),
+       |sizes AS (SELECT cluster, count(*) AS n_docs FROM asg GROUP BY 1),
+       |mass AS (SELECT asg.cluster, count(*) AS n_tokens
+       |  FROM toks JOIN asg USING (doc_id) GROUP BY 1)
+       |SELECT cluster, n_docs, n_tokens,
+       |  round(CAST(n_docs AS DOUBLE) / ndocs, 6) AS doc_share,
+       |  term1, term2, term3,
+       |  round(CAST(c1 AS DOUBLE) / n_tokens, 6) AS top_term_share
+       |FROM sizes JOIN mass USING (cluster)
+       |  LEFT JOIN top USING (cluster), nd""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_doc_clusters" -> (qDocClusters _),
     "q_als_recommend" -> (qAlsRecommend _),
     "q_mllib_tuning" -> (qMllibTuning _),
     "q_pipeline_tuning" -> (qPipelineTuning _),
@@ -711,6 +851,8 @@ object Tuning {
     * late-binding device; absent stores fall back to rows-only). */
   def oracle: Map[String, String] =
     Map("q_als_recommend" -> qAlsRecommendSql) ++
+    Option(DocClusterStore.lastLoc.get)
+      .map(loc => "q_doc_clusters" -> docClustersSql(loc)).toMap ++
     Option(KmeansStore.lastLoc.get)
       .map(loc => "q_kmeans" -> kmeansSql(loc)).toMap ++
     Option(KmeansStore.lastLoc.get)

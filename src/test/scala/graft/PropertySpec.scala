@@ -1381,6 +1381,40 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q_doc_clusters: keyword summaries recompose from the persisted assignment") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ml.Tuning.queries("q_doc_clusters")(spark, sf)
+      .collect().map(r => r.getAs[Int]("cluster") -> r).toMap
+    val fits = graft.ml.Tuning.DocClusterStore.fitCount.get
+    val t = graft.ml.Tuning.DocClusterStore.ensure(spark, sf)
+    assert(graft.ml.Tuning.DocClusterStore.fitCount.get == fits,
+      "warm ensure must not refit")
+    val asg = spark.table(t).as[(Long, Int)].collect().toMap
+    val toks = graft.operators.TextAnalysis.tokenStream(spark, sf)
+      .select(col("doc_id"), col("tok")).as[(Long, String)].collect()
+    val ndocs = asg.size
+    assert(rows.values.map(_.getAs[Long]("n_docs")).sum == ndocs.toLong)
+    val df = toks.distinct.groupBy(_._2).view.mapValues(_.length).toMap
+    val keep = df.filter { case (_, d) => d * 2 <= ndocs }.keySet
+    val byCluster = toks.groupBy { case (d, _) => asg(d) }
+    rows.foreach { case (cl, r) =>
+      val ct = byCluster.getOrElse(cl, Array.empty[(Long, String)])
+      assert(r.getAs[Long]("n_tokens") == ct.length.toLong, s"mass($cl)")
+      val counts = ct.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+        .filter { case (tok, _) => keep(tok) }
+      val top = counts.toSeq.sortBy { case (tok, c) => (-c, tok) }.take(3)
+      def expTerm(i: Int): String = if (top.length > i) top(i)._1 else null
+      assert(r.getAs[String]("term1") == expTerm(0), s"term1($cl)")
+      assert(r.getAs[String]("term2") == expTerm(1), s"term2($cl)")
+      assert(r.getAs[String]("term3") == expTerm(2), s"term3($cl)")
+      if (top.nonEmpty)
+        assert(math.abs(r.getAs[Double]("top_term_share") -
+          top.head._2.toDouble / ct.length) < 1e-5)
+      assert(math.abs(r.getAs[Double]("doc_share") -
+        r.getAs[Long]("n_docs").toDouble / ndocs) < 1e-5)
+    }
+  }
+
   test("q_fdr_by: BY subset of BH, harmonic factor exact, thresholds recompose") {
     val rows = graft.operators.Validation.queries("q_fdr_by")(spark, sf)
       .collect().sortBy(_.getAs[Int]("p_rank"))

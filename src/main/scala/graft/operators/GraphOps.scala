@@ -844,25 +844,31 @@ object GraphOps {
       |FROM cl JOIN sz USING (component)""".stripMargin
 
   // ---------------------------------------------------------------- M20
-  /** Closeness centrality + eccentricity over the mutual-kNN supplier
-    * graph — the "who sits in the MIDDLE of the network" ranking that
-    * complements M10's eigencentrality (influence by association) with
-    * pure distance: C(v) = reachable(v) / Σ d(v,·), plus the per-node
-    * eccentricity whose maximum IS the graph diameter. Computed by
-    * synchronous multi-source BFS — per hop ONE frontier ⋈ edges join,
-    * a distinct, and an anti-join against the visited set (the Pregel
-    * step as DataFrames; localCheckpoint truncates the per-hop plan
-    * exactly like [[graft.operators.Dedup.clusterPairs]]) — hop count
-    * bounded by the graph diameter, every frame bounded by
-    * |V|·|component|. Both engines cap exploration at [[MaxHops]]
-    * hops with IDENTICAL semantics (beyond = unreachable), so parity
-    * can never hinge on a pathological chain; the spec pins the
-    * observed diameter far below the cap. All published cells are
-    * exact integers except the ONE closeness division (6 dp).
-    * kNN-graph-scale work only — the corpus is never touched past
-    * the shared GraphStore derivation.
+  /** Panel closeness centrality + eccentricity over the mutual-kNN
+    * supplier graph — the "who sits in the MIDDLE of the network"
+    * ranking that complements M10's eigencentrality (influence by
+    * association) with pure distance: C(v) = reachable(v) / Σ d(v,·),
+    * plus per-source eccentricity (whose panel-max lower-bounds the
+    * diameter). Sources are a DETERMINISTIC [[ClosenessPanel]]-node
+    * sample (smallest md5-ranked nodes — the D1 panel device): exact
+    * all-pairs closeness is Θ(|V|·|component|) rows, the quadratic
+    * that dies first at 100 TB (measured: the all-sources form ran
+    * 8→18 s at sf0.1→0.3 and did not finish sf1's 10k-node graph in
+    * minutes; sampled sources IS how web-scale closeness is computed
+    * — the ANF/HyperBall lineage). Work: synchronous multi-source BFS
+    * from the panel — per hop ONE frontier ⋈ edges join, a distinct,
+    * and an anti-join against the visited set (Pregel-as-DataFrames,
+    * severed checkpoints per hop) — O(panel · V) rows total, hop
+    * count bounded by the diameter. Both engines cap exploration at
+    * [[MaxHops]] with IDENTICAL semantics (beyond = unreachable), so
+    * parity can never hinge on a pathological chain; the spec pins
+    * the observed eccentricities far below the cap. All published
+    * cells are exact integers except the ONE closeness division
+    * (6 dp). kNN-graph-scale work only — the corpus is never touched
+    * past the shared GraphStore derivation.
     */
   val MaxHops = 64
+  val ClosenessPanel = 64
 
   def qCloseness(spark: SparkSession, dir: String): DataFrame = {
     val und = mutualKnnPairs(spark, dir)
@@ -876,7 +882,11 @@ object GraphOps {
       org.apache.spark.sql.GraftBridge.severedLeaf(df)
     val sym = sever(und.select(col("src"), col("dst"))
       .unionAll(und.select(col("dst").as("src"), col("src").as("dst"))))
-    var dist = sever(sym.select(col("src").as("a"), col("dst").as("b"))
+    val panel = sever(sym.select(col("src")).distinct()
+      .orderBy(expr("md5(cast(src as string))").asc, col("src").asc)
+      .limit(ClosenessPanel))
+    var dist = sever(sym.join(panel, Seq("src"))
+      .select(col("src").as("a"), col("dst").as("b"))
       .withColumn("d", lit(1)))
     var frontier = dist
     var depth = 1
@@ -915,7 +925,10 @@ object GraphOps {
     s"""WITH RECURSIVE $mutKnnSql,
       |usym AS (SELECT src AS a, dst AS b FROM und
       |  UNION ALL SELECT dst, src FROM und),
+      |panel AS (SELECT a FROM (SELECT DISTINCT a FROM usym)
+      |  ORDER BY md5(CAST(a AS VARCHAR)) ASC, a ASC LIMIT $ClosenessPanel),
       |reach(a, b, d) AS (SELECT a, b, 1 FROM usym
+      |    WHERE a IN (SELECT a FROM panel)
       |  UNION SELECT r.a, s.b, r.d + 1 FROM reach r JOIN usym s ON r.b = s.a
       |    WHERE r.d < $MaxHops AND r.a <> s.b),
       |dist AS (SELECT a, b, min(d) AS d FROM reach GROUP BY a, b)

@@ -1537,8 +1537,13 @@ class PropertySpec extends AnyFunSuite {
       .withDefaultValue(Set.empty)
     edges.foreach { case (u, v) =>
       adj(u) = adj(u) + v; adj(v) = adj(v) + u }
-    assert(rows.keySet == adj.keySet)
-    adj.keys.foreach { s =>
+    // the deterministic md5-ranked source panel
+    val panel = adj.keys.toSeq
+      .sortBy(n => (org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(n.toString), n))
+      .take(graft.operators.GraphOps.ClosenessPanel).toSet
+    assert(rows.keySet == panel)
+    panel.foreach { s =>
       val dist = scala.collection.mutable.Map(s -> 0)
       var frontier = Set(s)
       while (frontier.nonEmpty) {

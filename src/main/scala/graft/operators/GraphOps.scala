@@ -870,14 +870,19 @@ object GraphOps {
   val MaxHops = 64
   val ClosenessPanel = 64
 
-  def qCloseness(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared panel-BFS: (panel nodes, dist rows (a = panel source,
+    * b = node, d = exact hop distance)) — the engine behind M20/M21.
+    * Severed checkpoints per hop (see the sever note inline); the
+    * returned frames are materialize-once leaves safe to join freely.
+    */
+  private def panelBfs(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val und = mutualKnnPairs(spark, dir)
     // materialize AND sever lineage/constraints completely: a BFS
     // loop unions checkpointed frames that chain-derive from each
     // other, and localCheckpoint alone preserves attribute ids +
     // origin constraints, which breaks Union.rewriteConstraints
-    // (key-not-found on a stale exprId). createDataFrame over the
-    // checkpointed RDD mints a clean leaf each hop.
+    // (key-not-found on a stale exprId). internalCreateDataFrame over
+    // the checkpointed RDD mints a clean leaf each hop.
     def sever(df: DataFrame): DataFrame =
       org.apache.spark.sql.GraftBridge.severedLeaf(df)
     val sym = sever(und.select(col("src"), col("dst"))
@@ -913,6 +918,11 @@ object GraphOps {
       if (sys.props.contains("graft.close.debug"))
         println(f"== hop $depth frontier=${next.count()}")
     }
+    (panel.withColumnRenamed("src", "p"), dist)
+  }
+
+  def qCloseness(spark: SparkSession, dir: String): DataFrame = {
+    val (_, dist) = panelBfs(spark, dir)
     dist.groupBy(col("a").as("s_suppkey"))
       .agg(count(lit(1)).as("n_reachable"),
         sum(col("d")).as("total_dist"),
@@ -920,6 +930,65 @@ object GraphOps {
       .withColumn("closeness",
         round(col("n_reachable").cast("double") / col("total_dist"), 6))
   }
+
+  // ---------------------------------------------------------------- M21
+  /** Shortest-path coverage centrality over panel pairs — the
+    * exact-integer indicator form of betweenness: node v MEDIATES the
+    * pair (s, t) iff d(s,v) + d(v,t) = d(s,t) (v sits on at least one
+    * shortest s–t path), and the centrality is the count of mediated
+    * panel pairs. Full Brandes betweenness weights each pair by
+    * σ_st(v)/σ_st — a ratio whose cross-pair sum is an unordered
+    * double accumulation no engine pair reproduces bit-for-bit; the
+    * coverage COUNT keeps the same "who brokers the network" ranking
+    * signal in pure integers (plus the one 6-dp share division), the
+    * q_hbos exact-ordering discipline applied to graph centrality.
+    * Rides the SAME [[panelBfs]] dist table as M20 (undirected
+    * symmetry: d(t,v) = d(v,t), so both legs come from one frame):
+    * panel-pair distances are the dist rows landing on panel nodes;
+    * the mediation join is (panel² pairs) × V — linear in the graph,
+    * never quadratic. Endpoints are excluded naturally (d(v,v) has no
+    * row). Emits every node mediating ≥ 1 connected panel pair.
+    */
+  def qPathCentrality(spark: SparkSession, dir: String): DataFrame = {
+    val (panel, dist) = panelBfs(spark, dir)
+    val pp = dist.join(panel, dist("b") === panel("p"))
+      .filter(col("a") < col("b"))
+      .select(col("a").as("s"), col("b").as("t"), col("d").as("dst"))
+    val npairs = pp.agg(count(lit(1)).as("n_pairs_total"))
+    val cov = pp
+      .join(dist.as("x"), col("x.a") === col("s"))
+      .join(dist.as("y"),
+        col("y.a") === col("t") && col("y.b") === col("x.b"))
+      .filter(col("x.d") + col("y.d") === col("dst"))
+      .groupBy(col("x.b").as("s_suppkey"))
+      .agg(count(lit(1)).as("n_pairs_covered"))
+    cov.crossJoin(broadcast(npairs))
+      .select(col("s_suppkey"), col("n_pairs_covered"), col("n_pairs_total"),
+        round(col("n_pairs_covered").cast("double") / col("n_pairs_total"), 6)
+          .as("coverage"))
+  }
+
+  val qPathCentralitySql: String =
+    s"""WITH RECURSIVE $mutKnnSql,
+      |usym AS (SELECT src AS a, dst AS b FROM und
+      |  UNION ALL SELECT dst, src FROM und),
+      |panel AS (SELECT a FROM (SELECT DISTINCT a FROM usym)
+      |  ORDER BY md5(CAST(a AS VARCHAR)) ASC, a ASC LIMIT $ClosenessPanel),
+      |reach(a, b, d) AS (SELECT a, b, 1 FROM usym
+      |    WHERE a IN (SELECT a FROM panel)
+      |  UNION SELECT r.a, s.b, r.d + 1 FROM reach r JOIN usym s ON r.b = s.a
+      |    WHERE r.d < $MaxHops AND r.a <> s.b),
+      |dist AS (SELECT a, b, min(d) AS d FROM reach GROUP BY a, b),
+      |pp AS (SELECT a AS s, b AS t, d AS dst FROM dist
+      |  WHERE b IN (SELECT a FROM panel) AND a < b),
+      |npairs AS (SELECT count(*) AS n_pairs_total FROM pp),
+      |cov AS (SELECT x.b AS s_suppkey, count(*) AS n_pairs_covered
+      |  FROM pp JOIN dist x ON x.a = pp.s
+      |  JOIN dist y ON y.a = pp.t AND y.b = x.b
+      |  WHERE x.d + y.d = pp.dst GROUP BY 1)
+      |SELECT s_suppkey, n_pairs_covered, n_pairs_total,
+      |  round(CAST(n_pairs_covered AS DOUBLE) / n_pairs_total, 6) AS coverage
+      |FROM cov, npairs""".stripMargin
 
   val qClosenessSql: String =
     s"""WITH RECURSIVE $mutKnnSql,
@@ -1544,6 +1613,7 @@ object GraphOps {
     "q_community_conductance" -> (qCommunityConductance _),
     "q_knn_components" -> (qKnnComponents _),
     "q_closeness" -> (qCloseness _),
+    "q_path_centrality" -> (qPathCentrality _),
     "q_degree_distribution" -> (qDegreeDistribution _),
     "q_pagerank" -> (qPagerank _),
     "q_pagerank_knn" -> (qPagerankKnn _),
@@ -1566,6 +1636,7 @@ object GraphOps {
     "q_community_conductance" -> qCommunityConductanceSql,
     "q_knn_components" -> qKnnComponentsSql,
     "q_closeness" -> qClosenessSql,
+    "q_path_centrality" -> qPathCentralitySql,
     "q_degree_distribution" -> qDegreeDistributionSql,
     "q_pagerank" -> qPagerankSql,
     "q_pagerank_knn" -> qPagerankKnnSql,

@@ -1381,6 +1381,52 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q_path_centrality: mediation counts recompose from driver-side panel BFS") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.GraphOps.queries("q_path_centrality")(spark, sf)
+      .collect().map(r => r.getAs[Long]("s_suppkey") -> r).toMap
+    val edges = graft.operators.GraphOps.mutualKnnPairs(spark, sf)
+      .as[(Long, Long)].collect()
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (u, v) =>
+      adj(u) = adj(u) + v; adj(v) = adj(v) + u }
+    val panel = adj.keys.toSeq
+      .sortBy(n => (org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(n.toString), n))
+      .take(graft.operators.GraphOps.ClosenessPanel)
+    def bfs(s: Long): Map[Long, Int] = {
+      val dist = scala.collection.mutable.Map(s -> 0)
+      var frontier = Set(s)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(adj).filterNot(dist.contains)
+        val dd = dist.values.max + 1
+        frontier.foreach(n => dist(n) = dd)
+      }
+      dist.toMap
+    }
+    val d = panel.map(s => s -> bfs(s)).toMap
+    val pairs = for {
+      s <- panel; t <- panel if s < t && d(s).contains(t)
+    } yield (s, t, d(s)(t))
+    val covered = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for ((s, t, dst) <- pairs; v <- adj.keys
+         if v != s && v != t &&
+           d(s).contains(v) && d(t).contains(v) &&
+           d(s)(v) + d(t)(v) == dst)
+      covered(v) += 1
+    val expect = covered.filter(_._2 > 0).toMap
+    assert(rows.keySet == expect.keySet,
+      s"nodes: extra=${(rows.keySet -- expect.keySet).take(3)} missing=${(expect.keySet -- rows.keySet).take(3)}")
+    expect.foreach { case (v, c) =>
+      val r = rows(v)
+      assert(r.getAs[Long]("n_pairs_covered") == c, s"covered($v)")
+      assert(r.getAs[Long]("n_pairs_total") == pairs.length.toLong)
+      assert(math.abs(r.getAs[Double]("coverage") -
+        c.toDouble / pairs.length) < 1e-5)
+    }
+  }
+
   test("q_doc_clusters: keyword summaries recompose from the persisted assignment") {
     import org.apache.spark.sql.functions._
     val rows = graft.ml.Tuning.queries("q_doc_clusters")(spark, sf)

@@ -1244,7 +1244,7 @@ object FeatureOps {
          |      + $wc.w3 * (CAST(x_f3 AS DOUBLE) / 1000000), 10)""".stripMargin
     def iter(i: Int): String = {
       val (wc, ec, wn) = (s"w$i", s"a$i", s"w${i + 1}")
-      s"""$ec AS (SELECT count(*) AS n,
+      s"""$ec AS (SELECT count(*) AS n_ev,
          |    sum(CAST(y * 1000000 - pq AS HUGEINT)) AS g0,
          |    sum(CAST(x_f1 * (y * 1000000 - pq) AS HUGEINT)) AS g1,
          |    sum(CAST(x_f2 * (y * 1000000 - pq) AS HUGEINT)) AS g2,
@@ -2473,7 +2473,185 @@ object FeatureOps {
       |LIMIT 20""".stripMargin
   }
 
+  // ---------------------------------------------------------------- E47
+  /** Two-component Gaussian mixture via EM — the soft-clustering
+    * capstone next to E8's hard kMeans and E33's supervised logistic:
+    * is purchase spend ONE lognormal population or a mixture of two
+    * regimes? Fitted on z = ln(1 + cents) in the E33 µ-unit fixed
+    * point: observations quantize to micro-nats ONCE, every E-step
+    * responsibility γ is one fixed-order double expression of exact
+    * longs re-quantized to µ-units, every M-step moment (Σγ, Σγz,
+    * Σγz²) is an exact DECIMAL(38,0) sum, and the new (µ₁, µ₂, σ²
+    * pooled — homoscedastic by design, so no component can collapse
+    * to zero variance, the classic EM degeneracy) re-quantize from
+    * ONE double division each. Deterministic init from exact integer
+    * extremes (quartile points of [min, max], global variance, w =
+    * ½). Three staged rows publish (w, µ₁, µ₂, σ², mean log-lik) at
+    * iterations 0/1/2 — mean_ll non-decreasing is the EM contract
+    * the spec pins (the E33 descent-audit shape, ascent here). One
+    * corpus pass per E-step (3 total), each a map + one aggregate;
+    * 1-row param frames broadcast (the E33 lineage-control device).
+    */
+  def qGmmEm(spark: SparkSession, dir: String): DataFrame = {
+    val M = 1000000L
+    val z0 = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(round(col("value") * 100).cast("long").as("cents"))
+      .select(round(log(lit(1.0) + col("cents")) * M).cast("long").as("z"))
+      .cache()
+    z0.count()
+    val d38 = "decimal(38,0)"
+    val init = z0.agg(count(lit(1)).as("n"),
+        min(col("z")).as("mn"), max(col("z")).as("mx"),
+        sum(col("z").cast(d38)).as("sz"),
+        sum((col("z") * col("z")).cast(d38)).as("sz2"))
+      .select(col("n"),
+        (col("mn") + (col("mx") - col("mn")) / 4).cast("long").as("mu1"),
+        (col("mn") + (lit(3) * (col("mx") - col("mn"))) / 4).cast("long")
+          .as("mu2"),
+        ((col("n") * col("sz2") - col("sz") * col("sz")) /
+          (col("n").cast(d38) * col("n"))).cast("long").as("s2"),
+        lit(500000L).as("wq"))
+      .cache()
+    init.count()
+    var params = init
+    val outRows = scala.collection.mutable.Buffer.empty[DataFrame]
+    val cached = scala.collection.mutable.Buffer.empty[DataFrame]
+    for (i <- 0 to 2) {
+      val d1 = col("z") - col("mu1")
+      val d2 = col("z") - col("mu2")
+      val earg = ((d2 * d2).cast("double") - (d1 * d1).cast("double")) /
+        (lit(2.0) * col("s2"))
+      val g = round(lit(1.0 * M) /
+        (lit(1.0) + ((lit(M) - col("wq")).cast("double") /
+          col("wq").cast("double")) * exp(earg))).cast("long")
+      // greatest() guard: a >37-sigma outlier underflows BOTH
+      // component exps to 0.0 and ln(0) = -Inf; the floor is the same
+      // literal in both engines so the guard itself is engine-exact
+      val llRow = round((log(greatest(
+        ((lit(M) - col("wq")).cast("double") *
+          exp(-(d1 * d1).cast("double") / (lit(2.0) * col("s2"))) +
+          col("wq").cast("double") *
+          exp(-(d2 * d2).cast("double") / (lit(2.0) * col("s2")))) / 1.0e6,
+        lit(1.0e-290)))
+        - lit(0.5) * log(lit(6.283185307179586) * col("s2") / 1.0e12)) * M)
+        .cast("long")
+      val ev = z0.crossJoin(broadcast(params))
+        .withColumn("g", g).withColumn("lq", llRow)
+        .agg(count(lit(1)).as("n_ev"),
+          sum((( lit(M) - col("g")) * col("z")).cast(d38)).as("b1"),
+          sum((lit(M) - col("g")).cast(d38)).as("c1"),
+          sum(((lit(M) - col("g")).cast(d38)) * ((col("z") * col("z"))
+            .cast(d38))).as("a1"),
+          sum((col("g") * col("z")).cast(d38)).as("b2"),
+          sum(col("g").cast(d38)).as("c2"),
+          sum((col("g").cast(d38)) * ((col("z") * col("z")).cast(d38)))
+            .as("a2"),
+          sum(col("lq").cast(d38)).as("sll"))
+        .cache()
+      cached += ev
+      outRows += params.crossJoin(broadcast(ev))
+        .select(lit(i).as("iter"),
+          round(col("wq").cast("double") / 1.0e6, 6).as("w2"),
+          round(col("mu1").cast("double") / 1.0e6, 6).as("mu1_nats"),
+          round(col("mu2").cast("double") / 1.0e6, 6).as("mu2_nats"),
+          round(col("s2").cast("double") / 1.0e12, 6).as("sigma2"),
+          round(col("sll").cast("double") / col("n_ev") / 1.0e6, 6)
+            .as("mean_ll"))
+      if (i < 2) {
+        params = ev.select(col("n_ev").as("n"),
+            round(col("b1").cast("double") / col("c1").cast("double"))
+              .cast("long").as("mu1"),
+            round(col("b2").cast("double") / col("c2").cast("double"))
+              .cast("long").as("mu2"),
+            round(((col("a1").cast("double")
+                - col("b1").cast("double") * col("b1").cast("double")
+                  / col("c1").cast("double"))
+              + (col("a2").cast("double")
+                - col("b2").cast("double") * col("b2").cast("double")
+                  / col("c2").cast("double")))
+              / (col("c1").cast("double") + col("c2").cast("double")))
+              .cast("long").as("s2"),
+            round(col("c2").cast("double") / col("n_ev")).cast("long")
+              .as("wq"))
+          .cache()
+        params.count()
+        cached += params
+      }
+    }
+    val out = outRows.reduce(_ unionAll _).cache()
+    out.count()
+    cached.foreach(_.unpersist()); z0.unpersist()
+    out
+  }
+
+  val qGmmEmSql: String = {
+    def iter(i: Int): String = {
+      val (pc, ec, pn) = (s"p$i", s"e$i", s"p${i + 1}")
+      s"""$ec AS (SELECT count(*) AS n_ev,
+         |    sum(CAST((1000000 - g) * z AS HUGEINT)) AS b1,
+         |    sum(CAST(1000000 - g AS HUGEINT)) AS c1,
+         |    sum(CAST(1000000 - g AS HUGEINT) * CAST(z * z AS HUGEINT)) AS a1,
+         |    sum(CAST(g * z AS HUGEINT)) AS b2,
+         |    sum(CAST(g AS HUGEINT)) AS c2,
+         |    sum(CAST(g AS HUGEINT) * CAST(z * z AS HUGEINT)) AS a2,
+         |    sum(CAST(lq AS HUGEINT)) AS sll
+         |  FROM (SELECT z,
+         |      CAST(round(1000000.0 / (1.0 + (CAST(1000000 - wq AS DOUBLE)
+         |          / CAST(wq AS DOUBLE))
+         |        * exp((CAST((z - mu2) * (z - mu2) AS DOUBLE)
+         |            - CAST((z - mu1) * (z - mu1) AS DOUBLE))
+         |          / (2.0 * s2)))) AS BIGINT) AS g,
+         |      CAST(round((ln(greatest((CAST(1000000 - wq AS DOUBLE)
+         |            * exp(-CAST((z - mu1) * (z - mu1) AS DOUBLE) / (2.0 * s2))
+         |          + CAST(wq AS DOUBLE)
+         |            * exp(-CAST((z - mu2) * (z - mu2) AS DOUBLE) / (2.0 * s2)))
+         |          / 1.0e6, 1.0e-290))
+         |        - 0.5 * ln(6.283185307179586 * s2 / 1.0e12)) * 1000000)
+         |        AS BIGINT) AS lq
+         |    FROM zr, $pc) rows),
+         |$pn AS (SELECT n_ev AS n,
+         |    CAST(round(CAST(b1 AS DOUBLE) / CAST(c1 AS DOUBLE)) AS BIGINT) AS mu1,
+         |    CAST(round(CAST(b2 AS DOUBLE) / CAST(c2 AS DOUBLE)) AS BIGINT) AS mu2,
+         |    CAST(round(((CAST(a1 AS DOUBLE)
+         |        - CAST(b1 AS DOUBLE) * CAST(b1 AS DOUBLE) / CAST(c1 AS DOUBLE))
+         |      + (CAST(a2 AS DOUBLE)
+         |        - CAST(b2 AS DOUBLE) * CAST(b2 AS DOUBLE) / CAST(c2 AS DOUBLE)))
+         |      / (CAST(c1 AS DOUBLE) + CAST(c2 AS DOUBLE))) AS BIGINT) AS s2,
+         |    CAST(round(CAST(c2 AS DOUBLE) / n_ev) AS BIGINT) AS wq
+         |  FROM $ec)""".stripMargin
+    }
+    def outRow(i: Int): String =
+      s"""SELECT $i AS iter,
+         |  round(CAST(wq AS DOUBLE) / 1.0e6, 6) AS w2,
+         |  round(CAST(mu1 AS DOUBLE) / 1.0e6, 6) AS mu1_nats,
+         |  round(CAST(mu2 AS DOUBLE) / 1.0e6, 6) AS mu2_nats,
+         |  round(CAST(s2 AS DOUBLE) / 1.0e12, 6) AS sigma2,
+         |  round(CAST(sll AS DOUBLE) / n_ev / 1.0e6, 6) AS mean_ll
+         |FROM p$i, e$i""".stripMargin
+    s"""WITH zr AS (SELECT CAST(round(ln(1.0
+       |      + CAST(round(value * 100) AS BIGINT)) * 1000000) AS BIGINT) AS z
+       |  FROM events WHERE event_type = 'purchase'),
+       |izm AS (SELECT count(*) AS n, min(z) AS mn, max(z) AS mx,
+       |    sum(CAST(z AS HUGEINT)) AS sz,
+       |    sum(CAST(z AS HUGEINT) * z) AS sz2
+       |  FROM zr),
+       |p0 AS (SELECT n,
+       |    CAST(mn + (mx - mn) // 4 AS BIGINT) AS mu1,
+       |    CAST(mn + (3 * (mx - mn)) // 4 AS BIGINT) AS mu2,
+       |    CAST((n * sz2 - sz * sz) // (CAST(n AS HUGEINT) * n) AS BIGINT) AS s2,
+       |    CAST(500000 AS BIGINT) AS wq
+       |  FROM izm),
+       |${iter(0)},
+       |${iter(1)},
+       |${iter(2)}
+       |${outRow(0)}
+       |UNION ALL ${outRow(1)}
+       |UNION ALL ${outRow(2)}""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gmm_em" -> (qGmmEm _),
     "q_cooks_distance" -> (qCooksDistance _),
     "q_cv_slope" -> (qCvSlope _),
     "q_bradley_terry" -> (qBradleyTerry _),
@@ -2509,6 +2687,7 @@ object FeatureOps {
     "q_mutual_info" -> (qMutualInfo _))
 
   def oracle: Map[String, String] = Map(
+    "q_gmm_em" -> qGmmEmSql,
     "q_cooks_distance" -> qCooksDistanceSql,
     "q_cv_slope" -> qCvSlopeSql,
     "q_bradley_terry" -> qBradleyTerrySql,

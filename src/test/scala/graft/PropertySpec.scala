@@ -1381,6 +1381,73 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q_gmm_em: the quantized EM recomposes driver-side and log-likelihood ascends") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ml.FeatureOps.queries("q_gmm_em")(spark, sf)
+      .collect().sortBy(_.getAs[Int]("iter"))
+    assert(rows.length == 3)
+    val M = 1000000L
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val z = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(round(col("value") * 100).cast("long").as("c"))
+      .as[Long].collect()
+      .map(c => math.round(math.log(1.0 + c) * M))
+    val n = z.length
+    val (mn, mx) = (z.min, z.max)
+    var mu1 = mn + (mx - mn) / 4
+    var mu2 = mn + (3 * (mx - mn)) / 4
+    var s2 = ((BigInt(n) * z.map(v => BigInt(v) * v).sum -
+      BigInt(z.sum) * BigInt(z.sum)) / (BigInt(n) * n)).toLong
+    var wq = 500000L
+    val trace = (0 to 2).map { i =>
+      val rowsq = z.map { zi =>
+        val (d1, d2) = (zi - mu1, zi - mu2)
+        val earg = ((d2 * d2).toDouble - (d1 * d1).toDouble) / (2.0 * s2)
+        val g = math.round(1.0 * M /
+          (1.0 + ((M - wq).toDouble / wq) * math.exp(earg)))
+        val mix = ((M - wq).toDouble * math.exp(-(d1 * d1).toDouble / (2.0 * s2))
+          + wq.toDouble * math.exp(-(d2 * d2).toDouble / (2.0 * s2))) / 1.0e6
+        val lq = math.round((math.log(math.max(mix, 1.0e-290))
+          - 0.5 * math.log(6.283185307179586 * s2 / 1.0e12)) * M)
+        (zi, g, lq)
+      }
+      val out = (wq, mu1, mu2, s2,
+        rowsq.map(t => BigInt(t._3)).sum.toDouble / n / 1e6)
+      val (b1, c1) = (rowsq.map(t => BigInt(M - t._2) * t._1).sum,
+        rowsq.map(t => BigInt(M - t._2)).sum)
+      val (b2, c2) = (rowsq.map(t => BigInt(t._2) * t._1).sum,
+        rowsq.map(t => BigInt(t._2)).sum)
+      val a1 = rowsq.map(t => BigInt(M - t._2) * (BigInt(t._1) * t._1)).sum
+      val a2 = rowsq.map(t => BigInt(t._2) * (BigInt(t._1) * t._1)).sum
+      mu1 = math.round(b1.toDouble / c1.toDouble)
+      mu2 = math.round(b2.toDouble / c2.toDouble)
+      s2 = math.round(((a1.toDouble - b1.toDouble * b1.toDouble / c1.toDouble)
+        + (a2.toDouble - b2.toDouble * b2.toDouble / c2.toDouble))
+        / (c1.toDouble + c2.toDouble))
+      wq = math.round(c2.toDouble / n)
+      out
+    }
+    rows.zip(trace).foreach { case (r, (w, m1, m2, v, ll)) =>
+      assert(math.abs(r.getAs[Double]("w2") - w.toDouble / 1e6) < 1e-5)
+      assert(math.abs(r.getAs[Double]("mu1_nats") - m1.toDouble / 1e6) < 2e-5)
+      assert(math.abs(r.getAs[Double]("mu2_nats") - m2.toDouble / 1e6) < 2e-5)
+      assert(math.abs(r.getAs[Double]("sigma2") - v.toDouble / 1e12) < 2e-5)
+      assert(math.abs(r.getAs[Double]("mean_ll") - ll) < 1e-4,
+        s"ll ${r.getAs[Double]("mean_ll")} vs brute $ll")
+    }
+    // the EM contract: mean log-likelihood never decreases
+    val lls = rows.map(_.getAs[Double]("mean_ll"))
+    assert(lls.zip(lls.tail).forall { case (a, b) => b >= a - 1e-6 },
+      s"ll not ascending: ${lls.toSeq}")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("sigma2") > 0)
+      assert(r.getAs[Double]("w2") > 0 && r.getAs[Double]("w2") < 1)
+      assert(r.getAs[Double]("mu1_nats") < r.getAs[Double]("mu2_nats"))
+    }
+  }
+
   test("q_path_centrality: mediation counts recompose from driver-side panel BFS") {
     import org.apache.spark.sql.functions._
     val rows = graft.operators.GraphOps.queries("q_path_centrality")(spark, sf)

@@ -1812,6 +1812,85 @@ object Dedup {
          |  LEFT JOIN corec c USING (vec_id)
          |  LEFT JOIN battach b USING (vec_id)""".stripMargin
 
+  // ---------------------------------------------------------------- C24
+  /** Blocking-quality audit — the two numbers every record-linkage /
+    * dedup blocking scheme is judged by (Christen 2012): REDUCTION
+    * RATIO (how much of the n² pair space the C3 banded-LSH blocking
+    * prunes — the efficiency side) and PAIRS COMPLETENESS against the
+    * C1 exact-duplicate ground truth (what fraction of KNOWN dup
+    * pairs the candidate set still contains — the recall side). C21
+    * audits the estimator's accuracy ON candidates; this audits what
+    * the blocking never surfaces at all. Truth pairs enumerate inside
+    * exact-fingerprint groups only (a group of k copies yields
+    * k(k−1)/2 pairs — dup-group-bounded, never corpus²); total pair
+    * count is the exact closed form n(n−1)/2; the recovered count is
+    * one join of the (bounded) truth set against the shared banded
+    * candidate stream. All counts exact integers; the two ratios are
+    * the only doubles (6 dp). Null-safe: zero truth pairs publishes
+    * null completeness, never a divide error.
+    */
+  def qBlockingQuality(spark: SparkSession, dir: String): DataFrame = {
+    val wide = minhashWide(spark, dir)
+    val bands = wide
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+      .cache()
+    val fp = Tables.documents(spark, dir)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    val truth = fp.as("a").join(fp.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .cache()
+    val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n"))
+    val nc = cand.agg(count(lit(1)).as("n_candidates"))
+    val nt = truth.agg(count(lit(1)).as("n_truth"))
+    val nr = truth.join(cand, Seq("d1", "d2"), "left_semi")
+      .agg(count(lit(1)).as("n_recovered"))
+    n.crossJoin(broadcast(nc)).crossJoin(broadcast(nt))
+      .crossJoin(broadcast(nr))
+      .select(col("n").as("n_docs"),
+        (col("n") * (col("n") - 1) / 2).cast("long").as("n_total_pairs"),
+        col("n_candidates"),
+        round(lit(1.0) - col("n_candidates").cast("double") /
+          (col("n") * (col("n") - 1) / 2), 6).as("reduction_ratio"),
+        col("n_truth").as("n_true_dup_pairs"),
+        col("n_recovered"),
+        when(col("n_truth") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_recovered").cast("double") / col("n_truth"), 6))
+          .as("pairs_completeness"))
+  }
+
+  val qBlockingQualitySql: String =
+    raw"""WITH $minhashCtes,
+         |cand AS (SELECT DISTINCT x.doc_id d1, y.doc_id d2
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+         |fp AS (SELECT doc_id, md5($duckNorm) AS fp FROM documents),
+         |truth AS (SELECT a.doc_id d1, b.doc_id d2
+         |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |nc AS (SELECT count(*) AS n_candidates FROM cand),
+         |nt AS (SELECT count(*) AS n_truth FROM truth),
+         |nr AS (SELECT count(*) AS n_recovered FROM truth
+         |  WHERE EXISTS (SELECT 1 FROM cand
+         |    WHERE cand.d1 = truth.d1 AND cand.d2 = truth.d2))
+         |SELECT n AS n_docs,
+         |  CAST(n * (n - 1) // 2 AS BIGINT) AS n_total_pairs,
+         |  n_candidates,
+         |  round(1.0 - CAST(n_candidates AS DOUBLE) / (n * (n - 1) // 2), 6)
+         |    AS reduction_ratio,
+         |  n_truth AS n_true_dup_pairs, n_recovered,
+         |  CASE WHEN n_truth = 0 THEN CAST(NULL AS DOUBLE)
+         |    ELSE round(CAST(n_recovered AS DOUBLE) / n_truth, 6) END
+         |    AS pairs_completeness
+         |FROM nn, nc, nt, nr""".stripMargin
+
   // ---------------------------------------------------------------- C18
   /** Near-dup threshold sweep — the curator's knob curve: for each
     * candidate Jaccard threshold, how many verified pairs survive,
@@ -2155,11 +2234,13 @@ object Dedup {
     "q_containment_pairs" -> (qContainmentPairs _),
     "q_semantic_dedup" -> (qSemanticDedup _),
     "q_dbscan" -> (qDbscan _),
+    "q_blocking_quality" -> (qBlockingQuality _),
     "q_cluster_sizes" -> (qClusterSizes _))
 
   def oracle: Map[String, String] = Map(
     "q_segment_dedup" -> qSegmentDedupSql,
     "q_dedup_threshold_sweep" -> qDedupThresholdSweepSql,
+    "q_blocking_quality" -> qBlockingQualitySql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_incremental_dedup" -> qIncrementalDedupSql,
     "q_incremental_neardup" -> qIncrementalNeardupSql,

@@ -1381,6 +1381,28 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q_blocking_quality: ratios recompose; truth pairs from exact-dup groups") {
+    import org.apache.spark.sql.functions._
+    val r = graft.operators.Dedup.queries("q_blocking_quality")(spark, sf)
+      .collect().head
+    val n = Tables.documents(spark, sf).count()
+    assert(r.getAs[Long]("n_docs") == n)
+    assert(r.getAs[Long]("n_total_pairs") == n * (n - 1) / 2)
+    // truth pairs recompose from exact-dup group sizes: sum k(k-1)/2
+    val groups = graft.operators.Dedup.queries("q_dedup_exact")(spark, sf)
+      .select(col("n_copies")).as[Long].collect()
+    val truth = groups.map(k => k * (k - 1) / 2).sum
+    assert(r.getAs[Long]("n_true_dup_pairs") == truth)
+    assert(r.getAs[Long]("n_recovered") <= truth)
+    val rr = 1.0 - r.getAs[Long]("n_candidates").toDouble / (n * (n - 1) / 2)
+    assert(math.abs(r.getAs[Double]("reduction_ratio") - rr) < 1e-5)
+    if (truth == 0) assert(r.isNullAt(r.fieldIndex("pairs_completeness")))
+    else assert(math.abs(r.getAs[Double]("pairs_completeness") -
+      r.getAs[Long]("n_recovered").toDouble / truth) < 1e-5)
+    // blocking must actually block: candidate set far below the pair space
+    assert(r.getAs[Long]("n_candidates") < r.getAs[Long]("n_total_pairs") / 10)
+  }
+
   test("q_gmm_em: the quantized EM recomposes driver-side and log-likelihood ascends") {
     import org.apache.spark.sql.functions._
     val rows = graft.ml.FeatureOps.queries("q_gmm_em")(spark, sf)

@@ -2473,6 +2473,102 @@ object FeatureOps {
       |LIMIT 20""".stripMargin
   }
 
+  // ---------------------------------------------------------------- E48
+  /** Kernel two-sample drift test — LINEAR-time MMD² (Gretton et al.
+    * 2012, the MMD_l estimator): where E20 compares source mean
+    * vectors (a location test blind to shape), MMD with an RBF kernel
+    * detects ANY distribution change, and the linear-time pairing
+    * h_i = k(x₁,x₂)+k(y₁,y₂)−k(x₁,y₂)−k(x₂,y₁) over consecutive
+    * sample quadruples keeps it one pass — never the n² kernel
+    * matrix that kills the quadratic estimator at scale. Published
+    * as TWO comparisons on one machinery: the md5 null split and the
+    * label-0-vs-rest split. BOTH are same-distribution in this corpus
+    * (the generator's label structure is sub-noise by design —
+    * own-centroid cosine ≈ 0.07 puts within-label pair cosine ≈ 0.005,
+    * measured MMD² within ±0.002 of zero at both tested SFs), so the
+    * shipped verdicts audit the FALSE-POSITIVE side (the CUPED
+    * null-true shape); the label row exists as the wiring a real
+    * covariate-shift corpus lights up. RBF σ² = 0.25 — the bandwidth
+    * the probe study showed centers both splits on zero rather than
+    * inheriting the estimator's small-n negative bias. Engine parity: squared
+    * distances are ORDERED left folds over the dimension list
+    * (`aggregate` HOF / `list_reduce` — identical IEEE association),
+    * each h_i quantizes to µ-units (exact long sums — never an
+    * unordered double sum of kernels), MMD² is ONE division at 6 dp.
+    * Pairing is deterministic (row_number by vec_id); incomplete
+    * trailing pairs drop on both sides identically.
+    */
+  def qMmdDrift(spark: SparkSession, dir: String): DataFrame = {
+    val M = 1000000L
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label"))
+      .cache()
+    def k(a: String, b: String) = exp(-expr(
+      s"aggregate(zip_with($a, $b, (p, q) -> (p - q) * (p - q)), " +
+        "cast(0.0 as double), (acc, v) -> acc + v)") / 0.5)
+    def mmdRow(tagged: DataFrame, name: String): DataFrame = {
+      val w = Window.partitionBy(col("g")).orderBy(col("vec_id").asc)
+      val idx = tagged.withColumn("i", row_number().over(w) - 1)
+        .withColumn("p", (col("i") / 2).cast("long"))
+        .withColumn("slot", col("i") % 2)
+      def side(g: String, slot: Int, as: String) = idx
+        .filter(col("g") === g && col("slot") === slot)
+        .select(col("p"), col("v").as(as))
+      val pairs = side("x", 0, "x1").join(side("x", 1, "x2"), Seq("p"))
+        .join(side("y", 0, "y1"), Seq("p")).join(side("y", 1, "y2"), Seq("p"))
+      val h = k("x1", "x2") + k("y1", "y2") - k("x1", "y2") - k("x2", "y1")
+      pairs.withColumn("hq", round(h * M).cast("long"))
+        .agg(count(lit(1)).as("n_quads"),
+          sum(col("hq").cast("decimal(38,0)")).as("sh"))
+        .select(lit(name).as("split"), col("n_quads"),
+          round(col("sh").cast("double") / col("n_quads") / 1.0e6, 6)
+            .as("mmd2"))
+        .withColumn("shifted", col("mmd2") > 0.005)
+    }
+    val nullSplit = emb.withColumn("g",
+      when(expr("conv(substring(md5(cast(vec_id as string)), 1, 15), 16, 10)")
+        .cast("long") % 2 === 0, "x").otherwise("y"))
+    val labelSplit = emb.withColumn("g",
+      when(col("label") === 0, "x").otherwise("y"))
+    mmdRow(nullSplit, "null_md5").unionAll(mmdRow(labelSplit, "label0_vs_rest"))
+  }
+
+  val qMmdDriftSql: String = {
+    def d2(a: String, b: String) =
+      s"""list_reduce(list_transform(generate_series(1, 64),
+         |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (acc, v) -> acc + v)"""
+        .stripMargin.replace("\n", " ")
+    def kk(a: String, b: String) = s"exp(-(${d2(a, b)}) / 0.5)"
+    def block(tag: String, gexpr: String) =
+      s"""SELECT '$tag' AS split, count(*) AS n_quads,
+         |  round(CAST(sum(CAST(hq AS HUGEINT)) AS DOUBLE) / count(*) / 1.0e6, 6)
+         |    AS mmd2,
+         |  round(CAST(sum(CAST(hq AS HUGEINT)) AS DOUBLE) / count(*) / 1.0e6, 6)
+         |    > 0.005 AS shifted
+         |FROM (
+         |  WITH tagged AS (SELECT vec_id, embedding::DOUBLE[] AS v, label,
+         |      $gexpr AS g FROM embeddings),
+         |  idx AS (SELECT *, row_number() OVER
+         |      (PARTITION BY g ORDER BY vec_id ASC) - 1 AS i FROM tagged),
+         |  sl AS (SELECT g, v, i // 2 AS p, i % 2 AS slot FROM idx),
+         |  x0 AS (SELECT p, v AS x1 FROM sl WHERE g = 'x' AND slot = 0),
+         |  x1 AS (SELECT p, v AS x2 FROM sl WHERE g = 'x' AND slot = 1),
+         |  y0 AS (SELECT p, v AS y1 FROM sl WHERE g = 'y' AND slot = 0),
+         |  y1 AS (SELECT p, v AS y2 FROM sl WHERE g = 'y' AND slot = 1)
+         |  SELECT CAST(round((${kk("x1", "x2")} + ${kk("y1", "y2")}
+         |      - ${kk("x1", "y2")} - ${kk("x2", "y1")}) * 1000000) AS BIGINT)
+         |    AS hq
+         |  FROM x0 JOIN x1 USING (p) JOIN y0 USING (p) JOIN y1 USING (p)) q"""
+        .stripMargin
+    block("null_md5",
+      """CASE WHEN ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+        | % 2 = 0 THEN 'x' ELSE 'y' END""".stripMargin.replace("\n", "")) +
+      "\nUNION ALL\n" +
+      block("label0_vs_rest",
+        "CASE WHEN label = 0 THEN 'x' ELSE 'y' END")
+  }
+
   // ---------------------------------------------------------------- E47
   /** Two-component Gaussian mixture via EM — the soft-clustering
     * capstone next to E8's hard kMeans and E33's supervised logistic:
@@ -2652,6 +2748,7 @@ object FeatureOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gmm_em" -> (qGmmEm _),
+    "q_mmd_drift" -> (qMmdDrift _),
     "q_cooks_distance" -> (qCooksDistance _),
     "q_cv_slope" -> (qCvSlope _),
     "q_bradley_terry" -> (qBradleyTerry _),
@@ -2688,6 +2785,7 @@ object FeatureOps {
 
   def oracle: Map[String, String] = Map(
     "q_gmm_em" -> qGmmEmSql,
+    "q_mmd_drift" -> qMmdDriftSql,
     "q_cooks_distance" -> qCooksDistanceSql,
     "q_cv_slope" -> qCvSlopeSql,
     "q_bradley_terry" -> qBradleyTerrySql,

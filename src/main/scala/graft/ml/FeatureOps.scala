@@ -2509,9 +2509,12 @@ object FeatureOps {
         "cast(0.0 as double), (acc, v) -> acc + v)") / 0.5)
     def mmdRow(tagged: DataFrame, name: String): DataFrame = {
       val w = Window.partitionBy(col("g")).orderBy(col("vec_id").asc)
+      // cached: four side-filters consume the same windowed frame —
+      // uncached each re-runs the scan + the g-window
       val idx = tagged.withColumn("i", row_number().over(w) - 1)
         .withColumn("p", (col("i") / 2).cast("long"))
         .withColumn("slot", col("i") % 2)
+        .cache()
       def side(g: String, slot: Int, as: String) = idx
         .filter(col("g") === g && col("slot") === slot)
         .select(col("p"), col("v").as(as))

@@ -242,7 +242,12 @@ class PlanSpec extends AnyFunSuite {
       // frame collapsing the user→arm chain to one instantiation)
       "q_ar2_forecast" -> 3, "q_bandit_ucb" -> 4, "q_dbscan" -> 2,
       "q_stupid_backoff" -> 8, "q_closeness" -> 1,
-      "q_propensity_match" -> 6)
+      "q_propensity_match" -> 6,
+      // fourth wave: q_gmm_em at 1 (three E-passes over one cached
+      // quantized column); q_mmd_drift pinned post-cache (10 → 2 —
+      // the windowed pairing frame now materializes once per split)
+      "q_doc_clusters" -> 7, "q_path_centrality" -> 7, "q_gmm_em" -> 1,
+      "q_blocking_quality" -> 3, "q_mmd_drift" -> 2)
     val failures = ceilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
       // count the EXECUTED adaptive plan (the Bench device): pre-AQE
       // the unmaterialized cache subtrees replay per consumer and the

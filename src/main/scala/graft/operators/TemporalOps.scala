@@ -2123,6 +2123,92 @@ object TemporalOps {
       |    > 12.592 AS serial_structure
       |FROM r""".stripMargin
 
+  // ---------------------------------------------------------------- F61
+  /** Tabular CUSUM control chart (Page 1954) — the third classic of
+    * the drift family: F34's changepoint locates a PAST break
+    * retrospectively, F49's Page–Hinkley monitors a mean drift with a
+    * decay dial, CUSUM is the standard two-sided control chart
+    * (S⁺/S⁻ accumulating excursions beyond a half-shift allowance k,
+    * alarm at h = 4σ) every SPC deployment runs. ENGINE-EXACT end to
+    * end: daily revenue centers as e_t = n·r_t − R (exact longs, the
+    * F53 device) whose sd is √V for the exact integer variance
+    * numerator V = nΣr² − R²; k = round(√V/2) and h = round(4·√V)
+    * are engine-exact because IEEE-754 sqrt is CORRECTLY ROUNDED
+    * (bit-identical in both engines — unlike ln/exp, which is why
+    * the ln-based operators quantize instead); the recursion
+    * S⁺_t = max(0, S⁺+e_t−k), S⁻_t = max(0, S⁻−e_t−k) is an ordered
+    * HOF fold in pure integers (the F48 Holt device, integer form),
+    * replayed by a recursive CTE in the oracle. Day-table-bounded
+    * after one corpus aggregate; every published cell an exact long
+    * or bool.
+    */
+  def qCusum(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("(ts DIV 1000000000) DIV 86400").cast("long").as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("rev"))
+    val d38 = "decimal(38,0)"
+    val tot = daily.agg(count(lit(1)).as("n"),
+      sum(col("rev").cast(d38)).as("r"),
+      sum((col("rev").cast(d38)) * col("rev")).as("q"))
+      .select(col("n"), col("r"),
+        (col("n") * col("q") - col("r") * col("r")).as("v"))
+      .select(col("n"), col("r"),
+        round(sqrt(col("v").cast("double")) / 2).cast("long").as("k"),
+        round(lit(4.0) * sqrt(col("v").cast("double"))).cast("long").as("h"))
+    val e = daily.crossJoin(broadcast(tot))
+      .select(col("day"), col("rev"),
+        (col("n") * col("rev") - col("r").cast(d38)).cast("long").as("e"),
+        col("k"), col("h"))
+    e.agg(max(col("k")).as("k"), max(col("h")).as("h"),
+        array_sort(collect_list(struct(col("day"), col("rev"), col("e"))))
+          .as("s"))
+      .select(col("k"), col("h"), explode(expr(
+        """aggregate(s,
+          |  named_struct('sp', cast(0 as bigint), 'sn', cast(0 as bigint),
+          |    'out', cast(array() as array<struct<day:bigint,rev:bigint,
+          |      sp:bigint,sn:bigint>>)),
+          |  (acc, x) -> named_struct(
+          |    'sp', greatest(cast(0 as bigint), acc.sp + x.e - k),
+          |    'sn', greatest(cast(0 as bigint), acc.sn - x.e - k),
+          |    'out', concat(acc.out, array(named_struct(
+          |      'day', x.day, 'rev', x.rev,
+          |      'sp', greatest(cast(0 as bigint), acc.sp + x.e - k),
+          |      'sn', greatest(cast(0 as bigint), acc.sn - x.e - k))))),
+          |  acc -> acc.out)""".stripMargin)).as("r0"))
+      .select(col("r0.day").as("day"), col("r0.rev").as("rev_cents"),
+        col("r0.sp").as("s_plus"), col("r0.sn").as("s_minus"),
+        (col("r0.sp") > col("h")).as("alarm_up"),
+        (col("r0.sn") > col("h")).as("alarm_down"))
+  }
+
+  val qCusumSql: String =
+    s"""WITH RECURSIVE daily AS (SELECT ($duckTsSec) // 86400 AS day,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |tot AS (SELECT count(*) AS n, sum(CAST(rev AS HUGEINT)) AS r,
+      |    count(*) * sum(CAST(rev AS HUGEINT) * rev)
+      |      - sum(CAST(rev AS HUGEINT)) * sum(CAST(rev AS HUGEINT)) AS v
+      |  FROM daily),
+      |kh AS (SELECT n, r,
+      |    CAST(round(sqrt(CAST(v AS DOUBLE)) / 2) AS BIGINT) AS k,
+      |    CAST(round(4.0 * sqrt(CAST(v AS DOUBLE))) AS BIGINT) AS h
+      |  FROM tot),
+      |idx AS (SELECT day, rev,
+      |    CAST(n * rev - r AS BIGINT) AS e,
+      |    CAST(row_number() OVER (ORDER BY day ASC) AS BIGINT) AS i
+      |  FROM daily, kh),
+      |cs(i, sp, sn) AS (
+      |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      |  UNION ALL
+      |  SELECT c.i + 1,
+      |    greatest(CAST(0 AS BIGINT), c.sp + x.e - kh.k),
+      |    greatest(CAST(0 AS BIGINT), c.sn - x.e - kh.k)
+      |  FROM cs c JOIN idx x ON x.i = c.i + 1, kh)
+      |SELECT x.day, x.rev AS rev_cents, c.sp AS s_plus, c.sn AS s_minus,
+      |  (c.sp > kh.h) AS alarm_up, (c.sn > kh.h) AS alarm_down
+      |FROM cs c JOIN idx x ON x.i = c.i, kh""".stripMargin
+
   // ---------------------------------------------------------------- F59
   /** AR(2) Yule–Walker fit + one-step forecast — the autoregressive
     * complement to F48's exponential smoothing: where Holt tracks
@@ -3240,6 +3326,7 @@ object TemporalOps {
     "q_hurst" -> (qHurst _),
     "q_ljung_box" -> (qLjungBox _),
     "q_ar2_forecast" -> (qAr2Forecast _),
+    "q_cusum" -> (qCusum _),
     "q_granger" -> (qGranger _),
     "q_stl_decompose" -> (qStlDecompose _),
     "q_rolling_corr" -> (qRollingCorr _),
@@ -3292,6 +3379,7 @@ object TemporalOps {
     "q_hurst" -> qHurstSql,
     "q_ljung_box" -> qLjungBoxSql,
     "q_ar2_forecast" -> qAr2ForecastSql,
+    "q_cusum" -> qCusumSql,
     "q_granger" -> qGrangerSql,
     "q_stl_decompose" -> qStlDecomposeSql,
     "q_rolling_corr" -> qRollingCorrSql,

@@ -1381,6 +1381,35 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q_cusum: the integer recursion recomposes and alarms match the 4-sigma band") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.TemporalOps.queries("q_cusum")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("day"))
+    val daily = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("(ts DIV 1000000000) DIV 86400").cast("long").as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("rev"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(rows.length == daily.length)
+    val n = daily.length
+    val r = daily.map(d => BigInt(d._2)).sum
+    val v = (BigInt(n) * daily.map(d => BigInt(d._2) * d._2).sum - r * r)
+    val k = math.round(math.sqrt(v.toDouble) / 2)
+    val h = math.round(4.0 * math.sqrt(v.toDouble))
+    var (sp, sn) = (0L, 0L)
+    daily.zip(rows).foreach { case ((day, rev), row) =>
+      val e = (BigInt(n) * rev - r).toLong
+      sp = math.max(0L, sp + e - k)
+      sn = math.max(0L, sn - e - k)
+      assert(row.getAs[Long]("day") == day)
+      assert(row.getAs[Long]("rev_cents") == rev)
+      assert(row.getAs[Long]("s_plus") == sp, s"sp($day)")
+      assert(row.getAs[Long]("s_minus") == sn, s"sn($day)")
+      assert(row.getAs[Boolean]("alarm_up") == (sp > h))
+      assert(row.getAs[Boolean]("alarm_down") == (sn > h))
+    }
+  }
+
   test("q_mmd_drift: linear-time MMD recomposes; null-true splits never fire") {
     import org.apache.spark.sql.functions._
     val rows = graft.ml.FeatureOps.queries("q_mmd_drift")(spark, sf)

@@ -1244,7 +1244,7 @@ object FeatureOps {
          |      + $wc.w3 * (CAST(x_f3 AS DOUBLE) / 1000000), 10)""".stripMargin
     def iter(i: Int): String = {
       val (wc, ec, wn) = (s"w$i", s"a$i", s"w${i + 1}")
-      s"""$ec AS (SELECT count(*) AS n_ev,
+      s"""$ec AS (SELECT count(*) AS n,
          |    sum(CAST(y * 1000000 - pq AS HUGEINT)) AS g0,
          |    sum(CAST(x_f1 * (y * 1000000 - pq) AS HUGEINT)) AS g1,
          |    sum(CAST(x_f2 * (y * 1000000 - pq) AS HUGEINT)) AS g2,

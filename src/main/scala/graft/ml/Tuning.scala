@@ -835,7 +835,90 @@ object Tuning {
        |  LEFT JOIN top USING (cluster), nd""".stripMargin
   }
 
+  // ---------------------------------------------------------------- E49
+  /** Clustering-agreement audit — Hubert–Arabie ADJUSTED Rand Index
+    * between the three partitions the engine holds over the SAME
+    * vectors (E8 kMeans, C23 DBSCAN, the generator's true labels),
+    * answering "do my unsupervised structures agree with each other
+    * and with ground truth, chance-corrected?" — the standard
+    * clustering model-selection readout. ENGINE-EXACT: ARI reduces
+    * entirely to pair counts — contingency cells n_ij, margins a_i /
+    * b_j, and the closed form
+    * (2·N₂·Σ_ij C(n_ij,2) − 2·Σa·Σb) / (N₂·(Σa+Σb) − 2·Σa·Σb)
+    * is a ratio of exact DECIMAL(38,0) integers to ONE 6-dp double
+    * division (no expected-index double intermediates at all).
+    * Convention: DBSCAN noise (cluster −1) is ONE group — documented,
+    * deterministic, and symmetric across engines. Contingency tables
+    * are (clusters × clusters)-bounded; the corpus contributes three
+    * assignment joins. Oracle replays kMeans from its persisted
+    * table, DBSCAN from its full CTE chain over the persisted IVF
+    * assignment, labels from the embeddings parquet.
+    */
+  def qClusteringAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val km = spark.table(KmeansStore.ensure(spark, dir))
+      .select(col("vec_id"), col("cluster").cast("long").as("km"))
+    val db = graft.operators.Dedup.qDbscan(spark, dir)
+      .select(col("vec_id"), col("cluster_id").as("db"))
+    val lb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("lb"))
+    val joined = km.join(db, "vec_id").join(lb, "vec_id").cache()
+    val d38 = "decimal(38,0)"
+    def c2(c: org.apache.spark.sql.Column) =
+      (c.cast(d38) * (c - 1) / 2).cast(d38)
+    def ari(p1: String, p2: String, name: String): DataFrame = {
+      val nij = joined.groupBy(col(p1), col(p2)).agg(count(lit(1)).as("nij"))
+        .agg(sum(c2(col("nij"))).as("sij"))
+      val ai = joined.groupBy(col(p1)).agg(count(lit(1)).as("a"))
+        .agg(sum(c2(col("a"))).as("sa"))
+      val bj = joined.groupBy(col(p2)).agg(count(lit(1)).as("b"))
+        .agg(sum(c2(col("b"))).as("sb"))
+      val n = joined.agg(count(lit(1)).as("n"))
+      nij.crossJoin(broadcast(ai)).crossJoin(broadcast(bj))
+        .crossJoin(broadcast(n))
+        .withColumn("n2", c2(col("n")))
+        .select(lit(name).as("pair"), col("n").as("n_vectors"),
+          col("sij").cast("long").as("agree_pairs"),
+          round((lit(2) * col("n2") * col("sij")
+              - lit(2) * col("sa") * col("sb")).cast("double") /
+            (col("n2") * (col("sa") + col("sb"))
+              - lit(2) * col("sa") * col("sb")).cast("double"), 6)
+            .as("ari"))
+    }
+    ari("km", "lb", "kmeans_vs_label")
+      .unionAll(ari("db", "lb", "dbscan_vs_label"))
+      .unionAll(ari("km", "db", "kmeans_vs_dbscan"))
+  }
+
+  private def clusteringAgreementSql(kmLoc: String, dbscanFull: String): String = {
+    def ariBlock(p1: String, p2: String, name: String) =
+      s"""SELECT '$name' AS pair, (SELECT count(*) FROM j) AS n_vectors,
+         |  CAST((SELECT sum(nij * (nij - 1) // 2) FROM
+         |    (SELECT count(*) AS nij FROM j GROUP BY $p1, $p2)) AS BIGINT)
+         |    AS agree_pairs,
+         |  round(CAST(2 * n2 * sij - 2 * sa * sb AS DOUBLE)
+         |    / CAST(n2 * (sa + sb) - 2 * sa * sb AS DOUBLE), 6) AS ari
+         |FROM (SELECT
+         |  (SELECT sum(CAST(nij AS HUGEINT) * (nij - 1) // 2) FROM
+         |    (SELECT count(*) AS nij FROM j GROUP BY $p1, $p2)) AS sij,
+         |  (SELECT sum(CAST(a AS HUGEINT) * (a - 1) // 2) FROM
+         |    (SELECT count(*) AS a FROM j GROUP BY $p1)) AS sa,
+         |  (SELECT sum(CAST(b AS HUGEINT) * (b - 1) // 2) FROM
+         |    (SELECT count(*) AS b FROM j GROUP BY $p2)) AS sb,
+         |  (SELECT CAST(count(*) AS HUGEINT) * (count(*) - 1) // 2 FROM j)
+         |    AS n2) t""".stripMargin
+    s"""WITH km AS (SELECT vec_id, CAST(cluster AS BIGINT) AS km
+       |  FROM read_parquet('$kmLoc/*.parquet')),
+       |dbs AS (SELECT vec_id, cluster_id AS db FROM ($dbscanFull) d),
+       |lb AS (SELECT vec_id, CAST(label AS BIGINT) AS lb FROM embeddings),
+       |j AS (SELECT km.km, dbs.db, lb.lb
+       |  FROM km JOIN dbs USING (vec_id) JOIN lb USING (vec_id))
+       |${ariBlock("km", "lb", "kmeans_vs_label")}
+       |UNION ALL ${ariBlock("db", "lb", "dbscan_vs_label")}
+       |UNION ALL ${ariBlock("km", "db", "kmeans_vs_dbscan")}""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_clustering_agreement" -> (qClusteringAgreement _),
     "q_doc_clusters" -> (qDocClusters _),
     "q_als_recommend" -> (qAlsRecommend _),
     "q_mllib_tuning" -> (qMllibTuning _),
@@ -853,6 +936,11 @@ object Tuning {
     Map("q_als_recommend" -> qAlsRecommendSql) ++
     Option(DocClusterStore.lastLoc.get)
       .map(loc => "q_doc_clusters" -> docClustersSql(loc)).toMap ++
+    (for {
+      km <- Option(KmeansStore.lastLoc.get)
+      asgPair <- Option(graft.operators.Similarity.IvfIndex.lastLoc.get)
+    } yield "q_clustering_agreement" -> clusteringAgreementSql(km,
+      graft.operators.Dedup.dbscanSql(asgPair._1))).toMap ++
     Option(KmeansStore.lastLoc.get)
       .map(loc => "q_kmeans" -> kmeansSql(loc)).toMap ++
     Option(KmeansStore.lastLoc.get)

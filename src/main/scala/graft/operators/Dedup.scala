@@ -1779,7 +1779,7 @@ object Dedup {
         coalesce(col("cl"), col("bcl"), lit(-1L)).as("cluster_id"))
   }
 
-  private def dbscanSql(asgDir: String): String =
+  private[graft] def dbscanSql(asgDir: String): String =
     raw"""WITH RECURSIVE
          |asg AS (SELECT vec_id, v, cell FROM read_parquet('$asgDir/*.parquet')),
          |pflat AS (SELECT x.vec_id AS id1, y.vec_id AS id2,

@@ -1381,6 +1381,44 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q_clustering_agreement: ARI recomposes from driver-side pair counting") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ml.Tuning.queries("q_clustering_agreement")(spark, sf)
+      .collect().map(r => r.getAs[String]("pair") -> r).toMap
+    assert(rows.keySet ==
+      Set("kmeans_vs_label", "dbscan_vs_label", "kmeans_vs_dbscan"))
+    val km = spark.table(graft.ml.Tuning.KmeansStore.ensure(spark, sf))
+      .select(col("vec_id"), col("cluster").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val db = graft.operators.Dedup.queries("q_dbscan")(spark, sf)
+      .select(col("vec_id"), col("cluster_id")).as[(Long, Long)].collect().toMap
+    val lb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    def ari(p1: Map[Long, Long], p2: Map[Long, Long]): (Long, Double) = {
+      val ids = p1.keySet.intersect(p2.keySet).toSeq
+      val n = BigInt(ids.length)
+      def c2(x: BigInt) = x * (x - 1) / 2
+      val sij = ids.groupBy(i => (p1(i), p2(i))).values
+        .map(g => c2(BigInt(g.length))).sum
+      val sa = ids.groupBy(p1).values.map(g => c2(BigInt(g.length))).sum
+      val sb = ids.groupBy(p2).values.map(g => c2(BigInt(g.length))).sum
+      val n2 = c2(n)
+      (sij.toLong,
+        (2 * n2 * sij - 2 * sa * sb).toDouble /
+          (n2 * (sa + sb) - 2 * sa * sb).toDouble)
+    }
+    Seq(("kmeans_vs_label", km, lb), ("dbscan_vs_label", db, lb),
+      ("kmeans_vs_dbscan", km, db)).foreach { case (name, p1, p2) =>
+      val (sij, a) = ari(p1, p2)
+      val r = rows(name)
+      assert(r.getAs[Long]("n_vectors") == km.size.toLong)
+      assert(r.getAs[Long]("agree_pairs") == sij, s"$name pairs")
+      assert(math.abs(r.getAs[Double]("ari") - a) < 1e-5,
+        s"$name ari ${r.getAs[Double]("ari")} vs brute $a")
+    }
+  }
+
   test("q_cusum: the integer recursion recomposes and alarms match the 4-sigma band") {
     import org.apache.spark.sql.functions._
     val rows = graft.operators.TemporalOps.queries("q_cusum")(spark, sf)

@@ -2123,7 +2123,7 @@ object TemporalOps {
       |    > 12.592 AS serial_structure
       |FROM r""".stripMargin
 
-  // ---------------------------------------------------------------- F61
+  // ---------------------------------------------------------------- F68
   /** Tabular CUSUM control chart (Page 1954) — the third classic of
     * the drift family: F34's changepoint locates a PAST break
     * retrospectively, F49's Page–Hinkley monitors a mean drift with a
@@ -2209,7 +2209,7 @@ object TemporalOps {
       |  (c.sp > kh.h) AS alarm_up, (c.sn > kh.h) AS alarm_down
       |FROM cs c JOIN idx x ON x.i = c.i, kh""".stripMargin
 
-  // ---------------------------------------------------------------- F59
+  // ---------------------------------------------------------------- F66
   /** AR(2) Yule–Walker fit + one-step forecast — the autoregressive
     * complement to F48's exponential smoothing: where Holt tracks
     * level/trend, AR(2) captures OSCILLATORY persistence (φ₂ < 0 is a

@@ -831,7 +831,7 @@ object EventStream {
       n_conversions: Long, posterior_mean: Double, ucb1: Double,
       rank: Long, play_next: Boolean)
 
-  /** F60: STREAMING twin of the batch UCB1 bandit audit (L42) — the
+  /** F67: STREAMING twin of the batch UCB1 bandit audit (L42) — the
     * bandit run where bandits belong, on the arriving conversion
     * stream, re-ranking arms every micro-batch so the router can
     * shift traffic WHILE the experiment runs instead of after it.

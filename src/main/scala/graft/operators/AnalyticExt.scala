@@ -995,6 +995,99 @@ object AnalyticExt {
     * textbook continuity correction (S∓1) and rounds at the 6-dp
     * publish boundary. 1 output row with the directional verdict.
     */
+  // ---------------------------------------------------------------- A47
+  /** Seasonal Mann–Kendall (Hirsch & Slack 1984) — the trend test a
+    * seasonal series actually needs: A42's plain MK on daily counts
+    * confounds trend with seasonality (a strong annual cycle reads as
+    * "trend" or masks one); the seasonal form runs MK WITHIN each
+    * calendar month across years and sums the per-season S and Var(S)
+    * — seasonal comparisons never cross seasons, so the cycle cancels
+    * exactly. All-integer device (the A42 machinery per season):
+    * per-season S_g from sign comparisons of yearly order counts,
+    * Var_g from the tie-corrected closed form, Σ over 12 bounded
+    * seasons, ONE division for z (continuity-corrected). Emits the
+    * 12 per-season rows PLUS a `__total__` row from the SAME
+    * aggregates (the K31 union device — breakdown and headline can
+    * never drift). Series-table-bounded after one corpus aggregate.
+    */
+  def qSeasonalMk(spark: SparkSession, dir: String): DataFrame = {
+    val byYm = Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"))
+      .agg(count(lit(1)).as("n"))
+    val pairs = byYm.select(col("mo"), col("yr").as("y1"), col("n").as("n1"))
+      .join(broadcast(byYm.select(col("mo"), col("yr").as("y2"),
+        col("n").as("n2"))), Seq("mo"))
+      .filter(col("y1") < col("y2"))
+    val sG = pairs.groupBy(col("mo")).agg(
+      (sum(when(col("n2") > col("n1"), 1L).otherwise(0L)) -
+        sum(when(col("n2") < col("n1"), 1L).otherwise(0L))).as("s_g"))
+    val tiesG = byYm.groupBy(col("mo"), col("n"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("mo"))
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
+        .cast("long").as("tsum"),
+        sum(col("t")).cast("long").as("n_years"))
+    val perSeason = sG.join(tiesG, Seq("mo"))
+      .withColumn("var18",
+        col("n_years") * (col("n_years") - 1) * (lit(2) * col("n_years") + 5)
+          - col("tsum"))
+    val tot = perSeason.agg(sum(col("s_g")).as("s_g"),
+      sum(col("var18")).as("var18"), sum(col("n_years")).as("n_years"))
+      .withColumn("mo", lit(-1L))
+    val all = perSeason.select(col("mo"), col("s_g"), col("var18"),
+        col("n_years"))
+      .unionAll(tot.select(col("mo"), col("s_g"), col("var18"),
+        col("n_years")))
+    val varS = col("var18").cast("double") / 18
+    val z0 = col("s_g").cast("double") - signum(col("s_g"))
+    all.select(
+        when(col("mo") === -1, "__total__")
+          .otherwise(lpad(col("mo").cast("string"), 2, "0")).as("season"),
+        col("n_years"), col("s_g").as("s_stat"),
+        round(varS, 6).as("var_s"),
+        when(varS <= 0, lit(null).cast("double"))
+          .otherwise(round(z0 / sqrt(varS), 6)).as("z"))
+      .withColumn("trend",
+        when(col("z").isNull || abs(col("z")) <= 1.96, "none")
+          .when(col("z") > 0, "increasing").otherwise("decreasing"))
+  }
+
+  val qSeasonalMkSql: String =
+    """WITH byym AS (SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+      |    CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mo,
+      |    count(*) AS n
+      |  FROM orders GROUP BY 1, 2),
+      |sg AS (SELECT a.mo,
+      |    CAST(sum(CASE WHEN b.n > a.n THEN 1 ELSE 0 END)
+      |      - sum(CASE WHEN b.n < a.n THEN 1 ELSE 0 END) AS BIGINT) AS s_g
+      |  FROM byym a JOIN byym b ON a.mo = b.mo AND a.yr < b.yr
+      |  GROUP BY 1),
+      |tg AS (SELECT mo,
+      |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tsum,
+      |    CAST(sum(t) AS BIGINT) AS n_years
+      |  FROM (SELECT mo, count(*) AS t FROM byym GROUP BY mo, n)
+      |  GROUP BY 1),
+      |per AS (SELECT sg.mo, sg.s_g, tg.n_years,
+      |    tg.n_years * (tg.n_years - 1) * (2 * tg.n_years + 5) - tg.tsum
+      |      AS var18
+      |  FROM sg JOIN tg USING (mo)),
+      |allr AS (SELECT mo, s_g, var18, n_years FROM per
+      |  UNION ALL SELECT CAST(-1 AS BIGINT), CAST(sum(s_g) AS BIGINT),
+      |    CAST(sum(var18) AS BIGINT), CAST(sum(n_years) AS BIGINT) FROM per),
+      |zz AS (SELECT mo, n_years, s_g,
+      |    round(CAST(var18 AS DOUBLE) / 18, 6) AS var_s,
+      |    CASE WHEN CAST(var18 AS DOUBLE) / 18 <= 0 THEN CAST(NULL AS DOUBLE)
+      |      ELSE round((CAST(s_g AS DOUBLE) - sign(s_g))
+      |        / sqrt(CAST(var18 AS DOUBLE) / 18), 6) END AS z
+      |  FROM allr)
+      |SELECT CASE WHEN mo = -1 THEN '__total__'
+      |    ELSE lpad(CAST(mo AS VARCHAR), 2, '0') END AS season,
+      |  n_years, s_g AS s_stat, var_s, z,
+      |  CASE WHEN z IS NULL OR abs(z) <= 1.96 THEN 'none'
+      |    WHEN z > 0 THEN 'increasing' ELSE 'decreasing' END AS trend
+      |FROM zz""".stripMargin
+
   def qMannKendall(spark: SparkSession, dir: String): DataFrame = {
     val byDay = Tables.orders(spark, dir)
       .groupBy(datediff(col("o_orderdate").cast("date"),
@@ -1529,6 +1622,7 @@ object AnalyticExt {
     "q_spearman" -> (qSpearman _),
     "q_kendall_tau" -> (qKendallTau _),
     "q_mann_kendall" -> (qMannKendall _),
+    "q_seasonal_mk" -> (qSeasonalMk _),
     "q_assoc_rules" -> (qAssocRules _),
     "q_rfm_segments" -> (qRfmSegments _),
     "q_blame_supplier" -> (qBlameSupplier _),
@@ -1558,6 +1652,7 @@ object AnalyticExt {
     "q_spearman" -> qSpearmanSql,
     "q_kendall_tau" -> qKendallTauSql,
     "q_mann_kendall" -> qMannKendallSql,
+    "q_seasonal_mk" -> qSeasonalMkSql,
     "q_cross_corr" -> qCrossCorrSql,
     "q_assoc_rules" -> qAssocRulesSql,
     "q_rfm_segments" -> qRfmSegmentsSql,

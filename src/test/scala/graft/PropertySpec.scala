@@ -1381,6 +1381,46 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q_seasonal_mk: per-season S and Var recompose; total is the season fold") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.AnalyticExt.queries("q_seasonal_mk")(spark, sf)
+      .collect().map(r => r.getAs[String]("season") -> r).toMap
+    val byYm = Tables.orders(spark, sf)
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"))
+      .agg(count(lit(1)).as("n"))
+      .as[(Long, Long, Long)].collect()
+    val perSeason = byYm.groupBy(_._2).map { case (mo, g) =>
+      val series = g.sortBy(_._1).map(_._3)
+      val s = (for (i <- series.indices; j <- (i + 1) until series.length)
+        yield java.lang.Long.compare(series(j), series(i)).sign.toLong).sum
+      val ties = series.groupBy(identity).values.map(_.length.toLong)
+      val tsum = ties.map(t => t * (t - 1) * (2 * t + 5)).sum
+      val ny = series.length.toLong
+      (mo, s, ny * (ny - 1) * (2 * ny + 5) - tsum, ny)
+    }.toSeq
+    perSeason.foreach { case (mo, s, v18, ny) =>
+      val r = rows(f"$mo%02d")
+      assert(r.getAs[Long]("s_stat") == s, s"S($mo)")
+      assert(r.getAs[Long]("n_years") == ny)
+      assert(math.abs(r.getAs[Double]("var_s") - v18.toDouble / 18) < 1e-6)
+    }
+    val t = rows("__total__")
+    assert(t.getAs[Long]("s_stat") == perSeason.map(_._2).sum)
+    assert(math.abs(t.getAs[Double]("var_s") -
+      perSeason.map(_._3).sum.toDouble / 18) < 1e-6)
+    rows.values.foreach { r =>
+      val z = Option(r.getAs[java.lang.Double]("z")).map(_.toDouble)
+      val expect = z match {
+        case None => "none"
+        case Some(v) if math.abs(v) <= 1.96 => "none"
+        case Some(v) if v > 0 => "increasing"
+        case _ => "decreasing"
+      }
+      assert(r.getAs[String]("trend") == expect)
+    }
+  }
+
   test("q_clustering_agreement: ARI recomposes from driver-side pair counting") {
     import org.apache.spark.sql.functions._
     val rows = graft.ml.Tuning.queries("q_clustering_agreement")(spark, sf)

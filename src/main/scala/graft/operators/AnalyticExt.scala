@@ -995,6 +995,90 @@ object AnalyticExt {
     * textbook continuity correction (S∓1) and rounds at the 6-dp
     * publish boundary. 1 output row with the directional verdict.
     */
+  // ---------------------------------------------------------------- A48
+  /** Partial correlation — the confounder-controlled version of A16's
+    * raw correlations: r(x,y | z) = (r_xy − r_xz·r_yz) /
+    * √((1−r_xz²)(1−r_yz²)) answers "does quantity correlate with
+    * revenue BEYOND what discount explains?" — the one-line causal
+    * sanity check run before any regression. ENGINE-EXACT inputs:
+    * all three variables lift to exact integers (quantity, price
+    * cents, discount percent), the full 3-variable moment matrix is
+    * ONE exact DECIMAL(38,0) aggregate, and every correlation /
+    * the partial form is a FIXED-ORDER double expression over those
+    * decimals (sqrt is IEEE-correctly-rounded, so identical inputs
+    * give identical outputs — the F68 rule). Degenerate variance
+    * publishes null, never a divide error. One corpus scan, 1 row.
+    */
+  def qPartialCorr(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val rows = Tables.lineitem(spark, dir).select(
+      col("l_quantity").cast("long").as("x"),
+      round(col("l_extendedprice") * 100).cast("long").as("y"),
+      round(col("l_discount") * 100).cast("long").as("z"))
+    def dsum(c: org.apache.spark.sql.Column) = sum(c.cast(d38))
+    val mom = rows.agg(count(lit(1)).as("n"),
+      dsum(col("x")).as("sx"), dsum(col("y")).as("sy"), dsum(col("z")).as("sz"),
+      dsum(col("x") * col("x")).as("sxx"), dsum(col("y") * col("y")).as("syy"),
+      dsum(col("z") * col("z")).as("szz"), dsum(col("x") * col("y")).as("sxy"),
+      dsum(col("x") * col("z")).as("sxz"), dsum(col("y") * col("z")).as("syz"))
+    def cv(sab: String, sa: String, sb: String) =
+      (col("n") * col(sab) - col(sa) * col(sb)).cast("double")
+    val (cxx, cyy, czz) =
+      (cv("sxx", "sx", "sx"), cv("syy", "sy", "sy"), cv("szz", "sz", "sz"))
+    val rxy = cv("sxy", "sx", "sy") / sqrt(cxx * cyy)
+    val rxz = cv("sxz", "sx", "sz") / sqrt(cxx * czz)
+    val ryz = cv("syz", "sy", "sz") / sqrt(cyy * czz)
+    val part = (rxy - rxz * ryz) /
+      sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz))
+    mom.select(col("n").as("n_rows"),
+      when(cxx <= 0 || cyy <= 0, lit(null).cast("double"))
+        .otherwise(round(rxy, 6)).as("r_qty_price"),
+      when(cxx <= 0 || czz <= 0, lit(null).cast("double"))
+        .otherwise(round(rxz, 6)).as("r_qty_disc"),
+      when(cyy <= 0 || czz <= 0, lit(null).cast("double"))
+        .otherwise(round(ryz, 6)).as("r_price_disc"),
+      when(cxx <= 0 || cyy <= 0 || czz <= 0, lit(null).cast("double"))
+        .otherwise(round(part, 6)).as("r_partial"))
+      .withColumn("discount_explains",
+        coalesce(abs(col("r_partial")) < abs(col("r_qty_price")) / 2,
+          lit(false)))
+  }
+
+  val qPartialCorrSql: String = {
+    def cv(sab: String, sa: String, sb: String) =
+      s"CAST(n * $sab - $sa * $sb AS DOUBLE)"
+    val rxy = s"(${cv("sxy", "sx", "sy")} / sqrt(${cv("sxx", "sx", "sx")} * ${cv("syy", "sy", "sy")}))"
+    val rxz = s"(${cv("sxz", "sx", "sz")} / sqrt(${cv("sxx", "sx", "sx")} * ${cv("szz", "sz", "sz")}))"
+    val ryz = s"(${cv("syz", "sy", "sz")} / sqrt(${cv("syy", "sy", "sy")} * ${cv("szz", "sz", "sz")}))"
+    s"""WITH r0 AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+      |    CAST(round(l_discount * 100) AS BIGINT) AS z
+      |  FROM lineitem),
+      |mom AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+      |    sum(CAST(z AS HUGEINT)) AS sz,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx, sum(CAST(y AS HUGEINT) * y) AS syy,
+      |    sum(CAST(z AS HUGEINT) * z) AS szz, sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |    sum(CAST(x AS HUGEINT) * z) AS sxz, sum(CAST(y AS HUGEINT) * z) AS syz
+      |  FROM r0),
+      |res AS (SELECT CAST(n AS BIGINT) AS n_rows,
+      |    CASE WHEN ${cv("sxx", "sx", "sx")} <= 0 OR ${cv("syy", "sy", "sy")} <= 0
+      |      THEN CAST(NULL AS DOUBLE) ELSE round($rxy, 6) END AS r_qty_price,
+      |    CASE WHEN ${cv("sxx", "sx", "sx")} <= 0 OR ${cv("szz", "sz", "sz")} <= 0
+      |      THEN CAST(NULL AS DOUBLE) ELSE round($rxz, 6) END AS r_qty_disc,
+      |    CASE WHEN ${cv("syy", "sy", "sy")} <= 0 OR ${cv("szz", "sz", "sz")} <= 0
+      |      THEN CAST(NULL AS DOUBLE) ELSE round($ryz, 6) END AS r_price_disc,
+      |    CASE WHEN ${cv("sxx", "sx", "sx")} <= 0 OR ${cv("syy", "sy", "sy")} <= 0
+      |        OR ${cv("szz", "sz", "sz")} <= 0 THEN CAST(NULL AS DOUBLE)
+      |      ELSE round(($rxy - $rxz * $ryz)
+      |        / sqrt((1.0 - $rxz * $rxz) * (1.0 - $ryz * $ryz)), 6) END
+      |      AS r_partial
+      |  FROM mom)
+      |SELECT *, coalesce(abs(r_partial) < abs(r_qty_price) / 2, false)
+      |    AS discount_explains
+      |FROM res""".stripMargin
+  }
+
   // ---------------------------------------------------------------- A47
   /** Seasonal Mann–Kendall (Hirsch & Slack 1984) — the trend test a
     * seasonal series actually needs: A42's plain MK on daily counts
@@ -1623,6 +1707,7 @@ object AnalyticExt {
     "q_kendall_tau" -> (qKendallTau _),
     "q_mann_kendall" -> (qMannKendall _),
     "q_seasonal_mk" -> (qSeasonalMk _),
+    "q_partial_corr" -> (qPartialCorr _),
     "q_assoc_rules" -> (qAssocRules _),
     "q_rfm_segments" -> (qRfmSegments _),
     "q_blame_supplier" -> (qBlameSupplier _),
@@ -1653,6 +1738,7 @@ object AnalyticExt {
     "q_kendall_tau" -> qKendallTauSql,
     "q_mann_kendall" -> qMannKendallSql,
     "q_seasonal_mk" -> qSeasonalMkSql,
+    "q_partial_corr" -> qPartialCorrSql,
     "q_cross_corr" -> qCrossCorrSql,
     "q_assoc_rules" -> qAssocRulesSql,
     "q_rfm_segments" -> qRfmSegmentsSql,

@@ -1381,6 +1381,38 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q_partial_corr: raw and partial correlations recompose from exact moments") {
+    import org.apache.spark.sql.functions._
+    val r = graft.operators.AnalyticExt.queries("q_partial_corr")(spark, sf)
+      .collect().head
+    val rows = Tables.lineitem(spark, sf).select(
+      col("l_quantity").cast("long"),
+      round(col("l_extendedprice") * 100).cast("long"),
+      round(col("l_discount") * 100).cast("long"))
+      .as[(Long, Long, Long)].collect()
+    val n = BigInt(rows.length)
+    def s(f: ((Long, Long, Long)) => BigInt) = rows.map(f).sum
+    val (sx, sy, sz) = (s(t => BigInt(t._1)), s(t => BigInt(t._2)), s(t => BigInt(t._3)))
+    def cov(sab: BigInt, sa: BigInt, sb: BigInt) = (n * sab - sa * sb).toDouble
+    val cxx = cov(s(t => BigInt(t._1) * t._1), sx, sx)
+    val cyy = cov(s(t => BigInt(t._2) * t._2), sy, sy)
+    val czz = cov(s(t => BigInt(t._3) * t._3), sz, sz)
+    val rxy = cov(s(t => BigInt(t._1) * t._2), sx, sy) / math.sqrt(cxx * cyy)
+    val rxz = cov(s(t => BigInt(t._1) * t._3), sx, sz) / math.sqrt(cxx * czz)
+    val ryz = cov(s(t => BigInt(t._2) * t._3), sy, sz) / math.sqrt(cyy * czz)
+    val part = (rxy - rxz * ryz) /
+      math.sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))
+    assert(r.getAs[Long]("n_rows") == rows.length.toLong)
+    assert(math.abs(r.getAs[Double]("r_qty_price") - rxy) < 1e-5)
+    assert(math.abs(r.getAs[Double]("r_qty_disc") - rxz) < 1e-5)
+    assert(math.abs(r.getAs[Double]("r_price_disc") - ryz) < 1e-5)
+    assert(math.abs(r.getAs[Double]("r_partial") - part) < 1e-5,
+      s"partial ${r.getAs[Double]("r_partial")} vs brute $part")
+    assert(r.getAs[Boolean]("discount_explains") ==
+      (math.abs(r.getAs[Double]("r_partial")) <
+        math.abs(r.getAs[Double]("r_qty_price")) / 2))
+  }
+
   test("q_seasonal_mk: per-season S and Var recompose; total is the season fold") {
     import org.apache.spark.sql.functions._
     val rows = graft.operators.AnalyticExt.queries("q_seasonal_mk")(spark, sf)

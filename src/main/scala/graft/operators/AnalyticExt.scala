@@ -1095,10 +1095,13 @@ object AnalyticExt {
     * never drift). Series-table-bounded after one corpus aggregate.
     */
   def qSeasonalMk(spark: SparkSession, dir: String): DataFrame = {
+    // ≤ (years × 12) rows, three consumers (both pair sides + ties):
+    // cached so the corpus aggregates once
     val byYm = Tables.orders(spark, dir)
       .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
         month(col("o_orderdate")).cast("long").as("mo"))
       .agg(count(lit(1)).as("n"))
+      .cache()
     val pairs = byYm.select(col("mo"), col("yr").as("y1"), col("n").as("n1"))
       .join(broadcast(byYm.select(col("mo"), col("yr").as("y2"),
         col("n").as("n2"))), Seq("mo"))

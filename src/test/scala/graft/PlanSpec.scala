@@ -248,7 +248,10 @@ class PlanSpec extends AnyFunSuite {
       // the windowed pairing frame now materializes once per split)
       "q_doc_clusters" -> 7, "q_path_centrality" -> 7, "q_gmm_em" -> 1,
       "q_blocking_quality" -> 3, "q_mmd_drift" -> 2, "q_cusum" -> 4,
-      "q_clustering_agreement" -> 4)
+      "q_clustering_agreement" -> 4,
+      // fifth wave: q_seasonal_mk pinned post-cache (8 → 2 — the
+      // 84-row month table aggregates once for its three consumers)
+      "q_seasonal_mk" -> 2, "q_partial_corr" -> 1)
     val failures = ceilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
       // count the EXECUTED adaptive plan (the Bench device): pre-AQE
       // the unmaterialized cache subtrees replay per consumer and the

@@ -3727,7 +3727,114 @@ object Validation {
       |ORDER BY CAST(cq AS HUGEINT) * cd * cp ASC, l_orderkey ASC, l_linenumber ASC
       |LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- L46
+  /** Blinder–Oaxaca decomposition (1973) — the gap-accounting answer
+    * the raw group difference (L23's Welch test) cannot give: HOW MUCH
+    * of the AUTOMOBILE-vs-rest spend gap is explained by customers
+    * simply ordering more (the endowment x), and how much is a
+    * segment-specific return difference? Two-fold form with the
+    * pooled-β reference: explained = β_pool·(x̄_A − x̄_B),
+    * unexplained = gap − explained. ENGINE-EXACT machinery: per-group
+    * and pooled single-regressor fits are closed-form ratios of ONE
+    * exact DECIMAL(38,0) moment aggregate (x = order count, y = spend
+    * cents — both exact integers); every β, mean, and component is a
+    * FIXED-ORDER double expression over those decimals, published at
+    * 6 dp in dollars. One orders scan + one customer join, 1 row.
+    */
+  def qOaxaca(spark: SparkSession, dir: String): DataFrame = {
+    val pc = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("x"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("y"))
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey").as("o_custkey"),
+          when(col("c_mktsegment") === "AUTOMOBILE", "a").otherwise("b")
+            .as("g")), Seq("o_custkey"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val mom = pc.groupBy(col("g")).agg(count(lit(1)).as("n"),
+      sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+      sum(dec(col("x") * col("x"))).as("sxx"),
+      sum(dec(col("x") * col("y"))).as("sxy"))
+    def gcol(g: String, c: String) = max(when(col("g") === g, col(c)))
+    val wide = mom.agg(
+      gcol("a", "n").as("na"), gcol("b", "n").as("nb"),
+      gcol("a", "sx").as("sxa"), gcol("b", "sx").as("sxb"),
+      gcol("a", "sy").as("sya"), gcol("b", "sy").as("syb"),
+      gcol("a", "sxx").as("sxxa"), gcol("b", "sxx").as("sxxb"),
+      gcol("a", "sxy").as("sxya"), gcol("b", "sxy").as("sxyb"))
+    val bPool = ((col("na") + col("nb")) * (col("sxya") + col("sxyb"))
+        - (col("sxa") + col("sxb")) * (col("sya") + col("syb")))
+      .cast("double") /
+      ((col("na") + col("nb")) * (col("sxxa") + col("sxxb"))
+        - (col("sxa") + col("sxb")) * (col("sxa") + col("sxb")))
+      .cast("double")
+    def beta(sfx: String) =
+      (col(s"n$sfx") * col(s"sxy$sfx") - col(s"sx$sfx") * col(s"sy$sfx"))
+        .cast("double") /
+        (col(s"n$sfx") * col(s"sxx$sfx") - col(s"sx$sfx") * col(s"sx$sfx"))
+          .cast("double")
+    // operators at LINE END: a leading "- col(...)" on its own line
+    // parses as a discarded unary statement and silently drops the
+    // subtrahend
+    val gap = col("sya").cast("double") / col("na") -
+      col("syb").cast("double") / col("nb")
+    val dx = col("sxa").cast("double") / col("na") -
+      col("sxb").cast("double") / col("nb")
+    wide.select(
+      col("na").cast("long").as("n_auto"), col("nb").cast("long").as("n_rest"),
+      round(gap / 100.0, 6).as("spend_gap_dollars"),
+      round(bPool * dx / 100.0, 6).as("explained_dollars"),
+      round((gap - bPool * dx) / 100.0, 6).as("unexplained_dollars"),
+      round(beta("a") / 100.0, 6).as("beta_auto_dollars_per_order"),
+      round(beta("b") / 100.0, 6).as("beta_rest_dollars_per_order"))
+      .withColumn("mostly_endowment",
+        abs(col("explained_dollars")) > abs(col("unexplained_dollars")))
+  }
+
+  val qOaxacaSql: String = {
+    val bPool =
+      """(CAST((na + nb) * (sxya + sxyb) - (sxa + sxb) * (sya + syb) AS DOUBLE)
+        | / CAST((na + nb) * (sxxa + sxxb) - (sxa + sxb) * (sxa + sxb) AS DOUBLE))"""
+        .stripMargin.replace("\n", "")
+    def beta(s: String) =
+      s"(CAST(n$s * sxy$s - sx$s * sy$s AS DOUBLE) / CAST(n$s * sxx$s - sx$s * sx$s AS DOUBLE))"
+    val gap = "(CAST(sya AS DOUBLE) / na - CAST(syb AS DOUBLE) / nb)"
+    val dx = "(CAST(sxa AS DOUBLE) / na - CAST(sxb AS DOUBLE) / nb)"
+    s"""WITH pc AS (SELECT o.o_custkey, count(*) AS x,
+      |    CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y,
+      |    CASE WHEN c.c_mktsegment = 'AUTOMOBILE' THEN 'a' ELSE 'b' END AS g
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 4),
+      |mom AS (SELECT g, CAST(count(*) AS HUGEINT) AS n,
+      |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx, sum(CAST(x AS HUGEINT) * y) AS sxy
+      |  FROM pc GROUP BY 1),
+      |wide AS (SELECT
+      |    max(CASE WHEN g = 'a' THEN n END) AS na,
+      |    max(CASE WHEN g = 'b' THEN n END) AS nb,
+      |    max(CASE WHEN g = 'a' THEN sx END) AS sxa,
+      |    max(CASE WHEN g = 'b' THEN sx END) AS sxb,
+      |    max(CASE WHEN g = 'a' THEN sy END) AS sya,
+      |    max(CASE WHEN g = 'b' THEN sy END) AS syb,
+      |    max(CASE WHEN g = 'a' THEN sxx END) AS sxxa,
+      |    max(CASE WHEN g = 'b' THEN sxx END) AS sxxb,
+      |    max(CASE WHEN g = 'a' THEN sxy END) AS sxya,
+      |    max(CASE WHEN g = 'b' THEN sxy END) AS sxyb
+      |  FROM mom),
+      |res AS (SELECT CAST(na AS BIGINT) AS n_auto, CAST(nb AS BIGINT) AS n_rest,
+      |    round($gap / 100.0, 6) AS spend_gap_dollars,
+      |    round($bPool * $dx / 100.0, 6) AS explained_dollars,
+      |    round(($gap - $bPool * $dx) / 100.0, 6) AS unexplained_dollars,
+      |    round(${beta("a")} / 100.0, 6) AS beta_auto_dollars_per_order,
+      |    round(${beta("b")} / 100.0, 6) AS beta_rest_dollars_per_order
+      |  FROM wide)
+      |SELECT *, (abs(explained_dollars) > abs(unexplained_dollars))
+      |    AS mostly_endowment
+      |FROM res""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_oaxaca" -> (qOaxaca _),
     "q_hbos" -> (qHbos _),
     "q_fdr_by" -> (qFdrBy _),
     "q_propensity_match" -> (qPropensityMatch _),
@@ -3780,6 +3887,7 @@ object Validation {
     "q_bandit_ucb" -> qBanditUcbSql,
     "q_propensity_match" -> qPropensityMatchSql,
     "q_hbos" -> qHbosSql,
+    "q_oaxaca" -> qOaxacaSql,
     "q_fdr_by" -> qFdrBySql,
     "q_cronbach_alpha" -> qCronbachAlphaSql,
     "q_mahalanobis" -> qMahalanobisSql,

@@ -1381,6 +1381,43 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q_oaxaca: gap decomposition recomposes and the components are additive") {
+    import org.apache.spark.sql.functions._
+    val r = graft.operators.Validation.queries("q_oaxaca")(spark, sf)
+      .collect().head
+    val pc = Tables.orders(spark, sf).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("x"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("y"))
+      .join(Tables.customer(spark, sf)
+        .select(col("c_custkey").as("o_custkey"),
+          (col("c_mktsegment") === "AUTOMOBILE").as("auto")), Seq("o_custkey"))
+      .as[(Long, Long, Long, Boolean)].collect()
+    val (ga, gb) = pc.partition(_._4)
+    def beta(g: Array[(Long, Long, Long, Boolean)]): Double = {
+      val n = BigInt(g.length)
+      val (sx, sy) = (g.map(t => BigInt(t._2)).sum, g.map(t => BigInt(t._3)).sum)
+      val (sxx, sxy) = (g.map(t => BigInt(t._2) * t._2).sum,
+        g.map(t => BigInt(t._2) * t._3).sum)
+      (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    }
+    val gap = ga.map(_._3).sum.toDouble / ga.length -
+      gb.map(_._3).sum.toDouble / gb.length
+    val dx = ga.map(_._2).sum.toDouble / ga.length -
+      gb.map(_._2).sum.toDouble / gb.length
+    val bPool = beta(pc)
+    assert(r.getAs[Long]("n_auto") == ga.length.toLong)
+    assert(r.getAs[Long]("n_rest") == gb.length.toLong)
+    assert(math.abs(r.getAs[Double]("spend_gap_dollars") - gap / 100) < 1e-3,
+      s"gap ${r.getAs[Double]("spend_gap_dollars")} vs brute ${gap / 100}")
+    assert(math.abs(r.getAs[Double]("explained_dollars") - bPool * dx / 100) < 1e-3)
+    assert(math.abs(r.getAs[Double]("beta_auto_dollars_per_order") - beta(ga) / 100) < 1e-3)
+    assert(math.abs(r.getAs[Double]("beta_rest_dollars_per_order") - beta(gb) / 100) < 1e-3)
+    // the decomposition is additive: gap = explained + unexplained
+    assert(math.abs(r.getAs[Double]("spend_gap_dollars") -
+      (r.getAs[Double]("explained_dollars") +
+        r.getAs[Double]("unexplained_dollars"))) < 1e-5)
+  }
+
   test("q_partial_corr: raw and partial correlations recompose from exact moments") {
     import org.apache.spark.sql.functions._
     val r = graft.operators.AnalyticExt.queries("q_partial_corr")(spark, sf)

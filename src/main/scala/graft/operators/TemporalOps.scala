@@ -1227,8 +1227,15 @@ object TemporalOps {
     * a hashed cell. Windows and aggregates run over the bounded day
     * table (PlanSpec-exempt, the q_changepoint class); output =
     * full-window days.
+    *
+    * r15: the headline publish drops its one DECIMAL cell (rev
+    * DECIMAL(18,2) → rev_c exact cents BIGINT) — see qBollinger's
+    * r15 note for the driver-canonicalization evidence — and the
+    * single-double bisect variants q_stl_trend / q_stl_seasonal /
+    * q_stl_remainder give the driver one verdict bit per published
+    * double so a diverging cell type localizes in one round.
     */
-  def qStlDecompose(spark: SparkSession, dir: String): DataFrame = {
+  private def stlFrame(spark: SparkSession, dir: String): DataFrame = {
     val byDay = Tables.orders(spark, dir)
       .groupBy(datediff(col("o_orderdate").cast("date"),
         lit("1970-01-01").cast("date")).cast("long").as("day"))
@@ -1254,19 +1261,43 @@ object TemporalOps {
     // NOT correctly rounded above 2^53 (measured: ~1% of values off by
     // one ulp; Spark's BigInteger path is exact-nearest both signs) —
     // cast the magnitude, negate the double (negation is exact)
-    def sd(c: String) = expr(
-      s"CASE WHEN $c >= 0 THEN CAST($c AS DOUBLE)" +
-        s" ELSE -CAST(-($c) AS DOUBLE) END")
     full7.join(broadcast(dows), "dow").crossJoin(broadcast(ctr))
       .withColumn("seasonal_scaled", col("s6_g") * 7 - col("ssum"))
       .withColumn("rem_num", col("d7") * 7000000 - col("seasonal_scaled"))
-      .select(col("day"), col("rev").cast("decimal(18,2)").as("rev"),
-        (col("s7").cast("double") / 700.0).as("trend"),
-        (sd("seasonal_scaled") / 4900000000.0).as("seasonal"),
-        (sd("rem_num") / 4900000000.0).as("remainder"))
   }
 
-  val qStlDecomposeSql: String =
+  // sign-split decimal→double cast (DuckDB's negative HUGEINT→DOUBLE
+  // is not correctly rounded above 2^53; magnitude-cast + exact negate)
+  private def sdCast(c: String) = expr(
+    s"CASE WHEN $c >= 0 THEN CAST($c AS DOUBLE)" +
+      s" ELSE -CAST(-($c) AS DOUBLE) END")
+
+  def qStlDecompose(spark: SparkSession, dir: String): DataFrame =
+    stlFrame(spark, dir)
+      .select(col("day"), col("rc").cast("long").as("rev_c"),
+        (col("s7").cast("double") / 700.0).as("trend"),
+        (sdCast("seasonal_scaled") / 4900000000.0).as("seasonal"),
+        (sdCast("rem_num") / 4900000000.0).as("remainder"))
+
+  /** Bisect variants (r15, VERDICT ask #1): one published double per
+    * query, so the driver's per-query verdict localizes which cell
+    * type its hasher canonicalizes differently from DuckDB.
+    */
+  def qStlTrend(spark: SparkSession, dir: String): DataFrame =
+    stlFrame(spark, dir)
+      .select(col("day"), (col("s7").cast("double") / 700.0).as("trend"))
+
+  def qStlSeasonal(spark: SparkSession, dir: String): DataFrame =
+    stlFrame(spark, dir)
+      .select(col("day"),
+        (sdCast("seasonal_scaled") / 4900000000.0).as("seasonal"))
+
+  def qStlRemainder(spark: SparkSession, dir: String): DataFrame =
+    stlFrame(spark, dir)
+      .select(col("day"),
+        (sdCast("rem_num") / 4900000000.0).as("remainder"))
+
+  private val stlBaseSql: String =
     """WITH byday AS (SELECT
       |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
       |      AS BIGINT) AS day,
@@ -1288,14 +1319,37 @@ object TemporalOps {
       |    END AS s6_g
       |  FROM dows),
       |ctr AS (SELECT CAST(sum(s6_g) AS BIGINT) AS ssum FROM s6),
-      |sc AS (SELECT day, rev, s7, d7, 7 * s6_g - ssum AS seasonal_scaled,
+      |sc AS (SELECT day, rev, rc, s7, d7, 7 * s6_g - ssum AS seasonal_scaled,
       |    d7 * 7000000 - (7 * s6_g - ssum) AS rem_num
-      |  FROM full7 JOIN s6 USING (dow), ctr)
-      |SELECT day, CAST(rev AS DECIMAL(18,2)) AS rev,
+      |  FROM full7 JOIN s6 USING (dow), ctr)""".stripMargin
+
+  val qStlDecomposeSql: String = stlBaseSql +
+    """
+      |SELECT day, CAST(rc AS BIGINT) AS rev_c,
       |  CAST(s7 AS DOUBLE) / 700.0 AS trend,
       |  CASE WHEN seasonal_scaled >= 0 THEN CAST(seasonal_scaled AS DOUBLE)
       |    ELSE -CAST(-(seasonal_scaled) AS DOUBLE) END / 4900000000.0
       |    AS seasonal,
+      |  CASE WHEN rem_num >= 0 THEN CAST(rem_num AS DOUBLE)
+      |    ELSE -CAST(-(rem_num) AS DOUBLE) END / 4900000000.0
+      |    AS remainder
+      |FROM sc""".stripMargin
+
+  val qStlTrendSql: String = stlBaseSql +
+    """
+      |SELECT day, CAST(s7 AS DOUBLE) / 700.0 AS trend FROM sc""".stripMargin
+
+  val qStlSeasonalSql: String = stlBaseSql +
+    """
+      |SELECT day,
+      |  CASE WHEN seasonal_scaled >= 0 THEN CAST(seasonal_scaled AS DOUBLE)
+      |    ELSE -CAST(-(seasonal_scaled) AS DOUBLE) END / 4900000000.0
+      |    AS seasonal
+      |FROM sc""".stripMargin
+
+  val qStlRemainderSql: String = stlBaseSql +
+    """
+      |SELECT day,
       |  CASE WHEN rem_num >= 0 THEN CAST(rem_num AS DOUBLE)
       |    ELSE -CAST(-(rem_num) AS DOUBLE) END / 4900000000.0
       |    AS remainder
@@ -1592,8 +1646,23 @@ object TemporalOps {
     * guarantee never enters a hashed cell. Only days with a full
     * six-day history judge; output is breach days only — bounded
     * by the day table.
+    *
+    * r15 (3rd round of a driver-side hash FAIL despite local
+    * cell-exactness at the driver's own row counts): the two failing
+    * queries were the ONLY two in the whole contract publishing
+    * DECIMAL-typed cells (rev DECIMAL(18,2), var7_num DECIMAL(38,0))
+    * — prime suspect is the driver's DECIMAL canonicalization (e.g.
+    * a pandas/pyarrow decimal→float64 path) diverging from DuckDB's.
+    * So the headline publish is now DECIMAL-FREE: rev_c = exact
+    * revenue CENTS as BIGINT (int64-safe to ≫100 TB: daily cents
+    * ~9e14 at sf1e5), var7_num = the cents² numerator as VARCHAR
+    * digits (int64 overflows already at sf0.1 — a digit string is
+    * scale-proof and canonicalization-proof). In parallel, the
+    * column-split bisect variants q_bollinger_iv (int64+string
+    * cells only) and q_bollinger_dec (the old decimal cells only)
+    * localize the diverging type to a single CORRECTNESS row.
     */
-  def qBollinger(spark: SparkSession, dir: String): DataFrame = {
+  private def bollingerStats(spark: SparkSession, dir: String): DataFrame = {
     val byDay = Tables.orders(spark, dir)
       .groupBy(datediff(col("o_orderdate").cast("date"),
         lit("1970-01-01").cast("date")).cast("long").as("day"))
@@ -1620,15 +1689,38 @@ object TemporalOps {
           (col("dev") * col("dev") * 5).cast("decimal(38,0)") >
             (col("num") * 24).cast("decimal(38,0)"), lit("low")))
       .filter(col("breach").isNotNull)
-      // mean7 in micro-dollars = s7·10⁴/6 half-up = (2·s7·10⁴+6) DIV 12;
-      // s7 > 0 always (revenue cents), so trunc-vs-floor never differs
-      .select(col("day"), col("rev").cast("decimal(18,2)").as("rev"),
-        expr("(2 * s7 * 10000 + 6) DIV 12").as("mean7_micro"),
-        col("num").as("var7_num"),
-        col("breach"))
   }
 
-  val qBollingerSql: String =
+  def qBollinger(spark: SparkSession, dir: String): DataFrame =
+    bollingerStats(spark, dir)
+      // mean7 in micro-dollars = s7·10⁴/6 half-up = (2·s7·10⁴+6) DIV 12;
+      // s7 > 0 always (revenue cents), so trunc-vs-floor never differs
+      .select(col("day"), col("rc").cast("long").as("rev_c"),
+        expr("(2 * s7 * 10000 + 6) DIV 12").as("mean7_micro"),
+        col("num").cast("string").as("var7_num"),
+        col("breach"))
+
+  /** Bisect variant (r15, VERDICT ask #1): the int64+string cells of
+    * q_bollinger only — if this passes while q_bollinger_dec fails,
+    * the driver's DECIMAL canonicalization is the proven culprit.
+    */
+  def qBollingerIv(spark: SparkSession, dir: String): DataFrame =
+    bollingerStats(spark, dir)
+      .select(col("day"),
+        expr("(2 * s7 * 10000 + 6) DIV 12").as("mean7_micro"),
+        col("breach"))
+
+  /** Bisect variant (r15): the DECIMAL cells exactly as the r13/r14
+    * q_bollinger published them (rev DECIMAL(18,2), var7_num
+    * DECIMAL(38,0)) — carries the suspect types forward so the
+    * driver returns a dedicated verdict bit for them.
+    */
+  def qBollingerDec(spark: SparkSession, dir: String): DataFrame =
+    bollingerStats(spark, dir)
+      .select(col("day"), col("rev").cast("decimal(18,2)").as("rev"),
+        col("num").as("var7_num"))
+
+  private val bollingerBaseSql: String =
     """WITH byday AS (SELECT
       |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
       |      AS BIGINT) AS day,
@@ -1643,13 +1735,28 @@ object TemporalOps {
       |full7 AS (SELECT day, rev, rc,
       |    6 * q7 - s7 * s7 AS num, 6 * rc - s7 AS dev, s7
       |  FROM wins WHERE n7 = 6),
-      |breach AS (SELECT day, rev, s7, num,
+      |breach AS (SELECT day, rev, rc, s7, num,
       |    CASE WHEN dev > 0 AND 5 * dev * dev > 24 * num THEN 'high'
       |      WHEN dev < 0 AND 5 * dev * dev > 24 * num THEN 'low' END AS breach
-      |  FROM full7)
-      |SELECT day, CAST(rev AS DECIMAL(18,2)) AS rev,
+      |  FROM full7)""".stripMargin
+
+  val qBollingerSql: String = bollingerBaseSql +
+    """
+      |SELECT day, CAST(rc AS BIGINT) AS rev_c,
       |  CAST((2 * s7 * 10000 + 6) // 12 AS BIGINT) AS mean7_micro,
-      |  CAST(num AS DECIMAL(38,0)) AS var7_num, breach
+      |  CAST(num AS VARCHAR) AS var7_num, breach
+      |FROM breach WHERE breach IS NOT NULL""".stripMargin
+
+  val qBollingerIvSql: String = bollingerBaseSql +
+    """
+      |SELECT day,
+      |  CAST((2 * s7 * 10000 + 6) // 12 AS BIGINT) AS mean7_micro, breach
+      |FROM breach WHERE breach IS NOT NULL""".stripMargin
+
+  val qBollingerDecSql: String = bollingerBaseSql +
+    """
+      |SELECT day, CAST(rev AS DECIMAL(18,2)) AS rev,
+      |  CAST(num AS DECIMAL(38,0)) AS var7_num
       |FROM breach WHERE breach IS NOT NULL""".stripMargin
 
   // ---------------------------------------------------------------- F46
@@ -3329,6 +3436,9 @@ object TemporalOps {
     "q_cusum" -> (qCusum _),
     "q_granger" -> (qGranger _),
     "q_stl_decompose" -> (qStlDecompose _),
+    "q_stl_trend" -> (qStlTrend _),
+    "q_stl_seasonal" -> (qStlSeasonal _),
+    "q_stl_remainder" -> (qStlRemainder _),
     "q_rolling_corr" -> (qRollingCorr _),
     "q_page_hinkley" -> (qPageHinkley _),
     "q_holt_forecast" -> (qHoltForecast _),
@@ -3336,6 +3446,8 @@ object TemporalOps {
     "q_burstiness" -> (qBurstiness _),
     "q_drawdown" -> (qDrawdown _),
     "q_bollinger" -> (qBollinger _),
+    "q_bollinger_iv" -> (qBollingerIv _),
+    "q_bollinger_dec" -> (qBollingerDec _),
     "q_theil_sen" -> (qTheilSen _),
     "q_autocorr" -> (qAutocorr _),
     "q_top_paths" -> (qTopPaths _),
@@ -3382,6 +3494,9 @@ object TemporalOps {
     "q_cusum" -> qCusumSql,
     "q_granger" -> qGrangerSql,
     "q_stl_decompose" -> qStlDecomposeSql,
+    "q_stl_trend" -> qStlTrendSql,
+    "q_stl_seasonal" -> qStlSeasonalSql,
+    "q_stl_remainder" -> qStlRemainderSql,
     "q_rolling_corr" -> qRollingCorrSql,
     "q_page_hinkley" -> qPageHinkleySql,
     "q_holt_forecast" -> qHoltForecastSql,
@@ -3389,6 +3504,8 @@ object TemporalOps {
     "q_burstiness" -> qBurstinessSql,
     "q_drawdown" -> qDrawdownSql,
     "q_bollinger" -> qBollingerSql,
+    "q_bollinger_iv" -> qBollingerIvSql,
+    "q_bollinger_dec" -> qBollingerDecSql,
     "q_theil_sen" -> qTheilSenSql,
     "q_autocorr" -> qAutocorrSql,
     "q_top_paths" -> qTopPathsSql,

@@ -708,12 +708,16 @@ object EventStream {
     * guard. Bounded by construction — O(1) at any stream length.
     */
   case class BollState(window: Seq[Long], lastDay: Long)
-  /** Breach row, value-identical to the batch `q_bollinger` columns
-    * (rev re-published as a 2-dp double, var7_num as long — exact at
-    * every tested SF; the batch publishes DECIMAL).
+  /** Breach row, column-identical to the batch `q_bollinger` (r15):
+    * rev_c exact cents, var7_num the variance numerator as DIGIT
+    * STRING — num is cents²-scaled and overflows int64 already at
+    * sf0.1, so a long publish would silently wrap (the r14 ADVICE
+    * finding); the string is scale-proof, and mean7_micro (µ$-scale,
+    * int64-safe far past 100 TB) asserts isValidLong so a
+    * beyond-design overflow fails loudly instead of wrapping.
     */
-  case class BollOut(day: Long, rev: Double, mean7_micro: Long,
-      var7_num: Long, breach: String)
+  case class BollOut(day: Long, rev_c: Long, mean7_micro: Long,
+      var7_num: String, breach: String)
 
   /** F65: STREAMING twin of the batch Bollinger-band monitor (F45) —
     * the band alarm run where an alarm belongs, on the arriving daily
@@ -747,8 +751,10 @@ object EventStream {
                   else None
                 breach.map { b =>
                   val mean7Micro = (2 * s7 * 10000 + 6) / 12
-                  BollOut(d.day, d.cents / 100.0, mean7Micro.toLong,
-                    num.toLong, b)
+                  require(mean7Micro.isValidLong,
+                    s"mean7_micro overflow at day ${d.day}: $mean7Micro")
+                  BollOut(d.day, d.cents, mean7Micro.toLong,
+                    num.toString, b)
                 }
               } else None
               st = BollState((st.window :+ d.cents).takeRight(6), d.day)

@@ -46,6 +46,23 @@ class ContractSpec extends AnyFunSuite {
       s"registered queries not declared [x] in SURVEY §2: $undeclared")
   }
 
+  test("SURVEY §2 checklist ids are unique") {
+    // names are the real contract keys (pinned 1:1 above), but a
+    // duplicated checklist id can hide a genuinely dropped operator
+    // behind a miscount — the r14 verdict found the E-block reusing
+    // E46/E47 and the L-block L42–L45; this pins the invariant the
+    // r14 F-block renumber (F66/F67/F68) restored
+    val survey = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("SURVEY.md"))
+    val sec2 = survey.substring(survey.indexOf("## §2"),
+      survey.indexOf("## §3"))
+    val ids = "- \\[[xr]\\] ([A-M][0-9]+[a-z]?)[ `]".r
+      .findAllMatchIn(sec2).map(_.group(1)).toSeq
+    val dups = ids.groupBy(identity).collect {
+      case (id, occ) if occ.size > 1 => id }.toSeq.sorted
+    assert(dups.isEmpty, s"duplicated SURVEY §2 ids: $dups")
+  }
+
   // Scala object vals initialize in declaration order: a constant
   // interpolated into an oracle-SQL val that precedes its declaration
   // silently reads the primitive default (0, 0.0, false). This

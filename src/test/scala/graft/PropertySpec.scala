@@ -1005,17 +1005,18 @@ class PropertySpec extends AnyFunSuite {
     assert(dd._1 == days._3, "n_days != distinct order days")
     assert(dd._2 >= days._1 && dd._2 <= days._2, "trough day outside domain")
     val bb = graft.operators.TemporalOps.queries("q_bollinger")(spark, sf)
-      .select("day", "rev", "mean7_micro", "var7_num", "breach")
-      .as[(Long, java.math.BigDecimal, Long, java.math.BigDecimal, String)]
+      .select("day", "rev_c", "mean7_micro", "var7_num", "breach")
+      .as[(Long, Long, Long, String, String)]
       .collect()
     assert(bb.nonEmpty, "a year of daily revenue should breach somewhere")
-    bb.foreach { case (day, rev, mMicro, varNum, br) =>
-      // r14 exact-integer publishes: mean7 = mean7_micro µ$, band σ
-      // derives from the raw variance numerator (σ² = var7_num/30 ¢²)
-      assert(varNum.signum() >= 0 && Set("high", "low").contains(br))
+    bb.foreach { case (day, revC, mMicro, varNum, br) =>
+      // r15 decimal-free publishes: rev_c exact cents, mean7 =
+      // mean7_micro µ$, band σ derives from the raw variance
+      // numerator digit string (σ² = var7_num/30 ¢²)
+      assert(BigInt(varNum).signum >= 0 && Set("high", "low").contains(br))
       val m = mMicro / 1e6
-      val sd = math.sqrt(varNum.doubleValue() / 30.0) / 100.0
-      val r = rev.doubleValue()
+      val sd = math.sqrt(BigInt(varNum).doubleValue / 30.0) / 100.0
+      val r = revC / 100.0
       // µ$-quantized published mean: re-check with a tolerance one
       // quantum-class wider than the half-up publish grain
       if (br == "high") assert(r > m + 2 * sd - 1e-4, s"day $day not high")
@@ -1025,14 +1026,14 @@ class PropertySpec extends AnyFunSuite {
 
   test("q_stl_decompose: additive identity holds, seasonal effects center to zero, trend is the centered MA") {
     val rows = graft.operators.TemporalOps.queries("q_stl_decompose")(spark, sf)
-      .select("day", "rev", "trend", "seasonal", "remainder")
-      .as[(Long, java.math.BigDecimal, Double, Double, Double)].collect()
+      .select("day", "rev_c", "trend", "seasonal", "remainder")
+      .as[(Long, Long, Double, Double, Double)].collect()
       .sortBy(_._1)
     assert(rows.nonEmpty)
     // additive identity per day, up to the three 6-dp roundings
-    rows.foreach { case (day, rev, t, s, r) =>
-      assert(math.abs(rev.doubleValue() - (t + s + r)) < 3e-6,
-        s"day $day: $rev != $t + $s + $r") }
+    rows.foreach { case (day, revC, t, s, r) =>
+      assert(math.abs(revC / 100.0 - (t + s + r)) < 3e-6,
+        s"day $day: ${revC / 100.0} != $t + $s + $r") }
     // the seasonal effects center to zero — exactly when all 7
     // day-of-weeks survive the full-window filter (the centering
     // constant divides by the period length 7 by construction; at
@@ -1045,7 +1046,7 @@ class PropertySpec extends AnyFunSuite {
         s"seasonal effects must sum to ~0, got ${seasonVals.sum}")
     }
     // trend = centered 7-day MA, brute-forced from the raw series
-    val byDay = rows.map { case (d, rev, _, _, _) => d -> rev.doubleValue() }.toMap
+    val byDay = rows.map { case (d, revC, _, _, _) => d -> revC / 100.0 }.toMap
     val all = Tables.orders(spark, sf)
       .groupBy(datediff(col("o_orderdate").cast("date"),
         lit("1970-01-01").cast("date")).cast("long").as("day"))

@@ -279,9 +279,8 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     val streamed = spark.table(qn).as[BollOut].collect().toSet
     val batch = graft.operators.TemporalOps.queries("q_bollinger")(spark, sf)
-      .select(col("day"), col("rev").cast("double").as("rev"),
-        col("mean7_micro").cast("long").as("mean7_micro"),
-        col("var7_num").cast("long").as("var7_num"), col("breach"))
+      .select(col("day"), col("rev_c"), col("mean7_micro"),
+        col("var7_num"), col("breach"))
       .as[BollOut].collect().toSet
     assert(batch.nonEmpty, "corpus must contain at least one breach day")
     assert(streamed == batch,

@@ -296,8 +296,74 @@ case class HyperplaneBands(child: Expression, nBands: Int, bits: Int,
     copy(child = newChild)
 }
 
+/** The four big-endian unsigned 32-bit words of md5(input) — the
+  * deterministic-uniform kernel behind L5's Poisson bootstrap (and
+  * any operator drawing several per-key uniforms): ONE digest yields
+  * FOUR exact dyadic uniforms u = word/2³², where the hex round-trip
+  * (`conv(substring(md5(s), 1+8i, 8), 16, 10)`) costs more than the
+  * digest itself (r15 measurement: 4× fewer md5 calls moved
+  * q_bootstrap_ci only 8% — the conv parse dominated). Engine
+  * contract: word i == DuckDB `('0x' || substr(md5(s), 1+8*i,
+  * 8))::BIGINT` — MD5 bytes ARE the hex string's nibbles in order.
+  */
+case class Md5Words(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val mdLocal =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  private def words(bytes: Array[Byte]): Array[Long] = {
+    val d = mdLocal.get().digest(bytes)
+    val out = new Array[Long](4)
+    var i = 0
+    while (i < 4) {
+      out(i) = ((d(4 * i) & 0xffL) << 24) | ((d(4 * i + 1) & 0xffL) << 16) |
+        ((d(4 * i + 2) & 0xffL) << 8) | (d(4 * i + 3) & 0xffL)
+      i += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      words(input.asInstanceOf[UTF8String].getBytes))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // one MessageDigest per task, reset per row (digest() resets)
+    val md = ctx.addMutableState("java.security.MessageDigest", "md5wMd",
+      v => s"""try { $v = java.security.MessageDigest.getInstance("MD5"); }
+              |catch (java.security.NoSuchAlgorithmException e) {
+              |  throw new RuntimeException(e); }""".stripMargin)
+    nullSafeCodeGen(ctx, ev, c => {
+      val d = ctx.freshName("d")
+      val w = ctx.freshName("w")
+      val i = ctx.freshName("i")
+      s"""
+         |byte[] $d = $md.digest($c.getBytes());
+         |long[] $w = new long[4];
+         |for (int $i = 0; $i < 4; $i++) {
+         |  $w[$i] = (($d[4 * $i] & 0xffL) << 24)
+         |    | (($d[4 * $i + 1] & 0xffL) << 16)
+         |    | (($d[4 * $i + 2] & 0xffL) << 8)
+         |    | ($d[4 * $i + 3] & 0xffL);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($w);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Words =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the custom expressions. */
 object GraftExpressions {
+  def md5_words(c: Column): Column =
+    GraftBridge.column(Md5Words(GraftBridge.expression(c)))
+
   def rolling_hash(c: Column, modulus: Long = 1000000007L): Column =
     GraftBridge.column(RollingHash(GraftBridge.expression(c), modulus))
 

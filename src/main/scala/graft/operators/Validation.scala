@@ -582,9 +582,16 @@ object Validation {
     * and the CI endpoints ride the proven percentile↔quantile_cont
     * pair. Nothing driver-side; the explode factor is the only cost
     * dial.
+    *
+    * r15 (VERDICT ask #4): the md5 bill drops 4× — each digest is 128
+    * bits, so ONE md5 per (row, digest-group) yields FOUR 32-bit
+    * uniforms (8-hex-char slices, u = word/2³²), covering 4 replicates:
+    * 8 hashes/row instead of 32 for the same 32 replicates. u is an
+    * exact dyadic rational (k/2³², exact IEEE in both engines), so the
+    * 10-dp Poisson(1) inverse-CDF thresholds cut identically; 32-bit
+    * granularity (~2.3e-10) sits far inside the threshold spacing.
     */
   def qBootstrapCi(spark: SparkSession, dir: String): DataFrame = {
-    val nRep = 32
     val base = Tables.orders(spark, dir)
       .select(col("o_orderpriority").as("priority"),
         col("o_orderkey"), col("o_totalprice"))
@@ -594,21 +601,28 @@ object Validation {
           count(lit(1)), 6).as("mean_total"))
     val reps = base
       .select(col("priority"), col("o_orderkey"), col("o_totalprice"),
-        explode(sequence(lit(1), lit(nRep))).as("b"))
-      .withColumn("u",
-        expr("conv(substring(md5(concat(cast(o_orderkey as string), '_', cast(b as string))), 1, 15), 16, 10)")
-          .cast("long") / lit(1152921504606846976.0))
+        explode(sequence(lit(1), lit(8))).as("g"))
+      .select(col("priority"), col("o_totalprice"), col("g"),
+        posexplode(graft.functions.GraftExpressions.md5_words(
+          concat(col("o_orderkey").cast("string"), lit("_"),
+            col("g").cast("string")))).as(Seq("j", "word")))
+      .withColumn("b", (col("g") - 1) * 4 + col("j") + 1)
+      .withColumn("u", col("word") / lit(4294967296.0))
       .withColumn("w", expr(
         """CASE WHEN u < 0.3678794412 THEN 0 WHEN u < 0.7357588823 THEN 1
           |     WHEN u < 0.9196986029 THEN 2 WHEN u < 0.9810118431 THEN 3
           |     WHEN u < 0.9963401532 THEN 4 WHEN u < 0.9994058152 THEN 5
           |     WHEN u < 0.9999167589 THEN 6 ELSE 7 END""".stripMargin))
+      // exact LONG cents (w ≤ 7, cents < 2^63/7 far past 100 TB per
+      // (priority, replicate) group) — ~1.4 s cheaper at sf0.1 than
+      // the r14 decimal multiply-sum, same exact integer value
       .groupBy(col("priority"), col("b"))
-      .agg((sum((col("w").cast("decimal(4,0)") *
-          col("o_totalprice").cast("decimal(18,2)")).cast("decimal(28,2)"))
-          .cast("double") /
-        nullif(sum(col("w")), lit(0))).as("rep_mean_raw"))
-      .withColumn("rep_mean", round(col("rep_mean_raw"), 6))
+      .agg(sum(col("w") * round(col("o_totalprice") * 100).cast("long"))
+          .as("sc"),
+        sum(col("w")).as("sw"))
+      .withColumn("rep_mean",
+        round(col("sc").cast("double") / 100.0 /
+          nullif(col("sw"), lit(0)), 6))
       .groupBy(col("priority"))
       .agg(expr("percentile(rep_mean, array(0.025, 0.975))").as("ci"))
     point.join(reps, "priority")
@@ -625,12 +639,17 @@ object Validation {
       |      / count(*), 6) AS mean_total
       |  FROM base GROUP BY 1),
       |reps AS (SELECT priority, o_orderkey, o_totalprice,
-      |    unnest(generate_series(1, 32)) AS b FROM base),
-      |u AS (SELECT priority, b, o_totalprice,
-      |    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '_'
-      |      || CAST(b AS VARCHAR)), 1, 15))::BIGINT
-      |      / 1152921504606846976.0 AS u
+      |    unnest(generate_series(1, 8)) AS g FROM base),
+      |dig AS (SELECT priority, o_totalprice, g,
+      |    md5(CAST(o_orderkey AS VARCHAR) || '_' || CAST(g AS VARCHAR))
+      |      AS digest
       |  FROM reps),
+      |quad AS (SELECT priority, o_totalprice, g, digest,
+      |    unnest(generate_series(0, 3)) AS j FROM dig),
+      |u AS (SELECT priority, (g - 1) * 4 + j + 1 AS b, o_totalprice,
+      |    ('0x' || substr(digest, 1 + 8 * j, 8))::BIGINT
+      |      / 4294967296.0 AS u
+      |  FROM quad),
       |w AS (SELECT priority, b, o_totalprice,
       |    CASE WHEN u < 0.3678794412 THEN 0 WHEN u < 0.7357588823 THEN 1
       |         WHEN u < 0.9196986029 THEN 2 WHEN u < 0.9810118431 THEN 3
@@ -638,8 +657,8 @@ object Validation {
       |         WHEN u < 0.9999167589 THEN 6 ELSE 7 END AS w
       |  FROM u),
       |rm AS (SELECT priority, b,
-      |    round(CAST(sum(CAST(w AS DECIMAL(4,0))
-      |        * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    round(CAST(CAST(sum(w * CAST(round(o_totalprice * 100) AS BIGINT))
+      |        AS BIGINT) AS DOUBLE) / 100.0
       |      / nullif(CAST(sum(w) AS BIGINT), 0), 6) AS rep_mean
       |  FROM w GROUP BY 1, 2),
       |ci AS (SELECT priority,

@@ -2507,6 +2507,7 @@ object FeatureOps {
     def k(a: String, b: String) = exp(-expr(
       s"aggregate(zip_with($a, $b, (p, q) -> (p - q) * (p - q)), " +
         "cast(0.0 as double), (acc, v) -> acc + v)") / 0.5)
+    val idxCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def mmdRow(tagged: DataFrame, name: String): DataFrame = {
       val w = Window.partitionBy(col("g")).orderBy(col("vec_id").asc)
       // cached: four side-filters consume the same windowed frame —
@@ -2515,6 +2516,7 @@ object FeatureOps {
         .withColumn("p", (col("i") / 2).cast("long"))
         .withColumn("slot", col("i") % 2)
         .cache()
+      idxCaches += idx
       def side(g: String, slot: Int, as: String) = idx
         .filter(col("g") === g && col("slot") === slot)
         .select(col("p"), col("v").as(as))
@@ -2534,7 +2536,12 @@ object FeatureOps {
         .cast("long") % 2 === 0, "x").otherwise("y"))
     val labelSplit = emb.withColumn("g",
       when(col("label") === 0, "x").otherwise("y"))
-    mmdRow(nullSplit, "null_md5").unionAll(mmdRow(labelSplit, "label0_vs_rest"))
+    val out = mmdRow(nullSplit, "null_md5")
+      .unionAll(mmdRow(labelSplit, "label0_vs_rest"))
+      .cache() // qGmmEm cleanup pattern (ADVICE r15): 2-row output
+    out.count()
+    idxCaches.foreach(_.unpersist()); emb.unpersist()
+    out
   }
 
   val qMmdDriftSql: String = {

@@ -884,9 +884,13 @@ object Tuning {
               - lit(2) * col("sa") * col("sb")).cast("double"), 6)
             .as("ari"))
     }
-    ari("km", "lb", "kmeans_vs_label")
+    val out = ari("km", "lb", "kmeans_vs_label")
       .unionAll(ari("db", "lb", "dbscan_vs_label"))
       .unionAll(ari("km", "db", "kmeans_vs_dbscan"))
+      .cache() // qGmmEm cleanup pattern (ADVICE r15): 3-row output
+    out.count()
+    joined.unpersist()
+    out
   }
 
   private def clusteringAgreementSql(kmLoc: String, dbscanFull: String): String = {

@@ -1767,7 +1767,7 @@ object Dedup {
     val battach = sym
       .join(coreClust.withColumnRenamed("vec_id", "v"), Seq("v"))
       .groupBy(col("u").as("vec_id")).agg(min(col("cl")).as("bcl"))
-    a.select(col("vec_id"), col("cell"))
+    val out = a.select(col("vec_id"), col("cell"))
       .join(deg, Seq("vec_id"), "left")
       .join(coreClust, Seq("vec_id"), "left")
       .join(battach, Seq("vec_id"), "left")
@@ -1777,6 +1777,15 @@ object Dedup {
           .when(col("bcl").isNotNull, "border")
           .otherwise("noise").as("role"),
         coalesce(col("cl"), col("bcl"), lit(-1L)).as("cluster_id"))
+      // qGmmEm cleanup pattern (ADVICE r15): materialize the BOUNDED
+      // output (one row per vector), then drop the within-cell pair
+      // cache — consumers (q_clustering_agreement) plan-match the
+      // cached OUTPUT, so cross-query sharing survives while the pair
+      // stream stops squatting executor memory for the whole sweep
+      .cache()
+    out.count()
+    pairs.unpersist()
+    out
   }
 
   private[graft] def dbscanSql(asgDir: String): String =
@@ -1852,7 +1861,7 @@ object Dedup {
     val nt = truth.agg(count(lit(1)).as("n_truth"))
     val nr = truth.join(cand, Seq("d1", "d2"), "left_semi")
       .agg(count(lit(1)).as("n_recovered"))
-    n.crossJoin(broadcast(nc)).crossJoin(broadcast(nt))
+    val out = n.crossJoin(broadcast(nc)).crossJoin(broadcast(nt))
       .crossJoin(broadcast(nr))
       .select(col("n").as("n_docs"),
         (col("n") * (col("n") - 1) / 2).cast("long").as("n_total_pairs"),
@@ -1864,6 +1873,10 @@ object Dedup {
         when(col("n_truth") === 0, lit(null).cast("double"))
           .otherwise(round(col("n_recovered").cast("double") / col("n_truth"), 6))
           .as("pairs_completeness"))
+      .cache() // qGmmEm cleanup pattern (ADVICE r15): 1-row output
+    out.count()
+    cand.unpersist(); truth.unpersist()
+    out
   }
 
   val qBlockingQualitySql: String =

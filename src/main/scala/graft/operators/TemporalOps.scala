@@ -2360,12 +2360,22 @@ object TemporalOps {
     val phi2 = (r2 - r1 * r1) / (lit(1.0) - r1 * r1)
     val fc = (col("s").cast("double") + phi1 * col("yt_last").cast("double")
       + phi2 * col("yt_prev").cast("double")) / col("n")
+    // degenerate guards (r15, the qPacf device): a flat series has
+    // den = Σỹ² = 0 (r undefined), and r1 = ±1 zeroes the Yule–Walker
+    // denominator — Spark's double division yields NaN/Inf where
+    // DuckDB yields NULL, so publish null explicitly in BOTH engines
+    val denZero = col("den") === 0
+    val phiBad = denZero || r1 * r1 === lit(1.0)
+    def gr(c: org.apache.spark.sql.Column) = when(denZero, lit(null).cast("double")).otherwise(c)
+    def gp(c: org.apache.spark.sql.Column) = when(phiBad, lit(null).cast("double")).otherwise(c)
     agg.filter(col("n") >= 3)
       .select(col("event_type"), col("n").as("n_hours"),
-        round(r1, 6).as("r1"), round(r2, 6).as("r2"),
-        round(phi1, 6).as("phi1"), round(phi2, 6).as("phi2"),
-        round(fc, 6).as("forecast_next"),
-        (phi1 + phi2 < 1.0 && phi2 - phi1 < 1.0 && abs(phi2) < 1.0)
+        gr(round(r1, 6)).as("r1"), gr(round(r2, 6)).as("r2"),
+        gp(round(phi1, 6)).as("phi1"), gp(round(phi2, 6)).as("phi2"),
+        gp(round(fc, 6)).as("forecast_next"),
+        when(phiBad, lit(null).cast("boolean"))
+          .otherwise(phi1 + phi2 < 1.0 && phi2 - phi1 < 1.0 &&
+            abs(phi2) < 1.0)
           .as("stationary"))
   }
 
@@ -2388,12 +2398,16 @@ object TemporalOps {
       |    max_by(l1, hour) AS yt_prev
       |  FROM c GROUP BY 1),
       |r AS (SELECT event_type, n, s, yt_last, yt_prev,
-      |    CAST(c1 AS DOUBLE) / CAST(den AS DOUBLE) AS r1,
-      |    CAST(c2 AS DOUBLE) / CAST(den AS DOUBLE) AS r2
+      |    CASE WHEN den = 0 THEN NULL
+      |      ELSE CAST(c1 AS DOUBLE) / CAST(den AS DOUBLE) END AS r1,
+      |    CASE WHEN den = 0 THEN NULL
+      |      ELSE CAST(c2 AS DOUBLE) / CAST(den AS DOUBLE) END AS r2
       |  FROM agg WHERE n >= 3),
       |p AS (SELECT *,
-      |    r1 * (1.0 - r2) / (1.0 - r1 * r1) AS phi1,
-      |    (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi2
+      |    CASE WHEN r1 IS NULL OR r1 * r1 = 1.0 THEN NULL
+      |      ELSE r1 * (1.0 - r2) / (1.0 - r1 * r1) END AS phi1,
+      |    CASE WHEN r1 IS NULL OR r1 * r1 = 1.0 THEN NULL
+      |      ELSE (r2 - r1 * r1) / (1.0 - r1 * r1) END AS phi2
       |  FROM r)
       |SELECT event_type, n AS n_hours,
       |  round(r1, 6) AS r1, round(r2, 6) AS r2,
@@ -3341,7 +3355,7 @@ object TemporalOps {
     // HUGEINT→DOUBLE mis-rounds above 2^53)
     val oeD = expr("""CASE WHEN oe_micro >= 0 THEN CAST(oe_micro AS DOUBLE)
       | ELSE -CAST(-oe_micro AS DOUBLE) END""".stripMargin.replace("\n", " "))
-    agg.select(col("n_organic"), col("n_direct"),
+    val out = agg.select(col("n_organic"), col("n_direct"),
         col("events_organic").cast("long").as("events_organic"),
         col("events_direct").cast("long").as("events_direct"),
         col("oe_micro").cast("long").as("oe_micro"),
@@ -3349,6 +3363,10 @@ object TemporalOps {
         round(oeD * oeD /
           (col("var_micro").cast("double") * 1e6), 6).as("logrank_chi2"))
       .withColumn("curves_differ", col("logrank_chi2") > 3.841)
+      .cache() // qGmmEm cleanup pattern (ADVICE r15): 1-row output
+    out.count()
+    users.unpersist()
+    out
   }
 
   val qLogrankSql: String =

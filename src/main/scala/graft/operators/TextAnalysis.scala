@@ -1293,8 +1293,36 @@ object TextAnalysis {
           6).as("kendall_w"))
       .withColumn("chi2", round(col("m") * (col("k") - 1) * col("kendall_w"),
         6))
-      .withColumn("concordant", col("chi2") > 30.144) // χ²(19, .05)
+      // r15 (ADVICE): the .05 cut was hardcoded at χ²(19) = 30.144,
+      // silently assuming k = 20 sources — derive it from the
+      // data-driven k via the shared literal table (the F62 device),
+      // identical CASE in both engines; df outside the table → null
+      // verdict instead of a silently wrong one
+      .withColumn("chi2_crit",
+        expr(chi2Crit05Case("k - 1")).cast("double"))
+      .withColumn("concordant", col("chi2") > col("chi2_crit"))
   }
+
+  /** χ²(df, .05) upper critical values, df 1..40 — the driver-side
+    * literal table the concordance verdict keys on (ADVICE r15: never
+    * hardcode one df's cut when df comes from the data). Shared
+    * verbatim between the Spark plan and the DuckDB oracle as a
+    * simple CASE, so the cut is engine-identical by construction.
+    */
+  private val chi2Crit05: Seq[(Int, Double)] = Seq(
+    1 -> 3.841, 2 -> 5.991, 3 -> 7.815, 4 -> 9.488, 5 -> 11.070,
+    6 -> 12.592, 7 -> 14.067, 8 -> 15.507, 9 -> 16.919, 10 -> 18.307,
+    11 -> 19.675, 12 -> 21.026, 13 -> 22.362, 14 -> 23.685, 15 -> 24.996,
+    16 -> 26.296, 17 -> 27.587, 18 -> 28.869, 19 -> 30.144, 20 -> 31.410,
+    21 -> 32.671, 22 -> 33.924, 23 -> 35.172, 24 -> 36.415, 25 -> 37.652,
+    26 -> 38.885, 27 -> 40.113, 28 -> 41.337, 29 -> 42.557, 30 -> 43.773,
+    31 -> 44.985, 32 -> 46.194, 33 -> 47.400, 34 -> 48.602, 35 -> 49.802,
+    36 -> 50.998, 37 -> 52.192, 38 -> 53.384, 39 -> 54.572, 40 -> 55.758)
+
+  private def chi2Crit05Case(dfExpr: String): String =
+    s"CASE $dfExpr" +
+      chi2Crit05.map { case (d, c) => s" WHEN $d THEN $c" }.mkString +
+      " ELSE NULL END"
 
   val qKendallWSql: String = {
     val toks = graft.functions.TextFunctions.duckToksSql("text")
@@ -1317,19 +1345,19 @@ object TextAnalysis {
       |agg AS (SELECT CAST(max(k) AS BIGINT) AS k, max(m) AS m,
       |    CAST(sum((2 * r - m * (k + 1)) * (2 * r - m * (k + 1)))
       |      AS BIGINT) AS d2
-      |  FROM kk)
-      |SELECT k, m,
-      |  round(CAST(d2 AS DOUBLE) * 3
-      |    / (CAST(m AS DOUBLE) * m
-      |      * (CAST(k AS DOUBLE) * k * k - k)), 6) AS kendall_w,
-      |  round(m * (k - 1) * round(CAST(d2 AS DOUBLE) * 3
-      |    / (CAST(m AS DOUBLE) * m
-      |      * (CAST(k AS DOUBLE) * k * k - k)), 6), 6) AS chi2,
-      |  (round(m * (k - 1) * round(CAST(d2 AS DOUBLE) * 3
-      |    / (CAST(m AS DOUBLE) * m
-      |      * (CAST(k AS DOUBLE) * k * k - k)), 6), 6) > 30.144)
-      |    AS concordant
-      |FROM agg""".stripMargin
+      |  FROM kk),
+      |wchi AS (SELECT k, m,
+      |    round(CAST(d2 AS DOUBLE) * 3
+      |      / (CAST(m AS DOUBLE) * m
+      |        * (CAST(k AS DOUBLE) * k * k - k)), 6) AS kendall_w,
+      |    round(m * (k - 1) * round(CAST(d2 AS DOUBLE) * 3
+      |      / (CAST(m AS DOUBLE) * m
+      |        * (CAST(k AS DOUBLE) * k * k - k)), 6), 6) AS chi2
+      |  FROM agg)
+      |SELECT k, m, kendall_w, chi2,
+      |  CAST(${chi2Crit05Case("k - 1")} AS DOUBLE) AS chi2_crit,
+      |  (chi2 > CAST(${chi2Crit05Case("k - 1")} AS DOUBLE)) AS concordant
+      |FROM wchi""".stripMargin
   }
 
   // ---------------------------------------------------------------- B27

@@ -3626,13 +3626,17 @@ object Validation {
     val m = matched.agg(count(lit(1)).as("n_matched"),
       sum(dec(col("ty") - col("cy"))).as("sdiff"),
       max(abs(col("tp") - col("cp"))).as("mg"))
-    counts.crossJoin(broadcast(m)).select(
+    val out = counts.crossJoin(broadcast(m)).select(
       col("n_treated"), col("n_control"), col("n_matched"),
       round(col("n_matched").cast("double") / col("n_treated"), 6)
         .as("match_rate"),
       round(col("sdiff").cast("double") / col("n_matched") / 100.0, 6)
         .as("ate_dollars"),
       round(col("mg"), 6).as("max_propensity_gap"))
+      .cache() // qGmmEm cleanup pattern (ADVICE r15): 1-row output
+    out.count()
+    scored.unpersist()
+    out
   }
 
   val qPropensityMatchSql: String =
@@ -3674,7 +3678,9 @@ object Validation {
       |    sum(CAST(ty - cy AS HUGEINT)) AS sdiff, max(gap) AS mg FROM matched)
       |SELECT n_treated, n_control, n_matched,
       |  round(CAST(n_matched AS DOUBLE) / n_treated, 6) AS match_rate,
-      |  round(CAST(sdiff AS DOUBLE) / n_matched / 100.0, 6) AS ate_dollars,
+      |  round((CASE WHEN sdiff >= 0 THEN CAST(sdiff AS DOUBLE)
+      |      ELSE -CAST(-sdiff AS DOUBLE) END) / n_matched / 100.0, 6)
+      |    AS ate_dollars,
       |  round(mg, 6) AS max_propensity_gap
       |FROM counts, m""".stripMargin
 

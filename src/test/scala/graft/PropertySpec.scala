@@ -2699,8 +2699,13 @@ class PropertySpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("kendall_w") - w) < 1e-4,
       s"W ${r.getAs[Double]("kendall_w")} vs brute $w")
     assert(w >= 0 && w <= 1.0 + 1e-9)
+    // r15: the cut derives from the data-driven k (χ²(k−1, .05)
+    // literal table), no longer a hardcoded k=20 assumption
+    val crit = r.getAs[Double]("chi2_crit")
+    assert(!r.isNullAt(r.fieldIndex("chi2_crit")),
+      s"k=$k outside the χ² literal table")
     assert(r.getAs[Boolean]("concordant") ==
-      (r.getAs[Double]("chi2") > 30.144))
+      (r.getAs[Double]("chi2") > crit))
   }
 
   test("q_qq_normal: deciles are exact order statistics; z literals are symmetric") {

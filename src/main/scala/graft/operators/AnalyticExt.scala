@@ -858,14 +858,21 @@ object AnalyticExt {
     * and the top-20 cut orders by the ROUNDED lift so both engines cut
     * identically.
     */
-  def qAssocRules(spark: SparkSession, dir: String): DataFrame = {
-    val baskets = Tables.lineitem(spark, dir)
+  /** Shared A32/A49 basket frame: one sorted distinct brand array per
+    * order (bounded by order size), computed once per session — the
+    * identical plan from either consumer hits the CacheManager.
+    */
+  private def brandBaskets(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"))
       .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
       .cache()
+
+  def qAssocRules(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = brandBaskets(spark, dir)
     val tot = baskets.agg(count(lit(1)).as("n_orders"))
     val item = baskets.select(explode(col("bs")).as("brand"))
       .groupBy(col("brand")).agg(count(lit(1)).as("n_item"))
@@ -910,6 +917,85 @@ object AnalyticExt {
       |JOIN item ia ON brand_a = ia.brand
       |JOIN item ib ON brand_b = ib.brand, tot
       |ORDER BY lift DESC, brand_a, brand_b LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- A49
+  /** Frequent 3-itemsets — the FP-Growth-shape capstone over A32's
+    * basket device (the k ≥ 3 lattice a market-basket user asks for
+    * the moment pairs work; MLlib ships FPGrowth as a flagship): all
+    * {a,b,c} brand triples co-purchased in one order, scored as the
+    * rule {a,b} → c — support = n_abc/n_orders, confidence =
+    * n_abc/n_ab, lift = n_abc·n_orders/(n_ab·n_c). No lattice walk
+    * and no candidate-generation rounds are needed at ANY corpus
+    * size: triples generate MAP-SIDE from each order's sorted
+    * distinct brand array (i<j<k nested transforms — order-size-
+    * bounded, never a basket self-join), and the distinct-triple
+    * space is domain-bounded at C(|brands|, 3) (=2,300 at 25 brands)
+    * regardless of row count, so the count aggregate and everything
+    * after it are fixed-size. Shares the cached A32 basket frame and
+    * its pair/item counts. Exact integer counts; ratios round at the
+    * 6-dp publish boundary; top-20 by (rounded lift DESC, names ASC)
+    * — the A32 deterministic-cut device.
+    */
+  def qFreqItemsets(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = brandBaskets(spark, dir)
+    val tot = baskets.agg(count(lit(1)).as("n_orders"))
+    val item = baskets.select(explode(col("bs")).as("brand"))
+      .groupBy(col("brand")).agg(count(lit(1)).as("n_item"))
+    val pairCnt = baskets
+      .select(explode(expr(
+        """flatten(transform(bs, (x, i) ->
+          |  transform(slice(bs, i + 2, size(bs) - i - 1),
+          |    y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.a").as("brand_a"), col("p.b").as("brand_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val triples = baskets
+      .select(explode(expr(
+        """flatten(flatten(transform(bs, (x, i) ->
+          |  transform(slice(bs, i + 2, size(bs) - i - 1), (y, j) ->
+          |    transform(slice(bs, i + j + 3, size(bs) - i - j - 2),
+          |      z -> struct(x AS a, y AS b, z AS c))))))""".stripMargin))
+        .as("t"))
+      .groupBy(col("t.a").as("brand_a"), col("t.b").as("brand_b"),
+        col("t.c").as("brand_c"))
+      .agg(count(lit(1)).as("n_abc"))
+    triples
+      .join(broadcast(pairCnt), Seq("brand_a", "brand_b"))
+      .join(broadcast(item.select(col("brand").as("brand_c"),
+        col("n_item").as("n_c"))), "brand_c")
+      .crossJoin(broadcast(tot))
+      .select(col("brand_a"), col("brand_b"), col("brand_c"),
+        col("n_abc"), col("n_ab"), col("n_c"),
+        round(col("n_abc") / col("n_orders"), 6).as("support"),
+        round(col("n_abc") / col("n_ab"), 6).as("confidence"),
+        round((col("n_abc") * col("n_orders")).cast("double") /
+          (col("n_ab") * col("n_c")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("brand_a").asc, col("brand_b").asc,
+        col("brand_c").asc)
+      .limit(20)
+  }
+
+  val qFreqItemsetsSql: String =
+    """WITH basket AS (SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+      |    FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |tot AS (SELECT count(DISTINCT okey) AS n_orders FROM basket),
+      |item AS (SELECT brand, count(*) AS n FROM basket GROUP BY 1),
+      |pairs AS (SELECT a.brand AS brand_a, b.brand AS brand_b,
+      |    count(*) AS n_ab
+      |  FROM basket a JOIN basket b ON a.okey = b.okey AND a.brand < b.brand
+      |  GROUP BY 1, 2),
+      |triples AS (SELECT a.brand AS brand_a, b.brand AS brand_b,
+      |    c.brand AS brand_c, count(*) AS n_abc
+      |  FROM basket a JOIN basket b ON a.okey = b.okey AND a.brand < b.brand
+      |  JOIN basket c ON a.okey = c.okey AND b.brand < c.brand
+      |  GROUP BY 1, 2, 3)
+      |SELECT brand_a, brand_b, brand_c, n_abc, p.n_ab, ic.n AS n_c,
+      |  round(n_abc / CAST(n_orders AS DOUBLE), 6) AS support,
+      |  round(n_abc / CAST(p.n_ab AS DOUBLE), 6) AS confidence,
+      |  round(CAST(n_abc * n_orders AS DOUBLE) / (p.n_ab * ic.n), 6) AS lift
+      |FROM triples
+      |JOIN pairs p USING (brand_a, brand_b)
+      |JOIN item ic ON brand_c = ic.brand, tot
+      |ORDER BY lift DESC, brand_a, brand_b, brand_c LIMIT 20""".stripMargin
 
   // ---------------------------------------------------------------- A38
   /** Kendall tau-b rank correlation between daily order COUNT and
@@ -1712,6 +1798,7 @@ object AnalyticExt {
     "q_seasonal_mk" -> (qSeasonalMk _),
     "q_partial_corr" -> (qPartialCorr _),
     "q_assoc_rules" -> (qAssocRules _),
+    "q_freq_itemsets" -> (qFreqItemsets _),
     "q_rfm_segments" -> (qRfmSegments _),
     "q_blame_supplier" -> (qBlameSupplier _),
     "q_full_outer" -> (qFullOuter _),
@@ -1744,6 +1831,7 @@ object AnalyticExt {
     "q_partial_corr" -> qPartialCorrSql,
     "q_cross_corr" -> qCrossCorrSql,
     "q_assoc_rules" -> qAssocRulesSql,
+    "q_freq_itemsets" -> qFreqItemsetsSql,
     "q_rfm_segments" -> qRfmSegmentsSql,
     "q_blame_supplier" -> qBlameSupplierSql,
     "q_full_outer" -> qFullOuterSql,

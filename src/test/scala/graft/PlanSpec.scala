@@ -251,7 +251,10 @@ class PlanSpec extends AnyFunSuite {
       "q_clustering_agreement" -> 4,
       // fifth wave: q_seasonal_mk pinned post-cache (8 → 2 — the
       // 84-row month table aggregates once for its three consumers)
-      "q_seasonal_mk" -> 2, "q_partial_corr" -> 1, "q_oaxaca" -> 3)
+      "q_seasonal_mk" -> 2, "q_partial_corr" -> 1, "q_oaxaca" -> 3,
+      // r15: triples generate map-side off the cached basket frame —
+      // one basket shuffle + the triple-count shuffle, dims broadcast
+      "q_freq_itemsets" -> 2)
     val failures = ceilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
       // count the EXECUTED adaptive plan (the Bench device): pre-AQE
       // the unmaterialized cache subtrees replay per consumer and the

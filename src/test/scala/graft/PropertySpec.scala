@@ -2788,4 +2788,46 @@ class PropertySpec extends AnyFunSuite {
     assert(rows.forall(r =>
       r.getAs[Double]("worst_ratio") >= r.getAs[Double]("mean_scatter") / 100))
   }
+
+  test("q_freq_itemsets: every published count recomposes from driver-side baskets") {
+    val sf = TestSession.sf
+    val rows = graft.operators.AnalyticExt.queries("q_freq_itemsets")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    // brute-force baskets: order -> distinct brand set
+    val baskets = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+      .as[(Long, String)].collect()
+      .groupBy(_._1).map { case (_, xs) => xs.map(_._2).toSet }.toSeq
+    val nOrders = baskets.size
+    def cnt(s: Set[String]) = baskets.count(b => s.subsetOf(b)).toLong
+    rows.foreach { r =>
+      val (a, b, c) = (r.getAs[String]("brand_a"), r.getAs[String]("brand_b"),
+        r.getAs[String]("brand_c"))
+      assert(a < b && b < c, s"triple not sorted: $a $b $c")
+      val nAbc = cnt(Set(a, b, c)); val nAb = cnt(Set(a, b)); val nC = cnt(Set(c))
+      assert(r.getAs[Long]("n_abc") == nAbc, s"n_abc($a,$b,$c)")
+      assert(r.getAs[Long]("n_ab") == nAb, s"n_ab($a,$b)")
+      assert(r.getAs[Long]("n_c") == nC, s"n_c($c)")
+      assert(math.abs(r.getAs[Double]("support") - nAbc.toDouble / nOrders) < 1e-6)
+      assert(math.abs(r.getAs[Double]("confidence") - nAbc.toDouble / nAb) < 1e-6)
+      assert(math.abs(r.getAs[Double]("lift") -
+        nAbc.toDouble * nOrders / (nAb.toDouble * nC)) < 1e-6)
+    }
+    // the published list is the top of the full lattice: no unpublished
+    // triple may beat the last published (rounded) lift
+    val minLift = rows.map(_.getAs[Double]("lift")).min
+    val allBrands = baskets.flatten.distinct.sorted
+    val better = (for {
+      i <- allBrands.indices; j <- (i + 1) until allBrands.size
+      k <- (j + 1) until allBrands.size
+      s3 = cnt(Set(allBrands(i), allBrands(j), allBrands(k))) if s3 > 0
+      ab = cnt(Set(allBrands(i), allBrands(j)))
+      l = BigDecimal(s3.toDouble * nOrders /
+        (ab.toDouble * cnt(Set(allBrands(k)))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    } yield l).count(_ > minLift)
+    assert(better < 20, s"$better lattice triples beat the published cut")
+  }
 }

@@ -278,6 +278,172 @@ object TrainingOps {
     */
   val PmiMinSupport = 5
 
+  // ---------------------------------------------------------------- B30
+  /** PPMI co-occurrence embeddings + cosine-neighbor readout — the
+    * train-the-embeddings step (Levy & Goldberg 2014: word2vec's SGNS
+    * factorizes exactly this shifted-PMI matrix): B12 reads the top
+    * collocations OFF the co-occurrence counts; this TRAINS sparse
+    * vectors from them and answers the question an embedding consumer
+    * asks first ("what is near X?") — closing the gap where the
+    * engine previously assumed the embeddings table was given.
+    *
+    * Pipeline (every stage vocab-keyed, the B9 contract — no corpus²):
+    * symmetric ±2-token window over the shared cached token stream →
+    * directed pair counts c(a,b) (two leads + a mirrored union, so
+    * c is symmetric) → PPMI per (token, context): the positivity
+    * gate and the DIM RANKING are pure integer arithmetic
+    * (ppmi > 0 ⟺ c_ab·T > c_a·c_b exactly; per-token dim order is
+    * (c_ab·10¹² DIV c_b) DESC — T, c_a constant within a token, and
+    * ln is monotone, so this IS the PPMI order with no float in the
+    * cut), while the WEIGHT w = round(ln(arg)·10⁶) µ-quantizes one
+    * ln of ONE double division of exact integers (the E33 device) →
+    * top-8 dims per token form the sparse vector → cosine neighbors
+    * for the 8 most frequent tokens (count DESC, token ASC — exact
+    * panel): dot products via a dim-keyed join of the probes' dims
+    * against all vectors, exact DECIMAL(38,0) sums, neighbor rank by
+    * the exact integer key (num² DIV ‖t‖²) DESC (monotone with
+    * cosine for num ≥ 0, which PPMI guarantees; unit-granularity
+    * quantization, ties → token ASC); published cosine =
+    * num/(√np·√nt), fixed-order doubles over exact integers (IEEE
+    * sqrt correctly rounded). Bounds: w ≤ ln(4·10¹³)·10⁶ ≈ 3.2·10⁷
+    * at 100 TB → num ≤ 8·10¹⁵, num² ≤ 6.4·10³¹ < 10³⁸, and the
+    * rank key num² DIV nt ≤ 64·w² ≈ 6.5·10¹⁶ — inside the LONG
+    * range Spark's DIV publishes (a ×10⁶ lift here overflowed to
+    * NULL and silently sank the best neighbors; caught in r15 dev).
+    * Min count 5 (the B12 floor) kills the noise tail.
+    */
+  val PpmiMinCount = 5
+  val PpmiTopDims = 8
+  val PpmiProbes = 8
+  val PpmiNeighbors = 5
+
+  def qPpmiEmbed(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val toks = TextAnalysis.tokenStream(spark, dir)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val nbr = toks
+      .withColumn("x1", lead(col("tok"), 1).over(w))
+      .withColumn("x2", lead(col("tok"), 2).over(w))
+    val fwd = nbr.select(col("tok").as("w1"), col("x1").as("w2"))
+      .unionAll(nbr.select(col("tok").as("w1"), col("x2").as("w2")))
+      .filter(col("w2").isNotNull)
+    val sym = fwd.unionAll(fwd.select(col("w2").as("w1"), col("w1").as("w2")))
+    // cached: the total-mass aggregate and the PPMI join both consume
+    // co — uncached each replays the 4×-exploded pair stream
+    val co = sym.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
+      .cache()
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val keep = uni.filter(col("c") >= PpmiMinCount)
+    val tt = co.agg(sum(col("cab")).cast("long").as("t"))
+    val pos = co
+      .join(keep.select(col("tok").as("w1"), col("c").as("c1")), "w1")
+      .join(keep.select(col("tok").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(tt))
+      // positivity gate on exact integers: ppmi > 0 ⟺ cab·T > c1·c2
+      .filter(col("cab").cast(d38) * col("t") >
+        col("c1").cast(d38) * col("c2"))
+    val rkw = Window.partitionBy(col("w1"))
+      .orderBy(expr(s"(CAST(cab AS $d38) * 1000000000000) DIV c2").desc,
+        col("w2").asc)
+    val dims = pos.withColumn("rk", row_number().over(rkw))
+      .filter(col("rk") <= PpmiTopDims)
+      .select(col("w1").as("tok"), col("w2").as("dim"),
+        round(log((col("cab").cast(d38) * col("t")).cast("double") /
+          (col("c1").cast(d38) * col("c2")).cast("double")) * 1e6)
+          .cast("long").as("wq"))
+      .cache()
+    dims.count()
+    val nrm = dims.groupBy(col("tok"))
+      .agg(sum((col("wq").cast(d38) * col("wq")).cast(d38)).as("n2"))
+    val probes = keep.orderBy(col("c").desc, col("tok").asc)
+      .limit(PpmiProbes).select(col("tok").as("probe"))
+    val pd = dims.join(broadcast(probes), col("tok") === col("probe"))
+      .select(col("probe"), col("dim"), col("wq").as("wp"))
+    val cand = pd.join(dims.select(col("tok").as("neighbor"), col("dim"),
+        col("wq").as("wt")), "dim")
+      .filter(col("neighbor") =!= col("probe"))
+      .groupBy(col("probe"), col("neighbor"))
+      .agg(sum((col("wp").cast(d38) * col("wt")).cast(d38)).as("num"),
+        count(lit(1)).as("n_shared_dims"))
+    val scored = cand
+      .join(nrm.select(col("tok").as("probe"), col("n2").as("np")), "probe")
+      .join(nrm.select(col("tok").as("neighbor"), col("n2").as("nt")),
+        "neighbor")
+    // Spark's DIV publishes LONG (and silently NULLs on overflow —
+    // caught in r15 dev: a ×10⁶ lift here overflowed exactly the
+    // highest-cosine rows and sank them); unscaled num²/nt is
+    // long-safe by Cauchy–Schwarz: num ≤ 8·wp_max·wt_max and
+    // nt ≥ wt_max², so num² DIV nt ≤ 64·wp_max² ≈ 6.5·10¹⁶ at 100 TB
+    val nw = Window.partitionBy(col("probe"))
+      .orderBy(expr(s"(CAST(num AS $d38) * num) DIV nt").desc,
+        col("neighbor").asc)
+    val out = scored.withColumn("neighbor_rank", row_number().over(nw))
+      .filter(col("neighbor_rank") <= PpmiNeighbors)
+      .select(col("probe"), col("neighbor_rank"), col("neighbor"),
+        col("n_shared_dims"),
+        round(col("num").cast("double") /
+          (sqrt(col("np").cast("double")) * sqrt(col("nt").cast("double"))),
+          6).as("cos_sim"))
+      .cache()
+    out.count()
+    dims.unpersist(); co.unpersist()
+    out
+  }
+
+  val qPpmiEmbedSql: String =
+    raw"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |p1 AS (SELECT
+         |    unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i])) AS w1,
+         |    unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i + 1])) AS w2
+         |  FROM t),
+         |p2 AS (SELECT
+         |    unnest(list_transform(generate_series(1, len(toks) - 2), i -> toks[i])) AS w1,
+         |    unnest(list_transform(generate_series(1, len(toks) - 2), i -> toks[i + 2])) AS w2
+         |  FROM t),
+         |fwd AS (SELECT w1, w2 FROM p1 UNION ALL SELECT w1, w2 FROM p2),
+         |sym AS (SELECT w1, w2 FROM fwd UNION ALL SELECT w2, w1 FROM fwd),
+         |co AS (SELECT w1, w2, count(*) AS cab FROM sym GROUP BY 1, 2),
+         |uni AS (SELECT tok, count(*) AS c
+         |  FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY 1),
+         |keep AS (SELECT tok, c FROM uni WHERE c >= $PpmiMinCount),
+         |tt AS (SELECT CAST(sum(cab) AS BIGINT) AS t FROM co),
+         |pos AS (SELECT co.w1, co.w2, cab, k1.c AS c1, k2.c AS c2, t
+         |  FROM co JOIN keep k1 ON co.w1 = k1.tok
+         |    JOIN keep k2 ON co.w2 = k2.tok, tt
+         |  WHERE CAST(cab AS HUGEINT) * t > CAST(k1.c AS HUGEINT) * k2.c),
+         |rkd AS (SELECT *, row_number() OVER (PARTITION BY w1 ORDER BY
+         |      (CAST(cab AS HUGEINT) * 1000000000000) // c2 DESC, w2 ASC)
+         |    AS rk
+         |  FROM pos),
+         |dims AS (SELECT w1 AS tok, w2 AS dim,
+         |    CAST(round(ln(CAST(CAST(cab AS HUGEINT) * t AS DOUBLE)
+         |      / CAST(CAST(c1 AS HUGEINT) * c2 AS DOUBLE)) * 1e6) AS BIGINT)
+         |      AS wq
+         |  FROM rkd WHERE rk <= $PpmiTopDims),
+         |nrm AS (SELECT tok, sum(CAST(wq AS HUGEINT) * wq) AS n2
+         |  FROM dims GROUP BY 1),
+         |probes AS (SELECT tok AS probe FROM keep
+         |  ORDER BY c DESC, tok ASC LIMIT $PpmiProbes),
+         |cand AS (SELECT p.probe, d2.tok AS neighbor,
+         |    sum(CAST(d1.wq AS HUGEINT) * d2.wq) AS num,
+         |    count(*) AS n_shared_dims
+         |  FROM probes p JOIN dims d1 ON d1.tok = p.probe
+         |    JOIN dims d2 ON d2.dim = d1.dim AND d2.tok <> p.probe
+         |  GROUP BY 1, 2),
+         |scored AS (SELECT c.probe, c.neighbor, c.num, c.n_shared_dims,
+         |    np.n2 AS np, nt.n2 AS nt,
+         |    row_number() OVER (PARTITION BY c.probe ORDER BY
+         |      (c.num * c.num) // nt.n2 DESC, c.neighbor ASC)
+         |      AS neighbor_rank
+         |  FROM cand c JOIN nrm np ON np.tok = c.probe
+         |    JOIN nrm nt ON nt.tok = c.neighbor)
+         |SELECT probe, CAST(neighbor_rank AS BIGINT) AS neighbor_rank,
+         |  neighbor, n_shared_dims,
+         |  round(CAST(num AS DOUBLE)
+         |    / (sqrt(CAST(np AS DOUBLE)) * sqrt(CAST(nt AS DOUBLE))), 6)
+         |    AS cos_sim
+         |FROM scored WHERE neighbor_rank <= $PpmiNeighbors""".stripMargin
+
   def qPmiCollocations(spark: SparkSession, dir: String): DataFrame = {
     val toks = TextAnalysis.tokenStream(spark, dir)
     val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
@@ -2075,6 +2241,7 @@ object TrainingOps {
     "q_curriculum_plan" -> (qCurriculumPlan _),
     "q_vocab_coverage" -> (qVocabCoverage _),
     "q_pmi_collocations" -> (qPmiCollocations _),
+    "q_ppmi_embed" -> (qPpmiEmbed _),
     "q_chunk_plan" -> (qChunkPlan _),
     "q_seq_packing" -> (qSeqPacking _),
     "q_hash_split" -> (qHashSplit _),
@@ -2114,6 +2281,7 @@ object TrainingOps {
     "q_curriculum_plan" -> qCurriculumPlanSql,
     "q_vocab_coverage" -> qVocabCoverageSql,
     "q_pmi_collocations" -> qPmiCollocationsSql,
+    "q_ppmi_embed" -> qPpmiEmbedSql,
     "q_chunk_plan" -> qChunkPlanSql,
     "q_seq_packing" -> qSeqPackingSql,
     "q_hash_split" -> qHashSplitSql,

@@ -254,7 +254,10 @@ class PlanSpec extends AnyFunSuite {
       "q_seasonal_mk" -> 2, "q_partial_corr" -> 1, "q_oaxaca" -> 3,
       // r15: triples generate map-side off the cached basket frame —
       // one basket shuffle + the triple-count shuffle, dims broadcast
-      "q_freq_itemsets" -> 2)
+      "q_freq_itemsets" -> 2,
+      // r15: co/dims cached (14 → 5) — pair-count shuffle, PPMI join,
+      // dim-rank window, neighbor-dot shuffle, rank window
+      "q_ppmi_embed" -> 5)
     val failures = ceilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
       // count the EXECUTED adaptive plan (the Bench device): pre-AQE
       // the unmaterialized cache subtrees replay per consumer and the

@@ -2830,4 +2830,71 @@ class PropertySpec extends AnyFunSuite {
     } yield l).count(_ > minLift)
     assert(better < 20, s"$better lattice triples beat the published cut")
   }
+
+  test("q_ppmi_embed: vectors and cosine neighbors recompose from a driver-side PPMI build") {
+    val sf = TestSession.sf
+    import graft.operators.TrainingOps.{PpmiMinCount, PpmiTopDims, PpmiProbes, PpmiNeighbors}
+    val rows = graft.operators.TrainingOps.queries("q_ppmi_embed")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    // driver-side rebuild from the raw token stream
+    val docs = graft.operators.TextAnalysis.tokenStream(spark, sf)
+      .orderBy("doc_id", "pos").as[(Long, Int, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toVector).toMap
+    val uni = docs.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val keep = uni.filter(_._2 >= PpmiMinCount)
+    val co = scala.collection.mutable.Map.empty[(String, String), Long]
+    def bump(a: String, b: String): Unit = {
+      co((a, b)) = co.getOrElse((a, b), 0L) + 1
+      co((b, a)) = co.getOrElse((b, a), 0L) + 1
+    }
+    docs.values.foreach { ts =>
+      for (i <- ts.indices; d <- 1 to 2 if i + d < ts.size) bump(ts(i), ts(i + d))
+    }
+    val t = co.values.sum
+    def wq(a: String, b: String): Option[Long] = for {
+      ca <- keep.get(a); cb <- keep.get(b)
+      cab <- co.get((a, b))
+      if BigInt(cab) * t > BigInt(ca) * cb
+    } yield math.round(math.log(
+      (BigInt(cab) * t).toDouble / (BigInt(ca) * cb).toDouble) * 1e6)
+    def vec(tok: String): Map[String, Long] = {
+      // self-co-occurrence (adjacent repeats) is a legal dim, matching
+      // the operator, which never filters w1 == w2
+      val cands = keep.keys.toSeq.flatMap(d => wq(tok, d).map(w => (d, w)))
+      // rank by the exact integer key (cab·1e12 DIV c_dim) DESC, dim ASC
+      cands.sortBy { case (d, _) =>
+        (-(BigInt(co((tok, d))) * BigInt("1000000000000") / keep(d)), d)
+      }.take(PpmiTopDims).toMap
+    }
+    val probes = keep.toSeq.sortBy { case (tok, c) => (-c, tok) }
+      .take(PpmiProbes).map(_._1)
+    assert(rows.map(_.getAs[String]("probe")).toSet == probes.toSet)
+    val vecs = keep.keys.map(k => k -> vec(k)).toMap
+    probes.foreach { p =>
+      val vp = vecs(p)
+      val np = vp.values.map(w => BigInt(w) * w).sum
+      val scoredAll = vecs.toSeq.filter(_._1 != p).flatMap { case (tok, vt) =>
+        val shared = vp.keySet & vt.keySet
+        if (shared.isEmpty) None else {
+          val num = shared.toSeq.map(d => BigInt(vp(d)) * vt(d)).sum
+          val nt = vt.values.map(w => BigInt(w) * w).sum
+          Some((tok, shared.size, num, nt))
+        }
+      }
+      val top = scoredAll.sortBy { case (tok, _, num, nt) =>
+        (-(num * num / nt), tok) }.take(PpmiNeighbors)
+      val pub = rows.filter(_.getAs[String]("probe") == p)
+        .sortBy(_.getAs[Int]("neighbor_rank").toLong)
+      assert(pub.length == math.min(PpmiNeighbors, top.length))
+      pub.zip(top).foreach { case (r, (tok, nsh, num, nt)) =>
+        assert(r.getAs[String]("neighbor") == tok,
+          s"probe $p rank ${r.getAs[Int]("neighbor_rank")}: " +
+            s"${r.getAs[String]("neighbor")} != $tok")
+        assert(r.getAs[Long]("n_shared_dims") == nsh)
+        val cos = num.toDouble / (math.sqrt(np.toDouble) * math.sqrt(nt.toDouble))
+        assert(math.abs(r.getAs[Double]("cos_sim") - cos) < 1e-5)
+      }
+    }
+  }
 }

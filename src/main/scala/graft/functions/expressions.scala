@@ -341,14 +341,19 @@ case class Md5Words(child: Expression) extends UnaryExpression {
       val d = ctx.freshName("d")
       val w = ctx.freshName("w")
       val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      // accumulate byte-by-byte: Janino mis-parses the chained
+      // (masked-shift | masked-shift) form as a cast ("is not a
+      // type") and Spark silently falls back to interpreted eval
       s"""
          |byte[] $d = $md.digest($c.getBytes());
          |long[] $w = new long[4];
          |for (int $i = 0; $i < 4; $i++) {
-         |  $w[$i] = (($d[4 * $i] & 0xffL) << 24)
-         |    | (($d[4 * $i + 1] & 0xffL) << 16)
-         |    | (($d[4 * $i + 2] & 0xffL) << 8)
-         |    | ($d[4 * $i + 3] & 0xffL);
+         |  long $acc = $d[4 * $i] & 0xffL;
+         |  $acc = $acc * 256L + ($d[4 * $i + 1] & 0xffL);
+         |  $acc = $acc * 256L + ($d[4 * $i + 2] & 0xffL);
+         |  $acc = $acc * 256L + ($d[4 * $i + 3] & 0xffL);
+         |  $w[$i] = $acc;
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($w);
        """.stripMargin

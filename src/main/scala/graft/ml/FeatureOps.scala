@@ -1821,6 +1821,276 @@ object FeatureOps {
        |FROM ens""".stripMargin
   }
 
+  // ---------------------------------------------------------------- E52
+  /** Poisson-bagged random forest with OUT-OF-BAG accuracy (5 stumps)
+    * — the proper bootstrap ensemble the E42 pasting forest
+    * approximates, plus the estimate bagging uniquely enables: each
+    * tree draws a DETERMINISTIC Poisson(1) weight per row (the L5
+    * device — two Md5Words digests yield the 5 per-row uniforms, no
+    * hex parse), trains the E40/E42 exact-integer stump on its
+    * WEIGHTED histogram, and is scored on the rows it never saw
+    * (w = 0, the ~36.8% out-of-bag mass); the ensemble OOB accuracy
+    * is the textbook leave-out estimate — each row voted on ONLY by
+    * trees that excluded it. Everything stays bounded: per-tree
+    * weighted histograms are (5 × ≤50 bins); the row-level OOB
+    * membership folds into a (bin × 2⁵ oob-pattern) histogram (≤
+    * 1,600 cells at ANY corpus size), so the per-row vote is an
+    * exact integer aggregate, never a row stream. Majority votes,
+    * strict (ties → negative class — deterministic both engines);
+    * all accuracies half-up ppm of exact integers. One corpus scan →
+    * two bounded histograms; stump rows broadcast.
+    */
+  def qRfOob(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def hu(a: String, b: String): String =
+      s"(2 * ($a) + ($b)) DIV (2 * ($b))"
+    def pois(u: String): String =
+      s"""CASE WHEN $u < 0.3678794412 THEN 0L WHEN $u < 0.7357588823 THEN 1L
+         | WHEN $u < 0.9196986029 THEN 2L WHEN $u < 0.9810118431 THEN 3L
+         | WHEN $u < 0.9963401532 THEN 4L WHEN $u < 0.9994058152 THEN 5L
+         | WHEN $u < 0.9999167589 THEN 6L ELSE 7L END"""
+        .stripMargin.replace("\n", " ")
+    val key = "concat_ws('|', cast(l_orderkey as string), " +
+      "cast(l_linenumber as string))"
+    val mw = graft.functions.GraftExpressions.md5_words _
+    // ONE corpus scan: per-row the 5 Poisson weights (two Md5Words
+    // digests, words indexed directly -- no HOF lambda, stays in
+    // codegen) fold into the (v, oob-pattern) cell plus 5 weighted
+    // sums; the <= 1,600-cell frame then carries EVERY downstream
+    // aggregate (per-tree weighted histograms, OOB masses, the
+    // full-corpus histogram, the pattern-vote table)
+    val ws = (1 to 5).map { t =>
+      val w = if (t <= 4) s"ws1[${t - 1}]" else "ws2[0]"
+      expr(pois(s"($w / 4294967296.0)")).as(s"w$t")
+    }
+    val cells = Tables.lineitem(spark, dir)
+      .select(col("l_quantity").cast("long").as("v"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"),
+        mw(expr(s"concat($key, '_rf1')")).as("ws1"),
+        mw(expr(s"concat($key, '_rf2')")).as("ws2"))
+      .select(col("v") +: col("y") +: ws: _*)
+      .withColumn("pat", expr((1 to 5).map(t =>
+        s"CASE WHEN w$t = 0L THEN ${1L << (t - 1)}L ELSE 0L END")
+        .mkString(" + ")))
+      .groupBy(col("v"), col("pat"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("y")).as("pos") +:
+          (1 to 5).flatMap(t => Seq(
+            sum(col(s"w$t")).as(s"nw$t"),
+            sum(col(s"w$t") * col("y")).as(s"pw$t")))): _*)
+      .cache()
+    // per-(tree, v) weighted + OOB histogram off the bounded cells
+    val stackExpr = "stack(5, " + (1 to 5).map(t =>
+      s"$t, nw$t, pw$t").mkString(", ") + ") AS (tree, nw0, pw0)"
+    val whist = cells
+      .select(col("v"), col("pat"), col("n"), col("pos"), expr(stackExpr))
+      .withColumn("oob",
+        expr("(pat DIV CAST(pow(2, tree - 1) AS BIGINT)) % 2 = 1"))
+      .groupBy(col("tree"), col("v"))
+      .agg(sum(col("nw0")).cast("long").as("nw"),
+        sum(col("pw0")).cast("long").as("posw"),
+        sum(when(col("oob"), col("n")).otherwise(0L)).cast("long").as("no"),
+        sum(when(col("oob"), col("pos")).otherwise(0L)).cast("long")
+          .as("poso"))
+    val tot = whist.groupBy(col("tree"))
+      .agg(sum(col("nw")).cast("long").as("nn"),
+        sum(col("posw")).cast("long").as("npos"),
+        max(when(col("nw") > 0, col("v"))).as("vmax"))
+    val wOrd = Window.partitionBy(col("tree")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = whist.join(broadcast(tot), "tree")
+      .withColumn("wv", col("posw") * col("nn") - col("npos") * col("nw"))
+      .withColumn("sl", sum(col("wv")).over(wOrd).cast("decimal(38,0)"))
+      .withColumn("nl", sum(col("nw")).over(wOrd).cast("long"))
+      .withColumn("pl", sum(col("posw")).over(wOrd).cast("long"))
+      .filter(col("v") < col("vmax") && col("nl") > 0 &&
+        col("nn") > col("nl"))
+      .withColumn("nr", col("nn") - col("nl"))
+      .withColumn("pr", col("npos") - col("pl"))
+      // decimal-lifted denominator: nl*nr in raw LONG wraps at extreme
+      // corpus sizes (weighted counts), the oracle's HUGEINT doesn't
+      .withColumn("gain_q",
+        expr(hu("sl * sl * nn", "CAST(nl AS DECIMAL(38,0)) * nr")))
+    val byGain = Window.partitionBy(col("tree"))
+      .orderBy(col("gain_q").desc, col("v").asc)
+    val stumps = pre.withColumn("rk", row_number().over(byGain))
+      .filter(col("rk") === 1)
+      .select(col("tree"), col("v").as("threshold"),
+        (col("pl") * 2 > col("nl")).as("left_pos"),
+        (col("pr") * 2 > col("nr")).as("right_pos"))
+      .cache()
+    // per-tree: weighted in-bag accuracy + accuracy on the w=0 rows
+    val perTree = whist.join(broadcast(stumps), "tree")
+      .withColumn("pred",
+        when(col("v") <= col("threshold"), col("left_pos"))
+          .otherwise(col("right_pos")))
+      .groupBy(col("tree"), col("threshold"), col("left_pos"),
+        col("right_pos"))
+      .agg(sum(when(col("pred"), col("posw"))
+          .otherwise(col("nw") - col("posw"))).cast("long").as("cw"),
+        sum(col("nw")).cast("long").as("nnw"),
+        sum(when(col("pred"), col("poso"))
+          .otherwise(col("no") - col("poso"))).cast("long").as("co"),
+        sum(col("no")).cast("long").as("nno"))
+      .select(col("tree").cast("long").as("tree"), col("threshold"),
+        col("left_pos"), col("right_pos"),
+        col("nno").as("oob_n"),
+        expr(hu("1000000 * cw", "nnw")).as("train_acc_ppm"),
+        expr(hu("1000000 * co", "nno")).as("oob_acc_ppm"))
+    // ensemble OOB: each (v, pat>0) cell voted on by its OOB trees only
+    val ensOobVotes = cells.filter(col("pat") > 0)
+      .select(col("v"), col("pat"), col("n"), col("pos"))
+      .crossJoin(broadcast(stumps))
+      .filter(expr("(pat DIV CAST(pow(2, tree - 1) AS BIGINT)) % 2 = 1"))
+      .withColumn("vote",
+        when(when(col("v") <= col("threshold"), col("left_pos"))
+          .otherwise(col("right_pos")), 1L).otherwise(0L))
+      .groupBy(col("v"), col("pat"), col("n"), col("pos"))
+      .agg(sum(col("vote")).as("nvotes"), count(lit(1)).as("ntrees"))
+      .withColumn("pred", col("nvotes") * 2 > col("ntrees"))
+      .withColumn("correct",
+        when(col("pred"), col("pos")).otherwise(col("n") - col("pos")))
+    val ensOob = ensOobVotes
+      .agg(sum(col("correct")).cast("long").as("co"),
+        sum(col("n")).cast("long").as("nno"))
+    // full-corpus 5-vote training accuracy (the E42 ensemble shape)
+    val fullHist = cells.groupBy(col("v"))
+      .agg(sum(col("n")).cast("long").as("n"),
+        sum(col("pos")).cast("long").as("pos"))
+    val ensTrain = fullHist.crossJoin(broadcast(stumps))
+      .withColumn("vote",
+        when(when(col("v") <= col("threshold"), col("left_pos"))
+          .otherwise(col("right_pos")), 1L).otherwise(0L))
+      .groupBy(col("v"), col("n"), col("pos"))
+      .agg(sum(col("vote")).as("nvotes"))
+      .withColumn("correct",
+        when(col("nvotes") * 2 > 5, col("pos"))
+          .otherwise(col("n") - col("pos")))
+      .agg(sum(col("correct")).cast("long").as("cw"),
+        sum(col("n")).cast("long").as("nnw"))
+    val ensemble = ensTrain.crossJoin(broadcast(ensOob))
+      .select(lit(-1L).as("tree"), lit(null).cast("long").as("threshold"),
+        lit(null).cast("boolean").as("left_pos"),
+        lit(null).cast("boolean").as("right_pos"),
+        col("nno").as("oob_n"),
+        expr(hu("1000000 * cw", "nnw")).as("train_acc_ppm"),
+        expr(hu("1000000 * co", "nno")).as("oob_acc_ppm"))
+    val out = perTree.unionAll(ensemble).cache()
+    out.count()
+    cells.unpersist(); stumps.unpersist()
+    out
+  }
+
+  val qRfOobSql: String = {
+    def hu(a: String, b: String): String =
+      s"CAST((2 * ($a) + ($b)) // (2 * ($b)) AS BIGINT)"
+    def pois(u: String): String =
+      s"""CASE WHEN $u < 0.3678794412 THEN 0 WHEN $u < 0.7357588823 THEN 1
+         | WHEN $u < 0.9196986029 THEN 2 WHEN $u < 0.9810118431 THEN 3
+         | WHEN $u < 0.9963401532 THEN 4 WHEN $u < 0.9994058152 THEN 5
+         | WHEN $u < 0.9999167589 THEN 6 ELSE 7 END"""
+        .stripMargin.replace("\n", " ")
+    def word(d: String, i: Int): String =
+      s"('0x' || substr($d, ${1 + 8 * (i % 4)}, 8))::BIGINT / 4294967296.0"
+    s"""WITH r0 AS (SELECT CAST(l_quantity AS BIGINT) AS v,
+       |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+       |    md5(CAST(l_orderkey AS VARCHAR) || '|'
+       |      || CAST(l_linenumber AS VARCHAR) || '_rf1') AS d1,
+       |    md5(CAST(l_orderkey AS VARCHAR) || '|'
+       |      || CAST(l_linenumber AS VARCHAR) || '_rf2') AS d2
+       |  FROM lineitem),
+       |uu AS (SELECT v, y,
+       |    [${word("d1", 0)}, ${word("d1", 1)}, ${word("d1", 2)},
+       |     ${word("d1", 3)}, ${word("d2", 0)}] AS us
+       |  FROM r0),
+       |tw AS (SELECT v, y, t, ${pois("us[t]")} AS w
+       |  FROM uu, (SELECT unnest(generate_series(1, 5)) AS t) ts),
+       |whist AS (SELECT t AS tree, v, CAST(sum(w) AS BIGINT) AS nw,
+       |    CAST(sum(w * y) AS BIGINT) AS posw,
+       |    CAST(sum(CASE WHEN w = 0 THEN 1 ELSE 0 END) AS BIGINT) AS no,
+       |    CAST(sum(CASE WHEN w = 0 THEN y ELSE 0 END) AS BIGINT) AS poso
+       |  FROM tw GROUP BY 1, 2),
+       |tot AS (SELECT tree, CAST(sum(nw) AS BIGINT) AS nn,
+       |    CAST(sum(posw) AS BIGINT) AS npos,
+       |    max(CASE WHEN nw > 0 THEN v END) AS vmax
+       |  FROM whist GROUP BY 1),
+       |pre AS (SELECT h.tree, h.v, t.nn, t.npos, t.vmax,
+       |    CAST(sum(h.posw * t.nn - t.npos * h.nw)
+       |      OVER (PARTITION BY h.tree ORDER BY h.v) AS HUGEINT) AS sl,
+       |    CAST(sum(h.nw) OVER (PARTITION BY h.tree ORDER BY h.v)
+       |      AS BIGINT) AS nl,
+       |    CAST(sum(h.posw) OVER (PARTITION BY h.tree ORDER BY h.v)
+       |      AS BIGINT) AS pl
+       |  FROM whist h JOIN tot t USING (tree)),
+       |cand AS (SELECT tree, v, sl, nl, pl, nn - nl AS nr,
+       |    npos - pl AS pr, nn, npos,
+       |    ${hu("sl * sl * nn", "CAST(nl AS HUGEINT) * (nn - nl)")}
+       |      AS gain_q
+       |  FROM pre WHERE v < vmax AND nl > 0 AND nn > nl),
+       |stumps AS (SELECT tree, v AS threshold, pl * 2 > nl AS left_pos,
+       |    pr * 2 > nr AS right_pos
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY tree
+       |      ORDER BY gain_q DESC, v ASC) AS rk FROM cand) z
+       |  WHERE rk = 1),
+       |pertree AS (SELECT h.tree, s.threshold, s.left_pos, s.right_pos,
+       |    CAST(sum(h.no) AS BIGINT) AS oob_n,
+       |    ${hu(
+        """1000000 * sum(CASE WHEN (CASE WHEN h.v <= s.threshold
+          | THEN s.left_pos ELSE s.right_pos END)
+          | THEN h.posw ELSE h.nw - h.posw END)""".stripMargin
+          .replace("\n", " "), "sum(h.nw)")} AS train_acc_ppm,
+       |    ${hu(
+        """1000000 * sum(CASE WHEN (CASE WHEN h.v <= s.threshold
+          | THEN s.left_pos ELSE s.right_pos END)
+          | THEN h.poso ELSE h.no - h.poso END)""".stripMargin
+          .replace("\n", " "), "sum(h.no)")} AS oob_acc_ppm
+       |  FROM whist h JOIN stumps s USING (tree)
+       |  GROUP BY h.tree, s.threshold, s.left_pos, s.right_pos),
+       |ph AS (SELECT v, pat, count(*) AS n, CAST(sum(y) AS BIGINT) AS pos
+       |  FROM (SELECT v, y,
+       |      (CASE WHEN us[1] < 0.3678794412 THEN 1 ELSE 0 END
+       |       + CASE WHEN us[2] < 0.3678794412 THEN 2 ELSE 0 END
+       |       + CASE WHEN us[3] < 0.3678794412 THEN 4 ELSE 0 END
+       |       + CASE WHEN us[4] < 0.3678794412 THEN 8 ELSE 0 END
+       |       + CASE WHEN us[5] < 0.3678794412 THEN 16 ELSE 0 END)
+       |        AS pat
+       |    FROM uu) q
+       |  WHERE pat > 0 GROUP BY 1, 2),
+       |votes AS (SELECT p.v, p.pat, p.n, p.pos,
+       |    CAST(sum(CASE WHEN (CASE WHEN p.v <= s.threshold
+       |      THEN s.left_pos ELSE s.right_pos END) THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS nvotes,
+       |    count(*) AS ntrees
+       |  FROM ph p JOIN stumps s
+       |    ON (p.pat // CAST(pow(2, s.tree - 1) AS BIGINT)) % 2 = 1
+       |  GROUP BY 1, 2, 3, 4),
+       |ensoob AS (SELECT CAST(sum(CASE WHEN nvotes * 2 > ntrees
+       |      THEN pos ELSE n - pos END) AS BIGINT) AS co,
+       |    CAST(sum(n) AS BIGINT) AS nno
+       |  FROM votes),
+       |fullh AS (SELECT v, count(*) AS n, CAST(sum(y) AS BIGINT) AS pos
+       |  FROM r0 GROUP BY 1),
+       |votest AS (SELECT f.v, f.n, f.pos,
+       |    CAST(sum(CASE WHEN (CASE WHEN f.v <= s.threshold
+       |      THEN s.left_pos ELSE s.right_pos END) THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS nvotes
+       |  FROM fullh f CROSS JOIN stumps s
+       |  GROUP BY f.v, f.n, f.pos),
+       |enstrain AS (SELECT
+       |    CAST(sum(CASE WHEN nvotes * 2 > 5 THEN pos ELSE n - pos END)
+       |      AS BIGINT) AS cw,
+       |    CAST(sum(n) AS BIGINT) AS nnw
+       |  FROM votest)
+       |SELECT CAST(tree AS BIGINT) AS tree, threshold, left_pos,
+       |  right_pos, oob_n, train_acc_ppm, oob_acc_ppm
+       |FROM pertree
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT), CAST(NULL AS BIGINT),
+       |  CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN), e.nno,
+       |  ${hu("1000000 * t.cw", "t.nnw")}, ${hu("1000000 * e.co", "e.nno")}
+       |FROM ensoob e, enstrain t""".stripMargin
+  }
+
   val qGbtStumpsSql: String = {
     def hu(a: String, b: String): String =
       s"""CASE WHEN ($a) >= 0
@@ -2765,6 +3035,7 @@ object FeatureOps {
     "q_ols_multi" -> (qOlsMulti _),
     "q_gbt_stumps" -> (qGbtStumps _),
     "q_rf_stumps" -> (qRfStumps _),
+    "q_rf_oob" -> (qRfOob _),
     "q_conformal_interval" -> (qConformalInterval _),
     "q_vif" -> (qVif _),
     "q_logistic_gd" -> (qLogisticGd _),
@@ -2802,6 +3073,7 @@ object FeatureOps {
     "q_ols_multi" -> qOlsMultiSql,
     "q_gbt_stumps" -> qGbtStumpsSql,
     "q_rf_stumps" -> qRfStumpsSql,
+    "q_rf_oob" -> qRfOobSql,
     "q_conformal_interval" -> qConformalIntervalSql,
     "q_vif" -> qVifSql,
     "q_logistic_gd" -> qLogisticGdSql,

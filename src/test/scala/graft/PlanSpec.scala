@@ -257,7 +257,10 @@ class PlanSpec extends AnyFunSuite {
       "q_freq_itemsets" -> 2,
       // r15: co/dims cached (14 → 5) — pair-count shuffle, PPMI join,
       // dim-rank window, neighbor-dot shuffle, rank window
-      "q_ppmi_embed" -> 5)
+      "q_ppmi_embed" -> 5,
+      // r15: one corpus scan → cached 1,600-cell (v × pat) frame;
+      // stump window + two bounded aggregates
+      "q_rf_oob" -> 3)
     val failures = ceilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
       // count the EXECUTED adaptive plan (the Bench device): pre-AQE
       // the unmaterialized cache subtrees replay per consumer and the

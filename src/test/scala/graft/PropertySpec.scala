@@ -2897,4 +2897,93 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q_rf_oob: per-tree stumps and OOB accuracies recompose from driver-side Poisson bags") {
+    val sf = TestSession.sf
+    val rows = graft.ml.FeatureOps.queries("q_rf_oob")(spark, sf).collect()
+    assert(rows.length == 6)
+    val trees = rows.filter(_.getAs[Long]("tree") > 0)
+    val ens = rows.find(_.getAs[Long]("tree") == -1L).get
+    // driver-side rebuild: exact Poisson weights from the md5 words
+    val thr = Seq(0.3678794412, 0.7357588823, 0.9196986029, 0.9810118431,
+      0.9963401532, 0.9994058152, 0.9999167589)
+    def pois(u: Double): Long = thr.indexWhere(u < _) match {
+      case -1 => 7L; case i => i.toLong
+    }
+    def words(s: String): Seq[Long] = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      (0 until 4).map(i => ((d(4 * i) & 0xffL) << 24) |
+        ((d(4 * i + 1) & 0xffL) << 16) | ((d(4 * i + 2) & 0xffL) << 8) |
+        (d(4 * i + 3) & 0xffL))
+    }
+    val data = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L))
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (ok, ln, v, y) =>
+        val us = (words(s"$ok|${ln}_rf1") ++ words(s"$ok|${ln}_rf2"))
+          .take(5).map(_ / 4294967296.0)
+        (v, y, us.map(pois))
+      }
+    // per-tree stump replicated from the weighted histogram
+    (0 until 5).foreach { t =>
+      val r = trees.find(_.getAs[Long]("tree") == t + 1L).get
+      val hist = data.groupBy(_._1).map { case (v, xs) =>
+        (v, xs.map(_._3(t)).sum, xs.map(x => x._3(t) * x._2).sum,
+          xs.count(_._3(t) == 0).toLong,
+          xs.filter(_._3(t) == 0).map(_._2).sum)
+      }.toSeq.sortBy(_._1)
+      val nn = hist.map(_._2).sum; val npos = hist.map(_._3).sum
+      val vmax = hist.filter(_._2 > 0).map(_._1).max
+      var (slr, nl, pl) = (BigInt(0), 0L, 0L)
+      val cands = hist.flatMap { case (v, nw, pw, _, _) =>
+        slr += BigInt(pw) * nn - BigInt(npos) * nw; nl += nw; pl += pw
+        if (v < vmax && nl > 0 && nn > nl) {
+          val gain = (2 * slr * slr * nn + BigInt(nl) * (nn - nl)) /
+            (2 * BigInt(nl) * (nn - nl))
+          Some((v, gain, nl, pl))
+        } else None
+      }
+      val (bt, _, bnl, bpl) = cands.maxBy { case (v, g, _, _) => (g, -v) }
+      assert(r.getAs[Long]("threshold") == bt, s"tree ${t + 1} threshold")
+      assert(r.getAs[Boolean]("left_pos") == (bpl * 2 > bnl))
+      assert(r.getAs[Boolean]("right_pos") ==
+        ((npos - bpl) * 2 > (nn - bnl)))
+      // OOB accuracy on the w=0 rows
+      val (lp, rp) = (r.getAs[Boolean]("left_pos"), r.getAs[Boolean]("right_pos"))
+      val oob = data.filter(_._3(t) == 0)
+      val correct = oob.count { case (v, y, _) =>
+        val pred = if (v <= bt) lp else rp
+        (y == 1L) == pred
+      }
+      assert(r.getAs[Long]("oob_n") == oob.length.toLong)
+      val ppm = (2L * 1000000L * correct + oob.length) / (2L * oob.length)
+      assert(r.getAs[Long]("oob_acc_ppm") == ppm, s"tree ${t + 1} oob acc")
+    }
+    // ensemble OOB: strict-majority vote of only the trees that
+    // excluded the row; rows sampled by every tree are excluded
+    val stumpDefs = trees.map(r => (r.getAs[Long]("tree").toInt - 1,
+      r.getAs[Long]("threshold"), r.getAs[Boolean]("left_pos"),
+      r.getAs[Boolean]("right_pos"))).sortBy(_._1)
+    val oobRows = data.filter(_._3.contains(0L))
+    val correctE = oobRows.count { case (v, y, ws) =>
+      val votes = stumpDefs.filter(s => ws(s._1) == 0L)
+        .map { case (_, t, lp, rp) => if (v <= t) lp else rp }
+      val pred = votes.count(identity) * 2 > votes.length
+      (y == 1L) == pred
+    }
+    assert(ens.getAs[Long]("oob_n") == oobRows.length.toLong)
+    val ppmE = (2L * 1000000L * correctE + oobRows.length) /
+      (2L * oobRows.length)
+    assert(ens.getAs[Long]("oob_acc_ppm") == ppmE, "ensemble oob acc")
+    // sanity floor: the ensemble must beat the majority-class baseline
+    // on its OOB rows (the vote can't be worse than constant guessing)
+    val basePos = oobRows.map(_._2).sum
+    val baseAcc = math.max(basePos, oobRows.length - basePos) * 1000000L /
+      oobRows.length
+    assert(ens.getAs[Long]("oob_acc_ppm") >= baseAcc - 20000,
+      s"ensemble OOB ${ens.getAs[Long]("oob_acc_ppm")} far below baseline $baseAcc")
+  }
 }

@@ -1151,6 +1151,121 @@ object GraphOps {
       |  round(x3.score, 6) AS centrality
       |FROM x3 JOIN deg ON x3.node = deg.node""".stripMargin
 
+  // ---------------------------------------------------------------- M22
+  /** HITS hubs & authorities (Kleinberg 1999, 3 iterations) over the
+    * DIRECTED top-K selection graph — the one genuinely asymmetric
+    * graph in the corpus (src ranked dst top-K; dst may not
+    * reciprocate), where M10's eigencentrality is blind: a HUB is a
+    * supplier whose chosen partners are widely chosen (a good
+    * "selector"), an AUTHORITY one that many selectors converge on.
+    * Same fixed-point device as M10: each half-step is one edges⋈
+    * scores join + one keyed aggregate, normalized by max and rounded
+    * to 10 dp so both engines iterate on identical IEEE inputs
+    * (published at 6 dp). Each iterate caches before its max-
+    * aggregate reads it (the M10 lineage lesson). Directed top-K
+    * bounds out-degree at K, so every join is |V|·K rows at any
+    * corpus size; nodes nobody selects publish authority 0.
+    */
+  def qHits(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pw = coSupplyWeighted(spark, dir)
+    val sym = pw.select(col("src"), col("dst"), col("w"))
+      .union(pw.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    val byStrength = Window.partitionBy(col("src"))
+      .orderBy(col("w").desc, col("dst").asc)
+    val edges = sym.withColumn("rank", row_number().over(byStrength))
+      .filter(col("rank") <= KnnK)
+      .select(col("src"), col("dst"))
+      .cache()
+    val nodes = edges.select(col("src").as("node")).distinct().cache()
+    val degs = edges.groupBy(col("src")).agg(count(lit(1)).as("out_degree"))
+      .join(edges.groupBy(col("dst").as("src"))
+        .agg(count(lit(1)).as("in_degree")),
+        Seq("src"), "full_outer")
+      .select(col("src").as("node"),
+        coalesce(col("out_degree"), lit(0L)).as("out_degree"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+    var h = nodes.select(col("node"), lit(1.0).as("score"))
+    var a: DataFrame = null
+    val iterates = scala.collection.mutable.Buffer.empty[DataFrame]
+    for (_ <- 1 to 3) {
+      val aRaw = edges.join(h, edges("src") === h("node"))
+        .groupBy(col("dst")).agg(sum(col("score")).as("s")).cache()
+      iterates += aRaw
+      val aMax = aRaw.agg(max(col("s")).as("mx"))
+      a = aRaw.crossJoin(broadcast(aMax))
+        .select(col("dst").as("node"),
+          round(col("s") / col("mx"), 10).as("score"))
+      val hRaw = edges.join(a, edges("dst") === a("node"))
+        .groupBy(col("src")).agg(sum(col("score")).as("s")).cache()
+      iterates += hRaw
+      val hMax = hRaw.agg(max(col("s")).as("mx"))
+      h = hRaw.crossJoin(broadcast(hMax))
+        .select(col("src").as("node"),
+          round(col("s") / col("mx"), 10).as("score"))
+    }
+    val out = degs
+      .join(h.withColumnRenamed("score", "hub"), Seq("node"), "left")
+      .join(a.withColumnRenamed("score", "authority"), Seq("node"), "left")
+      .select(col("node").as("s_suppkey"), col("out_degree"),
+        col("in_degree"),
+        round(coalesce(col("hub"), lit(0.0)), 6).as("hub"),
+        round(coalesce(col("authority"), lit(0.0)), 6).as("authority"))
+      .cache()
+    out.count()
+    iterates.foreach(_.unpersist())
+    nodes.unpersist(); edges.unpersist()
+    out
+  }
+
+  val qHitsSql: String =
+    s"""WITH e0 AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+      |pw AS (SELECT a.sk AS src, b.sk AS dst, count(*) AS w
+      |  FROM e0 a JOIN e0 b ON a.pk = b.pk AND a.sk < b.sk
+      |  GROUP BY 1, 2),
+      |sym AS (SELECT src, dst, w FROM pw
+      |  UNION ALL SELECT dst, src, w FROM pw),
+      |edges AS MATERIALIZED (SELECT src, dst FROM (SELECT src, dst,
+      |    row_number() OVER (PARTITION BY src ORDER BY w DESC, dst ASC)
+      |      AS rank FROM sym) z
+      |  WHERE rank <= $KnnK),
+      |nodes AS (SELECT DISTINCT src AS node FROM edges),
+      |degs AS (SELECT COALESCE(o.node, i.node) AS node,
+      |    COALESCE(o.d, 0) AS out_degree, COALESCE(i.d, 0) AS in_degree
+      |  FROM (SELECT src AS node, count(*) AS d FROM edges GROUP BY 1) o
+      |  FULL OUTER JOIN (SELECT dst AS node, count(*) AS d FROM edges
+      |    GROUP BY 1) i ON o.node = i.node),
+      |h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS score FROM nodes),
+      |a1r AS (SELECT e.dst AS node, sum(h.score) AS s
+      |  FROM edges e JOIN h0 h ON e.src = h.node GROUP BY 1),
+      |a1 AS (SELECT node, round(s / (SELECT max(s) FROM a1r), 10) AS score
+      |  FROM a1r),
+      |h1r AS (SELECT e.src AS node, sum(a.score) AS s
+      |  FROM edges e JOIN a1 a ON e.dst = a.node GROUP BY 1),
+      |h1 AS (SELECT node, round(s / (SELECT max(s) FROM h1r), 10) AS score
+      |  FROM h1r),
+      |a2r AS (SELECT e.dst AS node, sum(h.score) AS s
+      |  FROM edges e JOIN h1 h ON e.src = h.node GROUP BY 1),
+      |a2 AS (SELECT node, round(s / (SELECT max(s) FROM a2r), 10) AS score
+      |  FROM a2r),
+      |h2r AS (SELECT e.src AS node, sum(a.score) AS s
+      |  FROM edges e JOIN a2 a ON e.dst = a.node GROUP BY 1),
+      |h2 AS (SELECT node, round(s / (SELECT max(s) FROM h2r), 10) AS score
+      |  FROM h2r),
+      |a3r AS (SELECT e.dst AS node, sum(h.score) AS s
+      |  FROM edges e JOIN h2 h ON e.src = h.node GROUP BY 1),
+      |a3 AS (SELECT node, round(s / (SELECT max(s) FROM a3r), 10) AS score
+      |  FROM a3r),
+      |h3r AS (SELECT e.src AS node, sum(a.score) AS s
+      |  FROM edges e JOIN a3 a ON e.dst = a.node GROUP BY 1),
+      |h3 AS (SELECT node, round(s / (SELECT max(s) FROM h3r), 10) AS score
+      |  FROM h3r)
+      |SELECT d.node AS s_suppkey, d.out_degree, d.in_degree,
+      |  round(COALESCE(h3.score, 0.0), 6) AS hub,
+      |  round(COALESCE(a3.score, 0.0), 6) AS authority
+      |FROM degs d LEFT JOIN h3 ON d.node = h3.node
+      |LEFT JOIN a3 ON d.node = a3.node""".stripMargin
+
   // ---------------------------------------------------------------- M11
   /** Degree assortativity of the mutual-kNN graph — Newman's r, the
     * one-number answer to "do well-connected suppliers co-supply with
@@ -1610,6 +1725,7 @@ object GraphOps {
     "q_rich_club" -> (qRichClub _),
     "q_assortativity" -> (qAssortativity _),
     "q_eigencentrality" -> (qEigencentrality _),
+    "q_hits" -> (qHits _),
     "q_community_conductance" -> (qCommunityConductance _),
     "q_knn_components" -> (qKnnComponents _),
     "q_closeness" -> (qCloseness _),
@@ -1631,6 +1747,7 @@ object GraphOps {
     "q_neighbor_jaccard" -> qNeighborJaccardSql,
     "q_two_hop" -> qTwoHopSql,
     "q_eigencentrality" -> qEigencentralitySql,
+    "q_hits" -> qHitsSql,
     "q_assortativity" -> qAssortativitySql,
     "q_rich_club" -> qRichClubSql,
     "q_community_conductance" -> qCommunityConductanceSql,

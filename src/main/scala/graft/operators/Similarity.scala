@@ -824,40 +824,148 @@ object Similarity {
   /** Oracle for D18: the full beam-search trajectory replayed in SQL
     * over the persisted edge artifact — entry scoring, [[NswHops]]
     * unrolled expand-score-prune rounds, final top-5. */
-  private def annNswSql(loc: String): String = {
-    def scoreCtes(c: String, s: String): String =
-      s"""fl_$s AS (SELECT c.qid, c.nid, unnest(q.qv) AS x, unnest(e.v) AS y
-         |  FROM $c c JOIN q ON c.qid = q.qid JOIN e ON c.nid = e.vec_id
-         |  WHERE c.qid <> c.nid),
-         |$s AS (SELECT qid, nid,
-         |    sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS sim
-         |  FROM fl_$s GROUP BY qid, nid)"""
-    def beamCte(s: String, b: String, keep: Int): String =
-      s"""$b AS (SELECT qid, nid, sim FROM (SELECT qid, nid, sim,
-         |    row_number() OVER (PARTITION BY qid
-         |      ORDER BY round(sim, 6) DESC, nid ASC) AS r FROM $s)
-         |  WHERE r <= $keep)"""
-    val hops = (1 to NswHops).map { i =>
+  /** Shared beam-replay CTE builders (D18 NSW + D22 HNSW oracles). */
+  private def nswScoreCtes(c: String, s: String): String =
+    s"""fl_$s AS (SELECT c.qid, c.nid, unnest(q.qv) AS x, unnest(e.v) AS y
+       |  FROM $c c JOIN q ON c.qid = q.qid JOIN e ON c.nid = e.vec_id
+       |  WHERE c.qid <> c.nid),
+       |$s AS (SELECT qid, nid,
+       |    sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS sim
+       |  FROM fl_$s GROUP BY qid, nid)"""
+
+  private def nswBeamCte(s: String, b: String, keep: Int): String =
+    s"""$b AS (SELECT qid, nid, sim FROM (SELECT qid, nid, sim,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY round(sim, 6) DESC, nid ASC) AS r FROM $s)
+       |  WHERE r <= $keep)"""
+
+  private def nswHopCtes(nHops: Int): String =
+    (1 to nHops).map { i =>
       s"""c$i AS (SELECT DISTINCT qid, nid FROM (
          |    SELECT b.qid, g.dst AS nid FROM b${i - 1} b JOIN g ON b.nid = g.src
          |    UNION ALL SELECT qid, nid FROM b${i - 1})),
-         |${scoreCtes(s"c$i", s"s$i")},
-         |${beamCte(s"s$i", s"b$i", NswBeam)}"""
+         |${nswScoreCtes(s"c$i", s"s$i")},
+         |${nswBeamCte(s"s$i", s"b$i", NswBeam)}"""
     }.mkString(",\n")
+
+  private def annNswSql(loc: String): String =
     raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |q AS (SELECT vec_id AS qid, v AS qv FROM e
       |  WHERE vec_id % 50 = 0 AND vec_id < $PanelIdCap),
       |g AS (SELECT src, dst FROM read_parquet('$loc/*.parquet')),
       |ent AS (SELECT vec_id AS nid FROM e ORDER BY vec_id LIMIT $NswEntry),
       |c0 AS (SELECT qid, nid FROM q CROSS JOIN ent),
-      |${scoreCtes("c0", "s0")},
-      |${beamCte("s0", "b0", NswBeam)},
-      |$hops
+      |${nswScoreCtes("c0", "s0")},
+      |${nswBeamCte("s0", "b0", NswBeam)},
+      |${nswHopCtes(NswHops)}
       |SELECT qid, nid, r AS rank, round(sim, 4) AS sim
       |FROM (SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid
       |    ORDER BY round(sim, 6) DESC, nid ASC) AS r FROM b$NswHops)
       |WHERE r <= 5""".stripMargin
+
+  // ---------------------------------------------------------------- D22
+  /** HNSW-shape hierarchical graph-ANN: D18's single-layer NSW beam
+    * search with a COARSE LAYER on top — the IVF centroids act as the
+    * hierarchy's upper level (HNSW's log-layer tower collapsed to the
+    * one coarse level a 16-cell quantizer provides): each query first
+    * scores the 16 persisted centroids (layer-1 greedy step, broadcast
+    * — exactly HNSW's upper-layer descent), enters layer 0 at its
+    * nearest cell's [[HnswEntryPerCell]] smallest-id members, and runs
+    * the SAME persisted-edge beam search with [[HnswHops]] = 4 hops
+    * instead of D18's 6 — the hierarchy's entire point is that a
+    * near-query entry needs fewer expand-score-prune rounds (at 10⁹
+    * vectors the flat entry panel is ~everywhere-far from the query;
+    * the cell entry is inside its Voronoi region). Same engine-parity
+    * devices as D18: deterministic beams (round(sim,6) DESC, nid ASC),
+    * leave-one-out, hop-wise localCheckpoint, broadcast-probe of the
+    * cached embeddings; the oracle replays centroid choice, entry set
+    * and all 4 rounds over the SAME persisted artifacts.
+    */
+  val HnswHops = 4
+  val HnswEntryPerCell = 16
+
+  def qAnnHnsw(spark: SparkSession, dir: String): DataFrame = {
+    val t = NswIndex.ensure(spark, dir)
+    val g = spark.table(t).cache()
+    val (asg, cent) = IvfIndex.get(spark, dir, 16)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .cache()
+    val q = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < PanelIdCap)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    def score(cand: DataFrame): DataFrame = {
+      val c = broadcast(cand.filter(col("qid") =!= col("nid")))
+      c.join(e, c("nid") === e("vec_id"))
+        .join(broadcast(q), "qid")
+        .select(col("qid"), col("nid"),
+          VectorFunctions.cosine(col("qv"), col("v")).as("sim"))
+    }
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(round(col("sim"), 6).desc, col("nid").asc)
+    // layer 1: greedy step over the 16 broadcast centroids
+    val byCell = Window.partitionBy(col("qid"))
+      .orderBy(round(col("csim"), 6).desc, col("cell").asc)
+    val top1 = q.crossJoin(broadcast(
+        cent.select(col("cell"), col("cv").cast("array<double>").as("cv"))))
+      .select(col("qid"), col("cell"),
+        VectorFunctions.cosine(col("qv"), col("cv")).as("csim"))
+      .withColumn("cr", row_number().over(byCell))
+      .filter(col("cr") === 1).select(col("qid"), col("cell"))
+    // layer-0 entry: the nearest cell's smallest-id members
+    val entW = Window.partitionBy(col("cell")).orderBy(col("vec_id").asc)
+    val entries = asg.select(col("cell"), col("vec_id"))
+      .withColumn("er", row_number().over(entW))
+      .filter(col("er") <= HnswEntryPerCell)
+      .select(col("cell"), col("vec_id").as("nid"))
+    var beam = score(top1.join(broadcast(entries), "cell")
+        .select(col("qid"), col("nid")))
+      .withColumn("r", row_number().over(w)).filter(col("r") <= NswBeam)
+      .select(col("qid"), col("nid"), col("sim"))
+      .localCheckpoint()
+    for (_ <- 1 to HnswHops) {
+      val ids = beam.select(col("qid"), col("nid"))
+      val cand = ids.join(g, ids("nid") === g("src"))
+        .select(col("qid"), col("dst").as("nid"))
+        .union(ids).distinct()
+      beam = score(cand)
+        .withColumn("r", row_number().over(w)).filter(col("r") <= NswBeam)
+        .select(col("qid"), col("nid"), col("sim"))
+        .localCheckpoint()
+    }
+    beam.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("nid"), col("rank"),
+        round(col("sim"), 4).as("sim"))
   }
+
+  private def annHnswSql(loc: String, asgLoc: String,
+      centLoc: String): String =
+    raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e
+      |  WHERE vec_id % 50 = 0 AND vec_id < $PanelIdCap),
+      |g AS (SELECT src, dst FROM read_parquet('$loc/*.parquet')),
+      |cent AS (SELECT cell, cv FROM read_parquet('$centLoc/*.parquet')),
+      |asg AS (SELECT vec_id, cell FROM read_parquet('$asgLoc/*.parquet')),
+      |l1fl AS (SELECT q.qid, c.cell, unnest(q.qv) AS x, unnest(c.cv) AS y
+      |  FROM q CROSS JOIN cent c),
+      |l1s AS (SELECT qid, cell,
+      |    sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS csim
+      |  FROM l1fl GROUP BY qid, cell),
+      |top1 AS (SELECT qid, cell FROM (SELECT qid, cell,
+      |    row_number() OVER (PARTITION BY qid
+      |      ORDER BY round(csim, 6) DESC, cell ASC) AS cr FROM l1s)
+      |  WHERE cr = 1),
+      |ent AS (SELECT cell, vec_id AS nid FROM (SELECT cell, vec_id,
+      |    row_number() OVER (PARTITION BY cell ORDER BY vec_id ASC) AS er
+      |  FROM asg) WHERE er <= $HnswEntryPerCell),
+      |c0 AS (SELECT t.qid, ent.nid FROM top1 t JOIN ent USING (cell)),
+      |${nswScoreCtes("c0", "s0")},
+      |${nswBeamCte("s0", "b0", NswBeam)},
+      |${nswHopCtes(HnswHops)}
+      |SELECT qid, nid, r AS rank, round(sim, 4) AS sim
+      |FROM (SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid
+      |    ORDER BY round(sim, 6) DESC, nid ASC) AS r FROM b$HnswHops)
+      |WHERE r <= 5""".stripMargin
 
   /** Persistent IVF index: a seeded KMeans coarse quantizer whose
     * OUTPUT — the (vec_id, v, cell) assignment and the centroid set —
@@ -2211,6 +2319,7 @@ object Similarity {
     "q_hard_negatives" -> (qHardNegatives _),
     "q_triplet_mining" -> (qTripletMining _),
     "q_ann_nsw" -> (qAnnNsw _),
+    "q_ann_hnsw" -> (qAnnHnsw _),
     "q_mmr_diversify" -> (qMmrDiversify _),
     "q_mmr_ann" -> (qMmrAnn _),
     "q_ndcg" -> (qNdcg _),
@@ -2245,6 +2354,9 @@ object Similarity {
         "q_ann_ivf" -> annIvfSql(a, c, nprobe = 10) }.toMap ++
       Option(NswIndex.lastLoc.get).map { loc =>
         "q_ann_nsw" -> annNswSql(loc) }.toMap ++
+      (for (loc <- Option(NswIndex.lastLoc.get);
+            (a, c) <- Option(IvfIndex.lastLoc.get))
+        yield "q_ann_hnsw" -> annHnswSql(loc, a, c)).toMap ++
       Option(IvfIndex.lastLoc.get).map { case (a, c) =>
         "q_ann_filtered" -> annFilteredSql(a, c, nprobe = 12) }.toMap ++
       Option(IvfIndex.lastLoc.get).map { case (a, c) =>

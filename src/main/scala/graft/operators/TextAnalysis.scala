@@ -1309,7 +1309,7 @@ object TextAnalysis {
     * verbatim between the Spark plan and the DuckDB oracle as a
     * simple CASE, so the cut is engine-identical by construction.
     */
-  private val chi2Crit05: Seq[(Int, Double)] = Seq(
+  private[graft] val chi2Crit05: Seq[(Int, Double)] = Seq(
     1 -> 3.841, 2 -> 5.991, 3 -> 7.815, 4 -> 9.488, 5 -> 11.070,
     6 -> 12.592, 7 -> 14.067, 8 -> 15.507, 9 -> 16.919, 10 -> 18.307,
     11 -> 19.675, 12 -> 21.026, 13 -> 22.362, 14 -> 23.685, 15 -> 24.996,
@@ -1319,7 +1319,7 @@ object TextAnalysis {
     31 -> 44.985, 32 -> 46.194, 33 -> 47.400, 34 -> 48.602, 35 -> 49.802,
     36 -> 50.998, 37 -> 52.192, 38 -> 53.384, 39 -> 54.572, 40 -> 55.758)
 
-  private def chi2Crit05Case(dfExpr: String): String =
+  private[graft] def chi2Crit05Case(dfExpr: String): String =
     s"CASE $dfExpr" +
       chi2Crit05.map { case (d, c) => s" WHEN $d THEN $c" }.mkString +
       " ELSE NULL END"

@@ -3858,7 +3858,408 @@ object Validation {
       |FROM res""".stripMargin
   }
 
+  // ---------------------------------------------------------------- L51
+  /** Referential-integrity audit of the whole star schema — the
+    * orphan-FK report a warehouse runs before trusting ANY join: for
+    * each of the seven foreign keys, row count, null-key count,
+    * orphan count (key present, parent row absent) and orphan ppm.
+    * L1 checks ONE representative FK inside its fused per-table
+    * aggregate; this is the dedicated all-edges audit. Each check is
+    * a left-anti join against the DISTINCT parent keys — exact by
+    * construction (the approximate 100 TB fast path is H3's bloom
+    * keep-list; this is the exact gate you run when the bloom flags
+    * drift). Child tables shuffle once per FK on the key being
+    * audited; parent key sets are distinct-projected first so the
+    * anti-join build side carries keys only. 7 one-row aggregates
+    * union (K31 device — breakdown rows can't drift from their own
+    * inputs).
+    */
+  def qRefIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    def hu(a: String, b: String): String =
+      s"(2 * ($a) + ($b)) DIV (2 * ($b))"
+    def audit(fk: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String): DataFrame = {
+      val base = child.agg(count(lit(1)).as("n_rows"),
+        sum(when(col(key).isNull, 1L).otherwise(0L)).as("n_null_keys"))
+      val orph = child.filter(col(key).isNotNull)
+        .join(parent.select(col(pkey).as(key)).distinct(),
+          Seq(key), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      base.crossJoin(broadcast(orph))
+        .select(lit(fk).as("fk"), col("n_rows"), col("n_null_keys"),
+          col("n_orphans"),
+          expr(hu("1000000 * n_orphans", "n_rows")).as("orphan_ppm"),
+          (col("n_orphans") === 0 && col("n_null_keys") === 0).as("ok"))
+    }
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val su = Tables.supplier(spark, dir)
+    val p = Tables.part(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    audit("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey")
+      .unionAll(audit("lineitem.l_partkey->part", li, "l_partkey",
+        p, "p_partkey"))
+      .unionAll(audit("lineitem.l_suppkey->supplier", li, "l_suppkey",
+        su, "s_suppkey"))
+      .unionAll(audit("orders.o_custkey->customer", o, "o_custkey",
+        c, "c_custkey"))
+      .unionAll(audit("customer.c_nationkey->nation", c, "c_nationkey",
+        n, "n_nationkey"))
+      .unionAll(audit("supplier.s_nationkey->nation", su, "s_nationkey",
+        n, "n_nationkey"))
+      .unionAll(audit("nation.n_regionkey->region", n, "n_regionkey",
+        r, "r_regionkey"))
+  }
+
+  val qRefIntegritySql: String = {
+    def one(fk: String, child: String, key: String, parent: String,
+        pkey: String): String =
+      s"""SELECT '$fk' AS fk, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN $key IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_null_keys,
+         |  CAST(sum(CASE WHEN $key IS NOT NULL AND NOT EXISTS
+         |      (SELECT 1 FROM $parent WHERE $pkey = $key)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+         |  CAST((2 * 1000000 * sum(CASE WHEN $key IS NOT NULL AND NOT
+         |      EXISTS (SELECT 1 FROM $parent WHERE $pkey = $key)
+         |    THEN 1 ELSE 0 END) + count(*)) // (2 * count(*)) AS BIGINT)
+         |    AS orphan_ppm,
+         |  (sum(CASE WHEN $key IS NOT NULL AND NOT EXISTS
+         |      (SELECT 1 FROM $parent WHERE $pkey = $key)
+         |    THEN 1 ELSE 0 END) = 0
+         |   AND sum(CASE WHEN $key IS NULL THEN 1 ELSE 0 END) = 0) AS ok
+         |FROM $child""".stripMargin
+    Seq(
+      one("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+        "orders", "o_orderkey"),
+      one("lineitem.l_partkey->part", "lineitem", "l_partkey",
+        "part", "p_partkey"),
+      one("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+        "supplier", "s_suppkey"),
+      one("orders.o_custkey->customer", "orders", "o_custkey",
+        "customer", "c_custkey"),
+      one("customer.c_nationkey->nation", "customer", "c_nationkey",
+        "nation", "n_nationkey"),
+      one("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+        "nation", "n_nationkey"),
+      one("nation.n_regionkey->region", "nation", "n_regionkey",
+        "region", "r_regionkey")).mkString("\nUNION ALL\n")
+  }
+
+  // ---------------------------------------------------------------- L52
+  /** Negative-binomial method-of-moments fit of per-user purchase
+    * counts — the overdispersion diagnostic behind every count model:
+    * a Poisson user would have variance ≈ mean; real engagement data
+    * is overdispersed, and the NB2 moment estimates r̂ = m²/(v−m),
+    * p̂ = m/v quantify by how much. The OVERDISPERSION VERDICT is
+    * pure integer arithmetic: v > m ⟺ n·Σc² − (Σc)² > (n−1)·Σc on
+    * exact DECIMAL(38,0) moments — no float can flip it; mean and
+    * variance are each ONE double division of exact integers,
+    * dispersion/r̂/p̂ fixed-order expressions over those (the q_stl
+    * rule), degenerate v ≤ m publishes null r̂/p̂. One user-keyed
+    * aggregate → one 1-row moment reduce.
+    */
+  def qNegbinFit(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("c"))
+    val mom = perUser.agg(count(lit(1)).as("n"),
+      sum(col("c").cast(d38)).as("s"),
+      sum((col("c").cast(d38) * col("c")).cast(d38)).as("q"))
+    val num = (col("n") * col("q") - col("s") * col("s")).cast(d38)
+    val mean = col("s").cast("double") / col("n")
+    val vr = col("num").cast("double") /
+      (col("n").cast("double") * (col("n") - 1))
+    mom.withColumn("num", num)
+      .withColumn("over",
+        col("num") > ((col("n") - 1) * col("s")).cast(d38))
+      .select(col("n").as("n_users"), col("s").cast("long").as("sum_c"),
+        round(mean, 6).as("mean_c"),
+        round(vr, 6).as("var_c"),
+        round(vr / mean, 6).as("dispersion"),
+        col("over").as("overdispersed"),
+        when(col("over"), round(mean * mean / (vr - mean), 6))
+          .otherwise(lit(null).cast("double")).as("r_hat"),
+        when(col("over"), round(mean / vr, 6))
+          .otherwise(lit(null).cast("double")).as("p_hat"))
+  }
+
+  val qNegbinFitSql: String =
+    """WITH pu AS (SELECT user_id,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS c
+      |  FROM events GROUP BY 1),
+      |mom AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    sum(CAST(c AS HUGEINT)) AS s,
+      |    sum(CAST(c AS HUGEINT) * c) AS q
+      |  FROM pu),
+      |d AS (SELECT n, s, n * q - s * s AS num,
+      |    (n * q - s * s) > (n - 1) * s AS over,
+      |    CAST(s AS DOUBLE) / CAST(n AS BIGINT) AS mean,
+      |    CAST(n * q - s * s AS DOUBLE)
+      |      / (CAST(CAST(n AS BIGINT) AS DOUBLE) * (CAST(n AS BIGINT) - 1))
+      |      AS vr
+      |  FROM mom)
+      |SELECT CAST(n AS BIGINT) AS n_users, CAST(s AS BIGINT) AS sum_c,
+      |  round(mean, 6) AS mean_c, round(vr, 6) AS var_c,
+      |  round(vr / mean, 6) AS dispersion, over AS overdispersed,
+      |  CASE WHEN over THEN round(mean * mean / (vr - mean), 6) END AS r_hat,
+      |  CASE WHEN over THEN round(mean / vr, 6) END AS p_hat
+      |FROM d""".stripMargin
+
+  // ---------------------------------------------------------------- L53
+  /** Cox–Stuart trend test on daily revenue — the sign-test trend
+    * detector that needs NO rank sums and no variance estimate (A42's
+    * Mann–Kendall weighs every pair; Cox–Stuart pairs each day with
+    * its shifted twin c = ⌈n/2⌉ positions later and just counts
+    * signs): S⁺ = #(later > earlier), S⁻ = #(<), ties drop,
+    * z = (2·max(S⁺,S⁻) − N − 1)/√N with continuity correction. Runs
+    * entirely on the bounded day table (the q_changepoint class) —
+    * exact integer cents revenue, exact integer counts, ONE sqrt in
+    * the verdict (IEEE-correctly-rounded, identical both engines).
+    */
+  def qCoxStuart(spark: SparkSession, dir: String): DataFrame = {
+    val byDay = Tables.orders(spark, dir)
+      .groupBy(datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("decimal(38,0)"))
+        .as("rc"))
+    val w = Window.orderBy(col("day"))
+    val idx = byDay.withColumn("i", row_number().over(w))
+    val nDays = idx.agg(count(lit(1)).as("n"),
+      expr("CAST((count(1) + 1) DIV 2 AS BIGINT)").as("cshift"))
+    val pairs = idx.crossJoin(broadcast(nDays))
+      .alias("a")
+      .join(idx.select(col("i").as("j"), col("rc").as("rc2")).alias("b"),
+        col("j") === col("i") + col("cshift"))
+    val agg = pairs.agg(max(col("n")).as("n_days"),
+      sum(when(col("rc2") > col("rc"), 1L).otherwise(0L)).as("s_up"),
+      sum(when(col("rc2") < col("rc"), 1L).otherwise(0L)).as("s_down"))
+    agg.withColumn("n_pairs", col("s_up") + col("s_down"))
+      .select(col("n_days"), col("n_pairs"), col("s_up"), col("s_down"),
+        round((lit(2) * greatest(col("s_up"), col("s_down"))
+          - col("n_pairs") - 1).cast("double") /
+          sqrt(col("n_pairs").cast("double")), 6).as("z"))
+      .withColumn("trend",
+        when(col("z") <= 1.96, lit("none"))
+          .when(col("s_up") > col("s_down"), lit("increasing"))
+          .otherwise(lit("decreasing")))
+  }
+
+  val qCoxStuartSql: String =
+    """WITH byday AS (SELECT
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |      AS BIGINT) AS day,
+      |    sum(CAST(round(o_totalprice * 100) AS HUGEINT)) AS rc
+      |  FROM orders GROUP BY 1),
+      |idx AS (SELECT day, rc,
+      |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+      |  FROM byday),
+      |nn AS (SELECT count(*) AS n,
+      |    CAST((count(*) + 1) // 2 AS BIGINT) AS cshift FROM idx),
+      |agg AS (SELECT max(nn.n) AS n_days,
+      |    CAST(sum(CASE WHEN b.rc > a.rc THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS s_up,
+      |    CAST(sum(CASE WHEN b.rc < a.rc THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS s_down
+      |  FROM idx a, nn
+      |  JOIN idx b ON b.i = a.i + nn.cshift)
+      |SELECT n_days, s_up + s_down AS n_pairs, s_up, s_down,
+      |  round((2 * greatest(s_up, s_down) - (s_up + s_down) - 1)
+      |    / sqrt(CAST(s_up + s_down AS DOUBLE)), 6) AS z,
+      |  CASE WHEN round((2 * greatest(s_up, s_down) - (s_up + s_down) - 1)
+      |      / sqrt(CAST(s_up + s_down AS DOUBLE)), 6) <= 1.96 THEN 'none'
+      |    WHEN s_up > s_down THEN 'increasing'
+      |    ELSE 'decreasing' END AS trend
+      |FROM agg""".stripMargin
+
+  // ---------------------------------------------------------------- L54
+  /** Bartlett's test for homogeneity of variances across market
+    * segments — L22's parametric twin (Levene tests deviations from
+    * the median and is robust; Bartlett is the likelihood-ratio form
+    * that is MORE powerful when the data is near-normal, and the one
+    * classical ANOVA texts gate on). Same $100-bin quantized-histogram
+    * device as L22 (documented resolution trade). Engine parity: each
+    * group's variance numerator n_i·q_i − s_i² is an exact
+    * DECIMAL(38,0); per-group variance, its ln, and the reciprocal
+    * 1/(n_i−1) each µ-quantize to exact longs BEFORE the cross-group
+    * sums (k-term unordered double sums are the q_stl failure shape —
+    * so no double ever sums unordered), and the final statistic and
+    * Bartlett correction C assemble in fixed-order doubles from those
+    * exact integers. Verdict vs the shared χ²(k−1, .05) literal table
+    * (the B28 device — never a hardcoded-df cut).
+    */
+  def qBartlett(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    def shu(a: String, b: String): String =
+      s"""CASE WHEN ($a) >= 0
+         | THEN (2 * ($a) + ($b)) DIV (2 * ($b))
+         | ELSE -((2 * (-($a)) + ($b)) DIV (2 * ($b))) END"""
+        .stripMargin.replace("\n", " ")
+    val seg = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        floor(col("o_totalprice") / 100).cast("long").as("bin"))
+    val grp = seg.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_g"),
+        sum(col("bin").cast(d38)).as("s_g"),
+        sum((col("bin").cast(d38) * col("bin")).cast(d38)).as("q_g"))
+      .withColumn("num", (col("n_g") * col("q_g") - col("s_g") * col("s_g"))
+        .cast(d38))
+      // per-group variance in µ-bin² units: exact long via half-up DIV
+      .withColumn("v_mu", expr(shu("num * 1000000",
+        "CAST(n_g AS DECIMAL(38,0)) * (n_g - 1)")).cast("long"))
+      // ln(variance) µ-quantized (the E33 device); zero variance → null
+      .withColumn("lnv_mu",
+        when(col("v_mu") > 0,
+          round(log(col("v_mu").cast("double") / 1e6) * 1e6).cast("long")))
+      // 1/(n_i−1) in 1e-12 units, exact long
+      .withColumn("inv_p", expr(shu("CAST(1000000000000 AS DECIMAL(38,0))",
+        "n_g - 1")).cast("long"))
+    val tot = grp.agg(count(lit(1)).as("k"),
+      sum(col("n_g")).cast("long").as("n"),
+      sum(col("num")).as("pool_num"),
+      sum(((col("n_g") - 1) * col("lnv_mu")).cast(d38)).as("sum_lnv"),
+      sum(col("inv_p")).as("sum_inv"))
+      // pooled variance Σ(n_i−1)v_i / (N−k); Σ(n_i−1)v_i = Σ num_i/n_i
+      // µ-quantized per group would lose the exact pool — use the
+      // exact per-group µ-variance instead: Σ(n_i−1)·v_mu_i
+      .crossJoin(broadcast(grp.agg(
+        sum(((col("n_g") - 1) * col("v_mu")).cast(d38)).as("pool_mu"))))
+    val lnSp = log(col("pool_mu").cast("double") /
+      (col("n") - col("k")).cast("double") / 1e6)
+    val statRaw = ((col("n") - col("k")).cast("double") * lnSp
+      - col("sum_lnv").cast("double") / 1e6)
+    val cCorr = lit(1.0) +
+      (col("sum_inv").cast("double") / 1e12 -
+        lit(1.0) / (col("n") - col("k"))) /
+      (lit(3.0) * (col("k") - 1))
+    val verdict = tot.select(col("k"), col("n"),
+      round(statRaw / cCorr, 6).as("bartlett_stat"))
+      .withColumn("chi2_crit", expr(
+        TextAnalysis.chi2Crit05Case("k - 1")).cast("double"))
+      .withColumn("heteroscedastic", col("bartlett_stat") > col("chi2_crit"))
+    grp.select(col("seg"), col("n_g"),
+        round(col("v_mu").cast("double") / 1e6, 6).as("var_bins"))
+      .crossJoin(broadcast(verdict))
+  }
+
+  val qBartlettSql: String = {
+    def shu(a: String, b: String): String =
+      s"""CASE WHEN ($a) >= 0
+         | THEN CAST((2 * ($a) + ($b)) // (2 * ($b)) AS BIGINT)
+         | ELSE -CAST((2 * (-($a)) + ($b)) // (2 * ($b)) AS BIGINT) END"""
+        .stripMargin.replace("\n", " ")
+    s"""WITH seg AS (SELECT c_mktsegment AS seg,
+       |    CAST(floor(o_totalprice / 100) AS BIGINT) AS bin
+       |  FROM orders JOIN customer ON o_custkey = c_custkey),
+       |grp0 AS (SELECT seg, CAST(count(*) AS BIGINT) AS n_g,
+       |    sum(CAST(bin AS HUGEINT)) AS s_g,
+       |    sum(CAST(bin AS HUGEINT) * bin) AS q_g
+       |  FROM seg GROUP BY 1),
+       |grp AS (SELECT seg, n_g, n_g * q_g - s_g * s_g AS num,
+       |    ${shu("(n_g * q_g - s_g * s_g) * 1000000",
+        "CAST(n_g AS HUGEINT) * (n_g - 1)")} AS v_mu,
+       |    ${shu("CAST(1000000000000 AS HUGEINT)", "n_g - 1")} AS inv_p
+       |  FROM grp0),
+       |grp2 AS (SELECT *, CASE WHEN v_mu > 0 THEN
+       |      CAST(round(ln(CAST(v_mu AS DOUBLE) / 1e6) * 1e6) AS BIGINT)
+       |    END AS lnv_mu
+       |  FROM grp),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS k,
+       |    CAST(sum(n_g) AS BIGINT) AS n,
+       |    sum(CAST((n_g - 1) * lnv_mu AS HUGEINT)) AS sum_lnv,
+       |    CAST(sum(inv_p) AS BIGINT) AS sum_inv,
+       |    sum(CAST((n_g - 1) * v_mu AS HUGEINT)) AS pool_mu
+       |  FROM grp2),
+       |v AS (SELECT k, n,
+       |    round(((n - k) * ln(CAST(pool_mu AS DOUBLE)
+       |        / CAST(n - k AS DOUBLE) / 1e6)
+       |      - CAST(sum_lnv AS DOUBLE) / 1e6)
+       |      / (1.0 + (CAST(sum_inv AS DOUBLE) / 1e12 - 1.0 / (n - k))
+       |        / (3.0 * (k - 1))), 6) AS bartlett_stat
+       |  FROM tot),
+       |v2 AS (SELECT k, n, bartlett_stat,
+       |    CAST(${TextAnalysis.chi2Crit05Case("k - 1")} AS DOUBLE)
+       |      AS chi2_crit
+       |  FROM v)
+       |SELECT g.seg, g.n_g,
+       |  round(CAST(g.v_mu AS DOUBLE) / 1e6, 6) AS var_bins,
+       |  v2.k, v2.n, v2.bartlett_stat, v2.chi2_crit,
+       |  v2.bartlett_stat > v2.chi2_crit AS heteroscedastic
+       |FROM grp2 g, v2""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- L55
+  /** Gaussian kernel density estimate of order totals on a fixed
+    * dollar grid — the smooth distribution readout behind every
+    * "what does spend look like" panel (A17's histogram is the raw
+    * binned view; KDE is the comparable-across-corpora smooth one).
+    * Binned construction: prices quantize to $100 cells (the L14/L22
+    * histogram device), each of the 21 fixed grid points accumulates
+    * Σ_b n_b · w(g, center_b) over the ≤ ~5,500-cell histogram —
+    * (grid × bins) is domain-bounded at ANY corpus size. Parity: the
+    * Gaussian kernel µ-quantizes per (grid, bin) (w = round(exp·10⁶),
+    * the E33 device), so the accumulation is an EXACT integer sum in
+    * any order; density = mass/(N·h·√2π·10⁶) is one fixed-order
+    * double expression per published cell (√2π as a shared literal).
+    */
+  val KdeGridStep = 26250L
+  val KdeBandwidth = 25000.0
+
+  def qKde(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.orders(spark, dir)
+      .select(floor(col("o_totalprice") / 100).cast("long").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_b"))
+    val tot = hist.agg(sum(col("n_b")).cast("long").as("n"))
+    val grid = spark.range(0, 21)
+      .select((col("id") * KdeGridStep).as("g"))
+    val sq2pi = 2.5066282746310002
+    val mass = grid.crossJoin(hist)
+      .withColumn("d", col("g").cast("double")
+        - (col("bin") * 100 + 50).cast("double"))
+      .withColumn("w", round(
+        exp(col("d") * col("d") /
+          lit(-2.0 * KdeBandwidth * KdeBandwidth)) * 1e6).cast("long"))
+      .groupBy(col("g"))
+      .agg(sum((col("n_b") * col("w")).cast("decimal(38,0)")).as("m"))
+    mass.crossJoin(broadcast(tot))
+      .select(col("g").as("dollars"),
+        round(col("m").cast("double") /
+          (col("n").cast("double") * KdeBandwidth * sq2pi * 1e6) * 1e9, 6)
+          .as("density_e9"))
+  }
+
+  val qKdeSql: String =
+    s"""WITH hist AS (SELECT CAST(floor(o_totalprice / 100) AS BIGINT)
+       |      AS bin, count(*) AS n_b
+       |  FROM orders GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_b) AS BIGINT) AS n FROM hist),
+       |grid AS (SELECT CAST(unnest(generate_series(0, 20)) * $KdeGridStep
+       |    AS BIGINT) AS g),
+       |mass AS (SELECT g,
+       |    sum(CAST(n_b AS HUGEINT) * CAST(round(exp(
+       |      (CAST(g AS DOUBLE) - (bin * 100 + 50))
+       |        * (CAST(g AS DOUBLE) - (bin * 100 + 50))
+       |        / (-2.0 * $KdeBandwidth * $KdeBandwidth)) * 1e6) AS BIGINT))
+       |      AS m
+       |  FROM grid CROSS JOIN hist GROUP BY 1)
+       |SELECT g AS dollars,
+       |  round(CAST(m AS DOUBLE)
+       |    / (CAST(n AS DOUBLE) * $KdeBandwidth * 2.5066282746310002 * 1e6)
+       |    * 1e9, 6) AS density_e9
+       |FROM mass, tot""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ref_integrity" -> (qRefIntegrity _),
+    "q_negbin_fit" -> (qNegbinFit _),
+    "q_cox_stuart" -> (qCoxStuart _),
+    "q_bartlett" -> (qBartlett _),
+    "q_kde" -> (qKde _),
     "q_oaxaca" -> (qOaxaca _),
     "q_hbos" -> (qHbos _),
     "q_fdr_by" -> (qFdrBy _),
@@ -3909,6 +4310,11 @@ object Validation {
     "q_benford" -> (qBenford _))
 
   def oracle: Map[String, String] = Map(
+    "q_ref_integrity" -> qRefIntegritySql,
+    "q_negbin_fit" -> qNegbinFitSql,
+    "q_cox_stuart" -> qCoxStuartSql,
+    "q_bartlett" -> qBartlettSql,
+    "q_kde" -> qKdeSql,
     "q_bandit_ucb" -> qBanditUcbSql,
     "q_propensity_match" -> qPropensityMatchSql,
     "q_hbos" -> qHbosSql,

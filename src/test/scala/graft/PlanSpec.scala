@@ -260,7 +260,12 @@ class PlanSpec extends AnyFunSuite {
       "q_ppmi_embed" -> 5,
       // r15: one corpus scan → cached 1,600-cell (v × pat) frame;
       // stump window + two bounded aggregates
-      "q_rf_oob" -> 3)
+      "q_rf_oob" -> 3,
+      // r15 stats/audit wave (measured sf0.001 == sf0.01):
+      // ref_integrity = 7 FK audits × (agg + anti-join); the others
+      // are one-to-few corpus aggregates over bounded frames
+      "q_ref_integrity" -> 20, "q_negbin_fit" -> 2, "q_cox_stuart" -> 5,
+      "q_bartlett" -> 5, "q_kde" -> 4, "q_hits" -> 4)
     val failures = ceilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
       // count the EXECUTED adaptive plan (the Bench device): pre-AQE
       // the unmaterialized cache subtrees replay per consumer and the
@@ -396,7 +401,10 @@ class PlanSpec extends AnyFunSuite {
       "q_durbin_watson",
       // order-statistic rank window over the bounded day table
       // (the q_changepoint class)
-      "q_qq_normal")
+      "q_qq_normal",
+      // r15: row_number index over the bounded day table
+      // (the q_changepoint class)
+      "q_cox_stuart")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       // pre-AQE physical plan: traversable with plain collect (the
       // AQE wrapper hides its initial plan from TreeNode traversal,

@@ -2986,4 +2986,173 @@ class PropertySpec extends AnyFunSuite {
     assert(ens.getAs[Long]("oob_acc_ppm") >= baseAcc - 20000,
       s"ensemble OOB ${ens.getAs[Long]("oob_acc_ppm")} far below baseline $baseAcc")
   }
+
+  test("q_ref_integrity: all seven FKs audited, clean corpus passes, counts match tables") {
+    val sf = TestSession.sf
+    val rows = graft.operators.Validation.queries("q_ref_integrity")(spark, sf)
+      .collect()
+    assert(rows.length == 7)
+    assert(rows.map(_.getAs[String]("fk")).distinct.length == 7)
+    // driver-generated corpus is referentially clean by construction
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("ok"), s"${r.getAs[String]("fk")} not ok")
+      assert(r.getAs[Long]("n_orphans") == 0L)
+      assert(r.getAs[Long]("orphan_ppm") == 0L)
+    }
+    val liRows = Tables.lineitem(spark, sf).count()
+    assert(rows.filter(_.getAs[String]("fk").startsWith("lineitem."))
+      .forall(_.getAs[Long]("n_rows") == liRows))
+    // the anti-join device actually detects a planted orphan: doctor
+    // the parent set by dropping one order key — exactly that key's
+    // lineitems must surface as orphans
+    val o = Tables.orders(spark, sf)
+    val li = Tables.lineitem(spark, sf)
+    val k0 = o.select(col("o_orderkey")).orderBy(col("o_orderkey"))
+      .as[Long].head()
+    val doctored = o.filter(col("o_orderkey") =!= k0)
+      .select(col("o_orderkey").as("l_orderkey")).distinct()
+    val orphans = li.join(doctored, Seq("l_orderkey"), "left_anti").count()
+    val expected = li.filter(col("l_orderkey") === k0).count()
+    assert(expected > 0, "chosen order must have lineitems")
+    assert(orphans == expected, s"planted $expected orphans, found $orphans")
+  }
+
+  test("q_negbin_fit: moments recompose from driver-side counts; verdict is the integer inequality") {
+    val sf = TestSession.sf
+    val r = graft.operators.Validation.queries("q_negbin_fit")(spark, sf)
+      .collect().head
+    val counts = Tables.events(spark, sf).groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("c"))
+      .as[(Long, Long)].collect().map(_._2)
+    val n = counts.length
+    val s = counts.map(BigInt(_)).sum
+    val q = counts.map(c => BigInt(c) * c).sum
+    val num = BigInt(n) * q - s * s
+    assert(r.getAs[Long]("n_users") == n.toLong)
+    assert(r.getAs[Long]("sum_c") == s.toLong)
+    val mean = s.toDouble / n
+    val vr = num.toDouble / (n.toDouble * (n - 1))
+    assert(math.abs(r.getAs[Double]("mean_c") - mean) < 1e-5)
+    assert(math.abs(r.getAs[Double]("var_c") - vr) < 1e-4)
+    val over = num > BigInt(n - 1) * s
+    assert(r.getAs[Boolean]("overdispersed") == over)
+    if (over) {
+      assert(math.abs(r.getAs[Double]("r_hat") - mean * mean / (vr - mean)) < 1e-3)
+      assert(math.abs(r.getAs[Double]("p_hat") - mean / vr) < 1e-5)
+    } else assert(r.isNullAt(r.fieldIndex("r_hat")))
+  }
+
+  test("q_cox_stuart: sign counts recompose from the driver-side day series") {
+    val sf = TestSession.sf
+    val r = graft.operators.Validation.queries("q_cox_stuart")(spark, sf)
+      .collect().head
+    val days = Tables.orders(spark, sf)
+      .groupBy(datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rc"))
+      .as[(Long, Long)].collect().sortBy(_._1).map(_._2)
+    val n = days.length
+    val c = (n + 1) / 2
+    val pairs = (0 until n - c).map(i => (days(i), days(i + c)))
+    val up = pairs.count { case (a, b) => b > a }
+    val down = pairs.count { case (a, b) => b < a }
+    assert(r.getAs[Long]("n_days") == n.toLong)
+    assert(r.getAs[Long]("s_up") == up.toLong, "s_up")
+    assert(r.getAs[Long]("s_down") == down.toLong, "s_down")
+    val nn = up + down
+    val z = (2.0 * math.max(up, down) - nn - 1) / math.sqrt(nn.toDouble)
+    assert(math.abs(r.getAs[Double]("z") - z) < 1e-5)
+    val trend = if (z <= 1.96) "none"
+      else if (up > down) "increasing" else "decreasing"
+    assert(r.getAs[String]("trend") == trend)
+  }
+
+  test("q_bartlett: per-segment binned variances recompose; verdict keys on the chi-square table") {
+    val sf = TestSession.sf
+    val rows = graft.operators.Validation.queries("q_bartlett")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val k = rows.head.getAs[Long]("k")
+    assert(rows.length == k.toInt)
+    val bins = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        floor(col("o_totalprice") / 100).cast("long"))
+      .as[(String, Long)].collect()
+    rows.foreach { r =>
+      val seg = r.getAs[String]("seg")
+      val xs = bins.filter(_._1 == seg).map(_._2)
+      val n = xs.length
+      val s = xs.map(BigInt(_)).sum
+      val q = xs.map(x => BigInt(x) * x).sum
+      val v = (BigInt(n) * q - s * s).toDouble / (n.toDouble * (n - 1))
+      assert(r.getAs[Long]("n_g") == n.toLong)
+      assert(math.abs(r.getAs[Double]("var_bins") - v) < 1e-3,
+        s"$seg var ${r.getAs[Double]("var_bins")} vs $v")
+      assert(r.getAs[Boolean]("heteroscedastic") ==
+        (r.getAs[Double]("bartlett_stat") > r.getAs[Double]("chi2_crit")))
+      assert(r.getAs[Double]("bartlett_stat") >= 0.0)
+    }
+  }
+
+  test("q_kde: densities are non-negative and the grid mass is consistent with the histogram") {
+    val sf = TestSession.sf
+    val rows = graft.operators.Validation.queries("q_kde")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("dollars"))
+    assert(rows.length == 21)
+    assert(rows.forall(_.getAs[Double]("density_e9") >= 0.0))
+    // recompose one interior grid point driver-side
+    val hist = Tables.orders(spark, sf)
+      .select(floor(col("o_totalprice") / 100).cast("long").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect()
+    val n = hist.map(_._2).sum
+    val h = graft.operators.Validation.KdeBandwidth
+    val g = rows(4).getAs[Long]("dollars").toDouble
+    val mass = hist.map { case (b, c) =>
+      val d = g - (b * 100 + 50)
+      BigInt(c) * BigInt(math.round(math.exp(-d * d / (2 * h * h)) * 1e6))
+    }.sum
+    val dens = mass.toDouble / (n.toDouble * h * 2.5066282746310002 * 1e6) * 1e9
+    assert(math.abs(rows(4).getAs[Double]("density_e9") - dens) < 1e-4)
+    // a density peak exists where the data mass is (not all ~zero)
+    assert(rows.map(_.getAs[Double]("density_e9")).max > 0.1)
+  }
+
+  test("q_hits: three HITS iterations recompose from the collected directed top-K graph") {
+    val sf = TestSession.sf
+    val rows = graft.operators.GraphOps.queries("q_hits")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val hubs = rows.map(r => r.getAs[Long]("s_suppkey") ->
+      r.getAs[Double]("hub")).toMap
+    val auths = rows.map(r => r.getAs[Long]("s_suppkey") ->
+      r.getAs[Double]("authority")).toMap
+    assert(hubs.values.max <= 1.0 + 1e-9 && auths.values.max <= 1.0 + 1e-9)
+    assert(hubs.values.exists(_ > 0.99) && auths.values.exists(_ > 0.99))
+    // driver-side replay of the fixed point
+    val g = graft.operators.GraphOps.queries("q_knn_graph")(spark, sf)
+      .select(col("node"), col("nbr")).as[(Long, Long)].collect()
+    def r10(x: Double) = BigDecimal(x)
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var h = g.map(_._1).distinct.map(_ -> 1.0).toMap
+    var a = Map.empty[Long, Double]
+    for (_ <- 1 to 3) {
+      val aRaw = g.groupBy(_._2).map { case (d, es) =>
+        d -> es.map(e => h.getOrElse(e._1, 0.0)).sum }
+      val aMax = aRaw.values.max
+      a = aRaw.map { case (k, v) => k -> r10(v / aMax) }
+      val hRaw = g.groupBy(_._1).map { case (s, es) =>
+        s -> es.map(e => a.getOrElse(e._2, 0.0)).sum }
+      val hMax = hRaw.values.max
+      h = hRaw.map { case (k, v) => k -> r10(v / hMax) }
+    }
+    rows.foreach { r =>
+      val node = r.getAs[Long]("s_suppkey")
+      assert(math.abs(r.getAs[Double]("hub") - h.getOrElse(node, 0.0)) < 1e-4,
+        s"hub($node)")
+      assert(math.abs(r.getAs[Double]("authority") -
+        a.getOrElse(node, 0.0)) < 1e-4, s"authority($node)")
+    }
+  }
 }

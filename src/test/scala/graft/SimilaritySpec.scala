@@ -239,6 +239,26 @@ class SimilaritySpec extends AnyFunSuite {
       assert(edges.contains((d, s)), s"edge ($s,$d) missing its reverse") }
   }
 
+  test("q_ann_hnsw: hierarchical entry holds the recall floor with two fewer hops than flat NSW") {
+    val hnsw = Similarity.queries("q_ann_hnsw")(spark, sf)
+      .select("qid", "nid").as[(Long, Long)].collect()
+    assert(hnsw.forall { case (q, n) => q != n },
+      "leave-one-out: the query must never be its own neighbor")
+    val exact = Similarity.qAnnBruteforce(spark, sf)
+      .select("qid", "nid").as[(Long, Long)].collect()
+    val got = hnsw.toSet
+    val recall = exact.count(got.contains).toDouble / exact.length
+    assert(recall >= 0.8,
+      s"HNSW recall@5 $recall below the 0.8 floor at ${Similarity.HnswHops} hops")
+    // the hierarchy is the point: the layer-0 walk is shorter by design
+    assert(Similarity.HnswHops < Similarity.NswHops,
+      "hierarchical entry must need fewer hops than the flat panel")
+    // same panel as the flat walk — per-query result counts match
+    val flatQs = Similarity.queries("q_ann_nsw")(spark, sf)
+      .select("qid").distinct().as[Long].collect().toSet
+    assert(hnsw.map(_._1).toSet == flatQs, "identical query panel")
+  }
+
   test("q_knn_classify: predictions equal the mode of D1's top-5 neighbor labels, ties broken low") {
     val pred = Similarity.queries("q_knn_classify")(spark, sf)
       .select("qid", "true_label", "pred_label", "votes", "correct")

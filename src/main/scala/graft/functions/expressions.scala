@@ -109,6 +109,49 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Raw dot product of two double arrays in one fused left-to-right
+  * loop — the MIPS kernel (D23): inner product, NOT cosine, so vector
+  * magnitude matters. Same engine contract as [[CosineSim]]: the
+  * oracle's `sum(x*y)` over unnest in list order adds the identical
+  * IEEE terms in the identical order.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 /** All k-shingle polynomial hashes of a string in ONE pass — the
   * vectorized kernel behind the dedup shingle stream. Value contract
   * (unchanged from the scalar path, so every oracle stays valid):
@@ -374,6 +417,10 @@ object GraftExpressions {
 
   def cosine_sim(a: Column, b: Column): Column =
     GraftBridge.column(CosineSim(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def dot_product(a: Column, b: Column): Column =
+    GraftBridge.column(DotProduct(
       GraftBridge.expression(a), GraftBridge.expression(b)))
 
   def shingle_hashes(c: Column, k: Int = 5, modulus: Long = 4294967291L): Column =

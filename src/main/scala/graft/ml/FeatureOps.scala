@@ -854,6 +854,92 @@ object FeatureOps {
       |    * (1.0 - regr_r2(l_extendedprice, l_quantity))), 4) AS rmse
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- E53
+  /** Log-log price elasticity of demand per brand — the econometric
+    * readout E22's linear fit can't give (a linear slope is in
+    * dollars; elasticity is the UNITLESS %Δquantity per %Δprice a
+    * pricing decision actually consumes, and brands with elasticity
+    * < −1 lose revenue on price increases). Engine-exact device
+    * (E33/E38): per row the log unit price and log quantity each
+    * µ-quantize as DIFFERENCES of µ-quantized lns of exact integers
+    * (x = round(ln(cents)·10⁶) − round(ln(qty)·10⁶) — ln(a/b) without
+    * a pre-round division, so no half-up-vs-half-even rounding
+    * divergence can enter), all five moments are exact DECIMAL(38,0)
+    * sums, the slope is ONE sign-split double division and R² a
+    * fixed-order expression over the same moments; zero-variance
+    * brands publish null. One brand-keyed aggregate (25 groups);
+    * elastic verdict on the published double, deterministic.
+    */
+  def qPriceElasticity(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    def sd(c: String) = expr(
+      s"CASE WHEN $c >= 0 THEN CAST($c AS DOUBLE)" +
+        s" ELSE -CAST(-($c) AS DOUBLE) END")
+    val rows = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"),
+        (round(log(round(col("l_extendedprice") * 100)) * 1e6).cast("long")
+          - round(log(col("l_quantity").cast("double")) * 1e6).cast("long"))
+          .as("x"),
+        round(log(col("l_quantity").cast("double")) * 1e6).cast("long")
+          .as("y"))
+    val mom = rows.groupBy(col("brand")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(d38)).as("sx"), sum(col("y").cast(d38)).as("sy"),
+      sum((col("x").cast(d38) * col("x")).cast(d38)).as("sxx"),
+      sum((col("x").cast(d38) * col("y")).cast(d38)).as("sxy"),
+      sum((col("y").cast(d38) * col("y")).cast(d38)).as("syy"))
+    mom
+      .withColumn("num", (col("n") * col("sxy") - col("sx") * col("sy"))
+        .cast(d38))
+      .withColumn("dx", (col("n") * col("sxx") - col("sx") * col("sx"))
+        .cast(d38))
+      .withColumn("dy", (col("n") * col("syy") - col("sy") * col("sy"))
+        .cast(d38))
+      .select(col("brand"), col("n"),
+        when(col("dx") > 0, round(sd("num") / sd("dx"), 6))
+          .otherwise(lit(null).cast("double")).as("elasticity"),
+        when(col("dx") > 0 && col("dy") > 0,
+          round(sd("num") * sd("num") /
+            (sd("dx") * sd("dy")), 6))
+          .otherwise(lit(null).cast("double")).as("r2"))
+      .withColumn("elastic", col("elasticity") < -1.0)
+  }
+
+  val qPriceElasticitySql: String = {
+    def sd(c: String) =
+      s"""CASE WHEN $c >= 0 THEN CAST($c AS DOUBLE)
+         | ELSE -CAST(-($c) AS DOUBLE) END"""
+        .stripMargin.replace("\n", " ")
+    s"""WITH rows0 AS (SELECT p_brand AS brand,
+       |    CAST(round(ln(CAST(round(l_extendedprice * 100) AS BIGINT))
+       |      * 1e6) AS BIGINT)
+       |      - CAST(round(ln(CAST(l_quantity AS DOUBLE)) * 1e6) AS BIGINT)
+       |      AS x,
+       |    CAST(round(ln(CAST(l_quantity AS DOUBLE)) * 1e6) AS BIGINT) AS y
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+       |mom AS (SELECT brand, CAST(count(*) AS HUGEINT) AS n,
+       |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+       |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+       |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+       |    sum(CAST(y AS HUGEINT) * y) AS syy
+       |  FROM rows0 GROUP BY 1),
+       |d AS (SELECT brand, CAST(n AS BIGINT) AS n,
+       |    n * sxy - sx * sy AS num,
+       |    n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy
+       |  FROM mom)
+       |SELECT brand, n,
+       |  CASE WHEN dx > 0 THEN round((${sd("num")}) / (${sd("dx")}), 6)
+       |    END AS elasticity,
+       |  CASE WHEN dx > 0 AND dy > 0 THEN
+       |    round((${sd("num")}) * (${sd("num")})
+       |      / ((${sd("dx")}) * (${sd("dy")})), 6) END AS r2,
+       |  (CASE WHEN dx > 0 THEN round((${sd("num")}) / (${sd("dx")}), 6)
+       |    END) < -1.0 AS elastic
+       |FROM d""".stripMargin
+  }
+
   // ---------------------------------------------------------------- E37
   /** Closed-form ridge regression of extended price on quantity per
     * return flag — E22's OLS with an L2 penalty, the one-knob
@@ -3044,6 +3130,7 @@ object FeatureOps {
     "q_winsorize" -> (qWinsorize _),
     "q_target_encoding" -> (qTargetEncoding _),
     "q_ols_fit" -> (qOlsFit _),
+    "q_price_elasticity" -> (qPriceElasticity _),
     "q_ridge_fit" -> (qRidgeFit _),
     "q_source_embedding_shift" -> (qSourceEmbeddingShift _),
     "q_embedding_qc" -> (qEmbeddingQc _),
@@ -3083,6 +3170,7 @@ object FeatureOps {
     "q_winsorize" -> qWinsorizeSql,
     "q_target_encoding" -> qTargetEncodingSql,
     "q_ols_fit" -> qOlsFitSql,
+    "q_price_elasticity" -> qPriceElasticitySql,
     "q_ridge_fit" -> qRidgeFitSql,
     "q_source_embedding_shift" -> qSourceEmbeddingShiftSql,
     "q_embedding_qc" -> qEmbeddingQcSql,

@@ -997,6 +997,75 @@ object AnalyticExt {
       |JOIN item ic ON brand_c = ic.brand, tot
       |ORDER BY lift DESC, brand_a, brand_b, brand_c LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- A50
+  /** Turning-point test for series randomness (Kendall's classic) on
+    * daily revenue — the third leg of the randomness battery: A37's
+    * runs test reads sign clustering around the median, A42/A47 read
+    * monotone trend; turning points read local OSCILLATION (too few
+    * turns ⇒ momentum/trend, too many ⇒ alternation/overcorrection).
+    * A day is a turning point iff its two neighboring deltas have
+    * strictly opposite signs (triples containing any tie are excluded,
+    * the standard continuous-series convention, counted and published
+    * so the exclusion is auditable); E[T] = 2(n−2)/3 and Var(T) =
+    * (16n−29)/90 are exact rationals of the day count, z is ONE
+    * fixed-order double expression with one sqrt. Entirely on the
+    * bounded day table (the q_changepoint class) — exact integer
+    * cents comparisons, no float in any count.
+    */
+  def qTurningPoints(spark: SparkSession, dir: String): DataFrame = {
+    val byDay = Tables.orders(spark, dir)
+      .groupBy(datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("decimal(38,0)"))
+        .as("rc"))
+    val w = Window.orderBy(col("day"))
+    val trip = byDay
+      .withColumn("prev", lag(col("rc"), 1).over(w))
+      .withColumn("nxt", lead(col("rc"), 1).over(w))
+      .filter(col("prev").isNotNull && col("nxt").isNotNull)
+    val agg = trip.agg(count(lit(1)).as("n_triples"),
+      sum(when((col("rc") > col("prev") && col("rc") > col("nxt")) ||
+        (col("rc") < col("prev") && col("rc") < col("nxt")), 1L)
+        .otherwise(0L)).as("n_turning"),
+      sum(when(col("rc") === col("prev") || col("rc") === col("nxt"), 1L)
+        .otherwise(0L)).as("n_tied_triples"))
+    val nd = byDay.agg(count(lit(1)).as("n_days"))
+    agg.crossJoin(broadcast(nd))
+      .select(col("n_days"), col("n_triples"), col("n_tied_triples"),
+        col("n_turning"),
+        round(lit(2.0) * (col("n_days") - 2) / 3.0, 6).as("expected"),
+        round((col("n_turning").cast("double")
+          - lit(2.0) * (col("n_days") - 2) / 3.0) /
+          sqrt((lit(16.0) * col("n_days") - 29.0) / 90.0), 6).as("z"))
+      .withColumn("random_ok", abs(col("z")) <= 1.96)
+  }
+
+  val qTurningPointsSql: String =
+    """WITH byday AS (SELECT
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |      AS BIGINT) AS day,
+      |    sum(CAST(round(o_totalprice * 100) AS HUGEINT)) AS rc
+      |  FROM orders GROUP BY 1),
+      |trip AS (SELECT rc,
+      |    lag(rc, 1) OVER (ORDER BY day) AS prev,
+      |    lead(rc, 1) OVER (ORDER BY day) AS nxt
+      |  FROM byday),
+      |agg AS (SELECT count(*) AS n_triples,
+      |    CAST(sum(CASE WHEN (rc > prev AND rc > nxt)
+      |      OR (rc < prev AND rc < nxt) THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_turning,
+      |    CAST(sum(CASE WHEN rc = prev OR rc = nxt THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_tied_triples
+      |  FROM trip WHERE prev IS NOT NULL AND nxt IS NOT NULL),
+      |nd AS (SELECT count(*) AS n_days FROM byday)
+      |SELECT n_days, n_triples, n_tied_triples, n_turning,
+      |  round(2.0 * (n_days - 2) / 3.0, 6) AS expected,
+      |  round((CAST(n_turning AS DOUBLE) - 2.0 * (n_days - 2) / 3.0)
+      |    / sqrt((16.0 * n_days - 29.0) / 90.0), 6) AS z,
+      |  (abs(round((CAST(n_turning AS DOUBLE) - 2.0 * (n_days - 2) / 3.0)
+      |    / sqrt((16.0 * n_days - 29.0) / 90.0), 6)) <= 1.96) AS random_ok
+      |FROM agg, nd""".stripMargin
+
   // ---------------------------------------------------------------- A38
   /** Kendall tau-b rank correlation between daily order COUNT and
     * daily REVENUE — the monotone-association readout A16's Pearson
@@ -1799,6 +1868,7 @@ object AnalyticExt {
     "q_partial_corr" -> (qPartialCorr _),
     "q_assoc_rules" -> (qAssocRules _),
     "q_freq_itemsets" -> (qFreqItemsets _),
+    "q_turning_points" -> (qTurningPoints _),
     "q_rfm_segments" -> (qRfmSegments _),
     "q_blame_supplier" -> (qBlameSupplier _),
     "q_full_outer" -> (qFullOuter _),
@@ -1832,6 +1902,7 @@ object AnalyticExt {
     "q_cross_corr" -> qCrossCorrSql,
     "q_assoc_rules" -> qAssocRulesSql,
     "q_freq_itemsets" -> qFreqItemsetsSql,
+    "q_turning_points" -> qTurningPointsSql,
     "q_rfm_segments" -> qRfmSegmentsSql,
     "q_blame_supplier" -> qBlameSupplierSql,
     "q_full_outer" -> qFullOuterSql,

@@ -64,6 +64,52 @@ object Similarity {
       |  FROM scored)
       |SELECT qid, nid, rank, round(sim, 4) AS sim FROM ranked WHERE rank <= 5""".stripMargin
 
+  // ---------------------------------------------------------------- D23
+  /** Maximum-inner-product search (MIPS) — D1's magnitude-aware twin:
+    * recommendation and reranking score by RAW dot product (a long,
+    * well-aligned vector SHOULD outrank a short one — user·item
+    * factor models, cross-encoder distillation targets), which cosine
+    * deliberately erases; the two top-5 lists genuinely differ
+    * wherever norms vary, and publishing the query vector's own norm
+    * rank makes the difference auditable. Same bounded-panel device
+    * as D1 (broadcast panel × corpus, O(panel·n)); scoring is the
+    * codegen'd fused [[graft.functions.DotProduct]] loop whose
+    * left-to-right accumulation equals the oracle's `sum(x*y)` over
+    * unnest in list order bit-for-bit (the CosineSim contract);
+    * ranking on (round(dot,6) DESC, nid ASC). The norm-augmentation
+    * reduction (append √(M²−‖v‖²) and search by cosine) is the
+    * documented 100 TB path onto the D2/D3 indexes; the exact
+    * panel-bounded scan is the verifiable baseline, like D1 for D2.
+    */
+  def qMips(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < PanelIdCap)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        graft.functions.GraftExpressions.dot_product(col("qv"), col("v"))
+          .as("dot"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(round(col("dot"), 6).desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("nid"), col("rank"),
+        round(col("dot"), 4).as("dot"))
+  }
+
+  val qMipsSql: String =
+    raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0 AND vec_id < $PanelIdCap),
+      |flat AS (SELECT qid, e.vec_id AS nid, unnest(qv) AS x, unnest(v) AS y
+      |  FROM e JOIN q ON e.vec_id <> q.qid),
+      |scored AS (SELECT qid, nid, sum(x*y) AS dot
+      |  FROM flat GROUP BY qid, nid),
+      |ranked AS (SELECT qid, nid, dot, row_number() OVER (
+      |    PARTITION BY qid ORDER BY round(dot, 6) DESC, nid ASC) AS rank
+      |  FROM scored)
+      |SELECT qid, nid, rank, round(dot, 4) AS dot FROM ranked WHERE rank <= 5""".stripMargin
+
   // ---------------------------------------------------------------- D19
   /** k-NN classification over the embedding corpus — the similarity
     * search consumer that closes the loop: predict each panel
@@ -2320,6 +2366,7 @@ object Similarity {
     "q_triplet_mining" -> (qTripletMining _),
     "q_ann_nsw" -> (qAnnNsw _),
     "q_ann_hnsw" -> (qAnnHnsw _),
+    "q_mips" -> (qMips _),
     "q_mmr_diversify" -> (qMmrDiversify _),
     "q_mmr_ann" -> (qMmrAnn _),
     "q_ndcg" -> (qNdcg _),
@@ -2342,6 +2389,7 @@ object Similarity {
   def oracle: Map[String, String] = {
     val k = lastShortlistK.get
     Map("q_ann_bruteforce" -> qAnnBruteforceSql,
+      "q_mips" -> qMipsSql,
       "q_knn_classify" -> qKnnClassifySql,
       "q_hard_negatives" -> qHardNegativesSql,
       "q_triplet_mining" -> qTripletMiningSql, "q_ann_lsh" -> qAnnLshSql,

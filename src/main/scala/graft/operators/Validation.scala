@@ -4254,7 +4254,82 @@ object Validation {
        |    * 1e9, 6) AS density_e9
        |FROM mass, tot""".stripMargin
 
+  // ---------------------------------------------------------------- L56
+  /** Lorenz curve of order-total concentration at the deciles — the
+    * CURVE behind L8's single Gini number (an auditor wants to see
+    * WHERE the concentration lives: "the bottom half of orders carries
+    * 19% of revenue" is actionable, 0.42 alone is not). Same bounded
+    * $100-bin histogram device as A40/L22: per-bin count + EXACT
+    * decimal-cents revenue, one cumulative window over ≤ ~5,500 bins;
+    * each decile's rank cut is the exact integer n·d DIV 10 and a cut
+    * landing inside a bin contributes fractionally with the
+    * contribution ROUNDED TO WHOLE CENTS (the A40 device — integer in
+    * any summation order); the two published shares are one double
+    * division each. Monotone convex by construction; spec pins both.
+    */
+  def qLorenzCurve(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.orders(spark, dir)
+      .select(floor(col("o_totalprice") / 100).cast("long").as("bin"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("c_b"),
+        sum(col("cents").cast("decimal(38,0)")).as("s_b"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.withColumn("cumb",
+      coalesce(sum(col("c_b")).over(w), lit(0L)))
+    val tot = hist.agg(sum(col("c_b")).cast("long").as("n"),
+      sum(col("s_b")).as("s"))
+    val dec = spark.range(1, 11).select(col("id").as("decile"))
+    cum.crossJoin(broadcast(tot)).crossJoin(broadcast(dec))
+      .withColumn("cut", expr("n * decile DIV 10"))
+      .withColumn("take", greatest(lit(0L),
+        least(col("cumb") + col("c_b"), col("cut")) - col("cumb")))
+      .withColumn("contrib",
+        round(col("s_b").cast("double") * col("take") / col("c_b"), 0)
+          .cast("long"))
+      .groupBy(col("decile"))
+      .agg(max(col("cut")).as("n_orders_below"),
+        sum(col("contrib")).cast("long").as("rev_below_c"),
+        max(col("n")).as("n"), max(col("s").cast("double")).as("s"))
+      .select(col("decile"), col("n_orders_below"),
+        round(col("n_orders_below").cast("double") / col("n"), 6)
+          .as("pop_share"),
+        round(col("rev_below_c").cast("double") / col("s"), 6)
+          .as("rev_share"))
+  }
+
+  val qLorenzCurveSql: String =
+    """WITH hist AS (SELECT CAST(floor(o_totalprice / 100) AS BIGINT) AS bin,
+      |    count(*) AS c_b,
+      |    sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT))
+      |      AS s_b
+      |  FROM orders GROUP BY 1),
+      |cum AS (SELECT bin, c_b, s_b,
+      |    coalesce(sum(c_b) OVER (ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+      |  FROM hist),
+      |tot AS (SELECT CAST(sum(c_b) AS BIGINT) AS n, sum(s_b) AS s FROM hist),
+      |dec AS (SELECT CAST(unnest(generate_series(1, 10)) AS BIGINT)
+      |    AS decile),
+      |cc AS (SELECT decile, n * decile // 10 AS cut, cumb, c_b, s_b, n, s
+      |  FROM cum, tot, dec),
+      |ct AS (SELECT decile,
+      |    greatest(0, least(cumb + c_b, cut) - cumb) AS take,
+      |    cut, c_b, s_b, n, s
+      |  FROM cc),
+      |agg AS (SELECT decile, max(cut) AS n_orders_below,
+      |    CAST(sum(CAST(round(CAST(s_b AS DOUBLE) * take / c_b, 0)
+      |      AS BIGINT)) AS BIGINT) AS rev_below_c,
+      |    max(n) AS n, max(CAST(s AS DOUBLE)) AS s
+      |  FROM ct GROUP BY 1)
+      |SELECT decile, CAST(n_orders_below AS BIGINT) AS n_orders_below,
+      |  round(CAST(n_orders_below AS DOUBLE) / n, 6) AS pop_share,
+      |  round(CAST(rev_below_c AS DOUBLE) / s, 6) AS rev_share
+      |FROM agg""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lorenz_curve" -> (qLorenzCurve _),
     "q_ref_integrity" -> (qRefIntegrity _),
     "q_negbin_fit" -> (qNegbinFit _),
     "q_cox_stuart" -> (qCoxStuart _),
@@ -4310,6 +4385,7 @@ object Validation {
     "q_benford" -> (qBenford _))
 
   def oracle: Map[String, String] = Map(
+    "q_lorenz_curve" -> qLorenzCurveSql,
     "q_ref_integrity" -> qRefIntegritySql,
     "q_negbin_fit" -> qNegbinFitSql,
     "q_cox_stuart" -> qCoxStuartSql,

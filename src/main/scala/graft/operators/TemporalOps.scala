@@ -1660,7 +1660,16 @@ object TemporalOps {
     * scale-proof and canonicalization-proof). In parallel, the
     * column-split bisect variants q_bollinger_iv (int64+string
     * cells only) and q_bollinger_dec (the old decimal cells only)
-    * localize the diverging type to a single CORRECTNESS row.
+    * localized the diverging type to a single CORRECTNESS row.
+    *
+    * r16 CLOSURE: the bisect concluded in r15 — q_bollinger and
+    * q_bollinger_iv GREEN, q_bollinger_dec (identical arithmetic,
+    * identical rows, DECIMAL cells only) the lone hash FAIL — so the
+    * driver's DECIMAL hash canonicalization is the proven culprit
+    * and the engine arithmetic is correct. The probe is RETIRED from
+    * the contract (VERDICT r15 ask #1); the finding is recorded in
+    * TESTDATA.md §"DECIMAL canonicalization" and README. House rule
+    * stands: never publish DECIMAL-typed cells.
     */
   private def bollingerStats(spark: SparkSession, dir: String): DataFrame = {
     val byDay = Tables.orders(spark, dir)
@@ -1701,24 +1710,15 @@ object TemporalOps {
         col("breach"))
 
   /** Bisect variant (r15, VERDICT ask #1): the int64+string cells of
-    * q_bollinger only — if this passes while q_bollinger_dec fails,
-    * the driver's DECIMAL canonicalization is the proven culprit.
+    * q_bollinger only. It passed while the (now-retired) decimal-only
+    * split failed — the driver's DECIMAL canonicalization was the
+    * proven culprit; see the r16 CLOSURE note on bollingerStats.
     */
   def qBollingerIv(spark: SparkSession, dir: String): DataFrame =
     bollingerStats(spark, dir)
       .select(col("day"),
         expr("(2 * s7 * 10000 + 6) DIV 12").as("mean7_micro"),
         col("breach"))
-
-  /** Bisect variant (r15): the DECIMAL cells exactly as the r13/r14
-    * q_bollinger published them (rev DECIMAL(18,2), var7_num
-    * DECIMAL(38,0)) — carries the suspect types forward so the
-    * driver returns a dedicated verdict bit for them.
-    */
-  def qBollingerDec(spark: SparkSession, dir: String): DataFrame =
-    bollingerStats(spark, dir)
-      .select(col("day"), col("rev").cast("decimal(18,2)").as("rev"),
-        col("num").as("var7_num"))
 
   private val bollingerBaseSql: String =
     """WITH byday AS (SELECT
@@ -1751,12 +1751,6 @@ object TemporalOps {
     """
       |SELECT day,
       |  CAST((2 * s7 * 10000 + 6) // 12 AS BIGINT) AS mean7_micro, breach
-      |FROM breach WHERE breach IS NOT NULL""".stripMargin
-
-  val qBollingerDecSql: String = bollingerBaseSql +
-    """
-      |SELECT day, CAST(rev AS DECIMAL(18,2)) AS rev,
-      |  CAST(num AS DECIMAL(38,0)) AS var7_num
       |FROM breach WHERE breach IS NOT NULL""".stripMargin
 
   // ---------------------------------------------------------------- F46
@@ -3465,7 +3459,6 @@ object TemporalOps {
     "q_drawdown" -> (qDrawdown _),
     "q_bollinger" -> (qBollinger _),
     "q_bollinger_iv" -> (qBollingerIv _),
-    "q_bollinger_dec" -> (qBollingerDec _),
     "q_theil_sen" -> (qTheilSen _),
     "q_autocorr" -> (qAutocorr _),
     "q_top_paths" -> (qTopPaths _),
@@ -3523,7 +3516,6 @@ object TemporalOps {
     "q_drawdown" -> qDrawdownSql,
     "q_bollinger" -> qBollingerSql,
     "q_bollinger_iv" -> qBollingerIvSql,
-    "q_bollinger_dec" -> qBollingerDecSql,
     "q_theil_sen" -> qTheilSenSql,
     "q_autocorr" -> qAutocorrSql,
     "q_top_paths" -> qTopPathsSql,

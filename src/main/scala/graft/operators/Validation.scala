@@ -3888,7 +3888,11 @@ object Validation {
       base.crossJoin(broadcast(orph))
         .select(lit(fk).as("fk"), col("n_rows"), col("n_null_keys"),
           col("n_orphans"),
-          expr(hu("1000000 * n_orphans", "n_rows")).as("orphan_ppm"),
+          // nullif guard (the qBootstrapCi pattern): an empty child
+          // table publishes NULL ppm identically in both engines
+          // instead of Spark-NULL-vs-DuckDB-error on the zero divide
+          expr(hu("1000000 * n_orphans", "nullif(n_rows, 0)"))
+            .as("orphan_ppm"),
           (col("n_orphans") === 0 && col("n_null_keys") === 0).as("ok"))
     }
     val li = Tables.lineitem(spark, dir)
@@ -3924,8 +3928,8 @@ object Validation {
          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
          |  CAST((2 * 1000000 * sum(CASE WHEN $key IS NOT NULL AND NOT
          |      EXISTS (SELECT 1 FROM $parent WHERE $pkey = $key)
-         |    THEN 1 ELSE 0 END) + count(*)) // (2 * count(*)) AS BIGINT)
-         |    AS orphan_ppm,
+         |    THEN 1 ELSE 0 END) + count(*))
+         |    // (2 * nullif(count(*), 0)) AS BIGINT) AS orphan_ppm,
          |  (sum(CASE WHEN $key IS NOT NULL AND NOT EXISTS
          |      (SELECT 1 FROM $parent WHERE $pkey = $key)
          |    THEN 1 ELSE 0 END) = 0
@@ -4361,11 +4365,14 @@ object Validation {
     val tot = hist.agg(sum(col("na")).cast("long").as("n1"),
       sum(col("nb")).cast("long").as("n2"))
     val dmu = expr(
-      """CASE WHEN ca * n2 - cb * n1 >= 0
-        | THEN (2 * CAST(ca * n2 - cb * n1 AS DECIMAL(38,0)) * 1000000
+      """CASE WHEN CAST(ca AS DECIMAL(38,0)) * n2
+        |     - CAST(cb AS DECIMAL(38,0)) * n1 >= 0
+        | THEN (2 * (CAST(ca AS DECIMAL(38,0)) * n2
+        |     - CAST(cb AS DECIMAL(38,0)) * n1) * 1000000
         |   + CAST(n1 AS DECIMAL(38,0)) * n2)
         |   DIV (2 * CAST(n1 AS DECIMAL(38,0)) * n2)
-        | ELSE -((2 * CAST(cb * n1 - ca * n2 AS DECIMAL(38,0)) * 1000000
+        | ELSE -((2 * (CAST(cb AS DECIMAL(38,0)) * n1
+        |     - CAST(ca AS DECIMAL(38,0)) * n2) * 1000000
         |   + CAST(n1 AS DECIMAL(38,0)) * n2)
         |   DIV (2 * CAST(n1 AS DECIMAL(38,0)) * n2)) END"""
         .stripMargin.replace("\n", " "))
@@ -4400,11 +4407,13 @@ object Validation {
       |tot AS (SELECT CAST(sum(na) AS BIGINT) AS n1,
       |    CAST(sum(nb) AS BIGINT) AS n2 FROM hist),
       |dd AS (SELECT na, nb,
-      |    CASE WHEN ca * n2 - cb * n1 >= 0
-      |      THEN CAST((2 * CAST(ca * n2 - cb * n1 AS HUGEINT) * 1000000
+      |    CASE WHEN CAST(ca AS HUGEINT) * n2 - CAST(cb AS HUGEINT) * n1 >= 0
+      |      THEN CAST((2 * (CAST(ca AS HUGEINT) * n2
+      |          - CAST(cb AS HUGEINT) * n1) * 1000000
       |        + CAST(n1 AS HUGEINT) * n2)
       |        // (2 * CAST(n1 AS HUGEINT) * n2) AS BIGINT)
-      |      ELSE -CAST((2 * CAST(cb * n1 - ca * n2 AS HUGEINT) * 1000000
+      |      ELSE -CAST((2 * (CAST(cb AS HUGEINT) * n1
+      |          - CAST(ca AS HUGEINT) * n2) * 1000000
       |        + CAST(n1 AS HUGEINT) * n2)
       |        // (2 * CAST(n1 AS HUGEINT) * n2) AS BIGINT) END AS dmu,
       |    n1, n2

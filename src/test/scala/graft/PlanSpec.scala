@@ -360,8 +360,8 @@ class PlanSpec extends AnyFunSuite {
       "q_vocab_coverage", "q_kaplan_meier", "q_changepoint", "q_fdr_bh",
       "q_mutual_info", "q_skyline", "q_runs_test", "q_mannwhitney",
       "q_ks_test", "q_hodges_lehmann", "q_drawdown", "q_bollinger",
-      // r15 driver-bisect column splits of the two windows above
-      "q_bollinger_iv", "q_bollinger_dec",
+      // r15 driver-bisect column split (decimal probe retired r16)
+      "q_bollinger_iv",
       "q_stl_trend", "q_stl_seasonal", "q_stl_remainder",
       "q_spearman", "q_kruskal_wallis", "q_nelson_aalen",
       // cumulative sweep over the ≤ 50-row quantity histogram

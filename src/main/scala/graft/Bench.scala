@@ -72,6 +72,40 @@ object Bench {
     spark.range(1 << 20).selectExpr("sum(id)").collect()
     Tables.lineitem(spark, sfDir).limit(1000).count()
 
+    // Fixed chain-build prologue (r15 VERDICT ask #3): the persisted
+    // store artifacts (MinHash signatures, ANN indexes, graph edge
+    // tables, ML prediction stores) build lazily on first touch, so
+    // in a fresh-warehouse bench session whichever query reached a
+    // store first absorbed its build — q_decontam_keep_list and
+    // graph_warm moved round-over-round with no code change. Building
+    // every store HERE, each timed and reported as its own line,
+    // makes the per-query numbers pure query cost and the build cost
+    // visible instead of randomly attributed.
+    val chainBuild = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def buildChain(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      try f
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] chain $name FAILED: ${e.getClass.getSimpleName}")
+      }
+      chainBuild(name) = (System.nanoTime() - t0) / 1e9
+    }
+    if (!sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) {
+      buildChain("sig_store") { operators.Dedup.SigStore.ensure(spark, sfDir) }
+      buildChain("graph_store") { operators.GraphOps.GraphStore.strong(spark, sfDir) }
+      buildChain("nsw_index") { operators.Similarity.NswIndex.ensure(spark, sfDir) }
+      buildChain("ivf_index8") { operators.Similarity.IvfIndex.get(spark, sfDir, 8) }
+      buildChain("ivf_index16") { operators.Similarity.IvfIndex.get(spark, sfDir, 16) }
+      buildChain("pq_index") { operators.Similarity.PqIndex.get(spark, sfDir) }
+      buildChain("kmeans_store") { ml.Tuning.KmeansStore.ensure(spark, sfDir) }
+      buildChain("doccluster_store") { ml.Tuning.DocClusterStore.ensure(spark, sfDir) }
+      buildChain("cv_store") { ml.Tuning.CvStore.ensure(spark, sfDir) }
+      buildChain("pipe_store") { ml.Tuning.PipeStore.ensure(spark, sfDir) }
+      buildChain("learn_store") { ml.Tuning.LearnStore.ensure(spark, sfDir) }
+      buildChain("als_store") { ml.Tuning.AlsStore.ensure(spark, sfDir) }
+      spark.catalog.clearCache()
+    }
+
     // A throwing query must not masquerade as a fast success, and a
     // failed attempt's time-to-throw must never be min'd against a
     // real measurement: each attempt carries its own ok flag, and only
@@ -219,14 +253,15 @@ object Bench {
     val shuffleJson = shuffleStats.map { case (k, (sr, sw, swb, pm, ex)) =>
       s""""$k":{"sr_rec":$sr,"sw_rec":$sw,"sw_bytes":$swb,"peak_mem":$pm,"exch":$ex}"""
     }.mkString("{", ",", "}")
+    val chainTotal = chainBuild.values.sum
     val fullLine =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec"$warmJson,"queries":${fmt(results)},"queries_warm":${fmt(warmPerQuery)},"shuffle":$shuffleJson,"err":$errJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec"$warmJson,"chain_build_total":$chainTotal%.2f,"chain_build":${fmt(chainBuild)},"queries":${fmt(results)},"queries_warm":${fmt(warmPerQuery)},"shuffle":$shuffleJson,"err":$errJson,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), fullLine + "\n")
     catch { case _: Throwable => () }
     val slowest = results.toSeq.sortBy(-_._2).take(10)
     val shortLine =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n":${results.size}$warmJson,"queries":${fmt(slowest)},"err":$errJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n":${results.size}$warmJson,"chain_build_total":$chainTotal%.2f,"queries":${fmt(slowest)},"err":$errJson,"sf":"$sfDir"}"""
     println(shortLine)
     spark.stop()
   }

@@ -94,8 +94,9 @@ object Bench {
       buildChain("sig_store") { operators.Dedup.SigStore.ensure(spark, sfDir) }
       buildChain("graph_store") { operators.GraphOps.GraphStore.strong(spark, sfDir) }
       buildChain("nsw_index") { operators.Similarity.NswIndex.ensure(spark, sfDir) }
-      buildChain("ivf_index8") { operators.Similarity.IvfIndex.get(spark, sfDir, 8) }
-      buildChain("ivf_index16") { operators.Similarity.IvfIndex.get(spark, sfDir, 16) }
+      // nlist=16 is the one cell count every IVF consumer uses
+      // (IvfBuckets=8 is the FILE bucket count, a different dial)
+      buildChain("ivf_index") { operators.Similarity.IvfIndex.get(spark, sfDir, 16) }
       buildChain("pq_index") { operators.Similarity.PqIndex.get(spark, sfDir) }
       buildChain("kmeans_store") { ml.Tuning.KmeansStore.ensure(spark, sfDir) }
       buildChain("doccluster_store") { ml.Tuning.DocClusterStore.ensure(spark, sfDir) }

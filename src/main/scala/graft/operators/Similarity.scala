@@ -110,6 +110,65 @@ object Similarity {
       |  FROM scored)
       |SELECT qid, nid, rank, round(dot, 4) AS dot FROM ranked WHERE rank <= 5""".stripMargin
 
+  // ---------------------------------------------------------------- D24
+  /** Norm-augmented MIPS over the persisted IVF index — D23's
+    * production path (r15 VERDICT ask #2). The exact D23 scan is
+    * O(panel·n); at 100 TB the corpus must be reached through the D3
+    * cell structure instead. The index cells were fit on DIRECTIONS
+    * (spherical k-means over L2-normalized vectors), but a maximum
+    * inner product hides wherever direction-match × norm is largest —
+    * so the probe ranking is ‖v‖-AUGMENTED: each persisted centroid
+    * is joined with the LARGEST vector norm its cell holds (derived
+    * from the persisted assignment table at read — an augmentation of
+    * the index, not a second fitted artifact), and cells rank by
+    * cos(q,c)·maxnorm, the cell-level proxy upper bound for
+    * max_{v∈cell} q·v (Cauchy–Schwarz gives q·v ≤ ‖q‖‖v‖; the cosine
+    * factor restores the directional term the pure norm bound
+    * discards). Candidates in the nprobe probed cells are then
+    * EXACT-scored by raw dot product (the codegen'd fused
+    * [[graft.functions.GraftExpressions.dot_product]] loop), so the
+    * shortlist rerank is exact by construction; ranking ties break on
+    * (round(dot,6) DESC, nid ASC). Published recall@5 is judged
+    * against the exact MIPS truth (D23's panel scan) via the D2/D3
+    * withRecall device. Oracle: full query-path replay from the
+    * persisted index tables (the D3/D5 read_parquet device). 100 TB
+    * shape: the centroid+maxnorm frame is nlist rows (broadcast);
+    * the max-norm derivation is one map-side-combined pass over the
+    * assignment; only probed cells are scanned at query time.
+    */
+  def qMipsIvf(spark: SparkSession, dir: String,
+      nlist: Int = 16, nprobe: Int = 12): DataFrame = {
+    val (assigned, cdf) = IvfIndex.get(spark, dir, nlist)
+    // the ‖v‖-derived augmentation, read off the persisted assignment:
+    // per-cell max vector norm, 6-dp-rounded BEFORE the max so the
+    // probe key is the identical double in both engines
+    val cellNorm = assigned.groupBy(col("cell"))
+      .agg(max(round(VectorFunctions.norm2(col("v")), 6)).as("mn"))
+    val cAug = cdf.join(cellNorm, Seq("cell"))
+    val q = assigned.filter(col("vec_id") % 50 === 0 && col("vec_id") < PanelIdCap)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(
+        round(VectorFunctions.cosine(col("qv"), col("cv")) * col("mn"), 6).desc,
+        col("cell").asc)
+    val probes = q.crossJoin(broadcast(cAug))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("qv"), col("cell"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(round(col("dot"), 6).desc, col("nid").asc)
+    val top = probes.join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        graft.functions.GraftExpressions.dot_product(col("qv"), col("v"))
+          .as("dot"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("nid"), col("rank"),
+        round(col("dot"), 4).as("dot"))
+    withRecall(top, qMips(spark, dir).select(col("qid"), col("nid")))
+  }
+
   // ---------------------------------------------------------------- D19
   /** k-NN classification over the embedding corpus — the similarity
     * search consumer that closes the loop: predict each panel
@@ -1961,6 +2020,53 @@ object Similarity {
          |SELECT appx.qid, appx.nid, appx.rank, appx.sim, sampled.recall_at_5
          |FROM appx LEFT JOIN sampled USING (qid)""".stripMargin
 
+  /** Replay of [[qMipsIvf]] over the persisted IVF tables: per-cell
+    * max-norm augmentation off the assignment, norm-augmented probe
+    * ranking, raw-dot scan of the probed cells, recall vs the exact
+    * MIPS panel truth (dot-product top-5, not the cosine truth).
+    */
+  private def mipsIvfSql(asgDir: String, centDir: String, nprobe: Int): String =
+    raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |asg AS (SELECT vec_id, v, cell FROM read_parquet('$asgDir/*.parquet')),
+         |cent AS (SELECT cell, cv FROM read_parquet('$centDir/*.parquet')),
+         |nrm AS (SELECT cell, max(round(sqrt(n2), 6)) AS mn FROM (
+         |    SELECT cell, vec_id, sum(x*x) AS n2
+         |    FROM (SELECT cell, vec_id, unnest(v) AS x FROM asg)
+         |    GROUP BY cell, vec_id) GROUP BY cell),
+         |caug AS (SELECT cent.cell, cv, mn FROM cent JOIN nrm USING (cell)),
+         |pflat AS (SELECT qid, cell, mn, unnest(qv) AS x, unnest(cv) AS y
+         |  FROM (SELECT vec_id AS qid, v AS qv FROM asg
+         |    WHERE vec_id % 50 = 0 AND vec_id < $PanelIdCap) q, caug),
+         |psc AS (SELECT qid, cell,
+         |    sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) * min(mn) AS s
+         |  FROM pflat GROUP BY qid, cell),
+         |probes AS (SELECT qid, cell FROM (SELECT qid, cell, row_number() OVER (
+         |    PARTITION BY qid ORDER BY round(s, 6) DESC, cell ASC) AS pr FROM psc)
+         |  WHERE pr <= $nprobe),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM asg
+         |  WHERE vec_id % 50 = 0 AND vec_id < $PanelIdCap),
+         |scan AS (SELECT qid, asg.vec_id AS nid, qv, asg.v AS nv
+         |  FROM probes JOIN q USING (qid) JOIN asg ON asg.cell = probes.cell
+         |  WHERE asg.vec_id <> qid),
+         |sflat AS (SELECT qid, nid, unnest(qv) AS x, unnest(nv) AS y FROM scan),
+         |sdot AS (SELECT qid, nid, sum(x*y) AS dot FROM sflat GROUP BY qid, nid),
+         |appx AS (SELECT qid, nid, rank, round(dot, 4) AS dot FROM (
+         |    SELECT qid, nid, dot, row_number() OVER (
+         |      PARTITION BY qid ORDER BY round(dot, 6) DESC, nid ASC) AS rank
+         |    FROM sdot) WHERE rank <= 5),
+         |tq AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0 AND vec_id < $PanelIdCap),
+         |tflat AS (SELECT qid, e.vec_id AS nid, unnest(qv) AS x, unnest(v) AS y
+         |  FROM e JOIN tq ON e.vec_id <> tq.qid),
+         |tsc AS (SELECT qid, nid, sum(x*y) AS dot FROM tflat GROUP BY qid, nid),
+         |truth AS (SELECT qid, nid FROM (SELECT qid, nid, row_number() OVER (
+         |    PARTITION BY qid ORDER BY round(dot, 6) DESC, nid ASC) AS r FROM tsc) WHERE r <= 5),
+         |rec AS (SELECT appx.qid, count(*) / 5.0 AS recall_at_5
+         |  FROM appx JOIN truth USING (qid, nid) GROUP BY appx.qid),
+         |sampled AS (SELECT tqid.qid, coalesce(rec.recall_at_5, 0.0) AS recall_at_5
+         |  FROM (SELECT DISTINCT qid FROM truth) tqid LEFT JOIN rec USING (qid))
+         |SELECT appx.qid, appx.nid, appx.rank, appx.dot, sampled.recall_at_5
+         |FROM appx LEFT JOIN sampled USING (qid)""".stripMargin
+
   /** Replay of [[qAnnPq]]'s query path over the persisted codes +
     * codebooks: per-query ADC lookup tables, one pass over the 8-int
     * codes, the 6-dp-ranked shortlist cut, exact rerank, recall.
@@ -2367,6 +2473,7 @@ object Similarity {
     "q_ann_nsw" -> (qAnnNsw _),
     "q_ann_hnsw" -> (qAnnHnsw _),
     "q_mips" -> (qMips _),
+    "q_mips_ivf" -> ((s: SparkSession, d: String) => qMipsIvf(s, d)),
     "q_mmr_diversify" -> (qMmrDiversify _),
     "q_mmr_ann" -> (qMmrAnn _),
     "q_ndcg" -> (qNdcg _),
@@ -2400,6 +2507,8 @@ object Similarity {
       "q_class_separation" -> qClassSeparationSql) ++
       Option(IvfIndex.lastLoc.get).map { case (a, c) =>
         "q_ann_ivf" -> annIvfSql(a, c, nprobe = 10) }.toMap ++
+      Option(IvfIndex.lastLoc.get).map { case (a, c) =>
+        "q_mips_ivf" -> mipsIvfSql(a, c, nprobe = 12) }.toMap ++
       Option(NswIndex.lastLoc.get).map { loc =>
         "q_ann_nsw" -> annNswSql(loc) }.toMap ++
       (for (loc <- Option(NswIndex.lastLoc.get);

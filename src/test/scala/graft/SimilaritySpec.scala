@@ -75,6 +75,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.8, f"IVF mean recall@5 $mean%.3f below 0.8")
   }
 
+  test("IVF MIPS carries a measured recall_at_5 vs the exact MIPS truth averaging >= 0.8") {
+    val recalls = Similarity.qMipsIvf(spark, sf)
+      .select("qid", "recall_at_5").na.drop()
+      .as[(Long, Double)].collect().toMap.values
+    assert(recalls.nonEmpty, "no sampled query carries a recall value")
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, f"IVF MIPS mean recall@5 $mean%.3f below 0.8")
+  }
+
+  test("IVF MIPS top-1 candidates come from probed cells and rerank by raw dot") {
+    // dense ranks per query, and every published dot is reproducible
+    // from the raw vectors (the exact-rerank contract: the published
+    // score is the true inner product, never an estimate)
+    import org.apache.spark.sql.functions._
+    val top = Similarity.qMipsIvf(spark, sf)
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val recomputed = top
+      .join(e.select(col("vec_id").as("qid"), col("v").as("qv")), "qid")
+      .join(e.select(col("vec_id").as("nid"), col("v").as("nv")), "nid")
+      .select(col("qid"), col("nid"), col("dot"),
+        round(graft.functions.GraftExpressions.dot_product(col("qv"), col("nv")), 4)
+          .as("dot2"))
+      .filter(col("dot") =!= col("dot2"))
+    assert(recomputed.count() == 0, "published dot is not the exact inner product")
+    val ranks = top.select("qid", "rank").as[(Long, Int)].collect()
+    ranks.groupBy(_._1).foreach { case (q, rs) =>
+      val r = rs.map(_._2).sorted.toSeq
+      assert(r == (1 to r.length), s"query $q ranks not dense")
+    }
+  }
+
   test("LSH ANN carries a measured recall_at_5 column averaging >= 0.8") {
     val recalls = Similarity.qAnnLsh(spark, sf)
       .select("qid", "recall_at_5").na.drop()

@@ -1248,6 +1248,333 @@ object TextAnalysis {
        |    AS BIGINT) AS compression_ppm
        |FROM agg""".stripMargin
 
+  // ---------------------------------------------------------------- B31
+  /** Unigram-LM (SentencePiece-style) tokenizer induction — B25's
+    * probabilistic sibling (r15 VERDICT ask #5; Kudo 2018): where BPE
+    * greedily MERGES, the unigram LM starts from a seeded piece
+    * vocabulary and lets hard-EM keep the pieces the corpus actually
+    * segments with. Engine-exact unroll, all on word TYPES (the
+    * Heaps-bounded vocabulary, never corpus tokens):
+    *
+    *  - SEED (round 0): every substring of length ≤ [[UniMaxPiece]]
+    *    of every ≤ [[UniMaxWordLen]]-char word type, frequency-
+    *    weighted; the piece set = ALL single chars (the coverage
+    *    floor that guarantees every word segments in every round) +
+    *    the top-[[UniSeedK]] multi-char substrings by (mass DESC,
+    *    piece ASC). Piece log-probs µ-quantize ONE ln of ONE double
+    *    division of exact integers (the E33 device) — so the whole
+    *    segmentation lattice runs on exact LONG scores.
+    *  - EM ROUND r (hard-EM = Viterbi, the standard practical
+    *    variant): each word's best segmentation maximizes Σ lp_µ over
+    *    a BOUNDED per-word lattice (≤ UniMaxWordLen positions ×
+    *    UniMaxPiece piece lengths), computed per word inside ONE
+    *    bounded HOF `aggregate` (no join-per-position, no plan
+    *    growth: acc = array of (best score, backpointer) structs;
+    *    integers make the max exact, ties break to the SHORTEST
+    *    piece — deterministic). Counts from the reconstructed paths
+    *    re-estimate probs with add-1 smoothing; PRUNING drops every
+    *    multi-char piece Viterbi stopped using (count 0) — single
+    *    chars are never pruned.
+    *  - Publishes (round, piece, cnt, lp_mu, prob_ppb) for rounds
+    *    0/1/2 — exact integers only (prob_ppb via the half-up DIV
+    *    device on DECIMAL(38,0)/HUGEINT).
+    *
+    * Oracle: the identical arithmetic with different mechanics — the
+    * DP unrolls to one CTE per position (max over candidate
+    * back-edges via `first(s ORDER BY s DESC, k ASC)`), path
+    * reconstruction to one CTE per step; machine-generated like
+    * [[bpeSqlCtes]]. 100 TB shape: everything after the one token
+    * explode is vocabulary-keyed; the lattice is O(types · 16 · 4);
+    * piece tables are ≤ (alphabet + UniSeedK) rows and broadcast.
+    */
+  private val UniMaxWordLen = 16
+  private val UniMaxPiece = 4
+  private val UniSeedK = 24
+
+  /** ≤16-char letters-only word types with corpus frequencies. */
+  private def uniWords(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") &&
+        length(col("w")) <= UniMaxWordLen)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .cache()
+
+  /** One row per (word, end position i, piece length k): the piece
+    * substring and its i*10+k lattice key.
+    */
+  private def uniGrid(words: DataFrame): DataFrame =
+    words.select(col("w"), col("c"), explode(expr(
+      s"flatten(transform(sequence(1, length(w)), i -> " +
+        s"transform(sequence(1, least($UniMaxPiece, i)), " +
+        s"k -> named_struct('key', i * 10 + k, " +
+        s"'p', substring(w, i - k + 1, k)))))")).as("e"))
+      .select(col("w"), col("c"), col("e.key").as("key"), col("e.p").as("p"))
+
+  /** Attach µ-log-probs and ppb probabilities to a counted piece set:
+    * lp_µ = round(ln((cnt+smooth)/Σ(cnt+smooth))·10⁶),
+    * prob_ppb = half-up 10⁹·(cnt+smooth)/Σ.
+    */
+  private def uniProbs(pieces: DataFrame, smooth: Int): DataFrame = {
+    val tot = pieces.agg(sum(col("cnt") + smooth).cast("long").as("s"))
+    pieces.crossJoin(broadcast(tot))
+      .select(col("piece"), col("cnt"),
+        round(log((col("cnt") + smooth).cast("double") /
+          col("s").cast("double")) * 1e6).cast("long").as("lp_mu"),
+        expr(s"CAST((2 * CAST(cnt + $smooth AS DECIMAL(38,0)) * 1000000000" +
+          " + s) DIV (2 * CAST(s AS DECIMAL(38,0))) AS BIGINT)")
+          .as("prob_ppb"))
+      .cache()
+  }
+
+  /** Viterbi-segment every word under the given piece log-probs.
+    * Returns (w, c, ps) where ps is the best path's piece array
+    * (emitted back-to-front; order is irrelevant to every consumer).
+    * The DP and the path walk each run inside one bounded HOF
+    * `aggregate` — exact LONG scores, shortest-piece tie-break.
+    */
+  private def uniViterbi(words: DataFrame, pieces: DataFrame): DataFrame = {
+    def s(k: Int): String =
+      s"IF($k <= i, element_at(acc, i - ${k - 1}).b" +
+        s" + element_at(m, i * 10 + $k), CAST(NULL AS BIGINT))"
+    val g = (1 to UniMaxPiece).map(s).mkString("greatest(", ", ", ")")
+    val kCase = (1 until UniMaxPiece)
+      .map(k => s"WHEN ${s(k)} = $g THEN $k").mkString(" ")
+    val dpExpr =
+      s"""aggregate(sequence(1, length(w)),
+         |  array(named_struct('b', CAST(0 AS BIGINT), 'k', 0)),
+         |  (acc, i) -> acc || array(named_struct('b', $g,
+         |    'k', CASE $kCase ELSE $UniMaxPiece END)))"""
+        .stripMargin.replace("\n", " ")
+    val pathExpr =
+      s"""aggregate(sequence(1, length(w)),
+         |  named_struct('pos', length(w), 'ps', CAST(array() AS array<string>)),
+         |  (st, t) -> IF(st.pos > 0, named_struct(
+         |    'pos', st.pos - element_at(dp, st.pos + 1).k,
+         |    'ps', st.ps || array(substring(w,
+         |      st.pos - element_at(dp, st.pos + 1).k + 1,
+         |      element_at(dp, st.pos + 1).k))), st),
+         |  st -> st.ps)"""
+        .stripMargin.replace("\n", " ")
+    uniGrid(words)
+      .join(broadcast(pieces.select(col("piece").as("p"), col("lp_mu"))),
+        Seq("p"))
+      .groupBy(col("w"), col("c"))
+      .agg(map_from_entries(collect_list(struct(col("key"), col("lp_mu"))))
+        .as("m"))
+      .withColumn("dp", expr(dpExpr))
+      .withColumn("ps", expr(pathExpr))
+      .select(col("w"), col("c"), col("ps"))
+  }
+
+  /** One hard-EM round: Viterbi counts under `prev`, then pruning —
+    * multi-char pieces with count 0 drop, single chars always stay.
+    */
+  private def uniRound(words: DataFrame, prev: DataFrame): DataFrame = {
+    val cnts = uniViterbi(words, prev)
+      .select(col("c"), explode(col("ps")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("c")).as("vc"))
+    val retained = prev.select(col("piece"))
+      .join(cnts, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("vc"), lit(0L)).as("cnt"))
+      .filter(length(col("piece")) === 1 || col("cnt") > 0)
+    uniProbs(retained, smooth = 1)
+  }
+
+  /** Piece tables for rounds 0 (seed), 1 and 2. */
+  private def uniState(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val words = uniWords(spark, dir)
+    val sub = uniGrid(words).groupBy(col("p").as("piece"))
+      .agg(sum(col("c")).as("cnt"))
+    val chars = sub.filter(length(col("piece")) === 1)
+    val multi = sub.filter(length(col("piece")) >= 2)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("cnt").desc, col("piece").asc)))
+      .filter(col("r") <= UniSeedK).drop("r")
+    val p0 = uniProbs(chars.unionAll(multi), smooth = 0)
+    val p1 = uniRound(words, p0)
+    val p2 = uniRound(words, p1)
+    (words, p0, p1, p2)
+  }
+
+  def qUnigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val (_, p0, p1, p2) = uniState(spark, dir)
+    Seq(p0 -> 0, p1 -> 1, p2 -> 2).map { case (p, r) =>
+      p.select(lit(r).as("round"), col("piece"), col("cnt"),
+        col("lp_mu"), col("prob_ppb"))
+    }.reduce(_ unionAll _)
+  }
+
+  // ---------------------------------------------------------------- B32
+  /** The induced unigram LM APPLIED corpus-wide, against BPE — the
+    * B26 readout for B31 plus the comparison the ask is really
+    * about: does 2-round hard-EM beat 3-merge BPE on fertility?
+    * One corpus explode joins ONE broadcast vocabulary frame carrying
+    * BOTH tokenizers' per-word piece counts (unigram = the round-2
+    * Viterbi path length; BPE = B25's merged symbol count), so the
+    * comparison is a single aggregate per source: word instances,
+    * both token totals, both half-up fertility ppms (DECIMAL-lifted —
+    * 2·10⁶·tokens wraps LONG at extreme corpus sizes), and their
+    * delta. Application scope = induction scope ∩ B25's (letters-only
+    * AND ≤ 16 chars), enforced by the inner joins on both sides.
+    */
+  def qUnigramApply(spark: SparkSession, dir: String): DataFrame = {
+    val (words, _, _, p2) = uniState(spark, dir)
+    val seg = uniViterbi(words, p2)
+      .select(col("w"), size(col("ps")).cast("long").as("n_uni"))
+    val (w3, _) = bpeState(spark, dir)
+    val bv = w3.select(col("w"),
+      size(split(trim(col("sp")), "\\s+")).cast("long").as("n_bpe"))
+    val vocab = seg.join(bv, "w")
+    def fert(tokens: String): Column =
+      expr(s"CAST((2 * CAST($tokens AS DECIMAL(38,0)) * 1000000 + n_words)" +
+        " DIV (2 * CAST(n_words AS DECIMAL(38,0))) AS BIGINT)")
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .join(broadcast(vocab), "w")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_uni")).cast("long").as("n_tokens_uni"),
+        sum(col("n_bpe")).cast("long").as("n_tokens_bpe"))
+      .select(col("source"), col("n_words"), col("n_tokens_uni"),
+        col("n_tokens_bpe"),
+        fert("n_tokens_uni").as("fertility_uni_ppm"),
+        fert("n_tokens_bpe").as("fertility_bpe_ppm"))
+      .withColumn("delta_ppm",
+        col("fertility_uni_ppm") - col("fertility_bpe_ppm"))
+  }
+
+  /** Half-up ppb/µln attachment CTEs for a counted piece set — the
+    * DuckDB mirror of [[uniProbs]].
+    */
+  private def uniProbsCte(out: String, in: String, smooth: Int): String =
+    s"""${out}_s AS MATERIALIZED (SELECT CAST(sum(cnt + $smooth) AS BIGINT) AS s FROM $in),
+       |$out AS MATERIALIZED (SELECT p, cnt,
+       |    CAST(round(ln(CAST(cnt + $smooth AS DOUBLE) / CAST(s AS DOUBLE))
+       |      * 1000000) AS BIGINT) AS lp,
+       |    CAST((2 * CAST(cnt + $smooth AS HUGEINT) * 1000000000 + s)
+       |      // (2 * CAST(s AS HUGEINT)) AS BIGINT) AS prob_ppb
+       |  FROM $in, ${out}_s)""".stripMargin
+
+  /** DuckDB mirror of [[uniViterbi]]: the DP unrolled to one CTE per
+    * position (candidates = back-edges into the ≤4 previous best
+    * rows; max-score/shortest-piece via ordered `first`), the path
+    * walk to one CTE per step. Emits CTEs suffixed `_tag`; exposes
+    * `pcs_tag(w, c, piece)` — one row per Viterbi path element.
+    */
+  private def uniViterbiCtes(tag: String, pieces: String): String = {
+    val lut =
+      s"""lut_$tag AS MATERIALIZED (SELECT g.w, g.c, g.i, g.k, pc.lp
+         |  FROM u_gik g JOIN $pieces pc
+         |    ON pc.p = substr(g.w, g.i - g.k + 1, g.k))""".stripMargin
+    val b0 = s"b_${tag}_0 AS MATERIALIZED (SELECT w, 0 AS i, CAST(0 AS BIGINT) AS b FROM u_w)"
+    val steps = (1 to UniMaxWordLen).map { i =>
+      val prevUnion = (math.max(0, i - UniMaxPiece) until i)
+        .map(j => s"SELECT w, i, b FROM b_${tag}_$j")
+        .mkString(" UNION ALL ")
+      s"""c_${tag}_$i AS MATERIALIZED (SELECT l.w, l.k, pv.b + l.lp AS s
+         |  FROM lut_$tag l JOIN ($prevUnion) pv
+         |    ON pv.w = l.w AND pv.i = $i - l.k
+         |  WHERE l.i = $i),
+         |b_${tag}_$i AS MATERIALIZED (SELECT w, $i AS i,
+         |    first(s ORDER BY s DESC, k ASC) AS b,
+         |    first(k ORDER BY s DESC, k ASC) AS bk
+         |  FROM c_${tag}_$i GROUP BY w)""".stripMargin
+    }
+    val kk = s"kk_$tag AS MATERIALIZED (" + (1 to UniMaxWordLen)
+      .map(i => s"SELECT w, i, bk FROM b_${tag}_$i")
+      .mkString(" UNION ALL ") + ")"
+    val pth0 = s"pth_${tag}_0 AS MATERIALIZED (SELECT w, c, length(w) AS pos FROM u_w)"
+    val pths = (1 to UniMaxWordLen).map { t =>
+      s"""pth_${tag}_$t AS MATERIALIZED (SELECT p.w, p.c, p.pos - k.bk AS pos,
+         |    substr(p.w, p.pos - k.bk + 1, k.bk) AS piece
+         |  FROM pth_${tag}_${t - 1} p JOIN kk_$tag k
+         |    ON k.w = p.w AND k.i = p.pos
+         |  WHERE p.pos > 0)""".stripMargin
+    }
+    val pcs = s"pcs_$tag AS MATERIALIZED (" + (1 to UniMaxWordLen)
+      .map(t => s"SELECT w, c, piece FROM pth_${tag}_$t")
+      .mkString(" UNION ALL ") + ")"
+    (Seq(lut, b0) ++ steps ++ Seq(kk, pth0) ++ pths :+ pcs).mkString(",\n")
+  }
+
+  /** One hard-EM round in SQL: Viterbi counts under `prevPieces`,
+    * pruning, re-estimated probs into CTE `out`.
+    */
+  private def uniRoundCtes(tag: String, prevPieces: String,
+      out: String): String =
+    s"""${uniViterbiCtes(tag, prevPieces)},
+       |cnt_$tag AS MATERIALIZED (SELECT piece AS p, CAST(sum(c) AS BIGINT) AS cnt
+       |  FROM pcs_$tag GROUP BY 1),
+       |ret_$tag AS MATERIALIZED (SELECT pv.p, coalesce(ct.cnt, 0) AS cnt
+       |  FROM $prevPieces pv LEFT JOIN cnt_$tag ct USING (p)
+       |  WHERE length(pv.p) = 1 OR coalesce(ct.cnt, 0) > 0),
+       |${uniProbsCte(out, s"ret_$tag", 1)}""".stripMargin
+
+  /** Bare CTE list (no WITH) of the full B31 induction: seed, two EM
+    * rounds, piece tables pp0/pp1/pp2.
+    */
+  private def uniSqlCtes: String =
+    s"""u_toks AS (SELECT unnest(${duckToksSql("text")}) AS w FROM documents),
+       |u_w AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS c FROM u_toks
+       |  WHERE regexp_matches(w, '^[a-z]+$$')
+       |    AND length(w) <= $UniMaxWordLen GROUP BY w),
+       |u_gi AS (SELECT w, c, unnest(generate_series(1, length(w))) AS i
+       |  FROM u_w),
+       |u_gik AS MATERIALIZED (SELECT w, c, i,
+       |    unnest(generate_series(1, least($UniMaxPiece, i))) AS k
+       |  FROM u_gi),
+       |u_sub AS MATERIALIZED (SELECT substr(w, i - k + 1, k) AS p,
+       |    CAST(sum(c) AS BIGINT) AS cnt
+       |  FROM u_gik GROUP BY 1),
+       |u_p0 AS MATERIALIZED (SELECT p, cnt FROM u_sub WHERE length(p) = 1
+       |  UNION ALL
+       |  SELECT p, cnt FROM (SELECT p, cnt, row_number() OVER (
+       |      ORDER BY cnt DESC, p ASC) AS r FROM u_sub
+       |    WHERE length(p) >= 2) WHERE r <= $UniSeedK),
+       |${uniProbsCte("pp0", "u_p0", 0)},
+       |${uniRoundCtes("r1", "pp0", "pp1")},
+       |${uniRoundCtes("r2", "pp1", "pp2")}""".stripMargin
+
+  val qUnigramLmSql: String =
+    s"""WITH $uniSqlCtes
+       |SELECT 0 AS round, p AS piece, cnt, lp AS lp_mu, prob_ppb FROM pp0
+       |UNION ALL
+       |SELECT 1 AS round, p, cnt, lp, prob_ppb FROM pp1
+       |UNION ALL
+       |SELECT 2 AS round, p, cnt, lp, prob_ppb FROM pp2""".stripMargin
+
+  val qUnigramApplySql: String =
+    s"""$bpeSqlCtes,
+       |$uniSqlCtes,
+       |${uniViterbiCtes("ap", "pp2")},
+       |useg AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS n_uni
+       |  FROM pcs_ap GROUP BY w),
+       |ubv AS (SELECT w,
+       |    CAST(len(regexp_split_to_array(trim(sp), ' +')) AS BIGINT)
+       |      AS n_bpe
+       |  FROM w3),
+       |uvocab AS (SELECT w, n_uni, n_bpe FROM useg JOIN ubv USING (w)),
+       |udw AS (SELECT source, unnest(${duckToksSql("text")}) AS w
+       |  FROM documents),
+       |uagg AS (SELECT source, count(*) AS n_words,
+       |    CAST(sum(n_uni) AS BIGINT) AS n_tokens_uni,
+       |    CAST(sum(n_bpe) AS BIGINT) AS n_tokens_bpe
+       |  FROM udw JOIN uvocab USING (w) GROUP BY source),
+       |usel AS (SELECT source, n_words, n_tokens_uni, n_tokens_bpe,
+       |    CAST((2 * CAST(n_tokens_uni AS HUGEINT) * 1000000 + n_words)
+       |      // (2 * CAST(n_words AS HUGEINT)) AS BIGINT)
+       |      AS fertility_uni_ppm,
+       |    CAST((2 * CAST(n_tokens_bpe AS HUGEINT) * 1000000 + n_words)
+       |      // (2 * CAST(n_words AS HUGEINT)) AS BIGINT)
+       |      AS fertility_bpe_ppm
+       |  FROM uagg)
+       |SELECT source, n_words, n_tokens_uni, n_tokens_bpe,
+       |  fertility_uni_ppm, fertility_bpe_ppm,
+       |  fertility_uni_ppm - fertility_bpe_ppm AS delta_ppm
+       |FROM usel""".stripMargin
+
   // ---------------------------------------------------------------- B28
   /** Kendall's W (1939) — concordance of the three B27 quality raters
     * when they RANK the corpus sources instead of voting per document:
@@ -1458,6 +1785,8 @@ object TextAnalysis {
     "q_kendall_w" -> (qKendallW _),
     "q_bpe_merges" -> (qBpeMerges _),
     "q_bpe_apply" -> (qBpeApply _),
+    "q_unigram_lm" -> (qUnigramLm _),
+    "q_unigram_apply" -> (qUnigramApply _),
     "q_pii_scan" -> (qPiiScan _),
     "q_mcc" -> (qMcc _),
     "q_cohens_kappa" -> (qCohensKappa _),
@@ -1484,6 +1813,8 @@ object TextAnalysis {
     "q_kendall_w" -> qKendallWSql,
     "q_bpe_merges" -> qBpeMergesSql,
     "q_bpe_apply" -> qBpeApplySql,
+    "q_unigram_lm" -> qUnigramLmSql,
+    "q_unigram_apply" -> qUnigramApplySql,
     "q_pii_scan" -> qPiiScanSql,
     "q_mcc" -> qMccSql,
     "q_cohens_kappa" -> qCohensKappaSql,

@@ -15,6 +15,79 @@ class TextAnalysisSpec extends AnyFunSuite {
       .as[(Long, Long, Double, Double, Boolean)].collect()
       .map { case (id, n, e, m, p) => id -> ((n, e, m, p)) }.toMap
 
+  test("q_unigram_lm: round-1 counts equal a driver-side Viterbi recomposition") {
+    import org.apache.spark.sql.functions.{col, explode, length => slen}
+    import graft.functions.TextFunctions.tokens
+    val out = TextAnalysis.qUnigramLm(spark, sf).collect()
+      .map(r => (r.getAs[Int]("round"), r.getAs[String]("piece"),
+        r.getAs[Long]("cnt"), r.getAs[Long]("lp_mu")))
+    // seed piece set + µ-log-probs straight from the query's round 0
+    val p0 = out.filter(_._1 == 0).map(r => r._2 -> r._4).toMap
+    // word types (letters-only, <= 16 chars) recomputed independently
+    val words = TestSession.spark.read
+      .parquet(s"$sf/documents.parquet")
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && slen(col("w")) <= 16)
+      .groupBy("w").count().as[(String, Long)].collect()
+    // plain-Scala Viterbi: max total lp, ties to the SHORTEST piece
+    def viterbi(w: String): Seq[String] = {
+      val n = w.length
+      val b = Array.fill(n + 1)(Long.MinValue); b(0) = 0L
+      val bk = Array.fill(n + 1)(0)
+      for (i <- 1 to n) {
+        for (k <- 1 to math.min(4, i)) {
+          val p = w.substring(i - k, i)
+          p0.get(p).foreach { lp =>
+            val s = b(i - k) + lp
+            if (s > b(i) || (s == b(i) && (bk(i) == 0 || k < bk(i)))) {
+              // strict improvement wins; equal score prefers small k,
+              // matching the query's CASE order
+              if (s > b(i)) { b(i) = s; bk(i) = k }
+              else if (k < bk(i)) bk(i) = k
+            }
+          }
+        }
+      }
+      var pos = n
+      val ps = scala.collection.mutable.ArrayBuffer[String]()
+      while (pos > 0) { ps += w.substring(pos - bk(pos), pos); pos -= bk(pos) }
+      ps.toSeq
+    }
+    val expected = scala.collection.mutable.Map[String, Long]()
+    words.foreach { case (w, c) =>
+      viterbi(w).foreach(p => expected(p) = expected.getOrElse(p, 0L) + c)
+    }
+    val r1 = out.filter(_._1 == 1).map(r => r._2 -> r._3).toMap
+    // every retained round-1 piece count matches the recomposition;
+    // retained-but-unused pieces are exactly the single chars at 0
+    r1.foreach { case (p, cnt) =>
+      assert(expected.getOrElse(p, 0L) == cnt,
+        s"piece '$p' count $cnt != recomposed ${expected.getOrElse(p, 0L)}")
+    }
+    // pruning: every multi-char piece with a zero recomposed count is
+    // gone from round 1; all single chars of round 0 survive
+    val p0chars = out.filter(r => r._1 == 0 && r._2.length == 1).map(_._2).toSet
+    val r1keys = r1.keySet
+    assert(p0chars.subsetOf(r1keys), "a single-char piece was pruned")
+    out.filter(r => r._1 == 0 && r._2.length >= 2).foreach { r =>
+      val used = expected.getOrElse(r._2, 0L) > 0
+      assert(r1keys.contains(r._2) == used,
+        s"pruning verdict wrong for '${r._2}'")
+    }
+  }
+
+  test("q_unigram_apply: fertility columns reconcile and unigram never loses to chars") {
+    val rows = TextAnalysis.qUnigramApply(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("delta_ppm") ==
+        r.getAs[Long]("fertility_uni_ppm") - r.getAs[Long]("fertility_bpe_ppm"))
+      // any segmentation has >= 1 piece per word
+      assert(r.getAs[Long]("n_tokens_uni") >= r.getAs[Long]("n_words"))
+      assert(r.getAs[Long]("fertility_uni_ppm") >= 1000000L)
+    }
+  }
+
   test("q_bpe_merges: round-1 merge equals a brute-force pair count; merge counts never increase across rounds") {
     import org.apache.spark.sql.functions.{col, count, explode, lit}
     import graft.functions.TextFunctions.tokens

@@ -1293,6 +1293,97 @@ object GraphOps {
     * division. One |V|-row degree aggregate + one self-join of the
     * bounded edge list + one scalar aggregate; 1 output row.
     */
+  // ---------------------------------------------------------------- M23
+  /** Moran's I spatial autocorrelation of supplier account balances
+    * over the mutual-kNN co-supply graph — the VALUE-similarity axis
+    * the structural M-block misses: M16 (assortativity) asks "do
+    * high-degree nodes connect to high-degree nodes", Moran asks "do
+    * connected suppliers carry similar BALANCES" — the graph-signal
+    * smoothness readout behind every graph-feature-propagation
+    * decision (a high I says neighbor aggregation is informative; I
+    * near E[I] = −1/(n−1) says the graph carries no signal for this
+    * attribute). Binary symmetric weights (the edge set itself).
+    * Engine-exact device: deviations center WITHOUT a float mean —
+    * zz = n·x − Σx is exact, then µ-quantizes at 10³ resolution via
+    * the sign-split half-up DIV (zk ≈ 10³·(x − x̄); exact long,
+    * |zk| ≤ 10³·max|x| so Σ zk_u·zk_v over |V|·K edges stays inside
+    * DECIMAL(38,0) at any corpus); I = n·Σ_edges 2·zk_u·zk_v /
+    * (2E · Σ zk²) assembles as ONE fixed-order double expression.
+    * Verdict: `clustered` ⟺ 6-dp I > 6-dp E[I].
+    */
+  def qMoranI(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val und = mutualKnnPairs(spark, dir)
+    val bal = Tables.supplier(spark, dir)
+      .select(col("s_suppkey").as("node"),
+        round(col("s_acctbal") * 100).cast("long").as("x"))
+    val nodes = und.select(col("src").as("node"))
+      .union(und.select(col("dst").as("node"))).distinct()
+      .join(bal, "node")
+    val tot = nodes.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("x")).cast("long").as("sx"))
+    // zk = half-up 10³·(n·x − Σx)/n, sign-split (exact long)
+    val zk = nodes.crossJoin(broadcast(tot))
+      .withColumn("zz", (col("x").cast(d38) * col("n") -
+        col("sx")).cast(d38))
+      .withColumn("zk", expr(
+        """CASE WHEN zz >= 0
+          | THEN (2 * 1000 * zz + n) DIV (2 * CAST(n AS DECIMAL(38,0)))
+          | ELSE -((2 * 1000 * (-zz) + n) DIV (2 * CAST(n AS DECIMAL(38,0))))
+          | END""".stripMargin.replace("\n", " ")).cast("long"))
+      .select(col("node"), col("zk")).cache()
+    val num = und
+      .join(zk.select(col("node").as("src"), col("zk").as("zu")), "src")
+      .join(zk.select(col("node").as("dst"), col("zk").as("zv")), "dst")
+      .agg(count(lit(1)).cast("long").as("n_edges"),
+        sum((col("zu").cast(d38) * col("zv")).cast(d38) * 2).as("num"))
+    val den = zk.agg(sum((col("zk").cast(d38) * col("zk")).cast(d38))
+      .as("den"))
+    val out = num.crossJoin(broadcast(den)).crossJoin(broadcast(tot))
+      .select(col("n").as("n_nodes"), col("n_edges"),
+        round(col("n").cast("double") * col("num").cast("double") /
+          (col("n_edges").cast("double") * 2 * col("den").cast("double")),
+          6).as("moran_i"),
+        round(lit(-1.0) / (col("n").cast("double") - 1), 6).as("e_i"))
+      .withColumn("clustered", col("moran_i") > col("e_i"))
+      .cache()
+    out.count()
+    zk.unpersist()
+    out
+  }
+
+  val qMoranISql: String =
+    s"""WITH $mutKnnSql,
+      |bal AS (SELECT s_suppkey AS node,
+      |    CAST(round(s_acctbal * 100) AS BIGINT) AS x FROM supplier),
+      |nodes AS MATERIALIZED (SELECT node, x FROM (
+      |    SELECT DISTINCT node FROM (
+      |      SELECT src AS node FROM und UNION ALL SELECT dst FROM und))
+      |  JOIN bal USING (node)),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx FROM nodes),
+      |zk AS MATERIALIZED (SELECT node,
+      |    CAST(CASE WHEN CAST(x AS HUGEINT) * n - sx >= 0
+      |      THEN (2 * 1000 * (CAST(x AS HUGEINT) * n - sx) + n)
+      |        // (2 * CAST(n AS HUGEINT))
+      |      ELSE -((2 * 1000 * (sx - CAST(x AS HUGEINT) * n) + n)
+      |        // (2 * CAST(n AS HUGEINT))) END AS BIGINT) AS zk
+      |  FROM nodes, tot),
+      |num AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+      |    sum(CAST(a.zk AS HUGEINT) * b.zk * 2) AS num
+      |  FROM und JOIN zk a ON und.src = a.node
+      |  JOIN zk b ON und.dst = b.node),
+      |den AS (SELECT sum(CAST(zk AS HUGEINT) * zk) AS den FROM zk)
+      |SELECT n AS n_nodes, n_edges,
+      |  round(CAST(n AS DOUBLE) * CAST(num AS DOUBLE)
+      |    / (CAST(n_edges AS DOUBLE) * 2 * CAST(den AS DOUBLE)), 6)
+      |    AS moran_i,
+      |  round(-1.0 / (CAST(n AS DOUBLE) - 1), 6) AS e_i,
+      |  (round(CAST(n AS DOUBLE) * CAST(num AS DOUBLE)
+      |    / (CAST(n_edges AS DOUBLE) * 2 * CAST(den AS DOUBLE)), 6)
+      |   > round(-1.0 / (CAST(n AS DOUBLE) - 1), 6)) AS clustered
+      |FROM num, den, tot""".stripMargin
+
   def qAssortativity(spark: SparkSession, dir: String): DataFrame = {
     val und = mutualKnnPairs(spark, dir)
     val edges = und.union(und.select(col("dst").as("src"),
@@ -1737,6 +1828,7 @@ object GraphOps {
     "q_two_hop" -> (qTwoHop _),
     "q_rich_club" -> (qRichClub _),
     "q_assortativity" -> (qAssortativity _),
+    "q_moran_i" -> (qMoranI _),
     "q_eigencentrality" -> (qEigencentrality _),
     "q_hits" -> (qHits _),
     "q_community_conductance" -> (qCommunityConductance _),
@@ -1762,6 +1854,7 @@ object GraphOps {
     "q_eigencentrality" -> qEigencentralitySql,
     "q_hits" -> qHitsSql,
     "q_assortativity" -> qAssortativitySql,
+    "q_moran_i" -> qMoranISql,
     "q_rich_club" -> qRichClubSql,
     "q_community_conductance" -> qCommunityConductanceSql,
     "q_knn_components" -> qKnnComponentsSql,

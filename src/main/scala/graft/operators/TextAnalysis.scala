@@ -1445,6 +1445,62 @@ object TextAnalysis {
         col("fertility_uni_ppm") - col("fertility_bpe_ppm"))
   }
 
+  // ---------------------------------------------------------------- B33
+  /** Hapax/dis-legomena audit per source — the vocabulary-growth
+    * readout behind B18's Zipf fit and every dedup-threshold choice:
+    * the share of word TYPES seen exactly once (hapax) or twice (dis)
+    * is the classic estimator of how much vocabulary is still unseen
+    * (Good–Turing mass ≈ hapax instances / tokens) and the first
+    * number that moves when boilerplate or near-duplicates inflate a
+    * source. Letters-only scope (the B25/B31 induction scope). All
+    * exact integers: per-(source, type) counts → per-source type/
+    * token/hapax/dis totals → half-up ppm ratios (hapax share of
+    * types, hapax mass = Good–Turing unseen-mass proxy, type–token
+    * ratio). Two keyed aggregates; output |sources| rows.
+    */
+  def qHapax(spark: SparkSession, dir: String): DataFrame = {
+    val tw = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    def ppm(num: String, den: String): Column =
+      expr(s"CAST((2 * CAST($num AS DECIMAL(38,0)) * 1000000 + $den)" +
+        s" DIV (2 * CAST($den AS DECIMAL(38,0))) AS BIGINT)")
+    tw.groupBy(col("source"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).cast("long")
+          .as("n_hapax"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).cast("long")
+          .as("n_dis"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        col("n_hapax"), col("n_dis"),
+        ppm("n_hapax", "n_types").as("hapax_type_ppm"),
+        ppm("n_hapax", "n_tokens").as("gt_unseen_ppm"),
+        ppm("n_types", "n_tokens").as("ttr_ppm"))
+  }
+
+  val qHapaxSql: String =
+    s"""WITH tw AS (SELECT source, w, count(*) AS c FROM (
+       |    SELECT source, unnest(${duckToksSql("text")}) AS w
+       |    FROM documents)
+       |  WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY source, w),
+       |agg AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |    count(*) AS n_types,
+       |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_hapax,
+       |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_dis
+       |  FROM tw GROUP BY source)
+       |SELECT source, n_tokens, n_types, n_hapax, n_dis,
+       |  CAST((2 * CAST(n_hapax AS HUGEINT) * 1000000 + n_types)
+       |    // (2 * CAST(n_types AS HUGEINT)) AS BIGINT) AS hapax_type_ppm,
+       |  CAST((2 * CAST(n_hapax AS HUGEINT) * 1000000 + n_tokens)
+       |    // (2 * CAST(n_tokens AS HUGEINT)) AS BIGINT) AS gt_unseen_ppm,
+       |  CAST((2 * CAST(n_types AS HUGEINT) * 1000000 + n_tokens)
+       |    // (2 * CAST(n_tokens AS HUGEINT)) AS BIGINT) AS ttr_ppm
+       |FROM agg""".stripMargin
+
   /** Half-up ppb/µln attachment CTEs for a counted piece set — the
     * DuckDB mirror of [[uniProbs]].
     */
@@ -1787,6 +1843,7 @@ object TextAnalysis {
     "q_bpe_apply" -> (qBpeApply _),
     "q_unigram_lm" -> (qUnigramLm _),
     "q_unigram_apply" -> (qUnigramApply _),
+    "q_hapax" -> (qHapax _),
     "q_pii_scan" -> (qPiiScan _),
     "q_mcc" -> (qMcc _),
     "q_cohens_kappa" -> (qCohensKappa _),
@@ -1815,6 +1872,7 @@ object TextAnalysis {
     "q_bpe_apply" -> qBpeApplySql,
     "q_unigram_lm" -> qUnigramLmSql,
     "q_unigram_apply" -> qUnigramApplySql,
+    "q_hapax" -> qHapaxSql,
     "q_pii_scan" -> qPiiScanSql,
     "q_mcc" -> qMccSql,
     "q_cohens_kappa" -> qCohensKappaSql,

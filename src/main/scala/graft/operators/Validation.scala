@@ -4430,8 +4430,399 @@ object Validation {
       |    * (CAST(s2 AS DOUBLE) / 1e12), 6) > 0.461) AS significant
       |FROM agg""".stripMargin
 
+  // ---------------------------------------------------------------- L58
+  /** Mood's median test across the five market segments — the
+    * quick-and-robust location screen between L14 (Mann–Whitney, two
+    * samples) and L27 (Kruskal–Wallis, rank-powered): counts above/at-
+    * or-below the GRAND median per segment and a 2×k χ². Survives
+    * arbitrary outliers (only the side of the median matters) — the
+    * test a dashboard runs when heavy tails make even rank sums
+    * expensive to trust. Devices: the L14/L16 $100-bin domain; the
+    * grand median from HISTOGRAM ALGEBRA over the bounded bin grid
+    * (the two middle order statistics located by one cumulative
+    * window + min-over-threshold — quantile_cont semantics with no
+    * corpus-buffering percentile aggregate); the 2×k χ² via the L15
+    * bounded-cell device (10-dp per-cell round before the 6-dp sum —
+    * cells ≤ 2·|segments|); verdict on a data-driven dof cut (the
+    * B28 CASE device, dof 1–6). Output one row per segment (K31
+    * breakdown discipline) with the global verdict broadcast on each.
+    */
+  def qMoodMedian(spark: SparkSession, dir: String): DataFrame = {
+    // $100-bin domain (the L14/L16/L56/L57 family convention): the
+    // grand median comes from HISTOGRAM ALGEBRA over the bounded bin
+    // grid — min bin whose cumulative count reaches the two middle
+    // order statistics, interpolated — never from an exact-percentile
+    // aggregate that buffers the corpus (the scale-killer this
+    // replaces; caught by the r16 scaling probe before ship)
+    val v = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        floor(col("o_totalprice") / 100).cast("long").as("bin"))
+    val hist = v.groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+    val wb = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(wb))
+    val nvTot = hist.agg(sum(col("cnt")).cast("long").as("nv"))
+    val med = cum.crossJoin(broadcast(nvTot))
+      .agg(min(when(col("cum") >= expr("(nv + 1) DIV 2"), col("bin")))
+          .as("v1"),
+        min(when(col("cum") >= expr("(nv + 2) DIV 2"), col("bin")))
+          .as("v2"))
+      .select(((col("v1") + col("v2")) / 2.0).as("med"))
+    val cells = v.crossJoin(broadcast(med))
+      .groupBy(col("seg"))
+      .agg(sum(when(col("bin") > col("med"), 1L).otherwise(0L))
+          .cast("long").as("n_above"),
+        sum(when(col("bin") <= col("med"), 1L).otherwise(0L))
+          .cast("long").as("n_le"))
+    val tot = cells.agg(sum(col("n_above")).cast("long").as("ra"),
+      sum(col("n_le")).cast("long").as("rl"),
+      count(lit(1)).cast("long").as("k"))
+    val grid = cells.crossJoin(broadcast(tot))
+      .withColumn("nj", col("n_above") + col("n_le"))
+      .withColumn("nn", (col("ra") + col("rl")).cast("double"))
+      .withColumn("ea", col("ra").cast("double") * col("nj") / col("nn"))
+      .withColumn("el", col("rl").cast("double") * col("nj") / col("nn"))
+      .withColumn("t",
+        round((col("n_above") - col("ea")) * (col("n_above") - col("ea")) /
+          col("ea"), 10) +
+          round((col("n_le") - col("el")) * (col("n_le") - col("el")) /
+            col("el"), 10))
+    val verdict = grid.agg(max(col("k")).as("k"),
+        (max(col("ra")) + max(col("rl"))).as("n"),
+        round(sum(col("t")), 6).as("chi2"))
+      .withColumn("dof", col("k") - 1)
+      .withColumn("critical", expr(
+        """CASE dof WHEN 1 THEN 3.841 WHEN 2 THEN 5.991 WHEN 3 THEN 7.815
+          | WHEN 4 THEN 9.488 WHEN 5 THEN 11.07 WHEN 6 THEN 12.592
+          | END""".stripMargin.replace("\n", " ")))
+      .withColumn("significant", col("chi2") > col("critical"))
+      .select(col("n"), col("chi2"), col("dof"), col("significant"))
+    cells.crossJoin(broadcast(verdict))
+  }
+
+  val qMoodMedianSql: String =
+    """WITH v AS (SELECT c_mktsegment AS seg,
+      |    CAST(floor(o_totalprice / 100) AS BIGINT) AS bin
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |hist AS (SELECT bin, count(*) AS cnt FROM v GROUP BY 1),
+      |cum AS (SELECT bin, sum(cnt) OVER (ORDER BY bin
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM hist),
+      |nvtot AS (SELECT CAST(sum(cnt) AS BIGINT) AS nv FROM hist),
+      |med AS (SELECT
+      |    (min(CASE WHEN cum >= (nv + 1) // 2 THEN bin END)
+      |     + min(CASE WHEN cum >= (nv + 2) // 2 THEN bin END)) / 2.0
+      |      AS med
+      |  FROM cum, nvtot),
+      |cells AS (SELECT seg,
+      |    CAST(sum(CASE WHEN bin > med THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_above,
+      |    CAST(sum(CASE WHEN bin <= med THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_le
+      |  FROM v, med GROUP BY seg),
+      |tot AS (SELECT CAST(sum(n_above) AS BIGINT) AS ra,
+      |    CAST(sum(n_le) AS BIGINT) AS rl,
+      |    CAST(count(*) AS BIGINT) AS k FROM cells),
+      |grid AS (SELECT cells.*, ra, rl, k, n_above + n_le AS nj,
+      |    CAST(ra + rl AS DOUBLE) AS nn FROM cells, tot),
+      |terms AS (SELECT *,
+      |    round((n_above - CAST(ra AS DOUBLE) * nj / nn)
+      |      * (n_above - CAST(ra AS DOUBLE) * nj / nn)
+      |      / (CAST(ra AS DOUBLE) * nj / nn), 10)
+      |    + round((n_le - CAST(rl AS DOUBLE) * nj / nn)
+      |      * (n_le - CAST(rl AS DOUBLE) * nj / nn)
+      |      / (CAST(rl AS DOUBLE) * nj / nn), 10) AS t
+      |  FROM grid),
+      |verdict AS (SELECT max(ra) + max(rl) AS n, round(sum(t), 6) AS chi2,
+      |    max(k) - 1 AS dof
+      |  FROM terms),
+      |vx AS (SELECT n, chi2, dof,
+      |    chi2 > (CASE dof WHEN 1 THEN 3.841 WHEN 2 THEN 5.991
+      |      WHEN 3 THEN 7.815 WHEN 4 THEN 9.488 WHEN 5 THEN 11.07
+      |      WHEN 6 THEN 12.592 END) AS significant
+      |  FROM verdict)
+      |SELECT cells.seg, cells.n_above, cells.n_le,
+      |  vx.n, vx.chi2, vx.dof, vx.significant
+      |FROM cells, vx""".stripMargin
+
+  // ---------------------------------------------------------------- L59
+  /** Wilcoxon signed-rank test on paired per-customer revenue,
+    * first half-year (months 1–6) vs second (7–12) pooled across
+    * years — the rank-powered upgrade of L43's sign test (the sign
+    * test throws away magnitudes; Wilcoxon ranks |d| and so detects
+    * shifts the sign test needs far more data to see). Absent halves
+    * count as zero revenue (the paired-period convention — a customer
+    * ordering only in H1 IS a difference signal); zero differences
+    * drop (the standard Wilcoxon convention). ENGINE-EXACT ranks with
+    * NO per-row rank window (the L14 histogram-algebra device): |d|
+    * bins to $1 granularity (the L14 binning convention — bounds the
+    * rank grid), and a tie group of size t after cumulative mass cb
+    * contributes doubled average rank 2·cb + t + 1 per member — so
+    * W⁺/W⁻ fold directly off the bounded gap histogram as exact
+    * DECIMAL(38,0) integers (published as digit strings, the
+    * q_bollinger device: n(n+1) wraps int64 past ~3·10⁹ pairs); the
+    * tie-corrected normal approximation assembles as ONE fixed-order
+    * double expression over exact integers:
+    * z = ((2W⁺₂ − n(n+1))/4) / √((2n(n+1)(2n+1) − Σ(t³−t))/48)
+    * (W⁺₂ = doubled W⁺; no continuity correction, documented).
+    * Verdict |z| > 1.96 on the 6-dp-rounded z.
+    */
+  def qWilcoxonSigned(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val rev = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("cust"),
+        (month(col("o_orderdate")) <= 6).as("h1"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("cust"))
+      .agg(sum(when(col("h1"), col("cents")).otherwise(0L)).as("a"),
+        sum(when(!col("h1"), col("cents")).otherwise(0L)).as("b"))
+      .select(col("cust"), (col("a") - col("b")).as("d"))
+      .filter(col("d") =!= 0)
+    // tie-group HISTOGRAM ALGEBRA (the L14 device — never a
+    // row_number over individual pairs): a tie group of size t
+    // starting after cumulative mass cb holds doubled ranks summing
+    // to t·(2·cb + t + 1) per member — so both rank sums, n and the
+    // tie term all fold off the |distinct gap| grid, and the one
+    // single-partition window runs over that bounded grid ($1
+    // granularity on |d|, the L14 binning convention)
+    val hist = rev.withColumn("adb", expr("abs(d) DIV 100"))
+      .groupBy(col("adb"))
+      .agg(count(lit(1)).as("t"),
+        sum(when(col("d") > 0, 1L).otherwise(0L)).as("tpos"),
+        sum(when(col("d") < 0, 1L).otherwise(0L)).as("tneg"))
+    val wb = Window.orderBy(col("adb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.withColumn("cb", coalesce(sum(col("t")).over(wb), lit(0L)))
+      .withColumn("dr2", col("cb") * 2 + col("t") + 1)
+    val agg = cum.agg(sum(col("t")).cast("long").as("n"),
+      sum((col("tpos").cast(d38) * col("dr2")).cast(d38)).as("w2p"),
+      sum((col("tneg").cast(d38) * col("dr2")).cast(d38)).as("w2m"),
+      sum(col("t").cast(d38) * col("t") * col("t") - col("t")).as("tc"))
+    agg
+      .withColumn("z", round(
+        ((col("w2p") * 2 - col("n").cast(d38) * (col("n") + 1))
+          .cast("double") / 4.0) /
+          sqrt((lit(2).cast(d38) * col("n") * (col("n") + 1) *
+            (col("n") * 2 + 1) - col("tc")).cast("double") / 48.0), 6))
+      // doubled rank sums and the tie term overflow int64 at extreme
+      // pair counts (n(n+1) wraps past ~3e9 pairs) — digit strings,
+      // the q_bollinger var7_num device
+      .select(col("n").as("n_pairs"),
+        col("w2p").cast("string").as("w2_plus"),
+        col("w2m").cast("string").as("w2_minus"),
+        col("tc").cast("string").as("tie_term"), col("z"),
+        (abs(col("z")) > 1.96).as("significant"))
+  }
+
+  val qWilcoxonSignedSql: String =
+    """WITH rev AS (SELECT o_custkey AS cust,
+      |    CAST(sum(CASE WHEN month(o_orderdate) <= 6
+      |      THEN CAST(round(o_totalprice * 100) AS BIGINT)
+      |      ELSE 0 END) AS BIGINT)
+      |    - CAST(sum(CASE WHEN month(o_orderdate) > 6
+      |      THEN CAST(round(o_totalprice * 100) AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS d
+      |  FROM orders GROUP BY 1),
+      |nz AS (SELECT cust, d, abs(d) // 100 AS adb FROM rev WHERE d <> 0),
+      |hist AS (SELECT adb, count(*) AS t,
+      |    CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS tpos,
+      |    CAST(sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT) AS tneg
+      |  FROM nz GROUP BY adb),
+      |cum AS (SELECT adb, t, tpos, tneg,
+      |    coalesce(sum(t) OVER (ORDER BY adb
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      |  FROM hist),
+      |agg AS (SELECT CAST(sum(t) AS BIGINT) AS n,
+      |    sum(CAST(tpos AS HUGEINT) * (cb * 2 + t + 1)) AS w2p,
+      |    sum(CAST(tneg AS HUGEINT) * (cb * 2 + t + 1)) AS w2m,
+      |    sum(CAST(t AS HUGEINT) * t * t - t) AS tc
+      |  FROM cum),
+      |zed AS (SELECT n, w2p, w2m, tc,
+      |    round((CAST(w2p * 2 - CAST(n AS HUGEINT) * (n + 1) AS DOUBLE)
+      |      / 4.0)
+      |      / sqrt(CAST(2 * CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1) - tc
+      |        AS DOUBLE) / 48.0), 6) AS z
+      |  FROM agg)
+      |SELECT n AS n_pairs, CAST(w2p AS VARCHAR) AS w2_plus,
+      |  CAST(w2m AS VARCHAR) AS w2_minus, CAST(tc AS VARCHAR) AS tie_term,
+      |  z, abs(z) > 1.96 AS significant
+      |FROM zed""".stripMargin
+
+  // ---------------------------------------------------------------- L60
+  /** Two-sample Anderson–Darling test (Pettitt 1976) on the BUILDING
+    * vs MACHINERY order-total distributions — the tail-sensitive
+    * completion of the L16 KS / L56 Cramér–von Mises trio: KS sees
+    * the single largest ECDF gap, CvM the average squared gap, AD
+    * re-weights the squared gaps by 1/(H(1−H)) so the TAILS — where
+    * ECDFs are pinned near 0/1 and small gaps are most surprising —
+    * dominate; the test of record when the worry is tail behavior
+    * (pricing outliers, heavy-tailed engagement). Same $100 binning
+    * as L56. Exact-integer device (the CvM pattern, two quantization
+    * stages, both engine-identical): per bin the gap numerator
+    * e = n2·Ma − n1·Mb is exact (cast-before-multiply DECIMAL, the
+    * r16 CvM fix applied from birth), g_µ = halfUp(10⁶·e/(n1·n2)) is
+    * a sign-split exact long (|g_µ| ≤ 10⁶ since |e| ≤ n1·n2), the
+    * per-bin weighted term h = halfUp(10¹²·b·g_µ²/(B·(N−B))) is an
+    * exact DECIMAL (≤ 10³⁵ at 100 TB — inside the type), and
+    * A² = n1·n2·Σh/10²⁴ assembles as ONE fixed-order double
+    * expression. Last cumulative bin (B = N) excluded by the formula.
+    * Verdict vs the asymptotic .05 critical 2.492.
+    */
+  def qAndersonDarling(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val seg = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(col("c_mktsegment").as("seg"),
+        floor(col("o_totalprice") / 100).cast("long").as("bin"))
+    val hist = seg.groupBy(col("bin"))
+      .agg(count(when(col("seg") === "BUILDING", 1)).as("na"),
+        count(when(col("seg") === "MACHINERY", 1)).as("nb"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("ma", sum(col("na")).over(w))
+      .withColumn("mb", sum(col("nb")).over(w))
+    val tot = hist.agg(sum(col("na")).cast("long").as("n1"),
+      sum(col("nb")).cast("long").as("n2"))
+    val gmu = expr(
+      """CASE WHEN CAST(ma AS DECIMAL(38,0)) * n2
+        |     - CAST(mb AS DECIMAL(38,0)) * n1 >= 0
+        | THEN (2 * (CAST(ma AS DECIMAL(38,0)) * n2
+        |     - CAST(mb AS DECIMAL(38,0)) * n1) * 1000000
+        |   + CAST(n1 AS DECIMAL(38,0)) * n2)
+        |   DIV (2 * CAST(n1 AS DECIMAL(38,0)) * n2)
+        | ELSE -((2 * (CAST(mb AS DECIMAL(38,0)) * n1
+        |     - CAST(ma AS DECIMAL(38,0)) * n2) * 1000000
+        |   + CAST(n1 AS DECIMAL(38,0)) * n2)
+        |   DIV (2 * CAST(n1 AS DECIMAL(38,0)) * n2)) END"""
+        .stripMargin.replace("\n", " "))
+    val agg = cum.crossJoin(broadcast(tot))
+      .withColumn("bb", (col("ma") + col("mb")).cast("long"))
+      .withColumn("nn", col("n1") + col("n2"))
+      .filter(col("bb") < col("nn"))
+      .withColumn("gmu", gmu.cast("long"))
+      .withColumn("h", expr(
+        """(2 * ((CAST(na AS DECIMAL(38,0)) + nb)
+          |   * CAST(gmu AS DECIMAL(38,0)) * gmu) * 1000000000000
+          | + CAST(bb AS DECIMAL(38,0)) * (nn - bb))
+          | DIV (2 * CAST(bb AS DECIMAL(38,0)) * (nn - bb))"""
+          .stripMargin.replace("\n", " ")))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        sum(col("h").cast(d38)).as("s"))
+    agg.select(col("n1"), col("n2"),
+        round(col("n1").cast("double") * col("n2") / 1e12 *
+          (col("s").cast("double") / 1e12) / 1e12, 6).as("ad_a2"))
+      .withColumn("significant", col("ad_a2") > 2.492)
+  }
+
+  val qAndersonDarlingSql: String =
+    """WITH seg AS (SELECT c_mktsegment AS seg,
+      |    CAST(floor(o_totalprice / 100) AS BIGINT) AS bin
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+      |hist AS (SELECT bin,
+      |    count(CASE WHEN seg = 'BUILDING' THEN 1 END) AS na,
+      |    count(CASE WHEN seg = 'MACHINERY' THEN 1 END) AS nb
+      |  FROM seg GROUP BY 1),
+      |cum AS (SELECT bin, na, nb,
+      |    sum(na) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW) AS ma,
+      |    sum(nb) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW) AS mb
+      |  FROM hist),
+      |tot AS (SELECT CAST(sum(na) AS BIGINT) AS n1,
+      |    CAST(sum(nb) AS BIGINT) AS n2 FROM hist),
+      |gg AS (SELECT na, nb, n1, n2,
+      |    CAST(ma + mb AS BIGINT) AS bb, n1 + n2 AS nn,
+      |    CASE WHEN CAST(ma AS HUGEINT) * n2 - CAST(mb AS HUGEINT) * n1 >= 0
+      |      THEN CAST((2 * (CAST(ma AS HUGEINT) * n2
+      |          - CAST(mb AS HUGEINT) * n1) * 1000000
+      |        + CAST(n1 AS HUGEINT) * n2)
+      |        // (2 * CAST(n1 AS HUGEINT) * n2) AS BIGINT)
+      |      ELSE -CAST((2 * (CAST(mb AS HUGEINT) * n1
+      |          - CAST(ma AS HUGEINT) * n2) * 1000000
+      |        + CAST(n1 AS HUGEINT) * n2)
+      |        // (2 * CAST(n1 AS HUGEINT) * n2) AS BIGINT) END AS gmu
+      |  FROM cum, tot WHERE ma + mb < n1 + n2),
+      |hh AS (SELECT n1, n2,
+      |    (2 * ((CAST(na AS HUGEINT) + nb)
+      |        * CAST(gmu AS HUGEINT) * gmu) * 1000000000000
+      |      + CAST(bb AS HUGEINT) * (nn - bb))
+      |      // (2 * CAST(bb AS HUGEINT) * (nn - bb)) AS h
+      |  FROM gg),
+      |agg AS (SELECT max(n1) AS n1, max(n2) AS n2, sum(h) AS s FROM hh)
+      |SELECT n1, n2,
+      |  round(CAST(n1 AS DOUBLE) * n2 / 1e12
+      |    * (CAST(s AS DOUBLE) / 1e12) / 1e12, 6) AS ad_a2,
+      |  (round(CAST(n1 AS DOUBLE) * n2 / 1e12
+      |    * (CAST(s AS DOUBLE) / 1e12) / 1e12, 6) > 2.492) AS significant
+      |FROM agg""".stripMargin
+
+  // ---------------------------------------------------------------- L61
+  /** Atkinson inequality index (ε = 1) of order totals — the
+    * welfare-theoretic member of the inequality family (L49 Lorenz
+    * gives the curve, L50's Gini the area; Atkinson(1) = 1 −
+    * geomean/mean answers "what fraction of total spend could be
+    * discarded if it were spread evenly, at log utility" — the number
+    * that moves fastest when the SMALL orders shrink, where Gini is
+    * most sensitive mid-distribution). Exact device: per-row
+    * ln(cents) µ-quantizes to a long (the E33 device, the
+    * q_price_elasticity linear-scan class), Σln and Σcents are exact
+    * DECIMAL(38,0) sums, and the index assembles as ONE fixed-order
+    * double expression 1 − exp(L/n/10⁶)/(S/n). Positive-only by
+    * construction (order totals); zero/negative rows are excluded
+    * defensively and counted.
+    */
+  def qAtkinson(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val v = Tables.orders(spark, dir)
+      .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val agg = v.agg(
+      sum(when(col("cents") <= 0, 1L).otherwise(0L)).cast("long")
+        .as("n_nonpos"),
+      count(when(col("cents") > 0, 1)).cast("long").as("n"),
+      sum(when(col("cents") > 0, col("cents")).otherwise(0L)).cast(d38)
+        .as("s"),
+      sum(when(col("cents") > 0,
+        round(log(col("cents").cast("double")) * 1e6).cast("long"))
+        .otherwise(0L)).cast(d38).as("l"))
+    agg.select(col("n"), col("n_nonpos"),
+      col("s").cast("long").as("sum_cents"),
+      round(exp(col("l").cast("double") / col("n") / 1e6), 4)
+        .as("geomean_cents"),
+      round(col("s").cast("double") / col("n"), 4).as("mean_cents"),
+      round(lit(1.0) - exp(col("l").cast("double") / col("n") / 1e6) /
+        (col("s").cast("double") / col("n")), 6).as("atkinson_e1"))
+  }
+
+  val qAtkinsonSql: String =
+    """WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |agg AS (SELECT
+      |    CAST(sum(CASE WHEN cents <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_nonpos,
+      |    CAST(count(CASE WHEN cents > 0 THEN 1 END) AS BIGINT) AS n,
+      |    sum(CASE WHEN cents > 0 THEN CAST(cents AS HUGEINT)
+      |      ELSE 0 END) AS s,
+      |    sum(CASE WHEN cents > 0
+      |      THEN CAST(round(ln(CAST(cents AS DOUBLE)) * 1000000) AS HUGEINT)
+      |      ELSE 0 END) AS l
+      |  FROM v)
+      |SELECT n, n_nonpos, CAST(s AS BIGINT) AS sum_cents,
+      |  round(exp(CAST(l AS DOUBLE) / n / 1e6), 4) AS geomean_cents,
+      |  round(CAST(s AS DOUBLE) / n, 4) AS mean_cents,
+      |  round(1.0 - exp(CAST(l AS DOUBLE) / n / 1e6)
+      |    / (CAST(s AS DOUBLE) / n), 6) AS atkinson_e1
+      |FROM agg""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cvm_test" -> (qCvmTest _),
+    "q_mood_median" -> (qMoodMedian _),
+    "q_wilcoxon_signed" -> (qWilcoxonSigned _),
+    "q_anderson_darling" -> (qAndersonDarling _),
+    "q_atkinson" -> (qAtkinson _),
     "q_lorenz_curve" -> (qLorenzCurve _),
     "q_ref_integrity" -> (qRefIntegrity _),
     "q_negbin_fit" -> (qNegbinFit _),
@@ -4489,6 +4880,10 @@ object Validation {
 
   def oracle: Map[String, String] = Map(
     "q_cvm_test" -> qCvmTestSql,
+    "q_mood_median" -> qMoodMedianSql,
+    "q_wilcoxon_signed" -> qWilcoxonSignedSql,
+    "q_anderson_darling" -> qAndersonDarlingSql,
+    "q_atkinson" -> qAtkinsonSql,
     "q_lorenz_curve" -> qLorenzCurveSql,
     "q_ref_integrity" -> qRefIntegritySql,
     "q_negbin_fit" -> qNegbinFitSql,

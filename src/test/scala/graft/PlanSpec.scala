@@ -413,7 +413,10 @@ class PlanSpec extends AnyFunSuite {
       "q_turning_points",
       // r15: cumulative window over the bounded $100-bin histogram
       // (the q_mannwhitney class)
-      "q_lorenz_curve", "q_cvm_test")
+      "q_lorenz_curve", "q_cvm_test",
+      // r16: cumulative windows over the bounded $100-bin histogram
+      // (q_mannwhitney class) / the bounded $1 |d|-gap grid
+      "q_mood_median", "q_anderson_darling", "q_wilcoxon_signed")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       // pre-AQE physical plan: traversable with plain collect (the
       // AQE wrapper hides its initial plan from TreeNode traversal,

@@ -3265,6 +3265,162 @@ class PropertySpec extends AnyFunSuite {
       (r.getAs[Double]("cvm_t") > 0.461))
   }
 
+  test("q_anderson_darling: A2 recomposes from driver-side binned ECDFs") {
+    val sf = TestSession.sf
+    val r = graft.operators.Validation.queries("q_anderson_darling")(spark, sf)
+      .collect().head
+    val bins = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(col("c_mktsegment"), floor(col("o_totalprice") / 100).cast("long"))
+      .as[(String, Long)].collect()
+    val hist = bins.groupBy(_._2).map { case (b, xs) =>
+      (b, xs.count(_._1 == "BUILDING").toLong,
+        xs.count(_._1 == "MACHINERY").toLong) }.toSeq.sortBy(_._1)
+    val n1 = hist.map(_._2).sum; val n2 = hist.map(_._3).sum
+    assert(r.getAs[Long]("n1") == n1 && r.getAs[Long]("n2") == n2)
+    var (ma, mb) = (0L, 0L)
+    var s = BigInt(0)
+    val nn = n1 + n2
+    hist.foreach { case (_, na, nb) =>
+      ma += na; mb += nb
+      val bb = ma + mb
+      if (bb < nn) {
+        val e = BigInt(ma) * n2 - BigInt(mb) * n1
+        val den = BigInt(n1) * n2
+        val g = if (e >= 0) (2 * e * 1000000 + den) / (2 * den)
+          else -((2 * -e * 1000000 + den) / (2 * den))
+        val hden = BigInt(bb) * (nn - bb)
+        s += (2 * (BigInt(na + nb) * g * g) * BigInt("1000000000000") +
+          hden) / (2 * hden)
+      }
+    }
+    val a2 = n1.toDouble * n2 / 1e12 * (s.toDouble / 1e12) / 1e12
+    assert(math.abs(r.getAs[Double]("ad_a2") - a2) < 1e-5,
+      s"ad ${r.getAs[Double]("ad_a2")} vs $a2")
+    assert(r.getAs[Double]("ad_a2") >= 0.0)
+  }
+
+  test("q_mood_median: cells recompose and chi2 matches a driver-side fold") {
+    val sf = TestSession.sf
+    val rows = graft.operators.Validation.queries("q_mood_median")(spark, sf)
+      .collect()
+    val data = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        floor(col("o_totalprice") / 100).cast("long"))
+      .as[(String, Long)].collect()
+    val sorted = data.map(_._2).sorted
+    val n = sorted.length
+    // the two middle order statistics, interpolated (quantile_cont
+    // semantics recomposed over the bin domain)
+    val med = (sorted((n + 1) / 2 - 1) + sorted((n + 2) / 2 - 1)) / 2.0
+    val cells = data.groupBy(_._1).map { case (s, xs) =>
+      s -> ((xs.count(_._2 > med).toLong, xs.count(_._2 <= med).toLong)) }
+    rows.foreach { r =>
+      val (ea, el) = (r.getAs[Long]("n_above"), r.getAs[Long]("n_le"))
+      val c = cells(r.getAs[String]("seg"))
+      assert(c == ((ea, el)), s"cells drift for ${r.get(0)}")
+    }
+    val ra = cells.values.map(_._1).sum.toDouble
+    val rl = cells.values.map(_._2).sum.toDouble
+    val nn = ra + rl
+    val chi2 = cells.values.map { case (a, l) =>
+      val nj = a + l
+      val ea = ra * nj / nn; val el = rl * nj / nn
+      BigDecimal((a - ea) * (a - ea) / ea)
+        .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble +
+        BigDecimal((l - el) * (l - el) / el)
+          .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.sum
+    assert(math.abs(rows.head.getAs[Double]("chi2") - chi2) < 1e-4,
+      s"chi2 ${rows.head.getAs[Double]("chi2")} vs $chi2")
+    assert(rows.head.getAs[Long]("dof") == cells.size - 1)
+  }
+
+  test("q_wilcoxon_signed: doubled rank sums partition n(n+1) and z recomposes") {
+    val sf = TestSession.sf
+    val r = graft.operators.Validation.queries("q_wilcoxon_signed")(spark, sf)
+      .collect().head
+    val n = r.getAs[Long]("n_pairs")
+    val wp = BigInt(r.getAs[String]("w2_plus"))
+    val wm = BigInt(r.getAs[String]("w2_minus"))
+    // doubled ranks over n items sum to 2·n(n+1)/2 = n(n+1)
+    assert(wp + wm == BigInt(n) * (n + 1), s"rank mass $wp + $wm != n(n+1)")
+    val tc = BigInt(r.getAs[String]("tie_term"))
+    val z = ((wp * 2 - BigInt(n) * (n + 1)).toDouble / 4.0) /
+      math.sqrt((2.0 * n * (n + 1) * (2 * n + 1) - tc.toDouble) / 48.0)
+    assert(math.abs(r.getAs[Double]("z") - z) < 1e-5)
+    assert(r.getAs[Boolean]("significant") ==
+      (math.abs(r.getAs[Double]("z")) > 1.96))
+  }
+
+  test("q_atkinson: index recomposes from driver-side quantized logs and sits in [0,1)") {
+    val sf = TestSession.sf
+    val r = graft.operators.Validation.queries("q_atkinson")(spark, sf)
+      .collect().head
+    val cents = Tables.orders(spark, sf)
+      .select(round(col("o_totalprice") * 100).cast("long"))
+      .as[Long].collect().filter(_ > 0)
+    val n = cents.length.toLong
+    assert(r.getAs[Long]("n") == n)
+    val l = cents.map(c => math.round(math.log(c.toDouble) * 1e6)).sum
+    val s = cents.map(BigInt(_)).sum
+    val a = 1.0 - math.exp(l.toDouble / n / 1e6) / (s.toDouble / n)
+    assert(math.abs(r.getAs[Double]("atkinson_e1") - a) < 1e-5)
+    val v = r.getAs[Double]("atkinson_e1")
+    assert(v >= 0.0 && v < 1.0, s"atkinson $v out of [0,1)")
+  }
+
+  test("q_hapax: per-source counts recompose from raw tokens") {
+    val sf = TestSession.sf
+    import graft.functions.TextFunctions.tokens
+    val rows = graft.operators.TextAnalysis.queries("q_hapax")(spark, sf)
+      .collect()
+    val toks = Tables.documents(spark, sf)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .as[(String, String)].collect()
+    val bySource = toks.groupBy(_._1)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val counts = bySource(src).groupBy(_._2).map(_._2.length)
+      assert(r.getAs[Long]("n_tokens") == counts.sum)
+      assert(r.getAs[Long]("n_types") == counts.size)
+      assert(r.getAs[Long]("n_hapax") == counts.count(_ == 1))
+      assert(r.getAs[Long]("n_dis") == counts.count(_ == 2))
+    }
+  }
+
+  test("q_moran_i: statistic recomposes from driver-side quantized deviations") {
+    val sf = TestSession.sf
+    val r = graft.operators.GraphOps.queries("q_moran_i")(spark, sf)
+      .collect().head
+    val edges = graft.operators.GraphOps.mutualKnnPairs(spark, sf)
+      .select("src", "dst").as[(Long, Long)].collect()
+    val bal = Tables.supplier(spark, sf)
+      .select(col("s_suppkey"), round(col("s_acctbal") * 100).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.length.toLong
+    assert(r.getAs[Long]("n_nodes") == n)
+    assert(r.getAs[Long]("n_edges") == edges.length.toLong)
+    val sx = nodes.map(bal).sum
+    def zk(x: Long): Long = {
+      val zz = BigInt(x) * n - sx
+      val q = if (zz >= 0) (2 * 1000 * zz + n) / (2 * BigInt(n))
+        else -((2 * 1000 * -zz + n) / (2 * BigInt(n)))
+      q.toLong
+    }
+    val zkm = nodes.map(u => u -> zk(bal(u))).toMap
+    val num = edges.map { case (u, v) => BigInt(zkm(u)) * zkm(v) * 2 }.sum
+    val den = nodes.map(u => BigInt(zkm(u)) * zkm(u)).sum
+    val i = n.toDouble * num.toDouble /
+      (edges.length.toDouble * 2 * den.toDouble)
+    assert(math.abs(r.getAs[Double]("moran_i") - i) < 1e-5,
+      s"moran ${r.getAs[Double]("moran_i")} vs $i")
+  }
+
   test("q_price_elasticity: moments recompose from driver-side quantized logs") {
     val sf = TestSession.sf
     val rows = graft.ml.FeatureOps.queries("q_price_elasticity")(spark, sf)

@@ -1445,6 +1445,117 @@ object TextAnalysis {
         col("fertility_uni_ppm") - col("fertility_bpe_ppm"))
   }
 
+  // ---------------------------------------------------------------- B34
+  /** Gopher-style quality-rule battery (Rae et al. 2021 §A1.1) — the
+    * published rule set large-scale text curation actually runs,
+    * complementing B3's continuous score with hard pass/fail gates:
+    * word count ∈ [50, 10⁵], mean word length ∈ [3, 10], symbol-to-
+    * word ratio ≤ 0.1 (# and … marks), ≥ 80 % alphabetic words,
+    * ≥ 2 stopwords (the B3 list), bullet-line ratio ≤ 0.9 and
+    * ellipsis-line ratio ≤ 0.3. EVERY rule is a pure integer
+    * comparison (mean-length ∈ [3,10] ⟺ 3n ≤ Σlen ≤ 10n; ratio
+    * cuts cross-multiplied) — no float enters a verdict. Map-only
+    * per-doc bits → ONE per-source aggregate of rule pass counts +
+    * the all-rules pass rate (half-up ppm). On the synthetic corpus
+    * the symbol/bullet/ellipsis rules pass vacuously (no such marks
+    * — spec-pinned); word-count and stopword rules discriminate.
+    */
+  def qGopherRules(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{normText, segmentText}
+    val toks = tokens(col("text"))
+    val bits = Tables.documents(spark, dir).select(col("source"),
+      size(toks).cast("long").as("nw"),
+      length(regexp_replace(normText(segmentText(col("text"))), " ", ""))
+        .cast("long").as("sumlen"),
+      vocabHits(toks, stopwords("en")).cast("long").as("nstop"),
+      size(filter(toks, t => t.rlike("[a-z]"))).cast("long").as("nalpha"),
+      (length(col("text")) - length(regexp_replace(col("text"), "#", "")))
+        .cast("long").as("nhash"),
+      expr("(length(text) - length(replace(text, '...', ''))) DIV 3")
+        .as("nellip"),
+      expr("size(split(text, '\n'))").cast("long").as("nlines"),
+      expr("size(filter(split(text, '\n'), l -> " +
+        "startswith(ltrim(l), '- ') OR startswith(ltrim(l), '* ')))")
+        .cast("long").as("nbullet"),
+      expr("size(filter(split(text, '\n'), l -> " +
+        "endswith(rtrim(l), '...')))").cast("long").as("nellipl"))
+      .select(col("source"),
+        (col("nw") >= 50 && col("nw") <= 100000).as("r_wc"),
+        (col("sumlen") >= col("nw") * 3 &&
+          col("sumlen") <= col("nw") * 10).as("r_mwl"),
+        ((col("nhash") + col("nellip")) * 10 <= col("nw")).as("r_sym"),
+        (col("nalpha") * 5 >= col("nw") * 4).as("r_alpha"),
+        (col("nstop") >= 2).as("r_stop"),
+        (col("nbullet") * 10 <= col("nlines") * 9).as("r_bullet"),
+        (col("nellipl") * 10 <= col("nlines") * 3).as("r_ellip"))
+    val rules = Seq("r_wc", "r_mwl", "r_sym", "r_alpha", "r_stop",
+      "r_bullet", "r_ellip")
+    val passAll = rules.map(col).reduce(_ && _)
+    bits.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        (rules.map(r => sum(when(col(r), 1L).otherwise(0L)).cast("long")
+          .as(s"n_$r")) :+
+          sum(when(passAll, 1L).otherwise(0L)).cast("long")
+            .as("n_pass")): _*)
+      .withColumn("pass_ppm", expr(
+        "CAST((2 * CAST(n_pass AS DECIMAL(38,0)) * 1000000 + n_docs)" +
+          " DIV (2 * CAST(n_docs AS DECIMAL(38,0))) AS BIGINT)"))
+  }
+
+  val qGopherRulesSql: String = {
+    val toksE = duckToks
+    val norm = graft.functions.TextFunctions.normSegSql("text")
+    s"""WITH bits AS (SELECT source,
+       |    CAST(len($toksE) AS BIGINT) AS nw,
+       |    CAST(length(regexp_replace($norm, ' ', '', 'g')) AS BIGINT)
+       |      AS sumlen,
+       |    CAST(len(list_filter($toksE,
+       |      t -> list_contains($stopSqlEn, t))) AS BIGINT) AS nstop,
+       |    CAST(len(list_filter($toksE,
+       |      t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS nalpha,
+       |    CAST(length(text) - length(regexp_replace(text, '#', '', 'g'))
+       |      AS BIGINT) AS nhash,
+       |    CAST((length(text) - length(replace(text, '...', ''))) // 3
+       |      AS BIGINT) AS nellip,
+       |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS nlines,
+       |    CAST(len(list_filter(string_split(text, chr(10)), l ->
+       |      starts_with(ltrim(l), '- ') OR starts_with(ltrim(l), '* ')))
+       |      AS BIGINT) AS nbullet,
+       |    CAST(len(list_filter(string_split(text, chr(10)), l ->
+       |      ends_with(rtrim(l), '...'))) AS BIGINT) AS nellipl
+       |  FROM documents),
+       |rb AS (SELECT source,
+       |    (nw >= 50 AND nw <= 100000) AS r_wc,
+       |    (sumlen >= nw * 3 AND sumlen <= nw * 10) AS r_mwl,
+       |    ((nhash + nellip) * 10 <= nw) AS r_sym,
+       |    (nalpha * 5 >= nw * 4) AS r_alpha,
+       |    (nstop >= 2) AS r_stop,
+       |    (nbullet * 10 <= nlines * 9) AS r_bullet,
+       |    (nellipl * 10 <= nlines * 3) AS r_ellip
+       |  FROM bits),
+       |agg AS (SELECT source, count(*) AS n_docs,
+       |    CAST(sum(CASE WHEN r_wc THEN 1 ELSE 0 END) AS BIGINT) AS n_r_wc,
+       |    CAST(sum(CASE WHEN r_mwl THEN 1 ELSE 0 END) AS BIGINT) AS n_r_mwl,
+       |    CAST(sum(CASE WHEN r_sym THEN 1 ELSE 0 END) AS BIGINT) AS n_r_sym,
+       |    CAST(sum(CASE WHEN r_alpha THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_r_alpha,
+       |    CAST(sum(CASE WHEN r_stop THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_r_stop,
+       |    CAST(sum(CASE WHEN r_bullet THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_r_bullet,
+       |    CAST(sum(CASE WHEN r_ellip THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_r_ellip,
+       |    CAST(sum(CASE WHEN r_wc AND r_mwl AND r_sym AND r_alpha
+       |      AND r_stop AND r_bullet AND r_ellip THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_pass
+       |  FROM rb GROUP BY source)
+       |SELECT source, n_docs, n_r_wc, n_r_mwl, n_r_sym, n_r_alpha,
+       |  n_r_stop, n_r_bullet, n_r_ellip, n_pass,
+       |  CAST((2 * CAST(n_pass AS HUGEINT) * 1000000 + n_docs)
+       |    // (2 * CAST(n_docs AS HUGEINT)) AS BIGINT) AS pass_ppm
+       |FROM agg""".stripMargin
+  }
+
   // ---------------------------------------------------------------- B33
   /** Hapax/dis-legomena audit per source — the vocabulary-growth
     * readout behind B18's Zipf fit and every dedup-threshold choice:
@@ -1844,6 +1955,7 @@ object TextAnalysis {
     "q_unigram_lm" -> (qUnigramLm _),
     "q_unigram_apply" -> (qUnigramApply _),
     "q_hapax" -> (qHapax _),
+    "q_gopher_rules" -> (qGopherRules _),
     "q_pii_scan" -> (qPiiScan _),
     "q_mcc" -> (qMcc _),
     "q_cohens_kappa" -> (qCohensKappa _),
@@ -1873,6 +1985,7 @@ object TextAnalysis {
     "q_unigram_lm" -> qUnigramLmSql,
     "q_unigram_apply" -> qUnigramApplySql,
     "q_hapax" -> qHapaxSql,
+    "q_gopher_rules" -> qGopherRulesSql,
     "q_pii_scan" -> qPiiScanSql,
     "q_mcc" -> qMccSql,
     "q_cohens_kappa" -> qCohensKappaSql,

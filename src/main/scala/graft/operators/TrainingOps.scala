@@ -2214,7 +2214,115 @@ object TrainingOps {
          |FROM fr, scored, totals, sl""".stripMargin
   }
 
+  // ---------------------------------------------------------------- K34
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling") — the
+    * domain-targeting selector a mixture rebalance actually runs:
+    * score every document by how much more likely its hashed-unigram
+    * features are under a TARGET domain than under the raw corpus,
+    * log w(doc) = Σ_tokens [ln p_target(bucket) − ln p_raw(bucket)].
+    * Target = the largest source (count DESC, source ASC — the
+    * reference-domain convention, documented); features = md5-hashed
+    * unigram buckets mod 64 (the K16 engine-portable md5 device);
+    * add-1 smoothing over the observed bucket grid. ENGINE-EXACT:
+    * each bucket's log-ratio is a DIFFERENCE of two µ-quantized lns
+    * of exact integer ratios (the E33 device, the FeatureOps
+    * difference discipline), so per-doc log-weights are exact LONG
+    * sums; per-source means publish via the sign-split half-up DIV.
+    * Shapes: one token explode, two 64-row bucket aggregates
+    * (broadcast back), one doc-keyed sum, one source aggregate.
+    * Output per source: docs, mean µ-log-weight, target-like doc
+    * share — the table a DSIR resampler prices its mixture from.
+    */
+  def qDsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val tokStream = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        explode(tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("bucket",
+        expr("conv(substring(md5(tok), 1, 15), 16, 10) % 64").cast("long"))
+    val target = Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("nd"))
+      .orderBy(col("nd").desc, col("source").asc).limit(1)
+      .select(col("source").as("tgt"))
+    val withTgt = tokStream.crossJoin(broadcast(target))
+    val buckets = withTgt.groupBy(col("bucket"))
+      .agg(sum(when(col("source") === col("tgt"), 1L).otherwise(0L))
+          .cast("long").as("ct"),
+        count(lit(1)).cast("long").as("cr"))
+    val tots = buckets.agg(sum(col("ct") + 1).cast("long").as("st"),
+      sum(col("cr") + 1).cast("long").as("sr"))
+    val lr = buckets.crossJoin(broadcast(tots))
+      .select(col("bucket"),
+        (round(log((col("ct") + 1).cast("double") / col("st")) * 1e6)
+          .cast("long") -
+          round(log((col("cr") + 1).cast("double") / col("sr")) * 1e6)
+            .cast("long")).as("lr_mu"))
+    val perDoc = tokStream.join(broadcast(lr), Seq("bucket"))
+      .groupBy(col("source"), col("doc_id"))
+      .agg(sum(col("lr_mu")).cast("long").as("logw"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("logw").cast(d38)).as("sw"),
+        sum(when(col("logw") > 0, 1L).otherwise(0L)).cast("long")
+          .as("pos_docs"))
+      .select(col("source"), col("n_docs"),
+        expr(
+          """CASE WHEN sw >= 0
+            | THEN (2 * sw + n_docs) DIV (2 * CAST(n_docs AS DECIMAL(38,0)))
+            | ELSE -((2 * (-sw) + n_docs)
+            |   DIV (2 * CAST(n_docs AS DECIMAL(38,0)))) END"""
+            .stripMargin.replace("\n", " ")).cast("long")
+          .as("mean_logw_mu"),
+        col("pos_docs"),
+        expr("CAST((2 * CAST(pos_docs AS DECIMAL(38,0)) * 1000000 + n_docs)" +
+          " DIV (2 * CAST(n_docs AS DECIMAL(38,0))) AS BIGINT)")
+          .as("target_like_ppm"))
+  }
+
+  val qDsirWeightsSql: String = {
+    val toksE = graft.functions.TextFunctions.duckToksSql("text")
+    s"""WITH ts AS (SELECT source, doc_id,
+       |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS bucket
+       |  FROM (SELECT source, doc_id, unnest($toksE) AS tok
+       |    FROM documents)
+       |  WHERE length(tok) > 0),
+       |tgt AS (SELECT source AS tgt FROM documents GROUP BY source
+       |  ORDER BY count(*) DESC, source ASC LIMIT 1),
+       |buckets AS (SELECT bucket,
+       |    CAST(sum(CASE WHEN source = (SELECT tgt FROM tgt)
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+       |    CAST(count(*) AS BIGINT) AS cr
+       |  FROM ts GROUP BY bucket),
+       |tots AS (SELECT CAST(sum(ct + 1) AS BIGINT) AS st,
+       |    CAST(sum(cr + 1) AS BIGINT) AS sr FROM buckets),
+       |lr AS (SELECT bucket,
+       |    CAST(round(ln(CAST(ct + 1 AS DOUBLE) / st) * 1000000) AS BIGINT)
+       |    - CAST(round(ln(CAST(cr + 1 AS DOUBLE) / sr) * 1000000) AS BIGINT)
+       |      AS lr_mu
+       |  FROM buckets, tots),
+       |perdoc AS (SELECT source, doc_id,
+       |    CAST(sum(lr_mu) AS BIGINT) AS logw
+       |  FROM ts JOIN lr USING (bucket) GROUP BY source, doc_id),
+       |agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    sum(CAST(logw AS HUGEINT)) AS sw,
+       |    CAST(sum(CASE WHEN logw > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS pos_docs
+       |  FROM perdoc GROUP BY source)
+       |SELECT source, n_docs,
+       |  CAST(CASE WHEN sw >= 0
+       |    THEN (2 * sw + n_docs) // (2 * CAST(n_docs AS HUGEINT))
+       |    ELSE -((2 * (-sw) + n_docs) // (2 * CAST(n_docs AS HUGEINT)))
+       |    END AS BIGINT) AS mean_logw_mu,
+       |  pos_docs,
+       |  CAST((2 * CAST(pos_docs AS HUGEINT) * 1000000 + n_docs)
+       |    // (2 * CAST(n_docs AS HUGEINT)) AS BIGINT) AS target_like_ppm
+       |FROM agg""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dsir_weights" -> (qDsirWeights _),
     "q_scaling_curve" -> (qScalingCurve _),
     "q_stupid_backoff" -> (qStupidBackoff _),
     "q_js_divergence" -> (qJsDivergence _),
@@ -2255,6 +2363,7 @@ object TrainingOps {
     "q_anomaly" -> (qAnomaly _))
 
   def oracle: Map[String, String] = Map(
+    "q_dsir_weights" -> qDsirWeightsSql,
     "q_scaling_curve" -> qScalingCurveSql,
     "q_stupid_backoff" -> qStupidBackoffSql,
     "q_js_divergence" -> qJsDivergenceSql,

@@ -3421,6 +3421,76 @@ class PropertySpec extends AnyFunSuite {
       s"moran ${r.getAs[Double]("moran_i")} vs $i")
   }
 
+  test("q_gopher_rules: rule counts recompose; mark-dependent rules pass vacuously here") {
+    val sf = TestSession.sf
+    import graft.functions.TextFunctions.tokens
+    val rows = graft.operators.TextAnalysis.queries("q_gopher_rules")(spark, sf)
+      .collect()
+    // the synthetic corpus has no '#', '...', bullets or newlines —
+    // those rules must pass every doc (pins the vacuous-pass claim)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      assert(r.getAs[Long]("n_r_sym") == n)
+      assert(r.getAs[Long]("n_r_bullet") == n)
+      assert(r.getAs[Long]("n_r_ellip") == n)
+      assert(r.getAs[Long]("n_pass") <= n)
+    }
+    // word-count and stopword rules recompose from raw tokens
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), tokens(col("text")))
+      .as[(String, Seq[String])].collect()
+    val stop = graft.operators.TextAnalysis.stopwords("en").toSet
+    val bySource = docs.groupBy(_._1)
+    rows.foreach { r =>
+      val ds = bySource(r.getAs[String]("source")).map(_._2)
+      assert(r.getAs[Long]("n_r_wc") ==
+        ds.count(t => t.size >= 50 && t.size <= 100000))
+      assert(r.getAs[Long]("n_r_stop") == ds.count(_.count(stop) >= 2))
+    }
+  }
+
+  test("q_dsir_weights: per-source means recompose from a driver-side bucket model") {
+    val sf = TestSession.sf
+    import graft.functions.TextFunctions.tokens
+    val rows = graft.operators.TrainingOps.queries("q_dsir_weights")(spark, sf)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("mean_logw_mu"),
+          r.getAs[Long]("pos_docs"))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"), tokens(col("text")))
+      .as[(String, Long, Seq[String])].collect()
+    def bucket(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tok.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 64
+    }
+    val stream = docs.flatMap { case (s, id, ts) =>
+      ts.filter(_.nonEmpty).map(t => (s, id, bucket(t))) }
+    val tgt = docs.groupBy(_._1).toSeq
+      .sortBy { case (s, d) => (-d.length, s) }.head._1
+    val cr = stream.groupBy(_._3).map { case (b, xs) => b -> xs.length.toLong }
+    val ct = stream.filter(_._1 == tgt).groupBy(_._3)
+      .map { case (b, xs) => b -> xs.length.toLong }
+    val st = cr.keys.toSeq.map(b => ct.getOrElse(b, 0L) + 1).sum
+    val sr = cr.values.toSeq.map(_ + 1).sum
+    val lr = cr.keys.toSeq.map { b =>
+      b -> (math.round(math.log((ct.getOrElse(b, 0L) + 1).toDouble / st) * 1e6) -
+        math.round(math.log((cr(b) + 1).toDouble / sr) * 1e6))
+    }.toMap
+    val perDoc = stream.groupBy(x => (x._1, x._2)).toSeq
+      .map { case ((s, _), xs) => s -> xs.map(x => lr(x._3)).sum }
+    perDoc.groupBy(_._1).foreach { case (s, ws) =>
+      val (n, mean, pos) = rows(s)
+      assert(n == ws.size)
+      assert(pos == ws.count(_._2 > 0))
+      val sw = ws.map(w => BigInt(w._2)).sum
+      val expMean = if (sw >= 0) (2 * sw + n) / (2 * BigInt(n))
+        else -((2 * -sw + n) / (2 * BigInt(n)))
+      assert(BigInt(mean) == expMean, s"source $s mean $mean != $expMean")
+    }
+  }
+
   test("q_price_elasticity: moments recompose from driver-side quantized logs") {
     val sf = TestSession.sf
     val rows = graft.ml.FeatureOps.queries("q_price_elasticity")(spark, sf)

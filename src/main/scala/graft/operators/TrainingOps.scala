@@ -2214,6 +2214,62 @@ object TrainingOps {
          |FROM fr, scored, totals, sl""".stripMargin
   }
 
+  // ---------------------------------------------------------------- K35
+  /** Context-window fit audit — the question every context-length
+    * decision starts from: at window w ∈ {512, 2048, 8192} tokens,
+    * how many documents fit whole, how many truncate, and what share
+    * of the token mass a truncate-don't-chunk policy would discard
+    * (K1 prices the CHUNKING policy; this prices TRUNCATION, the
+    * policy SFT sets actually ship with). One token-count scan, a
+    * 3-literal window explode on arithmetic rows, one aggregate per
+    * window — exact integers to three half-up ppm ratios. 3 rows.
+    */
+  def qContextLen(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d38 = "decimal(38,0)"
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokenCount(col("text")).cast("long").as("nt"))
+    def ppm(num: String, den: String): org.apache.spark.sql.Column =
+      expr(s"CAST((2 * CAST($num AS DECIMAL(38,0)) * 1000000 + $den)" +
+        s" DIV (2 * CAST($den AS DECIMAL(38,0))) AS BIGINT)")
+    toks.crossJoin(broadcast(Seq(512L, 2048L, 8192L).toDF("window")))
+      .groupBy(col("window"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("nt") <= col("window"), 1L).otherwise(0L))
+          .cast("long").as("n_fit"),
+        sum(col("nt").cast(d38)).as("tok_total"),
+        sum(when(col("nt") > col("window"), col("nt") - col("window"))
+          .otherwise(0L).cast(d38)).as("tok_lost"))
+      .select(col("window"), col("n_docs"), col("n_fit"),
+        (col("n_docs") - col("n_fit")).as("n_trunc"),
+        col("tok_total").cast("long").as("tok_total"),
+        col("tok_lost").cast("long").as("tok_lost"),
+        ppm("n_fit", "n_docs").as("fit_ppm"),
+        ppm("tok_lost", "tok_total").as("loss_ppm"))
+  }
+
+  val qContextLenSql: String = {
+    val toksE = graft.functions.TextFunctions.duckToksSql("text")
+    s"""WITH toks AS (SELECT doc_id, CAST(len($toksE) AS BIGINT) AS nt
+       |  FROM documents),
+       |win AS (SELECT unnest([512, 2048, 8192]) AS wdw),
+       |agg AS (SELECT wdw AS "window", CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN nt <= wdw THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_fit,
+       |    sum(CAST(nt AS HUGEINT)) AS tok_total,
+       |    sum(CASE WHEN nt > wdw THEN CAST(nt - wdw AS HUGEINT)
+       |      ELSE 0 END) AS tok_lost
+       |  FROM toks, win GROUP BY 1)
+       |SELECT "window", n_docs, n_fit, n_docs - n_fit AS n_trunc,
+       |  CAST(tok_total AS BIGINT) AS tok_total,
+       |  CAST(tok_lost AS BIGINT) AS tok_lost,
+       |  CAST((2 * CAST(n_fit AS HUGEINT) * 1000000 + n_docs)
+       |    // (2 * CAST(n_docs AS HUGEINT)) AS BIGINT) AS fit_ppm,
+       |  CAST((2 * tok_lost * 1000000 + tok_total)
+       |    // (2 * tok_total) AS BIGINT) AS loss_ppm
+       |FROM agg""".stripMargin
+  }
+
   // ---------------------------------------------------------------- K34
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling") — the
@@ -2323,6 +2379,7 @@ object TrainingOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dsir_weights" -> (qDsirWeights _),
+    "q_context_len" -> (qContextLen _),
     "q_scaling_curve" -> (qScalingCurve _),
     "q_stupid_backoff" -> (qStupidBackoff _),
     "q_js_divergence" -> (qJsDivergence _),
@@ -2364,6 +2421,7 @@ object TrainingOps {
 
   def oracle: Map[String, String] = Map(
     "q_dsir_weights" -> qDsirWeightsSql,
+    "q_context_len" -> qContextLenSql,
     "q_scaling_curve" -> qScalingCurveSql,
     "q_stupid_backoff" -> qStupidBackoffSql,
     "q_js_divergence" -> qJsDivergenceSql,

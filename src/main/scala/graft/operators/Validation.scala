@@ -4817,9 +4817,191 @@ object Validation {
       |    / (CAST(s AS DOUBLE) / n), 6) AS atkinson_e1
       |FROM agg""".stripMargin
 
+  // ---------------------------------------------------------------- L62
+  /** Page's trend test (Page 1963) for ordered alternatives — the
+    * directional completion of L28's Friedman: Friedman asks "do the
+    * months differ at all", Page asks "do they INCREASE in calendar
+    * order" (the seasonality-direction readout a forecast chooses its
+    * trend term by), and is far more powerful when the alternative is
+    * monotone. Blocks = nations, treatments = order months 1–12,
+    * block value = exact revenue cents; only complete blocks (all 12
+    * months) enter. Ranks are deterministic row_numbers within a
+    * block (value ASC, month ASC — the L28 tie convention), so
+    * L = ΣΣ j·R_bj is an exact integer; E[L] = n·k(k+1)²/4 and
+    * Var[L] = n·k²(k+1)(k²−1)/144 are exact integer formulas, and
+    * z = (L − E)/√Var assembles as ONE fixed-order double. One-sided
+    * verdict z > 1.645 (increasing calendar trend) on the 6-dp round.
+    * Shapes: one (nation, month) keyed aggregate, 12-row block
+    * windows, one reduce.
+    */
+  def qPageTrend(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cell = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nation"),
+        month(col("o_orderdate")).as("mo"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).cast(d38)
+        .as("rev"))
+    val complete = cell.groupBy(col("nation"))
+      .agg(count(lit(1)).as("nm")).filter(col("nm") === 12)
+      .select(col("nation"))
+    val ranked = cell.join(broadcast(complete), "nation")
+      .withColumn("r", row_number().over(Window.partitionBy(col("nation"))
+        .orderBy(col("rev").asc, col("mo").asc)))
+    val agg = ranked.agg(
+      (count(lit(1)) / 12).cast("long").as("n_blocks"),
+      sum(col("mo").cast(d38) * col("r")).cast("long").as("l_stat"))
+    // k = 12 folds the closed forms to integers: E[L] = 507·n,
+    // Var[L] = 1859·n — exact longs, one double division
+    agg.select(col("n_blocks"), lit(12).as("k"), col("l_stat"),
+        round((col("l_stat") - col("n_blocks") * 507L).cast("double") /
+          sqrt((col("n_blocks") * 1859L).cast("double")), 6).as("z"))
+      .withColumn("increasing_trend", col("z") > 1.645)
+  }
+
+  val qPageTrendSql: String =
+    """WITH cell AS (SELECT c_nationkey AS nation,
+      |    month(o_orderdate) AS mo,
+      |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |complete AS (SELECT nation FROM cell GROUP BY 1
+      |  HAVING count(*) = 12),
+      |ranked AS (SELECT nation, mo,
+      |    row_number() OVER (PARTITION BY nation
+      |      ORDER BY rev ASC, mo ASC) AS r
+      |  FROM cell JOIN complete USING (nation)),
+      |agg AS (SELECT CAST(count(*) // 12 AS BIGINT) AS n_blocks,
+      |    CAST(sum(CAST(mo AS HUGEINT) * r) AS BIGINT) AS l_stat
+      |  FROM ranked)
+      |SELECT n_blocks, 12 AS k, l_stat,
+      |  round(CAST(l_stat - n_blocks * 507 AS DOUBLE)
+      |    / sqrt(CAST(n_blocks * 1859 AS DOUBLE)), 6) AS z,
+      |  (round(CAST(l_stat - n_blocks * 507 AS DOUBLE)
+      |    / sqrt(CAST(n_blocks * 1859 AS DOUBLE)), 6) > 1.645)
+      |    AS increasing_trend
+      |FROM agg""".stripMargin
+
+  // ---------------------------------------------------------------- L63
+  /** Breusch–Pagan heteroskedasticity test on the E23 per-flag OLS
+    * (extendedprice ~ quantity) — the residual-variance audit that
+    * decides whether E23's RMSE means anything: under
+    * heteroskedasticity the single RMSE misstates uncertainty at
+    * both ends of the x range and WLS/robust errors are indicated.
+    * Two-stage engine-exact device: (1) slope/intercept derive from
+    * exact DECIMAL(38,0) power sums via fixed-order double divisions
+    * and ROUND AT 6 DP — the rounded coefficients are the shared
+    * deterministic anchor (never regr_slope, whose internal
+    * accumulation order differs between engines); (2) per-row
+    * residuals quantize to whole DOLLARS (one fixed-order double
+    * expression over exact ints + the two 6-dp constants), so the
+    * auxiliary regression of e² on x runs on exact integer moments
+    * (Σz² ≤ ~10³⁶ at 100 TB — inside DECIMAL(38,0) by the dollar
+    * quantization, which is WHY the quantization is at dollars, not
+    * cents). LM = n·R²_aux as one fixed-order double; verdict vs
+    * χ²(1) = 3.841. One extra corpus pass beyond E23's aggregate.
+    */
+  def qBreuschPagan(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val rows = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("flag"),
+        col("l_quantity").cast("long").as("x"),
+        round(col("l_extendedprice") * 100).cast("long").as("y"))
+    val mom = rows.groupBy(col("flag")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(d38)).as("sx"),
+      sum(col("y").cast(d38)).as("sy"),
+      sum((col("x").cast(d38) * col("x")).cast(d38)).as("sxx"),
+      sum((col("x").cast(d38) * col("y")).cast(d38)).as("sxy"))
+    val coef = mom
+      // sign-split cast (SURVEY §5): the slope numerator can be a
+      // negative >2^53 decimal, where a direct negative→double cast
+      // mis-rounds in DuckDB; the denominator is ≥ 0 by C–S
+      .withColumn("bnum", (col("n") * col("sxy") - col("sx") * col("sy"))
+        .cast(d38))
+      .withColumn("b", round(expr(
+        "CASE WHEN bnum >= 0 THEN CAST(bnum AS DOUBLE)" +
+          " ELSE -CAST(-bnum AS DOUBLE) END") /
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6))
+      .withColumn("a", round((col("sy").cast("double") -
+        col("b") * col("sx").cast("double")) / col("n").cast("double"), 6))
+      .select(col("flag"), col("b"), col("a"))
+    val aux = rows.join(broadcast(coef), "flag")
+      .withColumn("e", round((col("y").cast("double") - col("a") -
+        col("b") * col("x").cast("double")) / 100.0).cast("long"))
+      .withColumn("z", (col("e").cast(d38) * col("e")).cast(d38))
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(d38)).as("sx"),
+        sum((col("x").cast(d38) * col("x")).cast(d38)).as("sxx"),
+        sum(col("z")).as("sz"),
+        sum((col("x").cast(d38) * col("z")).cast(d38)).as("sxz"),
+        sum((col("z") * col("z")).cast(d38)).as("szz"))
+    aux.select(col("flag"), col("n").cast("long").as("n"),
+        round(
+          pow(col("n").cast("double") * col("sxz").cast("double") -
+            col("sx").cast("double") * col("sz").cast("double"), 2) /
+            ((col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+              (col("n").cast("double") * col("szz").cast("double") -
+                col("sz").cast("double") * col("sz").cast("double"))) *
+            col("n").cast("double"), 6).as("bp_lm"))
+      .withColumn("heteroskedastic", col("bp_lm") > 3.841)
+  }
+
+  val qBreuschPaganSql: String =
+    """WITH rows0 AS (SELECT l_returnflag AS flag,
+      |    CAST(l_quantity AS BIGINT) AS x,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      |  FROM lineitem),
+      |mom AS (SELECT flag, CAST(count(*) AS BIGINT) AS n,
+      |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy
+      |  FROM rows0 GROUP BY 1),
+      |coef AS (SELECT flag,
+      |    round((CASE WHEN n * sxy - sx * sy >= 0
+      |        THEN CAST(n * sxy - sx * sy AS DOUBLE)
+      |        ELSE -CAST(-(n * sxy - sx * sy) AS DOUBLE) END)
+      |      / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS b
+      |  FROM mom),
+      |coef2 AS (SELECT mom.flag, b,
+      |    round((CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE))
+      |      / CAST(n AS DOUBLE), 6) AS a
+      |  FROM mom JOIN coef ON mom.flag = coef.flag),
+      |aux AS (SELECT r.flag, CAST(count(*) AS BIGINT) AS n,
+      |    sum(CAST(x AS HUGEINT)) AS sx,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(e AS HUGEINT) * e) AS sz,
+      |    sum(CAST(x AS HUGEINT) * CAST(e AS HUGEINT) * e) AS sxz,
+      |    sum((CAST(e AS HUGEINT) * e) * (CAST(e AS HUGEINT) * e)) AS szz
+      |  FROM (SELECT flag, x,
+      |      CAST(round((CAST(y AS DOUBLE) - a - b * CAST(x AS DOUBLE))
+      |        / 100.0) AS BIGINT) AS e
+      |    FROM rows0 JOIN coef2 USING (flag)) r
+      |  GROUP BY 1)
+      |SELECT flag, n,
+      |  round(pow(CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE), 2)
+      |    / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+      |        - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))
+      |    * CAST(n AS DOUBLE), 6) AS bp_lm,
+      |  (round(pow(CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE), 2)
+      |    / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+      |        - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))
+      |    * CAST(n AS DOUBLE), 6) > 3.841) AS heteroskedastic
+      |FROM aux""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cvm_test" -> (qCvmTest _),
     "q_mood_median" -> (qMoodMedian _),
+    "q_page_trend" -> (qPageTrend _),
+    "q_breusch_pagan" -> (qBreuschPagan _),
     "q_wilcoxon_signed" -> (qWilcoxonSigned _),
     "q_anderson_darling" -> (qAndersonDarling _),
     "q_atkinson" -> (qAtkinson _),
@@ -4881,6 +5063,8 @@ object Validation {
   def oracle: Map[String, String] = Map(
     "q_cvm_test" -> qCvmTestSql,
     "q_mood_median" -> qMoodMedianSql,
+    "q_page_trend" -> qPageTrendSql,
+    "q_breusch_pagan" -> qBreuschPaganSql,
     "q_wilcoxon_signed" -> qWilcoxonSignedSql,
     "q_anderson_darling" -> qAndersonDarlingSql,
     "q_atkinson" -> qAtkinsonSql,

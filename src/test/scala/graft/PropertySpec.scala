@@ -3491,6 +3491,82 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q_page_trend: L recomposes from driver-side block ranks; z from closed forms") {
+    val sf = TestSession.sf
+    val r = graft.operators.Validation.queries("q_page_trend")(spark, sf)
+      .collect().head
+    val cells = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), month(col("o_orderdate")))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
+      .as[(Int, Int, Long)].collect()
+    val byNation = cells.groupBy(_._1).filter(_._2.length == 12)
+    assert(r.getAs[Long]("n_blocks") == byNation.size)
+    var l = 0L
+    byNation.values.foreach { ms =>
+      val ranked = ms.sortBy(m => (m._3, m._2)).zipWithIndex
+      ranked.foreach { case ((_, mo, _), i) => l += mo.toLong * (i + 1) }
+    }
+    assert(r.getAs[Long]("l_stat") == l, s"L ${r.getAs[Long]("l_stat")} vs $l")
+    val n = byNation.size
+    val z = (l - n * 507L).toDouble / math.sqrt(n * 1859.0)
+    assert(math.abs(r.getAs[Double]("z") - z) < 1e-5)
+  }
+
+  test("q_breusch_pagan: LM recomposes from driver-side coefficient anchoring") {
+    val sf = TestSession.sf
+    val rows = graft.operators.Validation.queries("q_breusch_pagan")(spark, sf)
+      .collect().map(r => r.getAs[String]("flag") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("bp_lm"))).toMap
+    val data = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity").cast("long"),
+        round(col("l_extendedprice") * 100).cast("long"))
+      .as[(String, Long, Long)].collect()
+    data.groupBy(_._1).foreach { case (flag, xs) =>
+      val n = xs.length.toLong
+      val sx = xs.map(v => BigInt(v._2)).sum
+      val sy = xs.map(v => BigInt(v._3)).sum
+      val sxx = xs.map(v => BigInt(v._2) * v._2).sum
+      val sxy = xs.map(v => BigInt(v._2) * v._3).sum
+      val b = BigDecimal((n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val a = BigDecimal((sy.toDouble - b * sx.toDouble) / n.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val es = xs.map { case (_, x, y) =>
+        math.round((y.toDouble - a - b * x.toDouble) / 100.0) }
+      val zs = es.map(e => BigInt(e) * e)
+      val sz = zs.sum
+      val sxz = xs.map(_._2).zip(zs).map { case (x, z) => BigInt(x) * z }.sum
+      val szz = zs.map(z => z * z).sum
+      val lm = math.pow(n.toDouble * sxz.toDouble - sx.toDouble * sz.toDouble, 2) /
+        ((n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble) *
+          (n.toDouble * szz.toDouble - sz.toDouble * sz.toDouble)) * n.toDouble
+      assert(rows(flag)._1 == n)
+      assert(math.abs(rows(flag)._2 - lm) < 1e-4,
+        s"flag $flag lm ${rows(flag)._2} vs $lm")
+    }
+  }
+
+  test("q_context_len: windows reconcile and widen monotonically") {
+    val sf = TestSession.sf
+    val rows = graft.operators.TrainingOps.queries("q_context_len")(spark, sf)
+      .collect().map(r => r.getAs[Long]("window") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_fit"),
+          r.getAs[Long]("n_trunc"), r.getAs[Long]("tok_total"),
+          r.getAs[Long]("tok_lost"))).toMap
+    assert(rows.keySet == Set(512L, 2048L, 8192L))
+    rows.foreach { case (_, (nd, fit, tr, tot, lost)) =>
+      assert(fit + tr == nd)
+      assert(lost <= tot)
+    }
+    // a wider window fits at least as many docs and loses no more mass
+    val ws = Seq(512L, 2048L, 8192L)
+    ws.sliding(2).foreach { case Seq(a, b) =>
+      assert(rows(b)._2 >= rows(a)._2)
+      assert(rows(b)._5 <= rows(a)._5)
+    }
+  }
+
   test("q_price_elasticity: moments recompose from driver-side quantized logs") {
     val sf = TestSession.sf
     val rows = graft.ml.FeatureOps.queries("q_price_elasticity")(spark, sf)

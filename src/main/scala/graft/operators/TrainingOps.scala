@@ -2214,6 +2214,73 @@ object TrainingOps {
          |FROM fr, scored, totals, sl""".stripMargin
   }
 
+  // ---------------------------------------------------------------- K36
+  /** Source-mixture entropy — the diversity number a data-mixture
+    * review opens with: Shannon entropy of the per-source TOKEN-mass
+    * distribution and its exponential, the "effective source count"
+    * (20 sources contributing 3.2 effective sources is a very
+    * different corpus than 20 contributing 18). ENGINE-EXACT: each
+    * source's entropy term p·ln(1/p) µ-quantizes as
+    * halfUp(10⁶·m·(lnT_µ − lnm_µ)/T) — two E33 µ-lns of exact
+    * integers, one decimal product, one half-up DIV — so the entropy
+    * numerator is an exact integer SUM (order-free; a 20-row double
+    * sum would be last-ulp order-dependent), H = Σ/10¹², and
+    * exp(H) is one fixed-order double. Per-source breakdown rows
+    * (mass, share ppm, entropy term) with the global H / effective-
+    * source columns broadcast on each (K31 discipline).
+    */
+  def qMixtureEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val mass = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(sum(tokenCount(col("text")).cast("long")).cast("long").as("m"))
+    val tot = mass.agg(sum(col("m")).cast("long").as("t"))
+    val terms = mass.crossJoin(broadcast(tot))
+      .withColumn("lnt_mu", round(log(col("t").cast("double")) * 1e6)
+        .cast("long"))
+      .withColumn("lnm_mu", round(log(col("m").cast("double")) * 1e6)
+        .cast("long"))
+      .withColumn("h_term", expr(
+        """(2 * CAST(m AS DECIMAL(38,0)) * (lnt_mu - lnm_mu) * 1000000 + t)
+          | DIV (2 * CAST(t AS DECIMAL(38,0)))"""
+          .stripMargin.replace("\n", " ")).cast("long"))
+      .withColumn("share_ppm", expr(
+        "CAST((2 * CAST(m AS DECIMAL(38,0)) * 1000000 + t)" +
+          " DIV (2 * CAST(t AS DECIMAL(38,0))) AS BIGINT)"))
+    val h = terms.agg(sum(col("h_term").cast(d38)).cast("long").as("hsum"))
+      .select(round(col("hsum").cast("double") / 1e12, 6).as("entropy"),
+        round(exp(col("hsum").cast("double") / 1e12), 4)
+          .as("effective_sources"))
+    terms.select(col("source"), col("m").as("tok_mass"),
+        col("share_ppm"), col("h_term"))
+      .crossJoin(broadcast(h))
+  }
+
+  val qMixtureEntropySql: String = {
+    val toksE = graft.functions.TextFunctions.duckToksSql("text")
+    s"""WITH mass AS (SELECT source,
+       |    CAST(sum(len($toksE)) AS BIGINT) AS m FROM documents
+       |  GROUP BY source),
+       |tot AS (SELECT CAST(sum(m) AS BIGINT) AS t FROM mass),
+       |terms AS (SELECT source, m,
+       |    CAST((2 * CAST(m AS HUGEINT)
+       |        * (CAST(round(ln(CAST(t AS DOUBLE)) * 1000000) AS BIGINT)
+       |          - CAST(round(ln(CAST(m AS DOUBLE)) * 1000000) AS BIGINT))
+       |        * 1000000 + t)
+       |      // (2 * CAST(t AS HUGEINT)) AS BIGINT) AS h_term,
+       |    CAST((2 * CAST(m AS HUGEINT) * 1000000 + t)
+       |      // (2 * CAST(t AS HUGEINT)) AS BIGINT) AS share_ppm
+       |  FROM mass, tot),
+       |h AS (SELECT round(CAST(sum(h_term) AS DOUBLE) / 1e12, 6)
+       |      AS entropy,
+       |    round(exp(CAST(sum(h_term) AS DOUBLE) / 1e12), 4)
+       |      AS effective_sources
+       |  FROM terms)
+       |SELECT source, m AS tok_mass, share_ppm, h_term,
+       |  entropy, effective_sources
+       |FROM terms, h""".stripMargin
+  }
+
   // ---------------------------------------------------------------- K35
   /** Context-window fit audit — the question every context-length
     * decision starts from: at window w ∈ {512, 2048, 8192} tokens,
@@ -2380,6 +2447,7 @@ object TrainingOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dsir_weights" -> (qDsirWeights _),
     "q_context_len" -> (qContextLen _),
+    "q_mixture_entropy" -> (qMixtureEntropy _),
     "q_scaling_curve" -> (qScalingCurve _),
     "q_stupid_backoff" -> (qStupidBackoff _),
     "q_js_divergence" -> (qJsDivergence _),
@@ -2422,6 +2490,7 @@ object TrainingOps {
   def oracle: Map[String, String] = Map(
     "q_dsir_weights" -> qDsirWeightsSql,
     "q_context_len" -> qContextLenSql,
+    "q_mixture_entropy" -> qMixtureEntropySql,
     "q_scaling_curve" -> qScalingCurveSql,
     "q_stupid_backoff" -> qStupidBackoffSql,
     "q_js_divergence" -> qJsDivergenceSql,

@@ -4997,10 +4997,69 @@ object Validation {
       |    * CAST(n AS DOUBLE), 6) > 3.841) AS heteroskedastic
       |FROM aux""".stripMargin
 
+  // ---------------------------------------------------------------- L64
+  /** Hill tail-index estimator of order totals — the heavy-tail
+    * exponent behind every "can I trust the mean" decision on spend
+    * data (α < 2 ⟹ infinite variance: L8/L50's Gini and L61's
+    * Atkinson move but the CLT-based tests lose their footing; the
+    * L49/L56 curves SHOW the tail, Hill MEASURES its power law).
+    * Classic top-k order-statistics estimator at fixed k = 200:
+    * α̂ = k / Σ_{i≤k} (ln x_(i) − ln x_(k+1)). Devices: the exact-
+    * integer ORDERING top-k cut ((cents DESC, orderkey ASC) — a
+    * distributed TakeOrdered, never a global sort); per-value µ-
+    * quantized lns (E33) so the log-spacing sum is an exact long;
+    * α = ONE double division k·10⁶/Σd. Publishes k, the threshold
+    * value, Σd, α (6 dp) and the infinite-variance verdict α < 2.
+    */
+  def qHillTail(spark: SparkSession, dir: String): DataFrame = {
+    val k = 200
+    val top = Tables.orders(spark, dir)
+      .select(round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderkey").as("okey"))
+      .orderBy(col("cents").desc, col("okey").asc)
+      .limit(k + 1)
+      .withColumn("lmu", round(log(col("cents").cast("double")) * 1e6)
+        .cast("long"))
+    // bounded 201-row frame: the rank window is driver-bounded by the
+    // limit, never corpus-scale
+    val ranked = top.withColumn("r", row_number().over(
+      Window.orderBy(col("cents").desc, col("okey").asc)))
+    val ref = ranked.filter(col("r") === k + 1)
+      .select(col("cents").as("x_ref"), col("lmu").as("lref"))
+    ranked.filter(col("r") <= k).crossJoin(broadcast(ref))
+      .agg(max(lit(k)).as("k"), max(col("x_ref")).as("x_ref_cents"),
+        sum(col("lmu") - col("lref")).cast("long").as("sum_dmu"))
+      .withColumn("hill_alpha",
+        round(lit(k).cast("double") * 1e6 /
+          col("sum_dmu").cast("double"), 6))
+      .withColumn("infinite_variance", col("hill_alpha") < 2.0)
+  }
+
+  val qHillTailSql: String =
+    """WITH top0 AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+      |      AS cents, o_orderkey AS okey
+      |  FROM orders ORDER BY cents DESC, okey ASC LIMIT 201),
+      |ranked AS (SELECT cents,
+      |    CAST(round(ln(CAST(cents AS DOUBLE)) * 1000000) AS BIGINT)
+      |      AS lmu,
+      |    row_number() OVER (ORDER BY cents DESC, okey ASC) AS r
+      |  FROM top0),
+      |ref AS (SELECT cents AS x_ref, lmu AS lref FROM ranked
+      |  WHERE r = 201),
+      |agg AS (SELECT 200 AS k, max(x_ref) AS x_ref_cents,
+      |    CAST(sum(lmu - lref) AS BIGINT) AS sum_dmu
+      |  FROM ranked, ref WHERE r <= 200)
+      |SELECT k, x_ref_cents, sum_dmu,
+      |  round(200.0 * 1000000 / CAST(sum_dmu AS DOUBLE), 6) AS hill_alpha,
+      |  (round(200.0 * 1000000 / CAST(sum_dmu AS DOUBLE), 6) < 2.0)
+      |    AS infinite_variance
+      |FROM agg""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cvm_test" -> (qCvmTest _),
     "q_mood_median" -> (qMoodMedian _),
     "q_page_trend" -> (qPageTrend _),
+    "q_hill_tail" -> (qHillTail _),
     "q_breusch_pagan" -> (qBreuschPagan _),
     "q_wilcoxon_signed" -> (qWilcoxonSigned _),
     "q_anderson_darling" -> (qAndersonDarling _),
@@ -5064,6 +5123,7 @@ object Validation {
     "q_cvm_test" -> qCvmTestSql,
     "q_mood_median" -> qMoodMedianSql,
     "q_page_trend" -> qPageTrendSql,
+    "q_hill_tail" -> qHillTailSql,
     "q_breusch_pagan" -> qBreuschPaganSql,
     "q_wilcoxon_signed" -> qWilcoxonSignedSql,
     "q_anderson_darling" -> qAndersonDarlingSql,

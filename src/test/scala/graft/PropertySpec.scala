@@ -3567,6 +3567,52 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q_hill_tail: alpha recomposes from the driver-side top-201 order statistics") {
+    val sf = TestSession.sf
+    val r = graft.operators.Validation.queries("q_hill_tail")(spark, sf)
+      .collect().head
+    val cents = Tables.orders(spark, sf)
+      .select(round(col("o_totalprice") * 100).cast("long"),
+        col("o_orderkey"))
+      .as[(Long, Long)].collect()
+      .sortBy { case (c, k) => (-c, k) }.take(201).map(_._1)
+    assert(r.getAs[Long]("x_ref_cents") == cents.last)
+    val lref = math.round(math.log(cents.last.toDouble) * 1e6)
+    val sumd = cents.init
+      .map(c => math.round(math.log(c.toDouble) * 1e6) - lref).sum
+    assert(r.getAs[Long]("sum_dmu") == sumd)
+    val alpha = 200.0 * 1e6 / sumd
+    assert(math.abs(r.getAs[Double]("hill_alpha") - alpha) < 1e-5)
+  }
+
+  test("q_mixture_entropy: H recomposes and effective sources sit in [1, |sources|]") {
+    val sf = TestSession.sf
+    import graft.functions.TextFunctions.tokens
+    val rows = graft.operators.TrainingOps.queries("q_mixture_entropy")(spark, sf)
+      .collect()
+    val mass = Tables.documents(spark, sf)
+      .select(col("source"), size(tokens(col("text"))).cast("long"))
+      .as[(String, Long)].collect()
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+    val t = mass.values.sum
+    val lnt = math.round(math.log(t.toDouble) * 1e6)
+    var hsum = 0L
+    rows.foreach { r =>
+      val m = mass(r.getAs[String]("source"))
+      assert(r.getAs[Long]("tok_mass") == m)
+      val lnm = math.round(math.log(m.toDouble) * 1e6)
+      val term = (2 * BigInt(m) * (lnt - lnm) * 1000000 + t) / (2 * BigInt(t))
+      assert(BigInt(r.getAs[Long]("h_term")) == term,
+        s"${r.getAs[String]("source")} term drift")
+      hsum += term.toLong
+    }
+    val h = rows.head.getAs[Double]("entropy")
+    assert(math.abs(h - hsum.toDouble / 1e12) < 1e-5)
+    val eff = rows.head.getAs[Double]("effective_sources")
+    assert(eff >= 1.0 && eff <= mass.size + 1e-9)
+    assert(math.abs(eff - math.exp(hsum.toDouble / 1e12)) < 1e-3)
+  }
+
   test("q_price_elasticity: moments recompose from driver-side quantized logs") {
     val sf = TestSession.sf
     val rows = graft.ml.FeatureOps.queries("q_price_elasticity")(spark, sf)

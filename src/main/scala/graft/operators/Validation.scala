@@ -5055,11 +5055,95 @@ object Validation {
       |    AS infinite_variance
       |FROM agg""".stripMargin
 
+  // ---------------------------------------------------------------- L65
+  /** Per-column table profile — the ANALYZE-style statistics snapshot
+    * (rows, nulls, exact NDV, min/max) every optimizer, data-card and
+    * drift monitor keys off; L1 asserts EXPECTATIONS, this publishes
+    * the raw profile those expectations are calibrated from. Eleven
+    * columns across the four biggest tables, each table scanned ONCE
+    * (all of a table's columns fuse into one aggregate — Spark plans
+    * the multi-countDistinct as one Expand pass, still a single scan),
+    * then `stack` unpivots to one row per column (the L1 device).
+    * Exact-render discipline: double columns pre-project to exact
+    * integer cents so min/max render identically in both engines
+    * (double→string formatting is NOT cross-engine stable; integer
+    * strings are). NDV is exact countDistinct — the approximate
+    * 100 TB fast path is H9's HLL, oracle-anchored by this exact
+    * form (the A11b↔H9 relationship).
+    */
+  def qTableProfile(spark: SparkSession, dir: String): DataFrame = {
+    def prof(df: DataFrame, table: String): DataFrame = {
+      val cs = df.schema.fieldNames.toSeq
+      val agg = df.agg(count(lit(1)).as("n_rows"),
+        cs.flatMap(n => Seq(
+          sum(when(col(n).isNull, 1L).otherwise(0L)).cast("long")
+            .as(s"nl_$n"),
+          countDistinct(col(n)).as(s"nd_$n"),
+          min(col(n)).cast("string").as(s"mn_$n"),
+          max(col(n)).cast("string").as(s"mx_$n"))): _*)
+      agg.select(lit(table).as("tbl"), col("n_rows"), expr(
+        "stack(" + cs.size + ", " + cs.map(n =>
+          s"'$n', nl_$n, nd_$n, mn_$n, mx_$n").mkString(", ") +
+          ") AS (col_name, n_nulls, ndv, min_val, max_val)"))
+    }
+    prof(Tables.lineitem(spark, dir).select(
+        col("l_quantity").cast("long").as("l_quantity"),
+        col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("l_price_c")),
+      "lineitem")
+      .unionAll(prof(Tables.orders(spark, dir).select(
+        col("o_orderstatus"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("o_total_c")),
+        "orders"))
+      .unionAll(prof(Tables.customer(spark, dir).select(
+        col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long").as("c_acctbal_c")),
+        "customer"))
+      .unionAll(prof(Tables.documents(spark, dir).select(
+        col("lang"), col("source"), col("n_chars")), "documents"))
+  }
+
+  val qTableProfileSql: String = {
+    def one(table: String, proj: String,
+        cols: Seq[String]): (String, String) = {
+      val aggCols = cols.flatMap(n => Seq(
+        s"CAST(sum(CASE WHEN $n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nl_$n",
+        s"CAST(count(DISTINCT $n) AS BIGINT) AS nd_$n",
+        s"CAST(min($n) AS VARCHAR) AS mn_$n",
+        s"CAST(max($n) AS VARCHAR) AS mx_$n")).mkString(", ")
+      val rows = cols.map(n =>
+        s"""SELECT tbl, n_rows, '$n' AS col_name, nl_$n AS n_nulls,
+           |  nd_$n AS ndv, mn_$n AS min_val, mx_$n AS max_val
+           |  FROM agg_$table""".stripMargin).mkString("\nUNION ALL\n")
+      (s"""p_$table AS (SELECT $proj FROM $table),
+          |agg_$table AS (SELECT '$table' AS tbl,
+          |  CAST(count(*) AS BIGINT) AS n_rows, $aggCols FROM p_$table)"""
+        .stripMargin, rows)
+    }
+    val parts = Seq(
+      one("lineitem",
+        "CAST(l_quantity AS BIGINT) AS l_quantity, l_returnflag, " +
+          "CAST(round(l_extendedprice * 100) AS BIGINT) AS l_price_c",
+        Seq("l_quantity", "l_returnflag", "l_price_c")),
+      one("orders",
+        "o_orderstatus, o_custkey, " +
+          "CAST(round(o_totalprice * 100) AS BIGINT) AS o_total_c",
+        Seq("o_orderstatus", "o_custkey", "o_total_c")),
+      one("customer",
+        "c_mktsegment, CAST(round(c_acctbal * 100) AS BIGINT) AS c_acctbal_c",
+        Seq("c_mktsegment", "c_acctbal_c")),
+      one("documents", "lang, source, n_chars",
+        Seq("lang", "source", "n_chars")))
+    "WITH " + parts.map(_._1).mkString(",\n") + "\n" +
+      parts.map(_._2).mkString("\nUNION ALL\n")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cvm_test" -> (qCvmTest _),
     "q_mood_median" -> (qMoodMedian _),
     "q_page_trend" -> (qPageTrend _),
     "q_hill_tail" -> (qHillTail _),
+    "q_table_profile" -> (qTableProfile _),
     "q_breusch_pagan" -> (qBreuschPagan _),
     "q_wilcoxon_signed" -> (qWilcoxonSigned _),
     "q_anderson_darling" -> (qAndersonDarling _),
@@ -5124,6 +5208,7 @@ object Validation {
     "q_mood_median" -> qMoodMedianSql,
     "q_page_trend" -> qPageTrendSql,
     "q_hill_tail" -> qHillTailSql,
+    "q_table_profile" -> qTableProfileSql,
     "q_breusch_pagan" -> qBreuschPaganSql,
     "q_wilcoxon_signed" -> qWilcoxonSignedSql,
     "q_anderson_darling" -> qAndersonDarlingSql,

@@ -3613,6 +3613,30 @@ class PropertySpec extends AnyFunSuite {
     assert(math.abs(eff - math.exp(hsum.toDouble / 1e12)) < 1e-3)
   }
 
+  test("q_table_profile: stats recompose for the lineitem columns") {
+    val sf = TestSession.sf
+    val rows = graft.operators.Validation.queries("q_table_profile")(spark, sf)
+      .filter(col("tbl") === "lineitem")
+      .collect().map(r => r.getAs[String]("col_name") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_nulls"),
+          r.getAs[Long]("ndv"), r.getAs[String]("min_val"),
+          r.getAs[String]("max_val"))).toMap
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_quantity").cast("long"), col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long"))
+      .as[(Long, String, Long)].collect()
+    val q = li.map(_._1)
+    assert(rows("l_quantity") ==
+      ((li.length.toLong, 0L, q.distinct.length.toLong,
+        q.min.toString, q.max.toString)))
+    val f = li.map(_._2)
+    assert(rows("l_returnflag")._3 == f.distinct.length)
+    assert(rows("l_returnflag")._4 == f.min && rows("l_returnflag")._5 == f.max)
+    val p = li.map(_._3)
+    assert(rows("l_price_c")._3 == p.distinct.length.toLong)
+    assert(rows("l_price_c")._4 == p.min.toString)
+  }
+
   test("q_price_elasticity: moments recompose from driver-side quantized logs") {
     val sf = TestSession.sf
     val rows = graft.ml.FeatureOps.queries("q_price_elasticity")(spark, sf)

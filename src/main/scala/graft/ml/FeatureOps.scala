@@ -854,6 +854,75 @@ object FeatureOps {
       |    * (1.0 - regr_r2(l_extendedprice, l_quantity))), 4) AS rmse
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- E54
+  /** Leverage audit of the E22 per-flag OLS design — the influence
+    * diagnostic between E22 (the fit) and L63 (residual variance):
+    * leverage h_i = 1/n + (x−x̄)²/Sxx measures how much row i PULLS
+    * the fit toward itself; rows past the classic 2p/n = 4/n cut are
+    * the ones whose deletion moves the coefficients (the
+    * q_cooks_distance companion on the DESIGN side — Cook's needs
+    * residuals, leverage only x). ENGINE-EXACT verdicts: h > 4/n ⟺
+    * (n·x − Σx)² > 3·(n·Σx² − (Σx)²) — pure integer arithmetic, no
+    * float enters the flag; h_max publishes as ONE fixed-order double
+    * over the exact integer moments. Two-pass by construction
+    * (moments, then the flag scan against broadcast moments — the
+    * L63 shape). Output |flags| rows.
+    */
+  def qLeverageAudit(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val rows = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("flag"),
+        col("l_quantity").cast("long").as("x"))
+    val mom = rows.groupBy(col("flag")).agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("x").cast(d38)).as("sx"),
+      sum((col("x").cast(d38) * col("x")).cast(d38)).as("sxx"))
+    rows.join(broadcast(mom), "flag")
+      .withColumn("d2", expr(
+        "CAST((CAST(n AS DECIMAL(38,0)) * x - sx)" +
+          " * (CAST(n AS DECIMAL(38,0)) * x - sx) AS DECIMAL(38,0))"))
+      .withColumn("sc", (col("n") * col("sxx") - col("sx") * col("sx"))
+        .cast(d38))
+      .groupBy(col("flag"))
+      .agg(max(col("n")).as("n"),
+        sum(when(col("d2") > col("sc") * 3, 1L).otherwise(0L))
+          .cast("long").as("n_high"),
+        max(col("d2")).as("d2max"), max(col("sc")).as("sc1"))
+      .select(col("flag"), col("n"), col("n_high"),
+        expr("CAST((2 * CAST(n_high AS DECIMAL(38,0)) * 1000000 + n)" +
+          " DIV (2 * CAST(n AS DECIMAL(38,0))) AS BIGINT)")
+          .as("high_ppm"),
+        round(lit(1.0) / col("n").cast("double") +
+          col("d2max").cast("double") /
+            (col("n").cast("double") * col("sc1").cast("double")), 6)
+          .as("h_max"))
+  }
+
+  val qLeverageAuditSql: String =
+    """WITH rows0 AS (SELECT l_returnflag AS flag,
+      |    CAST(l_quantity AS BIGINT) AS x FROM lineitem),
+      |mom AS (SELECT flag, CAST(count(*) AS BIGINT) AS n,
+      |    sum(CAST(x AS HUGEINT)) AS sx,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx
+      |  FROM rows0 GROUP BY 1),
+      |fl AS (SELECT r.flag, n,
+      |    (CAST(n AS HUGEINT) * x - sx) * (CAST(n AS HUGEINT) * x - sx)
+      |      AS d2,
+      |    n * sxx - sx * sx AS sc
+      |  FROM rows0 r JOIN mom USING (flag)),
+      |agg AS (SELECT flag, max(n) AS n,
+      |    CAST(sum(CASE WHEN d2 > sc * 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_high,
+      |    max(d2) AS d2max, max(sc) AS sc1
+      |  FROM fl GROUP BY 1)
+      |SELECT flag, n, n_high,
+      |  CAST((2 * CAST(n_high AS HUGEINT) * 1000000 + n)
+      |    // (2 * CAST(n AS HUGEINT)) AS BIGINT) AS high_ppm,
+      |  round(1.0 / CAST(n AS DOUBLE)
+      |    + CAST(d2max AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sc1 AS DOUBLE)),
+      |    6) AS h_max
+      |FROM agg""".stripMargin
+
   // ---------------------------------------------------------------- E53
   /** Log-log price elasticity of demand per brand — the econometric
     * readout E22's linear fit can't give (a linear slope is in
@@ -3135,6 +3204,7 @@ object FeatureOps {
     "q_winsorize" -> (qWinsorize _),
     "q_target_encoding" -> (qTargetEncoding _),
     "q_ols_fit" -> (qOlsFit _),
+    "q_leverage_audit" -> (qLeverageAudit _),
     "q_price_elasticity" -> (qPriceElasticity _),
     "q_ridge_fit" -> (qRidgeFit _),
     "q_source_embedding_shift" -> (qSourceEmbeddingShift _),
@@ -3175,6 +3245,7 @@ object FeatureOps {
     "q_winsorize" -> qWinsorizeSql,
     "q_target_encoding" -> qTargetEncodingSql,
     "q_ols_fit" -> qOlsFitSql,
+    "q_leverage_audit" -> qLeverageAuditSql,
     "q_price_elasticity" -> qPriceElasticitySql,
     "q_ridge_fit" -> qRidgeFitSql,
     "q_source_embedding_shift" -> qSourceEmbeddingShiftSql,

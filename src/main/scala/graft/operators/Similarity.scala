@@ -169,6 +169,102 @@ object Similarity {
     withRecall(top, qMips(spark, dir).select(col("qid"), col("nid")))
   }
 
+  // ---------------------------------------------------------------- D25
+  /** Embedding anisotropy audit (Ethayarajh 2019) — the geometry
+    * health-check of the vector space every similarity operator above
+    * assumes: expected pairwise cosine of the corpus,
+    * E[cos] = (‖Σv̂‖² − n)/(n(n−1)). An isotropic space sits near 0;
+    * anisotropy near 1 means all vectors crowd one cone and cosine
+    * scores stop discriminating (the "representation degeneration"
+    * failure that sinks retrieval quality while every per-query
+    * metric still looks fine). Published per label (within-class
+    * crowding) with the corpus-wide value broadcast on each row (K31
+    * discipline). ENGINE-EXACT: normalized components µ-quantize at
+    * 10⁻⁹ (one IEEE division + one round per component — identical
+    * doubles both engines), so per-(label, dim) sums are exact
+    * integers, ‖Σv̂‖² is an exact DECIMAL(38,0) sum of 64 squares,
+    * and the index assembles as ONE fixed-order double. Shapes: one
+    * explode to (label, dim) keyed sums — 64·|labels| cells — then
+    * bounded folds; nothing pairwise ever materializes (the n²
+    * pairwise definition reduces to the norm of a sum).
+    */
+  def qAnisotropy(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", VectorFunctions.norm2(col("v")))
+      .filter(col("nrm") > 0)
+      .withColumn("nmu", round(col("nrm") * 1e6).cast("long"))
+    val flat = e.select(col("label"), col("nmu"),
+      posexplode(expr("transform(v, x -> CAST(round(x / nrm * 1e9) AS BIGINT))"))
+        .as(Seq("dim", "cq")))
+    val cells = flat.groupBy(col("label"), col("dim"))
+      .agg(sum(col("cq").cast(d38)).as("s"),
+        count(lit(1)).as("cnt"), sum(col("nmu").cast(d38)).as("snmu"))
+    val perLabel = cells.groupBy(col("label"))
+      .agg((sum(col("cnt")) / 64).cast("long").as("n_vectors"),
+        sum((col("s") * col("s")).cast(d38)).as("ssq"),
+        (sum(col("snmu")) / 64).cast(d38).as("snorm"))
+      .select(col("label"), col("n_vectors"),
+        expr("CAST((2 * snorm + n_vectors)" +
+          " DIV (2 * CAST(n_vectors AS DECIMAL(38,0))) AS BIGINT)")
+          .as("mean_norm_mu"),
+        round((col("ssq").cast("double") / 1e18 -
+          col("n_vectors").cast("double")) /
+          (col("n_vectors").cast("double") *
+            (col("n_vectors").cast("double") - 1)), 6).as("anisotropy"))
+    val globalCells = cells.groupBy(col("dim"))
+      .agg(sum(col("s")).cast(d38).as("sg"), sum(col("cnt")).as("cg"))
+    val global = globalCells
+      .agg((sum(col("cg")) / 64).cast("long").as("ng"),
+        sum((col("sg") * col("sg")).cast(d38)).as("ssqg"))
+      .select(round((col("ssqg").cast("double") / 1e18 -
+        col("ng").cast("double")) /
+        (col("ng").cast("double") * (col("ng").cast("double") - 1)), 6)
+        .as("overall_anisotropy"))
+    perLabel.crossJoin(broadcast(global))
+  }
+
+  val qAnisotropySql: String =
+    """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |    embedding::DOUBLE[] AS v FROM embeddings),
+      |nr AS (SELECT vec_id, label, v, sqrt(n2) AS nrm,
+      |    CAST(round(sqrt(n2) * 1000000) AS BIGINT) AS nmu
+      |  FROM (SELECT vec_id, label, v,
+      |      (SELECT sum(x * x) FROM unnest(v) AS t(x)) AS n2 FROM e)
+      |  WHERE sqrt(n2) > 0),
+      |flat AS (SELECT label, nmu, i - 1 AS dim,
+      |    CAST(round(list_extract(v, i) / nrm * 1e9) AS BIGINT) AS cq
+      |  FROM nr, generate_series(1, 64) g(i)),
+      |cells AS (SELECT label, dim, sum(CAST(cq AS HUGEINT)) AS s,
+      |    CAST(count(*) AS BIGINT) AS cnt,
+      |    sum(CAST(nmu AS HUGEINT)) AS snmu
+      |  FROM flat GROUP BY 1, 2),
+      |pl AS (SELECT label, CAST(sum(cnt) // 64 AS BIGINT) AS n_vectors,
+      |    sum(s * s) AS ssq, sum(snmu) // 64 AS snorm
+      |  FROM cells GROUP BY 1),
+      |pub AS (SELECT label, n_vectors,
+      |    CAST((2 * snorm + n_vectors)
+      |      // (2 * CAST(n_vectors AS HUGEINT)) AS BIGINT)
+      |      AS mean_norm_mu,
+      |    round((CAST(ssq AS DOUBLE) / 1e18 - CAST(n_vectors AS DOUBLE))
+      |      / (CAST(n_vectors AS DOUBLE)
+      |        * (CAST(n_vectors AS DOUBLE) - 1)), 6) AS anisotropy
+      |  FROM pl),
+      |gc AS (SELECT dim, sum(s) AS sg, sum(cnt) AS cg
+      |  FROM cells GROUP BY 1),
+      |gl AS (SELECT CAST(sum(cg) // 64 AS BIGINT) AS ng,
+      |    sum(sg * sg) AS ssqg FROM gc),
+      |gpub AS (SELECT round((CAST(ssqg AS DOUBLE) / 1e18
+      |      - CAST(ng AS DOUBLE))
+      |    / (CAST(ng AS DOUBLE) * (CAST(ng AS DOUBLE) - 1)), 6)
+      |      AS overall_anisotropy
+      |  FROM gl)
+      |SELECT label, n_vectors, mean_norm_mu, anisotropy,
+      |  overall_anisotropy
+      |FROM pub, gpub""".stripMargin
+
   // ---------------------------------------------------------------- D19
   /** k-NN classification over the embedding corpus — the similarity
     * search consumer that closes the loop: predict each panel
@@ -2473,6 +2569,7 @@ object Similarity {
     "q_ann_nsw" -> (qAnnNsw _),
     "q_ann_hnsw" -> (qAnnHnsw _),
     "q_mips" -> (qMips _),
+    "q_anisotropy" -> (qAnisotropy _),
     "q_mips_ivf" -> ((s: SparkSession, d: String) => qMipsIvf(s, d)),
     "q_mmr_diversify" -> (qMmrDiversify _),
     "q_mmr_ann" -> (qMmrAnn _),
@@ -2496,6 +2593,7 @@ object Similarity {
   def oracle: Map[String, String] = {
     val k = lastShortlistK.get
     Map("q_ann_bruteforce" -> qAnnBruteforceSql,
+      "q_anisotropy" -> qAnisotropySql,
       "q_mips" -> qMipsSql,
       "q_knn_classify" -> qKnnClassifySql,
       "q_hard_negatives" -> qHardNegativesSql,

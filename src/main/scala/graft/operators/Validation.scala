@@ -4883,9 +4883,9 @@ object Validation {
       |FROM agg""".stripMargin
 
   // ---------------------------------------------------------------- L63
-  /** Breusch–Pagan heteroskedasticity test on the E23 per-flag OLS
+  /** Breusch–Pagan heteroskedasticity test on the E22 per-flag OLS
     * (extendedprice ~ quantity) — the residual-variance audit that
-    * decides whether E23's RMSE means anything: under
+    * decides whether E22's RMSE means anything: under
     * heteroskedasticity the single RMSE misstates uncertainty at
     * both ends of the x range and WLS/robust errors are indicated.
     * Two-stage engine-exact device: (1) slope/intercept derive from
@@ -4899,7 +4899,7 @@ object Validation {
     * (Σz² ≤ ~10³⁶ at 100 TB — inside DECIMAL(38,0) by the dollar
     * quantization, which is WHY the quantization is at dollars, not
     * cents). LM = n·R²_aux as one fixed-order double; verdict vs
-    * χ²(1) = 3.841. One extra corpus pass beyond E23's aggregate.
+    * χ²(1) = 3.841. One extra corpus pass beyond E22's aggregate.
     */
   def qBreuschPagan(spark: SparkSession, dir: String): DataFrame = {
     val d38 = "decimal(38,0)"

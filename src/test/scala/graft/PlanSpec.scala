@@ -416,7 +416,10 @@ class PlanSpec extends AnyFunSuite {
       "q_lorenz_curve", "q_cvm_test",
       // r16: cumulative windows over the bounded $100-bin histogram
       // (q_mannwhitney class) / the bounded $1 |d|-gap grid
-      "q_mood_median", "q_anderson_darling", "q_wilcoxon_signed")
+      "q_mood_median", "q_anderson_darling", "q_wilcoxon_signed",
+      // r16: rank window over the limit(201) top-k frame — bounded by
+      // the literal k, never the corpus
+      "q_hill_tail")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       // pre-AQE physical plan: traversable with plain collect (the
       // AQE wrapper hides its initial plan from TreeNode traversal,

@@ -3637,6 +3637,63 @@ class PropertySpec extends AnyFunSuite {
     assert(rows("l_price_c")._4 == p.min.toString)
   }
 
+  test("q_leverage_audit: flags recompose from integer moments; h_max bounds hold") {
+    val sf = TestSession.sf
+    val rows = graft.ml.FeatureOps.queries("q_leverage_audit")(spark, sf)
+      .collect().map(r => r.getAs[String]("flag") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_high"),
+          r.getAs[Double]("h_max"))).toMap
+    val data = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity").cast("long"))
+      .as[(String, Long)].collect()
+    data.groupBy(_._1).foreach { case (flag, xs) =>
+      val n = xs.length.toLong
+      val sx = xs.map(v => BigInt(v._2)).sum
+      val sxx = xs.map(v => BigInt(v._2) * v._2).sum
+      val sc = n * sxx - sx * sx
+      val nHigh = xs.count { case (_, x) =>
+        val d = BigInt(n) * x - sx; d * d > sc * 3 }
+      val (qn, qh, hm) = rows(flag)
+      assert(qn == n && qh == nHigh, s"$flag: $qh vs $nHigh")
+      // leverage is bounded by (1/n, 1]
+      assert(hm > 1.0 / n - 1e-12 && hm <= 1.0 + 1e-9)
+      val d2max = xs.map { case (_, x) =>
+        val d = BigInt(n) * x - sx; d * d }.max
+      val expectH = 1.0 / n + d2max.toDouble / (n.toDouble * sc.toDouble)
+      assert(math.abs(hm - expectH) < 1e-5)
+    }
+  }
+
+  test("q_anisotropy: per-label index recomposes from quantized component sums") {
+    val sf = TestSession.sf
+    val rows = graft.operators.Similarity.queries("q_anisotropy")(spark, sf)
+      .collect()
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("label").cast("long"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    val byLabel = vecs.groupBy(_._1)
+    rows.foreach { r =>
+      val vs = byLabel(r.getAs[Long]("label")).map(_._2)
+      val n = vs.length.toLong
+      assert(r.getAs[Long]("n_vectors") == n)
+      val dims = vs.head.length
+      val sums = Array.fill(dims)(BigInt(0))
+      vs.foreach { v =>
+        val nrm = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+        v.zipWithIndex.foreach { case (x, d) =>
+          sums(d) += BigInt(math.round(x / nrm * 1e9)) }
+      }
+      val ssq = sums.map(s => s * s).sum
+      val anis = (ssq.toDouble / 1e18 - n) / (n.toDouble * (n - 1))
+      assert(math.abs(r.getAs[Double]("anisotropy") - anis) < 1e-5,
+        s"label ${r.getAs[Long]("label")}: ${r.getAs[Double]("anisotropy")} vs $anis")
+      // expected pairwise cosine lives in [-1/(n-1), 1]
+      assert(r.getAs[Double]("anisotropy") >= -1.0 / (n - 1) - 1e-9)
+      assert(r.getAs[Double]("anisotropy") <= 1.0 + 1e-9)
+    }
+  }
+
   test("q_price_elasticity: moments recompose from driver-side quantized logs") {
     val sf = TestSession.sf
     val rows = graft.ml.FeatureOps.queries("q_price_elasticity")(spark, sf)

@@ -4458,7 +4458,12 @@ object Validation {
       .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment").as("seg"),
         floor(col("o_totalprice") / 100).cast("long").as("bin"))
-    val hist = v.groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+    // ONE corpus pass: everything (median, cells) folds off the
+    // (seg, bin) histogram — the corpus never re-derives (a v reused
+    // twice re-ran the join+scan; measured 9 → 5 exchanges)
+    val h2 = v.groupBy(col("seg"), col("bin")).agg(count(lit(1)).as("cnt"))
+      .cache()
+    val hist = h2.groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))
     val wb = Window.orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = hist.withColumn("cum", sum(col("cnt")).over(wb))
@@ -4469,11 +4474,11 @@ object Validation {
         min(when(col("cum") >= expr("(nv + 2) DIV 2"), col("bin")))
           .as("v2"))
       .select(((col("v1") + col("v2")) / 2.0).as("med"))
-    val cells = v.crossJoin(broadcast(med))
+    val cells = h2.crossJoin(broadcast(med))
       .groupBy(col("seg"))
-      .agg(sum(when(col("bin") > col("med"), 1L).otherwise(0L))
+      .agg(sum(when(col("bin") > col("med"), col("cnt")).otherwise(0L))
           .cast("long").as("n_above"),
-        sum(when(col("bin") <= col("med"), 1L).otherwise(0L))
+        sum(when(col("bin") <= col("med"), col("cnt")).otherwise(0L))
           .cast("long").as("n_le"))
     val tot = cells.agg(sum(col("n_above")).cast("long").as("ra"),
       sum(col("n_le")).cast("long").as("rl"),
@@ -4505,7 +4510,8 @@ object Validation {
     """WITH v AS (SELECT c_mktsegment AS seg,
       |    CAST(floor(o_totalprice / 100) AS BIGINT) AS bin
       |  FROM orders JOIN customer ON o_custkey = c_custkey),
-      |hist AS (SELECT bin, count(*) AS cnt FROM v GROUP BY 1),
+      |h2 AS (SELECT seg, bin, count(*) AS cnt FROM v GROUP BY 1, 2),
+      |hist AS (SELECT bin, sum(cnt) AS cnt FROM h2 GROUP BY 1),
       |cum AS (SELECT bin, sum(cnt) OVER (ORDER BY bin
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       |  FROM hist),
@@ -4516,11 +4522,11 @@ object Validation {
       |      AS med
       |  FROM cum, nvtot),
       |cells AS (SELECT seg,
-      |    CAST(sum(CASE WHEN bin > med THEN 1 ELSE 0 END) AS BIGINT)
+      |    CAST(sum(CASE WHEN bin > med THEN cnt ELSE 0 END) AS BIGINT)
       |      AS n_above,
-      |    CAST(sum(CASE WHEN bin <= med THEN 1 ELSE 0 END) AS BIGINT)
+      |    CAST(sum(CASE WHEN bin <= med THEN cnt ELSE 0 END) AS BIGINT)
       |      AS n_le
-      |  FROM v, med GROUP BY seg),
+      |  FROM h2, med GROUP BY seg),
       |tot AS (SELECT CAST(sum(n_above) AS BIGINT) AS ra,
       |    CAST(sum(n_le) AS BIGINT) AS rl,
       |    CAST(count(*) AS BIGINT) AS k FROM cells),

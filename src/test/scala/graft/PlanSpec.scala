@@ -283,6 +283,28 @@ class PlanSpec extends AnyFunSuite {
     assert(failures.isEmpty, s"exchange regressions:\n${failures.mkString("\n")}")
   }
 
+  test("r16 wave: pinned exchange ceilings") {
+    // measured at sf0.01 == sf0.001 post-rework (q_mood_median folded
+    // onto one (seg, bin) histogram: 9 → 2; q_wilcoxon_signed's
+    // tie-group algebra replaced the per-row rank window: 7 → 3)
+    val ceilings = Map(
+      "q_mips_ivf" -> 4, "q_unigram_lm" -> 2, "q_unigram_apply" -> 2,
+      "q_hapax" -> 2, "q_mood_median" -> 2, "q_wilcoxon_signed" -> 3,
+      "q_anderson_darling" -> 4, "q_atkinson" -> 1, "q_moran_i" -> 4,
+      "q_gopher_rules" -> 1, "q_dsir_weights" -> 6, "q_page_trend" -> 5,
+      "q_breusch_pagan" -> 2, "q_context_len" -> 1, "q_hill_tail" -> 0,
+      "q_mixture_entropy" -> 5, "q_table_profile" -> 8,
+      "q_leverage_audit" -> 2, "q_anisotropy" -> 5)
+    val failures = ceilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
+      val qe = SparkEntry.queries(name)(spark, sf).queryExecution
+      qe.toRdd.count()
+      val n = Bench.exchangeCount(qe.executedPlan.toString)
+      spark.catalog.clearCache()
+      if (n > cap) Seq(s"$name: $n exchanges > pinned $cap") else Nil
+    }
+    assert(failures.isEmpty, s"exchange regressions:\n${failures.mkString("\n")}")
+  }
+
   test("global plan guard: a recursion step subtree never scans a corpus file (the UnionLoop hoisting lesson)") {
     // Spark's UnionLoop re-evaluates its step subtree EVERY iteration:
     // a corpus-scale derivation inlined in the recursive member re-runs

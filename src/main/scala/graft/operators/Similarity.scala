@@ -118,9 +118,11 @@ object Similarity {
     * (spherical k-means over L2-normalized vectors), but a maximum
     * inner product hides wherever direction-match × norm is largest —
     * so the probe ranking is ‖v‖-AUGMENTED: each persisted centroid
-    * is joined with the LARGEST vector norm its cell holds (derived
-    * from the persisted assignment table at read — an augmentation of
-    * the index, not a second fitted artifact), and cells rank by
+    * is joined with the LARGEST vector norm its cell holds (persisted
+    * WITH the index at build time and kept true on [[IvfIndex.absorb]]
+    * by a batch-max merge — an augmentation of the index, not a second
+    * fitted artifact, and never recomputed at query time), and cells
+    * rank by
     * cos(q,c)·maxnorm, the cell-level proxy upper bound for
     * max_{v∈cell} q·v (Cauchy–Schwarz gives q·v ≤ ‖q‖‖v‖; the cosine
     * factor restores the directional term the pure norm bound
@@ -131,19 +133,24 @@ object Similarity {
     * (round(dot,6) DESC, nid ASC). Published recall@5 is judged
     * against the exact MIPS truth (D23's panel scan) via the D2/D3
     * withRecall device. Oracle: full query-path replay from the
-    * persisted index tables (the D3/D5 read_parquet device). 100 TB
-    * shape: the centroid+maxnorm frame is nlist rows (broadcast);
-    * the max-norm derivation is one map-side-combined pass over the
-    * assignment; only probed cells are scanned at query time.
+    * persisted index tables (the D3/D5 read_parquet device) — the
+    * oracle RE-DERIVES the max-norms from the assignment parquet, so
+    * a drifted persisted augmentation fails the hash, verifying the
+    * build pass transitively. 100 TB shape: the centroid+maxnorm
+    * frame is nlist rows (broadcast), read not computed; the one
+    * map-side-combined max-norm pass runs at index BUILD time; only
+    * probed cells are scanned at query time.
     */
   def qMipsIvf(spark: SparkSession, dir: String,
       nlist: Int = 16, nprobe: Int = 12): DataFrame = {
     val (assigned, cdf) = IvfIndex.get(spark, dir, nlist)
-    // the ‖v‖-derived augmentation, read off the persisted assignment:
-    // per-cell max vector norm, 6-dp-rounded BEFORE the max so the
-    // probe key is the identical double in both engines
-    val cellNorm = assigned.groupBy(col("cell"))
-      .agg(max(round(VectorFunctions.norm2(col("v")), 6)).as("mn"))
+    // the ‖v‖ augmentation is READ, not derived: per-cell max norm
+    // (6-dp-rounded before the max — identical doubles both engines)
+    // persisted with the index at build time and merged on absorb, so
+    // the probe-ranking input here is an nlist-row parquet read — the
+    // r16 plan recomputed it from the full assignment per call, a
+    // corpus-scale aggregate per query at 100 TB (r16 verdict ask #1)
+    val cellNorm = IvfIndex.norms(spark, dir, nlist)
     val cAug = cdf.join(cellNorm, Seq("cell"))
     val q = assigned.filter(col("vec_id") % 50 === 0 && col("vec_id") < PanelIdCap)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
@@ -1205,6 +1212,13 @@ object Similarity {
       */
     val lastLoc = new java.util.concurrent.atomic.AtomicReference[(String, String)](null)
 
+    /** Norm-augmentation dir of the most recently ensured index — the
+      * nlist-row (cell, mn) table persisted WITH the index (r16 verdict
+      * ask #1: the per-cell max norm is index STATE computed at build
+      * time, never a per-query corpus aggregate).
+      */
+    val lastNormLoc = new java.util.concurrent.atomic.AtomicReference[String](null)
+
     /** The corpus fingerprint is part of the index identity (same
       * staleness contract as [[graft.operators.Dedup.SigStore]]): a
       * mutated corpus changes the name, the stale name stops
@@ -1230,14 +1244,17 @@ object Similarity {
     private def ensure(spark: SparkSession, dir: String, nlist: Int): (String, String) = {
       val t = tableName(spark, dir, nlist)
       val tc = t + "_cent"
+      val tn = t + "_norm"
       val loc = warehousePath(spark, t)
       val locC = warehousePath(spark, tc)
+      val locN = warehousePath(spark, tn)
       def registered(n: String) = spark.catalog.tableExists(n)
-      if (!registered(t) || !registered(tc)) {
+      if (!registered(t) || !registered(tc) || !registered(tn)) {
         if (java.nio.file.Files.isDirectory(loc) && java.nio.file.Files.isDirectory(locC)) {
           // cold session over a built index: metadata-only re-registration
           spark.sql(s"DROP TABLE IF EXISTS $t")
           spark.sql(s"DROP TABLE IF EXISTS $tc")
+          spark.sql(s"DROP TABLE IF EXISTS $tn")
           spark.sql(
             s"""CREATE TABLE $t (vec_id BIGINT, v ARRAY<DOUBLE>, cell INT)
                |USING PARQUET CLUSTERED BY (cell) INTO $IvfBuckets BUCKETS
@@ -1245,6 +1262,15 @@ object Similarity {
           spark.sql(
             s"""CREATE TABLE $tc (cell INT, cv ARRAY<DOUBLE>)
                |USING PARQUET LOCATION '$locC'""".stripMargin)
+          if (java.nio.file.Files.isDirectory(locN))
+            spark.sql(
+              s"""CREATE TABLE $tn (cell INT, mn DOUBLE)
+                 |USING PARQUET LOCATION '$locN'""".stripMargin)
+          else
+            // pre-augmentation on-disk index: upgrade in place — one
+            // assignment pass HERE (build/maintenance time), so query
+            // time stays an nlist-row read
+            writeNorms(spark, t, tn, locN)
         } else {
           import org.apache.spark.ml.feature.Normalizer
           val e = Tables.embeddings(spark, dir)
@@ -1269,10 +1295,33 @@ object Similarity {
           spark.createDataFrame(centroids.toSeq).toDF("cell", "cv")
             .coalesce(1).write.option("path", locC.toString)
             .mode("overwrite").saveAsTable(tc)
+          // the ‖v‖ augmentation is part of the index: ONE map-side-
+          // combined pass over the just-written assignment at build
+          // time (r16 verdict ask #1 — a per-query recompute of this
+          // is a corpus-scale scan per call at 100 TB)
+          writeNorms(spark, t, tn, locN)
         }
       }
       lastLoc.set((loc.toString, locC.toString))
+      lastNormLoc.set(locN.toString)
       (t, tc)
+    }
+
+    /** Per-cell max vector norm, 6-dp-rounded BEFORE the max so the
+      * probe key is the identical double in both engines (the D24
+      * device); persisted as an nlist-row table next to the centroids.
+      */
+    private def writeNorms(spark: SparkSession, t: String, tn: String,
+        locN: java.nio.file.Path): Unit =
+      spark.table(t).groupBy(col("cell"))
+        .agg(max(round(VectorFunctions.norm2(col("v")), 6)).as("mn"))
+        .coalesce(1).write.option("path", locN.toString)
+        .mode("overwrite").saveAsTable(tn)
+
+    /** The persisted (cell, mn) norm-augmentation table — nlist rows. */
+    def norms(spark: SparkSession, dir: String, nlist: Int): DataFrame = {
+      val (t, _) = ensure(spark, dir, nlist)
+      spark.table(t + "_norm")
     }
 
     /** (assigned corpus: vec_id, v, cell; centroids: cell, cv) */
@@ -1293,7 +1342,7 @@ object Similarity {
       // every fingerprint variant under the stem — see SigStore.deregister
       Tables.dropTablesMatching(spark,
         (java.util.regex.Pattern.quote(stem(dir, nlist).toLowerCase) +
-          "[0-9a-f]+(_cent)?").r)
+          "[0-9a-f]+(_cent|_norm)?").r)
 
     /** Absorb an arriving vector batch INTO the index: nearest-centroid
       * assignment against the persisted centroids ([[assignVectors]] —
@@ -1311,7 +1360,22 @@ object Similarity {
       val n = assigned.count()
       val (t, _) = ensure(spark, dir, nlist)
       assigned.write.mode("append").insertInto(t)
+      // keep the norm augmentation true under growth: merge the BATCH's
+      // per-cell maxima into the persisted table — a batch-sized
+      // aggregate folded onto nlist rows (collect is the bounded-verdict
+      // device: ≤ nlist rows, and the read must complete before the
+      // same-location overwrite)
+      val tn = t + "_norm"
+      val locN = warehousePath(spark, tn)
+      val merged = spark.table(tn)
+        .unionByName(assigned.groupBy(col("cell"))
+          .agg(max(round(VectorFunctions.norm2(col("v")), 6)).as("mn")))
+        .groupBy(col("cell")).agg(max(col("mn")).as("mn"))
+        .collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq
       assigned.unpersist()
+      spark.createDataFrame(merged).toDF("cell", "mn")
+        .coalesce(1).write.option("path", locN.toString)
+        .mode("overwrite").saveAsTable(tn)
       // the get() path caches the table — must not serve the pre-append
       // snapshot
       spark.catalog.refreshTable(t)

@@ -4719,7 +4719,7 @@ object Validation {
         sum(col("h").cast(d38)).as("s"))
     agg.select(col("n1"), col("n2"),
         round(col("n1").cast("double") * col("n2") / 1e12 *
-          (col("s").cast("double") / 1e12) / 1e12, 6).as("ad_a2"))
+          (col("s").cast("double") / 1e12), 6).as("ad_a2"))
       .withColumn("significant", col("ad_a2") > 2.492)
   }
 
@@ -4761,9 +4761,9 @@ object Validation {
       |agg AS (SELECT max(n1) AS n1, max(n2) AS n2, sum(h) AS s FROM hh)
       |SELECT n1, n2,
       |  round(CAST(n1 AS DOUBLE) * n2 / 1e12
-      |    * (CAST(s AS DOUBLE) / 1e12) / 1e12, 6) AS ad_a2,
+      |    * (CAST(s AS DOUBLE) / 1e12), 6) AS ad_a2,
       |  (round(CAST(n1 AS DOUBLE) * n2 / 1e12
-      |    * (CAST(s AS DOUBLE) / 1e12) / 1e12, 6) > 2.492) AS significant
+      |    * (CAST(s AS DOUBLE) / 1e12), 6) > 2.492) AS significant
       |FROM agg""".stripMargin
 
   // ---------------------------------------------------------------- L61

@@ -3281,6 +3281,7 @@ class PropertySpec extends AnyFunSuite {
     assert(r.getAs[Long]("n1") == n1 && r.getAs[Long]("n2") == n2)
     var (ma, mb) = (0L, 0L)
     var s = BigInt(0)
+    var a2ref = 0.0 // unquantized Pettitt A2, independently assembled
     val nn = n1 + n2
     hist.foreach { case (_, na, nb) =>
       ma += na; mb += nb
@@ -3293,12 +3294,22 @@ class PropertySpec extends AnyFunSuite {
         val hden = BigInt(bb) * (nn - bb)
         s += (2 * (BigInt(na + nb) * g * g) * BigInt("1000000000000") +
           hden) / (2 * hden)
+        a2ref += (na + nb).toDouble * e.toDouble * e.toDouble /
+          (n1.toDouble * n2 * bb.toDouble * (nn - bb))
       }
     }
-    val a2 = n1.toDouble * n2 / 1e12 * (s.toDouble / 1e12) / 1e12
+    val a2 = n1.toDouble * n2 / 1e12 * (s.toDouble / 1e12)
     assert(math.abs(r.getAs[Double]("ad_a2") - a2) < 1e-5,
       s"ad ${r.getAs[Double]("ad_a2")} vs $a2")
-    assert(r.getAs[Double]("ad_a2") >= 0.0)
+    // the quantized statistic must track the raw double-precision Pettitt
+    // form (two µ-quantization stages bound the drift), and it must be a
+    // non-vacuous magnitude — the r16 scale bug published 0.000000 forever
+    assert(math.abs(r.getAs[Double]("ad_a2") - a2ref) < 1e-2,
+      s"ad quantized ${r.getAs[Double]("ad_a2")} vs raw $a2ref")
+    assert(r.getAs[Double]("ad_a2") > 0.01,
+      s"ad_a2 ${r.getAs[Double]("ad_a2")} is vacuously small")
+    assert(r.getAs[Boolean]("significant") ==
+      (r.getAs[Double]("ad_a2") > 2.492))
   }
 
   test("q_mood_median: cells recompose and chi2 matches a driver-side fold") {

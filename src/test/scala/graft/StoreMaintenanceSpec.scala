@@ -132,12 +132,39 @@ class StoreMaintenanceSpec extends AnyFunSuite {
         s"absorbed vector $id landed in cell $c != frozen ${persisted(id - 5000000L)}")
     }
 
+    // the persisted norm augmentation (r17): built WITH the index, it
+    // must equal a fresh recompute over the live assignment...
+    def normRecompute() = Similarity.IvfIndex.get(spark, dir, nlist)._1
+      .groupBy(col("cell"))
+      .agg(max(round(graft.functions.VectorFunctions.norm2(col("v")), 6)).as("mn"))
+      .as[(Int, Double)].collect().toMap
+    def normStored() = Similarity.IvfIndex.norms(spark, dir, nlist)
+      .as[(Int, Double)].collect().toMap
+    assert(normStored() == normRecompute(),
+      "persisted norm table drifted from the live assignment")
+    // ...and stay true under growth: absorbing a ×10-scaled copy of an
+    // indexed vector lands in the SAME cell (assignment is on
+    // directions) but must RAISE that cell's stored max norm
+    val (bigId, bigV) = (batch.head._1 + 4000000L, batch.head._2.map(_ * 10.0))
+    val bigCell = persisted(batch.head._1 - 5000000L)
+    val mnBefore = normStored()(bigCell)
+    assert(Similarity.IvfIndex.absorb(spark, dir,
+      Seq((bigId, bigV)).toDF("vec_id", "v"), nlist) == 1L)
+    assert(Similarity.IvfIndex.fitCount.get == fits,
+      "norm-merge absorb must never refit")
+    val mnAfter = normStored()(bigCell)
+    assert(mnAfter > mnBefore,
+      s"absorbed high-norm vector did not raise cell $bigCell's max " +
+        s"($mnBefore -> $mnAfter)")
+    assert(normStored() == normRecompute(),
+      "norm table diverged from recompute after absorb")
+
     val filesAfter = Similarity.IvfIndex.compactStore(spark, dir, nlist)
     assert(filesAfter <= Similarity.IvfIndex.IvfBuckets,
       s"expected <= ${Similarity.IvfIndex.IvfBuckets} files, got $filesAfter")
     assert(Similarity.IvfIndex.fitCount.get == fits, "compaction must never refit")
     val (asg2, _) = Similarity.IvfIndex.get(spark, dir, nlist)
-    assert(asg2.count() == n0 + 10, "compaction lost rows")
+    assert(asg2.count() == n0 + 11, "compaction lost rows")
     val all2 = asg2.select("vec_id", "cell").as[(Long, Int)].collect().toMap
     persisted.foreach { case (id, c) =>
       assert(all2(id) == c, s"compaction moved vector $id: ${all2(id)} != $c")
@@ -146,7 +173,7 @@ class StoreMaintenanceSpec extends AnyFunSuite {
     // cold session over the compacted index: re-register, no refit
     Similarity.IvfIndex.deregister(spark, dir, nlist)
     val (asg3, _) = Similarity.IvfIndex.get(spark, dir, nlist)
-    assert(asg3.count() == n0 + 10)
+    assert(asg3.count() == n0 + 11)
     assert(Similarity.IvfIndex.fitCount.get == fits,
       "cold re-register after compaction must not refit")
 
@@ -157,11 +184,11 @@ class StoreMaintenanceSpec extends AnyFunSuite {
       batch2.toSeq.toDF("vec_id", "v"), nlist)
     assert(nB == 10, s"post-compact absorb landed $nB vectors, expected 10")
     val (asg4, _) = Similarity.IvfIndex.get(spark, dir, nlist)
-    assert(asg4.count() == n0 + 20, "post-compact absorb missing from the index")
+    assert(asg4.count() == n0 + 21, "post-compact absorb missing from the index")
     val files2 = Similarity.IvfIndex.compactStore(spark, dir, nlist)
     assert(files2 <= Similarity.IvfIndex.IvfBuckets)
     val (asg5, _) = Similarity.IvfIndex.get(spark, dir, nlist)
-    assert(asg5.count() == n0 + 20, "second compaction lost rows")
+    assert(asg5.count() == n0 + 21, "second compaction lost rows")
     assert(Similarity.IvfIndex.fitCount.get == fits,
       "second maintenance cycle must never refit")
   }

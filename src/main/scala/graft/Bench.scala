@@ -81,14 +81,20 @@ object Bench {
     // every store HERE, each timed and reported as its own line,
     // makes the per-query numbers pure query cost and the build cost
     // visible instead of randomly attributed.
-    val chainBuild = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // each entry carries its own ok flag (the per-query discipline):
+    // a failed store build must be visible in the ARTIFACT, not only
+    // on stderr — the first-touch query would otherwise silently
+    // re-absorb the build cost this prologue exists to isolate
+    val chainBuild = scala.collection.mutable.LinkedHashMap[String, (Double, Boolean)]()
     def buildChain(name: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime()
-      try f
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] chain $name FAILED: ${e.getClass.getSimpleName}")
-      }
-      chainBuild(name) = (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { f; true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] chain $name FAILED: ${e.getClass.getSimpleName}")
+          false
+        }
+      chainBuild(name) = ((System.nanoTime() - t0) / 1e9, ok)
     }
     if (!sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) {
       buildChain("sig_store") { operators.Dedup.SigStore.ensure(spark, sfDir) }
@@ -154,24 +160,15 @@ object Bench {
       }
     // This host's scheduler noise can inflate a single execution 10-50x
     // (verified: identical back-to-back stages 9.4s vs 98.3s cpuSum).
-    // Min-of-2 for slow-looking results separates genuine cost from a
-    // noise storm; genuinely heavy queries just confirm their first
-    // measurement.
+    // r16 shipped two same-tree snapshots ±47 % apart on composites, so
+    // single-shot numbers are not decision-grade on this host: every
+    // query is measured MIN-OF-2 unconditionally (the SCALING.md
+    // harness discipline, lifted here per the r16 verdict ask #2).
     val retryAbove = sys.env.getOrElse("SPARK_GRAFT_RETRY_ABOVE_SEC", "5").toDouble
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    // The first few measured queries sit in the tail of JVM/codegen
-    // warmup (r12: q1_pricing_summary read 3× its r11 time with no code
-    // change, under the retry threshold so it never got re-measured) —
-    // min-of-2 unconditionally for them.
-    var measured = 0
     val firstPass = selected.map { case (name, fn) =>
-      val r1 = once(name, fn)
-      measured += 1
-      // retry when slow (noise storm) OR failed (flaky gets one
-      // chance) OR still inside the warmup tail
-      name -> (if (r1._1 > retryAbove || !r1._2 || measured <= 3)
-        best(r1, once(name, fn)) else r1)
+      name -> best(once(name, fn), once(name, fn))
     }
     // Noise storms on this host last long enough to cover a back-to-back
     // min-of-2 (r2: q_kmeans 58s, q1 33s in-batch vs 6.9s/4.3s isolated).
@@ -254,9 +251,11 @@ object Bench {
     val shuffleJson = shuffleStats.map { case (k, (sr, sw, swb, pm, ex)) =>
       s""""$k":{"sr_rec":$sr,"sw_rec":$sw,"sw_bytes":$swb,"peak_mem":$pm,"exch":$ex}"""
     }.mkString("{", ",", "}")
-    val chainTotal = chainBuild.values.sum
+    val chainTotal = chainBuild.values.map(_._1).sum
+    val chainJson = chainBuild.map { case (k, (t, ok)) =>
+      f""""$k":{"sec":$t%.2f,"ok":$ok}""" }.mkString("{", ",", "}")
     val fullLine =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec"$warmJson,"chain_build_total":$chainTotal%.2f,"chain_build":${fmt(chainBuild)},"queries":${fmt(results)},"queries_warm":${fmt(warmPerQuery)},"shuffle":$shuffleJson,"err":$errJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec"$warmJson,"chain_build_total":$chainTotal%.2f,"chain_build":$chainJson,"queries":${fmt(results)},"queries_warm":${fmt(warmPerQuery)},"shuffle":$shuffleJson,"err":$errJson,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), fullLine + "\n")
     catch { case _: Throwable => () }

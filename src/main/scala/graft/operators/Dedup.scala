@@ -577,6 +577,53 @@ object Dedup {
          |FROM hits h JOIN counts c ON h.doc_id = c.doc_id""".stripMargin
   }
 
+  /** The C22 ban list alone: every distinct banned [[DecontamN]]-token
+    * window key of the eval split — the bounded broadcast side of the
+    * decontamination gate (benchmarks are tiny relative to a 100 TB
+    * corpus, so this set broadcasts; the training side never shuffles
+    * its n-grams). Built once per monitor/session and shared between
+    * the batch query and the F19s streaming twin.
+    */
+  def decontamBanList(spark: SparkSession, dir: String): DataFrame = {
+    val n = DecontamN
+    Tables.documents(spark, dir)
+      .filter(col("source").isin(EvalSources.map(x => x: Any): _*))
+      .select(tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(explode(transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+        i => md5(concat_ws(" ", slice(col("toks"), i, lit(n)))))).as("g"))
+      .distinct()
+  }
+
+  /** Flag an arriving doc frame (doc_id, source, text) against the
+    * broadcast ban list — the per-micro-batch body of the F19s
+    * streaming decontamination gate, and exactly the training-side
+    * arithmetic of [[qNgramDecontam]] (same window keys, same per-doc
+    * publish), so a stream over the training split reproduces the
+    * batch verdict row-for-row regardless of batching (per-doc counts
+    * never cross documents). Work per call: map-only window explode
+    * over the batch + broadcast-hash semi-match + one per-doc
+    * aggregate — independent of corpus size.
+    */
+  def decontamHits(ban: DataFrame, batch: DataFrame): DataFrame = {
+    val n = DecontamN
+    val grams = batch
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), col("source"),
+        explode(transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+          i => md5(concat_ws(" ", slice(col("toks"), i, lit(n)))))).as("g"))
+    val counts = grams.groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_ngrams"))
+    val hits = grams.join(broadcast(ban), "g")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_hit"))
+    hits.join(counts, "doc_id")
+      .select(col("doc_id"), col("source"), col("n_ngrams"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_ngrams"), 6)
+          .as("hit_frac"))
+  }
+
   // ---------------------------------------------------------------- C8
   /** Incremental ingest dedup: the arriving batch ([[EvalSources]] as
     * the stand-in "new" split) checked against the existing corpus by

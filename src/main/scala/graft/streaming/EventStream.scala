@@ -988,6 +988,46 @@ object EventStream {
       StructField("cell", IntegerType))))
   }
 
+  /** F19s: streaming decontamination gate (r16 verdict ask #4 /
+    * carried r15 ask #9) — every arriving micro-batch of training
+    * documents is checked against the eval ban list via the C22
+    * device: the distinct banned 13-gram keys are built ONCE at
+    * monitor start (benchmarks are bounded; the set broadcasts) and
+    * each batch runs a map-only window explode + broadcast semi-match
+    * + per-doc aggregate, appending one flag row per contaminated doc
+    * to the sink. This is how ingest pipelines actually run
+    * decontamination — continuously at the door, not batch-wise over
+    * the accumulated corpus. foreachBatch (not a stateful operator)
+    * because the ban list is shared read-only state; restarts resume
+    * from the checkpoint and re-broadcast the list. A stream over the
+    * training split reproduces q_ngram_decontam's verdicts exactly,
+    * regardless of batching (StreamingSpec).
+    */
+  def streamDecontamToFiles(docs: DataFrame, dir: String,
+      outPath: String, checkpoint: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val spark = docs.sparkSession
+    val ban = graft.operators.Dedup.decontamBanList(spark, dir).cache()
+    ban.count() // materialize once, ahead of the first batch
+    val q = docs.writeStream
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!b.isEmpty) {
+          writeBatchIdempotent(
+            graft.operators.Dedup.decontamHits(ban, b.toDF()), outPath, id)
+        }
+        maybeInjectCrash(id)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    ban.unpersist()
+    readSinkOrEmpty(spark, outPath, StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("n_ngrams", LongType), StructField("n_hit", LongType),
+      StructField("hit_frac", DoubleType),
+      StructField("batch_id", LongType)))).drop("batch_id")
+  }
+
   /** F18: streaming ingest validation gate — the L1 expectation
     * checks applied at the door, per arriving micro-batch, with
     * accept/quarantine ROUTING (not just a report): rows failing a

@@ -46,6 +46,28 @@ class ContractSpec extends AnyFunSuite {
       s"registered queries not declared [x] in SURVEY §2: $undeclared")
   }
 
+  test("README component counts match the registered contract and the SURVEY [r] inventory") {
+    // the r16 verdict ask #9: the README's headline counts drifted
+    // once (r15 ask #6) — pin them to the ground truth so a count
+    // edit is forced in the same commit as the component it counts
+    val readme = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("README.md"))
+    val m = "\\*\\*(\\d+) oracle-checked queries \\+ (\\d+) spec-asserted".r
+      .findFirstMatchIn(readme)
+    assert(m.isDefined, "README count line (**N oracle-checked queries + M spec-asserted**) not found")
+    assert(m.get.group(1).toInt == SparkEntry.queries.size,
+      s"README claims ${m.get.group(1)} oracle-checked queries; " +
+        s"SparkEntry.queries registers ${SparkEntry.queries.size}")
+    val survey = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("SURVEY.md"))
+    val sec2 = survey.substring(survey.indexOf("## §2"),
+      survey.indexOf("## §3"))
+    val rCount = "- \\[r\\] ".r.findAllMatchIn(sec2).size
+    assert(m.get.group(2).toInt == rCount,
+      s"README claims ${m.get.group(2)} spec-asserted components; " +
+        s"SURVEY §2 declares $rCount [r] entries")
+  }
+
   test("SURVEY §2 checklist ids are unique") {
     // names are the real contract keys (pinned 1:1 above), but a
     // duplicated checklist id can hide a genuinely dropped operator

@@ -402,6 +402,62 @@ class StreamingSpec extends AnyFunSuite {
       "streamed assignment diverged from the index fit")
   }
 
+  test("streaming decontamination gate over micro-batches equals the batch C22 verdicts") {
+    implicit val sqlCtx = spark.sqlContext
+    // the TRAINING split fed as TWO micro-batches: per-doc flags never
+    // cross documents, so any batching must reproduce q_ngram_decontam
+    val arriving = Tables.documents(spark, sf)
+      .filter(!col("source").isin(graft.operators.Dedup.EvalSources.map(x => x: Any): _*))
+      .select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    val (b1, b2) = arriving.splitAt(arriving.length / 2)
+    val input = MemoryStream[(Long, String, String)]
+    input.addData(b1: _*)
+    input.addData(b2: _*)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_decontam").toString
+    val streamed = EventStream.streamDecontamToFiles(
+      input.toDF().toDF("doc_id", "source", "text"), sf, s"$tmp/out", s"$tmp/cp")
+      .as[(Long, String, Long, Long, Double)].collect().toSet
+    val batch = graft.operators.Dedup.qNgramDecontam(spark, sf)
+      .as[(Long, String, Long, Long, Double)].collect().toSet
+    assert(batch.nonEmpty, "batch decontam found no contaminated docs at test SF")
+    assert(streamed == batch,
+      s"stream-batch mismatch: onlyStream=${(streamed -- batch).take(3)} " +
+        s"onlyBatch=${(batch -- streamed).take(3)}")
+  }
+
+  test("crash between sink write and checkpoint commit: restart is exactly-once (decontam gate)") {
+    implicit val sqlCtx = spark.sqlContext
+    val arriving = Tables.documents(spark, sf)
+      .filter(!col("source").isin(graft.operators.Dedup.EvalSources.map(x => x: Any): _*))
+      .select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    val (b1, b2) = arriving.splitAt(arriving.length / 2)
+    val input = MemoryStream[(Long, String, String)]
+    input.addData(b1: _*)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_deccrash").toString
+    EventStream.crashAfterBatchWrite.set(0L)
+    val thrown = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      EventStream.streamDecontamToFiles(
+        input.toDF().toDF("doc_id", "source", "text"), sf, s"$tmp/out", s"$tmp/cp")
+    }
+    assert(thrown.getMessage.contains("injected crash"),
+      s"wrong failure: ${thrown.getMessage.take(200)}")
+    // restart: batch 0 replays onto its own sink partition (idempotent
+    // overwrite), batch 1 processes b2 — flag rows exactly once
+    input.addData(b2: _*)
+    val streamed = EventStream.streamDecontamToFiles(
+      input.toDF().toDF("doc_id", "source", "text"), sf, s"$tmp/out", s"$tmp/cp")
+      .as[(Long, String, Long, Long, Double)].collect()
+    assert(streamed.length == streamed.distinct.length,
+      "replayed batch duplicated flag rows")
+    val batch = graft.operators.Dedup.qNgramDecontam(spark, sf)
+      .as[(Long, String, Long, Long, Double)].collect().toSet
+    assert(streamed.toSet == batch,
+      s"crash-restart lost or fabricated flags: onlyStream=${(streamed.toSet -- batch).take(3)} " +
+        s"onlyBatch=${(batch -- streamed.toSet).take(3)}")
+  }
+
   test("streaming quality-drift monitor equals the batch KS verdict on one batch") {
     implicit val sqlCtx = spark.sqlContext
     val arriving = Tables.documents(spark, sf)

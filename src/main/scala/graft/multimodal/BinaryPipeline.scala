@@ -359,14 +359,27 @@ object BinaryPipeline {
     * unlinked hash groups; t = 0 is the pure exact-dup baseline since
     * distinct hashes can't pair at radius 0). The pair set is
     * computed ONCE at the widest radius on the ≤ 2^16 distinct-hash
-    * table and each point filters it; clustering reruns the shared
-    * `clusterPairs` loop per point on that bounded graph — corpus
+    * table (cached — each point filters it), and clustering is ONE
+    * `clusterPairs` run over the four threshold graphs made
+    * node-disjoint by the t·2¹⁶ + phash tag encoding (r17: per-point
+    * reruns paid the propagation loop's fixed overhead 4× and
+    * re-derived the uncached hash chain ~10×, 31 exchanges) — corpus
     * size changes only `group_n` weights, never the sweep's pair or
     * cluster work. All counts exact integers; no floats anywhere.
     */
   def qPhashThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    // the doc-claimed "computed ONCE" must hold in the PLAN, not just
+    // in intent: the four threshold points consume g and cand ~10×
+    // between them (pairs + np per point, tot/mem/unlinked on g), and
+    // uncached each consumer re-ran the whole payload→phash→band-join
+    // chain — measured 31 exchanges at r17, and the likely cause of
+    // the r16 +28% drift (cache-eviction order after the chain
+    // prologue decided how many re-runs a neighboring query absorbed).
+    // Both frames are bounded by the 2^16 hash width, so the qGmmEm
+    // cleanup pattern applies: cache, materialize before fan-out,
+    // release after the bounded output materializes.
     val g = phashes(spark, dir).groupBy(col("phash"))
-      .agg(count(lit(1)).as("group_n"))
+      .agg(count(lit(1)).as("group_n")).cache()
     val bands = g.select(col("phash"),
       explode(array((0 to 3).map(i =>
         struct(lit(i).as("band"),
@@ -381,33 +394,61 @@ object BinaryPipeline {
       .distinct()
       .withColumn("hamming", bit_count(col("a").bitwiseXOR(col("b"))))
       .filter(col("hamming") <= 3)
-    val tot = g.agg(sum(col("group_n")).cast("long").as("n_payloads"))
-    val rows = (0 to 3).map { t =>
-      val pairs = cand.filter(col("hamming") <= t)
-        .select(col("a").as("id1"), col("b").as("id2"))
-      val lbl = graft.operators.Dedup.clusterPairs(spark, pairs)
-      val mem = lbl.join(g, lbl("node") === g("phash"))
-        .groupBy(col("lab"))
-        .agg(count(lit(1)).as("n_hashes"), sum(col("group_n")).as("payloads"))
-      val linked = mem.agg(
-        coalesce(count(lit(1)), lit(0L)).as("n_clusters"),
-        coalesce(sum(col("payloads") - 1), lit(0L)).as("drop_linked"),
-        coalesce(sum(col("n_hashes")), lit(0L)).as("n_linked_hashes"))
-      val unlinked = g.join(lbl, g("phash") === lbl("node"), "left_anti")
-        .agg(coalesce(sum(col("group_n") - 1), lit(0L)).as("drop_unlinked"))
-      val np = cand.filter(col("hamming") <= t)
-        .agg(count(lit(1)).as("n_pairs"))
-      np.crossJoin(broadcast(linked)).crossJoin(broadcast(unlinked))
-        .crossJoin(broadcast(tot))
-        .select(lit(t.toLong).as("threshold"), col("n_pairs"),
-          col("n_clusters"), col("n_linked_hashes").cast("long")
-            .as("n_linked_hashes"),
-          (col("drop_linked") + col("drop_unlinked")).cast("long")
-            .as("n_dropped"),
-          (col("n_payloads") - col("drop_linked") - col("drop_unlinked"))
-            .cast("long").as("n_kept"))
-    }
-    rows.reduce(_ unionAll _)
+      .cache()
+    cand.count(); g.count() // materialize before the 4-point fan-out
+    // ONE propagation run for all four points (r17): the four
+    // threshold graphs are node-disjoint under the tag encoding
+    // t·2¹⁶ + phash (phash < 2¹⁶ by the hash width), so a single
+    // clusterPairs pass over their union labels every point at once —
+    // four separate runs each paid the loop's fixed checkpoint/action
+    // overhead on a tiny graph, which dominated the sweep's wall clock
+    val L = 65536L
+    val tsArr = array((0 to 3).map(t => lit(t.toLong)): _*)
+    val allPairs = cand
+      .select(explode(tsArr).as("t"), col("a"), col("b"), col("hamming"))
+      .filter(col("hamming") <= col("t"))
+      .select((col("t") * L + col("a")).as("id1"),
+        (col("t") * L + col("b")).as("id2"))
+    val dec = graft.operators.Dedup.clusterPairs(spark, allPairs)
+      .select(expr(s"node DIV $L").as("t"), expr(s"node % $L").as("phash"),
+        col("lab"))
+    val mem = dec.join(g, Seq("phash"))
+      .groupBy(col("t"), col("lab"))
+      .agg(count(lit(1)).as("n_hashes"), sum(col("group_n")).as("payloads"))
+    val linked = mem.groupBy(col("t")).agg(
+      count(lit(1)).as("n_clusters"),
+      sum(col("payloads") - 1).as("drop_linked"),
+      sum(col("n_hashes")).as("n_linked_hashes"))
+    val np = cand.select(explode(tsArr).as("t"), col("hamming"))
+      .filter(col("hamming") <= col("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n_pairs"))
+    val tot = g.agg(sum(col("group_n")).cast("long").as("n_payloads"),
+      count(lit(1)).as("n_hashes_total"))
+    // drop_unlinked needs no anti-join: unlinked hashes drop
+    // (group_n − 1) each, and Σ_unlinked(group_n − 1) =
+    // (N − Σ_linked group_n) − (H − n_linked_hashes), so
+    // n_dropped = drop_linked + drop_unlinked
+    //           = (N − H) + n_linked_hashes − n_clusters
+    // and n_kept = N − n_dropped — same values as the per-point
+    // anti-join form, verified by the unchanged per-point oracle
+    val ts = spark.range(1).select(explode(tsArr).as("t"))
+    val out = ts
+      .join(np, Seq("t"), "left").join(linked, Seq("t"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("t").as("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_clusters"), lit(0L)).as("n_clusters"),
+        coalesce(col("n_linked_hashes"), lit(0L)).cast("long")
+          .as("n_linked_hashes"),
+        (col("n_payloads") - col("n_hashes_total") +
+          coalesce(col("n_linked_hashes"), lit(0L)) -
+          coalesce(col("n_clusters"), lit(0L))).cast("long").as("n_dropped"),
+        (col("n_hashes_total") + coalesce(col("n_clusters"), lit(0L)) -
+          coalesce(col("n_linked_hashes"), lit(0L))).cast("long").as("n_kept"))
+      .cache()
+    out.count() // 4-row output materialized; intermediates can release
+    g.unpersist(); cand.unpersist()
+    out
   }
 
   val qPhashThresholdSweepSql: String = {

@@ -305,6 +305,27 @@ class PlanSpec extends AnyFunSuite {
     assert(failures.isEmpty, s"exchange regressions:\n${failures.mkString("\n")}")
   }
 
+  test("r17: standing top-cost composites pinned") {
+    // the five most expensive plans were the least regression-protected
+    // (r16 verdict ask #7) — measured sf0.001 == sf0.01 at pin time.
+    // q_phash_threshold_sweep pinned POST-REWORK (31 → 4: cached
+    // hash/pair frames + ONE tag-encoded clusterPairs run for all four
+    // thresholds — the uncached per-point fan-out was also the r16
+    // +28% drift)
+    val ceilings = Map(
+      "q_pipeline_e2e" -> 4, "q_clustering_agreement" -> 4,
+      "q_dedup_threshold_sweep" -> 6, "q_phash_threshold_sweep" -> 4,
+      "q_curation_funnel" -> 6)
+    val failures = ceilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
+      val qe = SparkEntry.queries(name)(spark, sf).queryExecution
+      qe.toRdd.count()
+      val n = Bench.exchangeCount(qe.executedPlan.toString)
+      spark.catalog.clearCache()
+      if (n > cap) Seq(s"$name: $n exchanges > pinned $cap") else Nil
+    }
+    assert(failures.isEmpty, s"exchange regressions:\n${failures.mkString("\n")}")
+  }
+
   test("global plan guard: a recursion step subtree never scans a corpus file (the UnionLoop hoisting lesson)") {
     // Spark's UnionLoop re-evaluates its step subtree EVERY iteration:
     // a corpus-scale derivation inlined in the recursive member re-runs

@@ -5109,7 +5109,7 @@ object Validation {
         col("lang"), col("source"), col("n_chars")), "documents"))
   }
 
-  val qTableProfileSql: String = {
+  private def tableProfileSqlFor(withNdvOk: Boolean): String = {
     def one(table: String, proj: String,
         cols: Seq[String]): (String, String) = {
       val aggCols = cols.flatMap(n => Seq(
@@ -5117,9 +5117,15 @@ object Validation {
         s"CAST(count(DISTINCT $n) AS BIGINT) AS nd_$n",
         s"CAST(min($n) AS VARCHAR) AS mn_$n",
         s"CAST(max($n) AS VARCHAR) AS mx_$n")).mkString(", ")
+      // the oracle's side of the A11b device: the exact NDV is
+      // recomputed here, the sketch bound is asserted TRUE — a Spark
+      // estimate outside its rsd bound flips the boolean and fails
+      // the hash
+      val okCol = if (withNdvOk) ",\n           |  true AS ndv_ok" else ""
       val rows = cols.map(n =>
         s"""SELECT tbl, n_rows, '$n' AS col_name, nl_$n AS n_nulls,
-           |  nd_$n AS ndv, mn_$n AS min_val, mx_$n AS max_val
+           |  nd_$n AS ndv$okCol,
+           |  mn_$n AS min_val, mx_$n AS max_val
            |  FROM agg_$table""".stripMargin).mkString("\nUNION ALL\n")
       (s"""p_$table AS (SELECT $proj FROM $table),
           |agg_$table AS (SELECT '$table' AS tbl,
@@ -5144,12 +5150,79 @@ object Validation {
       parts.map(_._2).mkString("\nUNION ALL\n")
   }
 
+  val qTableProfileSql: String = tableProfileSqlFor(withNdvOk = false)
+
+  // ---------------------------------------------------------------- L66
+  /** The APPROXIMATE table profile — L65's disclosed 100 TB production
+    * path (H9's HLL++ NDV instead of the exact Expand pass), promoted
+    * from a doc note to a verified query (r16 verdict ask #8). Same
+    * eleven columns, same single-scan-per-table shape, but each
+    * column's NDV also runs through `approx_count_distinct`
+    * (rsd 0.02) and publishes the A11b verdict: the exact NDV plus a
+    * boolean asserting the sketch landed within 3× its configured rsd
+    * (bound 0.06). The sketch's bit pattern is engine-specific, so
+    * the oracle recomputes the exact side and emits `true` — an
+    * estimate outside its bound flips the boolean and fails the hash.
+    * The exact branch exists here to prove the bound; the pure
+    * production form drops it and keeps one pass, fixed sketch
+    * memory, no Expand, no distinct shuffle (the I4 rewrite knob
+    * applies the same swap plan-wide).
+    */
+  def qTableProfileApprox(spark: SparkSession, dir: String): DataFrame = {
+    def prof(df: DataFrame, table: String): DataFrame = {
+      val cs = df.schema.fieldNames.toSeq
+      // the sketches aggregate in their OWN pass, not fused into the
+      // exact aggregate: HLL++ is an ImperativeAggregate, and one in
+      // a HashAggregate disables whole-stage codegen for the whole
+      // operator — fused, every CASE/min/max/countDistinct expression
+      // fell back to interpreted eval (measured 8× at sf0.1). Split,
+      // the wide exact aggregate keeps codegen and the narrow sketch
+      // pass pays interpretation only for its own 2-3 updates per row
+      val agg = df.agg(count(lit(1)).as("n_rows"),
+        cs.flatMap(n => Seq(
+          sum(when(col(n).isNull, 1L).otherwise(0L)).cast("long")
+            .as(s"nl_$n"),
+          countDistinct(col(n)).as(s"nd_$n"),
+          min(col(n)).cast("string").as(s"mn_$n"),
+          max(col(n)).cast("string").as(s"mx_$n"))): _*)
+      val ap = df.agg(
+        approx_count_distinct(col(cs.head), 0.02).as(s"ap_${cs.head}"),
+        cs.tail.map(n =>
+          approx_count_distinct(col(n), 0.02).as(s"ap_$n")): _*)
+      agg.crossJoin(broadcast(ap))
+        .select(lit(table).as("tbl"), col("n_rows"), expr(
+        "stack(" + cs.size + ", " + cs.map(n =>
+          s"'$n', nl_$n, nd_$n, " +
+            s"CAST(abs(ap_$n - nd_$n) AS DOUBLE) <= 0.06 * CAST(nd_$n AS DOUBLE), " +
+            s"mn_$n, mx_$n").mkString(", ") +
+          ") AS (col_name, n_nulls, ndv, ndv_ok, min_val, max_val)"))
+    }
+    prof(Tables.lineitem(spark, dir).select(
+        col("l_quantity").cast("long").as("l_quantity"),
+        col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("l_price_c")),
+      "lineitem")
+      .unionAll(prof(Tables.orders(spark, dir).select(
+        col("o_orderstatus"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("o_total_c")),
+        "orders"))
+      .unionAll(prof(Tables.customer(spark, dir).select(
+        col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long").as("c_acctbal_c")),
+        "customer"))
+      .unionAll(prof(Tables.documents(spark, dir).select(
+        col("lang"), col("source"), col("n_chars")), "documents"))
+  }
+
+  val qTableProfileApproxSql: String = tableProfileSqlFor(withNdvOk = true)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cvm_test" -> (qCvmTest _),
     "q_mood_median" -> (qMoodMedian _),
     "q_page_trend" -> (qPageTrend _),
     "q_hill_tail" -> (qHillTail _),
     "q_table_profile" -> (qTableProfile _),
+    "q_table_profile_approx" -> (qTableProfileApprox _),
     "q_breusch_pagan" -> (qBreuschPagan _),
     "q_wilcoxon_signed" -> (qWilcoxonSigned _),
     "q_anderson_darling" -> (qAndersonDarling _),
@@ -5215,6 +5288,7 @@ object Validation {
     "q_page_trend" -> qPageTrendSql,
     "q_hill_tail" -> qHillTailSql,
     "q_table_profile" -> qTableProfileSql,
+    "q_table_profile_approx" -> qTableProfileApproxSql,
     "q_breusch_pagan" -> qBreuschPaganSql,
     "q_wilcoxon_signed" -> qWilcoxonSignedSql,
     "q_anderson_darling" -> qAndersonDarlingSql,

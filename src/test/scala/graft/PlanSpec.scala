@@ -315,7 +315,10 @@ class PlanSpec extends AnyFunSuite {
     val ceilings = Map(
       "q_pipeline_e2e" -> 4, "q_clustering_agreement" -> 4,
       "q_dedup_threshold_sweep" -> 6, "q_phash_threshold_sweep" -> 4,
-      "q_curation_funnel" -> 6)
+      "q_curation_funnel" -> 6,
+      // r17 new query (same-commit pin per the r16 discipline ask):
+      // 8 exact-profile exchanges + one sketch-pass aggregate per table
+      "q_table_profile_approx" -> 12)
     val failures = ceilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
       val qe = SparkEntry.queries(name)(spark, sf).queryExecution
       qe.toRdd.count()

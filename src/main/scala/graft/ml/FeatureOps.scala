@@ -626,6 +626,74 @@ object FeatureOps {
          |FROM a""".stripMargin
   }
 
+  // ---------------------------------------------------------------- E55
+  /** Expected / maximum calibration error — the E16 reliability
+    * diagram folded to the two scalars a model gate actually
+    * thresholds on: ECE = Σ_b (n_b/N)·|conf_b − acc_b| and
+    * MCE = max_b |conf_b − acc_b|, over the same 10⁻² score bins and
+    * stopword-density classifier as E16. Exact device: the per-bin
+    * gap is computed from the two 6-dp-rounded bin aggregates (the
+    * E16 contract) and µ-quantized to an exact long (gap·10⁶ is
+    * integral after the 6-dp rounds; `round` pins the fp
+    * representation), so Σ n_b·gap_µ is an exact DECIMAL sum — the
+    * naive Σ of double products would be summation-order-dependent —
+    * and ECE is ONE fixed-order double division; MCE is an exact
+    * integer max over ≤ 20 bins divided once. Same map-only scoring
+    * pass + bounded aggregate as E16.
+    */
+  def qEce(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val enStops = graft.operators.TextAnalysis.stopwords("en")
+    val bins = Tables.documents(spark, dir)
+      .select((col("lang") === "en").as("is_pos"),
+        (vocabHits(tokens(col("text")), enStops).cast("double") /
+          tokenCount(col("text"))).as("score"))
+      .withColumn("bin", least(floor(col("score") * 100), lit(19)).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("score")), 6).as("mean_score"),
+        round(avg(when(col("is_pos"), 1.0).otherwise(0.0)), 6).as("frac_pos"))
+      .withColumn("gmu",
+        round(abs(col("mean_score") - col("frac_pos")) * 1e6).cast("long"))
+    bins.agg(sum(col("n")).cast("long").as("n_docs"),
+        count(lit(1)).as("n_bins"),
+        sum((col("n") * col("gmu")).cast(d38)).as("sw"),
+        max(col("gmu")).as("mg"))
+      .select(col("n_docs"), col("n_bins"),
+        round(col("sw").cast("double") /
+          (col("n_docs").cast("double") * 1e6), 6).as("ece"),
+        round(col("mg").cast("double") / 1e6, 6).as("mce"))
+  }
+
+  val qEceSql: String = {
+    val stopsSql = graft.operators.TextAnalysis.stopwords("en")
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    val toksSql = graft.functions.TextFunctions.duckToksSql("text")
+    raw"""WITH s AS (SELECT (lang = 'en') AS is_pos,
+         |  CAST(len(list_filter($toksSql, t -> list_contains($stopsSql, t))) AS DOUBLE)
+         |    / len($toksSql) AS score
+         |  FROM documents),
+         |b AS (SELECT least(CAST(floor(score * 100) AS BIGINT), 19) AS bin,
+         |    is_pos, score FROM s),
+         |a AS (SELECT bin, count(*) AS n,
+         |    round(avg(score), 6) AS mean_score,
+         |    round(avg(CASE WHEN is_pos THEN 1.0 ELSE 0.0 END), 6) AS frac_pos
+         |  FROM b GROUP BY bin),
+         |g AS (SELECT n,
+         |    CAST(round(abs(mean_score - frac_pos) * 1e6) AS BIGINT) AS gmu
+         |  FROM a),
+         |agg AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+         |    count(*) AS n_bins,
+         |    sum(CAST(n AS HUGEINT) * gmu) AS sw,
+         |    max(gmu) AS mg
+         |  FROM g)
+         |SELECT n_docs, n_bins,
+         |  round(CAST(sw AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 1e6), 6)
+         |    AS ece,
+         |  round(CAST(mg AS DOUBLE) / 1e6, 6) AS mce
+         |FROM agg""".stripMargin
+  }
+
   // ---------------------------------------------------------------- E14
   /** Feature-hashing (hashing-trick) audit: terms bucketed into a
     * fixed [[FeatureHashDim]]-wide space by the engine-portable
@@ -3213,6 +3281,7 @@ object FeatureOps {
     "q_feature_hash" -> (qFeatureHash _),
     "q_auc" -> (qAuc _),
     "q_calibration" -> (qCalibration _),
+    "q_ece" -> (qEce _),
     "q_pr_curve" -> (qPrCurve _),
     "q_lift_curve" -> (qLiftCurve _),
     "q_pca" -> (qPca _),
@@ -3254,6 +3323,7 @@ object FeatureOps {
     "q_feature_hash" -> qFeatureHashSql,
     "q_auc" -> qAucSql,
     "q_calibration" -> qCalibrationSql,
+    "q_ece" -> qEceSql,
     "q_pr_curve" -> qPrCurveSql,
     "q_lift_curve" -> qLiftCurveSql,
     "q_standard_scaler" -> qStandardScalerSql,

@@ -1279,6 +1279,54 @@ object GraphOps {
       |FROM degs d LEFT JOIN h3 ON d.node = h3.node
       |LEFT JOIN a3 ON d.node = a3.node""".stripMargin
 
+  // ---------------------------------------------------------------- M24
+  /** Reciprocity of the DIRECTED top-K selection graph — the one-line
+    * summary of how much of M22's asymmetry is real: what fraction of
+    * "a ranks b top-K" choices does b return? The M5 mutual-kNN graph
+    * is exactly the reciprocal SUBSET of this relation, so this
+    * statistic is the bridge between the two stored graphs (at
+    * reciprocity 1 they coincide; near 0 the mutual graph vanishes) —
+    * and the standard first diagnostic on any directed selection
+    * network. Rides the persisted GraphStore artifact; the reciprocal
+    * count is ONE self-join on the (src, dst)↔(dst, src) key pair —
+    * |V|·K rows a side at any corpus size (out-degree is bounded by
+    * K), one shuffle. Counts exact; the rate is one double division.
+    */
+  def qReciprocity(spark: SparkSession, dir: String): DataFrame = {
+    val edges = GraphStore.knnDirected(spark, dir).select(col("src"), col("dst"))
+    val rec = edges.as("a").join(edges.as("b"),
+      col("a.src") === col("b.dst") && col("a.dst") === col("b.src"),
+      "left_semi")
+    val nr = rec.agg(count(lit(1)).as("n_reciprocal"))
+    edges.agg(countDistinct(col("src")).as("n_nodes"),
+        count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(nr))
+      .select(col("n_nodes"), col("n_edges"), col("n_reciprocal"),
+        round(col("n_reciprocal").cast("double") /
+          col("n_edges").cast("double"), 6).as("reciprocity"))
+  }
+
+  val qReciprocitySql: String =
+    s"""WITH e0 AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+      |pw AS (SELECT a.sk AS src, b.sk AS dst, count(*) AS w
+      |  FROM e0 a JOIN e0 b ON a.pk = b.pk AND a.sk < b.sk
+      |  GROUP BY 1, 2),
+      |sym AS (SELECT src, dst, w FROM pw
+      |  UNION ALL SELECT dst, src, w FROM pw),
+      |edges AS MATERIALIZED (SELECT src, dst FROM (SELECT src, dst,
+      |    row_number() OVER (PARTITION BY src ORDER BY w DESC, dst ASC)
+      |      AS rank FROM sym) z
+      |  WHERE rank <= $KnnK),
+      |nr AS (SELECT count(*) AS n_reciprocal FROM edges a
+      |  WHERE EXISTS (SELECT 1 FROM edges b
+      |    WHERE a.src = b.dst AND a.dst = b.src)),
+      |tot AS (SELECT count(DISTINCT src) AS n_nodes, count(*) AS n_edges
+      |  FROM edges)
+      |SELECT n_nodes, n_edges, n_reciprocal,
+      |  round(CAST(n_reciprocal AS DOUBLE) / CAST(n_edges AS DOUBLE), 6)
+      |    AS reciprocity
+      |FROM tot, nr""".stripMargin
+
   // ---------------------------------------------------------------- M11
   /** Degree assortativity of the mutual-kNN graph — Newman's r, the
     * one-number answer to "do well-connected suppliers co-supply with
@@ -1831,6 +1879,7 @@ object GraphOps {
     "q_moran_i" -> (qMoranI _),
     "q_eigencentrality" -> (qEigencentrality _),
     "q_hits" -> (qHits _),
+    "q_reciprocity" -> (qReciprocity _),
     "q_community_conductance" -> (qCommunityConductance _),
     "q_knn_components" -> (qKnnComponents _),
     "q_closeness" -> (qCloseness _),
@@ -1853,6 +1902,7 @@ object GraphOps {
     "q_two_hop" -> qTwoHopSql,
     "q_eigencentrality" -> qEigencentralitySql,
     "q_hits" -> qHitsSql,
+    "q_reciprocity" -> qReciprocitySql,
     "q_assortativity" -> qAssortativitySql,
     "q_moran_i" -> qMoranISql,
     "q_rich_club" -> qRichClubSql,

@@ -176,6 +176,87 @@ object Similarity {
     withRecall(top, qMips(spark, dir).select(col("qid"), col("nid")))
   }
 
+  // ---------------------------------------------------------------- D26
+  /** Binary-signature ANN — the 1-bit-per-dimension compression point
+    * of the D-block codec family (D4's PQ is 4 bits/dim here; sign
+    * binarization is 64× over float64), the regime modern
+    * binary-quantization retrieval (RaBitQ-style sign codes +
+    * rerank) operates in: signature = the SIGN BIT of each dimension,
+    * packed into two exact 32-bit halves (two halves, not one int64 —
+    * bit 63 would wrap the signed long, and the halves keep every
+    * 2^i sum exact and engine-portable); candidate generation ranks
+    * the panel×corpus HAMMING distance (bit_count(xor) per half, an
+    * integer — ties break on nid) and keeps a 50-deep shortlist;
+    * EXACT cosine reranks the shortlist to top-5. Published recall@5
+    * vs the D1 brute-force truth (the D2/D3 device). 100 TB shape:
+    * signatures are map-only 8-byte rows (the RAM-resident scan
+    * structure); the hamming scan streams signatures only — vectors
+    * are fetched just for the 50-row-per-query rerank. Oracle: full
+    * replay of signature build, hamming shortlist, and rerank.
+    */
+  val BinaryShortlist = 50
+
+  def qAnnBinary(spark: SparkSession, dir: String): DataFrame = {
+    def half(lo: Int): String =
+      s"CAST(aggregate(sequence($lo, ${lo + 31}), 0L, (acc, i) -> " +
+        s"acc + IF(element_at(v, i + 1) > 0D, shiftleft(CAST(1 AS BIGINT), i - $lo), CAST(0 AS BIGINT))) AS BIGINT)"
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("lo", expr(half(0)))
+      .withColumn("hi", expr(half(32)))
+    val q = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < PanelIdCap)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("lo").as("qlo"), col("hi").as("qhi"))
+    val wH = Window.partitionBy(col("qid"))
+      .orderBy(col("ham").asc, col("nid").asc)
+    val short = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qv"), col("vec_id").as("nid"), col("v"),
+        (bit_count(col("lo").bitwiseXOR(col("qlo"))) +
+          bit_count(col("hi").bitwiseXOR(col("qhi")))).as("ham"))
+      .withColumn("hr", row_number().over(wH))
+      .filter(col("hr") <= BinaryShortlist)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(round(col("sim"), 6).desc, col("nid").asc)
+    val top = short
+      .select(col("qid"), col("nid"),
+        VectorFunctions.cosine(col("qv"), col("v")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("nid"), col("rank"), round(col("sim"), 4).as("sim"))
+    withRecall(top, bruteforceTop5(spark, dir))
+  }
+
+  // def, not val: interpolates recallCtes, declared further down the
+  // object — a val here would initialize first and render "null"
+  // (the round-10 uninitialized-constant failure shape)
+  def qAnnBinarySql: String = {
+    def half(lo: Int): String =
+      s"CAST(list_sum(list_transform(generate_series($lo, ${lo + 31}), " +
+        s"i -> CASE WHEN v[i + 1] > 0 THEN (1::BIGINT << (i - $lo)) ELSE 0::BIGINT END)) AS BIGINT)"
+    raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |    ${half(0)} AS lo, ${half(32)} AS hi
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv, lo AS qlo, hi AS qhi
+         |  FROM e WHERE vec_id % 50 = 0 AND vec_id < $PanelIdCap),
+         |ham AS (SELECT qid, qv, e.vec_id AS nid, e.v,
+         |    bit_count(xor(e.lo, qlo)) + bit_count(xor(e.hi, qhi)) AS ham
+         |  FROM e, q WHERE e.vec_id <> qid),
+         |short AS (SELECT qid, qv, nid, v FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY qid ORDER BY ham ASC, nid ASC) AS hr FROM ham)
+         |  WHERE hr <= $BinaryShortlist),
+         |sflat AS (SELECT qid, nid, unnest(qv) AS x, unnest(v) AS y FROM short),
+         |rsim AS (SELECT qid, nid,
+         |    sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS sim
+         |  FROM sflat GROUP BY qid, nid),
+         |appx AS (SELECT qid, nid, rank, round(sim, 4) AS sim FROM (
+         |    SELECT qid, nid, sim, row_number() OVER (
+         |      PARTITION BY qid ORDER BY round(sim, 6) DESC, nid ASC) AS rank
+         |    FROM rsim) WHERE rank <= 5),
+         |$recallCtes
+         |SELECT appx.qid, appx.nid, appx.rank, appx.sim, sampled.recall_at_5
+         |FROM appx LEFT JOIN sampled USING (qid)""".stripMargin
+  }
+
   // ---------------------------------------------------------------- D25
   /** Embedding anisotropy audit (Ethayarajh 2019) — the geometry
     * health-check of the vector space every similarity operator above
@@ -2627,6 +2708,7 @@ object Similarity {
     "q_pq_distortion" -> (qPqDistortion _),
     "q_class_separation" -> (qClassSeparation _),
     "q_ann_bruteforce" -> (qAnnBruteforce _),
+    "q_ann_binary" -> (qAnnBinary _),
     "q_knn_classify" -> (qKnnClassify _),
     "q_hard_negatives" -> (qHardNegatives _),
     "q_triplet_mining" -> (qTripletMining _),
@@ -2657,6 +2739,7 @@ object Similarity {
   def oracle: Map[String, String] = {
     val k = lastShortlistK.get
     Map("q_ann_bruteforce" -> qAnnBruteforceSql,
+      "q_ann_binary" -> qAnnBinarySql,
       "q_anisotropy" -> qAnisotropySql,
       "q_mips" -> qMipsSql,
       "q_knn_classify" -> qKnnClassifySql,

@@ -2681,6 +2681,106 @@ object TemporalOps {
     * {2, 5, 10} share one window pass. Verdict cuts rounded VR at
     * ±0.2 around 1. Day table bounded; one corpus scan.
     */
+  // ---------------------------------------------------------------- F69
+  /** KPSS level-stationarity test on the daily-revenue series — the
+    * NULL-reverses-the-question completion of the F55/F56 regime
+    * family (variance-ratio and Hurst DESCRIBE persistence; KPSS
+    * tests H0 "the level is stationary", the complement of a unit-root
+    * test, and is what forecasting pipelines run before trusting an
+    * AR fit like F66). η = (Σ_t S_t²/n²) / s²_lrv with S_t the
+    * partial sums of the demeaned series and s²_lrv the Bartlett
+    * long-run variance at lag L = 7 (one trading week). EXACT
+    * device: the mean quantizes to the cent (halfUp, engine-identical
+    * — the ε it introduces is ≤ half a cent per term and identical in
+    * both engines), so demeaned values, their partial sums, and every
+    * autocovariance numerator c_j = Σ d_t·d_{t−j} are exact integers
+    * (cast-BEFORE-multiply DECIMAL; at 100 TB: |S_t| ≤ 2.4·10¹⁶,
+    * Σ S_t² ≤ 1.4·10³⁶ — inside DECIMAL(38)); the Bartlett weights
+    * (1 − j/(L+1)) clear denominators exactly —
+    * lrvNum = (L+1)·c₀ + 2·Σ(L+1−j)·c_j — and η assembles as ONE
+    * fixed-order double expression: num·(L+1)/(n·lrvNum). Verdict vs
+    * the 5% level-stationarity critical 0.463. Bounded day grid: one
+    * keyed aggregate + windows over ≤ thousands of rows.
+    */
+  def qKpss(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val L = 7
+    val daily = Tables.orders(spark, dir)
+      .groupBy(datediff(col("o_orderdate"), lit("1970-01-01")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("y"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("y").cast(d38)).as("s"))
+      .withColumn("m", expr(
+        "CAST((2 * s + n) DIV (2 * CAST(n AS DECIMAL(38,0))) AS BIGINT)"))
+    val w = Window.orderBy(col("day").asc)
+    val cumW = Window.orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var cur = daily.crossJoin(broadcast(tot))
+      .withColumn("d", col("y") - col("m"))
+      .withColumn("st", sum(col("d")).over(cumW))
+    (1 to L).foreach { j =>
+      cur = cur.withColumn(s"dl$j", lag(col("d"), j).over(w))
+    }
+    val aggCols = Seq(
+      sum(col("st").cast(d38) * col("st")).as("num"),
+      sum(col("d").cast(d38) * col("d")).as("c0")) ++
+      (1 to L).map(j =>
+        sum(col("d").cast(d38) * col(s"dl$j")).as(s"c$j"))
+    val agg = cur.agg(max(col("n")).as("n"), aggCols: _*)
+    val lrvNum = (1 to L).map(j =>
+        lit(2 * (L + 1 - j)).cast(d38) * coalesce(col(s"c$j"), lit(0).cast(d38)))
+      .foldLeft(lit(L + 1).cast(d38) * col("c0"))(_ + _)
+    agg.select(col("n").as("n_days"),
+        col("num"), lrvNum.as("lrv_num"))
+      .select(col("n_days"),
+        when(col("lrv_num") <= 0, lit(null).cast("double"))
+          .otherwise(round(col("num").cast("double") * (L + 1) /
+            (col("n_days").cast("double") * col("lrv_num").cast("double")),
+            6)).as("eta"))
+      .withColumn("lag_l", lit(L.toLong))
+      .withColumn("stationary", coalesce(col("eta") < 0.463, lit(false)))
+  }
+
+  val qKpssSql: String = {
+    val L = 7
+    val cAgg = (1 to L).map(j =>
+      s"sum(CAST(d AS HUGEINT) * dl$j) AS c$j").mkString(", ")
+    val dlCols = (1 to L).map(j =>
+      s"lag(d, $j) OVER (ORDER BY day) AS dl$j").mkString(",\n      |    ")
+    val lrv = (1 to L).map(j => s"2 * ${L + 1 - j} * coalesce(c$j, 0)")
+      .mkString(s"${L + 1} * c0 + ", " + ", "")
+    raw"""WITH daily AS (SELECT
+         |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+         |      AS day,
+         |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         |      AS y
+         |  FROM orders GROUP BY 1),
+         |tot AS (SELECT count(*) AS n, sum(CAST(y AS HUGEINT)) AS s,
+         |    CAST((2 * sum(CAST(y AS HUGEINT)) + count(*))
+         |      // (2 * CAST(count(*) AS HUGEINT)) AS BIGINT) AS m
+         |  FROM daily),
+         |dd AS (SELECT day, y - m AS d,
+         |    sum(y - m) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND CURRENT ROW) AS st,
+         |    $dlCols
+         |  FROM daily, tot),
+         |agg AS (SELECT (SELECT n FROM tot) AS n,
+         |    sum(CAST(st AS HUGEINT) * st) AS num,
+         |    sum(CAST(d AS HUGEINT) * d) AS c0, $cAgg
+         |  FROM dd),
+         |pub AS (SELECT n AS n_days, num, $lrv AS lrv_num FROM agg)
+         |SELECT n_days,
+         |  CASE WHEN lrv_num <= 0 THEN NULL
+         |    ELSE round(CAST(num AS DOUBLE) * ${L + 1}
+         |      / (CAST(n_days AS DOUBLE) * CAST(lrv_num AS DOUBLE)), 6)
+         |    END AS eta,
+         |  CAST($L AS BIGINT) AS lag_l,
+         |  coalesce(CASE WHEN lrv_num <= 0 THEN NULL
+         |    ELSE round(CAST(num AS DOUBLE) * ${L + 1}
+         |      / (CAST(n_days AS DOUBLE) * CAST(lrv_num AS DOUBLE)), 6)
+         |    END < 0.463, false) AS stationary
+         |FROM pub""".stripMargin
+  }
+
   def qVarianceRatio(spark: SparkSession, dir: String): DataFrame = {
     val d38 = "decimal(38,0)"
     val daily = Tables.orders(spark, dir)
@@ -3442,6 +3542,7 @@ object TemporalOps {
     "q_durbin_watson" -> (qDurbinWatson _),
     "q_shapley_attribution" -> (qShapleyAttribution _),
     "q_variance_ratio" -> (qVarianceRatio _),
+    "q_kpss" -> (qKpss _),
     "q_hurst" -> (qHurst _),
     "q_ljung_box" -> (qLjungBox _),
     "q_ar2_forecast" -> (qAr2Forecast _),
@@ -3499,6 +3600,7 @@ object TemporalOps {
     "q_durbin_watson" -> qDurbinWatsonSql,
     "q_shapley_attribution" -> qShapleyAttributionSql,
     "q_variance_ratio" -> qVarianceRatioSql,
+    "q_kpss" -> qKpssSql,
     "q_hurst" -> qHurstSql,
     "q_ljung_box" -> qLjungBoxSql,
     "q_ar2_forecast" -> qAr2ForecastSql,

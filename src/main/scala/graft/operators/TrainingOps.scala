@@ -31,6 +31,147 @@ object TrainingOps {
     graft.functions.TextFunctions.duckToksSql("text")
   private val duckTsSec = "CAST(floor(epoch(ts)) AS BIGINT)"
 
+  // ---------------------------------------------------------------- K37
+  /** Corpus novelty curve — the diminishing-returns audit of data
+    * acquisition: slice the corpus into ten ingest-order deciles
+    * (doc_id as the arrival proxy, the C8 convention) and ask, per
+    * slice, how many of its distinct 8-gram windows are seen for the
+    * FIRST time there. The curve's decay is the empirical answer to
+    * "how much genuinely new text does the next slice of this source
+    * actually add" — the question scaling-law data budgets (K33) and
+    * dedup inflation audits (C20) bracket from either side. Method:
+    * md5 window keys (the C22 device), decile = (doc_id·10) DIV
+    * (max_id+1); per (gram, decile) occurrence counts map-side
+    * combine BEFORE the one gram-keyed shuffle, the gram's first
+    * decile is a min over ≤ 10 cells, and the publish is a 10-row
+    * aggregate with exact-integer novelty ppm. Only (16-byte key,
+    * decile, count) rows ever shuffle — never text.
+    */
+  val NoveltyN: Int = 8
+
+  def qNgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val n = NoveltyN
+    val d38 = "decimal(38,0)"
+    val mx = Tables.documents(spark, dir).agg(max(col("doc_id")).as("mxid"))
+    val grams = Tables.documents(spark, dir)
+      .crossJoin(broadcast(mx))
+      .select(expr("least(9, (doc_id * 10) DIV (mxid + 1))").as("dec"),
+        tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("dec"),
+        explode(transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+          i => md5(concat_ws(" ", slice(col("toks"), i, lit(n)))))).as("g"))
+    val gd = grams.groupBy(col("g"), col("dec"))
+      .agg(count(lit(1)).as("occ"))
+    val fd = gd.groupBy(col("g")).agg(min(col("dec")).as("first_dec"))
+    def ppm(num: String, den: String): org.apache.spark.sql.Column =
+      expr(s"CAST((2 * CAST($num AS DECIMAL(38,0)) * 1000000 + $den)" +
+        s" DIV (2 * CAST($den AS DECIMAL(38,0))) AS BIGINT)")
+    gd.join(fd, "g")
+      .groupBy(col("dec").as("decile"))
+      .agg(sum(col("occ").cast(d38)).cast("long").as("n_occurrences"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("first_dec") === col("dec"), 1L).otherwise(0L))
+          .cast("long").as("n_first_seen"))
+      .select(col("decile"), col("n_occurrences"), col("n_distinct"),
+        col("n_first_seen"), ppm("n_first_seen", "n_distinct").as("novelty_ppm"))
+  }
+
+  val qNgramNoveltySql: String = {
+    val n = NoveltyN
+    raw"""WITH mx AS (SELECT max(doc_id) AS mxid FROM documents),
+         |toked AS (SELECT least(9, (doc_id * 10) // (mxid + 1)) AS dec,
+         |    $duckToks AS toks
+         |  FROM documents, mx),
+         |idx AS (SELECT dec, toks,
+         |    unnest(generate_series(1, len(toks) - ${n - 1})) AS i
+         |  FROM toked WHERE len(toks) >= $n),
+         |grams AS (SELECT dec,
+         |    md5(array_to_string(list_slice(toks, i, i + ${n - 1}), ' ')) AS g
+         |  FROM idx),
+         |gd AS (SELECT g, dec, count(*) AS occ FROM grams GROUP BY 1, 2),
+         |fd AS (SELECT g, min(dec) AS first_dec FROM gd GROUP BY 1),
+         |agg AS (SELECT dec AS decile,
+         |    CAST(sum(occ) AS BIGINT) AS n_occurrences,
+         |    count(*) AS n_distinct,
+         |    CAST(sum(CASE WHEN first_dec = dec THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_first_seen
+         |  FROM gd JOIN fd USING (g) GROUP BY 1)
+         |SELECT decile, n_occurrences, n_distinct, n_first_seen,
+         |  CAST((2 * CAST(n_first_seen AS HUGEINT) * 1000000 + n_distinct)
+         |    // (2 * CAST(n_distinct AS HUGEINT)) AS BIGINT) AS novelty_ppm
+         |FROM agg""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- K38
+  /** Span-corruption plan — the T5/UL2 denoising-objective budget,
+    * computed per source BEFORE any batch is built: at corruption
+    * rate 15% and mean span length 3, each doc of n tokens plans
+    * max(1, halfUp(n/20)) spans (n/20 = 0.15·n/3), corrupts
+    * min(3·spans, n) tokens, and emits an encoder sequence of
+    * n − corrupted + spans sentinels and a decoder sequence of
+    * corrupted + spans + 1 tokens — so Σ input and Σ target are the
+    * actual seq2seq token bill, and the overhead ppm (input+target
+    * vs raw) is what the objective costs over plain LM packing (K1).
+    * EVERYTHING is exact integer arithmetic (the halfUp DIV device,
+    * exact DECIMAL sums, ppm publishes); map-only per doc + one
+    * source-keyed aggregate.
+    */
+  def qSpanCorruptionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val per = Tables.documents(spark, dir)
+      .select(col("source"), tokenCount(col("text")).cast("long").as("nt"))
+      .filter(col("nt") >= 1)
+      .withColumn("spans",
+        greatest(lit(1L), expr("(2 * nt + 20) DIV 40")))
+      .withColumn("corrupted", least(col("spans") * 3, col("nt")))
+      .withColumn("input_len", col("nt") - col("corrupted") + col("spans"))
+      .withColumn("target_len", col("corrupted") + col("spans") + 1)
+    def ppm(num: String, den: String): org.apache.spark.sql.Column =
+      expr(s"CAST((2 * CAST($num AS DECIMAL(38,0)) * 1000000 + $den)" +
+        s" DIV (2 * CAST($den AS DECIMAL(38,0))) AS BIGINT)")
+    per.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt").cast(d38)).cast("long").as("tok_total"),
+        sum(col("spans").cast(d38)).cast("long").as("n_spans"),
+        sum(col("corrupted").cast(d38)).cast("long").as("tok_corrupted"),
+        sum(col("input_len").cast(d38)).cast("long").as("input_total"),
+        sum(col("target_len").cast(d38)).cast("long").as("target_total"))
+      .select(col("source"), col("n_docs"), col("tok_total"), col("n_spans"),
+        col("tok_corrupted"), col("input_total"), col("target_total"),
+        ppm("tok_corrupted", "tok_total").as("corruption_ppm"),
+        ppm("input_total + target_total", "tok_total").as("overhead_ppm"))
+  }
+
+  val qSpanCorruptionPlanSql: String =
+    raw"""WITH per AS (SELECT source, len($duckToks) AS nt
+         |  FROM documents),
+         |pl AS (SELECT source, nt,
+         |    greatest(1, (2 * nt + 20) // 40) AS spans
+         |  FROM per WHERE nt >= 1),
+         |p2 AS (SELECT source, nt, spans,
+         |    least(spans * 3, nt) AS corrupted
+         |  FROM pl),
+         |p3 AS (SELECT source, nt, spans, corrupted,
+         |    nt - corrupted + spans AS input_len,
+         |    corrupted + spans + 1 AS target_len
+         |  FROM p2),
+         |agg AS (SELECT source, count(*) AS n_docs,
+         |    CAST(sum(CAST(nt AS HUGEINT)) AS BIGINT) AS tok_total,
+         |    CAST(sum(CAST(spans AS HUGEINT)) AS BIGINT) AS n_spans,
+         |    CAST(sum(CAST(corrupted AS HUGEINT)) AS BIGINT) AS tok_corrupted,
+         |    CAST(sum(CAST(input_len AS HUGEINT)) AS BIGINT) AS input_total,
+         |    CAST(sum(CAST(target_len AS HUGEINT)) AS BIGINT) AS target_total
+         |  FROM p3 GROUP BY 1)
+         |SELECT source, n_docs, tok_total, n_spans, tok_corrupted,
+         |  input_total, target_total,
+         |  CAST((2 * CAST(tok_corrupted AS HUGEINT) * 1000000 + tok_total)
+         |    // (2 * CAST(tok_total AS HUGEINT)) AS BIGINT) AS corruption_ppm,
+         |  CAST((2 * CAST(input_total + target_total AS HUGEINT) * 1000000
+         |      + tok_total)
+         |    // (2 * CAST(tok_total AS HUGEINT)) AS BIGINT) AS overhead_ppm
+         |FROM agg""".stripMargin
+
   // ---------------------------------------------------------------- B8
   /** Repetition quality signals per document (the Gopher-style
     * repetition filters, re-expressed for a newline-free corpus):
@@ -2447,6 +2588,8 @@ object TrainingOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dsir_weights" -> (qDsirWeights _),
     "q_context_len" -> (qContextLen _),
+    "q_ngram_novelty" -> (qNgramNovelty _),
+    "q_span_corruption_plan" -> (qSpanCorruptionPlan _),
     "q_mixture_entropy" -> (qMixtureEntropy _),
     "q_scaling_curve" -> (qScalingCurve _),
     "q_stupid_backoff" -> (qStupidBackoff _),
@@ -2490,6 +2633,8 @@ object TrainingOps {
   def oracle: Map[String, String] = Map(
     "q_dsir_weights" -> qDsirWeightsSql,
     "q_context_len" -> qContextLenSql,
+    "q_ngram_novelty" -> qNgramNoveltySql,
+    "q_span_corruption_plan" -> qSpanCorruptionPlanSql,
     "q_mixture_entropy" -> qMixtureEntropySql,
     "q_scaling_curve" -> qScalingCurveSql,
     "q_stupid_backoff" -> qStupidBackoffSql,

@@ -5216,6 +5216,320 @@ object Validation {
 
   val qTableProfileApproxSql: String = tableProfileSqlFor(withNdvOk = true)
 
+  // ---------------------------------------------------------------- L67
+  /** Grubbs-style maximum-studentized-deviation screen on order totals
+    * — the single-outlier question the L10 MAD screen answers in bulk,
+    * asked the classical way: how many sample SDs does the most
+    * extreme total sit from the mean? Exact device: cents are exact
+    * longs, so the max deviation needs no argmax join — it is
+    * max(n·max−Σ, Σ−n·min)/n, with the numerator an exact DECIMAL
+    * cross-multiplication; the sample SD comes from the exact
+    * (n·Σx²−Σ²) form, and G assembles as ONE fixed-order double
+    * expression, 6-dp. Verdict vs the 4σ screening rule (the
+    * portable large-n cut; the exact Grubbs critical needs a t
+    * quantile neither engine exposes — documented, not hidden).
+    * ONE map-side-combined pass, 1 row out.
+    */
+  def qGrubbs(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val a = Tables.orders(spark, dir)
+      .select(round(col("o_totalprice") * 100).cast("long").as("c"))
+      .agg(count(lit(1)).as("n"), sum(col("c").cast(d38)).as("s"),
+        sum((col("c") * col("c")).cast(d38)).as("s2"),
+        max(col("c")).as("mx"), min(col("c")).as("mn"))
+    a.select(col("n"), col("mx").as("max_cents"), col("mn").as("min_cents"),
+        greatest(col("mx").cast(d38) * col("n") - col("s"),
+          col("s") - col("mn").cast(d38) * col("n")).as("dev_num"),
+        ((col("n").cast(d38) * col("s2") - col("s") * col("s")))
+          .as("var_num"))
+      .select(col("n"), col("max_cents"), col("min_cents"),
+        round((col("dev_num").cast("double") / col("n")) /
+          sqrt(col("var_num").cast("double") /
+            (col("n").cast("double") * (col("n").cast("double") - 1))),
+          6).as("g"))
+      .withColumn("extreme", col("g") > 4.0)
+  }
+
+  val qGrubbsSql: String =
+    """WITH a AS (SELECT count(*) AS n,
+      |    sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT))
+      |      AS s,
+      |    sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+      |      * CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT)) AS s2,
+      |    max(CAST(round(o_totalprice * 100) AS BIGINT)) AS mx,
+      |    min(CAST(round(o_totalprice * 100) AS BIGINT)) AS mn
+      |  FROM orders)
+      |SELECT n, mx AS max_cents, mn AS min_cents,
+      |  round((CAST(greatest(CAST(mx AS HUGEINT) * n - s,
+      |      s - CAST(mn AS HUGEINT) * n) AS DOUBLE) / n)
+      |    / sqrt(CAST(CAST(n AS HUGEINT) * s2 - s * s AS DOUBLE)
+      |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))), 6) AS g,
+      |  (round((CAST(greatest(CAST(mx AS HUGEINT) * n - s,
+      |      s - CAST(mn AS HUGEINT) * n) AS DOUBLE) / n)
+      |    / sqrt(CAST(CAST(n AS HUGEINT) * s2 - s * s AS DOUBLE)
+      |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))), 6) > 4.0)
+      |    AS extreme
+      |FROM a""".stripMargin
+
+  // ---------------------------------------------------------------- L69
+  /** Cliff's delta — the ordinal effect size that belongs next to the
+    * L14 Mann–Whitney p-value (significance says a shift exists;
+    * δ = P(X>Y) − P(X<Y) says whether anyone should care). BUILDING
+    * vs MACHINERY order totals on the same $100 binning as the
+    * L56/L58/L60 family, so the statistic is of the binned
+    * distributions and the arithmetic is EXACT: the dominance counts
+    * fold off the bin histogram — #{x>y} = Σ_b na(b)·cumB(<b),
+    * #{x<y} = Σ_b na(b)·(n2 − cumB(<b) − nb(b)) — as DECIMAL
+    * products (n1·n2 wraps int64 past ~3e9 rows, so the counts
+    * publish as digit VARCHAR, the rank-sum device), and δ is ONE
+    * double division, 6-dp. The magnitude label uses the Romano
+    * cuts (.147/.33/.474) on the rounded δ — engine-identical.
+    * Bounded bin grid: one histogram pass + a window over bins.
+    */
+  def qCliffsDelta(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val seg = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(col("c_mktsegment").as("seg"),
+        floor(col("o_totalprice") / 100).cast("long").as("bin"))
+    val hist = seg.groupBy(col("bin"))
+      .agg(count(when(col("seg") === "BUILDING", 1)).as("na"),
+        count(when(col("seg") === "MACHINERY", 1)).as("nb"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.withColumn("cb", coalesce(sum(col("nb")).over(w), lit(0L)))
+    val agg = cum.agg(
+      sum(col("na")).cast("long").as("n1"),
+      sum(col("nb")).cast("long").as("n2"),
+      sum(col("na").cast(d38) * col("cb")).as("gt"),
+      sum(col("na").cast(d38) * col("nb")).as("tie"))
+    agg.select(col("n1"), col("n2"),
+        col("gt").cast(d38).cast("string").as("pairs_gt"),
+        (col("n1").cast(d38) * col("n2") - col("gt") - col("tie"))
+          .cast("string").as("pairs_lt"),
+        round((col("gt").cast("double") -
+          (col("n1").cast(d38) * col("n2") - col("gt") - col("tie"))
+            .cast("double")) /
+          (col("n1").cast("double") * col("n2").cast("double")), 6)
+          .as("delta"))
+      .withColumn("magnitude",
+        when(abs(col("delta")) < 0.147, "negligible")
+          .when(abs(col("delta")) < 0.33, "small")
+          .when(abs(col("delta")) < 0.474, "medium")
+          .otherwise("large"))
+  }
+
+  val qCliffsDeltaSql: String =
+    """WITH seg AS (SELECT c_mktsegment AS seg,
+      |    CAST(floor(o_totalprice / 100) AS BIGINT) AS bin
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+      |hist AS (SELECT bin,
+      |    count(CASE WHEN seg = 'BUILDING' THEN 1 END) AS na,
+      |    count(CASE WHEN seg = 'MACHINERY' THEN 1 END) AS nb
+      |  FROM seg GROUP BY 1),
+      |cum AS (SELECT bin, na, nb,
+      |    coalesce(sum(nb) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+      |      PRECEDING AND 1 PRECEDING), 0) AS cb
+      |  FROM hist),
+      |agg AS (SELECT CAST(sum(na) AS BIGINT) AS n1,
+      |    CAST(sum(nb) AS BIGINT) AS n2,
+      |    sum(CAST(na AS HUGEINT) * cb) AS gt,
+      |    sum(CAST(na AS HUGEINT) * nb) AS tie
+      |  FROM cum)
+      |SELECT n1, n2, CAST(gt AS VARCHAR) AS pairs_gt,
+      |  CAST(CAST(n1 AS HUGEINT) * n2 - gt - tie AS VARCHAR) AS pairs_lt,
+      |  round((CAST(gt AS DOUBLE)
+      |    - CAST(CAST(n1 AS HUGEINT) * n2 - gt - tie AS DOUBLE))
+      |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS delta,
+      |  CASE WHEN abs(round((CAST(gt AS DOUBLE)
+      |      - CAST(CAST(n1 AS HUGEINT) * n2 - gt - tie AS DOUBLE))
+      |      / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6)) < 0.147
+      |    THEN 'negligible'
+      |  WHEN abs(round((CAST(gt AS DOUBLE)
+      |      - CAST(CAST(n1 AS HUGEINT) * n2 - gt - tie AS DOUBLE))
+      |      / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6)) < 0.33
+      |    THEN 'small'
+      |  WHEN abs(round((CAST(gt AS DOUBLE)
+      |      - CAST(CAST(n1 AS HUGEINT) * n2 - gt - tie AS DOUBLE))
+      |      / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6)) < 0.474
+      |    THEN 'medium' ELSE 'large' END AS magnitude
+      |FROM agg""".stripMargin
+
+  // ---------------------------------------------------------------- L70
+  /** Heterogeneous uplift readout — the L3 A/B verdict broken out by
+    * customer market segment, which is the question a targeting
+    * decision actually needs answered (an experiment flat on average
+    * routinely hides segments where it wins and loses). Arms by the
+    * deterministic md5 parity (the L3/L25 device, null-true by
+    * construction so the machinery is what's audited); response =
+    * per-user purchase cents (exact longs); segment from the
+    * user⋈customer FK. Per segment: exact populations and DECIMAL
+    * spend sums, mean spend per arm (one IEEE division each), and
+    * the uplift in dollars, 6-dp. One user-level aggregate + one
+    * broadcast-sized dim join + a 5-row publish.
+    */
+  def qUplift(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val pu = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase",
+        round(col("value") * 100).cast("long")).otherwise(0L)).as("cents"))
+      .withColumn("arm",
+        when(expr("conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10)")
+          .cast("long") % 2 === 0, "treat").otherwise("ctrl"))
+    val seg = pu.join(Tables.customer(spark, dir),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(when(col("arm") === "treat", 1)).as("n_t"),
+        count(when(col("arm") === "ctrl", 1)).as("n_c"),
+        sum(when(col("arm") === "treat", col("cents")).otherwise(0L)
+          .cast(d38)).as("s_t"),
+        sum(when(col("arm") === "ctrl", col("cents")).otherwise(0L)
+          .cast(d38)).as("s_c"))
+    seg.select(col("segment"), col("n_t"), col("n_c"),
+      when(col("n_t") === 0, lit(null).cast("double"))
+        .otherwise(round(col("s_t").cast("double") / col("n_t") / 100.0, 6))
+        .as("mean_treat"),
+      when(col("n_c") === 0, lit(null).cast("double"))
+        .otherwise(round(col("s_c").cast("double") / col("n_c") / 100.0, 6))
+        .as("mean_ctrl"),
+      when(col("n_t") === 0 || col("n_c") === 0, lit(null).cast("double"))
+        .otherwise(round(col("s_t").cast("double") / col("n_t") / 100.0 -
+          col("s_c").cast("double") / col("n_c") / 100.0, 6)).as("uplift"))
+  }
+
+  val qUpliftSql: String =
+    """WITH pu AS (SELECT user_id,
+      |    CAST(sum(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+      |      AS cents
+      |  FROM events GROUP BY 1),
+      |arms AS (SELECT user_id, cents,
+      |    CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+      |      THEN 'treat' ELSE 'ctrl' END AS arm
+      |  FROM pu),
+      |seg AS (SELECT c_mktsegment AS segment,
+      |    count(CASE WHEN arm = 'treat' THEN 1 END) AS n_t,
+      |    count(CASE WHEN arm = 'ctrl' THEN 1 END) AS n_c,
+      |    sum(CAST(CASE WHEN arm = 'treat' THEN cents ELSE 0 END AS HUGEINT)) AS s_t,
+      |    sum(CAST(CASE WHEN arm = 'ctrl' THEN cents ELSE 0 END AS HUGEINT)) AS s_c
+      |  FROM arms JOIN customer ON user_id = c_custkey GROUP BY 1)
+      |SELECT segment, n_t, n_c,
+      |  CASE WHEN n_t = 0 THEN NULL
+      |    ELSE round(CAST(s_t AS DOUBLE) / n_t / 100.0, 6) END AS mean_treat,
+      |  CASE WHEN n_c = 0 THEN NULL
+      |    ELSE round(CAST(s_c AS DOUBLE) / n_c / 100.0, 6) END AS mean_ctrl,
+      |  CASE WHEN n_t = 0 OR n_c = 0 THEN NULL
+      |    ELSE round(CAST(s_t AS DOUBLE) / n_t / 100.0
+      |      - CAST(s_c AS DOUBLE) / n_c / 100.0, 6) END AS uplift
+      |FROM seg""".stripMargin
+
+  // ---------------------------------------------------------------- L68
+  /** Chow structural-break test — did the price-vs-time regression
+    * CHANGE at a known break date (1998-01-01, mid-corpus)? The
+    * econometric sibling of F34's changepoint scan: F34 finds the
+    * break, Chow tests a hypothesized one. Simple OLS of order cents
+    * on epoch-day, fitted three times (pooled, pre, post) from ONE
+    * pass of per-segment exact DECIMAL moment sums (the E22 device);
+    * each SSR folds to Syy − Sxy²/Sxx in doubles over exact sums, and
+    * F = ((SSR_p − SSR_1 − SSR_2)/k) / ((SSR_1 + SSR_2)/(n−2k)),
+    * k = 2. Verdict vs the F(2,∞) 5% critical 3.0 (documented fixed
+    * cut — neither engine exposes an F quantile). Cents and days are
+    * exact integers; only the SSR assembly is floating, in one
+    * documented order.
+    */
+  def qChowTest(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val base = Tables.orders(spark, dir).select(
+      datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long").as("x"),
+      round(col("o_totalprice") * 100).cast("long").as("y"),
+      (col("o_orderdate").cast("date") < lit("1998-01-01").cast("date"))
+        .as("pre"))
+    def moms(df: DataFrame) = df.agg(count(lit(1)).as("n"),
+      sum(col("x").cast(d38)).as("sx"), sum(col("y").cast(d38)).as("sy"),
+      sum((col("x") * col("x")).cast(d38)).as("sxx"),
+      sum((col("x") * col("y")).cast(d38)).as("sxy"),
+      sum((col("y").cast(d38) * col("y"))).as("syy"))
+    val seg = base.groupBy(col("pre")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(d38)).as("sx"), sum(col("y").cast(d38)).as("sy"),
+      sum((col("x") * col("x")).cast(d38)).as("sxx"),
+      sum((col("x") * col("y")).cast(d38)).as("sxy"),
+      sum((col("y").cast(d38) * col("y"))).as("syy"))
+    def segCol(p: Boolean, c: String) =
+      max(when(col("pre") === p, col(c))).as(c + (if (p) "_1" else "_2"))
+    val wide = seg.agg(
+      segCol(true, "n"), segCol(true, "sx"), segCol(true, "sy"),
+      segCol(true, "sxx"), segCol(true, "sxy"), segCol(true, "syy"),
+      segCol(false, "n"), segCol(false, "sx"), segCol(false, "sy"),
+      segCol(false, "sxx"), segCol(false, "sxy"), segCol(false, "syy"))
+    def ssr(n: org.apache.spark.sql.Column, sx: org.apache.spark.sql.Column,
+        sy: org.apache.spark.sql.Column, sxx: org.apache.spark.sql.Column,
+        sxy: org.apache.spark.sql.Column, syy: org.apache.spark.sql.Column) = {
+      val nd = n.cast("double")
+      val cxx = sxx.cast("double") - sx.cast("double") * sx.cast("double") / nd
+      val cxy = sxy.cast("double") - sx.cast("double") * sy.cast("double") / nd
+      val cyy = syy.cast("double") - sy.cast("double") * sy.cast("double") / nd
+      when(cxx <= 0, cyy).otherwise(cyy - cxy * cxy / cxx)
+    }
+    val j = wide.crossJoin(broadcast(moms(base)))
+      .withColumn("ssr_p", ssr(col("n"), col("sx"), col("sy"),
+        col("sxx"), col("sxy"), col("syy")))
+      .withColumn("ssr_1", ssr(col("n_1"), col("sx_1"), col("sy_1"),
+        col("sxx_1"), col("sxy_1"), col("syy_1")))
+      .withColumn("ssr_2", ssr(col("n_2"), col("sx_2"), col("sy_2"),
+        col("sxx_2"), col("sxy_2"), col("syy_2")))
+    j.select(col("n_1").as("n_pre"), col("n_2").as("n_post"),
+        round(((col("ssr_p") - col("ssr_1") - col("ssr_2")) / 2.0) /
+          ((col("ssr_1") + col("ssr_2")) /
+            (col("n").cast("double") - 4.0)), 6).as("f_stat"))
+      .withColumn("break_detected", col("f_stat") > 3.0)
+  }
+
+  val qChowTestSql: String = {
+    val m = "count(*) AS n, sum(CAST(x AS HUGEINT)) AS sx, " +
+      "sum(CAST(y AS HUGEINT)) AS sy, " +
+      "sum(CAST(x AS HUGEINT) * x) AS sxx, " +
+      "sum(CAST(x AS HUGEINT) * y) AS sxy, " +
+      "sum(CAST(y AS HUGEINT) * y) AS syy"
+    """WITH base AS (SELECT
+      |    CAST(date_diff('day', DATE '1970-01-01',
+      |      CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS y,
+      |    (CAST(o_orderdate AS DATE) < DATE '1998-01-01') AS pre
+      |  FROM orders),
+      |p AS (SELECT MOMS FROM base),
+      |s1 AS (SELECT MOMS FROM base WHERE pre),
+      |s2 AS (SELECT MOMS FROM base WHERE NOT pre),
+      |f AS (SELECT s1.n AS n_1, s2.n AS n_2, p.n AS n,
+      |    (CAST(p.syy AS DOUBLE) - CAST(p.sy AS DOUBLE) * CAST(p.sy AS DOUBLE) / p.n)
+      |      - CASE WHEN CAST(p.sxx AS DOUBLE) - CAST(p.sx AS DOUBLE) * CAST(p.sx AS DOUBLE) / p.n <= 0 THEN 0
+      |        ELSE (CAST(p.sxy AS DOUBLE) - CAST(p.sx AS DOUBLE) * CAST(p.sy AS DOUBLE) / p.n)
+      |          * (CAST(p.sxy AS DOUBLE) - CAST(p.sx AS DOUBLE) * CAST(p.sy AS DOUBLE) / p.n)
+      |          / (CAST(p.sxx AS DOUBLE) - CAST(p.sx AS DOUBLE) * CAST(p.sx AS DOUBLE) / p.n) END AS ssr_p,
+      |    (CAST(s1.syy AS DOUBLE) - CAST(s1.sy AS DOUBLE) * CAST(s1.sy AS DOUBLE) / s1.n)
+      |      - CASE WHEN CAST(s1.sxx AS DOUBLE) - CAST(s1.sx AS DOUBLE) * CAST(s1.sx AS DOUBLE) / s1.n <= 0 THEN 0
+      |        ELSE (CAST(s1.sxy AS DOUBLE) - CAST(s1.sx AS DOUBLE) * CAST(s1.sy AS DOUBLE) / s1.n)
+      |          * (CAST(s1.sxy AS DOUBLE) - CAST(s1.sx AS DOUBLE) * CAST(s1.sy AS DOUBLE) / s1.n)
+      |          / (CAST(s1.sxx AS DOUBLE) - CAST(s1.sx AS DOUBLE) * CAST(s1.sx AS DOUBLE) / s1.n) END AS ssr_1,
+      |    (CAST(s2.syy AS DOUBLE) - CAST(s2.sy AS DOUBLE) * CAST(s2.sy AS DOUBLE) / s2.n)
+      |      - CASE WHEN CAST(s2.sxx AS DOUBLE) - CAST(s2.sx AS DOUBLE) * CAST(s2.sx AS DOUBLE) / s2.n <= 0 THEN 0
+      |        ELSE (CAST(s2.sxy AS DOUBLE) - CAST(s2.sx AS DOUBLE) * CAST(s2.sy AS DOUBLE) / s2.n)
+      |          * (CAST(s2.sxy AS DOUBLE) - CAST(s2.sx AS DOUBLE) * CAST(s2.sy AS DOUBLE) / s2.n)
+      |          / (CAST(s2.sxx AS DOUBLE) - CAST(s2.sx AS DOUBLE) * CAST(s2.sx AS DOUBLE) / s2.n) END AS ssr_2
+      |  FROM s1, s2, p)
+      |SELECT n_1 AS n_pre, n_2 AS n_post,
+      |  round(((ssr_p - ssr_1 - ssr_2) / 2.0)
+      |    / ((ssr_1 + ssr_2) / (CAST(n AS DOUBLE) - 4.0)), 6) AS f_stat,
+      |  (round(((ssr_p - ssr_1 - ssr_2) / 2.0)
+      |    / ((ssr_1 + ssr_2) / (CAST(n AS DOUBLE) - 4.0)), 6) > 3.0)
+      |    AS break_detected
+      |FROM f""".stripMargin.replace("MOMS", m)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cvm_test" -> (qCvmTest _),
     "q_mood_median" -> (qMoodMedian _),
@@ -5223,6 +5537,10 @@ object Validation {
     "q_hill_tail" -> (qHillTail _),
     "q_table_profile" -> (qTableProfile _),
     "q_table_profile_approx" -> (qTableProfileApprox _),
+    "q_grubbs" -> (qGrubbs _),
+    "q_chow_test" -> (qChowTest _),
+    "q_cliffs_delta" -> (qCliffsDelta _),
+    "q_uplift" -> (qUplift _),
     "q_breusch_pagan" -> (qBreuschPagan _),
     "q_wilcoxon_signed" -> (qWilcoxonSigned _),
     "q_anderson_darling" -> (qAndersonDarling _),
@@ -5289,6 +5607,10 @@ object Validation {
     "q_hill_tail" -> qHillTailSql,
     "q_table_profile" -> qTableProfileSql,
     "q_table_profile_approx" -> qTableProfileApproxSql,
+    "q_grubbs" -> qGrubbsSql,
+    "q_chow_test" -> qChowTestSql,
+    "q_cliffs_delta" -> qCliffsDeltaSql,
+    "q_uplift" -> qUpliftSql,
     "q_breusch_pagan" -> qBreuschPaganSql,
     "q_wilcoxon_signed" -> qWilcoxonSignedSql,
     "q_anderson_darling" -> qAndersonDarlingSql,

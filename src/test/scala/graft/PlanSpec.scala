@@ -319,6 +319,19 @@ class PlanSpec extends AnyFunSuite {
       // r17 new query (same-commit pin per the r16 discipline ask):
       // 8 exact-profile exchanges + one sketch-pass aggregate per table
       "q_table_profile_approx" -> 12)
+    runCeilings(ceilings)
+  }
+
+  test("r17 wave: pinned exchange ceilings") {
+    // measured sf0.001 == sf0.01 at pin time (XcDebug, both SFs)
+    runCeilings(Map(
+      "q_grubbs" -> 1, "q_chow_test" -> 3, "q_cliffs_delta" -> 2,
+      "q_uplift" -> 2, "q_ece" -> 2, "q_kpss" -> 4,
+      "q_ngram_novelty" -> 4, "q_span_corruption_plan" -> 1,
+      "q_ann_binary" -> 4, "q_reciprocity" -> 3))
+  }
+
+  private def runCeilings(ceilings: Map[String, Int]): Unit = {
     val failures = ceilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
       val qe = SparkEntry.queries(name)(spark, sf).queryExecution
       qe.toRdd.count()

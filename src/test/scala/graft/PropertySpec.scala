@@ -3739,4 +3739,260 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  // ------------------------------------------------------------ r17 wave
+
+  test("q_grubbs: G recomposes from exact driver-side moments, verdict consistent") {
+    val sf = TestSession.sf
+    val r = graft.operators.Validation.queries("q_grubbs")(spark, sf)
+      .collect().head
+    val cents = Tables.orders(spark, sf)
+      .select(round(col("o_totalprice") * 100).cast("long"))
+      .as[Long].collect()
+    val n = BigInt(cents.length)
+    val s = cents.map(BigInt(_)).sum
+    val s2 = cents.map(c => BigInt(c) * c).sum
+    val devNum = (BigInt(cents.max) * n - s).max(s - BigInt(cents.min) * n)
+    val g = (devNum.toDouble / n.toDouble) /
+      math.sqrt((n * s2 - s * s).toDouble /
+        (n.toDouble * (n.toDouble - 1)))
+    assert(r.getAs[Long]("n") == cents.length.toLong)
+    assert(r.getAs[Long]("max_cents") == cents.max)
+    assert(math.abs(r.getAs[Double]("g") - g) < 1e-5,
+      s"grubbs ${r.getAs[Double]("g")} vs $g")
+    assert(r.getAs[Boolean]("extreme") == (r.getAs[Double]("g") > 4.0))
+  }
+
+  test("q_chow_test: F recomposes from exact per-segment moment sums") {
+    val sf = TestSession.sf
+    val r = graft.operators.Validation.queries("q_chow_test")(spark, sf)
+      .collect().head
+    val rows = Tables.orders(spark, sf).select(
+      datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long"),
+      round(col("o_totalprice") * 100).cast("long"),
+      (col("o_orderdate").cast("date") < lit("1998-01-01").cast("date")))
+      .as[(Long, Long, Boolean)].collect()
+    def ssr(xs: Array[(Long, Long, Boolean)]): Double = {
+      val n = BigInt(xs.length)
+      val sx = xs.map(t => BigInt(t._1)).sum
+      val sy = xs.map(t => BigInt(t._2)).sum
+      val sxx = xs.map(t => BigInt(t._1) * t._1).sum
+      val sxy = xs.map(t => BigInt(t._1) * t._2).sum
+      val syy = xs.map(t => BigInt(t._2) * t._2).sum
+      val nd = n.toDouble
+      val cxx = sxx.toDouble - sx.toDouble * sx.toDouble / nd
+      val cxy = sxy.toDouble - sx.toDouble * sy.toDouble / nd
+      val cyy = syy.toDouble - sy.toDouble * sy.toDouble / nd
+      if (cxx <= 0) cyy else cyy - cxy * cxy / cxx
+    }
+    val (pre, post) = rows.partition(_._3)
+    val f = ((ssr(rows) - ssr(pre) - ssr(post)) / 2.0) /
+      ((ssr(pre) + ssr(post)) / (rows.length.toDouble - 4.0))
+    assert(r.getAs[Long]("n_pre") == pre.length.toLong)
+    assert(r.getAs[Long]("n_post") == post.length.toLong)
+    assert(math.abs(r.getAs[Double]("f_stat") - f) < 1e-4,
+      s"chow ${r.getAs[Double]("f_stat")} vs $f")
+    assert(r.getAs[Boolean]("break_detected") ==
+      (r.getAs[Double]("f_stat") > 3.0))
+  }
+
+  test("q_cliffs_delta: delta matches a driver-side all-pairs count on the binned values") {
+    val sf = TestSession.sf
+    val r = graft.operators.Validation.queries("q_cliffs_delta")(spark, sf)
+      .collect().head
+    val data = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(col("c_mktsegment"), floor(col("o_totalprice") / 100).cast("long"))
+      .as[(String, Long)].collect()
+    val a = data.filter(_._1 == "BUILDING").map(_._2)
+    val b = data.filter(_._1 == "MACHINERY").map(_._2)
+    // brute force is O(n1·n2) — fine at the smallest SF only
+    var gt = BigInt(0); var lt = BigInt(0)
+    // count via sorted b + binary search to keep the spec fast
+    val bs = b.sorted
+    def lowerBound(x: Long): Int = {
+      var lo = 0; var hi = bs.length
+      while (lo < hi) { val m = (lo + hi) >>> 1
+        if (bs(m) < x) lo = m + 1 else hi = m }
+      lo
+    }
+    def upperBound(x: Long): Int = {
+      var lo = 0; var hi = bs.length
+      while (lo < hi) { val m = (lo + hi) >>> 1
+        if (bs(m) <= x) lo = m + 1 else hi = m }
+      lo
+    }
+    a.foreach { x =>
+      gt += lowerBound(x)
+      lt += bs.length - upperBound(x)
+    }
+    assert(BigInt(r.getAs[String]("pairs_gt")) == gt)
+    assert(BigInt(r.getAs[String]("pairs_lt")) == lt)
+    val delta = (gt.toDouble - lt.toDouble) /
+      (a.length.toDouble * b.length.toDouble)
+    assert(math.abs(r.getAs[Double]("delta") - delta) < 1e-5)
+    val mag = math.abs(r.getAs[Double]("delta"))
+    val expect = if (mag < 0.147) "negligible" else if (mag < 0.33) "small"
+      else if (mag < 0.474) "medium" else "large"
+    assert(r.getAs[String]("magnitude") == expect)
+  }
+
+  test("q_kpss: eta recomposes from exact partial sums and Bartlett autocovariances") {
+    val sf = TestSession.sf
+    val r = graft.operators.TemporalOps.queries("q_kpss")(spark, sf)
+      .collect().head
+    val daily = Tables.orders(spark, sf)
+      .groupBy(datediff(col("o_orderdate"), lit("1970-01-01")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("y"))
+      .orderBy(col("day")).as[(Int, Long)].collect().map(_._2)
+    val L = 7
+    val n = BigInt(daily.length)
+    val s = daily.map(BigInt(_)).sum
+    val m = (2 * s + n) / (2 * n) // halfUp (all-positive revenue)
+    val d = daily.map(BigInt(_) - m)
+    val st = d.scanLeft(BigInt(0))(_ + _).tail
+    val num = st.map(x => x * x).sum
+    val c = (0 to L).map(j =>
+      (j until d.length).map(t => d(t) * d(t - j)).sum)
+    val lrvNum = BigInt(L + 1) * c(0) +
+      (1 to L).map(j => BigInt(2 * (L + 1 - j)) * c(j)).sum
+    val eta = num.toDouble * (L + 1) / (daily.length.toDouble * lrvNum.toDouble)
+    assert(r.getAs[Long]("n_days") == daily.length.toLong)
+    assert(math.abs(r.getAs[Double]("eta") - eta) < 1e-5,
+      s"kpss ${r.getAs[Double]("eta")} vs $eta")
+    assert(r.getAs[Boolean]("stationary") == (r.getAs[Double]("eta") < 0.463))
+  }
+
+  test("q_ece: folds the q_calibration reliability diagram exactly") {
+    val sf = TestSession.sf
+    val r = graft.ml.FeatureOps.queries("q_ece")(spark, sf).collect().head
+    // cross-query consistency: ECE/MCE must be the µ-quantized fold of
+    // the ORACLE-CHECKED per-bin diagram — no independent scoring path
+    val bins = graft.ml.FeatureOps.queries("q_calibration")(spark, sf)
+      .select(col("n"),
+        round(abs(col("mean_score") - col("frac_pos")) * 1e6).cast("long"))
+      .as[(Long, Long)].collect()
+    val nDocs = bins.map(_._1).sum
+    val sw = bins.map(t => BigInt(t._1) * t._2).sum
+    val ece = sw.toDouble / (nDocs.toDouble * 1e6)
+    val mce = bins.map(_._2).max.toDouble / 1e6
+    assert(r.getAs[Long]("n_docs") == nDocs)
+    assert(r.getAs[Long]("n_bins") == bins.length.toLong)
+    assert(math.abs(r.getAs[Double]("ece") - ece) < 1e-6)
+    assert(math.abs(r.getAs[Double]("mce") - mce) < 1e-6)
+    assert(r.getAs[Double]("mce") >= r.getAs[Double]("ece") - 1e-9,
+      "MCE must dominate the weighted mean gap")
+  }
+
+  test("q_uplift: arm assignment and per-segment means recompose driver-side") {
+    val sf = TestSession.sf
+    val rows = graft.operators.Validation.queries("q_uplift")(spark, sf)
+      .collect().map(r => r.getAs[String]("segment") -> r).toMap
+    val spend = Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase",
+        round(col("value") * 100).cast("long")).otherwise(0L)).as("cents"))
+      .as[(Long, Long)].collect()
+    val segOf = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .as[(Long, String)].collect().toMap
+    def arm(u: Long): String = {
+      val hex = org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(u.toString).substring(0, 15)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) "treat" else "ctrl"
+    }
+    val bySeg = spend.filter(t => segOf.contains(t._1))
+      .groupBy(t => segOf(t._1))
+    bySeg.foreach { case (seg, us) =>
+      val r = rows(seg)
+      val t = us.filter(u => arm(u._1) == "treat")
+      val c = us.filter(u => arm(u._1) == "ctrl")
+      assert(r.getAs[Long]("n_t") == t.length.toLong, s"$seg n_t")
+      assert(r.getAs[Long]("n_c") == c.length.toLong, s"$seg n_c")
+      if (t.nonEmpty && c.nonEmpty) {
+        val up = t.map(x => BigInt(x._2)).sum.toDouble / t.length / 100.0 -
+          c.map(x => BigInt(x._2)).sum.toDouble / c.length / 100.0
+        assert(math.abs(r.getAs[Double]("uplift") - up) < 1e-5, s"$seg uplift")
+      }
+    }
+    assert(rows.keySet == bySeg.keySet, "segment coverage drift")
+  }
+
+  test("q_ngram_novelty: decile 0 is all-novel and first-seen counts partition the distinct grams") {
+    val sf = TestSession.sf
+    val rows = graft.operators.TrainingOps.queries("q_ngram_novelty")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("decile"), r.getAs[Long]("n_distinct"),
+        r.getAs[Long]("n_first_seen"), r.getAs[Long]("novelty_ppm")))
+    assert(rows.nonEmpty)
+    val d0 = rows.find(_._1 == 0L).get
+    assert(d0._4 == 1000000L, "every decile-0 gram is by definition first-seen")
+    rows.foreach { case (dec, nd, nf, _) =>
+      assert(nf <= nd, s"decile $dec: first_seen > distinct")
+    }
+    // Σ first-seen over deciles = the corpus's distinct gram count
+    // (each distinct gram is first-seen exactly once)
+    val n = graft.operators.TrainingOps.NoveltyN
+    val totalDistinct = Tables.documents(spark, sf)
+      .select(graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(explode(expr(
+        s"transform(sequence(1, size(toks) - ${n - 1}), " +
+          s"i -> md5(concat_ws(' ', slice(toks, i, $n))))")).as("g"))
+      .agg(countDistinct(col("g"))).as[Long].collect().head
+    assert(rows.map(_._3).sum == totalDistinct,
+      s"first-seen mass ${rows.map(_._3).sum} != distinct grams $totalDistinct")
+  }
+
+  test("q_span_corruption_plan: per-source identities hold exactly") {
+    val sf = TestSession.sf
+    val rows = graft.operators.TrainingOps
+      .queries("q_span_corruption_plan")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val (tok, spans, corr) = (r.getAs[Long]("tok_total"),
+        r.getAs[Long]("n_spans"), r.getAs[Long]("tok_corrupted"))
+      assert(r.getAs[Long]("input_total") == tok - corr + spans, s"$src input")
+      assert(r.getAs[Long]("target_total") ==
+        corr + spans + r.getAs[Long]("n_docs"), s"$src target")
+      assert(corr <= tok, s"$src corrupted > tokens")
+      assert(spans >= r.getAs[Long]("n_docs"),
+        s"$src every doc plans at least one span")
+      val ppm = r.getAs[Long]("corruption_ppm")
+      // rate 15% at mean span 3 → halfUp(n/20)·3/n clusters near 15%
+      assert(ppm > 100000L && ppm < 200000L, s"$src corruption_ppm $ppm")
+    }
+  }
+
+  test("q_ann_binary: ranks well-formed, recall floor holds on the panel") {
+    val sf = "/root/testdata/sf0.01" // panel too sparse at sf0.001
+    val rows = graft.operators.Similarity.queries("q_ann_binary")(spark, sf)
+      .collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.length),
+        s"qid $q ranks")
+      rs.foreach(r => assert(math.abs(r.getAs[Double]("sim")) <= 1.0 + 1e-9))
+    }
+    val recalls = rows.map(_.getAs[Double]("recall_at_5")).distinct
+    val mean = byQ.map { case (_, rs) => rs.head.getAs[Double]("recall_at_5") }
+    assert(mean.sum / mean.size >= 0.6,
+      s"mean recall ${mean.sum / mean.size} below the binary-sketch floor")
+  }
+
+  test("q_reciprocity: reciprocal edge mass equals twice the mutual-kNN graph") {
+    val sf = TestSession.sf
+    val r = graft.operators.GraphOps.queries("q_reciprocity")(spark, sf)
+      .collect().head
+    // the mutual graph IS the reciprocal subset of the directed top-K
+    // store (src < dst, one row per unordered pair) — cross-store identity
+    val mutual = graft.operators.GraphOps.GraphStore.knn(spark, sf).count()
+    assert(r.getAs[Long]("n_reciprocal") == 2 * mutual,
+      s"reciprocal ${r.getAs[Long]("n_reciprocal")} != 2×mutual $mutual")
+    val rec = r.getAs[Double]("reciprocity")
+    assert(rec >= 0.0 && rec <= 1.0)
+    assert(r.getAs[Long]("n_reciprocal") <= r.getAs[Long]("n_edges"))
+  }
 }

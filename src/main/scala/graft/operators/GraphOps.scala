@@ -1327,6 +1327,69 @@ object GraphOps {
       |    AS reciprocity
       |FROM tot, nr""".stripMargin
 
+  // ---------------------------------------------------------------- M25
+  /** Bipartite substrate audit — the part↔supplier incidence graph
+    * every M-block projection derives from (co-supply = its one-mode
+    * projection), profiled directly: node counts on both sides, edge
+    * count, density, and the degree spread per side. The numbers
+    * that predict projection cost BEFORE building it (a hot part of
+    * degree d contributes d(d−1)/2 co-supply pairs — max_part_degree
+    * is the skew early-warning the H5 report gives for join keys,
+    * here for the graph build). One distinct pass over (part,
+    * supplier) then two keyed degree aggregates folded to one row;
+    * everything exact integers + single divisions.
+    */
+  def qBipartiteStats(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    // the distinct pass is the whole bill — cache it for its two
+    // degree consumers (uncached, each re-ran scan + distinct: 8
+    // exchanges); n_edges folds from the part-degree sum for free
+    val e0 = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .distinct()
+      .cache()
+    e0.count() // materialize before the two-consumer fan-out
+    val pd = e0.groupBy(col("pk")).agg(count(lit(1)).as("d"))
+      .agg(count(lit(1)).as("n_parts"), max(col("d")).as("max_part_degree"),
+        sum(col("d").cast(d38)).cast("long").as("n_edges"),
+        sum((col("d") * (col("d") - 1)).cast(d38)).cast("string")
+          .as("proj_pairs_x2"))
+    val sd = e0.groupBy(col("sk")).agg(count(lit(1)).as("d"))
+      .agg(count(lit(1)).as("n_suppliers"), max(col("d")).as("max_supp_degree"))
+    val out = pd.crossJoin(broadcast(sd))
+      .select(col("n_parts"), col("n_suppliers"), col("n_edges"),
+        round(col("n_edges").cast("double") /
+          (col("n_parts").cast("double") * col("n_suppliers").cast("double")),
+          6).as("density"),
+        col("max_part_degree"), col("max_supp_degree"),
+        // Σd(d−1) over parts = 2× the co-supply pair multiset the
+        // one-mode projection generates — the projection cost bound,
+        // published as digit VARCHAR (quadratic in degree, wraps
+        // int64 on hub-heavy graphs)
+        col("proj_pairs_x2"))
+      .cache()
+    out.count()
+    e0.unpersist()
+    out
+  }
+
+  val qBipartiteStatsSql: String =
+    """WITH e0 AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+      |  FROM lineitem),
+      |pd AS (SELECT count(*) AS n_parts, max(d) AS max_part_degree,
+      |    CAST(sum(CAST(d AS HUGEINT) * (d - 1)) AS VARCHAR)
+      |      AS proj_pairs_x2
+      |  FROM (SELECT pk, count(*) AS d FROM e0 GROUP BY 1)),
+      |sd AS (SELECT count(*) AS n_suppliers, max(d) AS max_supp_degree
+      |  FROM (SELECT sk, count(*) AS d FROM e0 GROUP BY 1)),
+      |ne AS (SELECT count(*) AS n_edges FROM e0)
+      |SELECT n_parts, n_suppliers, n_edges,
+      |  round(CAST(n_edges AS DOUBLE)
+      |    / (CAST(n_parts AS DOUBLE) * CAST(n_suppliers AS DOUBLE)), 6)
+      |    AS density,
+      |  max_part_degree, max_supp_degree, proj_pairs_x2
+      |FROM ne, pd, sd""".stripMargin
+
   // ---------------------------------------------------------------- M11
   /** Degree assortativity of the mutual-kNN graph — Newman's r, the
     * one-number answer to "do well-connected suppliers co-supply with
@@ -1880,6 +1943,7 @@ object GraphOps {
     "q_eigencentrality" -> (qEigencentrality _),
     "q_hits" -> (qHits _),
     "q_reciprocity" -> (qReciprocity _),
+    "q_bipartite_stats" -> (qBipartiteStats _),
     "q_community_conductance" -> (qCommunityConductance _),
     "q_knn_components" -> (qKnnComponents _),
     "q_closeness" -> (qCloseness _),
@@ -1903,6 +1967,7 @@ object GraphOps {
     "q_eigencentrality" -> qEigencentralitySql,
     "q_hits" -> qHitsSql,
     "q_reciprocity" -> qReciprocitySql,
+    "q_bipartite_stats" -> qBipartiteStatsSql,
     "q_assortativity" -> qAssortativitySql,
     "q_moran_i" -> qMoranISql,
     "q_rich_club" -> qRichClubSql,

@@ -257,6 +257,114 @@ object Similarity {
          |FROM appx LEFT JOIN sampled USING (qid)""".stripMargin
   }
 
+  // ---------------------------------------------------------------- D27
+  /** Shortlist-depth recall curve for the D26 binary sketch — what
+    * D12's nprobe curve is for the IVF index, applied to the one
+    * dial binary search has: how deep must the hamming shortlist go
+    * before the exact rerank recovers the true top-5? The published
+    * curve (depth ∈ {10, 25, 50, 100} → mean recall@5) is the
+    * evidence behind D26's fixed 50 — and the dial a deployment
+    * turns when its recall target changes. ONE hamming ranking pass
+    * (cached, bounded: panel × corpus rows), each depth filters and
+    * exact-reranks its own shortlist; recall folds to
+    * hits/(5·panel) exactly. Oracle: full replay per depth.
+    */
+  val BinarySweepDepths: Seq[Int] = Seq(10, 25, 50, 100)
+
+  def qAnnBinarySweep(spark: SparkSession, dir: String): DataFrame = {
+    def half(lo: Int): String =
+      s"CAST(aggregate(sequence($lo, ${lo + 31}), 0L, (acc, i) -> " +
+        s"acc + IF(element_at(v, i + 1) > 0D, shiftleft(CAST(1 AS BIGINT), i - $lo), CAST(0 AS BIGINT))) AS BIGINT)"
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("lo", expr(half(0)))
+      .withColumn("hi", expr(half(32)))
+    val q = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < PanelIdCap)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("lo").as("qlo"), col("hi").as("qhi"))
+    val wH = Window.partitionBy(col("qid"))
+      .orderBy(col("ham").asc, col("nid").asc)
+    val ranked = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qv"), col("vec_id").as("nid"), col("v"),
+        (bit_count(col("lo").bitwiseXOR(col("qlo"))) +
+          bit_count(col("hi").bitwiseXOR(col("qhi")))).as("ham"))
+      .withColumn("hr", row_number().over(wH))
+      .filter(col("hr") <= BinarySweepDepths.max)
+      .cache()
+    ranked.count() // materialize before the per-depth fan-out
+    val truth = bruteforceTop5(spark, dir).cache()
+    val nq = truth.select(col("qid")).distinct().count()
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(round(col("sim"), 6).desc, col("nid").asc)
+    val rows = BinarySweepDepths.map { k =>
+      val hits = ranked.filter(col("hr") <= k)
+        .select(col("qid"), col("nid"),
+          VectorFunctions.cosine(col("qv"), col("v")).as("sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .join(truth, Seq("qid", "nid"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      hits.select(lit(k.toLong).as("shortlist"), lit(nq).as("n_queries"),
+        col("hits"),
+        round(col("hits").cast("double") / (lit(5.0) * nq), 6)
+          .as("mean_recall_at_5"))
+    }
+    val out = rows.reduce(_ unionAll _).cache()
+    out.count()
+    ranked.unpersist(); truth.unpersist()
+    out
+  }
+
+  /** Replay of [[qAnnBinarySweep]]: signature build, hamming ranking,
+    * per-depth exact rerank, recall fold — all per depth literal.
+    */
+  def qAnnBinarySweepSql: String = {
+    def half(lo: Int): String =
+      s"CAST(list_sum(list_transform(generate_series($lo, ${lo + 31}), " +
+        s"i -> CASE WHEN v[i + 1] > 0 THEN (1::BIGINT << (i - $lo)) ELSE 0::BIGINT END)) AS BIGINT)"
+    val perK = BinarySweepDepths.map { k =>
+      s"""appx$k AS (SELECT qid, nid FROM (
+         |    SELECT qid, nid, row_number() OVER (
+         |      PARTITION BY qid ORDER BY round(sim, 6) DESC, nid ASC) AS rank
+         |    FROM rsim WHERE hr <= $k) WHERE rank <= 5),
+         |row$k AS (SELECT CAST($k AS BIGINT) AS shortlist,
+         |    (SELECT count(DISTINCT qid) FROM truth) AS n_queries,
+         |    CAST(count(*) AS BIGINT) AS hits,
+         |    round(CAST(count(*) AS DOUBLE)
+         |      / (5.0 * (SELECT count(DISTINCT qid) FROM truth)), 6)
+         |      AS mean_recall_at_5
+         |  FROM appx$k JOIN truth USING (qid, nid))""".stripMargin
+    }.mkString(",\n")
+    val unionRows = BinarySweepDepths.map(k => s"SELECT * FROM row$k")
+      .mkString("\nUNION ALL ")
+    raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |    ${half(0)} AS lo, ${half(32)} AS hi
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv, lo AS qlo, hi AS qhi
+         |  FROM e WHERE vec_id % 50 = 0 AND vec_id < $PanelIdCap),
+         |ham AS (SELECT qid, qv, e.vec_id AS nid, e.v,
+         |    bit_count(xor(e.lo, qlo)) + bit_count(xor(e.hi, qhi)) AS ham
+         |  FROM e, q WHERE e.vec_id <> qid),
+         |ranked AS MATERIALIZED (SELECT qid, qv, nid, v, row_number() OVER (
+         |    PARTITION BY qid ORDER BY ham ASC, nid ASC) AS hr FROM ham),
+         |keep AS MATERIALIZED (SELECT * FROM ranked
+         |  WHERE hr <= ${BinarySweepDepths.max}),
+         |sflat AS (SELECT qid, nid, hr, unnest(qv) AS x, unnest(v) AS y
+         |  FROM keep),
+         |rsim AS MATERIALIZED (SELECT qid, nid, min(hr) AS hr,
+         |    sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS sim
+         |  FROM sflat GROUP BY qid, nid),
+         |tq AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0 AND vec_id < $PanelIdCap),
+         |tflat AS (SELECT qid, e.vec_id AS nid, unnest(qv) AS x, unnest(v) AS y
+         |  FROM e JOIN tq ON e.vec_id <> tq.qid),
+         |tsc AS (SELECT qid, nid, sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS sim
+         |  FROM tflat GROUP BY qid, nid),
+         |truth AS MATERIALIZED (SELECT qid, nid FROM (SELECT qid, nid, row_number() OVER (
+         |    PARTITION BY qid ORDER BY round(sim, 6) DESC, nid ASC) AS r FROM tsc) WHERE r <= 5),
+         |$perK
+         |$unionRows""".stripMargin
+  }
+
   // ---------------------------------------------------------------- D25
   /** Embedding anisotropy audit (Ethayarajh 2019) — the geometry
     * health-check of the vector space every similarity operator above
@@ -2709,6 +2817,7 @@ object Similarity {
     "q_class_separation" -> (qClassSeparation _),
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_ann_binary" -> (qAnnBinary _),
+    "q_ann_binary_sweep" -> (qAnnBinarySweep _),
     "q_knn_classify" -> (qKnnClassify _),
     "q_hard_negatives" -> (qHardNegatives _),
     "q_triplet_mining" -> (qTripletMining _),
@@ -2740,6 +2849,7 @@ object Similarity {
     val k = lastShortlistK.get
     Map("q_ann_bruteforce" -> qAnnBruteforceSql,
       "q_ann_binary" -> qAnnBinarySql,
+      "q_ann_binary_sweep" -> qAnnBinarySweepSql,
       "q_anisotropy" -> qAnisotropySql,
       "q_mips" -> qMipsSql,
       "q_knn_classify" -> qKnnClassifySql,

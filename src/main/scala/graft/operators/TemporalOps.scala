@@ -2781,6 +2781,104 @@ object TemporalOps {
          |FROM pub""".stripMargin
   }
 
+  // ---------------------------------------------------------------- F70
+  /** Engle's ARCH LM test on the daily-revenue changes — volatility
+    * clustering, the fourth member of the series-diagnostics panel
+    * (F53 Ljung–Box asks "are LEVELS autocorrelated", this asks "are
+    * SQUARED shocks autocorrelated" — the pre-flight check before
+    * trusting constant-variance bands like F45's Bollinger or F11's
+    * anomaly σ): demean the day-over-day diffs (cent-halfUp mean,
+    * the F69 device), square them, regress u_t on u_{t−1}, and
+    * LM = n·R² vs χ²(1) at 3.841. EXACT device: diffs and demeaned
+    * shocks are exact longs; squares are exact DECIMAL then
+    * µ-rescaled by DIV 10⁶ (half-up; keeps every later moment inside
+    * DECIMAL(38) at 100 TB — u² products would otherwise reach
+    * 10⁵²); the R² assembly clears denominators to exact DECIMAL
+    * cross-moments and goes double only in the final quotient.
+    * Bounded day grid throughout.
+    */
+  def qArchLm(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = Tables.orders(spark, dir)
+      .groupBy(datediff(col("o_orderdate"), lit("1970-01-01")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("y"))
+    val w = Window.orderBy(col("day").asc)
+    val diffs = daily.withColumn("r", col("y") - lag(col("y"), 1).over(w))
+      .filter(col("r").isNotNull)
+    val tot = diffs.agg(count(lit(1)).as("nr"),
+        sum(col("r").cast(d38)).as("sr"))
+      .withColumn("m", expr(
+        """CAST(CASE WHEN sr >= 0
+          | THEN (2 * sr + nr) DIV (2 * CAST(nr AS DECIMAL(38,0)))
+          | ELSE -((2 * -sr + nr) DIV (2 * CAST(nr AS DECIMAL(38,0)))) END
+          | AS BIGINT)""".stripMargin.replace("\n", " ")))
+    val u = diffs.crossJoin(broadcast(tot))
+      .withColumn("e", col("r") - col("m"))
+      .withColumn("u", expr(
+        "CAST((2 * CAST(e AS DECIMAL(38,0)) * e + 1000000)" +
+          " DIV (2 * CAST(1000000 AS DECIMAL(38,0))) AS BIGINT)"))
+      .withColumn("ul", lag(col("u"), 1).over(w))
+      .filter(col("ul").isNotNull)
+    val m = u.agg(count(lit(1)).as("n"),
+      sum(col("ul").cast(d38)).as("sx"), sum(col("u").cast(d38)).as("sy"),
+      sum(col("ul").cast(d38) * col("u")).as("sxy"),
+      sum(col("ul").cast(d38) * col("ul")).as("sxx"),
+      sum(col("u").cast(d38) * col("u")).as("syy"))
+    val cxy = (col("n").cast(d38) * col("sxy") - col("sx") * col("sy"))
+    val cxx = (col("n").cast(d38) * col("sxx") - col("sx") * col("sx"))
+    val cyy = (col("n").cast(d38) * col("syy") - col("sy") * col("sy"))
+    m.select(col("n").as("n_obs"),
+        when(cxx <= 0 || cyy <= 0, lit(null).cast("double"))
+          .otherwise(round(col("n").cast("double") *
+            (cxy.cast("double") * cxy.cast("double")) /
+            (cxx.cast("double") * cyy.cast("double")), 6)).as("lm_stat"))
+      .withColumn("arch_present", coalesce(col("lm_stat") > 3.841, lit(false)))
+  }
+
+  val qArchLmSql: String =
+    """WITH daily AS (SELECT
+      |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |      AS day,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS y
+      |  FROM orders GROUP BY 1),
+      |diffs AS (SELECT day, y - lag(y, 1) OVER (ORDER BY day) AS r
+      |  FROM daily),
+      |dd AS (SELECT day, r FROM diffs WHERE r IS NOT NULL),
+      |tot AS (SELECT count(*) AS nr, sum(CAST(r AS HUGEINT)) AS sr FROM dd),
+      |tm AS (SELECT nr, CAST(CASE WHEN sr >= 0
+      |    THEN (2 * sr + nr) // (2 * CAST(nr AS HUGEINT))
+      |    ELSE -((2 * -sr + nr) // (2 * CAST(nr AS HUGEINT))) END
+      |    AS BIGINT) AS m FROM tot),
+      |uu AS (SELECT day,
+      |    CAST((2 * CAST(r - m AS HUGEINT) * (r - m) + 1000000)
+      |      // (2 * CAST(1000000 AS HUGEINT)) AS BIGINT) AS u
+      |  FROM dd, tm),
+      |ul AS (SELECT u, lag(u, 1) OVER (ORDER BY day) AS x FROM uu),
+      |p AS (SELECT u AS y, x FROM ul WHERE x IS NOT NULL),
+      |m AS (SELECT count(*) AS n,
+      |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM p),
+      |c AS (SELECT n,
+      |    CAST(n AS HUGEINT) * sxy - sx * sy AS cxy,
+      |    CAST(n AS HUGEINT) * sxx - sx * sx AS cxx,
+      |    CAST(n AS HUGEINT) * syy - sy * sy AS cyy
+      |  FROM m)
+      |SELECT n AS n_obs,
+      |  CASE WHEN cxx <= 0 OR cyy <= 0 THEN NULL
+      |    ELSE round(CAST(n AS DOUBLE)
+      |      * (CAST(cxy AS DOUBLE) * CAST(cxy AS DOUBLE))
+      |      / (CAST(cxx AS DOUBLE) * CAST(cyy AS DOUBLE)), 6) END AS lm_stat,
+      |  coalesce(CASE WHEN cxx <= 0 OR cyy <= 0 THEN NULL
+      |    ELSE round(CAST(n AS DOUBLE)
+      |      * (CAST(cxy AS DOUBLE) * CAST(cxy AS DOUBLE))
+      |      / (CAST(cxx AS DOUBLE) * CAST(cyy AS DOUBLE)), 6) END > 3.841,
+      |    false) AS arch_present
+      |FROM c""".stripMargin
+
   def qVarianceRatio(spark: SparkSession, dir: String): DataFrame = {
     val d38 = "decimal(38,0)"
     val daily = Tables.orders(spark, dir)
@@ -3543,6 +3641,7 @@ object TemporalOps {
     "q_shapley_attribution" -> (qShapleyAttribution _),
     "q_variance_ratio" -> (qVarianceRatio _),
     "q_kpss" -> (qKpss _),
+    "q_arch_lm" -> (qArchLm _),
     "q_hurst" -> (qHurst _),
     "q_ljung_box" -> (qLjungBox _),
     "q_ar2_forecast" -> (qAr2Forecast _),
@@ -3601,6 +3700,7 @@ object TemporalOps {
     "q_shapley_attribution" -> qShapleyAttributionSql,
     "q_variance_ratio" -> qVarianceRatioSql,
     "q_kpss" -> qKpssSql,
+    "q_arch_lm" -> qArchLmSql,
     "q_hurst" -> qHurstSql,
     "q_ljung_box" -> qLjungBoxSql,
     "q_ar2_forecast" -> qAr2ForecastSql,

@@ -103,6 +103,59 @@ object TrainingOps {
          |FROM agg""".stripMargin
   }
 
+  // ---------------------------------------------------------------- K39
+  /** Lognormal fit of the per-source document-length distribution —
+    * the parametric completion of K27's Heaps fit and K7's quality
+    * deciles: document lengths are canonically lognormal-ish, and
+    * (µ, σ) of ln(tokens) per source is the two-number summary a
+    * mixture designer compares sources by (σ is the spread dial that
+    * predicts packing waste K29 measures empirically; a σ far above
+    * the corpus's is the "mixed registers in one source" smell).
+    * EXACT device: per-doc ln(tokens) µ-quantizes to a long (the
+    * E33 device), so Σl and Σl² are exact DECIMAL sums and µ/σ
+    * assemble as single fixed-order doubles; the dispersion verdict
+    * (σ > 1) uses the published 6-dp value. Map-only + one
+    * source-keyed aggregate.
+    */
+  def qLengthLognormal(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val per = Tables.documents(spark, dir)
+      .select(col("source"), tokenCount(col("text")).cast("long").as("nt"))
+      .filter(col("nt") >= 1)
+      .withColumn("lmu", round(log(col("nt")) * 1e6).cast("long"))
+    val m = per.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("lmu").cast(d38)).as("s"),
+        sum(col("lmu").cast(d38) * col("lmu")).as("s2"))
+    val varNum = (col("n").cast(d38) * col("s2") - col("s") * col("s"))
+    m.filter(col("n") > 1)
+      .select(col("source"), col("n").as("n_docs"),
+        round(col("s").cast("double") /
+          (col("n").cast("double") * 1e6), 6).as("mu_ln"),
+        round(sqrt(varNum.cast("double") /
+          (col("n").cast("double") * (col("n").cast("double") - 1))) / 1e6,
+          6).as("sigma_ln"))
+      .withColumn("high_dispersion", col("sigma_ln") > 1.0)
+  }
+
+  val qLengthLognormalSql: String =
+    raw"""WITH per AS (SELECT source, len($duckToks) AS nt FROM documents),
+         |lq AS (SELECT source,
+         |    CAST(round(ln(nt) * 1000000) AS BIGINT) AS lmu
+         |  FROM per WHERE nt >= 1),
+         |m AS (SELECT source, count(*) AS n,
+         |    sum(CAST(lmu AS HUGEINT)) AS s,
+         |    sum(CAST(lmu AS HUGEINT) * lmu) AS s2
+         |  FROM lq GROUP BY 1)
+         |SELECT source, n AS n_docs,
+         |  round(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6), 6) AS mu_ln,
+         |  round(sqrt(CAST(CAST(n AS HUGEINT) * s2 - s * s AS DOUBLE)
+         |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) / 1e6, 6)
+         |    AS sigma_ln,
+         |  (round(sqrt(CAST(CAST(n AS HUGEINT) * s2 - s * s AS DOUBLE)
+         |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) / 1e6, 6)
+         |    > 1.0) AS high_dispersion
+         |FROM m WHERE n > 1""".stripMargin
+
   // ---------------------------------------------------------------- K38
   /** Span-corruption plan — the T5/UL2 denoising-objective budget,
     * computed per source BEFORE any batch is built: at corruption
@@ -2590,6 +2643,7 @@ object TrainingOps {
     "q_context_len" -> (qContextLen _),
     "q_ngram_novelty" -> (qNgramNovelty _),
     "q_span_corruption_plan" -> (qSpanCorruptionPlan _),
+    "q_length_lognormal" -> (qLengthLognormal _),
     "q_mixture_entropy" -> (qMixtureEntropy _),
     "q_scaling_curve" -> (qScalingCurve _),
     "q_stupid_backoff" -> (qStupidBackoff _),
@@ -2635,6 +2689,7 @@ object TrainingOps {
     "q_context_len" -> qContextLenSql,
     "q_ngram_novelty" -> qNgramNoveltySql,
     "q_span_corruption_plan" -> qSpanCorruptionPlanSql,
+    "q_length_lognormal" -> qLengthLognormalSql,
     "q_mixture_entropy" -> qMixtureEntropySql,
     "q_scaling_curve" -> qScalingCurveSql,
     "q_stupid_backoff" -> qStupidBackoffSql,

@@ -5216,6 +5216,253 @@ object Validation {
 
   val qTableProfileApproxSql: String = tableProfileSqlFor(withNdvOk = true)
 
+  // ---------------------------------------------------------------- L71
+  /** Dunn's post-hoc test — the pairwise follow-up L19's Kruskal–
+    * Wallis omnibus demands (KW says "some segment differs"; Dunn
+    * says WHICH pairs, at a Bonferroni-held family error — the
+    * nonparametric sibling of L32's Tukey HSD). Rides the IDENTICAL
+    * $100-bin doubled-rank histogram algebra as L19 (tie-average
+    * ranks fold off the bin histogram; the corpus never sorts
+    * per-row), so mean ranks here and there agree by construction:
+    * z_ab = (R̄_a − R̄_b)/√(V·(1/n_a + 1/n_b)) with the tie-corrected
+    * V = (N(N+1) − tsum/(N−1))/12 assembled once per pair from exact
+    * integer moments in one documented order. Verdict vs the
+    * Bonferroni z for the 10 segment pairs at family α = .05
+    * (two-sided .05/20 → 2.807, a fixed documented cut — neither
+    * engine exposes a normal quantile). Bounded: k(k−1)/2 = 10 rows.
+    */
+  def qDunnTest(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val seg = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        floor(col("o_totalprice") / 100).cast("long").as("bin"))
+    val histSeg = seg.groupBy(col("bin"), col("seg"))
+      .agg(count(lit(1)).as("n_sb"))
+    val histBin = histSeg.groupBy(col("bin"))
+      .agg(sum(col("n_sb")).cast("long").as("t"))
+    val w = Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, -1)
+    // cum (bounded bins) feeds grp AND ties; grp (k rows) feeds both
+    // pair sides AND the total — cache both so the histogram chain
+    // derives once (uncached this query measured 11 exchanges)
+    val cum = histBin.withColumn("cumt",
+      coalesce(sum(col("t")).over(w), lit(0L)))
+      .cache()
+    val grp = histSeg.join(cum, "bin")
+      .groupBy(col("seg"))
+      .agg(sum(col("n_sb")).cast("long").as("n_g"),
+        sum(col("n_sb").cast(d38) *
+          (lit(2) * col("cumt") + col("t") + 1)).as("r2_g"))
+      .cache()
+    grp.count() // materialize (cum materializes as grp's input)
+    val ties = cum.agg(
+      sum(col("t").cast(d38) * col("t") * col("t") - col("t")).as("tsum"))
+    val tot = grp.agg(sum(col("n_g")).cast("long").as("n"))
+      .crossJoin(broadcast(ties))
+    val a = grp.select(col("seg").as("seg_a"), col("n_g").as("n_a"),
+      col("r2_g").as("r2_a"))
+    val b = grp.select(col("seg").as("seg_b"), col("n_g").as("n_b"),
+      col("r2_g").as("r2_b"))
+    val nD = col("n").cast("double")
+    val v = (nD * (nD + 1) - col("tsum").cast("double") / (nD - 1)) / 12.0
+    val ra = col("r2_a").cast("double") / (col("n_a").cast("double") * 2)
+    val rb = col("r2_b").cast("double") / (col("n_b").cast("double") * 2)
+    val out = a.crossJoin(b).filter(col("seg_a") < col("seg_b"))
+      .crossJoin(broadcast(tot))
+      .select(col("seg_a"), col("seg_b"), col("n_a"), col("n_b"),
+        round(ra, 6).as("mean_rank_a"), round(rb, 6).as("mean_rank_b"),
+        round((ra - rb) /
+          sqrt(v * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6)
+          .as("z"))
+      .withColumn("significant", abs(col("z")) > 2.807)
+      .cache()
+    out.count()
+    cum.unpersist(); grp.unpersist()
+    out
+  }
+
+  val qDunnTestSql: String =
+    """WITH seg AS (SELECT c_mktsegment AS seg,
+      |    CAST(floor(o_totalprice / 100) AS BIGINT) AS bin
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |hs AS (SELECT bin, seg, count(*) AS n_sb FROM seg GROUP BY 1, 2),
+      |hb AS (SELECT bin, CAST(sum(n_sb) AS BIGINT) AS t FROM hs GROUP BY 1),
+      |cum AS (SELECT bin, t, coalesce(sum(t) OVER (ORDER BY bin
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumt
+      |  FROM hb),
+      |grp AS (SELECT seg, CAST(sum(n_sb) AS BIGINT) AS n_g,
+      |    sum(CAST(n_sb AS HUGEINT) * (2 * cumt + t + 1)) AS r2_g
+      |  FROM hs JOIN cum USING (bin) GROUP BY 1),
+      |ties AS (SELECT sum(CAST(t AS HUGEINT) * t * t - t) AS tsum FROM cum),
+      |tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n FROM grp),
+      |pairs AS (SELECT a.seg AS seg_a, b.seg AS seg_b,
+      |    a.n_g AS n_a, b.n_g AS n_b, a.r2_g AS r2_a, b.r2_g AS r2_b,
+      |    n, tsum
+      |  FROM grp a, grp b, tot, ties WHERE a.seg < b.seg)
+      |SELECT seg_a, seg_b, n_a, n_b,
+      |  round(CAST(r2_a AS DOUBLE) / (CAST(n_a AS DOUBLE) * 2), 6)
+      |    AS mean_rank_a,
+      |  round(CAST(r2_b AS DOUBLE) / (CAST(n_b AS DOUBLE) * 2), 6)
+      |    AS mean_rank_b,
+      |  round((CAST(r2_a AS DOUBLE) / (CAST(n_a AS DOUBLE) * 2)
+      |      - CAST(r2_b AS DOUBLE) / (CAST(n_b AS DOUBLE) * 2))
+      |    / sqrt((CAST(n AS DOUBLE) * (n + 1)
+      |        - CAST(tsum AS DOUBLE) / (CAST(n AS DOUBLE) - 1)) / 12.0
+      |      * (1.0 / n_a + 1.0 / n_b)), 6) AS z,
+      |  (abs(round((CAST(r2_a AS DOUBLE) / (CAST(n_a AS DOUBLE) * 2)
+      |      - CAST(r2_b AS DOUBLE) / (CAST(n_b AS DOUBLE) * 2))
+      |    / sqrt((CAST(n AS DOUBLE) * (n + 1)
+      |        - CAST(tsum AS DOUBLE) / (CAST(n AS DOUBLE) - 1)) / 12.0
+      |      * (1.0 / n_a + 1.0 / n_b)), 6)) > 2.807) AS significant
+      |FROM pairs""".stripMargin
+
+  // ---------------------------------------------------------------- L72
+  /** Lin's concordance correlation as a header–detail consistency
+    * audit: per order, the HEADER total (o_totalprice) against the
+    * DETAIL total recomputed from its lineitems (Σ per-line
+    * extendedprice·(1−discount)·(1+tax), each line rounded to cents
+    * BEFORE the sum so the order total is an exact integer — a
+    * double Σ would be summation-order-dependent). On real TPC-H
+    * data the two are identical (CCC = 1); here the audit EXPOSES
+    * that the synthetic header is not derived from the details
+    * (CCC ≈ 0) — which is precisely the readout a reconciliation
+    * pipeline wants: CCC, unlike Pearson r, penalizes location and
+    * scale shift, so "correlated but rescaled" cannot masquerade as
+    * "consistent". EXACT device: clearing denominators by n² turns
+    * every term into exact DECIMAL moments —
+    * ccc = 2(nΣxy−ΣxΣy) / (nΣxx−Σx² + nΣyy−Σy² + (Σx−Σy)²) —
+    * ONE double division; r splits its sqrt into two IEEE-exact
+    * factors. One lineitem aggregate + one header join, 1 row.
+    */
+  def qLinCcc(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val detail = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          (lit(1.0) + col("l_tax")) * 100).cast("long").as("line_c"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("line_c")).as("y"))
+    val xy = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("x"))
+      .join(detail, col("o_orderkey") === col("l_orderkey"))
+    val m = xy.agg(count(lit(1)).as("n"),
+      sum(col("x").cast(d38)).as("sx"), sum(col("y").cast(d38)).as("sy"),
+      sum(col("x").cast(d38) * col("y")).as("sxy"),
+      sum(col("x").cast(d38) * col("x")).as("sxx"),
+      sum(col("y").cast(d38) * col("y")).as("syy"))
+    val cxy = (col("n").cast(d38) * col("sxy") - col("sx") * col("sy"))
+    val cxx = (col("n").cast(d38) * col("sxx") - col("sx") * col("sx"))
+    val cyy = (col("n").cast(d38) * col("syy") - col("sy") * col("sy"))
+    val dd = ((col("sx") - col("sy")) * (col("sx") - col("sy")))
+    m.select(col("n"),
+        round(lit(2.0) * cxy.cast("double") /
+          (cxx.cast("double") + cyy.cast("double") + dd.cast("double")), 6)
+          .as("ccc"),
+        when(cxx <= 0 || cyy <= 0, lit(null).cast("double"))
+          .otherwise(round(cxy.cast("double") /
+            (sqrt(cxx.cast("double")) * sqrt(cyy.cast("double"))), 6))
+          .as("pearson_r"),
+        round((col("sx").cast("double") - col("sy").cast("double")) /
+          col("n").cast("double") / 100.0, 6).as("mean_shift_dollars"),
+        when(cyy <= 0, lit(null).cast("double"))
+          .otherwise(round(sqrt(cxx.cast("double")) /
+            sqrt(cyy.cast("double")), 6)).as("scale_ratio"))
+      .withColumn("consistent", coalesce(col("ccc") > 0.99, lit(false)))
+  }
+
+  val qLinCccSql: String =
+    """WITH detail AS (SELECT l_orderkey,
+      |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+      |      * (1.0 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM lineitem GROUP BY 1),
+      |xy AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x, y
+      |  FROM orders JOIN detail ON o_orderkey = l_orderkey),
+      |m AS (SELECT count(*) AS n,
+      |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM xy),
+      |c AS (SELECT n,
+      |    CAST(n AS HUGEINT) * sxy - sx * sy AS cxy,
+      |    CAST(n AS HUGEINT) * sxx - sx * sx AS cxx,
+      |    CAST(n AS HUGEINT) * syy - sy * sy AS cyy,
+      |    (sx - sy) * (sx - sy) AS dd, sx, sy
+      |  FROM m)
+      |SELECT n,
+      |  round(2.0 * CAST(cxy AS DOUBLE)
+      |    / (CAST(cxx AS DOUBLE) + CAST(cyy AS DOUBLE)
+      |      + CAST(dd AS DOUBLE)), 6) AS ccc,
+      |  CASE WHEN cxx <= 0 OR cyy <= 0 THEN NULL
+      |    ELSE round(CAST(cxy AS DOUBLE)
+      |      / (sqrt(CAST(cxx AS DOUBLE)) * sqrt(CAST(cyy AS DOUBLE))), 6)
+      |    END AS pearson_r,
+      |  round((CAST(sx AS DOUBLE) - CAST(sy AS DOUBLE))
+      |    / CAST(n AS DOUBLE) / 100.0, 6) AS mean_shift_dollars,
+      |  CASE WHEN cyy <= 0 THEN NULL
+      |    ELSE round(sqrt(CAST(cxx AS DOUBLE))
+      |      / sqrt(CAST(cyy AS DOUBLE)), 6) END AS scale_ratio,
+      |  coalesce(round(2.0 * CAST(cxy AS DOUBLE)
+      |    / (CAST(cxx AS DOUBLE) + CAST(cyy AS DOUBLE)
+      |      + CAST(dd AS DOUBLE)), 6) > 0.99, false) AS consistent
+      |FROM c""".stripMargin
+
+  // ---------------------------------------------------------------- L73
+  /** Poisson overdispersion audit of the daily event-arrival counts,
+    * per event type — the distributional assumption check behind
+    * every "events per day" rate model (F11's anomaly bands, F47's
+    * burstiness summary): if arrivals were Poisson, the variance-to-
+    * mean ratio D is 1, and (n−1)·D ~ χ²(n−1); bursty types show
+    * D ≫ 1 (overdispersion — model with negative binomial, L52's
+    * fit) and regular ones D < 1. EXACT device: D folds entirely in
+    * integers — D = (n·Σc² − (Σc)²)/((n−1)·Σc) — ONE double
+    * division; the normal-approx z = (D−1)·√((n−1)/2) in one fixed
+    * order. One (type, day) aggregate then a |types|-row fold.
+    */
+  def qDispersion(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        expr("(ts DIV 1000000000) DIV 86400").cast("long").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val m = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c").cast(d38)).as("s"),
+        sum(col("c").cast(d38) * col("c")).as("s2"))
+    val dNum = (col("n").cast(d38) * col("s2") - col("s") * col("s"))
+    val d = dNum.cast("double") /
+      ((col("n").cast("double") - 1) * col("s").cast("double"))
+    m.filter(col("n") > 1)
+      .select(col("event_type"), col("n").as("n_days"),
+        round(col("s").cast("double") / col("n"), 6).as("mean_per_day"),
+        round(d, 6).as("dispersion"),
+        round((d - 1) * sqrt((col("n").cast("double") - 1) / 2.0), 6)
+          .as("z"))
+      .withColumn("overdispersed", col("z") > 1.96)
+  }
+
+  val qDispersionSql: String =
+    """WITH daily AS (SELECT event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |m AS (SELECT event_type, count(*) AS n,
+      |    sum(CAST(c AS HUGEINT)) AS s,
+      |    sum(CAST(c AS HUGEINT) * c) AS s2
+      |  FROM daily GROUP BY 1)
+      |SELECT event_type, n AS n_days,
+      |  round(CAST(s AS DOUBLE) / n, 6) AS mean_per_day,
+      |  round(CAST(CAST(n AS HUGEINT) * s2 - s * s AS DOUBLE)
+      |    / ((CAST(n AS DOUBLE) - 1) * CAST(s AS DOUBLE)), 6) AS dispersion,
+      |  round((CAST(CAST(n AS HUGEINT) * s2 - s * s AS DOUBLE)
+      |      / ((CAST(n AS DOUBLE) - 1) * CAST(s AS DOUBLE)) - 1)
+      |    * sqrt((CAST(n AS DOUBLE) - 1) / 2.0), 6) AS z,
+      |  (round((CAST(CAST(n AS HUGEINT) * s2 - s * s AS DOUBLE)
+      |      / ((CAST(n AS DOUBLE) - 1) * CAST(s AS DOUBLE)) - 1)
+      |    * sqrt((CAST(n AS DOUBLE) - 1) / 2.0), 6) > 1.96)
+      |    AS overdispersed
+      |FROM m WHERE n > 1""".stripMargin
+
   // ---------------------------------------------------------------- L67
   /** Grubbs-style maximum-studentized-deviation screen on order totals
     * — the single-outlier question the L10 MAD screen answers in bulk,
@@ -5541,6 +5788,9 @@ object Validation {
     "q_chow_test" -> (qChowTest _),
     "q_cliffs_delta" -> (qCliffsDelta _),
     "q_uplift" -> (qUplift _),
+    "q_dunn_test" -> (qDunnTest _),
+    "q_lin_ccc" -> (qLinCcc _),
+    "q_dispersion" -> (qDispersion _),
     "q_breusch_pagan" -> (qBreuschPagan _),
     "q_wilcoxon_signed" -> (qWilcoxonSigned _),
     "q_anderson_darling" -> (qAndersonDarling _),
@@ -5611,6 +5861,9 @@ object Validation {
     "q_chow_test" -> qChowTestSql,
     "q_cliffs_delta" -> qCliffsDeltaSql,
     "q_uplift" -> qUpliftSql,
+    "q_dunn_test" -> qDunnTestSql,
+    "q_lin_ccc" -> qLinCccSql,
+    "q_dispersion" -> qDispersionSql,
     "q_breusch_pagan" -> qBreuschPaganSql,
     "q_wilcoxon_signed" -> qWilcoxonSignedSql,
     "q_anderson_darling" -> qAndersonDarlingSql,

@@ -328,7 +328,13 @@ class PlanSpec extends AnyFunSuite {
       "q_grubbs" -> 1, "q_chow_test" -> 3, "q_cliffs_delta" -> 2,
       "q_uplift" -> 2, "q_ece" -> 2, "q_kpss" -> 4,
       "q_ngram_novelty" -> 4, "q_span_corruption_plan" -> 1,
-      "q_ann_binary" -> 4, "q_reciprocity" -> 3))
+      "q_ann_binary" -> 4, "q_reciprocity" -> 3,
+      // second wave (q_dunn_test pinned post-cache 11 → 4;
+      // q_bipartite_stats post-cache 8 → 3, n_edges folded off the
+      // part-degree sum)
+      "q_dunn_test" -> 4, "q_lin_ccc" -> 2, "q_dispersion" -> 2,
+      "q_arch_lm" -> 3, "q_bipartite_stats" -> 3,
+      "q_ann_binary_sweep" -> 2, "q_length_lognormal" -> 1))
   }
 
   private def runCeilings(ceilings: Map[String, Int]): Unit = {

@@ -3982,6 +3982,197 @@ class PropertySpec extends AnyFunSuite {
       s"mean recall ${mean.sum / mean.size} below the binary-sketch floor")
   }
 
+  test("q_dunn_test: pairwise z recomposes from the driver-side rank histogram") {
+    val sf = TestSession.sf
+    val rows = graft.operators.Validation.queries("q_dunn_test")(spark, sf)
+      .collect()
+    assert(rows.length == 10, "5 segments -> 10 pairs")
+    val data = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), floor(col("o_totalprice") / 100).cast("long"))
+      .as[(String, Long)].collect()
+    val byBin = data.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val bins = byBin.keys.toSeq.sorted
+    val cumt = bins.scanLeft(0L)((acc, b) => acc + byBin(b)).init
+    val cumOf = bins.zip(cumt).toMap
+    // doubled tie-average rank per bin: 2·cum_below + t + 1
+    val rank2 = bins.map(b => b -> (2 * cumOf(b) + byBin(b) + 1)).toMap
+    val grp = data.groupBy(_._1).view.mapValues { xs =>
+      (xs.length.toLong, xs.map(t => BigInt(rank2(t._2))).sum)
+    }.toMap
+    val n = data.length.toLong
+    val tsum = byBin.values.map(t => BigInt(t) * t * t - t).sum
+    val v = (n.toDouble * (n + 1) - tsum.toDouble / (n.toDouble - 1)) / 12.0
+    rows.foreach { r =>
+      val (sa, sb) = (r.getAs[String]("seg_a"), r.getAs[String]("seg_b"))
+      assert(sa < sb)
+      val (na, r2a) = grp(sa); val (nb, r2b) = grp(sb)
+      assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("n_b") == nb)
+      val z = (r2a.toDouble / (na.toDouble * 2) -
+        r2b.toDouble / (nb.toDouble * 2)) /
+        math.sqrt(v * (1.0 / na + 1.0 / nb))
+      assert(math.abs(r.getAs[Double]("z") - z) < 1e-5, s"$sa-$sb z")
+      assert(r.getAs[Boolean]("significant") ==
+        (math.abs(r.getAs[Double]("z")) > 2.807))
+    }
+  }
+
+  test("q_lin_ccc: CCC recomposes from exact moments and is dominated by |r|") {
+    val sf = TestSession.sf
+    val r = graft.operators.Validation.queries("q_lin_ccc")(spark, sf)
+      .collect().head
+    val xy = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), round(col("o_totalprice") * 100).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val detail = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          (lit(1.0) + col("l_tax")) * 100).cast("long"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => BigInt(t._2)).sum).toMap
+    val pairs = detail.toSeq.collect { case (k, y) if xy.contains(k) =>
+      (BigInt(xy(k)), y) }
+    val n = BigInt(pairs.length)
+    val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+    val sxy = pairs.map(t => t._1 * t._2).sum
+    val sxx = pairs.map(t => t._1 * t._1).sum
+    val syy = pairs.map(t => t._2 * t._2).sum
+    val cxy = n * sxy - sx * sy
+    val cxx = n * sxx - sx * sx; val cyy = n * syy - sy * sy
+    val ccc = 2.0 * cxy.toDouble /
+      (cxx.toDouble + cyy.toDouble + ((sx - sy) * (sx - sy)).toDouble)
+    assert(r.getAs[Long]("n") == pairs.length.toLong)
+    assert(math.abs(r.getAs[Double]("ccc") - ccc) < 1e-5)
+    assert(math.abs(r.getAs[Double]("ccc")) <=
+      math.abs(r.getAs[Double]("pearson_r")) + 1e-6,
+      "CCC can never exceed |r| in magnitude")
+    assert(r.getAs[Boolean]("consistent") == (r.getAs[Double]("ccc") > 0.99))
+  }
+
+  test("q_dispersion: variance-to-mean ratio recomposes from day counts") {
+    val sf = TestSession.sf
+    val rows = graft.operators.Validation.queries("q_dispersion")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"),
+        expr("(ts DIV 1000000000) DIV 86400").cast("long").as("day"))
+      .agg(count(lit(1)).as("c"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3)).toMap
+    rows.foreach { r =>
+      val cs = daily(r.getAs[String]("event_type"))
+      val n = BigInt(cs.length); val s = cs.map(BigInt(_)).sum
+      val s2 = cs.map(c => BigInt(c) * c).sum
+      val d = (n * s2 - s * s).toDouble / ((n.toDouble - 1) * s.toDouble)
+      assert(r.getAs[Long]("n_days") == cs.length.toLong)
+      assert(math.abs(r.getAs[Double]("dispersion") - d) < 1e-5)
+      val z = (d - 1) * math.sqrt((n.toDouble - 1) / 2.0)
+      assert(math.abs(r.getAs[Double]("z") - z) < 1e-4)
+      assert(r.getAs[Boolean]("overdispersed") == (r.getAs[Double]("z") > 1.96))
+    }
+  }
+
+  test("q_arch_lm: LM recomposes from the quantized squared-shock series") {
+    val sf = TestSession.sf
+    val r = graft.operators.TemporalOps.queries("q_arch_lm")(spark, sf)
+      .collect().head
+    val daily = Tables.orders(spark, sf)
+      .groupBy(datediff(col("o_orderdate"), lit("1970-01-01")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("y"))
+      .orderBy(col("day")).as[(Int, Long)].collect().map(_._2)
+    val diffs = daily.sliding(2).map(p => BigInt(p(1) - p(0))).toArray
+    val nr = BigInt(diffs.length); val sr = diffs.sum
+    val m = if (sr >= 0) (2 * sr + nr) / (2 * nr)
+      else -((2 * -sr + nr) / (2 * nr))
+    val u = diffs.map { rr =>
+      val e = rr - m; (2 * e * e + 1000000) / 2000000
+    }
+    val pairs = u.sliding(2).map(p => (p(0), p(1))).toArray
+    val n = BigInt(pairs.length)
+    val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+    val sxy = pairs.map(t => t._1 * t._2).sum
+    val sxx = pairs.map(t => t._1 * t._1).sum
+    val syy = pairs.map(t => t._2 * t._2).sum
+    val cxy = n * sxy - sx * sy
+    val cxx = n * sxx - sx * sx; val cyy = n * syy - sy * sy
+    val lm = n.toDouble * (cxy.toDouble * cxy.toDouble) /
+      (cxx.toDouble * cyy.toDouble)
+    assert(r.getAs[Long]("n_obs") == pairs.length.toLong)
+    assert(math.abs(r.getAs[Double]("lm_stat") - lm) < 1e-4,
+      s"arch ${r.getAs[Double]("lm_stat")} vs $lm")
+    assert(r.getAs[Boolean]("arch_present") ==
+      (r.getAs[Double]("lm_stat") > 3.841))
+  }
+
+  test("q_bipartite_stats: counts recompose from the distinct incidence set") {
+    val sf = TestSession.sf
+    val r = graft.operators.GraphOps.queries("q_bipartite_stats")(spark, sf)
+      .collect().head
+    val pairs = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .as[(Long, Long)].collect()
+    val pd = pairs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val sd = pairs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(r.getAs[Long]("n_parts") == pd.size.toLong)
+    assert(r.getAs[Long]("n_suppliers") == sd.size.toLong)
+    assert(r.getAs[Long]("n_edges") == pairs.length.toLong)
+    assert(r.getAs[Long]("max_part_degree") == pd.values.max)
+    assert(r.getAs[Long]("max_supp_degree") == sd.values.max)
+    val proj = pd.values.map(d => BigInt(d) * (d - 1)).sum
+    assert(BigInt(r.getAs[String]("proj_pairs_x2")) == proj)
+  }
+
+  test("q_ann_binary_sweep: recall is monotone in depth and agrees with q_ann_binary at 50") {
+    val sf = "/root/testdata/sf0.01" // the panel needs the fuller corpus
+    val rows = graft.operators.Similarity.queries("q_ann_binary_sweep")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("shortlist"),
+        r.getAs[Double]("mean_recall_at_5"))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq ==
+      graft.operators.Similarity.BinarySweepDepths.map(_.toLong))
+    rows.toSeq.sliding(2).foreach {
+      case Seq((ka, ra), (kb, rb)) =>
+        assert(rb >= ra - 1e-9, s"recall fell $ka->$kb: $ra -> $rb")
+      case _ => ()
+    }
+    // cross-query identity: the depth-50 point IS q_ann_binary's recall
+    val perQ = graft.operators.Similarity.queries("q_ann_binary")(spark, sf)
+      .select(col("qid"), col("recall_at_5")).distinct()
+      .as[(Long, Double)].collect()
+    val mean = perQ.map(_._2).sum / perQ.length
+    val at50 = rows.find(_._1 == 50L).get._2
+    assert(math.abs(at50 - mean) < 1e-4,
+      s"sweep@50 $at50 != q_ann_binary mean $mean")
+  }
+
+  test("q_length_lognormal: mu/sigma recompose from the quantized log-lengths") {
+    val sf = TestSession.sf
+    val rows = graft.operators.TrainingOps.queries("q_length_lognormal")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val lmus = Tables.documents(spark, sf)
+      .select(col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
+          .as("nt"))
+      .filter(col("nt") >= 1)
+      .select(col("source"), round(log(col("nt")) * 1e6).cast("long"))
+      .as[(String, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2)).toMap
+    rows.foreach { r =>
+      val xs = lmus(r.getAs[String]("source"))
+      val n = BigInt(xs.length); val s = xs.map(BigInt(_)).sum
+      val s2 = xs.map(x => BigInt(x) * x).sum
+      val mu = s.toDouble / (n.toDouble * 1e6)
+      val sigma = math.sqrt((n * s2 - s * s).toDouble /
+        (n.toDouble * (n.toDouble - 1))) / 1e6
+      assert(r.getAs[Long]("n_docs") == xs.length.toLong)
+      assert(math.abs(r.getAs[Double]("mu_ln") - mu) < 1e-5)
+      assert(math.abs(r.getAs[Double]("sigma_ln") - sigma) < 1e-5)
+      assert(r.getAs[Boolean]("high_dispersion") ==
+        (r.getAs[Double]("sigma_ln") > 1.0))
+    }
+  }
+
   test("q_reciprocity: reciprocal edge mass equals twice the mutual-kNN graph") {
     val sf = TestSession.sf
     val r = graft.operators.GraphOps.queries("q_reciprocity")(spark, sf)

@@ -10,7 +10,13 @@ object XcDebug {
       System.err.println("usage: XcDebug <q1[,q2,...]> [sfDir]")
       sys.exit(2)
     }
-    val spark = GraftSession.create(8)
+    // 4 threads = the TestSession harness: AQE's plan (and so the
+    // exchange count) varies with parallelism, and the pins live in
+    // PlanSpec — measure where they are enforced (r17: three pins
+    // measured at 8 threads read 2 lower than the suite's 4-thread
+    // value, shipping a red tree)
+    val spark = GraftSession.create(
+      sys.env.getOrElse("XC_CPUS", "4").toInt)
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     args(0).split(",").foreach { q =>
       val qe = SparkEntry.queries(q)(spark, dir).queryExecution

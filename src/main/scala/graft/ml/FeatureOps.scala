@@ -694,6 +694,84 @@ object FeatureOps {
          |FROM agg""".stripMargin
   }
 
+  // ---------------------------------------------------------------- E57
+  /** Youden-optimal threshold for the stopword-density classifier —
+    * the ACTIONABLE output of the E11/E12/E16 evaluation family:
+    * the PR curve and AUC describe the model, this emits the one
+    * operating point (maximize J = sensitivity + specificity − 1)
+    * a corpus filter actually deploys. EXACT argmax device: on the
+    * 4-dp score-bin histogram, TP/FP at cut c are suffix-cumulative
+    * integers, and the winner maximizes the cross-multiplied
+    * integer J_num = TP·N − FP·P (no float enters the selection;
+    * ties break on the LOWER bin — the more permissive cut). One
+    * map-only scoring pass + a bounded-bin window; published rates
+    * are single divisions of exact integers.
+    */
+  def qYoudenThreshold(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val enStops = graft.operators.TextAnalysis.stopwords("en")
+    val b = Tables.documents(spark, dir)
+      .select((col("lang") === "en").as("is_pos"),
+        round(vocabHits(tokens(col("text")), enStops).cast("double") /
+          tokenCount(col("text")), 4).as("score_bin"))
+      .groupBy(col("score_bin"))
+      .agg(count(when(col("is_pos"), 1)).as("npos_b"),
+        count(when(!col("is_pos"), 1)).as("nneg_b"))
+    val wSuf = Window.orderBy(col("score_bin"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val tot = b.agg(sum(col("npos_b")).cast("long").as("p"),
+      sum(col("nneg_b")).cast("long").as("nn"))
+    val cuts = b
+      .withColumn("tp", sum(col("npos_b")).over(wSuf).cast("long"))
+      .withColumn("fp", sum(col("nneg_b")).over(wSuf).cast("long"))
+      .crossJoin(broadcast(tot))
+      .withColumn("j_num",
+        col("tp").cast(d38) * col("nn") - col("fp").cast(d38) * col("p"))
+    val wBest = Window.orderBy(col("j_num").desc, col("score_bin").asc)
+    cuts.withColumn("r", row_number().over(wBest))
+      .filter(col("r") === 1)
+      .select(col("score_bin").as("threshold"), col("p").as("n_pos"),
+        col("nn").as("n_neg"), col("tp"), col("fp"),
+        round(col("tp").cast("double") / col("p"), 6).as("sensitivity"),
+        round(lit(1.0) - col("fp").cast("double") / col("nn"), 6)
+          .as("specificity"),
+        round(col("tp").cast("double") / col("p") -
+          col("fp").cast("double") / col("nn"), 6).as("youden_j"))
+  }
+
+  val qYoudenThresholdSql: String = {
+    val stopsSql = graft.operators.TextAnalysis.stopwords("en")
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    val toksSql = graft.functions.TextFunctions.duckToksSql("text")
+    raw"""WITH s AS (SELECT (lang = 'en') AS is_pos,
+         |  round(CAST(len(list_filter($toksSql, t -> list_contains($stopsSql, t))) AS DOUBLE)
+         |    / len($toksSql), 4) AS score_bin
+         |  FROM documents),
+         |b AS (SELECT score_bin,
+         |    count(CASE WHEN is_pos THEN 1 END) AS npos_b,
+         |    count(CASE WHEN NOT is_pos THEN 1 END) AS nneg_b
+         |  FROM s GROUP BY 1),
+         |tot AS (SELECT CAST(sum(npos_b) AS BIGINT) AS p,
+         |    CAST(sum(nneg_b) AS BIGINT) AS nn FROM b),
+         |cuts AS (SELECT score_bin,
+         |    CAST(sum(npos_b) OVER (ORDER BY score_bin ROWS BETWEEN
+         |      CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS tp,
+         |    CAST(sum(nneg_b) OVER (ORDER BY score_bin ROWS BETWEEN
+         |      CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS fp
+         |  FROM b),
+         |jn AS (SELECT score_bin, tp, fp, p, nn,
+         |    CAST(tp AS HUGEINT) * nn - CAST(fp AS HUGEINT) * p AS j_num
+         |  FROM cuts, tot),
+         |best AS (SELECT * FROM jn
+         |  ORDER BY j_num DESC, score_bin ASC LIMIT 1)
+         |SELECT score_bin AS threshold, p AS n_pos, nn AS n_neg, tp, fp,
+         |  round(CAST(tp AS DOUBLE) / p, 6) AS sensitivity,
+         |  round(1.0 - CAST(fp AS DOUBLE) / nn, 6) AS specificity,
+         |  round(CAST(tp AS DOUBLE) / p - CAST(fp AS DOUBLE) / nn, 6)
+         |    AS youden_j
+         |FROM best""".stripMargin
+  }
+
   // ---------------------------------------------------------------- E14
   /** Feature-hashing (hashing-trick) audit: terms bucketed into a
     * fixed [[FeatureHashDim]]-wide space by the engine-portable
@@ -3282,6 +3360,7 @@ object FeatureOps {
     "q_auc" -> (qAuc _),
     "q_calibration" -> (qCalibration _),
     "q_ece" -> (qEce _),
+    "q_youden_threshold" -> (qYoudenThreshold _),
     "q_pr_curve" -> (qPrCurve _),
     "q_lift_curve" -> (qLiftCurve _),
     "q_pca" -> (qPca _),
@@ -3324,6 +3403,7 @@ object FeatureOps {
     "q_auc" -> qAucSql,
     "q_calibration" -> qCalibrationSql,
     "q_ece" -> qEceSql,
+    "q_youden_threshold" -> qYoudenThresholdSql,
     "q_pr_curve" -> qPrCurveSql,
     "q_lift_curve" -> qLiftCurveSql,
     "q_standard_scaler" -> qStandardScalerSql,

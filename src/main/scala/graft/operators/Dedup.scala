@@ -624,6 +624,77 @@ object Dedup {
           .as("hit_frac"))
   }
 
+  /** K40: the contamination MATRIX — C22's verdict broken out by
+    * (training source × eval source): WHICH benchmark leaks from
+    * WHICH corpus slice, the attribution a curation team needs
+    * before deciding whether to drop a source or just its colliding
+    * documents (C22 flags docs; C12 measures source overlap by
+    * near-dup similarity; this crosses the VERBATIM n-gram channel
+    * with provenance). Distinct (gram, source) sets on both sides —
+    * the eval side is bounded and broadcasts (the C22 contract), the
+    * training side shuffles only 16-byte keys with source tags —
+    * then one broadcast join + a pair-keyed aggregate. Collision
+    * share is exact ppm of the training source's distinct grams.
+    */
+  def qContaminationMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val n = DecontamN
+    val isEval = col("source").isin(EvalSources.map(x => x: Any): _*)
+    val grams = Tables.documents(spark, dir)
+      .select(col("source"), isEval.as("is_eval"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("source"), col("is_eval"),
+        explode(transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+          i => md5(concat_ws(" ", slice(col("toks"), i, lit(n)))))).as("g"))
+    val evalG = grams.filter(col("is_eval"))
+      .select(col("source").as("eval_source"), col("g")).distinct()
+    val trainG = grams.filter(!col("is_eval"))
+      .select(col("source").as("train_source"), col("g")).distinct()
+      .cache()
+    val tt = trainG.groupBy(col("train_source"))
+      .agg(count(lit(1)).as("n_train_grams"))
+    val out = trainG.join(broadcast(evalG), "g")
+      .groupBy(col("train_source"), col("eval_source"))
+      .agg(countDistinct(col("g")).as("n_collisions"))
+      .join(tt, "train_source")
+      .select(col("train_source"), col("eval_source"), col("n_collisions"),
+        col("n_train_grams"),
+        expr("CAST((2 * CAST(n_collisions AS DECIMAL(38,0)) * 1000000" +
+          " + n_train_grams) DIV (2 * CAST(n_train_grams AS DECIMAL(38,0)))" +
+          " AS BIGINT)").as("collision_ppm"))
+      .cache()
+    out.count()
+    trainG.unpersist()
+    out
+  }
+
+  val qContaminationMatrixSql: String = {
+    val n = DecontamN
+    raw"""WITH toked AS (SELECT source,
+         |    source IN ($evalSourcesSql) AS is_eval,
+         |    ${duckToksSql("text")} AS toks
+         |  FROM documents),
+         |idx AS (SELECT source, is_eval, toks,
+         |    unnest(generate_series(1, len(toks) - ${n - 1})) AS i
+         |  FROM toked WHERE len(toks) >= $n),
+         |grams AS (SELECT source, is_eval,
+         |    md5(array_to_string(list_slice(toks, i, i + ${n - 1}), ' ')) AS g
+         |  FROM idx),
+         |evalg AS (SELECT DISTINCT source AS eval_source, g FROM grams
+         |  WHERE is_eval),
+         |traing AS (SELECT DISTINCT source AS train_source, g FROM grams
+         |  WHERE NOT is_eval),
+         |tt AS (SELECT train_source, count(*) AS n_train_grams
+         |  FROM traing GROUP BY 1),
+         |mx AS (SELECT train_source, eval_source,
+         |    count(DISTINCT g) AS n_collisions
+         |  FROM traing JOIN evalg USING (g) GROUP BY 1, 2)
+         |SELECT train_source, eval_source, n_collisions, n_train_grams,
+         |  CAST((2 * CAST(n_collisions AS HUGEINT) * 1000000 + n_train_grams)
+         |    // (2 * CAST(n_train_grams AS HUGEINT)) AS BIGINT)
+         |    AS collision_ppm
+         |FROM mx JOIN tt USING (train_source)""".stripMargin
+  }
+
   // ---------------------------------------------------------------- C8
   /** Incremental ingest dedup: the arriving batch ([[EvalSources]] as
     * the stand-in "new" split) checked against the existing corpus by
@@ -2271,6 +2342,7 @@ object Dedup {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_curation_funnel" -> (qCurationFunnel _),
     "q_ngram_decontam" -> (qNgramDecontam _),
+    "q_contamination_matrix" -> (qContaminationMatrix _),
     "q_boilerplate" -> (qBoilerplate _),
     "q_segment_dedup" -> (qSegmentDedup _),
     "q_dedup_threshold_sweep" -> (qDedupThresholdSweep _),
@@ -2309,6 +2381,7 @@ object Dedup {
     "q_minhash_calibration" -> qMinhashCalibrationSql,
     "q_curation_funnel" -> qCurationFunnelSql,
     "q_ngram_decontam" -> qNgramDecontamSql,
+    "q_contamination_matrix" -> qContaminationMatrixSql,
     "q_boilerplate" -> qBoilerplateSql,
     "q_crosslingual_pairs" -> qCrosslingualPairsSql,
     "q_contamination" -> qContaminationSql,

@@ -1390,6 +1390,62 @@ object GraphOps {
       |  max_part_degree, max_supp_degree, proj_pairs_x2
       |FROM ne, pd, sd""".stripMargin
 
+  // ---------------------------------------------------------------- M26
+  /** Gini coefficient of the mutual-kNN degree distribution — hub
+    * concentration as ONE number (M7 publishes the distribution,
+    * M12's rich-club asks how hubs interconnect; this asks how
+    * unequal connectivity is at all — the first summary a topology
+    * review reads, and the L8 inequality device applied to graph
+    * structure). Degrees are bounded by K (the mutual-kNN cap), so
+    * the sorted-rank Gini folds off a ≤K-row degree HISTOGRAM with
+    * exact tie algebra — value d, count m, cumulative c below:
+    * Σ2·i·x over the tie run = d·m·(2c+m+1) — and
+    * G = (iws2 − (n+1)·Σd)/(n·Σd) is ONE double division of exact
+    * DECIMAL folds. Rides the persisted GraphStore; bounded
+    * everywhere after the degree aggregate.
+    */
+  def qDegreeGini(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val edges = GraphStore.knn(spark, dir)
+    val deg = edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val hist = deg.groupBy(col("d")).agg(count(lit(1)).as("m"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("d"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = hist.withColumn("c", coalesce(sum(col("m")).over(w), lit(0L)))
+    cum.agg(sum(col("m")).cast("long").as("n_nodes"),
+        sum(col("d").cast(d38) * col("m")).as("tot"),
+        sum(col("d").cast(d38) * col("m") *
+          (lit(2) * col("c") + col("m") + 1)).as("iws2"))
+      .select(col("n_nodes"), col("tot").cast("long").as("total_degree"),
+        round((col("iws2").cast("double") -
+          (col("n_nodes") + 1).cast("double") * col("tot").cast("double")) /
+          (col("n_nodes").cast("double") * col("tot").cast("double")), 6)
+          .as("degree_gini"))
+  }
+
+  // def, not val: interpolates mutKnnSql (the shared M-block device)
+  def qDegreeGiniSql: String =
+    s"""WITH $mutKnnSql,
+      |deg AS (SELECT node, count(*) AS d FROM (
+      |    SELECT src AS node FROM und UNION ALL SELECT dst FROM und)
+      |  GROUP BY 1),
+      |hist AS (SELECT d, count(*) AS m FROM deg GROUP BY 1),
+      |cum AS (SELECT d, m, coalesce(sum(m) OVER (ORDER BY d
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+      |  FROM hist),
+      |agg AS (SELECT CAST(sum(m) AS BIGINT) AS n_nodes,
+      |    sum(CAST(d AS HUGEINT) * m) AS tot,
+      |    sum(CAST(d AS HUGEINT) * m * (2 * c + m + 1)) AS iws2
+      |  FROM cum)
+      |SELECT n_nodes, CAST(tot AS BIGINT) AS total_degree,
+      |  round((CAST(iws2 AS DOUBLE)
+      |    - (CAST(n_nodes AS DOUBLE) + 1) * CAST(tot AS DOUBLE))
+      |    / (CAST(n_nodes AS DOUBLE) * CAST(tot AS DOUBLE)), 6)
+      |    AS degree_gini
+      |FROM agg""".stripMargin
+
   // ---------------------------------------------------------------- M11
   /** Degree assortativity of the mutual-kNN graph — Newman's r, the
     * one-number answer to "do well-connected suppliers co-supply with
@@ -1944,6 +2000,7 @@ object GraphOps {
     "q_hits" -> (qHits _),
     "q_reciprocity" -> (qReciprocity _),
     "q_bipartite_stats" -> (qBipartiteStats _),
+    "q_degree_gini" -> (qDegreeGini _),
     "q_community_conductance" -> (qCommunityConductance _),
     "q_knn_components" -> (qKnnComponents _),
     "q_closeness" -> (qCloseness _),
@@ -1968,6 +2025,7 @@ object GraphOps {
     "q_hits" -> qHitsSql,
     "q_reciprocity" -> qReciprocitySql,
     "q_bipartite_stats" -> qBipartiteStatsSql,
+    "q_degree_gini" -> qDegreeGiniSql,
     "q_assortativity" -> qAssortativitySql,
     "q_moran_i" -> qMoranISql,
     "q_rich_club" -> qRichClubSql,

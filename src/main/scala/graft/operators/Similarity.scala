@@ -151,7 +151,7 @@ object Similarity {
     // r16 plan recomputed it from the full assignment per call, a
     // corpus-scale aggregate per query at 100 TB (r16 verdict ask #1)
     val cellNorm = IvfIndex.norms(spark, dir, nlist)
-    val cAug = cdf.join(cellNorm, Seq("cell"))
+    val cAug = cdf.join(broadcast(cellNorm), Seq("cell"))
     val q = assigned.filter(col("vec_id") % 50 === 0 && col("vec_id") < PanelIdCap)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val wProbe = Window.partitionBy(col("qid"))
@@ -948,7 +948,12 @@ object Similarity {
     * an unverifiable row count.
     */
   private def withRecall(approx: DataFrame, truth: DataFrame): DataFrame = {
-    val rec = approx.join(truth, Seq("qid", "nid"), "left_semi")
+    // the truth panel is bounded (2% query sample × 5 rows) — hint it
+    // so the recall join can NEVER degrade to a shuffle join (r17: an
+    // unhinted bounded join planned SMJ or broadcast depending on
+    // session state, moving executed-plan exchange counts ±2 between
+    // the pin harness and the full suite)
+    val rec = approx.join(broadcast(truth), Seq("qid", "nid"), "left_semi")
       .groupBy(col("qid"))
       .agg((count(lit(1)) / 5.0).as("recall_at_5"))
     val sampled = truth.select(col("qid")).distinct()

@@ -2681,6 +2681,175 @@ object TemporalOps {
     * {2, 5, 10} share one window pass. Verdict cuts rounded VR at
     * ±0.2 around 1. Day table bounded; one corpus scan.
     */
+  // ---------------------------------------------------------------- F71
+  /** EWMA control chart (Roberts 1959) on daily revenue — the SPC
+    * family member between F45's Bollinger (trailing window) and
+    * F68's CUSUM (cumulative): λ = 1/8 memory with ±3σ·√(λ/(2−λ))
+    * limits, the chart that catches SMALL persistent shifts a
+    * Shewhart band misses. EXACT device: the recursion runs entirely
+    * in DECIMAL(18,6) (the F48 Holt rule — a 6-dp decimal is not
+    * binary-exact, so a double fold lands round() on half-ulp knife
+    * edges; decimal arithmetic has no representation error and both
+    * engines tie-break half-away-from-zero), as an ordered HOF fold
+    * over the bounded day table, replayed by a recursive CTE; the
+    * limits come from exact cent moments in one fixed-order double
+    * each. Published doubles are decimal casts (< 2^53 in µ-units —
+    * conversion correctly rounded identically in both engines, the
+    * F48 publish device).
+    */
+  def qEwmaChart(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val d6 = "decimal(18,6)"
+    val byDay = Tables.orders(spark, dir)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("rc"))
+    val tot = byDay.agg(count(lit(1)).as("n"),
+      sum(col("rc").cast(d38)).as("s"),
+      sum(col("rc").cast(d38) * col("rc")).as("s2"))
+    val sdC = sqrt((col("n").cast(d38) * col("s2") - col("s") * col("s"))
+      .cast("double") / (col("n").cast("double") * (col("n").cast("double") - 1)))
+    val limits = tot.select(col("n"),
+      round((col("s").cast("double") / col("n").cast("double") +
+        lit(3.0) * sdC * math.sqrt(0.125 / 1.875)) / 100.0, 6).as("ucl"),
+      round((col("s").cast("double") / col("n").cast("double") -
+        lit(3.0) * sdC * math.sqrt(0.125 / 1.875)) / 100.0, 6).as("lcl"))
+    val sNew = s"cast(round(0.125 * x.rev + 0.875 * acc.s, 6) as $d6)"
+    byDay.agg(array_sort(collect_list(struct(col("day"), col("rev")))).as("s"))
+      .select(explode(expr(
+        s"""aggregate(
+           |  slice(s, 2, greatest(size(s) - 1, 0)),
+           |  named_struct(
+           |    's', cast(get(s, 0).rev as $d6),
+           |    'out', array(named_struct(
+           |      'day', get(s, 0).day, 'rev', get(s, 0).rev,
+           |      'ewma', cast(get(s, 0).rev as $d6)))),
+           |  (acc, x) -> named_struct(
+           |    's', $sNew,
+           |    'out', concat(acc.out, array(named_struct(
+           |      'day', x.day, 'rev', x.rev, 'ewma', $sNew)))),
+           |  acc -> acc.out)""".stripMargin)).as("r"))
+      .select(col("r.day").as("day"),
+        col("r.rev").cast("double").as("rev"),
+        col("r.ewma").cast("double").as("ewma"))
+      .crossJoin(broadcast(limits.select(col("ucl"), col("lcl"))))
+      .withColumn("breach", col("ewma") > col("ucl") || col("ewma") < col("lcl"))
+  }
+
+  val qEwmaChartSql: String =
+    """WITH RECURSIVE
+      |byday AS (SELECT CAST(o_orderdate AS DATE) AS day,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rc
+      |  FROM orders GROUP BY 1),
+      |tot AS (SELECT count(*) AS n, sum(CAST(rc AS HUGEINT)) AS s,
+      |    sum(CAST(rc AS HUGEINT) * rc) AS s2 FROM byday),
+      |lim AS (SELECT
+      |    round((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+      |      + 3.0 * sqrt(CAST(CAST(n AS HUGEINT) * s2 - s * s AS DOUBLE)
+      |        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))
+      |        * sqrt(0.125 / 1.875)) / 100.0, 6) AS ucl,
+      |    round((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+      |      - 3.0 * sqrt(CAST(CAST(n AS HUGEINT) * s2 - s * s AS DOUBLE)
+      |        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))
+      |        * sqrt(0.125 / 1.875)) / 100.0, 6) AS lcl
+      |  FROM tot),
+      |idx AS (SELECT day, rev,
+      |    CAST(row_number() OVER (ORDER BY day) AS INT) AS i FROM byday),
+      |ew(i, s) AS (
+      |  SELECT 1, CAST((SELECT rev FROM idx WHERE i = 1) AS DECIMAL(18,6))
+      |  UNION ALL
+      |  SELECT e.i + 1,
+      |    CAST(round(0.125 * x.rev + 0.875 * e.s, 6) AS DECIMAL(18,6))
+      |  FROM ew e JOIN idx x ON x.i = e.i + 1)
+      |SELECT x.day, CAST(x.rev AS DOUBLE) AS rev,
+      |  CAST(e.s AS DOUBLE) AS ewma, ucl, lcl,
+      |  (CAST(e.s AS DOUBLE) > ucl OR CAST(e.s AS DOUBLE) < lcl) AS breach
+      |FROM idx x JOIN ew e ON e.i = x.i, lim""".stripMargin
+
+  // ---------------------------------------------------------------- F72
+  /** STL seasonality/trend strength (Hyndman's F-measures) — the
+    * one-row summary of F52's decomposition a pipeline routes on
+    * (F_s = max(0, 1 − Var(remainder)/Var(detrended)) decides
+    * whether the dow-profile is worth modeling; F_t the same against
+    * the deseasonalized series): computed ENTIRELY on the exact
+    * integer NUMERATORS the F52 device already carries (remainder,
+    * detrended, and trend+remainder share the dollar·4.9·10⁹ scale,
+    * which CANCELS in every variance ratio), sign-split half-up
+    * rescaled by 10⁶ so squares stay inside DECIMAL(38) at 100 TB;
+    * each strength is one double division of exact variance
+    * numerators. Bounded day grid, one aggregate over the shared
+    * stlFrame.
+    */
+  def qStlStrength(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    // sign-split halfUp(x / 10⁶) — DIV truncates toward zero in Spark
+    // but // floors in DuckDB, so negatives MUST go through the
+    // explicit split (the s6_g device)
+    def rs(c: String) = expr(
+      s"CASE WHEN ($c) >= 0 THEN (2 * ($c) + 1000000) DIV 2000000" +
+        s" ELSE -((2 * (-($c)) + 1000000) DIV 2000000) END").cast(d38)
+    val f = stlFrame(spark, dir)
+      .withColumn("xr", rs("rem_num"))
+      .withColumn("xd", rs("d7 * 7000000"))
+      .withColumn("xt", rs("rc * 49000000 - seasonal_scaled"))
+    def v(c: String) = (col("n").cast(d38) * col(s"s2_$c") -
+      col(s"s_$c") * col(s"s_$c")).cast("double")
+    val m = f.agg(count(lit(1)).as("n"),
+      sum(col("xr")).as("s_r"), sum(col("xr") * col("xr")).as("s2_r"),
+      sum(col("xd")).as("s_d"), sum(col("xd") * col("xd")).as("s2_d"),
+      sum(col("xt")).as("s_t"), sum(col("xt") * col("xt")).as("s2_t"))
+    m.select(col("n").as("n_days"),
+        greatest(lit(0.0), round(lit(1.0) - v("r") / v("d"), 6))
+          .as("f_seasonal"),
+        greatest(lit(0.0), round(lit(1.0) - v("r") / v("t"), 6))
+          .as("f_trend"))
+      .withColumn("strong_seasonality", col("f_seasonal") > 0.6)
+      .withColumn("strong_trend", col("f_trend") > 0.6)
+  }
+
+  val qStlStrengthSql: String = stlBaseSql +
+    """,
+      |rsd AS (SELECT
+      |    CASE WHEN rem_num >= 0
+      |      THEN CAST((2 * rem_num + 1000000) // 2000000 AS HUGEINT)
+      |      ELSE -CAST((2 * (-rem_num) + 1000000) // 2000000 AS HUGEINT)
+      |      END AS xr,
+      |    CASE WHEN d7 >= 0
+      |      THEN CAST((2 * d7 * 7000000 + 1000000) // 2000000 AS HUGEINT)
+      |      ELSE -CAST((2 * (-d7) * 7000000 + 1000000) // 2000000 AS HUGEINT)
+      |      END AS xd,
+      |    CASE WHEN rc * 49000000 - seasonal_scaled >= 0
+      |      THEN CAST((2 * (rc * 49000000 - seasonal_scaled) + 1000000)
+      |        // 2000000 AS HUGEINT)
+      |      ELSE -CAST((2 * (-(rc * 49000000 - seasonal_scaled)) + 1000000)
+      |        // 2000000 AS HUGEINT) END AS xt
+      |  FROM sc),
+      |m AS (SELECT count(*) AS n,
+      |    sum(xr) AS s_r, sum(xr * xr) AS s2_r,
+      |    sum(xd) AS s_d, sum(xd * xd) AS s2_d,
+      |    sum(xt) AS s_t, sum(xt * xt) AS s2_t
+      |  FROM rsd)
+      |SELECT n AS n_days,
+      |  greatest(0.0, round(1.0
+      |    - CAST(CAST(n AS HUGEINT) * s2_r - s_r * s_r AS DOUBLE)
+      |    / CAST(CAST(n AS HUGEINT) * s2_d - s_d * s_d AS DOUBLE), 6))
+      |    AS f_seasonal,
+      |  greatest(0.0, round(1.0
+      |    - CAST(CAST(n AS HUGEINT) * s2_r - s_r * s_r AS DOUBLE)
+      |    / CAST(CAST(n AS HUGEINT) * s2_t - s_t * s_t AS DOUBLE), 6))
+      |    AS f_trend,
+      |  (greatest(0.0, round(1.0
+      |    - CAST(CAST(n AS HUGEINT) * s2_r - s_r * s_r AS DOUBLE)
+      |    / CAST(CAST(n AS HUGEINT) * s2_d - s_d * s_d AS DOUBLE), 6))
+      |    > 0.6) AS strong_seasonality,
+      |  (greatest(0.0, round(1.0
+      |    - CAST(CAST(n AS HUGEINT) * s2_r - s_r * s_r AS DOUBLE)
+      |    / CAST(CAST(n AS HUGEINT) * s2_t - s_t * s_t AS DOUBLE), 6))
+      |    > 0.6) AS strong_trend
+      |FROM m""".stripMargin
+
   // ---------------------------------------------------------------- F69
   /** KPSS level-stationarity test on the daily-revenue series — the
     * NULL-reverses-the-question completion of the F55/F56 regime
@@ -3642,6 +3811,8 @@ object TemporalOps {
     "q_variance_ratio" -> (qVarianceRatio _),
     "q_kpss" -> (qKpss _),
     "q_arch_lm" -> (qArchLm _),
+    "q_ewma_chart" -> (qEwmaChart _),
+    "q_stl_strength" -> (qStlStrength _),
     "q_hurst" -> (qHurst _),
     "q_ljung_box" -> (qLjungBox _),
     "q_ar2_forecast" -> (qAr2Forecast _),
@@ -3701,6 +3872,8 @@ object TemporalOps {
     "q_variance_ratio" -> qVarianceRatioSql,
     "q_kpss" -> qKpssSql,
     "q_arch_lm" -> qArchLmSql,
+    "q_ewma_chart" -> qEwmaChartSql,
+    "q_stl_strength" -> qStlStrengthSql,
     "q_hurst" -> qHurstSql,
     "q_ljung_box" -> qLjungBoxSql,
     "q_ar2_forecast" -> qAr2ForecastSql,

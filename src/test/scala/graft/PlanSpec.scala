@@ -332,9 +332,14 @@ class PlanSpec extends AnyFunSuite {
       // second wave (q_dunn_test pinned post-cache 11 → 4;
       // q_bipartite_stats post-cache 8 → 3, n_edges folded off the
       // part-degree sum)
-      "q_dunn_test" -> 4, "q_lin_ccc" -> 2, "q_dispersion" -> 2,
+      "q_dunn_test" -> 5, "q_lin_ccc" -> 2, "q_dispersion" -> 2,
       "q_arch_lm" -> 3, "q_bipartite_stats" -> 3,
-      "q_ann_binary_sweep" -> 2, "q_length_lognormal" -> 1))
+      "q_ann_binary_sweep" -> 2, "q_length_lognormal" -> 1,
+      // third wave (measured in the 4-thread pin harness — XcDebug
+      // now defaults to the TestSession parallelism after the r17
+      // harness-mismatch lesson)
+      "q_ewma_chart" -> 4, "q_stl_strength" -> 4, "q_degree_gini" -> 3,
+      "q_contamination_matrix" -> 2, "q_youden_threshold" -> 4))
   }
 
   private def runCeilings(ceilings: Map[String, Int]): Unit = {
@@ -484,7 +489,19 @@ class PlanSpec extends AnyFunSuite {
       "q_mood_median", "q_anderson_darling", "q_wilcoxon_signed",
       // r16: rank window over the limit(201) top-k frame — bounded by
       // the literal k, never the corpus
-      "q_hill_tail")
+      "q_hill_tail",
+      // r17: cumulative window over the bounded $100-bin histogram
+      // (q_mannwhitney class)
+      "q_cliffs_delta",
+      // r17: cumsum/lag windows over the bounded day table
+      // (the q_changepoint class; q_stl_strength rides the exempt
+      // stlFrame's centered-MA window)
+      "q_kpss", "q_arch_lm", "q_stl_strength",
+      // r17: suffix-cumulative + argmax windows over the bounded
+      // 4-dp score-bin histogram (the q_decision_stump class)
+      "q_youden_threshold",
+      // r17: cumulative window over the ≤K-value degree histogram
+      "q_degree_gini")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       // pre-AQE physical plan: traversable with plain collect (the
       // AQE wrapper hides its initial plan from TreeNode traversal,

@@ -4173,6 +4173,146 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q_ewma_chart: the decimal fold replays driver-side; limits recompose from exact moments") {
+    val sf = TestSession.sf
+    val rows = graft.operators.TemporalOps.queries("q_ewma_chart")(spark, sf)
+      .collect().sortBy(_.getAs[java.sql.Date]("day").getTime)
+    assert(rows.nonEmpty)
+    val daily = Tables.orders(spark, sf)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rc"))
+      .orderBy(col("day")).as[(java.sql.Date, Long)].collect()
+    assert(rows.length == daily.length)
+    // replay the DECIMAL(18,6) recursion exactly
+    var s = BigDecimal(daily.head._2) / 100
+    rows.zip(daily).zipWithIndex.foreach { case ((r, (_, rc)), i) =>
+      if (i > 0) {
+        val x = BigDecimal(rc) / 100
+        s = (BigDecimal("0.125") * x + BigDecimal("0.875") * s)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }
+      assert(math.abs(r.getAs[Double]("ewma") - s.toDouble) < 1e-9,
+        s"day $i ewma ${r.getAs[Double]("ewma")} vs $s")
+    }
+    val n = BigInt(daily.length)
+    val sm = daily.map(t => BigInt(t._2)).sum
+    val s2 = daily.map(t => BigInt(t._2) * t._2).sum
+    val sd = math.sqrt((n * s2 - sm * sm).toDouble /
+      (n.toDouble * (n.toDouble - 1)))
+    val ucl = (sm.toDouble / n.toDouble +
+      3.0 * sd * math.sqrt(0.125 / 1.875)) / 100.0
+    assert(math.abs(rows.head.getAs[Double]("ucl") - ucl) < 1e-4)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("breach") ==
+        (r.getAs[Double]("ewma") > r.getAs[Double]("ucl") ||
+          r.getAs[Double]("ewma") < r.getAs[Double]("lcl")))
+    }
+  }
+
+  test("q_stl_strength: strengths are the variance ratios of the published STL components") {
+    val sf = TestSession.sf
+    val r = graft.operators.TemporalOps.queries("q_stl_strength")(spark, sf)
+      .collect().head
+    // cross-query consistency with the ORACLE-CHECKED decomposition:
+    // recompute the two F-measures from q_stl_decompose's published
+    // components (the rescale quantization bounds the drift)
+    val comp = graft.operators.TemporalOps.queries("q_stl_decompose")(spark, sf)
+      .select(col("seasonal"), col("remainder"),
+        col("rev_c") / 100.0 - col("seasonal") - col("remainder"))
+      .as[(Double, Double, Double)].collect()
+    def popVar(xs: Array[Double]): Double = {
+      val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum / xs.length
+    }
+    val vr = popVar(comp.map(_._2))
+    val fS = math.max(0.0, 1.0 - vr / popVar(comp.map(t => t._1 + t._2)))
+    assert(r.getAs[Long]("n_days") == comp.length.toLong)
+    assert(math.abs(r.getAs[Double]("f_seasonal") - fS) < 1e-3,
+      s"f_seasonal ${r.getAs[Double]("f_seasonal")} vs $fS")
+    // f_trend recomposes against trend+remainder directly
+    val comp2 = graft.operators.TemporalOps.queries("q_stl_decompose")(spark, sf)
+      .select(col("trend") + col("remainder"), col("remainder"))
+      .as[(Double, Double)].collect()
+    val fT2 = math.max(0.0, 1.0 - popVar(comp2.map(_._2)) / popVar(comp2.map(_._1)))
+    assert(math.abs(r.getAs[Double]("f_trend") - fT2) < 1e-3,
+      s"f_trend ${r.getAs[Double]("f_trend")} vs $fT2")
+    assert(r.getAs[Boolean]("strong_seasonality") ==
+      (r.getAs[Double]("f_seasonal") > 0.6))
+  }
+
+  test("q_degree_gini: gini recomposes from sorted degrees and sits in [0, 1)") {
+    val sf = TestSession.sf
+    val r = graft.operators.GraphOps.queries("q_degree_gini")(spark, sf)
+      .collect().head
+    val edges = graft.operators.GraphOps.GraphStore.knn(spark, sf)
+      .as[(Long, Long)].collect()
+    val deg = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).map(_._2.length.toLong).toArray.sorted
+    val n = deg.length.toLong
+    val tot = deg.map(BigInt(_)).sum
+    val iws = deg.zipWithIndex.map { case (d, i) => BigInt(i + 1) * d }.sum
+    val gini = (2 * iws - (BigInt(n) + 1) * tot).toDouble /
+      (n.toDouble * tot.toDouble)
+    assert(r.getAs[Long]("n_nodes") == n)
+    assert(BigInt(r.getAs[Long]("total_degree")) == tot)
+    assert(math.abs(r.getAs[Double]("degree_gini") - gini) < 1e-6,
+      s"gini ${r.getAs[Double]("degree_gini")} vs $gini")
+    assert(r.getAs[Double]("degree_gini") >= 0.0 &&
+      r.getAs[Double]("degree_gini") < 1.0)
+  }
+
+  test("q_contamination_matrix: row sums bound the C22 verdicts and ppm is exact") {
+    val sf = TestSession.sf
+    val rows = graft.operators.Dedup.queries("q_contamination_matrix")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty, "no contamination pairs at test SF")
+    rows.foreach { r =>
+      val (c, t) = (r.getAs[Long]("n_collisions"), r.getAs[Long]("n_train_grams"))
+      assert(c >= 1 && c <= t)
+      val ppm = (2 * BigInt(c) * 1000000 + t) / (2 * BigInt(t))
+      assert(BigInt(r.getAs[Long]("collision_ppm")) == ppm)
+      assert(graft.operators.Dedup.EvalSources
+        .contains(r.getAs[String]("eval_source")))
+      assert(!graft.operators.Dedup.EvalSources
+        .contains(r.getAs[String]("train_source")))
+    }
+    // every contaminated training doc's source (C22) must appear in
+    // the matrix — the matrix is the per-source rollup of that channel
+    val c22Sources = graft.operators.Dedup.queries("q_ngram_decontam")(spark, sf)
+      .select(col("source")).distinct().as[String].collect().toSet
+    val mxSources = rows.map(_.getAs[String]("train_source")).toSet
+    assert(c22Sources.subsetOf(mxSources),
+      s"C22 flagged sources missing from the matrix: ${c22Sources -- mxSources}")
+  }
+
+  test("q_youden_threshold: the cut maximizes the exact cross-multiplied J over all bins") {
+    val sf = TestSession.sf
+    val r = graft.ml.FeatureOps.queries("q_youden_threshold")(spark, sf)
+      .collect().head
+    val enStops = graft.operators.TextAnalysis.stopwords("en")
+    import graft.functions.TextFunctions.{tokens => tks, tokenCount, vocabHits}
+    val scored = Tables.documents(spark, sf)
+      .select((col("lang") === "en").as("is_pos"),
+        round(vocabHits(tks(col("text")), enStops).cast("double") /
+          tokenCount(col("text")), 4).as("sb"))
+      .as[(Boolean, Double)].collect()
+    val p = scored.count(_._1).toLong
+    val nn = scored.length - p
+    val bins = scored.map(_._2).distinct.sorted
+    val js = bins.map { c =>
+      val tp = scored.count(t => t._1 && t._2 >= c).toLong
+      val fp = scored.count(t => !t._1 && t._2 >= c).toLong
+      (c, tp, fp, BigInt(tp) * nn - BigInt(fp) * p)
+    }
+    val best = js.maxBy(t => (t._4, -t._1))
+    assert(r.getAs[Double]("threshold") == best._1,
+      s"threshold ${r.getAs[Double]("threshold")} vs ${best._1}")
+    assert(r.getAs[Long]("tp") == best._2 && r.getAs[Long]("fp") == best._3)
+    assert(r.getAs[Long]("n_pos") == p && r.getAs[Long]("n_neg") == nn)
+    val j = best._2.toDouble / p - best._3.toDouble / nn
+    assert(math.abs(r.getAs[Double]("youden_j") - j) < 1e-6)
+  }
+
   test("q_reciprocity: reciprocal edge mass equals twice the mutual-kNN graph") {
     val sf = TestSession.sf
     val r = graft.operators.GraphOps.queries("q_reciprocity")(spark, sf)

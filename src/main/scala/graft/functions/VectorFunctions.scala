@@ -27,4 +27,24 @@ object VectorFunctions {
     */
   def cosine(a: Column, b: Column): Column =
     GraftExpressions.cosine_sim(a.cast("array<double>"), b.cast("array<double>"))
+
+  /** Row-precomputed L2 norm via the codegen'd [[DotProduct]] fused
+    * loop: the identical left-to-right accumulation of x*x that
+    * [[CosineSim]] runs per PAIR, hoisted to once per ROW — so
+    * `cosinePre(a, b, norm2Row(a), norm2Row(b))` is bit-identical to
+    * `cosine(a, b)` (same IEEE terms, same order, same final
+    * dot / (sqrt(na) * sqrt(nb)) shape) while the quadratic pair
+    * stage pays ONE multiply-add per element instead of three.
+    */
+  def norm2Row(a: Column): Column =
+    sqrt(GraftExpressions.dot_product(
+      a.cast("array<double>"), a.cast("array<double>")))
+
+  /** Cosine from precomputed row norms — see [[norm2Row]] for the
+    * bit-parity argument. Use at quadratic (within-block self-join)
+    * and panel×corpus sites where the 3x per-pair FLOP cut matters.
+    */
+  def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
+    GraftExpressions.dot_product(
+      a.cast("array<double>"), b.cast("array<double>")) / (na * nb)
 }

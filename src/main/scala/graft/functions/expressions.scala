@@ -219,6 +219,86 @@ case class ShingleHashes(child: Expression, k: Int = 5,
     copy(child = newChild)
 }
 
+/** All ordered pairs (x(i), x(j)), i < j, of a long array, each packed
+  * as `(x(i) << 32) | x(j)` — the codegen kernel behind the co-supply
+  * pair generation (M-block). Value contract: the packed long unpacks
+  * exactly to the struct pairs the previous nested-HOF form emitted
+  * (`src = p >>> 32`, `dst = p & 0xFFFFFFFF`), so every downstream
+  * (src, dst) group is unchanged. Replaces, per input row, an
+  * interpreted flatten(transform(transform(slice))) lambda chain
+  * (HOFs do not participate in whole-stage codegen) with one fused
+  * i<j loop writing primitive longs. Fails loudly if any value falls
+  * outside [0, 2^31) — packing would corrupt pairs silently.
+  */
+case class PackedPairs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"packed_pairs requires array<bigint> input, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData].toLongArray()
+    val n = xs.length
+    var i = 0
+    while (i < n) {
+      if (xs(i) < 0L || xs(i) >= (1L << 31))
+        throw new IllegalArgumentException(
+          s"packed_pairs: value ${xs(i)} outside [0, 2^31)")
+      i += 1
+    }
+    val out = new Array[Long](n * (n - 1) / 2)
+    var k = 0
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        out(k) = (xs(i) << 32) | xs(j)
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val xs = ctx.freshName("xs")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      s"""
+         |long[] $xs = $c.toLongArray();
+         |int $n = $xs.length;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($xs[$i] < 0L || $xs[$i] >= (1L << 31)) {
+         |    throw new IllegalArgumentException(
+         |      "packed_pairs: value " + $xs[$i] + " outside [0, 2^31)");
+         |  }
+         |}
+         |long[] $out = new long[$n * ($n - 1) / 2];
+         |int $k = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  for (int $j = $i + 1; $j < $n; $j++) {
+         |    $out[$k++] = ($xs[$i] << 32) | $xs[$j];
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PackedPairs =
+    copy(child = newChild)
+}
+
 /** All hyperplane-LSH band values of an embedding in ONE fused loop —
   * the kernel behind C5/D2 candidate blocking. Value contract (mirrored
   * by the oracle CTEs in [[graft.functions.Hyperplanes.bandsSqlCtes]]):
@@ -425,6 +505,9 @@ object GraftExpressions {
 
   def shingle_hashes(c: Column, k: Int = 5, modulus: Long = 4294967291L): Column =
     GraftBridge.column(ShingleHashes(GraftBridge.expression(c), k, modulus))
+
+  def packed_pairs(c: Column): Column =
+    GraftBridge.column(PackedPairs(GraftBridge.expression(c)))
 
   def hyperplane_bands(v: Column, nBands: Int, bits: Int, dim: Int = 64): Column =
     GraftBridge.column(HyperplaneBands(GraftBridge.expression(v), nBands, bits, dim))

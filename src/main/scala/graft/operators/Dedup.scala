@@ -164,11 +164,19 @@ object Dedup {
     // explodes quadratically per shingle group — spread the groups
     // across tasks up front.
     val width = spark.sparkContext.defaultParallelism * 2
+    // repartition FIRST, then distinct: HashPartitioning(source, h)
+    // satisfies the distinct aggregate's ClusteredDistribution over
+    // (doc_id, source, h) — a superset key — so the aggregate reuses
+    // the repartition exchange and the old distinct-then-repartition
+    // double shuffle of the full rare-tail stream collapses to one
+    // (r17 measurement: 2 full-stream exchanges → 1 on every
+    // shinglePairStats consumer; identical rows, rare-tail
+    // multiplicity ≈ 1 so the lost pre-shuffle combine is noise).
     val disc = sh.join(broadcast(hot),
         col("source") === col("k_source") && col("h") === col("k_h"), "left_anti")
       .select(col("doc_id"), col("source"), col("h"))
-      .distinct()
       .repartition(width, col("source"), col("h"))
+      .distinct()
       .cache()
     eager(disc)
     val sz = disc.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
@@ -1096,6 +1104,9 @@ object Dedup {
   def qEmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      // norm hoist (norm2Row/cosinePre parity contract): the verify
+      // join evaluates one dot per candidate pair, not 3 self-sums
+      .withColumn("nrm", VectorFunctions.norm2Row(col("v")))
     // banding is recomputed cheaply (map-only) but reused by both join
     // sides and the hot-bucket aggregate — cache + materialize so AQE's
     // concurrent stages don't race a cold cache (see eager()).
@@ -1116,7 +1127,8 @@ object Dedup {
       .join(e.as("a"), col("id1") === col("a.vec_id"))
       .join(e.as("b2"), col("id2") === col("b2.vec_id"))
       .select(col("id1"), col("id2"),
-        VectorFunctions.cosine(col("a.v"), col("b2.v")).as("sim"))
+        VectorFunctions.cosinePre(col("a.v"), col("b2.v"),
+          col("a.nrm"), col("b2.nrm")).as("sim"))
       .filter(col("sim") >= 0.35)
       .select(col("id1"), col("id2"), round(col("sim"), 4).as("sim"))
   }
@@ -1797,11 +1809,15 @@ object Dedup {
 
   def qSemanticDedup(spark: SparkSession, dir: String): DataFrame = {
     val (asg, _) = Similarity.IvfIndex.get(spark, dir, 16)
-    val a = asg.select(col("vec_id"), col("v"), col("cell"))
+    // same norm hoist as qDbscan: the within-cell pair stage is the
+    // bill, and cosinePre keeps it bit-identical at a third the FLOPs
+    val a = asg.select(col("vec_id"), col("v"), col("cell"),
+      VectorFunctions.norm2Row(col("v")).as("nrm"))
     val pairs = a.as("x").join(a.as("y"),
         col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"),
-        VectorFunctions.cosine(col("x.v"), col("y.v")).as("sim"))
+        VectorFunctions.cosinePre(col("x.v"), col("y.v"),
+          col("x.nrm"), col("y.nrm")).as("sim"))
       .filter(round(col("sim"), 6) >= SemDedupTau)
       .select(col("id1"), col("id2"))
     val labs = clusterPairs(spark, pairs)
@@ -1861,11 +1877,16 @@ object Dedup {
 
   def qDbscan(spark: SparkSession, dir: String): DataFrame = {
     val (asg, _) = Similarity.IvfIndex.get(spark, dir, 16)
-    val a = asg.select(col("vec_id"), col("v"), col("cell"))
+    // row norms hoisted OUT of the quadratic within-cell stage
+    // (norm2Row/cosinePre bit-parity contract): the pair loop pays
+    // dot only — 1 multiply-add per element instead of CosineSim's 3
+    val a = asg.select(col("vec_id"), col("v"), col("cell"),
+      VectorFunctions.norm2Row(col("v")).as("nrm"))
     val pairs = a.as("x").join(a.as("y"),
         col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"),
-        VectorFunctions.cosine(col("x.v"), col("y.v")).as("sim"))
+        VectorFunctions.cosinePre(col("x.v"), col("y.v"),
+          col("x.nrm"), col("y.nrm")).as("sim"))
       .filter(round(col("sim"), 6) >= DbscanTau)
       .select(col("id1"), col("id2"))
       .cache()
@@ -2041,10 +2062,21 @@ object Dedup {
 
   def qDedupThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
     val tsArr = array(SweepThresholds.map(lit): _*)
-    val base = shinglePairStats(spark, dir)
+    // Verified pairs at the LOWEST sweep threshold — the bounded C2
+    // near-dup set (a pair below min(thresholds) survives no exploded
+    // row, so the pre-filter is exact). Cached + materialized because
+    // the curve's two aggregates (pair counts, distinct-doc counts)
+    // otherwise EACH re-ran the discriminative-shingle self-join —
+    // the sweep shuffled 14.3M records where C2/C13 shuffle 8.0M on
+    // the same chain (r16 bench shuffle tap); now the join runs once
+    // and both aggregates scan this small frame.
+    val pairs = eager(shinglePairStats(spark, dir)
       .select(col("d1"), col("d2"),
         (col("inter").cast("double") /
           (col("sz1") + col("sz2") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= SweepThresholds.min)
+      .cache())
+    val base = pairs
       .select(col("d1"), col("d2"), col("jaccard"), explode(tsArr).as("threshold"))
       .filter(col("jaccard") >= col("threshold"))
     val p = base.groupBy(col("threshold"))

@@ -36,17 +36,23 @@ object GraphOps {
     */
   private[graft] def coSupplyWeighted(spark: SparkSession, dir: String): DataFrame =
     // collect_set dedups (part, supplier) inside the aggregate, so no
-    // separate distinct() pass — one shuffle builds the supplier sets
+    // separate distinct() pass — one shuffle builds the supplier sets.
+    // Pair generation is the codegen'd PackedPairs kernel (r17): the
+    // previous flatten(transform(transform(slice))) HOF chain ran
+    // interpreted lambdas per pair (HOFs sit outside whole-stage
+    // codegen) and allocated a struct per pair; the packed form emits
+    // primitive longs in one fused i<j loop and unpacks to the
+    // IDENTICAL (src, dst) longs after the count aggregate.
     Tables.lineitem(spark, dir)
       .select(col("l_partkey"), col("l_suppkey"))
       .groupBy(col("l_partkey"))
       .agg(sort_array(collect_set(col("l_suppkey"))).as("ss"))
-      .select(explode(expr(
-        """flatten(transform(ss, (x, i) ->
-          |  transform(slice(ss, i + 2, size(ss) - i - 1),
-          |    y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
-      .groupBy(col("p.a").as("src"), col("p.b").as("dst"))
+      .select(explode(
+        graft.functions.GraftExpressions.packed_pairs(col("ss"))).as("p"))
+      .groupBy(col("p"))
       .agg(count(lit(1)).as("w"))
+      .select(shiftrightunsigned(col("p"), 32).as("src"),
+        col("p").bitwiseAND(lit(0xFFFFFFFFL)).as("dst"), col("w"))
 
   private def coSupplyPairs(spark: SparkSession, dir: String): DataFrame =
     GraphStore.strong(spark, dir)

@@ -37,13 +37,21 @@ object Similarity {
   val PanelIdCap = 2000L
 
   def qAnnBruteforce(spark: SparkSession, dir: String): DataFrame = {
+    // row norms hoisted out of the panel×corpus scan (norm2Row/
+    // cosinePre bit-parity contract): the scan pays one fused dot per
+    // (query, vector) instead of CosineSim's three self-sums — and
+    // this function IS the shared recall-truth panel (bruteforceTop5)
+    // every ANN query re-pays cold
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", VectorFunctions.norm2Row(col("v")))
     val q = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < PanelIdCap)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
-        VectorFunctions.cosine(col("qv"), col("v")).as("sim"))
+        VectorFunctions.cosinePre(col("qv"), col("v"),
+          col("qnrm"), col("nrm")).as("sim"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(round(col("sim"), 6).desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -476,15 +484,19 @@ object Similarity {
     * correctness bit an accuracy audit sums.
     */
   def qKnnClassify(spark: SparkSession, dir: String): DataFrame = {
+    // norm hoist (norm2Row/cosinePre parity contract) — see
+    // qAnnBruteforce; the panel×corpus scan is the whole bill here
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", VectorFunctions.norm2Row(col("v")))
     val q = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < PanelIdCap)
       .select(col("vec_id").as("qid"), col("label").as("true_label"),
-        col("v").as("qv"))
+        col("v").as("qv"), col("nrm").as("qnrm"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("true_label"), col("vec_id").as("nid"),
-        col("label"), VectorFunctions.cosine(col("qv"), col("v")).as("sim"))
+        col("label"), VectorFunctions.cosinePre(col("qv"), col("v"),
+          col("qnrm"), col("nrm")).as("sim"))
     val bySim = Window.partitionBy(col("qid"))
       .orderBy(round(col("sim"), 6).desc, col("nid").asc)
     val votes = scored.withColumn("rank", row_number().over(bySim))
@@ -539,17 +551,21 @@ object Similarity {
     * corpus-pairwise.
     */
   def qHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    // norm hoist (norm2Row/cosinePre parity contract) — see
+    // qAnnBruteforce
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", VectorFunctions.norm2Row(col("v")))
     val q = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < PanelIdCap)
       .select(col("vec_id").as("qid"), col("label").as("anchor_label"),
-        col("v").as("qv"))
+        col("v").as("qv"), col("nrm").as("qnrm"))
     val scored = e.join(broadcast(q),
         col("vec_id") =!= col("qid") && col("label") =!= col("anchor_label"))
       .select(col("qid"), col("anchor_label"), col("vec_id").as("nid"),
         col("label").as("neg_label"),
-        VectorFunctions.cosine(col("qv"), col("v")).as("sim"))
+        VectorFunctions.cosinePre(col("qv"), col("v"),
+          col("qnrm"), col("nrm")).as("sim"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(round(col("sim"), 6).desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -599,16 +615,20 @@ object Similarity {
     * — never corpus-pairwise.
     */
   def qTripletMining(spark: SparkSession, dir: String): DataFrame = {
+    // norm hoist (norm2Row/cosinePre parity contract) — see
+    // qAnnBruteforce
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", VectorFunctions.norm2Row(col("v")))
     val q = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < PanelIdCap)
       .select(col("vec_id").as("qid"), col("label").as("anchor_label"),
-        col("v").as("qv"))
+        col("v").as("qv"), col("nrm").as("qnrm"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("anchor_label"), col("vec_id").as("nid"),
         col("label"),
-        round(VectorFunctions.cosine(col("qv"), col("v")), 6).as("sim"))
+        round(VectorFunctions.cosinePre(col("qv"), col("v"),
+          col("qnrm"), col("nrm")), 6).as("sim"))
     val ranked = scored
       .withColumn("is_pos", col("label") === col("anchor_label"))
       .withColumn("rp", row_number().over(
@@ -681,18 +701,31 @@ object Similarity {
   val MmrLambda = 0.7
 
   def qMmrDiversify(spark: SparkSession, dir: String): DataFrame = {
+    // norm hoist (norm2Row/cosinePre parity contract) — see
+    // qAnnBruteforce
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", VectorFunctions.norm2Row(col("v")))
     val q = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < PanelIdCap)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    // rank on the NARROW (qid, nid, rel) stream — the old plan
+    // dragged the 64-double candidate vector through the rank
+    // window's exchange+sort (§8 of the optimization playbook: decide
+    // on a lightweight proxy, attach the payload after); the bounded
+    // top-10 re-attaches v via one broadcast hash join against the
+    // same scan
     val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
-        round(VectorFunctions.cosine(col("qv"), col("v")), 6).as("rel"),
-        col("v"))
+        round(VectorFunctions.cosinePre(col("qv"), col("v"),
+          col("qnrm"), col("nrm")), 6).as("rel"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("rel").desc, col("nid").asc)
-    mmrOver(scored.withColumn("rank", row_number().over(w))
+    val top = scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 10)
+      .select(col("qid"), col("nid"), col("rel"))
+    mmrOver(e.select(col("vec_id").as("nid"), col("v"))
+      .join(broadcast(top), Seq("nid"))
       .select(col("qid"), col("nid"), col("rel"), col("v")))
   }
 
@@ -1026,20 +1059,37 @@ object Similarity {
     val hot = bucketed0.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("n")).filter(col("n") > bucketCap)
       .select(col("band").as("hband"), col("bucket").as("hb"))
-    val bucketed = bucketed0.join(broadcast(hot),
-      col("band") === col("hband") && col("bucket") === col("hb"), "left_anti")
-    val scored = bucketed.as("a")
+    // §8 payload discipline (r17): the multi-table pair generation
+    // used to drag the 64-double vector through BOTH sides of the
+    // (band, bucket) self-join — ~32 copies of every vector shuffled
+    // — and scored each pair once PER COLLIDING TABLE (max() then
+    // collapsed identical values). Now only (vec_id, band, bucket)
+    // enters pair generation, candidates dedup FIRST, and each unique
+    // pair is scored exactly once by re-attaching vectors with two
+    // keyed joins (the C5 qEmbeddingNeardup shape). Same pairs, same
+    // sims, same top-5.
+    val bucketed = bucketed0.select(col("vec_id"), col("band"), col("bucket"))
+      .join(broadcast(hot),
+        col("band") === col("hband") && col("bucket") === col("hb"), "left_anti")
+    val uniq0 = bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"),
-        col("a.bucket").as("bucket"),
-        VectorFunctions.cosine(col("a.v"), col("b.v")).as("sim"))
-    // a pair colliding in several tables is still ONE candidate: the
-    // dedup aggregate shuffles on pair ids (candidate-mass sized) and
-    // every surviving pair carries a single score
-    val uniq = scored.groupBy(col("qid"), col("nid"))
-      .agg(max(col("sim")).as("sim"), min(col("bucket")).as("bucket"))
+        col("a.bucket").as("bucket"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(min(col("bucket")).as("bucket"))
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", VectorFunctions.norm2Row(col("v")))
+    val uniq = uniq0
+      .join(e.select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm")), Seq("qid"))
+      .join(e.select(col("vec_id").as("nid"), col("v"), col("nrm")),
+        Seq("nid"))
+      .select(col("qid"), col("nid"), col("bucket"),
+        VectorFunctions.cosinePre(col("qv"), col("v"),
+          col("qnrm"), col("nrm")).as("sim"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(round(col("sim"), 6).desc, col("nid").asc)
     val top = uniq.withColumn("rank", row_number().over(w))

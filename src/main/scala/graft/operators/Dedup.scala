@@ -281,16 +281,26 @@ object Dedup {
     * extraction; the underlying shingle stream stays the shared
     * eager cache.
     */
-  private def minhashUniverse(spark: SparkSession, dir: String): DataFrame = {
+  private def minhashUniverse(spark: SparkSession, dir: String,
+      distinctRows: Boolean = true): DataFrame = {
     val all = eager(shingleStream(spark, dir)).select(col("doc_id"), col("h"))
     val hot = all.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") > MinhashDfCap).select(col("h").as("k_h"))
-    all.join(broadcast(hot), col("h") === col("k_h"), "left_anti")
-      .select(col("doc_id"), col("h")).distinct()
+    val kept = all.join(broadcast(hot), col("h") === col("k_h"), "left_anti")
+      .select(col("doc_id"), col("h"))
+    if (distinctRows) kept.distinct() else kept
   }
 
   private def minhashWide(spark: SparkSession, dir: String): DataFrame = {
-    val sh = minhashUniverse(spark, dir)
+    // min() is multiplicity-insensitive: the per-permutation minima
+    // over the RAW df-capped occurrence stream equal the minima over
+    // its distinct universe, so the distinct's full-stream shuffle
+    // (one of the chain's two corpus-wide exchanges) is pure overhead
+    // for signature building and is skipped — the signature aggregate
+    // map-side-combines straight to one row per doc. C21's exact-
+    // Jaccard audit keeps the distinct universe (set COUNTS do care)
+    // and still audits the set the signatures mathematically sample.
+    val sh = minhashUniverse(spark, dir, distinctRows = false)
     val minCols = perms.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("h") + lit(b)) % MinhashPrime).as(s"m$i")
     }

@@ -1291,13 +1291,20 @@ object TextAnalysis {
   private val UniMaxPiece = 4
   private val UniSeedK = 24
 
-  /** ≤16-char letters-only word types with corpus frequencies. */
+  /** ≤16-char letters-only word types with corpus frequencies.
+    * The rlike gate runs AFTER the type aggregate (r17): per-token it
+    * cost one regex match per corpus word occurrence; per-TYPE it
+    * costs one per distinct word — ~100× fewer matches for the same
+    * kept set and identical counts (the aggregate is scope-neutral:
+    * filtering non-matching types before or after counting cannot
+    * change the counts of the types that survive).
+    */
   private def uniWords(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .filter(col("w").rlike("^[a-z]+$") &&
         length(col("w")) <= UniMaxWordLen)
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .cache()
 
   /** One row per (word, end position i, piece length k): the piece
@@ -1310,6 +1317,13 @@ object TextAnalysis {
         s"k -> named_struct('key', i * 10 + k, " +
         s"'p', substring(w, i - k + 1, k)))))")).as("e"))
       .select(col("w"), col("c"), col("e.key").as("key"), col("e.p").as("p"))
+      // cached (r17): a pure function of the cached word-type frame,
+      // re-evaluated by the seed-piece aggregate AND every Viterbi
+      // round (3-4× per unigram query) — the nested-HOF lattice
+      // explode runs interpreted lambdas, so re-derivation is the
+      // single most expensive leaf of the chain. Identical plans
+      // share one CacheManager entry across the rounds.
+      .cache()
 
   /** Attach µ-log-probs and ppb probabilities to a counted piece set:
     * lp_µ = round(ln((cnt+smooth)/Σ(cnt+smooth))·10⁶),

@@ -17,8 +17,16 @@ object PlanDump {
     java.nio.file.Files.createDirectories(out)
     args(0).split(",").foreach { q =>
       val df = SparkEntry.queries(q)(spark, dir)
-      val plan = df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode)
+      // GRAFT_PLANDUMP_EXEC: execute first and dump the FINAL adaptive
+      // plan (the tree the PlanSpec/Bench exchange counters see);
+      // default stays the formatted pre-execution explain.
+      val plan =
+        if (sys.env.contains("GRAFT_PLANDUMP_EXEC")) {
+          val qe = df.queryExecution
+          qe.toRdd.count()
+          qe.executedPlan.toString
+        } else df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
       java.nio.file.Files.writeString(out.resolve(s"${q}_${args(2)}.txt"), plan)
       println(s"[plandump] $q -> ${out.resolve(s"${q}_${args(2)}.txt")}")
       spark.catalog.clearCache()

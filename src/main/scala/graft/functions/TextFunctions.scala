@@ -58,12 +58,13 @@ object TextFunctions {
 
   /** Number of tokens of `toks` contained in the fixed vocabulary
     * (with multiplicity). Mirror: `len(list_filter(toks, t ->
-    * list_contains([...], t)))`.
+    * list_contains([...], t)))`. Runs as the codegen [[VocabHits]]
+    * kernel (r18): the previous `size(filter(...))` HOF evaluated an
+    * interpreted lambda per token, linear-scanning the vocabulary
+    * literal — identical values, one hash probe per token instead.
     */
-  def vocabHits(toks: Column, vocab: Seq[String]): Column = {
-    val vocabArr = array(vocab.map(lit): _*)
-    size(filter(toks, t => array_contains(vocabArr, t)))
-  }
+  def vocabHits(toks: Column, vocab: Seq[String]): Column =
+    GraftExpressions.vocab_hits(toks, vocab)
 
   /** Distinct character k-shingles of normalized text (k=5 default).
     * Short texts yield their full (padded-by-truncation) prefix as the

@@ -35,6 +35,13 @@ object VectorFunctions {
     * `cosine(a, b)` (same IEEE terms, same order, same final
     * dot / (sqrt(na) * sqrt(nb)) shape) while the quadratic pair
     * stage pays ONE multiply-add per element instead of three.
+    *
+    * EQUAL-LENGTH PRECONDITION (r17 ADVICE): the parity claim holds
+    * only for equal-dimension inputs. [[CosineSim]] truncates all
+    * three sums to min(len(a), len(b)), while norm2Row computes each
+    * norm over its FULL array — for ragged inputs cosinePre diverges
+    * from cosine (arguably more correct, but not bit-identical).
+    * Every current call site uses fixed-dim embeddings.
     */
   def norm2Row(a: Column): Column =
     sqrt(GraftExpressions.dot_product(

@@ -235,16 +235,23 @@ case class PackedPairs(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case ArrayType(LongType, _) =>
+      // containsNull rejected up front (r17 ADVICE): toLongArray NPEs
+      // opaquely on a null element — fail at analysis with a message
+      case ArrayType(LongType, false) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"packed_pairs requires array<bigint> input, got ${other.catalogString}")
+          s"packed_pairs requires array<bigint> (no null elements), got ${other.catalogString}")
     }
 
   override def nullSafeEval(input: Any): Any = {
     val xs = input.asInstanceOf[ArrayData].toLongArray()
     val n = xs.length
+    // n(n-1)/2 in 32-bit overflows (or goes negative) at n ≈ 65536+;
+    // the kernel's fail-loud philosophy, not a silent truncation
+    if (n > 65535)
+      throw new IllegalArgumentException(
+        s"packed_pairs: input of $n elements would emit ${n.toLong * (n - 1) / 2} pairs (int overflow)")
     var i = 0
     while (i < n) {
       if (xs(i) < 0L || xs(i) >= (1L << 31))
@@ -278,6 +285,11 @@ case class PackedPairs(child: Expression) extends UnaryExpression {
       s"""
          |long[] $xs = $c.toLongArray();
          |int $n = $xs.length;
+         |if ($n > 65535) {
+         |  throw new IllegalArgumentException(
+         |    "packed_pairs: input of " + $n + " elements would emit " +
+         |    ((long) $n * ($n - 1) / 2) + " pairs (int overflow)");
+         |}
          |for (int $i = 0; $i < $n; $i++) {
          |  if ($xs[$i] < 0L || $xs[$i] >= (1L << 31)) {
          |    throw new IllegalArgumentException(
@@ -296,6 +308,163 @@ case class PackedPairs(child: Expression) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(newChild: Expression): PackedPairs =
+    copy(child = newChild)
+}
+
+/** All ordered index/value triples (x(i), x(j), x(k)), i < j < k, of a
+  * long array, each packed into one long as `(x(i) << 42) | (x(j) <<
+  * 21) | x(k)` — the 3-itemset sibling of [[PackedPairs]] (the A49
+  * basket lattice). Value contract: unpacking (`a = p >>> 42`,
+  * `b = (p >>> 21) & 0x1FFFFF`, `c = p & 0x1FFFFF`) yields exactly the
+  * struct triples the nested-HOF form emitted, in the same i<j<k loop
+  * order. Inputs must sit in [0, 2^21) — enough for any basket/array
+  * INDEX domain (the intended caller packs `sequence(0, n-1)` and
+  * re-attaches payloads by `element_at`) — and arrays are capped so
+  * n(n-1)(n-2)/6 stays an int; both violations fail loudly.
+  */
+case class PackedTriples(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, false) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"packed_triples requires array<bigint> (no null elements), got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData].toLongArray()
+    val n = xs.length
+    if (n > 2344)
+      throw new IllegalArgumentException(
+        s"packed_triples: input of $n elements would emit ${n.toLong * (n - 1) * (n - 2) / 6} triples (int overflow)")
+    var i = 0
+    while (i < n) {
+      if (xs(i) < 0L || xs(i) >= (1L << 21))
+        throw new IllegalArgumentException(
+          s"packed_triples: value ${xs(i)} outside [0, 2^21)")
+      i += 1
+    }
+    val out = new Array[Long](n * (n - 1) * (n - 2) / 6)
+    var t = 0
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        var k = j + 1
+        while (k < n) {
+          out(t) = (xs(i) << 42) | (xs(j) << 21) | xs(k)
+          t += 1
+          k += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val xs = ctx.freshName("xs")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val t = ctx.freshName("t")
+      s"""
+         |long[] $xs = $c.toLongArray();
+         |int $n = $xs.length;
+         |if ($n > 2344) {
+         |  throw new IllegalArgumentException(
+         |    "packed_triples: input of " + $n + " elements would emit " +
+         |    ((long) $n * ($n - 1) * ($n - 2) / 6) + " triples (int overflow)");
+         |}
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($xs[$i] < 0L || $xs[$i] >= (1L << 21)) {
+         |    throw new IllegalArgumentException(
+         |      "packed_triples: value " + $xs[$i] + " outside [0, 2^21)");
+         |  }
+         |}
+         |long[] $out = new long[$n * ($n - 1) * ($n - 2) / 6];
+         |int $t = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  for (int $j = $i + 1; $j < $n; $j++) {
+         |    for (int $k = $j + 1; $k < $n; $k++) {
+         |      $out[$t++] = ($xs[$i] << 42) | ($xs[$j] << 21) | $xs[$k];
+         |    }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PackedTriples =
+    copy(child = newChild)
+}
+
+/** Count of array elements contained in a fixed string vocabulary
+  * (with multiplicity; null elements count as not-in) — the codegen
+  * kernel behind [[TextFunctions.vocabHits]]. Value contract:
+  * identical to `size(filter(toks, t -> array_contains(vocab, t)))`
+  * and to the oracle's `len(list_filter(toks, t ->
+  * list_contains([...], t)))`. Replaces an interpreted ArrayFilter
+  * lambda that linear-scanned the vocabulary literal per token with
+  * one hash-set probe per token inside whole-stage codegen.
+  */
+case class VocabHits(child: Expression, vocab: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vocab_hits requires array<string> input, got ${other.catalogString}")
+    }
+
+  @transient private lazy val vocabSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](vocab.size * 2)
+    vocab.foreach(v => s.add(UTF8String.fromString(v)))
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    var hits = 0
+    var i = 0
+    while (i < n) {
+      if (!xs.isNullAt(i) && vocabSet.contains(xs.getUTF8String(i))) hits += 1
+      i += 1
+    }
+    hits
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("vocabSet", vocabSet,
+      "java.util.HashSet<org.apache.spark.unsafe.types.UTF8String>")
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val hits = ctx.freshName("hits")
+      s"""
+         |int $n = $c.numElements();
+         |int $hits = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$c.isNullAt($i) && $setRef.contains($c.getUTF8String($i))) $hits++;
+         |}
+         |${ev.value} = $hits;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VocabHits =
     copy(child = newChild)
 }
 
@@ -508,6 +677,12 @@ object GraftExpressions {
 
   def packed_pairs(c: Column): Column =
     GraftBridge.column(PackedPairs(GraftBridge.expression(c)))
+
+  def packed_triples(c: Column): Column =
+    GraftBridge.column(PackedTriples(GraftBridge.expression(c)))
+
+  def vocab_hits(c: Column, vocab: Seq[String]): Column =
+    GraftBridge.column(VocabHits(GraftBridge.expression(c), vocab))
 
   def hyperplane_bands(v: Column, nBands: Int, bits: Int, dim: Int = 64): Column =
     GraftBridge.column(HyperplaneBands(GraftBridge.expression(v), nBands, bits, dim))

@@ -861,36 +861,44 @@ object Tuning {
       .select(col("vec_id"), col("cluster_id").as("db"))
     val lb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label").cast("long").as("lb"))
-    val joined = km.join(db, "vec_id").join(lb, "vec_id").cache()
+    val joined = km.join(db, "vec_id").join(lb, "vec_id")
     val d38 = "decimal(38,0)"
     def c2(c: org.apache.spark.sql.Column) =
       (c.cast(d38) * (c - 1) / 2).cast(d38)
-    def ari(p1: String, p2: String, name: String): DataFrame = {
-      val nij = joined.groupBy(col(p1), col(p2)).agg(count(lit(1)).as("nij"))
-        .agg(sum(c2(col("nij"))).as("sij"))
-      val ai = joined.groupBy(col(p1)).agg(count(lit(1)).as("a"))
-        .agg(sum(c2(col("a"))).as("sa"))
-      val bj = joined.groupBy(col(p2)).agg(count(lit(1)).as("b"))
-        .agg(sum(c2(col("b"))).as("sb"))
-      val n = joined.agg(count(lit(1)).as("n"))
-      nij.crossJoin(broadcast(ai)).crossJoin(broadcast(bj))
-        .crossJoin(broadcast(n))
-        .withColumn("n2", c2(col("n")))
-        .select(lit(name).as("pair"), col("n").as("n_vectors"),
-          col("sij").cast("long").as("agree_pairs"),
-          round((lit(2) * col("n2") * col("sij")
-              - lit(2) * col("sa") * col("sb")).cast("double") /
-            (col("n2") * (col("sa") + col("sb"))
-              - lit(2) * col("sa") * col("sb")).cast("double"), 6)
-            .as("ari"))
-    }
-    val out = ari("km", "lb", "kmeans_vs_label")
-      .unionAll(ari("db", "lb", "dbscan_vs_label"))
-      .unionAll(ari("km", "db", "kmeans_vs_dbscan"))
-      .cache() // qGmmEm cleanup pattern (ADVICE r15): 3-row output
-    out.count()
-    joined.unpersist()
-    out
+    // ONE grouping-sets pass computes all seven ingredients the three
+    // ARIs need — the three contingency-pair Σ C(n_ij,2), the three
+    // margin Σ C(a,2), and n — where the per-pair form re-aggregated
+    // the joined frame 12 times (3 pairs × nij/ai/bj/n subtrees, each
+    // its own exchange + job). Identical arithmetic: the same C(·,2)
+    // DECIMAL(38,0) sums over the same grouped counts, assembled into
+    // the same closed form. gid bit b is SET when that grouping column
+    // is aggregated away (column order km, db, lb).
+    val g = joined.groupingSets(
+      Seq(Seq(col("km"), col("lb")), Seq(col("db"), col("lb")),
+        Seq(col("km"), col("db")), Seq(col("km")), Seq(col("db")),
+        Seq(col("lb")), Seq()),
+      col("km"), col("db"), col("lb"))
+      .agg(count(lit(1)).as("cnt"), grouping_id().as("gid"))
+    def s(gid: Int) = sum(when(col("gid") === gid, c2(col("cnt"))))
+    val sums = g.agg(
+      s(2).as("sij_km_lb"), s(4).as("sij_db_lb"), s(1).as("sij_km_db"),
+      s(3).as("sa_km"), s(5).as("sa_db"), s(6).as("sa_lb"),
+      max(when(col("gid") === 7, col("cnt"))).as("n"))
+      .withColumn("n2", c2(col("n")))
+    def ariRow(name: String, sij: String, sa: String, sb: String) =
+      struct(lit(name).as("pair"), col("n").as("n_vectors"),
+        col(sij).cast("long").as("agree_pairs"),
+        round((lit(2) * col("n2") * col(sij)
+            - lit(2) * col(sa) * col(sb)).cast("double") /
+          (col("n2") * (col(sa) + col(sb))
+            - lit(2) * col(sa) * col(sb)).cast("double"), 6)
+          .as("ari"))
+    sums.select(explode(array(
+        ariRow("kmeans_vs_label", "sij_km_lb", "sa_km", "sa_lb"),
+        ariRow("dbscan_vs_label", "sij_db_lb", "sa_db", "sa_lb"),
+        ariRow("kmeans_vs_dbscan", "sij_km_db", "sa_km", "sa_db"))).as("r"))
+      .select(col("r.pair").as("pair"), col("r.n_vectors").as("n_vectors"),
+        col("r.agree_pairs").as("agree_pairs"), col("r.ari").as("ari"))
   }
 
   private def clusteringAgreementSql(kmLoc: String, dbscanFull: String): String = {

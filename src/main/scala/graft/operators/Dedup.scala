@@ -1300,7 +1300,11 @@ object Dedup {
     math.max(8L, edgeCount / (64L << 10)).min(Int.MaxValue).toInt
 
   /** Propagation iterations before [[clusterPairs]] hands the
-    * still-unconverged remainder to star contraction.
+    * still-unconverged remainder to star contraction. (r18 note: a
+    * two-steps-per-checkpoint unroll was measured and REVERTED — the
+    * unmaterialized step self-joins re-execute their subtrees, and the
+    * deeper per-round DAG cost more than the saved checkpoint/count
+    * actions: 0.7–0.8× on every clusterPairs consumer at sf0.1.)
     */
   val StarFallbackIter = 15
 
@@ -1413,11 +1417,17 @@ object Dedup {
     // iteration — without it driver-side re-optimization of the
     // doubling plan dominates the loop (~20s for 5 iterations)
     val tDbg0 = System.nanoTime()
+    // edge count rides the checkpoint materialization as an observed
+    // metric (r18) instead of a separate count() action — one fewer
+    // pass over the edge set per call at any scale
+    val obsE = new org.apache.spark.sql.Observation(
+      "cc_edges_" + java.util.UUID.randomUUID().toString)
     val edges0 = pairs
       .unionAll(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
       .toDF("src", "dst")
+      .observe(obsE, count(lit(1)).as("n"))
       .localCheckpoint()
-    val width = ccWidth(edges0.count())
+    val width = ccWidth(obsE.get("n").asInstanceOf[Long])
     // checkpointing AFTER the repartition pins HashPartitioning(dst,
     // width) in the LogicalRDD, so every iteration's join reuses it
     // exchange-free on the edge side
@@ -1442,14 +1452,22 @@ object Dedup {
       // of cluster diameter; combined with jumping, chains collapse in
       // O(log diameter) iterations — 19 → ~7 at sf0.1, and the bound
       // that matters when 100 TB dup chains run long.
+      // the moved-count rides the checkpoint materialization as an
+      // observed metric (r18): the old next.filter(moved).count() was
+      // a second driver-synchronized pass over the label frame every
+      // iteration — pure fixed overhead locally, a full extra label
+      // read per iteration at 100 TB
+      val obsM = new org.apache.spark.sql.Observation(
+        "cc_moved_" + java.util.UUID.randomUUID().toString)
       val next = stepped.as("l")
         .join(stepped.as("m"), col("l.lab") === col("m.node"), "left")
         .select(col("l.node").as("node"),
           least(col("l.lab"), coalesce(col("m.lab"), col("l.lab"))).as("lab"),
           (least(col("l.lab"), coalesce(col("m.lab"), col("l.lab"))) <
             col("l.old_lab")).as("moved"))
+        .observe(obsM, count(when(col("moved"), lit(1))).as("m"))
         .localCheckpoint() // materializes AND truncates lineage
-      val changed = next.filter(col("moved")).count() > 0
+      val changed = obsM.get("m").asInstanceOf[Long] > 0
       labels = next.select(col("node"), col("lab"))
       converged = !changed
       iter += 1
@@ -2278,28 +2296,42 @@ object Dedup {
     * integers, one 6-dp rate per stage, 6 output rows.
     */
   def qCurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     import graft.functions.TextFunctions.fingerprint
     val isEval = col("source").isin(EvalSources.map(x => x: Any): _*)
-    val train = Tables.documents(spark, dir).filter(!isEval)
-      .select(col("doc_id"))
-    val quality = TextAnalysis.qQualityScore(spark, dir)
-      .select(col("doc_id"),
-        (col("quality") >= TextAnalysis.QualityFloor).as("q_ok"))
-    val fps = Tables.documents(spark, dir)
-      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
-    val canon = fps.groupBy(col("fp")).agg(min(col("doc_id")).as("canonical"))
-    val exact = fps.join(canon, "fp")
-      .select(col("doc_id"), (col("doc_id") === col("canonical")).as("e_ok"))
+    // ONE documents scan computes every per-doc text fact this funnel
+    // gates on (r18 — the previous form paid three separate text
+    // scans: quality, fingerprint, PII): quality is the bit-identical
+    // inline of TextAnalysis.scoreQuality (same ops, same order — the
+    // K13 qPipelineE2e device, oracle-parity proven there); p_ok is
+    // the count-free PII verdict (n_email+n_phone+n_ip = 0 ⟺ the
+    // class-regex alternation never matches — counts are never
+    // published here). The exact-dup canonical is a window min over
+    // the fingerprint partition instead of groupBy + self-join — one
+    // exchange, not two, over the same ALL-documents scope (a train
+    // doc loses e_ok to a lower-id EVAL copy, exactly as before).
+    val nTokD = tokenCount(col("text")).cast("double")
+    val quality = round(
+      (vocabHits(tokens(col("text")), TextAnalysis.stopwords("en"))
+        .cast("double") / nTokD) * 0.4 +
+        least(lit(1.0), nTokD / 100.0) * 0.3 +
+        (lit(1.0) - length(regexp_replace(col("text"), "[^.,!?;:]", ""))
+          .cast("double") / length(col("text")).cast("double")) * 0.3, 6)
+    val facts = Tables.documents(spark, dir)
+      .select(col("doc_id"), isEval.as("is_eval"),
+        (quality >= TextAnalysis.QualityFloor).as("q_ok"),
+        fingerprint(col("text")).as("fp"),
+        TextAnalysis.piiNoHit(col("doc_id"), col("text")).as("p_ok"))
+    val withE = facts
+      .withColumn("e_ok",
+        col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .filter(!col("is_eval"))
+      .select(col("doc_id"), col("q_ok"), col("e_ok"), col("p_ok"))
     val dk = qDecontamKeepList(spark, dir)
       .select(col("doc_id"),
         (col("canonical_id") === col("doc_id")).as("nd_ok"),
         (col("reason") =!= "contaminated").as("nc_ok"))
-    val pii = TextAnalysis.piiPerDoc(spark, dir)
-      .select(col("doc_id"),
-        (col("n_email") + col("n_phone") + col("n_ip") === 0).as("p_ok"))
-    val bits = train
-      .join(quality, "doc_id").join(exact, "doc_id")
-      .join(dk, "doc_id").join(pii, "doc_id")
+    val bits = withE.join(dk, "doc_id")
     val sums = bits.agg(
       count(lit(1)).as("s0"),
       sum(when(col("q_ok"), 1L).otherwise(0L)).as("s1"),

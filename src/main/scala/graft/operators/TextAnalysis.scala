@@ -994,34 +994,53 @@ object TextAnalysis {
     * [[qPiiScan]] so the curation funnel (K25) can consume the same
     * flags per doc that the per-source audit aggregates.
     */
+  private val piiEmailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+  private val piiPhoneRe = "\\+1-555-[0-9]{4}"
+  private val piiIpRe = "10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  private val piiAllRe = s"($piiEmailRe|$piiPhoneRe|$piiIpRe)"
+
+  /** The deterministic PII-planting augmentation (see [[qPiiScan]]) as
+    * a column over a frame carrying `doc_id` — factored so the per-doc
+    * audit and the K25 gate build the identical string (exact integer
+    * DIV, never a double division).
+    */
+  private def piiAug(docId: Column, text: Column): Column =
+    concat(text,
+      when(docId % 5 === 0,
+        concat(lit(" contact user"), docId.cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+      when(docId % 7 === 0,
+        concat(lit(" call +1-555-"),
+          lpad((docId % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(docId % 11 === 0,
+        concat(lit(" host 10."), (docId % 256).cast("string"),
+          lit("."), (expr("doc_id DIV 7") % 256).cast("string"),
+          lit("."), (expr("doc_id DIV 13") % 256).cast("string")))
+        .otherwise(lit("")))
+
+  /** The K25 funnel's PII verdict without the counts: true ⟺
+    * n_email + n_phone + n_ip = 0 ⟺ the alternation of the three
+    * class regexes never matches the augmented text (same Java-regex
+    * find semantics as regexp_extract_all) — one early-exit rlike per
+    * doc instead of three full extract_all passes. Only legitimate
+    * where the counts themselves are not published.
+    */
+  private[operators] def piiNoHit(docId: Column, text: Column): Column =
+    !piiAug(docId, text).rlike(piiAllRe)
+
   private[operators] def piiPerDoc(spark: SparkSession, dir: String): DataFrame = {
-    val emailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
-    val phoneRe = "\\+1-555-[0-9]{4}"
-    val ipRe = "10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
-    val allRe = s"($emailRe|$phoneRe|$ipRe)"
-    val aug = Tables.documents(spark, dir).withColumn("aug",
-      concat(col("text"),
-        when(col("doc_id") % 5 === 0,
-          concat(lit(" contact user"), col("doc_id").cast("string"),
-            lit("@example.com"))).otherwise(lit("")),
-        when(col("doc_id") % 7 === 0,
-          concat(lit(" call +1-555-"),
-            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
-          .otherwise(lit("")),
-        when(col("doc_id") % 11 === 0,
-          concat(lit(" host 10."), (col("doc_id") % 256).cast("string"),
-            lit("."), (expr("doc_id DIV 7") % 256).cast("string"),
-            lit("."), (expr("doc_id DIV 13") % 256).cast("string")))
-          .otherwise(lit(""))))
+    val aug = Tables.documents(spark, dir)
+      .withColumn("aug", piiAug(col("doc_id"), col("text")))
     aug.select(col("doc_id"), col("source"),
-      size(regexp_extract_all(col("aug"), lit(emailRe), lit(0)))
+      size(regexp_extract_all(col("aug"), lit(piiEmailRe), lit(0)))
         .cast("long").as("n_email"),
-      size(regexp_extract_all(col("aug"), lit(phoneRe), lit(0)))
+      size(regexp_extract_all(col("aug"), lit(piiPhoneRe), lit(0)))
         .cast("long").as("n_phone"),
-      size(regexp_extract_all(col("aug"), lit(ipRe), lit(0)))
+      size(regexp_extract_all(col("aug"), lit(piiIpRe), lit(0)))
         .cast("long").as("n_ip"),
       (length(col("aug")) -
-        length(regexp_replace(col("aug"), allRe, "[PII]")))
+        length(regexp_replace(col("aug"), piiAllRe, "[PII]")))
         .cast("long").as("chars_delta"))
   }
 
@@ -1311,12 +1330,20 @@ object TextAnalysis {
     * substring and its i*10+k lattice key.
     */
   private def uniGrid(words: DataFrame): DataFrame =
-    words.select(col("w"), col("c"), explode(expr(
-      s"flatten(transform(sequence(1, length(w)), i -> " +
-        s"transform(sequence(1, least($UniMaxPiece, i)), " +
-        s"k -> named_struct('key', i * 10 + k, " +
-        s"'p', substring(w, i - k + 1, k)))))")).as("e"))
-      .select(col("w"), col("c"), col("e.key").as("key"), col("e.p").as("p"))
+    // two chained explode(sequence(...)) generators + a built-in
+    // substring — the same (key, p) rows the previous nested-HOF
+    // flatten(transform(transform)) emitted, but generated entirely
+    // inside whole-stage codegen (array-HOF lambdas run interpreted
+    // per element, and this explode is the unigram chain's most
+    // expensive leaf — r17 VERDICT ask #4)
+    words
+      .select(col("w"), col("c"),
+        explode(sequence(lit(1), length(col("w")))).as("i"))
+      .select(col("w"), col("c"), col("i"),
+        explode(sequence(lit(1), least(lit(UniMaxPiece), col("i")))).as("k"))
+      .select(col("w"), col("c"),
+        (col("i") * 10 + col("k")).as("key"),
+        expr("substring(w, i - k + 1, k)").as("p"))
       // cached (r17): a pure function of the cached word-type frame,
       // re-evaluated by the seed-piece aggregate AND every Viterbi
       // round (3-4× per unigram query) — the nested-HOF lattice

@@ -117,6 +117,97 @@ class ExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("packed_pairs/packed_triples index kernels equal the nested-HOF enumeration") {
+    // the A32/A49 basket rewrite contract: i<j (and i<j<k) index
+    // combinations over sequence(0, n-1), payloads re-attached by
+    // element_at, must emit exactly the pairs/triples the interpreted
+    // flatten(transform(transform(slice))) chains produced, in order
+    val df = Seq(Seq("a", "b", "c", "d"), Seq("x"), Seq("m", "n"))
+      .toDF("bs")
+    val hofPairs = df.select(explode(expr(
+      """flatten(transform(bs, (x, i) ->
+        |  transform(slice(bs, i + 2, size(bs) - i - 1),
+        |    y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+      .select(col("p.a"), col("p.b")).as[(String, String)].collect().toSeq
+    val kernelPairs = df.select(col("bs"),
+        explode(packed_pairs(sequence(lit(0L),
+          (size(col("bs")) - 1).cast("long")))).as("p"))
+      .select(
+        element_at(col("bs"), shiftrightunsigned(col("p"), 32).cast("int") + 1),
+        element_at(col("bs"),
+          col("p").bitwiseAND(lit(0xFFFFFFFFL)).cast("int") + 1))
+      .as[(String, String)].collect().toSeq
+    assert(kernelPairs == hofPairs)
+    val hofTriples = df.select(explode(expr(
+      """flatten(flatten(transform(bs, (x, i) ->
+        |  transform(slice(bs, i + 2, size(bs) - i - 1), (y, j) ->
+        |    transform(slice(bs, i + j + 3, size(bs) - i - j - 2),
+        |      z -> struct(x AS a, y AS b, z AS c))))))""".stripMargin)).as("t"))
+      .select(col("t.a"), col("t.b"), col("t.c"))
+      .as[(String, String, String)].collect().toSeq
+    val kernelTriples = df.select(col("bs"),
+        explode(packed_triples(sequence(lit(0L),
+          (size(col("bs")) - 1).cast("long")))).as("t"))
+      .select(
+        element_at(col("bs"), shiftrightunsigned(col("t"), 42).cast("int") + 1),
+        element_at(col("bs"), shiftrightunsigned(col("t"), 21)
+          .bitwiseAND(lit(0x1FFFFFL)).cast("int") + 1),
+        element_at(col("bs"),
+          col("t").bitwiseAND(lit(0x1FFFFFL)).cast("int") + 1))
+      .as[(String, String, String)].collect().toSeq
+    assert(kernelTriples == hofTriples)
+  }
+
+  test("packed kernels fail loudly on out-of-range values and reject null elements") {
+    // range guard: packing would corrupt pairs silently, so both
+    // kernels throw instead
+    val bad = Seq(Tuple1(Seq(1L, -2L, 3L))).toDF("xs")
+    val ePair = intercept[Exception] {
+      bad.select(packed_pairs(col("xs"))).collect()
+    }
+    assert(ePair.getMessage.contains("outside")
+      || ePair.getCause != null && ePair.getCause.getMessage.contains("outside"))
+    val big = Seq(Tuple1(Seq(1L << 22, 2L))).toDF("xs")
+    val eTriple = intercept[Exception] {
+      big.select(packed_triples(col("xs"))).collect()
+    }
+    assert(eTriple.getMessage.contains("outside")
+      || eTriple.getCause != null && eTriple.getCause.getMessage.contains("outside"))
+    // containsNull=true input: analysis-time rejection (r17 ADVICE —
+    // a null element used to NPE opaquely at eval)
+    val withNull = Seq(Tuple1(Seq[java.lang.Long](1L, null, 3L))).toDF("xs")
+    val eNull = intercept[Exception] {
+      withNull.select(packed_pairs(col("xs"))).collect()
+    }
+    assert(eNull.getMessage.toLowerCase.contains("null")
+      || eNull.getMessage.toLowerCase.contains("datatype_mismatch"))
+  }
+
+  test("vocab_hits equals the filter/array_contains HOF (multiplicity, null elements, empty)") {
+    val vocab = Seq("the", "a", "of")
+    val df = Seq(
+      Seq("the", "cat", "the", "a"),
+      Seq("dog"),
+      Seq.empty[String]).toDF("toks")
+    val vocabArr = array(vocab.map(lit): _*)
+    val hof = df.select(
+      size(filter(col("toks"), t => array_contains(vocabArr, t))))
+      .as[Int].collect().toSeq
+    val kernel = df.select(vocab_hits(col("toks"), vocab))
+      .as[Int].collect().toSeq
+    assert(kernel == hof)
+    // null elements count as not-in (array_contains -> null -> dropped
+    // by filter), and a null array yields null either way
+    val withNull = Seq(Tuple1(Seq[String]("the", null, "a")),
+      Tuple1(null.asInstanceOf[Seq[String]])).toDF("toks")
+    val hofN = withNull.select(
+      size(filter(col("toks"), t => array_contains(vocabArr, t))))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0))).toSeq
+    val kernelN = withNull.select(vocab_hits(col("toks"), vocab))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0))).toSeq
+    assert(kernelN == hofN)
+  }
+
   test("cosine_sim agrees with the HOF formulation on embeddings") {
     val e = Tables.embeddings(spark, sf).limit(20)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

@@ -315,7 +315,12 @@ class PlanSpec extends AnyFunSuite {
     val ceilings = Map(
       "q_pipeline_e2e" -> 4, "q_clustering_agreement" -> 4,
       "q_dedup_threshold_sweep" -> 6, "q_phash_threshold_sweep" -> 4,
-      "q_curation_funnel" -> 6,
+      // r18 re-pin after the one-scan funnel rework: the old 6 counted
+      // per-gate frames AQE broadcast at toy scale; the fused form
+      // reads text ONCE (was 3 scans) and exchanges the corpus-scale
+      // gate frames explicitly (fp window + doc_id merge join) — the
+      // only shapes that survive 100 TB, and 1.09x faster at sf0.1
+      "q_curation_funnel" -> 9,
       // r17 new query (same-commit pin per the r16 discipline ask):
       // 8 exact-profile exchanges + one sketch-pass aggregate per table
       "q_table_profile_approx" -> 12)

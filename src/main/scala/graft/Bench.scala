@@ -54,7 +54,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     // the engine's session factory (see Verify) — benches the shipped
     // configuration, extensions included
-    val spark = GraftSession.create(cpus)
+    val spark = GraftSession.create(cpus, dataDir = sfDir)
     // Every single-partition window in the suite runs over a
     // documented BOUNDED table (day/hour/bin grids — the PlanSpec
     // windowExempt set pins the inventory), so WindowExec's generic

@@ -13,7 +13,7 @@ object Verify {
     // the engine's session factory: same configs the library ships with
     // (AQE, UTC, nanos-as-long, GraftExtensions SQL functions, RocksDB
     // state store) so verification exercises the shipped surface
-    val spark = GraftSession.create(cpus)
+    val spark = GraftSession.create(cpus, dataDir = sfDir)
     new java.io.File(outDir).mkdirs()
     // Canonical per-query row hash (diagnostic artifact): md5 over the
     // SHIPPED parquet, columns sorted by name, cells rendered

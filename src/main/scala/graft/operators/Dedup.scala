@@ -112,7 +112,7 @@ object Dedup {
       // the corpus arrives as one split locally — spread the
       // explode-heavy shingle generation across all cores (on a real
       // cluster file splits already provide this width)
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartition(spreadWidth(spark))
       .select(col("doc_id"), col("source"), normText(col("text")).as("t"))
       // one-pass codegen kernel: all window hashes from a shared
       // codepoint array (identical values to shingleHash(substr) —
@@ -135,6 +135,17 @@ object Dedup {
     * the cache is warm.
     */
   private def eager(df: DataFrame): DataFrame = { df.count(); df }
+
+  /** Explicit-repartition width for the explode/pair-generation
+    * spreads: the session's (data-derived) shuffle width, NOT the raw
+    * core count — local[32] over a KB-scale corpus otherwise schedules
+    * 32 near-empty tasks per spread stage, which is how 32 cores
+    * measured SLOWER than 8 on the r17 driver bench (the r18
+    * core-scaling fix); at production scale shuffle.partitions is the
+    * cluster-sized dial, so spreads inherit the right width there too.
+    */
+  private[operators] def spreadWidth(spark: SparkSession): Int =
+    spark.sessionState.conf.numShufflePartitions
 
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     shinglePairStats(spark, dir)
@@ -163,7 +174,7 @@ object Dedup {
     // is small (AQE would coalesce to ~1 partition) but its OUTPUT
     // explodes quadratically per shingle group — spread the groups
     // across tasks up front.
-    val width = spark.sparkContext.defaultParallelism * 2
+    val width = spreadWidth(spark) * 2
     // repartition FIRST, then distinct: HashPartitioning(source, h)
     // satisfies the distinct aggregate's ClusteredDistribution over
     // (doc_id, source, h) — a superset key — so the aggregate reuses
@@ -288,7 +299,16 @@ object Dedup {
       .filter(col("df") > MinhashDfCap).select(col("h").as("k_h"))
     val kept = all.join(broadcast(hot), col("h") === col("k_h"), "left_anti")
       .select(col("doc_id"), col("h"))
-    if (distinctRows) kept.distinct() else kept
+    // repartition on doc_id BEFORE the distinct (the r17
+    // shinglePairStats device): HashPartitioning(doc_id) satisfies the
+    // distinct's ClusteredDistribution over (doc_id, h) — same single
+    // exchange — and every C21 consumer (per-doc sizes, both
+    // pair-keyed intersection joins) is doc_id-keyed, so the output
+    // partitioning is the one they reuse
+    if (distinctRows)
+      kept.repartition(spreadWidth(spark), col("doc_id"))
+        .distinct()
+    else kept
   }
 
   private def minhashWide(spark: SparkSession, dir: String): DataFrame = {
@@ -323,7 +343,11 @@ object Dedup {
     * binning knife-edge-free (k/32·10 is exact IEEE).
     */
   def qMinhashCalibration(spark: SparkSession, dir: String): DataFrame = {
-    val uni = minhashUniverse(spark, dir)
+    // cached + eager (r18): the distinct universe is consumed THREE
+    // times (per-doc sizes + both sides of the intersection join) —
+    // uncached, each consumer re-ran the anti-join + distinct over the
+    // full occurrence stream, the query's dominant cost
+    val uni = eager(minhashUniverse(spark, dir).cache())
     val est = qMinhashLsh(spark, dir)
     val sz = uni.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = est.select(col("d1"), col("d2"))
@@ -977,7 +1001,7 @@ object Dedup {
       min((lit(a) * col("h") + lit(b)) % MinhashPrime).as(s"m$i")
     }
     batchDocs
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartition(spreadWidth(spark))
       .select(col("doc_id"), normText(col("text")).as("t"))
       .select(col("doc_id"),
         explode(graft.functions.GraftExpressions.shingle_hashes(col("t"))).as("h"))
@@ -1127,7 +1151,7 @@ object Dedup {
     // pair-gen output explodes from a small input: fix width up front
     val bands = bands0.join(broadcast(hot),
         col("b") === col("hb") && col("bv") === col("hbv"), "left_anti")
-      .repartition(spark.sparkContext.defaultParallelism, col("b"), col("bv"))
+      .repartition(spreadWidth(spark), col("b"), col("bv"))
     val cand = bands.as("x")
       .join(bands.as("y"), col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
         col("x.vec_id") < col("y.vec_id"))
@@ -1198,7 +1222,7 @@ object Dedup {
       // the corpus arrives as one parquet split at test SF: spread the
       // tokenize+hash+partial-agg work before the explode (the same
       // round-1 lesson as the shingle stream; semantics-neutral)
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartition(spreadWidth(spark))
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .select(col("doc_id"), rolling_hash(col("tok")).as("h"))
     val bitSums = (0 until SimhashBits).map { j =>
@@ -1219,7 +1243,7 @@ object Dedup {
     // front (AQE would coalesce the tiny input to ~1 task)
     val bands = bands0.join(broadcast(hot),
         col("b") === col("hb") && col("bv") === col("hbv"), "left_anti")
-      .repartition(spark.sparkContext.defaultParallelism * 4, col("b"), col("bv"))
+      .repartition(spreadWidth(spark) * 4, col("b"), col("bv"))
     val pairs = bands.as("x")
       .join(bands.as("y"), col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
         col("x.doc_id") < col("y.doc_id"))
